@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata structs; decode / feature-extract
+  * run as partition-local batch jobs over the binary column.
+  *
+  * The actual codec step is STUBBED (no image/audio libs in this
+  * container): `decodeStub` derives deterministic fake dimensions/features
+  * from the bytes via FNV-1a hashing. The Spark-side plumbing — schema,
+  * partitioning, batch iteration shape, feature vector layout — is real and
+  * is what a production decode (swapping the stub for e.g. a JNI codec)
+  * would reuse unchanged.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, feature: Array[Float])
+
+  private def fnv(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until && i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** STUB decode: a real implementation would parse the container header
+    * and run the codec; this derives deterministic fake dims + an 8-dim
+    * "embedding" from byte-range hashes so tests are stable. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val b = r.media
+    val h = fnv(b, 0, b.length)
+    val width = 64 + (((h % 1024) + 1024) % 1024).toInt
+    val height = 64 + ((((h >>> 32) % 1024) + 1024) % 1024).toInt
+    val chunk = math.max(1, b.length / 8)
+    val feature = Array.tabulate(8) { i =>
+      val hh = fnv(b, i * chunk, (i + 1) * chunk)
+      (((hh % 10000) + 10000) % 10000).toFloat / 10000f
+    }
+    MediaFeatures(r.doc_id, b.length, width, height, feature)
+  }
+
+  /** Attach a binary media column (here synthesized from text bytes — the
+    * stand-in for reading real blobs) plus typed metadata. */
+  def withMediaColumn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("media"),
+      struct(col("source").as("origin"), col("lang").as("tag")).as("media_meta"))
+
+  /** Partition-local batch decode: mapPartitions so a real codec could
+    * amortize per-batch init (model load, JNI handle) across rows —
+    * the Scala analog of the mapInPandas batch shape. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { it => it.map(decodeStub) }
+      .toDF()
+  }
+}

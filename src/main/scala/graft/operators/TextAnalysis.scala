@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, n-gram language ID, fingerprinting.
+  * All pure Column expressions (whole-stage-codegen'd, no UDFs), so they
+  * stream through a 100 TB scan without shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap proxy for subword token counts. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length (quality signal: gibberish skews long/short). */
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double"))
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Deliberately small & deterministic. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"))
+
+  /** Fraction of tokens that are `lang` marker words. */
+  def markerRatio(text: Column, lang: String): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = filter(toks, t => markers(lang).map(lit(_) === t).reduce(_ || _))
+    size(hits).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Language-ID: argmax of marker-word hit counts, ties broken by language
+    * code order; "und" when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val hits = size(filter(toks, t => ws.map(lit(_) === t).reduce(_ || _)))
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    val best = array(scored: _*) // argmax score, tie -> lexicographically first lang
+    val top = array_max(filter(best,
+      s => s.getField("score") === array_max(transform(best, _.getField("score")))))
+    when(top.getField("score") > 0,
+      // among max-score entries pick the smallest lang code
+      array_min(filter(best, s =>
+        s.getField("score") === top.getField("score"))).getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation band +
+    * token-length band. Mirrors C4/Gopher-style heuristic filters. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 100000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.3, 1.0).otherwise(0.0)
+    val tokOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lenOk + punctOk + tokOk) / lit(3.0), 4)
+  }
+
+  /** Exact content fingerprint: md5 of whitespace/case-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-document profile frame (doc_id + all signals). */
+  def profile(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val t = col(text)
+    docs.select(col(id),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish"),
+      round(punctRatio(t), 4).as("punct_ratio"),
+      round(meanTokenLen(t), 4).as("mean_tok_len"),
+      langId(t).as("lang_pred"),
+      qualityScore(t).as("quality"),
+      fingerprint(t).as("fp"))
+  }
+}

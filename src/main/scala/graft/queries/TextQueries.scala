@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+import graft.queries.Q.t
+
+/** Training-data text operators over the `documents` table: exact and
+  * near-duplicate detection, language ID, quality scoring, token counting,
+  * fingerprinting. */
+object TextQueries {
+
+  /** Exact dedup summary: md5-fingerprint groups (hash groupBy; one
+    * partial-agg shuffle keyed on the 128-bit digest). */
+  def q34DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        max(col("n_copies")).as("max_copies"))
+
+  /** Per-language text-quality profile: token counts (whitespace + BPE-ish),
+    * punctuation ratio, composite quality score. */
+  def q35TextProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prof = docs.select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    prof.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_bpeish")), 4).as("avg_bpeish"),
+        round(avg(col("punct_ratio")), 6).as("avg_punct"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
+  /** Language-ID heuristic: docs per (labelled lang, predicted lang). */
+  def q36LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** Document fingerprints: distinct md5 fingerprints per source (rolling
+    * content-hash identity used for incremental dedup). */
+  def q36bFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      .orderBy(col("source"))
+
+  /** MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard.
+    * Not SQL-oracle-expressible (banded LSH); checked by spec instead. */
+  def q37MinhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-duplicates (custom codegen'd Catalyst expression +
+    * 16-bit-chunk pigeonhole buckets). */
+  def q38Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Blocked exact n-gram Jaccard: quadratic only within (source) blocks. */
+  def q39NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardDups(t(s, dir, "documents"), "doc_id", "text",
+      blockCols = Seq("source"), shingleN = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Q.t
+
+/** Embedding-column operators over the `embeddings` table: brute-force and
+  * IVF approximate-nearest-neighbor search, embedding-cosine near-dup. */
+object VectorQueries {
+
+  private def queries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 5)
+
+  /** Brute-force cosine top-k (exact-recall ANN baseline): broadcast the
+    * query set, single scan of the corpus, per-query top-k window. */
+  def q40AnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      queries(s, dir), "vec_id", "embedding",
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** IVF ANN (scale path): deterministic k-means-lite cells, nProbe=4 of 8
+    * cells probed per query. Approximate by design -> spec-checked recall
+    * against q40, no SQL oracle. */
+  def q41AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids) = Similarity.ivfAssign(
+      t(s, dir, "embeddings"), "vec_id", "embedding", nCells = 8, iters = 2)
+    Similarity.ivfTopK(queries(s, dir), "vec_id", "embedding",
+      assigned, centroids, k = 5, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH buckets +
+    * exact cosine verify (approximate recall -> spec-checked, no oracle). */
+  def q42EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, nPlanes = 8, threshold = 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+}
