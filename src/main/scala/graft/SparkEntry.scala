@@ -1,13 +1,592 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Timeline}
+import graft.queries.{RelationalQueries => R, TextQueries => T, VectorQueries => V, WindowQueries => W}
+import graft.streaming.EventStream
+
+/** Driver contract — the full operator catalog (SURVEY.md §2) exposed as
+  * named queries over the driver testdata, each paired (where ANSI-SQL
+  * expressible) with DuckDB oracle SQL in [[oracleSql]]. Non-SQL operators
+  * (LSH dedup, IVF ANN, iterative timeline, multimodal decode, streaming)
+  * get rows-only checks plus ScalaTest specs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the multi-way broadcast join + aggregation kernel (SURVEY §2.3). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    R.q3JoinInner(spark, "/root/testdata/sf0.001")
+
+  /** §2.9 iterative greedy timeline admission (pregnancy-episode WHILE loop)
+    * via flatMapGroups; per-user episode rollup for a stable shape. */
+  def qTimeline(s: SparkSession, dir: String): DataFrame =
+    Timeline.greedyEpisodes(
+        graft.queries.Q.t(s, dir, "events"), minGapDays = 2)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_episodes"),
+        min(col("start_event_id")).as("first_event_id"),
+        max(col("episode_seq")).as("max_seq"))
+      .orderBy(col("user_id"))
+
+  /** Multimodal plumbing: binary media column + stub decode features. */
+  def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.withMediaColumn(s.read.parquet(s"$dir/documents.parquet")))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        round(element_at(col("feature"), 1), 4).as("f0"))
+      .orderBy(col("doc_id"))
+
+  /** Structured Streaming hourly rollup, flattened + rounded for compare. */
+  def qStream(s: SparkSession, dir: String): DataFrame =
+    EventStream.hourlyRollup(s, dir, "graft_stream_hourly")
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), round(col("val"), 2).as("val"))
+      .orderBy(col("hour_start"), col("event_type"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (R.q1Agg _),
+    "q02_filter_pred" -> (R.q2FilterPred _),
+    "q03_join_inner" -> (R.q3JoinInner _),
+    "q04_join_left" -> (R.q4JoinLeft _),
+    "q05_join_semi" -> (R.q5JoinSemi _),
+    "q06_join_anti" -> (R.q6JoinAnti _),
+    "q07_join_full" -> (R.q7JoinFull _),
+    "q08_join_range" -> (R.q8JoinRange _),
+    "q09_join_theta_prefix" -> (R.q9JoinThetaPrefix _),
+    "q10_cross_spine" -> (R.q10CrossSpine _),
+    "q11_agg_cond" -> (R.q11AggCond _),
+    "q12_count_distinct" -> (R.q12CountDistinct _),
+    "q13_mode" -> (W.q13Mode _),
+    "q14_weighted_mode" -> (W.q14WeightedMode _),
+    "q15_topn" -> (R.q15TopN _),
+    "q16_greatest_least" -> (R.q16GreatestLeast _),
+    "q17_median" -> (R.q17Median _),
+    "q18_tabloop" -> (R.q18Tabloop _),
+    "q19_suppress" -> (R.q19Suppress _),
+    "q20_pct_of_group" -> (R.q20PctOfGroup _),
+    "q21_lag_gaps" -> (W.q21LagGaps _),
+    "q22_sessions" -> (W.q22Sessions _),
+    "q23_rolling" -> (W.q23Rolling _),
+    "q24_running_fill" -> (W.q24RunningFill _),
+    "q25_rank_select" -> (W.q25RankSelect _),
+    "q26_episodes" -> (W.q26Episodes _),
+    "q27_union_nullpad" -> (R.q27UnionNullpad _),
+    "q28_setops" -> (R.q28SetOps _),
+    "q29_scalar_dates" -> (W.q29ScalarDates _),
+    "q30_scalar_strings" -> (W.q30ScalarStrings _),
+    "q31_unpivot" -> (W.q31Unpivot _),
+    "q32_case_bucket" -> (W.q32CaseBucket _),
+    "q33_incremental_merge" -> (R.q33IncrementalMerge _),
+    "q34_dedup_exact" -> (T.q34DedupExact _),
+    "q35_text_profile" -> (T.q35TextProfile _),
+    "q36_langid" -> (T.q36LangId _),
+    "q37_fingerprint" -> (T.q36bFingerprint _),
+    "q38_minhash_neardup" -> (T.q37MinhashDedup _),
+    "q39_simhash_neardup" -> (T.q38Simhash _),
+    "q40_ngram_jaccard" -> (T.q39NgramJaccard _),
+    "q41_ann_brute" -> (V.q40AnnBrute _),
+    "q42_ann_ivf" -> (V.q41AnnIvf _),
+    "q43_embedding_neardup" -> (V.q42EmbeddingNearDup _),
+    "q44_timeline_episodes" -> (qTimeline _),
+    "q45_multimodal" -> (qMultimodal _),
+    "q46_interval_collapse" -> (W.q47IntervalCollapse _),
+    "q47_clip_days" -> (W.q48ClipDays _),
+    "q48_stream_hourly" -> (qStream _),
+  )
+
+  /** DuckDB oracle SQL per query (same column names + ordering). Omitted
+    * for approximate / iterative / stub operators → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(avg(l_quantity), 4) AS avg_qty,
+        count(*) AS count_order,
+        count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_pred" -> """
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        o_orderpriority
+      FROM orders
+      WHERE o_orderstatus = 'O'
+        AND lower(o_orderpriority) IN ('1-urgent', '2-high')
+        AND o_totalprice >= 1000.0
+        AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+      ORDER BY o_orderkey""",
+
+    "q03_join_inner" -> """
+      SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
+    "q04_join_left" -> """
+      SELECT c_custkey, c_mktsegment,
+        count(o_orderkey) AS n_orders,
+        round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey""",
+
+    "q05_join_semi" -> """
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q06_join_anti" -> """
+      SELECT c_nationkey, count(*) AS n_customers_no_orders
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q07_join_full" -> """
+      WITH cn AS (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1),
+           sn AS (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1)
+      SELECT coalesce(nk_c, nk_s) AS nationkey,
+        coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM cn FULL OUTER JOIN sn ON nk_c = nk_s
+      ORDER BY nationkey""",
+
+    "q08_join_range" -> """
+      SELECT o_orderstatus, count(*) AS n_lines_shipped_30d,
+        round(sum(l_extendedprice), 2) AS value_shipped_30d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= CAST(o_orderdate::DATE + 30 AS TIMESTAMP)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q09_join_theta_prefix" -> """
+      SELECT prefix, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+      FROM part p
+      JOIN (SELECT DISTINCT substring(p_type, 1, 6) AS prefix FROM part) x
+        ON starts_with(p.p_type, x.prefix)
+      GROUP BY prefix ORDER BY prefix""",
+
+    "q10_cross_spine" -> """
+      WITH months AS (
+        SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+          INTERVAL 1 MONTH))::DATE AS month),
+      segs AS (SELECT DISTINCT c_mktsegment FROM customer),
+      counts AS (
+        SELECT c_mktsegment, date_trunc('month', o_orderdate)::DATE AS month,
+          count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) = 1996
+        GROUP BY 1, 2)
+      SELECT s.c_mktsegment, m.month, coalesce(c.n_orders, 0) AS n_orders
+      FROM segs s CROSS JOIN months m
+      LEFT JOIN counts c ON c.c_mktsegment = s.c_mktsegment AND c.month = m.month
+      ORDER BY s.c_mktsegment, m.month""",
+
+    "q11_agg_cond" -> """
+      WITH o AS (
+        SELECT l_orderkey,
+          max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return,
+          max(CASE WHEN l_discount >= 0.08 THEN 1 ELSE 0 END) AS has_deep_discount
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT has_return, has_deep_discount, count(*) AS n_orders
+      FROM o GROUP BY 1, 2 ORDER BY has_return, has_deep_discount""",
+
+    "q12_count_distinct" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS n_suppliers,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q13_mode" -> """
+      WITH counted AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      ranked AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        FROM counted)
+      SELECT event_type AS modal_type, count(*) AS n_users
+      FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY modal_type""",
+
+    "q14_weighted_mode" -> """
+      WITH s AS (
+        SELECT user_id, event_type, sum(value) AS wt
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      ranked AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY wt DESC, event_type) AS rn
+        FROM s)
+      SELECT user_id, event_type AS weighted_type
+      FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    "q15_topn" -> """
+      WITH totals AS (
+        SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, total_qty, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT *, rank() OVER (ORDER BY total_qty DESC, l_partkey) AS rnk
+        FROM totals)
+      WHERE rnk <= 10 ORDER BY rnk""",
+
+    "q16_greatest_least" -> """
+      SELECT l_returnflag,
+        round(avg(greatest(l_tax, l_discount)), 6) AS avg_greatest,
+        round(avg(least(l_tax, l_discount)), 6) AS avg_least
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q17_median" -> """
+      SELECT l_returnflag,
+        round(avg(l_quantity), 4) AS mean_qty,
+        round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q18_tabloop" -> """
+      WITH o AS (SELECT *, year(o_orderdate)::VARCHAR AS o_year FROM orders),
+      res AS (
+        SELECT o_orderstatus, 'o_orderpriority' AS group_cat,
+          o_orderpriority::VARCHAR AS group_value,
+          count(*) AS n, round(sum(o_totalprice), 2) AS amt
+        FROM o GROUP BY 1, 3
+        UNION ALL
+        SELECT o_orderstatus, 'o_year' AS group_cat, o_year AS group_value,
+          count(*) AS n, round(sum(o_totalprice), 2) AS amt
+        FROM o GROUP BY 1, 3),
+      fdims AS (SELECT DISTINCT o_orderstatus FROM o),
+      ldims AS (
+        SELECT DISTINCT 'o_orderpriority' AS group_cat,
+          o_orderpriority::VARCHAR AS group_value FROM o
+        UNION
+        SELECT DISTINCT 'o_year' AS group_cat, o_year AS group_value FROM o)
+      SELECT f.o_orderstatus, l.group_cat, l.group_value,
+        coalesce(r.n, 0) AS n, coalesce(r.amt, 0.0) AS amt
+      FROM fdims f CROSS JOIN ldims l
+      LEFT JOIN res r ON r.o_orderstatus = f.o_orderstatus
+        AND r.group_cat = l.group_cat AND r.group_value = l.group_value
+      ORDER BY f.o_orderstatus, l.group_cat, l.group_value""",
+
+    "q19_suppress" -> """
+      SELECT c_nationkey, c_mktsegment,
+        CASE WHEN n BETWEEN 1 AND 5 THEN NULL ELSE n END AS n
+      FROM (SELECT c_nationkey, c_mktsegment, count(*) AS n
+            FROM customer GROUP BY 1, 2)
+      ORDER BY c_nationkey, c_mktsegment""",
+
+    "q20_pct_of_group" -> """
+      SELECT o_orderstatus, o_orderpriority, n,
+        round(n * 100.0 / sum(n) OVER (PARTITION BY o_orderstatus), 4) AS pct
+      FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1, 2)
+      ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q21_lag_gaps" -> """
+      WITH g AS (
+        SELECT o_custkey,
+          date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey)::DATE,
+            o_orderdate::DATE) AS gap
+        FROM orders)
+      SELECT o_custkey, count(*) AS n_orders,
+        CAST(max(gap) AS INTEGER) AS max_gap,
+        round(avg(gap), 4) AS avg_gap
+      FROM g GROUP BY o_custkey
+      HAVING count(*) >= 2
+      ORDER BY o_custkey""",
+
+    "q22_sessions" -> """
+      WITH w AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER uw IS NULL
+            OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER uw) // 1000000) > 1800
+            THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id,
+          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM w)
+      SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        count(*) AS n_events
+      FROM s GROUP BY user_id ORDER BY user_id""",
+
+    "q23_rolling" -> """
+      WITH monthly AS (
+        SELECT c_mktsegment, date_trunc('month', o_orderdate)::DATE AS month,
+          sum(o_totalprice) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2)
+      SELECT c_mktsegment, month, round(rev, 2) AS rev,
+        round(sum(rev) OVER (PARTITION BY c_mktsegment ORDER BY month
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_3m
+      FROM monthly ORDER BY c_mktsegment, month""",
+
+    "q24_running_fill" -> """
+      SELECT o_custkey, o_orderkey,
+        count(*) OVER w AS order_seq,
+        round(sum(o_totalprice) OVER w, 2) AS spend_to_date,
+        (min(o_orderdate) OVER w)::DATE AS first_order_date
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS UNBOUNDED PRECEDING)
+      ORDER BY o_custkey, order_seq""",
+
+    "q25_rank_select" -> """
+      WITH r AS (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_top_lines,
+        round(sum(l_extendedprice), 2) AS sum_top_price
+      FROM r WHERE rn = 1 GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q26_episodes" -> """
+      WITH w AS (
+        SELECT user_id, event_type, ts, event_id,
+          CASE WHEN lag(ts) OVER uw IS NULL
+            OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER uw) // 1000000) > 3600
+            THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      e AS (
+        SELECT user_id, event_type,
+          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS episode_seq
+        FROM w)
+      SELECT event_type,
+        count(DISTINCT concat_ws('#', user_id::VARCHAR, episode_seq::VARCHAR))
+          AS n_episodes,
+        count(*) AS n_events
+      FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "q27_union_nullpad" -> """
+      WITH y95 AS (
+        SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1995),
+      y96 AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1996),
+      u AS (SELECT * FROM y95 UNION ALL SELECT * FROM y96)
+      SELECT count(*) AS n_rows, count(o_orderpriority) AS n_with_priority,
+        round(sum(o_totalprice), 2) AS total
+      FROM u""",
+
+    "q28_setops" -> """
+      WITH oc AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+           bc AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+      SELECT 'except' AS op, count(*) AS n FROM
+        (SELECT DISTINCT * FROM (SELECT * FROM oc EXCEPT SELECT * FROM bc))
+      UNION ALL
+      SELECT 'intersect' AS op, count(*) AS n FROM
+        (SELECT DISTINCT * FROM (SELECT * FROM oc INTERSECT SELECT * FROM bc))
+      UNION ALL
+      SELECT 'union' AS op, count(*) AS n FROM
+        (SELECT DISTINCT * FROM (SELECT * FROM oc UNION SELECT * FROM bc))
+      ORDER BY op""",
+
+    "q29_scalar_dates" -> """
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        last_day(o_orderdate)::DATE AS month_end,
+        CAST((1998 * 12 + 1) - (year(o_orderdate) * 12 + month(o_orderdate))
+          AS INTEGER) AS months_to_1998,
+        count(*) AS n
+      FROM orders GROUP BY 1, 2, 3 ORDER BY yyyymm""",
+
+    "q30_scalar_strings" -> """
+      WITH p AS (
+        SELECT p_brand,
+          lpad(p_size::VARCHAR, 5, '0') AS size_pad,
+          upper(substring(p_type, 1, 8)) AS type_prefix,
+          length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS consonants
+        FROM part)
+      SELECT p_brand, count(*) AS n,
+        min(size_pad) AS min_size_pad,
+        max(type_prefix) AS max_type_prefix,
+        CAST(sum(consonants) AS BIGINT) AS sum_consonants
+      FROM p GROUP BY p_brand ORDER BY p_brand""",
+
+    "q31_unpivot" -> """
+      WITH lng AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+      SELECT l_returnflag, measure, round(sum(val), 2) AS total
+      FROM lng GROUP BY 1, 2 ORDER BY l_returnflag, measure""",
+
+    "q32_case_bucket" -> """
+      WITH b AS (
+        SELECT c_acctbal,
+          CASE WHEN c_acctbal < 0 THEN 'negative'
+               WHEN c_acctbal < 3000 THEN 'low'
+               WHEN c_acctbal < 7000 THEN 'mid'
+               ELSE 'high' END AS bal_band
+        FROM customer)
+      SELECT bal_band, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+      FROM b GROUP BY bal_band ORDER BY bal_band""",
+
+    "q33_incremental_merge" -> """
+      WITH merged AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
+        round(sum(o_totalprice), 2) AS total
+      FROM merged GROUP BY 1 ORDER BY yr""",
+
+    "q34_dedup_exact" -> """
+      WITH fp AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+          doc_id
+        FROM documents),
+      groups AS (
+        SELECT f, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM fp GROUP BY f)
+      SELECT count(*) AS n_unique,
+        CAST(sum(n_copies) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_groups,
+        max(n_copies) AS max_copies
+      FROM groups""",
+
+    "q35_text_profile" -> """
+      WITH prof AS (
+        SELECT lang, length(text) AS nch,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+            AS n_bpeish,
+          (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+            * 1.0 / greatest(length(text), 1) AS punct_ratio,
+          length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+            / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+            AS mean_tok_len
+        FROM documents),
+      scored AS (
+        SELECT lang, n_tokens, n_bpeish, punct_ratio,
+          round(((CASE WHEN nch BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio < 0.3 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+            / 3.0, 4) AS quality
+        FROM prof)
+      SELECT lang, count(*) AS n_docs,
+        round(avg(n_tokens), 4) AS avg_tokens,
+        round(avg(n_bpeish), 4) AS avg_bpeish,
+        round(avg(punct_ratio), 6) AS avg_punct,
+        round(avg(quality), 4) AS avg_quality
+      FROM scored GROUP BY lang ORDER BY lang""",
+
+    "q36_langid" -> """
+      WITH t AS (
+        SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      h AS (
+        SELECT lang,
+          len(list_filter(toks, x -> x IN ('der','die','und','das','ist','von','den','ein'))) AS h_de,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS h_en,
+          len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los','del'))) AS h_es,
+          len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une'))) AS h_fr,
+          len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','you3','wo3','ta1','men5'))) AS h_zh
+        FROM t),
+      p AS (
+        SELECT lang,
+          CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+               WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+               WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+               WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+               WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+               ELSE 'zh' END AS lang_pred
+        FROM h)
+      SELECT lang, lang_pred, count(*) AS n
+      FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""",
+
+    "q37_fingerprint" -> """
+      SELECT source, count(*) AS n_docs,
+        count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+          AS n_distinct_fp
+      FROM documents GROUP BY source ORDER BY source""",
+
+    "q41_ann_brute" -> """
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+            AS cosine
+        FROM q CROSS JOIN embeddings c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+        round(cosine, 4) AS cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    "q46_interval_collapse" -> """
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      w AS (
+        SELECT user_id, day,
+          CASE WHEN lag(day) OVER uw IS NULL
+            OR date_diff('day', lag(day) OVER uw, day) > 1
+            THEN 1 ELSE 0 END AS is_start
+        FROM days WINDOW uw AS (PARTITION BY user_id ORDER BY day, day)),
+      isl AS (
+        SELECT user_id, day,
+          sum(is_start) OVER (PARTITION BY user_id ORDER BY day, day
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+      coll AS (
+        SELECT user_id, island, min(day) AS d_from, max(day) AS d_to
+        FROM isl GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_intervals,
+        CAST(sum(date_diff('day', d_from, d_to) + 1) AS BIGINT) AS active_days,
+        min(d_from) AS first_day, max(d_to) AS last_day
+      FROM coll GROUP BY user_id ORDER BY user_id""",
+
+    "q47_clip_days" -> """
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      w AS (
+        SELECT user_id, day,
+          CASE WHEN lag(day) OVER uw IS NULL
+            OR date_diff('day', lag(day) OVER uw, day) > 1
+            THEN 1 ELSE 0 END AS is_start
+        FROM days WINDOW uw AS (PARTITION BY user_id ORDER BY day, day)),
+      isl AS (
+        SELECT user_id, day,
+          sum(is_start) OVER (PARTITION BY user_id ORDER BY day, day
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+      coll AS (
+        SELECT user_id, island, min(day) AS d_from, max(day) AS d_to
+        FROM isl GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(
+        CASE WHEN d_from <= DATE '2024-01-31' AND d_to >= DATE '2024-01-01'
+          THEN date_diff('day', greatest(d_from, DATE '2024-01-01'),
+            least(d_to, DATE '2024-01-31')) + 1
+          ELSE 0 END) AS BIGINT) AS days_in_jan
+      FROM coll GROUP BY user_id
+      HAVING sum(CASE WHEN d_from <= DATE '2024-01-31' AND d_to >= DATE '2024-01-01'
+        THEN date_diff('day', greatest(d_from, DATE '2024-01-01'),
+          least(d_to, DATE '2024-01-31')) + 1 ELSE 0 END) > 0
+      ORDER BY user_id""",
+
+    "q48_stream_hourly" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        count(*) AS n, round(sum(value), 2) AS val
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+  )
 }

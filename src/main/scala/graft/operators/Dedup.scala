@@ -129,9 +129,9 @@ object Dedup {
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rng.nextGaussian().toFloat)
     val planeCols = planes.map(p => typedlit(p.toSeq))
-    // bucket = sign bits of dot(v, plane_m)
+    // bucket = sign bits of dot(v, plane_m); built against the renamed _v
     val sig = planeCols.zipWithIndex.map { case (p, m) =>
-      when(VectorFns.dotProduct(col(emb), p) >= 0, lit(1L << m)).otherwise(lit(0L))
+      when(VectorFns.dotProduct(col("_v"), p) >= 0, lit(1L << m)).otherwise(lit(0L))
     }.reduce(_ + _)
     val bucketed = vecs.select(col(id).as("_id"), col(emb).as("_v"))
       .withColumn("_bucket", sig)

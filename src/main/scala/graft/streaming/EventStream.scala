@@ -14,9 +14,16 @@ object EventStream {
     * through the streaming engine (readStream -> window agg -> memory
     * sink), returned as the final batch result. */
   def hourlyRollup(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events carries TIMESTAMP(NANOS): read as long, truncate to micros
+    // (same convention as graft.queries.Q.t).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(batchSchema)
+    val raw = s.readStream.schema(batchSchema)
       .parquet(s"$dir/events.parquet")
+    val stream =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
