@@ -38,15 +38,19 @@ object SparkEntry {
         round(element_at(col("feature"), 1), 4).as("f0"))
       .orderBy(col("doc_id"))
 
-  /** Structured Streaming hourly rollup, flattened + rounded for compare. */
+  /** Structured Streaming hourly rollup (append mode + file sink; only
+    * watermark-finalized windows are emitted — the oracle applies the same
+    * cutoff). */
   def qStream(s: SparkSession, dir: String): DataFrame =
     EventStream.hourlyRollup(s, dir, "graft_stream_hourly")
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), round(col("val"), 2).as("val"))
+      .select(col("hour_ts").as("hour_start"), col("event_type"),
+        col("n"), col("val"))
       .orderBy(col("hour_start"), col("event_type"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2. Insertion-ordered
+    * (ListMap) so Bench timings are stable round-over-round. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "q01_agg" -> (R.q1Agg _),
     "q02_filter_pred" -> (R.q2FilterPred _),
     "q03_join_inner" -> (R.q3JoinInner _),
@@ -95,6 +99,14 @@ object SparkEntry {
     "q46_interval_collapse" -> (W.q47IntervalCollapse _),
     "q47_clip_days" -> (W.q48ClipDays _),
     "q48_stream_hourly" -> (qStream _),
+    "q49_claims_elig" -> (graft.queries.CohortQueries.q49ClaimsElig _),
+    "q50_join_right" -> (graft.queries.JoinQueries.q50JoinRight _),
+    "q51_theta_or" -> (graft.queries.JoinQueries.q51ThetaOr _),
+    "q52_submonth_trim" -> (graft.queries.JoinQueries.q52SubmonthTrim _),
+    "q53_islands_arith" -> (graft.queries.JoinQueries.q53IslandsArithmetic _),
+    "q54_recent_pick" -> (graft.queries.JoinQueries.q54RecentPick _),
+    "q55_selfjoin_twice" -> (graft.queries.JoinQueries.q55SelfJoinTwice _),
+    "q56_rlike_pattern" -> (graft.queries.JoinQueries.q56RlikePattern _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -521,6 +533,63 @@ object SparkEntry {
           AS n_distinct_fp
       FROM documents GROUP BY source ORDER BY source""",
 
+    // q38/q40: LSH/banding only *generates candidates*; the emitted pairs
+    // are exact-Jaccard-verified, so the exact all-pairs SQL is a true
+    // oracle whenever candidate recall is 1 — verified against this very
+    // dataset (driver runs sf0.01; both plans are deterministic).
+    "q38_minhash_neardup" -> """
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+            AS toks
+          FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1),
+          4) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+        >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "q40_ngram_jaccard" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, source,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+            AS toks
+          FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1),
+          4) AS jaccard
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+        >= 0.5
+      ORDER BY id_a, id_b""",
+
+    // q43: the cosine verify after OR-amplified LSH makes the exact
+    // all-pairs filter a true oracle at full candidate recall; on this
+    // corpus the true pair set at 0.95 is empty (max pairwise cosine 0.51)
+    // — recall semantics are pinned by DedupSpec's planted fixtures.
+    "q43_embedding_neardup" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+          4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.95
+      ORDER BY id_a, id_b""",
+
     "q41_ann_brute" -> """
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
       scored AS (
@@ -535,6 +604,31 @@ object SparkEntry {
       SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
         round(cosine, 4) AS cosine
       FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q44: the greedy WHILE-loop admission is iterative (depends on
+    // previously accepted rows) but DuckDB expresses it as a recursive CTE
+    // whose working table is exactly the per-user frontier.
+    "q44_timeline_episodes" -> """
+      WITH RECURSIVE adm AS (
+        SELECT user_id, ts, event_id, 1 AS seq
+        FROM (SELECT user_id, ts, event_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS rn
+              FROM events) WHERE rn = 1
+        UNION ALL
+        SELECT user_id, ts, event_id, seq + 1
+        FROM (
+          SELECT a.user_id, e.ts, e.event_id, a.seq,
+            row_number() OVER (PARTITION BY a.user_id ORDER BY e.ts, e.event_id)
+              AS rn
+          FROM adm a JOIN events e
+            ON e.user_id = a.user_id
+           AND e.ts >= a.ts + INTERVAL 2 DAY
+        ) WHERE rn = 1
+      )
+      SELECT user_id, count(*) AS n_episodes, min(event_id) AS first_event_id,
+        CAST(max(seq) AS INTEGER) AS max_seq
+      FROM adm GROUP BY user_id ORDER BY user_id""",
 
     "q46_interval_collapse" -> """
       WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
@@ -587,6 +681,152 @@ object SparkEntry {
     "q48_stream_hourly" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
         count(*) AS n, round(sum(value), 2) AS val
-      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+      FROM events
+      GROUP BY 1, 2
+      HAVING hour_start + INTERVAL 1 HOUR
+        <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      ORDER BY hour_start, event_type""",
+
+    "q49_claims_elig" -> """
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      w1 AS (
+        SELECT user_id, day,
+          CASE WHEN lag(day) OVER uw IS NULL
+            OR date_diff('day', lag(day) OVER uw, day) > 1
+            THEN 1 ELSE 0 END AS is_start
+        FROM days WINDOW uw AS (PARTITION BY user_id ORDER BY day)),
+      isl AS (
+        SELECT user_id, day,
+          sum(is_start) OVER (PARTITION BY user_id ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM w1),
+      ivl AS (SELECT user_id, island, min(day) AS d_from, max(day) AS d_to
+              FROM isl GROUP BY 1, 2),
+      clip AS (
+        SELECT user_id,
+          greatest(d_from, DATE '2024-01-05') AS cfrom,
+          least(d_to, DATE '2024-01-25') AS cto
+        FROM ivl
+        WHERE d_from <= DATE '2024-01-25' AND d_to >= DATE '2024-01-05'),
+      part AS (
+        SELECT user_id, cfrom, cto,
+          coalesce(date_diff('day', lag(cto) OVER pw, cfrom) - 1,
+                   date_diff('day', DATE '2024-01-05', cfrom)) AS pre_gap,
+          coalesce(date_diff('day', cto, lead(cfrom) OVER pw) - 1,
+                   date_diff('day', cto, DATE '2024-01-25')) AS post_gap
+        FROM clip WINDOW pw AS (PARTITION BY user_id ORDER BY cfrom)),
+      tot AS (
+        SELECT user_id,
+          CAST(sum(date_diff('day', cfrom, cto) + 1) AS BIGINT) AS cov_days,
+          CAST(greatest(max(pre_gap), max(post_gap)) AS INTEGER) AS covgap_max,
+          round(sum(date_diff('day', cfrom, cto) + 1) * 100.0 / 21, 1) AS cov_pct
+        FROM part GROUP BY user_id),
+      we AS (
+        SELECT user_id, event_type, props, value::DECIMAL(18,6) AS w, ts
+        FROM events
+        WHERE ts::DATE BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
+      mt AS (
+        SELECT user_id, event_type AS modal_type FROM (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY sum(w) DESC, event_type) AS rn
+          FROM we WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type) WHERE rn = 1),
+      mp AS (
+        SELECT user_id, props AS modal_props FROM (
+          SELECT user_id, props,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY sum(w) DESC, props) AS rn
+          FROM we WHERE props IS NOT NULL GROUP BY user_id, props)
+        WHERE rn = 1),
+      rt AS (
+        SELECT user_id, event_type AS recent_type FROM (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_type) AS rn
+          FROM we WHERE event_type IS NOT NULL) WHERE rn = 1)
+      SELECT t.user_id, t.cov_days, t.cov_pct, t.covgap_max,
+        mt.modal_type, mp.modal_props, rt.recent_type
+      FROM tot t
+      LEFT JOIN mt USING (user_id)
+      LEFT JOIN mp USING (user_id)
+      LEFT JOIN rt USING (user_id)
+      WHERE t.cov_pct >= 20 AND t.covgap_max <= 10
+      ORDER BY user_id""",
+
+    "q50_join_right" -> """
+      SELECT p_brand, count(l_orderkey) AS n_lines,
+        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unmatched_parts,
+        count(DISTINCT p_partkey) AS n_parts
+      FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "q51_theta_or" -> """
+      WITH combos(flag, status, combo_name) AS (
+        VALUES ('R','F','ret_f'), ('A','F','air_f'), ('N','O','new_o'))
+      SELECT combo_name, count(*) AS n_lines,
+        round(sum(l_extendedprice), 2) AS value
+      FROM lineitem JOIN combos
+        ON l_returnflag = flag OR l_linestatus = status
+      GROUP BY combo_name ORDER BY combo_name""",
+
+    "q52_submonth_trim" -> """
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      t AS (
+        SELECT DISTINCT user_id, date_trunc('month', day)::DATE AS month_start,
+          greatest(min(day) OVER w, date_trunc('month', day)::DATE) AS from_trim,
+          least(max(day) OVER w, last_day(day)) AS to_trim
+        FROM days
+        WINDOW w AS (PARTITION BY user_id, date_trunc('month', day)))
+      SELECT user_id, count(*) AS n_months,
+        CAST(sum(date_diff('day', from_trim, to_trim) + 1) AS BIGINT)
+          AS active_span_days,
+        min(from_trim) AS first_day, max(to_trim) AS last_day
+      FROM t GROUP BY user_id ORDER BY user_id""",
+
+    "q53_islands_arith" -> """
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      k AS (
+        SELECT user_id,
+          date_diff('day', DATE '2024-01-01', day)
+            - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM days),
+      runs AS (SELECT user_id, island, count(*) AS len FROM k GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_intervals,
+        CAST(sum(len) AS BIGINT) AS active_days,
+        max(len) AS longest_run
+      FROM runs GROUP BY user_id ORDER BY user_id""",
+
+    "q54_recent_pick" -> """
+      WITH r AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type) AS rn
+        FROM events WHERE event_type IS NOT NULL)
+      SELECT event_type AS recent_type, count(*) AS n_users
+      FROM r WHERE rn = 1 GROUP BY 1 ORDER BY recent_type""",
+
+    "q55_selfjoin_twice" -> """
+      WITH monthly AS (
+        SELECT o_custkey,
+          CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+          year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+          sum(o_totalprice) AS spend
+        FROM orders GROUP BY 1, 2, 3)
+      SELECT a.ym, count(*) AS n_customers,
+        round(sum(a.spend), 2) AS spend_now,
+        round(sum(b.spend), 2) AS spend_2m_later
+      FROM monthly a JOIN monthly b
+        ON a.o_custkey = b.o_custkey AND b.mi = a.mi + 2
+      GROUP BY a.ym ORDER BY a.ym""",
+
+    "q56_rlike_pattern" -> """
+      SELECT p_brand, count(*) AS n,
+        round(avg(p_retailprice), 4) AS avg_price
+      FROM part
+      WHERE regexp_matches(p_type, '^(ECONOMY|PROMO) (ANODIZED|BURNISHED)')
+        AND p_size IN (1,2,3,4,5,6,7,8,9,10)
+      GROUP BY p_brand ORDER BY p_brand""",
   )
 }

@@ -54,6 +54,19 @@ object WeightedMode {
       .agg(first(col("_wm_val")))
   }
 
+  /** Most-recent-value pick (gender_recent/race_recent —
+    * load_stage.mcaid_elig_demo.R:172-181,273-293): the value observed at
+    * the entity's max `orderCol`, ties by ascending value. */
+  def mostRecent(df: DataFrame, ids: Seq[String], value: String,
+      orderCol: String, outName: String): DataFrame = {
+    val w = Window.partitionBy(ids.map(col): _*)
+      .orderBy(col(orderCol).desc, col(value).asc)
+    df.filter(col(value).isNotNull)
+      .withColumn("_mr_rn", row_number().over(w))
+      .filter(col("_mr_rn") === 1)
+      .select(ids.map(col) :+ col(value).as(outName): _*)
+  }
+
   /** Plain (unweighted) mode with deterministic tie-break, as used for the
     * most-reported-DOB pick (load_stage.mcaid_elig_demo.R:93-118). Extra
     * `tieBreak` columns are max-aggregated before ranking. */

@@ -28,7 +28,7 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String, k: Int): DataFrame = {
     val q = queries.select(col(qid).as("query_id"), col(qvec).as("_qv"))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id") || lit(true))
+    val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
         VectorFns.cosineSim(col("_qv"), col("_cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

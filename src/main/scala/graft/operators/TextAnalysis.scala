@@ -45,23 +45,43 @@ object TextAnalysis {
     size(hits).cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
 
-  /** Language-ID: argmax of marker-word hit counts, ties broken by language
-    * code order; "und" when no marker hits at all. */
-  def langId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+  /** Best-language struct over a pre-tokenized column: ONE pass over the
+    * tokens per language, then a single `array_max` argmax. Ties go to the
+    * lexicographically-first language via the descending `pref` field
+    * (struct comparison is field-order lexicographic), so no second
+    * filter/transform pass over the scores is ever needed — the r2 version
+    * re-evaluated the whole 5-lang x 8-marker scan ~8x per row through
+    * duplicated lambda subtrees (VERDICT r2 #5). */
+  def bestLang(toks: Column): Column = {
+    val ordered = markers.toSeq.sortBy(_._1)
+    val scored = ordered.zipWithIndex.map { case ((lang, ws), i) =>
       val hits = size(filter(toks, t => ws.map(lit(_) === t).reduce(_ || _)))
-      struct(hits.as("score"), lit(lang).as("lang"))
+      struct(hits.as("score"), lit(ordered.size - i).as("pref"), lit(lang).as("lang"))
     }
-    val best = array(scored: _*) // argmax score, tie -> lexicographically first lang
-    val top = array_max(filter(best,
-      s => s.getField("score") === array_max(transform(best, _.getField("score")))))
-    when(top.getField("score") > 0,
-      // among max-score entries pick the smallest lang code
-      array_min(filter(best, s =>
-        s.getField("score") === top.getField("score"))).getField("lang"))
-      .otherwise(lit("und"))
+    array_max(array(scored: _*))
   }
+
+  /** Language-ID: argmax of marker-word hit counts, ties broken by language
+    * code order; "und" when no marker hits at all.
+    *
+    * Single-Column form: the token scan runs twice (once per `best`
+    * reference). Prefer [[withLangId]] in per-row hot paths — it stages the
+    * scan in a materialized column so it runs exactly once. */
+  def langId(text: Column): Column = {
+    val best = bestLang(split(lower(trim(text)), "\\s+"))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Staged language-ID: tokenization and the marker scan land in their own
+    * projections, so whole-stage codegen evaluates each once per row.
+    * (CollapseProject keeps non-cheap aliases that are referenced more than
+    * once materialized, which is exactly what we rely on here.) */
+  def withLangId(df: DataFrame, text: String, out: String): DataFrame =
+    df.withColumn("_li_toks", split(lower(trim(col(text))), "\\s+"))
+      .withColumn("_li_best", bestLang(col("_li_toks")))
+      .withColumn(out,
+        when(col("_li_best.score") > 0, col("_li_best.lang")).otherwise(lit("und")))
+      .drop("_li_toks", "_li_best")
 
   /** Composite quality score in [0,1]: length band + punctuation band +
     * token-length band. Mirrors C4/Gopher-style heuristic filters. */
@@ -79,12 +99,12 @@ object TextAnalysis {
   /** Per-document profile frame (doc_id + all signals). */
   def profile(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val t = col(text)
-    docs.select(col(id),
+    withLangId(docs, text, "lang_pred").select(col(id),
       tokenCount(t).as("n_tokens"),
       bpeishTokenCount(t).as("n_bpeish"),
       round(punctRatio(t), 4).as("punct_ratio"),
       round(meanTokenLen(t), 4).as("mean_tok_len"),
-      langId(t).as("lang_pred"),
+      col("lang_pred"),
       qualityScore(t).as("quality"),
       fingerprint(t).as("fp"))
   }

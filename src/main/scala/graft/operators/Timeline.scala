@@ -27,17 +27,21 @@ object Timeline {
     val ds: Dataset[Ev] = events
       .select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"))
       .as[Ev]
-    val gapMs = minGapDays.toLong * 24 * 3600 * 1000
+    val gapMicros = minGapDays.toLong * 24 * 3600 * 1000000L
+    // microsecond precision: comparing at Timestamp.getTime (ms) would
+    // disagree with a full-precision SQL oracle on sub-ms boundaries
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     ds.groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
-        val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
         var lastAccepted = Long.MinValue
         var seq = 0
         val out = scala.collection.mutable.ArrayBuffer.empty[Episode]
         sorted.foreach { e =>
-          if (lastAccepted == Long.MinValue || e.ts.getTime - lastAccepted >= gapMs) {
+          if (lastAccepted == Long.MinValue || micros(e.ts) - lastAccepted >= gapMicros) {
             seq += 1
-            lastAccepted = e.ts.getTime
+            lastAccepted = micros(e.ts)
             out += Episode(uid, seq, e.event_id, e.ts)
           }
         }

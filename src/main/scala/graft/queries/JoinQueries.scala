@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.Predicates
+import graft.core.{Intervals, WeightedMode}
+import graft.functions.DateFns
+import graft.queries.Q.t
+
+/** Round-3 catalog additions: the join kinds and window idioms the r2
+  * coverage table flagged as missing (SURVEY §2 rows 11, 18, 22, 27, 45,
+  * 51, 52). */
+object JoinQueries {
+
+  /** §2.3 right outer join (header RIGHT JOIN dx-matched claims —
+    * load_ccw.R:522-541): every part kept, lineitem side optional. */
+  def q50JoinRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"), "right")
+      .groupBy(col("p_brand"))
+      .agg(count(col("l_orderkey")).as("n_lines"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("n_unmatched_parts"),
+        countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy(col("p_brand"))
+
+  /** §2.3 theta join as OR of equalities (telehealth proc x modifier
+    * combos — load_stage.mcaid_claim_header.R:296-309), with the local
+    * combo list shipped as a broadcast temp table (§2.1 row 6 —
+    * R df -> DB temp table idiom, elig_timevar_collapse.R:206-216).
+    * The tiny build side makes Catalyst plan a BroadcastNestedLoopJoin —
+    * bounded work per probe row, no shuffle of the fact side. */
+  def q51ThetaOr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val combos = Seq(
+      ("R", "F", "ret_f"), ("A", "F", "air_f"), ("N", "O", "new_o"))
+      .toDF("flag", "status", "combo_name")
+    t(s, dir, "lineitem")
+      .join(broadcast(combos),
+        col("l_returnflag") === col("flag") || col("l_linestatus") === col("status"))
+      .groupBy(col("combo_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("value"))
+      .orderBy(col("combo_name"))
+  }
+
+  /** §2.5 sub-month interval trimming (load_stage.mcaid_elig_timevar
+    * .R:211-233): per (entity, month), window MIN/MAX clip the month
+    * boundaries to the actual observed sub-dates, then a DISTINCT
+    * projection drops the per-row duplication — exactly the reference's
+    * shape (window, not groupBy). */
+  def q52SubmonthTrim(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("month_start", to_date(date_trunc("MONTH", col("day"))))
+    val w = Window.partitionBy(col("user_id"), col("month_start"))
+    val trimmed = days
+      .withColumn("from_trim", greatest(min(col("day")).over(w), col("month_start")))
+      .withColumn("to_trim", least(max(col("day")).over(w), last_day(col("day"))))
+      .select(col("user_id"), col("month_start"), col("from_trim"), col("to_trim"))
+      .distinct()
+    trimmed.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(datediff(col("to_trim"), col("from_trim")) + 1).as("active_span_days"),
+        min(col("from_trim")).as("first_day"),
+        max(col("to_trim")).as("last_day"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.5 gaps-and-islands B — arithmetic variant (step - row_number
+    * constant per run, load_stage.apcd_elig_timevar.R:81-84) on the dense
+    * day index; cheaper than the lag/flag/running-sum variant (no second
+    * window pass). Must agree with q46's islands on the same data. */
+  def q53IslandsArithmetic(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("day_idx", datediff(col("day"), to_date(lit("2024-01-01"))))
+    val keyed = Intervals.islandKeyByStep(days, Seq("user_id"), "day_idx")
+    keyed.groupBy(col("user_id"), col("island_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("len")).as("active_days"),
+        max(col("len")).as("longest_run"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.5 most-recent-value pick (gender_recent idiom —
+    * load_stage.mcaid_elig_demo.R:172-181): the entity's latest observed
+    * attribute value, rolled up. */
+  def q54RecentPick(s: SparkSession, dir: String): DataFrame =
+    WeightedMode.mostRecent(
+        t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts")),
+        Seq("user_id"), "event_type", "ts", "recent_type")
+      .groupBy(col("recent_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("recent_type"))
+
+  /** §2.3 self-join twice on different keys (enroll_denom joined on event
+    * month and on measurement-end month — create_stage.sp_perf_measures
+    * .sql:318-324): customer-month spend joined to itself 2 months ahead. */
+  def q55SelfJoinTwice(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(col("o_custkey"),
+        DateFns.dateToYyyymm(col("o_orderdate")).as("ym"),
+        DateFns.monthIndex(col("o_orderdate")).as("mi"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+    val ahead = monthly.select(col("o_custkey").as("c2"),
+      col("mi").as("mi2"), col("spend").as("spend_ahead"))
+    monthly
+      .join(ahead, col("o_custkey") === col("c2") && col("mi2") === col("mi") + 2)
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("spend")), 2).as("spend_now"),
+        round(sum(col("spend_ahead")), 2).as("spend_2m_later"))
+      .orderBy(col("ym"))
+  }
+
+  /** §2.2 char-class pattern predicate (rev_code LIKE '045[01269]' —
+    * load_stage.mcaid_claim_header.R:242,285) via rlike. */
+  def q56RlikePattern(s: SparkSession, dir: String): DataFrame =
+    Predicates.applyAll(t(s, dir, "part"),
+        Predicates.rlikeOpt("p_type", Some("^(ECONOMY|PROMO) (ANODIZED|BURNISHED)")),
+        Predicates.inOpt("p_size", Some(Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("p_brand"))
+}

@@ -37,10 +37,10 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
-  /** Language-ID heuristic: docs per (labelled lang, predicted lang). */
+  /** Language-ID heuristic: docs per (labelled lang, predicted lang).
+    * Uses the staged form so the marker scan runs once per row. */
   def q36LangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    TextAnalysis.withLangId(t(s, dir, "documents"), "text", "lang_pred")
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_pred"))
@@ -56,7 +56,8 @@ object TextQueries {
       .orderBy(col("source"))
 
   /** MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard.
-    * Not SQL-oracle-expressible (banded LSH); checked by spec instead. */
+    * Oracled by exact all-pairs SQL (candidate recall is 1 on the driver
+    * corpus); planted-fixture recall is pinned in DedupSpec. */
   def q37MinhashDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
       shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
@@ -64,7 +65,7 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-duplicates (custom codegen'd Catalyst expression +
-    * 16-bit-chunk pigeonhole buckets). */
+    * 8-bit-chunk pigeonhole buckets, sound for hamming <= 7). */
   def q38Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
       maxHamming = 6)

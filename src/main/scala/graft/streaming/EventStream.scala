@@ -1,40 +1,75 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming surface: the reference's closest analog is the
   * monthly incremental refresh (SURVEY §1.5) — here generalized to a real
   * stream pipeline: file source -> event-time windowed aggregation ->
-  * sink. Locally driven to completion with Trigger.AvailableNow semantics
-  * via processAllAvailable on a memory sink. */
+  * append-mode file sink, driven to completion with Trigger.AvailableNow.
+  *
+  * Scale shape (VERDICT r2 #8): append mode + parquet sink keeps aggregate
+  * state *bounded by the watermark* — each executor holds only open
+  * (not-yet-final) windows, and finalized windows stream to distributed
+  * files. The r2 complete-mode/memory-sink version accumulated every window
+  * on the driver and made the watermark dead code.
+  *
+  * Append-mode semantics: a window is emitted once the event-time watermark
+  * (max event ts - delay) passes its end; windows still open when the input
+  * is exhausted are withheld by design. Callers comparing against a batch
+  * oracle must apply the same cutoff — see [[emittedBefore]].
+  */
 object EventStream {
 
+  /** Watermark delay for [[hourlyRollup]]. */
+  val DelaySeconds: Long = 3600L
+
+  /** Hour windows with `window.end <= max(ts) - delay` are guaranteed
+    * emitted by the append-mode run; later ones are withheld as still-open.
+    * This mirrors Spark's watermark eviction predicate (state rows with
+    * window end at or below the watermark are finalized). */
+  def emittedBefore(events: DataFrame): java.sql.Timestamp = {
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    new java.sql.Timestamp(maxTs.getTime - DelaySeconds * 1000L)
+  }
+
   /** Tumbling 1-hour event-time aggregation of the events table, executed
-    * through the streaming engine (readStream -> window agg -> memory
-    * sink), returned as the final batch result. */
+    * through the streaming engine (readStream -> watermark -> window agg ->
+    * append-mode parquet sink), then read back as a DataFrame. */
   def hourlyRollup(s: SparkSession, dir: String, name: String): DataFrame = {
     // events carries TIMESTAMP(NANOS): read as long, truncate to micros
     // (same convention as graft.queries.Q.t).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource needs a *directory* (single-file paths fail with
+    // "Option 'basePath' must be a directory" — the silent r2 q48 killer):
+    // stage a symlink to the events file inside a temp dir and stream that.
+    val srcDir = Files.createTempDirectory("graft_stream_src")
+    val link = srcDir.resolve("events.parquet")
+    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
     val raw = s.readStream.schema(batchSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(srcDir.toString)
     val stream =
       if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     val agg = stream
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", s"$DelaySeconds seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("val"))
+    val base = Files.createTempDirectory(s"graft_stream_$name").toString
+    val dataDir = s"$base/data"
     val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", dataDir)
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(dataDir)
       .select(col("event_type"), col("window.start").as("hour_ts"),
         col("n"), round(col("val"), 2).as("val"))
       .orderBy(col("event_type"), col("hour_ts"))

@@ -1,0 +1,174 @@
+package graft.operators
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.SimHash64
+
+/** Planted-fixture recall specs for the near-duplicate operators — the
+  * queries these back (q38-q40, q43) are approximate/banded and have no SQL
+  * oracle, so correctness is pinned here instead.
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Deterministic corpus: nDocs distinct docs of ~30 tokens over a 5000
+    * word vocab (far apart pairwise), as (id, text, source). */
+  private def corpus(nDocs: Int, seed: Long = 7L): Seq[(Long, String, String)] = {
+    val rng = new Random(seed)
+    (0L until nDocs).map { i =>
+      val toks = Seq.fill(30)(s"w${rng.nextInt(5000)}")
+      (i, toks.mkString(" "), s"src${i % 3}")
+    }
+  }
+
+  private def toDf(rows: Seq[(Long, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  private def shingleSet(text: String, n: Int): Set[String] =
+    text.split(" ").sliding(n).map(_.mkString(" ")).toSet
+
+  private def jac(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / math.max(a.union(b).size, 1).toDouble
+
+  test("exact dedup groups normalized copies, keeps lowest id") {
+    val base = corpus(20)
+    val dups = Seq(
+      (100L, base(3)._2.toUpperCase + "  ", "src0"), // case+space normalize
+      (101L, base(3)._2, "src1"),
+      (102L, "  " + base(7)._2.replace(" ", "   "), "src2"))
+    val out = Dedup.exact(toDf(base ++ dups), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20) // 20 distinct contents
+    val byKeep = out.map(r => r._2 -> r._3).toMap
+    assert(byKeep(3L) == 3L)   // group of {3,100,101} keeps id 3
+    assert(out.count(_._3 == 3L) == 1)
+    assert(byKeep.getOrElse(7L, 0L) == 2L) // {7,102}
+    assert(out.filter(_._3 == 1L).length == 18)
+  }
+
+  test("minhash finds all planted near-dup pairs, each exactly once") {
+    val base = corpus(120)
+    val rng = new Random(11)
+    // plant 10 near-dups: copy doc i, replace one middle token
+    val planted = (0 until 10).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(15) = s"x${rng.nextInt(1000)}"
+      (1000L + i, toks.mkString(" "), base(i)._3)
+    }
+    val out = Dedup.minhashNearDups(toDf(base ++ planted), "doc_id", "text",
+      shingleN = 3, bands = 8, rows = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)), s"planted pair $i missed")
+    }
+    // each pair reported once (deduped across bands) with correct jaccard
+    assert(out.length == out.map(r => (r._1, r._2)).distinct.length)
+    out.foreach { case (a, b, j) =>
+      val ja = jac(shingleSet(base.find(_._1 == a).map(_._2).getOrElse(
+        planted.find(_._1 == a).get._2), 3),
+        shingleSet(planted.find(_._1 == b).map(_._2).getOrElse(
+          base.find(_._1 == b).get._2), 3))
+      assert(math.abs(j - ja) < 1e-9, s"jaccard mismatch for ($a,$b)")
+      assert(j >= 0.7)
+    }
+  }
+
+  test("simhash matches brute force at maxHamming=6, incl. spread-bit pairs") {
+    val base = corpus(80, seed = 13L)
+    // Search for a mutation whose simhash differs from doc 0's in 4..6 bits
+    // spread across ALL FOUR 16-bit chunks — exactly the pigeonhole case
+    // the r2 4x16-bit bucketing silently dropped (VERDICT r2 #2).
+    val toks0 = base(0)._2.split(" ").toSeq
+    val sig0 = SimHash64.simhashStrings(toks0)
+    val rng = new Random(17)
+    val spread = Iterator.continually {
+      val t = toks0.toArray
+      t(rng.nextInt(t.length)) = s"y${rng.nextInt(100000)}"
+      t(rng.nextInt(t.length)) = s"y${rng.nextInt(100000)}"
+      t.mkString(" ")
+    }.take(200000).find { txt =>
+      val d = sig0 ^ SimHash64.simhashStrings(txt.split(" ").toSeq)
+      val ham = java.lang.Long.bitCount(d)
+      ham >= 4 && ham <= 6 &&
+        (0 until 4).forall(c => ((d >>> (c * 16)) & 0xffffL) != 0L)
+    }
+    assert(spread.nonEmpty, "no spread-bit variant found in search budget")
+    val all = base :+ ((2000L, spread.get, "src0"))
+    val out = Dedup.simhashNearDups(toDf(all), "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force oracle over the same signatures
+    val sigs = all.map { case (id, txt, _) =>
+      id -> SimHash64.simhashStrings(txt.split(" ").toSeq)
+    }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (ia, ib, h)).toSet
+    assert(brute.exists(p => p._2 == 2000L || p._1 == 2000L),
+      "planted spread pair should be within hamming 6")
+    assert(out == brute)
+  }
+
+  test("ngram jaccard matches in-block brute force, incl. cross-band lengths") {
+    val base = corpus(60, seed = 19L)
+    // planted A: same length (same band)
+    val pa = (3000L, base(2)._2.split(" ").updated(10, "zz1").mkString(" "), base(2)._3)
+    // planted B: truncated copy — shingle count drops, may cross a length band
+    val pb = (3001L, base(4)._2.split(" ").dropRight(6).mkString(" "), base(4)._3)
+    val all = base ++ Seq(pa, pb)
+    val out = Dedup.ngramJaccardDups(toDf(all), "doc_id", "text",
+      blockCols = Seq("source"), shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = (for {
+      (ia, ta, sa) <- all; (ib, tb, sb) <- all
+      if ia < ib && sa == sb
+      j = jac(shingleSet(ta, 3), shingleSet(tb, 3)) if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    assert(brute.exists(p => p._1 == 2L && p._2 == 3000L))
+    assert(brute.exists(p => p._1 == 4L && p._2 == 3001L))
+    assert(out.map(p => (p._1, p._2)) == brute.map(p => (p._1, p._2)))
+  }
+
+  test("embedding LSH recovers >=90% of true near-dup pairs (OR-amplified)") {
+    val dim = 16
+    val rng = new Random(23)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val baseVecs = (0L until 100L).map(i => (i, unit().toSeq))
+    val planted = (0 until 10).map { i =>
+      val v = baseVecs(i)._2.toArray.map(_.toDouble)
+      val noisy = v.map(x => x + 0.05 * rng.nextGaussian())
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (500L + i, noisy.map(x => (x / n).toFloat).toSeq)
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val truePairs = (0 until 10).flatMap { i =>
+      if (cos(baseVecs(i)._2, planted(i)._2) >= 0.95) Some((i.toLong, 500L + i))
+      else None
+    }
+    assert(truePairs.length >= 8, "fixture should produce mostly >=0.95 pairs")
+    val s = spark
+    import s.implicits._
+    val df = (baseVecs ++ planted).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      dim = dim, nPlanes = 8, nTables = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = truePairs.count(found.contains)
+    assert(recalled.toDouble / truePairs.length >= 0.9,
+      s"recall $recalled/${truePairs.length}")
+    // precision is exact by construction (cosine verify) — every reported
+    // pair must truly clear the threshold
+    val vecs = (baseVecs ++ planted).toMap
+    found.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.95 - 1e-6)
+    }
+  }
+}

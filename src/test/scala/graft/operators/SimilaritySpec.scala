@@ -1,0 +1,74 @@
+package graft.operators
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.Q
+
+/** ANN specs: IVF recall vs the exact brute-force baseline — the contract
+  * VectorQueries promises (q42 is approximate, so its correctness signal
+  * lives here, not in a SQL oracle). */
+class SimilaritySpec extends SparkSpec {
+
+  test("IVF with nProbe = nCells degenerates to exact brute force") {
+    val emb = Q.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val (assigned, centroids) = Similarity.ivfAssign(
+      emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    val ivf = Similarity.ivfTopK(queries, "vec_id", "embedding",
+      assigned, centroids, k = 5, nProbe = 8)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
+  test("IVF recall >= 0.9 with nProbe=4/8 on clustered vectors") {
+    // IVF's contract only holds when the corpus clusters (random vectors
+    // are the adversarial case — every cell is equally likely to hold a
+    // neighbor). Build 8 well-separated clusters and verify the probe path.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new Random(31)
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian() * 5))
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + 0.3 * rng.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", df, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val (assigned, centroids) = Similarity.ivfAssign(
+      df, "vec_id", "embedding", nCells = 8, iters = 2)
+    val ivf = Similarity.ivfTopK(queries, "vec_id", "embedding",
+      assigned, centroids, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean IVF recall@5 = $mean")
+  }
+
+  test("brute-force top-k is exact and deterministically ordered") {
+    val emb = Q.t(spark, sf, "embeddings")
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+      .orderBy(col("rank")).collect()
+    assert(out.length == 3)
+    // rank 1 must be the vector itself (cosine 1.0)
+    assert(out(0).getLong(1) == 0L)
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-6)
+    // cosine non-increasing with rank
+    assert(out.map(_.getDouble(2)).sliding(2).forall(w => w(0) >= w(1) - 1e-9))
+  }
+}

@@ -1,0 +1,37 @@
+import duckdb, json, glob, os, sys
+out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_r3b'
+sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    p = f'{sf}/{t}.parquet'
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+results = {}
+for d in sorted(glob.glob(f'{out}/q*')):
+    name = os.path.basename(d)
+    try:
+        sdf = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    except Exception as e:
+        results[name] = {'err': f'spark read: {e}'}; continue
+    if name not in oracle:
+        results[name] = {'err': 'no_oracle', 'spark_rows': len(sdf)}; continue
+    try:
+        odf = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = {'err': f'oracle: {e}'}; continue
+    r = {'spark_rows': len(sdf), 'oracle_rows': len(odf)}
+    r['rows_match'] = len(sdf) == len(odf)
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    r['schema_match'] = s_cols == o_cols
+    if r['rows_match'] and r['schema_match']:
+        import hashlib
+        def h(df):
+            d2 = df[sorted(df.columns)]
+            rows = sorted(tuple(f'{x:.6g}' if isinstance(x, float) else str(x) for x in row) for row in d2.itertuples(index=False))
+            return hashlib.md5(str(rows).encode()).hexdigest()
+        r['hash_match'] = h(sdf) == h(odf)
+    results[name] = r
+bad = {k: v for k, v in results.items() if not v.get('hash_match', False)}
+print('TOTAL', len(results), 'PASS', len(results) - len(bad))
+for k, v in bad.items(): print('BAD', k, v)
