@@ -107,6 +107,13 @@ object SparkEntry {
     "q54_recent_pick" -> (graft.queries.JoinQueries.q54RecentPick _),
     "q55_selfjoin_twice" -> (graft.queries.JoinQueries.q55SelfJoinTwice _),
     "q56_rlike_pattern" -> (graft.queries.JoinQueries.q56RlikePattern _),
+    "q57_config_csv_orc" -> (graft.queries.LifecycleQueries.q57ConfigCsvOrc _),
+    "q58_incremental_refresh" -> (graft.queries.LifecycleQueries.q58IncrementalRefresh _),
+    "q59_qa_suite" -> (graft.queries.BuildQueries.q59QaSuite _),
+    "q60_perf_measures" -> (graft.queries.BuildQueries.q60PerfMeasures _),
+    "q61_condition_loop" -> (graft.queries.BuildQueries.q61ConditionLoop _),
+    "q62_top_causes" -> (graft.queries.BuildQueries.q62TopCauses _),
+    "q63_claims_condition" -> (graft.queries.BuildQueries.q63ClaimsCondition _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -828,5 +835,205 @@ object SparkEntry {
       WHERE regexp_matches(p_type, '^(ECONOMY|PROMO) (ANODIZED|BURNISHED)')
         AND p_size IN (1,2,3,4,5,6,7,8,9,10)
       GROUP BY p_brand ORDER BY p_brand""",
+
+    // q57: both reload paths (csv / orc) must re-aggregate to exactly the
+    // source table — the oracle is the source-side aggregate repeated per
+    // format tag (the empty 'shell' frame contributes no rows).
+    "q57_config_csv_orc" -> """
+      WITH typed AS (
+        SELECT o_orderkey, o_orderstatus,
+          o_totalprice::DECIMAL(12,2) AS p
+        FROM orders),
+      fmts AS (SELECT 'csv' AS fmt UNION ALL SELECT 'orc')
+      SELECT f.fmt, t.o_orderstatus, count(*) AS n,
+        round((sum(p))::DOUBLE, 2) AS total,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM typed t CROSS JOIN fmts f
+      GROUP BY 1, 2 ORDER BY fmt, o_orderstatus""",
+
+    // q58: after the stale-partition refresh the lake table must equal the
+    // source table exactly — survived stale rows, lost pre-cut rows, or
+    // undeduped duplicate extracts all break this aggregate.
+    "q58_incremental_refresh" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
+        round(sum(o_totalprice), 2) AS total,
+        count(DISTINCT o_orderkey) AS n_keys
+      FROM orders GROUP BY 1 ORDER BY yr""",
+
+    "q59_qa_suite" -> """
+      SELECT * FROM (
+        SELECT 'orders' AS "table", 'distinct_o_orderkey' AS "check",
+          count(*) = count(DISTINCT o_orderkey) AS pass,
+          count(DISTINCT o_orderkey) AS observed,
+          CAST(count(*) AS BIGINT) AS expected
+        FROM orders
+        UNION ALL
+        SELECT 'part', 'distinct_p_partkey',
+          count(*) = count(DISTINCT p_partkey),
+          count(DISTINCT p_partkey), count(*) FROM part
+        UNION ALL
+        SELECT 'lineitem', 'orphan_l_orderkey', count(*) = 0, count(*), 0
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders', 'orphan_o_custkey', count(*) = 0, count(*), 0
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'customer', 'orphan_c_nationkey', count(*) = 0, count(*), 0
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)
+        UNION ALL
+        SELECT 'lineitem', 'neg_quantity', count(*) = 0, count(*), 0
+        FROM lineitem WHERE l_quantity < 0
+        UNION ALL
+        SELECT 'orders', 'nulls_o_orderdate', count(*) <= 0, count(*), 0
+        FROM orders WHERE o_orderdate IS NULL
+        UNION ALL
+        SELECT 'lineitem', 'rowcount_monotonic', count(*) >= 1000, count(*),
+          1000
+        FROM lineitem)
+      ORDER BY "table", "check"""",
+
+    "q60_perf_measures" -> """
+      WITH members AS (SELECT DISTINCT o_custkey FROM orders),
+      months AS (
+        SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+          INTERVAL 1 MONTH))::DATE AS month),
+      grid AS (SELECT o_custkey, month FROM members CROSS JOIN months),
+      facts AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month,
+          count(*) AS n_orders, max(o_totalprice) AS max_price
+        FROM orders GROUP BY 1, 2),
+      staged AS (
+        SELECT g.o_custkey, g.month,
+          coalesce(f.n_orders, 0) AS n_orders,
+          coalesce(f.max_price, 0) AS max_price
+        FROM grid g LEFT JOIN facts f USING (o_custkey, month)),
+      denom AS (
+        SELECT o_custkey, month,
+          sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) OVER w AS active_m,
+          sum(CASE WHEN max_price > 150000.0 THEN 1 ELSE 0 END) OVER w AS hv
+        FROM staged
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY month
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+      per AS (
+        SELECT month,
+          CAST(sum(CASE WHEN active_m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_denom,
+          CAST(sum(CASE WHEN active_m >= 2 AND active_m > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_any,
+          CAST(sum(CASE WHEN active_m >= 2 AND hv > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hv
+        FROM denom GROUP BY month)
+      SELECT measure, ym, n_denom, n_num,
+        CASE WHEN n_denom > 0
+          THEN round(n_num * 100.0 / n_denom, 2) END AS rate
+      FROM (
+        SELECT 'order_any' AS measure,
+          CAST(year(month) * 100 + month(month) AS INTEGER) AS ym,
+          n_denom, n_any AS n_num FROM per
+        UNION ALL
+        SELECT 'high_value',
+          CAST(year(month) * 100 + month(month) AS INTEGER),
+          n_denom, n_hv FROM per)
+      ORDER BY measure, ym""",
+
+    "q61_condition_loop" -> """
+      WITH c1 AS (
+        SELECT o_custkey, min(o_orderdate::DATE) AS first_date,
+          max(o_orderdate::DATE) AS last_date, count(*) AS n_claims
+        FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1),
+      oc AS (SELECT o_custkey, o_orderdate::DATE AS d FROM orders
+             WHERE o_orderstatus = 'O'),
+      ocq AS (
+        SELECT o_custkey FROM (
+          SELECT o_custkey, CASE WHEN date_diff('day', d,
+            lead(d) OVER (PARTITION BY o_custkey ORDER BY d)) <= 90
+            THEN 1 ELSE 0 END AS p
+          FROM oc) GROUP BY 1 HAVING max(p) = 1),
+      c2 AS (
+        SELECT c.o_custkey, min(d) AS first_date, max(d) AS last_date,
+          count(*) AS n_claims
+        FROM oc c JOIN ocq USING (o_custkey) GROUP BY 1),
+      fc AS (SELECT o_custkey, o_orderdate::DATE AS d FROM orders
+             WHERE o_orderstatus = 'F'),
+      fcq AS (
+        SELECT o_custkey FROM (
+          SELECT o_custkey, CASE WHEN date_diff('day', d,
+            lead(d) OVER (PARTITION BY o_custkey ORDER BY d)) <= 180
+            THEN 1 ELSE 0 END AS p
+          FROM fc) GROUP BY 1 HAVING max(p) = 1),
+      c3 AS (
+        SELECT f.o_custkey, min(d) AS first_date, max(d) AS last_date,
+          count(*) AS n_claims
+        FROM fc f JOIN fcq USING (o_custkey) GROUP BY 1)
+      SELECT 'big_spender' AS condition, count(*) AS n_members,
+        CAST(sum(n_claims) AS BIGINT) AS total_claims,
+        min(first_date) AS first_any, max(last_date) AS last_any FROM c1
+      UNION ALL
+      SELECT 'open_frequent', count(*), CAST(sum(n_claims) AS BIGINT),
+        min(first_date), max(last_date) FROM c2
+      UNION ALL
+      SELECT 'filled_frequent', count(*), CAST(sum(n_claims) AS BIGINT),
+        min(first_date), max(last_date) FROM c3
+      ORDER BY condition""",
+
+    "q62_top_causes" -> """
+      WITH claims AS (
+        SELECT p.p_type AS cause, o.o_custkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(o.o_orderdate) = 1996),
+      agg AS (SELECT cause, count(*) AS claim_cnt,
+        count(DISTINCT o_custkey) AS person_cnt FROM claims GROUP BY 1),
+      ranked AS (SELECT *,
+        rank() OVER (ORDER BY claim_cnt DESC, cause) AS rnk FROM agg)
+      SELECT CAST(rnk AS INTEGER) AS rnk, cause, claim_cnt,
+        CASE WHEN person_cnt BETWEEN 1 AND 5 THEN NULL
+          ELSE person_cnt END AS person_cnt
+      FROM ranked WHERE rnk <= 10 ORDER BY rnk""",
+
+    "q63_claims_condition" -> """
+      WITH c1 AS (
+        SELECT o_custkey, min(o_orderdate::DATE) AS first_date,
+          max(o_orderdate::DATE) AS last_date
+        FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1),
+      oc AS (SELECT o_custkey, o_orderdate::DATE AS d FROM orders
+             WHERE o_orderstatus = 'O'),
+      ocq AS (
+        SELECT o_custkey FROM (
+          SELECT o_custkey, CASE WHEN date_diff('day', d,
+            lead(d) OVER (PARTITION BY o_custkey ORDER BY d)) <= 90
+            THEN 1 ELSE 0 END AS p
+          FROM oc) GROUP BY 1 HAVING max(p) = 1),
+      c2 AS (
+        SELECT c.o_custkey, min(d) AS first_date, max(d) AS last_date
+        FROM oc c JOIN ocq USING (o_custkey) GROUP BY 1),
+      fc AS (SELECT o_custkey, o_orderdate::DATE AS d FROM orders
+             WHERE o_orderstatus = 'F'),
+      fcq AS (
+        SELECT o_custkey FROM (
+          SELECT o_custkey, CASE WHEN date_diff('day', d,
+            lead(d) OVER (PARTITION BY o_custkey ORDER BY d)) <= 180
+            THEN 1 ELSE 0 END AS p
+          FROM fc) GROUP BY 1 HAVING max(p) = 1),
+      c3 AS (
+        SELECT f.o_custkey, min(d) AS first_date, max(d) AS last_date
+        FROM fc f JOIN fcq USING (o_custkey) GROUP BY 1),
+      allc AS (
+        SELECT 'big_spender' AS condition, * FROM c1
+        UNION ALL SELECT 'open_frequent', * FROM c2
+        UNION ALL SELECT 'filled_frequent', * FROM c3)
+      SELECT condition, count(*) AS n_members,
+        min(greatest(first_date, DATE '1996-06-01')) AS first_clip,
+        max(least(last_date, DATE '1996-12-31')) AS last_clip
+      FROM allc
+      WHERE first_date <= DATE '1996-12-31' AND last_date >= DATE '1996-06-01'
+      GROUP BY condition ORDER BY condition""",
   )
 }

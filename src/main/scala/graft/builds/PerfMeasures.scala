@@ -1,0 +1,75 @@
+package graft.builds
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DateFns
+
+/** HEDIS-style performance-measure pipeline: the reference's
+  * sp_mcaid_perf_enroll_denom (rolling-window enrollment denominator,
+  * create_stage.sp_mcaid_perf_enroll_denom.sql:43-71) feeding a
+  * per-measure dynamic dispatch (create_stage.sp_perf_measures.sql:44-239
+  * — `IF @measure_name = ... BEGIN ... END` per measure, re-expressed as a
+  * config-driven Scala loop over shared staging DataFrames).
+  *
+  * Scale shape: ONE member x month grid (cross join of the distinct-member
+  * universe with the month spine — sp_perf_measures.sql:89), one shuffle to
+  * attach monthly facts, then every measure reuses the same
+  * person-partitioned rolling window — the staging reuse the reference gets
+  * from its persisted perf_staging table.
+  */
+object PerfMeasures {
+
+  /** One measure = a flag expression over the monthly fact columns plus
+    * its rolling numerator window — the dispatch config. */
+  case class MeasureDef(name: String, monthlyFlag: Column)
+
+  def defaultMeasures: Seq[MeasureDef] = Seq(
+    MeasureDef("order_any", (col("n_orders") > 0).cast("int")),
+    MeasureDef("high_value", (col("max_price") > 150000.0).cast("int")))
+
+  /** @param rollingMonths window width in months (12 in the reference;
+    *                      parameterized for the short testdata spine)
+    * @param denomMinMonths months-with-activity required in the window for
+    *                       the member to count in the denominator
+    */
+  def run(orders: DataFrame, fromMonth: String, toMonth: String,
+      rollingMonths: Int = 3, denomMinMonths: Int = 2,
+      measures: Seq[MeasureDef] = defaultMeasures): DataFrame = {
+    val s = orders.sparkSession
+    // member universe x month spine (perf_distinct_member CROSS JOIN)
+    val members = orders.select(col("o_custkey")).distinct()
+    val months = s.range(1).select(explode(sequence(
+      to_date(lit(fromMonth)), to_date(lit(toMonth)),
+      expr("interval 1 month"))).as("month"))
+    val grid = members.crossJoin(broadcast(months))
+    // monthly facts, zero-filled onto the grid so rolling frames stay dense
+    val facts = orders
+      .groupBy(col("o_custkey"),
+        to_date(date_trunc("MONTH", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+    val staged = grid.join(facts, Seq("o_custkey", "month"), "left")
+      .na.fill(0, Seq("n_orders")).na.fill(0.0, Seq("max_price"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+      .rowsBetween(-(rollingMonths - 1), 0)
+    // enroll denominator: rolling months-with-activity >= threshold
+    // (sp_mcaid_perf_enroll_denom.sql:52-71)
+    val denom = staged
+      .withColumn("active_months",
+        sum((col("n_orders") > 0).cast("int")).over(w))
+      .withColumn("in_denom", (col("active_months") >= denomMinMonths).cast("int"))
+    // per-measure dispatch: same staging, one rolling numerator per config
+    measures.map { m =>
+      denom
+        .withColumn("num_hit",
+          (sum(m.monthlyFlag).over(w) > 0 && col("in_denom") === 1).cast("int"))
+        .groupBy(col("month"))
+        .agg(sum(col("in_denom")).as("n_denom"), sum(col("num_hit")).as("n_num"))
+        .select(lit(m.name).as("measure"),
+          DateFns.dateToYyyymm(col("month")).as("ym"),
+          col("n_denom"), col("n_num"),
+          when(col("n_denom") > 0,
+            round(col("n_num") * 100.0 / col("n_denom"), 2)).as("rate"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.qa
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Post-load data-quality assertion framework — the reference's entire test
+  * strategy (SURVEY §5): per-table semantic QA suites logged to
+  * metadata.qa_mcaid (qa_stage.mcaid_claim_header.R:67-199,
+  * qa_load_file.R, qa_stage.apcd_elig_timevar res1-res11).
+  *
+  * Each check is one distributed aggregate returning (check, pass,
+  * observed, expected); a suite is the union. Scale: referential-integrity
+  * checks are anti-join counts (shuffle on the key, no collect); nothing
+  * moves to the driver but the verdict row.
+  */
+object Qa {
+
+  case class QaCheck(table: String, check: String, pass: Boolean,
+      observed: Long, expected: Long)
+
+  /** Key distinctness: COUNT(*) == COUNT(DISTINCT keys)
+    * (qa_stage.mcaid_claim_header.R:115-145). */
+  def keyDistinct(df: DataFrame, table: String, keys: Seq[String]): QaCheck = {
+    val r = df.agg(count(lit(1)).as("n"),
+      countDistinct(keys.head, keys.tail: _*).as("d")).head()
+    QaCheck(table, s"distinct_${keys.mkString("_")}",
+      r.getLong(0) == r.getLong(1), r.getLong(1), r.getLong(0))
+  }
+
+  /** Referential integrity: child keys all present in parent — anti-join
+    * count must be 0 (qa_stage.mcaid_claim_header.R:67-111). */
+  def refIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, table: String): QaCheck = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .count()
+    QaCheck(table, s"orphan_$childKey", orphans == 0L, orphans, 0L)
+  }
+
+  /** Monotonic row count vs the prior load
+    * (qa_stage.mcaid_claim_header.R:150-199). */
+  def rowCountAtLeast(df: DataFrame, table: String, prior: Long): QaCheck = {
+    val n = df.count()
+    QaCheck(table, "rowcount_monotonic", n >= prior, n, prior)
+  }
+
+  /** Domain invariant: zero rows violating a predicate
+    * (qa_stage.apcd_elig_timevar res7-res11 shape). */
+  def noneViolate(df: DataFrame, table: String, check: String,
+      violation: org.apache.spark.sql.Column): QaCheck = {
+    val n = df.filter(violation).count()
+    QaCheck(table, check, n == 0L, n, 0L)
+  }
+
+  /** Column completeness: null count within tolerance (qa_load_file.R). */
+  def nullCountAtMost(df: DataFrame, table: String, column: String,
+      atMost: Long): QaCheck = {
+    val n = df.filter(col(column).isNull).count()
+    QaCheck(table, s"nulls_$column", n <= atMost, n, atMost)
+  }
+
+  /** Assemble a suite result frame (the metadata.qa_mcaid analog). */
+  def suite(spark: SparkSession, checks: Seq[QaCheck]): DataFrame = {
+    import spark.implicits._
+    checks.toDF()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.TopCauses
+import graft.builds.{ConditionLoop, PerfMeasures}
+import graft.core.Intervals
+import graft.qa.Qa
+import graft.queries.Q.t
+
+/** Composed analytic-build catalog: QA suite, performance measures,
+  * condition loop, tabulation consumers (SURVEY §2.4/§2.9, §5). */
+object BuildQueries {
+
+  /** §5 the QA assertion framework run as a suite: key distinctness,
+    * referential integrity (anti-joins), domain invariants, monotonic row
+    * counts — the reference's qa_stage checks as one result frame. */
+  def q59QaSuite(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    val part = t(s, dir, "part")
+    Qa.suite(s, Seq(
+      Qa.keyDistinct(orders, "orders", Seq("o_orderkey")),
+      Qa.keyDistinct(part, "part", Seq("p_partkey")),
+      Qa.refIntegrity(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
+      Qa.refIntegrity(orders, "o_custkey", customer, "c_custkey", "orders"),
+      Qa.refIntegrity(customer, "c_nationkey", nation, "n_nationkey", "customer"),
+      Qa.noneViolate(lineitem, "lineitem", "neg_quantity", col("l_quantity") < 0),
+      Qa.nullCountAtMost(orders, "orders", "o_orderdate", 0L),
+      Qa.rowCountAtLeast(lineitem, "lineitem", 1000L)))
+      .orderBy(col("table"), col("check"))
+  }
+
+  /** §2.4/§2.9 per-measure dispatch over the rolling enroll-denominator
+    * staging (sp_perf_measures + sp_mcaid_perf_enroll_denom). */
+  def q60PerfMeasures(s: SparkSession, dir: String): DataFrame =
+    PerfMeasures.run(t(s, dir, "orders"), "1996-01-01", "1996-12-01",
+        rollingMonths = 3, denomMinMonths = 2)
+      .orderBy(col("measure"), col("ym"))
+
+  /** §2.9 config-driven condition loop (CCW 1-claim/2-claim rules),
+    * rolled up per condition. */
+  def q61ConditionLoop(s: SparkSession, dir: String): DataFrame =
+    ConditionLoop.build(t(s, dir, "orders"))
+      .groupBy(col("condition"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_claims")).as("total_claims"),
+        min(col("first_date")).as("first_any"),
+        max(col("last_date")).as("last_any"))
+      .orderBy(col("condition"))
+
+  /** top_causes.R consumer: top-10 causes by claim count in a year window
+    * with distinct-person counts and small-cell suppression. */
+  def q62TopCauses(s: SparkSession, dir: String): DataFrame = {
+    val claims = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(year(col("o_orderdate")) === 1996)
+      .select(col("p_type").as("cause"), col("o_custkey"))
+    TopCauses.topCauses(claims, "cause", "o_custkey", n = 10)
+  }
+
+  /** claims_condition.R consumer: members whose condition span overlaps an
+    * ask window (interval-overlap filter, claims_condition.R:129), spans
+    * clipped to the window. */
+  def q63ClaimsCondition(s: SparkSession, dir: String): DataFrame = {
+    val winFrom = to_date(lit("1996-06-01"))
+    val winTo = to_date(lit("1996-12-31"))
+    ConditionLoop.build(t(s, dir, "orders"))
+      .filter(Intervals.overlaps(col("first_date"), col("last_date"), winFrom, winTo))
+      .groupBy(col("condition"))
+      .agg(count(lit(1)).as("n_members"),
+        min(greatest(col("first_date"), winFrom)).as("first_clip"),
+        max(least(col("last_date"), winTo)).as("last_clip"))
+      .orderBy(col("condition"))
+  }
+}

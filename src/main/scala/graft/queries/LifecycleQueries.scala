@@ -1,0 +1,86 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{LoadTable, TableConfig}
+import graft.queries.Q.t
+
+/** Table-lifecycle catalog: YAML-declared schemas, CSV/ORC source+sink
+  * roundtrips, create-table shell, and the incremental-refresh write path
+  * (SURVEY §2.1 rows 1, 2, 4, 7, 8). */
+object LifecycleQueries {
+
+  private val ordersYaml = """
+table: stage.orders_export
+partition_by: yr
+vars:
+    o_orderkey: BIGINT
+    o_custkey: BIGINT
+    o_orderstatus: VARCHAR(1)
+    o_totalprice: NUMERIC(12,2)
+    o_orderdate: DATE
+    o_orderpriority: VARCHAR(15)
+"""
+
+  /** §2.1 rows 1/7/8 + §1.4: YAML config -> declared StructType ->
+    * create-table shell, CSV export + bcp-style reload, ORC roundtrip —
+    * all three paths re-aggregated and compared against the source table.
+    * A lossy export/reload (type drift, date formatting, decimal rounding)
+    * would break the oracle hash. */
+  def q57ConfigCsvOrc(s: SparkSession, dir: String): DataFrame = {
+    val cfg = TableConfig.parse(ordersYaml)
+    require(cfg.table == "stage.orders_export" && cfg.partitionBy == Seq("yr"))
+    val typed = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+      to_date(col("o_orderdate")).as("o_orderdate"),
+      col("o_orderpriority"))
+    // shell: declared-schema empty frame (create_table.R) — unioning it in
+    // proves schema parity between the shell and both reloads
+    val shell = TableConfig.emptyFrame(s, cfg).withColumn("fmt", lit("shell"))
+    val base = Files.createTempDirectory("graft_lifecycle").toString
+    LoadTable.exportCsv(typed, s"$base/csv")
+    LoadTable.exportOrc(typed, s"$base/orc")
+    val fromCsv = LoadTable.loadCsv(s, s"$base/csv", cfg).withColumn("fmt", lit("csv"))
+    val fromOrc = LoadTable.loadLake(s, s"$base/orc", "orc", cfg).withColumn("fmt", lit("orc"))
+    shell.unionByName(fromCsv).unionByName(fromOrc)
+      .groupBy(col("fmt"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")).cast("double"), 2).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("fmt"), col("o_orderstatus"))
+  }
+
+  /** §2.1 row 4 + §7.5.6: the monthly incremental-refresh heartbeat.
+    * Seed a lake table whose post-cut partitions hold STALE rows
+    * (price = -1), then refresh with the true extract (duplicated, to
+    * exercise the mcaid UNION-distinct variant) — only the partitions
+    * intersecting the refresh window are archived and rewritten. The final
+    * aggregate must equal the source table exactly: any unreplaced stale
+    * row, lost pre-cut row, or survived duplicate breaks the oracle. */
+  def q58IncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-07-01"
+    val ordersD = t(s, dir, "orders")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val base = Files.createTempDirectory("graft_refresh").toString
+    val stale = ordersD.filter(col("o_orderdate") >= cut)
+      .withColumn("o_totalprice", lit(-1.0))
+    val initial = ordersD.filter(col("o_orderdate") < cut)
+      .unionByName(stale)
+      .withColumn("yr", year(col("o_orderdate")))
+    LoadTable.fullLoad(initial, s"$base/table", "yr")
+    val fresh = ordersD.filter(col("o_orderdate") >= cut)
+    LoadTable.incrementalRefresh(s, s"$base/table", s"$base/archive",
+      newData = fresh.unionByName(fresh), // duplicate extract
+      dateCol = "o_orderdate", partitionCol = "yr", partitionOf = year,
+      cutDate = cut, distinctUnion = true)
+    s.read.parquet(s"$base/table")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy(col("yr"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink lifecycle: the reference's bcp CSV load, COPY INTO
+  * (csv/parquet/orc), CSV export, and the archive/partial-date incremental
+  * refresh (claims_db/db_loader/scripts_general/load_table.R,
+  * copy_into.R:20-80, sqlexport_speed.R).
+  *
+  * Scale notes: loads read with DECLARED schemas (no inference pass over
+  * 100 TB); the incremental refresh copies and rewrites only the
+  * partitions intersecting the refresh window (dynamic partition
+  * overwrite), never the historical tail.
+  */
+object LoadTable {
+
+  /** bcp-style CSV bulk load (load_table.R:190-258): declared schema, no
+    * inference; `|`-ish delimiters, headers, gz all flow through options. */
+  def loadCsv(spark: SparkSession, path: String, cfg: TableConfig,
+      sep: String = ",", header: Boolean = true): DataFrame =
+    spark.read
+      .schema(cfg.schema)
+      .option("sep", sep)
+      .option("header", header)
+      .csv(path)
+
+  /** COPY INTO from lake formats (copy_into.R:20-80). */
+  def loadLake(spark: SparkSession, path: String, format: String,
+      cfg: TableConfig): DataFrame = format match {
+    case "parquet" => spark.read.schema(cfg.schema).parquet(path)
+    case "orc" => spark.read.schema(cfg.schema).orc(path)
+    case "csv" => loadCsv(spark, path, cfg)
+    case other => throw new IllegalArgumentException(s"format: $other")
+  }
+
+  /** CSV export for partners (sqlexport_speed.R). */
+  def exportCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode("overwrite").option("sep", sep).option("header", "true").csv(path)
+
+  /** ORC sink (copy_into.R supports orc on the lake side). */
+  def exportOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Initial full load of a partitioned lake table. */
+  def fullLoad(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** The monthly incremental-refresh kernel (load_table.R:615-708,782-793):
+    *
+    *  1. copy the partitions intersecting the refresh window to `archive`
+    *     (the reference's archive-schema swap),
+    *  2. rebuild those partitions as
+    *     `archive WHERE date < cut  UNION ALL  new WHERE date >= cut`
+    *     (or UNION-distinct — the mcaid_claim variant at :770-780),
+    *  3. dynamic-partition-overwrite them back — partitions outside the
+    *     window are never read or rewritten.
+    *
+    * @param partitionOf derived partition value (e.g. year(dateCol))
+    */
+  def incrementalRefresh(
+      spark: SparkSession,
+      tablePath: String,
+      archivePath: String,
+      newData: DataFrame,
+      dateCol: String,
+      partitionCol: String,
+      partitionOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      cutDate: String,
+      distinctUnion: Boolean = false): Unit = {
+    val cut = lit(cutDate)
+    val cutPart = spark.range(1).select(partitionOf(to_date(cut))).head().get(0)
+
+    // 1. archive the refresh window's partitions (read table -> write copy)
+    val affected = spark.read.parquet(tablePath)
+      .filter(col(partitionCol) >= lit(cutPart))
+    affected.write.mode("overwrite").partitionBy(partitionCol).parquet(archivePath)
+
+    // 2. rebuild: pre-cut archive rows + post-cut new rows
+    val rebuilt0 = spark.read.parquet(archivePath)
+      .filter(col(dateCol) < cut)
+      .unionByName(
+        newData.filter(col(dateCol) >= cut)
+          .withColumn(partitionCol, partitionOf(col(dateCol))))
+    val rebuilt = if (distinctUnion) rebuilt0.distinct() else rebuilt0
+
+    // 3. overwrite ONLY the partitions present in `rebuilt`
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rebuilt.write.mode("overwrite").partitionBy(partitionCol).parquet(tablePath)
+  }
+}
