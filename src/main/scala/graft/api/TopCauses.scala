@@ -20,12 +20,9 @@ object TopCauses {
       .groupBy(col(causeCol).as("cause"))
       .agg(count(lit(1)).as("claim_cnt"),
         countDistinct(col(personCol)).as("person_cnt"))
-    val pruned = agg
-      .orderBy(col("claim_cnt").desc, col("cause"))
-      .limit(n)
-      .withColumn("rnk", rank().over(Window.partitionBy(lit(0))
-        .orderBy(col("claim_cnt").desc, col("cause"))))
-    Tabloop.suppress(pruned, Seq("person_cnt"), suppressLower, suppressUpper)
+    val ranked = graft.core.TopN.topNByRank(agg, "claim_cnt", "cause", n)
+    Tabloop.suppress(ranked, Seq("person_cnt"), suppressLower, suppressUpper)
       .select(col("rnk"), col("cause"), col("claim_cnt"), col("person_cnt"))
+      .orderBy(col("rnk"))
   }
 }

@@ -88,12 +88,13 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 8, rows: Int = 2,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
-    val sh = docs.select(col(id).as("_id"), shingles(col(text), shingleN).as("_sh"))
+    val sh = docs.select(col(id).as("_id"),
+      graft.functions.ShingleHashes.shingleHashes(tokens(col(text)), shingleN).as("_sh"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("_sig"), b * rows + 1, rows)).as("bh"))
     }
     val buckets = sh
-      .withColumn("_sig", minhashSignature(col("_sh"), k))
+      .withColumn("_sig", graft.functions.MinHashFromHashes.minhash(col("_sh"), k))
       .select(col("_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("_id"), col("bk.band"), col("bk.bh"))
     val pairs = bucketPairs(buckets, Seq("band", "bh"), maxBucket)
@@ -159,15 +160,17 @@ object Dedup {
   def ngramJaccardDups(docs: DataFrame, id: String, text: String,
       blockCols: Seq[String], shingleN: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = 10000): DataFrame = {
-    val sh = docs.select(col(id).as("_id"), shingles(col(text), shingleN).as("_sh"))
+    val sh = docs.select(col(id).as("_id"),
+      graft.functions.ShingleHashes.shingleHashes(tokens(col(text)), shingleN).as("_sh"))
     val base = docs.select(
       (blockCols.map(col) :+ col(id).as("_id") :+
-        shingles(col(text), shingleN).as("_sh")): _*)
+        graft.functions.ShingleHashes.shingleHashes(tokens(col(text)), shingleN).as("_sh")): _*)
     val prefixLen = size(col("_sh")) -
       ceil(size(col("_sh")) * lit(threshold)).cast("int") + 1
+    // ShingleHashes returns ascending hashes — the global order is built in,
+    // so the PPJoin prefix is a plain slice
     val prefixes = base
-      .withColumn("_ph", explode(slice(
-        array_sort(transform(col("_sh"), s => xxhash64(s))), lit(1), prefixLen)))
+      .withColumn("_ph", explode(slice(col("_sh"), lit(1), prefixLen)))
       .select((blockCols.map(col) :+ col("_id") :+ col("_ph")): _*)
     val pairs = bucketPairs(prefixes, blockCols :+ "_ph", maxBucket)
     withPayloads(pairs, sh, "_sh")

@@ -172,26 +172,13 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
 
   /** §2.4 top-N with deterministic tie handling (top_causes.R:337-343).
-    *
-    * Two-phase, scale-safe formulation (VERDICT r2 #3): the old global
-    * `Window.orderBy` funneled the whole aggregate to one task. Phase 1
-    * prunes with `orderBy().limit(n)` — Spark plans TakeOrderedAndProject,
-    * a per-partition top-n merge with no global sort or single-partition
-    * exchange. Phase 2 ranks only the <= n survivors; the ordering key
-    * includes the unique l_partkey, so rank() is total and `limit(n)` keeps
-    * exactly the RANK <= n set (no ties can straddle the cut). The rank
-    * window partitions on a constant over n rows — bounded by construction,
-    * not by data volume. */
+    * Two-phase, scale-safe (VERDICT r2 #3): TakeOrderedAndProject prune +
+    * bounded windowless rank — see [[graft.core.TopN.topNByRank]]. */
   def q15TopN(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val totals = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
-    totals
-      .orderBy(col("total_qty").desc, col("l_partkey"))
-      .limit(10)
-      .withColumn("rnk", rank().over(Window.partitionBy(lit(0))
-        .orderBy(col("total_qty").desc, col("l_partkey"))))
+    graft.core.TopN.topNByRank(totals, "total_qty", "l_partkey", 10)
       .orderBy(col("rnk"))
   }
 
