@@ -114,6 +114,7 @@ object SparkEntry {
     "q61_condition_loop" -> (graft.queries.BuildQueries.q61ConditionLoop _),
     "q62_top_causes" -> (graft.queries.BuildQueries.q62TopCauses _),
     "q63_claims_condition" -> (graft.queries.BuildQueries.q63ClaimsCondition _),
+    "q64_elig_timevar" -> (graft.queries.BuildQueries.q64EligTimevar _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1035,5 +1036,49 @@ object SparkEntry {
       FROM allc
       WHERE first_date <= DATE '1996-12-31' AND last_date >= DATE '1996-06-01'
       GROUP BY condition ORDER BY condition""",
+
+    "q64_elig_timevar" -> """
+      WITH ev AS (
+        SELECT user_id, ts::DATE AS day, event_type,
+          date_trunc('month', ts::DATE)::DATE AS month
+        FROM events WHERE event_type IS NOT NULL),
+      counted AS (
+        SELECT user_id, month, event_type, count(*) AS cnt,
+          min(day) AS d_min, max(day) AS d_max
+        FROM ev GROUP BY 1, 2, 3),
+      monthly AS (
+        SELECT user_id, month,
+          max(CASE WHEN rn = 1 THEN event_type END) AS attr,
+          min(d_min) AS sub_from, max(d_max) AS sub_to
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, month
+                ORDER BY cnt DESC, event_type) AS rn FROM counted)
+        GROUP BY 1, 2),
+      trimmed AS (
+        SELECT user_id, attr,
+          greatest(month, sub_from) AS from_date,
+          least(last_day(month), sub_to) AS to_date
+        FROM monthly),
+      isl AS (
+        SELECT user_id, attr, from_date, to_date,
+          sum(CASE WHEN prev_to IS NULL
+                OR date_diff('day', prev_to, from_date) > 1
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id, attr ORDER BY from_date, to_date
+              ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT *, lag(to_date) OVER (PARTITION BY user_id, attr
+                ORDER BY from_date, to_date) AS prev_to FROM trimmed)),
+      coll AS (
+        SELECT user_id, attr, min(from_date) AS from_date,
+          max(to_date) AS to_date
+        FROM isl GROUP BY user_id, attr, island)
+      SELECT user_id, from_date, to_date, attr,
+        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
+          AS cov_time_day,
+        coalesce(date_diff('day',
+          lag(to_date) OVER (PARTITION BY user_id
+            ORDER BY from_date, to_date), from_date) = 1, false)
+          AS contiguous
+      FROM coll
+      ORDER BY user_id, from_date""",
   )
 }

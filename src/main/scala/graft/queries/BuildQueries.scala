@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.TopCauses
-import graft.builds.{ConditionLoop, PerfMeasures}
+import graft.builds.{ConditionLoop, EligTimevar, PerfMeasures}
 import graft.core.Intervals
 import graft.qa.Qa
 import graft.queries.Q.t
@@ -61,6 +61,13 @@ object BuildQueries {
       .select(col("p_type").as("cause"), col("o_custkey"))
     TopCauses.topCauses(claims, "cause", "o_custkey", n = 10)
   }
+
+  /** §7.2 phase 2: the elig_timevar 5-step build end-to-end — person-month
+    * staging, sub-month trim, attribute islands, collapse, cov_time_day +
+    * contiguous flags. The full interval table is the query result. */
+  def q64EligTimevar(s: SparkSession, dir: String): DataFrame =
+    EligTimevar.build(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("from_date"))
 
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
