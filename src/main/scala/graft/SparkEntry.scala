@@ -115,6 +115,8 @@ object SparkEntry {
     "q62_top_causes" -> (graft.queries.BuildQueries.q62TopCauses _),
     "q63_claims_condition" -> (graft.queries.BuildQueries.q63ClaimsCondition _),
     "q64_elig_timevar" -> (graft.queries.BuildQueries.q64EligTimevar _),
+    "q65_stream_sessions" -> ((s: SparkSession, dir: String) =>
+      EventStream.sessionizeStream(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1080,5 +1082,33 @@ object SparkEntry {
           AS contiguous
       FROM coll
       ORDER BY user_id, from_date""",
+
+    // q65: flatMapGroupsWithState sessionization. Emitted = every session
+    // closed by a later event, plus tail sessions whose event-time timeout
+    // (session_end + gap) the final watermark passed.
+    "q65_stream_sessions" -> """
+      WITH w AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER uw IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER uw) > 1800000000
+            THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts,
+          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM w),
+      sess AS (
+        SELECT user_id, session_id, min(ts) AS session_start,
+          max(ts) AS session_end, count(*) AS n_events,
+          max(session_id) OVER (PARTITION BY user_id) AS last_sess
+        FROM s GROUP BY user_id, session_id),
+      m AS (SELECT max(ts) AS maxts FROM events)
+      SELECT user_id, session_start, session_end, n_events
+      FROM sess, m
+      WHERE NOT (session_id = last_sess
+        AND epoch_us(session_end) + 1800000000 > epoch_us(maxts) - 3600000000)
+      ORDER BY user_id, session_start""",
   )
 }

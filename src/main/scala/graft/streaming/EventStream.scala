@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface: the reference's closest analog is the
   * monthly incremental refresh (SURVEY §1.5) — here generalized to a real
@@ -33,6 +34,95 @@ object EventStream {
   def emittedBefore(events: DataFrame): java.sql.Timestamp = {
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     new java.sql.Timestamp(maxTs.getTime - DelaySeconds * 1000L)
+  }
+
+  // `ts` rides along because the event-time-timeout analyzer requires the
+  // watermarked column to be present in the grouped child plan
+  case class SEv(user_id: Long, tsMicros: Long, event_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  private def toTs(micros: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Custom streaming state: 30-minute-gap sessionization via
+    * `flatMapGroupsWithState` with an event-time timeout (the
+    * KeyValueGroupedDataset stateful path). Sessions closed by a later
+    * event emit immediately; each user's open tail session emits when the
+    * watermark passes `last_event + gap` (its registered timeout), so state
+    * is bounded by open sessions only. Tail sessions still open when the
+    * input is exhausted are withheld — the batch-equivalence rule callers
+    * must apply is: a user's LAST session is emitted iff
+    * `session_end + gap <= max(ts) - watermark_delay`. */
+  def sessionizeStream(s: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = Files.createTempDirectory("graft_stream_sess_src")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
+    val stream =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val gapMicros = gapSeconds * 1000000L
+    val typed: Dataset[SEv] = stream
+      .withWatermark("ts", s"$DelaySeconds seconds")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"))
+      .as[SEv]
+    val sessions = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[SEv], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, toTs(st.start), toTs(st.last), st.n))
+          } else {
+            val sorted = events.toArray.sortBy(e => (e.tsMicros, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.tsMicros - st.last > gapMicros =>
+                  out += SessionOut(uid, toTs(st.start), toTs(st.last), st.n)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L))
+                case Some(st) =>
+                  cur = Some(st.copy(last = math.max(st.last, e.tsMicros), n = st.n + 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // close the tail session when the watermark passes last+gap
+              state.setTimeoutTimestamp(
+                Math.floorDiv(st.last, 1000L) + gapSeconds * 1000L)
+            }
+            out.iterator
+          }
+      }
+    val base = Files.createTempDirectory("graft_stream_sess").toString
+    val q = sessions.toDF().writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$base/data")
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** Tumbling 1-hour event-time aggregation of the events table, executed
