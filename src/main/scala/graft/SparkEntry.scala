@@ -117,6 +117,7 @@ object SparkEntry {
     "q64_elig_timevar" -> (graft.queries.BuildQueries.q64EligTimevar _),
     "q65_stream_sessions" -> ((s: SparkSession, dir: String) =>
       EventStream.sessionizeStream(s, dir)),
+    "q66_claim_header" -> (graft.queries.BuildQueries.q66ClaimHeader _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1110,5 +1111,49 @@ object SparkEntry {
       WHERE NOT (session_id = last_sess
         AND epoch_us(session_end) + 1800000000 > epoch_us(maxts) - 3600000000)
       ORDER BY user_id, session_start""",
+
+    "q66_claim_header" -> """
+      WITH line_agg AS (
+        SELECT l_orderkey, count(*) AS n_lines,
+          round(sum(l_extendedprice), 2) AS sum_price,
+          max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return,
+          max(CASE WHEN l_discount >= 0.08 THEN 1 ELSE 0 END)
+            AS has_deep_discount
+        FROM lineitem GROUP BY 1),
+      ip AS (
+        SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+        EXCEPT
+        SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09),
+      prim AS (
+        SELECT l_orderkey, l_partkey AS primary_partkey,
+          round(l_extendedprice, 2) AS primary_price
+        FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+              FROM lineitem) WHERE rn = 1),
+      hdr AS (
+        SELECT o_orderkey, o_custkey, o_orderdate::DATE AS order_date,
+          CAST(sum(CASE WHEN prev IS NULL
+                OR date_diff('day', prev, o_orderdate::DATE) > 1
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate::DATE, o_orderkey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode_seq
+        FROM (SELECT *, lag(o_orderdate::DATE)
+                OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate::DATE, o_orderkey) AS prev
+              FROM orders))
+      SELECT h.o_orderkey, h.o_custkey, h.order_date,
+        coalesce(a.n_lines, 0) AS n_lines,
+        coalesce(a.sum_price, 0.0) AS sum_price,
+        coalesce(a.has_return, 0) AS has_return,
+        coalesce(a.has_deep_discount, 0) AS has_deep_discount,
+        CASE WHEN ip.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS is_inpatient,
+        p.primary_partkey, p.primary_price,
+        h.episode_seq
+      FROM hdr h
+      LEFT JOIN line_agg a ON h.o_orderkey = a.l_orderkey
+      LEFT JOIN prim p ON h.o_orderkey = p.l_orderkey
+      LEFT JOIN ip ON h.o_orderkey = ip.l_orderkey
+      ORDER BY h.o_orderkey""",
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.TopCauses
-import graft.builds.{ConditionLoop, EligTimevar, PerfMeasures}
+import graft.builds.{ClaimHeader, ConditionLoop, EligTimevar, PerfMeasures}
 import graft.core.Intervals
 import graft.qa.Qa
 import graft.queries.Q.t
@@ -68,6 +68,12 @@ object BuildQueries {
   def q64EligTimevar(s: SparkSession, dir: String): DataFrame =
     EligTimevar.build(t(s, dir, "events"))
       .orderBy(col("user_id"), col("from_date"))
+
+  /** §7.2 phase 3: the distilled claim_header multi-step build — line flag
+    * rollups, EXCEPT membership, primary-line pick, per-person episodes. */
+  def q66ClaimHeader(s: SparkSession, dir: String): DataFrame =
+    ClaimHeader.build(t(s, dir, "orders"), t(s, dir, "lineitem"))
+      .orderBy(col("o_orderkey"))
 
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
