@@ -118,6 +118,7 @@ object SparkEntry {
     "q65_stream_sessions" -> ((s: SparkSession, dir: String) =>
       EventStream.sessionizeStream(s, dir)),
     "q66_claim_header" -> (graft.queries.BuildQueries.q66ClaimHeader _),
+    "q67_elig_demo" -> (graft.queries.BuildQueries.q67EligDemo _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1155,5 +1156,47 @@ object SparkEntry {
       LEFT JOIN prim p ON h.o_orderkey = p.l_orderkey
       LEFT JOIN ip ON h.o_orderkey = ip.l_orderkey
       ORDER BY h.o_orderkey""",
+
+    "q67_elig_demo" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_type, props,
+          CAST(year(ts) * 100 + month(ts) AS INTEGER) AS ym,
+          ts::DATE AS day
+        FROM events),
+      daily AS (
+        SELECT user_id, day,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS d_p,
+          max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS d_e
+        FROM ev GROUP BY 1, 2),
+      pcts AS (
+        SELECT user_id, count(*) AS n_days,
+          round(sum(d_p) * 100.0 / count(*), 1) AS purchase_pct_t,
+          round(sum(d_e) * 100.0 / count(*), 1) AS error_pct_t
+        FROM daily GROUP BY 1),
+      evers AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS purchase_ever,
+          max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_ever
+        FROM ev GROUP BY 1),
+      modal AS (
+        SELECT user_id, props AS modal_props FROM (
+          SELECT user_id, props, row_number() OVER (PARTITION BY user_id
+            ORDER BY count(*) DESC, max(ym) DESC, props) AS rn
+          FROM ev WHERE props IS NOT NULL GROUP BY user_id, props)
+        WHERE rn = 1),
+      recent AS (
+        SELECT user_id, event_type AS recent_type FROM (
+          SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type) AS rn
+          FROM ev WHERE event_type IS NOT NULL)
+        WHERE rn = 1)
+      SELECT p.user_id, p.n_days, e.purchase_ever, e.error_ever,
+        p.purchase_pct_t, p.error_pct_t, m.modal_props, r.recent_type
+      FROM pcts p
+      JOIN evers e USING (user_id)
+      LEFT JOIN modal m USING (user_id)
+      LEFT JOIN recent r USING (user_id)
+      ORDER BY p.user_id""",
   )
 }

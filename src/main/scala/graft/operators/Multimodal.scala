@@ -43,6 +43,18 @@ object Multimodal {
     MediaFeatures(r.doc_id, b.length, width, height, feature)
   }
 
+  /** Real media ingestion: Spark's binaryFile source — one row per blob
+    * with (path, modificationTime, length, content). The production entry
+    * point for image/audio/video directories; `extractFeatures` runs on
+    * its output unchanged. */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(xxhash64(col("path")).as("doc_id"), col("path"),
+        col("length").as("n_bytes_meta"), col("content").as("media"))
+
   /** Attach a binary media column (here synthesized from text bytes — the
     * stand-in for reading real blobs) plus typed metadata. */
   def withMediaColumn(docs: DataFrame): DataFrame =

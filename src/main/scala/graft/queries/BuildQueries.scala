@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.TopCauses
-import graft.builds.{ClaimHeader, ConditionLoop, EligTimevar, PerfMeasures}
+import graft.builds.{ClaimHeader, ConditionLoop, EligDemo, EligTimevar, PerfMeasures}
 import graft.core.Intervals
 import graft.qa.Qa
 import graft.queries.Q.t
@@ -74,6 +74,12 @@ object BuildQueries {
   def q66ClaimHeader(s: SparkSession, dir: String): DataFrame =
     ClaimHeader.build(t(s, dir, "orders"), t(s, dir, "lineitem"))
       .orderBy(col("o_orderkey"))
+
+  /** §7.2 phase 4: the distilled elig_demo person-level demographics build
+    * — ever flags, percent-of-period vars, modal with latest-period
+    * tie-break, most-recent pick. */
+  def q67EligDemo(s: SparkSession, dir: String): DataFrame =
+    EligDemo.build(t(s, dir, "events")).orderBy(col("user_id"))
 
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans

@@ -21,6 +21,17 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("binaryFile source feeds the same decode pipeline") {
+    val media = Multimodal.readMediaDir(spark, sf, "*.parquet")
+    val n = media.count()
+    assert(n >= 5, s"expected the sf parquet blobs, got $n")
+    val out = Multimodal.extractFeatures(
+      media.select("doc_id", "media"))
+    assert(out.count() == n)
+    val r = out.orderBy("doc_id").head()
+    assert(r.getInt(1) > 0) // n_bytes from actual blob content
+  }
+
   test("decodeStub derives stable features from bytes") {
     val r = Multimodal.MediaRow(1L, "hello world media bytes".getBytes("UTF-8"))
     val f1 = Multimodal.decodeStub(r)
