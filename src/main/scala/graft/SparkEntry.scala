@@ -119,6 +119,8 @@ object SparkEntry {
       EventStream.sessionizeStream(s, dir)),
     "q66_claim_header" -> (graft.queries.BuildQueries.q66ClaimHeader _),
     "q67_elig_demo" -> (graft.queries.BuildQueries.q67EligDemo _),
+    "q68_elig_month" -> (graft.queries.BuildQueries.q68EligMonth _),
+    "q69_salted_agg" -> (graft.queries.BuildQueries.q69SaltedAgg _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1198,5 +1200,44 @@ object SparkEntry {
       LEFT JOIN modal m USING (user_id)
       LEFT JOIN recent r USING (user_id)
       ORDER BY p.user_id""",
+
+    "q68_elig_month" -> """
+      WITH days AS (
+        SELECT DISTINCT o_custkey, o_orderdate::DATE AS day FROM orders),
+      w AS (
+        SELECT o_custkey, day,
+          CASE WHEN lag(day) OVER uw IS NULL
+            OR date_diff('day', lag(day) OVER uw, day) > 30
+            THEN 1 ELSE 0 END AS is_start
+        FROM days WINDOW uw AS (PARTITION BY o_custkey ORDER BY day)),
+      isl AS (
+        SELECT o_custkey, day,
+          sum(is_start) OVER (PARTITION BY o_custkey ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+      ivl AS (SELECT o_custkey, island, min(day) AS d_from, max(day) AS d_to
+              FROM isl GROUP BY 1, 2),
+      mx AS (
+        SELECT o_custkey, d_from, d_to,
+          unnest(generate_series(date_trunc('month', d_from),
+            date_trunc('month', d_to), INTERVAL 1 MONTH))::DATE AS month
+        FROM ivl),
+      pm AS (
+        SELECT o_custkey, month,
+          sum(CASE WHEN d_from <= last_day(month) AND d_to >= month
+            THEN date_diff('day', greatest(d_from, month),
+              least(d_to, last_day(month))) + 1 ELSE 0 END) AS cov_days
+        FROM mx GROUP BY 1, 2)
+      SELECT month, count(*) AS n_members,
+        CAST(sum(cov_days) AS BIGINT) AS cov_days,
+        CAST(sum(CASE WHEN cov_days = date_diff('day', month, last_day(month)) + 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_full_months
+      FROM pm GROUP BY month ORDER BY month""",
+
+    "q69_salted_agg" -> """
+      SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        count(l_quantity) AS n,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.TopCauses
-import graft.builds.{ClaimHeader, ConditionLoop, EligDemo, EligTimevar, PerfMeasures}
+import graft.builds.{ClaimHeader, ConditionLoop, EligDemo, EligMonth, EligTimevar, PerfMeasures}
+import graft.core.Salt
 import graft.core.Intervals
 import graft.qa.Qa
 import graft.queries.Q.t
@@ -80,6 +81,31 @@ object BuildQueries {
     * tie-break, most-recent pick. */
   def q67EligDemo(s: SparkSession, dir: String): DataFrame =
     EligDemo.build(t(s, dir, "events")).orderBy(col("user_id"))
+
+  /** §1.1 person-month densification (elig_month): customer order-activity
+    * intervals (30-day continuity) exploded onto the month grid with
+    * covered-days and full-month flags, rolled up per month. */
+  def q68EligMonth(s: SparkSession, dir: String): DataFrame =
+    EligMonth.build(
+        t(s, dir, "orders").select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("d")),
+        "o_custkey", "d", maxGapDays = 30)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("cov_days")).as("cov_days"),
+        sum(when(col("full_month"), 1).otherwise(0)).as("n_full_months"))
+      .orderBy(col("month"))
+
+  /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
+    * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
+    * the plain aggregate exactly. */
+  def q69SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Salt.saltedStats(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", col("l_orderkey"), buckets = 32)
+      .select(col("l_returnflag"),
+        round(col("sum_val"), 2).as("sum_qty"), col("n"),
+        col("min_val").as("min_qty"), col("max_val").as("max_qty"))
+      .orderBy(col("l_returnflag"))
 
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
