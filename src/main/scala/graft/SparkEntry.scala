@@ -121,6 +121,8 @@ object SparkEntry {
     "q67_elig_demo" -> (graft.queries.BuildQueries.q67EligDemo _),
     "q68_elig_month" -> (graft.queries.BuildQueries.q68EligMonth _),
     "q69_salted_agg" -> (graft.queries.BuildQueries.q69SaltedAgg _),
+    "q70_id_xwalk" -> (graft.queries.BuildQueries.q70IdXwalk _),
+    "q71_sql_api" -> (graft.queries.BuildQueries.q71SqlApi _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1239,5 +1241,27 @@ object SparkEntry {
         count(l_quantity) AS n,
         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q70_id_xwalk" -> """
+      WITH xwalk AS (
+        SELECT c_custkey AS id_src, c_custkey % 100 + 9000000 AS id_master
+        FROM customer WHERE c_custkey % 3 = 0),
+      resolved AS (
+        SELECT coalesce(x.id_master, o.o_custkey) AS id_apde, o.o_totalprice
+        FROM orders o LEFT JOIN xwalk x ON o.o_custkey = x.id_src)
+      SELECT id_apde < 9000000 AS unresolved,
+        count(DISTINCT id_apde) AS n_ids, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS total
+      FROM resolved GROUP BY 1 ORDER BY unresolved""",
+
+    "q71_sql_api" -> """
+      SELECT c.c_mktsegment, count(*) AS n_orders,
+        round(sum(o.o_totalprice), 2) AS revenue,
+        count(DISTINCT o.o_custkey) AS n_customers
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment""",
   )
 }

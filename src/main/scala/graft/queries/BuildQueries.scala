@@ -107,6 +107,42 @@ object BuildQueries {
         col("min_val").as("min_qty"), col("max_val").as("max_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** §1.1 cross-source person identity: per-source ids resolved to a
+    * master id through a crosswalk table with coalesce fallback
+    * (xwalk_apde_mcaid_mcare_pha — claims_elig.R:424-436). The crosswalk
+    * is small -> broadcast; unmatched ids keep their source id. */
+  def q70IdXwalk(s: SparkSession, dir: String): DataFrame = {
+    val xwalk = t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("id_src"),
+        (col("c_custkey") % 100 + 9000000).as("id_master"))
+    t(s, dir, "orders")
+      .join(broadcast(xwalk), col("o_custkey") === col("id_src"), "left")
+      .withColumn("id_apde", coalesce(col("id_master"), col("o_custkey")))
+      .groupBy((col("id_apde") < 9000000).as("unresolved"))
+      .agg(countDistinct(col("id_apde")).as("n_ids"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("unresolved"))
+  }
+
+  /** The SQL front door: the same engine surface through spark.sql over
+    * registered views — proving a reference user can keep writing SQL. */
+  def q71SqlApi(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    s.sql("""
+      SELECT c.c_mktsegment,
+        count(*) AS n_orders,
+        round(sum(o.o_totalprice), 2) AS revenue,
+        count(DISTINCT o.o_custkey) AS n_customers
+      FROM v_orders o
+      JOIN v_customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment""")
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
