@@ -23,12 +23,11 @@ object Dedup {
   def tokens(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
-  /** Distinct n-token shingles; short docs fall back to the whole text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+  /** Distinct n-token shingle HASHES, sorted ascending — the candidate and
+    * verification unit for near-dup ops (codegen'd single pass; see
+    * [[graft.functions.ShingleHashes]]). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes.shingleHashes(tokens(text), n)
 
   /** Exact dedup: md5 of normalized text; keeps the lowest id per group.
     * One partial-aggregatable shuffle on the 128-bit hash. */
@@ -39,11 +38,11 @@ object Dedup {
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** MinHash signature: k independent 64-bit hash mins over shingles
-    * (codegen'd single-pass Catalyst expression — see
-    * [[graft.functions.MinHashSignature]]). */
+  /** MinHash signature: k independent 64-bit hash mins over pre-hashed
+    * shingles (codegen'd single pass — see
+    * [[graft.functions.MinHashFromHashes]]). */
   def minhashSignature(sh: Column, k: Int): Column =
-    graft.functions.MinHashSignature.minhash(sh, k)
+    graft.functions.MinHashFromHashes.minhash(sh, k)
 
   /** Exact Jaccard over two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -89,12 +88,12 @@ object Dedup {
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
     val sh = docs.select(col(id).as("_id"),
-      graft.functions.ShingleHashes.shingleHashes(tokens(col(text)), shingleN).as("_sh"))
+      shingles(col(text), shingleN).as("_sh"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("_sig"), b * rows + 1, rows)).as("bh"))
     }
     val buckets = sh
-      .withColumn("_sig", graft.functions.MinHashFromHashes.minhash(col("_sh"), k))
+      .withColumn("_sig", minhashSignature(col("_sh"), k))
       .select(col("_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("_id"), col("bk.band"), col("bk.bh"))
     val pairs = bucketPairs(buckets, Seq("band", "bh"), maxBucket)
@@ -161,10 +160,10 @@ object Dedup {
       blockCols: Seq[String], shingleN: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = 10000): DataFrame = {
     val sh = docs.select(col(id).as("_id"),
-      graft.functions.ShingleHashes.shingleHashes(tokens(col(text)), shingleN).as("_sh"))
+      shingles(col(text), shingleN).as("_sh"))
     val base = docs.select(
       (blockCols.map(col) :+ col(id).as("_id") :+
-        graft.functions.ShingleHashes.shingleHashes(tokens(col(text)), shingleN).as("_sh")): _*)
+        shingles(col(text), shingleN).as("_sh")): _*)
     val prefixLen = size(col("_sh")) -
       ceil(size(col("_sh")) * lit(threshold)).cast("int") + 1
     // ShingleHashes returns ascending hashes — the global order is built in,
