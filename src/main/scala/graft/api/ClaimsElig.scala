@@ -29,13 +29,18 @@ import graft.core.{Intervals, WeightedMode}
 object ClaimsElig {
 
   /** The reference's ~60 optional params, distilled to the ones the
-    * testdata can express (absent -> no constraint, as in claims_elig). */
+    * testdata can express (absent -> no constraint, as in claims_elig).
+    * Each present param compiles to one Column predicate, exactly the
+    * fragment-assembly model of claims_elig.R:441-523. */
   case class EligParams(
       fromDate: String,
       toDate: String,
       covMinPct: Option[Double] = None,
       covgapMaxDays: Option[Int] = None,
-      modalTypes: Option[Seq[String]] = None)
+      modalTypes: Option[Seq[String]] = None,
+      recentTypes: Option[Seq[String]] = None,
+      minCovDays: Option[Int] = None,
+      propsPattern: Option[String] = None)
 
   /** Cohort over an event stream: entity activity intervals are the
     * "coverage periods"; event_type/props are the time-varying attributes.
@@ -104,7 +109,10 @@ object ClaimsElig {
     Predicates.applyAll(cohortAll,
         p.covMinPct.map(m => col("cov_pct") >= m),
         p.covgapMaxDays.map(g => col("covgap_max") <= g),
-        Predicates.inOptCI("modal_type", p.modalTypes))
+        Predicates.inOptCI("modal_type", p.modalTypes),
+        Predicates.inOptCI("recent_type", p.recentTypes),
+        p.minCovDays.map(d => col("cov_days") >= d),
+        Predicates.rlikeOpt("modal_props", p.propsPattern))
       .select(col("user_id"), col("cov_days"), col("cov_pct"),
         col("covgap_max"), col("modal_type"), col("modal_props"),
         col("recent_type"))
