@@ -573,6 +573,43 @@ object SparkEntry {
         >= 0.5
       ORDER BY id_a, id_b""",
 
+    // q39: full brute-force SimHash oracle — FNV-1a 64-bit (HUGEINT-mod
+    // wrap-around multiply) folded per token, 64-lane sign accumulation,
+    // then all-pairs bit_count(xor) <= maxHamming. The 8x8-bit pigeonhole
+    // buckets in the Spark plan are sound for hamming <= 7, so brute force
+    // and the bucketed plan emit identical pair sets.
+    "q39_simhash_neardup" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents),
+      hashed AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(tok) + 1),
+                             i -> unicode(substr(tok, i, 1))::HUGEINT)),
+            (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT
+                       * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT) AS h
+        FROM toks),
+      bits AS (
+        SELECT doc_id, bs.b AS bit,
+          CASE WHEN sum(CASE WHEN (h >> bs.b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+               THEN 1 ELSE 0 END AS bitval
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
+        GROUP BY doc_id, bs.b),
+      sigs AS (
+        SELECT doc_id,
+          sum(bitval::HUGEINT * (1::HUGEINT << bit))::HUGEINT AS sig
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT))::BIGINT AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE hamming <= 6
+      ORDER BY id_a, id_b""",
+
     "q40_ngram_jaccard" -> """
       WITH d AS (
         SELECT doc_id, source,
@@ -645,6 +682,41 @@ object SparkEntry {
       SELECT user_id, count(*) AS n_episodes, min(event_id) AS first_event_id,
         CAST(max(seq) AS INTEGER) AS max_seq
       FROM adm GROUP BY user_id ORDER BY user_id""",
+
+    // q45: the decode step is a deterministic FNV-derived stub (no codec
+    // libs in this container), which makes even the fake dims/features
+    // oracle-able: replicate the byte-range FNV folds in SQL. Width/height
+    // take the UNSIGNED hash mod 1024 (2^64 ≡ 0 mod 1024, so signedness is
+    // moot); the feature lane mods by 10000, where 2^64 ≢ 0, so the oracle
+    // must reproduce Java's SIGNED remainder before the +10000 wrap.
+    "q45_multimodal" -> """
+      WITH fnv AS (
+        SELECT doc_id, length(text) AS n_bytes,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(text) + 1),
+                             i -> unicode(substr(text, i, 1))::HUGEINT)),
+            (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT
+                       * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT) AS h,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, greatest(length(text) // 8, 1) + 1),
+                             i -> unicode(substr(text, i, 1))::HUGEINT)),
+            (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT
+                       * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT) AS h0
+        FROM documents),
+      signed AS (
+        SELECT doc_id, n_bytes, h,
+          CASE WHEN h0 >= 9223372036854775808::HUGEINT
+               THEN h0 - 18446744073709551616::HUGEINT ELSE h0 END AS s0
+        FROM fnv)
+      SELECT doc_id, n_bytes::INT AS n_bytes,
+        (64 + (h % 1024))::INT AS width,
+        (64 + ((h >> 32) % 1024))::INT AS height,
+        ((((s0 % 10000) + 10000) % 10000)::BIGINT / 10000.0)::REAL AS f0
+      FROM signed ORDER BY doc_id""",
 
     "q46_interval_collapse" -> """
       WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
