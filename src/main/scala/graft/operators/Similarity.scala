@@ -50,6 +50,8 @@ object Similarity {
       .orderBy(xxhash64(col("_id"), lit(seed))).limit(nCells)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    if (centroids.isEmpty)  // empty corpus: nothing to index
+      return (c.withColumn("_cell", lit(null).cast("int")), centroids)
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       assigned = assignToNearest(c, centroids)
@@ -77,6 +79,11 @@ object Similarity {
   def ivfTopK(queries: DataFrame, qid: String, qvec: String,
       assigned: DataFrame, centroids: Array[(Int, Seq[Float])],
       k: Int, nProbe: Int = 2): DataFrame = {
+    if (centroids.isEmpty)  // empty index: no neighbors, keep the schema
+      return queries.select(col(qid).as("query_id"),
+        lit(null).cast("long").as("neighbor_id"),
+        lit(null).cast("double").as("cosine"),
+        lit(null).cast("int").as("rank")).limit(0)
     val probes = centroids.map { case (cid, cen) =>
       struct(VectorFns.cosineSim(col("_qv"), typedlit(cen)).as("sim"),
         lit(cid).as("cell"))

@@ -76,7 +76,7 @@ vars:
       newData = fresh.unionByName(fresh), // duplicate extract
       dateCol = "o_orderdate", partitionCol = "yr", partitionOf = year,
       cutDate = cut, distinctUnion = true)
-    s.read.parquet(s"$base/table")
+    s.read.schema(initial.schema).parquet(s"$base/table")
       .groupBy(col("yr"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"),

@@ -71,13 +71,20 @@ object LoadTable {
     val cut = lit(cutDate)
     val cutPart = spark.range(1).select(partitionOf(to_date(cut))).head().get(0)
 
+    // declared schema for every re-read: a zero-row partitioned write emits
+    // no data files, so inference over table/archive paths would fail on
+    // empty refresh windows (and a 100 TB load shouldn't pay an inference
+    // listing anyway)
+    val tableSchema = newData
+      .withColumn(partitionCol, partitionOf(col(dateCol))).schema
+
     // 1. archive the refresh window's partitions (read table -> write copy)
-    val affected = spark.read.parquet(tablePath)
+    val affected = spark.read.schema(tableSchema).parquet(tablePath)
       .filter(col(partitionCol) >= lit(cutPart))
     affected.write.mode("overwrite").partitionBy(partitionCol).parquet(archivePath)
 
     // 2. rebuild: pre-cut archive rows + post-cut new rows
-    val rebuilt0 = spark.read.parquet(archivePath)
+    val rebuilt0 = spark.read.schema(tableSchema).parquet(archivePath)
       .filter(col(dateCol) < cut)
       .unionByName(
         newData.filter(col(dateCol) >= cut)

@@ -121,7 +121,9 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$base/data")
+    // explicit schema: an all-withheld (or empty-input) run writes no files,
+    // and schema inference over the empty sink dir would fail
+    s.read.schema(sessions.toDF().schema).parquet(s"$base/data")
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -159,7 +161,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(dataDir)
+    s.read.schema(agg.schema).parquet(dataDir)
       .select(col("event_type"), col("window.start").as("hour_ts"),
         col("n"), round(col("val"), 2).as("val"))
       .orderBy(col("event_type"), col("hour_ts"))
