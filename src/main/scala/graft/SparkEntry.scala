@@ -123,6 +123,7 @@ object SparkEntry {
     "q69_salted_agg" -> (graft.queries.BuildQueries.q69SaltedAgg _),
     "q70_id_xwalk" -> (graft.queries.BuildQueries.q70IdXwalk _),
     "q71_sql_api" -> (graft.queries.BuildQueries.q71SqlApi _),
+    "q72_winnow_overlap" -> (T.q72WinnowOverlap _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1335,5 +1336,47 @@ object SparkEntry {
       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       GROUP BY c.c_mktsegment
       ORDER BY c.c_mktsegment""",
+
+    // q72: full winnowing replica — per-k-gram polynomial hash mod 2^64
+    // (HUGEINT fold; identical to the Spark kernel's rolling form), window
+    // minima (list_min = the kernel's unsigned order, since values are
+    // non-negative HUGEINTs), value-dedupe, then the shared-count join.
+    // Assumes ASCII text (unicode() = byte), true of the driver corpus.
+    "q72_winnow_overlap" -> """
+      WITH norm AS (
+        SELECT doc_id,
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          CASE WHEN length(s) <= 16 THEN
+            [list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(range(1, length(s) + 1),
+                               i -> unicode(substr(s, i, 1))::HUGEINT)),
+              (h, b) -> (h * 263 + b) % 18446744073709551616::HUGEINT)]
+          ELSE
+            list_transform(generate_series(1, length(s) - 15),
+              i -> list_reduce(
+                list_prepend(0::HUGEINT,
+                  list_transform(generate_series(i, i + 15),
+                                 j -> unicode(substr(s, j, 1))::HUGEINT)),
+                (h, b) -> (h * 263 + b) % 18446744073709551616::HUGEINT))
+          END AS hs
+        FROM norm),
+      sel AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(hs) - 7, 1)),
+            t -> list_min(hs[t:t+7])))) AS fp
+        FROM grams),
+      capped AS (
+        SELECT * FROM sel
+        QUALIFY count(*) OVER (PARTITION BY fp) <= 10000)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+      ORDER BY id_a, id_b""",
   )
 }

@@ -207,4 +207,34 @@ object Dedup {
         VectorFns.cosineSim(col("_v_a"), col("_v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** MOSS-style local-overlap pairs via winnowing fingerprints
+    * ([[graft.functions.WinnowFingerprints]]): docs sharing >= `minShared`
+    * selected rolling-hash values. Winnowing's guarantee makes this a LOCAL
+    * similarity detector — any shared run of k+w-1 chars surfaces at least
+    * one shared fingerprint — so it catches partial/contained overlap that
+    * whole-document Jaccard dilutes away.
+    *
+    * Scale shape: same bucket-join discipline as the other near-dup ops —
+    * one row per (doc, fingerprint), hot boilerplate fingerprints capped,
+    * shared counts from a fingerprint equi-join (never all-pairs). Selected
+    * density is ~2/(w+1) of k-grams, so the exploded frame stays a small
+    * multiple of corpus size. */
+  def winnowOverlapPairs(docs: DataFrame, id: String, text: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 10,
+      maxBucket: Int = 10000): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(text))), "\\s+", " ")
+    val fps = docs.select(col(id).as("_id"),
+      explode(graft.functions.WinnowFingerprints.winnow(norm, k, w)).as("_fp"))
+    val capped = fps.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("_fp"))))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
+    val a = capped.select(col("_fp"), col("_id").as("id_a"))
+    val b = capped.select(col("_fp"), col("_id").as("id_b"))
+    a.join(b, Seq("_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

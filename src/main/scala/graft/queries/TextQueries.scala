@@ -77,4 +77,14 @@ object TextQueries {
       blockCols = Seq("source"), shingleN = 3, threshold = 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Winnowing (MOSS) rolling-hash fingerprint overlap: pairs sharing
+    * >= minShared selected k-gram hashes — the LOCAL-overlap complement to
+    * the whole-document Jaccard detectors. */
+  def q72WinnowOverlap(s: SparkSession, dir: String): DataFrame =
+    // k=16/w=8: guarantee run length k+w-1 = 23 chars (~4 tokens) — short
+    // k drowns in ubiquitous template phrases on this corpus
+    Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 16, w = 8, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
 }

@@ -47,6 +47,44 @@ object KernelProps extends Properties("kernels") {
       sa == sb && sa.intersect(sd).isEmpty
     }
 
+  private val asciiText: Gen[String] = Gen.choose(0, 60)
+    .flatMap(n => Gen.listOfN(n,
+      Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))))
+    .map(_.mkString)
+
+  property("winnow deque kernel equals the naive per-window minimum") =
+    Prop.forAll(asciiText, Gen.choose(2, 6), Gen.choose(1, 5)) { (s, k, w) =>
+      val got = {
+        val a = WinnowFingerprints.fingerprints(UTF8String.fromString(s), k, w)
+        (0 until a.numElements()).map(a.getLong).toSet
+      }
+      // naive reference: every k-gram polynomial hash, then plain
+      // per-window minima in unsigned order
+      val b = s.getBytes("UTF-8")
+      val naive: Set[Long] =
+        if (b.length <= k)
+          Set(b.foldLeft(0L)((h, c) => h * WinnowFingerprints.Base + (c & 0xffL)))
+        else {
+          val hs = b.sliding(k).map(
+            _.foldLeft(0L)((h, c) => h * WinnowFingerprints.Base + (c & 0xffL))).toVector
+          val effW = math.min(w, hs.length)
+          hs.sliding(effW).map(_.minBy(h => h ^ Long.MinValue)).toSet
+        }
+      got == naive
+    }
+
+  property("winnow fingerprints of a doc survive in any superstring") =
+    Prop.forAll(asciiText.suchThat(_.length >= 20), asciiText, asciiText) {
+      (core, pre, post) =>
+        def fps(s: String): Set[Long] = {
+          val a = WinnowFingerprints.fingerprints(UTF8String.fromString(s), 5, 3)
+          (0 until a.numElements()).map(a.getLong).toSet
+        }
+        // winnowing guarantee: >= 1 shared fingerprint whenever the shared
+        // run is at least k + w - 1 chars
+        fps(pre + core + post).intersect(fps(core)).nonEmpty
+    }
+
   property("minhash signature entries are mins over per-shingle hashes") =
     Prop.forAll(tokens.suchThat(_.nonEmpty), Gen.choose(1, 8)) { (ts, k) =>
       val sh = ShingleHashes.hashes(arr(ts), 3)

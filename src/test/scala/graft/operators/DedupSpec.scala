@@ -171,4 +171,25 @@ class DedupSpec extends SparkSpec {
       assert(cos(vecs(a), vecs(b)) >= 0.95 - 1e-6)
     }
   }
+
+  test("winnow overlap finds partial containment that whole-doc jaccard misses") {
+    val base = corpus(60)
+    // doc 1000 embeds a 12-token RUN of doc 0 inside otherwise-unrelated
+    // text: local overlap, but whole-document similarity is low
+    val run = base(0)._2.split(" ").slice(5, 17).mkString(" ")
+    val rng = new Random(23)
+    val noise = Seq.fill(40)(s"n${rng.nextInt(5000)}").mkString(" ")
+    val partial = (1000L, s"$noise $run $noise", "src0")
+    val out = Dedup.winnowOverlapPairs(toDf(base :+ partial),
+      "doc_id", "text", k = 8, w = 4, minShared = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((0L, 1000L)), "contained run not detected")
+    // the run is ~2% of either doc's shingles — whole-doc jaccard would
+    // never clear a near-dup threshold; confirm the detection is local
+    assert(jac(shingleSet(base(0)._2, 3), shingleSet(partial._2, 3)) < 0.2)
+    // base corpus docs are pairwise unrelated: no false pairs among them
+    assert(out.forall { case (a, b, _) => a == 0L && b == 1000L },
+      s"unexpected pairs: ${out.filterNot(p => p._1 == 0L && p._2 == 1000L).mkString(",")}")
+  }
 }
