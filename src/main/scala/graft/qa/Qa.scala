@@ -60,6 +60,46 @@ object Qa {
     QaCheck(table, s"nulls_$column", n <= atMost, n, atMost)
   }
 
+  /** Row-local checks for one table, FUSED into a single scan.
+    *
+    * At 100 TB every one-check-one-job call above re-reads the table;
+    * distinctness, domain invariants, null tolerances and the row count
+    * are all expressible as aggregates of the same pass, so a table's QA
+    * suite should cost ONE scan (plus Spark's expand for the distinct
+    * aggregates), not one per check. Referential integrity stays on the
+    * anti-join path — fusing a join into the shared scan would let a
+    * key-duplicating parent corrupt the row-local counts. */
+  case class TableQa(
+      distinctKeys: Seq[Seq[String]] = Nil,
+      violations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      nullAtMost: Seq[(String, Long)] = Nil,
+      minRows: Option[Long] = None)
+
+  def fusedTableChecks(df: DataFrame, table: String, cfg: TableQa): Seq[QaCheck] = {
+    val aggs = Seq(count(lit(1)).as("_n")) ++
+      cfg.distinctKeys.zipWithIndex.map { case (ks, i) =>
+        countDistinct(ks.head, ks.tail: _*).as(s"_d$i") } ++
+      cfg.violations.zipWithIndex.map { case ((_, v), i) =>
+        sum(when(v, 1L).otherwise(0L)).as(s"_v$i") } ++
+      cfg.nullAtMost.zipWithIndex.map { case ((c, _), i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_z$i") }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("_n")
+    cfg.distinctKeys.zipWithIndex.map { case (ks, i) =>
+      val d = r.getAs[Long](s"_d$i")
+      QaCheck(table, s"distinct_${ks.mkString("_")}", n == d, d, n)
+    } ++
+      cfg.violations.zipWithIndex.map { case ((name, _), i) =>
+        val v = if (r.isNullAt(r.fieldIndex(s"_v$i"))) 0L else r.getAs[Long](s"_v$i")
+        QaCheck(table, name, v == 0L, v, 0L)
+      } ++
+      cfg.nullAtMost.zipWithIndex.map { case ((c, atMost), i) =>
+        val z = if (r.isNullAt(r.fieldIndex(s"_z$i"))) 0L else r.getAs[Long](s"_z$i")
+        QaCheck(table, s"nulls_$c", z <= atMost, z, atMost)
+      } ++
+      cfg.minRows.map(m => QaCheck(table, "rowcount_monotonic", n >= m, n, m))
+  }
+
   /** Assemble a suite result frame (the metadata.qa_mcaid analog). */
   def suite(spark: SparkSession, checks: Seq[QaCheck]): DataFrame = {
     import spark.implicits._

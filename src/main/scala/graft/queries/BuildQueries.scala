@@ -22,15 +22,21 @@ object BuildQueries {
     val customer = t(s, dir, "customer")
     val nation = t(s, dir, "nation")
     val part = t(s, dir, "part")
-    Qa.suite(s, Seq(
-      Qa.keyDistinct(orders, "orders", Seq("o_orderkey")),
-      Qa.keyDistinct(part, "part", Seq("p_partkey")),
-      Qa.refIntegrity(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
-      Qa.refIntegrity(orders, "o_custkey", customer, "c_custkey", "orders"),
-      Qa.refIntegrity(customer, "c_nationkey", nation, "n_nationkey", "customer"),
-      Qa.noneViolate(lineitem, "lineitem", "neg_quantity", col("l_quantity") < 0),
-      Qa.nullCountAtMost(orders, "orders", "o_orderdate", 0L),
-      Qa.rowCountAtLeast(lineitem, "lineitem", 1000L)))
+    Qa.suite(s,
+      // row-local checks fuse to ONE scan per table (Qa.fusedTableChecks);
+      // referential integrity stays per-pair anti-joins
+      Qa.fusedTableChecks(orders, "orders", Qa.TableQa(
+        distinctKeys = Seq(Seq("o_orderkey")),
+        nullAtMost = Seq("o_orderdate" -> 0L))) ++
+      Qa.fusedTableChecks(lineitem, "lineitem", Qa.TableQa(
+        violations = Seq("neg_quantity" -> (col("l_quantity") < 0)),
+        minRows = Some(1000L))) ++
+      Qa.fusedTableChecks(part, "part", Qa.TableQa(
+        distinctKeys = Seq(Seq("p_partkey")))) ++
+      Seq(
+        Qa.refIntegrity(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
+        Qa.refIntegrity(orders, "o_custkey", customer, "c_custkey", "orders"),
+        Qa.refIntegrity(customer, "c_nationkey", nation, "n_nationkey", "customer")))
       .orderBy(col("table"), col("check"))
   }
 

@@ -1,0 +1,57 @@
+package graft.qa
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The fused one-scan QA path must report exactly what the per-check
+  * functions report — on data with real defects (dup keys, nulls,
+  * violations), not just on clean fixtures. */
+class QaSpec extends SparkSpec {
+
+  test("fusedTableChecks equals the individual checks, defect for defect") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some("2024-01-01"), 5.0),
+      (2L, None, -3.0), // null date, negative value
+      (2L, Some("2024-02-01"), 1.0), // duplicate key
+      (3L, Some("2024-03-01"), 0.0)
+    ).toDF("id", "dt", "v")
+
+    val fused = Qa.fusedTableChecks(df, "t", Qa.TableQa(
+      distinctKeys = Seq(Seq("id")),
+      violations = Seq("neg_v" -> (col("v") < 0)),
+      nullAtMost = Seq("dt" -> 0L),
+      minRows = Some(10L)))
+
+    val individual = Seq(
+      Qa.keyDistinct(df, "t", Seq("id")),
+      Qa.noneViolate(df, "t", "neg_v", col("v") < 0),
+      Qa.nullCountAtMost(df, "t", "dt", 0L),
+      Qa.rowCountAtLeast(df, "t", 10L))
+
+    assert(fused.toSet == individual.toSet)
+    // and the defects are actually seen: 3 distinct of 4 rows, 1 violation,
+    // 1 null, rowcount 4 < 10
+    val byName = fused.map(c => c.check -> c).toMap
+    assert(!byName("distinct_id").pass && byName("distinct_id").observed == 3L)
+    assert(!byName("neg_v").pass && byName("neg_v").observed == 1L)
+    assert(!byName("nulls_dt").pass && byName("nulls_dt").observed == 1L)
+    assert(!byName("rowcount_monotonic").pass &&
+      byName("rowcount_monotonic").observed == 4L)
+  }
+
+  test("fused checks on an empty frame: distinct passes, minRows fails") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val fused = Qa.fusedTableChecks(empty, "t", Qa.TableQa(
+      distinctKeys = Seq(Seq("id")),
+      violations = Seq("neg_v" -> (col("v") < 0)),
+      minRows = Some(1L)))
+    val byName = fused.map(c => c.check -> c).toMap
+    assert(byName("distinct_id").pass)
+    assert(byName("neg_v").pass && byName("neg_v").observed == 0L)
+    assert(!byName("rowcount_monotonic").pass)
+  }
+}
