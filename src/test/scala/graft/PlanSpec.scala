@@ -54,4 +54,32 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
   }
+
+  test("no unintended cartesian or nested-loop joins in the catalog") {
+    // CartesianProductExec shuffles both sides everywhere — never acceptable.
+    // BroadcastNestedLoopJoin is the designed shape only where a small side
+    // is deliberately crossed/broadcast against the big side.
+    val intendedBnl = Set(
+      "q10_cross_spine", // month spine x dim: tiny x tiny by design
+      "q41_ann_brute",   // crossJoin(broadcast(queries)): the ANN baseline
+      "q42_ann_ivf",     // broadcast probe set against partitioned cells
+      "q18_tabloop",     // zero-fill group spine cross (suppression input)
+      "q19_suppress",
+      "q60_perf_measures", // month-spine cross for the rolling denominator
+      "q09_join_theta_prefix", // LIKE-prefix theta: non-equi by nature,
+                               // broadcast dim side is the designed plan
+      "q15_topn",        // windowless rank: n x n broadcast self-join,
+      "q62_top_causes")  // bounded by limit(n) upstream (core/TopN)
+    val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
+      "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
+    val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      val cart = p.contains("CartesianProduct")
+      val bnl = p.contains("BroadcastNestedLoopJoin") && !intendedBnl(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnl) Some(s"$name: BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"unintended cross joins: $offenders")
+  }
 }
