@@ -124,6 +124,7 @@ object SparkEntry {
     "q70_id_xwalk" -> (graft.queries.BuildQueries.q70IdXwalk _),
     "q71_sql_api" -> (graft.queries.BuildQueries.q71SqlApi _),
     "q72_winnow_overlap" -> (T.q72WinnowOverlap _),
+    "q73_weighted_mode_agg" -> (W.q73WeightedModeAgg _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1378,5 +1379,18 @@ object SparkEntry {
       GROUP BY 1, 2
       HAVING count(*) >= 5
       ORDER BY id_a, id_b""",
+
+    // q73: identical semantics to q14 — the Spark side differs only in
+    // physical formulation (typed Aggregator, one shuffle).
+    "q73_weighted_mode_agg" -> """
+      WITH s AS (
+        SELECT user_id, event_type, sum(value) AS wt
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      ranked AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY wt DESC, event_type) AS rn
+        FROM s)
+      SELECT user_id, event_type AS weighted_type
+      FROM ranked WHERE rn = 1 ORDER BY user_id""",
   )
 }

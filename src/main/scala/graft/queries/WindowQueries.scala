@@ -30,6 +30,14 @@ object WindowQueries {
       Seq("user_id"), "event_type", "value", "weighted_type")
       .orderBy(col("user_id"))
 
+  /** §2.10 the same weighted mode through the single-shuffle typed
+    * Aggregator (UDAF surface) — one partial-aggregatable exchange, no
+    * window pass; must agree with q14 exactly (same oracle). */
+  def q73WeightedModeAgg(s: SparkSession, dir: String): DataFrame =
+    graft.core.WeightedModeAgg.weightedMode(t(s, dir, "events"),
+      Seq("user_id"), "event_type", "value", "weighted_type")
+      .orderBy(col("user_id"))
+
   /** §2.5 LAG gap computation (pre_gap/post_gap — claims_elig.R:715-733):
     * day gaps between consecutive orders per customer. */
   def q21LagGaps(s: SparkSession, dir: String): DataFrame = {

@@ -41,6 +41,29 @@ class WeightedModeSpec extends SparkSpec {
     assert(onePass.toSeq == Seq((1L, "b", "lo"), (2L, "y", "lo")))
   }
 
+  test("single-shuffle Aggregator agrees with the two-step weightedMode") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (1L, "b", 30.0), (1L, "a", 15.0),
+      (2L, "x", 5.0), (2L, "y", 5.0),
+      (3L, "q", 1.0)
+    ).toDF("id", "v", "w")
+    val agg = WeightedModeAgg.weightedMode(df, Seq("id"), "v", "w", "modal")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(agg.toSeq == Seq((1L, "b"), (2L, "x"), (3L, "q")))
+    // and on the real events table, row for row
+    val events = graft.queries.Q.t(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val two = WeightedMode.weightedMode(events, Seq("user_id"),
+      "event_type", "value", "m").orderBy("user_id").collect().toSeq
+    val one = WeightedModeAgg.weightedMode(events, Seq("user_id"),
+      "event_type", "value", "m").orderBy("user_id").collect().toSeq
+    assert(one == two)
+  }
+
   test("mode with tieBreakDesc prefers higher tie-break, then ascending value") {
     val s = spark
     import s.implicits._
