@@ -125,6 +125,7 @@ object SparkEntry {
     "q71_sql_api" -> (graft.queries.BuildQueries.q71SqlApi _),
     "q72_winnow_overlap" -> (T.q72WinnowOverlap _),
     "q73_weighted_mode_agg" -> (W.q73WeightedModeAgg _),
+    "q74_bucketed_join" -> (graft.queries.LifecycleQueries.q74BucketedJoin _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1392,5 +1393,11 @@ object SparkEntry {
         FROM s)
       SELECT user_id, event_type AS weighted_type
       FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    "q74_bucketed_join" -> """
+      SELECT o.o_orderpriority, count(*) AS n_lines,
+        round(sum(l.l_extendedprice), 2) AS total
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{LoadTable, TableConfig}
+import graft.sources.{Bucketing, LoadTable, TableConfig}
 import graft.queries.Q.t
 
 /** Table-lifecycle catalog: YAML-declared schemas, CSV/ORC source+sink
@@ -82,5 +82,25 @@ vars:
         round(sum(col("o_totalprice")), 2).as("total"),
         countDistinct(col("o_orderkey")).as("n_keys"))
       .orderBy(col("yr"))
+  }
+
+  /** §4 co-located join layout: both fact tables written bucketed on the
+    * join key, then joined EXCHANGE-FREE (bucket i zips with bucket i; the
+    * only shuffle in the plan is the small post-join rollup). The merge
+    * hint keeps the demo on the sort-merge path even when one side would
+    * broadcast at test scale. */
+  def q74BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_bucketed").toString
+    Bucketing.writeBucketed(t(s, dir, "orders"),
+      "graft_b_orders", s"$base/orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(t(s, dir, "lineitem"),
+      "graft_b_lineitem", s"$base/lineitem", "l_orderkey", 8)
+    Bucketing.table(s, "graft_b_lineitem")
+      .join(Bucketing.table(s, "graft_b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
   }
 }

@@ -55,6 +55,19 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
   }
 
+  test("q74 bucketed join is exchange-free up to the post-join rollup") {
+    val df = graft.queries.LifecycleQueries.q74BucketedJoin(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"bucketed scan lost:\n$p")
+    // the join inputs print BELOW the SortMergeJoin line; neither may
+    // shuffle — the only exchanges allowed are post-join (rollup + sort),
+    // which print above it
+    val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"),
+      s"join input shuffled despite bucketing:\n$p")
+  }
+
   test("no unintended cartesian or nested-loop joins in the catalog") {
     // CartesianProductExec shuffles both sides everywhere — never acceptable.
     // BroadcastNestedLoopJoin is the designed shape only where a small side
