@@ -15,9 +15,11 @@ import graft.streaming.EventStream
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the multi-way broadcast join + aggregation kernel (SURVEY §2.3). */
+    * the claims_elig cohort API end-to-end — the reference's primary user
+    * entry point through the full temporal kernel (interval collapse, window
+    * clipping, covgap, one-pass weighted modes, param predicates). */
   def entry(spark: SparkSession): DataFrame =
-    R.q3JoinInner(spark, "/root/testdata/sf0.001")
+    graft.queries.CohortQueries.q49ClaimsElig(spark, "/root/testdata/sf0.001")
 
   /** §2.9 iterative greedy timeline admission (pregnancy-episode WHILE loop)
     * via flatMapGroups; per-user episode rollup for a stable shape. */
