@@ -40,6 +40,21 @@ object SparkEntry {
         round(element_at(col("feature"), 1), 4).as("f0"))
       .orderBy(col("doc_id"))
 
+  /** Video-shaped frame sampling: fixed-size binary frames, every 2nd kept
+    * (sampled BEFORE the explode), per-frame stub decode, per-doc rollup. */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withMediaColumn(s.read.parquet(s"$dir/documents.parquet")),
+      frameBytes = 64, stride = 2)
+    Multimodal.frameFeatures(frames)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        max(when(col("frame_idx") === 0, col("f_int"))).as("f0"),
+        sum(col("f_int")).as("f_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Structured Streaming hourly rollup (append mode + file sink; only
     * watermark-finalized windows are emitted — the oracle applies the same
     * cutoff). */
@@ -128,6 +143,7 @@ object SparkEntry {
     "q72_winnow_overlap" -> (T.q72WinnowOverlap _),
     "q73_weighted_mode_agg" -> (W.q73WeightedModeAgg _),
     "q74_bucketed_join" -> (graft.queries.LifecycleQueries.q74BucketedJoin _),
+    "q75_frame_sample" -> (qFrameSample _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1401,5 +1417,41 @@ object SparkEntry {
         round(sum(l.l_extendedprice), 2) AS total
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1 ORDER BY 1""",
+
+    // q75: same FNV-replica technique as q45, per sampled frame — frame i
+    // is the byte range [i*64, i*64+64); ASCII corpus makes substr == byte
+    // slice. Java-signed mod 10000 as in q45.
+    "q75_frame_sample" -> """
+      WITH frames AS (
+        SELECT doc_id,
+          cast(ceil(length(text) / 64.0) AS INT) AS n_frames,
+          unnest(generate_series(0,
+            greatest(cast(ceil(length(text) / 64.0) AS INT) - 1, 0), 2))
+            AS frame_idx,
+          text
+        FROM documents),
+      feat AS (
+        SELECT doc_id, n_frames, frame_idx,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(
+                range(1, length(substr(text, frame_idx * 64 + 1, 64)) + 1),
+                i -> unicode(substr(substr(text, frame_idx * 64 + 1, 64),
+                             i, 1))::HUGEINT)),
+            (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT
+                       * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT) AS h
+        FROM frames),
+      fint AS (
+        SELECT doc_id, n_frames, frame_idx,
+          ((((CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN h - 18446744073709551616::HUGEINT ELSE h END)
+             % 10000) + 10000) % 10000)::INT AS f_int
+        FROM feat)
+      SELECT doc_id, max(n_frames)::INT AS n_frames,
+        count(*) AS n_sampled,
+        max(CASE WHEN frame_idx = 0 THEN f_int END) AS f0,
+        sum(f_int)::BIGINT AS f_sum
+      FROM fint GROUP BY doc_id ORDER BY doc_id""",
   )
 }

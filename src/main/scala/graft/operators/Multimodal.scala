@@ -72,4 +72,57 @@ object Multimodal {
       .mapPartitions { it => it.map(decodeStub) }
       .toDF()
   }
+
+  /** STUB resize: a real implementation re-rasterizes; the stub scales the
+    * fake dims preserving aspect and re-derives the feature from the bytes
+    * + target box, keeping determinism. Pure metadata/Column transform —
+    * the real-codec version would swap the feature expression for a UDF
+    * batch pass like [[extractFeatures]]. */
+  def resizeStub(features: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide).cast("double") / greatest(col("width"), col("height")))
+    features
+      .withColumn("rs_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("rs_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling for video-shaped payloads: treat the binary as
+    * fixed-size frames, keep every `stride`-th, decode each kept frame.
+    * Pure Column ops — `sequence` + `transform` + binary `substring` stay
+    * inside WholeStageCodegen, and the explode multiplies rows only by the
+    * KEPT frame count (the sampling happens before the explode, which is
+    * the point at 100 TB of video). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("media")).cast("double") / frameBytes).cast("int")
+    val kept = sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))
+    media
+      .withColumn("n_frames", nFrames)
+      .withColumn("_fr", explode(transform(kept, i =>
+        struct(i.as("frame_idx"),
+          substring(col("media"), i * frameBytes + 1, lit(frameBytes)).as("frame")))))
+      .select(col("doc_id"), col("n_frames"),
+        col("_fr.frame_idx").as("frame_idx"), col("_fr.frame").as("frame"))
+  }
+
+  case class FrameRow(doc_id: Long, n_frames: Int, frame_idx: Int,
+      frame: Array[Byte])
+  case class FrameFeat(doc_id: Long, n_frames: Int, frame_idx: Int, f_int: Int)
+
+  /** STUB per-frame decode (integral feature so downstream aggregates stay
+    * order-insensitive): FNV of the frame bytes, Java-signed mod 10000. */
+  def frameFeatures(frames: DataFrame): DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    frames.select(col("doc_id").cast("long"), col("n_frames"),
+        col("frame_idx"), col("frame"))
+      .as[FrameRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val h = fnv(r.frame, 0, r.frame.length)
+          FrameFeat(r.doc_id, r.n_frames, r.frame_idx,
+            (((h % 10000L) + 10000L) % 10000L).toInt)
+        }
+      }
+      .toDF()
+  }
 }
