@@ -68,6 +68,27 @@ class PlanSpec extends SparkSpec {
       s"join input shuffled despite bucketing:\n$p")
   }
 
+  test("temporal-kernel builds stay within their measured shuffle budgets") {
+    // Exchange counts measured at the current plan shapes (2026-08): the
+    // first hash(id) exchange is REUSED by every later window/group step
+    // keyed on the id — a regression that re-shuffles mid-kernel shows up
+    // as a count above budget. Budgets are exact current values, not
+    // slack: tightening is fine, loosening needs a reason in the diff.
+    val budgets = Map(
+      "q22_sessions" -> 2,          // hash(id) + presentation sort
+      "q46_interval_collapse" -> 3, // distinct(id,day) + hash(id) + sort
+      "q49_claims_elig" -> 9,       // intervals + melt + pivot + joins
+      "q64_elig_timevar" -> 5,
+      "q66_claim_header" -> 9,
+      "q68_elig_month" -> 4)
+    val over = budgets.flatMap { case (name, budget) =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      val n = p.linesIterator.count(_.contains("Exchange"))
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded: $over")
+  }
+
   test("no unintended cartesian or nested-loop joins in the catalog") {
     // CartesianProductExec shuffles both sides everywhere — never acceptable.
     // BroadcastNestedLoopJoin is the designed shape only where a small side
