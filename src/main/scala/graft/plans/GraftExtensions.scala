@@ -6,12 +6,54 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union, Window => LWindow}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Catalyst extensions (SURVEY §4's two candidate rules), registered via
+/** Catalyst extensions (SURVEY §4's two candidate rules, plus the SQL
+  * registration of the engine's codegen'd expressions), registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => OrEqualityJoinRewrite)
     e.injectOptimizerRule(_ => GlobalWindowGuard)
+    GraftFunctions.registerAll(e)
+  }
+}
+
+/** SQL front door for the custom kernels: `simhash64(tokens)`,
+  * `cosine_sim(a, b)`, `dot_product(a, b)`, `shingle_hashes(tokens, n)`,
+  * `minhash_sig(hashes, k)`, `winnow_fp(text, k, w)` become plain SQL
+  * functions, so `spark.sql(...)` users get the same codegen'd paths as
+  * the DataFrame API. Int parameters must be foldable literals (they
+  * configure the kernel, not per-row input). */
+object GraftFunctions {
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import graft.functions._
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a literal INT parameter, got $other")
+  }
+
+  private def info(name: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  def registerAll(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHashes(args(0), intLit(args(1), "shingle_hashes"))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashFromHashes(args(0), intLit(args(1), "minhash_sig"))))
+    e.injectFunction((FunctionIdentifier("winnow_fp"), info("winnow_fp"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprints(args(0), intLit(args(1), "winnow_fp"),
+          intLit(args(2), "winnow_fp"))))
   }
 }
 

@@ -50,4 +50,36 @@ class GraftExtensionsSpec extends SparkSpec {
         s"unexpected: $e")
     } finally spark.conf.set("spark.graft.failOnGlobalWindow", "false")
   }
+
+  test("custom kernels are callable from SQL and match the Column API") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("id", "text").createOrReplaceTempView("graft_fn_docs")
+    val viaSql = spark.sql("""
+      SELECT id,
+        simhash64(split(text, ' ')) AS sh,
+        size(shingle_hashes(split(text, ' '), 3)) AS n_shingles,
+        size(minhash_sig(shingle_hashes(split(text, ' '), 3), 4)) AS k,
+        size(winnow_fp(text, 8, 4)) AS n_fp,
+        round(cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)), 4) AS cos_same,
+        round(dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f)), 4) AS dot
+      FROM graft_fn_docs ORDER BY id""").collect()
+    val viaCols = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs").map { t =>
+      graft.functions.SimHash64.simhashStrings(t.split(" ").toSeq)
+    }
+    assert(viaSql.map(_.getLong(1)).toSeq == viaCols)
+    viaSql.foreach { r =>
+      assert(r.getInt(2) > 0 && r.getInt(3) == 4 && r.getInt(4) > 0)
+      assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 11.0)
+    }
+  }
+
+  test("SQL kernel registration rejects non-literal config parameters") {
+    val e = intercept[Exception](
+      spark.sql("SELECT winnow_fp('abc', cast(rand()*4 AS INT), 4)").collect())
+    assert(e.getMessage.contains("literal INT"), s"unexpected: $e")
+  }
 }
