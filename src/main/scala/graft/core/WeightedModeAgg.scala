@@ -56,4 +56,21 @@ object WeightedModeAgg {
       .groupBy(ids.map(col): _*)
       .agg(wmUdaf(col(value).cast("string"), col(weight).cast("double"))
         .as(outName))
+
+  /** ALL attributes in one exchange: one UDAF column per attribute inside a
+    * single groupBy(id) — vs the melt formulation's three exchanges
+    * (group, rank window, pivot) and the reference's ~20 self-joins.
+    * Null values don't contribute (the tally skips them), matching the
+    * melt's isNotNull filter; an all-null attribute yields null (the melt
+    * omits the row entirely — equivalent through the left joins every
+    * caller uses). Trade: the double tally loses the melt's exact-decimal
+    * order-independent tie ranking, so [[graft.api.ClaimsElig]] stays on
+    * the melt; prefer this form when weights are integral (coverage days)
+    * or near-ties are not load-bearing. */
+  def weightedModes(df: DataFrame, ids: Seq[String], values: Seq[String],
+      weight: String): DataFrame = {
+    val aggs = values.map(v =>
+      wmUdaf(col(v).cast("string"), col(weight).cast("double")).as(v))
+    df.groupBy(ids.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -64,6 +64,17 @@ class WeightedModeSpec extends SparkSpec {
     assert(one == two)
   }
 
+  test("multi-attribute Aggregator agrees with the melt on real data") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.queries.Q.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("props"), col("value"))
+    val melt = WeightedMode.weightedModes(events, Seq("user_id"),
+      Seq("event_type", "props"), "value").orderBy("user_id").collect().toSeq
+    val agg = WeightedModeAgg.weightedModes(events, Seq("user_id"),
+      Seq("event_type", "props"), "value").orderBy("user_id").collect().toSeq
+    assert(agg == melt)
+  }
+
   test("mode with tieBreakDesc prefers higher tie-break, then ascending value") {
     val s = spark
     import s.implicits._
