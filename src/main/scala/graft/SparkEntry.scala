@@ -144,6 +144,7 @@ object SparkEntry {
     "q73_weighted_mode_agg" -> (W.q73WeightedModeAgg _),
     "q74_bucketed_join" -> (graft.queries.LifecycleQueries.q74BucketedJoin _),
     "q75_frame_sample" -> (qFrameSample _),
+    "q76_approx_sketches" -> (R.q76ApproxSketches _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1453,5 +1454,15 @@ object SparkEntry {
         max(CASE WHEN frame_idx = 0 THEN f_int END) AS f0,
         sum(f_int)::BIGINT AS f_sum
       FROM fint GROUP BY doc_id ORDER BY doc_id""",
+
+    // q76: exact columns by hash; the sketch columns are within-tolerance
+    // booleans the oracle expects to be uniformly true.
+    "q76_approx_sketches" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS n_exact,
+        TRUE AS hll_ok,
+        round(quantile_cont(l_extendedprice, 0.5), 2) AS median_exact,
+        TRUE AS quantile_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -267,6 +267,30 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** §2.4 at 100 TB the exact COUNT(DISTINCT)/exact-percentile paths have
+    * sketch-based siblings: HyperLogLog++ (`approx_count_distinct`) and
+    * KLL/GK quantiles (`percentile_approx`) aggregate in fixed memory with
+    * map-side combine and no expand. The sketches are engine-specific, so
+    * the oracle checks the EXACT columns by hash and the sketch columns as
+    * within-tolerance BOOLEANS (the oracle expects `true`): a sketch
+    * drifting out of its error bound fails the hash compare. */
+  def q76ApproxSketches(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_exact"),
+        approx_count_distinct(col("l_suppkey")).as("_hll"),
+        expr("percentile(l_extendedprice, 0.5)").as("_med_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("_med_approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("_hll") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("hll_ok"),
+        round(col("_med_exact"), 2).as("median_exact"),
+        (abs(col("_med_approx") - col("_med_exact")) <=
+          col("_med_exact") * 0.01).as("quantile_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** §2.1 incremental refresh kernel: archive WHERE date < cut UNION new
     * WHERE date >= cut (load_table.R:615-708,782-793). */
   def q33IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
