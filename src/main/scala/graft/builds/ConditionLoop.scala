@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * looped over shared claim tables; per qualifying member the condition
   * span is GREATEST/LEAST-merged (load_ccw.R:620-629).
   *
-  * The loop is driver-side Scala over configs (SURVEY §2.9) — each
-  * iteration is pure DataFrame ops on the same staged claims; results
-  * union. The 2-claim rule uses a per-member LEAD window
-  * (load_ccw.R:605-610), never a self-join.
+  * The configs drive expression construction on the driver (SURVEY §2.9),
+  * but execution is ONE scan and ONE shuffle for the whole config set:
+  * each claim is tagged with the array of conditions it matches, exploded
+  * (row growth = matches, not conditions), and every per-(condition,
+  * member) rule — the 2-claim LEAD window (load_ccw.R:605-610), the span
+  * and the claim count — runs on the single (condition, member)
+  * partitioning. The per-condition-loop alternative scans the claim table
+  * ~2x per condition (~62 scans of 100 TB for the CCW set); this shape
+  * scans it once regardless of config count.
   */
 object ConditionLoop {
 
@@ -31,28 +36,29 @@ object ConditionLoop {
   /** Per (condition, member): first/last matching-claim dates + claim
     * count, for members satisfying the condition's rule. */
   def build(orders: DataFrame,
-      conditions: Seq[ConditionDef] = defaultConditions): DataFrame =
-    conditions.map { c =>
-      val claims = orders.filter(c.codePred)
-        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
-      val qualified =
-        if (c.minClaims <= 1) claims.select(col("o_custkey")).distinct()
-        else {
-          val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
-          claims
-            .withColumn("pair_ok",
-              (datediff(lead(col("d"), 1).over(w), col("d")) <= c.withinDays)
-                .cast("int"))
-            .groupBy(col("o_custkey"))
-            .agg(max(col("pair_ok")).as("any_pair"))
-            .filter(col("any_pair") === 1)
-            .select(col("o_custkey"))
-        }
-      claims.join(qualified, Seq("o_custkey"), "left_semi")
-        .groupBy(col("o_custkey"))
-        .agg(min(col("d")).as("first_date"), max(col("d")).as("last_date"),
-          count(lit(1)).as("n_claims"))
-        .select(lit(c.name).as("condition"), col("o_custkey"),
-          col("first_date"), col("last_date"), col("n_claims"))
-    }.reduce(_ unionByName _)
+      conditions: Seq[ConditionDef] = defaultConditions): DataFrame = {
+    val tags = conditions.map(c => when(c.codePred, lit(c.name)))
+    val matched = orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        array(tags: _*).as("_tags"))
+      .withColumn("condition", explode(col("_tags")))
+      .filter(col("condition").isNotNull)
+      .select(col("condition"), col("o_custkey"), col("d"))
+    // config lookup as expressions (no join — the config set is tiny)
+    val minClaims = coalesce(conditions.map(c =>
+      when(col("condition") === c.name, lit(c.minClaims))): _*)
+    val withinDays = coalesce(conditions.map(c =>
+      when(col("condition") === c.name, lit(c.withinDays))): _*)
+    val w = Window.partitionBy(col("condition"), col("o_custkey")).orderBy(col("d"))
+    matched
+      .withColumn("pair_ok",
+        (datediff(lead(col("d"), 1).over(w), col("d")) <= withinDays).cast("int"))
+      .groupBy(col("condition"), col("o_custkey"))
+      .agg(min(col("d")).as("first_date"), max(col("d")).as("last_date"),
+        count(lit(1)).as("n_claims"), max(col("pair_ok")).as("_any_pair"),
+        max(minClaims).as("_min_claims"))
+      .filter(col("_min_claims") <= 1 || col("_any_pair") === 1)
+      .select(col("condition"), col("o_custkey"),
+        col("first_date"), col("last_date"), col("n_claims"))
+  }
 }

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object WeightedModeAgg {
 
-  private case class In(value: String, weight: Double)
+  // NOT private: codegen'd projections instantiate this from generated
+  // classes; a private constructor forces the interpreted fallback
+  case class In(value: String, weight: Double)
 
   private object Agg extends Aggregator[In, Map[String, Double], String] {
     override def zero: Map[String, Double] = Map.empty
