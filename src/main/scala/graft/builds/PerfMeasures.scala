@@ -58,18 +58,25 @@ object PerfMeasures {
       .withColumn("active_months",
         sum((col("n_orders") > 0).cast("int")).over(w))
       .withColumn("in_denom", (col("active_months") >= denomMinMonths).cast("int"))
-    // per-measure dispatch: same staging, one rolling numerator per config
+    // per-measure dispatch: every measure's rolling numerator rides the
+    // SAME person-partitioned window pass (one WindowExec evaluating k+1
+    // frames), and one month aggregation carries all measures — the
+    // per-measure union runs over the tiny aggregated frame, never the
+    // staging. A measures.map-over-staging formulation recomputes the
+    // grid+facts+window pipeline per config (~31x for the reference set).
+    val withNums = measures.foldLeft(denom) { (df, m) =>
+      df.withColumn(s"_num_${m.name}",
+        (sum(m.monthlyFlag).over(w) > 0 && col("in_denom") === 1).cast("int"))
+    }
+    val aggs = sum(col("in_denom")).as("n_denom") +:
+      measures.map(m => sum(col(s"_num_${m.name}")).as(s"_n_${m.name}"))
+    val byMonth = withNums.groupBy(col("month")).agg(aggs.head, aggs.tail: _*)
     measures.map { m =>
-      denom
-        .withColumn("num_hit",
-          (sum(m.monthlyFlag).over(w) > 0 && col("in_denom") === 1).cast("int"))
-        .groupBy(col("month"))
-        .agg(sum(col("in_denom")).as("n_denom"), sum(col("num_hit")).as("n_num"))
-        .select(lit(m.name).as("measure"),
-          DateFns.dateToYyyymm(col("month")).as("ym"),
-          col("n_denom"), col("n_num"),
-          when(col("n_denom") > 0,
-            round(col("n_num") * 100.0 / col("n_denom"), 2)).as("rate"))
+      byMonth.select(lit(m.name).as("measure"),
+        DateFns.dateToYyyymm(col("month")).as("ym"),
+        col("n_denom"), col(s"_n_${m.name}").as("n_num"),
+        when(col("n_denom") > 0,
+          round(col(s"_n_${m.name}") * 100.0 / col("n_denom"), 2)).as("rate"))
     }.reduce(_ unionByName _)
   }
 }
