@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * aggregate, melt into a (group_cat, group) long frame, then left-join the
   * full category matrix so absent cells surface as 0.
   *
-  * Scale notes: one aggregation per loop var (small list), each a partial-agg
-  * shuffle; the category matrix is tiny (distinct dims) and broadcast.
+  * Scale notes: ONE scan for every loop var — the loop melts into a
+  * (group_cat, group_value) explode (row growth = loop count, partial-agg
+  * combined map-side before the single shuffle), not one aggregation pass
+  * per var; the category matrix is tiny (distinct dims) and broadcast.
   */
 object Tabloop {
 
@@ -21,20 +23,20 @@ object Tabloop {
     */
   def tabloop(df: DataFrame, fixed: Seq[String], loops: Seq[String],
       aggs: Seq[Column], zeroFill: Seq[String]): DataFrame = {
-    val results = loops.map { lv =>
-      df.groupBy((fixed.map(col) :+ col(lv)): _*)
-        .agg(aggs.head, aggs.tail: _*)
-        .withColumn("group_cat", lit(lv))
-        .withColumnRenamed(lv, "group_value")
-        .withColumn("group_value", col("group_value").cast("string"))
-    }.reduce(_ unionByName _)
+    val gs = loops.map(lv => struct(lit(lv).as("group_cat"),
+      col(lv).cast("string").as("group_value")))
+    val melted = df
+      .withColumn("_g", explode(array(gs: _*)))
+      .withColumn("group_cat", col("_g.group_cat"))
+      .withColumn("group_value", col("_g.group_value"))
+    val results = melted
+      .groupBy((fixed ++ Seq("group_cat", "group_value")).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
 
     // full fixed x (cat, value) matrix for zero-fill (tabloop.R:65-134)
     val fixedDims = df.select(fixed.map(col): _*).distinct()
-    val loopDims = loops.map { lv =>
-      df.select(lit(lv).as("group_cat"),
-        col(lv).cast("string").as("group_value")).distinct()
-    }.reduce(_ unionByName _)
+    val loopDims = melted
+      .select(col("group_cat"), col("group_value")).distinct()
     val matrix = fixedDims.crossJoin(broadcast(loopDims))
 
     val joined = matrix.join(results,
