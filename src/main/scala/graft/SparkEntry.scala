@@ -55,6 +55,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming exact dedup over a doubled source: every event arrives
+    * twice; bounded-state dropDuplicatesWithinWatermark must restore
+    * batch-distinct semantics exactly (the oracle is the plain batch
+    * aggregate of the single-copy table). */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    EventStream.dedupStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .orderBy(col("event_type"))
+
   /** Structured Streaming hourly rollup (append mode + file sink; only
     * watermark-finalized windows are emitted — the oracle applies the same
     * cutoff). */
@@ -145,6 +155,7 @@ object SparkEntry {
     "q74_bucketed_join" -> (graft.queries.LifecycleQueries.q74BucketedJoin _),
     "q75_frame_sample" -> (qFrameSample _),
     "q76_approx_sketches" -> (R.q76ApproxSketches _),
+    "q77_stream_dedup" -> (qStreamDedup _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1464,5 +1475,11 @@ object SparkEntry {
         round(quantile_cont(l_extendedprice, 0.5), 2) AS median_exact,
         TRUE AS quantile_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q77: the stream sees every event twice; within-watermark dedup must
+    // restore exactly the batch aggregate of the single-copy table.
+    "q77_stream_dedup" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS val
+      FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

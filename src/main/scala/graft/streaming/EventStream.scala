@@ -127,6 +127,41 @@ object EventStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming exact deduplication: the ingest-side guard a training-data
+    * pipeline runs before anything else. `dropDuplicatesWithinWatermark`
+    * keys state on the id and EVICTS it once the watermark passes — bounded
+    * state, vs plain streaming dropDuplicates whose key set grows forever.
+    * The source dir carries the events file TWICE (two links), so every
+    * event genuinely arrives duplicated and the dedup is load-bearing:
+    * output rows must equal the batch-distinct of the input. */
+  def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = Files.createTempDirectory("graft_stream_dedup_src")
+    Files.createSymbolicLink(srcDir.resolve("events_a.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    Files.createSymbolicLink(srcDir.resolve("events_b.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
+    val stream =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val deduped = stream
+      .withWatermark("ts", s"$DelaySeconds seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val base = Files.createTempDirectory("graft_stream_dedup").toString
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.schema(deduped.schema).parquet(s"$base/data")
+  }
+
   /** Tumbling 1-hour event-time aggregation of the events table, executed
     * through the streaming engine (readStream -> watermark -> window agg ->
     * append-mode parquet sink), then read back as a DataFrame. */
