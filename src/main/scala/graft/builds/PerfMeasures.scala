@@ -71,12 +71,17 @@ object PerfMeasures {
     val aggs = sum(col("in_denom")).as("n_denom") +:
       measures.map(m => sum(col(s"_num_${m.name}")).as(s"_n_${m.name}"))
     val byMonth = withNums.groupBy(col("month")).agg(aggs.head, aggs.tail: _*)
-    measures.map { m =>
-      byMonth.select(lit(m.name).as("measure"),
-        DateFns.dateToYyyymm(col("month")).as("ym"),
-        col("n_denom"), col(s"_n_${m.name}").as("n_num"),
-        when(col("n_denom") > 0,
-          round(col(s"_n_${m.name}") * 100.0 / col("n_denom"), 2)).as("rate"))
-    }.reduce(_ unionByName _)
+    // wide -> long via stack, NOT a union of per-measure selects: union
+    // branches each re-plan the whole staging lineage (k x the window
+    // pass in the printed plan, reuse left to the scheduler); the unpivot
+    // keeps one lineage regardless of measure count
+    val stacked = byMonth.select(col("month"), col("n_denom"),
+      expr(measures.map(m => s"'${m.name}', _n_${m.name}")
+        .mkString(s"stack(${measures.size}, ", ", ", ") as (measure, n_num)")))
+    stacked.select(col("measure"),
+      DateFns.dateToYyyymm(col("month")).as("ym"),
+      col("n_denom"), col("n_num"),
+      when(col("n_denom") > 0,
+        round(col("n_num") * 100.0 / col("n_denom"), 2)).as("rate"))
   }
 }

@@ -80,7 +80,9 @@ class PlanSpec extends SparkSpec {
       "q49_claims_elig" -> 9,       // intervals + melt + pivot + joins
       "q64_elig_timevar" -> 5,
       "q66_claim_header" -> 9,
-      "q68_elig_month" -> 4)
+      "q68_elig_month" -> 4,
+      "q60_perf_measures" -> 6, // one window pass + stack for all measures
+      "q61_condition_loop" -> 3) // one scan + one shuffle for all configs
     val over = budgets.flatMap { case (name, budget) =>
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val n = p.linesIterator.count(_.contains("Exchange"))
