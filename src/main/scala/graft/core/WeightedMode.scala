@@ -34,13 +34,19 @@ object WeightedMode {
     * (id, attr, value) long form, weight-sums, ranks, and pivots back.
     * Replaces the reference's ~20 self-joins of the timevar table with a
     * single shuffle (R/claims_elig.R:1360-1398 LEFT JOINs one subquery per
-    * variable; at scale that is ~20 scans of the largest table). */
+    * variable; at scale that is ~20 scans of the largest table). The melt
+    * itself is an explode, not a union of per-attribute selects — a union
+    * re-plans the base scan per attribute. */
   def weightedModes(df: DataFrame, ids: Seq[String], values: Seq[String],
       weight: String): DataFrame = {
-    val melted = values.map { v =>
-      df.select(ids.map(col) :+ lit(v).as("_wm_attr") :+
-        col(v).cast("string").as("_wm_val") :+ col(weight).as("_wm_w"): _*)
-    }.reduce(_ unionByName _).filter(col("_wm_val").isNotNull)
+    val gs = values.map(v => struct(lit(v).as("_wm_attr"),
+      col(v).cast("string").as("_wm_val")))
+    val melted = df
+      .select(ids.map(col) :+ col(weight).as("_wm_w") :+
+        explode(array(gs: _*)).as("_g"): _*)
+      .select(ids.map(col) :+ col("_g._wm_attr").as("_wm_attr") :+
+        col("_g._wm_val").as("_wm_val") :+ col("_wm_w"): _*)
+      .filter(col("_wm_val").isNotNull)
     val summed = melted
       .groupBy((ids.map(col) :+ col("_wm_attr") :+ col("_wm_val")): _*)
       .agg(sum(col("_wm_w")).as("_wm_wt"))
