@@ -95,4 +95,31 @@ object LoadTable {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     rebuilt.write.mode("overwrite").partitionBy(partitionCol).parquet(tablePath)
   }
+
+  /** Small-file compaction: every incremental refresh and streaming sink
+    * leaves per-task files; after months of heartbeats a partition is
+    * thousands of KB-scale files and scan planning + open() overhead
+    * dominates reads. Rewrite to ~`targetRowsPerFile` rows per file via a
+    * staging directory swap (object stores rename by copy — the swap cost
+    * is the data, paid once, vs open() overhead paid on every scan).
+    *
+    * Row-count-based sizing keeps the helper deterministic for tests;
+    * a byte-based target would divide partition bytes the same way. */
+  def compact(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      targetRowsPerFile: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val df = spark.read.schema(schema).parquet(path)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val staging = path + "_compact_staging"
+    df.repartition(nFiles).write.mode("overwrite").parquet(staging)
+    val old = Paths.get(path)
+    val tmp = Paths.get(path + "_compact_old")
+    Files.move(old, tmp, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), old, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the replaced tree
+    import scala.jdk.CollectionConverters._
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
 }
