@@ -27,7 +27,7 @@ object TopN {
         col("_v2") > col(valueCol) ||
           (col("_v2") === col(valueCol) && col("_k2") < col(keyCol)),
         "left")
-      .groupBy(pruned.columns.map(col): _*)
+      .groupBy(pruned.columns.toIndexedSeq.map(col): _*)
       .agg((count(col("_k2")) + 1).cast("int").as("rnk"))
   }
 }

@@ -71,7 +71,7 @@ object Similarity {
         lit(cid).as("cell"))
     }
     c.withColumn("_cell",
-      array_max(array(scored: _*)).getField("cell").cast("int"))
+      array_max(array(scored.toIndexedSeq: _*)).getField("cell").cast("int"))
   }
 
   /** IVF query: probe the nProbe nearest cells per query, exact cosine
@@ -90,7 +90,7 @@ object Similarity {
     }
     val q = queries.select(col(qid).as("query_id"), col(qvec).as("_qv"))
       .withColumn("_cells",
-        slice(reverse(array_sort(array(probes: _*))), 1, nProbe))
+        slice(reverse(array_sort(array(probes.toIndexedSeq: _*))), 1, nProbe))
       .withColumn("_cell", explode(transform(col("_cells"), _.getField("cell").cast("int"))))
       .drop("_cells")
     val scored = assigned.join(broadcast(q), Seq("_cell"))
