@@ -156,6 +156,7 @@ object SparkEntry {
     "q75_frame_sample" -> (qFrameSample _),
     "q76_approx_sketches" -> (R.q76ApproxSketches _),
     "q77_stream_dedup" -> (qStreamDedup _),
+    "q78_contamination" -> (T.q78Contamination _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1481,5 +1482,28 @@ object SparkEntry {
     "q77_stream_dedup" -> """
       SELECT event_type, count(*) AS n, round(sum(value), 2) AS val
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // q78: containment on string shingles; the Spark side intersects
+    // 64-bit shingle HASHES — counts agree absent xxh64 collisions, which
+    // this corpus has none of (the hash-vs-string equality is exactly what
+    // the driver compare certifies).
+    "q78_contamination" -> """
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+            AS toks
+          FROM documents))
+      SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+        round(len(list_intersect(p.sh, c.sh)) * 1.0
+          / greatest(len(p.sh), 1), 4) AS containment
+      FROM d p JOIN d c ON p.doc_id != c.doc_id
+      WHERE p.doc_id % 7 = 0
+        AND len(list_intersect(p.sh, c.sh)) * 1.0
+          / greatest(len(p.sh), 1) >= 0.3
+      ORDER BY probe_id, doc_id""",
   )
 }

@@ -208,6 +208,32 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Benchmark-contamination detection (decontamination): for each corpus
+    * doc, the fraction of a PROBE doc's shingles it contains —
+    * containment C(p, c) = |S(p) ∩ S(c)| / |S(p)|, the asymmetric measure
+    * that catches an eval item embedded in a larger training doc where
+    * symmetric Jaccard dilutes to ~0.
+    *
+    * Scale shape: the probe set (eval benchmarks) is small by nature —
+    * its shingle arrays broadcast, the corpus streams once with no
+    * shuffle, and the filter runs inside the scan stage. For probe sets
+    * too big to broadcast, fall back to the PPJoin-style bucket join of
+    * [[ngramJaccardDups]] keyed on probe shingles. */
+  def contamination(corpus: DataFrame, cid: String, ctext: String,
+      probes: DataFrame, pid: String, ptext: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val c = corpus.select(col(cid).as("doc_id"),
+      shingles(col(ctext), shingleN).as("_cs"))
+    val p = probes.select(col(pid).as("probe_id"),
+      shingles(col(ptext), shingleN).as("_ps"))
+    c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("doc_id")) // probes drawn from corpus
+      .select(col("probe_id"), col("doc_id"),
+        round(size(array_intersect(col("_ps"), col("_cs"))).cast("double") /
+          greatest(size(col("_ps")), lit(1)).cast("double"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MOSS-style local-overlap pairs via winnowing fingerprints
     * ([[graft.functions.WinnowFingerprints]]): docs sharing >= `minShared`
     * selected rolling-hash values. Winnowing's guarantee makes this a LOCAL

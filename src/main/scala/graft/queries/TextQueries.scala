@@ -78,6 +78,17 @@ object TextQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Decontamination: probe docs (a stand-in benchmark set) checked for
+    * n-gram containment inside every corpus doc; asymmetric on purpose —
+    * an eval item inside a big doc still scores ~1. */
+  def q78Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+      shingleN = 3, threshold = 0.3)
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
   /** Winnowing (MOSS) rolling-hash fingerprint overlap: pairs sharing
     * >= minShared selected k-gram hashes — the LOCAL-overlap complement to
     * the whole-document Jaccard detectors. */

@@ -105,7 +105,8 @@ class PlanSpec extends SparkSpec {
       "q09_join_theta_prefix", // LIKE-prefix theta: non-equi by nature,
                                // broadcast dim side is the designed plan
       "q15_topn",        // windowless rank: n x n broadcast self-join,
-      "q62_top_causes")  // bounded by limit(n) upstream (core/TopN)
+      "q62_top_causes",  // bounded by limit(n) upstream (core/TopN)
+      "q78_contamination") // broadcast probe set x corpus: the designed shape
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>

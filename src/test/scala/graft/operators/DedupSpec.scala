@@ -172,6 +172,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination scores an embedded probe ~1 where jaccard is diluted") {
+    val base = corpus(40)
+    // doc 2000 contains ALL of probe doc 3's tokens inside 60 tokens of noise
+    val rng = new Random(31)
+    val noise = Seq.fill(60)(s"n${rng.nextInt(5000)}").mkString(" ")
+    val host = (2000L, s"$noise ${base(3)._2} $noise", "src0")
+    val out = Dedup.contamination(toDf(base :+ host), "doc_id", "text",
+      toDf(Seq(base(3))), "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((3L, 2000L)),
+      s"expected exactly the planted containment, got ${out.mkString(",")}")
+    assert(out.head._3 == 1.0, s"full containment should score 1.0: ${out.head}")
+    // while symmetric jaccard on the same pair is diluted well below 0.5
+    assert(jac(shingleSet(base(3)._2, 3), shingleSet(host._2, 3)) < 0.4)
+  }
+
   test("winnow overlap finds partial containment that whole-doc jaccard misses") {
     val base = corpus(60)
     // doc 1000 embeds a 12-token RUN of doc 0 inside otherwise-unrelated
