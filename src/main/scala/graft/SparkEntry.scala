@@ -1501,7 +1501,7 @@ object SparkEntry {
         round(len(list_intersect(p.sh, c.sh)) * 1.0
           / greatest(len(p.sh), 1), 4) AS containment
       FROM d p JOIN d c ON p.doc_id != c.doc_id
-      WHERE p.doc_id % 7 = 0
+      WHERE p.doc_id % 29 = 0
         AND len(list_intersect(p.sh, c.sh)) * 1.0
           / greatest(len(p.sh), 1) >= 0.3
       ORDER BY probe_id, doc_id""",

@@ -84,7 +84,7 @@ object TextQueries {
   def q78Contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Dedup.contamination(docs, "doc_id", "text",
-      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text",
       shingleN = 3, threshold = 0.3)
       .orderBy(col("probe_id"), col("doc_id"))
   }
