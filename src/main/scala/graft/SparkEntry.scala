@@ -1378,7 +1378,7 @@ object SparkEntry {
     "q72_winnow_overlap" -> """
       WITH norm AS (
         SELECT doc_id,
-          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
         FROM documents),
       grams AS (
         SELECT doc_id,

@@ -38,11 +38,12 @@ object ConditionLoop {
   def build(orders: DataFrame,
       conditions: Seq[ConditionDef] = defaultConditions): DataFrame = {
     val tags = conditions.map(c => when(c.codePred, lit(c.name)))
+    // non-matches are pruned from the array BEFORE the explode, so the
+    // exploded row count really is matches, not rows x conditions
     val matched = orders
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
-        array(tags: _*).as("_tags"))
+        filter(array(tags: _*), _.isNotNull).as("_tags"))
       .withColumn("condition", explode(col("_tags")))
-      .filter(col("condition").isNotNull)
       .select(col("condition"), col("o_custkey"), col("d"))
     // config lookup as expressions (no join — the config set is tiny)
     val minClaims = coalesce(conditions.map(c =>

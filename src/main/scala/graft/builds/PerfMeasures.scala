@@ -71,13 +71,18 @@ object PerfMeasures {
     val aggs = sum(col("in_denom")).as("n_denom") +:
       measures.map(m => sum(col(s"_num_${m.name}")).as(s"_n_${m.name}"))
     val byMonth = withNums.groupBy(col("month")).agg(aggs.head, aggs.tail: _*)
-    // wide -> long via stack, NOT a union of per-measure selects: union
-    // branches each re-plan the whole staging lineage (k x the window
-    // pass in the printed plan, reuse left to the scheduler); the unpivot
-    // keeps one lineage regardless of measure count
+    // wide -> long via one explode-of-structs, NOT a union of per-measure
+    // selects: union branches each re-plan the whole staging lineage (k x
+    // the window pass in the printed plan, reuse left to the scheduler);
+    // the unpivot keeps one lineage regardless of measure count. Column
+    // API rather than a stack(...) SQL string so measure names never pass
+    // through the SQL parser (quotes/backticks in a config name are data,
+    // not syntax).
     val stacked = byMonth.select(col("month"), col("n_denom"),
-      expr(measures.map(m => s"'${m.name}', _n_${m.name}")
-        .mkString(s"stack(${measures.size}, ", ", ", ") as (measure, n_num)")))
+      explode(array(measures.map(m =>
+        struct(lit(m.name).as("measure"), col(s"_n_${m.name}").as("n_num"))): _*)).as("_m"))
+      .select(col("month"), col("n_denom"),
+        col("_m.measure").as("measure"), col("_m.n_num").as("n_num"))
     stacked.select(col("measure"),
       DateFns.dateToYyyymm(col("month")).as("ym"),
       col("n_denom"), col("n_num"),

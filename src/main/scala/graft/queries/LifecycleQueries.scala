@@ -90,13 +90,19 @@ vars:
     * hint keeps the demo on the sort-merge path even when one side would
     * broadcast at test scale. */
   def q74BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_bucketed").toString
+    // Fixed per-user base dir, overwritten each run (a fresh temp dir per
+    // invocation would leak the previous tree — DROP TABLE leaves external
+    // paths). Table names carry the base's identity hash so two sessions
+    // sharing a metastore but not a tmpdir don't collide; within a session
+    // re-runs overwrite both path and catalog entry.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${sys.props("user.name")}"
+    val tag = Integer.toHexString(base.hashCode)
     Bucketing.writeBucketed(t(s, dir, "orders"),
-      "graft_b_orders", s"$base/orders", "o_orderkey", 8)
+      s"graft_b_orders_$tag", s"$base/orders", "o_orderkey", 8)
     Bucketing.writeBucketed(t(s, dir, "lineitem"),
-      "graft_b_lineitem", s"$base/lineitem", "l_orderkey", 8)
-    Bucketing.table(s, "graft_b_lineitem")
-      .join(Bucketing.table(s, "graft_b_orders").hint("merge"),
+      s"graft_b_lineitem_$tag", s"$base/lineitem", "l_orderkey", 8)
+    Bucketing.table(s, s"graft_b_lineitem_$tag")
+      .join(Bucketing.table(s, s"graft_b_orders_$tag").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),

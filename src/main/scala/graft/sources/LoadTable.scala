@@ -117,9 +117,18 @@ object LoadTable {
     val old = Paths.get(path)
     val tmp = Paths.get(path + "_compact_old")
     Files.move(old, tmp, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), old, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(staging), old, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // the swap is two renames, not one atomic op: if the staging move
+        // fails, put the original tree back so `path` never dangles
+        Files.move(tmp, old, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
     // best-effort cleanup of the replaced tree
     import scala.jdk.CollectionConverters._
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val walk = Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally walk.close()
   }
 }
