@@ -36,8 +36,15 @@ object Bench {
     // names x 9-decimal doubles made the r2/r3 JSON line ~2.4k chars, so it
     // was truncated mid-line and never parsed. Short keys (the qNN prefix)
     // + 3-decimal seconds keep the whole line ~1.1k chars.
-    def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    // Locale.ROOT: f"" uses the JVM default locale, which in comma-decimal
+    // locales (de_DE) would print "1,234" — invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val keys = results.map(_._1.takeWhile(_ != '_'))
+    require(keys.distinct.size == keys.size,
+      s"duplicate qNN bench keys: ${keys.diff(keys.distinct).mkString(",")}")
+    val qs = keys.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

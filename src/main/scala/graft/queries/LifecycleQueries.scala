@@ -90,12 +90,13 @@ vars:
     * hint keeps the demo on the sort-merge path even when one side would
     * broadcast at test scale. */
   def q74BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    // Fixed per-user base dir, overwritten each run (a fresh temp dir per
-    // invocation would leak the previous tree — DROP TABLE leaves external
-    // paths). Table names carry the base's identity hash so two sessions
-    // sharing a metastore but not a tmpdir don't collide; within a session
-    // re-runs overwrite both path and catalog entry.
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${sys.props("user.name")}"
+    // Fixed per-application base dir, overwritten on re-runs within the
+    // session (a fresh temp dir per invocation would leak the previous
+    // tree — DROP TABLE leaves external paths). The applicationId in the
+    // tag keeps two concurrent sessions with the same user/tmpdir from
+    // racing on the same external paths and catalog names.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+      s"${sys.props("user.name")}_${s.sparkContext.applicationId}"
     val tag = Integer.toHexString(base.hashCode)
     Bucketing.writeBucketed(t(s, dir, "orders"),
       s"graft_b_orders_$tag", s"$base/orders", "o_orderkey", 8)

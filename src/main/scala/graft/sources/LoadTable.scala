@@ -121,14 +121,25 @@ object LoadTable {
     catch {
       case e: Throwable =>
         // the swap is two renames, not one atomic op: if the staging move
-        // fails, put the original tree back so `path` never dangles
-        Files.move(tmp, old, StandardCopyOption.ATOMIC_MOVE)
+        // fails, put the original tree back so `path` never dangles. A
+        // failing rollback must not mask the root cause — suppress it, and
+        // best-effort drop the staging tree either way.
+        try Files.move(tmp, old, StandardCopyOption.ATOMIC_MOVE)
+        catch { case rb: Throwable => e.addSuppressed(rb) }
+        try deleteTree(Paths.get(staging)) catch { case _: Throwable => () }
         throw e
     }
     // best-effort cleanup of the replaced tree
+    deleteTree(tmp)
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    val walk = Files.walk(tmp)
-    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    finally walk.close()
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
   }
 }
