@@ -157,6 +157,9 @@ object SparkEntry {
     "q76_approx_sketches" -> (R.q76ApproxSketches _),
     "q77_stream_dedup" -> (qStreamDedup _),
     "q78_contamination" -> (T.q78Contamination _),
+    "q79_claim_icdcm" -> (graft.queries.NormalizeQueries.q79ClaimIcdcm _),
+    "q80_claim_procedure" -> (graft.queries.NormalizeQueries.q80ClaimProcedure _),
+    "q81_claim_pharm" -> (graft.queries.NormalizeQueries.q81ClaimPharm _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1505,5 +1508,89 @@ object SparkEntry {
         AND len(list_intersect(p.sh, c.sh)) * 1.0
           / greatest(len(p.sh), 1) >= 0.3
       ORDER BY probe_id, doc_id""",
+
+    "q79_claim_icdcm" -> """
+      WITH wide AS (
+        SELECT o_orderkey AS claim_header_id, o_custkey AS id_person,
+          CAST(o_orderkey % 99999 AS VARCHAR) AS dx01,
+          CASE WHEN o_orderkey % 3 <> 0 THEN
+            chr(CAST(65 + o_custkey % 26 AS INT)) ||
+            lpad(CAST(o_orderkey % 999 AS VARCHAR), 3, '0') END AS dx02,
+          CASE WHEN o_orderkey % 5 = 0 THEN
+            'E' || CAST(o_orderkey % 9999 AS VARCHAR) END AS dx03,
+          CASE WHEN o_orderkey % 2 = 0 THEN
+            CAST(o_custkey % 99999 AS VARCHAR) END AS dx_admit
+        FROM orders),
+      lng AS (
+        SELECT claim_header_id, id_person, '01' AS icdcm_number, dx01 AS icdcm_raw FROM wide
+        UNION ALL SELECT claim_header_id, id_person, '02', dx02 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, '03', dx03 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, 'admit', dx_admit FROM wide),
+      norm AS (
+        SELECT DISTINCT claim_header_id, id_person, icdcm_number, icdcm_raw,
+          CASE WHEN regexp_matches(icdcm_raw, '^[0-9]+$')
+                 OR regexp_matches(icdcm_raw, '^[EV][0-9]+$') THEN 9
+               ELSE 10 END AS icdcm_version,
+          CASE WHEN regexp_matches(icdcm_raw, '^[0-9]+$')
+                 THEN lpad(icdcm_raw, 5, '0')
+               WHEN regexp_matches(icdcm_raw, '^[EV][0-9]+$')
+                 THEN substr(icdcm_raw, 1, 1) || lpad(substr(icdcm_raw, 2, 10), 3, '0')
+               ELSE icdcm_raw END AS icdcm_norm
+        FROM lng WHERE icdcm_raw IS NOT NULL AND trim(icdcm_raw) <> '')
+      SELECT icdcm_version, icdcm_number, count(*) AS n,
+        count(DISTINCT icdcm_norm) AS n_codes,
+        min(icdcm_norm) AS min_code, max(icdcm_norm) AS max_code
+      FROM norm GROUP BY 1, 2 ORDER BY icdcm_version, icdcm_number""",
+
+    "q80_claim_procedure" -> """
+      WITH wide AS (
+        SELECT o_orderkey AS claim_header_id,
+          lpad(CAST(o_orderkey % 89999 + 10000 AS VARCHAR), 5, '0') AS pc01,
+          CASE WHEN o_orderkey % 4 <> 1 THEN
+            chr(CAST(65 + o_orderkey % 5 AS INT)) ||
+            lpad(CAST(o_custkey % 9999 AS VARCHAR), 4, '0') END AS pc02,
+          CASE WHEN o_orderkey % 7 = 0 THEN
+            CAST(o_custkey % 99999 AS VARCHAR) END AS pc03,
+          CASE WHEN o_orderkey % 3 = 0 THEN
+            lower(substr(o_orderpriority, 1, 2)) END AS mod1,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'gt' END AS mod2
+        FROM orders),
+      lng AS (
+        SELECT claim_header_id, '01' AS pcode_number, pc01 AS pcode_raw FROM wide
+        UNION ALL SELECT claim_header_id, '02', pc02 FROM wide
+        UNION ALL SELECT claim_header_id, '03', pc03 FROM wide
+        UNION ALL SELECT claim_header_id, 'M1', mod1 FROM wide
+        UNION ALL SELECT claim_header_id, 'M2', mod2 FROM wide),
+      norm AS (
+        SELECT DISTINCT claim_header_id, pcode_number,
+          upper(trim(pcode_raw)) AS pcode
+        FROM lng WHERE pcode_raw IS NOT NULL AND trim(pcode_raw) <> '')
+      SELECT pcode_number, count(*) AS n,
+        count(DISTINCT pcode) AS n_codes,
+        min(pcode) AS min_code, max(pcode) AS max_code
+      FROM norm GROUP BY 1 ORDER BY pcode_number""",
+
+    "q81_claim_pharm" -> """
+      WITH raw AS (
+        SELECT l_orderkey AS claim_header_id,
+          CASE WHEN l_orderkey % 13 = 0 THEN
+            'N' || lpad(CAST(l_partkey AS VARCHAR), 10, '0')
+          ELSE lpad(CAST((l_partkey * 37 + l_suppkey) % 100000000000 AS VARCHAR),
+            11, '0') END AS ndc_raw,
+          CASE WHEN l_suppkey % 17 = 0 THEN 'NA'
+            ELSE CAST(CAST(floor(l_quantity) AS INT) * 9 AS VARCHAR)
+          END AS supply_days_raw
+        FROM lineitem),
+      norm AS (
+        SELECT claim_header_id,
+          CASE WHEN regexp_matches(ndc_raw, '^[0-9]{11}$') THEN ndc_raw END AS ndc,
+          regexp_matches(ndc_raw, '^[0-9]{11}$') AS ndc_valid,
+          CASE WHEN TRY_CAST(supply_days_raw AS INT) BETWEEN 0 AND 365
+            THEN TRY_CAST(supply_days_raw AS INT) END AS supply_days
+        FROM raw)
+      SELECT ndc_valid, supply_days IS NOT NULL AS supply_known,
+        count(*) AS n, count(DISTINCT ndc) AS n_ndc,
+        sum(supply_days) AS sum_supply
+      FROM norm GROUP BY 1, 2 ORDER BY ndc_valid, supply_known""",
   )
 }
