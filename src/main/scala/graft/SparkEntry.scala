@@ -160,6 +160,8 @@ object SparkEntry {
     "q79_claim_icdcm" -> (graft.queries.NormalizeQueries.q79ClaimIcdcm _),
     "q80_claim_procedure" -> (graft.queries.NormalizeQueries.q80ClaimProcedure _),
     "q81_claim_pharm" -> (graft.queries.NormalizeQueries.q81ClaimPharm _),
+    "q82_elig_plr" -> (graft.queries.PlrBhQueries.q82EligPlr _),
+    "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1592,5 +1594,110 @@ object SparkEntry {
         count(*) AS n, count(DISTINCT ndc) AS n_ndc,
         sum(supply_days) AS sum_supply
       FROM norm GROUP BY 1, 2 ORDER BY ndc_valid, supply_known""",
+
+    "q82_elig_plr" -> """
+      WITH iv AS (
+        SELECT o_custkey AS id, o_orderstatus AS flavor,
+          o_orderdate::DATE AS from_date,
+          o_orderdate::DATE + CAST(o_orderkey % 20 + 5 AS INT) AS to_date
+        FROM orders),
+      mrk AS (
+        SELECT id, flavor, from_date, to_date,
+          CASE WHEN max(to_date) OVER pw IS NULL
+            OR from_date > max(to_date) OVER pw + 1 THEN 1 ELSE 0 END AS is_start
+        FROM iv WINDOW pw AS (PARTITION BY id, flavor
+          ORDER BY from_date, to_date
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      isl AS (
+        SELECT *, sum(is_start) OVER (PARTITION BY id, flavor
+          ORDER BY from_date, to_date ROWS UNBOUNDED PRECEDING) AS island
+        FROM mrk),
+      coll AS (
+        SELECT id, flavor, min(from_date) AS f, max(to_date) AS t
+        FROM isl GROUP BY id, flavor, island),
+      pf AS (
+        SELECT id, flavor, CAST(sum(CASE WHEN f <= DATE '1996-12-31'
+            AND t >= DATE '1996-01-01'
+          THEN date_diff('day', greatest(f, DATE '1996-01-01'),
+            least(t, DATE '1996-12-31')) + 1 ELSE 0 END) AS BIGINT) AS days
+        FROM coll GROUP BY 1, 2),
+      amrk AS (
+        SELECT id, from_date, to_date,
+          CASE WHEN max(to_date) OVER aw IS NULL
+            OR from_date > max(to_date) OVER aw + 1 THEN 1 ELSE 0 END AS is_start
+        FROM iv WINDOW aw AS (PARTITION BY id ORDER BY from_date, to_date
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      aisl AS (
+        SELECT *, sum(is_start) OVER (PARTITION BY id
+          ORDER BY from_date, to_date ROWS UNBOUNDED PRECEDING) AS island
+        FROM amrk),
+      acoll AS (
+        SELECT id, min(from_date) AS f, max(to_date) AS t
+        FROM aisl GROUP BY id, island),
+      anyd AS (
+        SELECT id, CAST(sum(CASE WHEN f <= DATE '1996-12-31'
+            AND t >= DATE '1996-01-01'
+          THEN date_diff('day', greatest(f, DATE '1996-01-01'),
+            least(t, DATE '1996-12-31')) + 1 ELSE 0 END) AS BIGINT) AS days_any
+        FROM acoll GROUP BY id),
+      piv AS (
+        SELECT id,
+          coalesce(sum(CASE WHEN flavor = 'F' THEN days END), 0) AS days_F,
+          coalesce(sum(CASE WHEN flavor = 'O' THEN days END), 0) AS days_O,
+          coalesce(sum(CASE WHEN flavor = 'P' THEN days END), 0) AS days_P
+        FROM pf GROUP BY id)
+      SELECT p.id,
+        CAST(days_F AS BIGINT) AS days_F,
+        CAST(round(days_F * 100.0 / 366, 1) AS DECIMAL(4,1)) AS pct_F,
+        CAST(days_O AS BIGINT) AS days_O,
+        CAST(round(days_O * 100.0 / 366, 1) AS DECIMAL(4,1)) AS pct_O,
+        CAST(days_P AS BIGINT) AS days_P,
+        CAST(round(days_P * 100.0 / 366, 1) AS DECIMAL(4,1)) AS pct_P,
+        coalesce(a.days_any, 0) AS days_any,
+        CAST(round(coalesce(a.days_any, 0) * 100.0 / 366, 1)
+          AS DECIMAL(4,1)) AS pct_any
+      FROM piv p LEFT JOIN anyd a ON p.id = a.id
+      ORDER BY p.id""",
+
+    "q83_claim_bh" -> """
+      WITH ol AS (
+        SELECT o_custkey AS id,
+          CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS INT) AS mi,
+          l_returnflag, l_discount, l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      dx AS (SELECT id, mi, count(*) AS n_dx FROM ol
+        WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      rx AS (SELECT id, mi, count(*) AS n_rx FROM ol
+        WHERE l_discount >= 0.08 GROUP BY 1, 2),
+      px AS (SELECT id, mi, count(*) AS n_px FROM ol
+        WHERE l_quantity >= 45 GROUP BY 1, 2),
+      j1 AS (
+        SELECT coalesce(a.id, b.id) AS id, coalesce(a.mi, b.mi) AS mi,
+          coalesce(a.n_dx, 0) AS n_dx, coalesce(b.n_rx, 0) AS n_rx
+        FROM dx a FULL JOIN rx b ON a.id = b.id AND a.mi = b.mi),
+      m AS (
+        SELECT coalesce(j.id, c.id) AS id, coalesce(j.mi, c.mi) AS mi,
+          coalesce(j.n_dx, 0) AS n_dx, coalesce(j.n_rx, 0) AS n_rx,
+          coalesce(c.n_px, 0) AS n_px
+        FROM j1 j FULL JOIN px c ON j.id = c.id AND j.mi = c.mi),
+      isl AS (
+        SELECT *, mi - row_number() OVER (PARTITION BY id ORDER BY mi)
+          AS island FROM m),
+      ep AS (
+        SELECT id, island, min(mi) AS from_mi, max(mi) AS to_mi,
+          count(*) AS n_months,
+          CAST(sum(n_dx) AS BIGINT) AS n_dx,
+          CAST(sum(n_rx) AS BIGINT) AS n_rx,
+          CAST(sum(n_px) AS BIGINT) AS n_px
+        FROM isl GROUP BY 1, 2)
+      SELECT id, count(*) AS n_episodes,
+        CAST(sum(n_months) AS BIGINT) AS evidence_months,
+        min(from_mi) AS first_mi, max(to_mi) AS last_mi,
+        CAST(sum(n_dx) AS BIGINT) AS n_dx,
+        CAST(sum(n_rx) AS BIGINT) AS n_rx,
+        CAST(sum(n_px) AS BIGINT) AS n_px,
+        max(CASE WHEN (n_dx > 0)::INT + (n_rx > 0)::INT + (n_px > 0)::INT >= 2
+          THEN 1 ELSE 0 END) AS any_multi_source
+      FROM ep GROUP BY id ORDER BY id""",
   )
 }
