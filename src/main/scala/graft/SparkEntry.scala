@@ -1514,6 +1514,7 @@ object SparkEntry {
     "q79_claim_icdcm" -> """
       WITH wide AS (
         SELECT o_orderkey AS claim_header_id, o_custkey AS id_person,
+          DATE '2014-01-01' + CAST(o_orderkey % 1460 AS INT) AS last_service_date,
           CAST(o_orderkey % 99999 AS VARCHAR) AS dx01,
           CASE WHEN o_orderkey % 3 <> 0 THEN
             chr(CAST(65 + o_custkey % 26 AS INT)) ||
@@ -1524,20 +1525,21 @@ object SparkEntry {
             CAST(o_custkey % 99999 AS VARCHAR) END AS dx_admit
         FROM orders),
       lng AS (
-        SELECT claim_header_id, id_person, '01' AS icdcm_number, dx01 AS icdcm_raw FROM wide
-        UNION ALL SELECT claim_header_id, id_person, '02', dx02 FROM wide
-        UNION ALL SELECT claim_header_id, id_person, '03', dx03 FROM wide
-        UNION ALL SELECT claim_header_id, id_person, 'admit', dx_admit FROM wide),
+        SELECT claim_header_id, id_person, last_service_date, '01' AS icdcm_number, dx01 AS icdcm_raw FROM wide
+        UNION ALL SELECT claim_header_id, id_person, last_service_date, '02', dx02 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, last_service_date, '03', dx03 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, last_service_date, 'admit', dx_admit FROM wide),
       norm AS (
-        SELECT DISTINCT claim_header_id, id_person, icdcm_number, icdcm_raw,
-          CASE WHEN regexp_matches(icdcm_raw, '^[0-9]+$')
-                 OR regexp_matches(icdcm_raw, '^[EV][0-9]+$') THEN 9
+        SELECT DISTINCT claim_header_id, id_person, last_service_date, icdcm_number, icdcm_raw,
+          CASE WHEN regexp_matches(icdcm_raw, '^[0-9]')
+                 OR (regexp_matches(icdcm_raw, '^[EV]')
+                     AND last_service_date < DATE '2015-10-01') THEN 9
                ELSE 10 END AS icdcm_version,
-          CASE WHEN regexp_matches(icdcm_raw, '^[0-9]+$')
-                 THEN lpad(icdcm_raw, 5, '0')
-               WHEN regexp_matches(icdcm_raw, '^[EV][0-9]+$')
-                 THEN substr(icdcm_raw, 1, 1) || lpad(substr(icdcm_raw, 2, 10), 3, '0')
-               ELSE icdcm_raw END AS icdcm_norm
+          CASE WHEN (regexp_matches(icdcm_raw, '^[0-9]')
+                 OR (regexp_matches(icdcm_raw, '^[EV]')
+                     AND last_service_date < DATE '2015-10-01'))
+                AND length(icdcm_raw) BETWEEN 3 AND 4
+               THEN rpad(icdcm_raw, 5, '0') ELSE icdcm_raw END AS icdcm_norm
         FROM lng WHERE icdcm_raw IS NOT NULL AND trim(icdcm_raw) <> '')
       SELECT icdcm_version, icdcm_number, count(*) AS n,
         count(DISTINCT icdcm_norm) AS n_codes,

@@ -214,24 +214,69 @@ object Dedup {
     * that catches an eval item embedded in a larger training doc where
     * symmetric Jaccard dilutes to ~0.
     *
-    * Scale shape: the probe set (eval benchmarks) is small by nature —
-    * its shingle arrays broadcast, the corpus streams once with no
-    * shuffle, and the filter runs inside the scan stage. For probe sets
-    * too big to broadcast, fall back to the PPJoin-style bucket join of
-    * [[ngramJaccardDups]] keyed on probe shingles. */
+    * Two plans, switched on probe count (VERDICT r5 #2):
+    *
+    *   - **broadcast** (probes <= `maxBroadcastProbes`): probe shingle
+    *     arrays broadcast, the corpus streams once with no shuffle, and
+    *     the containment filter runs inside the scan stage. Per-row cost
+    *     is O(probes) intersections — only viable for a small probe set.
+    *   - **inverted index** (larger probe sets): the same prefix-filter
+    *     bound as [[ngramJaccardDups]], applied one-sidedly. If
+    *     C(p,c) >= t then c misses at most floor((1-t)*|S(p)|) of p's
+    *     shingles, so c must contain one of p's first
+    *     |S(p)| - ceil(t*|S(p)|) + 1 ascending shingle hashes. Only that
+    *     short probe PREFIX is exploded into a (shingle -> probe) index;
+    *     corpus shingles equi-join it (shuffle hash join, never a
+    *     nested-loop), candidate (probe, doc) pairs are deduped, and the
+    *     exact intersection runs once per surviving pair. Recall 1 by
+    *     construction, except for probes whose entire prefix is
+    *     boilerplate capped by `maxBucket` (same caveat as
+    *     [[ngramJaccardDups]]).
+    *
+    * The switch probes `probes.limit(maxBroadcastProbes + 1).count()` —
+    * a bounded action, never a full scan of a huge probe table.
+    *
+    * @param maxBroadcastProbes largest probe count for the broadcast plan
+    * @param maxBucket          drop shingles present in more corpus docs
+    *                           than this from candidate generation
+    *                           (boilerplate skew guard; indexed path only)
+    */
   def contamination(corpus: DataFrame, cid: String, ctext: String,
       probes: DataFrame, pid: String, ptext: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxBroadcastProbes: Long = 10000, maxBucket: Int = 100000): DataFrame = {
     val c = corpus.select(col(cid).as("doc_id"),
       shingles(col(ctext), shingleN).as("_cs"))
     val p = probes.select(col(pid).as("probe_id"),
       shingles(col(ptext), shingleN).as("_ps"))
-    c.crossJoin(broadcast(p))
+    // Identical containment expression on both paths: results match the
+    // DuckDB oracle regardless of which plan the probe count selects.
+    def scored(paired: DataFrame): DataFrame = paired
       .filter(col("probe_id") =!= col("doc_id")) // probes drawn from corpus
       .select(col("probe_id"), col("doc_id"),
         round(size(array_intersect(col("_ps"), col("_cs"))).cast("double") /
           greatest(size(col("_ps")), lit(1)).cast("double"), 4).as("containment"))
       .filter(col("containment") >= threshold)
+    val nProbes =
+      p.limit(math.min(maxBroadcastProbes + 1, Int.MaxValue).toInt).count()
+    if (nProbes <= maxBroadcastProbes) {
+      scored(c.crossJoin(broadcast(p)))
+    } else {
+      // (shingle -> probe) inverted index over probe PREFIXES only
+      val prefixLen = size(col("_ps")) -
+        ceil(size(col("_ps")) * lit(threshold)).cast("int") + 1
+      val idx = p.select(col("probe_id"),
+        explode(slice(col("_ps"), lit(1), prefixLen)).as("_sh"))
+      val cs = c.select(col("doc_id"), explode(col("_cs")).as("_sh"))
+      val capped = cs.withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy(col("_sh"))))
+        .filter(col("_bn") <= maxBucket).drop("_bn")
+      val cand = capped.join(idx, Seq("_sh"))
+        .filter(col("probe_id") =!= col("doc_id"))
+        .select(col("probe_id"), col("doc_id"))
+        .distinct() // one exact intersection per candidate pair
+      scored(cand.join(p, Seq("probe_id")).join(c, Seq("doc_id")))
+    }
   }
 
   /** MOSS-style local-overlap pairs via winnowing fingerprints

@@ -12,13 +12,17 @@ import graft.queries.Q.t
 object NormalizeQueries {
 
   /** Wide raw-claim frame with 3 dx slots + an admit slot: slot 01 always
-    * present (numeric, 1-5 digits — exercises ICD-9 zero-padding), slot 02
-    * letter-prefixed (ICD-10-shaped, except E/V prefixes which classify as
-    * ICD-9 e-codes), slot 03 an E-code, admit slot intermittently null. */
+    * present (numeric, 1-5 digits — exercises the 3/4-char right-padding),
+    * slot 02 letter-prefixed (ICD-10-shaped, except E/V prefixes whose
+    * version depends on the service date), slot 03 an E-code, admit slot
+    * intermittently null. last_service_date spans 2014-2017, straddling the
+    * 2015-10-01 ICD-10 cutover so both E/V branches are exercised. */
   private def icdcmWide(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey").as("claim_header_id"),
       col("o_custkey").as("id_person"),
+      date_add(to_date(lit("2014-01-01")),
+        (col("o_orderkey") % 1460).cast("int")).as("last_service_date"),
       (col("o_orderkey") % 99999).cast("string").as("dx01"),
       when(col("o_orderkey") % 3 =!= 0,
         concat(expr("chr(65 + o_custkey % 26)"),

@@ -7,15 +7,18 @@ import graft.SparkSpec
   * ISNUMERIC-guarded pharm casts. */
 class ClaimNormalizeSpec extends SparkSpec {
 
-  test("icdcm: zero-pad, e-code pad, version inference, null drop, distinct") {
+  test("icdcm: right-pad 3-4 char ICD-9, date-gated E/V version, null drop") {
     val s = spark
     import s.implicits._
+    val d9 = java.sql.Date.valueOf("2014-06-01")   // pre ICD-10 cutover
+    val d10 = java.sql.Date.valueOf("2016-01-01")  // post cutover
     val wide = Seq(
-      // (claim, dx01, dx02, dx03)
-      (1L, "42", "E12", null.asInstanceOf[String]), // numeric + e-code + null slot
-      (2L, "a123", " 99 ", "V7"),                   // lower-case ICD-10, padded raw, V-code
-      (3L, "42", "42", "42")                        // same code in 3 slots -> 3 rows (slot differs)
-    ).toDF("claim_header_id", "dx01", "dx02", "dx03")
+      // (claim, last_service_date, dx01, dx02, dx03)
+      (1L, d9, "250", "E12", null.asInstanceOf[String]),  // digit len3 +'00'; pre-cutover E-code padded v9
+      (2L, d10, "2500", "E119", "V07"),  // digit len4 +'0'; post-cutover E/V are ICD-10, untouched
+      (3L, d9, " 99 ", "a123", "V7"),    // len-2 digit: v9 but NOT padded; non-E/V letter = v10
+      (4L, d9, "42", "42", "  ")         // same code in 2 slots -> 2 rows; blank dropped
+    ).toDF("claim_header_id", "last_service_date", "dx01", "dx02", "dx03")
 
     val out = ClaimIcdcm.build(wide, Seq("claim_header_id"),
         Seq("01" -> "dx01", "02" -> "dx02", "03" -> "dx03"))
@@ -23,20 +26,24 @@ class ClaimNormalizeSpec extends SparkSpec {
       .as[(Long, String, String, Int)].collect().toSet
 
     assert(out === Set(
-      (1L, "01", "00042", 9),
-      (1L, "02", "E012", 9),
-      (2L, "01", "A123", 10),
-      (2L, "02", "00099", 9),
-      (2L, "03", "V007", 9),
-      (3L, "01", "00042", 9),
-      (3L, "02", "00042", 9),
-      (3L, "03", "00042", 9)))
+      (1L, "01", "25000", 9),
+      (1L, "02", "E1200", 9),
+      (2L, "01", "25000", 9),
+      (2L, "02", "E119", 10),
+      (2L, "03", "V07", 10),
+      (3L, "01", "99", 9),
+      (3L, "02", "A123", 10),
+      (3L, "03", "V7", 9),
+      (4L, "01", "42", 9),
+      (4L, "02", "42", 9)))
   }
 
   test("icdcm: duplicate (claim, slot, code) rows collapse via distinct") {
     val s = spark
     import s.implicits._
-    val wide = Seq((1L, "7"), (1L, "7")).toDF("claim_header_id", "dx01")
+    val wide = Seq((1L, java.sql.Date.valueOf("2014-06-01"), "7"),
+        (1L, java.sql.Date.valueOf("2014-06-01"), "7"))
+      .toDF("claim_header_id", "last_service_date", "dx01")
     val out = ClaimIcdcm.build(wide, Seq("claim_header_id"), Seq("01" -> "dx01"))
     assert(out.count() === 1L)
   }

@@ -188,6 +188,33 @@ class DedupSpec extends SparkSpec {
     assert(jac(shingleSet(base(3)._2, 3), shingleSet(host._2, 3)) < 0.4)
   }
 
+  test("contamination inverted-index path matches broadcast path, no nested-loop join") {
+    val base = corpus(40)
+    val rng = new Random(43)
+    // two planted hosts, each fully containing a different probe doc
+    val hosts = Seq(3, 9).zipWithIndex.map { case (src, i) =>
+      val noise = Seq.fill(60)(s"n${rng.nextInt(5000)}").mkString(" ")
+      (2000L + i, s"$noise ${base(src)._2} $noise", "src0")
+    }
+    val corpusDf = toDf(base ++ hosts)
+    val probesDf = toDf(Seq(base(3), base(9), base(20)))
+    def run(maxBroadcast: Long) =
+      Dedup.contamination(corpusDf, "doc_id", "text",
+        probesDf, "doc_id", "text", shingleN = 3, threshold = 0.5,
+        maxBroadcastProbes = maxBroadcast)
+    val viaBroadcast = run(maxBroadcast = 1000)
+    val viaIndex = run(maxBroadcast = 0) // 3 probes > 0 -> indexed plan
+    val exec = viaIndex.queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin") &&
+      !exec.contains("CartesianProduct"),
+      s"indexed contamination plan must not nested-loop:\n$exec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = rows(viaBroadcast)
+    assert(rows(viaIndex) === b, "paths disagree")
+    assert(b.map(p => (p._1, p._2)) === Set((3L, 2000L), (9L, 2001L)))
+  }
+
   test("winnow overlap finds partial containment that whole-doc jaccard misses") {
     val base = corpus(60)
     // doc 1000 embeds a 12-token RUN of doc 0 inside otherwise-unrelated
