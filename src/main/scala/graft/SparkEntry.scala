@@ -120,6 +120,7 @@ object SparkEntry {
     "q40_ngram_jaccard" -> (T.q39NgramJaccard _),
     "q41_ann_brute" -> (V.q40AnnBrute _),
     "q42_ann_ivf" -> (V.q41AnnIvf _),
+    "q42b_ivf_probe" -> (V.q42bIvfProbe _),
     "q43_embedding_neardup" -> (V.q42EmbeddingNearDup _),
     "q44_timeline_episodes" -> (qTimeline _),
     "q45_multimodal" -> (qMultimodal _),
@@ -689,6 +690,44 @@ object SparkEntry {
           list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
             AS cosine
         FROM q CROSS JOIN embeddings c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+        round(cosine, 4) AS cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q42b: IVF's deterministic half — assignment + probe + within-cell
+    // top-k under fixed integer-arithmetic centroids (exact in float on
+    // both engines). Tie-breaks mirror Spark's struct order: higher cell
+    // id wins on equal cosine for assignment and probe selection.
+    "q42b_ivf_probe" -> """
+      WITH cen AS (
+        SELECT j AS cell,
+          list(CAST(((j*31 + d*7) % 13) - 6 AS DOUBLE) ORDER BY d) AS cv
+        FROM generate_series(0, 7) t(j), generate_series(0, 63) s(d)
+        GROUP BY j),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                DESC, c.cell DESC) AS rn
+          FROM embeddings e CROSS JOIN cen c) WHERE rn = 1),
+      q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cv)
+                DESC, c.cell DESC) AS rn
+          FROM q CROSS JOIN cen c) WHERE rn <= 4),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[])
+            AS cosine
+        FROM probes p JOIN assigned a ON a.cell = p.cell),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id) AS rk

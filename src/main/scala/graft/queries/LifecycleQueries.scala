@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Bucketing, LoadTable, TableConfig}
@@ -10,6 +9,36 @@ import graft.queries.Q.t
   * roundtrips, create-table shell, and the incremental-refresh write path
   * (SURVEY §2.1 rows 1, 2, 4, 7, 8). */
 object LifecycleQueries {
+
+  /** Per-application scratch root under java.io.tmpdir, cleaned up on JVM
+    * exit (shutdown hook) — plus an age-guarded sweep of stale siblings
+    * left by crashed runs. The applicationId tag keeps two concurrent
+    * same-user sessions from racing on one path (r4); without cleanup each
+    * run leaked a fresh tree forever (ADVICE r5). The sweep only removes
+    * siblings untouched for > 1 h, so a live concurrent session's scratch
+    * is never yanked out from under it. */
+  private val hooked = scala.collection.mutable.Set.empty[String]
+  private def scratchRoot(s: SparkSession, kind: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val prefix = s"graft_${kind}_${sys.props("user.name")}_"
+    val cur = s"$prefix${s.sparkContext.applicationId}"
+    val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != cur &&
+        f.lastModified() < staleBefore)
+      .foreach(deleteRecursively)
+    val root = s"$tmp/$cur"
+    hooked.synchronized {
+      if (hooked.add(root))
+        sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+    }
+    root
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 
   private val ordersYaml = """
 table: stage.orders_export
@@ -39,7 +68,7 @@ vars:
     // shell: declared-schema empty frame (create_table.R) — unioning it in
     // proves schema parity between the shell and both reloads
     val shell = TableConfig.emptyFrame(s, cfg).withColumn("fmt", lit("shell"))
-    val base = Files.createTempDirectory("graft_lifecycle").toString
+    val base = scratchRoot(s, "lifecycle")
     LoadTable.exportCsv(typed, s"$base/csv")
     LoadTable.exportOrc(typed, s"$base/orc")
     val fromCsv = LoadTable.loadCsv(s, s"$base/csv", cfg).withColumn("fmt", lit("csv"))
@@ -64,7 +93,7 @@ vars:
     val cut = "1997-07-01"
     val ordersD = t(s, dir, "orders")
       .withColumn("o_orderdate", to_date(col("o_orderdate")))
-    val base = Files.createTempDirectory("graft_refresh").toString
+    val base = scratchRoot(s, "refresh")
     val stale = ordersD.filter(col("o_orderdate") >= cut)
       .withColumn("o_totalprice", lit(-1.0))
     val initial = ordersD.filter(col("o_orderdate") < cut)
@@ -91,12 +120,10 @@ vars:
     * broadcast at test scale. */
   def q74BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     // Fixed per-application base dir, overwritten on re-runs within the
-    // session (a fresh temp dir per invocation would leak the previous
-    // tree — DROP TABLE leaves external paths). The applicationId in the
-    // tag keeps two concurrent sessions with the same user/tmpdir from
-    // racing on the same external paths and catalog names.
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
-      s"${sys.props("user.name")}_${s.sparkContext.applicationId}"
+    // session, swept + shutdown-hooked by scratchRoot (DROP TABLE leaves
+    // external paths behind, and a fresh temp dir per invocation would
+    // leak one tree per run).
+    val base = scratchRoot(s, "bucketed")
     val tag = Integer.toHexString(base.hashCode)
     Bucketing.writeBucketed(t(s, dir, "orders"),
       s"graft_b_orders_$tag", s"$base/orders", "o_orderkey", 8)

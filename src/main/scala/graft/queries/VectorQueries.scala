@@ -35,6 +35,24 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The deterministic half of IVF under FIXED synthesized centroids
+    * (VERDICT r5 #7): cell assignment, probe selection, and within-cell
+    * top-k are exact given the centroids, so with centroids both sides can
+    * reproduce (integer arithmetic, exact in float), the full path gets a
+    * SQL oracle. Lloyd refinement remains the only unoracled piece of q42,
+    * pinned by SimilaritySpec instead. */
+  def q42bIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val centroids = Array.tabulate(8)(j =>
+      (j, Seq.tabulate(64)(d => (((j * 31 + d * 7) % 13) - 6).toFloat)))
+    val assigned = Similarity.assignCells(
+      t(s, dir, "embeddings"), "vec_id", "embedding", centroids)
+    Similarity.ivfTopK(queries(s, dir), "vec_id", "embedding",
+      assigned, centroids, k = 5, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH buckets +
     * exact cosine verify (approximate recall -> spec-checked, no oracle). */
   def q42EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,36 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean IVF recall@5 = $mean")
   }
 
+  test("IVF at nCells=256 assigns and probes (constant-size expression tree)") {
+    // The r5 assignment built one array(struct(...)) element PER centroid —
+    // the expression tree (and generated code) grew with nCells and fell
+    // over at a realistic sqrt(N). The transform-over-literal rewrite must
+    // handle hundreds of cells; nProbe = nCells keeps the check exact.
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val rng = new Random(17)
+    val vecs = (0L until 600L).map { i =>
+      (i, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", df, "vec_id", "embedding", k = 4)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (assigned, centroids) = Similarity.ivfAssign(
+      df, "vec_id", "embedding", nCells = 256, iters = 1)
+    assert(centroids.length == 256)
+    // every corpus vector lands in exactly one cell
+    assert(assigned.filter(col("_cell").isNull).count() == 0)
+    val ivf = Similarity.ivfTopK(queries, "vec_id", "embedding",
+      assigned, centroids, k = 4, nProbe = 256)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("brute-force top-k is exact and deterministically ordered") {
     val emb = Q.t(spark, sf, "embeddings")
     val out = Similarity.bruteForceTopK(
