@@ -162,6 +162,7 @@ object SparkEntry {
     "q80_claim_procedure" -> (graft.queries.NormalizeQueries.q80ClaimProcedure _),
     "q81_claim_pharm" -> (graft.queries.NormalizeQueries.q81ClaimPharm _),
     "q82_elig_plr" -> (graft.queries.PlrBhQueries.q82EligPlr _),
+    "q84_preg_episode" -> (graft.queries.BuildQueries.q84PregEpisode _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -1740,5 +1741,73 @@ object SparkEntry {
         max(CASE WHEN (n_dx > 0)::INT + (n_rx > 0)::INT + (n_px > 0)::INT >= 2
           THEN 1 ELSE 0 END) AS any_multi_source
       FROM ep GROUP BY id ORDER BY id""",
+
+    // q84: the per-class greedy WHILE-loop admission is iterative (cum gap
+    // resets on each admission), expressed as one recursive CTE per
+    // endpoint class chained over the rank sequence; conflict filters vs
+    // already-placed higher classes are ANTI JOINs (DuckDB's recursive-CTE
+    // parser rejects EXCEPT). AS MATERIALIZED on the shared frames: without
+    // it each downstream reference re-runs the recursion (~39 s -> 0.2 s).
+    "q84_preg_episode" -> """
+      WITH RECURSIVE ep AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
+          CASE WHEN o_orderkey % 7 <= 2 THEN 'lb'
+               WHEN o_orderkey % 7 <= 4 THEN 'sb' ELSE 'deliv' END AS cls
+        FROM orders),
+      lb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM ep WHERE cls = 'lb'),
+      lbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
+        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
+      sbsurv AS (
+        SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s
+        ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+          AND abs(date_diff('day', l.d, s.d)) <= 182),
+      sb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM sbsurv),
+      sbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
+      dvsurv AS (
+        SELECT s2.id, s2.d FROM (
+          SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s
+          ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+            AND abs(date_diff('day', l.d, s.d)) <= 182) s2
+        ANTI JOIN sbfin m ON m.id = s2.id AND m.d <> s2.d
+          AND abs(date_diff('day', m.d, s2.d)) <= 168),
+      dv0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM dvsurv),
+      dvrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM dv0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM dvrec a JOIN dv0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      dvfin AS MATERIALIZED (SELECT id, d FROM dvrec WHERE inc = 1),
+      placed AS (
+        SELECT id, 'lb' AS cls, d FROM lbfin
+        UNION ALL SELECT id, 'sb', d FROM sbfin
+        UNION ALL SELECT id, 'deliv', d FROM dvfin)
+      SELECT id AS id_person, cls AS preg_endpoint, d AS endpoint_date,
+        CAST(rank() OVER (PARTITION BY id, cls ORDER BY d) AS INT)
+          AS preg_episode_id
+      FROM placed ORDER BY id_person, preg_endpoint, preg_episode_id""",
   )
 }

@@ -102,6 +102,22 @@ object BuildQueries {
         sum(when(col("full_month"), 1).otherwise(0)).as("n_full_months"))
       .orderBy(col("month"))
 
+  /** §2.9 pregnancy-episode build (q84): hierarchical endpoint placement —
+    * lb/sb/deliv endpoint days synthesized from orders (dates span 7 years,
+    * dense enough that the sb/deliv classes are mostly conflict-blocked by
+    * placed lb endpoints, exercising both filter branches), then the
+    * per-class greedy WHILE-loop admission + per-class episode ranks. */
+  def q84PregEpisode(s: SparkSession, dir: String): DataFrame =
+    graft.builds.PregEpisode.build(
+      t(s, dir, "orders").select(
+        (col("o_custkey") % 100).as("id_person"),
+        to_date(col("o_orderdate")).as("endpoint_date"),
+        when(col("o_orderkey") % 7 <= 2, "lb")
+          .when(col("o_orderkey") % 7 <= 4, "sb")
+          .otherwise("deliv").as("cls")),
+      "id_person", "endpoint_date", "cls")
+      .orderBy(col("id_person"), col("preg_endpoint"), col("preg_episode_id"))
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
