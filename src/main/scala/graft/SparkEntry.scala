@@ -163,6 +163,9 @@ object SparkEntry {
     "q81_claim_pharm" -> (graft.queries.NormalizeQueries.q81ClaimPharm _),
     "q82_elig_plr" -> (graft.queries.PlrBhQueries.q82EligPlr _),
     "q84_preg_episode" -> (graft.queries.BuildQueries.q84PregEpisode _),
+    "q85_multisource_union" -> (graft.queries.BuildQueries.q85MultiSourceUnion _),
+    "q86_year_sections" -> (graft.queries.LifecycleQueries.q86YearSections _),
+    "q87_fua_measure" -> (graft.queries.BuildQueries.q87FuaMeasure _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -1809,5 +1812,150 @@ object SparkEntry {
         CAST(rank() OVER (PARTITION BY id, cls ORDER BY d) AS INT)
           AS preg_episode_id
       FROM placed ORDER BY id_person, preg_endpoint, preg_episode_id""",
+
+    "q85_multisource_union" -> """
+      WITH src AS (
+        SELECT DISTINCT * FROM (
+          SELECT o_custkey AS id_person, o_orderkey AS claim_id,
+            CAST(o_orderdate AS DATE) AS svc_date,
+            CAST(o_totalprice AS DECIMAL(12,2)) AS charge,
+            CAST(NULL AS VARCHAR) AS drg_code, o_orderstatus AS status,
+            'carrier' AS filetype
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+            CAST(o_totalprice AS DECIMAL(12,2)), NULL, o_orderstatus,
+            'carrier'
+          FROM orders WHERE o_orderkey % 6 = 0
+          UNION ALL
+          SELECT l_suppkey, l_orderkey * 10 + l_linenumber,
+            CAST(l_shipdate AS DATE), CAST(l_extendedprice AS DECIMAL(12,2)),
+            NULL, NULL, 'dme'
+          FROM lineitem WHERE l_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+            CAST(o_totalprice AS DECIMAL(12,2)),
+            'DRG' || lpad(CAST(o_orderkey % 77 AS VARCHAR), 2, '0'),
+            o_orderstatus, 'inpatient'
+          FROM orders WHERE o_orderkey % 7 = 0))
+      SELECT filetype, status, count(*) AS n,
+        count(DISTINCT id_person) AS n_persons,
+        round(CAST(sum(charge) AS DOUBLE), 2) AS total_charge,
+        count(drg_code) AS n_drg,
+        min(svc_date) AS min_date, max(svc_date) AS max_date
+      FROM src GROUP BY 1, 2 ORDER BY filetype, status""",
+
+    "q86_year_sections" -> """
+      WITH combined AS (
+        SELECT o_orderkey AS claim_id, CAST(o_orderdate AS DATE) AS svc_date,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS charge,
+          substr(o_orderstatus, 1, 1) AS legacy_flag,
+          CAST(NULL AS VARCHAR) AS drg_code
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        UNION ALL
+        SELECT o_orderkey, CAST(o_orderdate AS DATE),
+          CAST(o_totalprice AS DECIMAL(12,2)),
+          substr(o_orderstatus, 1, 1),
+          'D' || CAST(o_orderkey % 9 AS VARCHAR)
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+        UNION ALL
+        SELECT o_orderkey, CAST(o_orderdate AS DATE),
+          CAST(o_totalprice AS DECIMAL(12,2)), NULL, NULL
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998)
+      SELECT CAST(year(svc_date) AS INT) AS yr, count(*) AS n,
+        count(legacy_flag) AS n_legacy, count(drg_code) AS n_drg,
+        count(DISTINCT drg_code) AS n_drg_kinds,
+        round(CAST(sum(charge) AS DOUBLE), 2) AS total
+      FROM combined GROUP BY 1 ORDER BY yr""",
+
+    // q87: the FUA index-visit set algebra (dx INTERSECT (rev UNION proc)),
+    // T-SQL anniversary age (interval-year add clamps Feb 29 like DATEADD),
+    // then the q60 measure pipeline with the fua fact joined on.
+    "q87_fua_measure" -> """
+      WITH orders_d AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS svc_date,
+          o_orderdate, o_totalprice FROM orders),
+      dx AS (
+        SELECT o_custkey AS id, o_orderkey AS claim_id, svc_date
+        FROM orders_d WHERE o_orderkey % 11 = 0
+          AND svc_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      li AS (
+        SELECT l.l_orderkey, l.l_returnflag, l.l_quantity, o.o_custkey,
+          o.svc_date
+        FROM lineitem l JOIN orders_d o ON l.l_orderkey = o.o_orderkey),
+      ed AS (
+        SELECT o_custkey AS id, l_orderkey AS claim_id, svc_date FROM li
+        WHERE l_returnflag = 'R'
+          AND svc_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        UNION
+        SELECT o_custkey, l_orderkey, svc_date FROM li
+        WHERE l_quantity >= 45
+          AND svc_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      idx0 AS (SELECT * FROM dx INTERSECT SELECT * FROM ed),
+      demo AS (
+        SELECT c_custkey AS id,
+          DATE '1930-01-01' + CAST((c_custkey * 97) % 17000 AS INT) AS dob
+        FROM customer),
+      idx AS (
+        SELECT i.id, i.claim_id, i.svc_date
+        FROM idx0 i JOIN demo d ON i.id = d.id
+        WHERE (year(svc_date) - year(dob)) -
+          CASE WHEN dob + to_years(CAST(year(svc_date) - year(dob) AS INT))
+            > svc_date THEN 1 ELSE 0 END >= 18),
+      idxm AS (
+        SELECT id AS o_custkey, date_trunc('month', svc_date)::DATE AS month,
+          count(DISTINCT claim_id) AS n_index
+        FROM idx GROUP BY 1, 2),
+      members AS (SELECT DISTINCT o_custkey FROM orders),
+      months AS (
+        SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+          INTERVAL 1 MONTH))::DATE AS month),
+      grid AS (SELECT o_custkey, month FROM members CROSS JOIN months),
+      facts AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month,
+          count(*) AS n_orders, max(o_totalprice) AS max_price
+        FROM orders GROUP BY 1, 2),
+      staged AS (
+        SELECT g.o_custkey, g.month,
+          coalesce(f.n_orders, 0) AS n_orders,
+          coalesce(f.max_price, 0) AS max_price,
+          coalesce(x.n_index, 0) AS n_index
+        FROM grid g LEFT JOIN facts f USING (o_custkey, month)
+          LEFT JOIN idxm x USING (o_custkey, month)),
+      denom AS (
+        SELECT o_custkey, month,
+          sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) OVER w AS active_m,
+          sum(CASE WHEN max_price > 150000.0 THEN 1 ELSE 0 END) OVER w AS hv,
+          sum(CASE WHEN n_index > 0 THEN 1 ELSE 0 END) OVER w AS fua
+        FROM staged
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY month
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+      per AS (
+        SELECT month,
+          CAST(sum(CASE WHEN active_m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_denom,
+          CAST(sum(CASE WHEN active_m >= 2 AND active_m > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_any,
+          CAST(sum(CASE WHEN active_m >= 2 AND hv > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hv,
+          CAST(sum(CASE WHEN active_m >= 2 AND fua > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fua
+        FROM denom GROUP BY month)
+      SELECT measure, ym, n_denom, n_num,
+        CASE WHEN n_denom > 0
+          THEN round(n_num * 100.0 / n_denom, 2) END AS rate
+      FROM (
+        SELECT 'order_any' AS measure,
+          CAST(year(month) * 100 + month(month) AS INTEGER) AS ym,
+          n_denom, n_any AS n_num FROM per
+        UNION ALL
+        SELECT 'high_value',
+          CAST(year(month) * 100 + month(month) AS INTEGER),
+          n_denom, n_hv FROM per
+        UNION ALL
+        SELECT 'fua_index',
+          CAST(year(month) * 100 + month(month) AS INTEGER),
+          n_denom, n_fua FROM per)
+      ORDER BY measure, ym""",
   )
 }

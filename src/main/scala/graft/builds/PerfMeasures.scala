@@ -32,10 +32,16 @@ object PerfMeasures {
     *                      parameterized for the short testdata spine)
     * @param denomMinMonths months-with-activity required in the window for
     *                       the member to count in the denominator
+    * @param extraFacts    additional per-member monthly fact frames, each
+    *                      (o_custkey, month, counts...) with the count
+    *                      columns to zero-fill — how measure feeders like
+    *                      [[FuaMeasure]] land on the staging grid (the
+    *                      reference persists the same into perf_staging)
     */
   def run(orders: DataFrame, fromMonth: String, toMonth: String,
       rollingMonths: Int = 3, denomMinMonths: Int = 2,
-      measures: Seq[MeasureDef] = defaultMeasures): DataFrame = {
+      measures: Seq[MeasureDef] = defaultMeasures,
+      extraFacts: Seq[(DataFrame, Seq[String])] = Seq.empty): DataFrame = {
     val s = orders.sparkSession
     // member universe x month spine (perf_distinct_member CROSS JOIN)
     val members = orders.select(col("o_custkey")).distinct()
@@ -48,8 +54,11 @@ object PerfMeasures {
       .groupBy(col("o_custkey"),
         to_date(date_trunc("MONTH", col("o_orderdate"))).as("month"))
       .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
-    val staged = grid.join(facts, Seq("o_custkey", "month"), "left")
+    val staged0 = grid.join(facts, Seq("o_custkey", "month"), "left")
       .na.fill(0, Seq("n_orders")).na.fill(0.0, Seq("max_price"))
+    val staged = extraFacts.foldLeft(staged0) { case (df, (ef, cols)) =>
+      df.join(ef, Seq("o_custkey", "month"), "left").na.fill(0, cols)
+    }
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
       .rowsBetween(-(rollingMonths - 1), 0)
     // enroll denominator: rolling months-with-activity >= threshold

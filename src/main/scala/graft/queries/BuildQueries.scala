@@ -118,6 +118,92 @@ object BuildQueries {
       "id_person", "endpoint_date", "cls")
       .orderBy(col("id_person"), col("preg_endpoint"), col("preg_episode_id"))
 
+  /** §7.5.5 multi-source union harmonization (q85): three synthesized
+    * source frames with real schema drift — carrier (no drg_code, planted
+    * duplicate rows), dme (no drg_code/status, INT person ids needing
+    * widening), inpatient (all columns) — normalized to one declared
+    * schema, unioned via unionByName(allowMissingColumns), DISTINCTed,
+    * rolled up per (filetype, status) so any mis-cast, lost NULL-fill, or
+    * surviving duplicate moves an aggregate. */
+  def q85MultiSourceUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("id_person", LongType), StructField("claim_id", LongType),
+      StructField("svc_date", DateType),
+      StructField("charge", DecimalType(12, 2)),
+      StructField("drg_code", StringType), StructField("status", StringType)))
+    val orders = t(s, dir, "orders")
+    val carrier = orders.filter(col("o_orderkey") % 3 === 0)
+      .unionAll(orders.filter(col("o_orderkey") % 6 === 0)) // planted dups
+      .select(col("o_custkey").as("id_person"),
+        col("o_orderkey").as("claim_id"),
+        to_date(col("o_orderdate")).as("svc_date"),
+        col("o_totalprice").as("charge"),
+        col("o_orderstatus").as("status"))
+    val dme = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_suppkey").cast("int").as("id_person"), // int -> widened
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        to_date(col("l_shipdate")).as("svc_date"),
+        col("l_extendedprice").as("charge"))
+    val inpatient = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_custkey").as("id_person"),
+        col("o_orderkey").as("claim_id"),
+        to_date(col("o_orderdate")).as("svc_date"),
+        col("o_totalprice").as("charge"),
+        concat(lit("DRG"), lpad((col("o_orderkey") % 77).cast("string"), 2, "0"))
+          .as("drg_code"),
+        col("o_orderstatus").as("status"))
+    graft.builds.MultiSourceUnion.build(target,
+        Seq("carrier" -> carrier, "dme" -> dme, "inpatient" -> inpatient))
+      .groupBy(col("filetype"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id_person")).as("n_persons"),
+        round(sum(col("charge")).cast("double"), 2).as("total_charge"),
+        count(col("drg_code")).as("n_drg"),
+        min(col("svc_date")).as("min_date"),
+        max(col("svc_date")).as("max_date"))
+      .orderBy(col("filetype"), col("status"))
+  }
+
+  /** §2.7-inside-§2.9 FUA index-visit measure (q87): the reference's
+    * fn_perf_fua_ed_index_visit set algebra — qualifying-dx claims
+    * INTERSECT (ED-by-revenue UNION ED-by-procedure), window + exact-
+    * anniversary age filter — fed into the PerfMeasures dispatch as a
+    * monthly extra fact alongside the default measures. */
+  def q87FuaMeasure(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("svc_date", to_date(col("o_orderdate")))
+    val dx = orders.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_custkey").as("id_person"),
+        col("o_orderkey").as("claim_id"), col("svc_date"))
+    val li = t(s, dir, "lineitem").join(
+      orders.select(col("o_orderkey"), col("o_custkey"), col("svc_date")),
+      col("l_orderkey") === col("o_orderkey"))
+    val rev = li.filter(col("l_returnflag") === "R")
+      .select(col("o_custkey").as("id_person"),
+        col("l_orderkey").as("claim_id"), col("svc_date"))
+    val proc = li.filter(col("l_quantity") >= 45)
+      .select(col("o_custkey").as("id_person"),
+        col("l_orderkey").as("claim_id"), col("svc_date"))
+    val demo = t(s, dir, "customer").select(
+      col("c_custkey").as("id_person"),
+      date_add(to_date(lit("1930-01-01")),
+        ((col("c_custkey") * 97) % 17000).cast("int")).as("dob"))
+    val idx = graft.builds.FuaMeasure.indexVisits(dx, rev, proc, demo,
+      "1996-01-01", "1996-12-31", minAge = 18)
+    val idxMonthly = idx
+      .groupBy(col("id_person").as("o_custkey"),
+        to_date(date_trunc("MONTH", col("svc_date"))).as("month"))
+      .agg(countDistinct(col("claim_id")).as("n_index"))
+    PerfMeasures.run(orders, "1996-01-01", "1996-12-01",
+        rollingMonths = 3, denomMinMonths = 2,
+        measures = PerfMeasures.defaultMeasures :+
+          PerfMeasures.MeasureDef("fua_index",
+            (col("n_index") > 0).cast("int")),
+        extraFacts = Seq(idxMonthly -> Seq("n_index")))
+      .orderBy(col("measure"), col("ym"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */

@@ -82,6 +82,64 @@ vars:
       .orderBy(col("fmt"), col("o_orderstatus"))
   }
 
+  private val yearYaml = """
+table: stage.claims_by_year
+partition_by: yr
+vars:
+    claim_id: BIGINT
+    svc_date: DATE
+    charge: NUMERIC(12,2)
+table_1996:
+    file_path: ignored_1996.txt
+    row_count: 999
+    vars_1996:
+        legacy_flag: VARCHAR(1)
+table_1997:
+    vars_1997:
+        drg_code: VARCHAR(8)
+        legacy_flag: VARCHAR(1)
+table_1998:
+"""
+
+  /** §2.1 year-partitioned config sections (q86): `table_YYYY:`/`vars_YYYY:`
+    * blocks declare per-year extra columns; the combine projects each year
+    * to the union column list with typed NULLs for the columns that year
+    * lacks (load_table.R:290-324,396-416). 1996 carries legacy_flag only,
+    * 1997 adds drg_code, 1998 has no extras — so every output column has
+    * both populated and NULL-padded years, and a mis-resolved pad moves a
+    * count. */
+  def q86YearSections(s: SparkSession, dir: String): DataFrame = {
+    val cfg = TableConfig.parse(yearYaml)
+    require(cfg.yearSections.map(_.year) == Seq(1996, 1997, 1998),
+      s"year sections mis-parsed: ${cfg.yearSections}")
+    require(cfg.combinedSchema.fieldNames.toSeq ==
+      Seq("claim_id", "svc_date", "charge", "legacy_flag", "drg_code"))
+    val orders = t(s, dir, "orders")
+      .withColumn("svc_date", to_date(col("o_orderdate")))
+    def base(y: Int) = orders.filter(year(col("svc_date")) === y)
+    val f1996 = base(1996).select(
+      col("o_orderkey").as("claim_id"), col("svc_date"),
+      col("o_totalprice").as("charge"),
+      substring(col("o_orderstatus"), 1, 1).as("legacy_flag"))
+    val f1997 = base(1997).select(
+      col("o_orderkey").as("claim_id"), col("svc_date"),
+      col("o_totalprice").as("charge"),
+      concat(lit("D"), (col("o_orderkey") % 9).cast("string")).as("drg_code"),
+      substring(col("o_orderstatus"), 1, 1).as("legacy_flag"))
+    val f1998 = base(1998).select(
+      col("o_orderkey").as("claim_id"), col("svc_date"),
+      col("o_totalprice").as("charge"))
+    TableConfig.combineYears(cfg,
+        Seq(1996 -> f1996, 1997 -> f1997, 1998 -> f1998))
+      .groupBy(year(col("svc_date")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        count(col("legacy_flag")).as("n_legacy"),
+        count(col("drg_code")).as("n_drg"),
+        countDistinct(col("drg_code")).as("n_drg_kinds"),
+        round(sum(col("charge")).cast("double"), 2).as("total"))
+      .orderBy(col("yr"))
+  }
+
   /** §2.1 row 4 + §7.5.6: the monthly incremental-refresh heartbeat.
     * Seed a lake table whose post-cut partitions hold STALE rows
     * (price = -1), then refresh with the true extract (duplicated, to
