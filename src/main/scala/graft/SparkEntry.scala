@@ -166,6 +166,7 @@ object SparkEntry {
     "q85_multisource_union" -> (graft.queries.BuildQueries.q85MultiSourceUnion _),
     "q86_year_sections" -> (graft.queries.LifecycleQueries.q86YearSections _),
     "q87_fua_measure" -> (graft.queries.BuildQueries.q87FuaMeasure _),
+    "q88_table_profile" -> (graft.queries.BuildQueries.q88TableProfile _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -1957,5 +1958,52 @@ object SparkEntry {
           CAST(year(month) * 100 + month(month) AS INTEGER),
           n_denom, n_fua FROM per)
       ORDER BY measure, ym""",
+
+    "q88_table_profile" -> """
+      WITH t AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+          CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END AS o_flag
+        FROM orders),
+      p AS (
+        SELECT 1 AS ordinal_position, 'o_orderkey' AS column_name,
+          CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+          CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+          CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          count(DISTINCT o_orderkey) AS n_distinct, count(*) AS n_rows FROM t
+        UNION ALL
+        SELECT 2, 'o_custkey', CAST(min(o_custkey) AS VARCHAR),
+          CAST(max(o_custkey) AS VARCHAR),
+          CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT o_custkey), count(*) FROM t
+        UNION ALL
+        SELECT 3, 'o_orderstatus', CAST(min(o_orderstatus) AS VARCHAR),
+          CAST(max(o_orderstatus) AS VARCHAR),
+          CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT o_orderstatus), count(*) FROM t
+        UNION ALL
+        SELECT 4, 'o_totalprice', CAST(min(o_totalprice) AS VARCHAR),
+          CAST(max(o_totalprice) AS VARCHAR),
+          CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT o_totalprice), count(*) FROM t
+        UNION ALL
+        SELECT 5, 'o_orderdate', CAST(min(o_orderdate) AS VARCHAR),
+          CAST(max(o_orderdate) AS VARCHAR),
+          CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT o_orderdate), count(*) FROM t
+        UNION ALL
+        SELECT 6, 'o_orderpriority', CAST(min(o_orderpriority) AS VARCHAR),
+          CAST(max(o_orderpriority) AS VARCHAR),
+          CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT o_orderpriority), count(*) FROM t
+        UNION ALL
+        SELECT 7, 'o_flag', CAST(min(o_flag) AS VARCHAR),
+          CAST(max(o_flag) AS VARCHAR),
+          CAST(sum(CASE WHEN o_flag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT o_flag), count(*) FROM t)
+      SELECT 'stage.orders' AS object_name, ordinal_position, column_name,
+        min_value, max_value, n_null, n_distinct, n_rows
+      FROM p ORDER BY ordinal_position""",
   )
 }

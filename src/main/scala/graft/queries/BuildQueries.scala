@@ -204,6 +204,23 @@ object BuildQueries {
       .orderBy(col("measure"), col("ym"))
   }
 
+  /** §5 table profiler (q88): the sp_profile_table / sp_min_max_value
+    * analog — per-column min/max/null-count/distinct-count in ONE fused
+    * scan (the reference runs one full-table scan per column per
+    * statistic). Exact-distinct mode here so DuckDB can replicate; the
+    * approx (HLL) default is the 100-TB path, pinned by QaSpec. */
+  def q88TableProfile(s: SparkSession, dir: String): DataFrame = {
+    val typed = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+      to_date(col("o_orderdate")).as("o_orderdate"),
+      col("o_orderpriority"),
+      when(col("o_orderkey") % 3 === 0, col("o_orderstatus")).as("o_flag"))
+    graft.qa.TableProfile.profile(typed, "stage.orders",
+        exactDistinct = true)
+      .orderBy(col("ordinal_position"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */

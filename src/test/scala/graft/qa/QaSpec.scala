@@ -41,6 +41,26 @@ class QaSpec extends SparkSpec {
       byName("rowcount_monotonic").observed == 4L)
   }
 
+  test("table profile: exact values, and the approx path avoids Expand") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", Some(2.5)), (2L, "b", None), (3L, "a", Some(9.0)))
+      .toDF("id", "grp", "v")
+    val exact = TableProfile.profile(df, "t", exactDistinct = true)
+      .collect().map(r => r.getString(2) ->
+        (r.getString(3), r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(exact("id") === (("1", "3", 0L, 3L, 3L)))
+    assert(exact("grp") === (("a", "b", 0L, 2L, 3L)))
+    assert(exact("v") === (("2.5", "9.0", 1L, 2L, 3L)))
+    // approx path: HLL sketches, exact on tiny cardinalities, and the plan
+    // must NOT contain the Expand the k-distinct exact plan needs
+    val approx = TableProfile.profile(df, "t")
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile plan has Expand:\n$plan")
+    val appMap = approx.collect().map(r => r.getString(2) -> r.getLong(6)).toMap
+    assert(appMap("id") === 3L && appMap("grp") === 2L && appMap("v") === 2L)
+  }
+
   test("fused checks on an empty frame: distinct passes, minRows fails") {
     val s = spark
     import s.implicits._
