@@ -102,6 +102,7 @@ class PlanSpec extends SparkSpec {
       "q18_tabloop",     // zero-fill group spine cross (suppression input)
       "q19_suppress",
       "q60_perf_measures", // month-spine cross for the rolling denominator
+      "q87_fua_measure",   // same PerfMeasures month-spine cross as q60
       "q09_join_theta_prefix", // LIKE-prefix theta: non-equi by nature,
                                // broadcast dim side is the designed plan
       "q15_topn",        // windowless rank: n x n broadcast self-join,
