@@ -167,6 +167,7 @@ object SparkEntry {
     "q86_year_sections" -> (graft.queries.LifecycleQueries.q86YearSections _),
     "q87_fua_measure" -> (graft.queries.BuildQueries.q87FuaMeasure _),
     "q88_table_profile" -> (graft.queries.BuildQueries.q88TableProfile _),
+    "q89_preg_windows" -> (graft.queries.BuildQueries.q89PregWindows _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2005,5 +2006,92 @@ object SparkEntry {
       SELECT 'stage.orders' AS object_name, ordinal_position, column_name,
         min_value, max_value, n_null, n_distinct, n_rows
       FROM p ORDER BY ordinal_position""",
+
+    // q89: q84's recursive placement + the STEP 6-7 prenatal-window pass
+    // (lag across the merged per-person timeline, default gestation
+    // clipped to prior endpoint + buffer).
+    "q89_preg_windows" -> """
+      WITH RECURSIVE ep AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
+          CASE WHEN o_orderkey % 7 <= 2 THEN 'lb'
+               WHEN o_orderkey % 7 <= 4 THEN 'sb' ELSE 'deliv' END AS cls
+        FROM orders),
+      lb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM ep WHERE cls = 'lb'),
+      lbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
+        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
+      sbsurv AS (
+        SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s
+        ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+          AND abs(date_diff('day', l.d, s.d)) <= 182),
+      sb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM sbsurv),
+      sbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
+      dvsurv AS (
+        SELECT s2.id, s2.d FROM (
+          SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s
+          ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+            AND abs(date_diff('day', l.d, s.d)) <= 182) s2
+        ANTI JOIN sbfin m ON m.id = s2.id AND m.d <> s2.d
+          AND abs(date_diff('day', m.d, s2.d)) <= 168),
+      dv0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM dvsurv),
+      dvrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM dv0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM dvrec a JOIN dv0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      dvfin AS MATERIALIZED (SELECT id, d FROM dvrec WHERE inc = 1),
+      placed AS (
+        SELECT id, 'lb' AS cls, d FROM lbfin
+        UNION ALL SELECT id, 'sb', d FROM sbfin
+        UNION ALL SELECT id, 'deliv', d FROM dvfin),
+      tl AS (
+        SELECT id, cls, d,
+          row_number() OVER (PARTITION BY id ORDER BY d, cls) AS seq,
+          date_diff('day',
+            lag(d) OVER (PARTITION BY id ORDER BY d, cls), d) AS dd,
+          lag(cls) OVER (PARTITION BY id ORDER BY d, cls) AS pcls
+        FROM placed),
+      fin AS (
+        SELECT id, cls, seq, dd, pcls, d,
+          CASE WHEN cls IN ('lb','sb','deliv') THEN 301
+               WHEN cls = 'tro' THEN 112 WHEN cls = 'ect' THEN 84
+               WHEN cls = 'ab' THEN 168 WHEN cls = 'sa' THEN 133 END AS dg,
+          CASE WHEN cls = 'lb' THEN 154 WHEN cls IN ('sb','deliv') THEN 140
+               WHEN cls IN ('tro','ect','ab') THEN 42
+               WHEN cls = 'sa' THEN 28 END AS mg,
+          CASE WHEN pcls IN ('lb','sb','deliv') THEN 28
+               WHEN pcls IN ('tro','ect','ab','sa') THEN 14 END AS buf
+        FROM tl)
+      SELECT id AS id_person, cls AS preg_endpoint,
+        CAST(seq AS INT) AS preg_episode_seq,
+        CASE WHEN dd IS NULL OR dd >= dg THEN d - CAST(dg AS INT)
+          ELSE d - CAST(dd AS INT) + CAST(buf AS INT) END AS preg_start_date,
+        d AS preg_end_date,
+        d - CAST(dg AS INT) AS preg_start_date_max,
+        d - CAST(mg AS INT) AS preg_start_date_min
+      FROM fin ORDER BY id_person, preg_episode_seq""",
   )
 }

@@ -48,6 +48,61 @@ object PregEpisode {
   case class Out(id_person: Long, preg_endpoint: String,
       endpoint_date: Date, preg_episode_id: Int)
 
+  /** Prenatal-window assignment over the placed timeline — STEP 6-7 of the
+    * reference (load_stage.mcaid_claim_preg_episode.R:1384-1480): per
+    * person, each placed endpoint gets
+    *
+    *   - `preg_episode_seq`: position on the person's merged timeline (the
+    *     reference makes a GLOBAL dense_rank id here; per SURVEY §2 row 49
+    *     the scale-safe identity is the composite (person, seq) — no
+    *     global total order);
+    *   - `preg_start_date`: endpoint date minus the class's default
+    *     gestation (lb/sb/deliv 301 d, tro 112, ect 84, ab 168, sa 133),
+    *     clipped to the PRIOR pregnancy endpoint plus a buffer (28 d after
+    *     a birth-class endpoint, 14 d after an early-loss class) when the
+    *     prior endpoint is closer than the default gestation;
+    *   - `preg_start_date_max` / `preg_start_date_min`: the earliest /
+    *     latest plausible start (:1464-1477; min is -154/-140/-42/-28 by
+    *     class) used by the later gestational-age correction steps.
+    *
+    * Ties (two classes placed the same day, which the conflict filter's
+    * strict windows allow) are ordered by class name so the lag is
+    * deterministic — the reference's ORDER BY date alone leaves this
+    * undefined.
+    *
+    * One person-partitioned window pass; no shuffle beyond it. */
+  def withPrenatalWindows(placed: DataFrame, idCol: String = "id_person",
+      dateCol: String = "endpoint_date",
+      classCol: String = "preg_endpoint"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(idCol)).orderBy(col(dateCol), col(classCol))
+    val priorDate = lag(col(dateCol), 1).over(w)
+    val priorCls = lag(col(classCol), 1).over(w)
+    val daysDiff = datediff(col(dateCol), priorDate)
+    val buffer = when(priorCls.isin("lb", "sb", "deliv"), 28)
+      .when(priorCls.isin("tro", "ect", "ab", "sa"), 14)
+    val defGest = when(col(classCol).isin("lb", "sb", "deliv"), 301)
+      .when(col(classCol) === "tro", 112)
+      .when(col(classCol) === "ect", 84)
+      .when(col(classCol) === "ab", 168)
+      .when(col(classCol) === "sa", 133)
+    val minGest = when(col(classCol) === "lb", 154)
+      .when(col(classCol).isin("sb", "deliv"), 140)
+      .when(col(classCol).isin("tro", "ect", "ab"), 42)
+      .when(col(classCol) === "sa", 28)
+    placed
+      .withColumn("preg_episode_seq",
+        row_number().over(w))
+      .withColumn("preg_end_date", col(dateCol))
+      .withColumn("preg_start_date",
+        when(daysDiff.isNull || daysDiff >= defGest,
+          date_add(col(dateCol), -defGest))
+          .otherwise(date_add(col(dateCol), -daysDiff + buffer)))
+      .withColumn("preg_start_date_max", date_add(col(dateCol), -defGest))
+      .withColumn("preg_start_date_min", date_add(col(dateCol), -minGest))
+  }
+
   /** @param endpoints one row per (person, endpoint class, service day)
     *                  — duplicates are collapsed
     * @param idCol     person id (castable to long)

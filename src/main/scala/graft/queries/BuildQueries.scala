@@ -204,6 +204,18 @@ object BuildQueries {
       .orderBy(col("measure"), col("ym"))
   }
 
+  /** §2.9 pregnancy prenatal windows (q89): q84's placed timeline enriched
+    * with per-person episode seq, default-gestation start date clipped to
+    * the prior endpoint + buffer, and the plausible-start bounds
+    * (STEP 6-7 of the reference build). */
+  def q89PregWindows(s: SparkSession, dir: String): DataFrame =
+    graft.builds.PregEpisode.withPrenatalWindows(
+        q84PregEpisode(s, dir))
+      .select(col("id_person"), col("preg_endpoint"), col("preg_episode_seq"),
+        col("preg_start_date"), col("preg_end_date"),
+        col("preg_start_date_max"), col("preg_start_date_min"))
+      .orderBy(col("id_person"), col("preg_episode_seq"))
+
   /** §5 table profiler (q88): the sp_profile_table / sp_min_max_value
     * analog — per-column min/max/null-count/distinct-count in ONE fused
     * scan (the reference runs one full-table scan per column per

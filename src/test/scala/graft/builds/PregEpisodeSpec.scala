@@ -48,6 +48,28 @@ class PregEpisodeSpec extends SparkSpec {
       (2L, "sb", d("2020-05-05"), 1)))
   }
 
+  test("prenatal windows: default gestation, clip to prior + buffer, bounds") {
+    val s = spark
+    import s.implicits._
+    val placed = Seq(
+      (1L, d("2020-01-01"), "lb"),  // no prior -> start = end - 301
+      (1L, d("2020-03-01"), "sa"),  // prior lb 60d ago < 133 -> prior + 28
+      (1L, d("2021-01-01"), "tro")  // prior sa 306d ago >= 112 -> end - 112
+    ).toDF("id_person", "endpoint_date", "preg_endpoint")
+    val out = PregEpisode.withPrenatalWindows(placed)
+      .select("preg_endpoint", "preg_episode_seq", "preg_start_date",
+        "preg_end_date", "preg_start_date_max", "preg_start_date_min")
+      .as[(String, Int, Date, Date, Date, Date)].collect()
+      .sortBy(_._2).toSeq
+    assert(out === Seq(
+      ("lb", 1, d("2019-03-06"), d("2020-01-01"),
+        d("2019-03-06"), d("2019-07-31")),
+      ("sa", 2, d("2020-01-29"), d("2020-03-01"),
+        d("2019-10-20"), d("2020-02-02")),
+      ("tro", 3, d("2020-09-11"), d("2021-01-01"),
+        d("2020-09-11"), d("2020-11-20"))))
+  }
+
   test("duplicate endpoint rows collapse; empty input yields empty output") {
     val s = spark
     import s.implicits._
