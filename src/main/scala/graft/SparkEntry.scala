@@ -168,6 +168,7 @@ object SparkEntry {
     "q87_fua_measure" -> (graft.queries.BuildQueries.q87FuaMeasure _),
     "q88_table_profile" -> (graft.queries.BuildQueries.q88TableProfile _),
     "q89_preg_windows" -> (graft.queries.BuildQueries.q89PregWindows _),
+    "q90_preg_ga_correct" -> (graft.queries.BuildQueries.q90PregGaCorrect _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2093,5 +2094,130 @@ object SparkEntry {
         d - CAST(dg AS INT) AS preg_start_date_max,
         d - CAST(mg AS INT) AS preg_start_date_min
       FROM fin ORDER BY id_person, preg_episode_seq""",
+
+    // q90: q89's episodes + STEP 8A anchor-procedure start-date correction
+    // (max corrected start = closest-to-end), ga_weeks to 1 decimal, and
+    // the 22/20-week validity + 37-week ftb/ptb flags.
+    "q90_preg_ga_correct" -> """
+      WITH RECURSIVE ep AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
+          CASE WHEN o_orderkey % 7 <= 2 THEN 'lb'
+               WHEN o_orderkey % 7 <= 4 THEN 'sb' ELSE 'deliv' END AS cls
+        FROM orders),
+      lb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM ep WHERE cls = 'lb'),
+      lbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
+        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
+      sbsurv AS (
+        SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s
+        ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+          AND abs(date_diff('day', l.d, s.d)) <= 182),
+      sb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM sbsurv),
+      sbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
+      dvsurv AS (
+        SELECT s2.id, s2.d FROM (
+          SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s
+          ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+            AND abs(date_diff('day', l.d, s.d)) <= 182) s2
+        ANTI JOIN sbfin m ON m.id = s2.id AND m.d <> s2.d
+          AND abs(date_diff('day', m.d, s2.d)) <= 168),
+      dv0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM dvsurv),
+      dvrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM dv0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM dvrec a JOIN dv0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      dvfin AS MATERIALIZED (SELECT id, d FROM dvrec WHERE inc = 1),
+      placed AS (
+        SELECT id, 'lb' AS cls, d FROM lbfin
+        UNION ALL SELECT id, 'sb', d FROM sbfin
+        UNION ALL SELECT id, 'deliv', d FROM dvfin),
+      tl AS (
+        SELECT id, cls, d,
+          row_number() OVER (PARTITION BY id ORDER BY d, cls) AS seq,
+          date_diff('day',
+            lag(d) OVER (PARTITION BY id ORDER BY d, cls), d) AS dd,
+          lag(cls) OVER (PARTITION BY id ORDER BY d, cls) AS pcls
+        FROM placed),
+      epi AS MATERIALIZED (
+        SELECT id AS id_person, cls AS preg_endpoint,
+          CAST(seq AS INT) AS preg_episode_seq,
+          CASE WHEN dd IS NULL OR dd >= dg THEN d - CAST(dg AS INT)
+            ELSE d - CAST(dd AS INT) + CAST(buf AS INT) END AS preg_start_date,
+          d AS preg_end_date,
+          d - CAST(dg AS INT) AS preg_start_date_max,
+          d - CAST(mg AS INT) AS preg_start_date_min
+        FROM (
+          SELECT id, cls, seq, dd, pcls, d,
+            CASE WHEN cls IN ('lb','sb','deliv') THEN 301
+                 WHEN cls = 'tro' THEN 112 WHEN cls = 'ect' THEN 84
+                 WHEN cls = 'ab' THEN 168 WHEN cls = 'sa' THEN 133 END AS dg,
+            CASE WHEN cls = 'lb' THEN 154 WHEN cls IN ('sb','deliv') THEN 140
+                 WHEN cls IN ('tro','ect','ab') THEN 42
+                 WHEN cls = 'sa' THEN 28 END AS mg,
+            CASE WHEN pcls IN ('lb','sb','deliv') THEN 28
+                 WHEN pcls IN ('tro','ect','ab','sa') THEN 14 END AS buf
+          FROM tl)),
+      procs AS (
+        SELECT o_custkey % 100 AS id_person,
+          CAST(l_shipdate AS DATE) AS procedure_date,
+          CASE WHEN l_partkey % 13 = 0 THEN '58321'
+               WHEN l_partkey % 13 = 1 THEN 'S4035'
+               ELSE 'OTHER' END AS procedure_code
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      corr AS (
+        SELECT e.id_person, e.preg_episode_seq,
+          max(p.procedure_date - 13) AS preg_start_date_correct
+        FROM epi e JOIN procs p ON p.id_person = e.id_person
+        WHERE p.procedure_code IN
+          ('58321', '58322', 'S4035', '58974', '58976', 'S4037')
+          AND p.procedure_date BETWEEN e.preg_start_date AND e.preg_end_date
+        GROUP BY 1, 2),
+      final AS (
+        SELECT e.id_person, e.preg_endpoint, e.preg_episode_seq,
+          e.preg_start_date_max, e.preg_start_date_min,
+          c.preg_start_date_correct,
+          CASE WHEN c.preg_start_date_correct IS NULL THEN NULL
+            ELSE CAST(round((date_diff('day', c.preg_start_date_correct,
+              e.preg_end_date) + 1) * 1.0 / 7, 1) AS DECIMAL(4,1)) END
+            AS ga_weeks
+        FROM epi e LEFT JOIN corr c USING (id_person, preg_episode_seq))
+      SELECT id_person, preg_endpoint, preg_episode_seq,
+        preg_start_date_correct, ga_weeks,
+        CASE WHEN preg_start_date_correct IS NULL THEN NULL
+             WHEN preg_start_date_correct BETWEEN preg_start_date_max
+               AND preg_start_date_min THEN 1 ELSE 0 END AS valid_start_date,
+        CASE WHEN preg_start_date_correct IS NULL THEN NULL
+             WHEN preg_endpoint = 'lb' AND ga_weeks < 22 THEN 0
+             WHEN preg_endpoint = 'sb' AND ga_weeks < 20 THEN 0
+             WHEN preg_endpoint = 'sa' AND ga_weeks >= 20 THEN 0
+             ELSE 1 END AS valid_ga,
+        CASE WHEN preg_endpoint = 'lb' AND ga_weeks >= 37 THEN 'ftb'
+             WHEN preg_endpoint = 'lb' AND ga_weeks < 37 THEN 'ptb'
+             END AS lb_type
+      FROM final ORDER BY id_person, preg_episode_seq""",
   )
 }

@@ -33,15 +33,34 @@ import org.apache.spark.sql.functions._
   */
 object PregEpisode {
 
-  /** One endpoint class: hierarchy position = position in the Seq;
-    * `windowDays` is both its greedy-spacing threshold and the conflict
-    * window it imposes on lower classes (lb = 182, sb/deliv = 168). */
-  case class EndpointClass(name: String, windowDays: Int)
+  /** One endpoint class: hierarchy position = position in the Seq.
+    * `greedyGapDays` is the class's own greedy-spacing threshold;
+    * `conflictWindows` gives the exclusion window this CANDIDATE class
+    * observes around each higher placed class — the reference's windows
+    * form a matrix, not one value per placed class (lb blocks sb/deliv at
+    * 182 days but tro/ect/ab/sa at only 168; sb blocks deliv at 168 but
+    * the early-loss classes at 154 — :321,477-480,651-656,843-850,
+    * 1053-1062,1281-1292). */
+  case class EndpointClass(name: String, greedyGapDays: Int,
+      conflictWindows: Seq[(String, Int)] = Seq.empty)
 
-  /** The reference's first three hierarchy levels. */
+  /** The reference's full 7-level hierarchy (STEP 5A-5G): live birth,
+    * stillbirth, delivery-unspecified, trophoblastic, ectopic, abortion,
+    * spontaneous abortion. */
   val McaidHierarchy: Seq[EndpointClass] = Seq(
-    EndpointClass("lb", 182), EndpointClass("sb", 168),
-    EndpointClass("deliv", 168))
+    EndpointClass("lb", 182),
+    EndpointClass("sb", 168, Seq("lb" -> 182)),
+    EndpointClass("deliv", 168, Seq("lb" -> 182, "sb" -> 168)),
+    EndpointClass("tro", 56,
+      Seq("lb" -> 168, "sb" -> 154, "deliv" -> 154)),
+    EndpointClass("ect", 56,
+      Seq("lb" -> 168, "sb" -> 154, "deliv" -> 154, "tro" -> 56)),
+    EndpointClass("ab", 56,
+      Seq("lb" -> 168, "sb" -> 154, "deliv" -> 154, "tro" -> 56,
+        "ect" -> 56)),
+    EndpointClass("sa", 42,
+      Seq("lb" -> 168, "sb" -> 154, "deliv" -> 154, "tro" -> 56,
+        "ect" -> 56, "ab" -> 56)))
 
   // public: Dataset encoders generate code that must see the constructors
   case class In(id: Long, epoch_day: Long, cls: String)
@@ -103,6 +122,59 @@ object PregEpisode {
       .withColumn("preg_start_date_min", date_add(col(dateCol), -minGest))
   }
 
+  /** Gestational-age correction — STEP 8A of the reference
+    * (load_stage.mcaid_claim_preg_episode.R:1484-1545): episodes whose
+    * prenatal window contains a dated anchor procedure (insemination /
+    * embryo-transfer codes) get a corrected start date at
+    * `procedure_date - offsetDays` (13 in the reference); when several
+    * anchors hit one episode the one CLOSEST to the episode end wins
+    * (rank ... desc = max). Corrected episodes then carry
+    *
+    *   - `ga_days` / `ga_weeks` (days inclusive, weeks to 1 decimal),
+    *   - `valid_start_date`: corrected start inside the
+    *     [start_date_max, start_date_min] plausibility bounds,
+    *   - `valid_ga`: 0 for lb < 22 weeks, sb < 20 weeks, sa >= 20 weeks
+    *     (:1525-1527), else 1,
+    *   - `lb_type`: 'ftb' at >= 37 weeks, 'ptb' under (:1532-1533).
+    *
+    * Uncorrected episodes pass through with NULL correction columns.
+    * Scale: one equi-join on person (anchor procedures are a filtered
+    * sliver), one partial-aggregated max per episode. */
+  def gaCorrection(episodes: DataFrame, procedures: DataFrame,
+      anchorCodes: Seq[String], offsetDays: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val proc = procedures
+      .filter(col("procedure_code").isin(anchorCodes: _*))
+      .select(col("id_person"), col("procedure_date"))
+    val corrected = episodes.join(proc, Seq("id_person"))
+      .filter(col("procedure_date")
+        .between(col("preg_start_date"), col("preg_end_date")))
+      .groupBy(col("id_person"), col("preg_episode_seq"))
+      .agg(max(date_add(col("procedure_date"), -offsetDays))
+        .as("preg_start_date_correct"))
+    val gaDays =
+      datediff(col("preg_end_date"), col("preg_start_date_correct")) + 1
+    val gaWeeks = round(gaDays * lit(1.0) / 7, 1).cast("decimal(4,1)")
+    episodes
+      .join(corrected, Seq("id_person", "preg_episode_seq"), "left")
+      .withColumn("ga_days", gaDays)
+      .withColumn("ga_weeks", gaWeeks)
+      .withColumn("valid_start_date",
+        when(col("preg_start_date_correct").isNull, lit(null).cast("int"))
+          .when(col("preg_start_date_correct").between(
+            col("preg_start_date_max"), col("preg_start_date_min")), 1)
+          .otherwise(0))
+      .withColumn("valid_ga",
+        when(col("preg_start_date_correct").isNull, lit(null).cast("int"))
+          .when(col("preg_endpoint") === "lb" && col("ga_weeks") < 22, 0)
+          .when(col("preg_endpoint") === "sb" && col("ga_weeks") < 20, 0)
+          .when(col("preg_endpoint") === "sa" && col("ga_weeks") >= 20, 0)
+          .otherwise(1))
+      .withColumn("lb_type",
+        when(col("preg_endpoint") === "lb" && col("ga_weeks") >= 37, "ftb")
+          .when(col("preg_endpoint") === "lb" && col("ga_weeks") < 37, "ptb"))
+  }
+
   /** @param endpoints one row per (person, endpoint class, service day)
     *                  — duplicates are collapsed
     * @param idCol     person id (castable to long)
@@ -129,15 +201,14 @@ object PregEpisode {
         val byClass = it.toArray.groupBy(_.cls)
         val placed = scala.collection.mutable.Map.empty[String, Array[Long]]
         val out = scala.collection.mutable.ArrayBuffer.empty[Out]
-        classes.zipWithIndex.foreach { case (cls, k) =>
-          val higher = classes.take(k)
+        classes.foreach { cls =>
           val cand = byClass.getOrElse(cls.name, Array.empty)
             .map(_.epoch_day).sorted
           val survivors = cand.filter { d =>
-            higher.forall { h =>
-              placed.getOrElse(h.name, Array.empty).forall { p =>
-                !(p < d && d - p <= h.windowDays) &&
-                !(p > d && p - d <= h.windowDays)
+            cls.conflictWindows.forall { case (higherName, window) =>
+              placed.getOrElse(higherName, Array.empty).forall { p =>
+                !(p < d && d - p <= window) &&
+                !(p > d && p - d <= window)
               }
             }
           }
@@ -150,7 +221,7 @@ object PregEpisode {
             if (prev == Long.MinValue) { admitted += d; cum = 0L }
             else {
               val diff = d - prev
-              if (cum + diff > cls.windowDays) { admitted += d; cum = 0L }
+              if (cum + diff > cls.greedyGapDays) { admitted += d; cum = 0L }
               else cum += diff
             }
             prev = d

@@ -216,6 +216,28 @@ object BuildQueries {
         col("preg_start_date_max"), col("preg_start_date_min"))
       .orderBy(col("id_person"), col("preg_episode_seq"))
 
+  /** §2.9 gestational-age correction (q90): STEP 8A over q89's episodes —
+    * anchor procedures inside the prenatal window correct the start date
+    * (closest-to-end wins), yielding ga_weeks and the 22/20-week validity
+    * and 37-week ftb/ptb classification flags. */
+  def q90PregGaCorrect(s: SparkSession, dir: String): DataFrame = {
+    val episodes = graft.builds.PregEpisode.withPrenatalWindows(
+      q84PregEpisode(s, dir))
+    val procs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") % 100).as("id_person"),
+        to_date(col("l_shipdate")).as("procedure_date"),
+        when(col("l_partkey") % 13 === 0, "58321")
+          .when(col("l_partkey") % 13 === 1, "S4035")
+          .otherwise("OTHER").as("procedure_code"))
+    graft.builds.PregEpisode.gaCorrection(episodes, procs,
+        Seq("58321", "58322", "S4035", "58974", "58976", "S4037"))
+      .select(col("id_person"), col("preg_endpoint"), col("preg_episode_seq"),
+        col("preg_start_date_correct"), col("ga_weeks"),
+        col("valid_start_date"), col("valid_ga"), col("lb_type"))
+      .orderBy(col("id_person"), col("preg_episode_seq"))
+  }
+
   /** §5 table profiler (q88): the sp_profile_table / sp_min_max_value
     * analog — per-column min/max/null-count/distinct-count in ONE fused
     * scan (the reference runs one full-table scan per column per

@@ -48,6 +48,23 @@ class PregEpisodeSpec extends SparkSpec {
       (2L, "sb", d("2020-05-05"), 1)))
   }
 
+  test("conflict windows are a matrix: lb blocks tro at 168, not its own 182") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, d("2020-01-01"), "lb"),
+      (1L, d("2020-06-09"), "tro"), // 160d after lb <= 168 -> blocked
+      (1L, d("2020-06-19"), "tro")  // 170d after lb > 168 -> survives
+      // (a one-window-per-placed-class model would block both at lb's 182)
+    ).toDF("id_person", "endpoint_date", "cls")
+    val out = PregEpisode.build(rows, "id_person", "endpoint_date", "cls")
+      .select("preg_endpoint", "endpoint_date", "preg_episode_id")
+      .as[(String, Date, Int)].collect().toSet
+    assert(out === Set(
+      ("lb", d("2020-01-01"), 1),
+      ("tro", d("2020-06-19"), 1)))
+  }
+
   test("prenatal windows: default gestation, clip to prior + buffer, bounds") {
     val s = spark
     import s.implicits._
@@ -68,6 +85,48 @@ class PregEpisodeSpec extends SparkSpec {
         d("2019-10-20"), d("2020-02-02")),
       ("tro", 3, d("2020-09-11"), d("2021-01-01"),
         d("2020-09-11"), d("2020-11-20"))))
+  }
+
+  test("ga correction: closest anchor wins, flags, uncorrected pass through") {
+    val s = spark
+    import s.implicits._
+    val episodes = Seq(
+      // lb episode: window 2019-03-06 .. 2020-01-01; two anchors inside,
+      // later one wins: start = 2019-04-01 - 13 = 2019-03-19 ->
+      // ga_days = 289, ga_weeks 41.3 -> valid lb, ftb
+      (1L, "lb", 1, d("2019-03-06"), d("2020-01-01"),
+        d("2019-03-06"), d("2019-07-31")),
+      // sb episode with an anchor making ga_weeks = (28+1)/7 = 4.1 < 20
+      // -> valid_ga 0; corrected start after start_date_min -> flag 0
+      (1L, "sb", 2, d("2020-06-01"), d("2021-01-01"),
+        d("2020-03-06"), d("2020-08-15")),
+      // no anchor in window -> correction columns NULL
+      (2L, "lb", 1, d("2019-01-01"), d("2019-10-01"),
+        d("2019-01-01"), d("2019-04-30"))
+    ).toDF("id_person", "preg_endpoint", "preg_episode_seq",
+      "preg_start_date", "preg_end_date",
+      "preg_start_date_max", "preg_start_date_min")
+    val procs = Seq(
+      (1L, d("2019-03-20"), "58321"),
+      (1L, d("2019-04-01"), "S4035"),  // later -> wins for episode 1
+      (1L, d("2019-04-02"), "OTHER"),  // non-anchor code ignored
+      (1L, d("2020-12-17"), "58974"),  // sb episode: start = 2020-12-04
+      (2L, d("2020-05-05"), "58321")   // outside person 2's window
+    ).toDF("id_person", "procedure_date", "procedure_code")
+    val out = PregEpisode.gaCorrection(episodes, procs,
+        Seq("58321", "58322", "S4035", "58974", "58976", "S4037"))
+      .select("id_person", "preg_episode_seq", "preg_start_date_correct",
+        "ga_weeks", "valid_start_date", "valid_ga", "lb_type")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getDate(2)).map(_.toString).orNull,
+        Option(r.getDecimal(3)).map(_.toString).orNull,
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5),
+        r.getString(6))).toSet
+    assert(out === Set(
+      (1L, 1, "2019-03-19", "41.3", 1, 1, "ftb"),
+      (1L, 2, "2020-12-04", "4.1", 0, 0, null),
+      (2L, 1, null, null, -1, -1, null)))
   }
 
   test("duplicate endpoint rows collapse; empty input yields empty output") {
