@@ -138,25 +138,33 @@ object PregEpisode {
     *   - `lb_type`: 'ftb' at >= 37 weeks, 'ptb' under (:1532-1533).
     *
     * Uncorrected episodes pass through with NULL correction columns.
-    * Scale: one equi-join on person (anchor procedures are a filtered
-    * sliver), one partial-aggregated max per episode. */
+    * Scale: the anchor set (6 codes) is a filtered sliver and broadcasts;
+    * the correction is then ONE pass over episodes — left-join the
+    * broadcast anchors, fold back with a (person, episode) groupBy whose
+    * max() is the closest-to-end pick. The alternative shape (aggregate a
+    * corrected frame, join it back onto episodes) references the episode
+    * lineage twice and re-runs the whole upstream placement pipeline —
+    * visible as two MapGroups in the physical plan. */
   def gaCorrection(episodes: DataFrame, procedures: DataFrame,
       anchorCodes: Seq[String], offsetDays: Int = 13): DataFrame = {
     import org.apache.spark.sql.functions._
     val proc = procedures
       .filter(col("procedure_code").isin(anchorCodes: _*))
       .select(col("id_person"), col("procedure_date"))
-    val corrected = episodes.join(proc, Seq("id_person"))
-      .filter(col("procedure_date")
-        .between(col("preg_start_date"), col("preg_end_date")))
-      .groupBy(col("id_person"), col("preg_episode_seq"))
-      .agg(max(date_add(col("procedure_date"), -offsetDays))
-        .as("preg_start_date_correct"))
+    val hit = when(col("procedure_date")
+        .between(col("preg_start_date"), col("preg_end_date")),
+      date_add(col("procedure_date"), -offsetDays))
+    val keys = Seq("id_person", "preg_episode_seq")
+    val carried = episodes.columns.filterNot(keys.contains).toSeq
+    val aggs = carried.map(c => first(col(c)).as(c)) :+
+      max(hit).as("preg_start_date_correct")
     val gaDays =
       datediff(col("preg_end_date"), col("preg_start_date_correct")) + 1
     val gaWeeks = round(gaDays * lit(1.0) / 7, 1).cast("decimal(4,1)")
     episodes
-      .join(corrected, Seq("id_person", "preg_episode_seq"), "left")
+      .join(broadcast(proc), Seq("id_person"), "left")
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("ga_days", gaDays)
       .withColumn("ga_weeks", gaWeeks)
       .withColumn("valid_start_date",
