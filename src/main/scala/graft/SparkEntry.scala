@@ -169,6 +169,7 @@ object SparkEntry {
     "q88_table_profile" -> (graft.queries.BuildQueries.q88TableProfile _),
     "q89_preg_windows" -> (graft.queries.BuildQueries.q89PregWindows _),
     "q90_preg_ga_correct" -> (graft.queries.BuildQueries.q90PregGaCorrect _),
+    "q91_preg_full" -> (graft.queries.BuildQueries.q91PregFull _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2219,5 +2220,156 @@ object SparkEntry {
              WHEN preg_endpoint = 'lb' AND ga_weeks < 37 THEN 'ptb'
              END AS lb_type
       FROM final ORDER BY id_person, preg_episode_seq""",
+
+    // q91: the full 7-class hierarchy (STEP 5A-5G) — oracle generated
+    // from the conflict-window matrix; one recursive phase per class.
+    "q91_preg_full" -> """
+      WITH RECURSIVE ep AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 60 AS id, CAST(o_orderdate AS DATE) AS d,
+          CASE WHEN o_orderkey % 17 <= 2 THEN 'lb'
+               WHEN o_orderkey % 17 <= 5 THEN 'sb'
+               WHEN o_orderkey % 17 <= 8 THEN 'deliv'
+               WHEN o_orderkey % 17 <= 10 THEN 'tro'
+               WHEN o_orderkey % 17 <= 12 THEN 'ect'
+               WHEN o_orderkey % 17 <= 14 THEN 'ab'
+               ELSE 'sa' END AS cls
+        FROM orders),
+      lb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT id, d FROM ep WHERE cls = 'lb')),
+      lbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
+        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
+      sb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 182)),
+      sbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
+      deliv0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 182) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 168)),
+      delivrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM deliv0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM delivrec a JOIN deliv0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      delivfin AS MATERIALIZED (SELECT id, d FROM delivrec WHERE inc = 1),
+      tro0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'tro') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154)),
+      trorec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM tro0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
+        FROM trorec a JOIN tro0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      trofin AS MATERIALIZED (SELECT id, d FROM trorec WHERE inc = 1),
+      ect0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'ect') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
+            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
+              AND abs(date_diff('day', h3.d, s3.d)) <= 56)),
+      ectrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM ect0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
+        FROM ectrec a JOIN ect0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      ectfin AS MATERIALIZED (SELECT id, d FROM ectrec WHERE inc = 1),
+      ab0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s4.id, s4.d FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'ab') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
+            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
+              AND abs(date_diff('day', h3.d, s3.d)) <= 56) s4
+            ANTI JOIN ectfin h4 ON h4.id = s4.id AND h4.d <> s4.d
+              AND abs(date_diff('day', h4.d, s4.d)) <= 56)),
+      abrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM ab0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
+        FROM abrec a JOIN ab0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      abfin AS MATERIALIZED (SELECT id, d FROM abrec WHERE inc = 1),
+      sa0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s5.id, s5.d FROM (SELECT s4.id, s4.d FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'sa') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
+            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
+              AND abs(date_diff('day', h3.d, s3.d)) <= 56) s4
+            ANTI JOIN ectfin h4 ON h4.id = s4.id AND h4.d <> s4.d
+              AND abs(date_diff('day', h4.d, s4.d)) <= 56) s5
+            ANTI JOIN abfin h5 ON h5.id = s5.id AND h5.d <> s5.d
+              AND abs(date_diff('day', h5.d, s5.d)) <= 56)),
+      sarec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sa0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 42 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 42 THEN 1 ELSE 0 END
+        FROM sarec a JOIN sa0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      safin AS MATERIALIZED (SELECT id, d FROM sarec WHERE inc = 1),
+      placed AS (SELECT id, 'lb' AS cls, d FROM lbfin
+      UNION ALL SELECT id, 'sb', d FROM sbfin
+      UNION ALL SELECT id, 'deliv', d FROM delivfin
+      UNION ALL SELECT id, 'tro', d FROM trofin
+      UNION ALL SELECT id, 'ect', d FROM ectfin
+      UNION ALL SELECT id, 'ab', d FROM abfin
+      UNION ALL SELECT id, 'sa', d FROM safin)
+      SELECT id AS id_person, cls AS preg_endpoint, d AS endpoint_date,
+        CAST(rank() OVER (PARTITION BY id, cls ORDER BY d) AS INT)
+          AS preg_episode_id
+      FROM placed ORDER BY id_person, preg_endpoint, preg_episode_id""",
   )
 }

@@ -204,6 +204,25 @@ object BuildQueries {
       .orderBy(col("measure"), col("ym"))
   }
 
+  /** §2.9 full 7-class pregnancy hierarchy (q91): every class of the
+    * reference's STEP 5A-5G placed on one timeline — all six conflict-
+    * window matrix rows and all three greedy gaps (182/168/56/42) under
+    * the oracle hash, not just the spec. */
+  def q91PregFull(s: SparkSession, dir: String): DataFrame =
+    graft.builds.PregEpisode.build(
+      t(s, dir, "orders").select(
+        (col("o_custkey") % 60).as("id_person"),
+        to_date(col("o_orderdate")).as("endpoint_date"),
+        when(col("o_orderkey") % 17 <= 2, "lb")
+          .when(col("o_orderkey") % 17 <= 5, "sb")
+          .when(col("o_orderkey") % 17 <= 8, "deliv")
+          .when(col("o_orderkey") % 17 <= 10, "tro")
+          .when(col("o_orderkey") % 17 <= 12, "ect")
+          .when(col("o_orderkey") % 17 <= 14, "ab")
+          .otherwise("sa").as("cls")),
+      "id_person", "endpoint_date", "cls")
+      .orderBy(col("id_person"), col("preg_endpoint"), col("preg_episode_id"))
+
   /** §2.9 pregnancy prenatal windows (q89): q84's placed timeline enriched
     * with per-person episode seq, default-gestation start date clipped to
     * the prior endpoint + buffer, and the plausible-start bounds
