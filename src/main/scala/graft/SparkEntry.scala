@@ -170,6 +170,7 @@ object SparkEntry {
     "q89_preg_windows" -> (graft.queries.BuildQueries.q89PregWindows _),
     "q90_preg_ga_correct" -> (graft.queries.BuildQueries.q90PregGaCorrect _),
     "q91_preg_full" -> (graft.queries.BuildQueries.q91PregFull _),
+    "q92_claim_moud" -> (graft.queries.BuildQueries.q92ClaimMoud _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2371,5 +2372,106 @@ object SparkEntry {
         CAST(rank() OVER (PARTITION BY id, cls ORDER BY d) AS INT)
           AS preg_episode_id
       FROM placed ORDER BY id_person, preg_endpoint, preg_episode_id""",
+
+    // q92: MOUD build — code dispatch, H0033 monthly-context
+    // disambiguation (proc + rx), next-service-date methadone supply
+    // with quarter-median fallbacks (median-as-window in DuckDB; the
+    // Spark side re-expresses T-SQL percentile_cont OVER as a sorted
+    // window collect_list).
+    "q92_claim_moud" -> """
+      WITH li AS (
+        SELECT o_custkey % 80 AS id_person, CAST(l_shipdate AS DATE) AS ship_d,
+          l_partkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      proc0 AS (
+        SELECT DISTINCT id_person, ship_d AS service_date,
+          CASE l_partkey % 24
+            WHEN 0 THEN 'H0033' WHEN 1 THEN 'H0020' WHEN 2 THEN 'S0109'
+            WHEN 3 THEN 'G2078' WHEN 4 THEN 'G2067' WHEN 5 THEN 'J0571'
+            WHEN 6 THEN 'J0572' WHEN 7 THEN 'J0573' WHEN 8 THEN 'Q9991'
+            WHEN 9 THEN 'G2068' WHEN 10 THEN 'G2073' WHEN 11 THEN 'J2315'
+            WHEN 12 THEN 'G2074' WHEN 13 THEN 'G2075' WHEN 14 THEN 'G2086'
+            ELSE 'OTH' END AS procedure_code
+        FROM li),
+      flagged AS (
+        SELECT id_person, service_date, procedure_code,
+          CASE WHEN procedure_code IN ('H0020','S0109','G2078','G2067') THEN 1 ELSE 0 END AS meth_proc_flag,
+          CASE WHEN procedure_code IN ('J0571','J0572','J0573','Q9991','G2068') THEN 1 ELSE 0 END AS bup_proc_flag,
+          CASE WHEN procedure_code IN ('G2073','J2315') THEN 1 ELSE 0 END AS nal_proc_flag,
+          CASE WHEN procedure_code IN ('G2074','G2075','G2086') THEN 1 ELSE 0 END AS unspec_proc_flag,
+          CASE WHEN procedure_code IN ('H0033','H0020','S0109','J0571','J0572','J0573') THEN 1
+               WHEN procedure_code IN ('G2078','G2067','G2068') THEN 7
+               WHEN procedure_code IN ('Q9991','G2073','J2315') THEN 30
+               ELSE 0 END AS moud_days_supply
+        FROM proc0 WHERE procedure_code <> 'OTH'),
+      rx AS (
+        SELECT DISTINCT o_custkey % 80 AS id_person,
+          CAST(o_orderdate AS DATE) AS service_date, 1 AS bup_rx_flag
+        FROM orders WHERE o_orderkey % 6 = 0),
+      h33 AS (SELECT DISTINCT id_person FROM flagged WHERE procedure_code = 'H0033'),
+      msums AS (
+        SELECT id_person, ym, sum(m) AS meth_sum, sum(b) AS bup_sum,
+          sum(brx) AS bup_rx_sum
+        FROM (
+          SELECT f.id_person, strftime(f.service_date, '%Y%m') AS ym,
+            f.meth_proc_flag AS m, f.bup_proc_flag AS b, 0 AS brx FROM flagged f
+          UNION ALL
+          SELECT r.id_person, strftime(r.service_date, '%Y%m'), 0, 0, r.bup_rx_flag
+          FROM rx r) u
+        WHERE id_person IN (SELECT id_person FROM h33)
+        GROUP BY 1, 2),
+      resolved AS (
+        SELECT f.id_person, f.service_date,
+          CASE WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum = 0 THEN 1
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum > 0 THEN 0
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum >= s.bup_sum AND s.meth_sum <> 0 THEN 1
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum < s.bup_sum THEN 0
+               ELSE f.meth_proc_flag END AS meth_proc_flag,
+          CASE WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum = 0 THEN 0
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum > 0 THEN 1
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum >= s.bup_sum AND s.meth_sum <> 0 THEN 0
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum < s.bup_sum THEN 1
+               ELSE f.bup_proc_flag END AS bup_proc_flag,
+          f.nal_proc_flag, f.unspec_proc_flag, f.moud_days_supply
+        FROM flagged f LEFT JOIN msums s
+          ON f.id_person = s.id_person AND strftime(f.service_date, '%Y%m') = s.ym),
+      daily AS (
+        SELECT id_person, service_date,
+          max(meth_proc_flag) AS meth_proc_flag,
+          max(bup_proc_flag) AS bup_proc_flag,
+          max(nal_proc_flag) AS nal_proc_flag,
+          max(unspec_proc_flag) AS unspec_proc_flag,
+          sum(moud_days_supply) AS moud_days_supply
+        FROM resolved GROUP BY 1, 2),
+      s8 AS (
+        SELECT *, CAST(year(service_date) AS VARCHAR) || '_' ||
+            CAST(quarter(service_date) AS VARCHAR) AS service_quarter,
+          CASE WHEN meth_proc_flag = 1 AND lead(meth_proc_flag) OVER wn = 1
+            THEN date_diff('day', service_date, lead(service_date) OVER wn)
+            END AS next_meth_diff
+        FROM daily
+        WINDOW wn AS (PARTITION BY id_person
+          ORDER BY meth_proc_flag DESC, service_date)),
+      s9 AS (
+        SELECT *,
+          sum(meth_proc_flag) OVER wq AS meth_sum_quarter,
+          median(CAST(next_meth_diff AS DOUBLE)) OVER wq AS median_gap_quarter
+        FROM s8
+        WINDOW wq AS (PARTITION BY id_person, service_quarter)),
+      fin AS (
+        SELECT *,
+          CASE WHEN meth_proc_flag = 1 AND meth_sum_quarter <= 2 THEN CAST(moud_days_supply AS DOUBLE)
+               WHEN meth_proc_flag = 1 AND next_meth_diff > median_gap_quarter * 1.5 THEN median_gap_quarter
+               WHEN meth_proc_flag = 1 AND next_meth_diff IS NULL THEN median_gap_quarter
+               WHEN meth_proc_flag = 1 THEN CAST(next_meth_diff AS DOUBLE)
+               ELSE CAST(moud_days_supply AS DOUBLE) END AS supply_new_row
+        FROM s9)
+      SELECT id_person, service_quarter, count(*) AS n_days,
+        CAST(sum(meth_proc_flag) AS BIGINT) AS meth_days,
+        CAST(sum(bup_proc_flag) AS BIGINT) AS bup_days,
+        CAST(sum(nal_proc_flag) AS BIGINT) AS nal_days,
+        CAST(sum(next_meth_diff) AS BIGINT) AS sum_next_diff,
+        round(sum(supply_new_row), 2) AS supply_new
+      FROM fin GROUP BY 1, 2 ORDER BY id_person, service_quarter""",
   )
 }

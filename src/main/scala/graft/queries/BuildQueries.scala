@@ -223,6 +223,47 @@ object BuildQueries {
       "id_person", "endpoint_date", "cls")
       .orderBy(col("id_person"), col("preg_endpoint"), col("preg_episode_id"))
 
+  /** §2.9 MOUD treatment-event build (q92): code-set dispatch, H0033
+    * monthly-context disambiguation (proc + rx evidence), and the next-
+    * service-date methadone days-supply with quarter-median fallbacks —
+    * rolled up per (person, quarter). */
+  def q92ClaimMoud(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq("H0033", "H0020", "S0109", "G2078", "G2067", "J0571",
+      "J0572", "J0573", "Q9991", "G2068", "G2073", "J2315", "G2074",
+      "G2075", "G2086")
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") % 80).as("id_person"),
+        to_date(col("l_shipdate")).as("ship_d"),
+        col("l_partkey"), col("l_suppkey"))
+    val code = codes.zipWithIndex.foldLeft(lit("OTH")) { case (acc, (c, i)) =>
+      when(col("l_partkey") % 24 === i, c).otherwise(acc)
+    }
+    val proc = li.select(col("id_person"), col("ship_d").as("service_date"),
+      code.as("procedure_code")).distinct()
+    val rx = t(s, dir, "orders").filter(col("o_orderkey") % 6 === 0)
+      .select((col("o_custkey") % 80).as("id_person"),
+        to_date(col("o_orderdate")).as("service_date"),
+        lit(1).as("bup_rx_flag")).distinct()
+    val resolved = graft.builds.ClaimMoud.disambiguateH0033(
+      graft.builds.ClaimMoud.flagEvents(proc), rx)
+    val daily = resolved.groupBy(col("id_person"), col("service_date"))
+      .agg(max(col("meth_proc_flag")).as("meth_proc_flag"),
+        max(col("bup_proc_flag")).as("bup_proc_flag"),
+        max(col("nal_proc_flag")).as("nal_proc_flag"),
+        max(col("unspec_proc_flag")).as("unspec_proc_flag"),
+        sum(col("moud_days_supply")).as("moud_days_supply"))
+    graft.builds.ClaimMoud.methDaysSupply(daily)
+      .groupBy(col("id_person"), col("service_quarter"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("meth_proc_flag")).as("meth_days"),
+        sum(col("bup_proc_flag")).as("bup_days"),
+        sum(col("nal_proc_flag")).as("nal_days"),
+        sum(col("next_meth_diff")).as("sum_next_diff"),
+        round(sum(col("moud_days_supply_new")), 2).as("supply_new"))
+      .orderBy(col("id_person"), col("service_quarter"))
+  }
+
   /** §2.9 pregnancy prenatal windows (q89): q84's placed timeline enriched
     * with per-person episode seq, default-gestation start date clipped to
     * the prior endpoint + buffer, and the plausible-start bounds
