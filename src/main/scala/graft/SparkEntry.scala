@@ -171,6 +171,7 @@ object SparkEntry {
     "q90_preg_ga_correct" -> (graft.queries.BuildQueries.q90PregGaCorrect _),
     "q91_preg_full" -> (graft.queries.BuildQueries.q91PregFull _),
     "q92_claim_moud" -> (graft.queries.BuildQueries.q92ClaimMoud _),
+    "q93_elig_timevar_apcd" -> (graft.queries.BuildQueries.q93EligTimevarApcd _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2473,5 +2474,72 @@ object SparkEntry {
         CAST(sum(next_meth_diff) AS BIGINT) AS sum_next_diff,
         round(sum(supply_new_row), 2) AS supply_new
       FROM fin GROUP BY 1, 2 ORDER BY id_person, service_quarter""",
+
+    // q93: APCD elig_timevar 4-step — presence-combination covgrps,
+    // empirical dual flag, month-arithmetic islands, collapse with
+    // cov_time_day, contiguous-with-prior flag.
+    "q93_elig_timevar_apcd" -> """
+      WITH pm AS (
+        SELECT DISTINCT o_custkey % 40 AS id_person,
+          year(CAST(o_orderdate AS DATE)) * 100 + month(CAST(o_orderdate AS DATE))
+            AS year_month
+        FROM orders),
+      det AS (
+        SELECT id_person, year_month,
+          'Z' || CAST((id_person + ((year_month // 100) * 12 + year_month % 100) // 24) % 5 AS VARCHAR) AS zip_code,
+          (id_person + ((year_month // 100) * 12 + year_month % 100) // 6) AS q
+        FROM pm),
+      s1 AS (
+        SELECT id_person,
+          make_date(CAST(year_month // 100 AS INT), CAST(year_month % 100 AS INT), 1) AS from_date,
+          last_day(make_date(CAST(year_month // 100 AS INT), CAST(year_month % 100 AS INT), 1)) AS to_date,
+          zip_code,
+          CASE WHEN (q % 3 = 0 OR q % 3 = 1 OR q % 6 = 0)
+                AND (q % 5 = 0 OR q % 5 = 1 OR q % 8 = 0) THEN 1 ELSE 0 END AS dual_flag,
+          CASE WHEN q % 3 = 0 AND NOT q % 4 = 0 AND NOT q % 5 = 0 THEN 1
+               WHEN NOT q % 3 = 0 AND NOT q % 4 = 0 AND q % 5 = 0 THEN 2
+               WHEN NOT q % 3 = 0 AND q % 4 = 0 AND NOT q % 5 = 0 THEN 3
+               WHEN q % 3 = 0 AND NOT q % 4 = 0 AND q % 5 = 0 THEN 4
+               WHEN q % 3 = 0 AND q % 4 = 0 AND NOT q % 5 = 0 THEN 5
+               WHEN NOT q % 3 = 0 AND q % 4 = 0 AND q % 5 = 0 THEN 6
+               WHEN q % 3 = 0 AND q % 4 = 0 AND q % 5 = 0 THEN 7
+               WHEN q % 2 = 0 THEN 8 ELSE 0 END AS med_covgrp,
+          CASE WHEN q % 3 = 1 AND NOT q % 4 = 1 AND NOT q % 5 = 1 THEN 1
+               WHEN NOT q % 3 = 1 AND NOT q % 4 = 1 AND q % 5 = 1 THEN 2
+               WHEN NOT q % 3 = 1 AND q % 4 = 1 AND NOT q % 5 = 1 THEN 3
+               WHEN q % 3 = 1 AND NOT q % 4 = 1 AND q % 5 = 1 THEN 4
+               WHEN q % 3 = 1 AND q % 4 = 1 AND NOT q % 5 = 1 THEN 5
+               WHEN NOT q % 3 = 1 AND q % 4 = 1 AND q % 5 = 1 THEN 6
+               WHEN q % 3 = 1 AND q % 4 = 1 AND q % 5 = 1 THEN 7
+               WHEN q % 2 = 1 THEN 8 ELSE 0 END AS pharm_covgrp,
+          CASE WHEN q % 6 = 0 AND NOT q % 7 = 0 AND NOT q % 8 = 0 THEN 1
+               WHEN NOT q % 6 = 0 AND NOT q % 7 = 0 AND q % 8 = 0 THEN 2
+               WHEN NOT q % 6 = 0 AND q % 7 = 0 AND NOT q % 8 = 0 THEN 3
+               WHEN q % 6 = 0 AND NOT q % 7 = 0 AND q % 8 = 0 THEN 4
+               WHEN q % 6 = 0 AND q % 7 = 0 AND NOT q % 8 = 0 THEN 5
+               WHEN NOT q % 6 = 0 AND q % 7 = 0 AND q % 8 = 0 THEN 6
+               WHEN q % 6 = 0 AND q % 7 = 0 AND q % 8 = 0 THEN 7
+               ELSE 0 END AS dental_covgrp
+        FROM det),
+      isl AS (
+        SELECT DISTINCT *,
+          (year(from_date) * 12 + month(from_date)) - row_number() OVER (
+            PARTITION BY id_person, zip_code, med_covgrp, pharm_covgrp,
+              dental_covgrp, dual_flag ORDER BY from_date) AS group_num
+        FROM s1),
+      coll AS (
+        SELECT id_person, zip_code, med_covgrp, pharm_covgrp, dental_covgrp,
+          dual_flag, min(from_date) AS from_date, max(to_date) AS to_date,
+          date_diff('day', min(from_date), max(to_date)) + 1 AS cov_time_day
+        FROM isl
+        GROUP BY id_person, zip_code, med_covgrp, pharm_covgrp, dental_covgrp,
+          dual_flag, group_num)
+      SELECT id_person, from_date, to_date,
+        CASE WHEN date_diff('day',
+          lag(to_date) OVER (PARTITION BY id_person ORDER BY from_date),
+          from_date) = 1 THEN 1 ELSE 0 END AS contiguous,
+        med_covgrp, pharm_covgrp, dental_covgrp, dual_flag, zip_code,
+        CAST(cov_time_day AS INT) AS cov_time_day
+      FROM coll ORDER BY id_person, from_date""",
   )
 }

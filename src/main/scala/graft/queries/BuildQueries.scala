@@ -223,6 +223,40 @@ object BuildQueries {
       "id_person", "endpoint_date", "cls")
       .orderBy(col("id_person"), col("preg_endpoint"), col("preg_episode_id"))
 
+  /** §7.2 APCD elig_timevar 4-step variant (q93): presence-combination
+    * coverage groups per family, empirical dual flag, month-arithmetic
+    * islands per (person, zip, covgrps, dual), collapse with cov_time_day,
+    * and the contiguous-with-prior flag. Flags flip every 6 months and zip
+    * every 24 so islands collapse multi-month runs and still break. */
+  def q93EligTimevarApcd(s: SparkSession, dir: String): DataFrame = {
+    val pm = t(s, dir, "orders").select(
+      (col("o_custkey") % 40).as("id_person"),
+      (year(to_date(col("o_orderdate"))) * 100 +
+        month(to_date(col("o_orderdate")))).as("year_month"))
+      .distinct()
+    val mi = (col("year_month") / 100).cast("int") * 12 +
+      col("year_month") % 100
+    val q = col("id_person") + (mi / 6).cast("int")
+    def mk(cond: org.apache.spark.sql.Column) = when(cond, lit("x"))
+    val det = pm.select(col("id_person"), col("year_month"),
+      concat(lit("Z"), ((col("id_person") + (mi / 24).cast("int")) % 5)
+        .cast("string")).as("zip_code"),
+      mk(q % 3 === 0).as("med_mcaid_id"),
+      mk(q % 4 === 0).as("med_comm_id"),
+      mk(q % 5 === 0).as("med_mcare_id"),
+      mk(q % 2 === 0).as("med_any_id"),
+      mk(q % 3 === 1).as("rx_mcaid_id"),
+      mk(q % 4 === 1).as("rx_comm_id"),
+      mk(q % 5 === 1).as("rx_mcare_id"),
+      mk(q % 2 === 1).as("rx_any_id"),
+      mk(q % 6 === 0).as("dental_mcaid_id"),
+      mk(q % 7 === 0).as("dental_comm_id"),
+      mk(q % 8 === 0).as("dental_mcare_id"),
+      mk(lit(false)).as("dental_any_id"))
+    graft.builds.EligTimevarApcd.build(det)
+      .orderBy(col("id_person"), col("from_date"))
+  }
+
   /** §2.9 MOUD treatment-event build (q92): code-set dispatch, H0033
     * monthly-context disambiguation (proc + rx evidence), and the next-
     * service-date methadone days-supply with quarter-median fallbacks —
