@@ -207,41 +207,55 @@ object PregEpisode {
     ds.groupByKey(_.id)
       .flatMapGroups { (pid, it) =>
         val byClass = it.toArray.groupBy(_.cls)
-        val placed = scala.collection.mutable.Map.empty[String, Array[Long]]
-        val out = scala.collection.mutable.ArrayBuffer.empty[Out]
-        classes.foreach { cls =>
-          val cand = byClass.getOrElse(cls.name, Array.empty)
-            .map(_.epoch_day).sorted
-          val survivors = cand.filter { d =>
-            cls.conflictWindows.forall { case (higherName, window) =>
-              placed.getOrElse(higherName, Array.empty).forall { p =>
-                !(p < d && d - p <= window) &&
-                !(p > d && p - d <= window)
-              }
-            }
+        placeTimeline(byClass.view.mapValues(_.map(_.epoch_day)).toMap,
+          classes)
+          .map { case (clsName, d, ep) =>
+            Out(pid, clsName, Date.valueOf(
+              java.time.LocalDate.ofEpochDay(d)), ep)
           }
-          // greedy cumulative-gap admission (WHILE-loop semantics: cum
-          // accumulates across skipped endpoints and resets on admission)
-          var cum = 0L
-          var prev = Long.MinValue
-          val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
-          survivors.foreach { d =>
-            if (prev == Long.MinValue) { admitted += d; cum = 0L }
-            else {
-              val diff = d - prev
-              if (cum + diff > cls.greedyGapDays) { admitted += d; cum = 0L }
-              else cum += diff
-            }
-            prev = d
-          }
-          placed(cls.name) = admitted.toArray
-          admitted.zipWithIndex.foreach { case (d, i) =>
-            out += Out(pid, cls.name, Date.valueOf(
-              java.time.LocalDate.ofEpochDay(d)), i + 1)
-          }
-        }
-        out.iterator
+          .iterator
       }
       .toDF()
+  }
+
+  /** The pure per-person pass (one person's endpoint days per class →
+    * placed (class, epoch day, per-class episode id) rows): conflict
+    * filter against already-placed higher classes, greedy cumulative-gap
+    * admission, per-class episode ranks. Factored out of the
+    * flatMapGroups so property tests can exercise it without Spark. */
+  def placeTimeline(byClass: Map[String, Array[Long]],
+      classes: Seq[EndpointClass]): Seq[(String, Long, Int)] = {
+    val placed = scala.collection.mutable.Map.empty[String, Array[Long]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
+    classes.foreach { cls =>
+      val cand = byClass.getOrElse(cls.name, Array.empty[Long]).sorted
+      val survivors = cand.filter { d =>
+        cls.conflictWindows.forall { case (higherName, window) =>
+          placed.getOrElse(higherName, Array.empty[Long]).forall { p =>
+            !(p < d && d - p <= window) &&
+            !(p > d && p - d <= window)
+          }
+        }
+      }
+      // greedy cumulative-gap admission (WHILE-loop semantics: cum
+      // accumulates across skipped endpoints and resets on admission)
+      var cum = 0L
+      var prev = Long.MinValue
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      survivors.foreach { d =>
+        if (prev == Long.MinValue) { admitted += d; cum = 0L }
+        else {
+          val diff = d - prev
+          if (cum + diff > cls.greedyGapDays) { admitted += d; cum = 0L }
+          else cum += diff
+        }
+        prev = d
+      }
+      placed(cls.name) = admitted.toArray
+      admitted.zipWithIndex.foreach { case (d, i) =>
+        out += ((cls.name, d, i + 1))
+      }
+    }
+    out.toSeq
   }
 }
