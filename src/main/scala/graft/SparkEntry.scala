@@ -172,6 +172,8 @@ object SparkEntry {
     "q91_preg_full" -> (graft.queries.BuildQueries.q91PregFull _),
     "q92_claim_moud" -> (graft.queries.BuildQueries.q92ClaimMoud _),
     "q93_elig_timevar_apcd" -> (graft.queries.BuildQueries.q93EligTimevarApcd _),
+    "q94_value_list" -> (graft.queries.BuildQueries.q94ValueList _),
+    "q95_payment_union" -> (graft.queries.BuildQueries.q95PaymentUnion _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2541,5 +2543,67 @@ object SparkEntry {
         med_covgrp, pharm_covgrp, dental_covgrp, dual_flag, zip_code,
         CAST(cov_time_day AS INT) AS cov_time_day
       FROM coll ORDER BY id_person, from_date""",
+
+    // q94: sp_comma_separated_list analog — sorted distinct values per
+    // column, count fallback past the cardinality cap.
+    "q94_value_list" -> """
+      WITH p AS (
+        SELECT 1 AS ordinal_position, 'o_orderstatus' AS column_name,
+          list_sort(list(DISTINCT CAST(o_orderstatus AS VARCHAR))) AS vals
+        FROM orders
+        UNION ALL
+        SELECT 2, 'o_orderpriority',
+          list_sort(list(DISTINCT CAST(o_orderpriority AS VARCHAR)))
+        FROM orders
+        UNION ALL
+        SELECT 3, 'o_custkey',
+          list_sort(list(DISTINCT CAST(o_custkey AS VARCHAR)))
+        FROM orders)
+      SELECT 'stage.orders' AS object_name, ordinal_position, column_name,
+        CASE WHEN len(vals) <= 10
+          THEN 'Values: ' || array_to_string(vals, ', ')
+          ELSE 'Distinct values: ' || CAST(len(vals) AS VARCHAR) END
+          AS column_description
+      FROM p ORDER BY ordinal_position""",
+
+    // q95: per-source payment arithmetic + denial filter + drift union
+    // (decimal +/- only, so both engines agree exactly).
+    "q95_payment_union" -> """
+      WITH li AS (
+        SELECT o_custkey, l_orderkey, l_linenumber,
+          CAST(l_shipdate AS DATE) AS ship_d,
+          CAST(l_extendedprice AS DECIMAL(12,2)) AS ext,
+          CAST(l_quantity AS DECIMAL(12,2)) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      src AS (
+        SELECT DISTINCT * FROM (
+          SELECT o_custkey AS id_person,
+            l_orderkey * 10 + l_linenumber AS claim_id, ship_d AS svc_date,
+            ext AS submitted_charges,
+            CAST(ext - qty * 3 AS DECIMAL(12,2)) AS total_paid_payer,
+            CAST(qty * 2 AS DECIMAL(12,2)) AS total_paid_bene,
+            CAST(ext - qty AS DECIMAL(12,2)) AS total_cost_of_care,
+            CAST(NULL AS VARCHAR) AS drg_code, 'carrier' AS filetype
+          FROM li WHERE l_orderkey % 3 = 0 AND l_linenumber % 7 <> 0
+          UNION ALL
+          SELECT o_custkey, l_orderkey * 10 + l_linenumber, ship_d,
+            ext, CAST(ext - qty AS DECIMAL(12,2)), NULL,
+            CAST(ext - qty AS DECIMAL(12,2)), NULL, 'dme'
+          FROM li WHERE l_orderkey % 3 = 1
+          UNION ALL
+          SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+            CAST(o_totalprice AS DECIMAL(12,2)),
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) - 250 AS DECIMAL(12,2)),
+            CAST(250 AS DECIMAL(12,2)),
+            CAST(o_totalprice AS DECIMAL(12,2)),
+            'DRG' || CAST(o_orderkey % 30 AS VARCHAR), 'inpatient'
+          FROM orders WHERE o_orderkey % 5 = 0))
+      SELECT filetype, count(*) AS n,
+        round(CAST(sum(submitted_charges) AS DOUBLE), 2) AS submitted,
+        round(CAST(sum(total_paid_payer) AS DOUBLE), 2) AS paid_payer,
+        round(CAST(sum(total_paid_bene) AS DOUBLE), 2) AS paid_bene,
+        round(CAST(sum(total_cost_of_care) AS DOUBLE), 2) AS cost,
+        count(drg_code) AS n_drg
+      FROM src GROUP BY 1 ORDER BY filetype""",
   )
 }

@@ -25,6 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object TableProfile {
 
+  /** The sp_comma_separated_list analog: one row per requested column with
+    * its sorted distinct values as a comma-joined string ("Values: a, b"),
+    * for low-cardinality reference/categorical columns. One aggregation
+    * pass for ALL requested columns (collect_set per column, sorted and
+    * joined driver-free); `maxValues` caps runaway cardinality — columns
+    * over the cap report a count instead of an unbounded string, because a
+    * million-value list in a metadata table is an accident, not a profile. */
+  def valueList(df: DataFrame, tableName: String, columns: Seq[String],
+      maxValues: Int = 1000): DataFrame = {
+    require(columns.nonEmpty, "at least one column to list")
+    val aggs = columns.map(c =>
+      sort_array(collect_set(col(c).cast("string"))).as(s"_v_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(columns.zipWithIndex.map { case (c, i) =>
+        struct(lit(i + 1).as("ordinal_position"), lit(c).as("column_name"),
+          col(s"_v_$c").as("vals"))
+      }: _*)).as("_p"))
+      .select(lit(tableName).as("object_name"),
+        col("_p.ordinal_position").as("ordinal_position"),
+        col("_p.column_name").as("column_name"),
+        when(size(col("_p.vals")) <= maxValues,
+          concat(lit("Values: "), array_join(col("_p.vals"), ", ")))
+          .otherwise(concat(lit("Distinct values: "),
+            size(col("_p.vals")).cast("string")))
+          .as("column_description"))
+  }
+
   def profile(df: DataFrame, tableName: String,
       exactDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq

@@ -349,6 +349,78 @@ object BuildQueries {
       .orderBy(col("ordinal_position"))
   }
 
+  /** §5 distinct-values profile (q94): the sp_comma_separated_list analog
+    * — sorted distinct values per categorical column in one pass, with the
+    * cardinality cap kicking in on the high-cardinality column. */
+  def q94ValueList(s: SparkSession, dir: String): DataFrame =
+    graft.qa.TableProfile.valueList(t(s, dir, "orders"), "stage.orders",
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"),
+        maxValues = 10)
+      .orderBy(col("ordinal_position"))
+
+  /** §7.5.5 mcare claim_header payment harmonization (q95): each source
+    * file computes the shared payment columns with ITS OWN arithmetic
+    * (load_stage.mcare_claim_header.R:106-119 — carrier derives
+    * paid_insurance/bene/cost from five component amounts; facility files
+    * differently), applies its own denial filter (:121 pmt_dnl_cd), and
+    * the union harmonizes. All arithmetic stays in decimal(12,2) +/- so
+    * both engines agree bit-for-bit. */
+  def q95PaymentUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+    val target = StructType(Seq(
+      StructField("id_person", LongType), StructField("claim_id", LongType),
+      StructField("svc_date", DateType),
+      StructField("submitted_charges", DecimalType(12, 2)),
+      StructField("total_paid_payer", DecimalType(12, 2)),
+      StructField("total_paid_bene", DecimalType(12, 2)),
+      StructField("total_cost_of_care", DecimalType(12, 2)),
+      StructField("drg_code", StringType)))
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    val carrier = li.filter(col("l_orderkey") % 3 === 0)
+      .filter(col("l_linenumber") % 7 =!= 0) // denial-code exclusion
+      .select(col("o_custkey").as("id_person"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        to_date(col("l_shipdate")).as("svc_date"),
+        dec(col("l_extendedprice")).as("submitted_charges"),
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")) * 3)
+          .as("total_paid_payer"),
+        (dec(col("l_quantity")) * 2).as("total_paid_bene"),
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")))
+          .as("total_cost_of_care"))
+    val dme = li.filter(col("l_orderkey") % 3 === 1)
+      .select(col("o_custkey").as("id_person"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        to_date(col("l_shipdate")).as("svc_date"),
+        dec(col("l_extendedprice")).as("submitted_charges"),
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")))
+          .as("total_paid_payer"),
+        // no bene column at all in this source
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")))
+          .as("total_cost_of_care"))
+    val inpatient = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_custkey").as("id_person"),
+        col("o_orderkey").as("claim_id"),
+        to_date(col("o_orderdate")).as("svc_date"),
+        dec(col("o_totalprice")).as("submitted_charges"),
+        (dec(col("o_totalprice")) - dec(lit(250))).as("total_paid_payer"),
+        dec(lit(250)).as("total_paid_bene"),
+        dec(col("o_totalprice")).as("total_cost_of_care"),
+        concat(lit("DRG"), (col("o_orderkey") % 30).cast("string"))
+          .as("drg_code"))
+    graft.builds.MultiSourceUnion.build(target,
+        Seq("carrier" -> carrier, "dme" -> dme, "inpatient" -> inpatient))
+      .groupBy(col("filetype"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("submitted_charges")).cast("double"), 2).as("submitted"),
+        round(sum(col("total_paid_payer")).cast("double"), 2).as("paid_payer"),
+        round(sum(col("total_paid_bene")).cast("double"), 2).as("paid_bene"),
+        round(sum(col("total_cost_of_care")).cast("double"), 2).as("cost"),
+        count(col("drg_code")).as("n_drg"))
+      .orderBy(col("filetype"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
