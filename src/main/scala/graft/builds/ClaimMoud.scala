@@ -68,30 +68,31 @@ object ClaimMoud {
 
   /** STEP 6: resolve H0033 rows into meth vs bup flags from the person-
     * month context. `rx` carries (id_person, service_date, bup_rx_flag)
-    * pharmacy fills. The month aggregate is computed once over the SMALL
-    * per-month frame and broadcast back — the flagged-event lineage is
-    * read once. */
+    * pharmacy fills.
+    *
+    * Plan shape: the month sums must see BOTH event streams, so rx rows
+    * ride along as skeleton rows in one union and the sums are WINDOW
+    * aggregates over (person, month) — the flagged-claim lineage is read
+    * ONCE. The groupBy-sums-then-join-back alternative references
+    * `flagged` three times (sums, H0033-person restriction, final join)
+    * and re-runs the whole upstream claims join for each. */
   def disambiguateH0033(flagged: DataFrame, rx: DataFrame): DataFrame = {
-    val ym = date_format(col("service_date"), "yyyyMM").as("ym")
-    val procMonthly = flagged.select(col("id_person"), ym,
-      col("meth_proc_flag").as("m"), col("bup_proc_flag").as("b"),
-      lit(0).as("brx"))
-    val rxMonthly = rx.select(col("id_person"), ym,
-      lit(0).as("m"), lit(0).as("b"), col("bup_rx_flag").as("brx"))
-    // only persons with an H0033 row ever read the sums (the reference's
-    // temp_1/temp_2 restriction) — the semi-join keeps the joined frame a
-    // sliver of person-months instead of the whole cohort
-    val h0033People = flagged.filter(col("procedure_code") === "H0033")
-      .select(col("id_person")).distinct()
-    val monthSums = procMonthly.union(rxMonthly)
-      .join(h0033People, Seq("id_person"), "left_semi")
-      .groupBy(col("id_person"), col("ym"))
-      .agg(sum(col("m")).as("meth_sum"), sum(col("b")).as("bup_sum"),
-        sum(col("brx")).as("bup_rx_sum"))
+    val unioned = flagged
+      .withColumn("bup_rx_flag", lit(0))
+      .withColumn("_is_proc", lit(1))
+      .unionByName(
+        rx.select(col("id_person"), col("service_date"), col("bup_rx_flag"))
+          .withColumn("_is_proc", lit(0)),
+        allowMissingColumns = true)
+    val wm = Window.partitionBy(col("id_person"),
+      date_format(col("service_date"), "yyyyMM"))
+    def msum(c: String) = sum(coalesce(col(c), lit(0))).over(wm)
     val h = col("procedure_code") === "H0033"
-    flagged
-      .withColumn("ym", date_format(col("service_date"), "yyyyMM"))
-      .join(monthSums, Seq("id_person", "ym"), "left")
+    unioned
+      .withColumn("meth_sum", msum("meth_proc_flag"))
+      .withColumn("bup_sum", msum("bup_proc_flag"))
+      .withColumn("bup_rx_sum", msum("bup_rx_flag"))
+      .filter(col("_is_proc") === 1)
       .withColumn("meth_proc_flag",
         when(h && col("meth_sum") === 0 && col("bup_sum") === 0 &&
           col("bup_rx_sum") === 0, 1)
@@ -110,7 +111,8 @@ object ClaimMoud {
             col("meth_sum") =!= 0, 0)
           .when(h && col("meth_sum") < col("bup_sum"), 1)
           .otherwise(col("bup_proc_flag")))
-      .drop("ym", "meth_sum", "bup_sum", "bup_rx_sum", "moud_proc_flag_tbd")
+      .drop("meth_sum", "bup_sum", "bup_rx_sum", "moud_proc_flag_tbd",
+        "bup_rx_flag", "_is_proc")
   }
 
   /** Linear-interpolated median of a SORTED double array (percentile_cont
