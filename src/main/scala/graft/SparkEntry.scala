@@ -179,6 +179,67 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
     * for approximate / iterative / stub operators → rows-only check. */
+  /** Shared 3-class placement CTE prefix (ep -> lbfin/sbfin/dvfin ->
+    * placed) for the q84/q89/q90 pregnancy oracles — one copy, so a
+    * placement-semantics fix cannot drift between them. */
+  private val PregPlacementCte: String = """
+      WITH RECURSIVE ep AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
+          CASE WHEN o_orderkey % 7 <= 2 THEN 'lb'
+               WHEN o_orderkey % 7 <= 4 THEN 'sb' ELSE 'deliv' END AS cls
+        FROM orders),
+      lb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM ep WHERE cls = 'lb'),
+      lbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
+        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
+      sbsurv AS (
+        SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s
+        ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+          AND abs(date_diff('day', l.d, s.d)) <= 182),
+      sb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM sbsurv),
+      sbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
+      dvsurv AS (
+        SELECT s2.id, s2.d FROM (
+          SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s
+          ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
+            AND abs(date_diff('day', l.d, s.d)) <= 182) s2
+        ANTI JOIN sbfin m ON m.id = s2.id AND m.d <> s2.d
+          AND abs(date_diff('day', m.d, s2.d)) <= 168),
+      dv0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM dvsurv),
+      dvrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM dv0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM dvrec a JOIN dv0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      dvfin AS MATERIALIZED (SELECT id, d FROM dvrec WHERE inc = 1),
+      placed AS (
+        SELECT id, 'lb' AS cls, d FROM lbfin
+        UNION ALL SELECT id, 'sb', d FROM sbfin
+        UNION ALL SELECT id, 'deliv', d FROM dvfin)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
@@ -1759,67 +1820,11 @@ object SparkEntry {
     // already-placed higher classes are ANTI JOINs (DuckDB's recursive-CTE
     // parser rejects EXCEPT). AS MATERIALIZED on the shared frames: without
     // it each downstream reference re-runs the recursion (~39 s -> 0.2 s).
-    "q84_preg_episode" -> """
-      WITH RECURSIVE ep AS MATERIALIZED (
-        SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
-          CASE WHEN o_orderkey % 7 <= 2 THEN 'lb'
-               WHEN o_orderkey % 7 <= 4 THEN 'sb' ELSE 'deliv' END AS cls
-        FROM orders),
-      lb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM ep WHERE cls = 'lb'),
-      lbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
-        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
-      sbsurv AS (
-        SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s
-        ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
-          AND abs(date_diff('day', l.d, s.d)) <= 182),
-      sb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM sbsurv),
-      sbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
-      dvsurv AS (
-        SELECT s2.id, s2.d FROM (
-          SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s
-          ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
-            AND abs(date_diff('day', l.d, s.d)) <= 182) s2
-        ANTI JOIN sbfin m ON m.id = s2.id AND m.d <> s2.d
-          AND abs(date_diff('day', m.d, s2.d)) <= 168),
-      dv0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM dvsurv),
-      dvrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM dv0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM dvrec a JOIN dv0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      dvfin AS MATERIALIZED (SELECT id, d FROM dvrec WHERE inc = 1),
-      placed AS (
-        SELECT id, 'lb' AS cls, d FROM lbfin
-        UNION ALL SELECT id, 'sb', d FROM sbfin
-        UNION ALL SELECT id, 'deliv', d FROM dvfin)
+    "q84_preg_episode" -> (PregPlacementCte + """
       SELECT id AS id_person, cls AS preg_endpoint, d AS endpoint_date,
         CAST(rank() OVER (PARTITION BY id, cls ORDER BY d) AS INT)
           AS preg_episode_id
-      FROM placed ORDER BY id_person, preg_endpoint, preg_episode_id""",
+      FROM placed ORDER BY id_person, preg_endpoint, preg_episode_id"""),
 
     "q85_multisource_union" -> """
       WITH src AS (
@@ -2016,63 +2021,7 @@ object SparkEntry {
     // q89: q84's recursive placement + the STEP 6-7 prenatal-window pass
     // (lag across the merged per-person timeline, default gestation
     // clipped to prior endpoint + buffer).
-    "q89_preg_windows" -> """
-      WITH RECURSIVE ep AS MATERIALIZED (
-        SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
-          CASE WHEN o_orderkey % 7 <= 2 THEN 'lb'
-               WHEN o_orderkey % 7 <= 4 THEN 'sb' ELSE 'deliv' END AS cls
-        FROM orders),
-      lb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM ep WHERE cls = 'lb'),
-      lbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
-        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
-      sbsurv AS (
-        SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s
-        ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
-          AND abs(date_diff('day', l.d, s.d)) <= 182),
-      sb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM sbsurv),
-      sbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
-      dvsurv AS (
-        SELECT s2.id, s2.d FROM (
-          SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s
-          ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
-            AND abs(date_diff('day', l.d, s.d)) <= 182) s2
-        ANTI JOIN sbfin m ON m.id = s2.id AND m.d <> s2.d
-          AND abs(date_diff('day', m.d, s2.d)) <= 168),
-      dv0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM dvsurv),
-      dvrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM dv0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM dvrec a JOIN dv0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      dvfin AS MATERIALIZED (SELECT id, d FROM dvrec WHERE inc = 1),
-      placed AS (
-        SELECT id, 'lb' AS cls, d FROM lbfin
-        UNION ALL SELECT id, 'sb', d FROM sbfin
-        UNION ALL SELECT id, 'deliv', d FROM dvfin),
+    "q89_preg_windows" -> (PregPlacementCte + """,
       tl AS (
         SELECT id, cls, d,
           row_number() OVER (PARTITION BY id ORDER BY d, cls) AS seq,
@@ -2098,68 +2047,12 @@ object SparkEntry {
         d AS preg_end_date,
         d - CAST(dg AS INT) AS preg_start_date_max,
         d - CAST(mg AS INT) AS preg_start_date_min
-      FROM fin ORDER BY id_person, preg_episode_seq""",
+      FROM fin ORDER BY id_person, preg_episode_seq"""),
 
     // q90: q89's episodes + STEP 8A anchor-procedure start-date correction
     // (max corrected start = closest-to-end), ga_weeks to 1 decimal, and
     // the 22/20-week validity + 37-week ftb/ptb flags.
-    "q90_preg_ga_correct" -> """
-      WITH RECURSIVE ep AS MATERIALIZED (
-        SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
-          CASE WHEN o_orderkey % 7 <= 2 THEN 'lb'
-               WHEN o_orderkey % 7 <= 4 THEN 'sb' ELSE 'deliv' END AS cls
-        FROM orders),
-      lb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM ep WHERE cls = 'lb'),
-      lbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
-        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
-      sbsurv AS (
-        SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s
-        ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
-          AND abs(date_diff('day', l.d, s.d)) <= 182),
-      sb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM sbsurv),
-      sbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
-      dvsurv AS (
-        SELECT s2.id, s2.d FROM (
-          SELECT s.id, s.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s
-          ANTI JOIN lbfin l ON l.id = s.id AND l.d <> s.d
-            AND abs(date_diff('day', l.d, s.d)) <= 182) s2
-        ANTI JOIN sbfin m ON m.id = s2.id AND m.d <> s2.d
-          AND abs(date_diff('day', m.d, s2.d)) <= 168),
-      dv0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM dvsurv),
-      dvrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM dv0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM dvrec a JOIN dv0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      dvfin AS MATERIALIZED (SELECT id, d FROM dvrec WHERE inc = 1),
-      placed AS (
-        SELECT id, 'lb' AS cls, d FROM lbfin
-        UNION ALL SELECT id, 'sb', d FROM sbfin
-        UNION ALL SELECT id, 'deliv', d FROM dvfin),
+    "q90_preg_ga_correct" -> (PregPlacementCte + """,
       tl AS (
         SELECT id, cls, d,
           row_number() OVER (PARTITION BY id ORDER BY d, cls) AS seq,
@@ -2223,7 +2116,7 @@ object SparkEntry {
         CASE WHEN preg_endpoint = 'lb' AND ga_weeks >= 37 THEN 'ftb'
              WHEN preg_endpoint = 'lb' AND ga_weeks < 37 THEN 'ptb'
              END AS lb_type
-      FROM final ORDER BY id_person, preg_episode_seq""",
+      FROM final ORDER BY id_person, preg_episode_seq"""),
 
     // q91: the full 7-class hierarchy (STEP 5A-5G) — oracle generated
     // from the conflict-window matrix; one recursive phase per class.

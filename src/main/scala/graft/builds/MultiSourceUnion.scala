@@ -25,15 +25,25 @@ import org.apache.spark.sql.types.StructType
   */
 object MultiSourceUnion {
 
-  /** @param target  declared output schema (order and types are pinned)
-    * @param sources (provenance tag, frame) pairs; each frame carries any
-    *                subset of the target columns, any castable types
-    * @param tagCol  name of the appended provenance column
+  /** @param target     declared output schema (order and types are pinned)
+    * @param sources    (provenance tag, frame) pairs; each frame carries
+    *                   any subset of the target columns, any castable types
+    * @param tagCol     name of the appended provenance column
+    * @param allowExtra permit source columns outside the target schema
+    *                   (dropped). Default REJECTS them: a misspelled
+    *                   source column would otherwise be silently NULL-
+    *                   filled instead of surfacing — the same strictness
+    *                   TableConfig.combineYears applies.
     */
   def build(target: StructType, sources: Seq[(String, DataFrame)],
-      tagCol: String = "filetype"): DataFrame = {
+      tagCol: String = "filetype", allowExtra: Boolean = false): DataFrame = {
     require(sources.nonEmpty, "at least one source frame")
+    val declared = target.fieldNames.toSet
     val normed = sources.map { case (tag, df) =>
+      val extra = df.columns.filterNot(declared)
+      require(allowExtra || extra.isEmpty,
+        s"source '$tag' has undeclared columns: ${extra.mkString(",")} " +
+          "(pass allowExtra = true to drop them)")
       val present = df.columns.toSet
       val kept = target.fields.toSeq.filter(f => present(f.name))
         .map(f => col(f.name).cast(f.dataType).as(f.name))

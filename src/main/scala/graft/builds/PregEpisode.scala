@@ -87,7 +87,12 @@ object PregEpisode {
     * Ties (two classes placed the same day, which the conflict filter's
     * strict windows allow) are ordered by class name so the lag is
     * deterministic — the reference's ORDER BY date alone leaves this
-    * undefined.
+    * undefined. Note a faithfully-mirrored reference quirk: when the prior
+    * placed endpoint is the same day (or closer than the buffer), the
+    * clipped start lands AFTER the endpoint date — an inverted window the
+    * reference also produces (dateadd(-days_diff + buffer)); downstream
+    * BETWEEN windows simply never match for such episodes, which is how
+    * the reference's correction steps behave too.
     *
     * One person-partitioned window pass; no shuffle beyond it. */
   def withPrenatalWindows(placed: DataFrame, idCol: String = "id_person",

@@ -250,13 +250,22 @@ object Dedup {
     val p = probes.select(col(pid).as("probe_id"),
       shingles(col(ptext), shingleN).as("_ps"))
     // Identical containment expression on both paths: results match the
-    // DuckDB oracle regardless of which plan the probe count selects.
-    def scored(paired: DataFrame): DataFrame = paired
-      .filter(col("probe_id") =!= col("doc_id")) // probes drawn from corpus
-      .select(col("probe_id"), col("doc_id"),
-        round(size(array_intersect(col("_ps"), col("_cs"))).cast("double") /
-          greatest(size(col("_ps")), lit(1)).cast("double"), 4).as("containment"))
-      .filter(col("containment") >= threshold)
+    // DuckDB oracle regardless of which plan the probe count selects. The
+    // filter runs on the UNROUNDED ratio (rounding is display-only): a
+    // true containment just under the threshold that rounds up to it would
+    // pass a rounded filter on the broadcast path but sits outside the
+    // prefix-filter recall guarantee on the indexed path — filtering
+    // unrounded keeps both paths (and the oracle, which also filters
+    // unrounded) in exact agreement at the boundary.
+    def scored(paired: DataFrame): DataFrame = {
+      val ratio = size(array_intersect(col("_ps"), col("_cs"))).cast("double") /
+        greatest(size(col("_ps")), lit(1)).cast("double")
+      paired
+        .filter(col("probe_id") =!= col("doc_id")) // probes drawn from corpus
+        .filter(ratio >= threshold)
+        .select(col("probe_id"), col("doc_id"),
+          round(ratio, 4).as("containment"))
+    }
     val nProbes =
       p.limit(math.min(maxBroadcastProbes + 1, Int.MaxValue).toInt).count()
     if (nProbes <= maxBroadcastProbes) {

@@ -27,28 +27,45 @@ object TableProfile {
 
   /** The sp_comma_separated_list analog: one row per requested column with
     * its sorted distinct values as a comma-joined string ("Values: a, b"),
-    * for low-cardinality reference/categorical columns. One aggregation
-    * pass for ALL requested columns (collect_set per column, sorted and
-    * joined driver-free); `maxValues` caps runaway cardinality — columns
-    * over the cap report a count instead of an unbounded string, because a
-    * million-value list in a metadata table is an accident, not a profile. */
+    * for low-cardinality reference/categorical columns; columns over
+    * `maxValues` report a count instead of an unbounded string, because a
+    * million-value list in a metadata table is an accident, not a profile.
+    *
+    * Two phases so the cap bounds MEMORY, not just the output string: a
+    * cheap HLL pass classifies each column, then the main pass runs
+    * collect_set ONLY for columns plausibly under the cap (20% slack on
+    * the ~5%-rsd sketch — a column the sketch overshoots past the slack is
+    * far above the cap for certain) and exact COUNT(DISTINCT) for the
+    * rest. Listable columns still apply the EXACT size check on output, so
+    * the sketch can never flip which branch a boundary column reports. */
   def valueList(df: DataFrame, tableName: String, columns: Seq[String],
       maxValues: Int = 1000): DataFrame = {
     require(columns.nonEmpty, "at least one column to list")
-    val aggs = columns.map(c =>
-      sort_array(collect_set(col(c).cast("string"))).as(s"_v_$c"))
+    val approxAggs = columns.map(c => approx_count_distinct(col(c)).as(c))
+    val approxRow = df.agg(approxAggs.head, approxAggs.tail: _*).collect().head
+    val listable = columns.zipWithIndex
+      .filter { case (_, i) => approxRow.getLong(i) <= maxValues * 1.2 }
+      .map(_._1).toSet
+    val aggs = columns.map { c =>
+      if (listable(c)) sort_array(collect_set(col(c).cast("string"))).as(s"_v_$c")
+      else countDistinct(col(c)).as(s"_n_$c")
+    }
     val one = df.agg(aggs.head, aggs.tail: _*)
     one.select(explode(array(columns.zipWithIndex.map { case (c, i) =>
         struct(lit(i + 1).as("ordinal_position"), lit(c).as("column_name"),
-          col(s"_v_$c").as("vals"))
+          (if (listable(c)) col(s"_v_$c")
+           else lit(null).cast("array<string>")).as("vals"),
+          (if (listable(c)) lit(null).cast("long")
+           else col(s"_n_$c").cast("long")).as("n_over_cap"))
       }: _*)).as("_p"))
       .select(lit(tableName).as("object_name"),
         col("_p.ordinal_position").as("ordinal_position"),
         col("_p.column_name").as("column_name"),
-        when(size(col("_p.vals")) <= maxValues,
+        when(col("_p.vals").isNotNull && size(col("_p.vals")) <= maxValues,
           concat(lit("Values: "), array_join(col("_p.vals"), ", ")))
           .otherwise(concat(lit("Distinct values: "),
-            size(col("_p.vals")).cast("string")))
+            coalesce(col("_p.n_over_cap"), size(col("_p.vals")).cast("long"))
+              .cast("string")))
           .as("column_description"))
   }
 

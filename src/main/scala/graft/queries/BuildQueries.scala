@@ -102,12 +102,15 @@ object BuildQueries {
         sum(when(col("full_month"), 1).otherwise(0)).as("n_full_months"))
       .orderBy(col("month"))
 
-  /** §2.9 pregnancy-episode build (q84): hierarchical endpoint placement —
-    * lb/sb/deliv endpoint days synthesized from orders (dates span 7 years,
-    * dense enough that the sb/deliv classes are mostly conflict-blocked by
+  /** §2.9 pregnancy-episode placement shared by q84/q89/q90: lb/sb/deliv
+    * endpoint days synthesized from orders (dates span 7 years, dense
+    * enough that the sb/deliv classes are mostly conflict-blocked by
     * placed lb endpoints, exercising both filter branches), then the
-    * per-class greedy WHILE-loop admission + per-class episode ranks. */
-  def q84PregEpisode(s: SparkSession, dir: String): DataFrame =
+    * per-class greedy WHILE-loop admission + per-class episode ranks.
+    * UNSORTED — the global orderBy lives only in q84's own result, so
+    * downstream compositions don't inherit a range exchange their windows
+    * immediately destroy. */
+  private def pregPlaced(s: SparkSession, dir: String): DataFrame =
     graft.builds.PregEpisode.build(
       t(s, dir, "orders").select(
         (col("o_custkey") % 100).as("id_person"),
@@ -116,6 +119,9 @@ object BuildQueries {
           .when(col("o_orderkey") % 7 <= 4, "sb")
           .otherwise("deliv").as("cls")),
       "id_person", "endpoint_date", "cls")
+
+  def q84PregEpisode(s: SparkSession, dir: String): DataFrame =
+    pregPlaced(s, dir)
       .orderBy(col("id_person"), col("preg_endpoint"), col("preg_episode_id"))
 
   /** §7.5.5 multi-source union harmonization (q85): three synthesized
@@ -304,7 +310,7 @@ object BuildQueries {
     * (STEP 6-7 of the reference build). */
   def q89PregWindows(s: SparkSession, dir: String): DataFrame =
     graft.builds.PregEpisode.withPrenatalWindows(
-        q84PregEpisode(s, dir))
+        pregPlaced(s, dir))
       .select(col("id_person"), col("preg_endpoint"), col("preg_episode_seq"),
         col("preg_start_date"), col("preg_end_date"),
         col("preg_start_date_max"), col("preg_start_date_min"))
@@ -316,7 +322,7 @@ object BuildQueries {
     * and 37-week ftb/ptb classification flags. */
   def q90PregGaCorrect(s: SparkSession, dir: String): DataFrame = {
     val episodes = graft.builds.PregEpisode.withPrenatalWindows(
-      q84PregEpisode(s, dir))
+      pregPlaced(s, dir))
     val procs = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") % 100).as("id_person"),

@@ -14,25 +14,33 @@ object LifecycleQueries {
     * exit (shutdown hook) — plus an age-guarded sweep of stale siblings
     * left by crashed runs. The applicationId tag keeps two concurrent
     * same-user sessions from racing on one path (r4); without cleanup each
-    * run leaked a fresh tree forever (ADVICE r5). The sweep only removes
-    * siblings untouched for > 1 h, so a live concurrent session's scratch
-    * is never yanked out from under it. */
+    * run leaked a fresh tree forever (ADVICE r5).
+    *
+    * Liveness: each session TOUCHES its root's mtime on every access
+    * (files written deep inside a tree do not update the root's mtime, so
+    * the root's own timestamp would otherwise go stale under a live
+    * long-running query), and the sweep only removes siblings whose root
+    * has not been touched for > 6 h — a crashed run's leak is bounded at
+    * hours while a live concurrent session refreshing per query is never
+    * yanked out from under. */
   private val hooked = scala.collection.mutable.Set.empty[String]
   private def scratchRoot(s: SparkSession, kind: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     val prefix = s"graft_${kind}_${sys.props("user.name")}_"
     val cur = s"$prefix${s.sparkContext.applicationId}"
-    val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
+    val staleBefore = System.currentTimeMillis() - 6L * 60 * 60 * 1000
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.getName != cur &&
         f.lastModified() < staleBefore)
       .foreach(deleteRecursively)
-    val root = s"$tmp/$cur"
+    val root = new java.io.File(tmp, cur)
+    root.mkdirs()
+    root.setLastModified(System.currentTimeMillis()) // liveness heartbeat
     hooked.synchronized {
-      if (hooked.add(root))
-        sys.addShutdownHook(deleteRecursively(new java.io.File(root)))
+      if (hooked.add(root.getPath))
+        sys.addShutdownHook(deleteRecursively(root))
     }
-    root
+    root.getPath
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
