@@ -174,6 +174,7 @@ object SparkEntry {
     "q93_elig_timevar_apcd" -> (graft.queries.BuildQueries.q93EligTimevarApcd _),
     "q94_value_list" -> (graft.queries.BuildQueries.q94ValueList _),
     "q95_payment_union" -> (graft.queries.BuildQueries.q95PaymentUnion _),
+    "q96_fuh_measure" -> (graft.queries.BuildQueries.q96FuhMeasure _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2498,5 +2499,141 @@ object SparkEntry {
         round(CAST(sum(total_cost_of_care) AS DOUBLE), 2) AS cost,
         count(drg_code) AS n_drg
       FROM src GROUP BY 1 ORDER BY filetype""",
+
+    // q96: the FUH chain — value-set set algebra for MI/MHD acute index
+    // stays, chained-discharge collapse (row_number desc w/ claim-id
+    // tiebreak), readmit exclusion, 7/30-day follow-up flags with the
+    // TCM-14 'Y' 30-day-only idiosyncrasy (MAX over 'Y'/'N').
+    "q96_fuh_measure" -> """
+      WITH header AS (
+        SELECT o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS admit_date,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT)
+            AS discharge_date
+        FROM orders),
+      claims AS (
+        SELECT o_custkey % 120 AS id_person, o_orderkey AS claim_id
+        FROM orders),
+      mi AS (SELECT * FROM claims WHERE claim_id % 5 = 0),
+      mhd AS (SELECT * FROM claims WHERE claim_id % 3 = 0),
+      inp AS (SELECT * FROM claims WHERE claim_id % 2 = 0),
+      na AS (SELECT * FROM claims WHERE claim_id % 7 = 0),
+      demo AS (
+        SELECT id_person,
+          DATE '1940-01-01' + CAST((id_person * 89) % 15000 AS INT) AS dob
+        FROM (SELECT DISTINCT o_custkey % 120 AS id_person FROM orders)),
+      acute AS (SELECT * FROM inp EXCEPT SELECT * FROM na),
+      idx AS (
+        SELECT c.value_set_name, c.id_person,
+          CAST((year(h.discharge_date) - year(d.dob)) -
+            CASE WHEN d.dob + to_years(CAST(year(h.discharge_date) -
+              year(d.dob) AS INT)) > h.discharge_date THEN 1 ELSE 0 END
+            AS INT) AS age,
+          c.claim_id, h.admit_date, h.discharge_date, 1 AS flag
+        FROM (
+          SELECT 'Mental Illness' AS value_set_name, * FROM
+            (SELECT * FROM mi INTERSECT SELECT * FROM acute)
+          UNION ALL
+          SELECT 'Mental Health Diagnosis', * FROM
+            (SELECT * FROM mhd INTERSECT SELECT * FROM acute)) c
+        JOIN demo d ON c.id_person = d.id_person
+        JOIN header h ON c.claim_id = h.claim_id),
+      readmit AS (
+        SELECT r.id_person, r.claim_id, h.admit_date, h.discharge_date,
+          1 AS flag
+        FROM (
+          SELECT * FROM inp INTERSECT SELECT * FROM na
+          UNION
+          ((SELECT * FROM inp EXCEPT SELECT * FROM na)
+           EXCEPT SELECT * FROM mhd)) r
+        JOIN header h ON r.claim_id = h.claim_id),
+      li AS (
+        SELECT o_custkey % 120 AS id_person,
+          l_orderkey * 10 + l_linenumber AS claim_id,
+          CAST(l_shipdate AS DATE) AS service_date,
+          l_returnflag, l_quantity, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      fu AS (
+        SELECT id_person, claim_id, service_date, 1 AS flag,
+          max(o30) AS only_30_day_fu
+        FROM (
+          SELECT id_person, claim_id, service_date, 'N' AS o30 FROM li
+          WHERE l_returnflag = 'R'
+          UNION
+          SELECT id_person, claim_id, service_date, 'N' FROM (
+            SELECT id_person, claim_id, service_date FROM li
+            WHERE l_quantity >= 40
+            INTERSECT
+            SELECT id_person, claim_id, service_date FROM li
+            WHERE l_linenumber % 2 = 0)
+          UNION
+          SELECT id_person, claim_id, service_date, 'Y' FROM li
+          WHERE l_quantity < 5)
+        GROUP BY 1, 2, 3, 4),
+      a AS (
+        SELECT * FROM idx WHERE value_set_name = 'Mental Illness'
+        AND discharge_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      b AS (
+        SELECT * FROM idx WHERE value_set_name = 'Mental Health Diagnosis'
+        AND discharge_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      coll0 AS (
+        SELECT
+          coalesce(b.id_person, a.id_person) AS id_person,
+          coalesce(b.age, a.age) AS age,
+          coalesce(b.claim_id, a.claim_id) AS claim_id,
+          coalesce(b.admit_date, a.admit_date) AS admit_date,
+          coalesce(b.discharge_date, a.discharge_date) AS discharge_date,
+          coalesce(b.flag, a.flag) AS flag,
+          row_number() OVER (PARTITION BY a.claim_id
+            ORDER BY b.discharge_date DESC NULLS LAST,
+              b.claim_id DESC NULLS LAST) AS rn
+        FROM a LEFT JOIN b ON a.id_person = b.id_person
+          AND b.discharge_date BETWEEN a.discharge_date + 1
+            AND a.discharge_date + 30),
+      coll AS (
+        SELECT DISTINCT id_person, age, claim_id, admit_date,
+          discharge_date, flag
+        FROM coll0 WHERE rn = 1),
+      excl AS (
+        SELECT c.id_person, c.age, c.claim_id, c.admit_date,
+          c.discharge_date, c.flag,
+          max(coalesce(r.flag, 0)) AS inpatient_within_30_day
+        FROM coll c LEFT JOIN (
+          SELECT * FROM readmit WHERE admit_date BETWEEN DATE '1996-01-01'
+            AND DATE '1996-12-31') r
+          ON c.id_person = r.id_person
+          AND r.admit_date BETWEEN c.discharge_date + 1
+            AND c.discharge_date + 30
+        GROUP BY 1, 2, 3, 4, 5, 6
+        HAVING max(coalesce(r.flag, 0)) = 0),
+      fuw AS (
+        SELECT * FROM fu WHERE service_date BETWEEN DATE '1996-01-01'
+          AND DATE '1996-12-31'),
+      with7 AS (
+        SELECT e.*, max(coalesce(f.flag, 0)) AS follow_up_7_day
+        FROM excl e LEFT JOIN (
+          SELECT * FROM fuw WHERE only_30_day_fu = 'N') f
+          ON e.id_person = f.id_person
+          AND f.service_date BETWEEN e.discharge_date + 1
+            AND e.discharge_date + 7
+        GROUP BY ALL),
+      with30 AS (
+        SELECT w.*, max(coalesce(f.flag, 0)) AS follow_up_30_day
+        FROM with7 w LEFT JOIN fuw f
+          ON w.id_person = f.id_person
+          AND f.service_date BETWEEN w.discharge_date + 1
+            AND w.discharge_date + 30
+        GROUP BY ALL)
+      SELECT
+        CAST(year(discharge_date) * 100 + month(discharge_date) AS INTEGER)
+          AS ym,
+        id_person, age, claim_id, admit_date, discharge_date,
+        flag AS inpatient_index_stay, inpatient_within_30_day,
+        CASE WHEN day(discharge_date) = 1 AND
+          month(discharge_date) IN (1, 3, 5, 7, 8, 10, 12)
+          THEN 1 ELSE 0 END AS need_1_month_coverage,
+        follow_up_7_day, follow_up_30_day
+      FROM with30
+      ORDER BY id_person, claim_id""",
   )
 }

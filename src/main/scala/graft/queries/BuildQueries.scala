@@ -427,6 +427,62 @@ object BuildQueries {
       .orderBy(col("filetype"))
   }
 
+  /** §2.9 FUH follow-up-after-hospitalization measure (q96): the full
+    * v_perf_fuh_* + sp_perf_fuh_join_step chain — MI/MHD acute index stays
+    * by value-set algebra, chained-discharge collapse to the last
+    * discharge, readmission/direct-transfer exclusion, and the 7/30-day
+    * follow-up indicators with the TCM-14 30-day-only idiosyncrasy.
+    * Persons are folded (custkey % 120) so discharges chain and follow-up
+    * visits actually land inside the windows. */
+  def q96FuhMeasure(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val header = orders.select(col("o_orderkey").as("claim_id"),
+      to_date(col("o_orderdate")).as("admit_date"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 5).cast("int")).as("discharge_date"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 5).cast("int")).as("last_service_date"))
+    val claims = orders.select((col("o_custkey") % 120).as("id_person"),
+      col("o_orderkey").as("claim_id"))
+    val miDx = claims.filter(col("claim_id") % 5 === 0)
+    val mhdDx = claims.filter(col("claim_id") % 3 === 0)
+    val inpatient = claims.filter(col("claim_id") % 2 === 0)
+    val nonacute = claims.filter(col("claim_id") % 7 === 0)
+    val demo = orders.select((col("o_custkey") % 120).as("id_person"))
+      .distinct()
+      .withColumn("dob", date_add(to_date(lit("1940-01-01")),
+        ((col("id_person") * 89) % 15000).cast("int")))
+    val li = t(s, dir, "lineitem")
+      .join(orders.select(col("o_orderkey"),
+        (col("o_custkey") % 120).as("id_person")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("id_person"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        to_date(col("l_shipdate")).as("service_date"),
+        col("l_returnflag"), col("l_quantity"), col("l_linenumber"))
+    def visits(c: org.apache.spark.sql.Column) = li.filter(c)
+      .select(col("id_person"), col("claim_id"), col("service_date"))
+    val standalone = visits(col("l_returnflag") === "R")
+    val g1 = visits(col("l_quantity") >= 40)
+      .intersect(visits(col("l_linenumber") % 2 === 0))
+    val tcm14 = visits(col("l_quantity") < 5)
+    val fu = graft.builds.FuhMeasure.followUpVisits(
+      Seq(standalone, g1), Seq(tcm14))
+    val idx = graft.builds.FuhMeasure.indexStays(
+      miDx, mhdDx, inpatient, nonacute, demo, header)
+    val re = graft.builds.FuhMeasure.readmitStays(
+      mhdDx, inpatient, nonacute, header)
+    graft.builds.FuhMeasure.joinStep(idx, re, fu,
+        "1996-01-01", "1996-12-31")
+      .select(col("ym"), col("id_person"), col("age"), col("claim_id"),
+        col("admit_date"), col("discharge_date"),
+        col("inpatient_index_stay"), col("inpatient_within_30_day"),
+        col("need_1_month_coverage"), col("follow_up_7_day"),
+        col("follow_up_30_day"))
+      .orderBy(col("id_person"), col("claim_id"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
