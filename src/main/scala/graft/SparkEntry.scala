@@ -175,6 +175,7 @@ object SparkEntry {
     "q94_value_list" -> (graft.queries.BuildQueries.q94ValueList _),
     "q95_payment_union" -> (graft.queries.BuildQueries.q95PaymentUnion _),
     "q96_fuh_measure" -> (graft.queries.BuildQueries.q96FuhMeasure _),
+    "q97_pcr_readmit" -> (graft.queries.BuildQueries.q97PcrReadmit _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2635,5 +2636,106 @@ object SparkEntry {
         follow_up_7_day, follow_up_30_day
       FROM with30
       ORDER BY id_person, claim_id""",
+
+    // q97: PCR — lag/flag/running-sum transfer stitching, episode windows,
+    // set-algebra exclusions (pregnancy over the episode, planned on stay
+    // 1), 30-day readmission self-join with first-readmission pick and
+    // planned-readmission drop.
+    "q97_pcr_readmit" -> """
+      WITH claims AS (
+        SELECT o_custkey % 90 AS id_person, o_orderkey AS claim_id
+        FROM orders),
+      stays AS (
+        SELECT o_custkey % 90 AS id_person, o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 9 AS INT) AS lsd,
+          CASE WHEN o_orderkey % 37 = 0 THEN '20' ELSE '10' END
+            AS patient_status
+        FROM orders WHERE o_orderkey % 2 = 0),
+      inp AS (SELECT * FROM claims WHERE claim_id % 2 = 0),
+      preg AS (
+        SELECT *, 1 AS flag FROM (
+          (SELECT * FROM inp
+           INTERSECT SELECT * FROM claims WHERE claim_id % 13 = 0)
+          EXCEPT SELECT * FROM claims WHERE claim_id % 19 = 0)),
+      planned AS (
+        SELECT *, 1 AS flag FROM (
+          ((SELECT * FROM inp
+            INTERSECT SELECT * FROM claims WHERE claim_id % 17 = 0)
+           UNION
+           (SELECT * FROM inp
+            INTERSECT SELECT * FROM claims WHERE claim_id % 23 = 0)
+           UNION
+           ((SELECT * FROM inp
+             INTERSECT SELECT * FROM claims WHERE claim_id % 29 = 0)
+            EXCEPT
+            (SELECT * FROM inp
+             INTERSECT SELECT * FROM claims WHERE claim_id % 31 = 0)))
+          EXCEPT SELECT * FROM claims WHERE claim_id % 19 = 0)),
+      ep0 AS (
+        SELECT *,
+          lag(lsd) OVER (PARTITION BY id_person
+            ORDER BY fsd, lsd, claim_id) AS prev_to
+        FROM stays),
+      ep1 AS (
+        SELECT *, CASE WHEN prev_to IS NULL
+          OR date_diff('day', prev_to, fsd) > 1 THEN 1 ELSE 0 END AS inc
+        FROM ep0),
+      ep AS (
+        SELECT *, CAST(sum(inc) OVER (PARTITION BY id_person
+          ORDER BY fsd, lsd, claim_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS episode_id
+        FROM ep1),
+      tr AS (
+        SELECT *,
+          min(fsd) OVER e AS ep_first,
+          max(lsd) OVER e AS ep_last,
+          CAST(row_number() OVER (PARTITION BY id_person, episode_id
+            ORDER BY fsd, lsd, claim_id) AS INT) AS stay_id,
+          max(CASE WHEN patient_status = '20' THEN 1 ELSE 0 END) OVER e
+            AS death
+        FROM ep
+        WINDOW e AS (PARTITION BY id_person, episode_id)),
+      j1 AS (
+        SELECT t.*, p.flag AS preg_flag, pl.flag AS pl_flag
+        FROM tr t
+        LEFT JOIN preg p ON t.claim_id = p.claim_id
+        LEFT JOIN planned pl ON t.claim_id = pl.claim_id),
+      j2 AS (
+        SELECT *,
+          coalesce(max(preg_flag) OVER (PARTITION BY id_person, episode_id),
+            0) AS pregnancy_exclusion,
+          coalesce(CASE WHEN stay_id = 1 THEN pl_flag END, 0)
+            AS planned_exclusion,
+          CASE WHEN ep_first = ep_last THEN 1 ELSE 0 END AS same_day
+        FROM j1),
+      idx AS (
+        SELECT id_person, episode_id, ep_first, ep_last, planned_exclusion
+        FROM j2
+        WHERE stay_id = 1 AND death = 0 AND same_day = 0
+          AND pregnancy_exclusion = 0),
+      sj AS (
+        SELECT a.id_person, a.episode_id, a.ep_first, a.ep_last,
+          b.ep_first AS b_first, b.ep_last AS b_last,
+          b.planned_exclusion AS b_planned,
+          row_number() OVER (PARTITION BY a.id_person, a.episode_id
+            ORDER BY b.ep_first ASC NULLS LAST,
+              b.episode_id ASC NULLS LAST) AS row_num
+        FROM idx a LEFT JOIN idx b ON a.id_person = b.id_person
+          AND b.ep_first BETWEEN a.ep_last + 1 AND a.ep_last + 30)
+      SELECT
+        CAST(year(ep_first) * 100 + month(ep_first) AS INTEGER) AS ym,
+        id_person, episode_id,
+        ep_first AS episode_first_service_date,
+        ep_last AS episode_last_service_date,
+        1 AS inpatient_index_stay,
+        b_first AS readmission_first_service_date,
+        b_last AS readmission_last_service_date,
+        CASE WHEN b_first IS NOT NULL THEN 1 ELSE 0 END AS readmission_flag,
+        CAST(date_diff('day', ep_last, b_first) AS INT) AS date_diff,
+        b_planned AS planned_readmission
+      FROM sj
+      WHERE row_num = 1 AND (b_planned IS NULL OR b_planned = 0)
+      ORDER BY id_person, episode_first_service_date, episode_id""",
   )
 }

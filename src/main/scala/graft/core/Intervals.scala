@@ -44,9 +44,11 @@ object Intervals {
       from: String,
       to: String,
       maxGapDays: Int = 1,
-      attrs: Seq[String] = Nil): DataFrame = {
+      attrs: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val part = (ids ++ attrs).map(col)
-    val w = Window.partitionBy(part: _*).orderBy(col(from), col(to))
+    val w = Window.partitionBy(part: _*)
+      .orderBy(col(from) +: col(to) +: tieBreak.map(col): _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevTo = lag(col(to), 1).over(w)
     val isStart = when(prevTo.isNull || datediff(col(from), prevTo) > maxGapDays, 1)

@@ -483,6 +483,37 @@ object BuildQueries {
       .orderBy(col("id_person"), col("claim_id"))
   }
 
+  /** §2.9 PCR plan-all-cause-readmissions join step (q97): acute stays
+    * within 1 day stitched into direct-transfer episodes (the island
+    * kernel), episode-level exclusions (death, same-day, pregnancy over
+    * the whole episode, planned on the first stay), then the 30-day
+    * readmission self-join keeping the first subsequent episode. Persons
+    * folded (custkey % 90) so transfer chains and readmissions occur. */
+  def q97PcrReadmit(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val claims = orders.select((col("o_custkey") % 90).as("id_person"),
+      col("o_orderkey").as("claim_id"))
+    val stays = orders.filter(col("o_orderkey") % 2 === 0).select(
+      (col("o_custkey") % 90).as("id_person"),
+      col("o_orderkey").as("claim_id"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 9).cast("int")).as("last_service_date"),
+      when(col("o_orderkey") % 37 === 0, "20").otherwise("10")
+        .as("patient_status"),
+      concat(lit("DX"), (col("o_orderkey") % 50).cast("string"))
+        .as("primary_diagnosis"))
+    def vs(m: Int) = claims.filter(col("claim_id") % m === 0)
+    val inp = vs(2)
+    val preg = graft.builds.PcrMeasure.pregnancyExclusion(inp, vs(13), vs(19))
+    val planned = graft.builds.PcrMeasure.plannedExclusion(inp,
+      Seq(vs(17), vs(23)), vs(29), vs(31), vs(19))
+    graft.builds.PcrMeasure.joinStep(
+        graft.builds.PcrMeasure.directTransfer(stays), preg, planned)
+      .orderBy(col("id_person"), col("episode_first_service_date"),
+        col("episode_id"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
