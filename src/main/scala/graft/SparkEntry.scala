@@ -176,6 +176,8 @@ object SparkEntry {
     "q95_payment_union" -> (graft.queries.BuildQueries.q95PaymentUnion _),
     "q96_fuh_measure" -> (graft.queries.BuildQueries.q96FuhMeasure _),
     "q97_pcr_readmit" -> (graft.queries.BuildQueries.q97PcrReadmit _),
+    "q98_mcare_claim_header" -> (graft.queries.BuildQueries.q98McareClaimHeader _),
+    "q99_timevar_collapse" -> (graft.queries.BuildQueries.q99TimevarCollapse _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2737,5 +2739,170 @@ object SparkEntry {
       FROM sj
       WHERE row_num = 1 AND (b_planned IS NULL OR b_planned = 0)
       ORDER BY id_person, episode_first_service_date, episode_id""",
+
+    // q98: composed mcare claim_header — drifted 3-source union with
+    // per-source payment arithmetic + denial filters, eligibility
+    // existence, claim-type crosswalk, claim-window admission/discharge +
+    // distinct collapse, line/proc/dx rollups, claim-type-gated ED flags.
+    "q98_mcare_claim_header" -> """
+      WITH li AS (
+        SELECT l.*, o.o_custkey, o.o_orderkey AS ok,
+          CAST(o.o_orderdate AS DATE) AS od, o.o_totalprice,
+          CAST(l.l_extendedprice AS DECIMAL(12,2)) AS ext,
+          CAST(l.l_quantity AS DECIMAL(12,2)) AS qty,
+          CAST(l.l_shipdate AS DATE) AS ship_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      carrier AS (
+        SELECT o_custkey % 150 AS id_person,
+          l_orderkey * 10 + l_linenumber AS claim_id,
+          ship_d AS first_service_date, ship_d + 2 AS last_service_date,
+          '71' AS claim_type_src, CAST(NULL AS VARCHAR) AS patient_status_code,
+          CAST(NULL AS DATE) AS admission_date,
+          CAST(NULL AS DATE) AS discharge_date,
+          CAST(NULL AS VARCHAR) AS drg_code,
+          ext AS submitted_charges,
+          CAST(ext - qty * 3 AS DECIMAL(12,2)) AS total_paid_payer,
+          CAST(qty * 2 AS DECIMAL(12,2)) AS total_paid_bene,
+          CAST(ext - qty AS DECIMAL(12,2)) AS total_cost_of_care,
+          'carrier' AS filetype
+        FROM li WHERE l_orderkey % 3 = 0 AND l_linenumber % 7 <> 0),
+      dme AS (
+        SELECT o_custkey % 150, l_orderkey * 10 + l_linenumber, ship_d,
+          ship_d, '82', NULL, NULL, NULL, NULL, ext,
+          CAST(ext - qty AS DECIMAL(12,2)), NULL,
+          CAST(ext - qty AS DECIMAL(12,2)), 'dme'
+        FROM li WHERE l_orderkey % 3 = 1),
+      inpatient AS (
+        SELECT o_custkey % 150, ok * 10, od,
+          od + CAST(ok % 6 AS INT), '60',
+          CASE WHEN ok % 23 = 0 THEN '20' ELSE '30' END,
+          od - CAST(l_linenumber % 4 AS INT), od + CAST(ok % 6 AS INT),
+          'DRG' || CAST(ok % 40 AS VARCHAR),
+          CAST(o_totalprice AS DECIMAL(12,2)),
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) - 300 AS DECIMAL(12,2)),
+          CAST(300 AS DECIMAL(12,2)),
+          CAST(o_totalprice AS DECIMAL(12,2)), 'inpatient'
+        FROM li WHERE ok % 5 = 0),
+      unioned AS (
+        SELECT DISTINCT * FROM (
+          SELECT * FROM carrier
+          UNION ALL SELECT * FROM dme
+          UNION ALL SELECT * FROM inpatient)),
+      elig AS (
+        SELECT id_person FROM
+          (SELECT DISTINCT c_custkey % 150 AS id_person FROM customer)
+        WHERE id_person % 4 <> 3),
+      hdr0 AS (
+        SELECT u.*, x.claim_type_id,
+          min(u.admission_date) OVER (PARTITION BY u.claim_id) AS adm2,
+          max(u.discharge_date) OVER (PARTITION BY u.claim_id) AS dis2
+        FROM unioned u
+        LEFT JOIN (VALUES ('71', 5), ('82', 4), ('60', 1))
+          x(claim_type_src, claim_type_id)
+          ON u.claim_type_src = x.claim_type_src
+        WHERE u.id_person IN (SELECT id_person FROM elig)),
+      hdr AS (
+        SELECT DISTINCT id_person, claim_id, first_service_date,
+          last_service_date, claim_type_src, claim_type_id,
+          patient_status_code, adm2 AS admission_date,
+          dis2 AS discharge_date, drg_code, submitted_charges,
+          total_paid_payer, total_paid_bene, total_cost_of_care, filetype,
+          CASE WHEN claim_type_src = '60' AND dis2 IS NOT NULL
+            THEN 1 ELSE 0 END AS inpatient_flag
+        FROM hdr0),
+      linesrc AS (
+        SELECT l_orderkey * 10 + l_linenumber AS claim_id, l_partkey,
+          l_linenumber
+        FROM li WHERE l_orderkey % 3 <= 1
+        UNION ALL
+        SELECT ok * 10, l_partkey, l_linenumber FROM li WHERE ok % 5 = 0),
+      lineflags AS (
+        SELECT claim_id,
+          max(CASE WHEN l_partkey % 9 = 0 THEN 1 ELSE 0 END) AS ed_pos,
+          max(CASE WHEN l_partkey % 11 IN (0, 2) THEN 1 ELSE 0 END)
+            AS ed_rev_perform,
+          max(CASE WHEN l_partkey % 11 IN (0, 1, 2) THEN 1 ELSE 0 END)
+            AS ed_rev_pophealth
+        FROM linesrc GROUP BY 1),
+      procflags AS (
+        SELECT * FROM (
+          SELECT claim_id,
+            max(CASE WHEN l_partkey % 13 IN (0, 1, 3) THEN 1 ELSE 0 END)
+              AS ed_proc_perform,
+            max(CASE WHEN l_partkey % 13 IN (0, 1, 2) THEN 1 ELSE 0 END)
+              AS ed_proc_pophealth
+          FROM linesrc GROUP BY 1)
+        WHERE ed_proc_perform = 1 OR ed_proc_pophealth = 1),
+      dx1 AS (
+        SELECT claim_id,
+          min('F' || lpad(CAST(l_partkey % 90 AS VARCHAR), 2, '0'))
+            AS primary_diagnosis
+        FROM linesrc WHERE l_linenumber = 1 GROUP BY 1),
+      final AS (
+        SELECT h.*, d.primary_diagnosis,
+          CASE WHEN h.claim_type_id = 4 AND (lf.ed_rev_perform = 1
+            OR pf.ed_proc_perform = 1 OR lf.ed_pos = 1)
+            THEN 1 ELSE 0 END AS ed_perform,
+          CASE WHEN h.claim_type_id = 5 AND ((pf.ed_proc_pophealth = 1
+            AND lf.ed_pos = 1) OR lf.ed_rev_pophealth = 1)
+            THEN 1 ELSE 0 END AS ed_yale_carrier,
+          CASE WHEN h.claim_type_id = 4 AND (lf.ed_rev_pophealth = 1
+            OR lf.ed_pos = 1 OR pf.ed_proc_pophealth = 1)
+            THEN 1 ELSE 0 END AS ed_yale_opt,
+          CASE WHEN h.claim_type_id = 1 AND (lf.ed_rev_pophealth = 1
+            OR lf.ed_pos = 1 OR pf.ed_proc_pophealth = 1)
+            THEN 1 ELSE 0 END AS ed_yale_ipt
+        FROM hdr h
+        LEFT JOIN lineflags lf ON h.claim_id = lf.claim_id
+        LEFT JOIN procflags pf ON h.claim_id = pf.claim_id
+        LEFT JOIN dx1 d ON h.claim_id = d.claim_id)
+      SELECT filetype, claim_type_id, count(*) AS n_claims,
+        count(DISTINCT id_person) AS n_persons,
+        CAST(sum(inpatient_flag) AS BIGINT) AS n_inpatient,
+        CAST(sum(ed_perform) AS BIGINT) AS n_ed_perform,
+        CAST(sum(ed_yale_carrier) AS BIGINT) AS n_yale_carrier,
+        CAST(sum(ed_yale_opt) AS BIGINT) AS n_yale_opt,
+        CAST(sum(ed_yale_ipt) AS BIGINT) AS n_yale_ipt,
+        count(primary_diagnosis) AS n_primary_dx,
+        min(admission_date) AS min_admit,
+        max(discharge_date) AS max_discharge,
+        round(CAST(sum(submitted_charges) AS DOUBLE), 2) AS submitted,
+        round(CAST(sum(total_paid_payer) AS DOUBLE), 2) AS paid_payer,
+        round(CAST(sum(total_paid_bene) AS DOUBLE), 2) AS paid_bene,
+        round(CAST(sum(total_cost_of_care) AS DOUBLE), 2) AS cost
+      FROM final GROUP BY 1, 2 ORDER BY filetype""",
+
+    // q99: generic elig_timevar_collapse — ids restriction, collapse over
+    // the chosen attribute subset (plan only), cov_time_day recompute.
+    "q99_timevar_collapse" -> """
+      WITH pm AS (
+        SELECT DISTINCT o_custkey % 50 AS id_person,
+          date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS from_date
+        FROM orders),
+      det AS (
+        SELECT id_person, from_date, last_day(from_date) AS to_date,
+          'P' || CAST((id_person +
+            (year(from_date) * 12 + month(from_date)) // 3) % 3 AS VARCHAR)
+            AS plan
+        FROM pm WHERE id_person BETWEEN 0 AND 34),
+      g0 AS (
+        SELECT *, lag(to_date) OVER (PARTITION BY id_person, plan
+          ORDER BY from_date, to_date) AS prev_to
+        FROM det),
+      g1 AS (
+        SELECT *, CASE WHEN prev_to IS NULL
+          OR date_diff('day', prev_to, from_date) > 1 THEN 1 ELSE 0 END
+          AS st
+        FROM g0),
+      g2 AS (
+        SELECT *, sum(st) OVER (PARTITION BY id_person, plan
+          ORDER BY from_date, to_date ROWS UNBOUNDED PRECEDING) AS island
+        FROM g1)
+      SELECT id_person, plan, min(from_date) AS from_date,
+        max(to_date) AS to_date,
+        CAST(date_diff('day', min(from_date), max(to_date)) + 1 AS INT)
+          AS cov_time_day
+      FROM g2 GROUP BY id_person, plan, island
+      ORDER BY id_person, from_date, plan""",
   )
 }

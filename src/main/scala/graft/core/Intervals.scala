@@ -85,6 +85,39 @@ object Intervals {
       to: String, maxGapDays: Int = 1, attrs: Seq[String] = Nil): DataFrame =
     collapse(islandIds(df, ids, from, to, maxGapDays, attrs), ids, from, to, attrs)
 
+  /** The generic elig_timevar_collapse R-API entry point
+    * (R/elig_timevar_collapse.R:58-283): the caller picks which
+    * time-varying columns survive; rows adjacent within the gap tolerance
+    * that agree on them merge into one interval; `cov_time_day` is
+    * recomputed over the merged span (the R default); an optional id list
+    * restricts the pull before any shuffle (the reference's `ids`
+    * parameter pushes the same filter into its extraction query).
+    *
+    * The R kernel's group_num/group_num2/group_num3 three-window dance is
+    * exactly the lag/flag/running-sum island labeling of [[islandIds]]
+    * partitioned by (id, chosen vars) — monotone island labels differ,
+    * groups do not. */
+  def collapseTimevar(
+      timevar: DataFrame,
+      idCol: String,
+      from: String,
+      to: String,
+      vars: Seq[String],
+      ids: Option[Seq[Any]] = None,
+      covTimeDay: Boolean = true,
+      maxGapDays: Int = 1): DataFrame = {
+    require(vars.nonEmpty, "choose at least one column to collapse over")
+    val base0 = timevar.select((idCol +: from +: to +: vars).map(col): _*)
+    val base = ids match {
+      case Some(l) => base0.filter(col(idCol).isin(l: _*))
+      case None => base0
+    }
+    val out = collapseIntervals(base, Seq(idCol), from, to, maxGapDays, vars)
+    if (covTimeDay)
+      out.withColumn("cov_time_day", datediff(col(to), col(from)) + lit(1))
+    else out
+  }
+
   /** Pre/post coverage-gap columns via lag/lead
     * (R/claims_elig.R:715-733). Adds `pre_gap`/`post_gap` day counts
     * (null -> 0 at the person's first/last interval). */

@@ -514,6 +514,152 @@ object BuildQueries {
         col("episode_id"))
   }
 
+  /** §7.5.5 composed mcare claim_header build (q98): the full
+    * load_stage.mcare_claim_header.R assembly — three drifted sources with
+    * per-source payment arithmetic + denial filters, eligibility-existence
+    * filter, broadcast claim-type crosswalk, claim-window admission/
+    * discharge + dedup (the inpatient source is line-grain with varying
+    * admission dates, so the window+distinct collapse does real work),
+    * line/procedure/diagnosis rollups, and the claim-type-gated ED flags.
+    * Line-grain claim ids are ok*10+ln (ln in 1..7); order-grain ids are
+    * ok*10 — the id spaces cannot collide. */
+  def q98McareClaimHeader(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+    val target = StructType(Seq(
+      StructField("id_person", LongType), StructField("claim_id", LongType),
+      StructField("first_service_date", DateType),
+      StructField("last_service_date", DateType),
+      StructField("claim_type_src", StringType),
+      StructField("patient_status_code", StringType),
+      StructField("admission_date", DateType),
+      StructField("discharge_date", DateType),
+      StructField("drg_code", StringType),
+      StructField("submitted_charges", DecimalType(12, 2)),
+      StructField("total_paid_payer", DecimalType(12, 2)),
+      StructField("total_paid_bene", DecimalType(12, 2)),
+      StructField("total_cost_of_care", DecimalType(12, 2))))
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    val pid = (col("o_custkey") % 150).as("id_person")
+    val carrier = li.filter(col("l_orderkey") % 3 === 0 &&
+        col("l_linenumber") % 7 =!= 0)
+      .select(pid,
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        to_date(col("l_shipdate")).as("first_service_date"),
+        date_add(to_date(col("l_shipdate")), 2).as("last_service_date"),
+        lit("71").as("claim_type_src"),
+        dec(col("l_extendedprice")).as("submitted_charges"),
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")) * 3)
+          .as("total_paid_payer"),
+        (dec(col("l_quantity")) * 2).as("total_paid_bene"),
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")))
+          .as("total_cost_of_care"))
+    val dme = li.filter(col("l_orderkey") % 3 === 1)
+      .select(pid,
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        to_date(col("l_shipdate")).as("first_service_date"),
+        to_date(col("l_shipdate")).as("last_service_date"),
+        lit("82").as("claim_type_src"),
+        dec(col("l_extendedprice")).as("submitted_charges"),
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")))
+          .as("total_paid_payer"),
+        (dec(col("l_extendedprice")) - dec(col("l_quantity")))
+          .as("total_cost_of_care"))
+    val inpatient = li.filter(col("o_orderkey") % 5 === 0)
+      .select(pid, (col("o_orderkey") * 10).as("claim_id"),
+        to_date(col("o_orderdate")).as("first_service_date"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 6).cast("int")).as("last_service_date"),
+        lit("60").as("claim_type_src"),
+        when(col("o_orderkey") % 23 === 0, "20").otherwise("30")
+          .as("patient_status_code"),
+        date_sub(to_date(col("o_orderdate")),
+          (col("l_linenumber") % 4).cast("int")).as("admission_date"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 6).cast("int")).as("discharge_date"),
+        concat(lit("DRG"), (col("o_orderkey") % 40).cast("string"))
+          .as("drg_code"),
+        dec(col("o_totalprice")).as("submitted_charges"),
+        (dec(col("o_totalprice")) - dec(lit(300))).as("total_paid_payer"),
+        dec(lit(300)).as("total_paid_bene"),
+        dec(col("o_totalprice")).as("total_cost_of_care"))
+    val elig = t(s, dir, "customer")
+      .select((col("c_custkey") % 150).as("id_person")).distinct()
+      .filter(col("id_person") % 4 =!= 3)
+    val xwalk = Seq(("71", 5), ("82", 4), ("60", 1))
+      .toDF("claim_type_src", "claim_type_id")
+    val lineGrain = li.filter(col("l_orderkey") % 3 <= 1)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        col("l_partkey"), col("l_linenumber"))
+    val orderGrain = li.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") * 10).as("claim_id"), col("l_partkey"),
+        col("l_linenumber"))
+    val lineSrc = lineGrain.unionAll(orderGrain)
+    val lines = lineSrc.select(col("claim_id"),
+      when(col("l_partkey") % 9 === 0, "23").otherwise("11").as("pos_code"),
+      when(col("l_partkey") % 11 === 0, "0450")
+        .when(col("l_partkey") % 11 === 1, "0981")
+        .when(col("l_partkey") % 11 === 2, "0456")
+        .otherwise("0300").as("rev_code"))
+    val procs = lineSrc.select(col("claim_id"),
+      when(col("l_partkey") % 13 === 0, "99281")
+        .when(col("l_partkey") % 13 === 1, "99285")
+        .when(col("l_partkey") % 13 === 2, "99291")
+        .when(col("l_partkey") % 13 === 3, "99288")
+        .otherwise("10120").as("procedure_code"))
+    val dxf = lineSrc.select(col("claim_id"),
+      when(col("l_linenumber") === 1, "01").otherwise("02")
+        .as("icdcm_number"),
+      concat(lit("F"), lpad((col("l_partkey") % 90).cast("string"), 2, "0"))
+        .as("icdcm_norm"))
+    graft.builds.McareClaimHeader.build(target,
+        Seq("carrier" -> carrier, "dme" -> dme, "inpatient" -> inpatient),
+        elig, xwalk, lines, procs, dxf)
+      .groupBy(col("filetype"), col("claim_type_id"))
+      .agg(count(lit(1)).as("n_claims"),
+        countDistinct(col("id_person")).as("n_persons"),
+        sum(col("inpatient_flag")).as("n_inpatient"),
+        sum(col("ed_perform")).as("n_ed_perform"),
+        sum(col("ed_yale_carrier")).as("n_yale_carrier"),
+        sum(col("ed_yale_opt")).as("n_yale_opt"),
+        sum(col("ed_yale_ipt")).as("n_yale_ipt"),
+        count(col("primary_diagnosis")).as("n_primary_dx"),
+        min(col("admission_date")).as("min_admit"),
+        max(col("discharge_date")).as("max_discharge"),
+        round(sum(col("submitted_charges")).cast("double"), 2)
+          .as("submitted"),
+        round(sum(col("total_paid_payer")).cast("double"), 2)
+          .as("paid_payer"),
+        round(sum(col("total_paid_bene")).cast("double"), 2).as("paid_bene"),
+        round(sum(col("total_cost_of_care")).cast("double"), 2).as("cost"))
+      .orderBy(col("filetype"))
+  }
+
+  /** R-package surface: generic elig_timevar_collapse (q99) — collapse a
+    * person-month timevar over a caller-chosen attribute subset (plan
+    * survives, zip is collapsed over), with the ids restriction and the
+    * cov_time_day recompute. Plan flips every 3 months and zip every 2,
+    * so collapsing over plan merges real multi-month runs that the
+    * full-attribute table keeps split. */
+  def q99TimevarCollapse(s: SparkSession, dir: String): DataFrame = {
+    val pm = t(s, dir, "orders").select(
+        (col("o_custkey") % 50).as("id_person"),
+        to_date(date_trunc("MONTH", col("o_orderdate"))).as("from_date"))
+      .distinct()
+    val mi = year(col("from_date")) * 12 + month(col("from_date"))
+    val det = pm.select(col("id_person"), col("from_date"),
+      last_day(col("from_date")).as("to_date"),
+      concat(lit("P"), ((col("id_person") + floor(mi / 3)) % 3)
+        .cast("string")).as("plan"),
+      concat(lit("Z"), ((col("id_person") + floor(mi / 2)) % 4)
+        .cast("string")).as("zip"))
+    Intervals.collapseTimevar(det, "id_person", "from_date", "to_date",
+        vars = Seq("plan"), ids = Some((0L to 34L).toSeq))
+      .orderBy(col("id_person"), col("from_date"), col("plan"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */

@@ -122,6 +122,39 @@ class IntervalsSpec extends SparkSpec {
     }
   }
 
+  test("collapseTimevar: vars subset merges, ids restrict, cov_time_day recomputed") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // id 1: plan constant, zip flips mid-run -> one merged interval
+      (1L, "2020-01-01", "2020-01-31", "A", "Z1"),
+      (1L, "2020-02-01", "2020-02-29", "A", "Z2"),
+      // gap > 1 day -> new island even with same plan
+      (1L, "2020-04-01", "2020-04-30", "A", "Z2"),
+      // id 2: plan change splits
+      (2L, "2020-01-01", "2020-01-31", "A", "Z1"),
+      (2L, "2020-02-01", "2020-02-29", "B", "Z1"),
+      // id 3: excluded by the ids restriction
+      (3L, "2020-01-01", "2020-01-31", "A", "Z1"))
+      .toDF("id", "f", "t", "plan", "zip")
+      .withColumn("f", to_date(col("f"))).withColumn("t", to_date(col("t")))
+    val out = Intervals.collapseTimevar(df, "id", "f", "t", Seq("plan"),
+        ids = Some(Seq(1L, 2L)))
+      .orderBy("id", "f")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("plan"),
+        r.getAs[java.sql.Date]("f").toString, r.getAs[java.sql.Date]("t").toString,
+        r.getAs[Int]("cov_time_day")))
+    assert(out.toSeq == Seq(
+      (1L, "A", "2020-01-01", "2020-02-29", 60),
+      (1L, "A", "2020-04-01", "2020-04-30", 30),
+      (2L, "A", "2020-01-01", "2020-01-31", 31),
+      (2L, "B", "2020-02-01", "2020-02-29", 29)))
+    intercept[IllegalArgumentException] {
+      Intervals.collapseTimevar(df, "id", "f", "t", Nil)
+    }
+  }
+
   test("gapDays: pre/post gaps are consistent between neighbors and 0 at edges") {
     for (seed <- 96 to 105) {
       val in = Intervals.collapseIntervals(genIntervals(seed), Seq("id"), "from", "to", 0)
