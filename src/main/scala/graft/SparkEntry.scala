@@ -178,6 +178,8 @@ object SparkEntry {
     "q97_pcr_readmit" -> (graft.queries.BuildQueries.q97PcrReadmit _),
     "q98_mcare_claim_header" -> (graft.queries.BuildQueries.q98McareClaimHeader _),
     "q99_timevar_collapse" -> (graft.queries.BuildQueries.q99TimevarCollapse _),
+    "q100_hospice_denom" -> (graft.queries.BuildQueries.q100HospiceDenom _),
+    "q101_enroll_provider" -> (graft.queries.BuildQueries.q101EnrollProvider _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
 
@@ -2904,5 +2906,124 @@ object SparkEntry {
           AS cov_time_day
       FROM g2 GROUP BY id_person, plan, island
       ORDER BY id_person, from_date, plan""",
+
+    // q100: q60's measure pipeline with the hospice member-month union
+    // subtracted from the denominator (and so from every numerator gate).
+    "q100_hospice_denom" -> """
+      WITH li AS (
+        SELECT l.*, o.o_custkey FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      hospice AS (
+        SELECT DISTINCT id_person, month FROM (
+          SELECT o_custkey AS id_person,
+            date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month
+          FROM orders
+          WHERE lpad(CAST(o_orderkey % 120 AS VARCHAR), 3, '0')
+            IN ('081', '082')
+          UNION
+          SELECT o_custkey,
+            date_trunc('month', CAST(l_shipdate AS DATE))::DATE
+          FROM li
+          WHERE lpad(CAST(l_suppkey % 200 AS VARCHAR), 4, '0')
+            IN ('0115', '0125')
+          UNION
+          SELECT o_custkey,
+            date_trunc('month', CAST(l_shipdate AS DATE) + 3)::DATE
+          FROM li
+          WHERE 'T' || CAST(l_partkey % 300 AS VARCHAR) IN ('T42', 'T43'))),
+      members AS (SELECT DISTINCT o_custkey FROM orders),
+      months AS (
+        SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+          INTERVAL 1 MONTH))::DATE AS month),
+      grid AS (SELECT o_custkey, month FROM members CROSS JOIN months),
+      facts AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month,
+          count(*) AS n_orders, max(o_totalprice) AS max_price
+        FROM orders GROUP BY 1, 2),
+      staged AS (
+        SELECT g.o_custkey, g.month,
+          coalesce(f.n_orders, 0) AS n_orders,
+          coalesce(f.max_price, 0) AS max_price,
+          CASE WHEN h.id_person IS NOT NULL THEN 1 ELSE 0 END AS excl
+        FROM grid g LEFT JOIN facts f USING (o_custkey, month)
+        LEFT JOIN hospice h
+          ON g.o_custkey = h.id_person AND g.month = h.month),
+      denom AS (
+        SELECT o_custkey, month, excl,
+          sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) OVER w AS active_m,
+          sum(CASE WHEN max_price > 150000.0 THEN 1 ELSE 0 END) OVER w AS hv
+        FROM staged
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY month
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+      per AS (
+        SELECT month,
+          CAST(sum(CASE WHEN active_m >= 2 AND excl = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_denom,
+          CAST(sum(CASE WHEN active_m >= 2 AND excl = 0 AND active_m > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+          CAST(sum(CASE WHEN active_m >= 2 AND excl = 0 AND hv > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_hv
+        FROM denom GROUP BY month)
+      SELECT measure, ym, n_denom, n_num,
+        CASE WHEN n_denom > 0
+          THEN round(n_num * 100.0 / n_denom, 2) END AS rate
+      FROM (
+        SELECT 'order_any' AS measure,
+          CAST(year(month) * 100 + month(month) AS INTEGER) AS ym,
+          n_denom, n_any AS n_num FROM per
+        UNION ALL
+        SELECT 'high_value',
+          CAST(year(month) * 100 + month(month) AS INTEGER),
+          n_denom, n_hv FROM per)
+      ORDER BY measure, ym""",
+
+    // q101: enroll-provider — (member x plan) grid, trailing-12 coverage
+    // sum, per-month tie-break pick (coverage DESC, flag DESC, plan ASC).
+    "q101_enroll_provider" -> """
+      WITH mm AS (
+        SELECT DISTINCT o_custkey % 60 AS id_person,
+          date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS month,
+          CASE WHEN o_orderkey % 4 = 0 THEN 'FFS'
+            ELSE 'MCO' || CAST((o_custkey +
+              (year(CAST(o_orderdate AS DATE)) * 12 +
+               month(CAST(o_orderdate AS DATE))) // 4) % 3 AS VARCHAR)
+          END AS mco_or_ffs
+        FROM orders),
+      mmf AS (
+        SELECT id_person, mco_or_ffs, month, 1 AS flag FROM mm
+        WHERE month BETWEEN DATE '1995-02-01' AND DATE '1996-12-01'),
+      universe AS (SELECT DISTINCT id_person, mco_or_ffs FROM mmf),
+      months AS (
+        SELECT unnest(generate_series(DATE '1995-02-01', DATE '1996-12-01',
+          INTERVAL 1 MONTH))::DATE AS month),
+      grid AS (SELECT id_person, mco_or_ffs, month
+        FROM universe CROSS JOIN months),
+      staged AS (
+        SELECT g.id_person, g.mco_or_ffs, g.month,
+          coalesce(f.flag, 0) AS flag
+        FROM grid g LEFT JOIN mmf f
+          USING (id_person, mco_or_ffs, month)),
+      cov AS (
+        SELECT *,
+          CAST(sum(flag) OVER (PARTITION BY id_person, mco_or_ffs
+            ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS coverage_months_t_12_m,
+          CAST(date_diff('month', DATE '1995-02-01', month) + 1 AS INT)
+            AS row_num
+        FROM staged),
+      tie AS (
+        SELECT *, row_number() OVER (PARTITION BY id_person, month
+          ORDER BY coverage_months_t_12_m DESC, flag DESC, mco_or_ffs)
+          AS tie_breaker
+        FROM cov)
+      SELECT CAST(year(month) * 100 + month(month) AS INTEGER)
+          AS year_month,
+        CASE WHEN month(month) IN (3, 6, 9, 12) THEN 1 ELSE 0 END
+          AS end_quarter,
+        id_person, mco_or_ffs, coverage_months_t_12_m
+      FROM tie
+      WHERE row_num >= 12 AND coverage_months_t_12_m >= 1
+        AND tie_breaker = 1 AND month >= DATE '1996-01-01'
+      ORDER BY year_month, id_person""",
   )
 }

@@ -37,11 +37,17 @@ object PerfMeasures {
     *                      columns to zero-fill — how measure feeders like
     *                      [[FuaMeasure]] land on the staging grid (the
     *                      reference persists the same into perf_staging)
+    * @param denomExclusion (o_custkey, month) member-months removed from
+    *                      the denominator regardless of activity — the
+    *                      [[HospiceMemberMonth]] hook
+    *                      (v_mcaid_perf_hospice_member_month feeding the
+    *                      measure denominators)
     */
   def run(orders: DataFrame, fromMonth: String, toMonth: String,
       rollingMonths: Int = 3, denomMinMonths: Int = 2,
       measures: Seq[MeasureDef] = defaultMeasures,
-      extraFacts: Seq[(DataFrame, Seq[String])] = Seq.empty): DataFrame = {
+      extraFacts: Seq[(DataFrame, Seq[String])] = Seq.empty,
+      denomExclusion: Option[DataFrame] = None): DataFrame = {
     val s = orders.sparkSession
     // member universe x month spine (perf_distinct_member CROSS JOIN)
     val members = orders.select(col("o_custkey")).distinct()
@@ -56,17 +62,28 @@ object PerfMeasures {
       .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
     val staged0 = grid.join(facts, Seq("o_custkey", "month"), "left")
       .na.fill(0, Seq("n_orders")).na.fill(0.0, Seq("max_price"))
-    val staged = extraFacts.foldLeft(staged0) { case (df, (ef, cols)) =>
+    val staged1 = extraFacts.foldLeft(staged0) { case (df, (ef, cols)) =>
       df.join(ef, Seq("o_custkey", "month"), "left").na.fill(0, cols)
+    }
+    // denominator exclusion months (hospice): a left join + null test, so
+    // the exclusion frame never widens the grid
+    val staged = denomExclusion match {
+      case Some(ex) => staged1.join(
+        ex.select(col("o_custkey"), col("month"), lit(1).as("_denom_excl"))
+          .distinct(),
+        Seq("o_custkey", "month"), "left")
+      case None => staged1.withColumn("_denom_excl", lit(null).cast("int"))
     }
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
       .rowsBetween(-(rollingMonths - 1), 0)
     // enroll denominator: rolling months-with-activity >= threshold
-    // (sp_mcaid_perf_enroll_denom.sql:52-71)
+    // (sp_mcaid_perf_enroll_denom.sql:52-71), minus excluded months
     val denom = staged
       .withColumn("active_months",
         sum((col("n_orders") > 0).cast("int")).over(w))
-      .withColumn("in_denom", (col("active_months") >= denomMinMonths).cast("int"))
+      .withColumn("in_denom",
+        (col("active_months") >= denomMinMonths &&
+          col("_denom_excl").isNull).cast("int"))
     // per-measure dispatch: every measure's rolling numerator rides the
     // SAME person-partitioned window pass (one WindowExec evaluating k+1
     // frames), and one month aggregation carries all measures — the

@@ -660,6 +660,56 @@ object BuildQueries {
       .orderBy(col("id_person"), col("from_date"), col("plan"))
   }
 
+  /** §2.9 hospice member-month denominator exclusion (q100): the
+    * v_mcaid_perf_hospice_member_month 3-source union (header tob, line
+    * rev, procedure code) distinct'ed to member-months, wired into the
+    * PerfMeasures enroll denominator so hospice months drop out of every
+    * measure's denominator AND numerator gate. */
+  def q100HospiceDenom(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val hdr = orders.select(col("o_custkey").as("id_person"),
+      to_date(col("o_orderdate")).as("svc_date"),
+      lpad((col("o_orderkey") % 120).cast("string"), 3, "0").as("code"))
+    val li = t(s, dir, "lineitem").join(
+      orders.select(col("o_orderkey"), col("o_custkey")),
+      col("l_orderkey") === col("o_orderkey"))
+    val line = li.select(col("o_custkey").as("id_person"),
+      to_date(col("l_shipdate")).as("svc_date"),
+      lpad((col("l_suppkey") % 200).cast("string"), 4, "0").as("code"))
+    val proc = li.select(col("o_custkey").as("id_person"),
+      date_add(to_date(col("l_shipdate")), 3).as("svc_date"),
+      concat(lit("T"), (col("l_partkey") % 300).cast("string")).as("code"))
+    val hospice = graft.builds.HospiceMemberMonth.build(hdr, line, proc,
+      hospiceTob = Seq("081", "082"), hospiceRev = Seq("0115", "0125"),
+      hospiceProc = Seq("T42", "T43"))
+    PerfMeasures.run(orders, "1996-01-01", "1996-12-01",
+        rollingMonths = 3, denomMinMonths = 2,
+        denomExclusion = Some(hospice.select(
+          col("id_person").as("o_custkey"), col("month"))))
+      .orderBy(col("measure"), col("ym"))
+  }
+
+  /** §2.9 enroll-provider plan attribution (q101): per measurement month,
+    * each member attributes to the plan (MCO or FFS) with the most
+    * trailing-12-month coverage, current-month enrollment then plan name
+    * breaking ties — sp_mcaid_perf_enroll_provider's cross-join grid +
+    * trailing window + tie-break pick. Plans flip every 4 months so
+    * attribution actually switches. */
+  def q101EnrollProvider(s: SparkSession, dir: String): DataFrame = {
+    val mon = to_date(date_trunc("MONTH", col("o_orderdate")))
+    val mi = year(mon) * 12 + month(mon)
+    val mm = t(s, dir, "orders").select(
+      (col("o_custkey") % 60).as("id_person"),
+      mon.as("month"),
+      when(col("o_orderkey") % 4 === 0, "FFS")
+        .otherwise(concat(lit("MCO"),
+          ((col("o_custkey") + floor(mi / 4)) % 3).cast("string")))
+        .as("mco_or_ffs"))
+    graft.builds.EnrollProvider.build(mm, "1996-01-01", "1996-12-01",
+        windowMonths = 12)
+      .orderBy(col("year_month"), col("id_person"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
