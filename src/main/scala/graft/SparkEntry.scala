@@ -1133,7 +1133,12 @@ object SparkEntry {
         UNION ALL
         SELECT 'lineitem', 'rowcount_monotonic', count(*) >= 1000, count(*),
           1000
-        FROM lineitem)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_vs_prior_load', 'rowcount_monotonic',
+          (SELECT count(*) FROM orders) >= count(*),
+          (SELECT count(*) FROM orders), count(*)
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) < 1998)
       ORDER BY "table", "check"""",
 
     "q60_perf_measures" -> """

@@ -143,19 +143,32 @@ object PregEpisode {
     *   - `lb_type`: 'ftb' at >= 37 weeks, 'ptb' under (:1532-1533).
     *
     * Uncorrected episodes pass through with NULL correction columns.
-    * Scale: the anchor set (6 codes) is a filtered sliver and broadcasts;
-    * the correction is then ONE pass over episodes — left-join the
-    * broadcast anchors, fold back with a (person, episode) groupBy whose
-    * max() is the closest-to-end pick. The alternative shape (aggregate a
-    * corrected frame, join it back onto episodes) references the episode
-    * lineage twice and re-runs the whole upstream placement pipeline —
-    * visible as two MapGroups in the physical plan. */
+    * Scale: the anchor set (6 rare codes) is a filtered sliver and
+    * normally broadcasts; the correction is then ONE pass over episodes —
+    * left-join the broadcast anchors, fold back with a (person, episode)
+    * groupBy whose max() is the closest-to-end pick. The broadcast is
+    * ADAPTIVE (same pattern as Dedup.contamination): a bounded
+    * `limit(n+1).count()` probes the sliver size and falls back to a
+    * plain shuffle join when it exceeds `maxBroadcastAnchors` — at true
+    * statewide scale nothing assumes the anchor frame fits one executor.
+    * Both paths share the identical join+groupBy lineage, so results
+    * cannot diverge at the switch boundary. The alternative shape
+    * (aggregate a corrected frame, join it back onto episodes) references
+    * the episode lineage twice and re-runs the whole upstream placement
+    * pipeline — visible as two MapGroups in the physical plan. */
   def gaCorrection(episodes: DataFrame, procedures: DataFrame,
-      anchorCodes: Seq[String], offsetDays: Int = 13): DataFrame = {
+      anchorCodes: Seq[String], offsetDays: Int = 13,
+      maxBroadcastAnchors: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.functions._
-    val proc = procedures
+    val procBase = procedures
       .filter(col("procedure_code").isin(anchorCodes: _*))
       .select(col("id_person"), col("procedure_date"))
+    // bounded size probe: limit(n+1) caps the scan, never a full count
+    // (clamp before +1 so Long.MaxValue callers can force the broadcast)
+    val probeCap = math.min(maxBroadcastAnchors, Int.MaxValue - 2L) + 1
+    val small =
+      procBase.limit(probeCap.toInt).count() <= maxBroadcastAnchors
+    val proc = if (small) broadcast(procBase) else procBase
     val hit = when(col("procedure_date")
         .between(col("preg_start_date"), col("preg_end_date")),
       date_add(col("procedure_date"), -offsetDays))
@@ -167,7 +180,7 @@ object PregEpisode {
       datediff(col("preg_end_date"), col("preg_start_date_correct")) + 1
     val gaWeeks = round(gaDays * lit(1.0) / 7, 1).cast("decimal(4,1)")
     episodes
-      .join(broadcast(proc), Seq("id_person"), "left")
+      .join(proc, Seq("id_person"), "left")
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("ga_days", gaDays)

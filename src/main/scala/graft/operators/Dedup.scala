@@ -247,8 +247,12 @@ object Dedup {
       maxBroadcastProbes: Long = 10000, maxBucket: Int = 100000): DataFrame = {
     val c = corpus.select(col(cid).as("doc_id"),
       shingles(col(ctext), shingleN).as("_cs"))
+    // persisted: the probe-shingling lineage feeds BOTH the plan-switch
+    // count and the join; without the cache the size probe re-shingles the
+    // whole probe set once per call (Spark evicts LRU if memory is tight)
     val p = probes.select(col(pid).as("probe_id"),
       shingles(col(ptext), shingleN).as("_ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Identical containment expression on both paths: results match the
     // DuckDB oracle regardless of which plan the probe count selects. The
     // filter runs on the UNROUNDED ratio (rounding is display-only): a
@@ -266,8 +270,11 @@ object Dedup {
         .select(col("probe_id"), col("doc_id"),
           round(ratio, 4).as("containment"))
     }
+    // clamp BEFORE the +1: maxBroadcastProbes = Long.MaxValue (force the
+    // broadcast plan) must not overflow into a negative limit()
     val nProbes =
-      p.limit(math.min(maxBroadcastProbes + 1, Int.MaxValue).toInt).count()
+      p.limit((math.min(maxBroadcastProbes, Int.MaxValue - 2L) + 1).toInt)
+        .count()
     if (nProbes <= maxBroadcastProbes) {
       scored(c.crossJoin(broadcast(p)))
     } else {

@@ -45,6 +45,35 @@ object Qa {
     QaCheck(table, "rowcount_monotonic", n >= prior, n, prior)
   }
 
+  /** Build-to-build monotonicity gate — the pipeline-runner hook
+    * (master_mcaid_analytic.R runs qa_stage between loads and logs to
+    * metadata.qa_mcaid): compares this load's row count against the LAST
+    * recorded count for `table` in a persistent parquet log, then appends
+    * this load's row so the next load compares against it. The log row
+    * carries a deterministic load_seq (max prior + 1), not a wall-clock
+    * stamp. First load (no log yet) gates against 0 and passes.
+    *
+    * The log is tiny (one row per table per load) — the limit(1) head is
+    * a metadata read, not a data collect. */
+  def loadGate(df: DataFrame, table: String, metaPath: String): QaCheck = {
+    val s = df.sparkSession
+    val last = (try {
+      s.read.parquet(metaPath).filter(col("table") === table)
+        .select(col("load_seq"), col("observed"))
+        .orderBy(col("load_seq").desc).limit(1).collect().headOption
+    } catch { case _: org.apache.spark.sql.AnalysisException => None })
+    val (prior, seq) = last match {
+      case Some(r) => (r.getLong(1), r.getLong(0) + 1)
+      case None => (0L, 1L)
+    }
+    val chk = rowCountAtLeast(df, table, prior)
+    import s.implicits._
+    Seq((chk.table, chk.check, chk.pass, chk.observed, chk.expected, seq))
+      .toDF("table", "check", "pass", "observed", "expected", "load_seq")
+      .write.mode("append").parquet(metaPath)
+    chk
+  }
+
   /** Domain invariant: zero rows violating a predicate
     * (qa_stage.apcd_elig_timevar res7-res11 shape). */
   def noneViolate(df: DataFrame, table: String, check: String,

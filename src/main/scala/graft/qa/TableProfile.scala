@@ -39,12 +39,17 @@ object TableProfile {
     * rest. Listable columns still apply the EXACT size check on output, so
     * the sketch can never flip which branch a boundary column reports. */
   def valueList(df: DataFrame, tableName: String, columns: Seq[String],
-      maxValues: Int = 1000): DataFrame = {
+      maxValues: Int = 1000, rsd: Double = 0.05): DataFrame = {
     require(columns.nonEmpty, "at least one column to list")
-    val approxAggs = columns.map(c => approx_count_distinct(col(c)).as(c))
+    val approxAggs = columns.map(c => approx_count_distinct(col(c), rsd).as(c))
     val approxRow = df.agg(approxAggs.head, approxAggs.tail: _*).collect().head
+    // classification slack derived from the sketch's configured relative
+    // stddev: 10 sigma of headroom makes a sketch overshooting a truly
+    // under-cap column past the slack band implausible at any maxValues,
+    // instead of the previous uncalibrated flat 20%
+    val slack = 1.0 + 10.0 * rsd
     val listable = columns.zipWithIndex
-      .filter { case (_, i) => approxRow.getLong(i) <= maxValues * 1.2 }
+      .filter { case (_, i) => approxRow.getLong(i) <= maxValues * slack }
       .map(_._1).toSet
     val aggs = columns.map { c =>
       if (listable(c)) sort_array(collect_set(col(c).cast("string"))).as(s"_v_$c")

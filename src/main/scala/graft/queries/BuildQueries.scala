@@ -36,7 +36,12 @@ object BuildQueries {
       Seq(
         Qa.refIntegrity(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
         Qa.refIntegrity(orders, "o_custkey", customer, "c_custkey", "orders"),
-        Qa.refIntegrity(customer, "c_nationkey", nation, "n_nationkey", "customer")))
+        Qa.refIntegrity(customer, "c_nationkey", nation, "n_nationkey", "customer"),
+        // prior-load comparison (the loadGate shape, deterministic here:
+        // the "prior load" is the pre-1998 archive slice of orders, the
+        // "current load" the full table — current must not shrink)
+        Qa.rowCountAtLeast(orders, "orders_vs_prior_load",
+          orders.filter(year(to_date(col("o_orderdate"))) < 1998).count())))
       .orderBy(col("table"), col("check"))
   }
 

@@ -29,13 +29,26 @@ object LifecycleQueries {
     val prefix = s"graft_${kind}_${sys.props("user.name")}_"
     val cur = s"$prefix${s.sparkContext.applicationId}"
     val staleBefore = System.currentTimeMillis() - 6L * 60 * 60 * 1000
+    // a sibling is live if EITHER its root mtime or its fallback
+    // heartbeat file is fresh (see below: some filesystems ignore
+    // setLastModified on directories)
+    def liveStamp(f: java.io.File): Long = math.max(f.lastModified(),
+      new java.io.File(f, ".heartbeat").lastModified())
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.getName != cur &&
-        f.lastModified() < staleBefore)
+        liveStamp(f) < staleBefore)
       .foreach(deleteRecursively)
     val root = new java.io.File(tmp, cur)
     root.mkdirs()
-    root.setLastModified(System.currentTimeMillis()) // liveness heartbeat
+    // liveness heartbeat: setLastModified silently returns false on some
+    // filesystems — fall back to touching a heartbeat file inside the
+    // root (ordinary file writes update mtime everywhere), so a live
+    // session is never swept as stale by a concurrent one
+    if (!root.setLastModified(System.currentTimeMillis())) {
+      val hb = new java.io.File(root, ".heartbeat")
+      java.nio.file.Files.write(hb.toPath, Array.emptyByteArray)
+      root.setLastModified(System.currentTimeMillis())
+    }
     hooked.synchronized {
       if (hooked.add(root.getPath))
         sys.addShutdownHook(deleteRecursively(root))

@@ -133,7 +133,14 @@ object TableConfig {
         } else if (curYear.isDefined) {
           line.split(":", 2) match {
             case Array(k, v) => k.trim match {
-              case yearVarsRe(_) => inYearVars = true; yearVarsIndent = indent
+              // the vars_YYYY digits must match the enclosing table_YYYY
+              // section — a misplaced vars_2015 under table_2014 would
+              // otherwise be silently attributed to 2014
+              case yearVarsRe(y) if y.toInt == curYear.get =>
+                inYearVars = true; yearVarsIndent = indent
+              case yearVarsRe(y) =>
+                throw new IllegalArgumentException(
+                  s"vars_$y found inside table_${curYear.get} section")
               case _ if inYearVars && indent > yearVarsIndent =>
                 years(curYear.get) += ((k.trim, v.trim))
               case _ => inYearVars = false // other per-year metadata

@@ -103,6 +103,8 @@ class PlanSpec extends SparkSpec {
       "q19_suppress",
       "q60_perf_measures", // month-spine cross for the rolling denominator
       "q87_fua_measure",   // same PerfMeasures month-spine cross as q60
+      "q100_hospice_denom", // same PerfMeasures month-spine cross as q60
+      "q101_enroll_provider", // (member x plan) x broadcast month spine
       "q09_join_theta_prefix", // LIKE-prefix theta: non-equi by nature,
                                // broadcast dim side is the designed plan
       "q15_topn",        // windowless rank: n x n broadcast self-join,

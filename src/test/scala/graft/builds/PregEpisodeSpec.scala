@@ -129,6 +129,44 @@ class PregEpisodeSpec extends SparkSpec {
       (2L, 1, null, null, -1, -1, null)))
   }
 
+  test("ga correction: shuffle-join fallback path equals the broadcast path") {
+    val s = spark
+    import s.implicits._
+    val episodes = Seq(
+      (1L, "lb", 1, d("2019-03-06"), d("2020-01-01"),
+        d("2019-03-06"), d("2019-07-31")),
+      (2L, "lb", 1, d("2019-01-01"), d("2019-10-01"),
+        d("2019-01-01"), d("2019-04-30"))
+    ).toDF("id_person", "preg_endpoint", "preg_episode_seq",
+      "preg_start_date", "preg_end_date",
+      "preg_start_date_max", "preg_start_date_min")
+    val procs = Seq(
+      (1L, d("2019-03-20"), "58321"),
+      (1L, d("2019-04-01"), "S4035"),
+      (2L, d("2020-05-05"), "58321")
+    ).toDF("id_person", "procedure_date", "procedure_code")
+    val codes = Seq("58321", "58322", "S4035", "58974", "58976", "S4037")
+    def rows(maxBroadcastAnchors: Long) =
+      PregEpisode.gaCorrection(episodes, procs, codes,
+          maxBroadcastAnchors = maxBroadcastAnchors)
+        .orderBy("id_person", "preg_episode_seq")
+        .collect().map(_.toString).toSeq
+    // threshold 0 forces the non-broadcast plan; Long.MaxValue exercises
+    // the probe-cap clamp and forces the broadcast plan
+    assert(rows(0L) === rows(Long.MaxValue))
+    // with auto-broadcast off, only the explicit hint can broadcast: the
+    // fallback path must plan a shuffle join, the hinted path a BHJ
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      def plan(th: Long) = PregEpisode.gaCorrection(episodes, procs, codes,
+        maxBroadcastAnchors = th).queryExecution.executedPlan.toString
+      assert(!plan(0L).contains("BroadcastHashJoin"))
+      assert(plan(Long.MaxValue).contains("BroadcastHashJoin"))
+    } finally s.conf.set(key, prev)
+  }
+
   test("duplicate endpoint rows collapse; empty input yields empty output") {
     val s = spark
     import s.implicits._
