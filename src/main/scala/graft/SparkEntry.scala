@@ -179,6 +179,7 @@ object SparkEntry {
     "q98_mcare_claim_header" -> (graft.queries.BuildQueries.q98McareClaimHeader _),
     "q99_timevar_collapse" -> (graft.queries.BuildQueries.q99TimevarCollapse _),
     "q100_hospice_denom" -> (graft.queries.BuildQueries.q100HospiceDenom _),
+    "q102_fum_measure" -> (graft.queries.BuildQueries.q102FumMeasure _),
     "q101_enroll_provider" -> (graft.queries.BuildQueries.q101EnrollProvider _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
@@ -3030,5 +3031,116 @@ object SparkEntry {
       WHERE row_num >= 12 AND coverage_months_t_12_m >= 1
         AND tie_breaker = 1 AND month >= DATE '1996-01-01'
       ORDER BY year_month, id_person""",
+
+    // q102: FUM — FUA index-visit algebra, the WHILE-loop 31-day greedy
+    // ED dedup as a recursive CTE (kept iff >= 31 days after last KEPT
+    // start), day-0-inclusive inpatient flag, MHD-intersected follow-ups.
+    "q102_fum_measure" -> """
+      WITH RECURSIVE orders_d AS (
+        SELECT o_custkey % 110 AS id_person, o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS svc_date, o_orderkey AS ok
+        FROM orders),
+      dx AS (
+        SELECT id_person, claim_id, svc_date FROM orders_d
+        WHERE ok % 5 = 0
+          AND svc_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      ed AS (
+        SELECT id_person, claim_id, svc_date FROM orders_d
+        WHERE ok % 2 = 0
+          AND svc_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        UNION
+        SELECT id_person, claim_id, svc_date FROM orders_d
+        WHERE ok % 3 = 0
+          AND svc_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      idx0 AS (
+        SELECT * FROM (SELECT * FROM dx INTERSECT SELECT * FROM ed)),
+      demo AS (
+        SELECT id_person,
+          DATE '1935-01-01' + CAST((id_person * 73) % 16000 AS INT) AS dob
+        FROM (SELECT DISTINCT o_custkey % 110 AS id_person FROM orders)),
+      idx1 AS (
+        SELECT i.id_person, i.claim_id,
+          CAST((year(i.svc_date) - year(d.dob)) -
+            CASE WHEN d.dob + to_years(CAST(year(i.svc_date) -
+              year(d.dob) AS INT)) > i.svc_date THEN 1 ELSE 0 END
+            AS INT) AS age,
+          i.svc_date AS fsd,
+          i.svc_date + CAST(i.claim_id % 3 AS INT) AS lsd
+        FROM idx0 i JOIN demo d ON i.id_person = d.id_person),
+      v0 AS MATERIALIZED (
+        SELECT *, row_number() OVER (PARTITION BY id_person
+          ORDER BY fsd, lsd, claim_id) AS rk
+        FROM idx1 WHERE age >= 6),
+      vrec AS (
+        SELECT id_person, claim_id, age, fsd, lsd, rk,
+          fsd AS last_kept, 0 AS dropped
+        FROM v0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id_person, b.claim_id, b.age, b.fsd, b.lsd, b.rk,
+          CASE WHEN date_diff('day', a.last_kept, b.fsd) < 31
+            THEN a.last_kept ELSE b.fsd END,
+          CASE WHEN date_diff('day', a.last_kept, b.fsd) < 31
+            THEN 1 ELSE 0 END
+        FROM vrec a JOIN v0 b
+          ON b.id_person = a.id_person AND b.rk = a.rk + 1),
+      ip AS (
+        SELECT id_person, svc_date AS i_fsd FROM orders_d
+        WHERE ok % 7 = 0
+          AND svc_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      flagged AS (
+        SELECT v.id_person, v.claim_id, v.age, v.fsd, v.lsd,
+          v.dropped AS ed_within_30_day,
+          max(CASE WHEN i.i_fsd IS NOT NULL THEN 1 ELSE 0 END)
+            AS inpatient_within_30_day
+        FROM vrec v LEFT JOIN ip i ON v.id_person = i.id_person
+          AND i.i_fsd BETWEEN v.lsd AND v.lsd + 30
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      li AS (
+        SELECT o.id_person,
+          l.l_orderkey * 10 + l.l_linenumber AS claim_id,
+          CAST(l.l_shipdate AS DATE) AS service_date,
+          l.l_returnflag, l.l_quantity, l.l_linenumber, l.l_partkey
+        FROM lineitem l JOIN orders_d o ON l.l_orderkey = o.claim_id),
+      mhd AS (
+        SELECT id_person, claim_id, service_date FROM li
+        WHERE l_partkey % 3 = 0),
+      fuw AS (
+        SELECT DISTINCT id_person, service_date FROM (
+          (SELECT id_person, claim_id, service_date FROM li
+           WHERE l_returnflag = 'R'
+           INTERSECT SELECT * FROM mhd)
+          UNION
+          ((SELECT id_person, claim_id, service_date FROM li
+            WHERE l_quantity >= 40
+            INTERSECT
+            SELECT id_person, claim_id, service_date FROM li
+            WHERE l_linenumber % 2 = 0)
+           INTERSECT SELECT * FROM mhd))
+        WHERE service_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+      surv AS (
+        SELECT * FROM flagged
+        WHERE ed_within_30_day = 0 AND inpatient_within_30_day = 0),
+      j7 AS (
+        SELECT s.*, max(CASE WHEN f.service_date IS NOT NULL
+          THEN 1 ELSE 0 END) AS follow_up_7_day
+        FROM surv s LEFT JOIN fuw f ON s.id_person = f.id_person
+          AND f.service_date BETWEEN s.lsd AND s.lsd + 7
+        GROUP BY ALL),
+      j30 AS (
+        SELECT s.*, max(CASE WHEN f.service_date IS NOT NULL
+          THEN 1 ELSE 0 END) AS follow_up_30_day
+        FROM j7 s LEFT JOIN fuw f ON s.id_person = f.id_person
+          AND f.service_date BETWEEN s.lsd AND s.lsd + 30
+        GROUP BY ALL)
+      SELECT
+        CAST(year(fsd) * 100 + month(fsd) AS INTEGER) AS ym,
+        id_person, age, claim_id,
+        fsd AS first_service_date, lsd AS last_service_date,
+        1 AS ed_index_visit, ed_within_30_day, inpatient_within_30_day,
+        CASE WHEN day(lsd) = 1 AND month(lsd) IN (1, 3, 5, 7, 8, 10, 12)
+          THEN 1 ELSE 0 END AS need_1_month_coverage,
+        follow_up_7_day, follow_up_30_day
+      FROM j30
+      ORDER BY id_person, claim_id""",
   )
 }

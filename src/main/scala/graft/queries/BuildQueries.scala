@@ -715,6 +715,57 @@ object BuildQueries {
       .orderBy(col("year_month"), col("id_person"))
   }
 
+  /** §2.9 FUM follow-up-after-ED measure (q102): the FUA index-visit set
+    * algebra feeding the WHILE-loop 31-day greedy ED dedup (one
+    * flatMapGroups pass), the day-0-inclusive inpatient exclusion flag,
+    * and MHD-intersected follow-up visits over [last, last+7/30] — the
+    * sp_perf_fum_join_step chain end-to-end. */
+  def q102FumMeasure(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("svc_date", to_date(col("o_orderdate")))
+    val pid = (col("o_custkey") % 110).as("id_person")
+    def oc(m: Int) = orders.filter(col("o_orderkey") % m === 0)
+      .select(pid, col("o_orderkey").as("claim_id"), col("svc_date"))
+    val demo = orders.select((col("o_custkey") % 110).as("id_person"))
+      .distinct()
+      .withColumn("dob", date_add(to_date(lit("1935-01-01")),
+        ((col("id_person") * 73) % 16000).cast("int")))
+    val idx = graft.builds.FuaMeasure.indexVisits(oc(5), oc(2), oc(3),
+      demo, "1996-01-01", "1996-12-31", minAge = 6)
+    val visits = idx.select(col("id_person"), col("claim_id"), col("age"),
+      col("svc_date").as("first_service_date"),
+      date_add(col("svc_date"), (col("claim_id") % 3).cast("int"))
+        .as("last_service_date"))
+    val inpatient = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(pid, col("svc_date").as("first_service_date"))
+      .filter(col("first_service_date").between(
+        to_date(lit("1996-01-01")), to_date(lit("1996-12-31"))))
+    val flagged = graft.builds.FumMeasure.withInpatientFlag(
+      graft.builds.FumMeasure.greedyEdDedup(visits), inpatient)
+    val li = t(s, dir, "lineitem")
+      .join(orders.select(col("o_orderkey"), pid),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("id_person"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_id"),
+        to_date(col("l_shipdate")).as("service_date"),
+        col("l_returnflag"), col("l_quantity"), col("l_linenumber"),
+        col("l_partkey"))
+    def vsel(c: org.apache.spark.sql.Column) = li.filter(c)
+      .select(col("id_person"), col("claim_id"), col("service_date"))
+    val conds = Seq(vsel(col("l_returnflag") === "R"),
+      vsel(col("l_quantity") >= 40).intersect(vsel(col("l_linenumber") % 2 === 0)))
+    val fu = graft.builds.FumMeasure.followUpVisits(conds,
+      vsel(col("l_partkey") % 3 === 0))
+    graft.builds.FumMeasure.joinStep(
+        flagged.withColumn("flag", lit(1)), fu, "1996-01-01", "1996-12-31")
+      .select(col("ym"), col("id_person"), col("age"), col("claim_id"),
+        col("first_service_date"), col("last_service_date"),
+        col("ed_index_visit"), col("ed_within_30_day"),
+        col("inpatient_within_30_day"), col("need_1_month_coverage"),
+        col("follow_up_7_day"), col("follow_up_30_day"))
+      .orderBy(col("id_person"), col("claim_id"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
