@@ -71,6 +71,70 @@ object FuhMeasure {
         col("discharge_date"), col("acuity"), lit(1).as("flag"))
   }
 
+  /** Single-scan membership flags — the 100-TB shape of the index-stay /
+    * readmit algebra. The reference's input IS one value-set membership
+    * table (stage.mcaid_claim_value_set); expressing each value set as a
+    * filtered view makes the distinct-set algebra re-scan that table six
+    * times. Because every set is a projection of the same (person, claim)
+    * key space, INTERSECT ≡ AND, EXCEPT ≡ AND NOT over per-claim MAX
+    * flags — ONE scan + one partial-aggregated shuffle for the whole
+    * algebra. [[FuhMeasureSpec]] pins equality against the set-op path.
+    *
+    * @param valueSets (id_person, claim_id, value_set_name, code_set,
+    *                  primary_dx_only) membership rows
+    * @return one row per (id_person, claim_id) with mi/mhd/inp/na flags
+    */
+  def membershipFlags(valueSets: DataFrame): DataFrame = {
+    def m(c: org.apache.spark.sql.Column) = max(when(c, 1).otherwise(0))
+    valueSets.groupBy(col("id_person"), col("claim_id")).agg(
+      m(col("value_set_name") === "Mental Illness" &&
+        col("code_set") === "ICD10CM" && col("primary_dx_only") === "Y")
+        .as("mi"),
+      m(col("value_set_name") === "Mental Health Diagnosis" &&
+        col("code_set") === "ICD10CM" && col("primary_dx_only") === "Y")
+        .as("mhd"),
+      m(col("value_set_name") === "Inpatient Stay" &&
+        col("code_set") === "UBREV").as("inp"),
+      m(col("value_set_name") === "Nonacute Inpatient Stay" &&
+        col("code_set").isin("UBREV", "UBTOB")).as("na"))
+  }
+
+  /** [[indexStays]] from one [[membershipFlags]] pass: MI/MHD acute =
+    * dx AND inp AND NOT na. */
+  def indexStaysOneScan(flags: DataFrame, demo: DataFrame,
+      header: DataFrame): DataFrame = {
+    val acute = col("inp") === 1 && col("na") === 0
+    def one(dxFlag: String, name: String) =
+      flags.filter(col(dxFlag) === 1 && acute)
+        .select(col("id_person"), col("claim_id"))
+        .join(demo.select(col("id_person"), col("dob")), Seq("id_person"))
+        .join(header, Seq("claim_id"))
+        .select(lit(name).as("value_set_name"), col("id_person"),
+          FuaMeasure.ageAt(col("dob"),
+            coalesce(col("discharge_date"), col("last_service_date")))
+            .as("age"),
+          col("claim_id"), col("admit_date"), col("discharge_date"),
+          lit(1).as("flag"))
+    one("mi", "Mental Illness")
+      .unionAll(one("mhd", "Mental Health Diagnosis"))
+  }
+
+  /** [[readmitStays]] from the same flags pass: nonacute = inp AND na;
+    * acute non-MH = inp AND NOT na AND NOT mhd. */
+  def readmitStaysOneScan(flags: DataFrame, header: DataFrame): DataFrame = {
+    val tagged = flags
+      .withColumn("acuity",
+        when(col("inp") === 1 && col("na") === 1, "Nonacute")
+          .when(col("inp") === 1 && col("na") === 0 && col("mhd") === 0,
+            "Acute"))
+      .filter(col("acuity").isNotNull)
+    tagged
+      .join(header.select(col("claim_id"), col("admit_date"),
+        col("discharge_date")), Seq("claim_id"))
+      .select(col("id_person"), col("claim_id"), col("admit_date"),
+        col("discharge_date"), col("acuity"), lit(1).as("flag"))
+  }
+
   /** Qualifying follow-up visits (v_perf_fuh_follow_up_visit.sql): the
     * UNION of condition frames, each (id_person, claim_id, service_date);
     * frames in `thirtyDayOnly` (TCM 14 Day) only satisfy the 30-day
