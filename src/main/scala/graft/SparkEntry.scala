@@ -180,6 +180,8 @@ object SparkEntry {
     "q99_timevar_collapse" -> (graft.queries.BuildQueries.q99TimevarCollapse _),
     "q100_hospice_denom" -> (graft.queries.BuildQueries.q100HospiceDenom _),
     "q102_fum_measure" -> (graft.queries.BuildQueries.q102FumMeasure _),
+    "q103_repetition_profile" -> (T.q103RepetitionProfile _),
+    "q104_semdedup" -> (V.q104SemDedup _),
     "q101_enroll_provider" -> (graft.queries.BuildQueries.q101EnrollProvider _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
@@ -3142,5 +3144,83 @@ object SparkEntry {
         follow_up_7_day, follow_up_30_day
       FROM j30
       ORDER BY id_person, claim_id""",
+
+    // q103: Gopher-style repetition signals — dup-word fraction, top word
+    // and top word-bigram char-coverage with (count desc, token asc)
+    // tie-breaks; bigram chars counted without the joining space.
+    "q103_repetition_profile" -> """
+      WITH words AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+          FROM documents)
+        WHERE length(w) > 0),
+      wc AS (
+        SELECT doc_id, w, count(*) AS n FROM words GROUP BY 1, 2),
+      perdoc AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+          count(*) AS n_distinct_words,
+          CAST(sum(n * length(w)) AS BIGINT) AS chars_words
+        FROM wc GROUP BY 1),
+      topw AS (
+        SELECT doc_id, w, n FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY n DESC, w) AS rn
+          FROM wc)
+        WHERE rn = 1),
+      bgc AS (
+        SELECT doc_id, bg, count(*) AS n FROM (
+          SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+          FROM (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(text, '\s+'),
+                x -> length(x) > 0) AS ws
+            FROM documents),
+          LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i))
+        GROUP BY 1, 2),
+      topbg AS (
+        SELECT doc_id, bg, n FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY n DESC, bg) AS rn
+          FROM bgc)
+        WHERE rn = 1)
+      SELECT p.doc_id, p.n_words, p.n_distinct_words,
+        round((p.n_words - p.n_distinct_words) * 1.0 / p.n_words, 4)
+          AS dup_word_frac,
+        t.w AS top_word,
+        round(t.n * length(t.w) * 1.0 / p.chars_words, 4) AS top_word_frac,
+        b.bg AS top_bigram,
+        round(b.n * (length(b.bg) - 1) * 1.0 / p.chars_words, 4)
+          AS top_bigram_frac
+      FROM perdoc p
+      LEFT JOIN topw t ON p.doc_id = t.doc_id
+      LEFT JOIN topbg b ON p.doc_id = b.doc_id
+      ORDER BY p.doc_id""",
+
+    // q104: SemDeDup under fixed centroids — deterministic assignment
+    // (max cosine, tie -> higher cell, same as q42b), within-cell pairs,
+    // prune when a smaller-id same-cell doc reaches the threshold.
+    "q104_semdedup" -> """
+      WITH cen AS (
+        SELECT j AS cell,
+          list(CAST(((j*29 + d*11) % 15) - 7 AS DOUBLE) ORDER BY d) AS cv
+        FROM generate_series(0, 7) t(j), generate_series(0, 63) s(d)
+        GROUP BY j),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                DESC, c.cell DESC) AS rn
+          FROM embeddings e CROSS JOIN cen c) WHERE rn = 1),
+      pruned AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b ON a.cell = b.cell
+          AND b.vec_id < a.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.30)
+      SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+        CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS pruned
+      FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+      ORDER BY a.vec_id""",
   )
 }

@@ -97,6 +97,45 @@ object Similarity {
     assignToNearest(
       corpus.select(col(id).as("_id"), col(vec).as("_v")), centroids)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means cells partition the corpus and only WITHIN-CELL pairs are
+    * compared — the pair space is the sum of squared cell sizes, never
+    * corpus². A document is pruned when some same-cell document with a
+    * SMALLER id reaches `threshold` cosine — the deterministic
+    * keep-lowest-id variant of the paper's one-representative-per-group
+    * rule (the paper keeps the member farthest from the centroid; any
+    * single-representative pick satisfies the dedup guarantee, and this
+    * one needs no extra centroid pass and reproduces bit-identically in
+    * the oracle). Under precomputed centroids the operator is fully
+    * deterministic (q104).
+    *
+    * Scale: one assignment pass (constant-size centroid literal), one
+    * self-join shuffled on the cell id; `maxCell` skips comparison inside
+    * degenerate oversized cells (those docs stay kept), the same
+    * boilerplate-skew guard as Dedup's LSH buckets.
+    *
+    * @return one row per corpus doc: (id, cell, pruned 0/1) */
+  def semDedup(corpus: DataFrame, id: String, vec: String,
+      centroids: Array[(Int, Seq[Float])], threshold: Double,
+      maxCell: Int = 100000): DataFrame = {
+    val a = assignCells(corpus, id, vec, centroids)
+    val capped = a
+      .withColumn("_cn", count(lit(1)).over(Window.partitionBy(col("_cell"))))
+      .filter(col("_cn") <= maxCell).drop("_cn")
+    val l = capped.select(col("_cell"), col("_id").as("a_id"),
+      col("_v").as("a_v"))
+    val r = capped.select(col("_cell"), col("_id").as("b_id"),
+      col("_v").as("b_v"))
+    val pruned = l.join(r, Seq("_cell"))
+      .filter(col("b_id") < col("a_id"))
+      .filter(VectorFns.cosineSim(col("a_v"), col("b_v")) >= threshold)
+      .select(col("a_id").as("_id")).distinct()
+      .withColumn("_pruned", lit(1))
+    a.join(pruned, Seq("_id"), "left")
+      .select(col("_id").as(id), col("_cell").as("cell"),
+        coalesce(col("_pruned"), lit(0)).as("pruned"))
+  }
+
   /** IVF query: probe the nProbe nearest cells per query, exact cosine
     * within probed cells only. */
   def ivfTopK(queries: DataFrame, qid: String, qvec: String,

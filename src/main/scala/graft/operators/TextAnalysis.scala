@@ -96,6 +96,57 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetitious
+    * text" filters, as reimplemented by the public Dolma/RedPajama
+    * pipelines), at word grain:
+    *
+    *  - `dup_word_frac`: occurrences beyond the first of any repeated
+    *    token, over all tokens — (n_words - n_distinct) / n_words;
+    *  - `top_word` / `top_word_frac`: the most frequent token (count
+    *    desc, token asc tie-break) and the fraction of non-space
+    *    characters its occurrences cover;
+    *  - `top_bigram` / `top_bigram_frac`: same for the most frequent
+    *    word 2-gram (bigram chars counted without the joining space).
+    *
+    * Shape: one explode per grain keyed by doc id; per-doc histograms are
+    * bounded by document length and partial-aggregate on (doc, token), so
+    * the two shuffles stay proportional to distinct tokens, not corpus
+    * size. The top-k pick is min(struct(-n, token)) — an aggregate, not a
+    * window, so no per-doc sort. */
+  def repetitionProfile(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(id).as("doc_id"), explode(split(col(text), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wc = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = wc.groupBy(col("doc_id")).agg(
+      sum(col("n")).as("n_words"),
+      count(lit(1)).as("n_distinct_words"),
+      sum(col("n") * length(col("w"))).as("chars_words"),
+      min(struct((-col("n")).as("negn"), col("w").as("w"))).as("_top"))
+    val bg = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("n")).as("negn"), col("bg").as("bg"))).as("_topbg"))
+    perDoc.join(bg, Seq("doc_id"), "left").select(
+      col("doc_id"), col("n_words"), col("n_distinct_words"),
+      round((col("n_words") - col("n_distinct_words")) * lit(1.0) /
+        col("n_words"), 4).as("dup_word_frac"),
+      col("_top.w").as("top_word"),
+      round((-col("_top.negn")) * length(col("_top.w")) * lit(1.0) /
+        col("chars_words"), 4).as("top_word_frac"),
+      col("_topbg.bg").as("top_bigram"),
+      round((-col("_topbg.negn")) * (length(col("_topbg.bg")) - 1) * lit(1.0) /
+        col("chars_words"), 4).as("top_bigram_frac"))
+  }
+
   /** Per-document profile frame (doc_id + all signals). */
   def profile(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val t = col(text)

@@ -55,6 +55,15 @@ object TextQueries {
         countDistinct(col("fp")).as("n_distinct_fp"))
       .orderBy(col("source"))
 
+  /** Gopher-style repetition profile (q103): per-doc duplicate-word
+    * fraction plus top word / word-bigram character-coverage fractions
+    * with deterministic (count desc, token asc) tie-breaks — the
+    * "repetitious text" quality-filter family. Full per-doc output so the
+    * oracle hash pins every doc's signals. */
+  def q103RepetitionProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   /** MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard.
     * Oracled by exact all-pairs SQL (candidate recall is 1 on the driver
     * corpus); planted-fixture recall is pinned in DedupSpec. */

@@ -53,6 +53,19 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (q104): fixed
+    * synthesized centroids (so assignment is deterministic, like q42b),
+    * within-cell pairwise cosine, prune to the lowest id per
+    * over-threshold pair. Full per-doc (id, cell, pruned) output under
+    * the oracle hash. */
+  def q104SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val centroids = Array.tabulate(8)(j =>
+      (j, Seq.tabulate(64)(d => (((j * 29 + d * 11) % 15) - 7).toFloat)))
+    Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        centroids, threshold = 0.30)
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH buckets +
     * exact cosine verify (approximate recall -> spec-checked, no oracle). */
   def q42EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =

@@ -88,6 +88,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("semDedup prunes planted near-dups to the lowest id, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new Random(47)
+    // two well-separated centroids; docs 0-2 near centroid 0 but mutually
+    // distinct, docs 10/11/12 planted near-identical (same cell); 20/21
+    // land in the other cell — 20 hugs its centroid but has no same-cell
+    // near-dup, so it must stay kept
+    val c0 = Array.fill(dim)(1f)
+    val c1 = Array.tabulate(dim)(i => if (i % 2 == 0) -1f else 1f)
+    val centroids = Array(0 -> c0.toSeq, 1 -> c1.toSeq)
+    def jitter(base: Array[Float], eps: Double) =
+      base.map(x => (x + eps * rng.nextGaussian()).toFloat).toSeq
+    val docs = Seq(
+      (0L, jitter(c0, 0.8)), (1L, jitter(c0, 0.8)), (2L, jitter(c0, 0.8)),
+      (10L, jitter(c0, 0.001)), (11L, jitter(c0, 0.001)),
+      (12L, jitter(c0, 0.001)),
+      (20L, jitter(c1, 0.001)), (21L, jitter(c1, 0.8))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(docs, "vec_id", "embedding",
+        centroids, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // 10 is the lowest id of the planted group -> kept; 11/12 pruned
+    assert(out(10L) == 0 && out(11L) == 1 && out(12L) == 1)
+    // loosely-scattered docs and the isolated other-cell docs stay kept
+    assert(Seq(0L, 1L, 2L, 20L, 21L).forall(out(_) == 0))
+  }
+
   test("brute-force top-k is exact and deterministically ordered") {
     val emb = Q.t(spark, sf, "embeddings")
     val out = Similarity.bruteForceTopK(
