@@ -57,7 +57,11 @@ object McareClaimHeader {
     // several rows per header whose admission dates differ; the windows
     // make them uniform and the DISTINCT collapses to one header row
     // (:72-74 min/max OVER(PARTITION BY claim_header_id) + step-6
-    // SELECT DISTINCT)
+    // SELECT DISTINCT). inpatient_flag is computed from the WINDOWED
+    // discharge (the reference reads the raw row's — a mixed
+    // null/non-null claim would survive its DISTINCT as two rows with
+    // different flags; real '60' files always carry discharge, where the
+    // two definitions agree and ours cannot duplicate headers)
     val wClaim = Window.partitionBy(col("claim_id"))
     val hdr = unioned
       .withColumn("admission_date", min(col("admission_date")).over(wClaim))

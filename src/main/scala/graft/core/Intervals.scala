@@ -91,7 +91,10 @@ object Intervals {
     * that agree on them merge into one interval; `cov_time_day` is
     * recomputed over the merged span (the R default); an optional id list
     * restricts the pull before any shuffle (the reference's `ids`
-    * parameter pushes the same filter into its extraction query).
+    * parameter pushes the same filter into its extraction query). The id
+    * list becomes an IN predicate pushed to the scan — right for the
+    * ad-hoc cohorts the R API serves; for million-id cohorts join a
+    * cohort frame instead.
     *
     * The R kernel's group_num/group_num2/group_num3 three-window dance is
     * exactly the lag/flag/running-sum island labeling of [[islandIds]]
