@@ -82,7 +82,14 @@ class PlanSpec extends SparkSpec {
       "q66_claim_header" -> 9,
       "q68_elig_month" -> 4,
       "q60_perf_measures" -> 6, // one window pass + stack for all measures
-      "q61_condition_loop" -> 3) // one scan + one shuffle for all configs
+      "q61_condition_loop" -> 3, // one scan + one shuffle for all configs
+      // the measure chains print large counts because every distinct
+      // set-op is a two-sided aggregate exchange and toString re-prints
+      // shared subtrees; the pins still trip on a mid-chain re-shuffle
+      "q96_fuh_measure" -> 42,
+      "q97_pcr_readmit" -> 37,  // ONE person exchange drives all stitching
+      "q98_mcare_claim_header" -> 24,
+      "q102_fum_measure" -> 40)
     val over = budgets.flatMap { case (name, budget) =>
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val n = p.linesIterator.count(_.contains("Exchange"))
