@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object FuhMeasure {
 
+  /** Shared follow-up-attachment kernel of the FUH and FUM join steps:
+    * left range-join a per-person visit frame (id_person, service_date,
+    * flag) onto `df` over [dateCol + fromOffset, dateCol + days] and
+    * aggregate one MAX flag per input row. FUH windows start at +1; FUM's
+    * are day-0 inclusive — the only difference between the two sprocs'
+    * attachment joins, so it is a parameter, not a second copy. */
+  private[builds] def attachMaxFlag(df: DataFrame, visits: DataFrame,
+      fromOffset: Int, days: Int, dateCol: String,
+      outCol: String): DataFrame = {
+    val v = visits.select(col("id_person").as("f_id"),
+      col("service_date").as("f_date"), col("flag").as("f_flag"))
+    val keys = df.columns.map(col)
+    df.join(v,
+        col("id_person") === col("f_id") &&
+        col("f_date").between(date_add(col(dateCol), fromOffset),
+          date_add(col(dateCol), days)), "left")
+      .groupBy(keys.toSeq: _*)
+      .agg(max(coalesce(col("f_flag"), lit(0))).as(outCol))
+  }
+
+  /** 31-day follow-up period fits one calendar month only when the event
+    * lands on the 1st of a 31-day month (sp_perf_fuh_join_step.sql:121,
+    * sp_perf_fum_join_step.sql — identical CASE in both). */
+  private[builds] def need1MonthCoverage(
+      d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(dayofmonth(d) === 1 && month(d).isin(1, 3, 5, 7, 8, 10, 12), 1)
+      .otherwise(0)
+
   /** Acute qualifying stays for one diagnosis value set: dx-claims
     * INTERSECT (Inpatient Stay EXCEPT Nonacute Inpatient Stay) — the
     * v_perf_fuh_inpatient_index_stay.sql:65-130 set algebra (T-SQL set ops
@@ -215,30 +243,16 @@ object FuhMeasure {
       .groupBy(stayCols: _*)
       .agg(max(coalesce(col("r_flag"), lit(0))).as("inpatient_within_30_day"))
       .filter(col("inpatient_within_30_day") === 0)
-      // 31-day follow-up window inside one calendar month only when the
-      // discharge lands on the 1st of a 31-day month (sp:121-124)
       .withColumn("need_1_month_coverage",
-        when(dayofmonth(col("discharge_date")) === 1 &&
-          month(col("discharge_date")).isin(1, 3, 5, 7, 8, 10, 12), 1)
-          .otherwise(0))
+        need1MonthCoverage(col("discharge_date")))
 
-    // step 3: follow-up indicators, one aggregation per window
+    // step 3: follow-up indicators, one aggregation per window (+1-based)
     val fu = followUp.filter(col("service_date").between(start, end))
-    def attach(df: DataFrame, visits: DataFrame, days: Int,
-        outCol: String): DataFrame = {
-      val v = visits.select(col("id_person").as("f_id"),
-        col("service_date").as("f_date"), col("flag").as("f_flag"))
-      val keys = df.columns.map(col)
-      df.join(v,
-          col("id_person") === col("f_id") &&
-          col("f_date").between(date_add(col("discharge_date"), 1),
-            date_add(col("discharge_date"), days)), "left")
-        .groupBy(keys.toSeq: _*)
-        .agg(max(coalesce(col("f_flag"), lit(0))).as(outCol))
-    }
-    val with7 = attach(excl, fu.filter(col("only_30_day_fu") === "N"), 7,
+    val with7 = attachMaxFlag(excl,
+      fu.filter(col("only_30_day_fu") === "N"), 1, 7, "discharge_date",
       "follow_up_7_day")
-    val with30 = attach(with7, fu, 30, "follow_up_30_day")
+    val with30 = attachMaxFlag(with7, fu, 1, 30, "discharge_date",
+      "follow_up_30_day")
     with30
       .withColumn("ym",
         year(col("discharge_date")) * 100 + month(col("discharge_date")))

@@ -104,24 +104,15 @@ object FumMeasure {
       .filter(col("ed_within_30_day") === 0 &&
         col("inpatient_within_30_day") === 0)
       .withColumn("need_1_month_coverage",
-        when(dayofmonth(col("last_service_date")) === 1 &&
-          month(col("last_service_date")).isin(1, 3, 5, 7, 8, 10, 12), 1)
-          .otherwise(0))
+        FuhMeasure.need1MonthCoverage(col("last_service_date")))
       .withColumn("ym", year(col("first_service_date")) * 100 +
         month(col("first_service_date")))
     val fu = followUp.filter(col("service_date").between(start, end))
-      .select(col("id_person").as("f_id"),
-        col("service_date").as("f_date"), col("flag").as("f_flag"))
-    def attach(df: DataFrame, days: Int, outCol: String): DataFrame = {
-      val keys = df.columns.map(col)
-      df.join(fu,
-          col("id_person") === col("f_id") &&
-          col("f_date").between(col("last_service_date"),
-            date_add(col("last_service_date"), days)), "left")
-        .groupBy(keys.toSeq: _*)
-        .agg(max(coalesce(col("f_flag"), lit(0))).as(outCol))
-    }
-    attach(attach(idx, 7, "follow_up_7_day"), 30, "follow_up_30_day")
+    // FUM's windows are day-0 inclusive (fromOffset = 0), unlike FUH's +1
+    val with7 = FuhMeasure.attachMaxFlag(idx, fu, 0, 7,
+      "last_service_date", "follow_up_7_day")
+    FuhMeasure.attachMaxFlag(with7, fu, 0, 30,
+        "last_service_date", "follow_up_30_day")
       .withColumnRenamed("flag", "ed_index_visit")
   }
 }

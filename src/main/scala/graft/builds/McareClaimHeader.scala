@@ -33,7 +33,13 @@ object McareClaimHeader {
     *                  discharge_date
     * @param sources  (filetype tag, frame) — each frame already applies
     *                 its OWN payment arithmetic + denial filter, the
-    *                 per-source SELECT of the reference union
+    *                 per-source SELECT of the reference union. CONTRACT:
+    *                 within a source, every column except admission/
+    *                 discharge dates must be constant per claim_id — the
+    *                 collapse window-uniforms only the dates (exactly
+    *                 what the reference's min/max windows + step-6
+    *                 DISTINCT do), so a line-varying payment column would
+    *                 survive as duplicate header rows there too
     * @param eligIds  persons with eligibility data; claims of unknown
     *                 persons are dropped (left join + IS NOT NULL ->
     *                 left_semi)

@@ -247,12 +247,8 @@ object Dedup {
       maxBroadcastProbes: Long = 10000, maxBucket: Int = 100000): DataFrame = {
     val c = corpus.select(col(cid).as("doc_id"),
       shingles(col(ctext), shingleN).as("_cs"))
-    // persisted: the probe-shingling lineage feeds BOTH the plan-switch
-    // count and the join; without the cache the size probe re-shingles the
-    // whole probe set once per call (Spark evicts LRU if memory is tight)
     val p = probes.select(col(pid).as("probe_id"),
       shingles(col(ptext), shingleN).as("_ps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Identical containment expression on both paths: results match the
     // DuckDB oracle regardless of which plan the probe count selects. The
     // filter runs on the UNROUNDED ratio (rounding is display-only): a
@@ -271,7 +267,11 @@ object Dedup {
           round(ratio, 4).as("containment"))
     }
     // clamp BEFORE the +1: maxBroadcastProbes = Long.MaxValue (force the
-    // broadcast plan) must not overflow into a negative limit()
+    // broadcast plan) must not overflow into a negative limit(). The size
+    // probe deliberately re-derives the (bounded) probe lineage rather
+    // than persist(): a pinned MEMORY_AND_DISK cache per call would
+    // outlive the returned plan with no safe place to unpersist it —
+    // callers who run many sweeps can cache their probe frame themselves.
     val nProbes =
       p.limit((math.min(maxBroadcastProbes, Int.MaxValue - 2L) + 1).toInt)
         .count()

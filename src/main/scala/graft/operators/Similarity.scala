@@ -112,13 +112,26 @@ object Similarity {
     * Scale: one assignment pass (constant-size centroid literal), one
     * self-join shuffled on the cell id; `maxCell` skips comparison inside
     * degenerate oversized cells (those docs stay kept), the same
-    * boilerplate-skew guard as Dedup's LSH buckets.
+    * boilerplate-skew guard as Dedup's LSH buckets. The assignment
+    * lineage feeds both the pair join (keyed by cell) and the final
+    * output join (keyed by id) — at corpus scale run [[assignCells]]
+    * once, write the layout (exactly the IVF write-once index step), and
+    * call [[semDedupAssigned]] on the read-back so the corpus is scanned
+    * once, not re-assigned per side.
     *
     * @return one row per corpus doc: (id, cell, pruned 0/1) */
   def semDedup(corpus: DataFrame, id: String, vec: String,
       centroids: Array[(Int, Seq[Float])], threshold: Double,
+      maxCell: Int = 100000): DataFrame =
+    semDedupAssigned(assignCells(corpus, id, vec, centroids), threshold,
+      maxCell).withColumnRenamed("_id", id)
+
+  /** [[semDedup]] over a PRE-ASSIGNED frame ((_id, _v, _cell) — the
+    * [[assignCells]] output, typically read back from the written cell
+    * layout). Output columns: (_id, cell, pruned). */
+  def semDedupAssigned(assigned: DataFrame, threshold: Double,
       maxCell: Int = 100000): DataFrame = {
-    val a = assignCells(corpus, id, vec, centroids)
+    val a = assigned
     val capped = a
       .withColumn("_cn", count(lit(1)).over(Window.partitionBy(col("_cell"))))
       .filter(col("_cn") <= maxCell).drop("_cn")
@@ -132,7 +145,7 @@ object Similarity {
       .select(col("a_id").as("_id")).distinct()
       .withColumn("_pruned", lit(1))
     a.join(pruned, Seq("_id"), "left")
-      .select(col("_id").as(id), col("_cell").as("cell"),
+      .select(col("_id"), col("_cell").as("cell"),
         coalesce(col("_pruned"), lit(0)).as("pruned"))
   }
 

@@ -125,13 +125,16 @@ object TextAnalysis {
       count(lit(1)).as("n_distinct_words"),
       sum(col("n") * length(col("w"))).as("chars_words"),
       min(struct((-col("n")).as("negn"), col("w").as("w"))).as("_top"))
+    // Column API end-to-end (no expr() interpolation, so dotted/reserved
+    // column names can't break the parse); element_at is 1-based
     val bg = docs
       .select(col(id).as("doc_id"),
-        expr(s"filter(split($text, '\\\\s+'), x -> length(x) > 0)").as("ws"))
+        filter(split(col(text), "\\s+"), x => length(x) > 0).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
-        .as("bg"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("n")).as("negn"), col("bg").as("bg"))).as("_topbg"))

@@ -53,19 +53,26 @@ object Qa {
     * carries a deterministic load_seq (max prior + 1), not a wall-clock
     * stamp. First load (no log yet) gates against 0 and passes.
     *
+    * The baseline is the last PASSING load's count — a failed load is
+    * still logged (the audit trail the reference keeps in
+    * metadata.qa_mcaid) but must not become the next baseline, or
+    * re-running the same shrunk load would erode the invariant into a
+    * pass.
+    *
     * The log is tiny (one row per table per load) — the limit(1) head is
     * a metadata read, not a data collect. */
   def loadGate(df: DataFrame, table: String, metaPath: String): QaCheck = {
     val s = df.sparkSession
-    val last = (try {
-      s.read.parquet(metaPath).filter(col("table") === table)
-        .select(col("load_seq"), col("observed"))
-        .orderBy(col("load_seq").desc).limit(1).collect().headOption
+    val log = (try {
+      Some(s.read.parquet(metaPath).filter(col("table") === table))
     } catch { case _: org.apache.spark.sql.AnalysisException => None })
-    val (prior, seq) = last match {
-      case Some(r) => (r.getLong(1), r.getLong(0) + 1)
-      case None => (0L, 1L)
-    }
+    val prior = log.flatMap(
+      _.filter(col("pass")).select(col("observed"), col("load_seq"))
+        .orderBy(col("load_seq").desc).limit(1).collect().headOption
+        .map(_.getLong(0))).getOrElse(0L)
+    val seq = log.flatMap(
+      _.select(col("load_seq")).orderBy(col("load_seq").desc).limit(1)
+        .collect().headOption.map(_.getLong(0) + 1)).getOrElse(1L)
     val chk = rowCountAtLeast(df, table, prior)
     import s.implicits._
     Seq((chk.table, chk.check, chk.pass, chk.observed, chk.expected, seq))

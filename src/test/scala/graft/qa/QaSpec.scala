@@ -75,11 +75,15 @@ class QaSpec extends SparkSpec {
     // a shrunk load FAILS against the logged 4
     val c3 = Qa.loadGate(Seq(1L).toDF("id"), "t", meta)
     assert(!c3.pass && c3.observed == 1L && c3.expected == 4L)
+    // the failed load is logged but must NOT reset the baseline:
+    // re-running the identical shrunk load still fails against 4
+    val c4 = Qa.loadGate(Seq(1L).toDF("id"), "t", meta)
+    assert(!c4.pass && c4.observed == 1L && c4.expected == 4L)
     // the log carries one row per load with increasing load_seq; another
     // table's loads gate independently
     val log = s.read.parquet(meta).filter(col("table") === "t")
       .orderBy("load_seq").collect()
-    assert(log.map(_.getAs[Long]("load_seq")).toSeq == Seq(1L, 2L, 3L))
+    assert(log.map(_.getAs[Long]("load_seq")).toSeq == Seq(1L, 2L, 3L, 4L))
     val other = Qa.loadGate(Seq(9L).toDF("id"), "u", meta)
     assert(other.pass && other.expected == 0L)
   }
