@@ -182,6 +182,7 @@ object SparkEntry {
     "q102_fum_measure" -> (graft.queries.BuildQueries.q102FumMeasure _),
     "q103_repetition_profile" -> (T.q103RepetitionProfile _),
     "q104_semdedup" -> (V.q104SemDedup _),
+    "q105_mcaid_mcare_header" -> (graft.queries.BuildQueries.q105McaidMcareHeader _),
     "q101_enroll_provider" -> (graft.queries.BuildQueries.q101EnrollProvider _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
@@ -3222,5 +3223,85 @@ object SparkEntry {
         CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS pruned
       FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
       ORDER BY a.vec_id""",
+
+    // q105: combined mcaid+mcare header — crosswalked union with drift,
+    // Yale flags by claim type, cross-source 1-day ED episode clustering
+    // on the combined per-person timeline (lag/flag/running-sum on the
+    // FIRST service date; NULL id_apde persons cluster together).
+    "q105_mcaid_mcare_header" -> """
+      WITH orders_d AS (
+        SELECT o_orderkey AS ok, o_custkey,
+          CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      mcaid AS (
+        SELECT o_custkey % 70 AS id_mcaid, CAST(ok AS VARCHAR) AS claim_id,
+          d AS fsd, d + CAST(ok % 3 AS INT) AS lsd,
+          CASE ok % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 5 END
+            AS claim_type_id,
+          CASE WHEN ok % 5 = 0 THEN 1 ELSE 0 END AS ed_pophealth_flag,
+          lpad(CAST(ok % 99 AS VARCHAR), 2, '0') AS place_of_service_code
+        FROM orders_d WHERE ok % 2 = 0),
+      mcare AS (
+        SELECT 'C' || CAST(o_custkey % 80 AS VARCHAR) AS id_mcare,
+          'X' || CAST(ok AS VARCHAR) AS claim_id,
+          d AS fsd, d + CAST(ok % 4 AS INT) AS lsd,
+          CASE ok % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 5 END
+            AS claim_type_id,
+          CASE WHEN ok % 7 = 0 THEN 1 ELSE 0 END AS ed_pophealth_flag,
+          CASE WHEN ok % 23 = 0 THEN '20' ELSE '30' END
+            AS patient_status_code
+        FROM orders_d WHERE ok % 2 = 1),
+      xw1 AS (
+        SELECT id_mcaid, 100 + id_mcaid % 50 AS id_apde
+        FROM (SELECT DISTINCT c_custkey % 70 AS id_mcaid FROM customer)
+        WHERE id_mcaid % 9 <> 8),
+      xw2 AS (
+        SELECT 'C' || CAST(n AS VARCHAR) AS id_mcare,
+          100 + n % 50 AS id_apde
+        FROM (SELECT DISTINCT c_custkey % 80 AS n FROM customer)
+        WHERE n % 7 <> 6),
+      unioned AS (
+        SELECT DISTINCT * FROM (
+          SELECT x.id_apde, 'mcaid' AS source_desc, m.claim_id, m.fsd,
+            m.lsd, m.claim_type_id, m.ed_pophealth_flag,
+            m.place_of_service_code,
+            CAST(NULL AS VARCHAR) AS patient_status_code
+          FROM mcaid m LEFT JOIN xw1 x ON m.id_mcaid = x.id_mcaid
+          UNION ALL
+          SELECT x.id_apde, 'mcare', m.claim_id, m.fsd, m.lsd,
+            m.claim_type_id, m.ed_pophealth_flag, NULL,
+            m.patient_status_code
+          FROM mcare m LEFT JOIN xw2 x ON m.id_mcare = x.id_mcare)),
+      typed AS (
+        SELECT *,
+          CASE WHEN ed_pophealth_flag = 1 AND claim_type_id = 5
+            THEN 'Carrier'
+            WHEN ed_pophealth_flag = 1 AND claim_type_id = 4
+            THEN 'Outpatient'
+            WHEN ed_pophealth_flag = 1 AND claim_type_id = 1
+            THEN 'Inpatient' END AS ed_type
+        FROM unioned),
+      ed0 AS (
+        SELECT id_apde, source_desc, claim_id, fsd,
+          lag(fsd) OVER (PARTITION BY id_apde
+            ORDER BY fsd, fsd, claim_id) AS prev_f
+        FROM typed WHERE ed_type IS NOT NULL),
+      ed1 AS (
+        SELECT *, CASE WHEN prev_f IS NULL
+          OR date_diff('day', prev_f, fsd) > 1 THEN 1 ELSE 0 END AS st
+        FROM ed0),
+      epi AS (
+        SELECT source_desc, claim_id,
+          CAST(sum(st) OVER (PARTITION BY id_apde
+            ORDER BY fsd, fsd, claim_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS ed_pophealth_seq
+        FROM ed1)
+      SELECT t.id_apde, t.source_desc, t.claim_id,
+        t.fsd AS first_service_date, t.lsd AS last_service_date,
+        t.claim_type_id, t.ed_pophealth_flag, t.place_of_service_code,
+        t.patient_status_code, t.ed_type, e.ed_pophealth_seq
+      FROM typed t LEFT JOIN epi e
+        ON t.source_desc = e.source_desc AND t.claim_id = e.claim_id
+      ORDER BY t.source_desc, t.claim_id""",
   )
 }

@@ -1,0 +1,61 @@
+package graft.builds
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Intervals
+
+/** Combined mcaid + mcare claim_header — the reference's cross-source
+  * analytic union (load_stage.mcaid_mcare_claim_header.R):
+  *
+  *  step 1  each source maps to the shared person id through its
+  *          crosswalk (left join — claims of un-crosswalked persons keep
+  *          a NULL id_apde, exactly like the reference), source columns
+  *          NULL-pad across the drift, UNION distinct;
+  *  step 2  Yale ED carrier/outpatient/inpatient flags re-derived from
+  *          the claim type (:172-175);
+  *  step 3  the Yale ED population-health episode ids are RE-CLUSTERED
+  *          over the COMBINED per-person timeline (:227-330) — a mcaid
+  *          and a mcare ED visit within 1 day of each other merge into
+  *          one episode, which per-source ids cannot express. The
+  *          reference's LAG(first_service_date)/increment/running-sum
+  *          is [[Intervals.islandIds]] on the first-service date; its
+  *          global DENSE_RANK surrogate is deliberately the
+  *          (id_apde, episode_seq) composite (SURVEY §7.5.1).
+  *
+  * Scale: two broadcast crosswalk joins, one union DISTINCT shuffle, one
+  * person-keyed island pass over the ED sliver, one (source, claim) join
+  * back. Nothing shuffles the full union twice.
+  *
+  * mcaid carries (id_mcaid, claim_id, first/last_service_date,
+  * claim_type_id, ed_pophealth_flag, ...drift cols); mcare the same with
+  * id_mcare; crosswalks carry (source id, id_apde).
+  */
+object McaidMcareClaimHeader {
+
+  def build(mcaid: DataFrame, mcare: DataFrame, xwalkMcaid: DataFrame,
+      xwalkMcare: DataFrame): DataFrame = {
+    val m1 = mcaid.join(broadcast(xwalkMcaid), Seq("id_mcaid"), "left")
+      .drop("id_mcaid").withColumn("source_desc", lit("mcaid"))
+    val m2 = mcare.join(broadcast(xwalkMcare), Seq("id_mcare"), "left")
+      .drop("id_mcare").withColumn("source_desc", lit("mcare"))
+    val unioned = m1.unionByName(m2, allowMissingColumns = true).distinct()
+    val typed = unioned.withColumn("ed_type",
+      when(col("ed_pophealth_flag") === 1 && col("claim_type_id") === 5,
+        "Carrier")
+        .when(col("ed_pophealth_flag") === 1 && col("claim_type_id") === 4,
+          "Outpatient")
+        .when(col("ed_pophealth_flag") === 1 && col("claim_type_id") === 1,
+          "Inpatient"))
+    val ed = typed.filter(col("ed_type").isNotNull)
+      .select(col("id_apde"), col("source_desc"), col("claim_id"),
+        col("first_service_date"))
+    // the reference measures the 1-day match window between consecutive
+    // FIRST service dates (:238-246), so the island runs on that column
+    val epi = Intervals.islandIds(ed, Seq("id_apde"),
+        "first_service_date", "first_service_date", maxGapDays = 1,
+        tieBreak = Seq("claim_id"))
+      .withColumnRenamed("island_id", "ed_pophealth_seq")
+      .select(col("source_desc"), col("claim_id"), col("ed_pophealth_seq"))
+    typed.join(epi, Seq("source_desc", "claim_id"), "left")
+  }
+}

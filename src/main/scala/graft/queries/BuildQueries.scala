@@ -766,6 +766,54 @@ object BuildQueries {
       .orderBy(col("id_person"), col("claim_id"))
   }
 
+  /** §7.5.5 combined mcaid+mcare claim_header (q105): per-source
+    * crosswalk to the shared person id (left join — unmatched persons
+    * keep NULL id_apde and still cluster together, like the reference),
+    * drift union, Yale flags from claim type, and the cross-source ED
+    * episode re-clustering over the combined timeline. Persons fold so
+    * mcaid and mcare ED visits genuinely interleave within the 1-day
+    * match window. */
+  def q105McaidMcareHeader(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").withColumn("d", to_date(col("o_orderdate")))
+    val ctid = when(col("o_orderkey") % 3 === 0, 1)
+      .when(col("o_orderkey") % 3 === 1, 4).otherwise(5)
+    val mcaid = orders.filter(col("o_orderkey") % 2 === 0).select(
+      (col("o_custkey") % 70).as("id_mcaid"),
+      col("o_orderkey").cast("string").as("claim_id"),
+      col("d").as("first_service_date"),
+      date_add(col("d"), (col("o_orderkey") % 3).cast("int"))
+        .as("last_service_date"),
+      ctid.as("claim_type_id"),
+      (col("o_orderkey") % 5 === 0).cast("int").as("ed_pophealth_flag"),
+      lpad((col("o_orderkey") % 99).cast("string"), 2, "0")
+        .as("place_of_service_code"))
+    val mcare = orders.filter(col("o_orderkey") % 2 === 1).select(
+      concat(lit("C"), (col("o_custkey") % 80).cast("string")).as("id_mcare"),
+      concat(lit("X"), col("o_orderkey").cast("string")).as("claim_id"),
+      col("d").as("first_service_date"),
+      date_add(col("d"), (col("o_orderkey") % 4).cast("int"))
+        .as("last_service_date"),
+      ctid.as("claim_type_id"),
+      (col("o_orderkey") % 7 === 0).cast("int").as("ed_pophealth_flag"),
+      when(col("o_orderkey") % 23 === 0, "20").otherwise("30")
+        .as("patient_status_code"))
+    val cust = t(s, dir, "customer")
+    val xw1 = cust.select((col("c_custkey") % 70).as("id_mcaid")).distinct()
+      .filter(col("id_mcaid") % 9 =!= 8)
+      .withColumn("id_apde", lit(100) + col("id_mcaid") % 50)
+    val xw2 = cust.select((col("c_custkey") % 80).as("n")).distinct()
+      .filter(col("n") % 7 =!= 6)
+      .select(concat(lit("C"), col("n").cast("string")).as("id_mcare"),
+        (lit(100) + col("n") % 50).as("id_apde"))
+    graft.builds.McaidMcareClaimHeader.build(mcaid, mcare, xw1, xw2)
+      .select(col("id_apde"), col("source_desc"), col("claim_id"),
+        col("first_service_date"), col("last_service_date"),
+        col("claim_type_id"), col("ed_pophealth_flag"),
+        col("place_of_service_code"), col("patient_status_code"),
+        col("ed_type"), col("ed_pophealth_seq"))
+      .orderBy(col("source_desc"), col("claim_id"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
