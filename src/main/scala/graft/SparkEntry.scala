@@ -2687,8 +2687,9 @@ object SparkEntry {
           EXCEPT SELECT * FROM claims WHERE claim_id % 19 = 0)),
       ep0 AS (
         SELECT *,
-          lag(lsd) OVER (PARTITION BY id_person
-            ORDER BY fsd, lsd, claim_id) AS prev_to
+          max(lsd) OVER (PARTITION BY id_person
+            ORDER BY fsd, lsd, claim_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_to
         FROM stays),
       ep1 AS (
         SELECT *, CASE WHEN prev_to IS NULL
@@ -3285,7 +3286,7 @@ object SparkEntry {
         SELECT id_apde, source_desc, claim_id, fsd,
           lag(fsd) OVER (PARTITION BY id_apde
             ORDER BY fsd, fsd, claim_id) AS prev_f
-        FROM typed WHERE ed_type IS NOT NULL),
+        FROM typed WHERE ed_type IS NOT NULL AND id_apde IS NOT NULL),
       ed1 AS (
         SELECT *, CASE WHEN prev_f IS NULL
           OR date_diff('day', prev_f, fsd) > 1 THEN 1 ELSE 0 END AS st

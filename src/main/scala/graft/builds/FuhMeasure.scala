@@ -61,25 +61,38 @@ object FuhMeasure {
       nonacute: DataFrame): DataFrame =
     dx.intersect(inpatient.except(nonacute))
 
+  /** (person, claim) pairs -> tagged index-stay rows: demographics join
+    * for the exact-anniversary age at COALESCE(discharge, last_service)
+    * (v_perf_fuh_inpatient_index_stay.sql:205), header join for stay
+    * dates — the ONE select both the set-op and the one-scan paths share
+    * (so a change to the age or date semantics cannot drift between
+    * them; FuhMeasureSpec additionally pins the equality). */
+  private def stayRows(pairs: DataFrame, name: String, demo: DataFrame,
+      header: DataFrame): DataFrame =
+    pairs.select(col("id_person"), col("claim_id"))
+      .join(demo.select(col("id_person"), col("dob")), Seq("id_person"))
+      .join(header, Seq("claim_id"))
+      .select(lit(name).as("value_set_name"), col("id_person"),
+        FuaMeasure.ageAt(col("dob"),
+          coalesce(col("discharge_date"), col("last_service_date")))
+          .as("age"),
+        col("claim_id"), col("admit_date"), col("discharge_date"),
+        lit(1).as("flag"))
+
+  private def readmitRows(tagged: DataFrame, header: DataFrame): DataFrame =
+    tagged.join(header.select(col("claim_id"), col("admit_date"),
+      col("discharge_date")), Seq("claim_id"))
+      .select(col("id_person"), col("claim_id"), col("admit_date"),
+        col("discharge_date"), col("acuity"), lit(1).as("flag"))
+
   /** The stacked index-stay view: Mental Illness + Mental Health Diagnosis
-    * acute stays, each joined to demographics (exact-anniversary age at
-    * COALESCE(discharge, last_service) — v_perf_fuh_inpatient_index_stay
-    * .sql:205) and the claim header for stay dates. */
+    * acute stays over the set-algebra path. */
   def indexStays(miDx: DataFrame, mhdDx: DataFrame, inpatient: DataFrame,
-      nonacute: DataFrame, demo: DataFrame, header: DataFrame): DataFrame = {
-    def one(dx: DataFrame, name: String) =
-      acuteStays(dx, inpatient, nonacute)
-        .join(demo.select(col("id_person"), col("dob")), Seq("id_person"))
-        .join(header, Seq("claim_id"))
-        .select(lit(name).as("value_set_name"), col("id_person"),
-          FuaMeasure.ageAt(col("dob"),
-            coalesce(col("discharge_date"), col("last_service_date")))
-            .as("age"),
-          col("claim_id"), col("admit_date"), col("discharge_date"),
-          lit(1).as("flag"))
-    one(miDx, "Mental Illness")
-      .unionAll(one(mhdDx, "Mental Health Diagnosis"))
-  }
+      nonacute: DataFrame, demo: DataFrame, header: DataFrame): DataFrame =
+    stayRows(acuteStays(miDx, inpatient, nonacute), "Mental Illness",
+        demo, header)
+      .unionAll(stayRows(acuteStays(mhdDx, inpatient, nonacute),
+        "Mental Health Diagnosis", demo, header))
 
   /** Readmission/direct-transfer candidates
     * (v_perf_fuh_inpatient_index_stay_readmit.sql): nonacute stays
@@ -92,11 +105,7 @@ object FuhMeasure {
       .withColumn("acuity", lit("Nonacute"))
     val acuteNonMh = inpatient.except(nonacute).except(mhdDx)
       .withColumn("acuity", lit("Acute"))
-    nonacuteStays.union(acuteNonMh)
-      .join(header.select(col("claim_id"), col("admit_date"),
-        col("discharge_date")), Seq("claim_id"))
-      .select(col("id_person"), col("claim_id"), col("admit_date"),
-        col("discharge_date"), col("acuity"), lit(1).as("flag"))
+    readmitRows(nonacuteStays.union(acuteNonMh), header)
   }
 
   /** Single-scan membership flags — the 100-TB shape of the index-stay /
@@ -132,43 +141,32 @@ object FuhMeasure {
   def indexStaysOneScan(flags: DataFrame, demo: DataFrame,
       header: DataFrame): DataFrame = {
     val acute = col("inp") === 1 && col("na") === 0
-    def one(dxFlag: String, name: String) =
-      flags.filter(col(dxFlag) === 1 && acute)
-        .select(col("id_person"), col("claim_id"))
-        .join(demo.select(col("id_person"), col("dob")), Seq("id_person"))
-        .join(header, Seq("claim_id"))
-        .select(lit(name).as("value_set_name"), col("id_person"),
-          FuaMeasure.ageAt(col("dob"),
-            coalesce(col("discharge_date"), col("last_service_date")))
-            .as("age"),
-          col("claim_id"), col("admit_date"), col("discharge_date"),
-          lit(1).as("flag"))
-    one("mi", "Mental Illness")
-      .unionAll(one("mhd", "Mental Health Diagnosis"))
+    stayRows(flags.filter(col("mi") === 1 && acute), "Mental Illness",
+        demo, header)
+      .unionAll(stayRows(flags.filter(col("mhd") === 1 && acute),
+        "Mental Health Diagnosis", demo, header))
   }
 
   /** [[readmitStays]] from the same flags pass: nonacute = inp AND na;
     * acute non-MH = inp AND NOT na AND NOT mhd. */
-  def readmitStaysOneScan(flags: DataFrame, header: DataFrame): DataFrame = {
-    val tagged = flags
+  def readmitStaysOneScan(flags: DataFrame, header: DataFrame): DataFrame =
+    readmitRows(flags
       .withColumn("acuity",
         when(col("inp") === 1 && col("na") === 1, "Nonacute")
           .when(col("inp") === 1 && col("na") === 0 && col("mhd") === 0,
             "Acute"))
-      .filter(col("acuity").isNotNull)
-    tagged
-      .join(header.select(col("claim_id"), col("admit_date"),
-        col("discharge_date")), Seq("claim_id"))
-      .select(col("id_person"), col("claim_id"), col("admit_date"),
-        col("discharge_date"), col("acuity"), lit(1).as("flag"))
-  }
+      .filter(col("acuity").isNotNull), header)
 
   /** Qualifying follow-up visits (v_perf_fuh_follow_up_visit.sql): the
     * UNION of condition frames, each (id_person, claim_id, service_date);
     * frames in `thirtyDayOnly` (TCM 14 Day) only satisfy the 30-day
     * indicator. Dedup keeps MAX(only_30_day_fu) per visit — the
-    * reference's GROUP BY ... MAX (sql:268), so a visit matching both a
-    * 'Y' and an 'N' condition resolves to 'Y' ('Y' > 'N'). */
+    * reference's GROUP BY ... MAX (sql:268, verified verbatim), so a
+    * visit matching both a 'Y' and an 'N' condition resolves to 'Y'
+    * ('Y' > 'N') and is thereby SUPPRESSED from the 7-day window even
+    * though an 'N' condition qualified it — arguably a reference bug
+    * (MIN would let the both-windows condition win), replicated
+    * faithfully because HEDIS certification audits against this SQL. */
   def followUpVisits(sevenAndThirty: Seq[DataFrame],
       thirtyDayOnly: Seq[DataFrame]): DataFrame = {
     def tag(dfs: Seq[DataFrame], v: String) = dfs.map(

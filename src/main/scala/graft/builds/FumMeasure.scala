@@ -41,9 +41,18 @@ object FumMeasure {
     val s = visits.sparkSession
     import s.implicits._
     val epoch = to_date(lit("1970-01-01"))
+    // fail FAST on non-numeric/null ids: a silent cast-to-null would die
+    // deep inside the primitive-Long encoder (or corrupt the tie-break)
+    def longOrError(c: String) = {
+      val cast = col(c).cast("long")
+      when(cast.isNull,
+        raise_error(concat(lit(s"greedyEdDedup: non-numeric or null $c: "),
+          coalesce(col(c).cast("string"), lit("null")))))
+        .otherwise(cast)
+    }
     val ds: Dataset[V] = visits.select(
-      col("id_person").cast("long").as("id"),
-      col("claim_id").cast("long").as("claimId"),
+      longOrError("id_person").as("id"),
+      longOrError("claim_id").as("claimId"),
       col("age").cast("int").as("age"),
       datediff(col("first_service_date"), epoch).cast("long").as("fsd"),
       datediff(col("last_service_date"), epoch).cast("long").as("lsd")).as[V]

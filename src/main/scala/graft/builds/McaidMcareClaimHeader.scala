@@ -46,7 +46,13 @@ object McaidMcareClaimHeader {
           "Outpatient")
         .when(col("ed_pophealth_flag") === 1 && col("claim_type_id") === 1,
           "Inpatient"))
-    val ed = typed.filter(col("ed_type").isNotNull)
+    // un-crosswalked claims (NULL id_apde) are EXCLUDED from clustering:
+    // a NULL partition would chain unrelated people's visits into shared
+    // episodes AND form the one giant hot partition GlobalWindowGuard
+    // exists to reject — the T-SQL reference shares both defects (its
+    // PARTITION BY groups NULLs too); those claims keep a NULL episode
+    // seq instead, losing nothing linkable
+    val ed = typed.filter(col("ed_type").isNotNull && col("id_apde").isNotNull)
       .select(col("id_apde"), col("source_desc"), col("claim_id"),
         col("first_service_date"))
     // the reference measures the 1-day match window between consecutive

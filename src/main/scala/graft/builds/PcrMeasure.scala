@@ -32,13 +32,17 @@ object PcrMeasure {
     * Input: (id_person, claim_id, first_service_date, last_service_date,
     * patient_status, primary_diagnosis) — acute inpatient claims only.
     *
-    * One deliberate divergence: the reference's episode_last_service_date
-    * is LAST_VALUE(last_service_date) under (first, last, claim) ordering,
-    * which under-reports the episode end when a long stay fully contains a
-    * later-sorted shorter stay; we take MAX — identical on non-nested
-    * transfer chains, correct on nested ones. */
+    * Two deliberate divergences, both for nested stays (a long stay fully
+    * containing a later-sorted short one): the reference's lag-based
+    * increment would OPEN A NEW EPISODE inside the long stay's extent
+    * (its lag(last_service_date) sees only the nested short stay), and
+    * its LAST_VALUE episode end under-reports the extent. We chain
+    * against the running max of preceding to-dates
+    * ([[Intervals.islandIdsByExtent]]) and take MAX(to) — identical on
+    * the sequential transfer chains the reference was written for,
+    * correct when claims nest. */
   def directTransfer(stays: DataFrame): DataFrame = {
-    val ep = Intervals.islandIds(stays, Seq("id_person"),
+    val ep = Intervals.islandIdsByExtent(stays, Seq("id_person"),
         "first_service_date", "last_service_date", maxGapDays = 1,
         tieBreak = Seq("claim_id"))
       .withColumnRenamed("island_id", "episode_id")
@@ -93,7 +97,12 @@ object PcrMeasure {
     *    index discharge is the candidate readmission (row_number by
     *    readmission start; episode_id breaks start-date ties so the pick
     *    is stable across engines); drop the index stay entirely when that
-    *    first readmission was planned.
+    *    first readmission was planned. Readmission candidates are drawn
+    *    from the SAME exclusion-filtered set as the index stays — the
+    *    reference's sp_perf_pcr_join_step self-joins
+    *    #index_hospital_stay to itself, so an episode removed by the
+    *    death/same-day/pregnancy exclusions is invisible on the
+    *    readmission side too; replicated faithfully.
     *
     * Returns one row per surviving index episode with the readmission
     * window, flag, and day gap. */

@@ -56,6 +56,37 @@ object Intervals {
     df.withColumn("island_id", sum(isStart).over(run))
   }
 
+  /** [[islandIds]] with the gap measured against the RUNNING MAX of all
+    * preceding to-dates instead of lag(to). The lag formulation (which
+    * mirrors the reference's elig_timevar/direct-transfer SQL exactly)
+    * mis-splits when a long interval fully contains a later-sorted short
+    * one: the row after the nested interval compares against the SHORT
+    * one's end and opens a new island inside the long interval's extent.
+    * Running-max chaining keeps anything starting within `maxGapDays` of
+    * the episode's extent in the episode — the semantically-correct
+    * transfer chain. Use this where intervals can nest (inpatient stays);
+    * keep [[islandIds]] where rows are guaranteed non-overlapping
+    * (month-grain eligibility) or reference-exact splits are wanted. */
+  def islandIdsByExtent(
+      df: DataFrame,
+      ids: Seq[String],
+      from: String,
+      to: String,
+      maxGapDays: Int = 1,
+      attrs: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val part = (ids ++ attrs).map(col)
+    val w = Window.partitionBy(part: _*)
+      .orderBy(col(from) +: col(to) +: tieBreak.map(col): _*)
+    val prevExtent = max(col(to))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isStart =
+      when(prevExtent.isNull || datediff(col(from), prevExtent) > maxGapDays, 1)
+        .otherwise(0)
+    df.withColumn("island_id", sum(isStart)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Arithmetic gaps-and-islands over a dense integer step column (e.g. a
     * yyyymm month index): island key = step - row_number, constant within a
     * contiguous run (load_stage.apcd_elig_timevar.R:81-84). Cheaper than

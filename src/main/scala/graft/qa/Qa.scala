@@ -63,9 +63,14 @@ object Qa {
     * a metadata read, not a data collect. */
   def loadGate(df: DataFrame, table: String, metaPath: String): QaCheck = {
     val s = df.sparkSession
-    val log = (try {
-      Some(s.read.parquet(metaPath).filter(col("table") === table))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None })
+    // first-load means the log path does not EXIST — an existing but
+    // unreadable log (crashed half-append, corrupt footer) must propagate
+    // its read error, not silently reset the baseline to 0
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val log =
+      if (fs.exists(p)) Some(s.read.parquet(metaPath).filter(col("table") === table))
+      else None
     val prior = log.flatMap(
       _.filter(col("pass")).select(col("observed"), col("load_seq"))
         .orderBy(col("load_seq").desc).limit(1).collect().headOption

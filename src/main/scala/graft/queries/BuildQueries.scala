@@ -768,11 +768,12 @@ object BuildQueries {
 
   /** §7.5.5 combined mcaid+mcare claim_header (q105): per-source
     * crosswalk to the shared person id (left join — unmatched persons
-    * keep NULL id_apde and still cluster together, like the reference),
-    * drift union, Yale flags from claim type, and the cross-source ED
-    * episode re-clustering over the combined timeline. Persons fold so
-    * mcaid and mcare ED visits genuinely interleave within the 1-day
-    * match window. */
+    * keep NULL id_apde in the union but are excluded from episode
+    * clustering; the reference's NULL partition would merge unrelated
+    * people), drift union, Yale flags from claim type, and the
+    * cross-source ED episode re-clustering over the combined timeline.
+    * Persons fold so mcaid and mcare ED visits genuinely interleave
+    * within the 1-day match window. */
   def q105McaidMcareHeader(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders").withColumn("d", to_date(col("o_orderdate")))
     val ctid = when(col("o_orderkey") % 3 === 0, 1)
