@@ -183,6 +183,7 @@ object SparkEntry {
     "q103_repetition_profile" -> (T.q103RepetitionProfile _),
     "q104_semdedup" -> (V.q104SemDedup _),
     "q105_mcaid_mcare_header" -> (graft.queries.BuildQueries.q105McaidMcareHeader _),
+    "q106_ah_numerator" -> (graft.queries.BuildQueries.q106AhNumerator _),
     "q101_enroll_provider" -> (graft.queries.BuildQueries.q101EnrollProvider _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
@@ -3304,5 +3305,88 @@ object SparkEntry {
       FROM typed t LEFT JOIN epi e
         ON t.source_desc = e.source_desc AND t.claim_id = e.claim_id
       ORDER BY t.source_desc, t.claim_id""",
+
+    // q106: AH numerator — q97's extent-chained stitching, observation
+    // stays reclassified to inpatient when an acute admission lands on
+    // the obs date or one day after, death/exclusion filters, and the
+    // medicine/surgery split (medicine = absence of both surgery flags).
+    "q106_ah_numerator" -> """
+      WITH stays AS (
+        SELECT o_custkey % 90 AS id_person, o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 9 AS INT) AS lsd,
+          CASE WHEN o_orderkey % 37 = 0 THEN '20' ELSE '10' END
+            AS patient_status
+        FROM orders WHERE o_orderkey % 2 = 0),
+      ep0 AS (
+        SELECT *,
+          max(lsd) OVER (PARTITION BY id_person
+            ORDER BY fsd, lsd, claim_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_to
+        FROM stays),
+      ep1 AS (
+        SELECT *, CASE WHEN prev_to IS NULL
+          OR date_diff('day', prev_to, fsd) > 1 THEN 1 ELSE 0 END AS inc
+        FROM ep0),
+      ep AS (
+        SELECT *, CAST(sum(inc) OVER (PARTITION BY id_person
+          ORDER BY fsd, lsd, claim_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS episode_id
+        FROM ep1),
+      tr AS (
+        SELECT *,
+          min(fsd) OVER e AS ep_first,
+          max(lsd) OVER e AS ep_last,
+          CAST(row_number() OVER (PARTITION BY id_person, episode_id
+            ORDER BY fsd, lsd, claim_id) AS INT) AS stay_id,
+          max(CASE WHEN patient_status = '20' THEN 1 ELSE 0 END) OVER e
+            AS death
+        FROM ep
+        WINDOW e AS (PARTITION BY id_person, episode_id)),
+      obs AS (
+        SELECT o_custkey % 90 AS id_person, o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) AS lsd,
+          CASE WHEN o_orderkey % 41 = 0 THEN '20' ELSE '10' END
+            AS patient_status
+        FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0),
+      conv AS (
+        SELECT DISTINCT o.claim_id FROM obs o JOIN stays s
+          ON o.id_person = s.id_person
+          AND date_diff('day', o.lsd, s.fsd) BETWEEN 0 AND 1),
+      obs2 AS (
+        SELECT * FROM obs
+        WHERE claim_id NOT IN (SELECT claim_id FROM conv)
+          AND claim_id % 21 <> 0),
+      medsurg AS (
+        SELECT claim_id,
+          max(CASE WHEN v = 'Surgery' THEN 1 END) AS surgery_rev,
+          max(CASE WHEN v = 'Surgery MS-DRG' THEN 1 END) AS surgery_drg
+        FROM (
+          SELECT o_orderkey AS claim_id,
+            CASE WHEN o_orderkey % 11 = 0 THEN 'Surgery'
+              WHEN o_orderkey % 13 = 0 THEN 'Surgery MS-DRG' END AS v
+          FROM orders)
+        WHERE v IS NOT NULL GROUP BY 1),
+      disch AS (
+        SELECT DISTINCT * FROM (
+          SELECT id_person, claim_id, ep_first AS fsd, ep_last AS lsd,
+            0 AS observation_stay
+          FROM tr WHERE stay_id = 1 AND death = 0
+          UNION ALL
+          SELECT id_person, claim_id, fsd, lsd, 1
+          FROM obs2 WHERE patient_status <> '20'))
+      SELECT
+        CAST(year(d.lsd) * 100 + month(d.lsd) AS INTEGER) AS ym,
+        d.id_person, d.claim_id,
+        d.fsd AS first_service_date, d.lsd AS last_service_date,
+        d.observation_stay, 1 AS total_discharges,
+        CASE WHEN m.surgery_rev IS NULL AND m.surgery_drg IS NULL
+          THEN 1 ELSE 0 END AS medicine,
+        CASE WHEN m.surgery_rev = 1 OR m.surgery_drg = 1
+          THEN 1 ELSE 0 END AS surgery
+      FROM disch d LEFT JOIN medsurg m ON d.claim_id = m.claim_id
+      WHERE d.claim_id % 17 <> 0
+      ORDER BY d.id_person, d.claim_id""",
   )
 }

@@ -815,6 +815,46 @@ object BuildQueries {
       .orderBy(col("source_desc"), col("claim_id"))
   }
 
+  /** §2.9 AH avoidable-hospitalization numerator (q106): direct-transfer
+    * episodes (the q97 stitching) plus observation stays RECLASSIFIED
+    * when an acute admission lands on the observation date or one day
+    * after, deaths excluded, the exclusion claim set anti-joined, and
+    * the medicine/surgery split from pivoted value-set flags. */
+  def q106AhNumerator(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val pid = (col("o_custkey") % 90).as("id_person")
+    val stays = orders.filter(col("o_orderkey") % 2 === 0).select(
+      pid, col("o_orderkey").as("claim_id"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 9).cast("int")).as("last_service_date"),
+      when(col("o_orderkey") % 37 === 0, "20").otherwise("10")
+        .as("patient_status"),
+      concat(lit("DX"), (col("o_orderkey") % 50).cast("string"))
+        .as("primary_diagnosis"))
+    val obs = orders.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 3 === 0)
+      .select(pid, col("o_orderkey").as("claim_id"),
+        to_date(col("o_orderdate")).as("first_service_date"),
+        to_date(col("o_orderdate")).as("last_service_date"),
+        when(col("o_orderkey") % 41 === 0, "20").otherwise("10")
+          .as("patient_status"))
+    val obsStays = graft.builds.AhMeasure.observationStays(obs,
+      stays.select(col("id_person"), col("first_service_date")),
+      obs.filter(col("claim_id") % 21 === 0).select(col("claim_id")))
+    val vs = orders.select(col("o_orderkey").as("claim_id"),
+        when(col("o_orderkey") % 11 === 0, "Surgery")
+          .when(col("o_orderkey") % 13 === 0, "Surgery MS-DRG")
+          .as("value_set_name"))
+      .filter(col("value_set_name").isNotNull)
+    val excl = orders.filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey").as("claim_id"))
+    graft.builds.AhMeasure.inpatientNumerator(
+        graft.builds.PcrMeasure.directTransfer(stays), obsStays,
+        graft.builds.AhMeasure.medicineSurgery(vs), excl)
+      .orderBy(col("id_person"), col("claim_id"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */
