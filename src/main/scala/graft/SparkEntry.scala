@@ -184,6 +184,8 @@ object SparkEntry {
     "q104_semdedup" -> (V.q104SemDedup _),
     "q105_mcaid_mcare_header" -> (graft.queries.BuildQueries.q105McaidMcareHeader _),
     "q106_ah_numerator" -> (graft.queries.BuildQueries.q106AhNumerator _),
+    "q107_quality_filter" -> (T.q107QualityFilter _),
+    "q108_token_budget" -> (T.q108TokenBudget _),
     "q101_enroll_provider" -> (graft.queries.BuildQueries.q101EnrollProvider _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
   )
@@ -3388,5 +3390,52 @@ object SparkEntry {
       FROM disch d LEFT JOIN medsurg m ON d.claim_id = m.claim_id
       WHERE d.claim_id % 17 <> 0
       ORDER BY d.id_person, d.claim_id""",
+
+    // q107: first-match quality-filter dispatch (too_short then
+    // repetitive, on the ROUNDED dup-word fraction) with per-language
+    // kept/dropped accounting.
+    "q107_quality_filter" -> """
+      WITH prof AS (
+        SELECT doc_id, lang,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      wc AS (
+        SELECT doc_id, w, count(*) AS n FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+          FROM documents)
+        WHERE length(w) > 0 GROUP BY 1, 2),
+      rep AS (
+        SELECT doc_id,
+          round((sum(n) - count(*)) * 1.0 / sum(n), 4) AS dup_word_frac
+        FROM wc GROUP BY 1),
+      ruled AS (
+        SELECT p.lang, p.n_tokens,
+          CASE WHEN p.n_tokens < 30 THEN 'too_short'
+            WHEN r.dup_word_frac > 0.6 THEN 'repetitive'
+            ELSE 'kept' END AS outcome
+        FROM prof p JOIN rep r ON p.doc_id = r.doc_id)
+      SELECT lang, outcome, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM ruled GROUP BY 1, 2 ORDER BY lang, outcome""",
+
+    // q108: greedy per-stratum token-budget prefix in deterministic
+    // pseudo-shuffled order; kept iff the cumulative sum BEFORE the doc
+    // is under budget.
+    "q108_token_budget" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+          ORDER BY doc_id % 7, doc_id ROWS UNBOUNDED PRECEDING)
+          AS cum_tokens
+        FROM d)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+        CAST(max(cum_tokens) AS BIGINT) AS max_cum,
+        min(doc_id) AS first_doc
+      FROM c WHERE cum_tokens - n_tokens < 2000
+      GROUP BY 1 ORDER BY lang""",
   )
 }

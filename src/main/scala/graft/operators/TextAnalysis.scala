@@ -150,6 +150,34 @@ object TextAnalysis {
         col("chars_words"), 4).as("top_bigram_frac"))
   }
 
+  /** Config-driven document filter: ordered (name, drop-predicate) rules
+    * evaluated FIRST-MATCH over a profiled frame, adding `drop_reason`
+    * (NULL = kept) — the per-measure dispatch pattern applied to
+    * Gopher/C4-style quality rules, so a pipeline's filter set is data,
+    * not code. Pure Column fold: no shuffle beyond what `profiled`
+    * already did. */
+  def qualityFilter(profiled: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame =
+    profiled.withColumn("drop_reason",
+      rules.foldRight(lit(null).cast("string")) { case ((name, c), acc) =>
+        when(c, name).otherwise(acc)
+      })
+
+  /** Deterministic token-budget sampling for data mixing: within each
+    * stratum, documents are taken in the caller's priority order until
+    * the running token sum reaches the budget — a document is kept iff
+    * the cumulative total BEFORE it is under budget, so the sample
+    * overshoots by at most one document and is reproducible run-to-run
+    * (give the priority a total order). One window pass per stratum; no
+    * collect, no rejected-candidate shuffle. */
+  def tokenBudgetSample(docs: DataFrame, stratumCols: Seq[String],
+      tokensCol: String, priority: Seq[Column], budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCols.map(col): _*).orderBy(priority: _*)
+    docs.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") - col(tokensCol) < budget)
+  }
+
   /** Per-document profile frame (doc_id + all signals). */
   def profile(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val t = col(text)

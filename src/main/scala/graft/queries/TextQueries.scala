@@ -64,6 +64,42 @@ object TextQueries {
     TextAnalysis.repetitionProfile(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Config-driven quality-filter pipeline (q107): token-count and
+    * repetition signals feed ordered first-match drop rules; per-language
+    * rollup of kept/dropped docs and their token mass — the shape of a
+    * real corpus-cleaning run's accounting output. */
+  def q107QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prof = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val rep = TextAnalysis.repetitionProfile(docs)
+      .select(col("doc_id"), col("dup_word_frac"))
+    TextAnalysis.qualityFilter(prof.join(rep, Seq("doc_id")),
+        Seq("too_short" -> (col("n_tokens") < 30),
+          "repetitive" -> (col("dup_word_frac") > 0.6)))
+      .groupBy(col("lang"),
+        coalesce(col("drop_reason"), lit("kept")).as("outcome"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang"), col("outcome"))
+  }
+
+  /** Deterministic token-budget sampling (q108): per-language greedy
+    * prefix in a deterministic pseudo-shuffled priority order until 2000
+    * tokens — the data-mixing primitive; rollup proves the budget holds
+    * (max one-doc overshoot). */
+  def q108TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    TextAnalysis.tokenBudgetSample(docs, Seq("lang"), "n_tokens",
+        Seq(col("doc_id") % 7, col("doc_id")), budget = 2000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        max(col("cum_tokens")).as("max_cum"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** MinHash+LSH near-duplicate pairs verified by exact shingle Jaccard.
     * Oracled by exact all-pairs SQL (candidate recall is 1 on the driver
     * corpus); planted-fixture recall is pinned in DedupSpec. */
