@@ -188,6 +188,12 @@ object SparkEntry {
     "q108_token_budget" -> (T.q108TokenBudget _),
     "q101_enroll_provider" -> (graft.queries.BuildQueries.q101EnrollProvider _),
     "q83_claim_bh" -> (graft.queries.PlrBhQueries.q83ClaimBh _),
+    "q109_tpm_staging" -> (graft.queries.BuildQueries.q109TpmStaging _),
+    "q110_tpm_by_dx" -> (graft.queries.BuildQueries.q110TpmByDx _),
+    "q111_cap_visits" -> (graft.queries.BuildQueries.q111CapVisits _),
+    "q112_mh_aod_ed" -> (graft.queries.BuildQueries.q112MhAodEd _),
+    "q113_dup_components" -> (T.q113Components _),
+    "q114_enroll_denom" -> (graft.queries.BuildQueries.q114EnrollDenom _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -195,6 +201,72 @@ object SparkEntry {
   /** Shared 3-class placement CTE prefix (ep -> lbfin/sbfin/dvfin ->
     * placed) for the q84/q89/q90 pregnancy oracles — one copy, so a
     * placement-semantics fix cannot drift between them. */
+  /** Shared synthetic claim/value-set CTE prefix for the q109/q110 RDA
+    * treatment-penetration oracles — mirrors BuildQueries.Vs exactly (one
+    * copy, so a frame change cannot drift between the two oracles). */
+  private val VsFramesCte: String = """
+      WITH li AS (
+        SELECT o_custkey % 100 AS id_person, l_orderkey AS claim_id,
+          CAST(l_shipdate AS DATE) AS fsd, l_partkey, l_suppkey,
+          l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      dx AS (
+        SELECT id_person, claim_id, fsd AS first_service_date,
+          CASE WHEN l_partkey % 11 = 0 THEN 10
+               WHEN fsd < DATE '1995-06-01' THEN 9 ELSE 10 END
+            AS icdcm_version,
+          CASE WHEN l_linenumber % 2 = 1 THEN '01' ELSE '02' END
+            AS icdcm_number,
+          'DX' || CAST(l_partkey % 60 AS VARCHAR) AS icdcm_norm
+        FROM li),
+      proc AS (
+        SELECT id_person, claim_id, fsd AS first_service_date,
+          'PC' || CAST(l_suppkey % 40 AS VARCHAR) AS procedure_code
+        FROM li),
+      pharm AS (
+        SELECT o_custkey % 100 AS id_person, o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS rx_fill_date,
+          'ND' || CAST(o_orderkey % 50 AS VARCHAR) AS ndc
+        FROM orders WHERE o_orderkey % 4 = 0),
+      sg AS (
+        SELECT i, CASE i % 7
+          WHEN 0 THEN 'ADHD' WHEN 1 THEN 'Adjustment' WHEN 2 THEN 'Anxiety'
+          WHEN 3 THEN 'Depression' WHEN 4 THEN 'Disrup/Impulse/Conduct'
+          WHEN 5 THEN 'Mania/Bipolar' ELSE 'Psychotic' END AS sub_group
+        FROM range(0, 48) t(i)),
+      rda_dx AS (
+        SELECT 'ICD9CM' AS code_set, 'DX' || CAST(i AS VARCHAR) AS code,
+          sub_group
+        FROM sg WHERE i < 24
+        UNION ALL
+        SELECT 'ICD10CM', 'DX' || CAST(i AS VARCHAR), sub_group
+        FROM sg WHERE i >= 12),
+      procm1 AS (
+        SELECT id_person, claim_id, first_service_date FROM proc
+        WHERE procedure_code IN
+          ('PC0','PC1','PC2','PC3','PC4','PC5','PC6','PC7')),
+      procm2 AS (
+        SELECT id_person, claim_id, first_service_date FROM proc
+        WHERE procedure_code IN
+          ('PC8','PC9','PC10','PC11','PC12','PC13')),
+      dxm AS (
+        SELECT d.id_person, d.claim_id, d.first_service_date,
+          d.icdcm_number, r.sub_group
+        FROM dx d JOIN rda_dx r
+          ON ((r.code_set = 'ICD9CM' AND d.icdcm_version = 9
+               AND d.first_service_date < DATE '1995-06-01')
+           OR (r.code_set = 'ICD10CM' AND d.icdcm_version = 10
+               AND d.first_service_date >= DATE '1995-06-01'))
+          AND d.icdcm_norm = r.code),
+      rxm AS (
+        SELECT p.id_person, p.claim_id, p.rx_fill_date
+            AS first_service_date,
+          CASE (CAST(substr(p.ndc, 3) AS INT)) % 5
+            WHEN 0 THEN 'ADHD Rx' WHEN 1 THEN 'Antianxiety Rx'
+            WHEN 2 THEN 'Antidepressants Rx' WHEN 3 THEN 'Antimania Rx'
+            ELSE 'Antipsychotic Rx' END AS sub_group
+        FROM pharm p WHERE CAST(substr(p.ndc, 3) AS INT) < 20),"""
+
   private val PregPlacementCte: String = """
       WITH RECURSIVE ep AS MATERIALIZED (
         SELECT DISTINCT o_custkey % 100 AS id, CAST(o_orderdate AS DATE) AS d,
@@ -3437,5 +3509,265 @@ object SparkEntry {
         min(doc_id) AS first_doc
       FROM c WHERE cum_tokens - n_tokens < 2000
       GROUP BY 1 ORDER BY lang""",
+
+    // q109: RDA MH treatment penetration — value-set joins over
+    // proc/dx/pharm with the ICD9/10 version-date cut, UNION/INTERSECT
+    // numerator, 3-arm denominator, per-(ym, person) MAX(flag) N/D rows.
+    "q109_tpm_staging" -> (VsFramesCte + """
+      num AS (
+        SELECT DISTINCT id_person, claim_id, first_service_date FROM (
+          SELECT id_person, claim_id, first_service_date FROM procm1
+          UNION
+          (SELECT id_person, claim_id, first_service_date FROM procm2
+           INTERSECT
+           SELECT id_person, claim_id, first_service_date FROM dxm
+           WHERE icdcm_number = '01'))),
+      den AS (
+        SELECT DISTINCT id_person, claim_id, first_service_date FROM (
+          SELECT id_person, claim_id, first_service_date FROM num
+          UNION
+          SELECT id_person, claim_id, first_service_date FROM dxm
+          UNION
+          SELECT id_person, claim_id, first_service_date FROM rxm))
+      SELECT year_month, id_person, measure_name, num_denom, measure_value
+      FROM (
+        SELECT CAST(year(first_service_date) * 100 +
+            month(first_service_date) AS INTEGER) AS year_month,
+          id_person,
+          'Mental Health Treatment Penetration' AS measure_name,
+          'N' AS num_denom, MAX(1) AS measure_value
+        FROM num GROUP BY 1, 2
+        UNION ALL
+        SELECT CAST(year(first_service_date) * 100 +
+            month(first_service_date) AS INTEGER),
+          id_person, 'Mental Health Treatment Penetration', 'D', MAX(1)
+        FROM den GROUP BY 1, 2)
+      ORDER BY year_month, id_person, num_denom"""),
+
+    // q110: TPM by diagnosis sub-group — procedure claims fan out to all
+    // 7 sub-groups, primary-dx claims gated by a with-Dx-procedure semi
+    // join, pharmacy classes recoded to dx sub-groups.
+    "q110_tpm_by_dx" -> (VsFramesCte + """
+      num AS (
+        SELECT DISTINCT id_person, claim_id, first_service_date, sub_group
+        FROM (
+          SELECT p.id_person, p.claim_id, p.first_service_date, s.sub_group
+          FROM procm1 p CROSS JOIN
+            (SELECT DISTINCT sub_group FROM sg WHERE i < 7) s
+          UNION
+          SELECT d.id_person, d.claim_id, d.first_service_date, d.sub_group
+          FROM dxm d WHERE d.icdcm_number = '01'
+            AND d.claim_id IN (SELECT claim_id FROM procm2))),
+      den AS (
+        SELECT DISTINCT id_person, claim_id, first_service_date, sub_group
+        FROM (
+          SELECT id_person, claim_id, first_service_date, sub_group FROM dxm
+          UNION
+          SELECT id_person, claim_id, first_service_date,
+            CASE sub_group
+              WHEN 'ADHD Rx' THEN 'ADHD'
+              WHEN 'Antianxiety Rx' THEN 'Anxiety'
+              WHEN 'Antidepressants Rx' THEN 'Depression'
+              WHEN 'Antimania Rx' THEN 'Mania/Bipolar'
+              WHEN 'Antipsychotic Rx' THEN 'Psychotic' END
+          FROM rxm))
+      SELECT year_month, id_person, measure_name, num_denom, measure_value
+      FROM (
+        SELECT CAST(year(first_service_date) * 100 +
+            month(first_service_date) AS INTEGER) AS year_month,
+          id_person,
+          'MH Treatment Penetration: ' || sub_group AS measure_name,
+          'N' AS num_denom, MAX(1) AS measure_value
+        FROM num GROUP BY 1, 2, sub_group
+        UNION ALL
+        SELECT CAST(year(first_service_date) * 100 +
+            month(first_service_date) AS INTEGER),
+          id_person, 'MH Treatment Penetration: ' || sub_group, 'D', MAX(1)
+        FROM den GROUP BY 1, 2, sub_group)
+      ORDER BY year_month, id_person, measure_name, num_denom"""),
+
+    // q111: CAP ambulatory visits — one HEDIS value set against three
+    // claim frames (procedure, ICD-10 dx, line revenue), UNION-distinct,
+    // stamped with the service year_month.
+    "q111_cap_visits" -> """
+      WITH li AS (
+        SELECT o_custkey % 100 AS id_person, l_orderkey AS claim_id,
+          CAST(l_shipdate AS DATE) AS fsd, l_partkey, l_suppkey,
+          l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      visits AS (
+        SELECT DISTINCT id_person, claim_id, fsd AS first_service_date,
+          fsd + CAST(claim_id % 4 AS INT) AS last_service_date
+        FROM (
+          SELECT id_person, claim_id, fsd FROM li
+          WHERE 'PC' || CAST(l_suppkey % 40 AS VARCHAR)
+            IN ('PC0', 'PC3', 'PC6', 'PC9', 'PC12', 'PC15')
+          UNION
+          SELECT id_person, claim_id, fsd FROM li
+          WHERE (CASE WHEN l_partkey % 11 = 0 THEN 10
+                 WHEN fsd < DATE '1995-06-01' THEN 9 ELSE 10 END) = 10
+            AND 'DX' || CAST(l_partkey % 60 AS VARCHAR)
+              IN ('DX0', 'DX5', 'DX10', 'DX15', 'DX20', 'DX25', 'DX30',
+                  'DX35')
+          UNION
+          SELECT id_person, claim_id, fsd FROM li
+          WHERE 'RV' || CAST(l_partkey % 30 AS VARCHAR)
+            IN ('RV0', 'RV6', 'RV12', 'RV18', 'RV24')))
+      SELECT CAST(year(first_service_date) * 100 +
+          month(first_service_date) AS INTEGER) AS year_month,
+        id_person, claim_id, first_service_date, last_service_date,
+        1 AS flag
+      FROM visits
+      ORDER BY year_month, id_person, claim_id, first_service_date,
+        last_service_date""",
+
+    // q112: MH/AOD ED-episode pivot — primary-dx membership in two HEDIS
+    // sets, MAX(flag) pivoted to one row per ED episode.
+    "q112_mh_aod_ed" -> """
+      WITH headers AS (
+        SELECT CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey % 500 END
+            AS ed_pophealth_id,
+          'DX' || CAST(o_custkey % 60 AS VARCHAR) AS primary_diagnosis
+        FROM orders),
+      joined AS (
+        SELECT h.ed_pophealth_id, v.value_set_name
+        FROM headers h JOIN (
+          SELECT 'Mental Illness' AS value_set_name,
+            'DX' || CAST(i * 2 AS VARCHAR) AS code FROM range(0, 10) t(i)
+          UNION ALL
+          SELECT 'AOD Abuse and Dependence',
+            'DX' || CAST(i * 2 + 30 AS VARCHAR) FROM range(0, 10) t(i)) v
+          ON h.primary_diagnosis = v.code
+        WHERE h.ed_pophealth_id IS NOT NULL)
+      SELECT ed_pophealth_id,
+        coalesce(MAX(CASE WHEN value_set_name = 'Mental Illness'
+          THEN 1 END), 0) AS mental_illness,
+        coalesce(MAX(CASE WHEN value_set_name = 'AOD Abuse and Dependence'
+          THEN 1 END), 0) AS aod_abuse_dependence
+      FROM joined GROUP BY 1 ORDER BY ed_pophealth_id""",
+
+    // q113: connected components over a pair list — min reachable node id
+    // per node via a recursive CTE (the oracle computes the closure
+    // directly; Spark contracts it with large-star/small-star rounds).
+    "q113_dup_components" -> """
+      WITH RECURSIVE e0 AS (
+        SELECT o_orderkey % 400 AS src, (o_orderkey * 7 + 3) % 400 AS dst
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey % 400, o_custkey % 400
+        FROM orders WHERE o_orderkey % 5 = 0),
+      e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      sym AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION
+        SELECT dst, src FROM e),
+      reach AS (
+        SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node)
+      SELECT node AS id, min(lbl) AS component
+      FROM reach GROUP BY node ORDER BY id""",
+
+    // q114: enrollment-denominator window battery — dense member x month
+    // grid, flag joins, trailing/prior/leading frame sums, and the
+    // reference's two-window last-known-ZIP formulation (the Spark side
+    // uses last(..., ignoreNulls) over the same frame — equivalent).
+    "q114_enroll_denom" -> """
+      WITH demo AS (
+        SELECT id_person,
+          DATE '1950-01-01' + CAST((id_person * 97) % 15000 AS INT) AS dob
+        FROM (SELECT DISTINCT c_custkey % 150 AS id_person FROM customer)),
+      spine AS (
+        SELECT CAST((1996 + i // 12) * 100 + (i % 12 + 1) AS INT)
+            AS year_month,
+          CAST(i % 12 + 1 AS INT) AS month,
+          last_day(make_date(CAST(1996 + i // 12 AS INT),
+            CAST(i % 12 + 1 AS INT), 1)) AS end_month,
+          CAST(i + 1 AS INT) AS row_num
+        FROM range(0, 24) t(i)),
+      elig AS (
+        SELECT id_person, year_month,
+          CASE WHEN (id_person + year_month) % 7 = 0 THEN 'Y' ELSE 'N' END
+            AS dual,
+          CASE WHEN (id_person + year_month) % 5 = 0 THEN 'Y' ELSE ' ' END
+            AS tpl,
+          (id_person * 3 + year_month) % 6 AS rac_code,
+          CASE WHEN year_month % 3 <> 0 THEN '98' ||
+            lpad(CAST((id_person + year_month) % 100 AS VARCHAR), 3, '0')
+            END AS zip_code
+        FROM (SELECT DISTINCT o_custkey % 150 AS id_person,
+            year(o_orderdate) * 100 + month(o_orderdate) AS year_month
+          FROM orders)),
+      rac AS (
+        SELECT i AS rac_code,
+          CASE WHEN i % 2 = 0 THEN 'Y' ELSE 'N' END AS full_benefit
+        FROM range(0, 6) t(i)),
+      hospice AS (
+        SELECT id_person, year_month, 1 AS hospice_flag FROM elig
+        WHERE (id_person + year_month) % 11 = 0),
+      mm AS (
+        SELECT s.year_month, s.month, d.id_person, d.dob,
+          CAST(year(s.end_month) - year(d.dob) - CASE WHEN d.dob +
+            to_months(CAST((year(s.end_month) - year(d.dob)) * 12 AS INT))
+            > s.end_month THEN 1 ELSE 0 END AS INT) AS end_month_age,
+          CAST((year(s.end_month) - year(d.dob)) * 12 +
+            (month(s.end_month) - month(d.dob)) - CASE WHEN d.dob +
+            to_months(CAST((year(s.end_month) - year(d.dob)) * 12 +
+              (month(s.end_month) - month(d.dob)) AS INT)) > s.end_month
+            THEN 1 ELSE 0 END AS INT) AS age_in_months,
+          CASE WHEN e.id_person IS NOT NULL THEN 1 ELSE 0 END
+            AS enrolled_any,
+          CASE WHEN r.full_benefit = 'Y' THEN 1 ELSE 0 END AS full_benefit,
+          CASE WHEN e.dual = 'Y' THEN 1 ELSE 0 END AS dual,
+          CASE WHEN e.tpl = 'Y' THEN 1 ELSE 0 END AS tpl,
+          COALESCE(h.hospice_flag, 0) AS hospice,
+          CASE WHEN e.id_person IS NOT NULL AND r.full_benefit = 'Y'
+            AND e.dual = 'N' AND e.tpl = ' ' THEN 1 ELSE 0 END
+            AS full_criteria,
+          e.zip_code, s.row_num
+        FROM demo d CROSS JOIN spine s
+        LEFT JOIN elig e ON d.id_person = e.id_person
+          AND s.year_month = e.year_month
+        LEFT JOIN rac r ON e.rac_code = r.rac_code
+        LEFT JOIN hospice h ON d.id_person = h.id_person
+          AND s.year_month = h.year_month),
+      lym AS (
+        SELECT *, MAX(CASE WHEN zip_code IS NOT NULL THEN year_month END)
+          OVER (PARTITION BY id_person ORDER BY row_num
+            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS last_year_month
+        FROM mm),
+      w AS (
+        SELECT year_month,
+          CASE WHEN month IN (3, 6, 9, 12) THEN 1 ELSE 0 END
+            AS end_quarter,
+          id_person, dob, end_month_age,
+          CASE WHEN end_month_age BETWEEN 0 AND 20 THEN age_in_months END
+            AS age_in_months,
+          MAX(zip_code) OVER (PARTITION BY id_person, last_year_month)
+            AS last_zip_code,
+          enrolled_any,
+          CAST(SUM(enrolled_any) OVER w12 AS BIGINT) AS enrolled_any_t_12_m,
+          full_benefit, CAST(SUM(full_benefit) OVER w12 AS BIGINT) AS full_benefit_t_12_m,
+          dual, CAST(SUM(dual) OVER w12 AS BIGINT) AS dual_t_12_m,
+          tpl, CAST(SUM(tpl) OVER w12 AS BIGINT) AS tpl_t_12_m,
+          hospice, CAST(SUM(hospice) OVER w12 AS BIGINT) AS hospice_t_12_m,
+          CAST(SUM(hospice) OVER wp AS BIGINT) AS hospice_prior_t_12_m,
+          CAST(SUM(hospice) OVER wn AS BIGINT) AS hospice_p_2_m,
+          full_criteria,
+          CAST(SUM(full_criteria) OVER w12 AS BIGINT) AS full_criteria_t_12_m,
+          CAST(SUM(full_criteria) OVER wp AS BIGINT) AS full_criteria_prior_t_12_m,
+          CAST(SUM(full_criteria) OVER wn AS BIGINT) AS full_criteria_p_2_m
+        FROM lym
+        WINDOW
+          w12 AS (PARTITION BY id_person ORDER BY row_num
+            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+          wp AS (PARTITION BY id_person ORDER BY row_num
+            ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING),
+          wn AS (PARTITION BY id_person ORDER BY row_num
+            ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING))
+      SELECT * FROM w
+      WHERE year_month BETWEEN 199701 AND 199712
+        AND enrolled_any_t_12_m >= 1
+      ORDER BY id_person, year_month""",
   )
 }

@@ -820,6 +820,201 @@ object BuildQueries {
     * when an acute admission lands on the observation date or one day
     * after, deaths excluded, the exclusion claim set anti-joined, and
     * the medicine/surgery split from pivoted value-set flags. */
+  /** Shared synthetic claim frames for the value-set measure family
+    * (q109-q112): diagnosis rows (with a deliberately inconsistent
+    * icdcm_version sliver so the version/date cut actually filters),
+    * procedure rows, pharmacy fills, and the RDA/HEDIS code dims. */
+  private[graft] object Vs {
+    val subGroups = Seq("ADHD", "Adjustment", "Anxiety", "Depression",
+      "Disrup/Impulse/Conduct", "Mania/Bipolar", "Psychotic")
+    val rxClasses = Seq("ADHD Rx", "Antianxiety Rx", "Antidepressants Rx",
+      "Antimania Rx", "Antipsychotic Rx")
+    val rxRecode: Map[String, String] = Map(
+      "ADHD Rx" -> "ADHD", "Antianxiety Rx" -> "Anxiety",
+      "Antidepressants Rx" -> "Depression",
+      "Antimania Rx" -> "Mania/Bipolar", "Antipsychotic Rx" -> "Psychotic")
+    val cut = "1995-06-01"
+
+    def li(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") % 100).as("id_person"),
+          col("l_orderkey").as("claim_id"),
+          to_date(col("l_shipdate")).as("first_service_date"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+
+    def dx(s: SparkSession, dir: String): DataFrame =
+      li(s, dir).select(col("id_person"), col("claim_id"),
+        col("first_service_date"),
+        when(col("l_partkey") % 11 === 0, 10)
+          .when(col("first_service_date") < to_date(lit(cut)), 9)
+          .otherwise(10).as("icdcm_version"),
+        when(col("l_linenumber") % 2 === 1, "01").otherwise("02")
+          .as("icdcm_number"),
+        concat(lit("DX"), (col("l_partkey") % 60).cast("string"))
+          .as("icdcm_norm"))
+
+    def proc(s: SparkSession, dir: String): DataFrame =
+      li(s, dir).select(col("id_person"), col("claim_id"),
+        col("first_service_date"),
+        concat(lit("PC"), (col("l_suppkey") % 40).cast("string"))
+          .as("procedure_code"))
+
+    def pharm(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select((col("o_custkey") % 100).as("id_person"),
+          col("o_orderkey").as("claim_id"),
+          to_date(col("o_orderdate")).as("rx_fill_date"),
+          concat(lit("ND"), (col("o_orderkey") % 50).cast("string"))
+            .as("ndc"))
+
+    /** The ref.rda_value_set dim — a curated lookup in the reference,
+      * reproduced as a deterministic literal frame (broadcast either
+      * way). */
+    def rda(s: SparkSession): DataFrame = {
+      import s.implicits._
+      def cptHcpcs(i: Int) = if (i % 2 == 0) "CPT" else "HCPCS"
+      val rows =
+        (0 until 8).map(i => ("MH-procedure-value-set", cptHcpcs(i),
+          s"PC$i", null: String, "Y")) ++
+        (8 until 14).map(i => ("MH-procedure-with-Dx-value-set",
+          cptHcpcs(i), s"PC$i", null: String, "Y")) ++
+        (0 until 24).map(i => ("MH-Dx-value-set", "ICD9CM", s"DX$i",
+          subGroups(i % 7), "Y")) ++
+        (12 until 48).map(i => ("MH-Dx-value-set", "ICD10CM", s"DX$i",
+          subGroups(i % 7), "Y")) ++
+        (0 until 20).map(i => ("MH-Rx-value-set", "NDC", s"ND$i",
+          rxClasses(i % 5), "Y"))
+      rows.toDF("value_set_name", "code_set", "code", "sub_group",
+        "active")
+    }
+  }
+
+  /** §2.9 RDA MH treatment-penetration staging rows (q109): value-set
+    * membership joins over procedure/dx/pharm frames, the reference's
+    * UNION/INTERSECT numerator and 3-arm denominator, folded to one
+    * MAX(flag) row per (year_month, person) tagged N/D
+    * (create_stage.v_perf_tpm_*.sql + sp_perf_staging.sql:414-492). */
+  def q109TpmStaging(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.ValueSetMeasures
+    ValueSetMeasures.tpmStaging(Vs.proc(s, dir), Vs.dx(s, dir),
+        Vs.pharm(s, dir), Vs.rda(s),
+        "Mental Health Treatment Penetration", Vs.cut)
+      .orderBy(col("year_month"), col("id_person"), col("num_denom"))
+  }
+
+  /** §2.9 TPM by-diagnosis sub-group variant (q110): procedure claims
+    * fan out to every sub-group (broadcast cross join with the 7-row
+    * list), primary-dx claims keep their code's sub-group gated by a
+    * LEFT SEMI join on with-Dx procedure claims; pharmacy classes recode
+    * to dx sub-groups in the denominator
+    * (create_stage.v_perf_tpm_by_dx_*.sql). */
+  def q110TpmByDx(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.ValueSetMeasures
+    val rda = Vs.rda(s)
+    val num = ValueSetMeasures.tpmByDxNumerator(Vs.proc(s, dir),
+      Vs.dx(s, dir), rda, Vs.subGroups, Vs.cut)
+    val den = ValueSetMeasures.tpmByDxDenominator(Vs.dx(s, dir),
+      Vs.pharm(s, dir), rda, Vs.rxRecode, Vs.cut)
+    ValueSetMeasures.byDxStaging(num, "MH Treatment Penetration", "N")
+      .unionAll(ValueSetMeasures.byDxStaging(den,
+        "MH Treatment Penetration", "D"))
+      .orderBy(col("year_month"), col("id_person"), col("measure_name"),
+        col("num_denom"))
+  }
+
+  /** §2.9 CAP ambulatory-visit feeder (q111): one HEDIS value set matched
+    * against three claim frames (procedure CPT/HCPCS, ICD-10 dx, line
+    * revenue codes), UNION-distinct, stamped with the service year_month
+    * (create_stage.v_perf_cap_ambulatory_visit.sql). The line frame
+    * reuses the dx codes as revenue codes under the UBREV code_set —
+    * distinct code-system namespaces may share strings. */
+  def q111CapVisits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Vs.li(s, dir)
+    val withLsd = (df: DataFrame) => df.withColumn("last_service_date",
+      date_add(col("first_service_date"), (col("claim_id") % 4).cast("int")))
+    val proc = withLsd(Vs.proc(s, dir))
+    val dx10 = withLsd(Vs.dx(s, dir)).filter(col("icdcm_version") === 10)
+    val lines = withLsd(li.select(col("id_person"), col("claim_id"),
+      col("first_service_date"),
+      concat(lit("RV"), (col("l_partkey") % 30).cast("string"))
+        .as("rev_code")))
+    val hedis =
+      ((0 until 6).map(i => ("Ambulatory Visits",
+          (if (i % 2 == 0) "CPT" else "HCPCS"), s"PC${i * 3}")) ++
+        (0 until 8).map(i => ("Ambulatory Visits", "ICD10CM", s"DX${i * 5}")) ++
+        (0 until 5).map(i => ("Ambulatory Visits", "UBREV", s"RV${i * 6}")))
+        .toDF("value_set_name", "code_set", "code")
+        .withColumn("sub_group", lit(null).cast("string"))
+    graft.builds.ValueSetMeasures.capAmbulatoryVisits(proc, dx10, lines,
+        hedis)
+      .orderBy(col("year_month"), col("id_person"), col("claim_id"),
+        col("first_service_date"), col("last_service_date"))
+  }
+
+  /** §2.9 MH/AOD ED-episode pivot (q112): ED population-health episodes
+    * classified by primary-dx membership in two HEDIS sets, PIVOTed to
+    * one row per episode with explicit pivot values (no discovery scan)
+    * (create_stage.v_mcaid_mh_aod_ed.sql). */
+  def q112MhAodEd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val headers = t(s, dir, "orders").select(
+      when(col("o_orderkey") % 3 =!= 0, col("o_orderkey") % 500)
+        .as("ed_pophealth_id"),
+      lit(10).as("icdcm_version"),
+      concat(lit("DX"), (col("o_custkey") % 60).cast("string"))
+        .as("primary_diagnosis"))
+    val hedis =
+      ((0 until 10).map(i => ("Mental Illness", "ICD10CM", s"DX${i * 2}")) ++
+        (0 until 10).map(i => ("AOD Abuse and Dependence", "ICD10CM",
+          s"DX${i * 2 + 30}")))
+        .toDF("value_set_name", "code_set", "code")
+    graft.builds.ValueSetMeasures.mhAodEd(headers, hedis)
+      .orderBy(col("ed_pophealth_id"))
+  }
+
+  /** §2.9 performance-measure enrollment denominator (q114): dense
+    * member x month grid with eligibility/RAC/hospice flags, then the
+    * trailing-12 / prior-12 / next-2 window battery and last-known-ZIP
+    * fill, filtered to in-range months with any trailing-year enrollment
+    * (fn_mcaid_perf_enroll_member_month.sql +
+    * sp_mcaid_perf_enroll_denom.sql). */
+  def q114EnrollDenom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val demo = t(s, dir, "customer")
+      .select((col("c_custkey") % 150).as("id_person")).distinct()
+      .withColumn("dob", date_add(to_date(lit("1950-01-01")),
+        ((col("id_person") * 97) % 15000).cast("int")))
+    val spine = (0 until 24).map { i =>
+        val y = 1996 + i / 12; val m = i % 12 + 1
+        (y * 100 + m, m, f"$y-$m%02d-01", i + 1)
+      }.toDF("year_month", "month", "beg", "row_num")
+      .withColumn("end_month", last_day(to_date(col("beg")))).drop("beg")
+    val ym = col("id_person") + col("year_month")
+    val elig = t(s, dir, "orders")
+      .select((col("o_custkey") % 150).as("id_person"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("year_month"))
+      .distinct()
+      .select(col("id_person"), col("year_month"),
+        when(ym % 7 === 0, "Y").otherwise("N").as("dual"),
+        when(ym % 5 === 0, "Y").otherwise(" ").as("tpl"),
+        ((col("id_person") * 3 + col("year_month")) % 6).as("rac_code"),
+        when(col("year_month") % 3 =!= 0,
+          concat(lit("98"), lpad((ym % 100).cast("string"), 3, "0")))
+          .as("zip_code"))
+    val rac = (0 until 6).map(i => (i, if (i % 2 == 0) "Y" else "N"))
+      .toDF("rac_code", "full_benefit")
+    val hospice = elig.filter(ym % 11 === 0)
+      .select(col("id_person"), col("year_month"),
+        lit(1).as("hospice_flag"))
+    graft.builds.EnrollDenom.enrollDenom(
+        graft.builds.EnrollDenom.memberMonths(demo, spine, elig, rac,
+          hospice), 199701, 199712)
+      .orderBy(col("id_person"), col("year_month"))
+  }
+
   def q106AhNumerator(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val pid = (col("o_custkey") % 90).as("id_person")

@@ -143,4 +143,25 @@ object TextQueries {
     Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 16, w = 8, minShared = 5)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Connected-components duplicate clustering (q113): transitive closure
+    * of a pair list via alternating large-star/small-star rounds
+    * ([[graft.operators.Components]]) — what turns pairwise near-dup
+    * output into "keep one copy per duplicate GROUP". Edges here are a
+    * deterministic synthetic graph (an affine chain family plus a
+    * custkey-mixing family, so multi-hop chains actually occur) so the
+    * DuckDB oracle can replicate the closure with a recursive CTE;
+    * ComponentsSpec wires the operator to real minhash pair output. */
+  def q113Components(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val e1 = o.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") % 400).as("src"),
+        ((col("o_orderkey") * 7 + 3) % 400).as("dst"))
+    val e2 = o.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") % 400).as("src"),
+        (col("o_custkey") % 400).as("dst"))
+    graft.operators.Components.connectedComponents(e1.union(e2),
+        "src", "dst")
+      .orderBy(col("id"))
+  }
 }

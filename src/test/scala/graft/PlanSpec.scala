@@ -116,7 +116,11 @@ class PlanSpec extends SparkSpec {
                                // broadcast dim side is the designed plan
       "q15_topn",        // windowless rank: n x n broadcast self-join,
       "q62_top_causes",  // bounded by limit(n) upstream (core/TopN)
-      "q78_contamination") // broadcast probe set x corpus: the designed shape
+      "q78_contamination", // broadcast probe set x corpus: the designed shape
+      "q110_tpm_by_dx",  // procedure claims x broadcast 7-row sub-group
+                         // list (v_perf_tpm_by_dx_numerator CROSS JOIN)
+      "q114_enroll_denom") // member x broadcast 24-row month spine (the
+                           // fn_mcaid_perf_enroll_member_month CROSS JOIN)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
