@@ -194,6 +194,8 @@ object SparkEntry {
     "q112_mh_aod_ed" -> (graft.queries.BuildQueries.q112MhAodEd _),
     "q113_dup_components" -> (T.q113Components _),
     "q114_enroll_denom" -> (graft.queries.BuildQueries.q114EnrollDenom _),
+    "q115_pqi_ed" -> (graft.queries.BuildQueries.q115PqiEd _),
+    "q116_vocab_coverage" -> (T.q116VocabCoverage _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -3769,5 +3771,105 @@ object SparkEntry {
       WHERE year_month BETWEEN 199701 AND 199712
         AND enrolled_any_t_12_m >= 1
       ORDER BY id_person, year_month""",
+
+    // q115: PQI ED classifier — per-indicator primary-dx inclusion with
+    // NOT IN exclusion chains (anti joins), group recodes, one
+    // proc-INTERSECT-dx inclusion, episode MAX + wide pivot + composite.
+    // Value-set membership reduces to residue ranges of the synthetic
+    // code mapping (codes are 'DX'||k etc., so membership is k BETWEEN).
+    "q115_pqi_ed" -> """
+      WITH li AS (
+        SELECT l_orderkey AS claim_id, CAST(l_shipdate AS DATE) AS fsd,
+          l_partkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      hdr AS (
+        SELECT o_orderkey AS claim_id,
+          CASE WHEN o_orderkey % 4 <> 0 THEN o_orderkey % 300 END AS ed,
+          o_custkey % 60 AS pdx, o_orderkey % 20 AS drg
+        FROM orders),
+      dxc AS (
+        SELECT claim_id, l_partkey % 60 AS dxn,
+          CASE WHEN l_partkey % 11 = 0 THEN 10
+               WHEN fsd < DATE '1995-06-01' THEN 9 ELSE 10 END AS ver
+        FROM li),
+      prc AS (SELECT claim_id, l_suppkey % 40 AS pcn FROM li),
+      respan AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 50 AND 55),
+      carp AS (SELECT DISTINCT claim_id FROM prc
+        WHERE pcn BETWEEN 0 AND 3),
+      hy2d AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 24 AND 27),
+      dialy AS (SELECT DISTINCT claim_id FROM prc
+        WHERE pcn BETWEEN 4 AND 6),
+      lea2d AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 56 AND 58),
+      mdc14 AS (SELECT DISTINCT claim_id FROM hdr
+        WHERE drg BETWEEN 0 AND 3),
+      rules AS (
+        SELECT 'PQI 01' AS g, claim_id, ed FROM hdr
+        WHERE ed IS NOT NULL AND pdx BETWEEN 0 AND 5
+        UNION ALL
+        SELECT 'PQI 03', claim_id, ed FROM hdr
+        WHERE ed IS NOT NULL AND pdx BETWEEN 6 AND 11
+        UNION ALL
+        SELECT 'PQI 05', claim_id, ed FROM hdr
+        WHERE ed IS NOT NULL AND pdx BETWEEN 12 AND 19
+          AND claim_id NOT IN (SELECT claim_id FROM respan)
+        UNION ALL
+        SELECT 'PQI 07', claim_id, ed FROM hdr
+        WHERE ed IS NOT NULL AND pdx BETWEEN 20 AND 23
+          AND claim_id NOT IN (SELECT claim_id FROM carp)
+          AND claim_id NOT IN (SELECT claim_id FROM hy2d
+            INTERSECT SELECT claim_id FROM dialy)
+        UNION ALL
+        SELECT 'PQI 14', claim_id, ed FROM hdr
+        WHERE ed IS NOT NULL AND pdx BETWEEN 28 AND 31
+        UNION ALL
+        SELECT 'PQI 15', claim_id, ed FROM hdr
+        WHERE ed IS NOT NULL AND pdx BETWEEN 16 AND 19
+          AND claim_id NOT IN (SELECT claim_id FROM respan)
+        UNION ALL
+        SELECT 'PQI 16', h.claim_id, h.ed FROM hdr h
+        JOIN (SELECT claim_id FROM prc WHERE pcn BETWEEN 8 AND 12
+              INTERSECT
+              SELECT claim_id FROM dxc
+              WHERE ver = 10 AND dxn BETWEEN 32 AND 35) i
+          ON h.claim_id = i.claim_id
+        WHERE h.ed IS NOT NULL
+          AND h.claim_id NOT IN (SELECT claim_id FROM lea2d)
+          AND h.claim_id NOT IN (SELECT claim_id FROM mdc14)),
+      agg AS (SELECT g, ed, 1 AS flag FROM rules GROUP BY g, ed)
+      SELECT ed AS ed_pophealth_id,
+        COALESCE(MAX(CASE WHEN g = 'PQI 01' THEN flag END), 0) AS pqi_01,
+        COALESCE(MAX(CASE WHEN g = 'PQI 03' THEN flag END), 0) AS pqi_03,
+        COALESCE(MAX(CASE WHEN g = 'PQI 05' THEN flag END), 0) AS pqi_05,
+        COALESCE(MAX(CASE WHEN g = 'PQI 07' THEN flag END), 0) AS pqi_07,
+        COALESCE(MAX(CASE WHEN g = 'PQI 14' THEN flag END), 0) AS pqi_14,
+        COALESCE(MAX(CASE WHEN g = 'PQI 15' THEN flag END), 0) AS pqi_15,
+        COALESCE(MAX(CASE WHEN g = 'PQI 16' THEN flag END), 0) AS pqi_16,
+        CASE WHEN COALESCE(MAX(flag), 0) >= 1 THEN 1 ELSE 0 END
+          AS pqi_composite
+      FROM agg GROUP BY ed ORDER BY ed_pophealth_id""",
+
+    // q116: corpus vocabulary + per-doc rare-token coverage — integer
+    // counts throughout; the one ratio is a double division per doc.
+    "q116_vocab_coverage" -> """
+      WITH occ AS (
+        SELECT doc_id, w, count(*) AS n FROM (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents)
+        WHERE len(w) > 0
+        GROUP BY doc_id, w),
+      vocab AS (SELECT w, sum(n) AS c FROM occ GROUP BY w)
+      SELECT o.doc_id,
+        CAST(sum(o.n) AS BIGINT) AS n_tokens,
+        count(*) AS n_distinct,
+        CAST(sum(CASE WHEN v.c < 5 THEN o.n ELSE 0 END) AS BIGINT)
+          AS n_rare,
+        round(sum(CASE WHEN v.c < 5 THEN o.n ELSE 0 END) /
+          CAST(sum(o.n) AS DOUBLE), 4) AS rare_rate
+      FROM occ o JOIN vocab v ON o.w = v.w
+      GROUP BY o.doc_id ORDER BY o.doc_id""",
   )
 }

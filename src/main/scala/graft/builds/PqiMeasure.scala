@@ -1,0 +1,54 @@
+package graft.builds
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AHRQ Prevention Quality Indicator (PQI) classifiers — the reference's
+  * ED / inpatient PQI views (create_stage.v_mcaid_pqi_ed.sql,
+  * create_stage.v_mcaid_pqi_inpatient.sql): a stack of indicator rules,
+  * each "primary diagnosis in an AHRQ value set, minus claims in
+  * exclusion value sets", aggregated to the ED-episode level and pivoted
+  * to one wide row per episode with a composite flag.
+  *
+  * Shapes vs the T-SQL: every `claim_header_id NOT IN (subquery)` is a
+  * LEFT ANTI hash join on the claim id (claim ids are non-null here, so
+  * NOT IN's three-valued-logic trap does not bite); the rule stack is a
+  * UNION of independently-filtered scans; the PIVOT gets its explicit
+  * group list so no distinct-discovery job runs. All the anti joins key
+  * on claim_id, so AQE plans them as consecutive shuffle-hash joins on
+  * one key — at statewide scale the exclusion sets are small fractions
+  * of the claim table and arrive pre-aggregated (DISTINCT claim ids).
+  */
+object PqiMeasure {
+
+  /** The `NOT IN (SELECT DISTINCT claim_header_id ...)` chain: one LEFT
+    * ANTI join per exclusion frame (each carrying claim_id). */
+  def excludeClaims(include: DataFrame,
+      exclusions: Seq[DataFrame]): DataFrame =
+    exclusions.foldLeft(include)((acc, ex) =>
+      acc.join(ex.select(col("claim_id")).distinct(), Seq("claim_id"),
+          "left_anti")
+        // key-joins move claim_id first; restore the caller's column
+        // order so rule frames stay positionally union-able
+        .select(acc.columns.map(col): _*))
+
+  /** Episode-level wide pivot (v_mcaid_pqi_ed.sql:269-311): MAX(flag) per
+    * (group, episode), explicit-list pivot to pqi_NN columns, plus the
+    * any-indicator composite. `rules` carries (value_set_group, claim_id,
+    * ed_pophealth_id, flag); `groups` are e.g. "PQI 01". */
+  def pqiPivot(rules: DataFrame, groups: Seq[String]): DataFrame = {
+    val agg = rules.groupBy(col("value_set_group"),
+        col("ed_pophealth_id"))
+      .agg(max(col("flag")).as("flag"))
+    val wide = agg.groupBy(col("ed_pophealth_id"))
+      .pivot(col("value_set_group"), groups)
+      .agg(max(col("flag")))
+    val outCols = groups.map { g =>
+      coalesce(wide(g), lit(0)).as("pqi_" + g.split(" ").last)
+    }
+    val composite = when(
+      groups.map(g => coalesce(wide(g), lit(0))).reduce(_ + _) >= 1, 1)
+      .otherwise(0).as("pqi_composite")
+    wide.select(col("ed_pophealth_id") +: outCols :+ composite: _*)
+  }
+}

@@ -190,4 +190,46 @@ object TextAnalysis {
       qualityScore(t).as("quality"),
       fingerprint(t).as("fp"))
   }
+
+  /** Corpus vocabulary + per-doc rare-token coverage — the
+    * vocabulary-coverage filter of a training-data pipeline (docs whose
+    * tokens fall mostly outside the corpus vocabulary are OCR garbage,
+    * wrong-language slices, or encoding noise).
+    *
+    * Two aggregations: (1) corpus token counts (partial-aggregated
+    * shuffle on the token — the per-token histogram, i.e. the vocabulary
+    * build); (2) per-doc totals after joining each token occurrence to
+    * its corpus count. The join keys on the token string; at 100 TB the
+    * head of the vocabulary is a classic skew key, so occurrences are
+    * pre-collapsed to (doc, token, n) before joining — the join fan-in
+    * per doc is its DISTINCT token count, and the hot-token rows carry a
+    * count instead of repeating.
+    *
+    * All signals are integer-exact; the single ratio is one double
+    * division per doc, reproducible across engines.
+    *
+    * @param minCount vocabulary threshold: a token is in-vocabulary iff
+    *                 it occurs >= minCount times corpus-wide
+    */
+  def vocabCoverage(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", minCount: Long = 5): DataFrame = {
+    val occ = docs
+      .select(col(id).as("doc_id"),
+        explode(split(trim(lower(col(text))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val vocab = occ.groupBy(col("w"))
+      .agg(sum(col("n")).as("c"))
+    occ.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") < minCount, col("n")).otherwise(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 4)
+          .as("rare_rate"))
+  }
 }

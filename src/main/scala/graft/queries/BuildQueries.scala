@@ -1015,6 +1015,90 @@ object BuildQueries {
       .orderBy(col("id_person"), col("year_month"))
   }
 
+  /** §2.9 AHRQ PQI ED classifier (q115): stacked indicator rules —
+    * primary-dx value-set inclusion (one with a proc-INTERSECT-dx
+    * inclusion), chained anti-join exclusions over dx/procedure/DRG value
+    * sets, group recodes, episode-level MAX, explicit wide pivot +
+    * composite (create_stage.v_mcaid_pqi_ed.sql). */
+  def q115PqiEd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.builds.PqiMeasure.{excludeClaims, pqiPivot}
+    val headers = t(s, dir, "orders").select(
+      col("o_orderkey").as("claim_id"),
+      when(col("o_orderkey") % 4 =!= 0, col("o_orderkey") % 300)
+        .as("ed_pophealth_id"),
+      concat(lit("DX"), (col("o_custkey") % 60).cast("string"))
+        .as("primary_diagnosis"),
+      concat(lit("DRG"), (col("o_orderkey") % 20).cast("string"))
+        .as("drg_code"))
+    val dx = Vs.dx(s, dir)
+    val proc = Vs.proc(s, dir)
+    def mk(name: String, group: String, prefix: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (name, group, s"$prefix$i"))
+    val ahrq = (mk("ACDIASD", "PQI 01", "DX", 0, 6) ++
+      mk("ACDIALD", "PQI 03", "DX", 6, 12) ++
+      mk("ACCOPDD", "PQI 05", "DX", 12, 16) ++
+      mk("ACSASTD", "PQI 05/PQI 15", "DX", 16, 20) ++
+      mk("RESPAN", "EXCL", "DX", 50, 56) ++
+      mk("ACSHYPD", "PQI 07", "DX", 20, 24) ++
+      mk("ACSCARP", "EXCL", "PC", 0, 4) ++
+      mk("ACSHY2D", "EXCL", "DX", 24, 28) ++
+      mk("DIALY2P", "EXCL", "PC", 4, 7) ++
+      mk("ACDIAUD", "PQI 14", "DX", 28, 32) ++
+      mk("ACSLEAP", "PQI 16", "PC", 8, 13) ++
+      mk("ACSLEAD", "PQI 16", "DX", 32, 36) ++
+      mk("ACLEA2D", "EXCL", "DX", 56, 59) ++
+      mk("MDC 14", "EXCL", "DRG", 0, 4))
+      .toDF("value_set_name", "value_set_group", "code")
+    def vs(name: String) =
+      broadcast(ahrq.filter(col("value_set_name") === name)
+        .select(col("code"), col("value_set_group")))
+    // primary-dx inclusion arm: ED episodes only
+    def hdrVs(name: String, group: String) =
+      headers.join(vs(name), col("primary_diagnosis") === col("code"))
+        .filter(col("ed_pophealth_id").isNotNull)
+        .select(lit(group).as("value_set_group"), col("claim_id"),
+          col("ed_pophealth_id"), lit(1).as("flag"))
+    // exclusion claim sets (dx exclusions are ICD-10 only, per the view)
+    def dxClaims(name: String) =
+      dx.filter(col("icdcm_version") === 10)
+        .join(vs(name), col("icdcm_norm") === col("code"))
+        .select(col("claim_id"))
+    def procClaims(name: String) =
+      proc.join(vs(name), col("procedure_code") === col("code"))
+        .select(col("claim_id"))
+    def drgClaims(name: String) =
+      headers.join(vs(name), col("drg_code") === col("code"))
+        .select(col("claim_id"))
+    val rules = Seq(
+      hdrVs("ACDIASD", "PQI 01"),
+      hdrVs("ACDIALD", "PQI 03"),
+      // PQI 05: COPD + asthma dx, recoded to one group, resp-anomaly excl
+      excludeClaims(hdrVs("ACCOPDD", "PQI 05")
+        .unionAll(hdrVs("ACSASTD", "PQI 05")),
+        Seq(dxClaims("RESPAN"))),
+      // PQI 07: hypertension minus cardiac-proc claims minus
+      // (stage-2-dx INTERSECT dialysis-proc) claims
+      excludeClaims(hdrVs("ACSHYPD", "PQI 07"),
+        Seq(procClaims("ACSCARP"),
+          dxClaims("ACSHY2D").intersect(procClaims("DIALY2P")))),
+      hdrVs("ACDIAUD", "PQI 14"),
+      // PQI 15: the asthma set again under its second group
+      excludeClaims(hdrVs("ACSASTD", "PQI 15"), Seq(dxClaims("RESPAN"))),
+      // PQI 16: proc-INTERSECT-dx inclusion joined back for the episode
+      excludeClaims(
+        procClaims("ACSLEAP").intersect(dxClaims("ACSLEAD"))
+          .join(headers.filter(col("ed_pophealth_id").isNotNull),
+            Seq("claim_id"))
+          .select(lit("PQI 16").as("value_set_group"), col("claim_id"),
+            col("ed_pophealth_id"), lit(1).as("flag")),
+        Seq(dxClaims("ACLEA2D"), drgClaims("MDC 14"))))
+    pqiPivot(rules.reduce(_ unionAll _),
+        Seq("PQI 01", "PQI 03", "PQI 05", "PQI 07", "PQI 14", "PQI 15",
+          "PQI 16"))
+      .orderBy(col("ed_pophealth_id"))
+  }
+
   def q106AhNumerator(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val pid = (col("o_custkey") % 90).as("id_person")

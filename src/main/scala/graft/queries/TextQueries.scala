@@ -152,6 +152,14 @@ object TextQueries {
     * custkey-mixing family, so multi-hop chains actually occur) so the
     * DuckDB oracle can replicate the closure with a recursive CTE;
     * ComponentsSpec wires the operator to real minhash pair output. */
+  /** Corpus vocabulary build + per-doc rare-token coverage (q116): the
+    * vocabulary-coverage quality filter — integer-exact corpus token
+    * histogram joined back per (doc, token) occurrence group. */
+  def q116VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5)
+      .orderBy(col("doc_id"))
+
   def q113Components(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val e1 = o.filter(col("o_orderkey") % 3 === 0)

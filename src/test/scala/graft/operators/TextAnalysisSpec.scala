@@ -51,4 +51,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 3.0 / 32.0) < 1e-9) // , ! . of 32 chars
     assert(r.getString(2) == r.getString(3)) // normalization-invariant
   }
+
+  test("vocabCoverage: corpus threshold, per-doc rare counts") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: aa=3 (in vocab at minCount=3), bb=2, cc=1 (rare)
+    val docs = Seq(
+      (1L, "aa aa bb"),
+      (2L, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, minCount = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 1L, 0.3333),  // bb below threshold
+      (2L, 3L, 3L, 2L, 0.6667))) // bb + cc below threshold
+  }
 }
