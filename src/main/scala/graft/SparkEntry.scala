@@ -196,6 +196,9 @@ object SparkEntry {
     "q114_enroll_denom" -> (graft.queries.BuildQueries.q114EnrollDenom _),
     "q115_pqi_ed" -> (graft.queries.BuildQueries.q115PqiEd _),
     "q116_vocab_coverage" -> (T.q116VocabCoverage _),
+    "q117_json_extract" -> (R.q117JsonExtract _),
+    "q118_mcaid_mcare_timevar" ->
+      (graft.queries.BuildQueries.q118McaidMcareTimevar _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -3871,5 +3874,156 @@ object SparkEntry {
           CAST(sum(o.n) AS DOUBLE), 4) AS rare_rate
       FROM occ o JOIN vocab v ON o.w = v.w
       GROUP BY o.doc_id ORDER BY o.doc_id""",
+
+    // q117: declared-schema JSON field extraction over events.props,
+    // aggregated per event type.
+    "q117_json_extract" -> """
+      WITH ex AS (
+        SELECT event_type,
+          CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(k) AS BIGINT) AS sum_k,
+        min(k) AS min_k, max(k) AS max_k,
+        round(avg(k), 4) AS avg_k,
+        CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null_k
+      FROM ex GROUP BY event_type ORDER BY event_type""",
+
+    // q118: combined mcaid+mcare elig_timevar — sweep-line overlay of the
+    // two per-person interval sets, equal-attribute collapse, flag
+    // battery (incl. the reference's R-precedence full_criteria quirk:
+    // the part-A/B disjunct applies unconditionally).
+    "q118_mcaid_mcare_timevar" -> """
+      WITH om AS (
+        SELECT DISTINCT o_custkey % 60 AS p,
+          date_trunc('month', o_orderdate)::DATE AS m
+        FROM orders),
+      ma AS (
+        SELECT p AS id_apde, m AS from_date, last_day(m) AS to_date,
+          0 AS dual,
+          CASE WHEN (p + mi) % 5 = 0 THEN 1 ELSE 0 END AS tpl,
+          CASE WHEN (p + mi) % 3 <> 0 THEN 1 ELSE 0 END AS full_benefit,
+          CASE WHEN (p + mi) % 2 = 0 THEN 'FFS' ELSE 'MC' END AS cov_type,
+          'Z' || ((p + mi // 4) % 4)::VARCHAR AS geo_zip,
+          CASE WHEN (p + mi) % 4 = 0 THEN '033'
+               WHEN (p + mi) % 4 = 1 THEN '053' END AS geo_county_code
+        FROM (SELECT p, m, year(m) * 12 + month(m) AS mi FROM om
+              WHERE p % 3 <> 0)),
+      mc AS (
+        SELECT p AS id_apde, m + 14 AS from_date,
+          last_day(m) + 14 AS to_date,
+          CASE WHEN (p + mi) % 4 <> 0 THEN 1 ELSE 0 END AS part_a,
+          CASE WHEN (p + mi) % 5 <> 0 THEN 1 ELSE 0 END AS part_b,
+          CASE WHEN (p + mi) % 7 = 0 THEN 1 ELSE 0 END AS part_c,
+          CASE WHEN (p + mi) % 6 = 0 THEN 1 ELSE 0 END AS partial,
+          CASE WHEN (p + mi) % 8 = 0 THEN 1 ELSE 0 END AS buy_in,
+          'Z' || ((p + mi // 3) % 4)::VARCHAR AS geo_zip_mcare
+        FROM (SELECT p, m, year(m) * 12 + month(m) AS mi FROM om
+              WHERE p % 2 = 0)),
+      pts AS (
+        SELECT id_apde, from_date AS pt FROM ma
+        UNION SELECT id_apde, to_date + 1 FROM ma
+        UNION SELECT id_apde, from_date FROM mc
+        UNION SELECT id_apde, to_date + 1 FROM mc),
+      segs AS (
+        SELECT id_apde, pt AS f,
+          lead(pt) OVER (PARTITION BY id_apde ORDER BY pt) - 1 AS t
+        FROM pts
+        QUALIFY lead(pt) OVER (PARTITION BY id_apde ORDER BY pt)
+          IS NOT NULL),
+      lab AS (
+        SELECT s.id_apde, s.f, s.t,
+          a.dual, a.tpl, a.full_benefit, a.cov_type, a.geo_zip,
+          a.geo_county_code,
+          c.part_a, c.part_b, c.part_c, c.partial, c.buy_in,
+          c.geo_zip_mcare
+        FROM segs s
+        LEFT JOIN ma a ON s.id_apde = a.id_apde
+          AND s.f BETWEEN a.from_date AND a.to_date
+        LEFT JOIN mc c ON s.id_apde = c.id_apde
+          AND s.f BETWEEN c.from_date AND c.to_date
+        WHERE a.from_date IS NOT NULL OR c.from_date IS NOT NULL),
+      isl AS (
+        SELECT *, sum(CASE WHEN prev_t IS NULL
+              OR date_diff('day', prev_t, f) > 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY id_apde, dual, tpl, full_benefit, cov_type,
+              geo_zip, geo_county_code, part_a, part_b, part_c, partial,
+              buy_in, geo_zip_mcare ORDER BY f, t
+              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM (SELECT *, lag(t) OVER (PARTITION BY id_apde, dual, tpl,
+                full_benefit, cov_type, geo_zip, geo_county_code, part_a,
+                part_b, part_c, partial, buy_in, geo_zip_mcare
+                ORDER BY f, t) AS prev_t FROM lab)),
+      coll AS (
+        SELECT id_apde, dual, tpl, full_benefit, cov_type, geo_zip,
+          geo_county_code, part_a, part_b, part_c, partial, buy_in,
+          geo_zip_mcare, min(f) AS from_date, max(t) AS to_date
+        FROM isl
+        GROUP BY id_apde, dual, tpl, full_benefit, cov_type, geo_zip,
+          geo_county_code, part_a, part_b, part_c, partial, buy_in,
+          geo_zip_mcare, isl),
+      flg AS (
+        SELECT *,
+          CASE WHEN part_a = 1 OR part_b = 1 OR part_c = 1
+            THEN 1 ELSE 0 END AS mcare,
+          CASE WHEN cov_type IS NOT NULL THEN 1 ELSE 0 END AS mcaid
+        FROM coll),
+      flg2 AS (
+        SELECT * REPLACE (
+            CASE WHEN mcare * mcaid = 1 THEN 1 ELSE dual END AS dual),
+          mcare * mcaid AS apde_dual,
+          CASE WHEN from_date BETWEEN DATE '1994-01-01'
+                AND DATE '1995-12-31'
+              OR to_date BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
+            THEN 1 ELSE 0 END AS y1114
+        FROM flg
+        WHERE NOT (mcare = 0 AND mcaid = 0)),
+      fc AS (
+        SELECT *, CASE WHEN
+            (mcaid = 1 AND mcare = 0 AND dual = 0 AND full_benefit = 1
+              AND tpl <> 1)
+            OR (y1114 = 1 AND mcaid = 0 AND mcare = 1
+              AND (part_a = 1 OR part_b = 1))
+            OR (y1114 = 0 AND mcaid = 0 AND mcare = 1
+              AND (part_a = 1 OR part_b = 1) AND partial = 0)
+            OR (y1114 = 1 AND apde_dual = 1 AND full_benefit = 1
+              AND tpl <> 1)
+            OR (part_a = 1 OR part_b = 1)
+            OR (y1114 = 0 AND apde_dual = 1
+              AND ((full_benefit = 1 AND tpl <> 1)
+                OR ((part_a = 1 OR part_b = 1) AND partial = 0)))
+          THEN 1 ELSE 0 END AS full_criteria
+        FROM flg2),
+      fin AS (
+        SELECT id_apde, from_date, to_date, apde_dual, dual,
+          CASE WHEN mcare = 0 THEN coalesce(part_a, 0)
+            ELSE part_a END AS part_a,
+          CASE WHEN mcare = 0 THEN coalesce(part_b, 0)
+            ELSE part_b END AS part_b,
+          CASE WHEN mcare = 0 THEN coalesce(part_c, 0)
+            ELSE part_c END AS part_c,
+          CASE WHEN mcare = 0 THEN coalesce(partial, 0)
+            ELSE partial END AS partial,
+          CASE WHEN mcare = 0 THEN coalesce(buy_in, 0)
+            ELSE buy_in END AS buy_in,
+          CASE WHEN mcaid = 0 THEN coalesce(full_benefit, 0)
+            ELSE full_benefit END AS full_benefit,
+          cov_type, tpl, mcare, mcaid, full_criteria,
+          coalesce(geo_zip, geo_zip_mcare) AS geo_zip, geo_county_code
+        FROM fc)
+      SELECT id_apde, from_date, to_date,
+        CAST(coalesce(date_diff('day',
+          lag(to_date) OVER (PARTITION BY id_apde ORDER BY from_date),
+          from_date) = 1, false) AS INTEGER) AS contiguous,
+        apde_dual, dual, part_a, part_b, part_c, partial, buy_in,
+        full_benefit, cov_type, tpl, mcare, mcaid, full_criteria,
+        geo_zip, geo_county_code,
+        CASE WHEN geo_county_code = '033' OR (geo_county_code IS NULL
+          AND geo_zip IN ('Z0', 'Z2')) THEN 1 ELSE 0 END AS geo_kc,
+        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
+          AS cov_time_day
+      FROM fin
+      ORDER BY id_apde, from_date""",
   )
 }

@@ -32,6 +32,26 @@ object PqiMeasure {
         // order so rule frames stay positionally union-able
         .select(acc.columns.map(col): _*))
 
+  /** One-scan claim set-membership flags: ONE broadcast join of a claim
+    * frame against ALL its relevant value sets at once, collapsed to one
+    * row per claim with a 0/1 column per set — the input the rule
+    * algebra needs, at one scan per source table instead of one scan per
+    * (rule x value set). Same argument as the FUH membership-flag path:
+    * every set here is a projection of the same claim key space, so
+    * `IN set` ≡ flag = 1, `NOT IN set` ≡ flag ≠ 1, INTERSECT ≡ AND. */
+  def claimSetFlags(claims: DataFrame, codeCol: String, dim: DataFrame,
+      sets: Seq[(String, String)]): DataFrame = {
+    val d = dim.filter(col("value_set_name").isin(sets.map(_._1): _*))
+      .select(col("code"), col("value_set_name").as("_vs"))
+    claims.join(broadcast(d), col(codeCol) === col("code"))
+      .groupBy(col("claim_id"))
+      .agg(max(when(col("_vs") === sets.head._1, 1).otherwise(0))
+          .as(sets.head._2),
+        sets.tail.map { case (n, out) =>
+          max(when(col("_vs") === n, 1).otherwise(0)).as(out)
+        }: _*)
+  }
+
   /** Episode-level wide pivot (v_mcaid_pqi_ed.sql:269-311): MAX(flag) per
     * (group, episode), explicit-list pivot to pqi_NN columns, plus the
     * any-indicator composite. `rules` carries (value_set_group, claim_id,

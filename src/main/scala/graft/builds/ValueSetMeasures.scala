@@ -144,6 +144,57 @@ object ValueSetMeasures {
         measureName, "D"))
   }
 
+  /** One-scan TPM staging — the 100-TB shape of [[tpmStaging]]. The
+    * reference algebra operates on (person, claim, date) tuples drawn
+    * from the same key space, so UNION ≡ OR and INTERSECT ≡ AND over
+    * per-tuple MAX flags (the same argument as
+    * [[FuhMeasure.membershipFlags]]): each claim table is scanned ONCE
+    * against the union of its value sets with per-set flag columns —
+    * procedure once (both procedure sets), diagnosis once (primary flag
+    * as a column), pharmacy once — then one tuple-grain aggregation
+    * feeds both the numerator and denominator filters. The set-op path
+    * re-derives the numerator lineage inside the denominator (~9 scans);
+    * this is 3 scans + one shuffle. ValueSetMeasuresSpec pins equality
+    * against [[tpmStaging]]; the DuckDB oracle (set-op formulation) pins
+    * it again at three scales. */
+  def tpmStagingOneScan(proc: DataFrame, dx: DataFrame, pharm: DataFrame,
+      rda: DataFrame, measureName: String,
+      cutDate: String = "2015-10-01"): DataFrame = {
+    val zero = lit(0)
+    val procDim = rda.filter(col("value_set_name").isin(
+        "MH-procedure-value-set", "MH-procedure-with-Dx-value-set") &&
+        col("code_set").isin("CPT", "HCPCS"))
+      .select(col("code"), col("value_set_name").as("_vs"))
+    val tProc = proc.join(broadcast(procDim),
+        col("procedure_code") === col("code"))
+      .select(tpCols.map(col) ++ Seq(
+        when(col("_vs") === "MH-procedure-value-set", 1).otherwise(0)
+          .as("p1"),
+        when(col("_vs") === "MH-procedure-with-Dx-value-set", 1)
+          .otherwise(0).as("p2"),
+        zero.as("dxp"), zero.as("dxa"), zero.as("rx")): _*)
+    val tDx = dxValueSet(dx, rda, "MH-Dx-value-set", primaryOnly = false,
+        cutDate)
+      .select(tpCols.map(col) ++ Seq(zero.as("p1"), zero.as("p2"),
+        when(col("icdcm_number") === "01", 1).otherwise(0).as("dxp"),
+        lit(1).as("dxa"), zero.as("rx")): _*)
+    val tRx = codeValueSet(
+        pharm.withColumn("first_service_date", col("rx_fill_date")),
+        "ndc", rda, "MH-Rx-value-set", Seq("NDC"))
+      .select(tpCols.map(col) ++ Seq(zero.as("p1"), zero.as("p2"),
+        zero.as("dxp"), zero.as("dxa"), lit(1).as("rx")): _*)
+    val flags = tProc.unionAll(tDx).unionAll(tRx)
+      .groupBy(tpCols.map(col): _*)
+      .agg(max(col("p1")).as("p1"), max(col("p2")).as("p2"),
+        max(col("dxp")).as("dxp"), max(col("dxa")).as("dxa"),
+        max(col("rx")).as("rx"))
+    val isNum = col("p1") === 1 || (col("p2") === 1 && col("dxp") === 1)
+    val one = (df: DataFrame) => df.withColumn("flag", lit(1))
+    staging(one(flags.filter(isNum)), measureName, "N")
+      .unionAll(staging(one(flags.filter(isNum ||
+        col("dxa") === 1 || col("rx") === 1)), measureName, "D"))
+  }
+
   /** TPM-by-diagnosis numerator
     * (create_stage.v_perf_tpm_by_dx_numerator.sql:11-84): a qualifying
     * procedure claim counts toward EVERY sub-group (the reference CROSS

@@ -152,6 +152,68 @@ object Intervals {
     else out
   }
 
+  /** Two-source interval overlay via sweep-line segmentation: partitions
+    * each entity's timeline into elementary segments at every interval
+    * boundary of EITHER source, then labels each segment with the
+    * attribute columns of its covering interval from each side (null when
+    * that side doesn't cover it). Segments covered by neither side are
+    * dropped.
+    *
+    * Re-expresses the reference's dual mcaid/mcare timeline merge
+    * (load_stage.mcaid_mcare_elig_timevar.R:98-340): the reference takes
+    * a per-person cartesian of the two interval sets, classifies 8
+    * pairwise overlap types, expands each pair to up to 3 rows, then
+    * repairs the result with ~10 lag/lead drop-and-truncate rules. The
+    * reference itself validated that machinery against the "guaranteed
+    * accurate" per-day expansion (:100-105); boundary-point segmentation
+    * IS that per-day semantics computed at change points only, so it
+    * needs none of the repair rules.
+    *
+    * Segments are elementary (no interval boundary strictly inside one),
+    * so "segment ⊆ interval" reduces to "segment start ∈ interval" — each
+    * side attaches with one equi-join on the id plus a range residual.
+    *
+    * Requires intervals within each side to be non-overlapping per id
+    * (true for collapsed timevar tables; enforce upstream with
+    * [[collapseIntervals]] or a per-(id,from,to) dedup) and attribute
+    * column names disjoint between the sides (pre-rename collisions, as
+    * the reference does with geo_zip → geo_zip_mcare).
+    *
+    * Scale: one shuffle for the boundary distinct (reused by the lead()
+    * window — same id hash), then two joins co-keyed on the id; per-id
+    * row counts are bounded (eligibility spans), so the range residual
+    * never fans out.
+    */
+  def overlaySegments(left: DataFrame, right: DataFrame, idCol: String,
+      from: String, to: String): DataFrame = {
+    val lAttrs = left.columns.filterNot(Seq(idCol, from, to).contains)
+    val rAttrs = right.columns.filterNot(Seq(idCol, from, to).contains)
+    val clash = lAttrs.intersect(rAttrs)
+    require(clash.isEmpty, s"attribute columns collide: ${clash.mkString(",")}")
+    def bounds(df: DataFrame) =
+      df.select(col(idCol), col(from).as("_pt"))
+        .unionAll(df.select(col(idCol), date_add(col(to), 1).as("_pt")))
+    val pts = bounds(left).unionAll(bounds(right)).distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pt"))
+    val segs = pts
+      .withColumn("_next", lead(col("_pt"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col(idCol), col("_pt").as(from),
+        date_add(col("_next"), -1).as(to))
+    def attach(acc: DataFrame, side: DataFrame, tag: String): DataFrame = {
+      val s = side.withColumnRenamed(idCol, s"_id_$tag")
+        .withColumnRenamed(from, s"_f_$tag")
+        .withColumnRenamed(to, s"_t_$tag")
+      acc.join(s, acc(idCol) === s(s"_id_$tag") &&
+          acc(from) >= s(s"_f_$tag") && acc(from) <= s(s"_t_$tag"), "left")
+        .drop(s"_id_$tag")
+    }
+    val both = attach(attach(segs, left, "l"), right, "r")
+    both
+      .filter(col("_f_l").isNotNull || col("_f_r").isNotNull)
+      .drop("_f_l", "_t_l", "_f_r", "_t_r")
+  }
+
   /** Pre/post coverage-gap columns via lag/lead
     * (R/claims_elig.R:715-733). Adds `pre_gap`/`post_gap` day counts
     * (null -> 0 at the person's first/last interval). */

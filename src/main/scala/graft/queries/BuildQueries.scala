@@ -897,7 +897,10 @@ object BuildQueries {
     * (create_stage.v_perf_tpm_*.sql + sp_perf_staging.sql:414-492). */
   def q109TpmStaging(s: SparkSession, dir: String): DataFrame = {
     import graft.builds.ValueSetMeasures
-    ValueSetMeasures.tpmStaging(Vs.proc(s, dir), Vs.dx(s, dir),
+    // one-scan flag-algebra path (UNION ≡ OR / INTERSECT ≡ AND over
+    // per-tuple MAX flags); the DuckDB oracle runs the reference's
+    // set-op formulation, so the compare pins path equality at scale
+    ValueSetMeasures.tpmStagingOneScan(Vs.proc(s, dir), Vs.dx(s, dir),
         Vs.pharm(s, dir), Vs.rda(s),
         "Mental Health Treatment Penetration", Vs.cut)
       .orderBy(col("year_month"), col("id_person"), col("num_denom"))
@@ -1016,13 +1019,16 @@ object BuildQueries {
   }
 
   /** §2.9 AHRQ PQI ED classifier (q115): stacked indicator rules —
-    * primary-dx value-set inclusion (one with a proc-INTERSECT-dx
-    * inclusion), chained anti-join exclusions over dx/procedure/DRG value
-    * sets, group recodes, episode-level MAX, explicit wide pivot +
-    * composite (create_stage.v_mcaid_pqi_ed.sql). */
+    * primary-dx value-set inclusion (one with a proc-AND-dx inclusion),
+    * NOT-IN exclusions, group recodes, episode-level MAX + composite
+    * (create_stage.v_mcaid_pqi_ed.sql). Runs the one-scan flag-algebra
+    * shape: one broadcast join per source table collects EVERY relevant
+    * set membership as claim-level flags ([[PqiMeasure.claimSetFlags]]),
+    * and each rule is boolean algebra over them — the DuckDB oracle runs
+    * the reference's per-rule set-op formulation, so the compare pins
+    * the two paths against each other at three scales. */
   def q115PqiEd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.builds.PqiMeasure.{excludeClaims, pqiPivot}
     val headers = t(s, dir, "orders").select(
       col("o_orderkey").as("claim_id"),
       when(col("o_orderkey") % 4 =!= 0, col("o_orderkey") % 300)
@@ -1050,52 +1056,51 @@ object BuildQueries {
       mk("ACLEA2D", "EXCL", "DX", 56, 59) ++
       mk("MDC 14", "EXCL", "DRG", 0, 4))
       .toDF("value_set_name", "value_set_group", "code")
-    def vs(name: String) =
-      broadcast(ahrq.filter(col("value_set_name") === name)
-        .select(col("code"), col("value_set_group")))
-    // primary-dx inclusion arm: ED episodes only
-    def hdrVs(name: String, group: String) =
-      headers.join(vs(name), col("primary_diagnosis") === col("code"))
-        .filter(col("ed_pophealth_id").isNotNull)
-        .select(lit(group).as("value_set_group"), col("claim_id"),
-          col("ed_pophealth_id"), lit(1).as("flag"))
-    // exclusion claim sets (dx exclusions are ICD-10 only, per the view)
-    def dxClaims(name: String) =
-      dx.filter(col("icdcm_version") === 10)
-        .join(vs(name), col("icdcm_norm") === col("code"))
-        .select(col("claim_id"))
-    def procClaims(name: String) =
-      proc.join(vs(name), col("procedure_code") === col("code"))
-        .select(col("claim_id"))
-    def drgClaims(name: String) =
-      headers.join(vs(name), col("drg_code") === col("code"))
-        .select(col("claim_id"))
-    val rules = Seq(
-      hdrVs("ACDIASD", "PQI 01"),
-      hdrVs("ACDIALD", "PQI 03"),
-      // PQI 05: COPD + asthma dx, recoded to one group, resp-anomaly excl
-      excludeClaims(hdrVs("ACCOPDD", "PQI 05")
-        .unionAll(hdrVs("ACSASTD", "PQI 05")),
-        Seq(dxClaims("RESPAN"))),
-      // PQI 07: hypertension minus cardiac-proc claims minus
-      // (stage-2-dx INTERSECT dialysis-proc) claims
-      excludeClaims(hdrVs("ACSHYPD", "PQI 07"),
-        Seq(procClaims("ACSCARP"),
-          dxClaims("ACSHY2D").intersect(procClaims("DIALY2P")))),
-      hdrVs("ACDIAUD", "PQI 14"),
-      // PQI 15: the asthma set again under its second group
-      excludeClaims(hdrVs("ACSASTD", "PQI 15"), Seq(dxClaims("RESPAN"))),
-      // PQI 16: proc-INTERSECT-dx inclusion joined back for the episode
-      excludeClaims(
-        procClaims("ACSLEAP").intersect(dxClaims("ACSLEAD"))
-          .join(headers.filter(col("ed_pophealth_id").isNotNull),
-            Seq("claim_id"))
-          .select(lit("PQI 16").as("value_set_group"), col("claim_id"),
-            col("ed_pophealth_id"), lit(1).as("flag")),
-        Seq(dxClaims("ACLEA2D"), drgClaims("MDC 14"))))
-    pqiPivot(rules.reduce(_ unionAll _),
-        Seq("PQI 01", "PQI 03", "PQI 05", "PQI 07", "PQI 14", "PQI 15",
-          "PQI 16"))
+    // one scan per source: claim-level flags for every set at once
+    val dxFlags = graft.builds.PqiMeasure.claimSetFlags(
+      dx.filter(col("icdcm_version") === 10), "icdcm_norm", ahrq,
+      Seq("RESPAN" -> "respan", "ACSHY2D" -> "hy2d",
+        "ACLEA2D" -> "lea2d", "ACSLEAD" -> "lead"))
+    val procFlags = graft.builds.PqiMeasure.claimSetFlags(proc,
+      "procedure_code", ahrq,
+      Seq("ACSCARP" -> "carp", "DIALY2P" -> "dialy",
+        "ACSLEAP" -> "leap"))
+    val hdrFlags = graft.builds.PqiMeasure.claimSetFlags(
+      headers.filter(col("ed_pophealth_id").isNotNull),
+      "primary_diagnosis", ahrq,
+      Seq("ACDIASD" -> "diasd", "ACDIALD" -> "diald",
+        "ACCOPDD" -> "copdd", "ACSASTD" -> "astd",
+        "ACSHYPD" -> "hypd", "ACDIAUD" -> "diaud"))
+    val base = headers.filter(col("ed_pophealth_id").isNotNull)
+      .select(col("claim_id"), col("ed_pophealth_id"),
+        when(col("drg_code").isin((0 until 4).map(i => s"DRG$i"): _*), 1)
+          .otherwise(0).as("mdc14"))
+      .join(hdrFlags, Seq("claim_id"), "left")
+      .join(dxFlags, Seq("claim_id"), "left")
+      .join(procFlags, Seq("claim_id"), "left")
+    def f(c: String) = coalesce(col(c), lit(0)) === 1
+    // the reference's NOT IN / INTERSECT rules as flag algebra
+    val rules = Seq[(String, org.apache.spark.sql.Column)](
+      "pqi_01" -> f("diasd"),
+      "pqi_03" -> f("diald"),
+      "pqi_05" -> ((f("copdd") || f("astd")) && !f("respan")),
+      "pqi_07" -> (f("hypd") && !f("carp") && !(f("hy2d") && f("dialy"))),
+      "pqi_14" -> f("diaud"),
+      "pqi_15" -> (f("astd") && !f("respan")),
+      "pqi_16" -> (f("leap") && f("lead") && !f("lea2d") &&
+        !(col("mdc14") === 1)))
+    val aggs = rules.map { case (n, c) =>
+      max(when(c, 1).otherwise(0)).as(n)
+    }
+    val wide = base.groupBy(col("ed_pophealth_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      // the reference view only materializes episodes carrying >= 1
+      // indicator row (absent episodes never enter its pivot)
+      .filter(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1)
+    wide.select(col("ed_pophealth_id") +:
+        rules.map { case (n, _) => col(n) } :+
+        when(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1, 1)
+          .otherwise(0).as("pqi_composite"): _*)
       .orderBy(col("ed_pophealth_id"))
   }
 
@@ -1132,6 +1137,56 @@ object BuildQueries {
         graft.builds.PcrMeasure.directTransfer(stays), obsStays,
         graft.builds.AhMeasure.medicineSurgery(vs), excl)
       .orderBy(col("id_person"), col("claim_id"))
+  }
+
+  /** §1.1 combined mcaid+mcare elig_timevar (q118): the dual-enrollment
+    * timeline merge (load_stage.mcaid_mcare_elig_timevar.R) — crosswalk
+    * to the common person id, sweep-line overlay of the two interval
+    * sets into elementary both/mcaid/mcare segments, equal-attribute
+    * collapse, then the flag battery (mcare/mcaid/apde_dual, the
+    * full_criteria rules incl. the reference's R-precedence quirk,
+    * NULL→0 fills, contiguous, cov_time_day, zip coalesce, geo_kc).
+    * mcaid intervals are calendar months; mcare intervals are months
+    * shifted +14 days, so segments genuinely straddle boundaries. */
+  def q118McaidMcareTimevar(s: SparkSession, dir: String): DataFrame = {
+    val persons = t(s, dir, "customer")
+      .select((col("c_custkey") % 60).as("id_apde")).distinct()
+    val xwalk = persons.select(col("id_apde"),
+      when(col("id_apde") % 3 =!= 0,
+        concat(lit("M"), col("id_apde").cast("string"))).as("id_mcaid"),
+      when(col("id_apde") % 2 === 0,
+        concat(lit("E"), col("id_apde").cast("string"))).as("id_mcare"))
+    val om = t(s, dir, "orders").select(
+      (col("o_custkey") % 60).as("p"),
+      trunc(to_date(col("o_orderdate")), "month").as("m"))
+    val mi = year(col("m")) * 12 + month(col("m"))
+    val k = col("p") + mi
+    val mcaidTv = om.filter(col("p") % 3 =!= 0).distinct().select(
+      concat(lit("M"), col("p").cast("string")).as("id_mcaid"),
+      col("m").as("from_date"), last_day(col("m")).as("to_date"),
+      lit(0).as("dual"),
+      when(k % 5 === 0, 1).otherwise(0).as("tpl"),
+      when(k % 3 =!= 0, 1).otherwise(0).as("full_benefit"),
+      when(k % 2 === 0, "FFS").otherwise("MC").as("cov_type"),
+      concat(lit("Z"), ((col("p") + (mi / 4).cast("int")) % 4)
+        .cast("string")).as("geo_zip"),
+      when(k % 4 === 0, "033").when(k % 4 === 1, "053")
+        .otherwise(lit(null).cast("string")).as("geo_county_code"))
+    val mcareTv = om.filter(col("p") % 2 === 0).distinct().select(
+      concat(lit("E"), col("p").cast("string")).as("id_mcare"),
+      date_add(col("m"), 14).as("from_date"),
+      date_add(last_day(col("m")), 14).as("to_date"),
+      when(k % 4 =!= 0, 1).otherwise(0).as("part_a"),
+      when(k % 5 =!= 0, 1).otherwise(0).as("part_b"),
+      when(k % 7 === 0, 1).otherwise(0).as("part_c"),
+      when(k % 6 === 0, 1).otherwise(0).as("partial"),
+      when(k % 8 === 0, 1).otherwise(0).as("buy_in"),
+      concat(lit("Z"), ((col("p") + (mi / 3).cast("int")) % 4)
+        .cast("string")).as("geo_zip_mcare"))
+    graft.builds.McaidMcareEligTimevar.build(xwalk, mcaidTv, mcareTv,
+        kcZips = Seq("Z0", "Z2"),
+        noPartialFrom = "1994-01-01", noPartialTo = "1995-12-31")
+      .orderBy(col("id_apde"), col("from_date"))
   }
 
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag

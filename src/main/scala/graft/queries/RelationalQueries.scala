@@ -303,4 +303,25 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("yr"))
   }
+
+  /** §2.8 semi-structured column extraction (q117): a JSON properties
+    * column parsed with a declared schema (Catalyst JsonToStructs — a
+    * codegen-adjacent expression, no UDF, prunable to the one requested
+    * field) and aggregated per event type. The 100-TB point: the schema
+    * is DECLARED, so the scan never runs schema inference over the
+    * corpus, and extraction stays inside whole-stage codegen. */
+  def q117JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(when(col("k").isNull, 1).otherwise(0)).as("n_null_k"))
+      .orderBy(col("event_type"))
 }

@@ -118,6 +118,33 @@ class ValueSetMeasuresSpec extends SparkSpec {
       (35L, "Mania/Bipolar")))
   }
 
+  test("one-scan tpm staging equals the set-op path on random claims") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    def d0(n: Int) = d(f"2000-${n % 12 + 1}%02d-0${n % 27 % 9 + 1}")
+    val proc = Seq.fill(80)((rng.nextInt(8).toLong, rng.nextInt(30).toLong,
+        d0(rng.nextInt(200)), s"P${rng.nextInt(4)}"))
+      .toDF("id_person", "claim_id", "first_service_date",
+        "procedure_code")
+    val dx = Seq.fill(80)((rng.nextInt(8).toLong, rng.nextInt(30).toLong,
+        d0(rng.nextInt(200)), if (rng.nextBoolean()) 9 else 10,
+        if (rng.nextBoolean()) "01" else "02",
+        s"D${if (rng.nextBoolean()) 9 else 10}"))
+      .toDF("id_person", "claim_id", "first_service_date",
+        "icdcm_version", "icdcm_number", "icdcm_norm")
+    val pharm = Seq.fill(30)((rng.nextInt(8).toLong,
+        rng.nextInt(30).toLong, d0(rng.nextInt(200)),
+        if (rng.nextBoolean()) "N1" else "NX"))
+      .toDF("id_person", "claim_id", "rx_fill_date", "ndc")
+    val cut2 = "2000-07-01"
+    val a = ValueSetMeasures.tpmStaging(proc, dx, pharm, rdaFixture,
+      "TPM", cut2).collect().toSet
+    val b = ValueSetMeasures.tpmStagingOneScan(proc, dx, pharm,
+      rdaFixture, "TPM", cut2).collect().toSet
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
   test("mhAodEd pivots episode flags; dual-set episodes get both") {
     val s = spark
     import s.implicits._
