@@ -199,6 +199,11 @@ object SparkEntry {
     "q117_json_extract" -> (R.q117JsonExtract _),
     "q118_mcaid_mcare_timevar" ->
       (graft.queries.BuildQueries.q118McaidMcareTimevar _),
+    "q119_mcaid_mcare_demo" ->
+      (graft.queries.BuildQueries.q119McaidMcareDemo _),
+    "q120_line_dedup" -> (T.q120LineDedup _),
+    "q121_pack_sequences" -> (T.q121PackSequences _),
+    "q122_redact_pii" -> (T.q122RedactPii _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4025,5 +4030,200 @@ object SparkEntry {
           AS cov_time_day
       FROM fin
       ORDER BY id_apde, from_date""",
+
+    // q119: combined mcaid+mcare elig_demo — deterministic per-person
+    // pick, full-outer precedence merge (dob: mcare wins; gender/race:
+    // mcaid wins), NULL-blocking race_unk recompute.
+    "q119_mcaid_mcare_demo" -> """
+      WITH mcaid0 AS (
+        SELECT c_custkey % 60 AS id_apde,
+          DATE '1960-01-01' + CAST(c_custkey % 8000 AS INT) AS dob,
+          CASE WHEN c_custkey % 23 = 0 THEN NULL
+               WHEN c_custkey % 17 = 0 THEN 'Multiple'
+               WHEN c_custkey % 2 = 0 THEN 'Female'
+               ELSE 'Male' END AS gender_me,
+          CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS gender_female,
+          CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS gender_male,
+          CASE WHEN c_custkey % 31 = 0 THEN NULL
+               WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END AS race_aian,
+          CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS race_asian,
+          CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS race_black,
+          CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS race_latino,
+          CASE WHEN c_custkey % 19 = 0 THEN 1 ELSE 0 END AS race_nhpi,
+          CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS race_white,
+          'RE' || (c_custkey % 4)::VARCHAR AS race_eth_recent,
+          CASE WHEN c_custkey % 6 <= 1 THEN 'ENGLISH'
+               WHEN c_custkey % 6 <= 3 THEN 'SPANISH'
+               ELSE 'VIETNAMESE' END AS lang_max
+        FROM customer WHERE (c_custkey % 60) % 3 <> 0),
+      ma AS (
+        SELECT * FROM mcaid0
+        QUALIFY row_number() OVER (PARTITION BY id_apde
+          ORDER BY dob ASC NULLS FIRST, gender_me ASC NULLS FIRST,
+            gender_female ASC NULLS FIRST, gender_male ASC NULLS FIRST,
+            race_aian ASC NULLS FIRST, race_asian ASC NULLS FIRST,
+            race_black ASC NULLS FIRST, race_latino ASC NULLS FIRST,
+            race_nhpi ASC NULLS FIRST, race_white ASC NULLS FIRST,
+            race_eth_recent ASC NULLS FIRST, lang_max ASC NULLS FIRST)
+          = 1),
+      mcare0 AS (
+        SELECT c_custkey % 60 AS id_apde,
+          DATE '1955-06-15' + CAST(c_custkey % 9000 AS INT) AS dob,
+          CASE WHEN c_custkey % 13 = 0 THEN NULL
+               WHEN c_custkey % 3 = 0 THEN 'Female'
+               ELSE 'Male' END AS gender_me,
+          CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS gender_female,
+          CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END AS gender_male,
+          CASE WHEN c_custkey % 14 = 0 THEN 1 ELSE 0 END AS race_aian,
+          CASE WHEN c_custkey % 8 = 0 THEN 1 ELSE 0 END AS race_asian,
+          CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END AS race_black,
+          CASE WHEN c_custkey % 12 = 0 THEN 1 ELSE 0 END AS race_latino,
+          CASE WHEN c_custkey % 20 = 0 THEN 1 ELSE 0 END AS race_nhpi,
+          CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS race_white,
+          'RE' || (c_custkey % 5)::VARCHAR AS race_eth_recent,
+          CASE WHEN c_custkey % 29 = 0 THEN DATE '2015-01-01'
+            + CAST(c_custkey % 1000 AS INT) END AS death_dt,
+          CASE WHEN c_custkey % 9 = 0 THEN 1 ELSE 0 END AS race_asian_pi
+        FROM customer WHERE (c_custkey % 60) % 2 = 0),
+      mc AS (
+        SELECT * FROM mcare0
+        QUALIFY row_number() OVER (PARTITION BY id_apde
+          ORDER BY dob ASC NULLS FIRST, gender_me ASC NULLS FIRST,
+            gender_female ASC NULLS FIRST, gender_male ASC NULLS FIRST,
+            race_aian ASC NULLS FIRST, race_asian ASC NULLS FIRST,
+            race_black ASC NULLS FIRST, race_latino ASC NULLS FIRST,
+            race_nhpi ASC NULLS FIRST, race_white ASC NULLS FIRST,
+            race_eth_recent ASC NULLS FIRST, death_dt ASC NULLS FIRST,
+            race_asian_pi ASC NULLS FIRST) = 1),
+      j AS (
+        SELECT coalesce(a.id_apde, c.id_apde) AS id_apde,
+          coalesce(c.dob, a.dob) AS dob,
+          c.death_dt,
+          coalesce(a.gender_me, c.gender_me) AS gender_me,
+          coalesce(a.gender_female, c.gender_female) AS gender_female,
+          coalesce(a.gender_male, c.gender_male) AS gender_male,
+          coalesce(a.race_aian, c.race_aian) AS race_aian,
+          coalesce(a.race_asian, c.race_asian) AS race_asian,
+          c.race_asian_pi,
+          coalesce(a.race_black, c.race_black) AS race_black,
+          coalesce(a.race_latino, c.race_latino) AS race_latino,
+          coalesce(a.race_nhpi, c.race_nhpi) AS race_nhpi,
+          coalesce(a.race_white, c.race_white) AS race_white,
+          coalesce(a.race_eth_recent, c.race_eth_recent)
+            AS race_eth_recent,
+          a.lang_max,
+          CASE WHEN a.id_apde IS NOT NULL AND c.id_apde IS NOT NULL
+            THEN 1 ELSE 0 END AS apde_dual
+        FROM ma a FULL JOIN mc c ON a.id_apde = c.id_apde)
+      SELECT id_apde, dob, death_dt, gender_me, gender_female,
+        gender_male, race_aian, race_asian, race_asian_pi, race_black,
+        race_latino, race_nhpi, race_white,
+        CASE WHEN race_aian = 0 AND race_asian = 0 AND race_asian_pi = 0
+          AND race_black = 0 AND race_latino = 0 AND race_nhpi = 0
+          AND race_white = 0 THEN 1 ELSE 0 END AS race_unk,
+        race_eth_recent, lang_max, apde_dual
+      FROM j ORDER BY id_apde""",
+
+    // q120: CCNet-style line-level boilerplate dedup — normalized lines
+    // in >= 10 distinct docs are struck; docs rebuilt in line order;
+    // fully-boilerplate docs drop.
+    "q120_line_dedup" -> """
+      WITH docs AS (
+        SELECT doc_id, '(c) site ' || source || chr(10)
+          || substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+          || chr(10) || 'contact admin' AS txt
+        FROM documents),
+      lines AS (
+        SELECT doc_id, i AS line_no, parts[i] AS line,
+          lower(trim(parts[i])) AS lnorm
+        FROM (SELECT doc_id, string_split(txt, chr(10)) AS parts
+              FROM docs),
+          LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+      dict AS (
+        SELECT lnorm FROM (
+          SELECT lnorm, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, lnorm FROM lines)
+          GROUP BY lnorm)
+        WHERE df >= 10),
+      flagged AS (
+        SELECT l.doc_id, l.line_no, l.line,
+          d.lnorm IS NOT NULL AS boiler
+        FROM lines l LEFT JOIN dict d ON l.lnorm = d.lnorm),
+      agg AS (
+        SELECT doc_id, count(*) AS n_lines,
+          CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped,
+          string_agg(CASE WHEN NOT boiler THEN line END, chr(10)
+            ORDER BY line_no) AS text_clean
+        FROM flagged GROUP BY doc_id)
+      SELECT doc_id, text_clean,
+        CAST(n_lines - n_dropped AS BIGINT) AS n_kept, n_dropped
+      FROM agg WHERE n_dropped < n_lines
+      ORDER BY doc_id""",
+
+    // q121: greedy next-fit sequence packing — sequential per shard
+    // (replicated as a per-shard recursive CTE), parallel across shards.
+    "q121_pack_sequences" -> """
+      WITH RECURSIVE s AS (
+        SELECT doc_id % 64 AS shard, doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS tok,
+          row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id)
+            AS rn
+        FROM documents),
+      r AS (
+        SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin,
+          tok AS fill
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.rn, s.doc_id, s.tok,
+          CASE WHEN r.fill + s.tok > 500 THEN r.bin + 1 ELSE r.bin END,
+          CASE WHEN r.fill + s.tok > 500 THEN s.tok
+            ELSE r.fill + s.tok END
+        FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+      SELECT doc_id, CAST(shard AS INT) AS shard, bin AS bin_id,
+        tok AS n_tokens
+      FROM r ORDER BY doc_id""",
+
+    // q122: PII pattern redaction — counts before replacement, then
+    // sequential class-ordered scrub (email, ip, ssn, phone).
+    "q122_redact_pii" -> """
+      WITH docs AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN ' contact bob'
+              || doc_id::VARCHAR || '@example.com now'
+            WHEN doc_id % 4 = 1 THEN ' call 206-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+            WHEN doc_id % 4 = 2 THEN ' from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.'
+              || (doc_id % 100)::VARCHAR || ' logged'
+            ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END AS txt
+        FROM documents),
+      c AS (
+        SELECT doc_id, txt,
+          CAST(len(regexp_extract_all(txt,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(txt,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+            AS n_ip,
+          CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b'))
+            AS BIGINT) AS n_ssn,
+          CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b'))
+            AS BIGINT) AS n_phone
+        FROM docs)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+            'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text,
+        n_email, n_ip, n_ssn, n_phone,
+        n_email + n_ip + n_ssn + n_phone AS pii_total
+      FROM c ORDER BY doc_id""",
   )
 }

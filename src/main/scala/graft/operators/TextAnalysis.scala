@@ -232,4 +232,131 @@ object TextAnalysis {
         round(col("n_rare").cast("double") / col("n_tokens"), 4)
           .as("rare_rate"))
   }
+
+  /** CCNet/C4-style line-level boilerplate removal: a line whose
+    * normalized form (lower + trim) appears in >= `minDocFreq` DISTINCT
+    * documents is boilerplate (nav bars, copyright footers, cookie
+    * banners); every occurrence is struck from every document and the
+    * survivors are re-joined in original line order. Documents left with
+    * zero lines drop entirely.
+    *
+    * Returns (doc_id, text_clean, n_kept, n_dropped).
+    *
+    * Scale shape: (1) per-(doc, line) DISTINCT then a count per
+    * normalized line — one shuffle on the line hash with map-side
+    * partial aggregation; (2) the boilerplate dictionary (only lines
+    * over the threshold — tiny relative to the corpus by Zipf) joins
+    * back as a membership mark. The hot keys ARE the dictionary
+    * entries, so when the dictionary broadcasts the mark is map-side
+    * and skew-free; if it ever exceeds the broadcast threshold, AQE's
+    * skew-join split handles the head lines. (3) one groupBy per doc
+    * rebuilds the text via sorted struct collect — lines per doc are
+    * bounded (document-sized), so per-group state is too.
+    */
+  def lineDedup(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", minDocFreq: Long = 10): DataFrame = {
+    val lines = docs
+      .select(col(id).as("doc_id"),
+        posexplode(split(col(text), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lnorm", lower(trim(col("line"))))
+    val dict = lines.select(col("doc_id"), col("lnorm")).distinct()
+      .groupBy(col("lnorm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("lnorm"), lit(1).as("boiler"))
+    lines.join(dict, Seq("lnorm"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("boiler") === 1, 1).otherwise(0)).as("n_dropped"),
+        concat_ws("\n", transform(
+          filter(array_sort(collect_list(struct(col("line_no"),
+            col("line"), col("boiler")))),
+            x => x.getField("boiler").isNull),
+          x => x.getField("line"))).as("text_clean"))
+      .filter(col("n_dropped") < col("n_lines"))
+      .select(col("doc_id"), col("text_clean"),
+        (col("n_lines") - col("n_dropped")).as("n_kept"),
+        col("n_dropped"))
+  }
+
+  /** Greedy next-fit sequence packing: assign documents to fixed
+    * token-budget bins (training context windows) so a data loader can
+    * concatenate each bin into one sequence. Docs are packed in
+    * deterministic doc-id order within a hash shard; a doc that would
+    * overflow the open bin closes it and starts the next (a doc larger
+    * than the whole budget gets a bin of its own).
+    *
+    * Returns (doc_id, shard, bin_id, n_tokens); (shard, bin_id)
+    * identifies the packed sequence.
+    *
+    * Packing is inherently sequential, so the 100-TB shape is
+    * sequential-PER-SHARD, parallel across shards: repartition on the
+    * shard key, sortWithinPartitions (the secondary-sort pattern — the
+    * shuffle delivers each shard's docs contiguously and in order), then
+    * one mapPartitions pass holding O(1) state (current bin + fill) per
+    * open shard. No collect, no window over an unpartitioned frame;
+    * shard count scales with the cluster, and bin numbering is
+    * per-shard so no global counter exists anywhere.
+    */
+  def packSequences(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", budget: Long = 2048,
+      shards: Int = 64): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val ds = docs
+      .select(pmod(col(id).cast("long"), lit(shards)).cast("int")
+          .as("shard"),
+        col(id).cast("long").as("doc_id"),
+        tokenCount(col(text)).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    ds.mapPartitions { it =>
+      var curShard = Int.MinValue
+      var bin = 0L
+      var fill = 0L
+      it.map { case (shard, docId, tok) =>
+        if (shard != curShard) { curShard = shard; bin = 0L; fill = tok }
+        else if (fill + tok > budget) { bin += 1; fill = tok }
+        else fill += tok
+        (docId, shard, bin, tok)
+      }
+    }.toDF("doc_id", "shard", "bin_id", "n_tokens")
+  }
+
+  /** PII pattern classes shared by [[redactPii]] — (name, regex, tag).
+    * Patterns are kept to the Java-regex ∩ RE2 common subset so an
+    * external engine can replicate the scrub byte-for-byte. Order
+    * matters: SSN before phone (both are dash-digit shapes), email and
+    * IP are disjoint from both. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** Pattern-based PII scrub for training corpora: counts then replaces
+    * every occurrence of each [[piiPatterns]] class with its tag, in
+    * declared order (counts are taken BEFORE any replacement so classes
+    * can't eat each other's matches).
+    *
+    * Returns the docs frame with `text` redacted plus per-class count
+    * columns (`n_email`, `n_ip`, `n_ssn`, `n_phone`) and `pii_total`.
+    *
+    * Pure codegen'd Column ops (regexp_extract_all + regexp_replace) —
+    * shuffle-free, whole-stage codegen, scales as a map over the corpus.
+    */
+  def redactPii(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(docs) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col(text), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(counted) {
+      case (d, (_, pat, tag)) =>
+        d.withColumn(text, regexp_replace(col(text), pat, tag))
+    }
+    redacted.withColumn("pii_total",
+      piiPatterns.map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _))
+  }
 }

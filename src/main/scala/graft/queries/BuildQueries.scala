@@ -1189,6 +1189,65 @@ object BuildQueries {
       .orderBy(col("id_apde"), col("from_date"))
   }
 
+  /** §1.1 combined mcaid+mcare elig_demo (q119): cross-source demographic
+    * reconciliation (load_stage.mcaid_mcare_elig_demo.R) — crosswalk,
+    * deterministic per-person pick, full-outer merge with per-column
+    * precedence (dob: mcare wins; gender/race: mcaid wins), single-source
+    * pass-throughs, apde_dual, and the NULL-blocking race_unk recompute.
+    * Several customers share an id (custkey % 60), so the dedup pick is
+    * genuinely exercised. */
+  def q119McaidMcareDemo(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val pid = col("c_custkey") % 60
+    val c = col("c_custkey")
+    val xwalk = cust.select(pid.as("id_apde")).distinct().select(
+      col("id_apde"),
+      when(col("id_apde") % 3 =!= 0,
+        concat(lit("M"), col("id_apde").cast("string"))).as("id_mcaid"),
+      when(col("id_apde") % 2 === 0,
+        concat(lit("E"), col("id_apde").cast("string"))).as("id_mcare"))
+    val mcaidDemo = cust.filter(pid % 3 =!= 0).select(
+      concat(lit("M"), pid.cast("string")).as("id_mcaid"),
+      date_add(to_date(lit("1960-01-01")), (c % 8000).cast("int"))
+        .as("dob"),
+      when(c % 23 === 0, lit(null).cast("string"))
+        .when(c % 17 === 0, "Multiple")
+        .when(c % 2 === 0, "Female").otherwise("Male").as("gender_me"),
+      (c % 2 === 0).cast("int").as("gender_female"),
+      (c % 2 === 1).cast("int").as("gender_male"),
+      when(c % 31 === 0, lit(null).cast("int"))
+        .otherwise((c % 13 === 0).cast("int")).as("race_aian"),
+      (c % 7 === 0).cast("int").as("race_asian"),
+      (c % 5 === 0).cast("int").as("race_black"),
+      (c % 11 === 0).cast("int").as("race_latino"),
+      (c % 19 === 0).cast("int").as("race_nhpi"),
+      (c % 3 === 0).cast("int").as("race_white"),
+      concat(lit("RE"), (c % 4).cast("string")).as("race_eth_recent"),
+      when(c % 6 <= 1, "ENGLISH").when(c % 6 <= 3, "SPANISH")
+        .otherwise("VIETNAMESE").as("lang_max"))
+    val mcareDemo = cust.filter(pid % 2 === 0).select(
+      concat(lit("E"), pid.cast("string")).as("id_mcare"),
+      date_add(to_date(lit("1955-06-15")), (c % 9000).cast("int"))
+        .as("dob"),
+      when(c % 13 === 0, lit(null).cast("string"))
+        .when(c % 3 === 0, "Female").otherwise("Male").as("gender_me"),
+      (c % 3 === 0).cast("int").as("gender_female"),
+      (c % 3 =!= 0).cast("int").as("gender_male"),
+      (c % 14 === 0).cast("int").as("race_aian"),
+      (c % 8 === 0).cast("int").as("race_asian"),
+      (c % 6 === 0).cast("int").as("race_black"),
+      (c % 12 === 0).cast("int").as("race_latino"),
+      (c % 20 === 0).cast("int").as("race_nhpi"),
+      (c % 4 === 0).cast("int").as("race_white"),
+      concat(lit("RE"), (c % 5).cast("string")).as("race_eth_recent"),
+      when(c % 29 === 0,
+        date_add(to_date(lit("2015-01-01")), (c % 1000).cast("int")))
+        .as("death_dt"),
+      (c % 9 === 0).cast("int").as("race_asian_pi"))
+    graft.builds.McaidMcareEligDemo.build(xwalk, mcaidDemo, mcareDemo)
+      .orderBy(col("id_apde"))
+  }
+
   /** §4 skew: two-phase salted aggregation over the 3-hot-key returnflag
     * grouping (600k rows, 3 keys — the textbook hot-key shape); must equal
     * the plain aggregate exactly. */

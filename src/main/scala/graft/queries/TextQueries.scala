@@ -160,6 +160,55 @@ object TextQueries {
         minCount = 5)
       .orderBy(col("doc_id"))
 
+  /** CCNet-style line-level boilerplate dedup (q120): lines repeated
+    * across >= minDocFreq distinct docs are struck everywhere and docs
+    * are rebuilt in line order. The corpus text has no newlines, so the
+    * query synthesizes the classic web-page shape — a per-source header
+    * (boilerplate at corpus scale), two content slices (mostly unique),
+    * and a global footer (always boilerplate). */
+  def q120LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("(c) site "), col("source"), lit("\n"),
+        substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 41, 40), lit("\n"),
+        lit("contact admin")).as("text"))
+    TextAnalysis.lineDedup(docs, "doc_id", "text", minDocFreq = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Greedy next-fit sequence packing (q121): docs → fixed token-budget
+    * context-window bins, sequential per hash shard, parallel across
+    * shards (secondary-sort + one O(1)-state mapPartitions pass). */
+  def q121PackSequences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        budget = 500, shards = 64)
+      .orderBy(col("doc_id"))
+
+  /** PII pattern redaction (q122): count-then-scrub of email / IP / SSN /
+    * phone shapes, all codegen'd Column ops. The corpus has no PII, so
+    * the query plants deterministic specimens per doc-id class (and
+    * leaves a quarter of docs clean). */
+  def q122RedactPii(s: SparkSession, dir: String): DataFrame = {
+    val idm = (n: Int) => col("doc_id") % n
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(idm(4) === 0, concat(lit(" contact bob"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .when(idm(4) === 1, concat(lit(" call 206-555-"),
+          lpad((idm(10000)).cast("string"), 4, "0"), lit(" today")))
+        .when(idm(4) === 2, concat(lit(" from 10.0."),
+          (idm(256)).cast("string"), lit("."),
+          (idm(100)).cast("string"), lit(" logged")))
+        .otherwise(lit("")),
+        when(idm(7) === 0, concat(lit(" ssn 123-45-"),
+          lpad((idm(10000)).cast("string"), 4, "0"))).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.redactPii(docs, "doc_id", "text")
+      .select(col("doc_id"), col("text"), col("n_email"), col("n_ip"),
+        col("n_ssn"), col("n_phone"), col("pii_total"))
+      .orderBy(col("doc_id"))
+  }
+
   def q113Components(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val e1 = o.filter(col("o_orderkey") % 3 === 0)
