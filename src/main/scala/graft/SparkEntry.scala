@@ -204,6 +204,7 @@ object SparkEntry {
     "q120_line_dedup" -> (T.q120LineDedup _),
     "q121_pack_sequences" -> (T.q121PackSequences _),
     "q122_redact_pii" -> (T.q122RedactPii _),
+    "q123_hash_split" -> (T.q123HashSplit _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4225,5 +4226,19 @@ object SparkEntry {
         n_email, n_ip, n_ssn, n_phone,
         n_email + n_ip + n_ssn + n_phone AS pii_total
       FROM c ORDER BY doc_id""",
+
+    // q123: deterministic md5-bucketed 90/5/5 split; cuts are
+    // round(cum_frac * 2^32) = 3865470566 / 4080218931.
+    "q123_hash_split" -> """
+      SELECT doc_id, source,
+        CASE WHEN b < 3865470566 THEN 'train'
+             WHEN b < 4080218931 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, source,
+          ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))
+            ::UBIGINT AS b
+        FROM documents)
+      ORDER BY doc_id""",
   )
 }

@@ -359,4 +359,33 @@ object TextAnalysis {
     redacted.withColumn("pii_total",
       piiPatterns.map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _))
   }
+
+  /** Deterministic train/valid/test split assignment: bucket each id by
+    * the first 32 bits of md5(salt:id) and cut the [0, 2^32) range at
+    * the cumulative split fractions. Assignment is a pure function of
+    * (id, salt) — stable across runs, clusters, and engines (md5 is
+    * universal, unlike engine-native hashes), so re-running a pipeline
+    * never migrates a document between splits, and changing the salt
+    * yields an independent re-split.
+    *
+    * Shuffle-free codegen'd map; at 100 TB it's a scan with no exchange.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 4294967296.0))
+    // chained range test, first cut wins
+    val expr = splits.init.zip(cuts).reverse.foldLeft(
+      lit(splits.last._1): Column) { case (els, ((name, _), cut)) =>
+      when(bucket < cut, name).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
 }

@@ -209,6 +209,15 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic hash split (q123): md5-bucketed 90/5/5
+    * train/valid/test assignment, a pure function of (id, salt). */
+  def q123HashSplit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
   def q113Components(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val e1 = o.filter(col("o_orderkey") % 3 === 0)

@@ -67,4 +67,113 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 3L, 2L, 1L, 0.3333),  // bb below threshold
       (2L, 3L, 3L, 2L, 0.6667))) // bb + cc below threshold
   }
+
+  test("lineDedup strikes frequent lines, drops all-boilerplate docs") {
+    val s = spark
+    import s.implicits._
+    // "Footer" in 3 docs (>= 2 -> boilerplate, case-insensitive);
+    // content lines unique; doc 3 is footer-only and must vanish
+    val docs = Seq(
+      (1L, "alpha\nFooter"),
+      (2L, "beta\nfooter"),
+      (3L, "FOOTER")).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, minDocFreq = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "alpha", 1L, 1L), (2L, "beta", 1L, 1L)))
+  }
+
+  test("lineDedup preserves original line order in rebuilt text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "z last\ncommon\na first"),
+      (2L, "common")).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, minDocFreq = 2)
+      .filter(col("doc_id") === 1).select("text_clean").head().getString(0)
+    assert(got == "z last\na first")
+  }
+
+  test("packSequences: fills respect budget, oversize doc isolated") {
+    val s = spark
+    import s.implicits._
+    // one shard (shards=1): docs in id order, budget 10 tokens
+    val docs = Seq(
+      (0L, "a b c d"),          // 4 -> bin 0 (fill 4)
+      (1L, "e f g h i"),        // 5 -> bin 0 (fill 9)
+      (2L, "j k"),              // 2 -> overflow -> bin 1 (fill 2)
+      (3L, (1 to 12).map(i => s"w$i").mkString(" ")), // 12 > budget
+      (4L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, budget = 10, shards = 1)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0, 0L, 4L), (1L, 0, 0L, 5L), (2L, 0, 1L, 2L),
+      (3L, 0, 2L, 12L),  // oversize opens its own bin
+      (4L, 0, 3L, 1L)))  // and closes it for the next doc
+    // invariant: every bin except single-oversize fits the budget
+    val fills = got.groupBy(r => (r._2, r._3)).values
+      .map(rs => (rs.map(_._4).sum, rs.size))
+    assert(fills.forall { case (tot, n) => tot <= 10 || n == 1 })
+  }
+
+  test("packSequences is deterministic across shard counts") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, (0 to (i % 17).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.packSequences(docs, budget = 40, shards = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.packSequences(docs, budget = 40, shards = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // per-(shard,bin) fill invariant holds at every shard count
+    Seq(1, 3, 8).foreach { sh =>
+      val rows = TextAnalysis.packSequences(docs, budget = 40, shards = sh)
+        .groupBy(col("shard"), col("bin_id"))
+        .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n"))
+        .collect()
+      assert(rows.forall(r =>
+        r.getAs[Long]("fill") <= 40 || r.getAs[Long]("n") == 1L))
+    }
+  }
+
+  test("redactPii counts before scrubbing; classes don't eat each other") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.com and a@b.org call 206-555-0123 ssn 123-45-6789"),
+      (2L, "ip 10.0.0.1 clean otherwise")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_email") == 2 && r1.getAs[Long]("n_phone") == 1
+      && r1.getAs[Long]("n_ssn") == 1 && r1.getAs[Long]("n_ip") == 0)
+    assert(r1.getAs[String]("text") ==
+      "mail <EMAIL> and <EMAIL> call <PHONE> ssn <SSN>")
+    assert(r1.getAs[Long]("pii_total") == 4)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_ip") == 1 &&
+      r2.getAs[String]("text") == "ip <IP> clean otherwise")
+  }
+
+  test("hashSplit: stable, salt-sensitive, fractions validated") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    val a = TextAnalysis.hashSplit(docs, "doc_id").orderBy("doc_id")
+      .select("split").as[String].collect().toSeq
+    val b = TextAnalysis.hashSplit(docs, "doc_id").orderBy("doc_id")
+      .select("split").as[String].collect().toSeq
+    assert(a == b) // pure function of (id, salt)
+    val c = TextAnalysis.hashSplit(docs, "doc_id", salt = "other")
+      .orderBy("doc_id").select("split").as[String].collect().toSeq
+    assert(a != c) // a re-salt is an independent re-split
+    val frac = a.count(_ == "train").toDouble / a.size
+    assert(frac > 0.85 && frac < 0.95)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashSplit(docs, "doc_id",
+        splits = Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
