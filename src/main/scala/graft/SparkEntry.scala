@@ -205,6 +205,10 @@ object SparkEntry {
     "q121_pack_sequences" -> (T.q121PackSequences _),
     "q122_redact_pii" -> (T.q122RedactPii _),
     "q123_hash_split" -> (T.q123HashSplit _),
+    "q124_pqi_inpatient" ->
+      (graft.queries.BuildQueries.q124PqiInpatient _),
+    "q125_tpo_staging" -> (graft.queries.BuildQueries.q125TpoStaging _),
+    "q126_ed_visit_num" -> (graft.queries.BuildQueries.q126EdVisitNum _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4240,5 +4244,205 @@ object SparkEntry {
             ::UBIGINT AS b
         FROM documents)
       ORDER BY doc_id""",
+
+    // q124: PQI inpatient classifier — the reference's per-rule set-op
+    // formulation (NOT IN / INTERSECT chains) pinning the flag-algebra
+    // path, with the admission-source direct-transfer residual.
+    "q124_pqi_inpatient" -> """
+      WITH li AS (
+        SELECT l_orderkey AS claim_id, CAST(l_shipdate AS DATE) AS fsd,
+          l_partkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      hdr AS (
+        SELECT o_orderkey AS claim_id,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 500 END AS ip,
+          o_custkey % 60 AS pdx, o_orderkey % 20 AS drg,
+          CASE WHEN o_orderkey % 7 = 0 THEN '4'
+               WHEN o_orderkey % 7 = 1 THEN 'A'
+               WHEN o_orderkey % 7 = 2 THEN NULL
+               ELSE '1' END AS adm
+        FROM orders),
+      base AS (
+        SELECT * FROM hdr WHERE ip IS NOT NULL AND (adm IS NULL
+          OR adm NOT IN ('4','5','6','A','B','C','D','E','F'))),
+      dxc AS (
+        SELECT claim_id, l_partkey % 60 AS dxn,
+          CASE WHEN l_partkey % 11 = 0 THEN 10
+               WHEN fsd < DATE '1995-06-01' THEN 9 ELSE 10 END AS ver
+        FROM li),
+      prc AS (SELECT claim_id, l_suppkey % 40 AS pcn FROM li),
+      respan AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 50 AND 55),
+      carp AS (SELECT DISTINCT claim_id FROM prc
+        WHERE pcn BETWEEN 0 AND 3),
+      hy2d AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 24 AND 27),
+      dialy AS (SELECT DISTINCT claim_id FROM prc
+        WHERE pcn BETWEEN 4 AND 6),
+      lea2d AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 56 AND 58),
+      ba2d AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 36 AND 38),
+      immunid AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 39 AND 41),
+      kidney AS (SELECT DISTINCT claim_id FROM dxc
+        WHERE ver = 10 AND dxn BETWEEN 42 AND 44),
+      immunip AS (SELECT DISTINCT claim_id FROM prc
+        WHERE pcn BETWEEN 14 AND 16),
+      mdc14 AS (SELECT DISTINCT claim_id FROM hdr
+        WHERE drg BETWEEN 0 AND 3),
+      rules AS (
+        SELECT 'PQI 01' AS g, claim_id, ip FROM base
+        WHERE pdx BETWEEN 0 AND 5
+        UNION ALL
+        SELECT 'PQI 03', claim_id, ip FROM base
+        WHERE pdx BETWEEN 6 AND 11
+        UNION ALL
+        SELECT 'PQI 05', claim_id, ip FROM base
+        WHERE pdx BETWEEN 12 AND 19
+          AND claim_id NOT IN (SELECT claim_id FROM respan)
+        UNION ALL
+        SELECT 'PQI 07', claim_id, ip FROM base
+        WHERE pdx BETWEEN 20 AND 23
+          AND claim_id NOT IN (SELECT claim_id FROM carp)
+          AND claim_id NOT IN (SELECT claim_id FROM hy2d
+            INTERSECT SELECT claim_id FROM dialy)
+        UNION ALL
+        SELECT 'PQI 08', claim_id, ip FROM base
+        WHERE pdx BETWEEN 36 AND 39
+          AND claim_id NOT IN (SELECT claim_id FROM carp)
+        UNION ALL
+        SELECT 'PQI 11', claim_id, ip FROM base
+        WHERE pdx BETWEEN 40 AND 43
+          AND claim_id NOT IN (SELECT claim_id FROM ba2d)
+          AND claim_id NOT IN (SELECT claim_id FROM immunid)
+          AND claim_id NOT IN (SELECT claim_id FROM immunip)
+        UNION ALL
+        SELECT 'PQI 12', claim_id, ip FROM base
+        WHERE pdx BETWEEN 44 AND 47
+          AND claim_id NOT IN (SELECT claim_id FROM kidney)
+          AND claim_id NOT IN (SELECT claim_id FROM immunid)
+          AND claim_id NOT IN (SELECT claim_id FROM immunip)
+        UNION ALL
+        SELECT 'PQI 14', claim_id, ip FROM base
+        WHERE pdx BETWEEN 28 AND 31
+        UNION ALL
+        SELECT 'PQI 15', claim_id, ip FROM base
+        WHERE pdx BETWEEN 16 AND 19
+          AND claim_id NOT IN (SELECT claim_id FROM respan)
+        UNION ALL
+        SELECT 'PQI 16', h.claim_id, h.ip FROM base h
+        JOIN (SELECT claim_id FROM prc WHERE pcn BETWEEN 8 AND 12
+              INTERSECT
+              SELECT claim_id FROM dxc
+              WHERE ver = 10 AND dxn BETWEEN 32 AND 35) i
+          ON h.claim_id = i.claim_id
+        WHERE h.claim_id NOT IN (SELECT claim_id FROM lea2d)
+          AND h.claim_id NOT IN (SELECT claim_id FROM mdc14)),
+      agg AS (SELECT g, ip, 1 AS flag FROM rules GROUP BY g, ip)
+      SELECT ip AS inpatient_id,
+        COALESCE(MAX(CASE WHEN g = 'PQI 01' THEN flag END), 0) AS pqi_01,
+        COALESCE(MAX(CASE WHEN g = 'PQI 03' THEN flag END), 0) AS pqi_03,
+        COALESCE(MAX(CASE WHEN g = 'PQI 05' THEN flag END), 0) AS pqi_05,
+        COALESCE(MAX(CASE WHEN g = 'PQI 07' THEN flag END), 0) AS pqi_07,
+        COALESCE(MAX(CASE WHEN g = 'PQI 08' THEN flag END), 0) AS pqi_08,
+        COALESCE(MAX(CASE WHEN g = 'PQI 11' THEN flag END), 0) AS pqi_11,
+        COALESCE(MAX(CASE WHEN g = 'PQI 12' THEN flag END), 0) AS pqi_12,
+        COALESCE(MAX(CASE WHEN g = 'PQI 14' THEN flag END), 0) AS pqi_14,
+        COALESCE(MAX(CASE WHEN g = 'PQI 15' THEN flag END), 0) AS pqi_15,
+        COALESCE(MAX(CASE WHEN g = 'PQI 16' THEN flag END), 0) AS pqi_16,
+        CASE WHEN COALESCE(MAX(flag), 0) >= 1 THEN 1 ELSE 0 END
+          AS pqi_composite
+      FROM agg GROUP BY ip ORDER BY inpatient_id""",
+
+    // q125: TPO opioid treatment penetration — MAT-fill (active NDCs
+    // only) UNION receipt-of-MAT numerator; any-position OUD dx with the
+    // version/date cut UNION numerator denominator.
+    "q125_tpo_staging" -> (VsFramesCte + """
+      oud_rx AS (
+        SELECT id_person, claim_id, rx_fill_date AS first_service_date
+        FROM pharm WHERE ndc IN ('ND1','ND2','ND3','ND5','ND6','ND7',
+          'ND9','ND10','ND11','ND13','ND14')),
+      oud_mat AS (
+        SELECT id_person, claim_id, first_service_date FROM proc
+        WHERE procedure_code IN ('PC20','PC21','PC22','PC23','PC24',
+          'PC25','PC26','PC27')),
+      oud_dx AS (
+        SELECT id_person, claim_id, first_service_date FROM dx
+        WHERE (icdcm_version = 9
+            AND first_service_date < DATE '1995-06-01'
+            AND icdcm_norm IN ('DX5','DX6','DX7','DX8','DX9','DX10',
+              'DX11','DX12','DX13','DX14','DX15','DX16','DX17','DX18',
+              'DX19','DX20'))
+          OR (icdcm_version = 10
+            AND first_service_date >= DATE '1995-06-01'
+            AND icdcm_norm IN ('DX15','DX16','DX17','DX18','DX19',
+              'DX20','DX21','DX22','DX23','DX24','DX25','DX26','DX27',
+              'DX28','DX29','DX30','DX31','DX32','DX33','DX34','DX35',
+              'DX36','DX37','DX38','DX39','DX40'))),
+      onum AS (
+        SELECT DISTINCT id_person, claim_id, first_service_date FROM (
+          SELECT * FROM oud_rx UNION SELECT * FROM oud_mat)),
+      oden AS (
+        SELECT DISTINCT id_person, claim_id, first_service_date FROM (
+          SELECT * FROM onum UNION SELECT * FROM oud_dx))
+      SELECT year_month, id_person, measure_name, num_denom,
+        measure_value
+      FROM (
+        SELECT CAST(year(first_service_date) * 100 +
+            month(first_service_date) AS INTEGER) AS year_month,
+          id_person,
+          'Substance Use Disorder Treatment Penetration (Opioid)'
+            AS measure_name,
+          'N' AS num_denom, MAX(1) AS measure_value
+        FROM onum GROUP BY 1, 2
+        UNION ALL
+        SELECT CAST(year(first_service_date) * 100 +
+            month(first_service_date) AS INTEGER),
+          id_person,
+          'Substance Use Disorder Treatment Penetration (Opioid)', 'D',
+          MAX(1)
+        FROM oden GROUP BY 1, 2)
+      ORDER BY year_month, id_person, num_denom"""),
+
+    // q126: ED-visit numerator — three qualification routes, UNION
+    // distinct at claim grain.
+    "q126_ed_visit_num" -> """
+      WITH hdr AS (
+        SELECT o_orderkey AS claim_id, o_custkey % 100 AS id_person,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 3 AS INT)
+            AS lsd,
+          CASE WHEN o_orderkey % 5 = 0 THEN '3'
+               WHEN o_orderkey % 5 = 1 THEN '26'
+               WHEN o_orderkey % 5 = 2 THEN '34' ELSE '1' END
+            AS clm_type,
+          CASE WHEN o_orderkey % 7 = 0 THEN '23' ELSE '11' END AS pos
+        FROM orders),
+      ed AS (SELECT * FROM hdr WHERE clm_type IN ('3', '26', '34')),
+      rev AS (
+        SELECT DISTINCT l_orderkey AS claim_id FROM lineitem
+        WHERE (CASE WHEN l_suppkey % 9 = 0 THEN '0450'
+               WHEN l_suppkey % 9 = 1 THEN '0451'
+               WHEN l_suppkey % 9 = 2 THEN '0456' ELSE '0300' END)
+          IN ('0450', '0451', '0452', '0456', '0459')),
+      prc AS (
+        SELECT DISTINCT l_orderkey AS claim_id FROM lineitem
+        WHERE (CASE WHEN l_partkey % 11 = 0 THEN '99281'
+               WHEN l_partkey % 11 = 1 THEN '99284'
+               WHEN l_partkey % 11 = 2 THEN '99288' ELSE 'OTHER' END)
+          IN ('99281', '99282', '99283', '99284', '99285', '99288')),
+      u AS (
+        SELECT id_person, claim_id, fsd, lsd FROM ed WHERE pos IN ('23')
+        UNION
+        SELECT id_person, e.claim_id, fsd, lsd
+        FROM ed e JOIN rev r ON e.claim_id = r.claim_id
+        UNION
+        SELECT id_person, e.claim_id, fsd, lsd
+        FROM ed e JOIN prc p ON e.claim_id = p.claim_id)
+      SELECT CAST(year(fsd) * 100 + month(fsd) AS INTEGER) AS year_month,
+        id_person, claim_id, fsd AS first_service_date,
+        lsd AS last_service_date, 1 AS ed_visit_num
+      FROM u ORDER BY claim_id""",
   )
 }

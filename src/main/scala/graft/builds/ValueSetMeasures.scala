@@ -144,6 +144,70 @@ object ValueSetMeasures {
         measureName, "D"))
   }
 
+  /** TPO opioid treatment penetration
+    * (create_stage.v_perf_tpo_numerator.sql:44-104,
+    * create_stage.v_perf_tpo_denominator.sql:40-150) — the TPM sibling
+    * with a different arm structure: numerator = MAT pharmacy fill (NDC
+    * set, the family's only `active = 'Y'` residual) UNION
+    * receipt-of-MAT procedure (HCPCS); denominator = OUD diagnosis in
+    * ANY position (ICD9/10 with the 2015-10-01 version cut) UNION both
+    * numerator arms. Same broadcast value-set kernels; the TPS SUD
+    * variant is this shape again under the SUD-Tx-Pen-* names. */
+  def tpoStaging(proc: DataFrame, dx: DataFrame, pharm: DataFrame,
+      rda: DataFrame, measureName: String,
+      cutDate: String = "2015-10-01"): DataFrame = {
+    val rx = tagged(codeValueSet(
+      pharm.withColumn("first_service_date", col("rx_fill_date")),
+      "ndc", rda, "OUD-Tx-Pen-Value-Set-2", Seq("NDC"),
+      activeOnly = true))
+    val mat = tagged(codeValueSet(proc, "procedure_code", rda,
+      "OUD-Tx-Pen-Receipt-of-MAT", Seq("HCPCS")))
+    val num = rx.union(mat).distinct()
+    val den = num.union(tagged(dxValueSet(dx, rda,
+      "OUD-Tx-Pen-Value-Set-1", primaryOnly = false, cutDate)))
+      .distinct()
+    staging(num, measureName, "N")
+      .unionAll(staging(den, measureName, "D"))
+  }
+
+  /** ED-visit numerator (create_stage.v_perf_ed_visit_num.sql): every ED
+    * visit counts (same-day visits on separate claims each count) —
+    * three qualification routes UNION-distinct'ed: (1) ED claim type +
+    * place-of-service 23; (2) ED claim type + an ED revenue-code line;
+    * (3) ED claim type + an ED E&M procedure code. Each route is one
+    * equi-join (lines/procs co-keyed on claim_id); the distinct collapses
+    * multi-line/multi-code fan-out back to claim grain.
+    *
+    * @param headers claim_id, id_person, first_service_date,
+    *   last_service_date, clm_type, pos */
+  def edVisitNum(headers: DataFrame, lines: DataFrame, procs: DataFrame,
+      edClaimTypes: Seq[String] = Seq("3", "26", "34"),
+      edPos: Seq[String] = Seq("23"),
+      edRevCodes: Seq[String] =
+        Seq("0450", "0451", "0452", "0456", "0459"),
+      edProcCodes: Seq[String] =
+        Seq("99281", "99282", "99283", "99284", "99285", "99288"))
+      : DataFrame = {
+    val ed = headers.filter(col("clm_type").isin(edClaimTypes: _*))
+    val out = Seq("id_person", "claim_id", "first_service_date",
+      "last_service_date").map(col)
+    val byPos = ed.filter(col("pos").isin(edPos: _*)).select(out: _*)
+    val byRev = ed.join(
+      lines.filter(col("rev_code").isin(edRevCodes: _*))
+        .select(col("claim_id")), Seq("claim_id"), "left_semi")
+      .select(out: _*)
+    val byProc = ed.join(
+      procs.filter(col("procedure_code").isin(edProcCodes: _*))
+        .select(col("claim_id")), Seq("claim_id"), "left_semi")
+      .select(out: _*)
+    byPos.union(byRev).union(byProc).distinct()
+      .select(
+        (year(col("first_service_date")) * 100 +
+          month(col("first_service_date"))).as("year_month"),
+        col("id_person"), col("claim_id"), col("first_service_date"),
+        col("last_service_date"), lit(1).as("ed_visit_num"))
+  }
+
   /** One-scan TPM staging — the 100-TB shape of [[tpmStaging]]. The
     * reference algebra operates on (person, claim, date) tuples drawn
     * from the same key space, so UNION ≡ OR and INTERSECT ≡ AND over

@@ -888,6 +888,23 @@ object BuildQueries {
       rows.toDF("value_set_name", "code_set", "code", "sub_group",
         "active")
     }
+
+    /** OUD (opioid) value sets for TPO — includes inactive NDC rows so
+      * the `active = 'Y'` residual is exercised. */
+    def rdaOud(s: SparkSession): DataFrame = {
+      import s.implicits._
+      val rows =
+        (0 until 15).map(i => ("OUD-Tx-Pen-Value-Set-2", "NDC", s"ND$i",
+          null: String, if (i % 4 == 0) "N" else "Y")) ++
+        (20 until 28).map(i => ("OUD-Tx-Pen-Receipt-of-MAT", "HCPCS",
+          s"PC$i", null: String, "Y")) ++
+        (5 until 21).map(i => ("OUD-Tx-Pen-Value-Set-1", "ICD9CM",
+          s"DX$i", null: String, "Y")) ++
+        (15 until 41).map(i => ("OUD-Tx-Pen-Value-Set-1", "ICD10CM",
+          s"DX$i", null: String, "Y"))
+      rows.toDF("value_set_name", "code_set", "code", "sub_group",
+        "active")
+    }
   }
 
   /** §2.9 RDA MH treatment-penetration staging rows (q109): value-set
@@ -1102,6 +1119,145 @@ object BuildQueries {
         when(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1, 1)
           .otherwise(0).as("pqi_composite"): _*)
       .orderBy(col("ed_pophealth_id"))
+  }
+
+  /** §2.9 TPO opioid treatment-penetration staging (q125): the TPM
+    * sibling with MAT-fill + receipt-of-MAT numerator arms and an
+    * any-position OUD-dx denominator (create_stage.v_perf_tpo_*.sql) —
+    * the active='Y' NDC residual is live (the fixture plants inactive
+    * rows). */
+  def q125TpoStaging(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ValueSetMeasures.tpoStaging(Vs.proc(s, dir),
+        Vs.dx(s, dir), Vs.pharm(s, dir), Vs.rdaOud(s),
+        "Substance Use Disorder Treatment Penetration (Opioid)", Vs.cut)
+      .orderBy(col("year_month"), col("id_person"), col("num_denom"))
+
+  /** §2.9 ED-visit numerator (q126): the DSRIP utilization feeder
+    * (create_stage.v_perf_ed_visit_num.sql) — ED claim types qualified by
+    * place-of-service 23 OR an ED revenue-code line OR an ED E&M
+    * procedure, UNION-distinct at claim grain. */
+  def q126EdVisitNum(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val headers = t(s, dir, "orders").select(
+      ok.as("claim_id"), (col("o_custkey") % 100).as("id_person"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      date_add(to_date(col("o_orderdate")), (ok % 3).cast("int"))
+        .as("last_service_date"),
+      when(ok % 5 === 0, "3").when(ok % 5 === 1, "26")
+        .when(ok % 5 === 2, "34").otherwise("1").as("clm_type"),
+      when(ok % 7 === 0, "23").otherwise("11").as("pos"))
+    val lines = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("claim_id"),
+      when(col("l_suppkey") % 9 === 0, "0450")
+        .when(col("l_suppkey") % 9 === 1, "0451")
+        .when(col("l_suppkey") % 9 === 2, "0456")
+        .otherwise("0300").as("rev_code"))
+    val procs = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("claim_id"),
+      when(col("l_partkey") % 11 === 0, "99281")
+        .when(col("l_partkey") % 11 === 1, "99284")
+        .when(col("l_partkey") % 11 === 2, "99288")
+        .otherwise("OTHER").as("procedure_code"))
+    graft.builds.ValueSetMeasures.edVisitNum(headers, lines, procs)
+      .orderBy(col("claim_id"))
+  }
+
+  /** §2.9 AHRQ PQI inpatient classifier (q124): the inpatient sibling of
+    * q115 (create_stage.v_mcaid_pqi_inpatient.sql) — keyed on
+    * inpatient_id instead of the ED episode, gated by the
+    * direct-transfer admission-source residual (`admsn_source IS NULL OR
+    * NOT IN ('4','5','6','A','B','C','D','E','F')`, the view's repeated
+    * WHERE), and carrying the three indicators the ED variant lacks:
+    * PQI 08 heart failure (cardiac-proc exclusion), PQI 11 bacterial
+    * pneumonia (sickle-cell + immunocompromised dx/proc exclusions),
+    * PQI 12 UTI (kidney + immunocompromised exclusions). Same one-scan
+    * flag-algebra shape as q115; the oracle runs the reference's
+    * per-rule set-op formulation. */
+  def q124PqiInpatient(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val headers = t(s, dir, "orders").select(
+      col("o_orderkey").as("claim_id"),
+      when(col("o_orderkey") % 3 === 0, col("o_orderkey") % 500)
+        .as("inpatient_id"),
+      concat(lit("DX"), (col("o_custkey") % 60).cast("string"))
+        .as("primary_diagnosis"),
+      concat(lit("DRG"), (col("o_orderkey") % 20).cast("string"))
+        .as("drg_code"),
+      when(col("o_orderkey") % 7 === 0, "4")
+        .when(col("o_orderkey") % 7 === 1, "A")
+        .when(col("o_orderkey") % 7 === 2, lit(null).cast("string"))
+        .otherwise("1").as("admsn_source"))
+    val dx = Vs.dx(s, dir)
+    val proc = Vs.proc(s, dir)
+    def mk(name: String, prefix: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (name, s"$prefix$i"))
+    val ahrq = (mk("ACDIASD", "DX", 0, 6) ++ mk("ACDIALD", "DX", 6, 12) ++
+      mk("ACCOPDD", "DX", 12, 16) ++ mk("ACSASTD", "DX", 16, 20) ++
+      mk("ACSHYPD", "DX", 20, 24) ++ mk("ACDIAUD", "DX", 28, 32) ++
+      mk("MTCHFD", "DX", 36, 40) ++ mk("ACSBACD", "DX", 40, 44) ++
+      mk("ACSUTID", "DX", 44, 48) ++ mk("ACSLEAD", "DX", 32, 36) ++
+      mk("RESPAN", "DX", 50, 56) ++ mk("ACSHY2D", "DX", 24, 28) ++
+      mk("ACLEA2D", "DX", 56, 59) ++ mk("ACSBA2D", "DX", 36, 39) ++
+      mk("IMMUNID", "DX", 39, 42) ++ mk("KIDNEY", "DX", 42, 45) ++
+      mk("ACSCARP", "PC", 0, 4) ++ mk("DIALY2P", "PC", 4, 7) ++
+      mk("ACSLEAP", "PC", 8, 13) ++ mk("IMMUNIP", "PC", 14, 17) ++
+      mk("MDC 14", "DRG", 0, 4))
+      .map { case (n, c) => (n, "VS", c) }
+      .toDF("value_set_name", "value_set_group", "code")
+    val dxFlags = graft.builds.PqiMeasure.claimSetFlags(
+      dx.filter(col("icdcm_version") === 10), "icdcm_norm", ahrq,
+      Seq("RESPAN" -> "respan", "ACSHY2D" -> "hy2d",
+        "ACLEA2D" -> "lea2d", "ACSLEAD" -> "lead",
+        "ACSBA2D" -> "ba2d", "IMMUNID" -> "immunid",
+        "KIDNEY" -> "kidney"))
+    val procFlags = graft.builds.PqiMeasure.claimSetFlags(proc,
+      "procedure_code", ahrq,
+      Seq("ACSCARP" -> "carp", "DIALY2P" -> "dialy",
+        "ACSLEAP" -> "leap", "IMMUNIP" -> "immunip"))
+    val nonTransfer = col("admsn_source").isNull ||
+      !col("admsn_source").isin("4", "5", "6", "A", "B", "C", "D", "E",
+        "F")
+    val inpatient = headers
+      .filter(col("inpatient_id").isNotNull && nonTransfer)
+    val hdrFlags = graft.builds.PqiMeasure.claimSetFlags(inpatient,
+      "primary_diagnosis", ahrq,
+      Seq("ACDIASD" -> "diasd", "ACDIALD" -> "diald",
+        "ACCOPDD" -> "copdd", "ACSASTD" -> "astd",
+        "ACSHYPD" -> "hypd", "ACDIAUD" -> "diaud",
+        "MTCHFD" -> "chfd", "ACSBACD" -> "bacd", "ACSUTID" -> "utid"))
+    val base = inpatient
+      .select(col("claim_id"), col("inpatient_id"),
+        when(col("drg_code").isin((0 until 4).map(i => s"DRG$i"): _*), 1)
+          .otherwise(0).as("mdc14"))
+      .join(hdrFlags, Seq("claim_id"), "left")
+      .join(dxFlags, Seq("claim_id"), "left")
+      .join(procFlags, Seq("claim_id"), "left")
+    def f(c: String) = coalesce(col(c), lit(0)) === 1
+    val rules = Seq[(String, org.apache.spark.sql.Column)](
+      "pqi_01" -> f("diasd"),
+      "pqi_03" -> f("diald"),
+      "pqi_05" -> ((f("copdd") || f("astd")) && !f("respan")),
+      "pqi_07" -> (f("hypd") && !f("carp") && !(f("hy2d") && f("dialy"))),
+      "pqi_08" -> (f("chfd") && !f("carp")),
+      "pqi_11" -> (f("bacd") && !f("ba2d") && !f("immunid") &&
+        !f("immunip")),
+      "pqi_12" -> (f("utid") && !f("kidney") && !f("immunid") &&
+        !f("immunip")),
+      "pqi_14" -> f("diaud"),
+      "pqi_15" -> (f("astd") && !f("respan")),
+      "pqi_16" -> (f("leap") && f("lead") && !f("lea2d") &&
+        !(col("mdc14") === 1)))
+    val aggs = rules.map { case (n, c) =>
+      max(when(c, 1).otherwise(0)).as(n)
+    }
+    val wide = base.groupBy(col("inpatient_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1)
+    wide.select(col("inpatient_id") +:
+        rules.map { case (n, _) => col(n) } :+
+        when(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1, 1)
+          .otherwise(0).as("pqi_composite"): _*)
+      .orderBy(col("inpatient_id"))
   }
 
   def q106AhNumerator(s: SparkSession, dir: String): DataFrame = {
