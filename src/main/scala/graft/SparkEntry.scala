@@ -209,6 +209,9 @@ object SparkEntry {
       (graft.queries.BuildQueries.q124PqiInpatient _),
     "q125_tpo_staging" -> (graft.queries.BuildQueries.q125TpoStaging _),
     "q126_ed_visit_num" -> (graft.queries.BuildQueries.q126EdVisitNum _),
+    "q127_mcare_timevar" ->
+      (graft.queries.BuildQueries.q127McareTimevar _),
+    "q128_mixture_weights" -> (T.q128MixtureWeights _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4444,5 +4447,122 @@ object SparkEntry {
         id_person, claim_id, fsd AS first_service_date,
         lsd AS last_service_date, 1 AS ed_visit_num
       FROM u ORDER BY claim_id""",
+
+    // q127: mcare elig_timevar — ResDAC monthly code recodes (NULL-able
+    // CASEs), NULL-propagating cov_type_sum>0 drop, death truncation,
+    // islands/collapse/contiguous.
+    "q127_mcare_timevar" -> """
+      WITH iy AS (
+        SELECT DISTINCT o_custkey % 80 AS p, year(o_orderdate) AS y
+        FROM orders),
+      mg AS (
+        SELECT p, y, m FROM iy,
+          (SELECT unnest(generate_series(1, 12)) AS m) t),
+      codes AS (
+        SELECT p, y, m,
+          ['0','1','2','3','A','B','C','9']
+            [((p*31 + y*12 + m) % 8)::INT + 1] AS buyins,
+          ['0','1','2','4','A','5']
+            [((p*31 + y*12 + m) % 6)::INT + 1] AS hmos,
+          ['E123','H45','N','*','0','X9',NULL,'R2']
+            [((p*31 + y*12 + m) % 8)::INT + 1] AS rx,
+          ['00','01','02','04','08','09','10','99','**',NULL]
+            [((p*31 + y*12 + m) % 10)::INT + 1] AS duals,
+          CASE WHEN (p + y) % 7 = 0 THEN '9812'
+            ELSE '9810' || ((p + y) % 4)::VARCHAR END AS zip_cd
+        FROM mg),
+      monthly AS (
+        SELECT 'E' || p::VARCHAR AS id_mcare,
+          make_date(y, m, 1) AS from_date,
+          last_day(make_date(y, m, 1)) AS to_date,
+          CASE WHEN len(zip_cd) >= 5 THEN substr(zip_cd, 1, 5) END
+            AS geo_zip,
+          CASE WHEN buyins IN ('1','3','A','C') THEN 1
+               WHEN buyins IN ('0','2','B') THEN 0 END AS part_a,
+          CASE WHEN buyins IN ('2','3','B','C') THEN 1
+               WHEN buyins IN ('0','1','A') THEN 0 END AS part_b,
+          CASE WHEN hmos IN ('1','2','A','B','C') THEN 1
+               WHEN hmos IN ('0','4') THEN 0 END AS part_c,
+          CASE WHEN rx IN ('N','NULL','*','0','NA') OR rx IS NULL THEN 0
+               WHEN substr(rx, 1, 1) IN ('E','H','R','S','X') THEN 1
+            END AS part_d,
+          CASE WHEN buyins IN ('0','1','2','3') THEN 0
+               WHEN buyins IN ('A','B','C') THEN 1 END AS state_buyin,
+          CASE WHEN duals IN ('NULL','**','0','00','2','02','4','04',
+              '8','08','9','09','99','10','NA') OR duals IS NULL THEN 0
+               WHEN duals IN ('1','01','3','03','5','05','6','06')
+            THEN 1 END AS partial_dual,
+          CASE WHEN duals IN ('NULL','**','0','00','9','09','99','NA',
+              '1','01','3','03','5','05','6','06') OR duals IS NULL
+            THEN 0
+               WHEN duals IN ('2','02','4','04','8','08','10') THEN 1
+            END AS full_dual
+        FROM codes),
+      demo AS (
+        SELECT DISTINCT 'E' || p::VARCHAR AS id_mcare,
+          CASE WHEN p % 9 = 0 THEN DATE '1995-06-15'
+            + CAST(p * 13 % 700 AS INT) END AS death_dt
+        FROM iy),
+      alive AS (
+        SELECT m.id_mcare, m.from_date,
+          CASE WHEN d.death_dt IS NOT NULL
+              AND m.from_date <= d.death_dt AND m.to_date > d.death_dt
+            THEN d.death_dt ELSE m.to_date END AS to_date,
+          m.geo_zip, m.part_a, m.part_b, m.part_c, m.part_d,
+          m.state_buyin, m.partial_dual, m.full_dual
+        FROM monthly m LEFT JOIN demo d ON m.id_mcare = d.id_mcare
+        WHERE m.part_a + m.part_b + m.part_c + m.part_d + m.state_buyin
+            + m.partial_dual + m.full_dual > 0
+          AND (m.from_date <= d.death_dt OR d.death_dt IS NULL)),
+      isl AS (
+        SELECT *, sum(CASE WHEN prev_t IS NULL
+              OR date_diff('day', prev_t, from_date) > 1
+            THEN 1 ELSE 0 END)
+            OVER (PARTITION BY id_mcare, geo_zip, part_a, part_b,
+              part_c, part_d, state_buyin, partial_dual, full_dual
+              ORDER BY from_date, to_date ROWS UNBOUNDED PRECEDING)
+            AS grp
+        FROM (SELECT *, lag(to_date) OVER (PARTITION BY id_mcare,
+                geo_zip, part_a, part_b, part_c, part_d, state_buyin,
+                partial_dual, full_dual ORDER BY from_date, to_date)
+              AS prev_t FROM alive)),
+      coll AS (
+        SELECT id_mcare, geo_zip, part_a, part_b, part_c, part_d,
+          state_buyin, partial_dual, full_dual,
+          min(from_date) AS from_date, max(to_date) AS to_date
+        FROM isl
+        GROUP BY id_mcare, geo_zip, part_a, part_b, part_c, part_d,
+          state_buyin, partial_dual, full_dual, grp)
+      SELECT id_mcare, from_date, to_date,
+        CAST(coalesce(date_diff('day',
+          lag(to_date) OVER (PARTITION BY id_mcare ORDER BY from_date),
+          from_date) = 1, false) AS INTEGER) AS contiguous,
+        part_a, part_b, part_c, part_d, full_dual, partial_dual,
+        state_buyin, geo_zip,
+        CASE WHEN geo_zip IN ('98100', '98102') THEN 1 ELSE 0 END
+          AS geo_kc,
+        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
+          AS cov_time_day
+      FROM coll ORDER BY id_mcare, from_date""",
+
+    // q128: temperature-scaled domain mixture weights (alpha = 0.7).
+    "q128_mixture_weights" -> """
+      WITH dom AS (
+        SELECT source AS domain, count(*) AS n_docs,
+          CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      sh AS (
+        SELECT *, n_tokens * 1.0 / sum(n_tokens) OVER () AS nat_share
+        FROM dom),
+      mx AS (
+        SELECT *, pow(nat_share, 0.7)
+          / sum(pow(nat_share, 0.7)) OVER () AS mix_share
+        FROM sh)
+      SELECT domain, n_docs, n_tokens,
+        round(nat_share, 6) AS nat_share,
+        round(mix_share, 6) AS mix_share,
+        round(mix_share / n_tokens * 1e6, 6) AS sample_weight_ppm
+      FROM mx ORDER BY domain""",
   )
 }

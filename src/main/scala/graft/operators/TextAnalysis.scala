@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -387,5 +388,43 @@ object TextAnalysis {
       when(bucket < cut, name).otherwise(els)
     }
     df.withColumn("split", expr)
+  }
+
+  /** Temperature-scaled domain mixture weights (the standard
+    * multi-source training-mix recipe): each domain's sampling mass is
+    * its token share raised to `alpha`, renormalized; per-document
+    * sampling weight is its domain's mass divided by the domain's token
+    * count, so sampling documents proportional to `sample_weight`
+    * reproduces the domain mixture while staying uniform within a
+    * domain. alpha = 1 keeps natural proportions; alpha < 1 upweights
+    * small domains; alpha = 0 is uniform-over-domains.
+    *
+    * Returns (domain, n_docs, n_tokens, nat_share, mix_share,
+    * sample_weight) — one row per domain; join back on the domain column
+    * to stamp documents.
+    *
+    * Scale: one map-side-combined aggregation over the domain key (a
+    * handful of groups), then two broadcast one-row cross joins for the
+    * renormalizing totals — no unpartitioned window, no per-doc shuffle.
+    */
+  def mixtureWeights(docs: DataFrame, domain: String = "source",
+      text: String = "text", alpha: Double = 0.7): DataFrame = {
+    val dom = docs
+      .groupBy(col(domain).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(text)).cast("long")).as("n_tokens"))
+    val withNat = dom
+      .crossJoin(broadcast(dom.agg(sum(col("n_tokens")).as("_tot"))))
+      .withColumn("nat_share", col("n_tokens") / col("_tot"))
+      .withColumn("_mass", pow(col("nat_share"), lit(alpha)))
+      .drop("_tot")
+    withNat
+      .crossJoin(broadcast(withNat.agg(sum(col("_mass")).as("_msum"))))
+      .withColumn("mix_share", col("_mass") / col("_msum"))
+      .withColumn("sample_weight", col("mix_share") / col("n_tokens"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("nat_share"), 6).as("nat_share"),
+        round(col("mix_share"), 6).as("mix_share"),
+        round(col("sample_weight") * 1e6, 6).as("sample_weight_ppm"))
   }
 }

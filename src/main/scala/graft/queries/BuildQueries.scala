@@ -1132,6 +1132,54 @@ object BuildQueries {
         "Substance Use Disorder Treatment Penetration (Opioid)", Vs.cut)
       .orderBy(col("year_month"), col("id_person"), col("num_denom"))
 
+  /** §1.1 mcare elig_timevar (q127): the Medicare enrollment timeline
+    * (load_stage.mcare_elig_timevar.R) — wide 12-month x 4-family
+    * indicator columns reshaped in ONE stack pass (vs the reference's 4
+    * UNPIVOTs + 3 self-joins), ResDAC code→flag recodes with
+    * non-exhaustive (NULL-able) CASEs, the NULL-propagating
+    * cov_type_sum>0 month drop, death-date truncation, and the
+    * islands/collapse/contiguous battery. Codes cycle through valid,
+    * invalid ('9') and NULL values so every recode branch is live. */
+  def q127McareTimevar(s: SparkSession, dir: String): DataFrame = {
+    def arr(xs: Seq[String]) =
+      array(xs.map(x => lit(x).cast("string")): _*)
+    val buyinCodes = Seq("0", "1", "2", "3", "A", "B", "C", "9")
+    val hmoCodes = Seq("0", "1", "2", "4", "A", "5")
+    val rxCodes = Seq("E123", "H45", "N", "*", "0", "X9", null, "R2")
+    val dualCodes =
+      Seq("00", "01", "02", "04", "08", "09", "10", "99", "**", null)
+    val iy = t(s, dir, "orders").select(
+      (col("o_custkey") % 80).as("p"),
+      year(to_date(col("o_orderdate"))).as("y")).distinct()
+    val monthCols = (1 to 12).flatMap { m =>
+      val mm = f"$m%02d"
+      val k = col("p") * 31 + col("y") * 12 + lit(m)
+      Seq(
+        element_at(arr(buyinCodes), (k % 8).cast("int") + 1)
+          .as(s"buyin_$mm"),
+        element_at(arr(hmoCodes), (k % 6).cast("int") + 1)
+          .as(s"hmo_$mm"),
+        element_at(arr(rxCodes), (k % 8).cast("int") + 1).as(s"rx_$mm"),
+        element_at(arr(dualCodes), (k % 10).cast("int") + 1)
+          .as(s"dual_$mm"))
+    }
+    val bene = iy.select(
+      concat(lit("E"), col("p").cast("string")).as("id_mcare") +:
+      col("y").as("cal_year") +:
+      when((col("p") + col("y")) % 7 === 0, "9812")
+        .otherwise(concat(lit("9810"),
+          ((col("p") + col("y")) % 4).cast("string"))).as("zip_cd") +:
+      monthCols: _*)
+    val demo = iy.select(col("p")).distinct().select(
+      concat(lit("E"), col("p").cast("string")).as("id_mcare"),
+      when(col("p") % 9 === 0,
+        date_add(to_date(lit("1995-06-15")),
+          (col("p") * 13 % 700).cast("int"))).as("death_dt"))
+    graft.builds.McareEligTimevar.build(bene, demo,
+        kcZips = Seq("98100", "98102"))
+      .orderBy(col("id_mcare"), col("from_date"))
+  }
+
   /** §2.9 ED-visit numerator (q126): the DSRIP utilization feeder
     * (create_stage.v_perf_ed_visit_num.sql) — ED claim types qualified by
     * place-of-service 23 OR an ED revenue-code line OR an ED E&M

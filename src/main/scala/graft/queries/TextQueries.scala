@@ -218,6 +218,14 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-scaled domain mixture weights (q128): per-source token
+    * shares raised to alpha=0.7, renormalized, with per-doc sampling
+    * weight (ppm) — the standard multi-source training-mix recipe. */
+  def q128MixtureWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureWeights(t(s, dir, "documents"), "source", "text",
+        alpha = 0.7)
+      .orderBy(col("domain"))
+
   def q113Components(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val e1 = o.filter(col("o_orderkey") % 3 === 0)

@@ -119,8 +119,10 @@ class PlanSpec extends SparkSpec {
       "q78_contamination", // broadcast probe set x corpus: the designed shape
       "q110_tpm_by_dx",  // procedure claims x broadcast 7-row sub-group
                          // list (v_perf_tpm_by_dx_numerator CROSS JOIN)
-      "q114_enroll_denom") // member x broadcast 24-row month spine (the
+      "q114_enroll_denom", // member x broadcast 24-row month spine (the
                            // fn_mcaid_perf_enroll_member_month CROSS JOIN)
+      "q128_mixture_weights") // domain frame x broadcast 1-row totals
+                              // (renormalization without a global window)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
