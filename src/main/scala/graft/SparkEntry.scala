@@ -74,6 +74,12 @@ object SparkEntry {
         col("n"), col("val"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Stream-static enrichment rollup: the stream left-joined to a
+    * broadcast static dim (with a dim-side filter), then watermarked
+    * window aggregation — stateless join, bounded agg state. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    EventStream.enrichedRollup(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. Insertion-ordered
     * (ListMap) so Bench timings are stable round-over-round. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -212,6 +218,8 @@ object SparkEntry {
     "q127_mcare_timevar" ->
       (graft.queries.BuildQueries.q127McareTimevar _),
     "q128_mixture_weights" -> (T.q128MixtureWeights _),
+    "q129_quantized_ann" -> (V.q129QuantizedAnn _),
+    "q130_stream_enrich" -> (qStreamEnrich _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4564,5 +4572,51 @@ object SparkEntry {
         round(mix_share, 6) AS mix_share,
         round(mix_share / n_tokens * 1e6, 6) AS sample_weight_ppm
       FROM mx ORDER BY domain""",
+
+    // q129: int8-quantized brute-force ANN — integer-exact scores under
+    // one double division; the oracle hashes UNROUNDED qcosine.
+    "q129_quantized_ann" -> """
+      WITH qz AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS q
+        FROM qz),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          CASE WHEN list_inner_product(a.q, a.q) = 0
+              OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+            ELSE list_inner_product(a.q, b.q)
+              / (sqrt(list_inner_product(a.q, a.q))
+                * sqrt(list_inner_product(b.q, b.q))) END AS qcosine
+        FROM qv a CROSS JOIN qv b WHERE a.vec_id < 5),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY qcosine DESC, neighbor_id) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, qcosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q130: stream-static enrichment — events left-joined to the
+    // even-custkey segment dim, hourly windows, same watermark cutoff
+    // as q48 (only finalized windows emit).
+    "q130_stream_enrich" -> """
+      WITH dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 2 = 0)
+      SELECT coalesce(d.segment, 'UNKNOWN') AS segment,
+        date_trunc('hour', e.ts) AS hour_start,
+        count(*) AS n, round(sum(e.value), 2) AS val
+      FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+      GROUP BY 1, 2
+      HAVING hour_start + INTERVAL 1 HOUR
+        <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      ORDER BY segment, hour_start""",
   )
 }

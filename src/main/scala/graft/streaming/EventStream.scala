@@ -162,6 +162,55 @@ object EventStream {
     s.read.schema(deduped.schema).parquet(s"$base/data")
   }
 
+  /** Stream-static enrichment: the streaming events joined against a
+    * STATIC dimension (user → segment) before the windowed aggregation —
+    * the standard "enrich the firehose with a broadcast dim" pipeline.
+    * Stream-static equi-joins are stateless in Structured Streaming (the
+    * static side is just re-planned per microbatch and broadcasts here),
+    * so the only state is the windowed aggregate, bounded by the
+    * watermark exactly as in [[hourlyRollup]]. Users missing from the
+    * dim keep their rows under segment 'UNKNOWN' — a left join, because
+    * an inner join would silently drop unmatched fact rows.
+    *
+    * A filter on the dim side (`onlyEven`) exercises the pushdown: the
+    * static scan, not the stream, shrinks. */
+  def enrichedRollup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = Files.createTempDirectory("graft_stream_enrich_src")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
+    val stream =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val agg = stream
+      .withWatermark("ts", s"$DelaySeconds seconds")
+      .withColumn("user_id", col("user_id").cast("long"))
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("val"))
+    val base = Files.createTempDirectory("graft_stream_enrich").toString
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.schema(agg.schema).parquet(s"$base/data")
+      .select(col("segment"), col("window.start").as("hour_start"),
+        col("n"), round(col("val"), 2).as("val"))
+      .orderBy(col("segment"), col("hour_start"))
+  }
+
   /** Tumbling 1-hour event-time aggregation of the events table, executed
     * through the streaming engine (readStream -> watermark -> window agg ->
     * append-mode parquet sink), then read back as a DataFrame. */

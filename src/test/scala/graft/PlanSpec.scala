@@ -121,8 +121,10 @@ class PlanSpec extends SparkSpec {
                          // list (v_perf_tpm_by_dx_numerator CROSS JOIN)
       "q114_enroll_denom", // member x broadcast 24-row month spine (the
                            // fn_mcaid_perf_enroll_member_month CROSS JOIN)
-      "q128_mixture_weights") // domain frame x broadcast 1-row totals
+      "q128_mixture_weights", // domain frame x broadcast 1-row totals
                               // (renormalization without a global window)
+      "q129_quantized_ann") // crossJoin(broadcast(queries)): same ANN
+                            // baseline shape as q41
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>

@@ -130,4 +130,31 @@ class SimilaritySpec extends SparkSpec {
     // cosine non-increasing with rank
     assert(out.map(_.getDouble(2)).sliding(2).forall(w => w(0) >= w(1) - 1e-9))
   }
+
+  test("int8 quantization: bounds, zero vectors, high top-k agreement") {
+    val s = spark
+    import s.implicits._
+    val emb = Q.t(spark, sf, "embeddings")
+    val q = Similarity.quantize(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("qvec"), col("q_scale")).collect()
+    // every component on the int8 grid
+    assert(q.forall(_.getSeq[Float](1).forall(v =>
+      v == v.round.toFloat && math.abs(v) <= 127f)))
+    // all-zero vector quantizes to zeros without NaN
+    val z = Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantize(z, "vec_id", "embedding").head()
+    assert(zq.getAs[Seq[Float]]("qvec").forall(_ == 0.0f))
+    // quantized top-5 overlaps float top-5 heavily (int8 keeps ~2
+    // decimal digits of cosine)
+    val base = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = (base intersect quant).size.toDouble / base.size
+    assert(overlap >= 0.8, s"quantized/float top-k overlap $overlap")
+  }
 }
