@@ -220,6 +220,7 @@ object SparkEntry {
     "q128_mixture_weights" -> (T.q128MixtureWeights _),
     "q129_quantized_ann" -> (V.q129QuantizedAnn _),
     "q130_stream_enrich" -> (qStreamEnrich _),
+    "q131_mcare_demo" -> (graft.queries.BuildQueries.q131McareDemo _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4618,5 +4619,115 @@ object SparkEntry {
       HAVING hour_start + INTERVAL 1 HOUR
         <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
       ORDER BY segment, hour_start""",
+
+    // q131: mcare elig_demo — latest-year picks (row_number over y DESC,
+    // value DESC ≡ the build's max(struct)), ever flags, multiple-
+    // endorsed recodes, rti 0/3 excluded, NULL for all-invalid persons.
+    "q131_mcare_demo" -> """
+      WITH e AS (
+        SELECT DISTINCT o_custkey % 70 AS pid, year(o_orderdate) AS y
+        FROM orders),
+      b AS (
+        SELECT 'E' || pid::VARCHAR AS id, y,
+          CASE WHEN (pid + y) % 13 = 0 THEN NULL
+            ELSE DATE '1940-01-01'
+              + CAST((pid*37 + (y%3)*11) % 9000 AS INT) END AS dob,
+          CASE WHEN pid % 11 = 0 AND y % 2 = 0 THEN DATE '1996-01-01'
+            + CAST(pid % 400 AS INT) END AS dod,
+          ['0','1','2',NULL][((pid + y) % 4)::INT + 1] AS sex,
+          ['0','1','2','3','4','5','6',NULL]
+            [((pid*3 + y) % 8)::INT + 1] AS race,
+          '9810' || ((pid + y) % 8)::VARCHAR AS zip
+        FROM e),
+      dobp AS (
+        SELECT id, dob FROM (SELECT id, dob, row_number() OVER
+            (PARTITION BY id ORDER BY y DESC, dob DESC) rn
+          FROM b WHERE dob IS NOT NULL) WHERE rn = 1),
+      dodp AS (
+        SELECT id, dod FROM (SELECT id, dod, row_number() OVER
+            (PARTITION BY id ORDER BY y DESC, dod DESC) rn
+          FROM b WHERE dod IS NOT NULL) WHERE rn = 1),
+      sexr AS (
+        SELECT id, sex FROM (SELECT id, sex, row_number() OVER
+            (PARTITION BY id ORDER BY y DESC, sex DESC) rn
+          FROM b WHERE sex IS NOT NULL AND sex <> '0') WHERE rn = 1),
+      rethr AS (
+        SELECT id, race FROM (SELECT id, race, row_number() OVER
+            (PARTITION BY id ORDER BY y DESC, race DESC) rn
+          FROM b WHERE race IS NOT NULL AND race NOT IN ('0','3'))
+        WHERE rn = 1),
+      racer AS (
+        SELECT id, race FROM (SELECT id, race, row_number() OVER
+            (PARTITION BY id ORDER BY y DESC, race DESC) rn
+          FROM b WHERE race IS NOT NULL AND race NOT IN ('0','3')
+            AND race <> '5') WHERE rn = 1),
+      fl AS (
+        SELECT id,
+          max(CASE WHEN substr(zip,1,5) IN ('98101','98105') THEN 1
+            END) AS geo_kc_ever,
+          max(CASE WHEN sex = '1' THEN 1
+            WHEN sex IS NOT NULL AND sex <> '0' THEN 0 END)
+            AS gender_male,
+          max(CASE WHEN sex = '2' THEN 1
+            WHEN sex IS NOT NULL AND sex <> '0' THEN 0 END)
+            AS gender_female,
+          max(CASE WHEN race = '1' THEN 1 WHEN race IS NOT NULL
+            AND race NOT IN ('0','3') THEN 0 END) AS race_white,
+          max(CASE WHEN race = '2' THEN 1 WHEN race IS NOT NULL
+            AND race NOT IN ('0','3') THEN 0 END) AS race_black,
+          max(CASE WHEN race = '4' THEN 1 WHEN race IS NOT NULL
+            AND race NOT IN ('0','3') THEN 0 END) AS race_asian_pi,
+          max(CASE WHEN race = '5' THEN 1 WHEN race IS NOT NULL
+            AND race NOT IN ('0','3') THEN 0 END) AS race_latino,
+          max(CASE WHEN race = '6' THEN 1 WHEN race IS NOT NULL
+            AND race NOT IN ('0','3') THEN 0 END) AS race_aian
+        FROM b GROUP BY id),
+      j AS (
+        SELECT f.*, dobp.dob, dodp.dod, sexr.sex AS sx,
+          rethr.race AS reth, racer.race AS rc,
+          f.race_white + f.race_black + f.race_asian_pi + f.race_latino
+            + f.race_aian AS eth_sum,
+          f.race_white + f.race_black + f.race_asian_pi + f.race_aian
+            AS r_sum
+        FROM fl f
+        LEFT JOIN dobp ON f.id = dobp.id
+        LEFT JOIN dodp ON f.id = dodp.id
+        LEFT JOIN sexr ON f.id = sexr.id
+        LEFT JOIN rethr ON f.id = rethr.id
+        LEFT JOIN racer ON f.id = racer.id)
+      SELECT id AS id_mcare, dob, dod AS death_dt, geo_kc_ever,
+        CASE WHEN gender_male = 1 AND gender_female = 1 THEN 'Multiple'
+          WHEN gender_female = 1 THEN 'Female'
+          WHEN gender_male = 1 THEN 'Male'
+          WHEN gender_male IS NOT NULL THEN 'Unknown' END AS gender_me,
+        CASE WHEN sx = '1' THEN 'Male' WHEN sx = '2' THEN 'Female'
+          WHEN sx IS NOT NULL THEN 'Unknown' END AS gender_recent,
+        gender_female, gender_male,
+        CASE WHEN r_sum > 1 THEN 'Multiple'
+          WHEN race_white = 1 THEN 'White'
+          WHEN race_black = 1 THEN 'Black'
+          WHEN race_asian_pi = 1 THEN 'Asian/PI'
+          WHEN race_aian = 1 THEN 'AI/AN'
+          WHEN r_sum = 0 THEN 'Unknown' END AS race_me,
+        CASE WHEN eth_sum > 1 THEN 'Multiple'
+          WHEN race_white = 1 THEN 'White'
+          WHEN race_black = 1 THEN 'Black'
+          WHEN race_asian_pi = 1 THEN 'Asian/PI'
+          WHEN race_latino = 1 THEN 'Latino'
+          WHEN race_aian = 1 THEN 'AI/AN'
+          WHEN eth_sum = 0 THEN 'Unknown' END AS race_eth_me,
+        CASE WHEN rc = '1' THEN 'White' WHEN rc = '2' THEN 'Black'
+          WHEN rc = '4' THEN 'Asian/PI' WHEN rc = '6' THEN 'AI/AN'
+          WHEN rc IS NOT NULL THEN 'Unknown' END AS race_recent,
+        CASE WHEN reth = '1' THEN 'White' WHEN reth = '2' THEN 'Black'
+          WHEN reth = '4' THEN 'Asian/PI' WHEN reth = '5' THEN 'Latino'
+          WHEN reth = '6' THEN 'AI/AN'
+          WHEN reth IS NOT NULL THEN 'Unknown' END AS race_eth_recent,
+        race_aian, race_asian_pi, race_black, race_latino, race_white,
+        CASE WHEN r_sum = 0 THEN 1 WHEN r_sum IS NOT NULL THEN 0 END
+          AS race_unk,
+        CASE WHEN eth_sum = 0 THEN 1 WHEN eth_sum IS NOT NULL THEN 0
+          END AS race_eth_unk
+      FROM j ORDER BY id_mcare""",
   )
 }

@@ -1180,6 +1180,42 @@ object BuildQueries {
       .orderBy(col("id_mcare"), col("from_date"))
   }
 
+  /** §1.1 mcare elig_demo (q131): person-level Medicare demographics
+    * (load_stage.mcare_elig_demo.R) — latest-year dob/death picks, ever
+    * flags, multiple-endorsed gender/race recodes over rti_race_cd
+    * (codes 0/3 excluded), dual recent columns (race_recent excludes
+    * Latino), KC-ever — all as ONE conditional-aggregation scan instead
+    * of the reference's ~10 rank-CTE temp tables + 5 joins. Codes cycle
+    * through valid, unknown-'0'/Other-'3' and NULL so every branch and
+    * the all-invalid→NULL path are live. */
+  def q131McareDemo(s: SparkSession, dir: String): DataFrame = {
+    def pick(xs: Seq[String], idx: org.apache.spark.sql.Column) =
+      element_at(array(xs.map(x => lit(x).cast("string")): _*),
+        idx.cast("int"))
+    val e = t(s, dir, "orders").select(
+      (col("o_custkey") % 70).as("pid"),
+      year(to_date(col("o_orderdate"))).as("y")).distinct()
+    val bene = e.select(
+      concat(lit("E"), col("pid").cast("string")).as("id_mcare"),
+      col("y").as("year"),
+      when((col("pid") + col("y")) % 13 === 0,
+        lit(null).cast("date"))
+        .otherwise(date_add(to_date(lit("1940-01-01")),
+          ((col("pid") * 37 + (col("y") % 3) * 11) % 9000).cast("int")))
+        .as("dob"),
+      when(col("pid") % 11 === 0 && col("y") % 2 === 0,
+        date_add(to_date(lit("1996-01-01")), (col("pid") % 400)
+          .cast("int"))).as("death_dt"),
+      pick(Seq("0", "1", "2", null),
+        (col("pid") + col("y")) % 4 + 1).as("sex_cd"),
+      pick(Seq("0", "1", "2", "3", "4", "5", "6", null),
+        (col("pid") * 3 + col("y")) % 8 + 1).as("rti_race_cd"),
+      concat(lit("9810"), ((col("pid") + col("y")) % 8).cast("string"))
+        .as("zip_cd"))
+    graft.builds.McareEligDemo.build(bene, Seq("98101", "98105"))
+      .orderBy(col("id_mcare"))
+  }
+
   /** §2.9 ED-visit numerator (q126): the DSRIP utilization feeder
     * (create_stage.v_perf_ed_visit_num.sql) — ED claim types qualified by
     * place-of-service 23 OR an ED revenue-code line OR an ED E&M
