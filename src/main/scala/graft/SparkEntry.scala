@@ -221,6 +221,8 @@ object SparkEntry {
     "q129_quantized_ann" -> (V.q129QuantizedAnn _),
     "q130_stream_enrich" -> (qStreamEnrich _),
     "q131_mcare_demo" -> (graft.queries.BuildQueries.q131McareDemo _),
+    "q132_chunk_docs" -> (T.q132ChunkDocs _),
+    "q133_pipeline" -> (T.q133Pipeline _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4729,5 +4731,99 @@ object SparkEntry {
         CASE WHEN eth_sum = 0 THEN 1 WHEN eth_sum IS NOT NULL THEN 0
           END AS race_eth_unk
       FROM j ORDER BY id_mcare""",
+
+    // q132: overlapping 64/16 token-window chunking; windows advance by
+    // 48 tokens, the last may be short, fully-contained tails are not
+    // emitted.
+    "q132_chunk_docs" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      n AS (
+        SELECT doc_id, t, len(t) AS total,
+          1 + greatest(0, (len(t) - 64 + 47) // 48) AS nch
+        FROM d),
+      c AS (
+        SELECT doc_id, t, total, i AS chunk_id
+        FROM n, LATERAL (SELECT unnest(generate_series(0, nch - 1))
+          AS i) g)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(chunk_id * 48 AS INT) AS start_token,
+        CAST(len(t[chunk_id*48 + 1 : least(chunk_id*48 + 64,
+          total)::INT]) AS INT) AS n_chunk_tokens,
+        array_to_string(t[chunk_id*48 + 1 : least(chunk_id*48 + 64,
+          total)::INT], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id""",
+
+    // q133: the composed pipeline — line dedup, PII redaction, token
+    // gate, md5 split — rolled up per (split, source).
+    "q133_pipeline" -> """
+      WITH docs AS (
+        SELECT doc_id, '(c) site ' || source || chr(10)
+          || substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+          || ' mail bob' || doc_id::VARCHAR || '@example.com'
+          || chr(10) || 'contact admin' AS txt
+        FROM documents),
+      lines AS (
+        SELECT doc_id, i AS line_no, parts[i] AS line,
+          lower(trim(parts[i])) AS lnorm
+        FROM (SELECT doc_id, string_split(txt, chr(10)) AS parts
+              FROM docs),
+          LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+      dict AS (
+        SELECT lnorm FROM (
+          SELECT lnorm, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, lnorm FROM lines)
+          GROUP BY lnorm)
+        WHERE df >= 10),
+      flagged AS (
+        SELECT l.doc_id, l.line_no, l.line,
+          d.lnorm IS NOT NULL AS boiler
+        FROM lines l LEFT JOIN dict d ON l.lnorm = d.lnorm),
+      agg AS (
+        SELECT doc_id, count(*) AS n_lines,
+          sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_dropped,
+          string_agg(CASE WHEN NOT boiler THEN line END, chr(10)
+            ORDER BY line_no) AS text_clean
+        FROM flagged GROUP BY doc_id),
+      cleaned AS (
+        SELECT doc_id, text_clean AS txt FROM agg
+        WHERE n_dropped < n_lines),
+      red AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(txt,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS txt,
+          CAST(len(regexp_extract_all(txt,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT)
+          + CAST(len(regexp_extract_all(txt,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+          + CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b'))
+            AS BIGINT)
+          + CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b'))
+            AS BIGINT) AS pii_total
+        FROM cleaned),
+      gated AS (
+        SELECT * FROM red
+        WHERE len(regexp_split_to_array(trim(txt), '\s+')) >= 15),
+      spl AS (
+        SELECT g.doc_id, g.txt, g.pii_total, d.source,
+          CASE WHEN b < 3865470566 THEN 'train'
+               WHEN b < 4080218931 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM (SELECT *, ('0x' || substr(md5('split:'
+            || doc_id::VARCHAR), 1, 8))::UBIGINT AS b FROM gated) g
+        JOIN documents d ON g.doc_id = d.doc_id)
+      SELECT split, source, count(*) AS n_docs,
+        CAST(sum(len(regexp_split_to_array(trim(txt), '\s+')))
+          AS BIGINT) AS total_tokens,
+        CAST(sum(pii_total) AS BIGINT) AS total_pii
+      FROM spl GROUP BY split, source
+      ORDER BY split, source""",
   )
 }

@@ -390,6 +390,41 @@ object TextAnalysis {
     df.withColumn("split", expr)
   }
 
+  /** Overlapping token-window chunking — the pre-embedding splitter for
+    * long documents: fixed `chunkTokens` windows advancing by
+    * `chunkTokens - overlapTokens`, last window allowed short, windows
+    * that would sit entirely inside the previous one are not emitted
+    * (every token is still covered exactly once by construction:
+    * a window starts at 0 or strictly before `total - overlap`).
+    *
+    * Returns (doc_id, chunk_id, start_token, n_chunk_tokens,
+    * chunk_text).
+    *
+    * Pure generator shape: split → `sequence` explode → `slice`; no
+    * shuffle, fan-out bounded by doc length / step, so a 100-TB corpus
+    * chunks in one map stage.
+    */
+  def chunkDocs(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", chunkTokens: Int = 128,
+      overlapTokens: Int = 32): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlap < chunk")
+    val step = chunkTokens - overlapTokens
+    val toks = split(trim(col(text)), "\\s+")
+    val total = size(toks)
+    val nChunks = lit(1) + greatest(lit(0),
+      (total - chunkTokens + step - 1).cast("int") / step)
+    docs
+      .select(col(id).as("doc_id"), toks.as("_t"), total.as("_n"),
+        explode(sequence(lit(0), nChunks.cast("int") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * step).as("start_token"),
+        size(slice(col("_t"), col("chunk_id") * step + 1,
+          lit(chunkTokens))).as("n_chunk_tokens"),
+        array_join(slice(col("_t"), col("chunk_id") * step + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Temperature-scaled domain mixture weights (the standard
     * multi-source training-mix recipe): each domain's sampling mass is
     * its token share raised to `alpha`, renormalized; per-document

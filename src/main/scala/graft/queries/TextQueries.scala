@@ -218,6 +218,44 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Overlapping token-window chunking (q132): 64-token windows with a
+    * 16-token overlap — the pre-embedding splitter; one generator map
+    * stage, no shuffle. */
+  def q132ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** End-to-end training-data pipeline (q133): the corpus ops COMPOSED —
+    * line-level boilerplate dedup → PII redaction → token-count quality
+    * gate → deterministic hash split — rolled up per (split, source).
+    * Each stage is the exact operator behind q120/q122/q123; the oracle
+    * is the same composition in SQL, so the chain's end-to-end result
+    * (not just each stage) is pinned. */
+  def q133Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val docs = base.select(col("doc_id"),
+      concat(lit("(c) site "), col("source"), lit("\n"),
+        substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 41, 40), lit(" mail bob"),
+        col("doc_id").cast("string"), lit("@example.com"), lit("\n"),
+        lit("contact admin")).as("text"))
+    val cleaned = TextAnalysis.lineDedup(docs, "doc_id", "text",
+        minDocFreq = 10)
+      .withColumnRenamed("text_clean", "text")
+    val redacted = TextAnalysis.redactPii(cleaned, "doc_id", "text")
+    val gated = redacted
+      .filter(TextAnalysis.tokenCount(col("text")) >= 15)
+    TextAnalysis.hashSplit(gated, "doc_id")
+      .join(base.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("total_tokens"),
+        sum(col("pii_total")).as("total_pii"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** Temperature-scaled domain mixture weights (q128): per-source token
     * shares raised to alpha=0.7, renormalized, with per-doc sampling
     * weight (ppm) — the standard multi-source training-mix recipe. */
