@@ -32,9 +32,17 @@ object McaidMcareEligDemo {
 
   /** One deterministic row per id: total-order the attribute columns
     * (nulls first) and keep row 1. */
-  def dedupPerId(df: DataFrame, idCol: String): DataFrame = {
-    val attrs = df.columns.filterNot(_ == idCol).toSeq
-    val w = Window.partitionBy(col(idCol))
+  def dedupPerId(df: DataFrame, idCol: String): DataFrame =
+    dedupPerKey(df, Seq(idCol))
+
+  /** One deterministic row per key tuple: total-order every non-key
+    * column (nulls first) and keep row 1. The shared kernel behind
+    * [[dedupPerId]] and [[McaidMcareEligTimevar.dedupPerInterval]] —
+    * replaces the reference's seeded random sorters with a pick an
+    * oracle can reproduce. */
+  def dedupPerKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val attrs = df.columns.filterNot(keyCols.contains).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(attrs.map(c => col(c).asc_nulls_first): _*)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

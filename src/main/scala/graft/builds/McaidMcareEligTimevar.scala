@@ -50,13 +50,8 @@ object McaidMcareEligTimevar {
     * set.seed(98104) random sorter (:62-74) with a pick an oracle can
     * reproduce. */
   def dedupPerInterval(df: DataFrame, idCol: String, from: String,
-      to: String): DataFrame = {
-    val attrs = df.columns.filterNot(Seq(idCol, from, to).contains).toSeq
-    val w = Window.partitionBy(col(idCol), col(from), col(to))
-      .orderBy(attrs.map(c => col(c).asc_nulls_first): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-  }
+      to: String): DataFrame =
+    McaidMcareEligDemo.dedupPerKey(df, Seq(idCol, from, to))
 
   /** @param xwalk `id_apde`, `id_mcaid`, `id_mcare`
     * @param mcaidTv `id_mcaid, from_date, to_date, dual, tpl,
@@ -116,26 +111,19 @@ object McaidMcareEligTimevar {
         (fullBen || (partAb && col("partial") === 0))))
 
     val wPrev = Window.partitionBy(col("id_apde")).orderBy(col("from_date"))
-    flagged
-      .withColumn("full_criteria", fullCriteria)
-      .withColumn("part_a",
-        when(col("mcare") === 0, coalesce(col("part_a"), lit(0)))
-          .otherwise(col("part_a")))
-      .withColumn("part_b",
-        when(col("mcare") === 0, coalesce(col("part_b"), lit(0)))
-          .otherwise(col("part_b")))
-      .withColumn("part_c",
-        when(col("mcare") === 0, coalesce(col("part_c"), lit(0)))
-          .otherwise(col("part_c")))
-      .withColumn("partial",
-        when(col("mcare") === 0, coalesce(col("partial"), lit(0)))
-          .otherwise(col("partial")))
-      .withColumn("buy_in",
-        when(col("mcare") === 0, coalesce(col("buy_in"), lit(0)))
-          .otherwise(col("buy_in")))
-      .withColumn("full_benefit",
-        when(col("mcaid") === 0, coalesce(col("full_benefit"), lit(0)))
-          .otherwise(col("full_benefit")))
+    // NULL-fill source flags to 0 only on rows where that source is
+    // absent (a NULL inside a covered row stays NULL, like the R).
+    val zeroFills = Seq(
+      "mcare" -> Seq("part_a", "part_b", "part_c", "partial", "buy_in"),
+      "mcaid" -> Seq("full_benefit"))
+    val filled = zeroFills.foldLeft(
+      flagged.withColumn("full_criteria", fullCriteria)) {
+        case (d, (gate, cols)) => cols.foldLeft(d) { (d2, c) =>
+          d2.withColumn(c, when(col(gate) === 0, coalesce(col(c), lit(0)))
+            .otherwise(col(c)))
+        }
+      }
+    filled
       .withColumn("contiguous", coalesce(one(
         datediff(col("from_date"), lag(col("to_date"), 1).over(wPrev)) === 1),
         lit(0)))

@@ -1,6 +1,6 @@
 package graft.builds
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** AHRQ Prevention Quality Indicator (PQI) classifiers — the reference's
@@ -50,6 +50,34 @@ object PqiMeasure {
         sets.tail.map { case (n, out) =>
           max(when(col("_vs") === n, 1).otherwise(0)).as(out)
         }: _*)
+  }
+
+  /** NULL-tolerant flag test over a left-joined [[claimSetFlags]]
+    * column: an unmatched claim (NULL after the left join) reads as
+    * not-in-set, mirroring the T-SQL's `IN (subquery)`. */
+  def flag(c: String): Column = coalesce(col(c), lit(0)) === 1
+
+  /** The shared episode scaffold behind the ED and inpatient
+    * classifiers: left-join each per-source [[claimSetFlags]] frame onto
+    * the episode base (on claim_id), evaluate every rule's flag algebra
+    * per claim, MAX-roll up per episode, keep only episodes carrying
+    * >= 1 indicator (the reference views never materialize
+    * indicator-free episodes), and append `pqi_composite` — constant 1
+    * after that filter, kept because the reference pivot emits it. */
+  def classifyEpisodes(base: DataFrame, episodeCol: String,
+      flagFrames: Seq[DataFrame],
+      rules: Seq[(String, Column)]): DataFrame = {
+    val joined = flagFrames.foldLeft(base)((d, fr) =>
+      d.join(fr, Seq("claim_id"), "left"))
+    val aggs = rules.map { case (n, c) =>
+      max(when(c, 1).otherwise(0)).as(n)
+    }
+    joined.groupBy(col(episodeCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1)
+      .select(col(episodeCol) +: rules.map { case (n, _) => col(n) } :+
+        lit(1).as("pqi_composite"): _*)
+      .orderBy(col(episodeCol))
   }
 
   /** Episode-level wide pivot (v_mcaid_pqi_ed.sql:269-311): MAX(flag) per

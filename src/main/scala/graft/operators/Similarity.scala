@@ -71,21 +71,13 @@ object Similarity {
     * division. Ties (more common on the integer grid) break on
     * neighbor id, deterministically. */
   def quantizedTopK(queries: DataFrame, qid: String, qvec: String,
-      corpus: DataFrame, id: String, vec: String, k: Int): DataFrame = {
-    val q = quantize(queries, qid, qvec)
-      .select(col(qid).as("query_id"), col("qvec").as("_qv"))
-    val c = quantize(corpus, id, vec)
-      .select(col(id).as("neighbor_id"), col("qvec").as("_cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .select(col("query_id"), col("neighbor_id"),
-        VectorFns.cosineSim(col("_qv"), col("_cv")).as("qcosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcosine").desc, col("neighbor_id").asc)
-    scored.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("qcosine"),
-        col("_rk").as("rank"))
-  }
+      corpus: DataFrame, id: String, vec: String, k: Int): DataFrame =
+    bruteForceTopK(
+      quantize(queries, qid, qvec).select(col(qid), col("qvec")), qid,
+      "qvec",
+      quantize(corpus, id, vec).select(col(id), col("qvec")), id, "qvec",
+      k)
+      .withColumnRenamed("cosine", "qcosine")
 
   /** Deterministic IVF index: pick nCells seeded corpus vectors as initial
     * centroids, run `iters` Lloyd rounds, return corpus tagged with cell id.

@@ -173,7 +173,7 @@ object TextAnalysis {
     * collect, no rejected-candidate shuffle. */
   def tokenBudgetSample(docs: DataFrame, stratumCols: Seq[String],
       tokensCol: String, priority: Seq[Column], budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(stratumCols.map(col): _*).orderBy(priority: _*)
     docs.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") - col(tokensCol) < budget)
@@ -303,11 +303,16 @@ object TextAnalysis {
       shards: Int = 64): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
+    // Degrade, don't crash: NULL text packs as 0 tokens; a row whose id
+    // can't cast to long has no stable shard/order, so it is dropped
+    // (the typed decode below would otherwise throw on either).
     val ds = docs
+      .filter(col(id).cast("long").isNotNull)
       .select(pmod(col(id).cast("long"), lit(shards)).cast("int")
           .as("shard"),
         col(id).cast("long").as("doc_id"),
-        tokenCount(col(text)).cast("long").as("n_tokens"))
+        coalesce(tokenCount(col(text)), lit(0)).cast("long")
+          .as("n_tokens"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Int, Long, Long)]
@@ -435,8 +440,10 @@ object TextAnalysis {
     * small domains; alpha = 0 is uniform-over-domains.
     *
     * Returns (domain, n_docs, n_tokens, nat_share, mix_share,
-    * sample_weight) — one row per domain; join back on the domain column
-    * to stamp documents.
+    * sample_weight_ppm) — one row per domain, the weight scaled to
+    * parts-per-million (raw per-doc weights are ~1e-6 and would round
+    * to nothing at the 6-decimal output precision); join back on the
+    * domain column to stamp documents.
     *
     * Scale: one map-side-combined aggregation over the domain key (a
     * handful of groups), then two broadcast one-row cross joins for the

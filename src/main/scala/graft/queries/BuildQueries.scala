@@ -1092,10 +1092,7 @@ object BuildQueries {
       .select(col("claim_id"), col("ed_pophealth_id"),
         when(col("drg_code").isin((0 until 4).map(i => s"DRG$i"): _*), 1)
           .otherwise(0).as("mdc14"))
-      .join(hdrFlags, Seq("claim_id"), "left")
-      .join(dxFlags, Seq("claim_id"), "left")
-      .join(procFlags, Seq("claim_id"), "left")
-    def f(c: String) = coalesce(col(c), lit(0)) === 1
+    val f = graft.builds.PqiMeasure.flag _
     // the reference's NOT IN / INTERSECT rules as flag algebra
     val rules = Seq[(String, org.apache.spark.sql.Column)](
       "pqi_01" -> f("diasd"),
@@ -1106,19 +1103,8 @@ object BuildQueries {
       "pqi_15" -> (f("astd") && !f("respan")),
       "pqi_16" -> (f("leap") && f("lead") && !f("lea2d") &&
         !(col("mdc14") === 1)))
-    val aggs = rules.map { case (n, c) =>
-      max(when(c, 1).otherwise(0)).as(n)
-    }
-    val wide = base.groupBy(col("ed_pophealth_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      // the reference view only materializes episodes carrying >= 1
-      // indicator row (absent episodes never enter its pivot)
-      .filter(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1)
-    wide.select(col("ed_pophealth_id") +:
-        rules.map { case (n, _) => col(n) } :+
-        when(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1, 1)
-          .otherwise(0).as("pqi_composite"): _*)
-      .orderBy(col("ed_pophealth_id"))
+    graft.builds.PqiMeasure.classifyEpisodes(base, "ed_pophealth_id",
+      Seq(hdrFlags, dxFlags, procFlags), rules)
   }
 
   /** §2.9 TPO opioid treatment-penetration staging (q125): the TPM
@@ -1313,10 +1299,7 @@ object BuildQueries {
       .select(col("claim_id"), col("inpatient_id"),
         when(col("drg_code").isin((0 until 4).map(i => s"DRG$i"): _*), 1)
           .otherwise(0).as("mdc14"))
-      .join(hdrFlags, Seq("claim_id"), "left")
-      .join(dxFlags, Seq("claim_id"), "left")
-      .join(procFlags, Seq("claim_id"), "left")
-    def f(c: String) = coalesce(col(c), lit(0)) === 1
+    val f = graft.builds.PqiMeasure.flag _
     val rules = Seq[(String, org.apache.spark.sql.Column)](
       "pqi_01" -> f("diasd"),
       "pqi_03" -> f("diald"),
@@ -1331,17 +1314,8 @@ object BuildQueries {
       "pqi_15" -> (f("astd") && !f("respan")),
       "pqi_16" -> (f("leap") && f("lead") && !f("lea2d") &&
         !(col("mdc14") === 1)))
-    val aggs = rules.map { case (n, c) =>
-      max(when(c, 1).otherwise(0)).as(n)
-    }
-    val wide = base.groupBy(col("inpatient_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .filter(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1)
-    wide.select(col("inpatient_id") +:
-        rules.map { case (n, _) => col(n) } :+
-        when(rules.map { case (n, _) => col(n) }.reduce(_ + _) >= 1, 1)
-          .otherwise(0).as("pqi_composite"): _*)
-      .orderBy(col("inpatient_id"))
+    graft.builds.PqiMeasure.classifyEpisodes(base, "inpatient_id",
+      Seq(hdrFlags, dxFlags, procFlags), rules)
   }
 
   def q106AhNumerator(s: SparkSession, dir: String): DataFrame = {
