@@ -223,6 +223,8 @@ object SparkEntry {
     "q131_mcare_demo" -> (graft.queries.BuildQueries.q131McareDemo _),
     "q132_chunk_docs" -> (T.q132ChunkDocs _),
     "q133_pipeline" -> (T.q133Pipeline _),
+    "q134_bm25" -> (T.q134Bm25 _),
+    "q135_perplexity" -> (T.q135Perplexity _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4825,5 +4827,80 @@ object SparkEntry {
         CAST(sum(pii_total) AS BIGINT) AS total_pii
       FROM spl GROUP BY split, source
       ORDER BY split, source""",
+
+    // q134: Okapi BM25 with Lucene idf, top-10 per query; ranking
+    // compares the 6-decimal ROUNDED score (then doc_id) so float-order
+    // noise can't flip a rank across engines.
+    "q134_bm25" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS t FROM documents),
+      post AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS tf,
+          max(dl) AS dl
+        FROM (SELECT doc_id, unnest(t) AS tok, len(t)::BIGINT AS dl
+              FROM d)
+        WHERE len(tok) > 0 GROUP BY doc_id, tok),
+      stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+          sum(len(t))::BIGINT AS tot_dl FROM d),
+      q AS (SELECT * FROM (VALUES ('A', 'hash join merge'),
+        ('B', 'window stream batch'), ('C', 'customer order line'),
+        ('D', 'slow scan big table'), ('E', 'vector spark data query key'))
+        v(query_id, query_text)),
+      qt AS (
+        SELECT DISTINCT query_id,
+          unnest(regexp_split_to_array(trim(lower(query_text)), '\s+'))
+          AS tok FROM q),
+      dfreq AS (
+        SELECT tok, count(*)::BIGINT AS df FROM post
+        WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok),
+      scored AS (
+        SELECT qt.query_id, p.doc_id,
+          round(sum(
+            ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+            * p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75
+              + 0.75 * p.dl::DOUBLE
+                / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25
+        FROM post p JOIN qt ON p.tok = qt.tok
+          JOIN dfreq f ON p.tok = f.tok CROSS JOIN stats s
+        GROUP BY qt.query_id, p.doc_id),
+      r AS (
+        SELECT query_id, doc_id, bm25,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, doc_id, bm25, rank FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
+    "q135_perplexity" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS t FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+          AS i) g),
+      big AS (
+        SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+      uni AS (
+        SELECT w1, sum(c12)::BIGINT AS c1 FROM big GROUP BY w1),
+      vocab AS (
+        SELECT count(DISTINCT tok)::BIGINT AS v
+        FROM (SELECT unnest(t) AS tok FROM d) WHERE len(tok) > 0),
+      docbg AS (
+        SELECT doc_id, w1, w2, count(*)::BIGINT AS m
+        FROM bg GROUP BY doc_id, w1, w2),
+      nll AS (
+        SELECT b.doc_id, sum(b.m) AS n_bigrams,
+          -sum(b.m * ln((coalesce(g.c12, 0) + 0.1)
+            / (coalesce(u.c1, 0) + 0.1 * vocab.v))) / sum(b.m) AS anll
+        FROM docbg b LEFT JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
+          LEFT JOIN uni u ON b.w1 = u.w1 CROSS JOIN vocab
+        GROUP BY b.doc_id)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        round(anll, 6) AS avg_nll, round(exp(anll), 6) AS perplexity
+      FROM nll ORDER BY doc_id""",
   )
 }

@@ -305,12 +305,13 @@ object TextAnalysis {
     import session.implicits._
     // Degrade, don't crash: NULL text packs as 0 tokens; a row whose id
     // can't cast to long has no stable shard/order, so it is dropped
-    // (the typed decode below would otherwise throw on either).
+    // (try_cast, since ANSI mode makes a plain cast throw; the typed
+    // decode below would otherwise throw on either).
+    val idL = expr(s"try_cast(`$id` AS BIGINT)")
     val ds = docs
-      .filter(col(id).cast("long").isNotNull)
-      .select(pmod(col(id).cast("long"), lit(shards)).cast("int")
-          .as("shard"),
-        col(id).cast("long").as("doc_id"),
+      .filter(idL.isNotNull)
+      .select(pmod(idL, lit(shards)).cast("int").as("shard"),
+        idL.as("doc_id"),
         coalesce(tokenCount(col(text)), lit(0)).cast("long")
           .as("n_tokens"))
       .repartition(col("shard"))
@@ -428,6 +429,130 @@ object TextAnalysis {
           lit(chunkTokens))).as("n_chunk_tokens"),
         array_join(slice(col("_t"), col("chunk_id") * step + 1,
           lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
+  /** BM25 ranked retrieval over the corpus — the lexical-search sibling
+    * of the embedding ANN operators, used in training pipelines for
+    * targeted corpus queries (contamination probes, topical subsetting,
+    * retrieval-augmented filtering). Okapi BM25 with the Lucene idf
+    * (`ln(1 + (N - df + 0.5) / (df + 0.5))`, always positive):
+    *
+    * score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * summed over the DISTINCT terms of the query (standard qtf = 1).
+    * Returns (query_id, doc_id, bm25, rank) — top `k` docs per query,
+    * score rounded to 6 decimals, ties broken by doc_id. Ranking
+    * compares the ROUNDED score so sub-1e-6 float-order noise can never
+    * flip a rank across engines.
+    *
+    * Scale shape: postings (doc, term, tf) build with ONE map-side-
+    * combined shuffle on the term hash; the query-term dictionary and
+    * the per-term df frame are term-count-sized — broadcast — so the
+    * postings prune + score attach is map-side; doc length attaches on
+    * the doc key; the final (query, doc) rollup and per-query top-k
+    * window shuffle only the pruned hit set, never the corpus. N and
+    * avgdl ride a broadcast 1-row frame; avgdl divides exact integer
+    * sums so no float accumulation order exists anywhere.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      id: String = "doc_id", text: String = "text",
+      qid: String = "query_id", qtext: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"),
+        split(trim(lower(col(text))), "\\s+").as("_t"))
+      .select(col("doc_id"), explode(col("_t")).as("tok"),
+        size(col("_t")).cast("long").as("dl"))
+      .filter(length(col("tok")) > 0)
+    val postings = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(trim(lower(col(text))), "\\s+")).cast("long"))
+        .as("tot_dl"))
+    val qterms = queries.select(col(qid).as("query_id"),
+        explode(split(trim(lower(col(qtext))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val dfreq = postings
+      .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1) /
+      (col("tf") + lit(k1) * (lit(1) - lit(b) +
+        lit(b) * col("dl").cast("double") / avgdl))
+    val scored = postings
+      .join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("bm25"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))
+  }
+
+  /** Corpus-trained bigram-LM perplexity — the CCNet-style quality
+    * signal: train add-k-smoothed bigram probabilities on `train`, score
+    * every `score` doc by perplexity = exp(−Σ m·ln p / Σ m) over its
+    * bigram multiset. Low perplexity ≈ fluent/common text; high ≈
+    * noise, boilerplate, or out-of-domain — the standard corpus-level
+    * quality filter when no external LM is available.
+    *
+    * p(w2|w1) = (c(w1,w2) + kSmooth) / (c(w1) + kSmooth·V), V = train
+    * vocabulary size; unseen bigrams and unseen contexts degrade
+    * smoothly through the same formula (counts coalesce to 0). Docs
+    * with fewer than two tokens have no bigrams and are omitted.
+    *
+    * Returns (doc_id, n_bigrams, avg_nll, perplexity), rounded to 6
+    * decimals.
+    *
+    * Scale shape: bigram extraction is a shuffle-free zip of the token
+    * array with its tail; train counts are TWO map-side-combined
+    * shuffles (bigram key, context key); scoring joins doc bigrams to
+    * the count tables on their keys — the bigram table is Zipf-bounded
+    * far below the corpus, and when it still exceeds broadcast size the
+    * join shuffles on the bigram hash, which is exactly the key the
+    * count table already carries. V and the 1-row vocab frame broadcast.
+    */
+  def bigramPerplexity(train: DataFrame, score: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      kSmooth: Double = 0.1): DataFrame = {
+    def bigrams(df: DataFrame, keep: Column => Seq[Column]) = {
+      val t = split(trim(lower(col(text))), "\\s+")
+      df.select(keep(col(id)) :+ explode(
+          zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+            slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+            (a, b2) => struct(a.as("w1"), b2.as("w2")))).as("_bg"): _*)
+        .select((keep(col(id)).map(_.as("doc_id")) :+
+          col("_bg.w1").as("w1")) :+ col("_bg.w2").as("w2"): _*)
+    }
+    val trainBg = bigrams(train, _ => Seq.empty)
+      .select(col("w1"), col("w2"))
+    val big = trainBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = train.select(explode(
+        split(trim(lower(col(text))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(count_distinct(col("w")).as("v"))
+    val docBg = bigrams(score, c => Seq(c))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val p = (coalesce(col("c12"), lit(0L)) + lit(kSmooth)) /
+      (coalesce(col("c1"), lit(0L)) + lit(kSmooth) * col("v"))
+    docBg
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        (-sum(col("m") * log(p)) / sum(col("m"))).as("_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_nll"), 6).as("avg_nll"),
+        round(exp(col("_nll")), 6).as("perplexity"))
   }
 
   /** Temperature-scaled domain mixture weights (the standard

@@ -276,4 +276,27 @@ object TextQueries {
         "src", "dst")
       .orderBy(col("id"))
   }
+
+  /** BM25 ranked retrieval (q134): five fixed term queries against the
+    * documents corpus, top-10 per query. The oracle replicates idf,
+    * length normalization, rounded-score ranking, and tie-breaks in SQL. */
+  def q134Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      ("A", "hash join merge"), ("B", "window stream batch"),
+      ("C", "customer order line"), ("D", "slow scan big table"),
+      ("E", "vector spark data query key"))
+      .toDF("query_id", "query_text")
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Corpus-trained bigram-LM perplexity (q135): train on the full
+    * documents corpus, score every doc — the CCNet-style quality
+    * signal. */
+  def q135Perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bigramPerplexity(docs, docs)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -176,4 +176,68 @@ class TextAnalysisSpec extends SparkSpec {
         splits = Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("packSequences degrades on null text / uncastable id") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((Some("1"), Option("a b c")), (Some("2"), None),
+      (None, Option("d e")), (Some("x"), Option("f")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, budget = 10, shards = 1)
+      .orderBy("doc_id").collect()
+    // null id and non-numeric id dropped; null text packs as 0 tokens
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(3L, 0L))
+  }
+
+  test("bm25TopK: hand-computed scores, ranking, and tie-break") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana banana durian"), (4L, "cherry cherry"))
+      .toDF("doc_id", "text")
+    val queries = Seq(("Q", "apple banana")).toDF("query_id", "query_text")
+    val got = TextAnalysis.bm25TopK(docs, queries, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // manual BM25: N=4, avgdl=(3+2+4+2)/4=2.75, df(apple)=2, df(banana)=2
+    def idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    def tfn(tf: Long, dl: Long) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.75))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val want = Map(
+      1L -> r6(idf * tfn(2, 3) + idf * tfn(1, 3)),
+      2L -> r6(idf * tfn(1, 2)),
+      3L -> r6(idf * tfn(3, 4)),
+      4L -> 0.0)
+    // doc 4 has no query term: absent entirely
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    got.foreach { case (id, score, _) =>
+      assert(math.abs(score - want(id)) < 1e-9, s"doc $id: $score") }
+    // ranks follow rounded score desc
+    assert(got.sortBy(_._3).map(_._1).toSeq ==
+      want.filter(_._2 > 0).toSeq.sortBy { case (id, sc) => (-sc, id) }
+        .map(_._1))
+  }
+
+  test("bigramPerplexity: add-k math, unseen-bigram path, short docs") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // train counts: (a,b)=3 (b,a)=1 (b,c)=1; c(a)=3 c(b)=2; V=3
+    val score = Seq((10L, "a b c"), (11L, "c a"), (12L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(train, score)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    def p(c12: Double, c1: Double) = (c12 + 0.1) / (c1 + 0.1 * 3)
+    val nll10 = -(math.log(p(3, 3)) + math.log(p(1, 2))) / 2
+    val nll11 = -math.log(p(0, 0)) // unseen context (c,a)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 12 has < 2 tokens: omitted
+    assert(got.map(_._1).toSeq == Seq(10L, 11L))
+    assert(got(0)._2 == 2 && got(1)._2 == 1)
+    assert(math.abs(got(0)._3 - r6(math.exp(nll10))) < 1e-9)
+    assert(math.abs(got(1)._3 - r6(math.exp(nll11))) < 1e-9)
+  }
 }
