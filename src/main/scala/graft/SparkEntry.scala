@@ -80,6 +80,9 @@ object SparkEntry {
   def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
     EventStream.enrichedRollup(s, dir)
 
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame =
+    EventStream.clickPurchaseJoin(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. Insertion-ordered
     * (ListMap) so Bench timings are stable round-over-round. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -225,6 +228,7 @@ object SparkEntry {
     "q133_pipeline" -> (T.q133Pipeline _),
     "q134_bm25" -> (T.q134Bm25 _),
     "q135_perplexity" -> (T.q135Perplexity _),
+    "q136_stream_join" -> (qStreamJoin _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4902,5 +4906,21 @@ object SparkEntry {
       SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
         round(anll, 6) AS avg_nll, round(exp(anll), 6) AS perplexity
       FROM nll ORDER BY doc_id""",
+
+    // q136: stream-stream interval join (click → purchase within 1 h,
+    // same user). Inner-join emission is not withheld by the watermark
+    // and the single-file source is one microbatch, so the streaming
+    // result equals this batch join; epoch_us truncates ns → µs exactly
+    // like the Spark-side read convention.
+    "q136_stream_join" -> """
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        c.user_id,
+        (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      ORDER BY click_id, purchase_id""",
   )
 }

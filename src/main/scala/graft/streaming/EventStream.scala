@@ -211,6 +211,75 @@ object EventStream {
       .orderBy(col("segment"), col("hour_start"))
   }
 
+  /** Stream-stream interval join — click-to-purchase attribution: two
+    * streams carved from the events firehose, inner-joined on user with
+    * the purchase required to land within 1 hour AFTER the click. Both
+    * sides are watermarked and the join condition bounds both event-time
+    * columns, so Structured Streaming derives a state-eviction bound for
+    * EACH side (a click is dropped from state once the purchase-side
+    * watermark passes click_ts + 1 hour; a purchase once the click-side
+    * watermark passes purchase_ts) — per-executor state stays
+    * watermark-bounded at any stream length, the whole point of the
+    * interval-join shape vs an unbounded-state equi-join.
+    *
+    * Inner-join emission is not withheld by the watermark (only state
+    * eviction uses it), and the single-file source arrives as one
+    * microbatch, so the result equals the batch join — the oracle is the
+    * same join in SQL with µs-truncated epoch arithmetic.
+    *
+    * `statePartitions` is a real sizing knob, not test plumbing: a
+    * stream-stream join keeps FOUR state stores per partition and pays
+    * their checkpoint commit every microbatch, AQE never re-plans
+    * stateful streaming, and the count is frozen into the checkpoint at
+    * first start — so it must be sized to the stream's key volume up
+    * front (executor-count-scaled on a cluster; small here where the
+    * per-partition commit floor, not data, dominates).
+    */
+  def clickPurchaseJoin(s: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = Files.createTempDirectory("graft_stream_join_src")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    def src(): DataFrame = {
+      val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$DelaySeconds seconds")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", s"$DelaySeconds seconds")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        floor((unix_micros(col("purchase_ts")) -
+          unix_micros(col("click_ts"))) / lit(1000000L)).as("gap_sec"))
+    val base = Files.createTempDirectory("graft_stream_join").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.schema(joined.schema).parquet(s"$base/data")
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Tumbling 1-hour event-time aggregation of the events table, executed
     * through the streaming engine (readStream -> watermark -> window agg ->
     * append-mode parquet sink), then read back as a DataFrame. */
