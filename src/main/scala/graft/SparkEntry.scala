@@ -229,6 +229,8 @@ object SparkEntry {
     "q134_bm25" -> (T.q134Bm25 _),
     "q135_perplexity" -> (T.q135Perplexity _),
     "q136_stream_join" -> (qStreamJoin _),
+    "q137_lcs" -> (T.q137Lcs _),
+    "q138_embed_pipeline" -> (V.q138EmbedPipeline _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4922,5 +4924,99 @@ object SparkEntry {
         AND epoch_us(p.ts) >= epoch_us(c.ts)
         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
       ORDER BY click_id, purchase_id""",
+
+    // q137: longest common substring per adjacent-doc pair, replicated
+    // by enumerating every substring of s1 and taking its FIRST
+    // occurrence in s2 (any occurrence of a globally-longest substring
+    // is a maximal run, so first occurrence = the T-SQL's min
+    // secondorder tie-break); selection (len DESC, start1, pos2)
+    // matches the T-SQL's ORDER BY exactly.
+    "q137_lcs" -> """
+      WITH pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          substr(a.text, 1, 48) AS s1, substr(b.text, 1, 48) AS s2
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 10 = 0),
+      cand AS (
+        SELECT id1, l, st, strpos(s2, substr(s1, st, l)) AS pos2,
+          substr(s1, st, l) AS sub
+        FROM pairs,
+          LATERAL (SELECT unnest(generate_series(1, len(s1))) AS st) g1,
+          LATERAL (SELECT unnest(generate_series(1, len(s1) - st + 1))
+            AS l) g2
+        WHERE strpos(s2, substr(s1, st, l)) > 0),
+      best AS (
+        SELECT id1, l, st, pos2, sub,
+          row_number() OVER (PARTITION BY id1
+            ORDER BY l DESC, st ASC, pos2 ASC) AS rn
+        FROM cand)
+      SELECT p.id1, p.id2,
+        CAST(coalesce(b.l, 0) AS INT) AS match_length,
+        CAST(coalesce(b.st, 0) AS INT) AS first_pos,
+        CAST(coalesce(b.pos2, 0) AS INT) AS second_pos,
+        coalesce(b.sub, '') AS common
+      FROM pairs p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON p.id1 = b.id1
+      ORDER BY p.id1""",
+
+    // q138: embedding pipeline chain — q104's semdedup prune feeding
+    // q129's quantized ANN over the surviving corpus; every stage is
+    // deterministic so the composed result hashes exactly (unrounded
+    // qcosine, like q129).
+    "q138_embed_pipeline" -> """
+      WITH cen AS (
+        SELECT j AS cell,
+          list(CAST(((j*29 + d*11) % 15) - 7 AS DOUBLE) ORDER BY d) AS cv
+        FROM generate_series(0, 7) t(j), generate_series(0, 63) s(d)
+        GROUP BY j),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                DESC, c.cell DESC) AS rn
+          FROM embeddings e CROSS JOIN cen c) WHERE rn = 1),
+      pruned AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b ON a.cell = b.cell
+          AND b.vec_id < a.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.30),
+      surv AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        LEFT JOIN pruned p ON e.vec_id = p.vec_id
+        WHERE p.vec_id IS NULL),
+      qzc AS (
+        SELECT vec_id,
+          CASE WHEN list_max(list_transform(embedding,
+              x -> abs(x)))::DOUBLE / 127.0 = 0
+            THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding, x -> round(x::DOUBLE
+              / (list_max(list_transform(embedding,
+                  x2 -> abs(x2)))::DOUBLE / 127.0), 0)) END AS q
+        FROM surv),
+      qzq AS (
+        SELECT vec_id,
+          CASE WHEN list_max(list_transform(embedding,
+              x -> abs(x)))::DOUBLE / 127.0 = 0
+            THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding, x -> round(x::DOUBLE
+              / (list_max(list_transform(embedding,
+                  x2 -> abs(x2)))::DOUBLE / 127.0), 0)) END AS q
+        FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          CASE WHEN list_inner_product(a.q, a.q) = 0
+              OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+            ELSE list_inner_product(a.q, b.q)
+              / (sqrt(list_inner_product(a.q, a.q))
+                * sqrt(list_inner_product(b.q, b.q))) END AS qcosine
+        FROM qzq a CROSS JOIN qzc b),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY qcosine DESC, neighbor_id) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, qcosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
   )
 }

@@ -19,10 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** SQL front door for the custom kernels: `simhash64(tokens)`,
   * `cosine_sim(a, b)`, `dot_product(a, b)`, `shingle_hashes(tokens, n)`,
-  * `minhash_sig(hashes, k)`, `winnow_fp(text, k, w)` become plain SQL
-  * functions, so `spark.sql(...)` users get the same codegen'd paths as
-  * the DataFrame API. Int parameters must be foldable literals (they
-  * configure the kernel, not per-row input). */
+  * `minhash_sig(hashes, k)`, `winnow_fp(text, k, w)`,
+  * `lcs_substring(a, b)` become plain SQL functions, so `spark.sql(...)`
+  * users get the same codegen'd paths as the DataFrame API. Int
+  * parameters must be foldable literals (they configure the kernel, not
+  * per-row input). */
 object GraftFunctions {
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -54,6 +55,9 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         WinnowFingerprints(args(0), intLit(args(1), "winnow_fp"),
           intLit(args(2), "winnow_fp"))))
+    e.injectFunction((FunctionIdentifier("lcs_substring"),
+      info("lcs_substring"),
+      (args: Seq[Expression]) => LcsSubstring(args(0), args(1))))
   }
 }
 

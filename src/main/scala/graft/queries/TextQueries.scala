@@ -299,4 +299,27 @@ object TextQueries {
     TextAnalysis.bigramPerplexity(docs, docs)
       .orderBy(col("doc_id"))
   }
+
+  /** Longest-common-substring pairs (q137): the reference's broad-use
+    * `LongestCommonSubstring` T-SQL function as a codegen'd Catalyst
+    * expression, driven over adjacent-doc-id pairs (every 10th doc vs
+    * its successor, first 48 chars — the oracle enumerates all O(n²)
+    * substrings per pair, so the probe set is bounded). */
+  def q137Lcs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 48).as("s"))
+    val a = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id1"), col("s").as("s1"))
+    val b = d.select((col("doc_id") - 1).as("id1"),
+      col("doc_id").as("id2"), col("s").as("s2"))
+    a.join(b, "id1")
+      .withColumn("r",
+        graft.functions.LcsSubstring.lcsSubstring(col("s1"), col("s2")))
+      .select(col("id1"), col("id2"),
+        col("r.match_length").as("match_length"),
+        col("r.first_pos").as("first_pos"),
+        col("r.second_pos").as("second_pos"),
+        col("r.common").as("common"))
+      .orderBy(col("id1"))
+  }
 }

@@ -86,4 +86,28 @@ object VectorQueries {
       dim = 64, nPlanes = 8, threshold = 0.95)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** End-to-end embedding pipeline (q138) — the vector-side sibling of
+    * q133's text pipeline: SemDeDup semantic dedup (q104's fixed
+    * centroids + threshold) prunes the corpus, the SURVIVORS are
+    * int8-quantized, and the quantized ANN (q129's integer-exact
+    * scoring) answers the fixed query set over the deduped index. The
+    * oracle composes the same three stages in SQL, so the CHAIN —
+    * dedup feeding retrieval — is pinned, not just each stage. */
+  def q138EmbedPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = Array.tabulate(8)(j =>
+      (j, Seq.tabulate(64)(d => (((j * 29 + d * 11) % 15) - 7).toFloat)))
+    val survivors = emb.join(
+      Similarity.semDedup(emb, "vec_id", "embedding", centroids,
+        threshold = 0.30)
+        .filter(col("pruned") === 0).select("vec_id"),
+      "vec_id")
+    Similarity.quantizedTopK(
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        survivors, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("qcosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
