@@ -30,6 +30,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,13 +44,22 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val names = SparkEntry.queries.keys.toSeq
+    // A query that throws must be REPORTED, not timed as a phantom-fast
+    // entry: the r7 TIMESTAMP_NTZ breakage showed as 0.06 s "wins" for the
+    // five streaming queries because this loop swallowed the exception.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // iters full passes; pass-major order so iteration i of every query sees
     // comparable JVM/heap state, rather than hammering one query back-to-back
     // (which would overstate cache warmth and understate GC interference).
     val samples: Seq[Seq[Double]] = (1 to iters).map { _ =>
-      SparkEntry.queries.toSeq.map { case (_, fn) =>
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\\s\"\\\\]+", " ").take(120)
+            errors.getOrElseUpdate(name.takeWhile(_ != '_'), msg)
+        }
         (System.nanoTime() - t0) / 1e9
       }
     }
@@ -78,14 +88,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = med.sum
+    // Errors: qNN keys only on the tail-capped stdout line; full (truncated)
+    // messages in the file. An empty object means every query ran clean.
+    val errKeys = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errFull = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // stdout line stays under the driver's ~2k tail-capture: medians only.
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"errors":$errKeys,"sf":"$sfDir"}"""
     // Full detail (per-query min alongside the median) goes to the file.
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,""" +
-      s""""queries":$qs,"query_min":$qmins,"sf":"$sfDir"}"""
+      s""""queries":$qs,"query_min":$qmins,"errors":$errFull,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")

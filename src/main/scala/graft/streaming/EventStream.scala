@@ -27,6 +27,33 @@ object EventStream {
   /** Watermark delay for [[hourlyRollup]]. */
   val DelaySeconds: Long = 3600L
 
+  /** Stage the events file behind a temp directory (FileStreamSource needs
+    * a *directory* — single-file paths fail with "Option 'basePath' must be
+    * a directory", the silent r2 q48 killer) and open it as a stream with
+    * the event-time column normalized to plain TIMESTAMP.
+    *
+    * Normalization is shared with the batch reader ([[graft.queries.Q
+    * .normalizeTs]]) so batch and stream agree on the same instant for
+    * every encoding the driver's testdata has shipped: TIMESTAMP(NANOS)
+    * read as raw long, naive timestamp[us] read as TIMESTAMP_NTZ (which
+    * `withWatermark` rejects outright), and plain TIMESTAMP. One copy of
+    * the branch, not four — the r7 NTZ regression hid in the divergence.
+    *
+    * `copies` > 1 links the same file N times so every event genuinely
+    * arrives duplicated (used by [[dedupStream]]). */
+  private def eventsStream(s: SparkSession, dir: String, tmpName: String,
+      copies: Int = 1): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val srcDir = Files.createTempDirectory(tmpName)
+    (1 to copies).foreach { i =>
+      Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"),
+        Paths.get(s"$dir/events.parquet"))
+    }
+    graft.queries.Q.normalizeTs(
+      s.readStream.schema(batchSchema).parquet(srcDir.toString))
+  }
+
   /** Hour windows with `window.end <= max(ts) - delay` are guaranteed
     * emitted by the append-mode run; later ones are withheld as still-open.
     * This mirrors Spark's watermark eviction predicate (state rows with
@@ -61,16 +88,7 @@ object EventStream {
   def sessionizeStream(s: SparkSession, dir: String,
       gapSeconds: Long = 1800L): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val srcDir = Files.createTempDirectory("graft_stream_sess_src")
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
-    val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
-    val stream =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = eventsStream(s, dir, "graft_stream_sess_src")
     val gapMicros = gapSeconds * 1000000L
     val typed: Dataset[SEv] = stream
       .withWatermark("ts", s"$DelaySeconds seconds")
@@ -135,18 +153,7 @@ object EventStream {
     * event genuinely arrives duplicated and the dedup is load-bearing:
     * output rows must equal the batch-distinct of the input. */
   def dedupStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val srcDir = Files.createTempDirectory("graft_stream_dedup_src")
-    Files.createSymbolicLink(srcDir.resolve("events_a.parquet"),
-      Paths.get(s"$dir/events.parquet"))
-    Files.createSymbolicLink(srcDir.resolve("events_b.parquet"),
-      Paths.get(s"$dir/events.parquet"))
-    val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
-    val stream =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = eventsStream(s, dir, "graft_stream_dedup_src", copies = 2)
     val deduped = stream
       .withWatermark("ts", s"$DelaySeconds seconds")
       .dropDuplicatesWithinWatermark("event_id")
@@ -175,16 +182,7 @@ object EventStream {
     * A filter on the dim side (`onlyEven`) exercises the pushdown: the
     * static scan, not the stream, shrinks. */
   def enrichedRollup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val srcDir = Files.createTempDirectory("graft_stream_enrich_src")
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
-    val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
-    val stream =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = eventsStream(s, dir, "graft_stream_enrich_src")
     val dim = s.read.parquet(s"$dir/customer.parquet")
       .filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey").cast("long").as("user_id"),
@@ -237,17 +235,7 @@ object EventStream {
     */
   def clickPurchaseJoin(s: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val srcDir = Files.createTempDirectory("graft_stream_join_src")
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
-    def src(): DataFrame = {
-      val raw = s.readStream.schema(batchSchema).parquet(srcDir.toString)
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    }
+    def src(): DataFrame = eventsStream(s, dir, "graft_stream_join_src")
     val clicks = src().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -284,22 +272,7 @@ object EventStream {
     * through the streaming engine (readStream -> watermark -> window agg ->
     * append-mode parquet sink), then read back as a DataFrame. */
   def hourlyRollup(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events carries TIMESTAMP(NANOS): read as long, truncate to micros
-    // (same convention as graft.queries.Q.t).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    // FileStreamSource needs a *directory* (single-file paths fail with
-    // "Option 'basePath' must be a directory" — the silent r2 q48 killer):
-    // stage a symlink to the events file inside a temp dir and stream that.
-    val srcDir = Files.createTempDirectory("graft_stream_src")
-    val link = srcDir.resolve("events.parquet")
-    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-    val raw = s.readStream.schema(batchSchema)
-      .parquet(srcDir.toString)
-    val stream =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = eventsStream(s, dir, "graft_stream_src")
     val agg = stream
       .withWatermark("ts", s"$DelaySeconds seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
