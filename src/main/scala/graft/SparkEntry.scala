@@ -231,6 +231,9 @@ object SparkEntry {
     "q136_stream_join" -> (qStreamJoin _),
     "q137_lcs" -> (T.q137Lcs _),
     "q138_embed_pipeline" -> (V.q138EmbedPipeline _),
+    "q139_mcaid_mcare_line" -> (graft.queries.BuildQueries.q139McaidMcareLine _),
+    "q140_mcaid_mcare_icdcm" -> (graft.queries.BuildQueries.q140McaidMcareIcdcm _),
+    "q141_mcaid_mcare_procedure" -> (graft.queries.BuildQueries.q141McaidMcareProcedure _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -5018,5 +5021,190 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, qcosine
       FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q139: combined mcaid+mcare claim_line — crosswalked drift union,
+    // old→new xwalk id migration (3-branch null-guarded join, min pick),
+    // then the asymmetric two-source partial refresh (mcaid day cutoff,
+    // mcare year cutoff) replacing window rows with corrected rebuilds.
+    "q139_mcaid_mcare_line" -> """
+      WITH li AS (
+        SELECT o_custkey % 90 AS k, l_orderkey AS ok, l_linenumber,
+          l_partkey, l_suppkey, l_quantity,
+          CAST(l_shipdate AS DATE) AS fsd,
+          CAST(l_shipdate AS DATE) + CAST(l_linenumber % 5 AS INT) AS lsd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ks AS (SELECT DISTINCT c_custkey % 90 AS k FROM customer),
+      xw_old AS (
+        SELECT 1000 + k AS id_apde,
+          CASE WHEN k % 3 <> 2 THEN k END AS id_mcaid,
+          CASE WHEN k % 3 <> 0 THEN 'C' || CAST(k AS VARCHAR) END AS id_mcare
+        FROM ks),
+      xw_new AS (
+        SELECT 2000 + k AS id_apde,
+          CASE WHEN k % 3 <> 2 THEN k END AS id_mcaid,
+          CASE WHEN k % 3 <> 0 THEN 'C' || CAST(k AS VARCHAR) END AS id_mcare
+        FROM ks WHERE k % 11 <> 7),
+      existing AS (
+        SELECT DISTINCT * FROM (
+          SELECT x.id_apde, 'mcaid' AS source_desc,
+            CAST(ok AS VARCHAR) AS claim_header_id,
+            CAST(l_linenumber AS VARCHAR) AS claim_line_id,
+            fsd AS first_service_date, lsd AS last_service_date,
+            lpad(CAST(l_partkey % 750 AS VARCHAR), 4, '0') AS revenue_code,
+            CAST(NULL AS VARCHAR) AS place_of_service_code,
+            CAST(NULL AS VARCHAR) AS type_of_service,
+            CAST(l_suppkey % 100 AS INT) AS rac_code_line,
+            CAST(NULL AS VARCHAR) AS filetype_mcare
+          FROM li b LEFT JOIN (SELECT id_mcaid, id_apde FROM xw_old
+            WHERE id_mcaid IS NOT NULL) x ON b.k = x.id_mcaid
+          WHERE ok % 2 = 0
+          UNION ALL
+          SELECT x.id_apde, 'mcare', 'X' || CAST(ok AS VARCHAR),
+            CAST(l_linenumber AS VARCHAR), fsd, lsd,
+            lpad(CAST(l_partkey % 750 AS VARCHAR), 4, '0'),
+            lpad(CAST(l_suppkey % 32 AS VARCHAR), 2, '0'),
+            CAST(l_linenumber % 9 AS VARCHAR), CAST(NULL AS INT),
+            CASE WHEN l_quantity < 25 THEN 'carrier' ELSE 'outpatient' END
+          FROM li b LEFT JOIN (SELECT id_mcare, id_apde FROM xw_old
+            WHERE id_mcare IS NOT NULL) x
+            ON 'C' || CAST(b.k AS VARCHAR) = x.id_mcare
+          WHERE ok % 2 = 1)),
+      mig AS (
+        SELECT x.id_apde, min(y.id_apde) AS id_apde_new
+        FROM xw_old x LEFT JOIN xw_new y
+          ON (x.id_mcaid = y.id_mcaid AND x.id_mcare IS NULL
+              AND y.id_mcare IS NULL)
+          OR (x.id_mcare = y.id_mcare AND x.id_mcaid IS NULL
+              AND y.id_mcaid IS NULL)
+          OR (x.id_mcaid = y.id_mcaid AND x.id_mcare = y.id_mcare)
+        GROUP BY x.id_apde),
+      migrated AS (
+        SELECT g.id_apde_new AS id_apde, e.source_desc, e.claim_header_id,
+          e.claim_line_id, e.first_service_date, e.last_service_date,
+          e.revenue_code, e.place_of_service_code, e.type_of_service,
+          e.rac_code_line, e.filetype_mcare
+        FROM existing e LEFT JOIN mig g ON e.id_apde = g.id_apde),
+      rebuilt AS (
+        SELECT DISTINCT * FROM (
+          SELECT x.id_apde, 'mcaid' AS source_desc,
+            CAST(ok AS VARCHAR) AS claim_header_id,
+            CAST(l_linenumber AS VARCHAR) AS claim_line_id,
+            fsd AS first_service_date, lsd AS last_service_date,
+            lpad(CAST((l_partkey + 13) % 750 AS VARCHAR), 4, '0')
+              AS revenue_code,
+            CAST(NULL AS VARCHAR) AS place_of_service_code,
+            CAST(NULL AS VARCHAR) AS type_of_service,
+            CAST(l_suppkey % 100 AS INT) AS rac_code_line,
+            CAST(NULL AS VARCHAR) AS filetype_mcare
+          FROM li b LEFT JOIN (SELECT id_mcaid, id_apde FROM xw_new
+            WHERE id_mcaid IS NOT NULL) x ON b.k = x.id_mcaid
+          WHERE ok % 2 = 0
+          UNION ALL
+          SELECT x.id_apde, 'mcare', 'X' || CAST(ok AS VARCHAR),
+            CAST(l_linenumber AS VARCHAR), fsd, lsd,
+            lpad(CAST(l_partkey % 750 AS VARCHAR), 4, '0'),
+            lpad(CAST(l_suppkey % 32 AS VARCHAR), 2, '0'),
+            CAST((l_linenumber + 1) % 9 AS VARCHAR), CAST(NULL AS INT),
+            CASE WHEN l_quantity < 25 THEN 'carrier' ELSE 'outpatient' END
+          FROM li b LEFT JOIN (SELECT id_mcare, id_apde FROM xw_new
+            WHERE id_mcare IS NOT NULL) x
+            ON 'C' || CAST(b.k AS VARCHAR) = x.id_mcare
+          WHERE ok % 2 = 1))
+      SELECT * FROM migrated
+      WHERE NOT ((source_desc = 'mcaid'
+          AND first_service_date >= DATE '1997-06-01')
+        OR (source_desc = 'mcare' AND year(first_service_date) >= 1997))
+      UNION ALL
+      SELECT * FROM rebuilt
+      WHERE (source_desc = 'mcaid'
+          AND first_service_date >= DATE '1997-06-01')
+        OR (source_desc = 'mcare' AND year(first_service_date) >= 1997)
+      ORDER BY source_desc, claim_header_id, claim_line_id""",
+
+    // q140: combined mcaid+mcare claim_icdcm_header — drift union at
+    // diagnosis grain (mcare contributes filetype_mcare; icdcm_number
+    // cast to shared varchar).
+    "q140_mcaid_mcare_icdcm" -> """
+      WITH li AS (
+        SELECT o_custkey % 90 AS k, l_orderkey AS ok, l_linenumber,
+          l_partkey, l_quantity,
+          CAST(l_shipdate AS DATE) AS fsd,
+          CAST(l_shipdate AS DATE) + CAST(l_linenumber % 5 AS INT) AS lsd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ks AS (SELECT DISTINCT c_custkey % 90 AS k FROM customer),
+      xw AS (
+        SELECT 1000 + k AS id_apde,
+          CASE WHEN k % 3 <> 2 THEN k END AS id_mcaid,
+          CASE WHEN k % 3 <> 0 THEN 'C' || CAST(k AS VARCHAR) END AS id_mcare
+        FROM ks),
+      base AS (
+        SELECT *, CAST(l_partkey % 900 AS VARCHAR) AS raw,
+          CASE WHEN l_partkey % 7 = 0
+            THEN lpad(CAST(l_partkey % 900 AS VARCHAR), 5, '0')
+            ELSE lpad(CAST(l_partkey % 900 AS VARCHAR), 7, '0') END AS norm,
+          CASE WHEN l_partkey % 7 = 0 THEN 9 ELSE 10 END AS ver
+        FROM li)
+      SELECT DISTINCT * FROM (
+        SELECT x.id_apde, 'mcaid' AS source_desc,
+          CAST(ok AS VARCHAR) AS claim_header_id,
+          fsd AS first_service_date, lsd AS last_service_date,
+          raw AS icdcm_raw, norm AS icdcm_norm, ver AS icdcm_version,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS icdcm_number,
+          CAST(NULL AS VARCHAR) AS filetype_mcare
+        FROM base b LEFT JOIN (SELECT id_mcaid, id_apde FROM xw
+          WHERE id_mcaid IS NOT NULL) x ON b.k = x.id_mcaid
+        WHERE ok % 2 = 0
+        UNION ALL
+        SELECT x.id_apde, 'mcare', 'X' || CAST(ok AS VARCHAR), fsd, lsd,
+          raw, norm, ver, lpad(CAST(l_linenumber AS VARCHAR), 2, '0'),
+          CASE WHEN l_quantity < 25 THEN 'carrier' ELSE 'outpatient' END
+        FROM base b LEFT JOIN (SELECT id_mcare, id_apde FROM xw
+          WHERE id_mcare IS NOT NULL) x
+          ON 'C' || CAST(b.k AS VARCHAR) = x.id_mcare
+        WHERE ok % 2 = 1)
+      ORDER BY source_desc, claim_header_id, icdcm_number""",
+
+    // q141: combined mcaid+mcare claim_procedure — drift union at
+    // procedure grain (modifiers on both sides, filetype_mcare on mcare).
+    "q141_mcaid_mcare_procedure" -> """
+      WITH li AS (
+        SELECT o_custkey % 90 AS k, l_orderkey AS ok, l_linenumber,
+          l_partkey, l_suppkey, l_quantity,
+          CAST(l_shipdate AS DATE) AS fsd,
+          CAST(l_shipdate AS DATE) + CAST(l_linenumber % 5 AS INT) AS lsd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ks AS (SELECT DISTINCT c_custkey % 90 AS k FROM customer),
+      xw AS (
+        SELECT 1000 + k AS id_apde,
+          CASE WHEN k % 3 <> 2 THEN k END AS id_mcaid,
+          CASE WHEN k % 3 <> 0 THEN 'C' || CAST(k AS VARCHAR) END AS id_mcare
+        FROM ks),
+      base AS (
+        SELECT *, lpad(CAST(l_partkey % 9999 AS VARCHAR), 5, '0') AS pcode,
+          CASE WHEN l_quantity > 30 THEN 'GT' END AS mod1
+        FROM li)
+      SELECT DISTINCT * FROM (
+        SELECT x.id_apde, 'mcaid' AS source_desc,
+          CAST(ok AS VARCHAR) AS claim_header_id,
+          fsd AS first_service_date, lsd AS last_service_date,
+          pcode AS procedure_code,
+          CAST(l_linenumber AS VARCHAR) AS procedure_code_number,
+          mod1 AS modifier_1,
+          CASE WHEN l_suppkey % 13 = 0 THEN '59' END AS modifier_2,
+          CAST(NULL AS VARCHAR) AS filetype_mcare
+        FROM base b LEFT JOIN (SELECT id_mcaid, id_apde FROM xw
+          WHERE id_mcaid IS NOT NULL) x ON b.k = x.id_mcaid
+        WHERE ok % 2 = 0
+        UNION ALL
+        SELECT x.id_apde, 'mcare', 'X' || CAST(ok AS VARCHAR), fsd, lsd,
+          pcode, lpad(CAST(l_linenumber AS VARCHAR), 2, '0'), mod1,
+          CAST(NULL AS VARCHAR),
+          CASE WHEN l_quantity < 25 THEN 'carrier' ELSE 'outpatient' END
+        FROM base b LEFT JOIN (SELECT id_mcare, id_apde FROM xw
+          WHERE id_mcare IS NOT NULL) x
+          ON 'C' || CAST(b.k AS VARCHAR) = x.id_mcare
+        WHERE ok % 2 = 1)
+      ORDER BY source_desc, claim_header_id, procedure_code_number,
+        procedure_code""",
   )
 }

@@ -34,11 +34,8 @@ object McaidMcareClaimHeader {
 
   def build(mcaid: DataFrame, mcare: DataFrame, xwalkMcaid: DataFrame,
       xwalkMcare: DataFrame): DataFrame = {
-    val m1 = mcaid.join(broadcast(xwalkMcaid), Seq("id_mcaid"), "left")
-      .drop("id_mcaid").withColumn("source_desc", lit("mcaid"))
-    val m2 = mcare.join(broadcast(xwalkMcare), Seq("id_mcare"), "left")
-      .drop("id_mcare").withColumn("source_desc", lit("mcare"))
-    val unioned = m1.unionByName(m2, allowMissingColumns = true).distinct()
+    val unioned = McaidMcareClaimDetail.xwalkUnion(
+      mcaid, mcare, xwalkMcaid, xwalkMcare)
     val typed = unioned.withColumn("ed_type",
       when(col("ed_pophealth_flag") === 1 && col("claim_type_id") === 5,
         "Carrier")

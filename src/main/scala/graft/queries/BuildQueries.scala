@@ -1509,6 +1509,173 @@ object BuildQueries {
       ORDER BY c.c_mktsegment""")
   }
 
+  /** Shared fixture for the combined mcaid+mcare claim DETAIL family
+    * (q139-q141): a person universe folded from customer keys where each
+    * person is mcaid-only (k%3=0), dual-enrolled (k%3=1), or mcare-only
+    * (k%3=2) — so every branch of the id-migration join is populated —
+    * plus line-grain claim facts carved from lineitem joined to orders
+    * for the person key. */
+  private[graft] object Mm {
+    import org.apache.spark.sql.Column
+    val k: Column = col("c_custkey") % 90
+    /** Full crosswalk (id_apde, id_mcaid, id_mcare); `recut` drops every
+      * 11th person and re-cuts the apde id space — the new-xwalk shape
+      * [[graft.builds.McaidMcareClaimDetail.remapIds]] migrates to. */
+    def xwalk(s: SparkSession, dir: String, recut: Boolean): DataFrame = {
+      val base = t(s, dir, "customer").select(k.as("k")).distinct()
+      val cut = if (recut) base.filter(col("k") % 11 =!= 7) else base
+      cut.select(
+        (lit(if (recut) 2000 else 1000) + col("k")).as("id_apde"),
+        when(col("k") % 3 =!= 2, col("k")).as("id_mcaid"),
+        when(col("k") % 3 =!= 0, concat(lit("C"), col("k").cast("string")))
+          .as("id_mcare"))
+    }
+    def mcaidSide(xw: DataFrame): DataFrame =
+      xw.filter(col("id_mcaid").isNotNull).select("id_mcaid", "id_apde")
+    def mcareSide(xw: DataFrame): DataFrame =
+      xw.filter(col("id_mcare").isNotNull).select("id_mcare", "id_apde")
+    /** Line-grain facts: person key from orders, line columns from
+      * lineitem. Even order keys are mcaid, odd mcare. */
+    def lines(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem").join(
+          t(s, dir, "orders").select(col("o_orderkey"), (col("o_custkey") % 90).as("k")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("k"), col("l_orderkey").as("ok"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"),
+          to_date(col("l_shipdate")).as("fsd"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_linenumber") % 5).cast("int")).as("lsd"))
+  }
+
+  /** §7.5.5 combined mcaid+mcare claim_line (q139) — the full reference
+    * script order (load_stage.mcaid_mcare_claim_line.R): (1) build the
+    * existing stage table with the OLD crosswalk, (2) migrate its ids to
+    * the re-cut crosswalk (remapIds — the UPDATE at :192-206), (3)
+    * partial-refresh with per-source asymmetric date windows (mcaid cut
+    * at 1997-06-01, mcare at year 1997) from a rebuild carrying corrected
+    * revenue codes — so refreshed rows are visibly different from kept
+    * ones in the output. */
+  def q139McaidMcareLine(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McaidMcareClaimDetail
+    val li = Mm.lines(s, dir)
+    def mcaid(rev: org.apache.spark.sql.Column) = li.filter(col("ok") % 2 === 0)
+      .select(col("k").as("id_mcaid"),
+        col("ok").cast("string").as("claim_header_id"),
+        col("l_linenumber").cast("string").as("claim_line_id"),
+        col("fsd").as("first_service_date"), col("lsd").as("last_service_date"),
+        rev.as("revenue_code"),
+        (col("l_suppkey") % 100).cast("int").as("rac_code_line"))
+    def mcare(tos: org.apache.spark.sql.Column) = li.filter(col("ok") % 2 === 1)
+      .select(concat(lit("C"), col("k").cast("string")).as("id_mcare"),
+        concat(lit("X"), col("ok").cast("string")).as("claim_header_id"),
+        col("l_linenumber").cast("string").as("claim_line_id"),
+        col("fsd").as("first_service_date"), col("lsd").as("last_service_date"),
+        lpad((col("l_partkey") % 750).cast("string"), 4, "0").as("revenue_code"),
+        lpad((col("l_suppkey") % 32).cast("string"), 2, "0")
+          .as("place_of_service_code"),
+        tos.as("type_of_service"),
+        when(col("l_quantity") < 25, "carrier").otherwise("outpatient")
+          .as("filetype_mcare"))
+    val revOld = lpad((col("l_partkey") % 750).cast("string"), 4, "0")
+    val revNew = lpad(((col("l_partkey") + 13) % 750).cast("string"), 4, "0")
+    val tosOld = (col("l_linenumber") % 9).cast("string")
+    val tosNew = ((col("l_linenumber") + 1) % 9).cast("string")
+    val xwOld = Mm.xwalk(s, dir, recut = false)
+    val xwNew = Mm.xwalk(s, dir, recut = true)
+    val existing = McaidMcareClaimDetail.xwalkUnion(
+      mcaid(revOld), mcare(tosOld), Mm.mcaidSide(xwOld), Mm.mcareSide(xwOld))
+    val migrated = McaidMcareClaimDetail.remapIds(existing, xwOld, xwNew)
+    val rebuilt = McaidMcareClaimDetail.xwalkUnion(
+      mcaid(revNew), mcare(tosNew), Mm.mcaidSide(xwNew), Mm.mcareSide(xwNew))
+    McaidMcareClaimDetail.refresh(migrated, rebuilt,
+        mcaidDate = Some("1997-06-01"), mcareYear = Some(1997))
+      .select(col("id_apde"), col("source_desc"), col("claim_header_id"),
+        col("claim_line_id"), col("first_service_date"),
+        col("last_service_date"), col("revenue_code"),
+        col("place_of_service_code"), col("type_of_service"),
+        col("rac_code_line"), col("filetype_mcare"))
+      .orderBy(col("source_desc"), col("claim_header_id"), col("claim_line_id"))
+  }
+
+  /** §7.5.5 combined mcaid+mcare claim_icdcm_header (q140,
+    * load_stage.mcaid_mcare_claim_icdcm_header.R:25-62): crosswalked
+    * drift union at diagnosis grain — mcare contributes filetype_mcare,
+    * mcaid NULL-pads it; icdcm_number arrives int-typed from mcaid and is
+    * cast to the shared varchar (the reference's collation-resolving
+    * CAST). */
+  def q140McaidMcareIcdcm(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McaidMcareClaimDetail
+    val li = Mm.lines(s, dir)
+    val ver = when(col("l_partkey") % 7 === 0, 9).otherwise(10)
+    val raw = (col("l_partkey") % 900).cast("string")
+    val norm = when(col("l_partkey") % 7 === 0, lpad(raw, 5, "0"))
+      .otherwise(lpad(raw, 7, "0"))
+    val mcaid = li.filter(col("ok") % 2 === 0)
+      .select(col("k").as("id_mcaid"),
+        col("ok").cast("string").as("claim_header_id"),
+        col("fsd").as("first_service_date"), col("lsd").as("last_service_date"),
+        raw.as("icdcm_raw"), norm.as("icdcm_norm"),
+        ver.as("icdcm_version"),
+        lpad(col("l_linenumber").cast("string"), 2, "0").as("icdcm_number"))
+    val mcare = li.filter(col("ok") % 2 === 1)
+      .select(concat(lit("C"), col("k").cast("string")).as("id_mcare"),
+        concat(lit("X"), col("ok").cast("string")).as("claim_header_id"),
+        col("fsd").as("first_service_date"), col("lsd").as("last_service_date"),
+        raw.as("icdcm_raw"), norm.as("icdcm_norm"),
+        ver.as("icdcm_version"),
+        lpad(col("l_linenumber").cast("string"), 2, "0").as("icdcm_number"),
+        when(col("l_quantity") < 25, "carrier").otherwise("outpatient")
+          .as("filetype_mcare"))
+    val xw = Mm.xwalk(s, dir, recut = false)
+    McaidMcareClaimDetail.xwalkUnion(mcaid, mcare,
+        Mm.mcaidSide(xw), Mm.mcareSide(xw))
+      .select(col("id_apde"), col("source_desc"), col("claim_header_id"),
+        col("first_service_date"), col("last_service_date"),
+        col("icdcm_raw"), col("icdcm_norm"), col("icdcm_version"),
+        col("icdcm_number"), col("filetype_mcare"))
+      .orderBy(col("source_desc"), col("claim_header_id"), col("icdcm_number"))
+  }
+
+  /** §7.5.5 combined mcaid+mcare claim_procedure (q141,
+    * load_stage.mcaid_mcare_claim_procedure.R:10-68): drift union at
+    * procedure grain — both sides carry code + modifiers, mcare adds
+    * filetype_mcare; modifiers beyond the first are sparsely populated,
+    * matching real modifier columns. */
+  def q141McaidMcareProcedure(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McaidMcareClaimDetail
+    val li = Mm.lines(s, dir)
+    val pcode = lpad((col("l_partkey") % 9999).cast("string"), 5, "0")
+    val mod1 = when(col("l_quantity") > 30, "GT")
+    val mcaid = li.filter(col("ok") % 2 === 0)
+      .select(col("k").as("id_mcaid"),
+        col("ok").cast("string").as("claim_header_id"),
+        col("fsd").as("first_service_date"), col("lsd").as("last_service_date"),
+        pcode.as("procedure_code"),
+        col("l_linenumber").cast("string").as("procedure_code_number"),
+        mod1.as("modifier_1"),
+        when(col("l_suppkey") % 13 === 0, "59").as("modifier_2"))
+    val mcare = li.filter(col("ok") % 2 === 1)
+      .select(concat(lit("C"), col("k").cast("string")).as("id_mcare"),
+        concat(lit("X"), col("ok").cast("string")).as("claim_header_id"),
+        col("fsd").as("first_service_date"), col("lsd").as("last_service_date"),
+        pcode.as("procedure_code"),
+        lpad(col("l_linenumber").cast("string"), 2, "0")
+          .as("procedure_code_number"),
+        mod1.as("modifier_1"),
+        when(col("l_quantity") < 25, "carrier").otherwise("outpatient")
+          .as("filetype_mcare"))
+    val xw = Mm.xwalk(s, dir, recut = false)
+    McaidMcareClaimDetail.xwalkUnion(mcaid, mcare,
+        Mm.mcaidSide(xw), Mm.mcareSide(xw))
+      .select(col("id_apde"), col("source_desc"), col("claim_header_id"),
+        col("first_service_date"), col("last_service_date"),
+        col("procedure_code"), col("procedure_code_number"),
+        col("modifier_1"), col("modifier_2"), col("filetype_mcare"))
+      .orderBy(col("source_desc"), col("claim_header_id"),
+        col("procedure_code_number"), col("procedure_code"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
