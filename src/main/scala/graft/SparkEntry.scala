@@ -234,6 +234,8 @@ object SparkEntry {
     "q139_mcaid_mcare_line" -> (graft.queries.BuildQueries.q139McaidMcareLine _),
     "q140_mcaid_mcare_icdcm" -> (graft.queries.BuildQueries.q140McaidMcareIcdcm _),
     "q141_mcaid_mcare_procedure" -> (graft.queries.BuildQueries.q141McaidMcareProcedure _),
+    "q142_apcd_claim_header" -> (graft.queries.BuildQueries.q142ApcdClaimHeader _),
+    "q143_apcd_injury" -> (graft.queries.BuildQueries.q143ApcdInjury _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -5206,5 +5208,390 @@ object SparkEntry {
         WHERE ok % 2 = 1)
       ORDER BY source_desc, claim_header_id, procedure_code_number,
         procedure_code""",
+
+    // q142: APCD claim header — denied/orphan exclusion, status + kc
+    // claim-type crosswalk, sentinel nulling, T-SQL NULL-propagating type
+    // concat, line/proc/dx rollups, Oregon PC visit via provider-taxonomy
+    // chain, RDA/Yale ED flags, inpatient, BH flags, per-person concept
+    // seqs, 1-day Yale episode clustering.
+    "q142_apcd_claim_header" -> """
+      WITH hdr AS (
+        SELECT o_custkey % 400 AS id_apcd, o_orderkey AS chid,
+          CASE WHEN o_orderkey % 29 = 0 THEN -1
+            WHEN o_orderkey % 29 = 1 THEN -2
+            ELSE CAST(o_orderkey % 12 AS INT) END AS pcode_raw,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 4 AS INT) AS lsd,
+          CAST(o_orderdate AS DATE) + 7 AS first_paid_date,
+          CAST(o_orderdate AS DATE) + 14 AS last_paid_date,
+          round(o_totalprice, 2) AS charge_amt,
+          o_orderstatus AS status_code,
+          CASE WHEN o_orderkey % 23 = 0 THEN '-1'
+            WHEN o_orderkey % 23 = 1 THEN '-2'
+            ELSE '011' || CAST(o_orderkey % 8 AS VARCHAR) END AS tob,
+          CAST(1 + o_orderkey % 3 AS INT) AS ct,
+          CAST(1 + o_orderkey % 2 AS INT) AS tos,
+          CASE WHEN o_orderkey % 13 = 0 THEN -1
+            WHEN o_orderkey % 13 = 1 THEN -2
+            ELSE CAST(1 + o_orderkey % 4 AS INT) END AS pos,
+          CASE WHEN o_orderkey % 6 = 0 THEN 'Y' ELSE 'N' END AS er_flag,
+          CASE WHEN o_orderkey % 17 = 0 THEN 'Y' ELSE 'N' END AS denied,
+          CASE WHEN o_orderkey % 19 = 0 THEN 'Y' ELSE 'N' END AS orphaned,
+          CAST(o_orderkey % 21 = 0 AS INT) AS cardiac_imaging_and_tests_flag,
+          CAST(o_orderkey % 22 = 0 AS INT) AS telehealth_flag,
+          CAST(o_orderkey % 35 = 0 AS INT) AS covid19_flag
+        FROM orders),
+      lin AS (
+        SELECT l_orderkey AS chid,
+          CASE WHEN l_suppkey % 11 = 0 THEN '23'
+            ELSE lpad(CAST(l_suppkey % 32 AS VARCHAR), 2, '0') END AS pos_code,
+          CASE WHEN l_partkey % 9 = 0
+            THEN '045' || CAST(l_partkey % 10 AS VARCHAR)
+            ELSE lpad(CAST(l_partkey % 2000 AS VARCHAR), 4, '0')
+            END AS revenue_code,
+          CASE WHEN l_linenumber = 1 AND l_orderkey % 3 = 0
+            THEN CAST(l_shipdate AS DATE) END AS discharge_date
+        FROM lineitem),
+      linagg AS (
+        SELECT chid, max(discharge_date) AS discharge_date,
+          max(CASE WHEN pos_code = '23' THEN 1 ELSE 0 END) AS ed_pos_temp,
+          max(CASE WHEN regexp_matches(revenue_code, '^045[01269]$')
+            OR revenue_code = '0981' THEN 1 ELSE 0 END) AS ed_rev_temp
+        FROM lin GROUP BY chid),
+      prc AS (
+        SELECT l_orderkey AS chid,
+          CASE WHEN l_partkey % 17 = 0
+            THEN '9928' || CAST(1 + l_partkey % 7 AS VARCHAR)
+            WHEN l_partkey % 17 = 1 THEN '99291'
+            WHEN l_partkey % 17 = 2
+            THEN '992' || CAST(11 + l_partkey % 5 AS VARCHAR)
+            ELSE lpad(CAST(l_partkey % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code
+        FROM lineitem),
+      edproc AS (
+        SELECT chid, 1 AS ed_procedure_code_temp FROM prc GROUP BY chid
+        HAVING max(CASE WHEN regexp_matches(procedure_code, '^9928[12345]$')
+          OR procedure_code = '99291' THEN 1 ELSE 0 END) = 1),
+      dxt AS (
+        SELECT l_orderkey AS chid,
+          CASE WHEN l_partkey % 6 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 6 <> 0 AND l_partkey % 5 = 0
+            THEN 'Z00' || CAST(l_partkey % 4 AS VARCHAR)
+            WHEN l_partkey % 6 <> 0
+            THEN 'F' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+            ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem),
+      pdx AS (
+        SELECT chid, min(norm) AS primary_diagnosis,
+          min(ver) AS icdcm_version
+        FROM dxt WHERE dxnum = '01' GROUP BY chid),
+      icdref AS (
+        SELECT * FROM (
+          SELECT DISTINCT norm AS icdcm, ver AS rver,
+            CASE WHEN regexp_matches(norm, '^F[23]') THEN 1 ELSE 0 END
+              AS ref_mh,
+            CASE WHEN regexp_matches(norm, '^F1')
+              OR (ver = 9 AND norm LIKE '030%') THEN 1 ELSE 0 END AS ref_sud
+          FROM dxt)
+        WHERE ref_mh = 1 OR ref_sud = 1),
+      bh AS (
+        SELECT d.chid,
+          max(CASE WHEN d.dxnum = '01' AND r.ref_mh = 1 THEN 1 ELSE 0 END)
+            AS mh_primary,
+          max(CASE WHEN r.ref_mh = 1 THEN 1 ELSE 0 END) AS mh_any,
+          max(CASE WHEN d.dxnum = '01' AND r.ref_sud = 1 THEN 1 ELSE 0 END)
+            AS sud_primary,
+          max(CASE WHEN r.ref_sud = 1 THEN 1 ELSE 0 END) AS sud_any
+        FROM dxt d JOIN icdref r ON d.norm = r.icdcm AND d.ver = r.rver
+        GROUP BY d.chid),
+      pcref(code, code_system) AS (
+        VALUES ('99211','cpt'),('99212','cpt'),('99213','cpt'),
+          ('G0402','hcpcs'),('Z000','icd10cm'),('Z001','icd10cm'),
+          ('207Q00000X','provider_taxonomy'),
+          ('207R00000X','provider_taxonomy')),
+      pcproc AS (SELECT DISTINCT p.chid FROM prc p JOIN pcref r
+        ON p.procedure_code = r.code AND r.code_system IN ('cpt','hcpcs')),
+      pcz AS (SELECT DISTINCT d.chid FROM dxt d JOIN pcref r
+        ON d.norm = r.code AND r.code_system = 'icd10cm' WHERE d.ver = 10),
+      prov AS (
+        SELECT l_orderkey AS chid, l_suppkey AS pid,
+          CASE WHEN l_linenumber % 3 = 0 THEN 'rendering'
+            WHEN l_linenumber % 3 = 1 THEN 'attending'
+            ELSE 'billing' END AS ptype
+        FROM lineitem),
+      mastertax AS (
+        SELECT 1000000000 + s_suppkey AS npi,
+          CASE WHEN s_suppkey % 7 = 0 THEN '207Q00000X'
+            ELSE '208D00000X' END AS taxonomy FROM supplier
+        UNION ALL
+        SELECT 1000000000 + s_suppkey, '207R00000X' FROM supplier
+        WHERE s_suppkey % 11 = 0),
+      pcnpi AS (SELECT DISTINCT m.npi FROM mastertax m JOIN pcref r
+        ON m.taxonomy = r.code AND r.code_system = 'provider_taxonomy'),
+      pctax AS (
+        SELECT DISTINCT p.chid FROM prov p
+        JOIN (SELECT s_suppkey AS pid, 1000000000 + s_suppkey AS npi
+          FROM supplier) n ON p.pid = n.pid
+        JOIN pcnpi q ON n.npi = q.npi
+        WHERE p.ptype IN ('rendering','attending')),
+      pcv AS (
+        SELECT chid FROM pctax
+        WHERE chid IN (SELECT chid FROM pcproc)
+          OR chid IN (SELECT chid FROM pcz)),
+      base AS (
+        SELECT h.id_apcd, h.chid, h.fsd, h.lsd, h.first_paid_date,
+          h.last_paid_date, h.charge_amt,
+          h.cardiac_imaging_and_tests_flag, h.telehealth_flag,
+          h.covid19_flag, s.claim_status_id, g.discharge_date,
+          g.ed_pos_temp, g.ed_rev_temp,
+          CASE WHEN h.pcode_raw IN (-1,-2) THEN NULL ELSE h.pcode_raw END
+            AS product_code_id,
+          CASE WHEN h.tob IN ('-1','-2') THEN NULL ELSE h.tob END
+            AS type_of_bill_code,
+          CAST(h.ct AS VARCHAR) || '.' || CAST(h.tos AS VARCHAR) || '.' ||
+            CAST(CASE WHEN h.pos IN (-1,-2) THEN NULL ELSE h.pos END
+              AS VARCHAR) AS claim_type_apcd_id,
+          CASE WHEN h.er_flag = 'Y' THEN 1 ELSE 0 END AS ed_perform_temp,
+          CASE WHEN h.ct = 1 AND h.tos = 1 AND h.pos = 1
+            AND s.claim_status_id IN (-1,-2,1,5,2,6)
+            AND g.discharge_date IS NOT NULL THEN 1 ELSE 0 END AS ipt_flag
+        FROM hdr h
+        LEFT JOIN (VALUES ('O',1),('F',5),('P',30))
+          AS s(claim_status_code, claim_status_id)
+          ON h.status_code = s.claim_status_code
+        LEFT JOIN linagg g ON h.chid = g.chid
+        WHERE h.denied = 'N' AND h.orphaned = 'N'),
+      xw AS (
+        SELECT DISTINCT CAST(ct AS VARCHAR) || '.' || CAST(tos AS VARCHAR)
+            || '.' || CAST(pos AS VARCHAR) AS source_clm_type_id,
+          CAST(CASE WHEN ct = 1 THEN 1 WHEN ct = 2 THEN 4 ELSE 5 END
+            AS INT) AS kc_clm_type_id
+        FROM hdr WHERE pos NOT IN (-1,-2)),
+      flagged AS (
+        SELECT b.*, x.kc_clm_type_id AS claim_type_id,
+          CASE WHEN b.ed_perform_temp = 1 AND x.kc_clm_type_id = 4
+            THEN 1 ELSE 0 END AS ed_perform,
+          CASE WHEN x.kc_clm_type_id = 5 AND
+            ((e.ed_procedure_code_temp = 1 AND b.ed_pos_temp = 1)
+              OR b.ed_rev_temp = 1) THEN 1 ELSE 0 END AS ed_yale_carrier,
+          CASE WHEN x.kc_clm_type_id = 4 AND (b.ed_rev_temp = 1
+            OR b.ed_pos_temp = 1 OR e.ed_procedure_code_temp = 1)
+            THEN 1 ELSE 0 END AS ed_yale_opt,
+          CASE WHEN x.kc_clm_type_id = 1 AND (b.ed_rev_temp = 1
+            OR b.ed_pos_temp = 1 OR e.ed_procedure_code_temp = 1)
+            THEN 1 ELSE 0 END AS ed_yale_ipt,
+          b.ipt_flag AS inpatient,
+          CASE WHEN b.chid IN (SELECT chid FROM pcv)
+            AND b.claim_type_apcd_id NOT IN
+              ('1.1.1','1.1.14','1.1.2','2.3.8','2.3.2','1.2.8')
+            AND b.claim_status_id IN (-1,-2,1,5,2,6)
+            THEN 1 ELSE 0 END AS pc_visit
+        FROM base b
+        LEFT JOIN xw x ON b.claim_type_apcd_id = x.source_clm_type_id
+        LEFT JOIN edproc e ON b.chid = e.chid),
+      pcseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
+          ORDER BY fsd) AS INT) AS pc_visit_seq
+        FROM flagged WHERE pc_visit = 1),
+      iptseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
+          ORDER BY fsd) AS INT) AS inpatient_seq
+        FROM flagged WHERE inpatient = 1),
+      edpseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
+          ORDER BY fsd) AS INT) AS ed_perform_seq
+        FROM flagged WHERE ed_perform = 1),
+      ed0 AS (
+        SELECT id_apcd, chid, fsd, lsd,
+          lag(fsd) OVER (PARTITION BY id_apcd
+            ORDER BY fsd, fsd, lsd, chid) AS prev_f
+        FROM flagged WHERE ed_yale_carrier = 1 OR ed_yale_opt = 1
+          OR ed_yale_ipt = 1),
+      phseq AS (
+        SELECT chid, CAST(sum(CASE WHEN prev_f IS NULL
+            OR date_diff('day', prev_f, fsd) > 1 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY id_apcd ORDER BY fsd, fsd, lsd, chid
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ed_pophealth_seq
+        FROM ed0)
+      SELECT DISTINCT f.id_apcd, f.chid AS claim_header_id,
+        f.product_code_id, f.fsd AS first_service_date,
+        f.lsd AS last_service_date, f.first_paid_date, f.last_paid_date,
+        f.charge_amt, p.primary_diagnosis, p.icdcm_version,
+        f.claim_status_id, f.claim_type_apcd_id, f.claim_type_id,
+        f.type_of_bill_code,
+        coalesce(b2.mh_primary, 0) AS mh_primary,
+        coalesce(b2.mh_any, 0) AS mh_any,
+        coalesce(b2.sud_primary, 0) AS sud_primary,
+        coalesce(b2.sud_any, 0) AS sud_any,
+        f.cardiac_imaging_and_tests_flag, f.telehealth_flag,
+        f.covid19_flag, f.ed_perform, f.ed_yale_carrier, f.ed_yale_opt,
+        f.ed_yale_ipt, f.inpatient, f.discharge_date, f.pc_visit,
+        q1.pc_visit_seq, q2.inpatient_seq, q3.ed_perform_seq,
+        q4.ed_pophealth_seq
+      FROM flagged f
+      LEFT JOIN pdx p ON f.chid = p.chid
+      LEFT JOIN bh b2 ON f.chid = b2.chid
+      LEFT JOIN pcseq q1 ON f.chid = q1.chid
+      LEFT JOIN iptseq q2 ON f.chid = q2.chid
+      LEFT JOIN edpseq q3 ON f.chid = q3.chid
+      LEFT JOIN phseq q4 ON f.chid = q4.chid
+      ORDER BY claim_header_id""",
+
+    // q143: APCD injury classification — CDC nature inclusion over the
+    // code vocabulary (literal-'%' BETWEEN bounds binary-compared,
+    // 7th-char qualifier checks), prefix-join cause intent/mechanism,
+    // rank-1 header collapse, CCS type normalization.
+    "q143_apcd_injury" -> """
+      WITH dxi AS (
+        SELECT l_orderkey AS chid,
+          CASE WHEN l_partkey % 4 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 4 = 0 THEN
+            CASE WHEN l_partkey % 5 = 0
+              THEN '80' || lpad(CAST(l_partkey % 99 AS VARCHAR), 2, '0')
+              WHEN l_partkey % 5 = 1 THEN '9093'
+              WHEN l_partkey % 5 = 2
+              THEN '9955' || CAST(l_partkey % 10 AS VARCHAR)
+              WHEN l_partkey % 5 = 3
+              THEN '9958' || CAST(l_partkey % 8 AS VARCHAR)
+              ELSE 'E95' || CAST(l_partkey % 10 AS VARCHAR) END
+          ELSE
+            (CASE WHEN l_partkey % 8 = 0 THEN 'S02100'
+              WHEN l_partkey % 8 = 1 THEN 'T24999'
+              WHEN l_partkey % 8 = 2 THEN 'T39913'
+              WHEN l_partkey % 8 = 3 THEN 'T39995'
+              WHEN l_partkey % 8 = 4 THEN 'T51230'
+              WHEN l_partkey % 8 = 5 THEN 'T79010'
+              WHEN l_partkey % 8 = 6 THEN 'M97500'
+              ELSE 'O9A300' END) ||
+            (CASE WHEN l_partkey % 5 = 0 THEN 'A'
+              WHEN l_partkey % 5 = 1 THEN 'B'
+              WHEN l_partkey % 5 = 2 THEN 'C'
+              WHEN l_partkey % 5 = 3 THEN 'D' ELSE '' END)
+          END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem),
+      vocab AS (SELECT DISTINCT norm, ver FROM dxi),
+      naturevocab AS (
+        SELECT norm, ver FROM vocab
+        WHERE (ver = 9
+            AND ((norm BETWEEN '800%' AND '9949%') OR norm LIKE '9955%'
+              OR (norm BETWEEN '99580%' AND '99585%'))
+            AND norm NOT LIKE '9093%' AND norm NOT LIKE '9095%')
+          OR (ver = 10 AND (
+            (norm LIKE 'S%'
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm BETWEEN 'T07%' AND 'T3499XS'
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm BETWEEN 'T36%' AND 'T50996S'
+              AND substr(norm,6,1) IN ('1','2','3','4')
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (regexp_matches(norm, '^T3[679]9')
+              AND substr(norm,5,1) IN ('1','2','3','4')
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm LIKE 'T414%'
+              AND substr(norm,5,1) IN ('1','2','3','4')
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm LIKE 'T427%'
+              AND substr(norm,5,1) IN ('1','2','3','4')
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (regexp_matches(norm, '^T4[3579]9')
+              AND substr(norm,5,1) IN ('1','2','3','4')
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm BETWEEN 'T51%' AND 'T6594XS'
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm BETWEEN 'T66%' AND 'T7692XS'
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm LIKE 'T79%'
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm BETWEEN 'O9A2%' AND 'O9A53'
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm LIKE 'T8404%'
+              AND substr(norm,7,1) IN ('A','B','C','')) OR
+            (norm LIKE 'M97%'
+              AND substr(norm,7,1) IN ('A','B','C',''))))),
+      nature AS (
+        SELECT DISTINCT d.chid, d.norm, d.ver, d.dxnum,
+          CASE WHEN d.dxnum = '01' THEN 1 ELSE 0 END AS injury_narrow,
+          1 AS injury_broad
+        FROM dxi d JOIN naturevocab v ON d.norm = v.norm AND d.ver = v.ver),
+      causeref(icdcm, icdcm_version, intent, mechanism) AS (
+        VALUES ('T3991', 10, 'unintentional', 'poisoning'),
+          ('S0210', 10, 'assault', 'struck'),
+          ('9955', 9, 'assault', 'other'),
+          ('T79', 10, 'unintentional', 'other')),
+      causevocab AS (
+        SELECT DISTINCT v.norm, v.ver, c.intent, c.mechanism
+        FROM vocab v JOIN causeref c
+          ON v.norm LIKE c.icdcm || '%' AND v.ver = c.icdcm_version),
+      cause AS (
+        SELECT DISTINCT n.chid, n.norm, n.ver, n.dxnum,
+          c.intent, c.mechanism, 1 AS ecode_flag
+        FROM nature n JOIN causevocab c
+          ON n.norm = c.norm AND n.ver = c.ver),
+      natureranks AS (
+        SELECT *, row_number() OVER (PARTITION BY chid, injury_broad
+          ORDER BY dxnum, norm, ver) AS injury_nature_rank
+        FROM nature),
+      causeranks AS (
+        SELECT *, row_number() OVER (PARTITION BY chid, ecode_flag
+          ORDER BY dxnum, norm, ver) AS ecode_rank
+        FROM cause),
+      headernature AS (
+        SELECT chid, max(injury_narrow) AS injury_narrow,
+          max(injury_broad) AS injury_broad
+        FROM natureranks GROUP BY chid),
+      ecode1 AS (
+        SELECT chid, norm AS ecode, intent, mechanism
+        FROM causeranks WHERE ecode_rank = 1),
+      nature1 AS (
+        SELECT chid, norm AS icdcm_injury_nature,
+          ver AS icdcm_injury_nature_version
+        FROM natureranks WHERE injury_nature_rank = 1),
+      ccsref AS (
+        SELECT norm AS icdcm, ver AS icdcm_version,
+          CASE WHEN norm LIKE 'S02%' THEN 'Fracture; initial encounter'
+            WHEN norm LIKE 'T51%' THEN 'Burns'
+            WHEN norm LIKE 'T39%' THEN 'Crushing injury'
+            WHEN norm LIKE 'M97%' THEN 'Other specified injury'
+            WHEN norm LIKE 'T79%' THEN 'Spinal cord injury (SCI)'
+            WHEN norm LIKE 'T24%'
+            THEN 'Superficial injury, initial encounter'
+            ELSE 'Unclassified' END AS ccs_detail_desc
+        FROM vocab),
+      typed AS (
+        SELECT n.icdcm_injury_nature, n.icdcm_injury_nature_version,
+          CASE
+            WHEN stripped IN ('Other specified injury',
+              'Other unspecified injury') THEN 'Other injuries'
+            WHEN stripped = 'Spinal cord injury (SCI)'
+            THEN 'Spinal cord injury'
+            WHEN stripped IN ('Effect of other external causes',
+              'External cause codes: other specified, classifiable and NEC',
+              'External cause codes: unspecified mechanism',
+              'Other injuries and conditions due to external causes')
+            THEN 'Other injuries and conditions due to external causes'
+            WHEN stripped IN ('Crushing injury',
+              'Crushing injury or internal injury')
+            THEN 'Crushing injury or internal injury'
+            WHEN stripped IN ('Burns', 'Burn and corrosion')
+            THEN 'Burn and corrosion'
+            ELSE stripped END AS icdcm_injury_nature_type
+        FROM (
+          SELECT DISTINCT v.icdcm_injury_nature,
+            v.icdcm_injury_nature_version,
+            replace(replace(c.ccs_detail_desc, '; initial encounter', ''),
+              ', initial encounter', '') AS stripped
+          FROM (SELECT DISTINCT icdcm_injury_nature,
+              icdcm_injury_nature_version FROM nature1) v
+          LEFT JOIN ccsref c ON v.icdcm_injury_nature = c.icdcm
+            AND v.icdcm_injury_nature_version = c.icdcm_version) n)
+      SELECT h.chid AS claim_header_id, e.ecode, h.injury_narrow,
+        h.injury_broad, e.intent, e.mechanism,
+        n.icdcm_injury_nature, n.icdcm_injury_nature_version,
+        t.icdcm_injury_nature_type
+      FROM headernature h
+      LEFT JOIN ecode1 e ON h.chid = e.chid
+      LEFT JOIN nature1 n ON h.chid = n.chid
+      LEFT JOIN typed t ON n.icdcm_injury_nature = t.icdcm_injury_nature
+        AND n.icdcm_injury_nature_version = t.icdcm_injury_nature_version
+      ORDER BY claim_header_id""",
   )
 }

@@ -1676,6 +1676,204 @@ object BuildQueries {
         col("procedure_code_number"), col("procedure_code"))
   }
 
+  /** Shared APCD synthetic frames (q142/q143): header from orders, line /
+    * procedure / diagnosis / provider detail from lineitem, provider refs
+    * from supplier, code dims inline. Sentinel -1/-2 slivers, denied /
+    * orphaned rows, ED codes, PC codes, and BH codes are all planted so
+    * every branch of the build fires. */
+  private[graft] object Apcd {
+    def header(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      val fsd = to_date(col("o_orderdate"))
+      t(s, dir, "orders").select(
+        (col("o_custkey") % 400).as("id_apcd"),
+        ok.as("claim_header_id"),
+        when(ok % 29 === 0, -1).when(ok % 29 === 1, -2)
+          .otherwise((ok % 12).cast("int")).cast("int").as("product_code_id"),
+        fsd.as("first_service_date"),
+        date_add(fsd, (ok % 4).cast("int")).as("last_service_date"),
+        date_add(fsd, 7).as("first_paid_date"),
+        date_add(fsd, 14).as("last_paid_date"),
+        round(col("o_totalprice"), 2).as("charge_amt"),
+        col("o_orderstatus").as("claim_status_code"),
+        when(ok % 23 === 0, "-1").when(ok % 23 === 1, "-2")
+          .otherwise(concat(lit("011"), (ok % 8).cast("string")))
+          .as("type_of_bill_code"),
+        (lit(1) + ok % 3).cast("int").as("claim_type_raw"),
+        (lit(1) + ok % 2).cast("int").as("type_of_setting_id"),
+        when(ok % 13 === 0, -1).when(ok % 13 === 1, -2)
+          .otherwise((lit(1) + ok % 4).cast("int")).cast("int")
+          .as("place_of_setting_id"),
+        when(ok % 6 === 0, "Y").otherwise("N").as("emergency_room_flag"),
+        when(ok % 17 === 0, "Y").otherwise("N").as("denied_header_flag"),
+        when(ok % 19 === 0, "Y").otherwise("N").as("orphaned_header_flag"),
+        (ok % 21 === 0).cast("int").as("cardiac_imaging_and_tests_flag"),
+        (ok % 22 === 0).cast("int").as("telehealth_flag"),
+        (ok % 35 === 0).cast("int").as("covid19_flag"))
+    }
+    def line(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("claim_header_id"),
+        when(col("l_suppkey") % 11 === 0, "23")
+          .otherwise(lpad((col("l_suppkey") % 32).cast("string"), 2, "0"))
+          .as("place_of_service_code"),
+        when(col("l_partkey") % 9 === 0,
+            concat(lit("045"), (col("l_partkey") % 10).cast("string")))
+          .otherwise(lpad((col("l_partkey") % 2000).cast("string"), 4, "0"))
+          .as("revenue_code"),
+        when(col("l_linenumber") === 1 && col("l_orderkey") % 3 === 0,
+          to_date(col("l_shipdate"))).as("discharge_date"))
+    def proc(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("claim_header_id"),
+        when(col("l_partkey") % 17 === 0,
+            concat(lit("9928"), (lit(1) + col("l_partkey") % 7).cast("string")))
+          .when(col("l_partkey") % 17 === 1, "99291")
+          .when(col("l_partkey") % 17 === 2,
+            concat(lit("992"), (lit(11) + col("l_partkey") % 5).cast("string")))
+          .otherwise(lpad((col("l_partkey") % 88888).cast("string"), 5, "0"))
+          .as("procedure_code"))
+    def dx(s: SparkSession, dir: String): DataFrame = {
+      val ver = when(col("l_partkey") % 6 === 0, 9).otherwise(10)
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("claim_header_id"),
+        ver.as("icdcm_version"),
+        when(ver === 10 && col("l_partkey") % 5 === 0,
+            concat(lit("Z00"), (col("l_partkey") % 4).cast("string")))
+          .when(ver === 10,
+            concat(lit("F"), lpad((col("l_partkey") % 400).cast("string"), 3, "0")))
+          .otherwise(lpad((col("l_partkey") % 999).cast("string"), 4, "0"))
+          .as("icdcm_norm"),
+        lpad(col("l_linenumber").cast("string"), 2, "0").as("icdcm_number"))
+    }
+    def provider(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("claim_header_id"),
+        col("l_suppkey").as("provider_id_apcd"),
+        when(col("l_linenumber") % 3 === 0, "rendering")
+          .when(col("l_linenumber") % 3 === 1, "attending")
+          .otherwise("billing").as("provider_type"))
+    def npiRef(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "supplier").select(
+        col("s_suppkey").as("provider_id_apcd"),
+        (lit(1000000000L) + col("s_suppkey")).as("npi"))
+    def providerMaster(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "supplier").select(
+        (lit(1000000000L) + col("s_suppkey")).as("npi"),
+        when(col("s_suppkey") % 7 === 0, "207Q00000X")
+          .otherwise("208D00000X").as("primary_taxonomy"),
+        when(col("s_suppkey") % 11 === 0, "207R00000X").as("secondary_taxonomy"))
+    def pcRef(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq(("99211", "cpt"), ("99212", "cpt"), ("99213", "cpt"),
+        ("G0402", "hcpcs"), ("Z000", "icd10cm"), ("Z001", "icd10cm"),
+        ("207Q00000X", "provider_taxonomy"), ("207R00000X", "provider_taxonomy"))
+        .toDF("code", "code_system")
+    }
+    def statusRef(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq(("O", 1), ("F", 5), ("P", 30)).toDF("claim_status_code", "claim_status_id")
+    }
+    def typeXwalk(s: SparkSession, dir: String): DataFrame = {
+      val h = header(s, dir)
+      h.select(col("claim_type_raw"), col("type_of_setting_id"),
+          when(col("place_of_setting_id").isin(-1, -2), lit(null))
+            .otherwise(col("place_of_setting_id")).as("pos"))
+        .filter(col("pos").isNotNull).distinct()
+        .select(concat(col("claim_type_raw").cast("string"), lit("."),
+            col("type_of_setting_id").cast("string"), lit("."),
+            col("pos").cast("string")).as("source_clm_type_id"),
+          when(col("claim_type_raw") === 1, 1)
+            .when(col("claim_type_raw") === 2, 4).otherwise(5)
+            .cast("int").as("kc_clm_type_id"),
+          lit("apcd").as("source_desc"))
+    }
+    /** Injury-flavored diagnosis rows (q143): ICD-9 codes spanning the
+      * CDC ranges incl. the literal-'%' BETWEEN boundary quirks and the
+      * 9093/9095 exclusions; ICD-10 codes from planted 6-char bases ×
+      * a 7th-character qualifier cycle (A/B/C/D/'' — D is excluded by
+      * the definition, '' is included). */
+    def dxInjury(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("l_partkey")
+      val ver = when(pk % 4 === 0, 9).otherwise(10)
+      val suffix = when(pk % 5 === 0, "A").when(pk % 5 === 1, "B")
+        .when(pk % 5 === 2, "C").when(pk % 5 === 3, "D").otherwise("")
+      val icd9 = when(pk % 5 === 0,
+          concat(lit("80"), lpad((pk % 99).cast("string"), 2, "0")))
+        .when(pk % 5 === 1, lit("9093"))
+        .when(pk % 5 === 2, concat(lit("9955"), (pk % 10).cast("string")))
+        .when(pk % 5 === 3, concat(lit("9958"), (pk % 8).cast("string")))
+        .otherwise(concat(lit("E95"), (pk % 10).cast("string")))
+      val base10 = when(pk % 8 === 0, "S02100").when(pk % 8 === 1, "T24999")
+        .when(pk % 8 === 2, "T39913").when(pk % 8 === 3, "T39995")
+        .when(pk % 8 === 4, "T51230").when(pk % 8 === 5, "T79010")
+        .when(pk % 8 === 6, "M97500").otherwise("O9A300")
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("claim_header_id"),
+        ver.as("icdcm_version"),
+        when(ver === 9, icd9).otherwise(concat(base10, suffix))
+          .as("icdcm_norm"),
+        lpad(col("l_linenumber").cast("string"), 2, "0").as("icdcm_number"))
+    }
+    def causeRef(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq(("T3991", 10, Some("unintentional"), Some("poisoning")),
+        ("S0210", 10, Some("assault"), Some("struck")),
+        ("9955", 9, Some("assault"), Some("other")),
+        ("T79", 10, Some("unintentional"), Some("other")),
+        ("M97", 10, None: Option[String], None: Option[String]))
+        .toDF("icdcm", "icdcm_version", "intent", "mechanism")
+    }
+    def ccsRef(s: SparkSession, dir: String): DataFrame =
+      dxInjury(s, dir).select(col("icdcm_norm").as("icdcm"),
+          col("icdcm_version")).distinct()
+        .withColumn("ccs_detail_desc",
+          when(col("icdcm").startsWith("S02"), "Fracture; initial encounter")
+            .when(col("icdcm").startsWith("T51"), "Burns")
+            .when(col("icdcm").startsWith("T39"), "Crushing injury")
+            .when(col("icdcm").startsWith("M97"), "Other specified injury")
+            .when(col("icdcm").startsWith("T79"), "Spinal cord injury (SCI)")
+            .when(col("icdcm").startsWith("T24"),
+              "Superficial injury, initial encounter")
+            .otherwise("Unclassified"))
+    def icdRef(s: SparkSession, dir: String): DataFrame =
+      dx(s, dir).select(col("icdcm_norm").as("icdcm"), col("icdcm_version"))
+        .distinct()
+        .withColumn("mh_any",
+          when(col("icdcm").rlike("^F[23]"), 1).otherwise(0))
+        .withColumn("sud_any",
+          when(col("icdcm").rlike("^F1") ||
+            (col("icdcm_version") === 9 && col("icdcm").startsWith("030")), 1)
+            .otherwise(0))
+        .filter(col("mh_any") === 1 || col("sud_any") === 1)
+  }
+
+  /** §7.5.6 APCD claim header (q142): the reference's biggest-source
+    * staging composition — denied/orphan exclusion, status/type-crosswalk
+    * mapping, sentinel nulling, line/procedure/dx rollups, Oregon PC
+    * visit via the provider-taxonomy chain, RDA + Yale ED flags,
+    * inpatient flag, BH dx flags, per-person concept sequences, and the
+    * 1-day Yale ED episode clustering. */
+  def q142ApcdClaimHeader(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ApcdClaimHeader.build(
+        Apcd.header(s, dir), Apcd.line(s, dir), Apcd.proc(s, dir),
+        Apcd.dx(s, dir), Apcd.provider(s, dir), Apcd.statusRef(s),
+        Apcd.typeXwalk(s, dir), Apcd.npiRef(s, dir),
+        Apcd.providerMaster(s, dir), Apcd.pcRef(s), Apcd.icdRef(s, dir),
+        flagCols = Seq("cardiac_imaging_and_tests_flag", "telehealth_flag",
+          "covid19_flag"))
+      .orderBy(col("claim_header_id"))
+
+  /** §7.5.6 APCD injury nature/cause classification (q143,
+    * load_stage.apcd_claim_header.R step 9): CDC surveillance inclusion
+    * on the distinct code vocabulary, prefix-join external-cause
+    * intent/mechanism, rank-1 collapse to header grain, CCS nature-type
+    * normalization. */
+  def q143ApcdInjury(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ApcdInjury.build(Apcd.dxInjury(s, dir),
+        Apcd.causeRef(s), Apcd.ccsRef(s, dir))
+      .orderBy(col("claim_header_id"))
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
