@@ -236,6 +236,7 @@ object SparkEntry {
     "q141_mcaid_mcare_procedure" -> (graft.queries.BuildQueries.q141McaidMcareProcedure _),
     "q142_apcd_claim_header" -> (graft.queries.BuildQueries.q142ApcdClaimHeader _),
     "q143_apcd_injury" -> (graft.queries.BuildQueries.q143ApcdInjury _),
+    "q144_naloxone" -> (graft.queries.BuildQueries.q144Naloxone _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -5593,5 +5594,102 @@ object SparkEntry {
       LEFT JOIN typed t ON n.icdcm_injury_nature = t.icdcm_injury_nature
         AND n.icdcm_injury_nature_version = t.icdcm_injury_nature_version
       ORDER BY claim_header_id""",
+
+    // q144: naloxone events — NDC contains-expansion over the distinct
+    // pharmacy vocabulary, pharmacy + procedure branches with form/dosage
+    // dispatch, J3490 modifier gate, union distinct.
+    "q144_naloxone" -> """
+      WITH li AS (
+        SELECT o_custkey % 70 AS id_mcaid, l_orderkey AS chid,
+          l_partkey AS pk, l_suppkey AS sk,
+          CAST(l_shipdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      pharm AS (
+        SELECT id_mcaid, chid,
+          CASE WHEN pk % 13 = 0 THEN '00093216519'
+            WHEN pk % 13 = 1 THEN '55150034510'
+            WHEN pk % 13 = 2 THEN '55150032710'
+            WHEN pk % 13 = 3 THEN '00409121525'
+            WHEN pk % 13 = 4 THEN '012345678901'
+            WHEN pk % 13 = 5 THEN '12345678901'
+            ELSE lpad(CAST(pk AS VARCHAR), 11, '0') END AS ndc,
+          d AS rx_fill_date,
+          CASE WHEN pk % 7 = 0 THEN 0.5
+            ELSE CAST(1 + pk % 5 AS DOUBLE) END AS rx_quantity
+        FROM li),
+      ndclist(ndc) AS (VALUES ('00093216519'),('55150034510'),
+        ('55150032710'),('00409121525'),('12345678901')),
+      ndccodes(ndc, pname, dform, strength, unit) AS (VALUES
+        ('00093216519','Narcan Nasal','NASAL SPRAY',4.0,'mg/.1mL'),
+        ('55150034510','Naloxone HCl','SOLUTION FOR INJECTION',1.0,'mg/mL'),
+        ('55150032710','Naloxone HCl','SOLUTION FOR INJECTION',0.4,'mg/mL'),
+        ('00409121525','Naloxone HCl','INJECTION, SOLUTION',0.4,'mg/mL'),
+        ('12345678901','Generic Nalox','SOLUTION',2.0,'mg/.1mL'),
+        ('012345678901','Wrapped Nalox','SPRAY SOLUTION',8.0,'oddunit')),
+      expansion AS (
+        SELECT DISTINCT p.ndc
+        FROM (SELECT DISTINCT ndc FROM pharm) p
+        JOIN ndclist l ON p.ndc LIKE '%' || l.ndc || '%'),
+      rx AS (
+        SELECT p.id_mcaid, p.chid AS claim_header_id, p.ndc AS code,
+          upper(c.pname) AS description, p.rx_fill_date AS event_date,
+          p.rx_quantity AS quantity,
+          CASE WHEN c.dform LIKE '%SPRAY%' OR p.ndc = '00093216519'
+            THEN 'SPRAY'
+            WHEN c.dform LIKE '%INJECTION%' OR p.ndc IN
+              ('55150034510','55150032710','00409121525')
+            THEN 'INJECTION' END AS form,
+          CAST(CASE WHEN p.ndc = '00093216519' THEN 40.0
+            WHEN p.ndc = '55150034510' THEN 1.0
+            WHEN p.ndc = '55150032710' THEN 0.4
+            ELSE c.strength / (CASE WHEN c.unit = 'mg/.1mL' THEN 0.1
+              WHEN c.unit = 'mg/mL' THEN 1.0 END) END AS DOUBLE)
+            AS dosage_per_ml,
+          'PHARMACY' AS location
+        FROM pharm p
+        LEFT JOIN ndccodes c ON p.ndc = c.ndc
+        JOIN expansion e ON p.ndc = e.ndc
+        WHERE year(p.rx_fill_date) >= 1996 AND p.rx_quantity >= 1.0),
+      procs AS (
+        SELECT id_mcaid, chid,
+          CASE WHEN pk % 9 = 0 THEN 'G1028' WHEN pk % 9 = 1 THEN 'G2215'
+            WHEN pk % 9 = 2 THEN 'G2216' WHEN pk % 9 = 3 THEN 'J2310'
+            WHEN pk % 9 = 4 THEN 'J2311' WHEN pk % 9 = 5 THEN 'J2312'
+            WHEN pk % 9 = 6 THEN 'J3490'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          CASE WHEN sk % 3 = 0 THEN 'HG' WHEN sk % 3 = 1 THEN 'TG'
+            ELSE 'XX' END AS modifier_code,
+          d AS lsd
+        FROM li),
+      procdesc(procedure_code, pdesc) AS (VALUES
+        ('G1028','Naloxone nasal 8mg'),('G2215','Naloxone nasal 4mg'),
+        ('G2216','Naloxone injection'),('J2310','Injection naloxone'),
+        ('J2311','Injection naloxone 1mg'),
+        ('J2312','Injection naloxone 0.5mg'),('J3490','Unclassified drug')),
+      px AS (
+        SELECT p.id_mcaid, p.chid AS claim_header_id,
+          p.procedure_code AS code, upper(dsc.pdesc) AS description,
+          p.lsd AS event_date,
+          CAST(CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 2.0
+            WHEN p.procedure_code IN ('G2216','J2310','J2311','J3490',
+              'J2312') THEN 1.0 END AS DOUBLE) AS quantity,
+          CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 'SPRAY'
+            WHEN p.procedure_code IN ('G2216','J2310','J2311','J2312')
+            THEN 'INJECTION'
+            WHEN p.procedure_code = 'J3490' THEN 'UNKNOWN' END AS form,
+          CAST(CASE WHEN p.procedure_code = 'G1028' THEN 80.0
+            WHEN p.procedure_code = 'G2215' THEN 40.0 END AS DOUBLE)
+            AS dosage_per_ml,
+          'PROCEDURE' AS location
+        FROM procs p LEFT JOIN procdesc dsc USING (procedure_code)
+        WHERE year(p.lsd) >= 1996
+          AND (p.procedure_code IN ('G1028','G2215','G2216','J2310',
+            'J2311','J2312')
+          OR (p.procedure_code = 'J3490'
+            AND p.modifier_code IN ('HG','TG'))))
+      SELECT DISTINCT * FROM
+        (SELECT * FROM rx UNION ALL SELECT * FROM px)
+      ORDER BY id_mcaid, claim_header_id, code, location, event_date""",
   )
 }
