@@ -237,6 +237,7 @@ object SparkEntry {
     "q142_apcd_claim_header" -> (graft.queries.BuildQueries.q142ApcdClaimHeader _),
     "q143_apcd_injury" -> (graft.queries.BuildQueries.q143ApcdInjury _),
     "q144_naloxone" -> (graft.queries.BuildQueries.q144Naloxone _),
+    "q145_amr" -> (graft.queries.BuildQueries.q145Amr _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -5691,5 +5692,288 @@ object SparkEntry {
       SELECT DISTINCT * FROM
         (SELECT * FROM rx UNION ALL SELECT * FROM px)
       ORDER BY id_mcaid, claim_header_id, code, location, event_date""",
+
+    // q145: AMR measure — the reference's per-year loop re-expressed
+    // set-based over a windows CTE; five pharmacy buckets, dx_needed/
+    // dx_made rule, persistence self-join, exclusions, real-ratio amr.
+    "q145_amr" -> """
+      WITH wins(end_month, lo, ym, beg) AS (VALUES
+        (DATE '1996-12-31', DATE '1996-01-01', 199612, 199601),
+        (DATE '1997-12-31', DATE '1997-01-01', 199712, 199701)),
+      ids AS (SELECT DISTINCT c_custkey % 120 AS id FROM customer),
+      pop AS (
+        SELECT i.id AS id_mcaid, w.ym AS year_month, w.end_month,
+          CAST(i.id % 80 AS INT) AS end_month_age,
+          CAST(9 + i.id % 4 AS INT) AS fb,
+          CAST(i.id % 17 = 0 AS INT) AS dual, w.beg
+        FROM ids i CROSS JOIN wins w),
+      hdr AS (
+        SELECT o_custkey % 120 AS id_mcaid, o_orderkey AS chid,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderkey % 11 = 0 AS INT) AS ed_perform,
+          CAST(o_orderkey % 12 = 0 AS INT) AS inpatient
+        FROM orders),
+      li AS (
+        SELECT o_custkey % 120 AS id_mcaid, l_orderkey AS chid,
+          l_partkey AS pk, l_linenumber AS ln,
+          CAST(l_shipdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      dxt AS (
+        SELECT id_mcaid, chid,
+          CASE WHEN pk % 10 = 0 THEN 'J4540'
+            WHEN pk % 10 = 1 THEN '49390' WHEN pk % 10 = 2 THEN 'J440'
+            WHEN pk % 10 = 3 THEN '4912'
+            ELSE lpad(CAST(pk % 900 AS VARCHAR), 4, '0') END AS norm,
+          CASE WHEN pk % 10 = 1 OR pk % 10 = 3 THEN 9 ELSE 10 END AS ver,
+          lpad(CAST(ln AS VARCHAR), 2, '0') AS dxnum
+        FROM li),
+      prc AS (
+        SELECT id_mcaid, chid,
+          CASE WHEN pk % 6 = 0 THEN '99213' WHEN pk % 6 = 1 THEN '99214'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code
+        FROM li),
+      pharm AS (
+        SELECT id_mcaid,
+          CASE WHEN pk % 11 < 7
+            THEN '1000000000' || CAST(1 + pk % 11 AS VARCHAR)
+            ELSE '9' || lpad(CAST(pk AS VARCHAR), 10, '0') END AS ndc,
+          d AS rx_fill_date, CAST(1 + pk % 60 AS INT) AS rx_days_supply,
+          CAST(1 + pk % 20 AS DOUBLE) AS rx_quantity
+        FROM li),
+      vs(vsname, code, code_system) AS (VALUES
+        ('Asthma','J4540','ICD10CM'), ('Asthma','49390','ICD9CM'),
+        ('COPD','J440','ICD10CM'),
+        ('Obstructive Chronic Bronchitis','4912','ICD9CM'),
+        ('Outpatient','99213','CPT'), ('Outpatient','99214','CPT')),
+      vsd AS (SELECT vsname, code,
+        CASE WHEN substr(code_system,4,1) = '9' THEN 9 ELSE 10 END AS dx_ver
+        FROM vs),
+      meds(list, code, generic, route, drug_class, package_size) AS (VALUES
+        ('Asthma Controller Medications','10000000001','montelukast',
+          'oral','Leukotriene modifiers',NULL),
+        ('Asthma Controller Medications','10000000002','theophylline',
+          'oral','Methylxanthines',NULL),
+        ('Asthma Controller Medications','10000000003','fluticasone',
+          'inhalation','Inhaled corticosteroids',NULL),
+        ('Asthma Controller Medications','10000000004','omalizumab',
+          'subcutaneous','Antibody inhibitor',5.0),
+        ('Asthma Controller Medications','10000000005','reslizumab',
+          'intravenous','Interleukin antagonist',10.0),
+        ('Asthma Reliever Medications','10000000006','albuterol',
+          'inhalation','SABA',NULL),
+        ('Asthma Reliever Medications','10000000007','levalbuterol',
+          'inhalation','SABA',NULL)),
+      adx AS (
+        SELECT h.id_mcaid, h.chid, h.fsd, d.dxnum
+        FROM hdr h JOIN dxt d ON h.id_mcaid = d.id_mcaid
+          AND h.chid = d.chid
+        JOIN vsd c ON d.norm = c.code AND d.ver = c.dx_ver
+          AND c.vsname = 'Asthma'),
+      edinpat AS (
+        SELECT w.end_month, h.id_mcaid, SUM(h.ed_perform) AS ed_cnt,
+          SUM(h.inpatient) AS inpat_cnt
+        FROM wins w JOIN hdr h ON h.fsd BETWEEN w.lo AND w.end_month
+        JOIN (SELECT id_mcaid, chid FROM adx WHERE dxnum = '01') b
+          ON h.id_mcaid = b.id_mcaid AND h.chid = b.chid
+        WHERE h.ed_perform = 1 OR h.inpatient = 1
+        GROUP BY w.end_month, h.id_mcaid),
+      outpat AS (
+        SELECT w.end_month, h.id_mcaid,
+          COUNT(DISTINCT h.fsd) AS outpat_cnt
+        FROM wins w JOIN hdr h ON h.fsd BETWEEN w.lo AND w.end_month
+        JOIN (SELECT id_mcaid, chid FROM adx) b
+          ON h.id_mcaid = b.id_mcaid AND h.chid = b.chid
+        JOIN prc p ON h.id_mcaid = p.id_mcaid AND h.chid = p.chid
+        JOIN (SELECT code FROM vs WHERE vsname = 'Outpatient') o
+          ON p.procedure_code = o.code
+        GROUP BY w.end_month, h.id_mcaid),
+      fills AS (
+        SELECT ph.id_mcaid, ph.ndc, ph.rx_fill_date, ph.rx_days_supply,
+          ph.rx_quantity, m.list, m.generic, m.route, m.drug_class,
+          m.package_size
+        FROM pharm ph JOIN meds m ON ph.ndc = m.code),
+      oral_lk AS (
+        SELECT end_month, id_mcaid, rx_fill_date,
+          SUM(ev) AS events_oral_lk
+        FROM (
+          SELECT w.end_month, f.id_mcaid, f.rx_fill_date, f.generic,
+            CASE WHEN SUM(f.rx_days_supply) <= 30 THEN 1
+              ELSE CAST(floor(SUM(f.rx_days_supply)/30.0) AS INT) END AS ev
+          FROM wins w JOIN fills f
+            ON f.rx_fill_date BETWEEN w.lo AND w.end_month
+          WHERE f.route = 'oral'
+            AND f.drug_class = 'Leukotriene modifiers'
+          GROUP BY w.end_month, f.id_mcaid, f.rx_fill_date, f.generic)
+        GROUP BY end_month, id_mcaid, rx_fill_date),
+      oral_non_lk AS (
+        SELECT end_month, id_mcaid, rx_fill_date,
+          SUM(ev) AS events_oral_non_lk
+        FROM (
+          SELECT w.end_month, f.id_mcaid, f.rx_fill_date, f.generic,
+            CASE WHEN SUM(f.rx_days_supply) <= 30 THEN 1
+              ELSE CAST(floor(SUM(f.rx_days_supply)/30.0) AS INT) END AS ev
+          FROM wins w JOIN fills f
+            ON f.rx_fill_date BETWEEN w.lo AND w.end_month
+          WHERE f.route = 'oral'
+            AND f.drug_class <> 'Leukotriene modifiers'
+          GROUP BY w.end_month, f.id_mcaid, f.rx_fill_date, f.generic)
+        GROUP BY end_month, id_mcaid, rx_fill_date),
+      inhaler AS (
+        SELECT w.end_month, f.id_mcaid, f.rx_fill_date,
+          COUNT(DISTINCT f.generic) AS events_inhaler
+        FROM wins w JOIN fills f
+          ON f.rx_fill_date BETWEEN w.lo AND w.end_month
+        WHERE f.route = 'inhalation'
+        GROUP BY w.end_month, f.id_mcaid, f.rx_fill_date),
+      inj_antib AS (
+        SELECT w.end_month, f.id_mcaid, f.rx_fill_date,
+          COUNT(DISTINCT f.ndc) AS events_inject_antib
+        FROM wins w JOIN fills f
+          ON f.rx_fill_date BETWEEN w.lo AND w.end_month
+        WHERE f.route IN ('intravenous','subcutaneous')
+          AND f.drug_class = 'Antibody inhibitor'
+        GROUP BY w.end_month, f.id_mcaid, f.rx_fill_date),
+      inj_non_antib AS (
+        SELECT w.end_month, f.id_mcaid, f.rx_fill_date,
+          COUNT(DISTINCT f.ndc) AS events_inject_non_antib
+        FROM wins w JOIN fills f
+          ON f.rx_fill_date BETWEEN w.lo AND w.end_month
+        WHERE f.route IN ('intravenous','subcutaneous')
+          AND f.drug_class <> 'Antibody inhibitor'
+        GROUP BY w.end_month, f.id_mcaid, f.rx_fill_date),
+      rxrows AS (
+        SELECT end_month, id_mcaid, rx_fill_date,
+          coalesce(events_oral_lk, 0) + coalesce(events_oral_non_lk, 0)
+            + coalesce(events_inhaler, 0)
+            + coalesce(events_inject_antib, 0)
+            + coalesce(events_inject_non_antib, 0) AS events_rx,
+          coalesce(events_oral_lk, 0)
+            + coalesce(events_inject_antib, 0) AS dx_needed_cnt
+        FROM oral_lk
+        FULL JOIN oral_non_lk USING (end_month, id_mcaid, rx_fill_date)
+        FULL JOIN inhaler USING (end_month, id_mcaid, rx_fill_date)
+        FULL JOIN inj_antib USING (end_month, id_mcaid, rx_fill_date)
+        FULL JOIN inj_non_antib USING (end_month, id_mcaid, rx_fill_date)),
+      dxmade AS (
+        SELECT DISTINCT w.end_month, a.id_mcaid, 1 AS dx_made
+        FROM wins w JOIN adx a ON a.fsd BETWEEN w.lo AND w.end_month),
+      rxevent AS (
+        SELECT r.end_month, r.id_mcaid, r.events_rx, r.dx_needed,
+          coalesce(m.dx_made, 0) AS dx_made
+        FROM (
+          SELECT end_month, id_mcaid, SUM(events_rx) AS events_rx,
+            CASE WHEN SUM(events_rx) = SUM(dx_needed_cnt) THEN 1 ELSE 0
+              END AS dx_needed
+          FROM rxrows GROUP BY end_month, id_mcaid) r
+        LEFT JOIN dxmade m
+          ON r.end_month = m.end_month AND r.id_mcaid = m.id_mcaid),
+      popf AS (
+        SELECT id_mcaid, end_month, year_month, end_month_age, beg,
+          1 AS enroll_flag
+        FROM pop WHERE fb >= 11 AND dual = 0 AND end_month_age >= 5
+          AND end_month_age < 65),
+      anyt AS (
+        SELECT *,
+          CASE end_month WHEN DATE '1997-12-31' THEN DATE '1996-12-31'
+            ELSE DATE '1995-12-31' END AS past_year
+        FROM (
+          SELECT end_month, id_mcaid,
+            max(year_month) AS year_month,
+            max(end_month_age) AS end_month_age,
+            max(beg) AS beg,
+            coalesce(max(enroll_flag), 0) AS enroll_flag,
+            CASE WHEN coalesce(max(ed_cnt), 0) > 0 THEN 1 ELSE 0 END
+              AS ed_flag,
+            CASE WHEN coalesce(max(inpat_cnt), 0) > 0 THEN 1 ELSE 0 END
+              AS inpat_flag,
+            CASE WHEN coalesce(max(outpat_cnt), 0) > 0
+              AND coalesce(max(events_rx), 0) > 2 THEN 1 ELSE 0 END
+              AS outpat_flag,
+            CASE WHEN coalesce(max(events_rx), 0) >= 4
+              AND (coalesce(max(dx_needed), 0) = 0
+                OR coalesce(max(dx_made), 0) = 1) THEN 1 ELSE 0 END
+              AS rx_flag,
+            CASE WHEN coalesce(max(events_rx), 0) > 0 THEN 1 ELSE 0 END
+              AS rx_any
+          FROM popf
+          FULL JOIN edinpat USING (end_month, id_mcaid)
+          FULL JOIN outpat USING (end_month, id_mcaid)
+          FULL JOIN rxevent USING (end_month, id_mcaid)
+          GROUP BY end_month, id_mcaid)
+        WHERE ed_flag = 1 OR inpat_flag = 1 OR outpat_flag = 1
+          OR rx_flag = 1),
+      pers AS (
+        SELECT a.*, CASE WHEN b.id_mcaid IS NOT NULL THEN 1 ELSE 0 END
+          AS persistent
+        FROM anyt a LEFT JOIN
+          (SELECT DISTINCT id_mcaid, end_month FROM anyt) b
+          ON a.id_mcaid = b.id_mcaid AND a.past_year = b.end_month),
+      excl AS (
+        SELECT DISTINCT w.end_month, h.id_mcaid, 1 AS dx_exclude
+        FROM wins w JOIN hdr h ON h.fsd <= w.end_month
+        JOIN dxt d ON h.id_mcaid = d.id_mcaid AND h.chid = d.chid
+        JOIN vsd c ON d.norm = c.code AND d.ver = c.dx_ver
+          AND c.vsname IN ('Emphysema','Other Emphysema','COPD',
+            'Obstructive Chronic Bronchitis',
+            'Chronic Respiratory Conditions Due To Fumes/Vapors',
+            'Cystic Fibrosis','Acute Respiratory Failure')),
+      medunits AS (
+        SELECT f.id_mcaid, f.list, f.rx_fill_date, f.route, f.generic,
+          f.rx_quantity, f.package_size,
+          SUM(f.rx_days_supply) AS supply
+        FROM fills f
+        GROUP BY f.id_mcaid, f.list, f.rx_fill_date, f.route, f.generic,
+          f.rx_quantity, f.package_size),
+      mu AS (
+        SELECT *, CASE WHEN route = 'oral' AND supply <= 30 THEN 1.0
+          WHEN route = 'oral' THEN CAST(ceil(supply/30.0) AS DOUBLE)
+          WHEN route IN ('intravenous','subcutaneous')
+          THEN CAST(ceil(rx_quantity/package_size) AS DOUBLE)
+          WHEN route = 'inhalation' THEN 1.0 END AS med_units
+        FROM medunits),
+      amrt AS (
+        SELECT end_month, id_mcaid,
+          coalesce(max(meds_control), 0) AS meds_control,
+          coalesce(max(meds_relief), 0) AS meds_relief
+        FROM (
+          SELECT w.end_month, m.id_mcaid, SUM(m.med_units) AS meds_control
+          FROM wins w JOIN mu m
+            ON m.rx_fill_date BETWEEN w.lo AND w.end_month
+          WHERE m.list = 'Asthma Controller Medications'
+          GROUP BY w.end_month, m.id_mcaid) a
+        FULL JOIN (
+          SELECT w.end_month, m.id_mcaid, SUM(m.med_units) AS meds_relief
+          FROM wins w JOIN mu m
+            ON m.rx_fill_date BETWEEN w.lo AND w.end_month
+          WHERE m.list = 'Asthma Reliever Medications'
+          GROUP BY w.end_month, m.id_mcaid) b
+        USING (end_month, id_mcaid)
+        GROUP BY end_month, id_mcaid),
+      amrv AS (
+        SELECT end_month, id_mcaid,
+          CASE WHEN meds_control + meds_relief > 0
+            THEN round(meds_control / (meds_control + meds_relief), 4)
+            ELSE 0.0 END AS amr
+        FROM amrt),
+      agegrp AS (
+        SELECT DISTINCT CAST(id % 80 AS INT) AS age,
+          CAST(CAST(floor((id % 80)/10.0)*10 AS INT) AS VARCHAR) || '-' ||
+          CAST(CAST(floor((id % 80)/10.0)*10 + 9 AS INT) AS VARCHAR)
+            AS age_grp_10
+        FROM ids)
+      SELECT d.beg AS beg_year_month, d.year_month AS end_year_month,
+        d.id_mcaid, d.end_month, d.end_month_age, g.age_grp_10 AS age_grp,
+        19 AS measure_id, 1 AS denominator, a.amr,
+        CAST(a.amr >= 0.5 AS INT) AS numerator
+      FROM pers d
+      LEFT JOIN excl e ON d.id_mcaid = e.id_mcaid
+        AND d.end_month = e.end_month
+      LEFT JOIN amrv a ON d.id_mcaid = a.id_mcaid
+        AND d.end_month = a.end_month
+      LEFT JOIN agegrp g ON d.end_month_age = g.age
+      WHERE d.enroll_flag = 1 AND d.rx_any = 1 AND d.persistent = 1
+        AND coalesce(e.dx_exclude, 0) = 0
+      ORDER BY d.id_mcaid, d.end_month""",
   )
 }

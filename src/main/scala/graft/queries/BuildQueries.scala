@@ -1932,6 +1932,90 @@ object BuildQueries {
         col("location"), col("event_date"))
   }
 
+  /** §2.9 AMR asthma-medication-ratio measure (q145,
+    * load_stage.mcaid_perf_measure_amr.R): two measurement years so the
+    * persistent-asthma prior-year self-join genuinely fires; all five
+    * pharmacy event buckets, the dx_needed/dx_made rule, respiratory
+    * exclusions, and the controller/(controller+reliever) ratio with
+    * its >= 0.5 numerator cut. */
+  def q145Amr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "customer")
+      .select((col("c_custkey") % 120).as("id_mcaid")).distinct()
+    def popFor(em: String, ym: Int, beg: Int) = ids.select(col("id_mcaid"),
+      lit(ym).as("year_month"), to_date(lit(em)).as("end_month"),
+      (col("id_mcaid") % 80).cast("int").as("end_month_age"),
+      (lit(9) + col("id_mcaid") % 4).cast("int").as("full_benefit_t_12_m"),
+      (col("id_mcaid") % 17 === 0).cast("int").as("dual_t_12_m"),
+      lit(beg).as("beg_measure_year_month"))
+    val pop = popFor("1996-12-31", 199612, 199601)
+      .unionByName(popFor("1997-12-31", 199712, 199701))
+    val ok = col("o_orderkey")
+    val header = t(s, dir, "orders").select(
+      (col("o_custkey") % 120).as("id_mcaid"),
+      ok.as("claim_header_id"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      (ok % 11 === 0).cast("int").as("ed_perform"),
+      (ok % 12 === 0).cast("int").as("inpatient"))
+    val li = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 120).as("id_mcaid")),
+        col("l_orderkey") === col("o_orderkey"))
+    val pk = col("l_partkey")
+    val dx = li.select(col("id_mcaid"),
+      col("l_orderkey").as("claim_header_id"),
+      when(pk % 10 === 0, "J4540").when(pk % 10 === 1, "49390")
+        .when(pk % 10 === 2, "J440").when(pk % 10 === 3, "4912")
+        .otherwise(lpad((pk % 900).cast("string"), 4, "0")).as("icdcm_norm"),
+      when(pk % 10 === 1 || pk % 10 === 3, 9).otherwise(10)
+        .as("icdcm_version"),
+      lpad(col("l_linenumber").cast("string"), 2, "0").as("icdcm_number"))
+    val proc = li.select(col("id_mcaid"),
+      col("l_orderkey").as("claim_header_id"),
+      when(pk % 6 === 0, "99213").when(pk % 6 === 1, "99214")
+        .otherwise(lpad((pk % 88888).cast("string"), 5, "0"))
+        .as("procedure_code"))
+    val pharm = li.select(col("id_mcaid"),
+      when(pk % 11 < 7,
+          concat(lit("1000000000"), (lit(1) + pk % 11).cast("string")))
+        .otherwise(concat(lit("9"), lpad(pk.cast("string"), 10, "0")))
+        .as("ndc"),
+      to_date(col("l_shipdate")).as("rx_fill_date"),
+      (lit(1) + pk % 60).cast("int").as("rx_days_supply"),
+      (lit(1) + pk % 20).cast("double").as("rx_quantity"))
+    val valueSets = Seq(
+      ("Asthma", "J4540", "ICD10CM"), ("Asthma", "49390", "ICD9CM"),
+      ("COPD", "J440", "ICD10CM"),
+      ("Obstructive Chronic Bronchitis", "4912", "ICD9CM"),
+      ("Outpatient", "99213", "CPT"), ("Outpatient", "99214", "CPT"))
+      .toDF("value_set_name", "code", "code_system")
+    val medLists = Seq(
+      ("Asthma Controller Medications", "10000000001", "NDC",
+        "montelukast", "oral", "Leukotriene modifiers", None),
+      ("Asthma Controller Medications", "10000000002", "NDC",
+        "theophylline", "oral", "Methylxanthines", None),
+      ("Asthma Controller Medications", "10000000003", "NDC",
+        "fluticasone", "inhalation", "Inhaled corticosteroids", None),
+      ("Asthma Controller Medications", "10000000004", "NDC",
+        "omalizumab", "subcutaneous", "Antibody inhibitor", Some(5.0)),
+      ("Asthma Controller Medications", "10000000005", "NDC",
+        "reslizumab", "intravenous", "Interleukin antagonist", Some(10.0)),
+      ("Asthma Reliever Medications", "10000000006", "NDC",
+        "albuterol", "inhalation", "SABA", None),
+      ("Asthma Reliever Medications", "10000000007", "NDC",
+        "levalbuterol", "inhalation", "SABA", None))
+      .toDF("medication_list_name", "code", "code_system",
+        "generic_product_name", "route", "drug_class", "package_size")
+    val ageGrp = pop.select(col("end_month_age").as("age")).distinct()
+      .withColumn("age_grp_10", concat(
+        (floor(col("age") / 10) * 10).cast("int").cast("string"), lit("-"),
+        (floor(col("age") / 10) * 10 + 9).cast("int").cast("string")))
+    graft.builds.AmrMeasure.build(pop, header, dx, proc, pharm,
+        valueSets, medLists, ageGrp,
+        endMonths = Seq("1996-12-31", "1997-12-31"))
+      .orderBy(col("id_mcaid"), col("end_month"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
