@@ -238,6 +238,8 @@ object SparkEntry {
     "q143_apcd_injury" -> (graft.queries.BuildQueries.q143ApcdInjury _),
     "q144_naloxone" -> (graft.queries.BuildQueries.q144Naloxone _),
     "q145_amr" -> (graft.queries.BuildQueries.q145Amr _),
+    "q146_address_clean" -> (graft.queries.BuildQueries.q146AddressClean _),
+    "q147_address_geocode" -> (graft.queries.BuildQueries.q147AddressGeocode _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -5975,5 +5977,192 @@ object SparkEntry {
       WHERE d.enroll_flag = 1 AND d.rx_any = 1 AND d.persistent = 1
         AND coalesce(e.dx_exclude, 0) = 0
       ORDER BY d.id_mcaid, d.end_month""",
+
+    // q146: address clean stage — hash anti-join new-address detection,
+    // deterministic stand-in cleaner, '#'/PO-box folding, NULL-safe
+    // manual overrides, SHA-256 identity hashes.
+    "q146_address_clean" -> """
+      WITH ks AS (SELECT DISTINCT c_custkey % 300 AS k FROM customer),
+      raw0 AS (
+        SELECT k,
+          CASE WHEN k % 11 = 0 THEN '#' || CAST(100 + k % 90 AS VARCHAR)
+            WHEN k % 7 = 0 THEN 'P O BOX  ' || CAST(k % 500 AS VARCHAR)
+            ELSE CAST(k % 900 AS VARCHAR) || '  MAIN ST'
+            END AS geo_add1_raw,
+          CASE WHEN k % 5 = 0 THEN 'APT ' || CAST(k % 20 AS VARCHAR)
+            END AS geo_add2_raw,
+          'city' || CAST(k % 40 AS VARCHAR) AS geo_city_raw,
+          CASE WHEN k % 3 = 0 THEN 'wa' ELSE 'OR' END AS geo_state_raw,
+          lpad(CAST(k % 999 AS VARCHAR), 5, '0') AS geo_zip_raw
+        FROM ks),
+      stage AS (
+        SELECT *, upper(sha256(
+          coalesce(geo_add1_raw, '') || '|' || coalesce(geo_add2_raw, '')
+          || '|' || '' || '|' || geo_city_raw || '|' || geo_state_raw
+          || '|' || geo_zip_raw)) AS geo_hash_raw
+        FROM raw0),
+      fresh AS (
+        SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_city_raw,
+          geo_state_raw, geo_zip_raw, geo_hash_raw
+        FROM stage
+        WHERE geo_hash_raw NOT IN
+          (SELECT geo_hash_raw FROM stage WHERE k % 4 = 0)),
+      cleaned0 AS (
+        SELECT *,
+          CASE WHEN po <> '' THEN NULL ELSE a1 END AS add1,
+          CASE WHEN po <> '' THEN 'PO BOX ' || po END AS po_box
+        FROM (
+          SELECT f.*,
+            nullif(regexp_replace(trim(upper(geo_add1_raw)), ' +', ' ', 'g'),
+              '') AS a1,
+            regexp_extract(
+              nullif(regexp_replace(trim(upper(geo_add1_raw)), ' +', ' ',
+                'g'), ''), '^P\.? ?O\.? BOX ([0-9]+)$', 1) AS po,
+            nullif(regexp_replace(trim(upper(geo_add2_raw)), ' +', ' ', 'g'),
+              '') AS add2_0,
+            nullif(regexp_replace(trim(upper(geo_city_raw)), ' +', ' ', 'g'),
+              '') AS city,
+            nullif(regexp_replace(trim(upper(geo_state_raw)), ' +', ' ',
+              'g'), '') AS state,
+            nullif(regexp_replace(trim(upper(geo_zip_raw)), ' +', ' ', 'g'),
+              '') AS zip
+          FROM fresh f)),
+      norm1 AS (
+        SELECT *, CASE WHEN add2_0 IS NULL AND geo_add1_raw LIKE '#%'
+          THEN geo_add1_raw ELSE add2_0 END AS add2_1
+        FROM cleaned0),
+      norm2 AS (
+        SELECT *, CASE WHEN add1 IS NULL AND po_box IS NOT NULL
+          THEN po_box ELSE add1 END AS add1_2
+        FROM norm1),
+      normed AS (
+        SELECT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
+          geo_zip_raw, add1_2 AS geo_add1_clean,
+          CASE WHEN add1_2 = po_box THEN add2_1
+            WHEN add2_1 IS NULL AND po_box IS NOT NULL
+              AND add1_2 IS NOT NULL THEN po_box
+            WHEN add2_1 IS NOT NULL AND po_box IS NOT NULL
+              AND add1_2 IS NOT NULL THEN add2_1 || ' ' || po_box
+            ELSE add2_1 END AS geo_add2_clean,
+          city AS geo_city_clean, state AS geo_state_clean,
+          zip AS geo_zip_clean
+        FROM norm2),
+      manual AS (
+        SELECT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
+          geo_zip_raw, 'FIXED ' || CAST(k AS VARCHAR) AS geo_add1_clean,
+          CAST(NULL AS VARCHAR) AS geo_add2_clean,
+          'FIXEDCITY' AS geo_city_clean, 'WA' AS geo_state_clean,
+          geo_zip_raw AS geo_zip_clean
+        FROM raw0 WHERE k % 13 = 1),
+      overridden AS (
+        SELECT n.* FROM normed n
+        WHERE NOT EXISTS (SELECT 1 FROM manual m
+          WHERE n.geo_add1_raw IS NOT DISTINCT FROM m.geo_add1_raw
+            AND n.geo_add2_raw IS NOT DISTINCT FROM m.geo_add2_raw
+            AND n.geo_city_raw IS NOT DISTINCT FROM m.geo_city_raw
+            AND n.geo_state_raw IS NOT DISTINCT FROM m.geo_state_raw
+            AND n.geo_zip_raw IS NOT DISTINCT FROM m.geo_zip_raw)
+        UNION ALL
+        SELECT m.* FROM manual m
+        WHERE EXISTS (SELECT 1 FROM normed n
+          WHERE n.geo_add1_raw IS NOT DISTINCT FROM m.geo_add1_raw
+            AND n.geo_add2_raw IS NOT DISTINCT FROM m.geo_add2_raw
+            AND n.geo_city_raw IS NOT DISTINCT FROM m.geo_city_raw
+            AND n.geo_state_raw IS NOT DISTINCT FROM m.geo_state_raw
+            AND n.geo_zip_raw IS NOT DISTINCT FROM m.geo_zip_raw))
+      SELECT geo_add1_raw, geo_add2_raw, CAST(NULL AS VARCHAR)
+          AS geo_add3_raw,
+        geo_city_raw, geo_state_raw, geo_zip_raw,
+        upper(sha256(coalesce(geo_add1_raw, '') || '|'
+          || coalesce(geo_add2_raw, '') || '|' || '' || '|'
+          || coalesce(geo_city_raw, '') || '|'
+          || coalesce(geo_state_raw, '') || '|'
+          || coalesce(geo_zip_raw, ''))) AS geo_hash_raw,
+        geo_add1_clean, geo_add2_clean, geo_city_clean, geo_state_clean,
+        geo_zip_clean,
+        upper(sha256(coalesce(geo_add1_clean, '') || '|'
+          || coalesce(geo_add2_clean, '') || '|'
+          || coalesce(geo_city_clean, '') || '|'
+          || coalesce(geo_state_clean, '') || '|'
+          || coalesce(geo_zip_clean, ''))) AS geo_hash_clean,
+        upper(sha256(coalesce(geo_add1_clean, '') || '|'
+          || coalesce(geo_city_clean, '') || '|'
+          || coalesce(geo_state_clean, '') || '|'
+          || coalesce(geo_zip_clean, ''))) AS geo_hash_geocode,
+        0 AS geo_geocode_skip
+      FROM overridden
+      ORDER BY geo_hash_raw""",
+
+    // q147: geocode attach — ESRI-first / HERE-fallback selection,
+    // centroid flags, regex ZIP harvest (leading-space artifact kept on
+    // the HERE side), coordinate pick by source.
+    "q147_address_geocode" -> """
+      WITH ks AS (SELECT DISTINCT c_custkey % 250 AS k FROM customer),
+      addr AS (
+        SELECT k, CAST(k AS VARCHAR) || ' MAIN STREET' AS geo_add1_clean,
+          'CITY' || CAST(k % 40 AS VARCHAR) AS geo_city_clean,
+          CASE WHEN k % 3 = 0 THEN 'WA' ELSE 'OR' END AS geo_state_clean,
+          lpad(CAST(k % 999 AS VARCHAR), 5, '0') AS geo_zip_clean
+        FROM ks),
+      esri AS (
+        SELECT a.*,
+          CASE WHEN k % 5 = 0 THEN 'zip_5_digit_gc'
+            WHEN k % 5 = 1 THEN NULL ELSE 'street_gc' END AS loc_name,
+          CASE WHEN k % 7 = 0 THEN 'U' ELSE 'M' END AS status,
+          CASE WHEN k % 9 = 0 THEN geo_add1_clean || ', ' || geo_city_clean
+              || ', ' || geo_state_clean || ', USA'
+            ELSE geo_add1_clean || ', ' || geo_city_clean || ', '
+              || geo_state_clean || ' ' || geo_zip_clean
+            END AS match_addr,
+          round(-122.0 - (k % 500) / 1000.0, 4) AS esri_lon,
+          round(47.0 + (k % 500) / 1000.0, 4) AS esri_lat
+        FROM addr a),
+      here AS (
+        SELECT geo_add1_clean, geo_city_clean, geo_state_clean,
+          geo_zip_clean,
+          CASE WHEN k % 4 = 0 THEN 'houseNumber'
+            WHEN k % 4 = 1 THEN 'street' WHEN k % 4 = 2 THEN 'postalCode'
+            ELSE 'district' END AS address_type,
+          geo_add1_clean || ', ' || geo_city_clean || ', '
+            || geo_zip_clean || ', USA' AS formatted_address,
+          round(-121.0 - (k % 500) / 1000.0, 4) AS here_lon,
+          round(46.0 + (k % 500) / 1000.0, 4) AS here_lat
+        FROM esri
+        WHERE (status = 'U' OR loc_name = 'zip_5_digit_gc'
+          OR loc_name IS NULL) AND k % 10 < 6),
+      joined AS (
+        SELECT e.*, h.address_type, h.formatted_address, h.here_lon,
+          h.here_lat,
+          CASE WHEN h.geo_add1_clean IS NOT NULL THEN 1 ELSE 0 END
+            AS geo_check_here,
+          CASE WHEN h.here_lat IS NOT NULL AND (h.address_type =
+            'houseNumber' OR e.loc_name IS NULL) THEN 'here' ELSE 'esri'
+            END AS src
+        FROM esri e LEFT JOIN here h
+          ON e.geo_add1_clean = h.geo_add1_clean
+          AND e.geo_city_clean = h.geo_city_clean
+          AND e.geo_state_clean = h.geo_state_clean
+          AND e.geo_zip_clean = h.geo_zip_clean)
+      SELECT geo_add1_clean, geo_city_clean, geo_state_clean,
+        geo_zip_clean, 1 AS geo_check_esri, geo_check_here,
+        src AS geo_geocode_source,
+        CASE WHEN (src = 'esri' AND loc_name = 'zip_5_digit_gc')
+          OR (src = 'here' AND address_type IN ('postalCode','district'))
+          THEN 1 ELSE 0 END AS geo_zip_centroid,
+        CASE WHEN src = 'here' AND address_type = 'street' THEN 1 ELSE 0
+          END AS geo_street_centroid,
+        CASE WHEN src = 'esri' THEN upper(match_addr)
+          ELSE upper(formatted_address) END AS geo_add_geocoded,
+        CASE WHEN src = 'esri'
+          THEN nullif(regexp_extract(match_addr, '[0-9]{5}$', 0), '')
+          ELSE nullif(' ' || regexp_extract(formatted_address,
+            ' ([0-9]{5}),', 1), ' ') END AS geo_zip_geocoded,
+        CASE WHEN src = 'esri' THEN loc_name ELSE address_type END
+          AS geo_add_type,
+        CASE WHEN src = 'esri' THEN esri_lon ELSE here_lon END AS geo_lon,
+        CASE WHEN src = 'esri' THEN esri_lat ELSE here_lat END AS geo_lat
+      FROM joined
+      ORDER BY geo_add1_clean, geo_city_clean, geo_state_clean,
+        geo_zip_clean""",
   )
 }

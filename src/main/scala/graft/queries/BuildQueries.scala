@@ -2016,6 +2016,87 @@ object BuildQueries {
       .orderBy(col("id_mcaid"), col("end_month"))
   }
 
+  /** §7.5.8 address clean stage (q146,
+    * load_stage.address_clean_partial.R): hash anti-join new-address
+    * detection, deterministic stand-in cleaner, '#'/PO-box folding
+    * rules, NULL-safe manual overrides, SHA-256 identity hashes. */
+  def q146AddressClean(s: SparkSession, dir: String): DataFrame = {
+    val k = col("k")
+    val base = t(s, dir, "customer")
+      .select((col("c_custkey") % 300).as("k")).distinct()
+    val raw = base.select(k,
+      when(k % 11 === 0, concat(lit("#"), (lit(100) + k % 90).cast("string")))
+        .when(k % 7 === 0, concat(lit("P O BOX  "), (k % 500).cast("string")))
+        .otherwise(concat((k % 900).cast("string"), lit("  MAIN ST")))
+        .as("geo_add1_raw"),
+      when(k % 5 === 0, concat(lit("APT "), (k % 20).cast("string")))
+        .as("geo_add2_raw"),
+      concat(lit("city"), (k % 40).cast("string")).as("geo_city_raw"),
+      when(k % 3 === 0, "wa").otherwise("OR").as("geo_state_raw"),
+      lpad((k % 999).cast("string"), 5, "0").as("geo_zip_raw"))
+    val stage = raw.withColumn("geo_hash_raw",
+      upper(sha2(concat_ws("|",
+        coalesce(col("geo_add1_raw"), lit("")),
+        coalesce(col("geo_add2_raw"), lit("")), lit(""),
+        col("geo_city_raw"), col("geo_state_raw"), col("geo_zip_raw")), 256)))
+    val ref = stage.filter(k % 4 === 0).select(col("geo_hash_raw"))
+    val manual = raw.filter(k % 13 === 1).select(
+      col("geo_add1_raw"), col("geo_add2_raw"), col("geo_city_raw"),
+      col("geo_state_raw"), col("geo_zip_raw"),
+      concat(lit("FIXED "), k.cast("string")).as("geo_add1_clean"),
+      lit(null).cast("string").as("geo_add2_clean"),
+      lit("FIXEDCITY").as("geo_city_clean"),
+      lit("WA").as("geo_state_clean"),
+      col("geo_zip_raw").as("geo_zip_clean"))
+    graft.builds.AddressClean.build(stage.drop("k"), ref, manual)
+      .orderBy(col("geo_hash_raw"))
+  }
+
+  /** §7.5.8 geocode attach (q147, load_stage.address_geocode.R):
+    * ESRI-first / HERE-fallback source selection, centroid flags,
+    * regex ZIP harvest (with the reference's leading-space artifact on
+    * the HERE side), coordinate pick. */
+  def q147AddressGeocode(s: SparkSession, dir: String): DataFrame = {
+    val k = col("k")
+    val base = t(s, dir, "customer")
+      .select((col("c_custkey") % 250).as("k")).distinct()
+    val addr = base.select(k,
+      concat(k.cast("string"), lit(" MAIN STREET")).as("geo_add1_clean"),
+      concat(lit("CITY"), (k % 40).cast("string")).as("geo_city_clean"),
+      when(k % 3 === 0, "WA").otherwise("OR").as("geo_state_clean"),
+      lpad((k % 999).cast("string"), 5, "0").as("geo_zip_clean"))
+    val esri = addr.select(k, col("geo_add1_clean"), col("geo_city_clean"),
+      col("geo_state_clean"), col("geo_zip_clean"),
+      when(k % 5 === 0, "zip_5_digit_gc")
+        .when(k % 5 === 1, lit(null).cast("string"))
+        .otherwise("street_gc").as("loc_name"),
+      when(k % 7 === 0, "U").otherwise("M").as("status"),
+      when(k % 9 === 0, concat(col("geo_add1_clean"), lit(", "),
+          col("geo_city_clean"), lit(", "), col("geo_state_clean"),
+          lit(", USA")))
+        .otherwise(concat(col("geo_add1_clean"), lit(", "),
+          col("geo_city_clean"), lit(", "), col("geo_state_clean"),
+          lit(" "), col("geo_zip_clean"))).as("match_addr"),
+      round(lit(-122.0) - (k % 500) / 1000.0, 4).as("esri_lon"),
+      round(lit(47.0) + (k % 500) / 1000.0, 4).as("esri_lat"))
+    val here = esri
+      .filter((col("status") === "U" || col("loc_name") === "zip_5_digit_gc"
+        || col("loc_name").isNull) && k % 10 < 6)
+      .select(col("geo_add1_clean"), col("geo_city_clean"),
+        col("geo_state_clean"), col("geo_zip_clean"),
+        when(k % 4 === 0, "houseNumber").when(k % 4 === 1, "street")
+          .when(k % 4 === 2, "postalCode").otherwise("district")
+          .as("address_type"),
+        concat(col("geo_add1_clean"), lit(", "), col("geo_city_clean"),
+          lit(", "), col("geo_zip_clean"), lit(", USA"))
+          .as("formatted_address"),
+        round(lit(-121.0) - (k % 500) / 1000.0, 4).as("here_lon"),
+        round(lit(46.0) + (k % 500) / 1000.0, 4).as("here_lat"))
+    graft.builds.AddressClean.geocodeAttach(esri.drop("k"), here)
+      .orderBy(col("geo_add1_clean"), col("geo_city_clean"),
+        col("geo_state_clean"), col("geo_zip_clean"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
