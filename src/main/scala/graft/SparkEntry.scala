@@ -240,6 +240,7 @@ object SparkEntry {
     "q145_amr" -> (graft.queries.BuildQueries.q145Amr _),
     "q146_address_clean" -> (graft.queries.BuildQueries.q146AddressClean _),
     "q147_address_geocode" -> (graft.queries.BuildQueries.q147AddressGeocode _),
+    "q148_housing_status" -> (graft.queries.BuildQueries.q148HousingStatus _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6164,5 +6165,81 @@ object SparkEntry {
       FROM joined
       ORDER BY geo_add1_clean, geo_city_clean, geo_state_clean,
         geo_zip_clean""",
+
+    // q148: housing status — Z-code pull, month-period range join,
+    // address HOMELESS flag, classification, per-period conflict
+    // collapse.
+    "q148_housing_status" -> """
+      WITH em AS (
+        SELECT *,
+          CASE WHEN (id_mcaid + month(from_date)) % 9 = 0
+            THEN '123 HOMELESS SHELTER'
+            ELSE CAST(id_mcaid AS VARCHAR) || ' MAIN ST'
+            END AS geo_add1,
+          CASE WHEN (id_mcaid + month(from_date)) % 25 = 0
+            THEN 'HOMELESS' END AS geo_add2
+        FROM (
+          SELECT DISTINCT o_custkey % 100 AS id_mcaid,
+            date_trunc('month', CAST(o_orderdate AS DATE)) AS from_date,
+            last_day(CAST(o_orderdate AS DATE)) AS to_date
+          FROM orders)),
+      icdcm AS (
+        SELECT o_custkey % 100 AS id_mcaid,
+          CAST(l_shipdate AS DATE) AS first_service_date,
+          CASE WHEN l_partkey % 23 = 0 THEN 'Z590'
+            WHEN l_partkey % 23 = 1 THEN 'Z5900'
+            WHEN l_partkey % 23 = 2 THEN 'Z5901'
+            WHEN l_partkey % 23 = 3 THEN 'Z5902'
+            WHEN l_partkey % 23 = 4 THEN 'Z591'
+            WHEN l_partkey % 23 = 5 THEN 'Z5910'
+            WHEN l_partkey % 23 = 6 THEN 'Z5919'
+            WHEN l_partkey % 23 = 7 THEN 'Z59811'
+            WHEN l_partkey % 23 = 8 THEN 'Z59812'
+            ELSE 'A' || lpad(CAST(l_partkey % 900 AS VARCHAR), 3, '0')
+            END AS icdcm_norm
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      zcodes AS (
+        SELECT id_mcaid, first_service_date, icdcm_norm FROM icdcm
+        WHERE icdcm_norm IN ('Z590','Z5900','Z5901','Z5902','Z591',
+          'Z5910','Z5919') OR icdcm_norm LIKE 'Z5981%'),
+      temp1 AS (
+        SELECT a.id_mcaid, a.from_date, a.to_date,
+          CASE WHEN a.geo_add1 LIKE '%HOMELESS%'
+            OR a.geo_add2 LIKE '%HOMELESS%' THEN 1 ELSE 0 END
+            AS is_homeless_addr,
+          CASE WHEN b.icdcm_norm IN ('Z590','Z5900','Z5901','Z5902')
+            THEN 'homeless'
+            WHEN b.icdcm_norm IN ('Z591','Z5910','Z5919')
+              OR b.icdcm_norm LIKE 'Z5981%' THEN 'unstably housed'
+            END AS zcode_status
+        FROM em a LEFT JOIN zcodes b ON a.id_mcaid = b.id_mcaid
+          AND b.first_service_date BETWEEN a.from_date AND a.to_date),
+      temp2 AS (
+        SELECT id_mcaid, from_date, to_date,
+          CASE WHEN zcode_status IS NOT NULL THEN zcode_status
+            WHEN is_homeless_addr = 1 THEN 'homeless' END
+            AS housing_status,
+          CASE WHEN is_homeless_addr = 1 AND zcode_status IS NOT NULL
+            THEN 'multiple'
+            WHEN is_homeless_addr = 1 AND zcode_status IS NULL
+            THEN 'homeless_address'
+            WHEN is_homeless_addr = 0 AND zcode_status IS NOT NULL
+            THEN 'z_codes' END AS housing_status_source
+        FROM temp1
+        WHERE is_homeless_addr = 1 OR zcode_status IS NOT NULL),
+      temp3 AS (
+        SELECT id_mcaid, from_date, to_date,
+          COUNT(DISTINCT housing_status) AS status_dcount,
+          COUNT(DISTINCT housing_status_source) AS source_dcount
+        FROM temp2 GROUP BY id_mcaid, from_date, to_date)
+      SELECT DISTINCT a.id_mcaid, a.from_date, a.to_date,
+        CASE WHEN b.status_dcount > 1 THEN 'homeless'
+          ELSE a.housing_status END AS housing_status,
+        CASE WHEN b.source_dcount > 1 THEN 'multiple'
+          ELSE a.housing_status_source END AS housing_status_source
+      FROM temp2 a LEFT JOIN temp3 b ON a.id_mcaid = b.id_mcaid
+        AND a.from_date = b.from_date AND a.to_date = b.to_date
+      ORDER BY a.id_mcaid, a.from_date, housing_status,
+        housing_status_source""",
   )
 }

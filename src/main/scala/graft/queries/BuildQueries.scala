@@ -2097,6 +2097,43 @@ object BuildQueries {
         col("geo_state_clean"), col("geo_zip_clean"))
   }
 
+  /** §7.5.9 housing status periods (q148,
+    * load_stage.mcaid_housing_status.R): Z-code pull, month-period range
+    * join, address-substring flag, status/source classification, and the
+    * per-period conflict collapse. */
+  def q148HousingStatus(s: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val eligMonth = t(s, dir, "orders").select(
+        (col("o_custkey") % 100).as("id_mcaid"),
+        trunc(d, "month").as("from_date"),
+        last_day(d).as("to_date")).distinct()
+      .withColumn("geo_add1",
+        when((col("id_mcaid") + month(col("from_date"))) % 9 === 0,
+          "123 HOMELESS SHELTER")
+          .otherwise(concat(col("id_mcaid").cast("string"),
+            lit(" MAIN ST"))))
+      .withColumn("geo_add2",
+        when((col("id_mcaid") + month(col("from_date"))) % 25 === 0,
+          "HOMELESS"))
+    val pk = col("l_partkey")
+    val icdcm = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 100).as("id_mcaid")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("id_mcaid"),
+        to_date(col("l_shipdate")).as("first_service_date"),
+        when(pk % 23 === 0, "Z590").when(pk % 23 === 1, "Z5900")
+          .when(pk % 23 === 2, "Z5901").when(pk % 23 === 3, "Z5902")
+          .when(pk % 23 === 4, "Z591").when(pk % 23 === 5, "Z5910")
+          .when(pk % 23 === 6, "Z5919").when(pk % 23 === 7, "Z59811")
+          .when(pk % 23 === 8, "Z59812")
+          .otherwise(concat(lit("A"), lpad((pk % 900).cast("string"), 3, "0")))
+          .as("icdcm_norm"))
+    graft.builds.HousingStatus.build(eligMonth, icdcm)
+      .orderBy(col("id_mcaid"), col("from_date"), col("housing_status"),
+        col("housing_status_source"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
