@@ -127,7 +127,10 @@ class PlanSpec extends SparkSpec {
                             // baseline shape as q41
       "q134_bm25",       // hit set x broadcast 1-row (N, avgdl) totals
       "q135_perplexity", // doc bigrams x broadcast 1-row vocab size
-      "q138_embed_pipeline") // crossJoin(broadcast(queries)): q129 shape
+      "q138_embed_pipeline", // crossJoin(broadcast(queries)): q129 shape
+      "q144_naloxone") // NDC contains-join: DISTINCT pharmacy vocabulary
+                       // x broadcast naloxone list (bounded dims only;
+                       // fact rows join the expansion by exact key)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
