@@ -241,6 +241,10 @@ object SparkEntry {
     "q146_address_clean" -> (graft.queries.BuildQueries.q146AddressClean _),
     "q147_address_geocode" -> (graft.queries.BuildQueries.q147AddressGeocode _),
     "q148_housing_status" -> (graft.queries.BuildQueries.q148HousingStatus _),
+    "q149_apcd_claim_line" -> (graft.queries.BuildQueries.q149ApcdClaimLine _),
+    "q150_apcd_claim_icdcm" -> (graft.queries.BuildQueries.q150ApcdClaimIcdcm _),
+    "q151_apcd_claim_procedure" -> (graft.queries.BuildQueries.q151ApcdClaimProcedure _),
+    "q152_apcd_elig_demo" -> (graft.queries.BuildQueries.q152ApcdEligDemo _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6241,5 +6245,291 @@ object SparkEntry {
         AND a.from_date = b.from_date AND a.to_date = b.to_date
       ORDER BY a.id_mcaid, a.from_date, housing_status,
         housing_status_source""",
+
+    // q149: APCD claim line — denied/orphan semi gate, the 2023-07-28
+    // discharge correction, line-grain DISTINCT over planted dup rows.
+    "q149_apcd_claim_line" -> """
+      WITH raw AS (
+        SELECT l_orderkey % 400 AS id_apcd,
+          l_orderkey AS claim_header_id,
+          l_orderkey * 10 + l_linenumber AS claim_line_id,
+          l_linenumber AS line_counter,
+          CAST(l_shipdate AS DATE) AS fsd,
+          CAST(l_shipdate AS DATE) + CAST(l_suppkey % 5 AS INT) AS lsd,
+          round(l_extendedprice, 2) AS charge_amt,
+          CASE WHEN l_partkey % 9 = 0
+            THEN '045' || CAST(l_partkey % 10 AS VARCHAR)
+            ELSE lpad(CAST(l_partkey % 2000 AS VARCHAR), 4, '0')
+            END AS revenue_code,
+          CASE WHEN l_suppkey % 11 = 0 THEN '23'
+            ELSE lpad(CAST(l_suppkey % 32 AS VARCHAR), 2, '0')
+            END AS place_of_service_code,
+          CASE WHEN l_partkey % 3 = 0 THEN NULL
+            ELSE CAST(l_shipdate AS DATE) - CAST(l_partkey % 4 AS INT)
+            END AS admission_dt,
+          CASE WHEN l_partkey % 7 = 0 THEN CAST(l_shipdate AS DATE) - 5
+            WHEN l_partkey % 7 = 1 THEN NULL
+            ELSE CAST(l_shipdate AS DATE) + CAST(l_suppkey % 5 AS INT)
+              + CAST(l_partkey % 3 AS INT)
+            END AS discharge_dt,
+          lpad(CAST(l_partkey % 30 AS VARCHAR), 2, '0')
+            AS discharge_status_code,
+          CAST(l_suppkey % 9 AS VARCHAR) AS admission_point_of_origin_code,
+          CAST(1 + l_orderkey % 4 AS INT) AS admission_type
+        FROM lineitem),
+      dup AS (
+        SELECT * FROM raw
+        UNION ALL SELECT * FROM raw WHERE line_counter = 1),
+      ok AS (
+        SELECT o_orderkey AS chid FROM orders
+        WHERE o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0)
+      SELECT DISTINCT id_apcd, claim_header_id, claim_line_id,
+        line_counter, fsd AS first_service_date, lsd AS last_service_date,
+        charge_amt, revenue_code, place_of_service_code,
+        admission_dt AS admission_date,
+        CASE WHEN discharge_dt < admission_dt THEN lsd
+          WHEN admission_dt IS NULL AND discharge_dt < fsd THEN lsd
+          ELSE discharge_dt END AS discharge_date,
+        discharge_status_code, admission_point_of_origin_code,
+        admission_type
+      FROM dup WHERE claim_header_id IN (SELECT chid FROM ok)
+      ORDER BY claim_header_id, claim_line_id""",
+
+    // q150: APCD claim icdcm header — dx-grain projection (dotted raw,
+    // norm, version, number) under the denied/orphan gate.
+    "q150_apcd_claim_icdcm" -> """
+      WITH dxr AS (
+        SELECT l_orderkey % 400 AS id_apcd,
+          l_orderkey AS claim_header_id,
+          CAST(l_shipdate AS DATE) AS first_service_date,
+          CAST(l_shipdate AS DATE) + CAST(l_suppkey % 3 AS INT)
+            AS last_service_date,
+          CASE WHEN l_partkey % 6 = 0 THEN 9 ELSE 10 END AS icdcm_version,
+          CASE WHEN l_partkey % 6 <> 0 AND l_partkey % 5 = 0
+            THEN 'Z00' || CAST(l_partkey % 4 AS VARCHAR)
+            WHEN l_partkey % 6 <> 0
+            THEN 'F' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+            ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0')
+            END AS icdcm_norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS icdcm_number
+        FROM lineitem),
+      ok AS (
+        SELECT o_orderkey AS chid FROM orders
+        WHERE o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0)
+      SELECT id_apcd, claim_header_id, first_service_date,
+        last_service_date,
+        CASE WHEN length(icdcm_norm) > 3
+          THEN substring(icdcm_norm, 1, 3) || '.' ||
+            substring(icdcm_norm, 4, 9)
+          ELSE icdcm_norm END AS icdcm_raw,
+        icdcm_norm, icdcm_version, icdcm_number
+      FROM dxr WHERE claim_header_id IN (SELECT chid FROM ok)
+      ORDER BY claim_header_id, icdcm_number, icdcm_norm""",
+
+    // q151: APCD claim procedure — procedure + consolidated modifier
+    // under the denied/orphan gate.
+    "q151_apcd_claim_procedure" -> """
+      WITH prc AS (
+        SELECT l_orderkey % 400 AS id_apcd,
+          l_orderkey AS claim_header_id,
+          CAST(l_shipdate AS DATE) AS first_service_date,
+          CAST(l_shipdate AS DATE) + CAST(l_suppkey % 3 AS INT)
+            AS last_service_date,
+          CASE WHEN l_partkey % 17 = 0
+            THEN '9928' || CAST(1 + l_partkey % 7 AS VARCHAR)
+            WHEN l_partkey % 17 = 1 THEN '99291'
+            WHEN l_partkey % 17 = 2
+            THEN '992' || CAST(11 + l_partkey % 5 AS VARCHAR)
+            ELSE lpad(CAST(l_partkey % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          CASE WHEN l_linenumber % 4 = 0 THEN '26'
+            WHEN l_linenumber % 4 = 1 THEN 'TC' END AS modifier_code
+        FROM lineitem),
+      ok AS (
+        SELECT o_orderkey AS chid FROM orders
+        WHERE o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0)
+      SELECT id_apcd, claim_header_id, first_service_date,
+        last_service_date, procedure_code, modifier_code
+      FROM prc WHERE claim_header_id IN (SELECT chid FROM ok)
+      ORDER BY claim_header_id, procedure_code, modifier_code,
+        last_service_date""",
+
+    // q152: APCD elig_demo — contiguous-month DOB estimation (incl. the
+    // Dec→Jan 89 quirk), gender flags + NULLs-first last_value recent,
+    // ethnicity-map race recodes, z_Multiple tie-break, person collapse.
+    "q152_apcd_elig_demo" -> """
+      WITH mm0 AS (
+        SELECT c_custkey AS id, m,
+          (DATE '2020-01-01' + INTERVAL (m - 1) MONTH)::DATE AS ms,
+          (DATE '1950-01-01' +
+            INTERVAL (CAST(c_custkey % 600 AS INT)) MONTH)::DATE AS dob_true
+        FROM customer CROSS JOIN (SELECT unnest(range(1, 15)) AS m) g
+        WHERE CASE WHEN c_custkey % 11 = 0 THEN m = 6
+          ELSE (c_custkey + m) % 5 <> 0 END),
+      mm AS (
+        SELECT id AS id_apcd, year(ms) * 100 + month(ms) AS ym,
+          CASE WHEN id % 13 = 0 THEN 90
+            ELSE CAST(floor(date_diff('month', dob_true, ms) / 12.0) AS INT)
+            END AS age,
+          CASE WHEN (id + m) % 17 = 0 THEN 'U'
+            WHEN id % 4 = 0 THEN 'F'
+            WHEN id % 4 = 1 THEN 'M'
+            WHEN id % 4 = 2 THEN
+              CASE WHEN m % 2 = 0 THEN 'F' ELSE 'M' END
+            END AS gender_code
+        FROM mm0),
+      step1 AS (
+        SELECT id_apcd, ym, age, gender_code,
+          CASE WHEN age - lag(age) OVER w = 1
+              AND ym - lag(ym) OVER w IN (1, 89)
+            THEN CAST(strptime(CAST(ym - lag((age + 1) * 100) OVER w
+              AS VARCHAR) || '01', '%Y%m%d') AS DATE) END AS dob_1,
+          CASE WHEN lead(age) OVER w IS NULL
+            THEN (CAST(strptime(CAST(ym - (age + 1) * 100 AS VARCHAR)
+              || '01', '%Y%m%d') AS DATE) + INTERVAL 1 MONTH)::DATE
+            END AS dob_2,
+          CASE WHEN gender_code = 'F' THEN 1 WHEN gender_code = 'U'
+            THEN NULL ELSE 0 END AS female,
+          CASE WHEN gender_code = 'M' THEN 1 WHEN gender_code = 'U'
+            THEN NULL ELSE 0 END AS male,
+          CASE WHEN gender_code = 'U' THEN 1 ELSE 0 END AS gender_unk,
+          last_value(gender_code) OVER (PARTITION BY id_apcd
+            ORDER BY CASE WHEN gender_code = 'U' OR gender_code IS NULL
+                THEN NULL ELSE ym END ASC NULLS FIRST,
+              gender_code ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS gr
+        FROM mm
+        WINDOW w AS (PARTITION BY id_apcd ORDER BY ym)),
+      mmagg AS (
+        SELECT id_apcd, coalesce(max(dob_1), max(dob_2)) AS dob,
+          max(female) AS female, max(male) AS male,
+          min(gender_unk) AS gender_unk,
+          CASE WHEN min(age) = 90 THEN 1 ELSE 0 END AS ninety_only,
+          max(gr) AS gr
+        FROM step1 GROUP BY id_apcd),
+      mmfin AS (
+        SELECT id_apcd, dob, ninety_only,
+          CASE WHEN female = 1 AND male = 1 THEN 'Multiple'
+            WHEN female = 1 THEN 'Female' WHEN male = 1 THEN 'Male'
+            WHEN gender_unk = 1 THEN 'Unknown' END AS gender_me,
+          CASE WHEN gr = 'F' THEN 'Female' WHEN gr = 'M' THEN 'Male'
+            WHEN gr = 'U' THEN 'Unknown' END AS gender_recent,
+          female AS gender_female, male AS gender_male
+        FROM mmagg),
+      ethmap(ethnicity_id, race_id) AS (VALUES
+        (1,1),(2,2),(3,3),(4,4),(5,5),(6,8),(7,8),(8,2),(9,5)),
+      el0 AS (
+        SELECT o_custkey AS id_apcd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 300 AS INT)
+            AS end_dt,
+          CAST(o_orderkey % 9 AS INT) AS race_id1_raw,
+          CAST((o_orderkey // 7) % 7 AS INT) AS race_id2_raw,
+          CAST(o_orderkey % 4 AS INT) AS hispanic_id,
+          CAST(o_orderkey % 12 AS INT) AS ethnicity_id1,
+          CAST((o_orderkey // 5) % 12 AS INT) AS ethnicity_id2
+        FROM orders),
+      el1 AS (
+        SELECT e.id_apcd, e.end_dt,
+          CASE WHEN race_id1_raw IN (1,2,3,4,5) THEN race_id1_raw
+            ELSE 0 END AS r1,
+          CASE WHEN race_id2_raw IN (1,2,3,4,5) THEN race_id2_raw
+            ELSE 0 END AS r2,
+          CASE WHEN hispanic_id IN (1,2) THEN hispanic_id ELSE 0 END
+            AS latino_id,
+          coalesce(m1.race_id, 0) AS r3, coalesce(m2.race_id, 0) AS r4
+        FROM el0 e
+        LEFT JOIN ethmap m1 ON e.ethnicity_id1 = m1.ethnicity_id
+        LEFT JOIN ethmap m2 ON e.ethnicity_id2 = m2.ethnicity_id),
+      flags AS (
+        SELECT DISTINCT id_apcd, end_dt,
+          CAST(r1 = 1 OR r2 = 1 OR r3 = 1 OR r4 = 1 AS INT) AS race_aian,
+          CAST(r1 = 2 OR r2 = 2 OR r3 = 2 OR r4 = 2 AS INT) AS race_asian,
+          CAST(r1 = 3 OR r2 = 3 OR r3 = 3 OR r4 = 3 AS INT) AS race_black,
+          CAST(latino_id = 1 OR r3 = 8 OR r4 = 8 AS INT) AS race_latino,
+          CAST(r1 = 4 OR r2 = 4 OR r3 = 4 OR r4 = 4 AS INT) AS race_nhpi,
+          CAST(r1 = 5 OR r2 = 5 OR r3 = 5 OR r4 = 5 AS INT) AS race_white,
+          CAST(r1 = 0 AND r2 = 0 AND (latino_id = 0 OR latino_id = 2)
+            AND r3 = 0 AND r4 = 0 AS INT) AS race_unknown
+        FROM el1),
+      named AS (
+        SELECT *,
+          CASE WHEN race_aian + race_asian + race_black + race_latino
+              + race_nhpi + race_white > 1 THEN 'z_Multiple'
+            WHEN race_aian = 1 AND race_asian = 0 AND race_black = 0
+              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'AI/AN'
+            WHEN race_asian = 1 AND race_aian = 0 AND race_black = 0
+              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'Asian'
+            WHEN race_black = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'Black'
+            WHEN race_latino = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'Latino'
+            WHEN race_nhpi = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_latino = 0 AND race_white = 0
+              THEN 'NH/PI'
+            WHEN race_white = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_latino = 0 AND race_nhpi = 0
+              THEN 'White'
+            WHEN race_unknown = 1 THEN 'Unknown' END AS race_eth_me,
+          CASE WHEN race_aian + race_asian + race_black + race_nhpi
+              + race_white > 1 THEN 'z_Multiple'
+            WHEN race_aian = 1 AND race_asian = 0 AND race_black = 0
+              AND race_nhpi = 0 AND race_white = 0 THEN 'AI/AN'
+            WHEN race_asian = 1 AND race_aian = 0 AND race_black = 0
+              AND race_nhpi = 0 AND race_white = 0 THEN 'Asian'
+            WHEN race_black = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_nhpi = 0 AND race_white = 0 THEN 'Black'
+            WHEN race_nhpi = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_white = 0 THEN 'NH/PI'
+            WHEN race_white = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_nhpi = 0 THEN 'White'
+            WHEN race_unknown = 1 THEN 'Unknown'
+            ELSE 'Unknown' END AS race_me
+        FROM flags),
+      recent AS (
+        SELECT *,
+          last_value(race_eth_me) OVER (PARTITION BY id_apcd
+            ORDER BY CASE WHEN race_unknown = 1 THEN NULL ELSE end_dt END
+              ASC NULLS FIRST, race_eth_me ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS race_eth_recent_raw,
+          last_value(race_me) OVER (PARTITION BY id_apcd
+            ORDER BY CASE WHEN race_unknown = 1 THEN NULL ELSE end_dt END
+              ASC NULLS FIRST, race_me ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS race_recent_raw
+        FROM named),
+      elfin AS (
+        SELECT id_apcd,
+          CASE WHEN max(race_aian) + max(race_asian) + max(race_black)
+              + max(race_latino) + max(race_nhpi) + max(race_white) > 1
+              THEN 'Multiple'
+            ELSE max(CASE WHEN race_eth_me = 'Unknown' THEN NULL
+              ELSE race_eth_me END) END AS race_eth_me,
+          CASE WHEN max(race_aian) + max(race_asian) + max(race_black)
+              + max(race_nhpi) + max(race_white) > 1 THEN 'Multiple'
+            ELSE max(CASE WHEN race_me = 'Unknown' THEN NULL
+              ELSE race_me END) END AS race_me,
+          CASE WHEN max(race_eth_recent_raw) = 'z_Multiple'
+            THEN 'Multiple' ELSE max(race_eth_recent_raw) END
+            AS race_eth_recent,
+          CASE WHEN max(race_recent_raw) = 'z_Multiple' THEN 'Multiple'
+            ELSE max(race_recent_raw) END AS race_recent,
+          max(race_aian) AS race_aian, max(race_asian) AS race_asian,
+          max(race_black) AS race_black, max(race_latino) AS race_latino,
+          max(race_nhpi) AS race_nhpi, max(race_white) AS race_white,
+          min(race_unknown) AS race_unknown
+        FROM recent GROUP BY id_apcd)
+      SELECT a.id_apcd, a.dob, a.ninety_only, a.gender_me,
+        a.gender_recent, a.gender_female, a.gender_male, b.race_eth_me,
+        b.race_me, b.race_eth_recent, b.race_recent, b.race_aian,
+        b.race_asian, b.race_black, b.race_latino, b.race_nhpi,
+        b.race_white, b.race_unknown
+      FROM mmfin a LEFT JOIN elfin b ON a.id_apcd = b.id_apcd
+      ORDER BY a.id_apcd""",
   )
 }

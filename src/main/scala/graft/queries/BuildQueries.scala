@@ -1846,6 +1846,109 @@ object BuildQueries {
             (col("icdcm_version") === 9 && col("icdcm").startsWith("030")), 1)
             .otherwise(0))
         .filter(col("mh_any") === 1 || col("sud_any") === 1)
+
+    /** Raw claim-line table for the q149 line build (the pre-exclusion
+      * OnPoint extract). Admission/discharge slivers are planted so every
+      * branch of the 2023-07-28 discharge correction fires: discharge <
+      * admission, NULL admission with discharge < first_service, NULL
+      * discharge, and the untouched pass-through. The `line_counter = 1`
+      * rows are re-unioned by the query glue to exercise the DISTINCT. */
+    def lineRaw(s: SparkSession, dir: String): DataFrame = {
+      val fsd = to_date(col("l_shipdate"))
+      val lsd = date_add(fsd, (col("l_suppkey") % 5).cast("int"))
+      t(s, dir, "lineitem").select(
+        (col("l_orderkey") % 400).as("id_apcd"),
+        col("l_orderkey").as("claim_header_id"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("claim_line_id"),
+        col("l_linenumber").as("line_counter"),
+        fsd.as("first_service_dt"),
+        lsd.as("last_service_dt"),
+        round(col("l_extendedprice"), 2).as("charge_amt"),
+        when(col("l_partkey") % 9 === 0,
+            concat(lit("045"), (col("l_partkey") % 10).cast("string")))
+          .otherwise(lpad((col("l_partkey") % 2000).cast("string"), 4, "0"))
+          .as("revenue_code"),
+        when(col("l_suppkey") % 11 === 0, "23")
+          .otherwise(lpad((col("l_suppkey") % 32).cast("string"), 2, "0"))
+          .as("place_of_service_code"),
+        when(col("l_partkey") % 3 === 0, lit(null).cast("date"))
+          .otherwise(date_sub(fsd, (col("l_partkey") % 4).cast("int")))
+          .as("admission_dt"),
+        when(col("l_partkey") % 7 === 0, date_sub(fsd, 5))
+          .when(col("l_partkey") % 7 === 1, lit(null).cast("date"))
+          .otherwise(date_add(lsd, (col("l_partkey") % 3).cast("int")))
+          .as("discharge_dt"),
+        lpad((col("l_partkey") % 30).cast("string"), 2, "0")
+          .as("discharge_status_code"),
+        (col("l_suppkey") % 9).cast("string")
+          .as("admission_point_of_origin_code"),
+        (lit(1) + col("l_orderkey") % 4).cast("int").as("admission_type"))
+    }
+
+    /** Raw dx rows for the q150 icdcm build: [[dx]]'s code formulas
+      * widened with id/date columns and a dotted `icdcm_raw` (norm
+      * strips the dot). */
+    def dxRaw(s: SparkSession, dir: String): DataFrame = {
+      val fsd = to_date(col("l_shipdate"))
+      val ver = when(col("l_partkey") % 6 === 0, 9).otherwise(10)
+      val norm = when(ver === 10 && col("l_partkey") % 5 === 0,
+          concat(lit("Z00"), (col("l_partkey") % 4).cast("string")))
+        .when(ver === 10,
+          concat(lit("F"), lpad((col("l_partkey") % 400).cast("string"), 3, "0")))
+        .otherwise(lpad((col("l_partkey") % 999).cast("string"), 4, "0"))
+      t(s, dir, "lineitem").select(
+        (col("l_orderkey") % 400).as("id_apcd"),
+        col("l_orderkey").as("claim_header_id"),
+        fsd.as("first_service_dt"),
+        date_add(fsd, (col("l_suppkey") % 3).cast("int"))
+          .as("last_service_dt"),
+        when(length(norm) > 3,
+            concat(substring(norm, 1, 3), lit("."), substring(norm, 4, 9)))
+          .otherwise(norm).as("icdcm_raw"),
+        norm.as("icdcm_norm"),
+        ver.as("icdcm_version"),
+        lpad(col("l_linenumber").cast("string"), 2, "0").as("icdcm_number"))
+    }
+
+    /** Raw procedure rows for the q151 build: [[proc]]'s codes widened
+      * with id/date columns and a sparse consolidated modifier. */
+    def procRaw(s: SparkSession, dir: String): DataFrame = {
+      val fsd = to_date(col("l_shipdate"))
+      t(s, dir, "lineitem").select(
+        (col("l_orderkey") % 400).as("id_apcd"),
+        col("l_orderkey").as("claim_header_id"),
+        fsd.as("first_service_dt"),
+        date_add(fsd, (col("l_suppkey") % 3).cast("int"))
+          .as("last_service_dt"),
+        when(col("l_partkey") % 17 === 0,
+            concat(lit("9928"), (lit(1) + col("l_partkey") % 7).cast("string")))
+          .when(col("l_partkey") % 17 === 1, "99291")
+          .when(col("l_partkey") % 17 === 2,
+            concat(lit("992"), (lit(11) + col("l_partkey") % 5).cast("string")))
+          .otherwise(lpad((col("l_partkey") % 88888).cast("string"), 5, "0"))
+          .as("procedure_code"),
+        when(col("l_linenumber") % 4 === 0, "26")
+          .when(col("l_linenumber") % 4 === 1, "TC")
+          .as("modifier_code"))
+    }
+
+    /** Raw provider rows for the provider reshape: [[provider]] widened
+      * with id/date/raw-id columns. */
+    def providerRaw(s: SparkSession, dir: String): DataFrame = {
+      val fsd = to_date(col("l_shipdate"))
+      t(s, dir, "lineitem").select(
+        (col("l_orderkey") % 400).as("id_apcd"),
+        col("l_orderkey").as("claim_header_id"),
+        fsd.as("first_service_dt"),
+        date_add(fsd, (col("l_suppkey") % 3).cast("int"))
+          .as("last_service_dt"),
+        col("l_suppkey").as("provider_id_apcd"),
+        concat(lit("RAW"), col("l_suppkey").cast("string"))
+          .as("provider_id_raw_apcd"),
+        when(col("l_linenumber") % 3 === 0, "rendering")
+          .when(col("l_linenumber") % 3 === 1, "attending")
+          .otherwise("billing").as("provider_type"))
+    }
   }
 
   /** §7.5.6 APCD claim header (q142): the reference's biggest-source
@@ -2133,6 +2236,95 @@ object BuildQueries {
       .orderBy(col("id_mcaid"), col("from_date"), col("housing_status"),
         col("housing_status_source"))
   }
+
+  /** §7.5.6 APCD claim line (q149, load_stage.apcd_claim_line.R):
+    * denied/orphan LEFT-SEMI gate, the 2023-07-28 discharge-date
+    * correction, and the line-grain DISTINCT — exercised against planted
+    * duplicate rows (the `line_counter = 1` sliver re-unioned). */
+  def q149ApcdClaimLine(s: SparkSession, dir: String): DataFrame = {
+    val raw = Apcd.lineRaw(s, dir)
+    graft.builds.ApcdClaimDetail.line(
+        raw.unionAll(raw.filter(col("line_counter") === 1)),
+        Apcd.header(s, dir))
+      .orderBy(col("claim_header_id"), col("claim_line_id"))
+  }
+
+  /** §7.5.6 APCD claim icdcm header (q150,
+    * load_stage.apcd_claim_icdcm_header.R): dx-grain raw/norm/version/
+    * number projection under the denied/orphan gate. */
+  def q150ApcdClaimIcdcm(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ApcdClaimDetail.icdcm(Apcd.dxRaw(s, dir),
+        Apcd.header(s, dir))
+      .orderBy(col("claim_header_id"), col("icdcm_number"),
+        col("icdcm_norm"))
+
+  /** §7.5.6 APCD claim procedure (q151,
+    * load_stage.apcd_claim_procedure.R): procedure + consolidated
+    * modifier under the denied/orphan gate. */
+  def q151ApcdClaimProcedure(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ApcdClaimDetail.procedure(Apcd.procRaw(s, dir),
+        Apcd.header(s, dir))
+      .orderBy(col("claim_header_id"), col("procedure_code"),
+        col("modifier_code"), col("last_service_date"))
+
+  /** Synthetic APCD eligibility-side frames (q152): member months from a
+    * customer × 14-month spine (crossing a year boundary so the T-SQL
+    * Dec→Jan `89` contiguity branch fires), with planted gaps,
+    * single-month persons (id % 11), age-90 top-coded persons (id % 13),
+    * and a gender cycle that includes 'U' and NULL months; eligibility
+    * race rows from orders with out-of-domain race/hispanic codes and
+    * two ethnicity columns against a partial ethnicity→race map. */
+  private[graft] object ApcdElig {
+    def memberMonth(s: SparkSession, dir: String): DataFrame = {
+      val id = col("id_apcd")
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("id_apcd"))
+        .select(id, explode(sequence(lit(1), lit(14))).as("m"))
+        .filter(when(id % 11 === 0, col("m") === 6)
+          .otherwise((id + col("m")) % 5 =!= 0))
+        .withColumn("ms", add_months(to_date(lit("2020-01-01")), col("m") - 1))
+        .withColumn("dob_true",
+          add_months(to_date(lit("1950-01-01")), (id % 600).cast("int")))
+        .select(id,
+          date_format(col("ms"), "yyyyMM").as("year_month"),
+          when(id % 13 === 0, 90)
+            .otherwise(floor(months_between(col("ms"), col("dob_true")) / 12)
+              .cast("int")).as("age"),
+          when((id + col("m")) % 17 === 0, "U")
+            .when(id % 4 === 0, "F")
+            .when(id % 4 === 1, "M")
+            .when(id % 4 === 2, when(col("m") % 2 === 0, "F").otherwise("M"))
+            .as("gender_code"))
+    }
+    def eligibility(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(
+        ok.as("eligibility_id"),
+        col("o_custkey").as("id_apcd"),
+        date_add(to_date(col("o_orderdate")), (ok % 300).cast("int"))
+          .as("eligibility_end_dt"),
+        (ok % 9).cast("int").as("race_id1"),
+        expr("(o_orderkey div 7) % 7").cast("int").as("race_id2"),
+        (ok % 4).cast("int").as("hispanic_id"),
+        (ok % 12).cast("int").as("ethnicity_id1"),
+        expr("(o_orderkey div 5) % 12").cast("int").as("ethnicity_id2"))
+    }
+    def ethMap(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 8), (7, 8), (8, 2),
+        (9, 5)).toDF("ethnicity_id", "race_id")
+    }
+  }
+
+  /** §7.5.6 APCD elig_demo (q152, load_stage.apcd_elig_demo.R): DOB
+    * estimated from contiguous member-month age increments (Dec→Jan `89`
+    * quirk preserved), alone-or-in-combination + mutually-exclusive
+    * gender, ethnicity-map race recodes, z_Multiple recent-race
+    * tie-break, and the member-month LEFT JOIN race collapse. */
+  def q152ApcdEligDemo(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ApcdEligDemo.build(ApcdElig.memberMonth(s, dir),
+        ApcdElig.eligibility(s, dir), ApcdElig.ethMap(s))
+      .orderBy(col("id_apcd"))
 
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
