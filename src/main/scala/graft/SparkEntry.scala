@@ -245,6 +245,8 @@ object SparkEntry {
     "q150_apcd_claim_icdcm" -> (graft.queries.BuildQueries.q150ApcdClaimIcdcm _),
     "q151_apcd_claim_procedure" -> (graft.queries.BuildQueries.q151ApcdClaimProcedure _),
     "q152_apcd_elig_demo" -> (graft.queries.BuildQueries.q152ApcdEligDemo _),
+    "q153_mcaid_mcare_bh" -> (graft.queries.BuildQueries.q153McaidMcareBh _),
+    "q154_mcaid_mcare_ccw" -> (graft.queries.BuildQueries.q154McaidMcareCcw _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6531,5 +6533,265 @@ object SparkEntry {
         b.race_white, b.race_unknown
       FROM mmfin a LEFT JOIN elfin b ON a.id_apcd = b.id_apcd
       ORDER BY a.id_apcd""",
+
+    // q153: combined mcaid+mcare claim_bh — dx/NDC condition spans,
+    // primary-dx-gated MOUD procedures, the diagnosis-keyed full-join
+    // tree, OUD person-months, first-diagnosis-month MOUD gate.
+    "q153_mcaid_mcare_bh" -> """
+      WITH fact AS (
+        SELECT 1000 + o_custkey % 90 AS id_apde,
+          l_orderkey AS chid, l_partkey AS pk, l_suppkey AS sk,
+          CAST(l_shipdate AS DATE) AS fsd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      icdcm AS (
+        SELECT id_apde, chid,
+          CASE WHEN pk % 6 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN pk % 6 = 0 THEN
+            CASE WHEN pk % 11 = 0 THEN '29620'
+              WHEN pk % 11 = 1 THEN '30400'
+              ELSE lpad(CAST(pk % 999 AS VARCHAR), 5, '0') END
+          ELSE
+            CASE WHEN pk % 11 = 0 THEN 'F329'
+              WHEN pk % 11 = 1 THEN 'F411'
+              WHEN pk % 11 = 2 THEN 'F1120'
+              ELSE 'G' || lpad(CAST(pk % 400 AS VARCHAR), 3, '0') END
+          END AS icdcm_norm,
+          fsd FROM fact),
+      pharm AS (
+        SELECT id_apde, chid,
+          CASE WHEN sk % 9 = 0 THEN '11111111111'
+            WHEN sk % 9 = 1 THEN '22222222222'
+            WHEN sk % 9 = 2 THEN '33333333333'
+            ELSE lpad(CAST(sk * 7 AS VARCHAR), 11, '0') END AS ndc,
+          fsd + 2 AS rx_fill_date FROM fact),
+      prc AS (
+        SELECT id_apde, chid,
+          CASE WHEN pk % 13 = 0 THEN 'H0020'
+            WHEN pk % 13 = 1 THEN 'J0571'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          fsd FROM fact),
+      hdr AS (
+        SELECT o_orderkey AS chid,
+          CASE WHEN o_orderkey % 15 = 0 THEN 'F1120'
+            WHEN o_orderkey % 15 = 1 THEN '30400'
+            ELSE 'I10' END AS primary_diagnosis,
+          CASE WHEN o_orderkey % 15 = 1 THEN 9 ELSE 10 END AS ver
+        FROM orders),
+      ref(cond, code_set, code, ver, vset, oud_dx1_flag) AS (VALUES
+        ('bh_depression','ICD9CM','29620',9,'rda-bh',NULL),
+        ('bh_depression','ICD10CM','F329',10,'rda-bh',NULL),
+        ('bh_anxiety','ICD10CM','F411',10,'rda-bh',NULL),
+        ('bh_depression','NDC','11111111111',NULL,'rda-ndc',NULL),
+        ('bh_anxiety','NDC','22222222222',NULL,'rda-ndc',NULL),
+        ('sud_opioid','ICD9CM','30400',9,'rda-bh',NULL),
+        ('sud_opioid','ICD10CM','F1120',10,'rda-bh',NULL),
+        ('sud_opioid','NDC','33333333333',NULL,'rda-ndc',NULL),
+        ('sud_opioid','HCPCS','H0020',NULL,'apde-moud-procedure',1),
+        ('sud_opioid','HCPCS','J0571',NULL,'apde-moud-procedure',0)),
+      diag_ev AS (
+        SELECT DISTINCT d.id_apde, d.svc_date, r.cond AS bh_cond
+        FROM (SELECT DISTINCT id_apde, icdcm_norm, ver, fsd AS svc_date
+          FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond <> 'sud_opioid'),
+      rx_ev AS (
+        SELECT DISTINCT p.id_apde, p.rx_fill_date AS svc_date,
+          r.cond AS bh_cond
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond <> 'sud_opioid'),
+      spans AS (
+        SELECT id_apde, min(svc_date) AS first_encounter_date,
+          max(svc_date) AS last_encounter_date, bh_cond
+        FROM (SELECT * FROM diag_ev UNION SELECT * FROM rx_ev)
+        GROUP BY id_apde, bh_cond),
+      ouddx1 AS (
+        SELECT DISTINCT h.chid FROM hdr h
+        JOIN ref r ON h.primary_diagnosis = r.code AND h.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      darm AS (
+        SELECT DISTINCT d.id_apde, d.chid, d.svc_date
+        FROM (SELECT DISTINCT id_apde, chid, icdcm_norm, ver,
+            fsd AS svc_date FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      rarm AS (
+        SELECT DISTINCT p.id_apde, p.chid, p.rx_fill_date AS svc_date
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond = 'sud_opioid'),
+      parm AS (
+        SELECT DISTINCT id_apde, chid, svc_date FROM (
+          SELECT DISTINCT p.id_apde, p.chid, p.fsd AS svc_date,
+            CASE WHEN r.oud_dx1_flag = 0 THEN 1
+              WHEN r.oud_dx1_flag = 1 AND d.chid IS NOT NULL THEN 1
+              ELSE 0 END AS ok
+          FROM prc p
+          JOIN ref r ON p.procedure_code = r.code
+            AND r.vset = 'apde-moud-procedure' AND r.cond = 'sud_opioid'
+          LEFT JOIN ouddx1 d ON p.chid = d.chid)
+        WHERE ok = 1),
+      oudclaims AS (
+        SELECT coalesce(d.id_apde, r.id_apde, p.id_apde) AS id_apde,
+          coalesce(d.svc_date, r.svc_date, p.svc_date) AS svc_date,
+          CASE WHEN d.chid IS NOT NULL THEN 1 END AS icdcm_flag
+        FROM darm d
+        FULL JOIN rarm r ON d.chid = r.chid
+        FULL JOIN parm p ON d.chid = p.chid),
+      oudmonth AS (
+        SELECT DISTINCT id_apde,
+          date_trunc('month', svc_date)::DATE AS fe,
+          last_day(svc_date) AS le
+        FROM oudclaims WHERE icdcm_flag = 1),
+      oudmin AS (
+        SELECT id_apde, min(fe) AS dmin FROM oudmonth GROUP BY id_apde),
+      moudmonth AS (
+        SELECT DISTINCT a.id_apde,
+          date_trunc('month', a.svc_date)::DATE AS fe,
+          last_day(a.svc_date) AS le
+        FROM oudclaims a JOIN oudmin b ON a.id_apde = b.id_apde
+        WHERE a.icdcm_flag IS NULL AND b.dmin <= a.svc_date),
+      oudrows AS (
+        SELECT id_apde, fe, le FROM oudmonth
+        UNION SELECT id_apde, fe, le FROM moudmonth)
+      SELECT id_apde, first_encounter_date, last_encounter_date, bh_cond
+      FROM spans
+      UNION
+      SELECT id_apde, fe AS first_encounter_date,
+        le AS last_encounter_date, 'sud_opioid' AS bh_cond
+      FROM oudrows
+      ORDER BY id_apde, bh_cond, first_encounter_date,
+        last_encounter_date""",
+
+    // q154: combined mcaid+mcare claim_ccw — dx_fields restrictions,
+    // claim-level exclusion gates, claim-type-split condition-1/2,
+    // T-SQL month-boundary lookback windows, LEAST/GREATEST collapse.
+    "q154_mcaid_mcare_ccw" -> """
+      WITH hdr AS (
+        SELECT 1000 + o_custkey % 90 AS id_apde,
+          o_orderkey AS chid,
+          CAST(1 + o_orderkey % 6 AS INT) AS ctid,
+          CAST(o_orderdate AS DATE) AS fsd
+        FROM orders),
+      dx AS (
+        SELECT 1000 + o_custkey % 90 AS id_apde, l_orderkey AS chid,
+          CASE WHEN l_partkey % 5 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 5 = 0 THEN
+            CASE WHEN l_partkey % 9 = 0 THEN '2440'
+              WHEN l_partkey % 9 = 1 THEN '25000'
+              WHEN l_partkey % 9 = 2 THEN '64800'
+              WHEN l_partkey % 9 = 3 THEN '43491'
+              ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END
+          ELSE
+            CASE WHEN l_partkey % 9 = 0 THEN 'E039'
+              WHEN l_partkey % 9 = 1 THEN 'E119'
+              WHEN l_partkey % 9 = 2 THEN 'O2412'
+              WHEN l_partkey % 9 = 3 THEN 'I6350'
+              WHEN l_partkey % 9 = 4 THEN 'Z3480'
+              ELSE 'J' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+              END
+          END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ref(icdcm, ver, hypo, diab, diab_ex, stroke, stroke_ex) AS (VALUES
+        ('2440',9,1,0,0,0,0), ('E039',10,1,0,0,0,0),
+        ('25000',9,0,1,0,0,0), ('E119',10,0,1,0,0,0),
+        ('64800',9,0,0,1,0,0), ('O2412',10,0,0,1,0,0),
+        ('43491',9,0,0,0,1,0), ('I6350',10,0,0,0,1,0),
+        ('Z3480',10,0,0,0,0,1)),
+      dxr AS (
+        SELECT d.*, r.hypo, r.diab, r.diab_ex, r.stroke, r.stroke_ex
+        FROM dx d JOIN ref r ON d.norm = r.icdcm AND d.ver = r.ver),
+      -- hypothyroid: fields any/any, both versions, no exclusions, rule 1
+      hyflag AS (
+        SELECT id_apde, chid FROM dxr GROUP BY id_apde, chid
+        HAVING max(CASE WHEN hypo = 1 THEN 1 ELSE 0 END) = 1),
+      hyrows AS (
+        SELECT DISTINCT f.id_apde, h.fsd,
+          CASE WHEN h.ctid IN (1,2,3) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (4,5) THEN h.fsd END AS c2d
+        FROM hyflag f JOIN hdr h ON f.chid = h.chid
+        WHERE h.ctid IN (1,2,3,4,5)),
+      hyfin AS (
+        SELECT id_apde,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(1 AS INT) AS ccw_code, 'ccw_hypothyroid' AS ccw_desc
+        FROM hyrows WHERE c1d IS NOT NULL GROUP BY id_apde),
+      -- diabetes: fields 1-2, exclusion any-fields, rule 2, lookback 24
+      dbflag AS (
+        SELECT id_apde, chid,
+          max(CASE WHEN diab = 1 AND dxnum IN ('01','02') THEN 1 ELSE 0
+            END) AS m,
+          max(CASE WHEN diab_ex = 1 THEN 1 ELSE 0 END) AS x
+        FROM dxr GROUP BY id_apde, chid),
+      dbrows AS (
+        SELECT DISTINCT f.id_apde, h.fsd,
+          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (2,4,5) THEN h.fsd END AS c2d
+        FROM dbflag f JOIN hdr h ON f.chid = h.chid
+        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4,5)),
+      dbcalc AS (
+        SELECT *,
+          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
+          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
+            - (year(c2d) * 12 + month(c2d)) AS mfwd,
+          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
+          (year(c2d) * 12 + month(c2d))
+            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
+            AS mback
+        FROM dbrows
+        WINDOW w AS (PARTITION BY id_apde ORDER BY c2d ASC NULLS FIRST)),
+      dbfin AS (
+        SELECT id_apde,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(2 AS INT) AS ccw_code, 'ccw_diabetes' AS ccw_desc
+        FROM dbcalc
+        WHERE c1d IS NOT NULL
+          OR (c2d IS NOT NULL AND mfwd <= 24 AND dfwd >= 1)
+          OR (c2d IS NOT NULL AND mback <= 24 AND dback >= 1)
+        GROUP BY id_apde),
+      -- stroke: ICD-10 arm only, fields 1, exclusion fields 1-2, rule 2
+      stflag AS (
+        SELECT id_apde, chid,
+          max(CASE WHEN stroke = 1 AND ver = 10 AND dxnum = '01' THEN 1
+            ELSE 0 END) AS m,
+          max(CASE WHEN stroke_ex = 1 AND dxnum IN ('01','02') THEN 1
+            ELSE 0 END) AS x
+        FROM dxr GROUP BY id_apde, chid),
+      strows AS (
+        SELECT DISTINCT f.id_apde, h.fsd,
+          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (2,4) THEN h.fsd END AS c2d
+        FROM stflag f JOIN hdr h ON f.chid = h.chid
+        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4)),
+      stcalc AS (
+        SELECT *,
+          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
+          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
+            - (year(c2d) * 12 + month(c2d)) AS mfwd,
+          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
+          (year(c2d) * 12 + month(c2d))
+            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
+            AS mback
+        FROM strows
+        WINDOW w AS (PARTITION BY id_apde ORDER BY c2d ASC NULLS FIRST)),
+      stfin AS (
+        SELECT id_apde,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(3 AS INT) AS ccw_code, 'ccw_stroke' AS ccw_desc
+        FROM stcalc
+        WHERE c1d IS NOT NULL
+          OR (c2d IS NOT NULL AND mfwd <= 12 AND dfwd >= 1)
+          OR (c2d IS NOT NULL AND mback <= 12 AND dback >= 1)
+        GROUP BY id_apde)
+      SELECT * FROM hyfin
+      UNION ALL SELECT * FROM dbfin
+      UNION ALL SELECT * FROM stfin
+      ORDER BY ccw_code, id_apde""",
   )
 }

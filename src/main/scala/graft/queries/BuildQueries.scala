@@ -2316,6 +2316,172 @@ object BuildQueries {
     }
   }
 
+  /** Synthetic combined-source BH frames (q153): id_apde-grain claim
+    * facts (the BH build consumes the FINAL combined tables — the
+    * crosswalk union mechanics are pinned separately by q139-q141) with
+    * planted RDA value-set hits: depression/anxiety dx + NDC evidence,
+    * OUD dx/NDC/MOUD-procedure claims (H0020 requires primary-OUD via the
+    * header, J0571 does not), and noise codes on every axis. */
+  private[graft] object Bh {
+    private def fact(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem").join(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            (lit(1000) + col("o_custkey") % 90).as("id_apde")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("id_apde"), col("l_orderkey").as("claim_header_id"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          to_date(col("l_shipdate")).as("fsd"))
+    def icdcm(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("pk")
+      val ver = when(pk % 6 === 0, 9).otherwise(10)
+      fact(s, dir).select(col("id_apde"), col("claim_header_id"),
+        when(ver === 9,
+            when(pk % 11 === 0, "29620").when(pk % 11 === 1, "30400")
+              .otherwise(lpad((pk % 999).cast("string"), 5, "0")))
+          .otherwise(
+            when(pk % 11 === 0, "F329").when(pk % 11 === 1, "F411")
+              .when(pk % 11 === 2, "F1120")
+              .otherwise(concat(lit("G"),
+                lpad((pk % 400).cast("string"), 3, "0"))))
+          .as("icdcm_norm"),
+        ver.as("icdcm_version"),
+        col("fsd").as("first_service_date"))
+    }
+    def pharm(s: SparkSession, dir: String): DataFrame =
+      fact(s, dir).select(col("id_apde"), col("claim_header_id"),
+        when(col("sk") % 9 === 0, "11111111111")
+          .when(col("sk") % 9 === 1, "22222222222")
+          .when(col("sk") % 9 === 2, "33333333333")
+          .otherwise(lpad((col("sk") * 7).cast("string"), 11, "0"))
+          .as("ndc"),
+        date_add(col("fsd"), 2).as("rx_fill_date"))
+    def proc(s: SparkSession, dir: String): DataFrame =
+      fact(s, dir).select(col("id_apde"), col("claim_header_id"),
+        when(col("pk") % 13 === 0, "H0020")
+          .when(col("pk") % 13 === 1, "J0571")
+          .otherwise(lpad((col("pk") % 88888).cast("string"), 5, "0"))
+          .as("procedure_code"),
+        col("fsd").as("first_service_date"))
+    def header(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(ok.as("claim_header_id"),
+        when(ok % 15 === 0, "F1120").when(ok % 15 === 1, "30400")
+          .otherwise("I10").as("primary_diagnosis"),
+        when(ok % 15 === 1, 9).otherwise(10).as("icdcm_version"))
+    }
+    def ref(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq(
+        ("bh_depression", "ICD9CM", "29620", Some(9), "rda-bh", None),
+        ("bh_depression", "ICD10CM", "F329", Some(10), "rda-bh", None),
+        ("bh_anxiety", "ICD10CM", "F411", Some(10), "rda-bh", None),
+        ("bh_depression", "NDC", "11111111111", None, "rda-ndc", None),
+        ("bh_anxiety", "NDC", "22222222222", None, "rda-ndc", None),
+        ("sud_opioid", "ICD9CM", "30400", Some(9), "rda-bh", None),
+        ("sud_opioid", "ICD10CM", "F1120", Some(10), "rda-bh", None),
+        ("sud_opioid", "NDC", "33333333333", None, "rda-ndc", None),
+        ("sud_opioid", "HCPCS", "H0020", None, "apde-moud-procedure",
+          Some(1)),
+        ("sud_opioid", "HCPCS", "J0571", None, "apde-moud-procedure",
+          Some(0)))
+        .toDF("sub_group_condition", "code_set", "code", "icdcm_version",
+          "value_set_name", "oud_dx1_flag")
+    }
+  }
+
+  /** §7.5.10 combined mcaid+mcare claim_bh (q153,
+    * scripts_general/claim_bh.R instantiated with the mcaid_mcare
+    * dispatch: id_apde + rx_fill_date): non-OUD condition encounter
+    * spans from dx/NDC value-set evidence, plus the OUD
+    * condition-specific logic — primary-dx-gated MOUD procedures, the
+    * T-SQL diagnosis-keyed full-join tree, person-month OUD rows, and
+    * the first-diagnosis-month gate on undiagnosed MOUD claims. */
+  def q153McaidMcareBh(s: SparkSession, dir: String): DataFrame =
+    graft.builds.BhConditions.build(Bh.icdcm(s, dir), Bh.pharm(s, dir),
+        Bh.proc(s, dir), Bh.header(s, dir), Bh.ref(s))
+      .orderBy(col("id_apde"), col("bh_cond"),
+        col("first_encounter_date"), col("last_encounter_date"))
+
+  /** Synthetic combined-source CCW frames (q154): header claim types
+    * 1..6 split the condition-1/condition-2 lists; dx codes plant hits
+    * for all three condition configs plus exclusion codes; the wide
+    * icdcm ref carries per-condition 0/1 flag columns like the
+    * reference's ref.icdcm_codes. */
+  private[graft] object Ccw {
+    import graft.builds.CcwConditions.{CcwArm, CcwDef}
+    def header(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(
+        (lit(1000) + col("o_custkey") % 90).as("id_apde"),
+        ok.as("claim_header_id"),
+        (lit(1) + ok % 6).cast("int").as("claim_type_id"),
+        to_date(col("o_orderdate")).as("first_service_date"))
+    }
+    def icdcm(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("l_partkey")
+      val ver = when(pk % 5 === 0, 9).otherwise(10)
+      t(s, dir, "lineitem").join(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            (lit(1000) + col("o_custkey") % 90).as("id_apde")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("id_apde"), col("l_orderkey").as("claim_header_id"),
+          when(ver === 9,
+              when(pk % 9 === 0, "2440").when(pk % 9 === 1, "25000")
+                .when(pk % 9 === 2, "64800").when(pk % 9 === 3, "43491")
+                .otherwise(lpad((pk % 999).cast("string"), 4, "0")))
+            .otherwise(
+              when(pk % 9 === 0, "E039").when(pk % 9 === 1, "E119")
+                .when(pk % 9 === 2, "O2412").when(pk % 9 === 3, "I6350")
+                .when(pk % 9 === 4, "Z3480")
+                .otherwise(concat(lit("J"),
+                  lpad((pk % 400).cast("string"), 3, "0"))))
+            .as("icdcm_norm"),
+          ver.as("icdcm_version"),
+          lpad(col("l_linenumber").cast("string"), 2, "0")
+            .as("icdcm_number"))
+    }
+    def icdcmRef(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq(
+        ("2440", 9, 1, 0, 0, 0, 0), ("E039", 10, 1, 0, 0, 0, 0),
+        ("25000", 9, 0, 1, 0, 0, 0), ("E119", 10, 0, 1, 0, 0, 0),
+        ("64800", 9, 0, 0, 1, 0, 0), ("O2412", 10, 0, 0, 1, 0, 0),
+        ("43491", 9, 0, 0, 0, 1, 0), ("I6350", 10, 0, 0, 0, 1, 0),
+        ("Z3480", 10, 0, 0, 0, 0, 1))
+        .toDF("icdcm", "icdcm_version", "ccw_hypothyroid", "ccw_diabetes",
+          "ccw_diabetes_exclude", "ccw_stroke", "ccw_stroke_exclude")
+    }
+    val conds: Seq[CcwDef] = Seq(
+      CcwDef(1, "Acquired hypothyroidism", "hypothyroid", claimCount = 1,
+        lookbackMonths = 12, dxClaim1 = Seq(1, 2, 3), dxClaim2 = Seq(4, 5),
+        exclude1 = None, exclude2 = None,
+        icd9 = CcwArm(run = true, dxFields = "any"),
+        icd10 = CcwArm(run = true, dxFields = "any")),
+      CcwDef(2, "Diabetes", "diabetes", claimCount = 2,
+        lookbackMonths = 24, dxClaim1 = Seq(1), dxClaim2 = Seq(2, 4, 5),
+        exclude1 = Some("ccw_diabetes_exclude"), exclude2 = None,
+        icd9 = CcwArm(run = true, dxFields = "1-2"),
+        icd10 = CcwArm(run = true, dxFields = "1-2")),
+      CcwDef(3, "Stroke / TIA", "stroke", claimCount = 2,
+        lookbackMonths = 12, dxClaim1 = Seq(1), dxClaim2 = Seq(2, 4),
+        exclude1 = Some("ccw_stroke_exclude"), exclude2 = None,
+        icd9 = CcwArm(run = false, dxFields = "1",
+          exclude1Fields = "1-2"),
+        icd10 = CcwArm(run = true, dxFields = "1",
+          exclude1Fields = "1-2")))
+  }
+
+  /** §7.5.10 combined mcaid+mcare claim_ccw (q154, load_ccw.R for
+    * source=mcaid_mcare): per-condition dx_fields restrictions, wide-ref
+    * condition flags, claim-level exclusion gates, claim-type-split
+    * condition-1/2 classification, T-SQL month-boundary lookback
+    * windows, and the LEAST/GREATEST encounter-span collapse — all
+    * conditions reduced in ONE icdcm scan. */
+  def q154McaidMcareCcw(s: SparkSession, dir: String): DataFrame =
+    graft.builds.CcwConditions.build(Ccw.header(s, dir), Ccw.icdcm(s, dir),
+        Ccw.icdcmRef(s), Ccw.conds)
+      .orderBy(col("ccw_code"), col("id_apde"))
+
   /** §7.5.6 APCD elig_demo (q152, load_stage.apcd_elig_demo.R): DOB
     * estimated from contiguous member-month age increments (Dec→Jan `89`
     * quirk preserved), alone-or-in-combination + mutually-exclusive
