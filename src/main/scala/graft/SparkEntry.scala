@@ -247,6 +247,8 @@ object SparkEntry {
     "q152_apcd_elig_demo" -> (graft.queries.BuildQueries.q152ApcdEligDemo _),
     "q153_mcaid_mcare_bh" -> (graft.queries.BuildQueries.q153McaidMcareBh _),
     "q154_mcaid_mcare_ccw" -> (graft.queries.BuildQueries.q154McaidMcareCcw _),
+    "q155_apde_xwalk" -> (graft.queries.BuildQueries.q155ApdeXwalk _),
+    "q156_apcd_elig_month" -> (graft.queries.BuildQueries.q156ApcdEligMonth _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6793,5 +6795,192 @@ object SparkEntry {
       UNION ALL SELECT * FROM dbfin
       UNION ALL SELECT * FROM stfin
       ORDER BY ccw_code, id_apde""",
+
+    // q155: apde identity crosswalk — pattern gates, most-recent link
+    // dedup (KCMASTER tie-break), md5-prefix id_apde stand-in,
+    // multiplicative KCMASTER full merges, NULL id_mcare placeholder.
+    "q155_apde_xwalk" -> """
+      WITH hist AS (
+        SELECT
+          CASE WHEN o_orderkey % 31 = 0
+            THEN 'BAD' || lpad(CAST(o_custkey % 200 AS VARCHAR), 9, '0')
+            ELSE lpad(CAST(o_custkey % 200 AS VARCHAR), 9, '0') || 'KC'
+            END AS kcm,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'MEDICAID' ELSE 'HOUSING'
+            END AS src,
+          CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 31 <> 0 THEN
+            CASE WHEN o_orderkey % 17 = 0
+              THEN 'X' || CAST(o_orderkey % 5000 AS VARCHAR)
+              ELSE CAST(100000 + o_orderkey % 5000 AS VARCHAR) END
+            END AS mbr,
+          CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 31 <> 0 THEN
+            CASE WHEN o_orderkey % 29 = 0 THEN 'SHORT'
+              ELSE md5(CAST(o_orderkey % 700 AS VARCHAR))
+                || md5(CAST(o_orderkey % 700 + 1 AS VARCHAR)) END
+            END AS ph,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INT)
+            AS touched,
+          CASE WHEN o_orderkey % 13 = 0 THEN 'Y' ELSE 'N' END AS histflag
+        FROM orders),
+      cur AS (
+        SELECT * FROM hist WHERE histflag = 'N' AND kcm IS NOT NULL),
+      idh AS (
+        SELECT DISTINCT kcm, substring(md5(kcm), 1, 10) AS id_apde
+        FROM cur WHERE regexp_matches(kcm, '^[0-9]{9}KC$')),
+      mc0 AS (
+        SELECT DISTINCT kcm, mbr AS id_mcaid, touched FROM cur
+        WHERE src = 'MEDICAID' AND regexp_matches(mbr, '^[0-9]+$')),
+      mc AS (
+        SELECT kcm, id_mcaid FROM (
+          SELECT *, row_number() OVER (PARTITION BY id_mcaid
+            ORDER BY touched DESC, kcm ASC) AS rn FROM mc0)
+        WHERE rn = 1),
+      ph0 AS (
+        SELECT DISTINCT kcm, ph AS phousing_id, touched FROM cur
+        WHERE ph IS NOT NULL AND length(ph) = 64),
+      phx AS (
+        SELECT kcm, phousing_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY phousing_id
+            ORDER BY touched DESC, kcm ASC) AS rn FROM ph0)
+        WHERE rn = 1),
+      j1 AS (
+        SELECT coalesce(i.kcm, m.kcm) AS kcm, i.id_apde, m.id_mcaid
+        FROM idh i FULL JOIN mc m ON i.kcm = m.kcm),
+      j2 AS (
+        SELECT j.id_apde, coalesce(j.kcm, p.kcm) AS KCMASTER_ID,
+          j.id_mcaid, CAST(NULL AS VARCHAR) AS id_mcare, p.phousing_id
+        FROM j1 j FULL JOIN phx p ON j.kcm = p.kcm)
+      SELECT * FROM j2
+      ORDER BY id_apde, KCMASTER_ID, id_mcaid, phousing_id""",
+
+    // q156: APCD elig_month — presence-combination covgrps, market
+    // flags, empirical dual, ZIP geo attach, month boundaries, periods.
+    "q156_apcd_elig_month" -> """
+      WITH mm AS (
+        SELECT o_custkey % 300 AS id_apcd,
+          strftime(CAST(o_orderdate AS DATE), '%Y%m') AS ym,
+          CASE WHEN o_orderkey % 5 = 0 THEN '98101'
+            WHEN o_orderkey % 5 = 1 THEN '98052'
+            WHEN o_orderkey % 5 = 2 THEN '99201'
+            WHEN o_orderkey % 5 = 3 THEN '97201' END AS zip_code,
+          CASE WHEN (o_orderkey // 1) % 2 = 0 THEN o_orderkey END AS mm1,
+          CASE WHEN (o_orderkey // 2) % 2 = 0 THEN o_orderkey END AS mm2,
+          CASE WHEN (o_orderkey // 4) % 2 = 0 THEN o_orderkey END AS mm3,
+          CASE WHEN (o_orderkey // 8) % 2 = 0 THEN o_orderkey END AS ma,
+          CASE WHEN (o_orderkey // 16) % 2 = 0 THEN o_orderkey END AS rx1,
+          CASE WHEN (o_orderkey // 32) % 2 = 0 THEN o_orderkey END AS rx2,
+          CASE WHEN (o_orderkey // 64) % 2 = 0 THEN o_orderkey END AS rx3,
+          CASE WHEN (o_orderkey // 128) % 2 = 0 THEN o_orderkey END AS ra,
+          CASE WHEN (o_orderkey // 256) % 2 = 0 THEN o_orderkey END AS d1,
+          CASE WHEN (o_orderkey // 512) % 2 = 0 THEN o_orderkey END AS d2,
+          CASE WHEN (o_orderkey // 1024) % 2 = 0 THEN o_orderkey END
+            AS d3,
+          CASE WHEN (o_orderkey // 2048) % 2 = 0 THEN o_orderkey END
+            AS da
+        FROM orders),
+      grp AS (
+        SELECT id_apcd, ym, zip_code,
+          CAST(strptime(ym || '01', '%Y%m%d') AS DATE) AS from_date,
+          last_day(CAST(strptime(ym || '01', '%Y%m%d') AS DATE))
+            AS to_date,
+          CASE WHEN coalesce(mm1, rx1, d1) IS NOT NULL
+            AND coalesce(mm3, rx3, d3) IS NOT NULL THEN 1 ELSE 0 END
+            AS dual,
+          CASE
+            WHEN mm1 IS NOT NULL AND mm2 IS NULL AND mm3 IS NULL THEN 1
+            WHEN mm1 IS NULL AND mm2 IS NULL AND mm3 IS NOT NULL THEN 2
+            WHEN mm1 IS NULL AND mm2 IS NOT NULL AND mm3 IS NULL THEN 3
+            WHEN mm1 IS NOT NULL AND mm2 IS NULL AND mm3 IS NOT NULL
+              THEN 4
+            WHEN mm1 IS NOT NULL AND mm2 IS NOT NULL AND mm3 IS NULL
+              THEN 5
+            WHEN mm1 IS NULL AND mm2 IS NOT NULL AND mm3 IS NOT NULL
+              THEN 6
+            WHEN mm1 IS NOT NULL AND mm2 IS NOT NULL AND mm3 IS NOT NULL
+              THEN 7
+            WHEN ma IS NOT NULL THEN 8 ELSE 0 END AS med_covgrp,
+          CASE
+            WHEN rx1 IS NOT NULL AND rx2 IS NULL AND rx3 IS NULL THEN 1
+            WHEN rx1 IS NULL AND rx2 IS NULL AND rx3 IS NOT NULL THEN 2
+            WHEN rx1 IS NULL AND rx2 IS NOT NULL AND rx3 IS NULL THEN 3
+            WHEN rx1 IS NOT NULL AND rx2 IS NULL AND rx3 IS NOT NULL
+              THEN 4
+            WHEN rx1 IS NOT NULL AND rx2 IS NOT NULL AND rx3 IS NULL
+              THEN 5
+            WHEN rx1 IS NULL AND rx2 IS NOT NULL AND rx3 IS NOT NULL
+              THEN 6
+            WHEN rx1 IS NOT NULL AND rx2 IS NOT NULL AND rx3 IS NOT NULL
+              THEN 7
+            WHEN ra IS NOT NULL THEN 8 ELSE 0 END AS pharm_covgrp,
+          CASE
+            WHEN d1 IS NOT NULL AND d2 IS NULL AND d3 IS NULL THEN 1
+            WHEN d1 IS NULL AND d2 IS NULL AND d3 IS NOT NULL THEN 2
+            WHEN d1 IS NULL AND d2 IS NOT NULL AND d3 IS NULL THEN 3
+            WHEN d1 IS NOT NULL AND d2 IS NULL AND d3 IS NOT NULL THEN 4
+            WHEN d1 IS NOT NULL AND d2 IS NOT NULL AND d3 IS NULL THEN 5
+            WHEN d1 IS NULL AND d2 IS NOT NULL AND d3 IS NOT NULL THEN 6
+            WHEN d1 IS NOT NULL AND d2 IS NOT NULL AND d3 IS NOT NULL
+              THEN 7
+            WHEN da IS NOT NULL THEN 8 ELSE 0 END AS dental_covgrp
+        FROM mm),
+      zg(zip_code, zip_group_type_desc, zip_group_code, zip_group_desc)
+        AS (VALUES
+        ('98101','County',NULL,'King'), ('98052','County',NULL,'King'),
+        ('99201','County',NULL,'Spokane'),
+        ('98101','Accountable Community of Health','ACH-KC',
+          'HealthierHere'),
+        ('98052','Accountable Community of Health','ACH-KC',
+          'HealthierHere'),
+        ('99201','Accountable Community of Health','ACH-BH',
+          'Better Health Together')),
+      county AS (
+        SELECT DISTINCT zip_code, zip_group_desc FROM zg
+        WHERE zip_group_type_desc = 'County'),
+      ach AS (
+        SELECT DISTINCT zip_code, zip_group_code, zip_group_desc FROM zg
+        WHERE left(zip_group_type_desc, 3) = 'Acc'),
+      fips(geo_county_name, geo_county_code_fips) AS (VALUES
+        ('King','033'), ('Spokane','063'))
+      SELECT a.id_apcd, a.from_date, a.to_date, a.ym AS year_month,
+        CAST(substring(a.ym, 1, 4) AS INT) * 10 +
+          (CAST(substring(a.ym, 5, 2) AS INT) + 2) // 3 AS year_quarter,
+        CAST(substring(a.ym, 1, 4) AS INT) AS "year",
+        a.med_covgrp, a.pharm_covgrp, a.dental_covgrp,
+        CASE WHEN a.med_covgrp IN (1,4,5,7) THEN 1 ELSE 0 END
+          AS med_medicaid,
+        CASE WHEN a.med_covgrp IN (2,4,6,7) THEN 1 ELSE 0 END
+          AS med_medicare,
+        CASE WHEN a.med_covgrp IN (3,5,6,7) THEN 1 ELSE 0 END
+          AS med_commercial,
+        CASE WHEN a.med_covgrp = 8 THEN 1 ELSE 0 END AS med_unknown,
+        CASE WHEN a.pharm_covgrp IN (1,4,5,7) THEN 1 ELSE 0 END
+          AS pharm_medicaid,
+        CASE WHEN a.pharm_covgrp IN (2,4,6,7) THEN 1 ELSE 0 END
+          AS pharm_medicare,
+        CASE WHEN a.pharm_covgrp IN (3,5,6,7) THEN 1 ELSE 0 END
+          AS pharm_commercial,
+        CASE WHEN a.pharm_covgrp = 8 THEN 1 ELSE 0 END AS pharm_unknown,
+        CASE WHEN a.dental_covgrp IN (1,4,5,7) THEN 1 ELSE 0 END
+          AS dental_medicaid,
+        CASE WHEN a.dental_covgrp IN (2,4,6,7) THEN 1 ELSE 0 END
+          AS dental_medicare,
+        CASE WHEN a.dental_covgrp IN (3,5,6,7) THEN 1 ELSE 0 END
+          AS dental_commercial,
+        CASE WHEN a.dental_covgrp = 8 THEN 1 ELSE 0 END
+          AS dental_unknown,
+        a.dual, a.zip_code AS geo_zip,
+        f.geo_county_code_fips AS geo_county_code,
+        b.zip_group_desc AS geo_county,
+        c.zip_group_code AS geo_ach_code, c.zip_group_desc AS geo_ach,
+        CASE WHEN b.zip_group_desc IS NOT NULL THEN 1 ELSE 0 END
+          AS geo_wa,
+        CASE WHEN b.zip_group_desc = 'King' THEN 1 ELSE 0 END AS geo_kc,
+        date_diff('day', a.from_date, a.to_date) + 1 AS cov_time_day
+      FROM grp a
+      LEFT JOIN county b ON a.zip_code = b.zip_code
+      LEFT JOIN ach c ON a.zip_code = c.zip_code
+      LEFT JOIN fips f ON b.zip_group_desc = f.geo_county_name
+      ORDER BY a.id_apcd, a.from_date, a.med_covgrp, a.pharm_covgrp,
+        a.dental_covgrp, geo_zip""",
   )
 }

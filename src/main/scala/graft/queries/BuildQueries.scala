@@ -2482,6 +2482,86 @@ object BuildQueries {
         Ccw.icdcmRef(s), Ccw.conds)
       .orderBy(col("ccw_code"), col("id_apde"))
 
+  /** §7.5.10 apde identity crosswalk (q155,
+    * load_stage.xwalk_apde_mcaid_mcare_pha.R): IM_HISTORY extracts with
+    * pattern gates (9-digit+KC master id, all-digit mcaid id, 64-char
+    * phousing id), most-recently-touched link dedup, deterministic
+    * md5-prefix stand-in for the seeded random id_apde, and the
+    * intentionally multiplicative KCMASTER full merges. The synthetic
+    * history table plants invalid master ids (link-free, as the
+    * reference's error gate demands), invalid mcaid/pha ids, historical
+    * rows, and cross-master duplicate links with differing touch dates. */
+  def q155ApdeXwalk(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val kcmBase = lpad((col("o_custkey") % 200).cast("string"), 9, "0")
+    val history = t(s, dir, "orders").select(
+      when(ok % 31 === 0, concat(lit("BAD"), kcmBase))
+        .otherwise(concat(kcmBase, lit("KC"))).as("KCMASTER_ID"),
+      when(ok % 2 === 0, "MEDICAID").otherwise("HOUSING")
+        .as("SOURCE_SYSTEM"),
+      when(ok % 2 === 0 && ok % 31 =!= 0,
+        when(ok % 17 === 0, concat(lit("X"), (ok % 5000).cast("string")))
+          .otherwise((lit(100000) + ok % 5000).cast("string")))
+        .as("MBR_H_SID"),
+      when(ok % 3 === 0 && ok % 31 =!= 0,
+        when(ok % 29 === 0, lit("SHORT"))
+          .otherwise(concat(md5((ok % 700).cast("string")),
+            md5((ok % 700 + 1).cast("string"))))).as("PHOUSING_ID"),
+      date_add(to_date(col("o_orderdate")), (ok % 90).cast("int"))
+        .as("LAST_TOUCHED"),
+      when(ok % 13 === 0, "Y").otherwise("N").as("IS_HISTORICAL"))
+    graft.builds.ApdeXwalk.build(history)
+      .orderBy(col("id_apde"), col("KCMASTER_ID"), col("id_mcaid"),
+        col("phousing_id"))
+  }
+
+  /** §7.5.6 APCD elig_month (q156, load_stage.apcd_elig_month.R):
+    * presence-combination 0-8 coverage groups for the three domains,
+    * covgrp-decoded market flags, empirical dual, ZIP→county/ACH/FIPS
+    * geo attach, month boundaries + inclusive cov_time_day, and the
+    * period variables. Domain-id presence is driven by independent
+    * order-key bits so every covgrp value 0-8 occurs. */
+  def q156ApcdEligMonth(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    def idIf(n: Int) = when(expr(s"o_orderkey div $n") % 2 === 0, ok)
+    val mm = t(s, dir, "orders").select(
+      (col("o_custkey") % 300).as("internal_member_id"),
+      date_format(to_date(col("o_orderdate")), "yyyyMM").as("year_month"),
+      when(ok % 5 === 0, "98101").when(ok % 5 === 1, "98052")
+        .when(ok % 5 === 2, "99201").when(ok % 5 === 3, "97201")
+        .as("zip_code"),
+      idIf(1).as("med_medicaid_eligibility_id"),
+      idIf(2).as("med_commercial_eligibility_id"),
+      idIf(4).as("med_medicare_eligibility_id"),
+      idIf(8).as("medical_eligibility_id"),
+      idIf(16).as("rx_medicaid_eligibility_id"),
+      idIf(32).as("rx_commercial_eligibility_id"),
+      idIf(64).as("rx_medicare_eligibility_id"),
+      idIf(128).as("pharmacy_eligibility_id"),
+      idIf(256).as("dental_medicaid_eligibility_id"),
+      idIf(512).as("dental_commercial_eligibility_id"),
+      idIf(1024).as("dental_medicare_eligibility_id"),
+      idIf(2048).as("dental_eligibility_id"))
+    import s.implicits._
+    val zipGroup = Seq(
+      ("98101", "County", null, "King"),
+      ("98052", "County", null, "King"),
+      ("99201", "County", null, "Spokane"),
+      ("98101", "Accountable Community of Health", "ACH-KC",
+        "HealthierHere"),
+      ("98052", "Accountable Community of Health", "ACH-KC",
+        "HealthierHere"),
+      ("99201", "Accountable Community of Health", "ACH-BH",
+        "Better Health Together"))
+      .toDF("zip_code", "zip_group_type_desc", "zip_group_code",
+        "zip_group_desc")
+    val countyRef = Seq(("King", "033"), ("Spokane", "063"))
+      .toDF("geo_county_name", "geo_county_code_fips")
+    graft.builds.ApcdEligMonth.build(mm, zipGroup, countyRef)
+      .orderBy(col("id_apcd"), col("from_date"), col("med_covgrp"),
+        col("pharm_covgrp"), col("dental_covgrp"), col("geo_zip"))
+  }
+
   /** §7.5.6 APCD elig_demo (q152, load_stage.apcd_elig_demo.R): DOB
     * estimated from contiguous member-month age increments (Dec→Jan `89`
     * quirk preserved), alone-or-in-combination + mutually-exclusive
