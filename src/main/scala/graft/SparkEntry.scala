@@ -249,6 +249,7 @@ object SparkEntry {
     "q154_mcaid_mcare_ccw" -> (graft.queries.BuildQueries.q154McaidMcareCcw _),
     "q155_apde_xwalk" -> (graft.queries.BuildQueries.q155ApdeXwalk _),
     "q156_apcd_elig_month" -> (graft.queries.BuildQueries.q156ApcdEligMonth _),
+    "q157_mcare_claim_pharm" -> (graft.queries.BuildQueries.q157McareClaimPharm _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6982,5 +6983,122 @@ object SparkEntry {
       LEFT JOIN fips f ON b.zip_group_desc = f.geo_county_name
       ORDER BY a.id_apcd, a.from_date, a.med_covgrp, a.pharm_covgrp,
         a.dental_covgrp, geo_zip""",
+
+    // q157: mcare claim_pharm — five facility NDC arms (charclass
+    // exclusion, ResDAC denial rule, enrollment existence, NDC pad) +
+    // three drifted Part D arms (ON-clause enrollment quirk kept).
+    "q157_mcare_claim_pharm" -> """
+      WITH enroll AS (
+        SELECT 'B' || CAST(c_custkey AS VARCHAR) AS bene_id
+        FROM customer WHERE c_custkey % 7 <> 3),
+      fac_rev AS (
+        SELECT 'B' || CAST(o_custkey AS VARCHAR) AS bene_id,
+          'C' || CAST(l_orderkey AS VARCHAR) AS clm_id,
+          CAST(l_linenumber AS VARCHAR) AS clm_line_num,
+          CASE WHEN l_partkey % 13 = 0 THEN NULL
+            WHEN l_partkey % 13 = 1
+            THEN 'N' || lpad(CAST(l_partkey % 9999 AS VARCHAR), 4, '0')
+            ELSE lpad(CAST(l_partkey % 100000000 AS VARCHAR), 8, '0')
+            END AS ndc_raw,
+          l_quantity + 0.25 AS qty,
+          CASE WHEN l_suppkey % 2 = 0 THEN 'UN' ELSE 'ML' END AS qlfr,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'hha'
+            WHEN o_orderkey % 5 = 1 THEN 'hospice'
+            WHEN o_orderkey % 5 = 2 THEN 'inpatient'
+            WHEN o_orderkey % 5 = 3 THEN 'outpatient'
+            ELSE 'snf' END AS ft
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      fac_base AS (
+        SELECT 'C' || CAST(o_orderkey AS VARCHAR) AS clm_id,
+          CAST(o_orderdate AS DATE) AS thru,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'N'
+            WHEN o_orderkey % 11 = 1 THEN NULL ELSE '' END AS nonpmt
+        FROM orders WHERE o_orderkey % 19 <> 0),
+      fac AS (
+        SELECT r.bene_id AS id_mcare, r.clm_id AS claim_header_id,
+          r.clm_line_num AS claim_line_id, b.thru AS last_service_date,
+          CAST(NULL AS VARCHAR) AS prscrbr_npi,
+          right('00000000000' || r.ndc_raw, 11) AS ndc,
+          CAST(r.qty AS DOUBLE) AS facility_drug_quantity,
+          r.qlfr AS facility_drug_quantity_unit,
+          CAST(NULL AS VARCHAR) AS cmpnd_cd,
+          CAST(NULL AS DOUBLE) AS qty_dspnsd_num,
+          CAST(NULL AS INT) AS days_suply_num,
+          CAST(NULL AS INT) AS fill_num,
+          CAST(NULL AS DOUBLE) AS ptnt_pay_amt,
+          CAST(NULL AS DOUBLE) AS othr_troop_amt,
+          CAST(NULL AS DOUBLE) AS lics_amt,
+          CAST(NULL AS DOUBLE) AS plro_amt,
+          CAST(NULL AS DOUBLE) AS cvrd_d_plan_pd_amt,
+          CAST(NULL AS DOUBLE) AS ncvrd_plan_pd_amt,
+          CAST(NULL AS DOUBLE) AS tot_rx_cst_amt,
+          CAST(NULL AS VARCHAR) AS dosage_form_code,
+          CAST(NULL AS VARCHAR) AS dosage_form_code_desc,
+          CAST(NULL AS VARCHAR) AS strength,
+          CAST(NULL AS VARCHAR) AS pharmacy_id,
+          CAST(NULL AS VARCHAR) AS brand_generic_flag,
+          CAST(NULL AS VARCHAR) AS pharmacy_type,
+          r.ft AS filetype_mcare
+        FROM fac_rev r LEFT JOIN fac_base b ON r.clm_id = b.clm_id
+        WHERE r.ndc_raw IS NOT NULL
+          AND NOT regexp_matches(substring(r.ndc_raw, 1, 1), '^[A-Z]$')
+          AND (b.nonpmt = '' OR b.nonpmt IS NULL)
+          AND r.bene_id IN (SELECT bene_id FROM enroll)),
+      pde_src AS (
+        SELECT 'B' || CAST(o_custkey AS VARCHAR) AS bene_id,
+          'P' || CAST(o_orderkey AS VARCHAR) AS pde_id,
+          CAST(o_orderdate AS DATE) AS srvc_dt,
+          CASE WHEN o_orderkey % 4 = 0 THEN '1'
+            WHEN o_orderkey % 4 = 1 THEN '01'
+            WHEN o_orderkey % 4 = 2 THEN '7' END AS qlfr,
+          lpad(CAST(o_orderkey % 2000000000 AS VARCHAR), 10, '0')
+            AS prscrbr_id,
+          lpad(CAST((o_orderkey * 3) % 999999999 AS VARCHAR), 9, '0')
+            AS prod_srvc_id,
+          CAST(o_orderkey % 2 AS VARCHAR) AS cmpnd_cd,
+          CAST(o_orderkey % 300 AS DOUBLE) * 0.5 AS qty_dspnsd_num,
+          CAST(o_orderkey % 90 AS INT) AS days_suply_num,
+          CAST(o_orderkey % 12 AS INT) AS fill_num,
+          CAST(o_totalprice AS DOUBLE) * 0.1 AS ptnt_pay_amt,
+          CAST(o_totalprice AS DOUBLE) * 0.05 AS othr_troop_amt,
+          CAST(o_totalprice AS DOUBLE) * 0.02 AS lics_amt,
+          CAST(o_totalprice AS DOUBLE) * 0.01 AS plro_amt,
+          CAST(o_totalprice AS DOUBLE) * 0.6 AS cvrd_d_plan_pd_amt,
+          CAST(o_totalprice AS DOUBLE) * 0.15 AS ncvrd_plan_pd_amt,
+          CAST(o_totalprice AS DOUBLE) * 0.93 AS tot_rx_cst_amt,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'TAB' ELSE 'CAP' END AS gcdf,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'TABLET' ELSE 'CAPSULE' END
+            AS gcdf_desc,
+          CAST(o_orderkey % 500 AS VARCHAR) || 'MG' AS strength,
+          lpad(CAST(o_orderkey % 90000 AS VARCHAR), 5, '0') AS ncpdp_id,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'B' ELSE 'G' END AS brnd,
+          CAST(o_orderkey % 9 AS VARCHAR) AS ptype,
+          o_orderkey % 3 AS slice
+        FROM orders),
+      pde AS (
+        SELECT bene_id AS id_mcare, pde_id AS claim_header_id,
+          CAST(NULL AS VARCHAR) AS claim_line_id,
+          srvc_dt AS last_service_date,
+          CASE WHEN qlfr IN ('1','01') THEN prscrbr_id END AS prscrbr_npi,
+          right('00000000000' || prod_srvc_id, 11) AS ndc,
+          CAST(NULL AS DOUBLE) AS facility_drug_quantity,
+          CAST(NULL AS VARCHAR) AS facility_drug_quantity_unit,
+          cmpnd_cd,
+          qty_dspnsd_num, days_suply_num, fill_num,
+          ptnt_pay_amt, othr_troop_amt, lics_amt, plro_amt,
+          cvrd_d_plan_pd_amt,
+          CASE WHEN slice <> 1 THEN ncvrd_plan_pd_amt END
+            AS ncvrd_plan_pd_amt,
+          tot_rx_cst_amt,
+          gcdf AS dosage_form_code, gcdf_desc AS dosage_form_code_desc,
+          strength, ncpdp_id AS pharmacy_id,
+          brnd AS brand_generic_flag, ptype AS pharmacy_type,
+          'pharmacy' AS filetype_mcare
+        FROM pde_src
+        WHERE slice IN (0, 1)
+          OR (slice = 2 AND bene_id IN (SELECT bene_id FROM enroll)))
+      SELECT DISTINCT * FROM (
+        SELECT * FROM fac UNION ALL SELECT * FROM pde)
+      ORDER BY filetype_mcare, claim_header_id, claim_line_id, ndc""",
   )
 }

@@ -2562,6 +2562,92 @@ object BuildQueries {
         col("pharm_covgrp"), col("dental_covgrp"), col("geo_zip"))
   }
 
+  /** §7.5.11 mcare claim_pharm (q157, load_stage.mcare_claim_pharm.R):
+    * five facility revenue-center arms (NDC-bearing lines, T-SQL
+    * charclass alpha exclusion, ResDAC denial rule incl. the
+    * no-base-claim pass-through, enrollment existence, 11-digit NDC
+    * right-pad) UNIONed with three drifted Part D arms (current schema
+    * with the no-op ON-clause enrollment quirk, 2014 schema with NULL
+    * ncvrd, split a/b legacy schema with renamed columns and a real
+    * enrollment filter). */
+  def q157McareClaimPharm(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val pk = col("l_partkey")
+    val ft = when(ok % 5 === 0, "hha").when(ok % 5 === 1, "hospice")
+      .when(ok % 5 === 2, "inpatient").when(ok % 5 === 3, "outpatient")
+      .otherwise("snf")
+    val revAll = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("B"), col("o_custkey").cast("string")).as("bene_id"),
+        concat(lit("C"), col("l_orderkey").cast("string")).as("clm_id"),
+        col("l_linenumber").cast("string").as("clm_line_num"),
+        when(pk % 13 === 0, lit(null).cast("string"))
+          .when(pk % 13 === 1,
+            concat(lit("N"), lpad((pk % 9999).cast("string"), 4, "0")))
+          .otherwise(lpad((pk % 100000000).cast("string"), 8, "0"))
+          .as("rev_cntr_ide_ndc_upc_num"),
+        (col("l_quantity") + 0.25).as("rev_cntr_ndc_qty"),
+        when(col("l_suppkey") % 2 === 0, "UN").otherwise("ML")
+          .as("rev_cntr_ndc_qty_qlfr_cd"),
+        ft.as("ft"))
+    def rev(f: String) = revAll.filter(col("ft") === f).drop("ft")
+    val base = t(s, dir, "orders").filter(ok % 19 =!= 0).select(
+      concat(lit("C"), ok.cast("string")).as("clm_id"),
+      to_date(col("o_orderdate")).as("clm_thru_dt"),
+      when(ok % 11 === 0, "N").when(ok % 11 === 1, lit(null).cast("string"))
+        .otherwise("").as("clm_mdcr_non_pmt_rsn_cd"))
+    val enroll = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 3)
+      .select(concat(lit("B"), col("c_custkey").cast("string"))
+        .as("bene_id"))
+    def pdeSlice(r: Int) = t(s, dir, "orders").filter(ok % 3 === r).select(
+      concat(lit("B"), col("o_custkey").cast("string")).as("bene_id"),
+      concat(lit("P"), ok.cast("string")).as("pde_id"),
+      to_date(col("o_orderdate")).as("srvc_dt"),
+      when(ok % 4 === 0, "1").when(ok % 4 === 1, "01")
+        .when(ok % 4 === 2, "7").as("prscrbr_id_qlfyr_cd"),
+      lpad((ok % 2000000000).cast("string"), 10, "0").as("prscrbr_id"),
+      lpad(((ok * 3) % 999999999).cast("string"), 9, "0")
+        .as("prod_srvc_id"),
+      (ok % 2).cast("string").as("cmpnd_cd"),
+      ((ok % 300) * 0.5).as("qty_dspnsd_num"),
+      (ok % 90).cast("int").as("days_suply_num"),
+      (ok % 12).cast("int").as("fill_num"),
+      (col("o_totalprice") * 0.1).as("ptnt_pay_amt"),
+      (col("o_totalprice") * 0.05).as("othr_troop_amt"),
+      (col("o_totalprice") * 0.02).as("lics_amt"),
+      (col("o_totalprice") * 0.01).as("plro_amt"),
+      (col("o_totalprice") * 0.6).as("cvrd_d_plan_pd_amt"),
+      (col("o_totalprice") * 0.15).as("ncvrd_plan_pd_amt"),
+      (col("o_totalprice") * 0.93).as("tot_rx_cst_amt"),
+      when(ok % 2 === 0, "TAB").otherwise("CAP").as("gcdf"),
+      when(ok % 2 === 0, "TABLET").otherwise("CAPSULE").as("gcdf_desc"),
+      concat((ok % 500).cast("string"), lit("MG")).as("str"),
+      lpad((ok % 90000).cast("string"), 5, "0").as("ncpdp_id"),
+      when(ok % 2 === 0, "B").otherwise("G").as("brnd_gnrc_cd"),
+      (ok % 9).cast("string").as("phrmcy_srvc_type_cd"))
+    val pdeA = pdeSlice(2).select(col("bene_id"), col("pde_id"),
+      col("srvc_dt"), col("prscrbr_id_qlfyr_cd").as("prscqlfr"),
+      col("prscrbr_id").as("prscrbid"), col("prod_srvc_id").as("prdsrvid"),
+      col("cmpnd_cd"), col("qty_dspnsd_num").as("qtydspns"),
+      col("days_suply_num").as("dayssply"), col("fill_num"),
+      col("ptnt_pay_amt").as("ptpayamt"),
+      col("othr_troop_amt").as("othtroop"), col("lics_amt"),
+      col("plro_amt"), col("cvrd_d_plan_pd_amt").as("cpp_amt"),
+      col("ncvrd_plan_pd_amt").as("npp_amt"),
+      col("tot_rx_cst_amt").as("totalcst"))
+    val pdeB = pdeSlice(2).select(col("pde_id"), col("gcdf"),
+      col("gcdf_desc"), col("str"), col("ncpdp_id"),
+      col("brnd_gnrc_cd").as("brndgncd"), col("phrmcy_srvc_type_cd"))
+    graft.builds.McareClaimPharm.build(
+        Seq("hha", "hospice", "inpatient", "outpatient", "snf")
+          .map(f => (f, rev(f), base)),
+        enroll, pdeSlice(0), pdeSlice(1), pdeA, pdeB)
+      .orderBy(col("filetype_mcare"), col("claim_header_id"),
+        col("claim_line_id"), col("ndc"))
+  }
+
   /** §7.5.6 APCD elig_demo (q152, load_stage.apcd_elig_demo.R): DOB
     * estimated from contiguous member-month age increments (Dec→Jan `89`
     * quirk preserved), alone-or-in-combination + mutually-exclusive
