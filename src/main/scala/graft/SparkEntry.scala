@@ -250,6 +250,7 @@ object SparkEntry {
     "q155_apde_xwalk" -> (graft.queries.BuildQueries.q155ApdeXwalk _),
     "q156_apcd_elig_month" -> (graft.queries.BuildQueries.q156ApcdEligMonth _),
     "q157_mcare_claim_pharm" -> (graft.queries.BuildQueries.q157McareClaimPharm _),
+    "q158_mcare_claim_provider" -> (graft.queries.BuildQueries.q158McareClaimProvider _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7100,5 +7101,162 @@ object SparkEntry {
       SELECT DISTINCT * FROM (
         SELECT * FROM fac UNION ALL SELECT * FROM pde)
       ORDER BY filetype_mcare, claim_header_id, claim_line_id, ndc""",
+
+    // q158: mcare claim_provider — per-filetype role matrices UNPIVOTed
+    // to long, 10-digit ISNUMERIC NPI gate, role-mapped zip/specialty,
+    // carrier-vs-facility denial rules, rendering coalesce.
+    "q158_mcare_claim_provider" -> """
+      WITH base AS (
+        SELECT 'B' || CAST(o_custkey AS VARCHAR) AS id_mcare,
+          'C' || CAST(o_orderkey AS VARCHAR) AS chid,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + 3 AS lsd,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'carrier'
+            WHEN o_orderkey % 7 = 1 THEN 'dme'
+            WHEN o_orderkey % 7 = 2 THEN 'hha'
+            WHEN o_orderkey % 7 = 3 THEN 'hospice'
+            WHEN o_orderkey % 7 = 4 THEN 'inpatient'
+            WHEN o_orderkey % 7 = 5 THEN 'outpatient'
+            ELSE 'snf' END AS ft,
+          CASE WHEN o_orderkey % 10 = 0 THEN '0'
+            ELSE CAST(1 + o_orderkey % 9 AS VARCHAR) END AS dnl,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'N'
+            WHEN o_orderkey % 11 = 1 THEN NULL ELSE '' END AS nonpmt,
+          o_orderkey AS ok, o_custkey AS ck
+        FROM orders),
+      filtered AS (
+        SELECT * FROM base
+        WHERE CASE WHEN ft IN ('carrier','dme')
+          THEN dnl IN ('1','2','3','4','5','6','7','8','9')
+          ELSE (nonpmt = '' OR nonpmt IS NULL) END),
+      npis AS (
+        SELECT *,
+          CASE WHEN (ok*31+7) % 5 = 0
+            THEN lpad(CAST((ok*31+7) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+7) % 5 = 1
+            THEN lpad(CAST((ok*31+7) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+7) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+7) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi1,
+          CASE WHEN (ok*31+14) % 5 = 0
+            THEN lpad(CAST((ok*31+14) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+14) % 5 = 1
+            THEN lpad(CAST((ok*31+14) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+14) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+14) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi2,
+          CASE WHEN (ok*31+21) % 5 = 0
+            THEN lpad(CAST((ok*31+21) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+21) % 5 = 1
+            THEN lpad(CAST((ok*31+21) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+21) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+21) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi3,
+          CASE WHEN (ok*31+28) % 5 = 0
+            THEN lpad(CAST((ok*31+28) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+28) % 5 = 1
+            THEN lpad(CAST((ok*31+28) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+28) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+28) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi4,
+          CASE WHEN (ok*31+35) % 5 = 0
+            THEN lpad(CAST((ok*31+35) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+35) % 5 = 1
+            THEN lpad(CAST((ok*31+35) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+35) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+35) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi5,
+          CASE WHEN (ok*31+42) % 5 = 0
+            THEN lpad(CAST((ok*31+42) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+42) % 5 = 1
+            THEN lpad(CAST((ok*31+42) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+42) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+42) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi6,
+          CASE WHEN (ok*31+49) % 5 = 0
+            THEN lpad(CAST((ok*31+49) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+49) % 5 = 1
+            THEN lpad(CAST((ok*31+49) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+49) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+49) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi7,
+          CASE WHEN (ok*31+56) % 5 = 0
+            THEN lpad(CAST((ok*31+56) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+56) % 5 = 1
+            THEN lpad(CAST((ok*31+56) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+56) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+56) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi8,
+          CASE WHEN (ok*31+63) % 5 = 0
+            THEN lpad(CAST((ok*31+63) % 999999999 AS VARCHAR), 10, '0')
+            WHEN (ok*31+63) % 5 = 1
+            THEN lpad(CAST((ok*31+63) % 99999999 AS VARCHAR), 9, '0')
+            WHEN (ok*31+63) % 5 = 2
+            THEN 'A' || lpad(CAST((ok*31+63) % 99999999 AS VARCHAR), 9, '0')
+            END AS npi9
+        FROM filtered),
+      roles(role) AS (VALUES ('billing'),('referring'),
+        ('care_plan_oversight'),('site_of_service'),('rendering'),
+        ('organization'),('attending'),('operating'),('other')),
+      longr AS (
+        SELECT n.*, r.role,
+          n.ft NOT IN ('carrier','dme') AS fac,
+          CASE r.role
+            WHEN 'billing' THEN n.npi1
+            WHEN 'referring' THEN n.npi2
+            WHEN 'care_plan_oversight' THEN
+              CASE WHEN n.ft = 'carrier' THEN n.npi3 END
+            WHEN 'site_of_service' THEN
+              CASE WHEN n.ft <> 'dme' THEN n.npi4 END
+            WHEN 'rendering' THEN
+              CASE WHEN n.ft = 'carrier' THEN n.npi5
+                WHEN n.ft NOT IN ('carrier','dme') THEN
+                  coalesce(CASE WHEN n.ok % 3 <> 0 THEN n.npi5 END,
+                    n.npi6) END
+            WHEN 'organization' THEN
+              CASE WHEN n.ft = 'carrier' THEN n.npi6 END
+            WHEN 'attending' THEN
+              CASE WHEN n.ft NOT IN ('carrier','dme') THEN n.npi7 END
+            WHEN 'operating' THEN
+              CASE WHEN n.ft NOT IN ('carrier','dme') THEN n.npi8 END
+            WHEN 'other' THEN
+              CASE WHEN n.ft NOT IN ('carrier','dme') THEN n.npi9 END
+            END AS providers
+        FROM npis n CROSS JOIN roles r)
+      SELECT DISTINCT id_mcare, chid AS claim_header_id,
+        fsd AS first_service_date, lsd AS last_service_date,
+        CAST(providers AS BIGINT) AS provider_npi,
+        role AS provider_type,
+        CASE WHEN ft = 'carrier' THEN CAST(ok % 9 AS VARCHAR) END
+          AS provider_type_nch,
+        CASE WHEN ft = 'carrier'
+          THEN lpad(CAST(ok % 999999999 AS VARCHAR), 9, '0') END
+          AS provider_tin,
+        CASE WHEN role = 'rendering' AND ft NOT IN ('dme','hospice')
+          THEN lpad(CAST(ck % 99999 AS VARCHAR), 5, '0')
+          WHEN role = 'billing' AND ft = 'carrier'
+          THEN lpad(CAST((ck + 7) % 99999 AS VARCHAR), 5, '0') END
+          AS provider_zip,
+        CASE WHEN role = 'attending' AND fac
+          THEN lpad(CAST((ok + 1) % 100 AS VARCHAR), 2, '0')
+          WHEN role = 'operating' AND fac
+          THEN lpad(CAST((ok + 2) % 100 AS VARCHAR), 2, '0')
+          WHEN role = 'other' AND fac
+          THEN lpad(CAST((ok + 3) % 100 AS VARCHAR), 2, '0')
+          WHEN role = 'referring' AND fac
+          THEN lpad(CAST((ok + 4) % 100 AS VARCHAR), 2, '0')
+          WHEN role = 'rendering' AND ft = 'carrier'
+          THEN lpad(CAST((ok + 5) % 100 AS VARCHAR), 2, '0')
+          WHEN role = 'rendering' AND fac THEN
+            CASE WHEN ok % 3 <> 0 AND npi5 IS NOT NULL
+              THEN lpad(CAST((ok + 5) % 100 AS VARCHAR), 2, '0')
+              ELSE lpad(CAST((ok + 6) % 100 AS VARCHAR), 2, '0') END
+          END AS provider_specialty,
+        ft AS filetype_mcare
+      FROM longr
+      WHERE length(providers) = 10
+        AND regexp_matches(providers, '^[0-9]+$')
+      ORDER BY filetype_mcare, claim_header_id, provider_type,
+        provider_npi""",
   )
 }

@@ -2648,6 +2648,87 @@ object BuildQueries {
         col("claim_line_id"), col("ndc"))
   }
 
+  /** §7.5.11 mcare claim_provider (q158,
+    * load_stage.mcare_claim_provider.R): seven per-filetype wide
+    * provider-role projections UNPIVOTed to long, the 10-digit
+    * ISNUMERIC NPI gate, role-mapped zip/specialty, carrier-vs-facility
+    * denial rules, base-then-line rendering coalesce (with the
+    * specialty following the pick), UNION distinct. The role matrix per
+    * filetype matches the reference's per-arm UNPIVOT lists; planted
+    * NPIs include 9-digit and alpha-lead invalids. */
+  def q158McareClaimProvider(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McareClaimProvider
+    val ok = col("o_orderkey")
+    val ck = col("o_custkey")
+    val ft = when(ok % 7 === 0, "carrier").when(ok % 7 === 1, "dme")
+      .when(ok % 7 === 2, "hha").when(ok % 7 === 3, "hospice")
+      .when(ok % 7 === 4, "inpatient").when(ok % 7 === 5, "outpatient")
+      .otherwise("snf")
+    def npi(i: Int) = {
+      val v = ok * 31 + lit(i * 7)
+      when(v % 5 === 0, lpad((v % 999999999).cast("string"), 10, "0"))
+        .when(v % 5 === 1, lpad((v % 99999999).cast("string"), 9, "0"))
+        .when(v % 5 === 2,
+          concat(lit("A"), lpad((v % 99999999).cast("string"), 9, "0")))
+    }
+    def spec(i: Int) = lpad(((ok + i) % 100).cast("string"), 2, "0")
+    val isFacility = !ft.isin("carrier", "dme")
+    val aRnd = when(ok % 3 =!= 0, npi(5))
+    val dnl = when(ok % 10 === 0, "0")
+      .otherwise((lit(1) + ok % 9).cast("string"))
+    val nonPmt = when(ok % 11 === 0, "N")
+      .when(ok % 11 === 1, lit(null).cast("string")).otherwise("")
+    val wide = t(s, dir, "orders").select(
+        concat(lit("B"), ck.cast("string")).as("id_mcare"),
+        concat(lit("C"), ok.cast("string")).as("claim_header_id"),
+        to_date(col("o_orderdate")).as("first_service_date"),
+        date_add(to_date(col("o_orderdate")), 3).as("last_service_date"),
+        ft.as("ft"), dnl.as("dnl"), nonPmt.as("non_pmt"),
+        npi(1).as("billing"),
+        npi(2).as("referring"),
+        when(ft === "carrier", npi(3)).as("care_plan_oversight"),
+        when(ft =!= "dme", npi(4)).as("site_of_service"),
+        when(ft === "carrier", npi(5))
+          .when(isFacility, coalesce(aRnd, npi(6))).as("rendering"),
+        when(ft === "carrier", npi(6)).as("organization"),
+        when(isFacility, npi(7)).as("attending"),
+        when(isFacility, npi(8)).as("operating"),
+        when(isFacility, npi(9)).as("other"),
+        when(ft === "carrier", (ok % 9).cast("string"))
+          .as("provider_type_nch"),
+        when(ft === "carrier",
+          lpad((ok % 999999999).cast("string"), 9, "0")).as("provider_tin"),
+        when(ft =!= "dme" && ft =!= "hospice",
+          lpad((ck % 99999).cast("string"), 5, "0"))
+          .as("provider_zip_rendering"),
+        when(ft === "carrier",
+          lpad(((ck + 7) % 99999).cast("string"), 5, "0"))
+          .as("provider_zip_billing"),
+        when(isFacility, spec(1)).as("provider_specialty_attending"),
+        when(isFacility, spec(2)).as("provider_specialty_operating"),
+        when(isFacility, spec(3)).as("provider_specialty_other"),
+        when(isFacility, spec(4)).as("provider_specialty_referring"),
+        when(ft === "carrier", spec(5))
+          .when(isFacility,
+            when(aRnd.isNotNull, spec(5)).otherwise(spec(6)))
+          .as("provider_specialty_rendering"))
+      .filter(when(col("ft").isin("carrier", "dme"),
+          McareClaimProvider.carrierPaid(col("dnl")))
+        .otherwise(McareClaimProvider.facilityPaid(col("non_pmt"))))
+    def arm(f: String, roles: Seq[String]) =
+      (wide.filter(col("ft") === f), roles, f)
+    McareClaimProvider.build(Seq(
+        arm("carrier", McareClaimProvider.carrierRoles),
+        arm("dme", McareClaimProvider.dmeRoles),
+        arm("hha", McareClaimProvider.facilityRoles),
+        arm("hospice", McareClaimProvider.facilityRoles),
+        arm("inpatient", McareClaimProvider.facilityRoles),
+        arm("outpatient", McareClaimProvider.facilityRoles),
+        arm("snf", McareClaimProvider.facilityRoles)))
+      .orderBy(col("filetype_mcare"), col("claim_header_id"),
+        col("provider_type"), col("provider_npi"))
+  }
+
   /** §7.5.6 APCD elig_demo (q152, load_stage.apcd_elig_demo.R): DOB
     * estimated from contiguous member-month age increments (Dec→Jan `89`
     * quirk preserved), alone-or-in-combination + mutually-exclusive
