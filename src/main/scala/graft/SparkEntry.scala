@@ -251,6 +251,8 @@ object SparkEntry {
     "q156_apcd_elig_month" -> (graft.queries.BuildQueries.q156ApcdEligMonth _),
     "q157_mcare_claim_pharm" -> (graft.queries.BuildQueries.q157McareClaimPharm _),
     "q158_mcare_claim_provider" -> (graft.queries.BuildQueries.q158McareClaimProvider _),
+    "q159_elig_demo_extra" -> (graft.queries.BuildQueries.q159EligDemoExtra _),
+    "q160_perf_member_month" -> (graft.queries.BuildQueries.q160PerfEligMemberMonth _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7258,5 +7260,220 @@ object SparkEntry {
         AND regexp_matches(providers, '^[0-9]+$')
       ORDER BY filetype_mcare, claim_header_id, provider_type,
         provider_npi""",
+
+    // q159: mcaid elig_demo extra — noncisgender set-algebra cascade
+    // (dx sets, cancer-excluded procedure sets, parsed-strength hormone
+    // sets, gender-gated intersections, conflict removal).
+    "q159_elig_demo_extra" -> """
+      WITH fact AS (
+        SELECT o_custkey % 120 AS id, l_orderkey AS chid,
+          l_partkey AS pk, l_suppkey AS sk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      dx AS (
+        SELECT id, chid,
+          CASE WHEN pk % 4 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN pk % 4 = 0 THEN
+            CASE WHEN pk % 13 = 0 THEN '1830'
+              WHEN pk % 13 = 1 THEN '1841'
+              WHEN pk % 13 = 2 THEN '18751'
+              WHEN pk % 13 = 3 THEN '18712'
+              ELSE lpad(CAST(pk % 999 AS VARCHAR), 4, '0') END
+          ELSE
+            CASE WHEN pk % 13 = 0 THEN 'F64' || CAST(pk % 10 AS VARCHAR)
+              WHEN pk % 13 = 1 THEN 'F6510'
+              WHEN pk % 13 = 2 THEN 'Z878901'
+              WHEN pk % 13 = 3 THEN 'E348'
+              WHEN pk % 13 = 4 THEN 'E049'
+              WHEN pk % 13 = 5 THEN 'E251'
+              WHEN pk % 13 = 6 THEN 'E70'
+              WHEN pk % 13 = 7 THEN 'C561'
+              WHEN pk % 13 = 8 THEN 'C511'
+              WHEN pk % 13 = 9 THEN 'C62'
+              WHEN pk % 13 = 10 THEN 'C601'
+              ELSE 'A' || lpad(CAST(pk % 400 AS VARCHAR), 3, '0') END
+          END AS norm
+        FROM fact),
+      prc AS (
+        SELECT id, chid,
+          CASE WHEN pk % 17 = 0 THEN '55980'
+            WHEN pk % 17 = 1 THEN '58661'
+            WHEN pk % 17 = 2 THEN '0UTG0ZZ'
+            WHEN pk % 17 = 3 THEN '55970'
+            WHEN pk % 17 = 4 THEN '54520'
+            WHEN pk % 17 = 5 THEN '643'
+            WHEN pk % 17 = 6 THEN '15757'
+            WHEN pk % 17 = 7 THEN '0W4M070'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0') END AS code
+        FROM fact),
+      ph AS (
+        SELECT id,
+          CASE WHEN sk % 7 = 0 THEN '10000000001'
+            WHEN sk % 7 = 1 THEN '10000000002'
+            WHEN sk % 7 = 2 THEN '10000000003'
+            WHEN sk % 7 = 3 THEN '10000000004'
+            WHEN sk % 7 = 4 THEN '10000000005'
+            ELSE lpad(CAST(sk * 11 AS VARCHAR), 11, '0') END AS ndc
+        FROM fact),
+      demo AS (
+        SELECT id, CASE WHEN id % 3 = 0 THEN 'Female'
+          WHEN id % 3 = 1 THEN 'Male' ELSE 'Multiple' END AS gender_me
+        FROM (SELECT DISTINCT c_custkey % 120 AS id FROM customer)),
+      ndcref(ndc, name, form, strength) AS (VALUES
+        ('10000000001','ESTRADIOL VALERATE','INJECTION','10 mg'),
+        ('10000000002','NANDROLONE DECANOATE','INJECTION','200 '),
+        ('10000000003','TESTOSTERONE CYPIONATE','INJECTION','100; 50'),
+        ('10000000004','TESTOSTERONE','GEL','1.62'),
+        ('10000000005','SPIRONOLACTONE','TABLET','50'),
+        ('10000000006','ASPIRIN','TABLET','325')),
+      ndcref2 AS (
+        SELECT *, TRY_CAST(string_split(string_split(strength, ';')[1],
+          ' ')[1] AS DOUBLE) AS sval
+        FROM ndcref),
+      dys AS (SELECT DISTINCT id FROM dx
+        WHERE regexp_matches(norm, '^(F64|F651|Z87890)')),
+      endo AS (SELECT DISTINCT id FROM dx WHERE regexp_matches(norm,
+        '^(E34[89]|E0[0-7]|E2[0-7]|E31|E34[0-4]|E7|E8[03457]|E88[0-4])')),
+      ftm1 AS (SELECT DISTINCT id FROM prc WHERE code IN
+        ('0W4N071','0W4N0J1','0W4NOK1','15757','53410','55175','55180',
+         '55899','55980','57120','64856')),
+      ftm2 AS (SELECT DISTINCT id FROM prc WHERE code = '58661'
+        AND chid NOT IN (SELECT chid FROM dx
+          WHERE (ver = 9 AND norm LIKE '183%')
+            OR (ver = 10 AND regexp_matches(norm, '^C5[67]')))),
+      ftm3 AS (SELECT DISTINCT id FROM prc WHERE code IN
+        ('58661','704','7162','0UTG0ZZ','0UTG4ZZ','0UTG7ZZ','0UTG8ZZ',
+         '0UTM0ZZ','0UTMXZZ')
+        AND chid NOT IN (SELECT chid FROM dx
+          WHERE (ver = 9 AND norm LIKE '184%')
+            OR (ver = 10 AND regexp_matches(norm, '^C5[12]')))),
+      tmproc AS (SELECT id FROM ftm1 UNION SELECT id FROM ftm2
+        UNION SELECT id FROM ftm3),
+      mtf1 AS (SELECT DISTINCT id FROM prc WHERE code IN
+        ('0W4M070','0W4M0J0','0W4M0K0','0W4M0Z0','21209','31899','53430',
+         '54125','55970','56805','57335','58999')),
+      mtf2 AS (SELECT DISTINCT id FROM prc WHERE code IN ('54520','54690')
+        AND chid NOT IN (SELECT chid FROM dx
+          WHERE (ver = 9 AND regexp_matches(norm, '^187[5-9]'))
+            OR (ver = 10 AND regexp_matches(norm, '^C6[23]')))),
+      mtf3 AS (SELECT DISTINCT id FROM prc WHERE code IN
+        ('643','0VTS0ZZ','0VTS4ZZ','0VTSXZZ')
+        AND chid NOT IN (SELECT chid FROM dx
+          WHERE (ver = 9 AND regexp_matches(norm, '^187[1-4]'))
+            OR (ver = 10 AND norm LIKE 'C60%'))),
+      tfproc AS (SELECT id FROM mtf1 UNION SELECT id FROM mtf2
+        UNION SELECT id FROM mtf3),
+      femnoreq AS (SELECT DISTINCT p.id FROM ph p JOIN ndcref2 r
+        ON p.ndc = r.ndc
+        WHERE r.name LIKE '%ESTRAD%' OR r.name LIKE '%ESTRO%'
+          OR r.name LIKE '%ESTRIOL%' OR r.name LIKE '%ESTR/PRG%'),
+      mascnoreq AS (SELECT DISTINCT p.id FROM ph p JOIN ndcref2 r
+        ON p.ndc = r.ndc
+        WHERE r.name LIKE '%DIHYDROTESTOSTERONE PROPIONATE%'
+          OR r.name LIKE '%NANDROLONE%' OR r.name LIKE '%STANOLONE%'
+          OR r.name LIKE '%STANOZOLOL%'),
+      mascmin AS (SELECT DISTINCT p.id FROM ph p JOIN ndcref2 r
+        ON p.ndc = r.ndc
+        WHERE r.name LIKE '%TESTOSTERONE%' AND
+          ((r.sval >= 7 AND r.form IN ('INJECTION','INJECTION, SOLUTION'))
+           OR (r.sval >= 2 AND r.form IN ('GEL','PATCH','GEL, METERED')))),
+      femmin AS (SELECT DISTINCT p.id FROM ph p JOIN ndcref2 r
+        ON p.ndc = r.ndc
+        WHERE r.name LIKE '%SPIRONOLACTONE%' AND r.sval >= 50),
+      masch AS (SELECT id FROM mascnoreq UNION SELECT id FROM mascmin),
+      femh AS (SELECT id FROM femnoreq UNION SELECT id FROM femmin),
+      transunk AS (SELECT id FROM dys EXCEPT
+        (SELECT id FROM tmproc UNION SELECT id FROM tfproc)),
+      tmids AS (
+        SELECT id FROM tmproc
+        UNION (SELECT id FROM endo INTERSECT SELECT id FROM tmproc)
+        UNION (SELECT id FROM tmproc INTERSECT SELECT id FROM masch)
+        UNION (SELECT id FROM demo WHERE gender_me = 'Female'
+          INTERSECT SELECT id FROM endo
+          INTERSECT SELECT id FROM masch)),
+      tfids AS (
+        SELECT id FROM tfproc
+        UNION (SELECT id FROM endo INTERSECT SELECT id FROM tfproc)
+        UNION (SELECT id FROM tfproc INTERSECT SELECT id FROM femh)
+        UNION (SELECT id FROM demo WHERE gender_me = 'Male'
+          INTERSECT SELECT id FROM endo
+          INTERSECT SELECT id FROM femh)),
+      conflicts AS (SELECT id FROM tmids INTERSECT SELECT id FROM tfids),
+      flagged AS (
+        (SELECT id FROM tmids EXCEPT SELECT id FROM conflicts)
+        UNION (SELECT id FROM tfids EXCEPT SELECT id FROM conflicts)
+        UNION (SELECT id FROM transunk EXCEPT SELECT id FROM tmids
+          EXCEPT SELECT id FROM tfids))
+      SELECT d.id AS id_mcaid, d.gender_me,
+        CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END AS noncisgender
+      FROM demo d LEFT JOIN flagged f ON d.id = f.id
+      ORDER BY id_mcaid""",
+
+    // q160: mcaid perf elig member-month — plan recode, King ZIP gate,
+    // longest-span row pick per (member, month), pinned tie-break.
+    "q160_perf_member_month" -> """
+      WITH raw AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y%m') AS ym,
+          'M' || CAST(o_custkey % 150 AS VARCHAR) AS mid,
+          lpad(CAST(o_orderkey % 50 AS VARCHAR), 4, '0') AS rac,
+          date_trunc('month', CAST(o_orderdate AS DATE))::DATE AS fromd,
+          least(date_trunc('month', CAST(o_orderdate AS DATE))::DATE
+              + CAST(o_orderkey % 40 AS INT),
+            last_day(CAST(o_orderdate AS DATE))) AS tod,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'MC' ELSE 'FFS' END AS cov,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'Amerigroup Washington Inc'
+            WHEN o_orderkey % 7 = 1
+              THEN 'Community Health Plan of Washington'
+            WHEN o_orderkey % 7 = 2 THEN 'Coordinated Care Corporation'
+            WHEN o_orderkey % 7 = 3 THEN 'Coordinated Care of Washington'
+            WHEN o_orderkey % 7 = 4
+              THEN 'Molina Healthcare of Washington Inc'
+            WHEN o_orderkey % 7 = 5
+              THEN 'United Health Care Community Plan'
+            ELSE 'Some Other Plan' END AS pname,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'Y' ELSE 'N' END AS dual,
+          CASE WHEN o_orderkey % 6 = 0 THEN 'Y' ELSE 'N' END AS tpl,
+          CASE WHEN o_orderkey % 4 = 0 THEN '98101'
+            WHEN o_orderkey % 4 = 1 THEN '98052'
+            WHEN o_orderkey % 4 = 2 THEN '99201' END AS zip
+        FROM orders),
+      staged AS (
+        SELECT CAST(ym AS INT) AS CLNDR_YEAR_MNTH,
+          mid AS MEDICAID_RECIPIENT_ID, rac AS RPRTBL_RAC_CODE,
+          fromd AS FROM_DATE, tod AS TO_DATE,
+          cov AS COVERAGE_TYPE_IND,
+          CASE WHEN cov = 'MC' AND pname = 'Amerigroup Washington Inc'
+              THEN 'AGP'
+            WHEN cov = 'MC'
+              AND pname = 'Community Health Plan of Washington'
+              THEN 'CHP'
+            WHEN cov = 'MC' AND pname IN ('Coordinated Care Corporation',
+              'Coordinated Care of Washington') THEN 'CCW'
+            WHEN cov = 'MC'
+              AND pname = 'Molina Healthcare of Washington Inc'
+              THEN 'MHW'
+            WHEN cov = 'MC'
+              AND pname = 'United Health Care Community Plan'
+              THEN 'UHC' END AS MC_PRVDR_NAME,
+          dual AS DUAL_ELIG, tpl AS TPL_FULL_FLAG,
+          zip AS RSDNTL_POSTAL_CODE
+        FROM raw
+        WHERE zip IN ('98101', '98052')),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY MEDICAID_RECIPIENT_ID, CLNDR_YEAR_MNTH
+          ORDER BY date_diff('day', FROM_DATE, TO_DATE) DESC,
+            RPRTBL_RAC_CODE ASC NULLS FIRST,
+            FROM_DATE ASC NULLS FIRST,
+            COVERAGE_TYPE_IND ASC NULLS FIRST,
+            MC_PRVDR_NAME ASC NULLS FIRST,
+            DUAL_ELIG ASC NULLS FIRST,
+            TPL_FULL_FLAG ASC NULLS FIRST,
+            RSDNTL_POSTAL_CODE ASC NULLS FIRST) AS rn
+        FROM staged)
+      SELECT RSDNTL_POSTAL_CODE, CLNDR_YEAR_MNTH,
+        MEDICAID_RECIPIENT_ID, RPRTBL_RAC_CODE, FROM_DATE, TO_DATE,
+        COVERAGE_TYPE_IND, MC_PRVDR_NAME, DUAL_ELIG, TPL_FULL_FLAG
+      FROM ranked WHERE rn = 1
+      ORDER BY MEDICAID_RECIPIENT_ID, CLNDR_YEAR_MNTH""",
   )
 }

@@ -2729,6 +2729,106 @@ object BuildQueries {
         col("provider_type"), col("provider_npi"))
   }
 
+  /** §7.5.12 mcaid elig_demo extra — the noncisgender flag (q159,
+    * load_stage.mcaid_elig_demo_extra.R): dysphoria/endocrine dx sets,
+    * six procedure sets with claim-level cancer-exclusion anti-joins,
+    * name-LIKE hormone sets with parsed strength × dosage-form
+    * thresholds, and the union/intersect/conflict-removal cascade into
+    * a demographics flag. */
+  def q159EligDemoExtra(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("l_partkey")
+    val sk = col("l_suppkey")
+    val ver = when(pk % 4 === 0, 9).otherwise(10)
+    val fact = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 120).as("id_mcaid")),
+        col("l_orderkey") === col("o_orderkey"))
+    val icdcm = fact.select(col("id_mcaid"),
+      col("l_orderkey").as("claim_header_id"),
+      when(ver === 9,
+          when(pk % 13 === 0, "1830").when(pk % 13 === 1, "1841")
+            .when(pk % 13 === 2, "18751").when(pk % 13 === 3, "18712")
+            .otherwise(lpad((pk % 999).cast("string"), 4, "0")))
+        .otherwise(
+          when(pk % 13 === 0, concat(lit("F64"), (pk % 10).cast("string")))
+            .when(pk % 13 === 1, "F6510")
+            .when(pk % 13 === 2, "Z878901")
+            .when(pk % 13 === 3, "E348").when(pk % 13 === 4, "E049")
+            .when(pk % 13 === 5, "E251").when(pk % 13 === 6, "E70")
+            .when(pk % 13 === 7, "C561").when(pk % 13 === 8, "C511")
+            .when(pk % 13 === 9, "C62").when(pk % 13 === 10, "C601")
+            .otherwise(concat(lit("A"),
+              lpad((pk % 400).cast("string"), 3, "0"))))
+        .as("icdcm_norm"),
+      ver.as("icdcm_version"))
+    val proc = fact.select(col("id_mcaid"),
+      col("l_orderkey").as("claim_header_id"),
+      when(pk % 17 === 0, "55980").when(pk % 17 === 1, "58661")
+        .when(pk % 17 === 2, "0UTG0ZZ").when(pk % 17 === 3, "55970")
+        .when(pk % 17 === 4, "54520").when(pk % 17 === 5, "643")
+        .when(pk % 17 === 6, "15757").when(pk % 17 === 7, "0W4M070")
+        .otherwise(lpad((pk % 88888).cast("string"), 5, "0"))
+        .as("procedure_code"))
+    val pharm = fact.select(col("id_mcaid"),
+      when(sk % 7 === 0, "10000000001").when(sk % 7 === 1, "10000000002")
+        .when(sk % 7 === 2, "10000000003").when(sk % 7 === 3, "10000000004")
+        .when(sk % 7 === 4, "10000000005")
+        .otherwise(lpad((sk * 11).cast("string"), 11, "0")).as("ndc"))
+    import s.implicits._
+    val demo = t(s, dir, "customer")
+      .select((col("c_custkey") % 120).as("id_mcaid")).distinct()
+      .withColumn("gender_me",
+        when(col("id_mcaid") % 3 === 0, "Female")
+          .when(col("id_mcaid") % 3 === 1, "Male").otherwise("Multiple"))
+    val ndcRef = Seq(
+      ("10000000001", "ESTRADIOL VALERATE", "INJECTION", "10 mg", "MG"),
+      ("10000000002", "NANDROLONE DECANOATE", "INJECTION", "200 ", "MG"),
+      ("10000000003", "TESTOSTERONE CYPIONATE", "INJECTION", "100; 50",
+        "MG"),
+      ("10000000004", "TESTOSTERONE", "GEL", "1.62", "MG"),
+      ("10000000005", "SPIRONOLACTONE", "TABLET", "50", "MG"),
+      ("10000000006", "ASPIRIN", "TABLET", "325", "MG"))
+      .toDF("ndc", "nonproprietaryname", "dosageformname",
+        "active_numerator_strength", "active_ingred_unit")
+    graft.builds.EligDemoExtra.build(icdcm, proc, pharm, demo, ndcRef)
+      .orderBy(col("id_mcaid"))
+  }
+
+  /** §7.5.12 mcaid perf elig member-month feeder (q160,
+    * load_stage.mcaid_perf_elig_member_month.R): MC plan-name recode,
+    * King-County ZIP restriction, longest-coverage-span row pick per
+    * (member, month) with the tie deterministically pinned. */
+  def q160PerfEligMemberMonth(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val d = to_date(col("o_orderdate"))
+    val rawElig = t(s, dir, "orders").select(
+      date_format(d, "yyyyMM").as("CLNDR_YEAR_MNTH"),
+      concat(lit("M"), (col("o_custkey") % 150).cast("string"))
+        .as("MEDICAID_RECIPIENT_ID"),
+      lpad((ok % 50).cast("string"), 4, "0").as("RPRTBL_RAC_CODE"),
+      trunc(d, "month").as("FROM_DATE"),
+      least(date_add(trunc(d, "month"), (ok % 40).cast("int")),
+        last_day(d)).as("TO_DATE"),
+      when(ok % 3 === 0, "MC").otherwise("FFS").as("COVERAGE_TYPE_IND"),
+      when(ok % 7 === 0, "Amerigroup Washington Inc")
+        .when(ok % 7 === 1, "Community Health Plan of Washington")
+        .when(ok % 7 === 2, "Coordinated Care Corporation")
+        .when(ok % 7 === 3, "Coordinated Care of Washington")
+        .when(ok % 7 === 4, "Molina Healthcare of Washington Inc")
+        .when(ok % 7 === 5, "United Health Care Community Plan")
+        .otherwise("Some Other Plan").as("MC_PRVDR_NAME"),
+      when(ok % 5 === 0, "Y").otherwise("N").as("DUAL_ELIG"),
+      when(ok % 6 === 0, "Y").otherwise("N").as("TPL_FULL_FLAG"),
+      when(ok % 4 === 0, "98101").when(ok % 4 === 1, "98052")
+        .when(ok % 4 === 2, "99201").as("RSDNTL_POSTAL_CODE"))
+    import s.implicits._
+    val zipRef = Seq(("98101", "WA", "King"), ("98052", "WA", "King"),
+      ("99201", "WA", "Spokane"))
+      .toDF("zip_code", "state", "county_name")
+    graft.builds.PerfEligMemberMonth.build(rawElig, zipRef)
+      .orderBy(col("MEDICAID_RECIPIENT_ID"), col("CLNDR_YEAR_MNTH"))
+  }
+
   /** §7.5.6 APCD elig_demo (q152, load_stage.apcd_elig_demo.R): DOB
     * estimated from contiguous member-month age increments (Dec→Jan `89`
     * quirk preserved), alone-or-in-combination + mutually-exclusive
