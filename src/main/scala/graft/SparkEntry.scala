@@ -253,6 +253,7 @@ object SparkEntry {
     "q158_mcare_claim_provider" -> (graft.queries.BuildQueries.q158McareClaimProvider _),
     "q159_elig_demo_extra" -> (graft.queries.BuildQueries.q159EligDemoExtra _),
     "q160_perf_member_month" -> (graft.queries.BuildQueries.q160PerfEligMemberMonth _),
+    "q161_hybrid_retrieval" -> (T.q161HybridRetrieval _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7475,5 +7476,89 @@ object SparkEntry {
         COVERAGE_TYPE_IND, MC_PRVDR_NAME, DUAL_ELIG, TPL_FULL_FLAG
       FROM ranked WHERE rn = 1
       ORDER BY MEDICAID_RECIPIENT_ID, CLNDR_YEAR_MNTH""",
+
+    // q161: hybrid retrieval — BM25 top-20 + quantized-ANN top-20 per
+    // query fused by reciprocal rank (k=60); the chain is oracled.
+    "q161_hybrid_retrieval" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS t FROM documents),
+      post AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+        FROM (SELECT doc_id, unnest(t) AS tok, len(t)::BIGINT AS dl
+              FROM d)
+        WHERE len(tok) > 0 GROUP BY doc_id, tok),
+      stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+          sum(len(t))::BIGINT AS tot_dl FROM d),
+      q AS (SELECT * FROM (VALUES ('A', 'hash join merge'),
+        ('B', 'window stream batch'), ('C', 'customer order line'),
+        ('D', 'slow scan big table'), ('E', 'vector spark data query key'))
+        v(query_id, query_text)),
+      qt AS (
+        SELECT DISTINCT query_id,
+          unnest(regexp_split_to_array(trim(lower(query_text)), '\s+'))
+          AS tok FROM q),
+      dfreq AS (
+        SELECT tok, count(*)::BIGINT AS df FROM post
+        WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok),
+      bmscored AS (
+        SELECT qt.query_id, p.doc_id,
+          round(sum(
+            ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+            * p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75
+              + 0.75 * p.dl::DOUBLE
+                / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25
+        FROM post p JOIN qt ON p.tok = qt.tok
+          JOIN dfreq f ON p.tok = f.tok CROSS JOIN stats s
+        GROUP BY qt.query_id, p.doc_id),
+      bmr AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        FROM bmscored QUALIFY rank <= 20),
+      qz AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS qvec
+        FROM qz),
+      annscored AS (
+        SELECT CASE a.vec_id WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+            WHEN 2 THEN 'C' WHEN 3 THEN 'D' ELSE 'E' END AS query_id,
+          b.vec_id AS doc_id,
+          CASE WHEN list_inner_product(a.qvec, a.qvec) = 0
+              OR list_inner_product(b.qvec, b.qvec) = 0 THEN 0.0
+            ELSE list_inner_product(a.qvec, b.qvec)
+              / (sqrt(list_inner_product(a.qvec, a.qvec))
+                * sqrt(list_inner_product(b.qvec, b.qvec))) END
+            AS qcosine
+        FROM qv a CROSS JOIN qv b WHERE a.vec_id < 5),
+      annr AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY qcosine DESC, doc_id) AS INT) AS rank
+        FROM annscored QUALIFY rank <= 20),
+      fused AS (
+        SELECT coalesce(b.query_id, a.query_id) AS query_id,
+          coalesce(b.doc_id, a.doc_id) AS doc_id,
+          coalesce(CAST(1 AS DOUBLE) / (60 + b.rank), 0)
+            + coalesce(CAST(1 AS DOUBLE) / (60 + a.rank), 0)
+            AS rrf_score,
+          b.rank AS bm25_rank, a.rank AS ann_rank
+        FROM bmr b FULL JOIN annr a
+          ON b.query_id = a.query_id AND b.doc_id = a.doc_id)
+      SELECT query_id, doc_id, rrf_score, bm25_rank, ann_rank,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      FROM fused
+      QUALIFY rank <= 10
+      ORDER BY query_id, rank""",
   )
 }

@@ -594,4 +594,40 @@ object TextAnalysis {
         round(col("mix_share"), 6).as("mix_share"),
         round(col("sample_weight") * 1e6, 6).as("sample_weight_ppm"))
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval merge
+    * (Cormack et al. 2009): given N ranked lists (query_id, doc_id,
+    * rank), score every candidate Σ 1/(kRrf + rank_i) over the lists
+    * that retrieved it (absent lists contribute 0), and re-rank.
+    * Rank-derived scores are exact rationals evaluated as at most N
+    * double additions in a fixed fold order, so the fusion is
+    * bit-stable across engines; ties break on doc_id.
+    *
+    * Returns (query_id, doc_id, rrf_score, rank_0..rank_{N-1}, rank),
+    * rank_i = the candidate's rank in list i (NULL if not retrieved).
+    *
+    * Scale shape: the per-list inputs are already top-k (bounded per
+    * query); N-1 full joins + one window, all on (query_id, doc_id) /
+    * (query_id) — candidate-set sized, corpus-independent.
+    */
+  def rrfFuse(lists: Seq[DataFrame], topK: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("doc_id"),
+        col("rank").as(s"rank_$i"))
+    }
+    val joined = renamed.reduce(
+      (a, b) => a.join(b, Seq("query_id", "doc_id"), "full"))
+    val score = lists.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf) + col(s"rank_$i")),
+        lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    joined
+      .withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -322,4 +322,38 @@ object TextQueries {
         col("r.common").as("common"))
       .orderBy(col("id1"))
   }
+
+  /** Hybrid retrieval (q161): BM25 lexical top-20 and int8-quantized
+    * ANN top-20 per query, merged by reciprocal-rank fusion — the
+    * standard sparse+dense retrieval stack. Queries A-E carry both a
+    * term string (q134's set) and an embedding (vec_id 0-4, which
+    * aligns with doc_id in the synthetic corpus); the oracle composes
+    * BOTH arms and the fusion in SQL, so the chain is pinned. */
+  def q161HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val queriesTxt = Seq(
+      ("A", "hash join merge"), ("B", "window stream batch"),
+      ("C", "customer order line"), ("D", "slow scan big table"),
+      ("E", "vector spark data query key"))
+      .toDF("query_id", "query_text")
+    val bm = TextAnalysis.bm25TopK(t(s, dir, "documents"), queriesTxt,
+        k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val qmap = when(col("vec_id") === 0, "A").when(col("vec_id") === 1, "B")
+      .when(col("vec_id") === 2, "C").when(col("vec_id") === 3, "D")
+      .otherwise("E")
+    val qe = emb.filter(col("vec_id") < 5)
+      .select(qmap.as("query_id"), col("embedding"))
+    val ann = Similarity.quantizedTopK(qe, "query_id", "embedding",
+        emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    TextAnalysis.rrfFuse(Seq(bm, ann), topK = 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"),
+        col("rank_0").as("bm25_rank"), col("rank_1").as("ann_rank"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -128,9 +128,11 @@ class PlanSpec extends SparkSpec {
       "q134_bm25",       // hit set x broadcast 1-row (N, avgdl) totals
       "q135_perplexity", // doc bigrams x broadcast 1-row vocab size
       "q138_embed_pipeline", // crossJoin(broadcast(queries)): q129 shape
-      "q144_naloxone") // NDC contains-join: DISTINCT pharmacy vocabulary
+      "q144_naloxone", // NDC contains-join: DISTINCT pharmacy vocabulary
                        // x broadcast naloxone list (bounded dims only;
                        // fact rows join the expansion by exact key)
+      "q161_hybrid_retrieval") // ANN arm is q129's crossJoin(broadcast(
+                               // queries)) + BM25's 1-row totals cross
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>

@@ -240,4 +240,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(0)._3 - r6(math.exp(nll10))) < 1e-9)
     assert(math.abs(got(1)._3 - r6(math.exp(nll11))) < 1e-9)
   }
+
+  test("rrfFuse: hand-computed fusion, one-list-only candidates, " +
+      "doc_id tie-break") {
+    import spark.implicits._
+    // list0: doc 1 @ rank1, doc 2 @ rank2; list1: doc 2 @ rank1,
+    // doc 3 @ rank2. Expected (k=60):
+    //   doc2 = 1/62 + 1/61  (both lists)     ~ 0.032524
+    //   doc1 = 1/61          (list0 only)    ~ 0.016393
+    //   doc3 = 1/62          (list1 only)    ~ 0.016129
+    val l0 = Seq(("Q", 1L, 1), ("Q", 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val l1 = Seq(("Q", 2L, 1), ("Q", 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(l0, l1), topK = 10)
+      .orderBy(col("rank"))
+      .select("doc_id", "rrf_score", "rank_0", "rank_1")
+      .as[(Long, Double, Option[Int], Option[Int])].collect()
+    assert(got.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(math.abs(got(0)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(got(0)._3.contains(2) && got(0)._4.contains(1))
+    assert(got(1)._3.contains(1) && got(1)._4.isEmpty)
+    // equal-score tie (two single-list docs at the same rank in
+    // different lists of the same kRrf offset) breaks on doc_id
+    val t0 = Seq(("Q", 9L, 1)).toDF("query_id", "doc_id", "rank")
+    val t1 = Seq(("Q", 4L, 1)).toDF("query_id", "doc_id", "rank")
+    val tie = TextAnalysis.rrfFuse(Seq(t0, t1), topK = 10)
+      .orderBy(col("rank")).select("doc_id").as[Long].collect()
+    assert(tie.toSeq === Seq(4L, 9L))
+  }
 }
