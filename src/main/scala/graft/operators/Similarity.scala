@@ -213,4 +213,106 @@ object Similarity {
       .filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("_rk").as("rank"))
   }
+
+  // -------- Product quantization (PQ) over the int8 grid --------
+  //
+  // The memory path BEYOND flat int8: split each d-dim vector into m
+  // subvectors, replace every subvector by the id of its nearest
+  // codebook entry (k codes per subspace) — storage drops from d bytes
+  // (int8) to m code bytes (64-dim, m=8, k=16: 64 B -> 8 x 4 bits), and
+  // query scoring becomes m table lookups per candidate (ADC) instead
+  // of d multiply-adds. Codebooks here are hash-free deterministic
+  // samples (the lowest-id corpus rows), the same fixed-seeding
+  // strategy as SemDeDup's centroids (q104): a Lloyd refinement would
+  // re-introduce float-order nondeterminism (the q42 caveat) for a
+  // marginal recall gain at these code sizes.
+  //
+  // Everything runs on int8-QUANTIZED vectors ([[quantize]]), so every
+  // subspace distance is an exact INTEGER (sum of squared integer
+  // diffs) — argmin encode, distance tables, and ADC sums are
+  // bit-identical across engines and independent of summation order.
+
+  /** Deterministic codebooks: subvectors of the `k` lowest-id corpus
+    * rows, quantized. Returns codebooks(m)(j) = the j-th code of
+    * subspace m (dsub doubles each). */
+  def pqCodebooks(corpus: DataFrame, id: String, emb: String,
+      m: Int, k: Int): Array[Array[Seq[Double]]] = {
+    val rows = quantize(corpus, id, emb)
+      .select(col(id), col("qvec")).orderBy(col(id)).limit(k)
+      .collect().map(_.getSeq[Float](1))
+    if (rows.isEmpty) return Array.empty // empty corpus: nothing to code
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m)(s =>
+      rows.map(v => v.slice(s * dsub, (s + 1) * dsub)
+        .map(_.toDouble).toSeq).toArray)
+  }
+
+  /** Integer L2 between a quantized column's subvector and a codebook
+    * entry: Σ_d (q[s*dsub+d] − code_d)². */
+  private def subDist(vec: Column, s: Int, code: Seq[Double]): Column =
+    code.zipWithIndex.map { case (cd, d) =>
+      val diff = vec.getItem(s * code.length + d).cast("double") - lit(cd)
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Encode: per subspace the argmin code id (tie → lowest id), exact
+    * integer distances. Adds `code_0..code_{m-1}` int columns. */
+  def pqEncode(quantized: DataFrame, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]]): DataFrame =
+    codebooks.zipWithIndex.foldLeft(quantized) { case (df, (cb, s)) =>
+      val cands = cb.zipWithIndex.map { case (code, j) =>
+        struct(subDist(col(vecCol), s, code).as("d"),
+          lit(j).as("j"))
+      }
+      // array_min orders struct fields lexicographically: distance then
+      // code id — exactly the deterministic argmin
+      df.withColumn(s"code_$s",
+        array_min(array(cands: _*)).getField("j"))
+    }
+
+  /** PQ ANN: quantize both sides, encode the corpus, score every
+    * (query, candidate) by ADC — Σ_m distTable_m[code_m], where the
+    * per-subspace tables are expressions over the query's quantized
+    * vector. Lowest approximate distance wins; ties break on neighbor
+    * id. Returns (query_id, neighbor_id, pq_dist, rank).
+    *
+    * Scale shape: corpus encoded once (write-once layout, m bytes per
+    * vector); queries broadcast; the scan reads codes only — at 100 TB
+    * the candidate scoring touches 8 code bytes instead of 256 float
+    * bytes per vector. Per-query distance tables would be precomputed
+    * once per query batch in a table-backed variant; the inline
+    * expression here is the same arithmetic. */
+  def pqTopK(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, id: String, vec: String,
+      codebooks: Array[Array[Seq[Double]]], k: Int): DataFrame = {
+    if (codebooks.isEmpty) // empty index: no neighbors, keep the schema
+      return queries.select(col(qid).as("query_id"),
+        lit(null).cast("long").as("neighbor_id"),
+        lit(null).cast("double").as("pq_dist"),
+        lit(null).cast("int").as("rank")).limit(0)
+    val q = quantize(queries, qid, qvec)
+      .select(col(qid).as("query_id"), col("qvec").as("_qv"))
+    val encoded = pqEncode(
+      quantize(corpus, id, vec).select(col(id).as("neighbor_id"),
+        col("qvec")),
+      "qvec", codebooks)
+      .select(col("neighbor_id") +:
+        codebooks.indices.map(s => col(s"code_$s")): _*)
+    val adc = codebooks.zipWithIndex.map { case (cb, s) =>
+      // element_at over the per-subspace distance table, indexed by the
+      // candidate's stored code
+      element_at(array(cb.map(code => subDist(col("_qv"), s, code)): _*),
+        col(s"code_$s") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
+    encoded.crossJoin(broadcast(q))
+      .withColumn("pq_dist", adc)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
+        col("_rk").as("rank"))
+  }
 }

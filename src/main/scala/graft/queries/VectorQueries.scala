@@ -110,4 +110,17 @@ object VectorQueries {
         col("qcosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Product-quantization ANN (q162): the memory path beyond flat int8 —
+    * 8 subspaces x 16 deterministic codes over the quantized grid,
+    * argmin encode, ADC scoring. Distances are exact integers, so
+    * codebooks, codes, and scores are all oracled bit-exactly. */
+  def q162PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", emb, "vec_id", "embedding", cb, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -131,8 +131,10 @@ class PlanSpec extends SparkSpec {
       "q144_naloxone", // NDC contains-join: DISTINCT pharmacy vocabulary
                        // x broadcast naloxone list (bounded dims only;
                        // fact rows join the expansion by exact key)
-      "q161_hybrid_retrieval") // ANN arm is q129's crossJoin(broadcast(
+      "q161_hybrid_retrieval", // ANN arm is q129's crossJoin(broadcast(
                                // queries)) + BM25's 1-row totals cross
+      "q162_pq_ann") // crossJoin(broadcast(queries)) over the encoded
+                     // corpus: the q41/q129 ANN baseline shape
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>

@@ -157,4 +157,38 @@ class SimilaritySpec extends SparkSpec {
     val overlap = (base intersect quant).size.toDouble / base.size
     assert(overlap >= 0.8, s"quantized/float top-k overlap $overlap")
   }
+
+  test("PQ: codebook rows encode to themselves, self-query ranks first " +
+      "with pq_dist 0, empty corpus yields empty result") {
+    import spark.implicits._
+    val emb = Q.t(spark, sf, "embeddings")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16)
+    assert(cb.length === 8 && cb.forall(_.length === 16))
+    // a codebook-sample row's subvectors ARE its codes: distance 0 at its
+    // own index and the argmin can only pick a zero-distance code -> its
+    // ADC self-distance is 0 and it must rank 1 for its own query
+    val self = Similarity.pqTopK(emb.filter(col("vec_id") === 3),
+        "vec_id", "embedding", emb, "vec_id", "embedding", cb, k = 3)
+      .filter(col("rank") === 1)
+      .select("neighbor_id", "pq_dist").as[(Long, Double)].collect()
+    assert(self.length === 1)
+    assert(self.head._2 === 0.0)
+    // rank-1 at distance 0 must be a vector PQ cannot distinguish from
+    // the query; the query itself is one of those, and the id tie-break
+    // means the winner's id is <= the query's
+    assert(self.head._1 <= 3L)
+    // integer-exactness: every ADC distance is a whole number
+    val dists = Similarity.pqTopK(emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", emb, "vec_id", "embedding", cb, k = 10)
+      .select("pq_dist").as[Double].collect()
+    assert(dists.forall(d => d == math.rint(d)))
+    val empty = emb.filter(col("vec_id") < 0)
+    val cbEmpty = Similarity.pqCodebooks(empty, "vec_id", "embedding",
+      m = 8, k = 16)
+    assert(cbEmpty.isEmpty)
+    assert(Similarity.pqTopK(emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", empty, "vec_id", "embedding", cbEmpty, k = 5)
+      .count() === 0L)
+  }
 }
