@@ -255,6 +255,7 @@ object SparkEntry {
     "q160_perf_member_month" -> (graft.queries.BuildQueries.q160PerfEligMemberMonth _),
     "q161_hybrid_retrieval" -> (T.q161HybridRetrieval _),
     "q162_pq_ann" -> (V.q162PqAnn _),
+    "q163_ivf_pq" -> (V.q163IvfPq _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7604,6 +7605,81 @@ object SparkEntry {
         SELECT t.query_id, e.vec_id AS neighbor_id,
           sum(t.dist) AS pq_dist
         FROM enc e JOIN qd t ON e.sub = t.sub AND e.code = t.cj
+        GROUP BY t.query_id, e.vec_id)
+      SELECT query_id, neighbor_id, pq_dist,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY pq_dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+      QUALIFY rank <= 10
+      ORDER BY query_id, rank""",
+
+    // q163: IVF-PQ — q42b's fixed coarse centroids + q162's codebooks;
+    // probe 4/8 cells, integer-exact ADC within probed cells.
+    "q163_ivf_pq" -> """
+      WITH cen AS (
+        SELECT j AS cell,
+          list(CAST(((j*31 + d*7) % 13) - 6 AS DOUBLE) ORDER BY d) AS cv
+        FROM generate_series(0, 7) t(j), generate_series(0, 63) s(d)
+        GROUP BY j),
+      asgn AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                DESC, c.cell DESC) AS rn
+          FROM embeddings e CROSS JOIN cen c) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, cell FROM (
+          SELECT q.vec_id AS query_id, c.cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cv)
+                DESC, c.cell DESC) AS rn
+          FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < 5) q
+          CROSS JOIN cen c) WHERE rn <= 4),
+      qz0 AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS qvec
+        FROM qz0),
+      cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cj, qvec
+        FROM (SELECT * FROM qz ORDER BY vec_id LIMIT 16)),
+      subs(sub) AS (SELECT unnest(range(0, 8))),
+      encdist AS (
+        SELECT e.vec_id, s.sub, c.cj,
+          list_sum(list_transform(generate_series(1, 8),
+            d -> (e.qvec[s.sub * 8 + d] - c.qvec[s.sub * 8 + d]) ^ 2))
+            AS dist
+        FROM qz e CROSS JOIN subs s CROSS JOIN cb c),
+      enc AS (
+        SELECT vec_id, sub, cj AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+            ORDER BY dist, cj) AS rn FROM encdist)
+        WHERE rn = 1),
+      qd AS (
+        SELECT q.vec_id AS query_id, s.sub, c.cj,
+          list_sum(list_transform(generate_series(1, 8),
+            d -> (q.qvec[s.sub * 8 + d] - c.qvec[s.sub * 8 + d]) ^ 2))
+            AS dist
+        FROM qz q CROSS JOIN subs s CROSS JOIN cb c
+        WHERE q.vec_id < 5),
+      scored AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+          sum(t.dist) AS pq_dist
+        FROM enc e
+        JOIN asgn a ON e.vec_id = a.vec_id
+        JOIN probes p ON a.cell = p.cell
+        JOIN qd t ON t.query_id = p.query_id
+          AND e.sub = t.sub AND e.code = t.cj
         GROUP BY t.query_id, e.vec_id)
       SELECT query_id, neighbor_id, pq_dist,
         CAST(row_number() OVER (PARTITION BY query_id

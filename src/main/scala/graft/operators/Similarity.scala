@@ -315,4 +315,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
         col("_rk").as("rank"))
   }
+
+  /** IVF-PQ — the production composition (the FAISS IVFPQ shape): the
+    * coarse quantizer partitions the corpus into cells ([[assignCells]],
+    * a write-once layout at scale), PQ codes compress every vector to m
+    * code bytes, and a query probes only its `nProbe` nearest cells,
+    * scoring candidates by integer-exact ADC. Corpus touched per query:
+    * (nProbe/nCells) of the rows × m bytes each — the double reduction
+    * that makes 100 TB vector search tractable. Under FIXED centroids
+    * and the deterministic sample codebooks, every step (assignment,
+    * probe pick, codes, ADC) is reproducible, so the WHOLE path is
+    * oracle-able (the q42b strategy extended through PQ).
+    * Returns (query_id, neighbor_id, pq_dist, rank). */
+  def ivfPqTopK(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, id: String, vec: String,
+      centroids: Array[(Int, Seq[Float])],
+      codebooks: Array[Array[Seq[Double]]], k: Int,
+      nProbe: Int = 2): DataFrame = {
+    if (centroids.isEmpty || codebooks.isEmpty)
+      return queries.select(col(qid).as("query_id"),
+        lit(null).cast("long").as("neighbor_id"),
+        lit(null).cast("double").as("pq_dist"),
+        lit(null).cast("int").as("rank")).limit(0)
+    val encoded = pqEncode(
+      quantize(assignCells(corpus, id, vec, centroids), "_id", "_v"),
+      "qvec", codebooks)
+      .select(Seq(col("_id").as("neighbor_id"), col("_cell")) ++
+        codebooks.indices.map(s => col(s"code_$s")): _*)
+    val q = quantize(
+        queries.select(col(qid).as("query_id"), col(qvec).as("_raw")),
+        "query_id", "_raw")
+      .withColumn("_cells", slice(reverse(array_sort(
+        scoredCells(col("_raw"), centroids))), 1, nProbe))
+      .withColumn("_cell",
+        explode(transform(col("_cells"), _.getField("cell").cast("int"))))
+      .select(col("query_id"), col("qvec").as("_qv"), col("_cell"))
+    val adc = codebooks.zipWithIndex.map { case (cb, s) =>
+      element_at(array(cb.map(code => subDist(col("_qv"), s, code)): _*),
+        col(s"code_$s") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
+    encoded.join(broadcast(q), Seq("_cell"))
+      .withColumn("pq_dist", adc)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
+        col("_rk").as("rank"))
+  }
 }

@@ -123,4 +123,21 @@ object VectorQueries {
         "embedding", emb, "vec_id", "embedding", cb, k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** IVF-PQ (q163): the FAISS-style production composition — q42b's
+    * fixed coarse centroids partition the corpus, q162's deterministic
+    * codebooks compress it, queries probe 4 of 8 cells and score by
+    * integer-exact ADC. The whole path (assignment, probe pick, encode,
+    * ADC, rank) is under one SQL oracle. */
+  def q163IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = Array.tabulate(8)(j =>
+      (j, Seq.tabulate(64)(d => (((j * 31 + d * 7) % 13) - 6).toFloat)))
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", emb, "vec_id", "embedding", centroids, cb,
+        k = 10, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

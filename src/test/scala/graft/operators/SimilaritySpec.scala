@@ -191,4 +191,22 @@ class SimilaritySpec extends SparkSpec {
       "embedding", empty, "vec_id", "embedding", cbEmpty, k = 5)
       .count() === 0L)
   }
+
+  test("IVF-PQ with nProbe = nCells degenerates to flat PQ") {
+    import spark.implicits._
+    val emb = Q.t(spark, sf, "embeddings")
+    val centroids = Array.tabulate(8)(j =>
+      (j, Seq.tabulate(64)(d => (((j * 31 + d * 7) % 13) - 6).toFloat)))
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "pq_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val flat = rows(Similarity.pqTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", cb, k = 8))
+    val ivf = rows(Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", centroids, cb, k = 8, nProbe = 8))
+    assert(ivf === flat)
+  }
 }
