@@ -256,6 +256,7 @@ object SparkEntry {
     "q161_hybrid_retrieval" -> (T.q161HybridRetrieval _),
     "q162_pq_ann" -> (V.q162PqAnn _),
     "q163_ivf_pq" -> (V.q163IvfPq _),
+    "q164_load_file_qa" -> (graft.queries.BuildQueries.q164LoadFileQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7687,5 +7688,37 @@ object SparkEntry {
       FROM scored
       QUALIFY rank <= 10
       ORDER BY query_id, rank""",
+
+    // q164: config-driven file-load QA — per-year expected counts
+    // (strip-non-digit parse), absent-year zero, overall total,
+    // positional column-order checks.
+    "q164_load_file_qa" -> """
+      WITH yc AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) AS y,
+          count(*)::BIGINT AS n
+        FROM orders GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS t FROM yc)
+      SELECT * FROM (
+        SELECT 'orders' AS "table", 'rowcount_1995' AS "check",
+          coalesce((SELECT n FROM yc WHERE y = '1995'), 0) = 1234
+            AS pass,
+          coalesce((SELECT n FROM yc WHERE y = '1995'), 0) AS observed,
+          1234::BIGINT AS expected
+        UNION ALL
+        SELECT 'orders', 'rowcount_1996',
+          coalesce((SELECT n FROM yc WHERE y = '1996'), 0) = 5678,
+          coalesce((SELECT n FROM yc WHERE y = '1996'), 0), 5678
+        UNION ALL
+        SELECT 'orders', 'rowcount_2099',
+          coalesce((SELECT n FROM yc WHERE y = '2099'), 0) = 0,
+          coalesce((SELECT n FROM yc WHERE y = '2099'), 0), 0
+        UNION ALL
+        SELECT 'orders', 'rowcount_overall',
+          (SELECT t FROM tot) = 999999, (SELECT t FROM tot), 999999
+        UNION ALL
+        SELECT 'orders', 'column_order', TRUE, 6, 6
+        UNION ALL
+        SELECT 'lineitem', 'column_order', FALSE, 0, 11)
+      ORDER BY "table", "check" """,
   )
 }

@@ -146,4 +146,49 @@ object Qa {
     import spark.implicits._
     checks.toDF()
   }
+
+  /** The reference's numeric-config parse (qa_load_file.R:34-40):
+    * expected counts arrive as strings with separators — every
+    * non-digit is stripped ("1,234,567" → 1234567). */
+  def parseExpectedCount(s: String): Long = {
+    val digits = s.replaceAll("\\D", "")
+    if (digits.isEmpty) 0L else digits.toLong
+  }
+
+  /** qa_load_file.R's per-source-year row-count battery
+    * (qa_file_row_count): ONE scan grouped by the year column, each
+    * configured year compared against its expected count (years absent
+    * from the data count 0), plus an optional `overall` row against the
+    * total. The per-year frame is bounded by the config's year list —
+    * the collect is a verdict read, not a data collect. */
+  def fileRowCounts(df: DataFrame, table: String, yearCol: org.apache.spark.sql.Column,
+      expectedByYear: Seq[(String, String)],
+      overall: Option[String] = None): Seq[QaCheck] = {
+    val counts = df.groupBy(yearCol.cast("string").as("_y"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    val perYear = expectedByYear.map { case (y, expStr) =>
+      val exp = parseExpectedCount(expStr)
+      val act = counts.getOrElse(y, 0L)
+      QaCheck(table, s"rowcount_$y", act == exp, act, exp)
+    }
+    val overallCheck = overall.map { expStr =>
+      val exp = parseExpectedCount(expStr)
+      val act = counts.values.sum
+      QaCheck(table, "rowcount_overall", act == exp, act, exp)
+    }
+    perYear ++ overallCheck
+  }
+
+  /** qa_load_file.R's column-order check (qa_column_order): the loaded
+    * frame's columns must equal the declared list, positionally.
+    * Observed = length of the matching prefix. */
+  def columnOrder(df: DataFrame, table: String,
+      declared: Seq[String]): QaCheck = {
+    val actual = df.columns.toSeq
+    val matching = actual.zip(declared).takeWhile { case (a, b) => a == b }
+      .length
+    QaCheck(table, "column_order",
+      actual == declared, matching.toLong, declared.length.toLong)
+  }
 }

@@ -2829,6 +2829,29 @@ object BuildQueries {
       .orderBy(col("MEDICAID_RECIPIENT_ID"), col("CLNDR_YEAR_MNTH"))
   }
 
+  /** §5 config-driven file-load QA (q164, qa_load_file.R): per-source-
+    * year expected row counts with the strip-non-digit config parse
+    * ("15,000" → 15000), an absent-year zero row, an overall total row,
+    * and positional column-order checks (one passing, one failing). */
+  def q164LoadFileQa(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    Qa.suite(s,
+      Qa.fileRowCounts(orders, "orders", year(to_date(col("o_orderdate"))),
+        expectedByYear = Seq("1995" -> "1,234", "1996" -> "5,678",
+          "2099" -> "0"),
+        overall = Some("999,999")) ++
+      Seq(
+        Qa.columnOrder(orders, "orders", Seq("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority")),
+        Qa.columnOrder(lineitem, "lineitem", Seq("l_shipdate",
+          "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus"))))
+      .orderBy(col("table"), col("check"))
+  }
+
   /** §7.5.6 APCD elig_demo (q152, load_stage.apcd_elig_demo.R): DOB
     * estimated from contiguous member-month age increments (Dec→Jan `89`
     * quirk preserved), alone-or-in-combination + mutually-exclusive
