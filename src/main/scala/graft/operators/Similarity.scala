@@ -249,41 +249,69 @@ object Similarity {
         .map(_.toDouble).toSeq).toArray)
   }
 
-  /** Integer L2 between a quantized column's subvector and a codebook
-    * entry: Σ_d (q[s*dsub+d] − code_d)². */
-  private def subDist(vec: Column, s: Int, code: Seq[Double]): Column =
-    code.zipWithIndex.map { case (cd, d) =>
-      val diff = vec.getItem(s * code.length + d).cast("double") - lit(cd)
-      diff * diff
-    }.reduce(_ + _)
+  /** The whole codebook as ONE nested-array literal — a single Catalyst
+    * node regardless of m·k·dsub, so plans stay small (per-term literal
+    * expansion made driver-side planning the dominant cost). */
+  private def codebookLit(codebooks: Array[Array[Seq[Double]]]): Column =
+    typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Integer L2 between a quantized column's subvector (subspace `s`,
+    * width dsub) and one codebook entry (an array column): zip, square,
+    * fold. Exact integers, so fold order is immaterial. */
+  private def subDistArr(vec: Column, s: Int, dsub: Int,
+      code: Column): Column =
+    aggregate(
+      zip_with(slice(vec, s * dsub + 1, dsub), code,
+        (a, b) => { val d = a.cast("double") - b; d * d }),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Encode: per subspace the argmin code id (tie → lowest id), exact
     * integer distances. Adds `code_0..code_{m-1}` int columns. */
   def pqEncode(quantized: DataFrame, vecCol: String,
-      codebooks: Array[Array[Seq[Double]]]): DataFrame =
-    codebooks.zipWithIndex.foldLeft(quantized) { case (df, (cb, s)) =>
-      val cands = cb.zipWithIndex.map { case (code, j) =>
-        struct(subDist(col(vecCol), s, code).as("d"),
-          lit(j).as("j"))
-      }
+      codebooks: Array[Array[Seq[Double]]]): DataFrame = {
+    val cb = codebookLit(codebooks)
+    val dsub = codebooks.head.head.length
+    codebooks.indices.foldLeft(quantized) { case (df, s) =>
       // array_min orders struct fields lexicographically: distance then
       // code id — exactly the deterministic argmin
       df.withColumn(s"code_$s",
-        array_min(array(cands: _*)).getField("j"))
+        array_min(transform(element_at(cb, s + 1), (code, j) =>
+          struct(subDistArr(col(vecCol), s, dsub, code).as("d"),
+            j.cast("int").as("j"))))
+          .getField("j"))
     }
+  }
+
+  /** Per-query ADC distance tables, MATERIALIZED on the (small) query
+    * frame before it broadcasts: `_dt_s` = the 16 subspace-s distances
+    * from the query's quantized subvector to every code. Computing them
+    * query-side means each (query, candidate) pair costs m array
+    * lookups + m adds instead of re-evaluating m·k·dsub arithmetic. */
+  private def withDistTables(q: DataFrame,
+      codebooks: Array[Array[Seq[Double]]]): DataFrame = {
+    val cb = codebookLit(codebooks)
+    val dsub = codebooks.head.head.length
+    codebooks.indices.foldLeft(q) { case (df, s) =>
+      df.withColumn(s"_dt_$s",
+        transform(element_at(cb, s + 1),
+          code => subDistArr(col("_qv"), s, dsub, code)))
+    }
+  }
+
+  private def adcSum(codebooks: Array[Array[Seq[Double]]]): Column =
+    codebooks.indices.map(s =>
+      element_at(col(s"_dt_$s"), col(s"code_$s") + 1)).reduce(_ + _)
 
   /** PQ ANN: quantize both sides, encode the corpus, score every
-    * (query, candidate) by ADC — Σ_m distTable_m[code_m], where the
-    * per-subspace tables are expressions over the query's quantized
-    * vector. Lowest approximate distance wins; ties break on neighbor
-    * id. Returns (query_id, neighbor_id, pq_dist, rank).
+    * (query, candidate) by ADC — Σ_m distTable_m[code_m], with the
+    * per-subspace tables precomputed per query row before the
+    * broadcast. Lowest approximate distance wins; ties break on
+    * neighbor id. Returns (query_id, neighbor_id, pq_dist, rank).
     *
     * Scale shape: corpus encoded once (write-once layout, m bytes per
-    * vector); queries broadcast; the scan reads codes only — at 100 TB
-    * the candidate scoring touches 8 code bytes instead of 256 float
-    * bytes per vector. Per-query distance tables would be precomputed
-    * once per query batch in a table-backed variant; the inline
-    * expression here is the same arithmetic. */
+    * vector); queries broadcast with their tables; the scan reads codes
+    * only — at 100 TB the candidate scoring touches 8 code bytes and
+    * does 8 lookups per vector. */
   def pqTopK(queries: DataFrame, qid: String, qvec: String,
       corpus: DataFrame, id: String, vec: String,
       codebooks: Array[Array[Seq[Double]]], k: Int): DataFrame = {
@@ -292,24 +320,20 @@ object Similarity {
         lit(null).cast("long").as("neighbor_id"),
         lit(null).cast("double").as("pq_dist"),
         lit(null).cast("int").as("rank")).limit(0)
-    val q = quantize(queries, qid, qvec)
-      .select(col(qid).as("query_id"), col("qvec").as("_qv"))
+    val q = withDistTables(
+      quantize(queries, qid, qvec)
+        .select(col(qid).as("query_id"), col("qvec").as("_qv")),
+      codebooks).drop("_qv")
     val encoded = pqEncode(
       quantize(corpus, id, vec).select(col(id).as("neighbor_id"),
         col("qvec")),
       "qvec", codebooks)
       .select(col("neighbor_id") +:
         codebooks.indices.map(s => col(s"code_$s")): _*)
-    val adc = codebooks.zipWithIndex.map { case (cb, s) =>
-      // element_at over the per-subspace distance table, indexed by the
-      // candidate's stored code
-      element_at(array(cb.map(code => subDist(col("_qv"), s, code)): _*),
-        col(s"code_$s") + 1)
-    }.reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
     encoded.crossJoin(broadcast(q))
-      .withColumn("pq_dist", adc)
+      .withColumn("pq_dist", adcSum(codebooks))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
@@ -342,22 +366,20 @@ object Similarity {
       "qvec", codebooks)
       .select(Seq(col("_id").as("neighbor_id"), col("_cell")) ++
         codebooks.indices.map(s => col(s"code_$s")): _*)
-    val q = quantize(
-        queries.select(col(qid).as("query_id"), col(qvec).as("_raw")),
-        "query_id", "_raw")
-      .withColumn("_cells", slice(reverse(array_sort(
-        scoredCells(col("_raw"), centroids))), 1, nProbe))
-      .withColumn("_cell",
-        explode(transform(col("_cells"), _.getField("cell").cast("int"))))
-      .select(col("query_id"), col("qvec").as("_qv"), col("_cell"))
-    val adc = codebooks.zipWithIndex.map { case (cb, s) =>
-      element_at(array(cb.map(code => subDist(col("_qv"), s, code)): _*),
-        col(s"code_$s") + 1)
-    }.reduce(_ + _)
+    val q = withDistTables(
+      quantize(
+          queries.select(col(qid).as("query_id"), col(qvec).as("_raw")),
+          "query_id", "_raw")
+        .withColumn("_cells", slice(reverse(array_sort(
+          scoredCells(col("_raw"), centroids))), 1, nProbe))
+        .withColumn("_cell",
+          explode(transform(col("_cells"), _.getField("cell").cast("int"))))
+        .select(col("query_id"), col("qvec").as("_qv"), col("_cell")),
+      codebooks).drop("_qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
     encoded.join(broadcast(q), Seq("_cell"))
-      .withColumn("pq_dist", adc)
+      .withColumn("pq_dist", adcSum(codebooks))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
