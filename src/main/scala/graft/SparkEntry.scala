@@ -257,6 +257,7 @@ object SparkEntry {
     "q162_pq_ann" -> (V.q162PqAnn _),
     "q163_ivf_pq" -> (V.q163IvfPq _),
     "q164_load_file_qa" -> (graft.queries.BuildQueries.q164LoadFileQa _),
+    "q165_claim_value_set" -> (graft.queries.BuildQueries.q165ClaimValueSet _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7720,5 +7721,205 @@ object SparkEntry {
         UNION ALL
         SELECT 'lineitem', 'column_order', FALSE, 0, 11)
       ORDER BY "table", "check" """,
+
+    // q165: claim↔value-set membership — the oracle runs the reference's
+    // 14-arm INSERT formulation (one scan per arm, per-arm DISTINCT)
+    // against the repo's one-scan-per-table dispatch.
+    "q165_claim_value_set" -> (VsFramesCte + """
+      line AS (
+        SELECT id_person, claim_id, fsd AS first_service_date,
+          'RV' || CAST(l_partkey % 30 AS VARCHAR) AS rev_code FROM li),
+      hdr AS (
+        SELECT o_custkey % 100 AS id_person, o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS first_service_date,
+          CASE WHEN o_orderkey % 5 = 0
+            THEN 'DG' || CAST(o_orderkey % 12 AS VARCHAR) END AS drg,
+          CASE WHEN o_orderkey % 3 = 0
+            THEN 'TB' || CAST(o_custkey % 15 AS VARCHAR) END AS tob,
+          CASE WHEN o_orderkey % 2 = 0
+            THEN 'PS' || CAST(o_custkey % 10 AS VARCHAR) END AS pos
+        FROM orders),
+      rx5 AS (
+        SELECT i, CASE i % 5 WHEN 0 THEN 'ADHD Rx'
+          WHEN 1 THEN 'Antianxiety Rx' WHEN 2 THEN 'Antidepressants Rx'
+          WHEN 3 THEN 'Antimania Rx' ELSE 'Antipsychotic Rx' END
+          AS rx_class
+        FROM range(0, 20) t(i)),
+      rda AS (
+        SELECT 'RDA' AS value_set_group,
+          'MH-procedure-value-set' AS value_set_name,
+          'claim' AS data_source_type, CAST(NULL AS VARCHAR) AS sub_group,
+          CASE WHEN i < 13
+            THEN (CASE WHEN i % 2 = 0 THEN 'CPT' ELSE 'HCPCS' END)
+            ELSE 'ICD10PCS' END AS code_set,
+          'PC' || CAST(i AS VARCHAR) AS code,
+          CASE WHEN i % 5 = 0 THEN 'N' ELSE 'Y' END AS active
+        FROM range(0, 16) t(i)
+        UNION ALL
+        SELECT 'RDA', 'MH-inpatient-drg', 'claim', NULL, 'DRG',
+          'DG' || CAST(i AS VARCHAR), 'Y'
+        FROM range(0, 10) t(i)
+        UNION ALL
+        SELECT 'RDA', 'MH-Dx-value-set', 'claim', sub_group, 'ICD9CM',
+          'DX' || CAST(i AS VARCHAR), 'Y'
+        FROM sg WHERE i < 24
+        UNION ALL
+        SELECT 'RDA', 'MH-Dx-value-set', 'claim', sub_group, 'ICD10CM',
+          'DX' || CAST(i AS VARCHAR), 'Y'
+        FROM sg WHERE i >= 12
+        UNION ALL
+        SELECT 'RDA', 'MH-Rx-value-set', 'pharmacy', rx_class, 'NDC',
+          'ND' || CAST(i AS VARCHAR),
+          CASE WHEN i % 4 = 0 THEN 'N' ELSE 'Y' END
+        FROM rx5
+        UNION ALL
+        SELECT 'RDA', 'MH-revenue-value-set', 'claim', NULL, 'UBREV',
+          'RV' || CAST(i * 3 AS VARCHAR), 'Y'
+        FROM range(0, 10) t(i)),
+      hed AS (
+        SELECT CASE i % 5 WHEN 0 THEN 'FUH Stand Alone Visits'
+            WHEN 1 THEN 'FUH Visits Group 1'
+            WHEN 2 THEN 'FUH Visits Group 2'
+            WHEN 3 THEN 'TCM 7 Day' ELSE 'TCM 14 Day' END
+            AS value_set_name,
+          CASE WHEN i % 2 = 0 THEN 'CPT' ELSE 'HCPCS' END AS code_system,
+          'PC' || CAST(i * 2 + 1 AS VARCHAR) AS code
+        FROM range(0, 6) t(i)
+        UNION ALL
+        SELECT CASE i WHEN 0 THEN 'Inpatient Stay'
+            WHEN 1 THEN 'Nonacute Inpatient Stay'
+            WHEN 2 THEN 'FUH RevCodes Group 1'
+            ELSE 'FUH RevCodes Group 2' END,
+          'UBREV', 'RV' || CAST(i * 6 AS VARCHAR)
+        FROM range(0, 4) t(i)
+        UNION ALL
+        SELECT 'Nonacute Inpatient Stay', 'UBTOB',
+          'TB' || CAST(i * 3 AS VARCHAR)
+        FROM range(0, 4) t(i)
+        UNION ALL
+        SELECT CASE WHEN i % 2 = 0 THEN 'FUH POS Group 1'
+            ELSE 'FUH POS Group 2' END,
+          'POS', 'PS' || CAST(i * 3 AS VARCHAR)
+        FROM range(0, 4) t(i)
+        UNION ALL
+        SELECT CASE WHEN i % 2 = 0 THEN 'Mental Health Diagnosis'
+            ELSE 'Mental Illness' END,
+          'ICD10CM', 'DX' || CAST(i * 5 AS VARCHAR)
+        FROM range(0, 8) t(i)
+        UNION ALL
+        SELECT 'AOD Abuse and Dependence', 'ICD10CM', 'DX2'),
+      arms AS (
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set,
+          CAST(NULL AS VARCHAR) AS primary_dx_only,
+          p.id_person AS id_mcaid, p.claim_id AS claim_header_id,
+          p.first_service_date AS service_date
+        FROM proc p JOIN rda r
+          ON r.code_set IN ('CPT','HCPCS','ICD10PCS','ICD9PCS')
+          AND p.procedure_code = r.code
+        UNION ALL
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set, NULL,
+          h.id_person, h.claim_id, h.first_service_date
+        FROM hdr h JOIN rda r
+          ON r.code_set = 'DRG' AND h.drg = r.code
+        UNION ALL
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set, 'Y',
+          d.id_person, d.claim_id, d.first_service_date
+        FROM dx d JOIN rda r
+          ON r.code_set = 'ICD10CM' AND d.icdcm_version = 10
+          AND d.icdcm_number = '01' AND d.icdcm_norm = r.code
+        UNION ALL
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set, 'Y',
+          d.id_person, d.claim_id, d.first_service_date
+        FROM dx d JOIN rda r
+          ON r.code_set = 'ICD9CM' AND d.icdcm_version = 9
+          AND d.icdcm_number = '01' AND d.icdcm_norm = r.code
+        UNION ALL
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set, 'N',
+          d.id_person, d.claim_id, d.first_service_date
+        FROM dx d JOIN rda r
+          ON r.code_set = 'ICD10CM' AND d.icdcm_version = 10
+          AND d.icdcm_norm = r.code
+        UNION ALL
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set, 'N',
+          d.id_person, d.claim_id, d.first_service_date
+        FROM dx d JOIN rda r
+          ON r.code_set = 'ICD9CM' AND d.icdcm_version = 9
+          AND d.icdcm_norm = r.code
+        UNION ALL
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set, NULL,
+          p.id_person, p.claim_id, p.rx_fill_date
+        FROM pharm p JOIN rda r
+          ON r.code_set = 'NDC' AND r.active = 'Y' AND p.ndc = r.code
+        UNION ALL
+        SELECT DISTINCT r.value_set_group, r.value_set_name,
+          r.data_source_type, r.sub_group, r.code_set, NULL,
+          l.id_person, l.claim_id, l.first_service_date
+        FROM line l JOIN rda r
+          ON r.code_set = 'UBREV' AND l.rev_code = r.code
+        UNION ALL
+        SELECT DISTINCT 'HEDIS', h2.value_set_name, NULL, NULL,
+          h2.code_system, NULL,
+          p.id_person, p.claim_id, p.first_service_date
+        FROM proc p JOIN hed h2
+          ON h2.value_set_name IN ('FUH Stand Alone Visits',
+            'FUH Visits Group 1','FUH Visits Group 2','TCM 7 Day',
+            'TCM 14 Day')
+          AND h2.code_system IN ('CPT','HCPCS')
+          AND p.procedure_code = h2.code
+        UNION ALL
+        SELECT DISTINCT 'HEDIS', h2.value_set_name, NULL, NULL,
+          h2.code_system, NULL,
+          l.id_person, l.claim_id, l.first_service_date
+        FROM line l JOIN hed h2
+          ON h2.value_set_name IN ('Inpatient Stay',
+            'Nonacute Inpatient Stay','FUH RevCodes Group 1',
+            'FUH RevCodes Group 2')
+          AND h2.code_system = 'UBREV' AND l.rev_code = h2.code
+        UNION ALL
+        SELECT DISTINCT 'HEDIS', h2.value_set_name, NULL, NULL,
+          h2.code_system, NULL,
+          h.id_person, h.claim_id, h.first_service_date
+        FROM hdr h JOIN hed h2
+          ON h2.value_set_name IN ('Nonacute Inpatient Stay')
+          AND h2.code_system = 'UBTOB' AND h.tob = h2.code
+        UNION ALL
+        SELECT DISTINCT 'HEDIS', h2.value_set_name, NULL, NULL,
+          h2.code_system, NULL,
+          h.id_person, h.claim_id, h.first_service_date
+        FROM hdr h JOIN hed h2
+          ON h2.value_set_name IN ('FUH POS Group 1','FUH POS Group 2')
+          AND h2.code_system = 'POS' AND h.pos = h2.code
+        UNION ALL
+        SELECT DISTINCT 'HEDIS', h2.value_set_name, NULL, NULL,
+          h2.code_system, 'Y',
+          d.id_person, d.claim_id, d.first_service_date
+        FROM dx d JOIN hed h2
+          ON h2.value_set_name IN ('Mental Health Diagnosis',
+            'Mental Illness')
+          AND h2.code_system = 'ICD10CM' AND d.icdcm_version = 10
+          AND d.icdcm_number = '01' AND d.icdcm_norm = h2.code
+        UNION ALL
+        SELECT DISTINCT 'HEDIS', h2.value_set_name, NULL, NULL,
+          h2.code_system, 'N',
+          d.id_person, d.claim_id, d.first_service_date
+        FROM dx d JOIN hed h2
+          ON h2.value_set_name IN ('Mental Health Diagnosis',
+            'Mental Illness')
+          AND h2.code_system = 'ICD10CM' AND d.icdcm_version = 10
+          AND d.icdcm_norm = h2.code)
+      SELECT DISTINCT value_set_group, value_set_name, data_source_type,
+        sub_group, code_set, primary_dx_only, id_mcaid, claim_header_id,
+        service_date
+      FROM arms
+      ORDER BY value_set_group, value_set_name, data_source_type,
+        sub_group, code_set, primary_dx_only, id_mcaid, claim_header_id,
+        service_date"""),
   )
 }

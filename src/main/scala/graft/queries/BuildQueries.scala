@@ -2862,6 +2862,87 @@ object BuildQueries {
         ApcdElig.eligibility(s, dir), ApcdElig.ethMap(s))
       .orderBy(col("id_apcd"))
 
+  /** §7.2 claim↔value-set membership table (q165,
+    * load_stage.mcaid_claim_value_set.R:55-333): the reference's 14
+    * INSERT arms (RDA procedure/DRG/dx-primary/dx-any/NDC/UBREV + six
+    * HEDIS arms) re-expressed as ONE scan per claim table — unified
+    * broadcast code dims, a stack() unpivot for the header's three code
+    * namespaces, a primary/any explode for the dx arms. The DuckDB
+    * oracle runs the reference's 14-arm formulation, so the compare pins
+    * the rewrite against the original set algebra. */
+  def q165ClaimValueSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ren = (df: DataFrame) => df
+      .withColumnRenamed("id_person", "id_mcaid")
+      .withColumnRenamed("claim_id", "claim_header_id")
+    val proc = ren(Vs.proc(s, dir))
+    val dx = ren(Vs.dx(s, dir))
+    val pharm = ren(Vs.pharm(s, dir))
+    val line = ren(Vs.li(s, dir).select(col("id_person"), col("claim_id"),
+      col("first_service_date"),
+      concat(lit("RV"), (col("l_partkey") % 30).cast("string"))
+        .as("rev_code")))
+    // header frame with the three code namespaces, sparsely populated so
+    // the stack() NULL drop is exercised
+    val header = t(s, dir, "orders").select(
+      (col("o_custkey") % 100).as("id_mcaid"),
+      col("o_orderkey").as("claim_header_id"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      when(col("o_orderkey") % 5 === 0,
+        concat(lit("DG"), (col("o_orderkey") % 12).cast("string")))
+        .as("drvd_drg_code"),
+      when(col("o_orderkey") % 3 === 0,
+        concat(lit("TB"), (col("o_custkey") % 15).cast("string")))
+        .as("type_of_bill_code"),
+      when(col("o_orderkey") % 2 === 0,
+        concat(lit("PS"), (col("o_custkey") % 10).cast("string")))
+        .as("place_of_service_code"))
+    // ref.rda_value_set with the full descriptive column set; inactive
+    // NDC rows pin the active = 'Y' residual (ignored by non-NDC arms)
+    val rda = {
+      val sg = Vs.subGroups; val rx = Vs.rxClasses
+      ((0 until 16).map(i => ("RDA", "MH-procedure-value-set", "claim",
+          null: String,
+          if (i < 13) (if (i % 2 == 0) "CPT" else "HCPCS") else "ICD10PCS",
+          s"PC$i", if (i % 5 == 0) "N" else "Y")) ++
+        (0 until 10).map(i => ("RDA", "MH-inpatient-drg", "claim",
+          null: String, "DRG", s"DG$i", "Y")) ++
+        (0 until 24).map(i => ("RDA", "MH-Dx-value-set", "claim",
+          sg(i % 7), "ICD9CM", s"DX$i", "Y")) ++
+        (12 until 48).map(i => ("RDA", "MH-Dx-value-set", "claim",
+          sg(i % 7), "ICD10CM", s"DX$i", "Y")) ++
+        (0 until 20).map(i => ("RDA", "MH-Rx-value-set", "pharmacy",
+          rx(i % 5), "NDC", s"ND$i", if (i % 4 == 0) "N" else "Y")) ++
+        (0 until 10).map(i => ("RDA", "MH-revenue-value-set", "claim",
+          null: String, "UBREV", s"RV${i * 3}", "Y")))
+        .toDF("value_set_group", "value_set_name", "data_source_type",
+          "sub_group", "code_set", "code", "active")
+    }
+    val hedisProc = Seq("FUH Stand Alone Visits", "FUH Visits Group 1",
+      "FUH Visits Group 2", "TCM 7 Day", "TCM 14 Day")
+    val hedisLine = Seq("Inpatient Stay", "Nonacute Inpatient Stay",
+      "FUH RevCodes Group 1", "FUH RevCodes Group 2")
+    val hedis =
+      ((0 until 6).map(i => (hedisProc(i % 5),
+          if (i % 2 == 0) "CPT" else "HCPCS", s"PC${i * 2 + 1}")) ++
+        (0 until 4).map(i => (hedisLine(i), "UBREV", s"RV${i * 6}")) ++
+        (0 until 4).map(i =>
+          ("Nonacute Inpatient Stay", "UBTOB", s"TB${i * 3}")) ++
+        (0 until 4).map(i => (if (i % 2 == 0) "FUH POS Group 1"
+          else "FUH POS Group 2", "POS", s"PS${i * 3}")) ++
+        (0 until 8).map(i => (if (i % 2 == 0) "Mental Health Diagnosis"
+          else "Mental Illness", "ICD10CM", s"DX${i * 5}")) ++
+        // a set no arm asks for — pins the value-set-name filters
+        Seq(("AOD Abuse and Dependence", "ICD10CM", "DX2")))
+        .toDF("value_set_name", "code_system", "code")
+    graft.builds.ClaimValueSet.build(proc, header, dx, pharm, line, rda,
+        hedis)
+      .orderBy(col("value_set_group"), col("value_set_name"),
+        col("data_source_type"), col("sub_group"), col("code_set"),
+        col("primary_dx_only"), col("id_mcaid"), col("claim_header_id"),
+        col("service_date"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
