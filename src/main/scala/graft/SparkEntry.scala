@@ -258,6 +258,7 @@ object SparkEntry {
     "q163_ivf_pq" -> (V.q163IvfPq _),
     "q164_load_file_qa" -> (graft.queries.BuildQueries.q164LoadFileQa _),
     "q165_claim_value_set" -> (graft.queries.BuildQueries.q165ClaimValueSet _),
+    "q166_apcd_elig_plr" -> (graft.queries.BuildQueries.q166ApcdEligPlr _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7921,5 +7922,243 @@ object SparkEntry {
       ORDER BY value_set_group, value_set_name, data_source_type,
         sub_group, code_set, primary_dx_only, id_mcaid, claim_header_id,
         service_date"""),
+
+    // q166: full APCD person-level rollup — the oracle replicates the
+    // reference's six-step T-SQL (distinct cov rows → person sums →
+    // zip pick with the sum+1 quirk → picked-ACH days → capped-age demo
+    // → cohort flags on rounded percents).
+    "q166_apcd_elig_plr" -> """
+      WITH tv AS (
+        SELECT o_custkey % 200 AS id_apcd,
+          CAST(o_orderdate AS DATE) AS from_date,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 400 AS INT)
+            AS to_date,
+          o_orderkey % 4 AS med_covgrp, o_orderkey % 3 AS pharm_covgrp,
+          CASE WHEN o_orderkey % 5 < 2 THEN 1 ELSE 0 END AS med_medicaid,
+          CASE WHEN o_orderkey % 7 < 2 THEN 1 ELSE 0 END AS med_medicare,
+          CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+            AS med_commercial,
+          CASE WHEN o_orderkey % 6 < 2 THEN 1 ELSE 0 END
+            AS pharm_medicaid,
+          CASE WHEN o_orderkey % 11 < 3 THEN 1 ELSE 0 END
+            AS pharm_medicare,
+          CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END
+            AS pharm_commercial,
+          CASE WHEN o_orderkey % 7 <> 6 THEN '98' ||
+            lpad(CAST(o_custkey % 30 AS VARCHAR), 3, '0') END AS geo_zip,
+          CASE WHEN o_orderkey % 7 <> 6 AND o_custkey % 30 < 27
+            THEN 'ACH-' || CAST((o_custkey % 30) % 5 AS VARCHAR) END
+            AS geo_ach
+        FROM orders),
+      ov AS (SELECT * FROM tv
+        WHERE from_date <= DATE '1995-12-31'
+          AND to_date >= DATE '1995-01-01'),
+      cov1 AS (
+        SELECT DISTINCT id_apcd, from_date, to_date,
+          CASE WHEN med_covgrp <> 0 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_total_covd,
+          CASE WHEN med_medicaid = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_medicaid_covd,
+          CASE WHEN med_medicare = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_medicare_covd,
+          CASE WHEN med_commercial = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_commercial_covd,
+          CASE WHEN pharm_covgrp <> 0 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_total_covd,
+          CASE WHEN pharm_medicaid = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_medicaid_covd,
+          CASE WHEN pharm_medicare = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_medicare_covd,
+          CASE WHEN pharm_commercial = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_commercial_covd,
+          CASE WHEN (med_medicaid = 1 OR pharm_medicaid = 1)
+            AND (med_medicare = 1 OR pharm_medicare = 1)
+            THEN date_diff('day',
+              greatest(from_date, DATE '1995-01-01'),
+              least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS dual_covd
+        FROM ov),
+      cov2 AS (
+        SELECT id_apcd AS id,
+          CAST(sum(med_total_covd) AS BIGINT) AS med_total_covd,
+          CAST(sum(dual_covd) AS BIGINT) AS dual_covd,
+          CAST(sum(med_medicaid_covd) AS BIGINT) AS med_medicaid_covd,
+          CAST(sum(med_medicare_covd) AS BIGINT) AS med_medicare_covd,
+          CAST(sum(med_commercial_covd) AS BIGINT)
+            AS med_commercial_covd,
+          CAST(sum(pharm_total_covd) AS BIGINT) AS pharm_total_covd,
+          CAST(sum(pharm_medicaid_covd) AS BIGINT)
+            AS pharm_medicaid_covd,
+          CAST(sum(pharm_medicare_covd) AS BIGINT)
+            AS pharm_medicare_covd,
+          CAST(sum(pharm_commercial_covd) AS BIGINT)
+            AS pharm_commercial_covd
+        FROM cov1 GROUP BY id_apcd),
+      covp AS (
+        SELECT *,
+          round(med_total_covd * 1.0 / 365 * 100.0, 1)
+            AS med_total_covper,
+          round(dual_covd * 1.0 / 365 * 100.0, 1) AS dual_covper,
+          CASE WHEN dual_covd > 0 THEN 1 ELSE 0 END AS dual_flag,
+          round(med_medicaid_covd * 1.0 / 365 * 100.0, 1)
+            AS med_medicaid_covper,
+          round(med_medicare_covd * 1.0 / 365 * 100.0, 1)
+            AS med_medicare_covper,
+          round(med_commercial_covd * 1.0 / 365 * 100.0, 1)
+            AS med_commercial_covper,
+          round(pharm_total_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_total_covper,
+          round(pharm_medicaid_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_medicaid_covper,
+          round(pharm_medicare_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_medicare_covper,
+          round(pharm_commercial_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_commercial_covper
+        FROM cov2),
+      zipdur AS (
+        SELECT id_apcd AS id, geo_zip,
+          sum(date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1) + 1 AS zip_dur
+        FROM ov GROUP BY id_apcd, geo_zip),
+      zippick AS (
+        SELECT id, geo_zip FROM (
+          SELECT id, geo_zip, row_number() OVER (PARTITION BY id
+            ORDER BY zip_dur DESC, geo_zip ASC NULLS FIRST) AS zipr
+          FROM zipdur) WHERE zipr = 1),
+      county AS (
+        SELECT DISTINCT zip_code, zip_group_desc AS geo_county FROM (
+          SELECT '98' || lpad(CAST(i AS VARCHAR), 3, '0') AS zip_code,
+            'County-' || CAST(i % 6 AS VARCHAR) AS zip_group_desc
+          FROM range(0, 24) t(i)
+          UNION ALL SELECT '98999', 'County-X')),
+      achref AS (
+        SELECT DISTINCT zip_code, zip_group_desc AS geo_ach FROM (
+          SELECT '98' || lpad(CAST(i AS VARCHAR), 3, '0') AS zip_code,
+            'ACH-' || CAST(i % 5 AS VARCHAR) AS zip_group_desc
+          FROM range(0, 27) t(i))),
+      geo AS (
+        SELECT z.id, z.geo_zip, c.geo_county, a.geo_ach
+        FROM zippick z
+        LEFT JOIN county c ON z.geo_zip = c.zip_code
+        LEFT JOIN achref a ON z.geo_zip = a.zip_code),
+      achd AS (
+        SELECT g.id, CAST(sum(date_diff('day',
+            greatest(o.from_date, DATE '1995-01-01'),
+            least(o.to_date, DATE '1995-12-31')) + 1) AS BIGINT)
+          AS geo_ach_covd
+        FROM geo g JOIN ov o
+          ON g.id = o.id_apcd AND g.geo_ach = o.geo_ach
+        GROUP BY g.id),
+      dm0 AS (
+        SELECT c_custkey % 200 AS id_apcd, min(c_custkey) AS ck
+        FROM customer GROUP BY c_custkey % 200),
+      dm AS (
+        SELECT id_apcd,
+          DATE '1900-01-01' + CAST(ck * 97 % 35500 AS INT) AS dob,
+          CASE WHEN ck % 40 = 0 THEN 1 ELSE 0 END AS ninety_only,
+          CASE WHEN ck % 3 = 0 THEN 'Multiple'
+            WHEN ck % 3 = 1 THEN 'Female' ELSE 'Male' END AS gender_me,
+          CASE WHEN ck % 2 = 0 THEN 'Female' ELSE 'Male' END
+            AS gender_recent,
+          CAST(ck % 2 AS INT) AS gender_female,
+          CAST((ck + 1) % 2 AS INT) AS gender_male,
+          CASE ck % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_eth_me,
+          CASE (ck + 2) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_me,
+          CASE (ck + 4) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_eth_recent,
+          CASE (ck + 5) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_recent,
+          CASE WHEN ck % 11 = 0 THEN 1 ELSE 0 END AS race_aian,
+          CASE WHEN ck % 7 = 1 THEN 1 ELSE 0 END AS race_asian,
+          CASE WHEN ck % 6 = 2 THEN 1 ELSE 0 END AS race_black,
+          CASE WHEN ck % 5 = 3 THEN 1 ELSE 0 END AS race_latino,
+          CASE WHEN ck % 13 = 4 THEN 1 ELSE 0 END AS race_nhpi,
+          CASE WHEN ck % 3 = 2 THEN 1 ELSE 0 END AS race_white,
+          CASE WHEN ck % 17 = 5 THEN 1 ELSE 0 END AS race_unknown
+        FROM dm0 WHERE ck % 13 <> 7),
+      aged AS (
+        SELECT *,
+          CASE
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+              / 365.25) >= 90 OR ninety_only = 1 THEN 90
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+              / 365.25) >= 0
+              THEN CAST(floor((date_diff('day', dob,
+                DATE '1995-12-31') + 1) / 365.25) AS BIGINT)
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+              / 365.25) = -1 THEN 0
+          END AS age
+        FROM dm),
+      aged2 AS (
+        SELECT *, CASE
+            WHEN age >= 0 AND age < 5 THEN '0-4'
+            WHEN age >= 5 AND age < 12 THEN '5-11'
+            WHEN age >= 12 AND age < 18 THEN '12-17'
+            WHEN age >= 18 AND age < 25 THEN '18-24'
+            WHEN age >= 25 AND age < 45 THEN '25-44'
+            WHEN age >= 45 AND age < 65 THEN '45-64'
+            WHEN age >= 65 OR ninety_only = 1 THEN '65 and over'
+          END AS age_grp7
+        FROM aged)
+      SELECT p.id AS id_apcd,
+        CASE WHEN g.geo_county IS NOT NULL THEN 1 ELSE 0 END AS geo_wa,
+        CASE WHEN g.geo_county IS NOT NULL AND (p.med_medicaid_covd >= 1
+          OR p.pharm_medicaid_covd >= 1) THEN 1 ELSE 0 END
+          AS overall_mcaid,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_medicaid_covd >= 1
+          THEN 1 ELSE 0 END AS overall_mcaid_med,
+        CASE WHEN g.geo_county IS NOT NULL AND p.pharm_medicaid_covd >= 1
+          THEN 1 ELSE 0 END AS overall_mcaid_pharm,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 50.0
+          THEN 1 ELSE 0 END AS medical_coverage_6mo,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 58.3
+          THEN 1 ELSE 0 END AS medical_coverage_7mo,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 91.7
+          THEN 1 ELSE 0 END AS medical_coverage_11mo,
+        g.geo_zip, g.geo_county, g.geo_ach, a.geo_ach_covd,
+        round(a.geo_ach_covd * 1.0 / 365 * 100.0, 1) AS geo_ach_covper,
+        d.age, d.age_grp7,
+        d.gender_me, d.gender_recent, d.gender_female, d.gender_male,
+        d.race_eth_me, d.race_me, d.race_eth_recent, d.race_recent,
+        d.race_aian, d.race_asian, d.race_black, d.race_latino,
+        d.race_nhpi, d.race_white, d.race_unknown,
+        p.med_total_covd, p.med_total_covper,
+        p.dual_covd, p.dual_covper, p.dual_flag,
+        p.med_medicaid_covd, p.med_medicare_covd, p.med_commercial_covd,
+        p.med_medicaid_covper, p.med_medicare_covper,
+        p.med_commercial_covper,
+        p.pharm_total_covd, p.pharm_total_covper,
+        p.pharm_medicaid_covd, p.pharm_medicare_covd,
+        p.pharm_commercial_covd,
+        p.pharm_medicaid_covper, p.pharm_medicare_covper,
+        p.pharm_commercial_covper
+      FROM covp p
+      LEFT JOIN geo g ON p.id = g.id
+      LEFT JOIN achd a ON p.id = a.id
+      LEFT JOIN aged2 d ON p.id = d.id_apcd
+      ORDER BY id_apcd""",
   )
 }
