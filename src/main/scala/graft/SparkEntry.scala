@@ -259,6 +259,7 @@ object SparkEntry {
     "q164_load_file_qa" -> (graft.queries.BuildQueries.q164LoadFileQa _),
     "q165_claim_value_set" -> (graft.queries.BuildQueries.q165ClaimValueSet _),
     "q166_apcd_elig_plr" -> (graft.queries.BuildQueries.q166ApcdEligPlr _),
+    "q167_mcare_elig_month" -> (graft.queries.BuildQueries.q167McareEligMonth _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8160,5 +8161,84 @@ object SparkEntry {
       LEFT JOIN achd a ON p.id = a.id
       LEFT JOIN aged2 d ON p.id = d.id_apcd
       ORDER BY id_apcd""",
+
+    // q167: mcare elig_month — month grain kept (no island collapse);
+    // shares the q127 fixture/monthly formulation, adds year_month /
+    // year_quarter / year and the LEFT-JOIN geo_kc attach.
+    "q167_mcare_elig_month" -> """
+      WITH iy AS (
+        SELECT DISTINCT o_custkey % 80 AS p, year(o_orderdate) AS y
+        FROM orders),
+      mg AS (
+        SELECT p, y, m FROM iy,
+          (SELECT unnest(generate_series(1, 12)) AS m) t),
+      codes AS (
+        SELECT p, y, m,
+          ['0','1','2','3','A','B','C','9']
+            [((p*31 + y*12 + m) % 8)::INT + 1] AS buyins,
+          ['0','1','2','4','A','5']
+            [((p*31 + y*12 + m) % 6)::INT + 1] AS hmos,
+          ['E123','H45','N','*','0','X9',NULL,'R2']
+            [((p*31 + y*12 + m) % 8)::INT + 1] AS rx,
+          ['00','01','02','04','08','09','10','99','**',NULL]
+            [((p*31 + y*12 + m) % 10)::INT + 1] AS duals,
+          CASE WHEN (p + y) % 7 = 0 THEN '9812'
+            ELSE '9810' || ((p + y) % 4)::VARCHAR END AS zip_cd
+        FROM mg),
+      monthly AS (
+        SELECT 'E' || p::VARCHAR AS id_mcare,
+          make_date(y, m, 1) AS from_date,
+          last_day(make_date(y, m, 1)) AS to_date,
+          CAST(y * 100 + m AS INTEGER) AS year_month,
+          CAST(y * 10 + (m - 1) // 3 + 1 AS INTEGER) AS year_quarter,
+          y AS year,
+          CASE WHEN len(zip_cd) >= 5 THEN substr(zip_cd, 1, 5) END
+            AS geo_zip,
+          CASE WHEN buyins IN ('1','3','A','C') THEN 1
+               WHEN buyins IN ('0','2','B') THEN 0 END AS part_a,
+          CASE WHEN buyins IN ('2','3','B','C') THEN 1
+               WHEN buyins IN ('0','1','A') THEN 0 END AS part_b,
+          CASE WHEN hmos IN ('1','2','A','B','C') THEN 1
+               WHEN hmos IN ('0','4') THEN 0 END AS part_c,
+          CASE WHEN rx IN ('N','NULL','*','0','NA') OR rx IS NULL THEN 0
+               WHEN substr(rx, 1, 1) IN ('E','H','R','S','X') THEN 1
+            END AS part_d,
+          CASE WHEN buyins IN ('0','1','2','3') THEN 0
+               WHEN buyins IN ('A','B','C') THEN 1 END AS state_buyin,
+          CASE WHEN duals IN ('NULL','**','0','00','2','02','4','04',
+              '8','08','9','09','99','10','NA') OR duals IS NULL THEN 0
+               WHEN duals IN ('1','01','3','03','5','05','6','06')
+            THEN 1 END AS partial_dual,
+          CASE WHEN duals IN ('NULL','**','0','00','9','09','99','NA',
+              '1','01','3','03','5','05','6','06') OR duals IS NULL
+            THEN 0
+               WHEN duals IN ('2','02','4','04','8','08','10') THEN 1
+            END AS full_dual
+        FROM codes),
+      demo AS (
+        SELECT DISTINCT 'E' || p::VARCHAR AS id_mcare,
+          CASE WHEN p % 9 = 0 THEN DATE '1995-06-15'
+            + CAST(p * 13 % 700 AS INT) END AS death_dt
+        FROM iy),
+      alive AS (
+        SELECT m.id_mcare, m.from_date,
+          CASE WHEN d.death_dt IS NOT NULL
+              AND m.from_date <= d.death_dt AND m.to_date > d.death_dt
+            THEN d.death_dt ELSE m.to_date END AS to_date,
+          m.year_month, m.year_quarter, m.year,
+          m.part_a, m.part_b, m.part_c, m.part_d,
+          m.full_dual, m.partial_dual, m.state_buyin, m.geo_zip
+        FROM monthly m LEFT JOIN demo d ON m.id_mcare = d.id_mcare
+        WHERE m.part_a + m.part_b + m.part_c + m.part_d + m.state_buyin
+            + m.partial_dual + m.full_dual > 0
+          AND (m.from_date <= d.death_dt OR d.death_dt IS NULL))
+      SELECT id_mcare, from_date, to_date, year_month, year_quarter,
+        year, part_a, part_b, part_c, part_d, full_dual, partial_dual,
+        state_buyin, geo_zip,
+        CASE WHEN geo_zip IN ('98100','98102','98999') THEN 1
+             WHEN geo_zip IN ('98101','98103') THEN 0 END AS geo_kc,
+        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
+          AS cov_time_day
+      FROM alive ORDER BY id_mcare, year_month""",
   )
 }

@@ -1127,43 +1127,83 @@ object BuildQueries {
     * islands/collapse/contiguous battery. Codes cycle through valid,
     * invalid ('9') and NULL values so every recode branch is live. */
   def q127McareTimevar(s: SparkSession, dir: String): DataFrame = {
-    def arr(xs: Seq[String]) =
-      array(xs.map(x => lit(x).cast("string")): _*)
-    val buyinCodes = Seq("0", "1", "2", "3", "A", "B", "C", "9")
-    val hmoCodes = Seq("0", "1", "2", "4", "A", "5")
-    val rxCodes = Seq("E123", "H45", "N", "*", "0", "X9", null, "R2")
-    val dualCodes =
-      Seq("00", "01", "02", "04", "08", "09", "10", "99", "**", null)
-    val iy = t(s, dir, "orders").select(
-      (col("o_custkey") % 80).as("p"),
-      year(to_date(col("o_orderdate"))).as("y")).distinct()
-    val monthCols = (1 to 12).flatMap { m =>
-      val mm = f"$m%02d"
-      val k = col("p") * 31 + col("y") * 12 + lit(m)
-      Seq(
-        element_at(arr(buyinCodes), (k % 8).cast("int") + 1)
-          .as(s"buyin_$mm"),
-        element_at(arr(hmoCodes), (k % 6).cast("int") + 1)
-          .as(s"hmo_$mm"),
-        element_at(arr(rxCodes), (k % 8).cast("int") + 1).as(s"rx_$mm"),
-        element_at(arr(dualCodes), (k % 10).cast("int") + 1)
-          .as(s"dual_$mm"))
-    }
-    val bene = iy.select(
-      concat(lit("E"), col("p").cast("string")).as("id_mcare") +:
-      col("y").as("cal_year") +:
-      when((col("p") + col("y")) % 7 === 0, "9812")
-        .otherwise(concat(lit("9810"),
-          ((col("p") + col("y")) % 4).cast("string"))).as("zip_cd") +:
-      monthCols: _*)
-    val demo = iy.select(col("p")).distinct().select(
-      concat(lit("E"), col("p").cast("string")).as("id_mcare"),
-      when(col("p") % 9 === 0,
-        date_add(to_date(lit("1995-06-15")),
-          (col("p") * 13 % 700).cast("int"))).as("death_dt"))
+    val (bene, demo) = McareBene.frames(s, dir)
     graft.builds.McareEligTimevar.build(bene, demo,
         kcZips = Seq("98100", "98102"))
       .orderBy(col("id_mcare"), col("from_date"))
+  }
+
+  /** Shared synthetic MBSF bene_enrollment + demo frames for the mcare
+    * monthly builds (q127 timevar, q167 elig_month) — codes cycle
+    * through valid, invalid ('9') and NULL values so every recode
+    * branch is live. One copy, so a fixture change cannot drift between
+    * the two oracles. */
+  private[graft] object McareBene {
+    def frames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      def arr(xs: Seq[String]) =
+        array(xs.map(x => lit(x).cast("string")): _*)
+      val buyinCodes = Seq("0", "1", "2", "3", "A", "B", "C", "9")
+      val hmoCodes = Seq("0", "1", "2", "4", "A", "5")
+      val rxCodes = Seq("E123", "H45", "N", "*", "0", "X9", null, "R2")
+      val dualCodes =
+        Seq("00", "01", "02", "04", "08", "09", "10", "99", "**", null)
+      val iy = t(s, dir, "orders").select(
+        (col("o_custkey") % 80).as("p"),
+        year(to_date(col("o_orderdate"))).as("y")).distinct()
+      val monthCols = (1 to 12).flatMap { m =>
+        val mm = f"$m%02d"
+        val k = col("p") * 31 + col("y") * 12 + lit(m)
+        Seq(
+          element_at(arr(buyinCodes), (k % 8).cast("int") + 1)
+            .as(s"buyin_$mm"),
+          element_at(arr(hmoCodes), (k % 6).cast("int") + 1)
+            .as(s"hmo_$mm"),
+          element_at(arr(rxCodes), (k % 8).cast("int") + 1).as(s"rx_$mm"),
+          element_at(arr(dualCodes), (k % 10).cast("int") + 1)
+            .as(s"dual_$mm"))
+      }
+      val bene = iy.select(
+        concat(lit("E"), col("p").cast("string")).as("id_mcare") +:
+        col("y").as("cal_year") +:
+        when((col("p") + col("y")) % 7 === 0, "9812")
+          .otherwise(concat(lit("9810"),
+            ((col("p") + col("y")) % 4).cast("string"))).as("zip_cd") +:
+        monthCols: _*)
+      val demo = iy.select(col("p")).distinct().select(
+        concat(lit("E"), col("p").cast("string")).as("id_mcare"),
+        when(col("p") % 9 === 0,
+          date_add(to_date(lit("1995-06-15")),
+            (col("p") * 13 % 700).cast("int"))).as("death_dt"))
+      (bene, demo)
+    }
+  }
+
+  /** §1.1 mcare elig_month (q167, load_stage.mcare_elig_month.R): the
+    * month-grain Medicare enrollment table — the reference's 4 UNPIVOTs
+    * + 3 (bene, year, month) self-joins as ONE stack pass, ResDAC
+    * recodes shared with the q127 timevar build, one broadcast date-dim
+    * join supplying month bounds AND year_quarter/year (the reference
+    * joins ref.date twice), NULL-propagating cov_type_sum month drop,
+    * death truncation, and the LEFT-JOIN geo_kc attach (NULL zip keeps
+    * NULL geo_kc). */
+  def q167McareEligMonth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (bene, demo) = McareBene.frames(s, dir)
+    val dateDim = s.range(1992, 2003)
+      .select(col("id").cast("int").as("y"),
+        explode(sequence(lit(1), lit(12))).as("m"))
+      .select((col("y") * 100 + col("m")).cast("int").as("year_month"),
+        to_date(concat(col("y").cast("string"),
+          lpad(col("m").cast("string"), 2, "0"), lit("01")), "yyyyMMdd")
+          .as("first_day_month"),
+        (col("y") * 10 + floor((col("m") - 1) / 3) + 1).cast("int")
+          .as("year_quarter"),
+        col("y").as("year"))
+      .withColumn("last_day_month", last_day(col("first_day_month")))
+    val geoKc = Seq(("98100", 1), ("98101", 0), ("98102", 1),
+      ("98103", 0), ("98999", 1)).toDF("geo_zip", "geo_kc")
+    graft.builds.McareEligMonth.build(bene, demo, dateDim, geoKc)
+      .orderBy(col("id_mcare"), col("year_month"))
   }
 
   /** §1.1 mcare elig_demo (q131): person-level Medicare demographics
