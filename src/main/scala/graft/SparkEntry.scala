@@ -260,6 +260,7 @@ object SparkEntry {
     "q165_claim_value_set" -> (graft.queries.BuildQueries.q165ClaimValueSet _),
     "q166_apcd_elig_plr" -> (graft.queries.BuildQueries.q166ApcdEligPlr _),
     "q167_mcare_elig_month" -> (graft.queries.BuildQueries.q167McareEligMonth _),
+    "q168_mcare_mbsf" -> (graft.queries.BuildQueries.q168McareMbsf _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8240,5 +8241,85 @@ object SparkEntry {
         CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
           AS cov_time_day
       FROM alive ORDER BY id_mcare, year_month""",
+
+    // q168: combined MBSF AB/ABCD staging — (year, count) incremental
+    // gate, per-source DISTINCT, renames, ZIP normalizations, drift
+    // union, case-insensitive dup flag.
+    "q168_mcare_mbsf" -> """
+      WITH base AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+          year(o_orderdate) AS yr
+        FROM orders),
+      ab AS (
+        SELECT (CASE WHEN ck % 3 = 0 THEN 'B' ELSE 'b' END) ||
+            CAST(ck % 60 AS VARCHAR) AS bene_id,
+          yr AS bene_enrollmt_ref_yr,
+          CASE WHEN ck % 13 = 0 THEN '999999999'
+            ELSE lpad(CAST(ck * 7919 % 1000000000 AS VARCHAR), 9, '0')
+            END AS zip_cd,
+          CAST(ok % 5 AS VARCHAR) AS race_old,
+          CAST(ok % 2 AS INT) AS a_only
+        FROM base WHERE yr <= 1994),
+      abcd AS (
+        SELECT 'B' || CAST(ck % 60 AS VARCHAR) AS bene_id,
+          yr AS bene_enrollmt_ref_yr,
+          CASE WHEN ck % 17 = 0 THEN '99999'
+            ELSE CAST(ck * 31 % 100000 AS VARCHAR) END AS zip_cd,
+          CAST(ok % 6 AS VARCHAR) AS race_cd,
+          CAST(ok % 3 AS INT) AS d_only, yr AS data_year
+        FROM base WHERE yr >= 1995
+        UNION ALL
+        SELECT lower('B' || CAST(ck % 60 AS VARCHAR)), yr,
+          CASE WHEN ck % 17 = 0 THEN '99999'
+            ELSE CAST(ck * 31 % 100000 AS VARCHAR) END,
+          CAST(ok % 6 AS VARCHAR), CAST(ok % 3 AS INT), yr
+        FROM base WHERE yr >= 1997 AND ok % 101 = 0),
+      stage AS (
+        SELECT yr AS bene_enrollmt_ref_yr FROM base
+        WHERE (yr <= 1994 AND yr <> 1993) OR yr = 1995
+          OR (yr = 1996 AND ok % 97 <> 0)),
+      sc AS (
+        SELECT bene_enrollmt_ref_yr, count(*) AS c FROM stage
+        GROUP BY 1),
+      abyears AS (
+        SELECT a.bene_enrollmt_ref_yr FROM
+          (SELECT bene_enrollmt_ref_yr, count(*) AS c FROM ab
+           GROUP BY 1) a
+        ANTI JOIN sc s ON a.bene_enrollmt_ref_yr = s.bene_enrollmt_ref_yr
+          AND a.c = s.c),
+      abcdyears AS (
+        SELECT a.bene_enrollmt_ref_yr FROM
+          (SELECT bene_enrollmt_ref_yr, count(*) AS c FROM abcd
+           GROUP BY 1) a
+        ANTI JOIN sc s ON a.bene_enrollmt_ref_yr = s.bene_enrollmt_ref_yr
+          AND a.c = s.c),
+      abfixed AS (
+        SELECT bene_id, bene_enrollmt_ref_yr,
+          substr(CASE WHEN zip_cd = '999999999' THEN NULL ELSE zip_cd
+            END, 1, 5) AS zip_cd,
+          race_old AS race_cd, a_only
+        FROM (SELECT DISTINCT * FROM ab
+          WHERE bene_enrollmt_ref_yr IN (SELECT * FROM abyears))),
+      abcdfixed AS (
+        SELECT bene_id, bene_enrollmt_ref_yr,
+          lpad(CAST(CAST(CASE WHEN zip_cd = '99999' THEN NULL
+            ELSE zip_cd END AS INT) AS VARCHAR), 5, '0') AS zip_cd,
+          race_cd, d_only
+        FROM (SELECT DISTINCT * FROM abcd
+          WHERE bene_enrollmt_ref_yr IN (SELECT * FROM abcdyears))),
+      comb AS (
+        SELECT bene_id, bene_enrollmt_ref_yr, zip_cd, race_cd, d_only,
+          CAST(NULL AS INT) AS a_only
+        FROM abcdfixed
+        UNION ALL
+        SELECT bene_id, bene_enrollmt_ref_yr, zip_cd, race_cd,
+          CAST(NULL AS INT), a_only
+        FROM abfixed)
+      SELECT *, count(*) OVER (PARTITION BY lower(bene_id),
+          bene_enrollmt_ref_yr, zip_cd, race_cd, d_only, a_only) > 1
+          AS dup
+      FROM comb
+      ORDER BY bene_enrollmt_ref_yr, bene_id, zip_cd, race_cd, d_only,
+        a_only""",
   )
 }

@@ -3054,6 +3054,53 @@ object BuildQueries {
       .orderBy(col("id_apcd"))
   }
 
+  /** §2.1 combined MBSF AB/ABCD staging load (q168,
+    * load_stage.mcare_mbsf.r:38-142): the per-source year-level
+    * (year, count) incremental gate, per-source DISTINCT, AB→ABCD
+    * column renames, the two ZIP normalizations ('999999999'→NULL +
+    * left-5 for AB; '99999'→NULL + zero-pad-5 for ABCD), the drift
+    * union, and the case-insensitive bene_id duplicate flag (Medicare
+    * ids are case sensitive; a row equal on everything but id case is a
+    * suspected dup — surfaced as a `dup` column instead of the
+    * reference's hard stop). Planted: a count-drifted stage year (1996)
+    * that must re-load, an absent year (1993), fully-matched years that
+    * must NOT re-load (1992/1994/1995), and case-flipped duplicate rows
+    * in 1997+. */
+  def q168McareMbsf(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("ok"),
+      col("o_custkey").as("ck"),
+      year(to_date(col("o_orderdate"))).as("yr"))
+    val ab = base.filter(col("yr") <= 1994).select(
+      concat(when(col("ck") % 3 === 0, "B").otherwise("b"),
+        (col("ck") % 60).cast("string")).as("bene_id"),
+      col("yr").as("bene_enrollmt_ref_yr"),
+      when(col("ck") % 13 === 0, "999999999")
+        .otherwise(lpad((col("ck") * 7919 % 1000000000).cast("string"),
+          9, "0")).as("zip_cd"),
+      (col("ok") % 5).cast("string").as("race_old"),
+      (col("ok") % 2).cast("int").as("a_only"))
+    def abcdCols(df: DataFrame): DataFrame = df.select(
+      concat(lit("B"), (col("ck") % 60).cast("string")).as("bene_id"),
+      col("yr").as("bene_enrollmt_ref_yr"),
+      when(col("ck") % 17 === 0, "99999")
+        .otherwise((col("ck") * 31 % 100000).cast("string")).as("zip_cd"),
+      (col("ok") % 6).cast("string").as("race_cd"),
+      (col("ok") % 3).cast("int").as("d_only"),
+      col("yr").as("data_year"))
+    val abcd = abcdCols(base.filter(col("yr") >= 1995))
+      .unionByName(abcdCols(
+        base.filter(col("yr") >= 1997 && col("ok") % 101 === 0))
+        .withColumn("bene_id", lower(col("bene_id"))))
+    val stage = base.filter(
+        (col("yr") <= 1994 && col("yr") =!= 1993) || col("yr") === 1995 ||
+          (col("yr") === 1996 && col("ok") % 97 =!= 0))
+      .select(col("yr").as("bene_enrollmt_ref_yr"))
+    graft.builds.McareMbsf.build(ab, abcd, stage,
+        renameAb = Map("race_old" -> "race_cd"))
+      .orderBy(col("bene_enrollmt_ref_yr"), col("bene_id"), col("zip_cd"),
+        col("race_cd"), col("d_only"), col("a_only"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
