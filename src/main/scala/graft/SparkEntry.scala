@@ -261,6 +261,8 @@ object SparkEntry {
     "q166_apcd_elig_plr" -> (graft.queries.BuildQueries.q166ApcdEligPlr _),
     "q167_mcare_elig_month" -> (graft.queries.BuildQueries.q167McareEligMonth _),
     "q168_mcare_mbsf" -> (graft.queries.BuildQueries.q168McareMbsf _),
+    "q169_mcaid_claim_stage" -> (graft.queries.BuildQueries.q169McaidClaimStage _),
+    "q170_edb_xwalk" -> (graft.queries.BuildQueries.q170EdbXwalk _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8321,5 +8323,101 @@ object SparkEntry {
       FROM comb
       ORDER BY bene_enrollmt_ref_yr, bene_id, zip_cd, race_cd, d_only,
         a_only""",
+
+    // q169: master mcaid claim staging — archive < MIN(incoming date),
+    // incoming DISTINCT with derived clndr_year_mnth / clm_line, UNION.
+    "q169_mcaid_claim_stage" -> """
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd,
+          round(l_extendedprice, 2) AS paid, o_custkey,
+          year(o_orderdate) AS oy
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      base AS (
+        SELECT o_custkey AS mbr_h_sid,
+          'R' || CAST(o_custkey % 300 AS VARCHAR)
+            AS medicaid_recipient_id,
+          CASE WHEN l_linenumber % 2 = 0 THEN 'Y' ELSE 'N' END
+            AS baby_on_mom_ind,
+          'T' || CAST(l_orderkey AS VARCHAR) AS tcn,
+          'T' || CAST(l_orderkey AS VARCHAR) ||
+            lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS clm_line_tcn,
+          sd AS from_srvc_date, paid AS paid_amt, oy
+        FROM li),
+      incoming AS (
+        SELECT * EXCLUDE (oy) FROM base WHERE oy >= 1996
+        UNION ALL
+        SELECT * EXCLUDE (oy) FROM base
+        WHERE oy >= 1996 AND mbr_h_sid % 89 = 0),
+      archive AS (
+        SELECT CAST(year(from_srvc_date) * 100 +
+            month(from_srvc_date) AS INT) AS clndr_year_mnth,
+          mbr_h_sid, medicaid_recipient_id, baby_on_mom_ind, tcn,
+          clm_line_tcn, CAST(right(clm_line_tcn, 3) AS INT) AS clm_line,
+          from_srvc_date, paid_amt
+        FROM base WHERE oy <= 1996),
+      cut AS (SELECT min(from_srvc_date) AS dt FROM incoming)
+      SELECT * FROM (
+        SELECT * FROM archive
+        WHERE from_srvc_date < (SELECT dt FROM cut)
+        UNION
+        SELECT DISTINCT CAST(year(from_srvc_date) * 100 +
+            month(from_srvc_date) AS INT),
+          mbr_h_sid, medicaid_recipient_id, baby_on_mom_ind, tcn,
+          clm_line_tcn, CAST(right(clm_line_tcn, 3) AS INT),
+          from_srvc_date, paid_amt
+        FROM incoming WHERE from_srvc_date >= (SELECT dt FROM cut))
+      ORDER BY clm_line_tcn, from_srvc_date""",
+
+    // q170: EDB user-view crosswalk dedup — singleton / exact-dup /
+    // name-drift branches, middle-initial forward fill, max-source pick.
+    "q170_edb_xwalk" -> """
+      WITH base AS (
+        SELECT DISTINCT o_custkey % 80 AS p, year(o_orderdate) AS yr
+        FROM orders),
+      edb0 AS (
+        SELECT 'E' || CAST(p AS VARCHAR) AS bene_id, yr AS source,
+          CASE WHEN p % 5 = 0 THEN 'S' || CAST(p AS VARCHAR)
+            ELSE 'S' || CAST(p AS VARCHAR) || '-' ||
+              CAST(yr % 3 AS VARCHAR) END AS bene_srnm_name,
+          'G' || CAST(p AS VARCHAR) AS bene_gvn_name,
+          CASE WHEN p % 5 = 0 THEN 'M' || CAST(p % 4 AS VARCHAR)
+            WHEN (p + yr) % 3 = 0 THEN NULL
+            ELSE 'M' || CAST(yr % 4 AS VARCHAR) END AS bene_mdl_name,
+          CASE WHEN yr % 2 = 0 THEN 'Y' ELSE 'N' END AS crnt_rec_ind
+        FROM base WHERE (p % 5 >= 3 AND yr = 1995) OR p % 5 < 3),
+      edb AS (SELECT DISTINCT * FROM edb0),
+      flagged AS (
+        SELECT *, count(*) OVER (PARTITION BY bene_id) AS id_dup,
+          count(*) OVER (PARTITION BY bene_id, bene_srnm_name,
+            bene_gvn_name, bene_mdl_name) AS exact_dup
+        FROM edb),
+      nodup AS (
+        SELECT bene_srnm_name, bene_gvn_name, bene_mdl_name,
+          crnt_rec_ind, bene_id
+        FROM flagged WHERE id_dup = 1),
+      exact AS (
+        SELECT bene_srnm_name, bene_gvn_name, bene_mdl_name,
+          crnt_rec_ind, bene_id
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY bene_id
+            ORDER BY source DESC) AS rk
+          FROM flagged WHERE id_dup > 1 AND id_dup = exact_dup)
+        WHERE rk = 1),
+      oth AS (
+        SELECT bene_srnm_name, bene_gvn_name, bene_mdl_name,
+          crnt_rec_ind, bene_id
+        FROM (
+          SELECT * REPLACE(last_value(bene_mdl_name IGNORE NULLS)
+              OVER (PARTITION BY bene_id ORDER BY source
+                ROWS UNBOUNDED PRECEDING) AS bene_mdl_name),
+            row_number() OVER (PARTITION BY bene_id
+              ORDER BY source DESC) AS rk
+          FROM flagged WHERE id_dup > 1 AND id_dup <> exact_dup)
+        WHERE rk = 1)
+      SELECT * FROM (
+        SELECT * FROM nodup
+        UNION ALL SELECT * FROM exact
+        UNION ALL SELECT * FROM oth)
+      ORDER BY bene_id""",
   )
 }

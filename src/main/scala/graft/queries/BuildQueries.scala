@@ -3101,6 +3101,70 @@ object BuildQueries {
         col("race_cd"), col("d_only"), col("a_only"))
   }
 
+  /** §2.1 master Medicaid claim-line staging load (q169,
+    * load_stage.mcaid_claim.R:104-127 incremental path): archive rows
+    * strictly before the incoming batch's MIN service date, the
+    * re-delivered batch DISTINCTed with the derived clndr_year_mnth and
+    * right-3-of-TCN clm_line columns, combined under UNION distinct.
+    * The 1996 order-year overlap plants rows present in BOTH branches,
+    * and a re-delivered duplicate sliver exercises the DISTINCT. */
+  def q169McaidClaimStage(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    def claims(df: DataFrame): DataFrame = df.select(
+      col("o_custkey").as("mbr_h_sid"),
+      concat(lit("R"), (col("o_custkey") % 300).cast("string"))
+        .as("medicaid_recipient_id"),
+      when(col("l_linenumber") % 2 === 0, "Y").otherwise("N")
+        .as("baby_on_mom_ind"),
+      concat(lit("T"), col("l_orderkey").cast("string")).as("tcn"),
+      concat(lit("T"), col("l_orderkey").cast("string"),
+        lpad(col("l_linenumber").cast("string"), 3, "0"))
+        .as("clm_line_tcn"),
+      to_date(col("l_shipdate")).as("from_srvc_date"),
+      round(col("l_extendedprice"), 2).as("paid_amt"))
+    val oy = year(to_date(col("o_orderdate")))
+    val incoming0 = claims(li.filter(oy >= 1996))
+    val incoming = incoming0.unionAll(
+      incoming0.filter(col("mbr_h_sid") % 89 === 0))
+    val archive = claims(li.filter(oy <= 1996)).select(
+      (year(col("from_srvc_date")) * 100 + month(col("from_srvc_date")))
+        .cast("int").as("clndr_year_mnth"),
+      col("mbr_h_sid"), col("medicaid_recipient_id"),
+      col("baby_on_mom_ind"), col("tcn"), col("clm_line_tcn"),
+      substring(col("clm_line_tcn"), -3, 3).cast("int").as("clm_line"),
+      col("from_srvc_date"), col("paid_amt"))
+    graft.builds.McaidClaimStage.build(archive, incoming,
+        "from_srvc_date")
+      .orderBy(col("clm_line_tcn"), col("from_srvc_date"))
+  }
+
+  /** §2.2 EDB user-view crosswalk dedup (q170,
+    * load_stage.mcare_xwalk_edb_user_view.R:52-77): per-year Medicare
+    * name history collapsed to one row per bene_id via the reference's
+    * three branches — singleton pass-through, exact-dup max-source
+    * pick, and the middle-initial forward-fill + max-source pick for
+    * genuinely drifting names. */
+  def q170EdbXwalk(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select((col("o_custkey") % 80).as("p"),
+      year(to_date(col("o_orderdate"))).as("yr")).distinct()
+    val p = col("p"); val yr = col("yr")
+    val edb = base
+      .filter((p % 5 >= 3 && yr === 1995) || p % 5 < 3)
+      .select(concat(lit("E"), p.cast("string")).as("bene_id"),
+        yr.as("source"),
+        when(p % 5 === 0, concat(lit("S"), p.cast("string")))
+          .otherwise(concat(lit("S"), p.cast("string"), lit("-"),
+            (yr % 3).cast("string"))).as("bene_srnm_name"),
+        concat(lit("G"), p.cast("string")).as("bene_gvn_name"),
+        when(p % 5 === 0, concat(lit("M"), (p % 4).cast("string")))
+          .when((p + yr) % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("M"), (yr % 4).cast("string")))
+          .as("bene_mdl_name"),
+        when(yr % 2 === 0, "Y").otherwise("N").as("crnt_rec_ind"))
+    graft.builds.McareXwalk.edbDedup(edb).orderBy(col("bene_id"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
