@@ -263,6 +263,7 @@ object SparkEntry {
     "q168_mcare_mbsf" -> (graft.queries.BuildQueries.q168McareMbsf _),
     "q169_mcaid_claim_stage" -> (graft.queries.BuildQueries.q169McaidClaimStage _),
     "q170_edb_xwalk" -> (graft.queries.BuildQueries.q170EdbXwalk _),
+    "q171_demo_summary" -> (graft.queries.BuildQueries.q171DemoSummary _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8419,5 +8420,119 @@ object SparkEntry {
         UNION ALL SELECT * FROM exact
         UNION ALL SELECT * FROM oth)
       ORDER BY bene_id""",
+
+    // q171: annual demographic roll-up — modal geocode, gender fallback,
+    // T-SQL month-boundary age groups, 11-measure UNPIVOT, tabulation
+    // with totals and 1-10 suppression.
+    "q171_demo_summary" -> """
+      WITH month0 AS (
+        SELECT o_custkey % 100 AS id_mcaid, year(o_orderdate) AS year,
+          'H' || CAST(o_custkey % 100 AS VARCHAR) || '-' ||
+            CAST(o_orderkey % 4 AS VARCHAR) AS geo_hash_geocode,
+          CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END
+            AS full_benefit,
+          CASE WHEN o_orderkey % 5 = 4 THEN 0 ELSE 1 END AS geo_kc
+        FROM orders),
+      geo1 AS (
+        SELECT id_mcaid, year, geo_hash_geocode FROM (
+          SELECT id_mcaid, year, geo_hash_geocode,
+            row_number() OVER (PARTITION BY id_mcaid, year
+              ORDER BY count(*) DESC, geo_hash_geocode) AS rn
+          FROM month0 GROUP BY id_mcaid, year, geo_hash_geocode)
+        WHERE rn = 1),
+      dm0 AS (
+        SELECT c_custkey % 100 AS id_mcaid, min(c_custkey) AS ckm
+        FROM customer GROUP BY 1),
+      dm AS (
+        SELECT id_mcaid,
+          CASE WHEN ckm % 23 = 0 THEN NULL
+            ELSE DATE '1935-01-01' + CAST(ckm * 131 % 23000 AS INT) END
+            AS dob,
+          CASE WHEN ckm % 6 = 0 THEN 'Unknown'
+            WHEN ckm % 2 = 0 THEN 'Female' ELSE 'Male' END
+            AS gender_recent,
+          CASE WHEN ckm % 4 = 0 THEN 'Female' ELSE 'Male' END
+            AS gender_me,
+          CASE WHEN ckm % 11 = 0 THEN 1 ELSE 0 END AS race_aian,
+          CASE WHEN ckm % 7 = 1 THEN 1 ELSE 0 END AS race_asian,
+          CASE WHEN ckm % 6 = 2 THEN 1 ELSE 0 END AS race_black,
+          CASE WHEN ckm % 5 = 3 THEN 1 ELSE 0 END AS race_latino,
+          CASE WHEN ckm % 13 = 4 THEN 1 ELSE 0 END AS race_nhpi,
+          CASE WHEN ckm % 3 = 2 THEN 1 ELSE 0 END AS race_white,
+          CASE WHEN ckm % 17 = 5 THEN 1 ELSE 0 END AS race_unk
+        FROM dm0 WHERE ckm % 19 <> 3),
+      gc AS (
+        SELECT 'H' || CAST(p AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+            AS geo_hash_geocode,
+          CASE WHEN k = 3 THEN NULL
+            ELSE CAST((p + k) % 9 + 1 AS VARCHAR) END
+            AS geo_id20_kccdist,
+          '981' || CAST((p + k) % 10 AS VARCHAR) AS geo_zip_clean
+        FROM range(0, 100) t1(p), range(0, 4) t2(k)),
+      cl0 AS (
+        SELECT m.id_mcaid, m.year, d.dob, d.gender_recent, d.gender_me,
+          d.race_aian, d.race_asian, d.race_black, d.race_latino,
+          d.race_nhpi, d.race_white, d.race_unk,
+          a.geo_id20_kccdist, a.geo_zip_clean,
+          CAST(trunc(CAST(m.year * 12 + 7 - year(d.dob) * 12 -
+            month(d.dob) AS DOUBLE) / 12) AS INT) AS age
+        FROM month0 m
+        LEFT JOIN geo1 g ON g.id_mcaid = m.id_mcaid AND g.year = m.year
+        LEFT JOIN dm d ON m.id_mcaid = d.id_mcaid
+        LEFT JOIN gc a ON g.geo_hash_geocode = a.geo_hash_geocode
+        WHERE m.full_benefit = 1 AND m.geo_kc = 1 AND m.year < 1998
+          AND d.dob <= make_date(m.year, 12, 31)),
+      clients AS (
+        SELECT DISTINCT id_mcaid, year, dob,
+          CASE WHEN gender_recent = 'Unknown' THEN gender_me
+            ELSE gender_recent END AS gender,
+          CASE WHEN age < 18 THEN '0-17'
+            WHEN age BETWEEN 18 AND 24 THEN '18-24'
+            WHEN age BETWEEN 25 AND 34 THEN '25-34'
+            WHEN age BETWEEN 35 AND 44 THEN '35-44'
+            WHEN age BETWEEN 45 AND 54 THEN '45-54'
+            WHEN age BETWEEN 55 AND 64 THEN '55-64'
+            WHEN age > 64 THEN '65+' END AS age_group,
+          race_aian, race_asian, race_black, race_latino, race_nhpi,
+          race_white, race_unk,
+          geo_id20_kccdist AS kccdist, geo_zip_clean AS zip
+        FROM cl0),
+      long0 AS (
+        SELECT id_mcaid, year, measure, value FROM (
+          SELECT id_mcaid, year,
+            CAST(gender AS VARCHAR) AS gender,
+            CAST(age_group AS VARCHAR) AS age_group,
+            CAST(race_aian AS VARCHAR) AS race_aian,
+            CAST(race_asian AS VARCHAR) AS race_asian,
+            CAST(race_black AS VARCHAR) AS race_black,
+            CAST(race_latino AS VARCHAR) AS race_latino,
+            CAST(race_nhpi AS VARCHAR) AS race_nhpi,
+            CAST(race_white AS VARCHAR) AS race_white,
+            CAST(race_unk AS VARCHAR) AS race_unk,
+            CAST(kccdist AS VARCHAR) AS kccdist,
+            CAST(zip AS VARCHAR) AS zip
+          FROM clients)
+        UNPIVOT (value FOR measure IN (gender, age_group, race_aian,
+          race_asian, race_black, race_latino, race_nhpi, race_white,
+          race_unk, kccdist, zip))),
+      long AS (
+        SELECT id_mcaid, year,
+          CASE WHEN measure LIKE 'race_%' THEN 'race_aic'
+            ELSE measure END AS measure,
+          CASE WHEN measure LIKE 'race_%'
+            THEN replace(measure, 'race_', '') ELSE value END AS value
+        FROM long0 WHERE value IS NOT NULL AND value <> '0'),
+      tot AS (
+        SELECT year AS t_year, measure AS t_measure,
+          count(DISTINCT id_mcaid) AS total_pop
+        FROM long GROUP BY 1, 2)
+      SELECT c.year, c.measure, lower(c.value) AS value,
+        CASE WHEN pop0 BETWEEN 1 AND 10 THEN 0 ELSE pop0 END AS pop,
+        total_pop
+      FROM (
+        SELECT year, measure, value, count(DISTINCT id_mcaid) AS pop0
+        FROM long GROUP BY 1, 2, 3) c
+      LEFT JOIN tot ON c.year = t_year AND c.measure = t_measure
+      ORDER BY c.measure, value, c.year""",
   )
 }

@@ -3165,6 +3165,57 @@ object BuildQueries {
     graft.builds.McareXwalk.edbDedup(edb).orderBy(col("bene_id"))
   }
 
+  /** §3.3 annual demographic roll-up ref table (q171,
+    * load_ref.mcaid_demo_summary.R:66-360): modal geocode per
+    * person-year (deterministic hash tie-break documented), the
+    * gender-fallback + T-SQL month-boundary age-group person-year
+    * frame, the 11-measure UNPIVOT with race flags collapsed to
+    * race_aic, and the (year, measure, value) distinct-person
+    * tabulation with per-(year, measure) totals and 1-10 small-count
+    * suppression. */
+  def q171DemoSummary(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey"); val ck = col("o_custkey")
+    val month = t(s, dir, "orders").select(
+      (ck % 100).as("id_mcaid"),
+      year(to_date(col("o_orderdate"))).as("year"),
+      concat(lit("H"), (ck % 100).cast("string"), lit("-"),
+        (ok % 4).cast("string")).as("geo_hash_geocode"),
+      when(ok % 3 === 0, 0).otherwise(1).as("full_benefit"),
+      when(ok % 5 === 4, 0).otherwise(1).as("geo_kc"))
+    val ckm = col("ckm")
+    val dm = t(s, dir, "customer")
+      .groupBy((col("c_custkey") % 100).as("id_mcaid"))
+      .agg(min(col("c_custkey")).as("ckm"))
+      .filter(ckm % 19 =!= 3)
+      .select(col("id_mcaid"),
+        when(ckm % 23 === 0, lit(null).cast("date"))
+          .otherwise(date_add(to_date(lit("1935-01-01")),
+            (ckm * 131 % 23000).cast("int"))).as("dob"),
+        when(ckm % 6 === 0, "Unknown").when(ckm % 2 === 0, "Female")
+          .otherwise("Male").as("gender_recent"),
+        when(ckm % 4 === 0, "Female").otherwise("Male").as("gender_me"),
+        when(ckm % 11 === 0, 1).otherwise(0).as("race_aian"),
+        when(ckm % 7 === 1, 1).otherwise(0).as("race_asian"),
+        when(ckm % 6 === 2, 1).otherwise(0).as("race_black"),
+        when(ckm % 5 === 3, 1).otherwise(0).as("race_latino"),
+        when(ckm % 13 === 4, 1).otherwise(0).as("race_nhpi"),
+        when(ckm % 3 === 2, 1).otherwise(0).as("race_white"),
+        when(ckm % 17 === 5, 1).otherwise(0).as("race_unk"))
+    val geocode = s.range(0, 100)
+      .select(col("id").cast("int").as("p"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(concat(lit("H"), col("p").cast("string"), lit("-"),
+          col("k").cast("string")).as("geo_hash_geocode"),
+        when(col("k") === 3, lit(null).cast("string"))
+          .otherwise(((col("p") + col("k")) % 9 + 1).cast("string"))
+          .as("geo_id20_kccdist"),
+        concat(lit("981"), ((col("p") + col("k")) % 10).cast("string"))
+          .as("geo_zip_clean"))
+    graft.builds.DemoSummary.build(month, dm, geocode,
+        currentYear = 1998)
+      .orderBy(col("measure"), col("value"), col("year"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
