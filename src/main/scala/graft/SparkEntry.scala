@@ -264,6 +264,9 @@ object SparkEntry {
     "q169_mcaid_claim_stage" -> (graft.queries.BuildQueries.q169McaidClaimStage _),
     "q170_edb_xwalk" -> (graft.queries.BuildQueries.q170EdbXwalk _),
     "q171_demo_summary" -> (graft.queries.BuildQueries.q171DemoSummary _),
+    "q172_dsir_weights" -> (T.q172DsirWeights _),
+    "q173_quality_classifier" -> (T.q173QualityClassifier _),
+    "q174_mmr_rerank" -> (V.q174MmrRerank _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8534,5 +8537,167 @@ object SparkEntry {
         FROM long GROUP BY 1, 2, 3) c
       LEFT JOIN tot ON c.year = t_year AND c.measure = t_measure
       ORDER BY c.measure, value, c.year""",
+
+    // q172: DSIR importance weights — hashed unigram+bigram bag models
+    // (md5 first-32-bits buckets), add-one smoothing, per-doc log
+    // importance ratio vs the English target slice.
+    "q172_dsir_weights" -> """
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+            'g'), ' ') AS tk
+        FROM documents),
+      feats AS (
+        SELECT doc_id, tgt, unnest(tk) AS f FROM toks
+        UNION ALL
+        SELECT doc_id, tgt, unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 1, 0)),
+            i -> tk[i] || ' ' || tk[i + 1])) AS f
+        FROM toks),
+      bk AS (
+        SELECT doc_id, tgt,
+          ('0x' || substr(md5(f), 1, 8))::UBIGINT % 64 AS b
+        FROM feats WHERE len(f) > 0),
+      counts AS (
+        SELECT b,
+          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM bk GROUP BY b),
+      tot AS (
+        SELECT
+          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS nr
+        FROM bk),
+      lam AS (
+        SELECT b,
+          ln((ct + 1)::DOUBLE / (nt + 64)::DOUBLE) -
+            ln((cr + 1)::DOUBLE / (nr + 64)::DOUBLE) AS lam
+        FROM counts, tot),
+      docf AS (
+        SELECT doc_id, b, count(*) AS m FROM bk GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+        round(sum(m * lam), 6) AS log_importance
+      FROM docf JOIN lam USING (b)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // q173: linear quality classifier — md5-hashed bag-of-words,
+    // deterministic Knuth-hash weights, mean pool + bias, sigmoid.
+    "q173_quality_classifier" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(t), 1, 8))::UBIGINT % 32 AS bkt
+        FROM toks WHERE len(t) > 0),
+      sc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+          (CAST(sum((bkt * 2654435761) % 1000) AS BIGINT)
+              - 600 * count(*))::DOUBLE
+            / (count(*) * 1000)::DOUBLE AS s
+        FROM b GROUP BY doc_id)
+      SELECT doc_id, n_tokens, s AS score,
+        round(1.0 / (exp(-s) + 1.0), 6) AS prob,
+        (1.0 / (exp(-s) + 1.0)) >= 0.5 AS keep
+      FROM sc ORDER BY doc_id""",
+
+    // q174: MMR diversified re-ranking — integer objective
+    // (7·rel − 3·maxSim on the quantized grid), k=5 greedy rounds
+    // written as chained CTEs; the whole trajectory is exact.
+    "q174_mmr_rerank" -> """
+      WITH qz AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS q
+        FROM qz),
+      cand AS (
+        SELECT * FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+            list_inner_product(a.q, b.q)::BIGINT AS rel, b.q AS dq
+          FROM qv a CROSS JOIN qv b WHERE a.vec_id < 5)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, doc_id) <= 20),
+      sims AS (
+        SELECT x.query_id, x.doc_id AS da, y.doc_id AS db,
+          list_inner_product(x.dq, y.dq)::BIGINT AS sim
+        FROM cand x JOIN cand y
+          ON x.query_id = y.query_id AND x.doc_id <> y.doc_id),
+      s1 AS (
+        SELECT query_id, doc_id, rel, 1 AS rank, 7 * rel AS mmr10
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, doc_id) = 1),
+      sel1 AS (SELECT query_id, doc_id FROM s1),
+      m2 AS (
+        SELECT c.query_id, c.doc_id, c.rel,
+          7 * c.rel - 3 * max(s.sim) AS mmr10
+        FROM cand c
+        ANTI JOIN sel1 e
+          ON c.query_id = e.query_id AND c.doc_id = e.doc_id
+        JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+        JOIN sel1 e2 ON s.query_id = e2.query_id AND s.db = e2.doc_id
+        GROUP BY c.query_id, c.doc_id, c.rel),
+      s2 AS (
+        SELECT query_id, doc_id, rel, 2 AS rank, mmr10 FROM m2
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY mmr10 DESC, doc_id) = 1),
+      sel2 AS (SELECT * FROM sel1
+        UNION ALL SELECT query_id, doc_id FROM s2),
+      m3 AS (
+        SELECT c.query_id, c.doc_id, c.rel,
+          7 * c.rel - 3 * max(s.sim) AS mmr10
+        FROM cand c
+        ANTI JOIN sel2 e
+          ON c.query_id = e.query_id AND c.doc_id = e.doc_id
+        JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+        JOIN sel2 e2 ON s.query_id = e2.query_id AND s.db = e2.doc_id
+        GROUP BY c.query_id, c.doc_id, c.rel),
+      s3 AS (
+        SELECT query_id, doc_id, rel, 3 AS rank, mmr10 FROM m3
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY mmr10 DESC, doc_id) = 1),
+      sel3 AS (SELECT * FROM sel2
+        UNION ALL SELECT query_id, doc_id FROM s3),
+      m4 AS (
+        SELECT c.query_id, c.doc_id, c.rel,
+          7 * c.rel - 3 * max(s.sim) AS mmr10
+        FROM cand c
+        ANTI JOIN sel3 e
+          ON c.query_id = e.query_id AND c.doc_id = e.doc_id
+        JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+        JOIN sel3 e2 ON s.query_id = e2.query_id AND s.db = e2.doc_id
+        GROUP BY c.query_id, c.doc_id, c.rel),
+      s4 AS (
+        SELECT query_id, doc_id, rel, 4 AS rank, mmr10 FROM m4
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY mmr10 DESC, doc_id) = 1),
+      sel4 AS (SELECT * FROM sel3
+        UNION ALL SELECT query_id, doc_id FROM s4),
+      m5 AS (
+        SELECT c.query_id, c.doc_id, c.rel,
+          7 * c.rel - 3 * max(s.sim) AS mmr10
+        FROM cand c
+        ANTI JOIN sel4 e
+          ON c.query_id = e.query_id AND c.doc_id = e.doc_id
+        JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+        JOIN sel4 e2 ON s.query_id = e2.query_id AND s.db = e2.doc_id
+        GROUP BY c.query_id, c.doc_id, c.rel),
+      s5 AS (
+        SELECT query_id, doc_id, rel, 5 AS rank, mmr10 FROM m5
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY mmr10 DESC, doc_id) = 1)
+      SELECT query_id, rank, doc_id, rel, mmr10 FROM (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        UNION ALL SELECT * FROM s5)
+      ORDER BY query_id, rank""",
   )
 }

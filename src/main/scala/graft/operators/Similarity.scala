@@ -385,4 +385,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
         col("_rk").as("rank"))
   }
+
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) over the int8-quantized grid — the standard
+    * redundancy-suppressing post-pass on an ANN candidate list: greedily
+    * pick argmax λ·rel(q, d) − (1 − λ)·max_{s ∈ selected} sim(d, s),
+    * so each next result balances query relevance against similarity to
+    * what is already shown.
+    *
+    * All similarities are integer dot products on the quantized grid
+    * (exact in double at 64 dims), and λ is expressed in tenths, so the
+    * MMR objective `mmr10 = λ10·rel − (10 − λ10)·maxSim` is an exact
+    * INTEGER — selection order is bit-stable across engines, ties break
+    * on doc id. The first pick maximizes rel (the formula's selected-set
+    * term is empty); its mmr10 is recorded as λ10·rel.
+    *
+    * Scale: candidate generation is the [[bruteForceTopK]] shape
+    * (broadcast queries, one corpus scan, per-query top-nCandidates
+    * window); everything after operates on candidate-set-sized frames —
+    * the pairwise sim table is nCandidates² per query and the k
+    * selection rounds are k chained (join + window) stages over those
+    * bounded frames, independent of corpus size.
+    */
+  def mmrRerank(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, id: String, vec: String,
+      nCandidates: Int = 20, k: Int = 5,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && nCandidates >= k && lambdaTenths >= 0 &&
+      lambdaTenths <= 10, "need 1 <= k <= nCandidates, lambda in 0..10")
+    val idot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).cast("long")
+    val q = quantize(queries, qid, qvec)
+      .select(col(qid).as("query_id"), col("qvec").as("_qv"))
+    val c = quantize(corpus, id, vec)
+      .select(col(id).as("doc_id"), col("qvec").as("_dv"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val cand = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("doc_id"),
+        idot(col("_qv"), col("_dv")).as("rel"), col("_dv"))
+      .withColumn("_rn", row_number().over(wRel))
+      .filter(col("_rn") <= nCandidates)
+    val sims = cand.select(col("query_id"), col("doc_id").as("da"),
+        col("_dv").as("_va"))
+      .join(cand.select(col("query_id"), col("doc_id").as("db"),
+        col("_dv").as("_vb")), Seq("query_id"))
+      .filter(col("da") =!= col("db"))
+      .select(col("query_id"), col("da"), col("db"),
+        idot(col("_va"), col("_vb")).as("sim"))
+
+    val lam = lit(lambdaTenths.toLong)
+    val oneMinus = lit((10 - lambdaTenths).toLong)
+    var selected = cand.filter(col("_rn") === 1)
+      .select(col("query_id"), col("doc_id"), col("rel"),
+        lit(1).as("rank"), (lam * col("rel")).as("mmr10"))
+    var remaining = cand.select(col("query_id"), col("doc_id"),
+        col("rel"))
+      .join(selected.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr10").desc, col("doc_id").asc)
+    for (r <- 2 to k) {
+      val maxSim = sims
+        .join(selected.select(col("query_id"),
+          col("doc_id").as("db")), Seq("query_id", "db"))
+        .groupBy(col("query_id"), col("da").as("doc_id"))
+        .agg(max(col("sim")).as("max_sim"))
+      val pick = remaining
+        .join(maxSim, Seq("query_id", "doc_id"))
+        .withColumn("mmr10", lam * col("rel") - oneMinus * col("max_sim"))
+        .withColumn("_rn", row_number().over(wPick))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("rel"),
+          lit(r).as("rank"), col("mmr10"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+    }
+    selected
+  }
 }

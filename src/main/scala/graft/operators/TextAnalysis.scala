@@ -630,4 +630,104 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** DSIR data-selection importance weights (Xie et al., NeurIPS 2023):
+    * fit two bag-of-hashed-n-grams unigram models — one on the TARGET
+    * distribution (e.g. the high-quality domain you want more of), one
+    * on the RAW pool — and weight every document by its log importance
+    * ratio Σ_f count_f(doc) · [log p̂_target(f) − log p̂_raw(f)], with
+    * add-one smoothing over the `nBuckets` hashed features. Resampling
+    * raw documents proportional to exp(weight) shifts the pool toward
+    * the target distribution; in practice documents are ranked or
+    * gumbel-top-k'd by this weight.
+    *
+    * Features are unigrams + bigrams hashed by the first 32 bits of
+    * md5 — the same engine-portable hash as [[hashSplit]], so an
+    * external engine reproduces the bucketing exactly. The log-ratio
+    * sum is double arithmetic rounded to 6 decimals (the [[Dedup]]/
+    * perplexity convention for float outputs).
+    *
+    * Scale: one explode pass over the corpus; the two corpus models are
+    * ONE map-side-combined aggregation to `nBuckets` rows (broadcast
+    * back); per-doc scoring is a (doc, bucket) partial aggregation plus
+    * a broadcast join — no corpus-sized shuffle beyond the doc-keyed
+    * combine, no windows.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      id: String = "doc_id", text: String = "text",
+      nBuckets: Int = 64): DataFrame = {
+    val toks = split(trim(lower(col(text))), "\\s+")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val long = docs
+      .select(col(id).as("doc_id"), isTarget.as("_tgt"),
+        explode(concat(toks, bigrams)).as("_f"))
+      .filter(length(col("_f")) > 0)
+      .withColumn("_b",
+        pmod(conv(substring(md5(col("_f")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets)))
+    val counts = long.groupBy(col("_b")).agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("_tgt"), 0L).otherwise(1L)).as("cr"))
+    val totals = long.agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("_tgt"), 0L).otherwise(1L)).as("nr"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (log((col("ct") + 1).cast("double") /
+            (col("nt") + nBuckets).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("nr") + nBuckets).cast("double"))).as("_lam"))
+    val docF = long.groupBy(col("doc_id"), col("_b"))
+      .agg(count(lit(1)).as("m"))
+    docF.join(broadcast(lam), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_feats"),
+        round(sum(col("m") * col("_lam")), 6).as("log_importance"))
+  }
+
+  /** Fasttext-style linear quality classifier — the model-based quality
+    * filter stage of a pretraining pipeline (CCNet / GPT-3-style
+    * "looks like reference text" scoring): mean-pooled hashed
+    * bag-of-words features under a FIXED weight vector, sigmoid, and a
+    * keep decision at `threshold`. The weight vector is a
+    * deterministic literal stand-in (no trainer ships in this sandbox
+    * — same honest-stub discipline as [[Multimodal]]'s decode), but
+    * the plumbing is the production shape: engine-portable md5 feature
+    * hashing, a broadcast weight dim, shuffle-free scoring.
+    *
+    * Scale: explode + one (doc, bucket) partial agg + broadcast weight
+    * join + doc-keyed combine; no windows, no corpus-wide state.
+    */
+  def linearQualityScore(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", nBuckets: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    // deterministic stand-in weights: Knuth-hash of the bucket index,
+    // (w1000(b) - 500) / 1000 ∈ [-0.5, 0.5). The mean-pooled score with
+    // the -0.1 bias folds to the exact rational
+    // (Σ w1000 - 600·n) / (1000·n) — integer numerator and denominator,
+    // ONE double division, so the score is bit-stable across engines
+    // (per-token double summation landed exactly on a rounding boundary
+    // in testing; exact integers cannot).
+    val w1000 = (b: Column) => pmod(b * 2654435761L, lit(1000))
+    val toks = split(trim(lower(col(text))), "\\s+")
+    val long = docs
+      .select(col(id).as("doc_id"), explode(toks).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .withColumn("_b",
+        pmod(conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets)))
+    long
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(w1000(col("_b"))).as("_w"))
+      .withColumn("score",
+        (col("_w") - lit(600L) * col("n_tokens")).cast("double") /
+          (col("n_tokens") * lit(1000L)).cast("double"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        round(lit(1.0) / (exp(-col("score")) + 1.0), 6).as("prob"),
+        (lit(1.0) / (exp(-col("score")) + 1.0) >= threshold).as("keep"))
+  }
 }

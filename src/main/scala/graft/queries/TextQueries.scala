@@ -356,4 +356,21 @@ object TextQueries {
         col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** DSIR importance weights (q172): target = English documents, raw =
+    * everything else; hashed unigram+bigram bag models with add-one
+    * smoothing, per-doc log importance ratio. High-weight raw docs are
+    * the ones that "look English" — the published data-selection
+    * recipe. */
+  def q172DsirWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(t(s, dir, "documents"),
+        isTarget = col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  /** Linear quality classifier (q173): fasttext-style mean-pooled
+    * hashed bag-of-words under a fixed deterministic weight vector,
+    * sigmoid, keep decision at 0.5. */
+  def q173QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.linearQualityScore(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
 }

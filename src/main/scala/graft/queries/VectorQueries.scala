@@ -140,4 +140,18 @@ object VectorQueries {
         k = 10, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** MMR diversified re-ranking (q174): top-20 quantized candidates per
+    * query, then 5 greedy λ=0.7 MMR picks; integer objective (λ in
+    * tenths over integer dot products) makes every selection round
+    * bit-stable, so the full greedy trajectory is under the oracle. */
+  def q174MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.mmrRerank(emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", emb, "vec_id", "embedding",
+        nCandidates = 20, k = 5, lambdaTenths = 7)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rel"),
+        col("mmr10"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

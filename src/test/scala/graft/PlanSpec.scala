@@ -133,8 +133,14 @@ class PlanSpec extends SparkSpec {
                        // fact rows join the expansion by exact key)
       "q161_hybrid_retrieval", // ANN arm is q129's crossJoin(broadcast(
                                // queries)) + BM25's 1-row totals cross
-      "q162_pq_ann") // crossJoin(broadcast(queries)) over the encoded
+      "q162_pq_ann", // crossJoin(broadcast(queries)) over the encoded
                      // corpus: the q41/q129 ANN baseline shape
+      "q169_mcaid_claim_stage", // archive x broadcast 1-row MIN(date)
+                                // truncate cut (no driver round-trip)
+      "q172_dsir_weights", // bucket counts x broadcast 1-row corpus
+                           // totals (the q128/q135 renormalizer shape)
+      "q174_mmr_rerank") // crossJoin(broadcast(queries)): the q41/q129
+                         // ANN candidate-generation shape
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
