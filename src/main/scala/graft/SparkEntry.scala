@@ -267,6 +267,8 @@ object SparkEntry {
     "q172_dsir_weights" -> (T.q172DsirWeights _),
     "q173_quality_classifier" -> (T.q173QualityClassifier _),
     "q174_mmr_rerank" -> (V.q174MmrRerank _),
+    "q175_exact_substr" -> (T.q175ExactSubstr _),
+    "q176_stupid_backoff" -> (T.q176StupidBackoff _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8699,5 +8701,93 @@ object SparkEntry {
         UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
         UNION ALL SELECT * FROM s5)
       ORDER BY query_id, rank""",
+
+    // q175: ExactSubstr duplicate spans — stride-1 40-char gram counts,
+    // occurrences of corpus-count>=2 grams merged into maximal spans.
+    "q175_exact_substr" -> """
+      WITH grams AS (
+        SELECT doc_id, pos,
+          md5(substr(text, pos::INT, 40)) AS h
+        FROM (SELECT doc_id, text,
+            unnest(generate_series(1, greatest(len(text) - 39, 0)))
+              AS pos
+          FROM documents)),
+      dup AS (
+        SELECT h FROM grams GROUP BY h
+        HAVING count(*) >= 2 AND count(*) <= 100000),
+      hits AS (
+        SELECT g.doc_id, g.pos AS s, g.pos + 39 AS e
+        FROM grams g JOIN dup USING (h)),
+      marked AS (
+        SELECT *, CASE WHEN pm IS NULL OR pm < s - 1 THEN 1 ELSE 0 END
+          AS new_grp
+        FROM (SELECT doc_id, s, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM hits)),
+      grp AS (
+        SELECT doc_id, s, e,
+          sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked)
+      SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        max(e) - min(s) + 1 AS span_chars
+      FROM grp GROUP BY doc_id, g
+      ORDER BY doc_id, span_start""",
+
+    // q176: Stupid Backoff trigram scoring — c123/c12, else 0.4·c23/c2,
+    // else 0.16·c3/N; mean over trigram positions.
+    "q176_stupid_backoff" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+          '\s+', ' ', 'g'), ' ') AS tk
+        FROM documents),
+      tri AS (
+        SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+        FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+          FROM toks)),
+      bg AS (
+        SELECT tk[i] AS wa, tk[i+1] AS wb
+        FROM (SELECT tk,
+            unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS i
+          FROM toks)),
+      uni AS (
+        SELECT unnest(tk) AS w FROM toks),
+      c123 AS (
+        SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM tri
+        GROUP BY 1, 2, 3),
+      c12 AS (
+        SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM c123
+        GROUP BY 1, 2),
+      c23 AS (
+        SELECT wa AS w2, wb AS w3, count(*)::BIGINT AS c23_raw FROM bg
+        GROUP BY 1, 2),
+      cu AS (
+        SELECT w, count(*)::BIGINT AS cw FROM uni
+        WHERE len(w) > 0 GROUP BY 1),
+      tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM cu),
+      doctri AS (
+        SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS m FROM tri
+        GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT d.doc_id, d.m,
+          CASE WHEN a.c123 IS NOT NULL
+              THEN a.c123::DOUBLE / b.c12::DOUBLE
+            WHEN x.c23_raw IS NOT NULL
+              THEN 0.4::DOUBLE * x.c23_raw::DOUBLE / u2.cw::DOUBLE
+            ELSE (0.4::DOUBLE * 0.4::DOUBLE)
+              * coalesce(u3.cw, 0)::DOUBLE
+              / t.n_total::DOUBLE END AS s
+        FROM doctri d
+        LEFT JOIN c123 a ON d.w1 = a.w1 AND d.w2 = a.w2 AND d.w3 = a.w3
+        LEFT JOIN c12 b ON d.w1 = b.w1 AND d.w2 = b.w2
+        LEFT JOIN c23 x ON d.w2 = x.w2 AND d.w3 = x.w3
+        LEFT JOIN cu u2 ON d.w2 = u2.w
+        LEFT JOIN cu u3 ON d.w3 = u3.w
+        CROSS JOIN tot t)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+        round(sum(m * s) / sum(m), 6) AS sb_score
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -730,4 +730,134 @@ object TextAnalysis {
         round(lit(1.0) / (exp(-col("score")) + 1.0), 6).as("prob"),
         (lit(1.0) / (exp(-col("score")) + 1.0) >= threshold).as("keep"))
   }
+
+  /** ExactSubstr duplicate-span detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * character span that occurs more than once in the corpus — across
+    * documents OR repeated inside one — is a duplicate span; overlapping
+    * hits merge into maximal spans per document, which the training
+    * pipeline then cuts out.
+    *
+    * Suffix-array-free distributed formulation: stride-1 character
+    * L-grams (md5-hashed — portable), one count per gram hash, every
+    * occurrence of a gram whose corpus count >= 2 marks [pos, pos+L-1]
+    * as duplicated, and per-document overlapping/adjacent marks collapse
+    * via the gaps-and-islands kernel (same arithmetic as
+    * [[graft.core.Intervals]], here over integer char positions).
+    * A gram of exactly length L detects every repeat of length >= L —
+    * the same guarantee the published suffix-array pass gives.
+    *
+    * Scale: O(total chars) gram rows — the inherent work size of the
+    * exact algorithm (the suffix array is also O(chars)) — with ONE
+    * count shuffle on the 16-byte gram hash and one (doc)-keyed window
+    * for the merge. `maxOcc` caps degenerate boilerplate grams (a gram
+    * occurring in half the corpus marks everything; the standard skew
+    * guard, mirroring minhash's `maxBucket`).
+    */
+  def exactSubstrSpans(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", minLen: Int = 40,
+      maxOcc: Long = 100000L): DataFrame = {
+    val n = length(col(text))
+    val grams = docs
+      .select(col(id).as("doc_id"), col(text).as("_txt"),
+        explode(sequence(lit(1), greatest(n - (minLen - 1), lit(0))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(substring(col("_txt"), col("pos"), lit(minLen))).as("_h"))
+    val dupHash = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= 2 && col("_occ") <= maxOcc)
+      .select(col("_h"))
+    val hits = grams.join(dupHash, Seq("_h"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (minLen - 1)).as("e"))
+    // merge overlapping/adjacent marks: island starts where the running
+    // max end so far is < s - 1
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("_new",
+        when(prevMax.isNull || prevMax < col("s") - 1, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"))
+  }
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the web-scale LM score
+    * that skips normalization: S(w3|w1w2) = c123/c12 when the trigram
+    * was seen, else 0.4·c23/c2, else 0.4²·c3/N; a document's score is
+    * the mean over its trigram positions. The deliberately unnormalized
+    * backoff is what makes it distributable — counts only, no
+    * discounting pass.
+    *
+    * Scale: three count tables (tri/bi/uni — Zipf-bounded), each joined
+    * broadcast-or-shuffle on its own key against the document's trigram
+    * positions; one doc-keyed combine. The corpus total is a 1-row
+    * broadcast (q128/q135 shape).
+    */
+  def stupidBackoff(train: DataFrame, score: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      alpha: Double = 0.4): DataFrame = {
+    val toks = split(trim(lower(col(text))), "\\s+")
+    def tris(df: DataFrame, keep: Column => Seq[Column]): DataFrame = {
+      val t = toks
+      df.select(keep(col(id)) :+ explode(zip_with(
+          zip_with(slice(t, lit(1), greatest(size(t) - 2, lit(0))),
+            slice(t, lit(2), greatest(size(t) - 2, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(t, lit(3), greatest(size(t) - 2, lit(0))),
+          (ab, c) => struct(ab.getField("w1").as("w1"),
+            ab.getField("w2").as("w2"), c.as("w3")))).as("_tg"): _*)
+        .select(keep(col(id)).map(_.as("doc_id")) ++
+          Seq(col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
+            col("_tg.w3").as("w3")): _*)
+    }
+    val trainTri = tris(train, _ => Seq.empty)
+    val c123 = trainTri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val c12 = c123.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12"))
+    // true adjacent-bigram counts (not trigram projections — those miss
+    // each document's final bigram)
+    val c23 = train.select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("_bg"))
+      .groupBy(col("_bg.wa").as("w2"), col("_bg.wb").as("w3"))
+      .agg(count(lit(1)).as("c23_raw"))
+    val c2u = train.select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = c2u.agg(sum(col("cw")).as("n_total"))
+    val docTri = tris(score, c => Seq(c))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m"))
+    val s = when(col("c123").isNotNull,
+        col("c123").cast("double") / col("c12").cast("double"))
+      .when(col("c23_raw").isNotNull,
+        lit(alpha) * col("c23_raw").cast("double") /
+          col("c2").cast("double"))
+      .otherwise(lit(alpha * alpha) *
+        coalesce(col("c3"), lit(0L)).cast("double") /
+        col("n_total").cast("double"))
+    docTri
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23.withColumnRenamed("w2", "w2j")
+          .withColumnRenamed("w3", "w3j"),
+        col("w2") === col("w2j") && col("w3") === col("w3j"), "left")
+      .join(c2u.select(col("w").as("w2k"), col("cw").as("c2")),
+        col("w2") === col("w2k"), "left")
+      .join(c2u.select(col("w").as("w3k"), col("cw").as("c3")),
+        col("w3") === col("w3k"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_trigrams"),
+        round(sum(col("m") * s) / sum(col("m")), 6).as("sb_score"))
+  }
 }

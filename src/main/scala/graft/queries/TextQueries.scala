@@ -373,4 +373,17 @@ object TextQueries {
   def q173QualityClassifier(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.linearQualityScore(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** ExactSubstr duplicate spans (q175): stride-1 char L-gram corpus
+    * counts, merged maximal duplicated spans per document. */
+  def q175ExactSubstr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.exactSubstrSpans(t(s, dir, "documents"), minLen = 40)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Stupid Backoff trigram scoring (q176): corpus-trained
+    * tri/bi/unigram counts, 0.4-backoff mean score per document. */
+  def q176StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.stupidBackoff(docs, docs).orderBy(col("doc_id"))
+  }
 }
