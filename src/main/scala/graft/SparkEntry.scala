@@ -8709,9 +8709,8 @@ object SparkEntry {
         SELECT doc_id, pos,
           md5(substr(text, pos::INT, 40)) AS h
         FROM (SELECT doc_id, text,
-            unnest(generate_series(1, greatest(len(text) - 39, 0)))
-              AS pos
-          FROM documents)),
+            unnest(generate_series(1, len(text) - 39)) AS pos
+          FROM documents WHERE len(text) >= 40)),
       dup AS (
         SELECT h FROM grams GROUP BY h
         HAVING count(*) >= 2 AND count(*) <= 100000),

@@ -757,10 +757,13 @@ object TextAnalysis {
   def exactSubstrSpans(docs: DataFrame, id: String = "doc_id",
       text: String = "text", minLen: Int = 40,
       maxOcc: Long = 100000L): DataFrame = {
-    val n = length(col(text))
+    // docs shorter than minLen cannot contain a gram; filtering first
+    // also keeps Spark's sequence() ascending (sequence(1, 0) DESCENDS —
+    // it does not return empty like generate_series)
     val grams = docs
+      .filter(length(col(text)) >= minLen)
       .select(col(id).as("doc_id"), col(text).as("_txt"),
-        explode(sequence(lit(1), greatest(n - (minLen - 1), lit(0))))
+        explode(sequence(lit(1), length(col(text)) - (minLen - 1)))
           .as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(substring(col("_txt"), col("pos"), lit(minLen))).as("_h"))
