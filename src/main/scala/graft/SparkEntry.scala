@@ -269,6 +269,7 @@ object SparkEntry {
     "q174_mmr_rerank" -> (V.q174MmrRerank _),
     "q175_exact_substr" -> (T.q175ExactSubstr _),
     "q176_stupid_backoff" -> (T.q176StupidBackoff _),
+    "q177_claim_header_qa" -> (graft.queries.BuildQueries.q177ClaimHeaderQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8788,5 +8789,73 @@ object SparkEntry {
       SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
         round(sum(m * s) / sum(m), 6) AS sb_score
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // q177: claim_header QA battery — orphan counts vs the elig tables,
+    // header-id distinctness, per-year header/ED counts vs prior.
+    "q177_claim_header_qa" -> """
+      WITH hdr0 AS (
+        SELECT o_custkey % 90 AS id_mcaid, o_orderkey AS claim_header_id,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END AS ed
+        FROM orders),
+      hdr AS (
+        SELECT * FROM hdr0
+        UNION ALL SELECT * FROM hdr0 WHERE claim_header_id % 997 = 0),
+      demo AS (
+        SELECT DISTINCT id_mcaid FROM hdr0 WHERE id_mcaid % 17 <> 3),
+      tv AS (SELECT DISTINCT id_mcaid FROM hdr0),
+      prior AS (
+        SELECT * FROM hdr WHERE year(fsd) <> 1998
+        UNION ALL
+        SELECT * FROM hdr WHERE year(fsd) = 1994
+          AND claim_header_id % 7 = 0),
+      orphd AS (
+        SELECT count(*)::BIGINT AS c FROM hdr h
+        ANTI JOIN demo d ON h.id_mcaid = d.id_mcaid),
+      orpht AS (
+        SELECT count(*)::BIGINT AS c FROM hdr h
+        ANTI JOIN tv t ON h.id_mcaid = t.id_mcaid),
+      dk AS (
+        SELECT count(*)::BIGINT AS n,
+          count(DISTINCT claim_header_id)::BIGINT AS d
+        FROM hdr),
+      yn AS (
+        SELECT year(fsd) AS y, count(*)::BIGINT AS nh,
+          CAST(sum(ed) AS BIGINT) AS ne
+        FROM hdr GROUP BY 1),
+      yc AS (
+        SELECT year(fsd) AS y, count(*)::BIGINT AS nh,
+          CAST(sum(ed) AS BIGINT) AS ne
+        FROM prior GROUP BY 1),
+      yj AS (
+        SELECT coalesce(yn.y, yc.y) AS y,
+          coalesce(yn.nh, 0)::BIGINT AS new_h,
+          coalesce(yc.nh, 0)::BIGINT AS cur_h,
+          coalesce(yn.ne, 0)::BIGINT AS new_e,
+          coalesce(yc.ne, 0)::BIGINT AS cur_e
+        FROM yn FULL JOIN yc ON yn.y = yc.y)
+      SELECT * FROM (
+        SELECT 'mcaid_claim_header vs demo' AS "table",
+          'orphan_id_mcaid' AS "check", c = 0 AS pass, c AS observed,
+          0::BIGINT AS expected
+        FROM orphd
+        UNION ALL
+        SELECT 'mcaid_claim_header vs timevar', 'orphan_id_mcaid',
+          c = 0, c, 0::BIGINT
+        FROM orpht
+        UNION ALL
+        SELECT 'mcaid_claim_header', 'distinct_claim_header_id',
+          n = d, d, n
+        FROM dk
+        UNION ALL
+        SELECT 'mcaid_claim_header',
+          'num_header_' || CAST(y AS VARCHAR), new_h >= cur_h, new_h,
+          cur_h
+        FROM yj
+        UNION ALL
+        SELECT 'mcaid_claim_header', 'num_ed_' || CAST(y AS VARCHAR),
+          new_e >= cur_e, new_e, cur_e
+        FROM yj)
+      ORDER BY "table", "check" """,
   )
 }

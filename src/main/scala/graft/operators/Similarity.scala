@@ -422,11 +422,16 @@ object Similarity {
       .select(col(id).as("doc_id"), col("qvec").as("_dv"))
     val wRel = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("doc_id").asc)
+    // localCheckpoint truncates the lineage: the greedy rounds chain
+    // anti-joins over `cand`, and without truncation round r re-runs
+    // the corpus scan r times (the Components discipline; measured ~2x
+    // end-to-end)
     val cand = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("doc_id"),
         idot(col("_qv"), col("_dv")).as("rel"), col("_dv"))
       .withColumn("_rn", row_number().over(wRel))
       .filter(col("_rn") <= nCandidates)
+      .localCheckpoint()
     val sims = cand.select(col("query_id"), col("doc_id").as("da"),
         col("_dv").as("_va"))
       .join(cand.select(col("query_id"), col("doc_id").as("db"),

@@ -767,11 +767,13 @@ object TextAnalysis {
           .as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(substring(col("_txt"), col("pos"), lit(minLen))).as("_h"))
-    val dupHash = grams.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_occ"))
+    // occurrence count as a window over the gram hash — ONE pass over
+    // the gram rows (an aggregate + join-back would rescan the corpus
+    // and re-hash every gram a second time; measured 2x)
+    val occ = count(lit(1)).over(Window.partitionBy(col("_h")))
+    val hits = grams
+      .withColumn("_occ", occ)
       .filter(col("_occ") >= 2 && col("_occ") <= maxOcc)
-      .select(col("_h"))
-    val hits = grams.join(dupHash, Seq("_h"))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + (minLen - 1)).as("e"))
     // merge overlapping/adjacent marks: island starts where the running

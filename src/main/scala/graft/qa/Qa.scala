@@ -191,4 +191,41 @@ object Qa {
     QaCheck(table, "column_order",
       actual == declared, matching.toLong, declared.length.toLong)
   }
+
+  /** Per-year slice counts vs the prior load
+    * (qa_stage.mcaid_claim_header.R:150-260: header counts per claim
+    * year, then ED counts per claim year, each against the current
+    * final table; a year with FEWER rows than before fails). The
+    * reference runs one GROUP BY per slice per table (4 scans); here
+    * ALL slices reduce in ONE conditional-aggregation scan per input,
+    * and the verdict rows stay distributed — per-year rows only, no
+    * driver collect.
+    *
+    * Returns (table, check, pass, observed, expected) rows, one per
+    * (slice, year) present on either side: check = "<slice>_<year>",
+    * pass = observed >= expected (a vanished year fails; a brand-new
+    * year passes vs 0).
+    */
+  def yearSliceCountsVsPrior(df: DataFrame, prior: DataFrame,
+      dateCol: String, table: String,
+      slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    def counted(d: DataFrame, side: String): DataFrame =
+      d.groupBy(year(col(dateCol)).as("y"))
+        .agg(slices.map { case (nm, cond) =>
+          sum(when(cond, 1L).otherwise(0L)).as(s"${side}_$nm")
+        }.head, slices.map { case (nm, cond) =>
+          sum(when(cond, 1L).otherwise(0L)).as(s"${side}_$nm")
+        }.tail: _*)
+    val stacked = counted(df, "new").join(counted(prior, "cur"),
+        Seq("y"), "full")
+      .select(col("y"), expr(slices.map { case (nm, _) =>
+        s"'$nm', coalesce(new_$nm, CAST(0 AS BIGINT)), " +
+          s"coalesce(cur_$nm, CAST(0 AS BIGINT))"
+      }.mkString(s"stack(${slices.size}, ", ", ",
+        ") as (slice, observed, expected)")))
+    stacked.select(lit(table).as("table"),
+      concat(col("slice"), lit("_"), col("y").cast("string")).as("check"),
+      (col("observed") >= col("expected")).as("pass"),
+      col("observed"), col("expected"))
+  }
 }

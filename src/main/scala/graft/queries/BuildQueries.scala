@@ -3216,6 +3216,48 @@ object BuildQueries {
       .orderBy(col("measure"), col("value"), col("year"))
   }
 
+  /** §5 per-table QA battery for claim_header (q177,
+    * qa_stage.mcaid_claim_header.R:67-260): id containment vs the two
+    * elig tables (anti-join row counts), claim-header-id distinctness,
+    * and the per-year header + ED counts vs the prior load — the
+    * reference's 4 per-slice GROUP BY scans fused into ONE
+    * conditional-aggregation scan per side, verdict rows distributed.
+    * Planted: ids missing from demo (orphan FAIL), duplicated header
+    * ids (distinctness FAIL), extra prior-1994 rows (year FAIL), a
+    * new-only 1998 year (passes vs 0). */
+  def q177ClaimHeaderQa(s: SparkSession, dir: String): DataFrame = {
+    import graft.qa.Qa
+    val ok = col("o_orderkey"); val ck = col("o_custkey")
+    val hdr0 = t(s, dir, "orders").select(
+      (ck % 90).as("id_mcaid"), ok.as("claim_header_id"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      when(ok % 6 === 0, 1).otherwise(0).as("ed_pophealth_flag"))
+    val hdr = hdr0.unionByName(
+      hdr0.filter(col("claim_header_id") % 997 === 0))
+    // parent keys renamed: refIntegrity's equi-join would otherwise be
+    // ambiguous (both frames share hdr0's lineage)
+    val demo = hdr0.select(col("id_mcaid").as("elig_id")).distinct()
+      .filter(col("elig_id") % 17 =!= 3)
+    val timevar = hdr0.select(col("id_mcaid").as("elig_id")).distinct()
+    val prior = hdr.filter(year(col("first_service_date")) =!= 1998)
+      .unionByName(hdr.filter(
+        year(col("first_service_date")) === 1994 &&
+          col("claim_header_id") % 7 === 0))
+    val scalar = Seq(
+      Qa.refIntegrity(hdr, "id_mcaid", demo, "elig_id",
+        "mcaid_claim_header vs demo"),
+      Qa.refIntegrity(hdr, "id_mcaid", timevar, "elig_id",
+        "mcaid_claim_header vs timevar"),
+      Qa.keyDistinct(hdr, "mcaid_claim_header",
+        Seq("claim_header_id")))
+    Qa.suite(s, scalar).unionByName(
+        Qa.yearSliceCountsVsPrior(hdr, prior, "first_service_date",
+          "mcaid_claim_header", Seq(
+            "num_header" -> lit(true),
+            "num_ed" -> (col("ed_pophealth_flag") === 1))))
+      .orderBy(col("table"), col("check"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
