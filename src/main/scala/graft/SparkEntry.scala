@@ -83,6 +83,11 @@ object SparkEntry {
   def qStreamJoin(s: SparkSession, dir: String): DataFrame =
     EventStream.clickPurchaseJoin(s, dir)
 
+  /** Streaming hash-split + per-split rollup: the q123 md5 range cut as
+    * a stateless stream Column, then watermarked hourly windows. */
+  def qStreamSplit(s: SparkSession, dir: String): DataFrame =
+    EventStream.splitRollup(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. Insertion-ordered
     * (ListMap) so Bench timings are stable round-over-round. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -270,6 +275,9 @@ object SparkEntry {
     "q175_exact_substr" -> (T.q175ExactSubstr _),
     "q176_stupid_backoff" -> (T.q176StupidBackoff _),
     "q177_claim_header_qa" -> (graft.queries.BuildQueries.q177ClaimHeaderQa _),
+    "q178_cluster_cap" -> (T.q178ClusterCapSample _),
+    "q179_hard_negatives" -> (V.q179HardNegatives _),
+    "q180_stream_split" -> (qStreamSplit _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8857,5 +8865,106 @@ object SparkEntry {
           new_e >= cur_e, new_e, cur_e
         FROM yj)
       ORDER BY "table", "check" """,
+
+    // q178: cluster-cap sampling — exact-Jaccard pairs (recall-1
+    // candidates, the q38 argument) → recursive min-label closure →
+    // keep lowest 2 ids per cluster.
+    "q178_cluster_cap" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+            'g'), ' ') AS toks
+          FROM documents)),
+      p AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(a.sh) + len(b.sh)
+              - len(list_intersect(a.sh, b.sh)), 1) >= 0.5),
+      sym AS (
+        SELECT ida AS u, idb AS v FROM p
+        UNION SELECT idb, ida FROM p),
+      reach AS (
+        SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),
+      comp AS (
+        SELECT node AS id, min(lbl) AS component
+        FROM reach GROUP BY node),
+      allc AS (
+        SELECT doc_id, coalesce(component, doc_id) AS cluster
+        FROM documents LEFT JOIN comp ON doc_id = id)
+      SELECT doc_id, cluster, CAST(rn AS INTEGER) AS rank_in_cluster,
+        rn <= 2 AS kept
+      FROM (SELECT doc_id, cluster, row_number() OVER (
+          PARTITION BY cluster ORDER BY doc_id) AS rn FROM allc)
+      ORDER BY doc_id""",
+
+    // q179: hard-negative mining — quantized top-21 minus self, split
+    // by label into positives and hard negatives, top-3 of each.
+    "q179_hard_negatives" -> """
+      WITH qz AS (
+        SELECT vec_id, label,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id, label,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS q
+        FROM qz),
+      scored AS (
+        SELECT a.vec_id AS query_id, a.label AS a_label,
+          b.vec_id AS neighbor_id, b.label AS n_label,
+          CASE WHEN list_inner_product(a.q, a.q) = 0
+              OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+            ELSE list_inner_product(a.q, b.q)
+              / (sqrt(list_inner_product(a.q, a.q))
+                * sqrt(list_inner_product(b.q, b.q))) END AS qcosine
+        FROM qv a CROSS JOIN qv b WHERE a.vec_id < 5),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY qcosine DESC, neighbor_id) AS rk
+        FROM scored),
+      cand AS (
+        SELECT * FROM ranked
+        WHERE rk <= 21 AND neighbor_id <> query_id),
+      roled AS (
+        SELECT query_id, neighbor_id, qcosine,
+          CASE WHEN n_label = a_label THEN 'pos' ELSE 'neg' END AS role,
+          rk
+        FROM cand)
+      SELECT query_id AS anchor_id, role,
+        CAST(row_number() OVER (PARTITION BY query_id, role
+          ORDER BY rk) AS INTEGER) AS role_rank,
+        neighbor_id, qcosine
+      FROM roled
+      QUALIFY role_rank <= 3
+      ORDER BY anchor_id, role, role_rank""",
+
+    // q180: streaming hash-split rollup — q123's md5 range cut applied
+    // statelessly in-stream, q130's watermark cutoff semantics.
+    "q180_stream_split" -> """
+      SELECT split, hour_start, n, val FROM (
+        SELECT split, date_trunc('hour', ts) AS hour_start,
+          count(*) AS n, round(sum(value), 2) AS val
+        FROM (
+          SELECT *, CASE WHEN b < 3865470566 THEN 'train'
+              WHEN b < 4080218931 THEN 'valid'
+              ELSE 'test' END AS split
+          FROM (SELECT *,
+            ('0x' || substr(md5('split:' || user_id::VARCHAR), 1, 8))
+              ::UBIGINT AS b
+            FROM events))
+        GROUP BY 1, 2
+        HAVING hour_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR)
+      ORDER BY split, hour_start""",
   )
 }

@@ -386,4 +386,33 @@ object TextQueries {
     val docs = t(s, dir, "documents")
     TextAnalysis.stupidBackoff(docs, docs).orderBy(col("doc_id"))
   }
+
+  /** Cluster-cap sampling (q178) — the "soft dedup" composition every
+    * large corpus ships: minhash near-dup pairs → connected components
+    * → keep at most `cap` documents per duplicate cluster (lowest ids,
+    * deterministic). Composes the q38 pair kernel and the q113
+    * components contraction; singletons (no near-dup) form their own
+    * cluster and always survive. The oracle recomputes pairs with the
+    * exact-Jaccard all-pairs SQL (candidate recall 1 on this corpus,
+    * same argument as q38) and the closure with a recursive CTE, so the
+    * CHAIN is pinned. */
+  def q178ClusterCapSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5)
+    val comp = Components.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      "src", "dst")
+    val withComp = docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("doc_id"))
+    withComp
+      .withColumn("rank_in_cluster", row_number().over(w))
+      .withColumn("kept", col("rank_in_cluster") <= 2)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -141,6 +141,37 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining (q179) — the contrastive-training data prep
+    * (DPR/SimCSE style): for each anchor, its quantized-ANN top
+    * neighbors split by label into positives (same label) and HARD
+    * negatives (different label but maximally similar — the pairs that
+    * teach the margin), top `perRole` of each by similarity rank.
+    * Mining is restricted to the top-k candidate list (the standard
+    * practice — full-corpus negatives are the brute scan q129 already
+    * prices); integer-grid scores keep ranks bit-stable. */
+  def q179HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 5)
+    val nn = Similarity.quantizedTopK(anchors, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 21)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val aLbl = emb.select(col("vec_id").as("query_id"),
+      col("label").as("a_label"))
+    val nLbl = emb.select(col("vec_id").as("n_id"),
+      col("label").as("n_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("role")).orderBy(col("rank"))
+    nn.join(broadcast(aLbl), Seq("query_id"))
+      .join(nLbl, col("neighbor_id") === col("n_id"))
+      .withColumn("role",
+        when(col("n_label") === col("a_label"), "pos").otherwise("neg"))
+      .withColumn("role_rank", row_number().over(w))
+      .filter(col("role_rank") <= 3)
+      .select(col("query_id").as("anchor_id"), col("role"),
+        col("role_rank"), col("neighbor_id"), col("qcosine"))
+      .orderBy(col("anchor_id"), col("role"), col("role_rank"))
+  }
+
   /** MMR diversified re-ranking (q174): top-20 quantized candidates per
     * query, then 5 greedy λ=0.7 MMR picks; integer objective (λ in
     * tenths over integer dot products) makes every selection round

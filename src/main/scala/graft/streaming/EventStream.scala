@@ -292,4 +292,37 @@ object EventStream {
         col("n"), round(col("val"), 2).as("val"))
       .orderBy(col("event_type"), col("hour_ts"))
   }
+
+  /** Streaming deterministic hash-split + per-split hourly rollup: the
+    * batch [[graft.operators.TextAnalysis.hashSplit]] kernel applied
+    * INSIDE a stream. The md5 range cut is a pure Column expression, so
+    * it rides the stream with no state at all — the corpus kernels
+    * compose into Structured Streaming unchanged — and the only stateful
+    * operator is the watermarked window aggregation (append mode, state
+    * bounded by open windows). The production shape: a live firehose
+    * partitioned into train/valid/test consistently with the batch
+    * pipeline's split of the same keys. */
+  def splitRollup(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir, "graft_stream_split_src")
+    val split = graft.operators.TextAnalysis.hashSplit(
+      stream.withColumn("user_id", col("user_id").cast("long")),
+      "user_id")
+    val agg = split
+      .withWatermark("ts", s"$DelaySeconds seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("val"))
+    val base = Files.createTempDirectory("graft_stream_split").toString
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.schema(agg.schema).parquet(s"$base/data")
+      .select(col("split"), col("window.start").as("hour_start"),
+        col("n"), round(col("val"), 2).as("val"))
+      .orderBy(col("split"), col("hour_start"))
+  }
 }
