@@ -141,8 +141,10 @@ class PlanSpec extends SparkSpec {
                            // totals (the q128/q135 renormalizer shape)
       "q174_mmr_rerank", // crossJoin(broadcast(queries)): the q41/q129
                          // ANN candidate-generation shape
-      "q176_stupid_backoff") // doc trigrams x broadcast 1-row corpus
+      "q176_stupid_backoff", // doc trigrams x broadcast 1-row corpus
                              // total (the q128/q135 renormalizer shape)
+      "q179_hard_negatives") // crossJoin(broadcast(anchors)): the
+                             // q41/q129 ANN candidate shape
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
