@@ -731,6 +731,74 @@ object TextAnalysis {
         (lit(1.0) / (exp(-col("score")) + 1.0) >= threshold).as("keep"))
   }
 
+  /** BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+    * step of an LLM data pipeline: `rounds` greedy rounds of (count all
+    * adjacent symbol pairs weighted by word frequency → merge the most
+    * frequent pair everywhere). Returns the learned merge table
+    * (round, sym_a, sym_b, pair_count) — the artifact a tokenizer
+    * ships.
+    *
+    * Symbol sequences are encoded as `[s][y][m]` strings so a merge is
+    * ONE literal `replace("[a][b]" → "[ab]")`: replace's left-to-right
+    * non-overlapping scan is exactly BPE's greedy merge order, and the
+    * bracket wrapping makes occurrences disjoint (no shared-delimiter
+    * misses) and whole-symbol (no suffix/prefix false matches). Words
+    * containing literal brackets are excluded — the standard
+    * pre-tokenizer would have split them.
+    *
+    * Scale: the model trains on the WORD VOCABULARY (Zipf-bounded), not
+    * the corpus — one corpus scan builds (word, freq), then every round
+    * is a vocabulary-sized pair count. The argmax is a 1-row collect
+    * per round (the [[Similarity.ivfAssign]] centroid discipline) and
+    * each round's vocab localCheckpoints so round r does not replay
+    * rounds 1..r-1.
+    */
+  def bpeMerges(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(lower(col(text))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 &&
+        !col("word").contains("[") && !col("word").contains("]"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = words
+      .withColumn("seq", expr(
+        """array_join(transform(sequence(1, length(word)),
+           i -> concat('[', substring(word, i, 1), ']')), '')"""))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = vocab
+        .select(col("freq"), split(expr(
+          "substring(seq, 2, length(seq) - 2)"), "\\]\\[").as("sy"))
+        .select(col("freq"), explode(zip_with(
+          slice(col("sy"), lit(1), greatest(size(col("sy")) - 1, lit(0))),
+          slice(col("sy"), lit(2), greatest(size(col("sy")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val esc = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+        vocab = vocab.withColumn("seq",
+            expr(s"replace(seq, '[${esc(a)}][${esc(b)}]', " +
+              s"'[${esc(a)}${esc(b)}]')"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+  }
+
   /** ExactSubstr duplicate-span detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every
     * character span that occurs more than once in the corpus — across

@@ -387,6 +387,13 @@ object TextQueries {
     TextAnalysis.stupidBackoff(docs, docs).orderBy(col("doc_id"))
   }
 
+  /** BPE merge training (q181): 5 greedy pair-merge rounds over the
+    * corpus word vocabulary — the learned merge table a tokenizer
+    * ships. */
+  def q181BpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 5)
+      .orderBy(col("round"))
+
   /** Cluster-cap sampling (q178) — the "soft dedup" composition every
     * large corpus ships: minhash near-dup pairs → connected components
     * → keep at most `cap` documents per duplicate cluster (lowest ids,

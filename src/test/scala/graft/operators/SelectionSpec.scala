@@ -69,6 +69,29 @@ class SelectionSpec extends SparkSpec {
     assert(ts.length == 1)
   }
 
+  test("BPE merges follow frequency with (count, a, b) tie-break") {
+    val s = spark
+    import s.implicits._
+    // words: low x3, lowest x1. Pair counts round 1: (l,o)=4, (o,w)=4,
+    // (w,e)=1, (e,s)=1, (s,t)=1 → tie (l,o) vs (o,w) broken on a asc →
+    // (l,o). Round 2: (lo,w)=4 wins. Round 3: all remaining pairs count
+    // 1 → lexicographic: (e,s) < (low,e) < (s,t) → (e,s).
+    val docs = Seq((1L, "low low low lowest")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m.toSeq == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "e", "s", 1L)))
+  }
+
+  test("BPE merge table is empty on an empty corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(docs, rounds = 3).count() == 0)
+  }
+
   test("MMR with lambda=10 is pure relevance ranking") {
     val s = spark
     import s.implicits._
