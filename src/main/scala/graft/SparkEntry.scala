@@ -8416,7 +8416,8 @@ object SparkEntry {
           crnt_rec_ind, bene_id
         FROM (
           SELECT *, row_number() OVER (PARTITION BY bene_id
-            ORDER BY source DESC) AS rk
+            ORDER BY source DESC, bene_srnm_name, bene_gvn_name,
+              bene_mdl_name, crnt_rec_ind) AS rk
           FROM flagged WHERE id_dup > 1 AND id_dup = exact_dup)
         WHERE rk = 1),
       oth AS (
@@ -8427,7 +8428,8 @@ object SparkEntry {
               OVER (PARTITION BY bene_id ORDER BY source
                 ROWS UNBOUNDED PRECEDING) AS bene_mdl_name),
             row_number() OVER (PARTITION BY bene_id
-              ORDER BY source DESC) AS rk
+              ORDER BY source DESC, bene_srnm_name, bene_gvn_name,
+                bene_mdl_name, crnt_rec_ind) AS rk
           FROM flagged WHERE id_dup > 1 AND id_dup <> exact_dup)
         WHERE rk = 1)
       SELECT * FROM (
@@ -8766,12 +8768,12 @@ object SparkEntry {
       c123 AS (
         SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM tri
         GROUP BY 1, 2, 3),
+      cbg AS (
+        SELECT wa, wb, count(*)::BIGINT AS cbg FROM bg GROUP BY 1, 2),
       c12 AS (
-        SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM c123
-        GROUP BY 1, 2),
+        SELECT wa AS w1, wb AS w2, cbg AS c12 FROM cbg),
       c23 AS (
-        SELECT wa AS w2, wb AS w3, count(*)::BIGINT AS c23_raw FROM bg
-        GROUP BY 1, 2),
+        SELECT wa AS w2, wb AS w3, cbg AS c23_raw FROM cbg),
       cu AS (
         SELECT w, count(*)::BIGINT AS cw FROM uni
         WHERE len(w) > 0 GROUP BY 1),

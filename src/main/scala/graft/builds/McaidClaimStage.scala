@@ -35,9 +35,12 @@ object McaidClaimStage {
   def build(archive: DataFrame, incoming: DataFrame,
       dateVar: String): DataFrame = {
     val cut = incoming.agg(min(col(dateVar)).as("date_truncate"))
+    // an EMPTY incoming batch has MIN = NULL; `date < NULL` would drop
+    // the whole archive — a no-op delivery must keep history unchanged
     val kept = archive
       .crossJoin(broadcast(cut))
-      .filter(col(dateVar) < col("date_truncate"))
+      .filter(col(dateVar) < col("date_truncate") ||
+        col("date_truncate").isNull)
       .drop("date_truncate")
     // incoming keeps only rows on/after the truncate date
     val fresh = incoming

@@ -53,8 +53,14 @@ object McareXwalk {
 
     val nodup = out(flagged.filter(col("id_dup") === 1))
 
+    // source DESC alone leaves same-source duplicates order-unstable
+    // (R's which.max keeps physical order, which data.table inherits
+    // from load order — unspecified); the full-column tie-break is the
+    // evident deterministic intent, same discipline as the q171 modal
+    // geocode pick
     val wPick = Window.partitionBy(col("bene_id"))
-      .orderBy(col("source").desc)
+      .orderBy(col("source").desc, col("bene_srnm_name"),
+        col("bene_gvn_name"), col("bene_mdl_name"), col("crnt_rec_ind"))
     val exact = out(flagged
       .filter(col("id_dup") > 1 && col("id_dup") === col("exact_dup"))
       .withColumn("rk", row_number().over(wPick))

@@ -464,10 +464,13 @@ object Similarity {
         .filter(col("_rn") === 1)
         .select(col("query_id"), col("doc_id"), col("rel"),
           lit(r).as("rank"), col("mmr10"))
-      selected = selected.unionByName(pick)
+      // truncate per round: selected/remaining each embed the previous
+      // round's frames twice (maxSim join + union, anti-join), so the
+      // untruncated plan doubles per round — ~2^k subtrees by round k
+      selected = selected.unionByName(pick).localCheckpoint()
       remaining = remaining.join(
         pick.select(col("query_id"), col("doc_id")),
-        Seq("query_id", "doc_id"), "left_anti")
+        Seq("query_id", "doc_id"), "left_anti").localCheckpoint()
     }
     selected
   }

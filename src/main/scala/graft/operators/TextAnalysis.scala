@@ -671,9 +671,10 @@ object TextAnalysis {
     val counts = long.groupBy(col("_b")).agg(
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("_tgt"), 0L).otherwise(1L)).as("cr"))
-    val totals = long.agg(
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("nt"),
-      sum(when(col("_tgt"), 0L).otherwise(1L)).as("nr"))
+    // model totals fold from the nBuckets-row counts frame — re-scanning
+    // the corpus for one row would triple the dominant tokenize/md5 cost
+    val totals = counts.agg(sum(col("ct")).as("nt"),
+      sum(col("cr")).as("nr"))
     val lam = counts.crossJoin(broadcast(totals))
       .select(col("_b"),
         (log((col("ct") + 1).cast("double") /
@@ -893,16 +894,21 @@ object TextAnalysis {
     val trainTri = tris(train, _ => Seq.empty)
     val c123 = trainTri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c123"))
-    val c12 = c123.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("c123")).as("c12"))
-    // true adjacent-bigram counts (not trigram projections — those miss
-    // each document's final bigram)
-    val c23 = train.select(explode(zip_with(
+    // TRUE adjacent-bigram counts for BOTH the c12 denominator and the
+    // c23 backoff level — a trigram projection (sum of c123) would miss
+    // each document's final bigram and inflate S(w3|w1w2) whenever the
+    // context bigram ends a training document (Brants et al. divide by
+    // the raw bigram frequency f(w1w2))
+    val bigrams = train.select(explode(zip_with(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("wa"), b.as("wb")))).as("_bg"))
-      .groupBy(col("_bg.wa").as("w2"), col("_bg.wb").as("w3"))
-      .agg(count(lit(1)).as("c23_raw"))
+      .groupBy(col("_bg.wa").as("wa"), col("_bg.wb").as("wb"))
+      .agg(count(lit(1)).as("cbg"))
+    val c12 = bigrams.select(col("wa").as("w1"), col("wb").as("w2"),
+      col("cbg").as("c12"))
+    val c23 = bigrams.select(col("wa").as("w2"), col("wb").as("w3"),
+      col("cbg").as("c23_raw"))
     val c2u = train.select(explode(toks).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))

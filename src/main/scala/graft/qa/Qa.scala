@@ -209,22 +209,26 @@ object Qa {
   def yearSliceCountsVsPrior(df: DataFrame, prior: DataFrame,
       dateCol: String, table: String,
       slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
-    def counted(d: DataFrame, side: String): DataFrame =
-      d.groupBy(year(col(dateCol)).as("y"))
-        .agg(slices.map { case (nm, cond) =>
-          sum(when(cond, 1L).otherwise(0L)).as(s"${side}_$nm")
-        }.head, slices.map { case (nm, cond) =>
-          sum(when(cond, 1L).otherwise(0L)).as(s"${side}_$nm")
-        }.tail: _*)
+    def counted(d: DataFrame, side: String): DataFrame = {
+      val cols = slices.map { case (nm, cond) =>
+        sum(when(cond, 1L).otherwise(0L)).as(s"${side}_$nm") }
+      d.groupBy(year(col(dateCol)).as(s"${side}_y"))
+        .agg(cols.head, cols.tail: _*)
+    }
+    // null-safe year join: rows with a NULL date form ONE comparable
+    // 'unknown' group on both sides (plain equality would split them
+    // into two spurious rows with a NULL check name)
     val stacked = counted(df, "new").join(counted(prior, "cur"),
-        Seq("y"), "full")
-      .select(col("y"), expr(slices.map { case (nm, _) =>
-        s"'$nm', coalesce(new_$nm, CAST(0 AS BIGINT)), " +
-          s"coalesce(cur_$nm, CAST(0 AS BIGINT))"
-      }.mkString(s"stack(${slices.size}, ", ", ",
-        ") as (slice, observed, expected)")))
+        col("new_y") <=> col("cur_y"), "full")
+      .select(coalesce(col("new_y"), col("cur_y")).as("y"),
+        expr(slices.map { case (nm, _) =>
+          s"'$nm', coalesce(new_$nm, CAST(0 AS BIGINT)), " +
+            s"coalesce(cur_$nm, CAST(0 AS BIGINT))"
+        }.mkString(s"stack(${slices.size}, ", ", ",
+          ") as (slice, observed, expected)")))
     stacked.select(lit(table).as("table"),
-      concat(col("slice"), lit("_"), col("y").cast("string")).as("check"),
+      concat(col("slice"), lit("_"),
+        coalesce(col("y").cast("string"), lit("unknown"))).as("check"),
       (col("observed") >= col("expected")).as("pass"),
       col("observed"), col("expected"))
   }

@@ -28,24 +28,48 @@ class SelectionSpec extends SparkSpec {
       s"target-like doc should outweigh alien doc: $w")
   }
 
-  test("DSIR weight is per-feature-count additive (doubled doc ~ 2x)") {
+  test("DSIR weights equal an independent reimplementation") {
     val s = spark
     import s.implicits._
-    val docs = Seq(
+    val corpus = Seq(
       (1L, "alpha beta gamma", true),
       (2L, "delta epsilon", false),
       (10L, "alpha beta", false),
       (11L, "alpha beta alpha beta", false))
-      .toDF("doc_id", "text", "is_target")
-    val rows = TextAnalysis.dsirWeights(docs, col("is_target"))
+    val docs = corpus.toDF("doc_id", "text", "is_target")
+    val got = TextAnalysis.dsirWeights(docs, col("is_target"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
-    // doc 11 repeats doc 10 twice: one extra "beta alpha" bridge bigram,
-    // but every unigram/bigram of doc 10 appears exactly twice — the
-    // log-ratio sum is linear in feature counts, so the doubled doc's
-    // weight is 2x doc 10's plus the bridge term; sanity: strictly larger
-    // in magnitude and same sign direction for a target-like doc.
-    assert(rows(11L)._1 == 2 * rows(10L)._1 + 1)
+
+    // independent Scala replication: md5 first-32-bit buckets, add-one
+    // smoothed log ratio, per-doc weight = Σ m·λ rounded to 6
+    def bucket(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def feats(t: String): Seq[Long] = {
+      val w = t.split("\\s+").toSeq
+      (w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(bucket)
+    }
+    val all = corpus.map { case (id2, t, tgt) => (id2, feats(t), tgt) }
+    val ct = all.filter(_._3).flatMap(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cr = all.filterNot(_._3).flatMap(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    def lam(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 64)) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (nr + 64))
+    all.foreach { case (id2, fs, _) =>
+      val expected = fs.map(lam).sum
+      val (nFeats, w) = got(id2)
+      assert(nFeats == fs.size, s"doc $id2 n_feats")
+      assert(math.abs(w - expected) < 1e-5,
+        s"doc $id2: got $w expected $expected")
+    }
   }
 
   test("linear quality classifier: prob is monotone in score, " +
@@ -99,21 +123,26 @@ class SelectionSpec extends SparkSpec {
       (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))
     }.toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") < 2)
+    // at lambda=10 every round's objective is 10·rel, so the k=10 run
+    // must emit ALL candidates in (rel DESC, doc_id) order — assert the
+    // full greedy trajectory, not just row shapes
     val mmr = Similarity.mmrRerank(queries, "vec_id", "embedding",
-        corpus, "vec_id", "embedding", nCandidates = 10, k = 5,
+        corpus, "vec_id", "embedding", nCandidates = 10, k = 10,
         lambdaTenths = 10)
       .orderBy(col("query_id"), col("rank"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val brute = Similarity.quantizedTopK(queries, "vec_id", "embedding",
-        corpus, "vec_id", "embedding", k = 10)
-      .filter(col("rank") <= 5)
-      .orderBy(col("query_id"), col("rank"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // lambda=10 zeroes the diversity term; ties broken on id both sides.
-    // (quantizedTopK ranks by cosine = dot/(|a||b|); restrict the check
-    // to the pick SET per query, which is norm-insensitive only when
-    // relevance order agrees — use rel-ranked candidates directly.)
-    assert(mmr.map(_._1).toSeq == brute.map(_._1).toSeq)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getLong(2)))
+    mmr.groupBy(_._1).foreach { case (qid, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1 to 10), s"q$qid ranks")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"q$qid not relevance-ordered: $a then $b")
+        case _ => ()
+      }
+      assert(ordered.map(_._3).distinct.length == 10, s"q$qid dup docs")
+    }
   }
 
   test("MMR suppresses an exact duplicate of the first pick") {
