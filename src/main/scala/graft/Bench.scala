@@ -56,8 +56,12 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            // strip EVERY control char (not just whitespace) plus quote
+            // and backslash — a raw  in a native error message
+            // would make the hand-built JSON unparseable (Verify's q()
+            // escapes <0x20 for the same reason)
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\\s\"\\\\]+", " ").take(120)
+              .replaceAll("[\\x00-\\x1f\"\\\\]+", " ").take(120)
             errors.getOrElseUpdate(name.takeWhile(_ != '_'), msg)
         }
         (System.nanoTime() - t0) / 1e9

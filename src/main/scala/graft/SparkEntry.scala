@@ -7360,7 +7360,7 @@ object SparkEntry {
       endo AS (SELECT DISTINCT id FROM dx WHERE regexp_matches(norm,
         '^(E34[89]|E0[0-7]|E2[0-7]|E31|E34[0-4]|E7|E8[03457]|E88[0-4])')),
       ftm1 AS (SELECT DISTINCT id FROM prc WHERE code IN
-        ('0W4N071','0W4N0J1','0W4NOK1','15757','53410','55175','55180',
+        ('0W4N071','0W4N0J1','0W4N0K1','15757','53410','55175','55180',
          '55899','55980','57120','64856')),
       ftm2 AS (SELECT DISTINCT id FROM prc WHERE code = '58661'
         AND chid NOT IN (SELECT chid FROM dx

@@ -212,9 +212,12 @@ object AmrMeasure {
       val endLit = to_date(lit(em))
       header.filter(col("first_service_date") <= endLit)
         .select(col("id_mcaid"), col("claim_header_id"))
+        // inner both hops: the exclusion-code match discards any
+        // null-extended dx row anyway, so a left join here would only
+        // obscure the semantics and the plan
         .join(dx.select(col("id_mcaid"), col("claim_header_id"),
           col("icdcm_norm"), col("icdcm_version")),
-          Seq("id_mcaid", "claim_header_id"), "left")
+          Seq("id_mcaid", "claim_header_id"))
         .join(broadcast(exclCodes), col("icdcm_norm") === col("code") &&
           col("icdcm_version") === col("dx_ver"))
         .select(col("id_mcaid")).distinct()

@@ -74,8 +74,11 @@ object EligDemoExtra {
     val endoNos = idsWhere(icdcm, norm.rlike(
       "^(E34[89]|E0[0-7]|E2[0-7]|E31|E34[0-4]|E7|E8[03457]|E88[0-4])"))
 
+    // the reference's '0W4NOK1' carries a letter O (ICD-10-PCS never
+    // does) and can never match — the evident intent '0W4N0K1' is
+    // implemented, same discipline as ClaimNaloxone's 'G2216 ' literal
     val ftmProc = idsWhere(proc, col("procedure_code").isin(
-      "0W4N071", "0W4N0J1", "0W4NOK1", "15757", "53410", "55175",
+      "0W4N071", "0W4N0J1", "0W4N0K1", "15757", "53410", "55175",
       "55180", "55899", "55980", "57120", "64856"))
     val ftmNoUter = procMinusDx(proc, Seq("58661"), icdcm,
       (v9 && norm.startsWith("183")) ||

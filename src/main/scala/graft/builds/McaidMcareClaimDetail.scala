@@ -57,12 +57,17 @@ object McaidMcareClaimDetail {
 
   /** Old→new id_apde migration map. Both xwalks carry
     * (id_apde, id_mcaid, id_mcare); the reference's OR-of-equalities join
-    * condition (line.R:199-201) splits into three branches keyed by the
-    * OLD row's null pattern:
-    *   - mcaid-only rows match new mcaid-only rows on id_mcaid,
-    *   - mcare-only rows match new mcare-only rows on id_mcare,
-    *   - dual-id rows match on BOTH ids.
-    * Each branch is a plain equi-join; min(new id) per old id replaces
+    * condition (line.R:199-201) null-guards BOTH sides in each disjunct
+    * (`x.id_mcare IS NULL AND y.id_mcare IS NULL` etc.), so it splits
+    * into three mutually-exclusive equi-join branches keyed by the null
+    * pattern of BOTH rows:
+    *   - old mcaid-only rows match NEW mcaid-only rows on id_mcaid,
+    *   - old mcare-only rows match NEW mcare-only rows on id_mcare,
+    *   - dual-id rows match dual rows on BOTH ids.
+    * A person whose id pattern CHANGED in the re-cut (e.g. mcaid-only →
+    * dual) matches no branch and maps to NULL — that is the reference
+    * semantics too (its dual disjunct compares `x.id_mcare = y.id_mcare`
+    * with a NULL old side → UNKNOWN). min(new id) per old id replaces
     * the reference UPDATE's arbitrary pick under duplicate matches.
     * Old ids with no new-xwalk match map to NULL — the reference's LEFT
     * JOIN UPDATE nulls them too (the person fell out of the re-cut
@@ -120,6 +125,10 @@ object McaidMcareClaimDetail {
   def refresh(existing: DataFrame, rebuilt: DataFrame,
       mcaidDate: Option[String], mcareYear: Option[Int]): DataFrame = {
     val w = inRefreshWindow(mcaidDate, mcareYear)
-    existing.filter(!w).unionByName(rebuilt.filter(w))
+    // DELETE-where-w keeps rows whose predicate is UNKNOWN (a NULL
+    // service date must survive the refresh) — a bare filter(!w) would
+    // silently drop them
+    existing.filter(coalesce(!w, lit(true)))
+      .unionByName(rebuilt.filter(w))
   }
 }

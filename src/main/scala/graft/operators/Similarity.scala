@@ -366,16 +366,20 @@ object Similarity {
       "qvec", codebooks)
       .select(Seq(col("_id").as("neighbor_id"), col("_cell")) ++
         codebooks.indices.map(s => col(s"code_$s")): _*)
+    // dist tables are built on the UN-exploded query frame — per query,
+    // not per probed cell (exploding first would re-evaluate the m·k·dsub
+    // table arithmetic nProbe times on the broadcast side)
     val q = withDistTables(
-      quantize(
-          queries.select(col(qid).as("query_id"), col(qvec).as("_raw")),
-          "query_id", "_raw")
-        .withColumn("_cells", slice(reverse(array_sort(
-          scoredCells(col("_raw"), centroids))), 1, nProbe))
-        .withColumn("_cell",
-          explode(transform(col("_cells"), _.getField("cell").cast("int"))))
-        .select(col("query_id"), col("qvec").as("_qv"), col("_cell")),
-      codebooks).drop("_qv")
+        quantize(
+            queries.select(col(qid).as("query_id"), col(qvec).as("_raw")),
+            "query_id", "_raw")
+          .withColumn("_cells", slice(reverse(array_sort(
+            scoredCells(col("_raw"), centroids))), 1, nProbe))
+          .select(col("query_id"), col("qvec").as("_qv"), col("_cells")),
+        codebooks)
+      .withColumn("_cell",
+        explode(transform(col("_cells"), _.getField("cell").cast("int"))))
+      .drop("_qv", "_cells")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
     encoded.join(broadcast(q), Seq("_cell"))

@@ -188,8 +188,16 @@ object Qa {
     val actual = df.columns.toSeq
     val matching = actual.zip(declared).takeWhile { case (a, b) => a == b }
       .length
+    // observed must encode the discrepancy: with trailing EXTRA columns
+    // the full declared list matches as a prefix, and reporting the
+    // prefix length would show observed == expected on a failing row —
+    // report the actual column count in that case instead
+    val observed =
+      if (matching == declared.length && actual.length != declared.length)
+        actual.length
+      else matching
     QaCheck(table, "column_order",
-      actual == declared, matching.toLong, declared.length.toLong)
+      actual == declared, observed.toLong, declared.length.toLong)
   }
 
   /** Per-year slice counts vs the prior load
