@@ -279,6 +279,7 @@ object SparkEntry {
     "q179_hard_negatives" -> (V.q179HardNegatives _),
     "q180_stream_split" -> (qStreamSplit _),
     "q181_bpe_merges" -> (T.q181BpeMerges _),
+    "q182_bpe_encode" -> (T.q182BpeEncode _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -409,6 +410,91 @@ object SparkEntry {
         SELECT id, 'lb' AS cls, d FROM lbfin
         UNION ALL SELECT id, 'sb', d FROM sbfin
         UNION ALL SELECT id, 'deliv', d FROM dvfin)"""
+
+  private val BpeCte: String = """
+      WITH w AS (
+        SELECT word, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' ')) AS word
+          FROM documents)
+        WHERE len(word) > 0 AND word NOT LIKE '%[%'
+          AND word NOT LIKE '%]%'
+        GROUP BY word),
+      s0 AS (
+        SELECT word, freq, array_to_string(list_transform(
+          range(1, len(word) + 1),
+          i -> '[' || word[i] || ']'), '') AS seq
+        FROM w),
+      p1 AS (
+        SELECT sy[i] AS a, sy[i+1] AS b,
+          CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq,
+            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
+          FROM s0) t,
+          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
+        GROUP BY 1, 2),
+      m1 AS (SELECT a, b, cnt FROM p1
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      s1 AS (
+        SELECT word, freq, replace(seq,
+          '[' || (SELECT a FROM m1) || '][' || (SELECT b FROM m1) || ']',
+          '[' || (SELECT a FROM m1) || (SELECT b FROM m1) || ']') AS seq
+        FROM s0),
+      p2 AS (
+        SELECT sy[i] AS a, sy[i+1] AS b,
+          CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq,
+            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
+          FROM s1) t,
+          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
+        GROUP BY 1, 2),
+      m2 AS (SELECT a, b, cnt FROM p2
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      s2 AS (
+        SELECT word, freq, replace(seq,
+          '[' || (SELECT a FROM m2) || '][' || (SELECT b FROM m2) || ']',
+          '[' || (SELECT a FROM m2) || (SELECT b FROM m2) || ']') AS seq
+        FROM s1),
+      p3 AS (
+        SELECT sy[i] AS a, sy[i+1] AS b,
+          CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq,
+            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
+          FROM s2) t,
+          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
+        GROUP BY 1, 2),
+      m3 AS (SELECT a, b, cnt FROM p3
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      s3 AS (
+        SELECT word, freq, replace(seq,
+          '[' || (SELECT a FROM m3) || '][' || (SELECT b FROM m3) || ']',
+          '[' || (SELECT a FROM m3) || (SELECT b FROM m3) || ']') AS seq
+        FROM s2),
+      p4 AS (
+        SELECT sy[i] AS a, sy[i+1] AS b,
+          CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq,
+            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
+          FROM s3) t,
+          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
+        GROUP BY 1, 2),
+      m4 AS (SELECT a, b, cnt FROM p4
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      s4 AS (
+        SELECT word, freq, replace(seq,
+          '[' || (SELECT a FROM m4) || '][' || (SELECT b FROM m4) || ']',
+          '[' || (SELECT a FROM m4) || (SELECT b FROM m4) || ']') AS seq
+        FROM s3),
+      p5 AS (
+        SELECT sy[i] AS a, sy[i+1] AS b,
+          CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq,
+            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
+          FROM s4) t,
+          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
+        GROUP BY 1, 2),
+      m5 AS (SELECT a, b, cnt FROM p5
+        ORDER BY cnt DESC, a, b LIMIT 1)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -8973,90 +9059,7 @@ object SparkEntry {
     // q181: BPE merge training — 5 greedy rounds, bracket-encoded
     // sequences so each merge is one literal replace (left-to-right
     // non-overlapping = BPE's greedy order); ties (count, a, b).
-    "q181_bpe_merges" -> """
-      WITH w AS (
-        SELECT word, count(*)::BIGINT AS freq FROM (
-          SELECT unnest(string_split(regexp_replace(lower(trim(text)),
-            '\s+', ' ', 'g'), ' ')) AS word
-          FROM documents)
-        WHERE len(word) > 0 AND word NOT LIKE '%[%'
-          AND word NOT LIKE '%]%'
-        GROUP BY word),
-      s0 AS (
-        SELECT word, freq, array_to_string(list_transform(
-          range(1, len(word) + 1),
-          i -> '[' || word[i] || ']'), '') AS seq
-        FROM w),
-      p1 AS (
-        SELECT sy[i] AS a, sy[i+1] AS b,
-          CAST(sum(freq) AS BIGINT) AS cnt
-        FROM (SELECT freq,
-            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
-          FROM s0) t,
-          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
-        GROUP BY 1, 2),
-      m1 AS (SELECT a, b, cnt FROM p1
-        ORDER BY cnt DESC, a, b LIMIT 1),
-      s1 AS (
-        SELECT word, freq, replace(seq,
-          '[' || (SELECT a FROM m1) || '][' || (SELECT b FROM m1) || ']',
-          '[' || (SELECT a FROM m1) || (SELECT b FROM m1) || ']') AS seq
-        FROM s0),
-      p2 AS (
-        SELECT sy[i] AS a, sy[i+1] AS b,
-          CAST(sum(freq) AS BIGINT) AS cnt
-        FROM (SELECT freq,
-            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
-          FROM s1) t,
-          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
-        GROUP BY 1, 2),
-      m2 AS (SELECT a, b, cnt FROM p2
-        ORDER BY cnt DESC, a, b LIMIT 1),
-      s2 AS (
-        SELECT word, freq, replace(seq,
-          '[' || (SELECT a FROM m2) || '][' || (SELECT b FROM m2) || ']',
-          '[' || (SELECT a FROM m2) || (SELECT b FROM m2) || ']') AS seq
-        FROM s1),
-      p3 AS (
-        SELECT sy[i] AS a, sy[i+1] AS b,
-          CAST(sum(freq) AS BIGINT) AS cnt
-        FROM (SELECT freq,
-            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
-          FROM s2) t,
-          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
-        GROUP BY 1, 2),
-      m3 AS (SELECT a, b, cnt FROM p3
-        ORDER BY cnt DESC, a, b LIMIT 1),
-      s3 AS (
-        SELECT word, freq, replace(seq,
-          '[' || (SELECT a FROM m3) || '][' || (SELECT b FROM m3) || ']',
-          '[' || (SELECT a FROM m3) || (SELECT b FROM m3) || ']') AS seq
-        FROM s2),
-      p4 AS (
-        SELECT sy[i] AS a, sy[i+1] AS b,
-          CAST(sum(freq) AS BIGINT) AS cnt
-        FROM (SELECT freq,
-            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
-          FROM s3) t,
-          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
-        GROUP BY 1, 2),
-      m4 AS (SELECT a, b, cnt FROM p4
-        ORDER BY cnt DESC, a, b LIMIT 1),
-      s4 AS (
-        SELECT word, freq, replace(seq,
-          '[' || (SELECT a FROM m4) || '][' || (SELECT b FROM m4) || ']',
-          '[' || (SELECT a FROM m4) || (SELECT b FROM m4) || ']') AS seq
-        FROM s3),
-      p5 AS (
-        SELECT sy[i] AS a, sy[i+1] AS b,
-          CAST(sum(freq) AS BIGINT) AS cnt
-        FROM (SELECT freq,
-            string_split(substr(seq, 2, len(seq) - 2), '][') AS sy
-          FROM s4) t,
-          LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
-        GROUP BY 1, 2),
-      m5 AS (SELECT a, b, cnt FROM p5
-        ORDER BY cnt DESC, a, b LIMIT 1)
+    "q181_bpe_merges" -> (BpeCte + """
       SELECT * FROM (
         SELECT 1 AS round, a AS sym_a, b AS sym_b, cnt AS pair_count
         FROM m1
@@ -9064,6 +9067,33 @@ object SparkEntry {
         UNION ALL SELECT 3, a, b, cnt FROM m3
         UNION ALL SELECT 4, a, b, cnt FROM m4
         UNION ALL SELECT 5, a, b, cnt FROM m5)
-      ORDER BY round""",
+      ORDER BY round"""),
+
+    // q182: BPE corpus encoding — the fully-merged vocabulary (s5)
+    // joined back to document words; chars-per-BPE-token compression.
+    "q182_bpe_encode" -> (BpeCte + """,
+      s5 AS (
+        SELECT word, freq, replace(seq,
+          '[' || (SELECT a FROM m5) || '][' || (SELECT b FROM m5) || ']',
+          '[' || (SELECT a FROM m5) || (SELECT b FROM m5) || ']') AS seq
+        FROM s4),
+      ws AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(string_split(regexp_replace(lower(
+            trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+          FROM documents)
+        WHERE len(word) > 0 AND word NOT LIKE '%[%'
+          AND word NOT LIKE '%]%'),
+      enc AS (
+        SELECT word,
+          len(string_split(substr(seq, 2, len(seq) - 2), '][')) AS n_sym
+        FROM s5)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+        CAST(sum(len(word)) AS BIGINT) AS n_chars,
+        CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+        round(CAST(sum(len(word)) AS BIGINT)::DOUBLE
+          / CAST(sum(n_sym) AS BIGINT)::DOUBLE, 4) AS compression
+      FROM ws JOIN enc USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""),
   )
 }

@@ -800,6 +800,53 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
   }
 
+  /** BPE corpus encoding — the application half of [[bpeMerges]]:
+    * train the merge table, apply the merges in rank order to the word
+    * vocabulary (each is the same literal bracket replace the trainer
+    * used, so train and encode agree exactly), and roll the per-word
+    * symbol counts up to documents. Returns (doc_id, n_words, n_chars,
+    * n_bpe_tokens, compression = chars per BPE token) — the
+    * tokens-per-document accounting every budget/packing stage consumes.
+    *
+    * Scale: training cost as [[bpeMerges]]; encoding applies `rounds`
+    * replaces to the VOCABULARY (not the corpus) and joins the
+    * word→token-count map back to one corpus explode — the map is
+    * vocabulary-sized and broadcasts.
+    */
+  def bpeEncodedStats(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", rounds: Int = 5): DataFrame = {
+    val merges = bpeMerges(docs, id, text, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val esc = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+    val words = docs
+      .select(explode(split(trim(lower(col(text))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 &&
+        !col("word").contains("[") && !col("word").contains("]"))
+    val vocab0 = words.distinct()
+      .withColumn("seq", expr(
+        """array_join(transform(sequence(1, length(word)),
+           i -> concat('[', substring(word, i, 1), ']')), '')"""))
+    val encoded = merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      v.withColumn("seq", expr(s"replace(seq, '[${esc(a)}][${esc(b)}]'," +
+        s" '[${esc(a)}${esc(b)}]')"))
+    }.select(col("word").as("enc_word"),
+      size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\]\\["))
+        .as("n_sym"))
+    docs
+      .select(col(id).as("doc_id"),
+        explode(split(trim(lower(col(text))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 &&
+        !col("word").contains("[") && !col("word").contains("]"))
+      .join(broadcast(encoded), col("word") === col("enc_word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 4))
+  }
+
   /** ExactSubstr duplicate-span detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every
     * character span that occurs more than once in the corpus — across

@@ -394,6 +394,13 @@ object TextQueries {
     TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 5)
       .orderBy(col("round"))
 
+  /** BPE corpus encoding (q182): apply the q181-learned merges to the
+    * vocabulary and roll per-word symbol counts up to documents — the
+    * tokens-per-doc accounting the budget/packing stages consume. */
+  def q182BpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncodedStats(t(s, dir, "documents"), rounds = 5)
+      .orderBy(col("doc_id"))
+
   /** Cluster-cap sampling (q178) — the "soft dedup" composition every
     * large corpus ships: minhash near-dup pairs → connected components
     * → keep at most `cap` documents per duplicate cluster (lowest ids,
