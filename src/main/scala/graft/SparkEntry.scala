@@ -280,6 +280,8 @@ object SparkEntry {
     "q180_stream_split" -> (qStreamSplit _),
     "q181_bpe_merges" -> (T.q181BpeMerges _),
     "q182_bpe_encode" -> (T.q182BpeEncode _),
+    "q183_mcare_claim_line" -> (graft.queries.BuildQueries.q183McareClaimLine _),
+    "q184_mcare_claim_icdcm" -> (graft.queries.BuildQueries.q184McareClaimIcdcm _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -9095,5 +9097,152 @@ object SparkEntry {
           / CAST(sum(n_sym) AS BIGINT)::DOUBLE, 4) AS compression
       FROM ws JOIN enc USING (word)
       GROUP BY doc_id ORDER BY doc_id"""),
+
+    // q183: mcare claim_line — nine-arm union; carrier denial (base-row
+    // code IN 1..9, no-base-row EXCLUDED) vs facility denial (empty/NULL,
+    // no-base-row PASSES); trimmed-length-gated POS/rev padding quirk.
+    "q183_mcare_claim_line" -> """
+      WITH lineall AS (
+        SELECT 'B' || CAST(o_custkey AS VARCHAR) AS bene_id,
+          'C' || CAST(l_orderkey AS VARCHAR) AS clm_id,
+          CAST(l_linenumber AS VARCHAR) AS line_no,
+          CASE WHEN l_partkey % 5 = 0 THEN '1'
+            WHEN l_partkey % 5 = 1 THEN ' 2'
+            WHEN l_partkey % 5 = 2 THEN '23'
+            WHEN l_partkey % 5 = 3 THEN NULL
+            ELSE '11' END AS pos,
+          CAST(l_suppkey % 10 AS VARCHAR) AS tos,
+          CASE WHEN l_partkey % 7 = 0 THEN '45'
+            WHEN l_partkey % 7 = 1 THEN ' 450'
+            WHEN l_partkey % 7 = 2 THEN '0450'
+            WHEN l_partkey % 7 = 3 THEN NULL
+            ELSE lpad(CAST(l_partkey % 10000 AS VARCHAR), 4, '0')
+            END AS rev_cntr,
+          l_orderkey % 9 AS arm
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      base AS (
+        SELECT 'C' || CAST(o_orderkey AS VARCHAR) AS clm_id,
+          CAST(o_orderdate AS DATE) AS clm_from_dt,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 15 AS INT)
+            AS clm_thru_dt,
+          CASE WHEN o_orderkey % 12 = 10 THEN NULL
+            WHEN o_orderkey % 12 = 11 THEN 'D'
+            ELSE CAST(o_orderkey % 12 AS VARCHAR) END AS dnl,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'N'
+            WHEN o_orderkey % 11 = 1 THEN NULL ELSE '' END AS nonpmt
+        FROM orders WHERE o_orderkey % 19 <> 0),
+      enroll AS (
+        SELECT 'B' || CAST(c_custkey AS VARCHAR) AS bene_id
+        FROM customer WHERE c_custkey % 7 <> 3),
+      carrier AS (
+        SELECT l.bene_id AS id_mcare, l.clm_id AS claim_header_id,
+          l.line_no AS claim_line_id, b.clm_from_dt AS first_service_date,
+          b.clm_thru_dt AS last_service_date,
+          CAST(NULL AS VARCHAR) AS revenue_code,
+          CASE WHEN len(trim(l.pos)) < 2
+            THEN right('0' || trim(l.pos), 2) ELSE l.pos END
+            AS place_of_service_code,
+          l.tos AS type_of_service,
+          CASE WHEN l.arm = 0 THEN 'carrier' ELSE 'dme' END
+            AS filetype_mcare
+        FROM lineall l LEFT JOIN base b ON l.clm_id = b.clm_id
+        WHERE l.arm IN (0, 1)
+          AND b.dnl IN ('1','2','3','4','5','6','7','8','9')
+          AND l.bene_id IN (SELECT bene_id FROM enroll)),
+      facility AS (
+        SELECT l.bene_id AS id_mcare, l.clm_id AS claim_header_id,
+          l.line_no AS claim_line_id, b.clm_from_dt AS first_service_date,
+          b.clm_thru_dt AS last_service_date,
+          CASE WHEN len(trim(l.rev_cntr)) < 4
+            THEN right('000' || trim(l.rev_cntr), 4) ELSE l.rev_cntr END
+            AS revenue_code,
+          CAST(NULL AS VARCHAR) AS place_of_service_code,
+          CAST(NULL AS VARCHAR) AS type_of_service,
+          CASE WHEN l.arm = 2 THEN 'hha' WHEN l.arm = 3 THEN 'hospice'
+            WHEN l.arm IN (4, 5) THEN 'inpatient'
+            WHEN l.arm IN (6, 7) THEN 'outpatient'
+            ELSE 'snf' END AS filetype_mcare
+        FROM lineall l LEFT JOIN base b ON l.clm_id = b.clm_id
+        WHERE l.arm >= 2
+          AND (b.nonpmt = '' OR b.nonpmt IS NULL)
+          AND l.bene_id IN (SELECT bene_id FROM enroll))
+      SELECT DISTINCT * FROM (
+        SELECT * FROM carrier UNION ALL SELECT * FROM facility)
+      ORDER BY filetype_mcare, claim_header_id, claim_line_id,
+        revenue_code, place_of_service_code""",
+
+    // q184: mcare claim_icdcm_header — the 38-slot unpivot expressed as
+    // an equivalent (claim x available-slot) cross join; per-shape denial
+    // rules; exact-' ' drop; first-service-date-gated ICD-9 pad/version.
+    "q184_mcare_claim_icdcm" -> """
+      WITH base AS (
+        SELECT 'B' || CAST(o_custkey AS VARCHAR) AS bene_id,
+          'C' || CAST(o_orderkey AS VARCHAR) AS clm_id,
+          (CAST(o_orderdate AS DATE)
+            + INTERVAL (CAST(o_orderkey % 3 AS INT) * 120) MONTH)::DATE
+            AS clm_from_dt,
+          ((CAST(o_orderdate AS DATE)
+            + INTERVAL (CAST(o_orderkey % 3 AS INT) * 120) MONTH)::DATE
+            + CAST(o_orderkey % 15 AS INT)) AS clm_thru_dt,
+          CASE WHEN o_orderkey % 12 = 10 THEN NULL
+            WHEN o_orderkey % 12 = 11 THEN 'D'
+            ELSE CAST(o_orderkey % 12 AS VARCHAR) END AS dnl,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'N'
+            WHEN o_orderkey % 11 = 1 THEN NULL ELSE '' END AS nonpmt,
+          o_orderkey % 9 AS arm,
+          o_orderkey AS ok
+        FROM orders),
+      gated AS (
+        SELECT * FROM base
+        WHERE (arm IN (0, 1)
+            AND dnl IN ('1','2','3','4','5','6','7','8','9'))
+          OR (arm >= 2 AND (nonpmt = '' OR nonpmt IS NULL))),
+      enrolled AS (
+        SELECT * FROM gated
+        WHERE bene_id IN (
+          SELECT 'B' || CAST(c_custkey AS VARCHAR)
+          FROM customer WHERE c_custkey % 7 <> 3)),
+      long AS (
+        SELECT g.bene_id AS id_mcare, g.clm_id AS claim_header_id,
+          g.clm_from_dt AS first_service_date,
+          g.clm_thru_dt AS last_service_date,
+          CASE WHEN g.arm = 0 THEN 'carrier' WHEN g.arm = 1 THEN 'dme'
+            WHEN g.arm = 2 THEN 'hha' WHEN g.arm = 3 THEN 'hospice'
+            WHEN g.arm IN (4, 5) THEN 'inpatient'
+            WHEN g.arm IN (6, 7) THEN 'outpatient'
+            ELSE 'snf' END AS filetype_mcare,
+          CASE WHEN s.i = 0 THEN 'admit'
+            WHEN s.i <= 25 THEN lpad(CAST(s.i AS VARCHAR), 2, '0')
+            ELSE 'ecode_' || CAST(s.i - 25 AS VARCHAR) END AS icdcm_number,
+          CASE (g.ok * 7 + s.i * 13) % 11
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '250'
+            WHEN 3 THEN '2504' WHEN 4 THEN '25043' WHEN 5 THEN 'V12'
+            WHEN 6 THEN 'V123' WHEN 7 THEN 'E950' WHEN 8 THEN 'A1505'
+            WHEN 9 THEN 'E'
+              || lpad(CAST((g.ok + s.i) % 999 AS VARCHAR), 3, '0')
+            ELSE 'Z' || CAST((g.ok + s.i) % 99 AS VARCHAR) END
+            AS icdcm_raw
+        FROM enrolled g CROSS JOIN range(0, 38) s(i)
+        WHERE (s.i = 0 AND g.arm IN (4, 5, 8))
+          OR (s.i BETWEEN 1 AND 12)
+          OR (g.arm >= 2 AND s.i >= 13))
+      SELECT DISTINCT id_mcare, claim_header_id, first_service_date,
+        last_service_date, filetype_mcare, icdcm_number, icdcm_raw,
+        CASE WHEN (regexp_matches(icdcm_raw, '^[0-9]')
+              OR (regexp_matches(icdcm_raw, '^[EV]')
+                AND first_service_date < DATE '2015-10-01'))
+            AND len(icdcm_raw) = 3 THEN icdcm_raw || '00'
+          WHEN (regexp_matches(icdcm_raw, '^[0-9]')
+              OR (regexp_matches(icdcm_raw, '^[EV]')
+                AND first_service_date < DATE '2015-10-01'))
+            AND len(icdcm_raw) = 4 THEN icdcm_raw || '0'
+          ELSE icdcm_raw END AS icdcm_norm,
+        CASE WHEN regexp_matches(icdcm_raw, '^[0-9]')
+            OR (regexp_matches(icdcm_raw, '^[EV]')
+              AND first_service_date < DATE '2015-10-01')
+          THEN 9 ELSE 10 END AS icdcm_version
+      FROM long
+      WHERE icdcm_raw IS NOT NULL AND icdcm_raw <> ' '
+      ORDER BY filetype_mcare, claim_header_id, icdcm_number, icdcm_raw""",
   )
 }

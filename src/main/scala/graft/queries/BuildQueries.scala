@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.TopCauses
 import graft.builds.{ClaimHeader, ConditionLoop, EligDemo, EligMonth, EligTimevar, PerfMeasures}
@@ -3256,6 +3256,140 @@ object BuildQueries {
             "num_header" -> lit(true),
             "num_ed" -> (col("ed_pophealth_flag") === 1))))
       .orderBy(col("table"), col("check"))
+  }
+
+  /** §7.5.11 mcare claim_line (q183, load_stage.mcare_claim_line.R):
+    * nine source arms — carrier/dme professional lines under the ResDAC
+    * carrier denial rule (base-row code IN '1'..'9', so a line with NO
+    * base claim is excluded) and seven facility revenue-center arms
+    * under the facility rule (non-pmt code empty/NULL, so a no-base-row
+    * line PASSES) — POS left-padded to 2 and revenue code to 4 only
+    * when the TRIMMED value is short (else the raw value survives),
+    * enrollment existence, UNION distinct. Planted: short/padded/
+    * blank-led codes, missing base claims, unenrolled members, and
+    * both inpatient/outpatient vintage slices tagging one filetype. */
+  def q183McareClaimLine(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val arm = ok % 9
+    val lineAll = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("B"), col("o_custkey").cast("string")).as("bene_id"),
+        concat(lit("C"), col("l_orderkey").cast("string")).as("clm_id"),
+        col("l_linenumber").cast("string").as("line_no"),
+        when(col("l_partkey") % 5 === 0, "1")
+          .when(col("l_partkey") % 5 === 1, " 2")
+          .when(col("l_partkey") % 5 === 2, "23")
+          .when(col("l_partkey") % 5 === 3, lit(null).cast("string"))
+          .otherwise("11").as("line_place_of_srvc_cd"),
+        (col("l_suppkey") % 10).cast("string")
+          .as("line_cms_type_srvc_cd"),
+        when(col("l_partkey") % 7 === 0, "45")
+          .when(col("l_partkey") % 7 === 1, " 450")
+          .when(col("l_partkey") % 7 === 2, "0450")
+          .when(col("l_partkey") % 7 === 3, lit(null).cast("string"))
+          .otherwise(lpad((col("l_partkey") % 10000).cast("string"), 4,
+            "0")).as("rev_cntr"),
+        (col("l_orderkey") % 9).as("arm"))
+    val base = t(s, dir, "orders").filter(ok % 19 =!= 0).select(
+      concat(lit("C"), ok.cast("string")).as("clm_id"),
+      to_date(col("o_orderdate")).as("clm_from_dt"),
+      date_add(to_date(col("o_orderdate")), (ok % 15).cast("int"))
+        .as("clm_thru_dt"),
+      when(ok % 12 === 10, lit(null).cast("string"))
+        .when(ok % 12 === 11, "D")
+        .otherwise((ok % 12).cast("string")).as("carr_clm_pmt_dnl_cd"),
+      when(ok % 11 === 0, "N")
+        .when(ok % 11 === 1, lit(null).cast("string"))
+        .otherwise("").as("clm_mdcr_non_pmt_rsn_cd"))
+    val enroll = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 3)
+      .select(concat(lit("B"), col("c_custkey").cast("string"))
+        .as("bene_id"))
+    def slice(a: Int) = lineAll.filter(col("arm") === a).drop("arm")
+    def carrierLine(a: Int) = slice(a).select(col("bene_id"),
+      col("clm_id"), col("line_no").as("line_num"),
+      col("line_place_of_srvc_cd"), col("line_cms_type_srvc_cd"))
+    def facilityRev(a: Int) = slice(a).select(col("bene_id"),
+      col("clm_id"), col("line_no").as("clm_line_num"), col("rev_cntr"))
+    graft.builds.McareClaimLine.build(
+        carrier = Seq("carrier" -> 0, "dme" -> 1).map { case (ft, a) =>
+          (ft, carrierLine(a), base) },
+        facility = Seq("hha" -> 2, "hospice" -> 3, "inpatient" -> 4,
+          "inpatient" -> 5, "outpatient" -> 6, "outpatient" -> 7,
+          "snf" -> 8).map { case (ft, a) => (ft, facilityRev(a), base) },
+        enroll = enroll)
+      .orderBy(col("filetype_mcare"), col("claim_header_id"),
+        col("claim_line_id"), col("revenue_code"),
+        col("place_of_service_code"))
+  }
+
+  /** §7.5.11 mcare claim_icdcm_header (q184,
+    * load_stage.mcare_claim_icdcm_header.R): nine arms with per-filetype
+    * dx slot matrices (carrier/dme 12 slots, facility 25 + 12 e-codes,
+    * inpatient/snf an admit dx), per-shape denial rules, one 38-slot
+    * unpivot, exact-`' '` slot drop, first-service-date-gated ICD-9
+    * right-pad + version, DISTINCT. Planted: 3/4/5-char digit codes,
+    * V/E codes on both sides of the 2015-10-01 cutover, NULL and
+    * single-space slots, missing base denial codes. */
+  def q184McareClaimIcdcm(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McareClaimIcdcm
+    val ok = col("o_orderkey")
+    def dxv(i: Int): Column = {
+      val k = (ok * 7 + lit(i * 13)) % 11
+      when(k === 0, lit(null).cast("string"))
+        .when(k === 1, " ")
+        .when(k === 2, "250")
+        .when(k === 3, "2504")
+        .when(k === 4, "25043")
+        .when(k === 5, "V12")
+        .when(k === 6, "V123")
+        .when(k === 7, "E950")
+        .when(k === 8, "A1505")
+        .when(k === 9,
+          concat(lit("E"), lpad(((ok + i) % 999).cast("string"), 3, "0")))
+        .otherwise(concat(lit("Z"), ((ok + i) % 99).cast("string")))
+    }
+    val from = add_months(to_date(col("o_orderdate")),
+      (ok % 3).cast("int") * 120)
+    val wideAll = t(s, dir, "orders").select(Seq(
+      concat(lit("B"), col("o_custkey").cast("string")).as("bene_id"),
+      concat(lit("C"), ok.cast("string")).as("clm_id"),
+      from.as("clm_from_dt"),
+      date_add(from, (ok % 15).cast("int")).as("clm_thru_dt"),
+      when(ok % 12 === 10, lit(null).cast("string"))
+        .when(ok % 12 === 11, "D")
+        .otherwise((ok % 12).cast("string")).as("dnl"),
+      when(ok % 11 === 0, "N")
+        .when(ok % 11 === 1, lit(null).cast("string"))
+        .otherwise("").as("nonpmt"),
+      (ok % 9).as("arm")) ++
+      (0 to 37).map(i => dxv(i).as(s"d$i")): _*)
+    val enroll = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 3)
+      .select(concat(lit("B"), col("c_custkey").cast("string"))
+        .as("bene_id"))
+    def armOf(a: Int) = wideAll.filter(col("arm") === a)
+    val dx12 = (1 to 12).map(i => s"d$i")
+    val dx25 = (1 to 25).map(i => s"d$i")
+    val ec12 = (26 to 37).map(i => s"d$i")
+    val arms =
+      Seq(0 -> "carrier", 1 -> "dme").map { case (a, ft) =>
+        McareClaimIcdcm.arm(
+          McareClaimIcdcm.carrierDenial(armOf(a), "dnl"), ft, None, dx12,
+          Nil) } ++
+      Seq(2 -> "hha", 3 -> "hospice", 6 -> "outpatient",
+          7 -> "outpatient").map { case (a, ft) =>
+        McareClaimIcdcm.arm(
+          McareClaimIcdcm.facilityDenial(armOf(a), "nonpmt"), ft, None,
+          dx25, ec12) } ++
+      Seq(4 -> "inpatient", 5 -> "inpatient", 8 -> "snf").map {
+        case (a, ft) =>
+          McareClaimIcdcm.arm(
+            McareClaimIcdcm.facilityDenial(armOf(a), "nonpmt"), ft,
+            Some("d0"), dx25, ec12) }
+    McareClaimIcdcm.build(arms, enroll)
+      .orderBy(col("filetype_mcare"), col("claim_header_id"),
+        col("icdcm_number"), col("icdcm_raw"))
   }
 
   /** claims_condition.R consumer: members whose condition span overlaps an
