@@ -282,6 +282,7 @@ object SparkEntry {
     "q182_bpe_encode" -> (T.q182BpeEncode _),
     "q183_mcare_claim_line" -> (graft.queries.BuildQueries.q183McareClaimLine _),
     "q184_mcare_claim_icdcm" -> (graft.queries.BuildQueries.q184McareClaimIcdcm _),
+    "q185_mcare_claim_procedure" -> (graft.queries.BuildQueries.q185McareClaimProcedure _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -9244,5 +9245,125 @@ object SparkEntry {
       FROM long
       WHERE icdcm_raw IS NOT NULL AND icdcm_raw <> ' '
       ORDER BY filetype_mcare, claim_header_id, icdcm_number, icdcm_raw""",
+
+    // q185: mcare claim_procedure — per-arm branch replica (modifier
+    // UNPIVOT / no-modifier residual / BETOS / ICD-PCS unpivot, per-arm
+    // denial + modifier availability + blank-fold), enrollment at the end.
+    "q185_mcare_claim_procedure" -> """
+      WITH base AS (
+        SELECT 'B' || CAST(o_custkey AS VARCHAR) AS bene_id,
+          'C' || CAST(o_orderkey AS VARCHAR) AS clm_id,
+          CAST(o_orderdate AS DATE) AS clm_from_dt,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 15 AS INT)
+            AS clm_thru_dt,
+          CASE WHEN o_orderkey % 12 = 10 THEN NULL
+            WHEN o_orderkey % 12 = 11 THEN 'D'
+            ELSE CAST(o_orderkey % 12 AS VARCHAR) END AS dnl,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'N'
+            WHEN o_orderkey % 11 = 1 THEN NULL ELSE '' END AS nonpmt,
+          o_orderkey % 9 AS arm, o_orderkey AS ok
+        FROM orders),
+      lines AS (
+        SELECT 'C' || CAST(l_orderkey AS VARCHAR) AS clm_id,
+          CASE (l_partkey * 3 + l_linenumber) % 6
+            WHEN 0 THEN NULL WHEN 1 THEN '99213' WHEN 2 THEN 'G0438'
+            ELSE lpad(CAST(l_partkey % 99999 AS VARCHAR), 5, '0') END
+            AS pchcpcs,
+          CASE (l_partkey + 7) % 5
+            WHEN 1 THEN 'M1A' WHEN 2 THEN 'T1H' WHEN 3 THEN 'O1A'
+            END AS pcbetos,
+          CASE (l_partkey * 5 + 11 + l_suppkey) % 7
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '25'
+            WHEN 3 THEN '59' WHEN 4 THEN 'GT' WHEN 5 THEN 'LT'
+            ELSE '76' END AS rm1,
+          CASE (l_partkey * 5 + 22 + l_suppkey) % 7
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '25'
+            WHEN 3 THEN '59' WHEN 4 THEN 'GT' WHEN 5 THEN 'LT'
+            ELSE '76' END AS rm2,
+          CASE (l_partkey * 5 + 33 + l_suppkey) % 7
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '25'
+            WHEN 3 THEN '59' WHEN 4 THEN 'GT' WHEN 5 THEN 'LT'
+            ELSE '76' END AS rm3,
+          CASE (l_partkey * 5 + 44 + l_suppkey) % 7
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '25'
+            WHEN 3 THEN '59' WHEN 4 THEN 'GT' WHEN 5 THEN 'LT'
+            ELSE '76' END AS rm4
+        FROM lineitem),
+      joined AS (
+        SELECT b.*, l.pchcpcs, l.pcbetos,
+          CASE WHEN (CASE b.arm WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 3
+              WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 0 WHEN 6 THEN 4
+              WHEN 7 THEN 2 ELSE 3 END) >= 1
+            THEN CASE WHEN b.arm IN (2, 3) AND l.rm1 = ' ' THEN NULL
+              ELSE l.rm1 END END AS m1,
+          CASE WHEN (CASE b.arm WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 3
+              WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 0 WHEN 6 THEN 4
+              WHEN 7 THEN 2 ELSE 3 END) >= 2
+            THEN CASE WHEN b.arm IN (2, 3) AND l.rm2 = ' ' THEN NULL
+              ELSE l.rm2 END END AS m2,
+          CASE WHEN (CASE b.arm WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 3
+              WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 0 WHEN 6 THEN 4
+              WHEN 7 THEN 2 ELSE 3 END) >= 3
+            THEN CASE WHEN b.arm IN (2, 3) AND l.rm3 = ' ' THEN NULL
+              ELSE l.rm3 END END AS m3,
+          CASE WHEN (CASE b.arm WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 3
+              WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 0 WHEN 6 THEN 4
+              WHEN 7 THEN 2 ELSE 3 END) >= 4
+            THEN CASE WHEN b.arm IN (2, 3) AND l.rm4 = ' ' THEN NULL
+              ELSE l.rm4 END END AS m4
+        FROM base b LEFT JOIN lines l ON b.clm_id = l.clm_id
+        WHERE (b.arm IN (0, 1)
+            AND b.dnl IN ('1','2','3','4','5','6','7','8','9'))
+          OR (b.arm >= 2 AND (b.nonpmt = '' OR b.nonpmt IS NULL))),
+      long AS (
+        SELECT bene_id, clm_id, clm_from_dt, clm_thru_dt, arm,
+          pchcpcs AS procedure_code, mv AS modifier_code
+        FROM (SELECT j.*, unnest([j.m1, j.m2, j.m3, j.m4]) AS mv
+              FROM joined j)
+        WHERE pchcpcs IS NOT NULL AND mv IS NOT NULL
+        UNION ALL
+        SELECT bene_id, clm_id, clm_from_dt, clm_thru_dt, arm,
+          pchcpcs, NULL
+        FROM joined
+        WHERE pchcpcs IS NOT NULL AND m1 IS NULL AND m2 IS NULL
+          AND m3 IS NULL AND m4 IS NULL
+        UNION ALL
+        SELECT bene_id, clm_id, clm_from_dt, clm_thru_dt, arm,
+          pcbetos, NULL
+        FROM joined
+        WHERE arm IN (0, 1) AND pcbetos IS NOT NULL
+        UNION ALL
+        SELECT bene_id, clm_id, clm_from_dt, clm_thru_dt, arm,
+          CASE (ok * 11 + s.i * 17) % 9
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '0210093'
+            WHEN 3 THEN '8606'
+            ELSE lpad(CAST((ok + s.i) % 99999 AS VARCHAR), 5, '0') END,
+          NULL
+        FROM joined CROSS JOIN range(1, 26) s(i)
+        WHERE arm >= 4
+          AND (CASE (ok * 11 + s.i * 17) % 9
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '0210093'
+            WHEN 3 THEN '8606'
+            ELSE lpad(CAST((ok + s.i) % 99999 AS VARCHAR), 5, '0') END)
+            IS NOT NULL
+          AND (CASE (ok * 11 + s.i * 17) % 9
+            WHEN 0 THEN NULL WHEN 1 THEN ' ' WHEN 2 THEN '0210093'
+            WHEN 3 THEN '8606'
+            ELSE lpad(CAST((ok + s.i) % 99999 AS VARCHAR), 5, '0') END)
+            <> ' ')
+      SELECT DISTINCT bene_id AS id_mcare, clm_id AS claim_header_id,
+        clm_from_dt AS first_service_date, clm_thru_dt AS last_service_date,
+        procedure_code, modifier_code,
+        CASE WHEN arm = 0 THEN 'carrier' WHEN arm = 1 THEN 'dme'
+          WHEN arm = 2 THEN 'hha' WHEN arm = 3 THEN 'hospice'
+          WHEN arm IN (4, 5) THEN 'inpatient'
+          WHEN arm IN (6, 7) THEN 'outpatient'
+          ELSE 'snf' END AS filetype_mcare
+      FROM long
+      WHERE bene_id IN (
+        SELECT 'B' || CAST(c_custkey AS VARCHAR)
+        FROM customer WHERE c_custkey % 7 <> 3)
+      ORDER BY filetype_mcare, claim_header_id, procedure_code,
+        modifier_code""",
   )
 }

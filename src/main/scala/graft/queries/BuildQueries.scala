@@ -3392,6 +3392,91 @@ object BuildQueries {
         col("icdcm_number"), col("icdcm_raw"))
   }
 
+  /** §7.5.11 mcare claim_procedure (q185,
+    * load_stage.mcare_claim_procedure.R): nine arms under the
+    * per-filetype feature matrix (2/3/4/0 modifier slots, hha/hospice
+    * `' '`→NULL fold, carrier/dme BETOS, facility ICD-PCS 25-slot
+    * unpivot, per-shape denial rules), each arm ONE explode pass instead
+    * of the reference's 2-4 base-CTE rereads; enrollment semi + UNION
+    * distinct. Planted: NULL/`' '` modifiers and PCS slots, claims with
+    * no line rows, unenrolled members. */
+  def q185McareClaimProcedure(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McareClaimProcedure
+    import McareClaimProcedure.ArmSpec
+    val ok = col("o_orderkey")
+    def pcv(i: Int): Column = {
+      val k = (ok * 11 + lit(i * 17)) % 9
+      when(k === 0, lit(null).cast("string"))
+        .when(k === 1, " ")
+        .when(k === 2, "0210093")
+        .when(k === 3, "8606")
+        .otherwise(lpad(((ok + i) % 99999).cast("string"), 5, "0"))
+    }
+    val base = t(s, dir, "orders").select(Seq(
+      concat(lit("B"), col("o_custkey").cast("string")).as("bene_id"),
+      concat(lit("C"), ok.cast("string")).as("clm_id"),
+      to_date(col("o_orderdate")).as("clm_from_dt"),
+      date_add(to_date(col("o_orderdate")), (ok % 15).cast("int"))
+        .as("clm_thru_dt"),
+      when(ok % 12 === 10, lit(null).cast("string"))
+        .when(ok % 12 === 11, "D")
+        .otherwise((ok % 12).cast("string")).as("dnl"),
+      when(ok % 11 === 0, "N")
+        .when(ok % 11 === 1, lit(null).cast("string"))
+        .otherwise("").as("nonpmt"),
+      (ok % 9).as("arm")) ++
+      (1 to 25).map(i => pcv(i).as(s"pc$i")): _*)
+    val pk = col("l_partkey")
+    def modv(i: Int): Column = {
+      val k = (pk * 5 + lit(i * 11) + col("l_suppkey")) % 7
+      when(k === 0, lit(null).cast("string"))
+        .when(k === 1, " ")
+        .when(k === 2, "25").when(k === 3, "59").when(k === 4, "GT")
+        .when(k === 5, "LT").otherwise("76")
+    }
+    val hv = (pk * 3 + col("l_linenumber")) % 6
+    val lines = t(s, dir, "lineitem").select(Seq(
+      concat(lit("C"), col("l_orderkey").cast("string")).as("clm_id"),
+      when(hv === 0, lit(null).cast("string"))
+        .when(hv === 1, "99213").when(hv === 2, "G0438")
+        .otherwise(lpad((pk % 99999).cast("string"), 5, "0"))
+        .as("pchcpcs"),
+      when((pk + 7) % 5 === 0, lit(null).cast("string"))
+        .when((pk + 7) % 5 === 1, "M1A")
+        .when((pk + 7) % 5 === 2, "T1H")
+        .when((pk + 7) % 5 === 3, "O1A")
+        .otherwise(lit(null).cast("string")).as("pcbetos")) ++
+      (1 to 4).map(i => modv(i).as(s"mod$i")): _*)
+    val joined = base.join(lines, Seq("clm_id"), "left")
+    def gated(a: Int, carrierStyle: Boolean) = {
+      val f = joined.filter(col("arm") === a)
+      if (carrierStyle)
+        f.filter(col("dnl").isin("1", "2", "3", "4", "5", "6", "7", "8",
+          "9"))
+      else f.filter(col("nonpmt") === "" || col("nonpmt").isNull)
+    }
+    def mods(n: Int) = (1 to n).map(i => s"mod$i")
+    val pcs = (1 to 25).map(i => s"pc$i")
+    val arms = Seq(
+      (0, true, ArmSpec("carrier", mods(2), false, Some("pcbetos"), Nil)),
+      (1, true, ArmSpec("dme", mods(4), false, Some("pcbetos"), Nil)),
+      (2, false, ArmSpec("hha", mods(3), true, None, Nil)),
+      (3, false, ArmSpec("hospice", mods(3), true, None, Nil)),
+      (4, false, ArmSpec("inpatient", mods(3), false, None, pcs)),
+      (5, false, ArmSpec("inpatient", Nil, false, None, pcs)),
+      (6, false, ArmSpec("outpatient", mods(4), false, None, pcs)),
+      (7, false, ArmSpec("outpatient", mods(2), false, None, pcs)),
+      (8, false, ArmSpec("snf", mods(3), false, None, pcs))
+    ).map { case (a, cs, spec) =>
+      McareClaimProcedure.arm(gated(a, cs), spec) }
+    val enroll = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 3)
+      .select(concat(lit("B"), col("c_custkey").cast("string"))
+        .as("bene_id"))
+    McareClaimProcedure.build(arms, enroll)
+      .orderBy(col("filetype_mcare"), col("claim_header_id"),
+        col("procedure_code"), col("modifier_code"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
