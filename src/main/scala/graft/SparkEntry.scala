@@ -283,6 +283,8 @@ object SparkEntry {
     "q183_mcare_claim_line" -> (graft.queries.BuildQueries.q183McareClaimLine _),
     "q184_mcare_claim_icdcm" -> (graft.queries.BuildQueries.q184McareClaimIcdcm _),
     "q185_mcare_claim_procedure" -> (graft.queries.BuildQueries.q185McareClaimProcedure _),
+    "q186_mcaid_elig_stage" -> (graft.queries.BuildQueries.q186McaidEligStage _),
+    "q187_elig_dup_probes" -> (graft.queries.BuildQueries.q187EligDupProbes _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -293,6 +295,117 @@ object SparkEntry {
   /** Shared synthetic claim/value-set CTE prefix for the q109/q110 RDA
     * treatment-penetration oracles — mirrors BuildQueries.Vs exactly (one
     * copy, so a frame change cannot drift between the two oracles). */
+  /** Shared synthetic raw/archive CTE prefix for the q186/q187 mcaid
+    * elig staging oracles — mirrors BuildQueries.eligStageFrames exactly
+    * (one copy, so a generator change cannot drift between the two). */
+  private val EligStageRawCte: String = """
+      WITH raw0 AS (
+        SELECT
+          CAST(199200 + (o_orderkey % 5) * 100 + (o_orderkey % 12 + 1)
+            AS INT) AS CLNDR_YEAR_MNTH,
+          'S' || CAST(o_custkey AS VARCHAR) AS MBR_H_SID,
+          CASE WHEN o_orderkey % 8 = 0
+            THEN 'id' || CAST(o_custkey AS VARCHAR)
+            ELSE 'ID' || CAST(o_custkey AS VARCHAR) END
+            AS MEDICAID_RECIPIENT_ID,
+          CASE WHEN o_custkey % 3 = 0 THEN 'Female'
+            WHEN o_custkey % 3 = 1 THEN 'Male' END AS GENDER,
+          CASE WHEN o_orderkey % 13 = 0 THEN NULL
+            ELSE CAST(o_orderkey % 50 AS INT) END AS RAC_CODE,
+          CASE WHEN o_orderkey % 10 = 2
+            THEN 'Involuntary Inpatient Psychiatric Treatment (ITA)'
+            WHEN o_orderkey % 15 = 0
+            THEN 'Involuntary Inpatient Psychiactric Treatment (ITA)'
+            ELSE 'RAC ' || CAST(o_orderkey % 50 AS VARCHAR) END
+            AS RAC_NAME,
+          CASE WHEN o_orderkey % 9 = 0 THEN NULL
+            ELSE CAST(o_orderdate AS DATE) END AS RAC_FROM_DATE,
+          CASE WHEN o_orderkey % 9 = 1 THEN NULL
+            ELSE CAST(o_orderdate AS DATE) + 30 END AS RAC_TO_DATE,
+          CASE WHEN o_orderkey % 6 = 0 THEN NULL
+            WHEN o_orderkey % 6 = 1 THEN 'Review Not Complete'
+            WHEN o_orderkey % 6 = 2 THEN 'No Eligible Household Members'
+            WHEN o_orderkey % 6 = 3
+              THEN 'Already Eligible for Program in Different AU'
+            WHEN o_orderkey % 6 = 4 THEN 'Moved out of state'
+            ELSE 'Aged out' END AS END_REASON_NAME,
+          CAST(o_orderkey % 2 AS VARCHAR) AS DUALELIGIBLE_INDICATOR,
+          CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE 'H' || CAST(o_orderkey % 1000 AS VARCHAR) END AS HOH_ID,
+          CASE WHEN o_custkey % 11 = 0 THEN NULL
+            ELSE '100 Main St ' || CAST(o_custkey % 90 AS VARCHAR) END
+            AS RSDNTL_ADRS_LINE_1,
+          CASE WHEN o_custkey % 4 = 0
+            THEN 'Apt ' || CAST(o_custkey % 20 AS VARCHAR) END
+            AS RSDNTL_ADRS_LINE_2,
+          CASE WHEN o_custkey % 2 = 0 THEN 'Seattle' ELSE 'Spokane' END
+            AS RSDNTL_CITY_NAME,
+          'WA' AS RSDNTL_STATE_CODE,
+          CAST(98000 + o_custkey % 200 AS VARCHAR)
+            AS RSDNTL_POSTAL_CODE,
+          'A' || CAST(o_custkey AS VARCHAR) AS MBR_ACES_IDNTFR,
+          2 AS etl_batch_id,
+          o_orderkey AS ok
+        FROM orders),
+      raw AS (
+        SELECT * FROM raw0
+        UNION ALL
+        SELECT * REPLACE ('Other' AS END_REASON_NAME) FROM raw0
+        WHERE ok % 10 = 0
+        UNION ALL
+        SELECT * REPLACE (CAST(NULL AS VARCHAR) AS HOH_ID) FROM raw0
+        WHERE ok % 10 = 1
+        UNION ALL
+        SELECT * REPLACE (
+          'Involuntary Inpatient Psychiactric Treatment (ITA)'
+            AS RAC_NAME) FROM raw0
+        WHERE ok % 10 = 2),
+      arch0 AS (
+        SELECT
+          CAST(199100 + (o_orderkey % 6) * 100 + (o_orderkey % 12 + 1)
+            AS INT) AS CLNDR_YEAR_MNTH,
+          'S' || CAST(o_custkey AS VARCHAR) AS MBR_H_SID,
+          CASE WHEN o_orderkey % 8 = 0
+            THEN 'id' || CAST(o_custkey AS VARCHAR)
+            ELSE 'ID' || CAST(o_custkey AS VARCHAR) END
+            AS MEDICAID_RECIPIENT_ID,
+          CASE WHEN o_custkey % 3 = 0 THEN 'Female'
+            WHEN o_custkey % 3 = 1 THEN 'Male' END AS GENDER,
+          CASE WHEN o_orderkey % 13 = 0 THEN NULL
+            ELSE CAST(o_orderkey % 50 AS INT) END AS RAC_CODE,
+          CASE WHEN o_orderkey % 10 = 2
+            THEN 'Involuntary Inpatient Psychiatric Treatment (ITA)'
+            WHEN o_orderkey % 15 = 0
+            THEN 'Involuntary Inpatient Psychiactric Treatment (ITA)'
+            ELSE 'RAC ' || CAST(o_orderkey % 50 AS VARCHAR) END
+            AS RAC_NAME,
+          CASE WHEN o_orderkey % 9 = 0 THEN NULL
+            ELSE CAST(o_orderdate AS DATE) END AS RAC_FROM_DATE,
+          CASE WHEN o_orderkey % 9 = 1 THEN NULL
+            ELSE CAST(o_orderdate AS DATE) + 30 END AS RAC_TO_DATE,
+          CASE WHEN o_orderkey % 6 = 0 THEN NULL
+            WHEN o_orderkey % 6 = 1 THEN 'Review Not Complete'
+            WHEN o_orderkey % 6 = 2 THEN 'No Eligible Household Members'
+            WHEN o_orderkey % 6 = 3
+              THEN 'Already Eligible for Program in Different AU'
+            WHEN o_orderkey % 6 = 4 THEN 'Moved out of state'
+            ELSE 'Aged out' END AS END_REASON_NAME,
+          CAST(o_orderkey % 2 AS VARCHAR) AS DUALELIGIBLE_INDICATOR,
+          CASE WHEN o_custkey % 11 = 0 THEN NULL
+            ELSE '100 Main St ' || CAST(o_custkey % 90 AS VARCHAR) END
+            AS RSDNTL_ADRS_LINE_1,
+          CASE WHEN o_custkey % 4 = 0
+            THEN 'Apt ' || CAST(o_custkey % 20 AS VARCHAR) END
+            AS RSDNTL_ADRS_LINE_2,
+          CASE WHEN o_custkey % 2 = 0 THEN 'Seattle' ELSE 'Spokane' END
+            AS RSDNTL_CITY_NAME,
+          'WA' AS RSDNTL_STATE_CODE,
+          CAST(98000 + o_custkey % 200 AS VARCHAR)
+            AS RSDNTL_POSTAL_CODE,
+          'A' || CAST(o_custkey AS VARCHAR) AS MBR_ACES_IDNTFR,
+          1 AS etl_batch_id
+        FROM orders)"""
+
   private val VsFramesCte: String = """
       WITH li AS (
         SELECT o_custkey % 100 AS id_person, l_orderkey AS claim_id,
@@ -9365,5 +9478,103 @@ object SparkEntry {
         FROM customer WHERE c_custkey % 7 <> 3)
       ORDER BY filetype_mcare, claim_header_id, procedure_code,
         modifier_code""",
+
+    // q186: mcaid_elig staging — RAC-misspelling fix, END_REASON
+    // priority dedup (DISTINCT over stage vars, which exclude HOH_ID),
+    // archive-before-cut UNION-distinct merge with SHA-256 geo hash,
+    // post-distinct MEDICAID_RECIPIENT_ID upper-case.
+    "q186_mcaid_elig_stage" -> (EligStageRawCte + """,
+      fixed AS (
+        SELECT * REPLACE (CASE WHEN RAC_NAME =
+            'Involuntary Inpatient Psychiactric Treatment (ITA)'
+          THEN 'Involuntary Inpatient Psychiatric Treatment (ITA)'
+          ELSE RAC_NAME END AS RAC_NAME)
+        FROM raw),
+      scored AS (
+        SELECT *,
+          CASE WHEN END_REASON_NAME IS NULL THEN 1
+            WHEN END_REASON_NAME = 'Other' THEN 2
+            WHEN END_REASON_NAME = 'Other - For User Generation Only'
+              THEN 3
+            WHEN END_REASON_NAME = 'Review Not Complete' THEN 4
+            WHEN END_REASON_NAME = 'No Eligible Household Members' THEN 5
+            WHEN END_REASON_NAME =
+              'Already Eligible for Program in Different AU' THEN 6
+            ELSE 7 END AS score
+        FROM fixed),
+      keep AS (
+        SELECT * FROM (
+          SELECT *, MAX(score) OVER (PARTITION BY CLNDR_YEAR_MNTH,
+            MBR_H_SID, MEDICAID_RECIPIENT_ID, RAC_FROM_DATE, RAC_TO_DATE,
+            RAC_CODE) AS mx
+          FROM scored)
+        WHERE score = mx),
+      ded AS (
+        SELECT DISTINCT CLNDR_YEAR_MNTH, MBR_H_SID,
+          MEDICAID_RECIPIENT_ID, GENDER, RAC_CODE, RAC_NAME,
+          RAC_FROM_DATE, RAC_TO_DATE, END_REASON_NAME,
+          DUALELIGIBLE_INDICATOR, RSDNTL_ADRS_LINE_1, RSDNTL_ADRS_LINE_2,
+          RSDNTL_CITY_NAME, RSDNTL_STATE_CODE, RSDNTL_POSTAL_CODE,
+          MBR_ACES_IDNTFR, etl_batch_id
+        FROM keep),
+      archive AS (
+        SELECT CLNDR_YEAR_MNTH, MBR_H_SID, MEDICAID_RECIPIENT_ID, GENDER,
+          RAC_CODE, RAC_NAME, RAC_FROM_DATE, RAC_TO_DATE, END_REASON_NAME,
+          DUALELIGIBLE_INDICATOR, RSDNTL_ADRS_LINE_1, RSDNTL_ADRS_LINE_2,
+          RSDNTL_CITY_NAME, RSDNTL_STATE_CODE, RSDNTL_POSTAL_CODE,
+          upper(sha256(upper(coalesce(RSDNTL_ADRS_LINE_1, '') || '|'
+            || coalesce(RSDNTL_ADRS_LINE_2, '') || '|' || '|'
+            || RSDNTL_CITY_NAME || '|' || RSDNTL_STATE_CODE || '|'
+            || RSDNTL_POSTAL_CODE))) AS geo_hash_raw,
+          MBR_ACES_IDNTFR, etl_batch_id
+        FROM arch0),
+      merged AS (
+        SELECT * FROM archive
+        WHERE CLNDR_YEAR_MNTH < (SELECT MIN(CLNDR_YEAR_MNTH) FROM ded)
+        UNION
+        SELECT CLNDR_YEAR_MNTH, MBR_H_SID, MEDICAID_RECIPIENT_ID, GENDER,
+          RAC_CODE, RAC_NAME, RAC_FROM_DATE, RAC_TO_DATE, END_REASON_NAME,
+          DUALELIGIBLE_INDICATOR, RSDNTL_ADRS_LINE_1, RSDNTL_ADRS_LINE_2,
+          RSDNTL_CITY_NAME, RSDNTL_STATE_CODE, RSDNTL_POSTAL_CODE,
+          upper(sha256(upper(coalesce(RSDNTL_ADRS_LINE_1, '') || '|'
+            || coalesce(RSDNTL_ADRS_LINE_2, '') || '|' || '|'
+            || RSDNTL_CITY_NAME || '|' || RSDNTL_STATE_CODE || '|'
+            || RSDNTL_POSTAL_CODE))) AS geo_hash_raw,
+          MBR_ACES_IDNTFR, etl_batch_id
+        FROM ded)
+      SELECT * REPLACE (upper(MEDICAID_RECIPIENT_ID)
+        AS MEDICAID_RECIPIENT_ID)
+      FROM merged
+      ORDER BY CLNDR_YEAR_MNTH, MBR_H_SID, upper(MEDICAID_RECIPIENT_ID),
+        RAC_CODE, RAC_FROM_DATE, RAC_NAME, END_REASON_NAME, geo_hash_raw,
+        etl_batch_id"""),
+
+    // q187: the three duplicate-diagnosis probes — distinct counts under
+    // fixed projections each dropping one suspect discriminator.
+    "q187_elig_dup_probes" -> (EligStageRawCte + """
+      SELECT probe, total_rows, distinct_rows,
+        CASE WHEN distinct_rows <> total_rows THEN 1 ELSE 0 END
+          AS dup_present
+      FROM (
+        SELECT 'end_reason' AS probe,
+          (SELECT COUNT(*) FROM raw) AS total_rows,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT CLNDR_YEAR_MNTH,
+            MBR_H_SID, MEDICAID_RECIPIENT_ID, RAC_FROM_DATE, RAC_TO_DATE,
+            RAC_CODE, RAC_NAME, DUALELIGIBLE_INDICATOR FROM raw))
+            AS distinct_rows
+        UNION ALL
+        SELECT 'hoh_id',
+          (SELECT COUNT(*) FROM raw),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT CLNDR_YEAR_MNTH,
+            MBR_H_SID, MEDICAID_RECIPIENT_ID, RAC_FROM_DATE, RAC_TO_DATE,
+            RAC_CODE, END_REASON_NAME, RAC_NAME, DUALELIGIBLE_INDICATOR
+            FROM raw))
+        UNION ALL
+        SELECT 'rac_name',
+          (SELECT COUNT(*) FROM raw),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT CLNDR_YEAR_MNTH,
+            MBR_H_SID, MEDICAID_RECIPIENT_ID, RAC_FROM_DATE, RAC_TO_DATE,
+            RAC_CODE, END_REASON_NAME, DUALELIGIBLE_INDICATOR FROM raw)))
+      ORDER BY probe"""),
   )
 }

@@ -3477,6 +3477,111 @@ object BuildQueries {
         col("procedure_code"), col("modifier_code"))
   }
 
+  /** Stage-vars column order for the q186/q187 mcaid_elig staging pair
+    * (a representative subset of load_stage.mcaid_elig.yaml's vars, in
+    * its order: prefix … geo_hash_raw, MBR_ACES_IDNTFR, etl_batch_id). */
+  private val EligStageVars = Seq("CLNDR_YEAR_MNTH", "MBR_H_SID",
+    "MEDICAID_RECIPIENT_ID", "GENDER", "RAC_CODE", "RAC_NAME",
+    "RAC_FROM_DATE", "RAC_TO_DATE", "END_REASON_NAME",
+    "DUALELIGIBLE_INDICATOR", "RSDNTL_ADRS_LINE_1", "RSDNTL_ADRS_LINE_2",
+    "RSDNTL_CITY_NAME", "RSDNTL_STATE_CODE", "RSDNTL_POSTAL_CODE",
+    "geo_hash_raw", "MBR_ACES_IDNTFR", "etl_batch_id")
+
+  /** Synthetic (raw, archive) for the mcaid_elig staging build: raw =
+    * base rows + three planted duplicate families (END_REASON variant,
+    * HOH_ID variant, misspelled-RAC variant); archive = a prior-load
+    * slice spanning months on both sides of the incremental cut. */
+  private def eligStageFrames(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val ok = col("o_orderkey")
+    val ck = col("o_custkey")
+    def mkBase(monthBase: Int, batch: Int) = t(s, dir, "orders").select(
+      (lit(monthBase) + (ok % (if (batch == 1) 6 else 5)) * 100 +
+        (ok % 12 + 1)).cast("int").as("CLNDR_YEAR_MNTH"),
+      concat(lit("S"), ck.cast("string")).as("MBR_H_SID"),
+      when(ok % 8 === 0, concat(lit("id"), ck.cast("string")))
+        .otherwise(concat(lit("ID"), ck.cast("string")))
+        .as("MEDICAID_RECIPIENT_ID"),
+      when(ck % 3 === 0, "Female").when(ck % 3 === 1, "Male")
+        .otherwise(lit(null).cast("string")).as("GENDER"),
+      when(ok % 13 === 0, lit(null).cast("int"))
+        .otherwise((ok % 50).cast("int")).as("RAC_CODE"),
+      when(ok % 10 === 2, graft.builds.McaidEligStage.RacCorrect)
+        .when(ok % 15 === 0, graft.builds.McaidEligStage.RacMisspelled)
+        .otherwise(concat(lit("RAC "), (ok % 50).cast("string")))
+        .as("RAC_NAME"),
+      when(ok % 9 === 0, lit(null).cast("date"))
+        .otherwise(to_date(col("o_orderdate"))).as("RAC_FROM_DATE"),
+      when(ok % 9 === 1, lit(null).cast("date"))
+        .otherwise(date_add(to_date(col("o_orderdate")), 30))
+        .as("RAC_TO_DATE"),
+      when(ok % 6 === 0, lit(null).cast("string"))
+        .when(ok % 6 === 1, "Review Not Complete")
+        .when(ok % 6 === 2, "No Eligible Household Members")
+        .when(ok % 6 === 3, "Already Eligible for Program in Different AU")
+        .when(ok % 6 === 4, "Moved out of state")
+        .otherwise("Aged out").as("END_REASON_NAME"),
+      (ok % 2).cast("string").as("DUALELIGIBLE_INDICATOR"),
+      when(ok % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("H"), (ok % 1000).cast("string")))
+        .as("HOH_ID"),
+      when(ck % 11 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("100 Main St "), (ck % 90).cast("string")))
+        .as("RSDNTL_ADRS_LINE_1"),
+      when(ck % 4 === 0, concat(lit("Apt "), (ck % 20).cast("string")))
+        .otherwise(lit(null).cast("string")).as("RSDNTL_ADRS_LINE_2"),
+      when(ck % 2 === 0, "Seattle").otherwise("Spokane")
+        .as("RSDNTL_CITY_NAME"),
+      lit("WA").as("RSDNTL_STATE_CODE"),
+      (lit(98000) + ck % 200).cast("string").as("RSDNTL_POSTAL_CODE"),
+      concat(lit("A"), ck.cast("string")).as("MBR_ACES_IDNTFR"),
+      lit(batch).as("etl_batch_id"),
+      ok.as("ok"))
+    val raw0 = mkBase(199200, 2)
+    // planted duplicate families (the reference's three types)
+    val dup1 = raw0.filter(col("ok") % 10 === 0)
+      .withColumn("END_REASON_NAME", lit("Other"))
+    val dup2 = raw0.filter(col("ok") % 10 === 1)
+      .withColumn("HOH_ID", lit(null).cast("string"))
+    val dup3 = raw0.filter(col("ok") % 10 === 2)
+      .withColumn("RAC_NAME",
+        lit(graft.builds.McaidEligStage.RacMisspelled))
+    val raw = raw0.unionByName(dup1).unionByName(dup2).unionByName(dup3)
+      .drop("ok")
+    val archive = mkBase(199100, 1)
+      .withColumn("geo_hash_raw", graft.builds.McaidEligStage.geoHashRaw)
+      .select(EligStageVars.map(col): _*)
+    (raw, archive)
+  }
+
+  /** §7.5 mcaid_elig staging (q186, load_stage.mcaid_elig.R:225-420):
+    * RAC-misspelling fix, END_REASON priority dedup (max-score keep,
+    * DISTINCT over the stage vars — which exclude HOH_ID, making
+    * HOH-only duplicates vanish in the projection), archive-before-cut
+    * UNION-distinct incoming-with-geo_hash merge, and the post-load
+    * MEDICAID_RECIPIENT_ID upper-case applied after the distinct. */
+  def q186McaidEligStage(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McaidEligStage
+    val (raw, archive) = eligStageFrames(s, dir)
+    McaidEligStage.stage(
+        McaidEligStage.dedup(raw,
+          EligStageVars.filterNot(_ == "geo_hash_raw")),
+        archive, EligStageVars, "CLNDR_YEAR_MNTH")
+      .orderBy(col("CLNDR_YEAR_MNTH"), col("MBR_H_SID"),
+        col("MEDICAID_RECIPIENT_ID"), col("RAC_CODE"),
+        col("RAC_FROM_DATE"), col("RAC_NAME"), col("END_REASON_NAME"),
+        col("geo_hash_raw"), col("etl_batch_id"))
+  }
+
+  /** q187: the duplicate-diagnosis probes (load_stage.mcaid_elig.R:
+    * 144-182) — three fixed distinct-count projections fused into one
+    * scan, each dropping one suspect discriminator. */
+  def q187EligDupProbes(s: SparkSession, dir: String): DataFrame = {
+    val (raw, _) = eligStageFrames(s, dir)
+    graft.builds.McaidEligStage.duplicateProbes(raw)
+      .orderBy(col("probe"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
