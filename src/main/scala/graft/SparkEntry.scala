@@ -285,6 +285,7 @@ object SparkEntry {
     "q185_mcare_claim_procedure" -> (graft.queries.BuildQueries.q185McareClaimProcedure _),
     "q186_mcaid_elig_stage" -> (graft.queries.BuildQueries.q186McaidEligStage _),
     "q187_elig_dup_probes" -> (graft.queries.BuildQueries.q187EligDupProbes _),
+    "q188_address_clean_full" -> (graft.queries.BuildQueries.q188AddressCleanFull _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -9576,5 +9577,232 @@ object SparkEntry {
             MBR_H_SID, MEDICAID_RECIPIENT_ID, RAC_FROM_DATE, RAC_TO_DATE,
             RAC_CODE, END_REASON_NAME, DUALELIGIBLE_INDICATOR FROM raw)))
       ORDER BY probe"""),
+
+    // q188: address_clean full refresh — two-source NA-equal combine,
+    // cleaning-service left join, manual bind + NULL-propagating po_box
+    // fix, PHA full-join restore with flag recompute/max/distinct.
+    "q188_address_clean_full" -> """
+      WITH mc AS (
+        SELECT
+          CASE WHEN k % 13 = 0 THEN '' WHEN k % 17 = 0 THEN 'NA'
+            WHEN k % 11 = 0 THEN NULL
+            ELSE CAST(k % 50 AS VARCHAR) || ' PINE ST' END AS geo_add1_raw,
+          CASE WHEN k % 5 = 0 THEN 'APT ' || CAST(k % 9 AS VARCHAR)
+            WHEN k % 7 = 0 THEN '' END AS geo_add2_raw,
+          CASE WHEN k % 19 = 0 THEN 'NA'
+            ELSE 'CITY' || CAST(k % 20 AS VARCHAR) END AS geo_city_raw,
+          CASE WHEN k % 3 = 0 THEN 'WA' ELSE 'OR' END AS geo_state_raw,
+          lpad(CAST(k % 400 AS VARCHAR), 5, '0') AS geo_zip_raw
+        FROM (SELECT DISTINCT c_custkey % 120 AS k FROM customer)),
+      pha_full AS (
+        SELECT
+          CASE WHEN j % 9 = 0 THEN NULL
+            ELSE CAST(j % 60 AS VARCHAR) || ' PINE ST' END AS unit_add,
+          CASE WHEN j % 4 = 0 THEN 'UNIT ' || CAST(j % 6 AS VARCHAR)
+            END AS unit_apt,
+          CASE WHEN j % 8 = 0 THEN 'FL ' || CAST(j % 3 AS VARCHAR)
+            END AS unit_apt2,
+          'CITY' || CAST(j % 20 AS VARCHAR) AS unit_city,
+          CASE WHEN j % 3 = 0 THEN 'WA' ELSE 'OR' END AS unit_state,
+          lpad(CAST(j % 400 AS VARCHAR), 5, '0') AS unit_zip,
+          CASE WHEN j % 10 = 0 THEN '' WHEN j % 15 = 5 THEN 'NA'
+            ELSE CAST(j % 50 AS VARCHAR) || ' PINE ST' END AS geo_add1_raw,
+          CASE WHEN j % 4 = 0 THEN 'UNIT ' || CAST(j % 6 AS VARCHAR)
+            END AS geo_add2_raw,
+          'CITY' || CAST(j % 20 AS VARCHAR) AS geo_city_raw,
+          CASE WHEN j % 3 = 0 THEN 'WA' ELSE 'OR' END AS geo_state_raw,
+          lpad(CAST(j % 400 AS VARCHAR), 5, '0') AS geo_zip_raw
+        FROM (SELECT DISTINCT s_suppkey % 80 AS j FROM supplier)),
+      manual AS (
+        SELECT * FROM (VALUES
+          ('3 PINE ST', CAST(NULL AS VARCHAR), 'CITY3', 'WA', '00003',
+            '3 PINE STREET', 'UNIT 1', 'CITY3', 'WA', '00003',
+            'PO BOX 9', 1),
+          ('999 X ST', 'STE 9', 'CITYX', 'WA', '99999',
+            '999 X STREET', CAST(NULL AS VARCHAR), 'CITYX', 'WA',
+            '99999', CAST(NULL AS VARCHAR), 1))
+          t(geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
+            geo_zip_raw, geo_add1_clean, geo_add2_clean, geo_city_clean,
+            geo_state_clean, geo_zip_clean, mailbox, overridden)),
+      m_src AS (
+        SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_city_raw,
+          geo_state_raw, geo_zip_raw, 1 AS geo_source_mcaid,
+          CAST(NULL AS INT) AS geo_source_pha
+        FROM mc),
+      p_src AS (
+        SELECT nullif(nullif(geo_add1_raw, ''), 'NA') AS geo_add1_raw,
+          nullif(nullif(geo_add2_raw, ''), 'NA') AS geo_add2_raw,
+          nullif(nullif(geo_city_raw, ''), 'NA') AS geo_city_raw,
+          nullif(nullif(geo_state_raw, ''), 'NA') AS geo_state_raw,
+          nullif(nullif(geo_zip_raw, ''), 'NA') AS geo_zip_raw,
+          CAST(NULL AS INT) AS geo_source_mcaid, 1 AS geo_source_pha
+        FROM (SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_city_raw,
+          geo_state_raw, geo_zip_raw FROM pha_full)),
+      joint AS (
+        SELECT m.geo_add1_raw, m.geo_add2_raw, m.geo_city_raw,
+          m.geo_state_raw, m.geo_zip_raw, m.geo_source_mcaid,
+          1 AS geo_source_pha
+        FROM m_src m JOIN p_src p
+          ON m.geo_add1_raw IS NOT DISTINCT FROM p.geo_add1_raw
+          AND m.geo_add2_raw IS NOT DISTINCT FROM p.geo_add2_raw
+          AND m.geo_city_raw IS NOT DISTINCT FROM p.geo_city_raw
+          AND m.geo_state_raw IS NOT DISTINCT FROM p.geo_state_raw
+          AND m.geo_zip_raw IS NOT DISTINCT FROM p.geo_zip_raw),
+      combined0 AS (
+        SELECT * FROM m_src m
+        WHERE NOT EXISTS (SELECT 1 FROM joint x
+          WHERE m.geo_add1_raw IS NOT DISTINCT FROM x.geo_add1_raw
+          AND m.geo_add2_raw IS NOT DISTINCT FROM x.geo_add2_raw
+          AND m.geo_city_raw IS NOT DISTINCT FROM x.geo_city_raw
+          AND m.geo_state_raw IS NOT DISTINCT FROM x.geo_state_raw
+          AND m.geo_zip_raw IS NOT DISTINCT FROM x.geo_zip_raw)
+        UNION ALL
+        SELECT * FROM p_src p
+        WHERE NOT EXISTS (SELECT 1 FROM joint x
+          WHERE p.geo_add1_raw IS NOT DISTINCT FROM x.geo_add1_raw
+          AND p.geo_add2_raw IS NOT DISTINCT FROM x.geo_add2_raw
+          AND p.geo_city_raw IS NOT DISTINCT FROM x.geo_city_raw
+          AND p.geo_state_raw IS NOT DISTINCT FROM x.geo_state_raw
+          AND p.geo_zip_raw IS NOT DISTINCT FROM x.geo_zip_raw)
+        UNION ALL
+        SELECT * FROM joint),
+      combined AS (
+        SELECT nullif(nullif(geo_add1_raw, ''), 'NA') AS geo_add1_raw,
+          nullif(nullif(geo_add2_raw, ''), 'NA') AS geo_add2_raw,
+          nullif(nullif(geo_city_raw, ''), 'NA') AS geo_city_raw,
+          nullif(nullif(geo_state_raw, ''), 'NA') AS geo_state_raw,
+          nullif(nullif(geo_zip_raw, ''), 'NA') AS geo_zip_raw,
+          geo_source_mcaid, geo_source_pha
+        FROM combined0 c
+        WHERE NOT EXISTS (SELECT 1 FROM manual x
+          WHERE c.geo_add1_raw IS NOT DISTINCT FROM x.geo_add1_raw
+          AND c.geo_add2_raw IS NOT DISTINCT FROM x.geo_add2_raw
+          AND c.geo_city_raw IS NOT DISTINCT FROM x.geo_city_raw
+          AND c.geo_state_raw IS NOT DISTINCT FROM x.geo_state_raw
+          AND c.geo_zip_raw IS NOT DISTINCT FROM x.geo_zip_raw)),
+      svc AS (
+        SELECT *,
+          'CL ' || coalesce(geo_add1_raw, 'NONE') AS geo_add1_clean,
+          CASE WHEN geo_add2_raw IS NOT NULL
+            THEN 'CL ' || geo_add2_raw END AS geo_add2_clean,
+          upper(geo_city_raw) AS geo_city_clean,
+          geo_state_raw AS geo_state_clean,
+          geo_zip_raw AS geo_zip_clean,
+          CASE WHEN coalesce(len(geo_add1_raw), 0) % 5 = 0 THEN 1
+            ELSE 0 END AS po_box,
+          coalesce(len(geo_add1_raw), 0) % 4 AS mailabilty_score
+        FROM (SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_city_raw,
+            geo_state_raw, geo_zip_raw FROM combined)
+        WHERE (coalesce(len(geo_add1_raw), 0)
+          + coalesce(len(geo_city_raw), 0)) % 4 <> 0),
+      clean AS (
+        SELECT c.geo_add1_raw, c.geo_add2_raw, c.geo_city_raw,
+          c.geo_state_raw, c.geo_zip_raw, c.geo_source_mcaid,
+          c.geo_source_pha, s.geo_add1_clean, s.geo_add2_clean,
+          s.geo_city_clean, s.geo_state_clean, s.geo_zip_clean,
+          s.po_box, s.mailabilty_score,
+          CAST(NULL AS VARCHAR) AS mailbox, CAST(NULL AS INT) AS overridden
+        FROM combined c LEFT JOIN svc s
+          ON c.geo_add1_raw IS NOT DISTINCT FROM s.geo_add1_raw
+          AND c.geo_add2_raw IS NOT DISTINCT FROM s.geo_add2_raw
+          AND c.geo_city_raw IS NOT DISTINCT FROM s.geo_city_raw
+          AND c.geo_state_raw IS NOT DISTINCT FROM s.geo_state_raw
+          AND c.geo_zip_raw IS NOT DISTINCT FROM s.geo_zip_raw),
+      full0 AS (
+        SELECT DISTINCT * FROM (
+          SELECT * FROM clean
+          UNION ALL
+          SELECT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
+            geo_zip_raw, CAST(NULL AS INT), CAST(NULL AS INT),
+            geo_add1_clean, geo_add2_clean, geo_city_clean,
+            geo_state_clean, geo_zip_clean, CAST(NULL AS INT),
+            CAST(NULL AS INT), mailbox, overridden
+          FROM manual)),
+      fullfix AS (
+        SELECT DISTINCT * REPLACE (
+          CASE WHEN po_box = 1 OR mailbox IS NOT NULL THEN 1
+            WHEN NOT (po_box = 1 OR mailbox IS NOT NULL) THEN 0
+            END AS po_box)
+        FROM full0),
+      py AS (
+        SELECT nullif(nullif(geo_add1_raw, ''), 'NA') AS y_add1,
+          nullif(nullif(geo_add2_raw, ''), 'NA') AS y_add2,
+          nullif(nullif(geo_city_raw, ''), 'NA') AS y_city,
+          nullif(nullif(geo_state_raw, ''), 'NA') AS y_state,
+          nullif(nullif(geo_zip_raw, ''), 'NA') AS y_zip,
+          nullif(nullif(unit_add, ''), 'NA') AS unit_add,
+          nullif(nullif(unit_apt, ''), 'NA') AS unit_apt,
+          nullif(nullif(unit_apt2, ''), 'NA') AS unit_apt2,
+          nullif(nullif(unit_city, ''), 'NA') AS unit_city,
+          nullif(nullif(unit_state, ''), 'NA') AS unit_state,
+          nullif(nullif(unit_zip, ''), 'NA') AS unit_zip,
+          1 AS y_pha
+        FROM pha_full),
+      fj AS (
+        SELECT coalesce(f.geo_add1_raw, p.y_add1) AS k_add1,
+          coalesce(f.geo_add2_raw, p.y_add2) AS k_add2,
+          coalesce(f.geo_city_raw, p.y_city) AS k_city,
+          coalesce(f.geo_state_raw, p.y_state) AS k_state,
+          coalesce(f.geo_zip_raw, p.y_zip) AS k_zip,
+          f.geo_add1_clean, f.geo_add2_clean, f.geo_city_clean,
+          f.geo_state_clean, f.geo_zip_clean, f.po_box, f.overridden,
+          f.geo_source_mcaid, f.geo_source_pha, p.y_pha,
+          p.unit_add, p.unit_apt, p.unit_apt2, p.unit_city, p.unit_state,
+          p.unit_zip
+        FROM fullfix f FULL JOIN py p
+          ON f.geo_add1_raw IS NOT DISTINCT FROM p.y_add1
+          AND f.geo_add2_raw IS NOT DISTINCT FROM p.y_add2
+          AND f.geo_city_raw IS NOT DISTINCT FROM p.y_city
+          AND f.geo_state_raw IS NOT DISTINCT FROM p.y_state
+          AND f.geo_zip_raw IS NOT DISTINCT FROM p.y_zip),
+      restored AS (
+        SELECT
+          CASE WHEN y_pha = 1 THEN unit_add ELSE k_add1 END
+            AS geo_add1_raw,
+          CASE WHEN y_pha = 1 THEN unit_apt ELSE k_add2 END
+            AS geo_add2_raw,
+          unit_apt2 AS geo_add3_raw,
+          CASE WHEN y_pha = 1 THEN unit_city ELSE k_city END
+            AS geo_city_raw,
+          CASE WHEN y_pha = 1 THEN unit_state ELSE k_state END
+            AS geo_state_raw,
+          CASE WHEN y_pha = 1 THEN unit_zip ELSE k_zip END
+            AS geo_zip_raw,
+          CASE WHEN xfer = 1 THEN k_add1 ELSE geo_add1_clean END
+            AS geo_add1_clean,
+          CASE WHEN xfer = 1 THEN k_add2 ELSE geo_add2_clean END
+            AS geo_add2_clean,
+          CASE WHEN xfer = 1 THEN k_city ELSE geo_city_clean END
+            AS geo_city_clean,
+          CASE WHEN xfer = 1 THEN k_state ELSE geo_state_clean END
+            AS geo_state_clean,
+          CASE WHEN xfer = 1 THEN k_zip ELSE geo_zip_clean END
+            AS geo_zip_clean,
+          CASE WHEN geo_source_mcaid = 1 THEN 1
+            WHEN overridden = 1 THEN 1 ELSE 0 END AS geo_source_mcaid,
+          CASE WHEN geo_source_pha = 1 THEN 1
+            WHEN y_pha = 1 THEN 1 ELSE 0 END AS geo_source_pha,
+          po_box,
+          CASE WHEN overridden IS NULL THEN 0 ELSE 1 END AS overridden
+        FROM (SELECT fj.*,
+          CASE WHEN y_pha IS NOT NULL AND geo_add1_clean IS NULL
+            AND geo_add2_clean IS NULL AND geo_city_clean IS NULL
+            AND geo_state_clean IS NULL AND geo_zip_clean IS NULL
+            THEN 1 ELSE 0 END AS xfer
+          FROM fj))
+      SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_add3_raw,
+        geo_city_raw, geo_state_raw, geo_zip_raw, geo_add1_clean,
+        geo_add2_clean, geo_city_clean, geo_state_clean, geo_zip_clean,
+        MAX(geo_source_mcaid) OVER (PARTITION BY geo_add1_raw,
+          geo_add2_raw, geo_add3_raw, geo_city_raw, geo_state_raw,
+          geo_zip_raw) AS geo_source_mcaid,
+        MAX(geo_source_pha) OVER (PARTITION BY geo_add1_raw,
+          geo_add2_raw, geo_add3_raw, geo_city_raw, geo_state_raw,
+          geo_zip_raw) AS geo_source_pha,
+        po_box, overridden
+      FROM restored
+      ORDER BY geo_add1_raw, geo_add2_raw, geo_add3_raw, geo_city_raw,
+        geo_zip_raw, geo_add1_clean, geo_add2_clean, geo_source_mcaid,
+        geo_source_pha, po_box, overridden""",
   )
 }

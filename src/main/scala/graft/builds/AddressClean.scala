@@ -156,6 +156,123 @@ object AddressClean {
         col("geo_geocode_skip"))
   }
 
+  /** R's `ifelse(x == "" | x == "NA", NA, x)` blank/literal-"NA" fold
+    * (address_clean_full.R:87,126-129,355-356). */
+  def foldNa(c: Column): Column =
+    when(c === "" || c === "NA", lit(null).cast("string")).otherwise(c)
+
+  /** Full-refresh two-source combine (load_stage.address_clean_full.R:
+    * 52-129): distinct Medicaid addresses (source flag 1/NULL), distinct
+    * partially-cleaned PHA addresses (blank/"NA" folded, flag NULL/1),
+    * their NA-equal intersection carrying BOTH flags, the NA-equal
+    * anti-joined residuals, the manual-correction trim, and the final
+    * blank/"NA" fold over the key columns. The PHA fold happens AFTER
+    * its distinct (reference order), so a ''/NULL pair can survive as
+    * two NULL rows — faithfully kept (the stage's later distinct is what
+    * collapses them). */
+  def fullCombine(mcaid: DataFrame, pha: DataFrame,
+      manual: DataFrame): DataFrame = {
+    val nullInt = lit(null).cast("int")
+    val m = mcaid.select(rawKeys.map(col): _*).distinct()
+      .withColumn("geo_source_mcaid", lit(1))
+      .withColumn("geo_source_pha", nullInt)
+    val p = pha.select(rawKeys.map(col): _*).distinct()
+      .select(rawKeys.map(c => foldNa(col(c)).as(c)): _*)
+      .withColumn("geo_source_mcaid", nullInt)
+      .withColumn("geo_source_pha", lit(1))
+    val pk = p.select(rawKeys.map(k => col(k).as(s"p_$k")): _*)
+    val cond = rawKeys.map(k => col(k) <=> col(s"p_$k")).reduce(_ && _)
+    val joint = m.drop("geo_source_pha").join(pk, cond)
+      .select(rawKeys.map(col) :+ col("geo_source_mcaid"): _*)
+      .withColumn("geo_source_pha", lit(1))
+    val jk = joint.select(rawKeys.map(k => col(k).as(s"p_$k")): _*)
+    val mOnly = m.join(jk, cond, "left_anti")
+    val pOnly = p.join(
+      joint.select(rawKeys.map(k => col(k).as(s"p_$k")): _*), cond,
+      "left_anti")
+    val mk = manual.select(rawKeys.map(k => col(k).as(s"p_$k")): _*)
+    mOnly.unionByName(pOnly).unionByName(joint)
+      .join(broadcast(mk), cond, "left_anti")
+      .select(rawKeys.map(c => foldNa(col(c)).as(c)) ++
+        Seq(col("geo_source_mcaid"), col("geo_source_pha")): _*)
+  }
+
+  /** Full-refresh PHA restore (address_clean_full.R:354-399): NA-equal
+    * full join back to the complete PHA address table; PHA-only rows the
+    * cleaning service never matched copy raw→clean (`pha_xfer`); PHA
+    * rows then restore their ORIGINAL unit_* raw fields (and add3 =
+    * unit_apt2); source flags recomputed (overridden rows count as
+    * Medicaid) and maxed per final raw key; distinct.
+    *
+    * `full` needs rawKeys + the 5 clean cols + po_box + overridden +
+    * geo_source_mcaid/_pha; `phaFull` needs rawKeys + unit_add/apt/apt2/
+    * city/state/zip (all folded here, matching the R mutate_all). */
+  def phaRestore(full: DataFrame, phaFull: DataFrame): DataFrame = {
+    val units = Seq("unit_add", "unit_apt", "unit_apt2", "unit_city",
+      "unit_state", "unit_zip")
+    val py = phaFull.select(
+      rawKeys.map(k => foldNa(col(k)).as(s"y_$k")) ++
+        units.map(u => foldNa(col(u)).as(u)) :+
+        lit(1).as("y_pha"): _*)
+    val cond = rawKeys.map(k => col(k) <=> col(s"y_$k")).reduce(_ && _)
+    val joined = full.join(py, cond, "full")
+      // dplyr full_join merges the by= keys into one coalesced column
+      .select(rawKeys.map(k => coalesce(col(k), col(s"y_$k")).as(k)) ++
+        Seq("geo_add1_clean", "geo_add2_clean", "geo_city_clean",
+          "geo_state_clean", "geo_zip_clean", "po_box", "overridden",
+          "geo_source_mcaid", "geo_source_pha", "y_pha").map(col) ++
+        units.map(col): _*)
+    val xfer = (col("y_pha").isNotNull &&
+      col("geo_add1_clean").isNull && col("geo_add2_clean").isNull &&
+      col("geo_city_clean").isNull && col("geo_state_clean").isNull &&
+      col("geo_zip_clean").isNull).cast("int")
+    val isPha = col("y_pha") === 1 && col("y_pha").isNotNull
+    val restored = joined
+      .withColumn("pha_xfer", xfer)
+      // clean backfill reads the PRE-restore raw keys (R mutate order)
+      .withColumn("geo_add1_clean", when(col("pha_xfer") === 1,
+        col("geo_add1_raw")).otherwise(col("geo_add1_clean")))
+      .withColumn("geo_add2_clean", when(col("pha_xfer") === 1,
+        col("geo_add2_raw")).otherwise(col("geo_add2_clean")))
+      .withColumn("geo_city_clean", when(col("pha_xfer") === 1,
+        col("geo_city_raw")).otherwise(col("geo_city_clean")))
+      .withColumn("geo_state_clean", when(col("pha_xfer") === 1,
+        col("geo_state_raw")).otherwise(col("geo_state_clean")))
+      .withColumn("geo_zip_clean", when(col("pha_xfer") === 1,
+        col("geo_zip_raw")).otherwise(col("geo_zip_clean")))
+      .withColumn("geo_add1_raw",
+        when(isPha, col("unit_add")).otherwise(col("geo_add1_raw")))
+      .withColumn("geo_add2_raw",
+        when(isPha, col("unit_apt")).otherwise(col("geo_add2_raw")))
+      .withColumn("geo_add3_raw", col("unit_apt2"))
+      .withColumn("geo_city_raw",
+        when(isPha, col("unit_city")).otherwise(col("geo_city_raw")))
+      .withColumn("geo_state_raw",
+        when(isPha, col("unit_state")).otherwise(col("geo_state_raw")))
+      .withColumn("geo_zip_raw",
+        when(isPha, col("unit_zip")).otherwise(col("geo_zip_raw")))
+      .withColumn("geo_source_mcaid",
+        when(col("geo_source_mcaid") === 1, 1)
+          .when(col("overridden") === 1, 1).otherwise(0))
+      .withColumn("geo_source_pha",
+        when(col("geo_source_pha") === 1, 1)
+          .when(col("y_pha") === 1, 1).otherwise(0))
+      .withColumn("overridden",
+        when(col("overridden").isNull, 0).otherwise(1))
+    val finalKeys = Seq("geo_add1_raw", "geo_add2_raw", "geo_add3_raw",
+      "geo_city_raw", "geo_state_raw", "geo_zip_raw")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(finalKeys.map(col): _*)
+    restored
+      .withColumn("geo_source_mcaid", max(col("geo_source_mcaid")).over(w))
+      .withColumn("geo_source_pha", max(col("geo_source_pha")).over(w))
+      .select((finalKeys ++ Seq("geo_add1_clean", "geo_add2_clean",
+        "geo_city_clean", "geo_state_clean", "geo_zip_clean",
+        "geo_source_mcaid", "geo_source_pha", "po_box", "overridden"))
+        .map(col): _*)
+      .distinct()
+  }
+
   private val cleanKeys = Seq("geo_add1_clean", "geo_city_clean",
     "geo_state_clean", "geo_zip_clean")
 

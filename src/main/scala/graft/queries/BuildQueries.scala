@@ -3582,6 +3582,113 @@ object BuildQueries {
       .orderBy(col("probe"))
   }
 
+  /** §7.5.8 address_clean full refresh (q188,
+    * load_stage.address_clean_full.R): two-source combine (distinct
+    * Medicaid + folded PHA addresses, NA-equal joint/anti split carrying
+    * both source flags, manual trim, blank/"NA" fold), cleaning-service
+    * left join, manual-row bind + R's NULL-propagating po_box fix, and
+    * the PHA full-join restore (pha_xfer raw→clean backfill, unit_*
+    * raw restore, add3 from unit_apt2, flag recompute + per-key max,
+    * distinct). Planted: ''/'NA'/NULL keys on both sides, joint
+    * addresses, unmatched-service PHA rows (xfer path), manual hits. */
+  def q188AddressCleanFull(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.AddressClean
+    import s.implicits._
+    val k = col("k")
+    val mcaid = t(s, dir, "customer")
+      .select((col("c_custkey") % 120).as("k")).distinct()
+      .select(
+        when(k % 13 === 0, "").when(k % 17 === 0, "NA")
+          .when(k % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat((k % 50).cast("string"), lit(" PINE ST")))
+          .as("geo_add1_raw"),
+        when(k % 5 === 0, concat(lit("APT "), (k % 9).cast("string")))
+          .when(k % 7 === 0, "").otherwise(lit(null).cast("string"))
+          .as("geo_add2_raw"),
+        when(k % 19 === 0, "NA")
+          .otherwise(concat(lit("CITY"), (k % 20).cast("string")))
+          .as("geo_city_raw"),
+        when(k % 3 === 0, "WA").otherwise("OR").as("geo_state_raw"),
+        lpad((k % 400).cast("string"), 5, "0").as("geo_zip_raw"))
+    val j = col("j")
+    val phaFull = t(s, dir, "supplier")
+      .select((col("s_suppkey") % 80).as("j")).distinct()
+      .select(
+        when(j % 9 === 0, lit(null).cast("string"))
+          .otherwise(concat((j % 60).cast("string"), lit(" PINE ST")))
+          .as("unit_add"),
+        when(j % 4 === 0, concat(lit("UNIT "), (j % 6).cast("string")))
+          .otherwise(lit(null).cast("string")).as("unit_apt"),
+        when(j % 8 === 0, concat(lit("FL "), (j % 3).cast("string")))
+          .otherwise(lit(null).cast("string")).as("unit_apt2"),
+        concat(lit("CITY"), (j % 20).cast("string")).as("unit_city"),
+        when(j % 3 === 0, "WA").otherwise("OR").as("unit_state"),
+        lpad((j % 400).cast("string"), 5, "0").as("unit_zip"),
+        when(j % 10 === 0, "").when(j % 15 === 5, "NA")
+          .otherwise(concat((j % 50).cast("string"), lit(" PINE ST")))
+          .as("geo_add1_raw"),
+        when(j % 4 === 0, concat(lit("UNIT "), (j % 6).cast("string")))
+          .otherwise(lit(null).cast("string")).as("geo_add2_raw"),
+        concat(lit("CITY"), (j % 20).cast("string")).as("geo_city_raw"),
+        when(j % 3 === 0, "WA").otherwise("OR").as("geo_state_raw"),
+        lpad((j % 400).cast("string"), 5, "0").as("geo_zip_raw"))
+    val manual = Seq(
+      ("3 PINE ST", null, "CITY3", "WA", "00003",
+        "3 PINE STREET", "UNIT 1", "CITY3", "WA", "00003",
+        "PO BOX 9"),
+      ("999 X ST", "STE 9", "CITYX", "WA", "99999",
+        "999 X STREET", null, "CITYX", "WA", "99999", null))
+      .toDF("geo_add1_raw", "geo_add2_raw", "geo_city_raw",
+        "geo_state_raw", "geo_zip_raw", "geo_add1_clean",
+        "geo_add2_clean", "geo_city_clean", "geo_state_clean",
+        "geo_zip_clean", "mailbox")
+      .withColumn("overridden", lit(1))
+    val combined = AddressClean.fullCombine(mcaid, phaFull, manual)
+    // deterministic stand-in for the cleaning-service round trip: some
+    // rows unmatched (-> NULL cleans, the pha_xfer path)
+    val l1 = coalesce(length(col("geo_add1_raw")), lit(0))
+    val svc = combined
+      .select(col("geo_add1_raw"), col("geo_add2_raw"),
+        col("geo_city_raw"), col("geo_state_raw"), col("geo_zip_raw"))
+      .distinct()
+      .filter((l1 + coalesce(length(col("geo_city_raw")), lit(0))) % 4
+        =!= 0)
+      .withColumn("geo_add1_clean",
+        concat(lit("CL "), coalesce(col("geo_add1_raw"), lit("NONE"))))
+      .withColumn("geo_add2_clean",
+        when(col("geo_add2_raw").isNotNull,
+          concat(lit("CL "), col("geo_add2_raw"))))
+      .withColumn("geo_city_clean", upper(col("geo_city_raw")))
+      .withColumn("geo_state_clean", col("geo_state_raw"))
+      .withColumn("geo_zip_clean", col("geo_zip_raw"))
+      .withColumn("po_box", (l1 % 5 === 0).cast("int"))
+      .withColumn("mailabilty_score", (l1 % 4).cast("int"))
+    val rawK = Seq("geo_add1_raw", "geo_add2_raw", "geo_city_raw",
+      "geo_state_raw", "geo_zip_raw")
+    val svcR = svc.select(rawK.map(c => col(c).as(s"s_$c")) ++
+      Seq("geo_add1_clean", "geo_add2_clean", "geo_city_clean",
+        "geo_state_clean", "geo_zip_clean", "po_box", "mailabilty_score")
+        .map(col): _*)
+    val cond = rawK.map(c => col(c) <=> col(s"s_$c")).reduce(_ && _)
+    val clean = combined.join(svcR, cond, "left")
+      .select(rawK.map(col) ++ Seq("geo_source_mcaid", "geo_source_pha",
+        "geo_add1_clean", "geo_add2_clean", "geo_city_clean",
+        "geo_state_clean", "geo_zip_clean", "po_box", "mailabilty_score")
+        .map(col): _*)
+    val full0 = clean
+      .unionByName(manual, allowMissingColumns = true).distinct()
+    val pbCond = col("po_box") === 1 || col("mailbox").isNotNull
+    val full = full0
+      .withColumn("po_box", when(pbCond, 1).when(!pbCond, 0))
+      .distinct()
+    AddressClean.phaRestore(full, phaFull)
+      .orderBy(col("geo_add1_raw"), col("geo_add2_raw"),
+        col("geo_add3_raw"), col("geo_city_raw"), col("geo_zip_raw"),
+        col("geo_add1_clean"), col("geo_add2_clean"),
+        col("geo_source_mcaid"), col("geo_source_pha"), col("po_box"),
+        col("overridden"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
