@@ -286,6 +286,9 @@ object SparkEntry {
     "q186_mcaid_elig_stage" -> (graft.queries.BuildQueries.q186McaidEligStage _),
     "q187_elig_dup_probes" -> (graft.queries.BuildQueries.q187EligDupProbes _),
     "q188_address_clean_full" -> (graft.queries.BuildQueries.q188AddressCleanFull _),
+    "q189_binary_ann" -> (V.q189BinaryAnn _),
+    "q190_matryoshka_ann" -> (V.q190MatryoshkaAnn _),
+    "q191_ngram_novelty" -> (T.q191NgramNovelty _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -9804,5 +9807,147 @@ object SparkEntry {
       ORDER BY geo_add1_raw, geo_add2_raw, geo_add3_raw, geo_city_raw,
         geo_zip_raw, geo_add1_clean, geo_add2_clean, geo_source_mcaid,
         geo_source_pha, po_box, overridden""",
+
+    // q189: two-stage binary ANN — sign-bit word packing (bit 63 via the
+    // min-long two's-complement identity), coarse Hamming top-20, exact
+    // int8-cosine re-rank (the q129 quantization chain).
+    "q189_binary_ann" -> """
+      WITH bw AS (
+        SELECT vec_id,
+          CASE WHEN embedding[64] > 0
+            THEN (-9223372036854775807 - 1) ELSE 0 END
+          + CAST(list_sum(list_transform(range(1, 64),
+              i -> CASE WHEN embedding[i] > 0
+                THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))
+            AS BIGINT) AS w
+        FROM embeddings),
+      coarse AS (
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(bit_count(xor(q.w, c.w)) AS INT) AS hamming,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY bit_count(xor(q.w, c.w)), c.vec_id) AS cr
+          FROM bw q CROSS JOIN bw c WHERE q.vec_id < 5)
+        WHERE cr <= 20),
+      qz AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS q
+        FROM qz),
+      rer AS (
+        SELECT co.query_id, co.neighbor_id, co.hamming,
+          CASE WHEN list_inner_product(a.q, a.q) = 0
+              OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+            ELSE list_inner_product(a.q, b.q)
+              / (sqrt(list_inner_product(a.q, a.q))
+                * sqrt(list_inner_product(b.q, b.q))) END AS qcosine
+        FROM coarse co
+        JOIN qv a ON co.query_id = a.vec_id
+        JOIN qv b ON co.neighbor_id = b.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY qcosine DESC, neighbor_id) AS rk
+        FROM rer)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+        hamming, qcosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q190: Matryoshka two-stage ANN — prefix-16 int8 coarse cosine,
+    // full-dim int8 re-rank; both stages the q129 integer-exact chain.
+    "q190_matryoshka_ann" -> """
+      WITH qz AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS q
+        FROM qz),
+      coarse AS (
+        SELECT * FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CASE WHEN list_inner_product(a.q[1:16], a.q[1:16]) = 0
+                OR list_inner_product(b.q[1:16], b.q[1:16]) = 0 THEN 0.0
+              ELSE list_inner_product(a.q[1:16], b.q[1:16])
+                / (sqrt(list_inner_product(a.q[1:16], a.q[1:16]))
+                  * sqrt(list_inner_product(b.q[1:16], b.q[1:16]))) END
+              AS prefix_cosine,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY (CASE
+                WHEN list_inner_product(a.q[1:16], a.q[1:16]) = 0
+                  OR list_inner_product(b.q[1:16], b.q[1:16]) = 0
+                THEN 0.0
+                ELSE list_inner_product(a.q[1:16], b.q[1:16])
+                  / (sqrt(list_inner_product(a.q[1:16], a.q[1:16]))
+                    * sqrt(list_inner_product(b.q[1:16], b.q[1:16])))
+                END) DESC, b.vec_id) AS cr
+          FROM qv a CROSS JOIN qv b WHERE a.vec_id < 5)
+        WHERE cr <= 20),
+      rer AS (
+        SELECT co.query_id, co.neighbor_id, co.prefix_cosine,
+          CASE WHEN list_inner_product(a.q, a.q) = 0
+              OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+            ELSE list_inner_product(a.q, b.q)
+              / (sqrt(list_inner_product(a.q, a.q))
+                * sqrt(list_inner_product(b.q, b.q))) END AS qcosine
+        FROM coarse co
+        JOIN qv a ON co.query_id = a.vec_id
+        JOIN qv b ON co.neighbor_id = b.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY qcosine DESC, neighbor_id) AS rk
+        FROM rer)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+        prefix_cosine, qcosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q191: trigram novelty vs the doc_id%3==0 reference slice —
+    // distinct per-doc trigrams left-joined to the reference vocabulary,
+    // short docs zero-filled with NULL novelty.
+    "q191_ngram_novelty" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' '), w -> len(w) > 0) AS t
+        FROM documents),
+      ref_grams AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(CASE WHEN len(t) >= 3
+            THEN list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))
+            ELSE [] END) AS gram
+          FROM toks WHERE doc_id % 3 = 0)),
+      doc_grams AS (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+            THEN list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' '))
+            ELSE [] END) AS gram
+          FROM toks WHERE doc_id % 3 <> 0)),
+      per_doc AS (
+        SELECT d.doc_id, count(*) AS n_grams,
+          CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+        FROM doc_grams d
+        LEFT JOIN ref_grams r ON d.gram = r.gram
+        GROUP BY d.doc_id)
+      SELECT t.doc_id,
+        coalesce(p.n_grams, 0) AS n_grams,
+        coalesce(p.n_novel, 0) AS n_novel,
+        round(p.n_novel::DOUBLE / p.n_grams, 6) AS novelty
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 <> 0) t
+      LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+      ORDER BY t.doc_id""",
   )
 }

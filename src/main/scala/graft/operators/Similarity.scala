@@ -478,4 +478,111 @@ object Similarity {
     }
     selected
   }
+
+  /** Sign-bit binary quantization: component i sets bit (i mod 64) of
+    * word i/64 iff it is strictly positive; words packed as
+    * array<bigint>. 32x smaller than float32 — the coarsest tier of the
+    * quantization ladder (float -> int8 [[quantize]] -> PQ
+    * [[pqEncode]] -> 1-bit here), and the only one whose distance
+    * (Hamming) is pure bit arithmetic. */
+  def binarize(df: DataFrame, emb: String, dim: Int,
+      out: String = "bvec"): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    val words = (dim + 63) / 64
+    val packed = array((0 until words).map { w =>
+      val hi = math.min(w * 64 + 64, dim)
+      (w * 64 until hi).map { i =>
+        when(col(emb).getItem(i) > 0f, lit(1L << (i - w * 64)))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+    df.withColumn(out, packed)
+  }
+
+  /** Hamming distance between packed sign-bit words: Σ popcount(a ^ b).
+    * Exact integer — bit-stable across engines by construction. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Two-stage binary ANN (the classic 1-bit retrieval shape): coarse
+    * Hamming top-`coarseK` over the packed sign bits — the ONLY stage
+    * that scans the corpus, reading dim/8 bytes per vector — then an
+    * exact int8-cosine re-rank over the candidate set only. Ties break
+    * on neighbor id at both stages. Returns (query_id, neighbor_id,
+    * hamming, qcosine, rank<=k).
+    *
+    * Scale: stage 1 is a broadcast-queries scan of the 32x-compressed
+    * bit matrix; stage 2 joins the nq x coarseK candidate list
+    * (broadcast) back to the int8 vectors, so full-precision data is
+    * read only for candidates — the standard memory-hierarchy split for
+    * 100-TB vector stores. */
+  def binaryTopK(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, id: String, vec: String, dim: Int, k: Int,
+      coarseK: Int): DataFrame = {
+    require(k >= 1 && coarseK >= k, "need 1 <= k <= coarseK")
+    val bq = binarize(queries, qvec, dim)
+      .select(col(qid).as("query_id"), col("bvec").as("_qb"))
+    val bc = binarize(corpus, vec, dim)
+      .select(col(id).as("neighbor_id"), col("bvec").as("_cb"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = bc.crossJoin(broadcast(bq))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingDist(col("_qb"), col("_cb")).as("hamming"))
+      .withColumn("_cr", row_number().over(wHam))
+      .filter(col("_cr") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val cq = quantize(queries, qid, qvec)
+      .select(col(qid).as("query_id"), col("qvec").as("_qq"))
+    val cc = quantize(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("qvec").as("_cq"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id").asc)
+    cc.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(cq), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        VectorFns.cosineSim(col("_qq"), col("_cq")).as("qcosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
+
+  /** Matryoshka two-stage ANN (Kusupati et al. 2022: MRL embeddings are
+    * trained so every prefix is itself an embedding): coarse scoring on
+    * the first `prefixDim` int8 components (reads prefixDim/dim of the
+    * vector bytes), exact full-dim int8 re-rank over the candidates.
+    * Both stages integer-exact under one double division; ties on
+    * neighbor id. Returns (query_id, neighbor_id, prefix_cosine,
+    * qcosine, rank<=k). */
+  def matryoshkaTopK(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, id: String, vec: String, prefixDim: Int, k: Int,
+      coarseK: Int): DataFrame = {
+    require(k >= 1 && coarseK >= k && prefixDim >= 1,
+      "need 1 <= k <= coarseK, prefixDim >= 1")
+    val q = quantize(queries, qid, qvec)
+      .select(col(qid).as("query_id"), col("qvec").as("_qq"),
+        slice(col("qvec"), 1, prefixDim).as("_qp"))
+    val c = quantize(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("qvec").as("_cq"),
+        slice(col("qvec"), 1, prefixDim).as("_cp"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("prefix_cosine").desc, col("neighbor_id").asc)
+    val cand = c.select(col("neighbor_id"), col("_cp"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("_qp"))))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFns.cosineSim(col("_qp"), col("_cp")).as("prefix_cosine"))
+      .withColumn("_cr", row_number().over(wPre))
+      .filter(col("_cr") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"), col("prefix_cosine"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id").asc)
+    c.select(col("neighbor_id"), col("_cq"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("_qq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("prefix_cosine"),
+        VectorFns.cosineSim(col("_qq"), col("_cq")).as("qcosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
 }

@@ -986,4 +986,46 @@ object TextAnalysis {
       .agg(sum(col("m")).as("n_trigrams"),
         round(sum(col("m") * s) / sum(col("m")), 6).as("sb_score"))
   }
+
+  /** N-gram novelty vs a reference corpus — the per-document coverage
+    * statistic dual of [[graft.operators.Dedup.contamination]]: for each
+    * scored document, the fraction of its DISTINCT word n-grams that
+    * appear NOWHERE in the reference corpus. High novelty = genuinely
+    * new text; low = paraphrase/boilerplate of the reference. Documents
+    * with fewer than n tokens emit n_grams = 0 and NULL novelty (no
+    * silent drop).
+    *
+    * Scale: the reference reduces to its distinct n-gram vocabulary
+    * (Zipf-bounded) before the single gram-keyed join; per-doc grams
+    * are DISTINCT'd first so the join carries each (doc, gram) once.
+    */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be positive")
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val t = filter(split(trim(lower(col(text))), "\\s+"),
+        w => length(w) > 0)
+      val g = when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      df.select(keep :+ explode(g).as("gram"): _*)
+    }
+    val refVocab = grams(ref, Seq.empty).distinct()
+      .withColumn("_seen", lit(1))
+    val docGrams = grams(docs, Seq(col(id))).distinct()
+    val perDoc = docGrams
+      .join(refVocab, Seq("gram"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_seen").isNull, 1).otherwise(0)).as("n_novel"))
+    docs.select(col(id)).distinct()
+      .join(perDoc, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
 }

@@ -429,4 +429,17 @@ object TextQueries {
       .withColumn("kept", col("rank_in_cluster") <= 2)
       .orderBy(col("doc_id"))
   }
+
+  /** q191: trigram novelty of the non-reference documents against the
+    * doc_id%3==0 reference slice — per-doc fraction of distinct word
+    * trigrams unseen anywhere in the reference (the coverage-statistic
+    * dual of q78's decontamination); short docs zero-filled with NULL
+    * novelty. */
+  def q191NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), n = 3)
+      .orderBy(col("doc_id"))
+  }
 }

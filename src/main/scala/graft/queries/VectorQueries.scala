@@ -185,4 +185,31 @@ object VectorQueries {
         col("mmr10"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Two-stage binary ANN (q189): sign-bit packed words, coarse Hamming
+    * top-20 (the only corpus scan, 8 bytes/vector at dim 64), exact
+    * int8-cosine re-rank to top-5. All-integer coarse stage; the
+    * re-rank is the q129 bit-stable cosine — the oracle replicates the
+    * full chain incl. the sign-bit packing. */
+  def q189BinaryAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.binaryTopK(
+        queries(s, dir), "vec_id", "embedding",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 5, coarseK = 20)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("qcosine"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Matryoshka two-stage ANN (q190, Kusupati et al. 2022): coarse
+    * scoring on the first 16 int8 components (1/4 of the vector bytes),
+    * full 64-dim int8 re-rank over the top-20 candidates. Both stages
+    * integer-exact -> fully oracled. */
+  def q190MatryoshkaAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaTopK(
+        queries(s, dir), "vec_id", "embedding",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        prefixDim = 16, k = 5, coarseK = 20)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("prefix_cosine"), col("qcosine"))
+      .orderBy(col("query_id"), col("rank"))
 }
