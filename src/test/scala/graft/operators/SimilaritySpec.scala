@@ -209,4 +209,62 @@ class SimilaritySpec extends SparkSpec {
       emb, "vec_id", "embedding", centroids, cb, k = 8, nProbe = 8))
     assert(ivf === flat)
   }
+
+  test("binarize packs sign bits incl. the word-63 sign bit") {
+    import spark.implicits._
+    // one 64-dim vector: positive at components 0, 5, 63
+    val v = Seq.tabulate(64)(i =>
+      if (i == 0 || i == 5 || i == 63) 1.0f else -1.0f)
+    val out = Similarity.binarize(
+        Seq((1L, v)).toDF("id", "emb"), "emb", dim = 64)
+      .select(col("bvec")).as[Seq[Long]].head()
+    assert(out == Seq((1L << 0) | (1L << 5) | (1L << 63)))
+    // zero components are NOT positive -> bit clear
+    val z = Similarity.binarize(
+        Seq((1L, Seq.fill(64)(0.0f))).toDF("id", "emb"), "emb", 64)
+      .select(col("bvec")).as[Seq[Long]].head()
+    assert(z == Seq(0L))
+  }
+
+  test("hammingDist: hand-computed popcount of xor across words") {
+    import spark.implicits._
+    val df = Seq((Seq(0x0FL, 0x3L), Seq(0x01L, 0x0L)))
+      .toDF("a", "b")
+    val h = df.select(Similarity.hammingDist(col("a"), col("b")))
+      .as[Int].head()
+    // 0x0F ^ 0x01 = 0x0E (3 bits); 0x3 ^ 0x0 = 0x3 (2 bits)
+    assert(h == 5)
+  }
+
+  test("binaryTopK with coarseK = corpus size ranks like quantizedTopK") {
+    import spark.implicits._
+    val emb = Q.t(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    val full = Similarity.quantizedTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bin = Similarity.binaryTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", dim = 64, k = 5, coarseK = n)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bin === full)
+  }
+
+  test("matryoshka with prefixDim = dim degenerates to quantizedTopK") {
+    import spark.implicits._
+    val emb = Q.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val full = Similarity.quantizedTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val mat = Similarity.matryoshkaTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", prefixDim = 64, k = 5,
+        coarseK = emb.count().toInt)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(mat === full)
+  }
 }

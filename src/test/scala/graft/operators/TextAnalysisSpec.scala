@@ -267,4 +267,38 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy(col("rank")).select("doc_id").as[Long].collect()
     assert(tie.toSeq === Seq(4L, 9L))
   }
+
+  test("ngramNovelty: hand-computed overlap fractions, short-doc zero-fill") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // ref trigram vocab: {a b c, b c d}
+    val docs = Seq(
+      (1L, "a b c d e"),   // grams: a b c*, b c d*, c d e -> 1/3 novel
+      (2L, "x y z w"),     // grams: x y z, y z w -> 2/2 novel
+      (3L, "a b c"),       // gram: a b c* -> 0/1 novel
+      (4L, "one two"))     // < 3 tokens -> 0 grams, NULL novelty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, ref, n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          Option(r.getAs[java.lang.Double]("novelty")))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, Some(java.lang.Double.valueOf(0.333333)))))
+    assert(out(2L) == ((2L, 2L, Some(java.lang.Double.valueOf(1.0)))))
+    assert(out(3L) == ((1L, 0L, Some(java.lang.Double.valueOf(0.0)))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
+  test("ngramNovelty counts DISTINCT grams once per document") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c")).toDF("doc_id", "text")
+    // 'a b c' occurs twice in the doc but is ONE distinct gram
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, ref, n = 3)
+      .collect().head
+    // distinct grams: {a b c, b c a, c a b} -> 3, of which 2 novel
+    assert(out.getAs[Long]("n_grams") == 3L)
+    assert(out.getAs[Long]("n_novel") == 2L)
+  }
 }
