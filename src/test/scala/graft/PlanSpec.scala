@@ -143,8 +143,14 @@ class PlanSpec extends SparkSpec {
                          // ANN candidate-generation shape
       "q176_stupid_backoff", // doc trigrams x broadcast 1-row corpus
                              // total (the q128/q135 renormalizer shape)
-      "q179_hard_negatives") // crossJoin(broadcast(anchors)): the
+      "q179_hard_negatives", // crossJoin(broadcast(anchors)): the
                              // q41/q129 ANN candidate shape
+      "q186_mcaid_elig_stage", // archive x broadcast 1-row MIN(month)
+                               // truncate cut (the q169 shape)
+      "q189_binary_ann", // crossJoin(broadcast(queries)): the q41/q129
+                         // ANN candidate shape over packed sign bits
+      "q190_matryoshka_ann") // crossJoin(broadcast(queries)): the same
+                             // shape over prefix-dim int8 vectors
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
