@@ -289,6 +289,10 @@ object SparkEntry {
     "q189_binary_ann" -> (V.q189BinaryAnn _),
     "q190_matryoshka_ann" -> (V.q190MatryoshkaAnn _),
     "q191_ngram_novelty" -> (T.q191NgramNovelty _),
+    "q192_mcaid_cohort" -> (graft.queries.BuildQueries.q192McaidCohort _),
+    "q193_mcaid_claims_simple" ->
+      (graft.queries.BuildQueries.q193McaidClaimsSimple _),
+    "q194_tsql_split" -> (graft.queries.BuildQueries.q194TsqlSplit _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -615,6 +619,259 @@ object SparkEntry {
         GROUP BY 1, 2),
       m5 AS (SELECT a, b, cnt FROM p5
         ORDER BY cnt DESC, a, b LIMIT 1)"""
+
+  /** Shared synthetic-source + cohort CTE prefix for the q192/q193
+    * sp_mcaidcohort oracles — mirrors BuildQueries.mcaidCohortFrames
+    * and the sproc steps exactly (one copy; the lang battery is
+    * generated from the same BuildQueries.CohortLangs list the fixture
+    * uses, so the two cannot drift). */
+  private val McaidCohortCte: String = {
+    val langs = graft.queries.BuildQueries.CohortLangs
+    val langFlags = langs.zipWithIndex.map { case (l, i) =>
+      s"""CASE WHEN pid % 10 = $i OR pid % ${29 + i} = 0
+            THEN 1 ELSE 0 END AS $l""" }.mkString(",\n          ")
+    val langT = langs.zipWithIndex.map { case (l, i) =>
+      s"""CASE WHEN pid % 23 = 4 THEN 1
+            WHEN pid % 10 = $i OR pid % ${29 + i} = 0
+            THEN 1 ELSE 0 END AS ${l}_t""" }.mkString(",\n          ")
+    val maxlang = langs.zipWithIndex.map { case (l, i) =>
+      s"WHEN pid % 10 = $i THEN '${l.toUpperCase}'" }
+      .mkString("CASE ", " ", " END AS maxlang")
+    def pick(v: String) = s"""
+      ${v}_pick AS (
+        SELECT id, $v FROM (
+          SELECT id, $v, ROW_NUMBER() OVER (
+            PARTITION BY id ORDER BY dur DESC NULLS LAST, $v ASC) AS r
+          FROM (
+            SELECT id, $v, SUM(covd) + 1 AS dur FROM (
+              SELECT a.id, a.$v,
+                CASE WHEN a.from_date <= DATE '1995-12-31'
+                  AND a.to_date >= DATE '1995-01-01'
+                  THEN datediff('day',
+                    GREATEST(a.from_date, DATE '1995-01-01'),
+                    LEAST(a.to_date, DATE '1995-12-31')) + 1 END AS covd
+              FROM address a JOIN ids USING (id)) t
+            GROUP BY id, $v) d) rr
+        WHERE rr.r = 1)"""
+    s"""
+      WITH pid_src AS (
+        SELECT DISTINCT c_custkey % 100 AS pid FROM customer),
+      demoever AS (
+        SELECT 'P' || CAST(pid AS VARCHAR) AS id,
+          DATE '1930-01-01' + CAST((pid * 61) % 24000 AS INT) AS dobnew,
+          CASE WHEN pid % 17 = 0 THEN 'Unknown'
+            WHEN pid % 2 = 1 THEN 'Male' ELSE 'Female' END AS gender_mx,
+          CASE WHEN pid % 17 <> 0 AND pid % 2 = 1 THEN 1 ELSE 0 END
+            AS male,
+          CASE WHEN pid % 17 <> 0 AND pid % 2 = 0 THEN 1 ELSE 0 END
+            AS female,
+          CASE WHEN pid % 23 = 1 THEN 1
+            WHEN pid % 17 <> 0 AND pid % 2 = 1 THEN 1 ELSE 0 END
+            AS male_t,
+          CASE WHEN pid % 23 = 2 THEN 1
+            WHEN pid % 17 <> 0 AND pid % 2 = 0 THEN 1 ELSE 0 END
+            AS female_t,
+          CASE WHEN pid % 17 = 0 THEN 1 ELSE 0 END AS gender_unk,
+          CASE WHEN pid % 5 = 1 THEN 'Latino' ELSE race_mx END
+            AS race_eth_mx,
+          race_mx,
+          aian, asian, black, nhpi, white,
+          CASE WHEN pid % 5 = 1 THEN 1 ELSE 0 END AS latino,
+          CASE WHEN pid % 23 = 3 THEN 1 ELSE aian END AS aian_t,
+          CASE WHEN pid % 23 = 3 THEN 1 ELSE asian END AS asian_t,
+          CASE WHEN pid % 23 = 3 THEN 1 ELSE black END AS black_t,
+          CASE WHEN pid % 23 = 3 THEN 1 ELSE nhpi END AS nhpi_t,
+          CASE WHEN pid % 23 = 3 THEN 1 ELSE white END AS white_t,
+          CASE WHEN pid % 23 = 3 THEN 1
+            WHEN pid % 5 = 1 THEN 1 ELSE 0 END AS latino_t,
+          CASE WHEN aian + asian + black + nhpi + white = 0
+            THEN 1 ELSE 0 END AS race_unk,
+          $maxlang,
+          $langFlags,
+          $langT,
+          CASE WHEN pid % 37 = 0 THEN 1 ELSE 0 END AS lang_unk
+        FROM (
+          SELECT pid,
+            CASE WHEN pid % 11 = 0 THEN 1 ELSE 0 END AS aian,
+            CASE WHEN pid % 7 = 1 THEN 1 ELSE 0 END AS asian,
+            CASE WHEN pid % 7 = 2 THEN 1 ELSE 0 END AS black,
+            CASE WHEN pid % 13 = 3 THEN 1 ELSE 0 END AS nhpi,
+            CASE WHEN pid % 3 = 0 THEN 1 ELSE 0 END AS white,
+            CASE WHEN
+              (CASE WHEN pid % 11 = 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN pid % 7 = 1 THEN 1 ELSE 0 END) +
+              (CASE WHEN pid % 7 = 2 THEN 1 ELSE 0 END) +
+              (CASE WHEN pid % 13 = 3 THEN 1 ELSE 0 END) +
+              (CASE WHEN pid % 3 = 0 THEN 1 ELSE 0 END) > 1
+              THEN 'Multiple'
+              WHEN pid % 11 = 0 THEN 'AI/AN'
+              WHEN pid % 7 = 1 THEN 'Asian'
+              WHEN pid % 7 = 2 THEN 'Black'
+              WHEN pid % 13 = 3 THEN 'NH/PI'
+              WHEN pid % 3 = 0 THEN 'White'
+              ELSE 'Unknown' END AS race_mx
+          FROM pid_src) b),
+      elig_overall AS (
+        SELECT 'P' || CAST(o_custkey % 100 AS VARCHAR) AS id,
+          CAST(o_orderdate AS DATE) AS from_date,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 45 AS INT)
+            AS to_date
+        FROM orders WHERE o_orderkey % 7 = 0),
+      address AS (
+        SELECT 'P' || CAST(o_custkey % 100 AS VARCHAR) AS id,
+          CAST(98001 + o_orderkey % 5 AS INT) AS zip_new,
+          CAST(o_orderkey % 7 AS INT) AS hra_id,
+          CAST(100 + o_orderkey % 9 AS INT) AS tractce10,
+          CAST(o_orderdate AS DATE)
+            + CAST(o_orderkey % 200 - 100 AS INT) AS from_date,
+          CAST(o_orderdate AS DATE)
+            + CAST(o_orderkey % 200 - 100 AS INT)
+            + CAST(o_orderkey % 150 AS INT) AS to_date
+        FROM orders WHERE o_orderkey % 3 = 0),
+      covgrp AS (
+        SELECT 'P' || CAST(o_custkey % 100 AS VARCHAR) AS id,
+          CASE WHEN o_orderkey % 4 = 0 THEN 'Y' ELSE 'N' END AS dual,
+          CAST(o_orderdate AS DATE) AS from_date,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INT)
+            AS to_date
+        FROM orders WHERE o_orderkey % 5 = 0),
+      hra_region AS (
+        SELECT CAST(n_nationkey AS INT) AS hra_id,
+          'HRA ' || CAST(n_nationkey AS VARCHAR) AS hra,
+          CAST(n_nationkey % 3 AS INT) AS region_id,
+          'Region ' || CAST(n_nationkey % 3 AS VARCHAR) AS region
+        FROM nation WHERE n_nationkey < 7),
+      claim_summary AS (
+        SELECT 'P' || CAST(o_custkey % 100 AS VARCHAR) AS id,
+          'T' || CAST(o_orderkey AS VARCHAR) AS tcn,
+          CAST(o_orderdate AS DATE) AS from_date,
+          CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS inpatient,
+          CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS ipt_medsurg,
+          CASE WHEN o_orderkey % 15 = 0 THEN 1 ELSE 0 END AS ipt_bh,
+          CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ed,
+          CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END AS ed_avoid_ca,
+          CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END
+            AS ed_emergent_nyu,
+          CASE WHEN o_orderkey % 9 = 3 THEN 1 ELSE 0 END
+            AS ed_nonemergent_nyu,
+          CASE WHEN o_orderkey % 9 = 6 THEN 1 ELSE 0 END
+            AS ed_intermediate_nyu,
+          CAST(o_orderkey % 6 AS VARCHAR) AS clm_type_code
+        FROM orders),
+      ids AS (
+        SELECT DISTINCT id FROM elig_overall
+        WHERE from_date <= DATE '1995-12-31'
+          AND to_date >= DATE '1995-01-01'),
+      demo AS (
+        SELECT * FROM (
+          SELECT DISTINCT d.*,
+            CAST(CASE
+              WHEN FLOOR((datediff('day', d.dobnew, DATE '1995-12-31')
+                + 1) / 365.25) >= 0
+              THEN FLOOR((datediff('day', d.dobnew, DATE '1995-12-31')
+                + 1) / 365.25)
+              WHEN FLOOR((datediff('day', d.dobnew, DATE '1995-12-31')
+                + 1) / 365.25) = -1 THEN 0 END AS INT) AS age
+          FROM demoever d JOIN ids USING (id)) x
+        WHERE age >= 1 AND age <= 64
+          AND maxlang IN ('ENGLISH', 'SPANISH', 'RUSSIAN',
+            'CHINESE', 'VIETNAMESE', 'SOMALI')),
+      demo7 AS (
+        SELECT *, CASE
+            WHEN age >= 0 AND age < 5 THEN '0-4'
+            WHEN age >= 5 AND age < 12 THEN '5-11'
+            WHEN age >= 12 AND age < 18 THEN '12-17'
+            WHEN age >= 18 AND age < 25 THEN '18-24'
+            WHEN age >= 25 AND age < 45 THEN '25-44'
+            WHEN age >= 45 AND age < 65 THEN '45-64'
+            WHEN age >= 65 THEN '65 and over' END AS age_grp7
+        FROM demo),${pick("zip_new")},${pick("hra_id")},${pick("tractce10")},
+      geo AS (
+        SELECT z.id, CAST(t.tractce10 AS VARCHAR) AS tractce10,
+          CAST(z.zip_new AS VARCHAR) AS zip_new,
+          CAST(h.hra_id AS VARCHAR) AS hra_id, r.hra,
+          CAST(r.region_id AS VARCHAR) AS region_id, r.region
+        FROM zip_new_pick z
+        JOIN hra_id_pick h ON z.id = h.id
+        JOIN tractce10_pick t ON z.id = t.id
+        LEFT JOIN hra_region r ON h.hra_id = r.hra_id
+        WHERE CAST(z.zip_new AS VARCHAR)
+            IN ('98001', '98002', '98003', '98004')
+          AND r.region IN ('Region 0', 'Region 1')),
+      cov AS (
+        SELECT * FROM (
+          SELECT id, CAST(SUM(covd) AS BIGINT) AS covd,
+            CAST(SUM(covd) * 1.0 / 365.0 * 100.0 AS DECIMAL(4,1))
+              AS covper,
+            MAX(covd) AS ccovd_max,
+            GREATEST(MAX(pregap), MAX(postgap)) AS covgap_max
+          FROM (
+            SELECT id, from_date, to_date,
+              CASE WHEN from_date <= DATE '1995-12-31'
+                AND to_date >= DATE '1995-01-01'
+                THEN datediff('day',
+                  GREATEST(from_date, DATE '1995-01-01'),
+                  LEAST(to_date, DATE '1995-12-31')) + 1 END AS covd,
+              CASE WHEN from_date <= DATE '1995-01-01' THEN 0
+                WHEN LAG(to_date, 1) OVER w_to IS NULL
+                  THEN datediff('day', DATE '1995-01-01', from_date) - 1
+                ELSE datediff('day', LAG(to_date, 1) OVER w_to,
+                  from_date) - 1 END AS pregap,
+              CASE WHEN to_date >= DATE '1995-12-31' THEN 0
+                WHEN LEAD(to_date, 1) OVER w_to IS NULL
+                  THEN datediff('day', to_date, DATE '1995-12-31') - 1
+                ELSE datediff('day', to_date,
+                  LEAD(from_date, 1) OVER w_from) - 1 END AS postgap
+            FROM (
+              SELECT DISTINCT id, from_date, to_date FROM elig_overall
+              WHERE from_date <= DATE '1995-12-31'
+                AND to_date >= DATE '1995-01-01') t
+            WINDOW
+              w_to AS (PARTITION BY id ORDER BY to_date, from_date),
+              w_from AS (PARTITION BY id ORDER BY from_date, to_date))
+          GROUP BY id) c
+        WHERE covper >= 2.0 AND ccovd_max >= 3 AND covgap_max <= 360),
+      dualt AS (
+        SELECT * FROM (
+          SELECT id, CAST(SUM(duald) AS BIGINT) AS duald,
+            CAST(SUM(duald) * 1.0 / 365.0 * 100.0 AS DECIMAL(4,1))
+              AS dualper,
+            CASE WHEN SUM(duald) >= 1 THEN 1 ELSE 0 END AS dual_flag
+          FROM (
+            SELECT DISTINCT id, dual, from_date, to_date,
+              CASE WHEN dual = 'Y'
+                AND from_date <= DATE '1995-12-31'
+                AND to_date >= DATE '1995-01-01'
+                THEN datediff('day',
+                  GREATEST(from_date, DATE '1995-01-01'),
+                  LEAST(to_date, DATE '1995-12-31')) + 1
+                ELSE 0 END AS duald
+            FROM covgrp
+            WHERE from_date <= DATE '1995-12-31'
+              AND to_date >= DATE '1995-01-01') y
+          GROUP BY id) z
+        WHERE dualper <= 95.0),
+      mcohort AS (
+        SELECT cov.id,
+          CASE
+            WHEN cov.covgap_max <= 30 AND dualt.dual_flag = 0
+              THEN 'small gap, nondual'
+            WHEN cov.covgap_max > 30 AND dualt.dual_flag = 0
+              THEN 'large gap, nondual'
+            WHEN cov.covgap_max <= 30 AND dualt.dual_flag = 1
+              THEN 'small gap, dual'
+            WHEN cov.covgap_max > 30 AND dualt.dual_flag = 1
+              THEN 'large gap, dual' END AS cov_cohort,
+          cov.covd, cov.covper, cov.ccovd_max, cov.covgap_max,
+          dualt.duald, dualt.dualper, dualt.dual_flag,
+          demo7.* EXCLUDE (id),
+          geo.tractce10, geo.zip_new, geo.hra_id, geo.hra,
+          geo.region_id, geo.region
+        FROM cov
+        JOIN dualt ON cov.id = dualt.id
+        JOIN geo ON cov.id = geo.id
+        JOIN demo7 ON cov.id = demo7.id)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -9949,5 +10206,65 @@ object SparkEntry {
       FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 <> 0) t
       LEFT JOIN per_doc p ON t.doc_id = p.doc_id
       ORDER BY t.doc_id""",
+
+    // q192: sp_mcaidcohort steps 1-6 — the full sproc replicated as
+    // chained CTEs over the same synthetic sources (see McaidCohortCte).
+    "q192_mcaid_cohort" -> (McaidCohortCte + """
+      SELECT * FROM mcohort ORDER BY id"""),
+
+    // q193: sp_mcaid_claims_simple_r over the q192 cohort — the
+    // began-in-window claim scan gated by EXISTS(##id), dental from
+    // clm_type '4', the two-level (id, from_date)-max -> id-sum
+    // dedup (unmatched cohort ids collapse into the NULL claim-side
+    // group exactly as the T-SQL GROUP BY a.id does), zero-fill after
+    // the sum, no_claims keyed on ed_cnt IS NULL.
+    "q193_mcaid_claims_simple" -> (McaidCohortCte + {
+      val flags = Seq("inpatient", "ipt_medsurg", "ipt_bh", "ed",
+        "ed_avoid_ca", "ed_emergent_nyu", "ed_nonemergent_nyu",
+        "ed_intermediate_nyu", "dental")
+      val maxes = flags.map(f => s"MAX(a.$f) AS $f").mkString(", ")
+      val sums = flags
+        .map(f => s"CAST(SUM($f) AS BIGINT) AS ${f}_cnt").mkString(", ")
+      val zeros = flags
+        .map(f => s"COALESCE(${f}_cnt, 0) AS ${f}_cnt").mkString(", ")
+      s""",
+      claims AS (
+        SELECT c.*,
+          CASE WHEN clm_type_code = '4' THEN 1 ELSE 0 END AS dental
+        FROM claim_summary c
+        WHERE from_date >= DATE '1995-01-01'
+          AND from_date <= DATE '1995-12-31'
+          AND EXISTS (SELECT 1 FROM ids WHERE ids.id = c.id)),
+      per_day AS (
+        SELECT a.id AS cid, a.from_date, $maxes
+        FROM (SELECT id FROM mcohort) i
+        LEFT JOIN claims a ON i.id = a.id
+        GROUP BY a.id, a.from_date),
+      per_id AS (
+        SELECT cid, $sums FROM per_day GROUP BY cid)
+      SELECT DATE '1995-01-01' AS query_from_date,
+        DATE '1995-12-31' AS query_to_date,
+        m.*, $zeros,
+        CASE WHEN ed_cnt IS NULL THEN 1 ELSE 0 END AS no_claims
+      FROM mcohort m LEFT JOIN per_id p ON m.id = p.cid
+      ORDER BY m.id"""
+    }),
+
+    // q194: dbo.Split faithful behavior — split on ',', drop slices
+    // whose trailing-space-insensitive length is 0, keep order/dupes.
+    "q194_tsql_split" -> """
+      WITH src AS (
+        SELECT k,
+          'A' || CAST(k % 5 AS VARCHAR) || ',,B'
+            || CAST(k % 3 AS VARCHAR) || ', ,'
+            || CASE WHEN k % 4 = 0 THEN 'dup,dup'
+               ELSE 'C' || CAST(k % 7 AS VARCHAR) END
+            || CASE WHEN k % 6 = 0 THEN ',' ELSE '' END AS csv
+        FROM (SELECT DISTINCT c_custkey % 50 AS k FROM customer) t)
+      SELECT k, csv,
+        unnest(list_filter(string_split(csv, ','),
+          x -> length(rtrim(x, ' ')) > 0)) AS item
+      FROM src
+      ORDER BY k, item""",
   )
 }

@@ -3689,6 +3689,165 @@ object BuildQueries {
         col("overridden"))
   }
 
+  // ---- sp_mcaidcohort sproc family (q192-q194) ----
+
+  /** Language battery shared by the q192/q193 fixtures and oracles. */
+  val CohortLangs: Seq[String] = Seq("english", "spanish", "vietnamese",
+    "chinese", "somali", "russian", "arabic", "korean", "ukrainian",
+    "amharic")
+
+  /** Synthetic sproc-input frames (elig_overall, demoever, address,
+    * covgrp, hra_region, claim_summary), keyed off orders/customer/
+    * nation; the oracle CTE prefix in SparkEntry mirrors these mods
+    * exactly. Interval tables are thinned (%31/%13/%23) so per-person
+    * coverage sums stay inside the sproc's DECIMAL(4,1) covper. */
+  def mcaidCohortFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val orders = t(s, dir, "orders")
+    val pidOf = (k: Column) => k % 100
+    val mkId = (k: Column) => concat(lit("P"), pidOf(k).cast("string"))
+
+    val pid = col("pid")
+    val langFlag = (i: Int) =>
+      when(pid % 10 === i || pid % (29 + i) === 0, 1).otherwise(0)
+    val tTwist = (m: Int, f: Column) =>
+      when(pid % 23 === m, 1).otherwise(f)
+    val aian = when(pid % 11 === 0, 1).otherwise(0)
+    val asian = when(pid % 7 === 1, 1).otherwise(0)
+    val black = when(pid % 7 === 2, 1).otherwise(0)
+    val nhpi = when(pid % 13 === 3, 1).otherwise(0)
+    val white = when(pid % 3 === 0, 1).otherwise(0)
+    val latino = when(pid % 5 === 1, 1).otherwise(0)
+    val raceN = aian + asian + black + nhpi + white
+    val raceMx = when(raceN > 1, "Multiple").when(aian === 1, "AI/AN")
+      .when(asian === 1, "Asian").when(black === 1, "Black")
+      .when(nhpi === 1, "NH/PI").when(white === 1, "White")
+      .otherwise("Unknown")
+    val maleC = when(pid % 17 =!= 0 && pid % 2 === 1, 1).otherwise(0)
+    val femaleC = when(pid % 17 =!= 0 && pid % 2 === 0, 1).otherwise(0)
+    val maxlangC = CohortLangs.zipWithIndex.tail.foldLeft(
+      when(pid % 10 === 0, CohortLangs.head.toUpperCase)) {
+      case (acc, (l, i)) => acc.when(pid % 10 === i, l.toUpperCase)
+    }
+    val demoever = t(s, dir, "customer")
+      .select(pidOf(col("c_custkey")).as("pid")).distinct()
+      .select(Seq(
+        concat(lit("P"), pid.cast("string")).as("id"),
+        date_add(to_date(lit("1930-01-01")), ((pid * 61) % 24000)
+          .cast("int")).as("dobnew"),
+        when(pid % 17 === 0, "Unknown").when(maleC === 1, "Male")
+          .otherwise("Female").as("gender_mx"),
+        maleC.as("male"), femaleC.as("female"),
+        tTwist(1, maleC).as("male_t"), tTwist(2, femaleC).as("female_t"),
+        when(pid % 17 === 0, 1).otherwise(0).as("gender_unk"),
+        when(latino === 1, "Latino").otherwise(raceMx).as("race_eth_mx"),
+        raceMx.as("race_mx"),
+        aian.as("aian"), asian.as("asian"), black.as("black"),
+        nhpi.as("nhpi"), white.as("white"), latino.as("latino"),
+        tTwist(3, aian).as("aian_t"), tTwist(3, asian).as("asian_t"),
+        tTwist(3, black).as("black_t"), tTwist(3, nhpi).as("nhpi_t"),
+        tTwist(3, white).as("white_t"), tTwist(3, latino).as("latino_t"),
+        when(raceN === 0, 1).otherwise(0).as("race_unk"),
+        maxlangC.as("maxlang")) ++
+        CohortLangs.zipWithIndex.map { case (l, i) =>
+          langFlag(i).as(l) } ++
+        CohortLangs.zipWithIndex.map { case (l, i) =>
+          tTwist(4, langFlag(i)).as(s"${l}_t") } :+
+        when(pid % 37 === 0, 1).otherwise(0).as("lang_unk"): _*)
+
+    val ok = col("o_orderkey")
+    val eligOverall = orders.filter(ok % 7 === 0)
+      .select(mkId(col("o_custkey")).as("id"),
+        to_date(col("o_orderdate")).as("from_date"),
+        date_add(to_date(col("o_orderdate")), (ok % 45).cast("int"))
+          .as("to_date"))
+    val address = orders.filter(ok % 3 === 0)
+      .select(mkId(col("o_custkey")).as("id"),
+        (lit(98001) + ok % 5).cast("int").as("zip_new"),
+        (ok % 7).cast("int").as("hra_id"),
+        (lit(100) + ok % 9).cast("int").as("tractce10"),
+        date_add(to_date(col("o_orderdate")),
+          (ok % 200 - 100).cast("int")).as("from_date"),
+        date_add(date_add(to_date(col("o_orderdate")),
+          (ok % 200 - 100).cast("int")), (ok % 150).cast("int"))
+          .as("to_date"))
+    val covgrp = orders.filter(ok % 5 === 0)
+      .select(mkId(col("o_custkey")).as("id"),
+        when(ok % 4 === 0, "Y").otherwise("N").as("dual"),
+        to_date(col("o_orderdate")).as("from_date"),
+        date_add(to_date(col("o_orderdate")), (ok % 90).cast("int"))
+          .as("to_date"))
+    val hraRegion = t(s, dir, "nation").filter(col("n_nationkey") < 7)
+      .select(col("n_nationkey").cast("int").as("hra_id"),
+        concat(lit("HRA "), col("n_nationkey").cast("string")).as("hra"),
+        (col("n_nationkey") % 3).cast("int").as("region_id"),
+        concat(lit("Region "), (col("n_nationkey") % 3).cast("string"))
+          .as("region"))
+    val claimSummary = orders.select(
+      mkId(col("o_custkey")).as("id"),
+      concat(lit("T"), ok.cast("string")).as("tcn"),
+      to_date(col("o_orderdate")).as("from_date"),
+      when(ok % 5 === 0, 1).otherwise(0).as("inpatient"),
+      when(ok % 10 === 0, 1).otherwise(0).as("ipt_medsurg"),
+      when(ok % 15 === 0, 1).otherwise(0).as("ipt_bh"),
+      when(ok % 3 === 0, 1).otherwise(0).as("ed"),
+      when(ok % 6 === 0, 1).otherwise(0).as("ed_avoid_ca"),
+      when(ok % 9 === 0, 1).otherwise(0).as("ed_emergent_nyu"),
+      when(ok % 9 === 3, 1).otherwise(0).as("ed_nonemergent_nyu"),
+      when(ok % 9 === 6, 1).otherwise(0).as("ed_intermediate_nyu"),
+      (ok % 6).cast("string").as("clm_type_code"))
+    (eligOverall, demoever, address, covgrp, hraRegion, claimSummary)
+  }
+
+  /** Shared q192/q193 parameters — exercises every gate class: numeric
+    * (cov/gap/dual/age) plus three Split-driven lists. */
+  val CohortP = graft.api.McaidCohort.CohortParams(
+    fromDate = "1995-01-01", toDate = "1995-12-31",
+    covMin = 2.0, ccovMin = 3, covgapMax = Some(360), dualMax = 95.0,
+    ageMin = 1, ageMax = 64,
+    maxlang = Some("ENGLISH,SPANISH,RUSSIAN,CHINESE,VIETNAMESE,SOMALI"),
+    zip = Some("98001,98002,98003,98004"),
+    region = Some("Region 0,Region 1"))
+
+  /** sp_mcaidcohort steps 1-6 (q192). */
+  def q192McaidCohort(s: SparkSession, dir: String): DataFrame = {
+    val (eo, de, ad, cg, hr, _) = mcaidCohortFrames(s, dir)
+    graft.api.McaidCohort.cohort(eo, de, ad, cg, hr, CohortP)
+      .orderBy(col("id"))
+  }
+
+  /** sp_mcaid_claims_simple_r over the q192 cohort (q193). The detail
+    * sproc is the same kernel on a wider flag list (spec-pinned). */
+  def q193McaidClaimsSimple(s: SparkSession, dir: String): DataFrame = {
+    val (eo, de, ad, cg, hr, cs) = mcaidCohortFrames(s, dir)
+    val cohortDf = graft.api.McaidCohort.cohort(eo, de, ad, cg, hr, CohortP)
+    val ids = graft.api.McaidCohort.idsInWindow(eo, CohortP)
+    graft.api.McaidCohort.claimsSummary(cohortDf, ids, cs,
+        Seq("inpatient", "ipt_medsurg", "ipt_bh", "ed", "ed_avoid_ca",
+          "ed_emergent_nyu", "ed_nonemergent_nyu", "ed_intermediate_nyu"),
+        CohortP.fromDate, CohortP.toDate)
+      .orderBy(col("id"))
+  }
+
+  /** dbo.Split faithful behavior (q194) on column-valued delimited
+    * strings: planted empty slices, all-blank slices (T-SQL LEN = 0 ->
+    * dropped), duplicates (kept), trailing delimiters. */
+  def q194TsqlSplit(s: SparkSession, dir: String): DataFrame = {
+    val k = col("k")
+    t(s, dir, "customer")
+      .select((col("c_custkey") % 50).as("k")).distinct()
+      .select(k,
+        concat(lit("A"), (k % 5).cast("string"), lit(",,B"),
+          (k % 3).cast("string"), lit(", ,"),
+          when(k % 4 === 0, "dup,dup")
+            .otherwise(concat(lit("C"), (k % 7).cast("string"))),
+          when(k % 6 === 0, ",").otherwise("")).as("csv"))
+      .select(k, col("csv"),
+        explode(graft.api.McaidCohort.splitItems(col("csv"), ","))
+          .as("item"))
+      .orderBy(k, col("item"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
