@@ -293,6 +293,7 @@ object SparkEntry {
     "q193_mcaid_claims_simple" ->
       (graft.queries.BuildQueries.q193McaidClaimsSimple _),
     "q194_tsql_split" -> (graft.queries.BuildQueries.q194TsqlSplit _),
+    "q195_geo_overlay" -> (graft.queries.BuildQueries.q195GeoOverlay _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10266,5 +10267,67 @@ object SparkEntry {
           x -> length(rtrim(x, ' ')) > 0)) AS item
       FROM src
       ORDER BY k, item""",
+
+    // q195: spatial overlay — the oracle joins every point against
+    // every polygon with the raw even-odd ray cast (the st_join
+    // semantics), independently validating that the grid-partitioned
+    // equi-join path finds exactly the same containment pairs.
+    "q195_geo_overlay" -> {
+      def pip(t: String): String = {
+        def nxt(f: String) =
+          s"$t.poly[CASE WHEN i = len($t.poly) THEN 1 ELSE i+1 END].$f"
+        s"""(list_sum(list_transform(range(1, len($t.poly) + 1), i ->
+          CASE WHEN ($t.poly[i].y > p.py) <> (${nxt("y")} > p.py)
+            AND p.px < (${nxt("x")} - $t.poly[i].x)
+              * (p.py - $t.poly[i].y) / (${nxt("y")} - $t.poly[i].y)
+              + $t.poly[i].x
+          THEN 1 ELSE 0 END)) % 2 = 1)"""
+      }
+      s"""
+      WITH pts AS (
+        SELECT c_custkey AS pid,
+          c_custkey % 1000 / CAST(100.0 AS DOUBLE)
+            + CAST(0.005 AS DOUBLE) AS px,
+          c_custkey * 7 % 1000 / CAST(100.0 AS DOUBLE)
+            + CAST(0.005 AS DOUBLE) AS py
+        FROM customer),
+      tracts AS (
+        SELECT 'T' || CAST(n_nationkey AS VARCHAR) AS tract_id,
+          [struct_pack(x := CAST(n_nationkey % 5 * 2 AS DOUBLE),
+             y := CAST(n_nationkey // 5 * 2 AS DOUBLE)),
+           struct_pack(x := CAST(n_nationkey % 5 * 2 + 2 AS DOUBLE),
+             y := CAST(n_nationkey // 5 * 2 AS DOUBLE)),
+           struct_pack(x := CAST(n_nationkey % 5 * 2 + 2 AS DOUBLE),
+             y := CAST(n_nationkey // 5 * 2 + 2 AS DOUBLE)),
+           struct_pack(x := CAST(n_nationkey % 5 * 2 AS DOUBLE),
+             y := CAST(n_nationkey // 5 * 2 + 2 AS DOUBLE))] AS poly
+        FROM nation),
+      regions AS (
+        SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS region_name,
+          [struct_pack(x := CAST(r_regionkey * 2 AS DOUBLE),
+             y := CAST(0 AS DOUBLE)),
+           struct_pack(x := CAST(r_regionkey * 2 + 2 AS DOUBLE),
+             y := CAST(0 AS DOUBLE)),
+           struct_pack(x := CAST(r_regionkey * 2 + 2 AS DOUBLE),
+             y := CAST(10 AS DOUBLE)),
+           struct_pack(x := CAST(r_regionkey * 2 AS DOUBLE),
+             y := CAST(10 AS DOUBLE))] AS poly
+        FROM region),
+      schools AS (
+        SELECT 'S' || CAST(n_nationkey AS VARCHAR) AS school,
+          [struct_pack(x := CAST(n_nationkey AS DOUBLE),
+             y := CAST(0 AS DOUBLE)),
+           struct_pack(x := CAST(n_nationkey + 1 AS DOUBLE),
+             y := CAST(0 AS DOUBLE)),
+           struct_pack(x := CAST(n_nationkey + 0.5 AS DOUBLE),
+             y := CAST(9.75 AS DOUBLE))] AS poly
+        FROM nation WHERE n_nationkey < 10)
+      SELECT p.pid, p.px, p.py, t.tract_id, r.region_name, s.school
+      FROM pts p
+      LEFT JOIN tracts t ON ${pip("t")}
+      LEFT JOIN regions r ON ${pip("r")}
+      LEFT JOIN schools s ON ${pip("s")}
+      ORDER BY p.pid"""
+    },
   )
 }

@@ -3848,6 +3848,42 @@ object BuildQueries {
       .orderBy(k, col("item"))
   }
 
+  /** §7.5 address_geocode spatial overlay (q195,
+    * load_stage.address_geocode_partial.R:440-520): geocoded points
+    * st_join'ed against polygon layers — census-tract rectangle grid,
+    * region strips, school-district triangles — via the grid-partitioned
+    * equi-join ([[graft.operators.Spatial.overlay]]), LEFT semantics so
+    * out-of-coverage points keep NULL attrs. */
+  def q195GeoOverlay(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Spatial
+    val pts = t(s, dir, "customer").select(
+      col("c_custkey").as("pid"),
+      (col("c_custkey") % 1000 / 100.0 + 0.005).as("px"),
+      (col("c_custkey") * 7 % 1000 / 100.0 + 0.005).as("py"))
+    def pt(x: Column, y: Column): Column =
+      struct(x.cast("double").as("x"), y.cast("double").as("y"))
+    val k = col("n_nationkey")
+    val tracts = t(s, dir, "nation").select(
+      concat(lit("T"), k.cast("string")).as("tract_id"),
+      array(
+        pt(k % 5 * 2, (k / 5).cast("int") * 2),
+        pt(k % 5 * 2 + 2, (k / 5).cast("int") * 2),
+        pt(k % 5 * 2 + 2, (k / 5).cast("int") * 2 + 2),
+        pt(k % 5 * 2, (k / 5).cast("int") * 2 + 2)).as("poly"))
+    val r = col("r_regionkey")
+    val regions = t(s, dir, "region").select(
+      concat(lit("R"), r.cast("string")).as("region_name"),
+      array(pt(r * 2, lit(0)), pt(r * 2 + 2, lit(0)),
+        pt(r * 2 + 2, lit(10)), pt(r * 2, lit(10))).as("poly"))
+    val schools = t(s, dir, "nation").filter(k < 10).select(
+      concat(lit("S"), k.cast("string")).as("school"),
+      array(pt(k, lit(0)), pt(k + 1, lit(0)),
+        pt(k + 0.5, lit(9.75))).as("poly"))
+    Spatial.overlay(pts, "pid", "px", "py",
+        Seq(tracts, regions, schools), cellSize = 2.0)
+      .orderBy(col("pid"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
