@@ -294,6 +294,7 @@ object SparkEntry {
       (graft.queries.BuildQueries.q193McaidClaimsSimple _),
     "q194_tsql_split" -> (graft.queries.BuildQueries.q194TsqlSplit _),
     "q195_geo_overlay" -> (graft.queries.BuildQueries.q195GeoOverlay _),
+    "q196_edit_distance_join" -> (T.q196EditDistanceJoin _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10329,5 +10330,27 @@ object SparkEntry {
       LEFT JOIN schools s ON ${pip("s")}
       ORDER BY p.pid"""
     },
+
+    // q196: PassJoin edit-distance join — the oracle brute-forces every
+    // length-compatible pair with levenshtein, independently pinning
+    // the pigeonhole-segment candidate path's EXACT recall.
+    "q196_edit_distance_join" -> """
+      WITH base AS (
+        SELECT p_partkey AS id, p_name AS str FROM part
+        WHERE p_partkey % 20 = 0),
+      titles AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT id + 100000000, 'X' || substr(str, 2) FROM base
+        WHERE id % 40 = 0
+        UNION ALL
+        SELECT id + 200000000, substr(str, 3) FROM base
+        WHERE id % 60 = 0)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(levenshtein(a.str, b.str) AS INT) AS dist
+      FROM titles a JOIN titles b
+        ON a.id < b.id AND abs(len(a.str) - len(b.str)) <= 2
+      WHERE levenshtein(a.str, b.str) <= 2
+      ORDER BY id_a, id_b""",
   )
 }

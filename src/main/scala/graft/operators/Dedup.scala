@@ -324,4 +324,76 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Exact edit-distance similarity join (PassJoin, Li et al. 2011):
+    * every pair within Levenshtein distance <= d, with EXACT recall —
+    * no all-pairs scan.
+    *
+    * Pigeonhole: split each string into d+1 disjoint segments; any
+    * string within distance d must contain at least one of those
+    * segments VERBATIM, at a position shifted by at most d. So the
+    * index side emits its d+1 segments keyed by (own length, segment
+    * index, segment text); the probe side emits, for every compatible
+    * partner length l' in [l-d, l+d] and every segment slot of a
+    * length-l' string, its substrings at the slot's start position
+    * shifted by -d..d. Candidates come from the plain EQUI join on
+    * (length, slot, gram) — a bounded (2d+1)^2*(d+1)-way expansion of
+    * the probe side, never a cross join — then one codegen'd
+    * `levenshtein` verifies each DISTINCT candidate pair. Degenerate
+    * zero-length segments (strings shorter than d+1) still join only
+    * within their length-compatible group, so tiny strings cost
+    * candidate selectivity, not correctness.
+    *
+    * Segment scheme for length l: q = l div (d+1), r = l mod (d+1) —
+    * the first d+1-r segments have length q, the last r have q+1.
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b. */
+  def editDistancePairs(docs: DataFrame, id: String, text: String,
+      d: Int): DataFrame = {
+    require(d >= 1, "threshold must be >= 1")
+    val s = docs.select(col(id).as("_id"), col(text).as("_s"),
+      length(col(text)).as("_l"))
+    // segment start (1-based) and length for slot i of a length-l string
+    def segLen(l: Column, i: Column): Column = {
+      val q = floor(l / (d + 1)).cast("int")
+      val r = l % (d + 1)
+      q + when(i >= lit(d + 1) - r, 1).otherwise(0)
+    }
+    def segStart(l: Column, i: Column): Column = {
+      val q = floor(l / (d + 1)).cast("int")
+      val r = l % (d + 1)
+      i * q + greatest(i - (lit(d + 1) - r), lit(0)) + 1
+    }
+    val slot = explode(sequence(lit(0), lit(d)))
+    val index = s
+      .withColumn("_i", slot)
+      .select(col("_l"), col("_i"),
+        substring(col("_s"), segStart(col("_l"), col("_i")),
+          segLen(col("_l"), col("_i"))).as("_g"),
+        col("_id"), col("_s"))
+    val probes = s
+      .withColumn("_tl", explode(sequence(
+        greatest(col("_l") - d, lit(0)), col("_l") + d)))
+      .withColumn("_i", slot)
+      .withColumn("_delta", explode(sequence(lit(-d), lit(d))))
+      .withColumn("_pos", segStart(col("_tl"), col("_i")) + col("_delta"))
+      .withColumn("_glen", segLen(col("_tl"), col("_i")))
+      .filter(col("_pos") >= 1 &&
+        col("_pos") + col("_glen") - 1 <= col("_l"))
+      .select(col("_tl").as("_l"), col("_i"),
+        substring(col("_s"), col("_pos"), col("_glen")).as("_g"),
+        col("_id").as("_pid"), col("_s").as("_ps"))
+    index.join(probes, Seq("_l", "_i", "_g"))
+      .filter(col("_id") =!= col("_pid"))
+      .select(least(col("_id"), col("_pid")).as("id_a"),
+        greatest(col("_id"), col("_pid")).as("id_b"),
+        when(col("_id") < col("_pid"), col("_s")).otherwise(col("_ps"))
+          .as("_sa"),
+        when(col("_id") < col("_pid"), col("_ps")).otherwise(col("_s"))
+          .as("_sb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("dist") <= d)
+      .select("id_a", "id_b", "dist")
+  }
 }

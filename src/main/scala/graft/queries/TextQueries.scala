@@ -442,4 +442,24 @@ object TextQueries {
         docs.filter(col("doc_id") % 3 === 0), n = 3)
       .orderBy(col("doc_id"))
   }
+
+  /** q196: exact edit-distance similarity join (PassJoin) over short
+    * title strings — part names plus planted substitution (dist 1) and
+    * two-char-deletion (dist 2) mutants — every pair within Levenshtein
+    * distance 2, exact recall; the oracle brute-forces the same pairs
+    * with DuckDB's levenshtein. */
+  def q196EditDistanceJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "part")
+      .filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("str"))
+    val titles = base
+      .unionByName(base.filter(col("id") % 40 === 0).select(
+        (col("id") + 100000000L).as("id"),
+        concat(lit("X"), substring(col("str"), 2, 1000000)).as("str")))
+      .unionByName(base.filter(col("id") % 60 === 0).select(
+        (col("id") + 200000000L).as("id"),
+        substring(col("str"), 3, 1000000).as("str")))
+    Dedup.editDistancePairs(titles, "id", "str", d = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -235,4 +235,35 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (a, b, _) => a == 0L && b == 1000L },
       s"unexpected pairs: ${out.filterNot(p => p._1 == 0L && p._2 == 1000L).mkString(",")}")
   }
+
+  test("editDistancePairs matches brute-force levenshtein exactly " +
+    "(substitutions, insert/delete, short strings, empty string)") {
+    import spark.implicits._
+    val base = Seq("spark analytics engine", "sparkly analytics engine",
+      "spark analytic engine", "distributed query planner",
+      "distributed query planners", "wholly unrelated text here",
+      "ab", "ba", "abcd", "", "x")
+    val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "str")
+    val got = Dedup.editDistancePairs(docs, "id", "str", d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      i <- base.indices; j <- base.indices if i < j
+      dist = lev(base(i), base(j)) if dist <= 2
+    } yield (i.toLong, j.toLong, dist)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 0) === false)
+    assert(want.contains((0L, 2L, 1)))   // one-word deletion of an 's'
+    assert(want.contains((6L, 7L, 2)))   // ab <-> ba transposition = 2
+    assert(want.contains((9L, 10L, 1)))  // empty vs 1-char
+  }
 }
