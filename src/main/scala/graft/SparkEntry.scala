@@ -295,6 +295,7 @@ object SparkEntry {
     "q194_tsql_split" -> (graft.queries.BuildQueries.q194TsqlSplit _),
     "q195_geo_overlay" -> (graft.queries.BuildQueries.q195GeoOverlay _),
     "q196_edit_distance_join" -> (T.q196EditDistanceJoin _),
+    "q197_knn_graph" -> (V.q197KnnGraph _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10352,5 +10353,56 @@ object SparkEntry {
         ON a.id < b.id AND abs(len(a.str) - len(b.str)) <= 2
       WHERE levenshtein(a.str, b.str) <= 2
       ORDER BY id_a, id_b""",
+
+    // q197: mutual-kNN graph — q104's raw-float cell assignment (same
+    // cen/assigned CTEs), q129's integer-exact quantized cosine for
+    // the within-cell edge ranks, reverse-edge self-join for mutual.
+    "q197_knn_graph" -> """
+      WITH cen AS (
+        SELECT j AS cell,
+          list(CAST(((j*29 + d*11) % 15) - 7 AS DOUBLE) ORDER BY d) AS cv
+        FROM generate_series(0, 7) t(j), generate_series(0, 63) s(d)
+        GROUP BY j),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                DESC, c.cell DESC) AS rn
+          FROM embeddings e CROSS JOIN cen c) WHERE rn = 1),
+      qv AS (
+        SELECT vec_id, cell,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS q
+        FROM (
+          SELECT vec_id, cell, embedding,
+            list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+              / 127.0 AS s
+          FROM assigned)),
+      edges AS (
+        SELECT * FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+            CASE WHEN list_inner_product(a.q, a.q) = 0
+                OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+              ELSE list_inner_product(a.q, b.q)
+                / (sqrt(list_inner_product(a.q, a.q))
+                  * sqrt(list_inner_product(b.q, b.q))) END AS qcosine,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY CASE WHEN list_inner_product(a.q, a.q) = 0
+                  OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+                ELSE list_inner_product(a.q, b.q)
+                  / (sqrt(list_inner_product(a.q, a.q))
+                    * sqrt(list_inner_product(b.q, b.q))) END DESC,
+                b.vec_id) AS rank
+          FROM qv a JOIN qv b ON a.cell = b.cell
+            AND a.vec_id <> b.vec_id)
+        WHERE rank <= 4)
+      SELECT e.src, e.dst, e.qcosine, CAST(e.rank AS INTEGER) AS rank,
+        CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+      FROM edges e
+      LEFT JOIN (SELECT dst AS src, src AS dst FROM edges) r
+        ON e.src = r.src AND e.dst = r.dst
+      ORDER BY e.src, e.rank""",
   )
 }

@@ -189,6 +189,50 @@ object Similarity {
         coalesce(col("_pruned"), lit(0)).as("pruned"))
   }
 
+  /** Mutual-kNN graph over a cell-partitioned corpus — the sparsifier
+    * behind graph-based dedup/clustering (and the neighbor lists
+    * graph-ANN indexes start from): every vector's top-k same-cell
+    * neighbors by the integer-exact int8 cosine (ties on neighbor id),
+    * with an edge flagged `mutual` when each endpoint ranks the other
+    * inside its own top-k — the symmetrization that separates dense
+    * duplicate clusters from asymmetric hub neighbors.
+    *
+    * Scale: cell assignment bounds the pair space to Σ cell² (the
+    * SemDeDup discipline — never corpus²); one cell-keyed shuffle for
+    * the pair join, one id-keyed window for the per-node rank, one
+    * edge-keyed self-join for mutuality. `maxCell` skips degenerate
+    * cells. Assignment uses the raw floats (argmax is
+    * rounding-robust); edge scores use the quantized grid so ranks
+    * reproduce bit-identically in the oracle.
+    *
+    * @return (src, dst, qcosine, rank, mutual) — directed edges */
+  def knnGraph(corpus: DataFrame, id: String, vec: String,
+      centroids: Array[(Int, Seq[Float])], k: Int,
+      maxCell: Int = 100000): DataFrame = {
+    val a = quantize(assignCells(corpus, id, vec, centroids), "_id", "_v")
+      .select(col("_id"), col("_cell"), col("qvec"))
+      .withColumn("_cn",
+        count(lit(1)).over(Window.partitionBy(col("_cell"))))
+      .filter(col("_cn") <= maxCell).drop("_cn")
+    val l = a.select(col("_cell"), col("_id").as("src"),
+      col("qvec").as("_sv"))
+    val r = a.select(col("_cell"), col("_id").as("dst"),
+      col("qvec").as("_dv"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("qcosine").desc, col("dst").asc)
+    val edges = l.join(r, Seq("_cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VectorFns.cosineSim(col("_sv"), col("_dv")).as("qcosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("_m", lit(1))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("qcosine"), col("rank"),
+        coalesce(col("_m"), lit(0)).as("mutual"))
+  }
+
   /** IVF query: probe the nProbe nearest cells per query, exact cosine
     * within probed cells only. */
   def ivfTopK(queries: DataFrame, qid: String, qvec: String,

@@ -212,4 +212,16 @@ object VectorQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("prefix_cosine"), col("qcosine"))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Mutual-kNN graph (q197): q104's fixed centroids partition the
+    * corpus, each vector's top-4 same-cell neighbors scored on the int8
+    * grid (integer-exact, fully oracled), edges flagged mutual when the
+    * reverse edge also ranks. */
+  def q197KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val centroids = Array.tabulate(8)(j =>
+      (j, Seq.tabulate(64)(d => (((j * 29 + d * 11) % 15) - 7).toFloat)))
+    Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        centroids, k = 4)
+      .orderBy(col("src"), col("rank"))
+  }
 }

@@ -267,4 +267,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(mat === full)
   }
+
+  test("knnGraph: k=1 mutual pair vs asymmetric hub neighbor") {
+    import spark.implicits._
+    // one cell (single centroid). Vectors on a line: 0 and 1 are a
+    // tight pair; 2 is a hub-ish outlier whose nearest is 1, but 1's
+    // nearest is 0 -> edge 2->1 must NOT be mutual at k=1.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.00f)),
+      (1L, Seq(1.0f, 0.01f)),
+      (2L, Seq(1.0f, 0.30f)))
+      .toDF("vec_id", "embedding")
+    val cen = Array((0, Seq(1.0f, 0.0f)))
+    val out = Similarity.knnGraph(vecs, "vec_id", "embedding", cen, k = 1)
+      .select("src", "dst", "mutual")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((0L, 1L, 1), (1L, 0L, 1), (2L, 1L, 0)))
+  }
 }
