@@ -296,6 +296,8 @@ object SparkEntry {
     "q195_geo_overlay" -> (graft.queries.BuildQueries.q195GeoOverlay _),
     "q196_edit_distance_join" -> (T.q196EditDistanceJoin _),
     "q197_knn_graph" -> (V.q197KnnGraph _),
+    "q198_ccw_prevalence_qa" ->
+      (graft.queries.BuildQueries.q198CcwPrevalenceQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10404,5 +10406,117 @@ object SparkEntry {
       LEFT JOIN (SELECT dst AS src, src AS dst FROM edges) r
         ON e.src = r.src AND e.dst = r.dst
       ORDER BY e.src, e.rank""",
+
+    // q198: CCW prevalence QA — per-condition qualification replicated
+    // per-arm (the q61 CTEs), year-prevalence share vs benchmark with
+    // the documented PASS guidance, age_grp7 distribution with the
+    // leap-year divisor and the dob-after-year-end NULL branch.
+    "q198_ccw_prevalence_qa" -> """
+      WITH c1 AS (
+        SELECT o_custkey, min(o_orderdate::DATE) AS first_date,
+          max(o_orderdate::DATE) AS last_date
+        FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1),
+      oc AS (SELECT o_custkey, o_orderdate::DATE AS d FROM orders
+             WHERE o_orderstatus = 'O'),
+      ocq AS (
+        SELECT o_custkey FROM (
+          SELECT o_custkey, CASE WHEN date_diff('day', d,
+            lead(d) OVER (PARTITION BY o_custkey ORDER BY d)) <= 90
+            THEN 1 ELSE 0 END AS p
+          FROM oc) GROUP BY 1 HAVING max(p) = 1),
+      c2 AS (
+        SELECT c.o_custkey, min(d) AS first_date, max(d) AS last_date
+        FROM oc c JOIN ocq USING (o_custkey) GROUP BY 1),
+      fc AS (SELECT o_custkey, o_orderdate::DATE AS d FROM orders
+             WHERE o_orderstatus = 'F'),
+      fcq AS (
+        SELECT o_custkey FROM (
+          SELECT o_custkey, CASE WHEN date_diff('day', d,
+            lead(d) OVER (PARTITION BY o_custkey ORDER BY d)) <= 180
+            THEN 1 ELSE 0 END AS p
+          FROM fc) GROUP BY 1 HAVING max(p) = 1),
+      c3 AS (
+        SELECT f.o_custkey, min(d) AS first_date, max(d) AS last_date
+        FROM fc f JOIN fcq USING (o_custkey) GROUP BY 1),
+      ccw AS (
+        SELECT 'big_spender' AS condition, * FROM c1
+        UNION ALL SELECT 'open_frequent', * FROM c2
+        UNION ALL SELECT 'filled_frequent', * FROM c3),
+      prevalent AS (
+        SELECT condition, o_custkey FROM ccw
+        WHERE year(first_date) <= 1996 AND year(last_date) >= 1996),
+      cover AS (
+        SELECT DISTINCT o_custkey FROM (
+          SELECT o_custkey, o_orderdate::DATE AS fd,
+            o_orderdate::DATE + CAST(o_orderkey % 90 AS INT) AS td
+          FROM orders) t
+        WHERE year(fd) <= 1996 AND year(td) >= 1996),
+      popn AS (SELECT CAST(count(*) AS BIGINT) AS pop FROM cover),
+      bench AS (
+        SELECT 'big_spender' AS condition,
+          CAST(4.2 AS DOUBLE) AS benchmark
+        UNION ALL SELECT 'open_frequent', CAST(30.0 AS DOUBLE)),
+      prev AS (
+        SELECT 'prevalence' AS section, g.condition,
+          CAST(NULL AS VARCHAR) AS age_grp7, g.id_dcount, popn.pop,
+          round(g.id_dcount / popn.pop * 100.0, 4) AS prop,
+          b.benchmark,
+          round(g.id_dcount / popn.pop * 100.0 - b.benchmark, 4)
+            AS abs_diff,
+          round((g.id_dcount / popn.pop * 100.0 - b.benchmark)
+            / (g.id_dcount / popn.pop * 100.0) * 100.0, 4) AS per_diff,
+          CASE WHEN b.benchmark IS NULL THEN NULL
+            WHEN abs((g.id_dcount / popn.pop * 100.0 - b.benchmark)
+              / (g.id_dcount / popn.pop * 100.0) * 100.0) < 10
+              OR abs(g.id_dcount / popn.pop * 100.0 - b.benchmark) < 0.5
+            THEN 'PASS' ELSE 'REVIEW' END AS verdict
+        FROM (
+          SELECT condition,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS id_dcount
+          FROM prevalent GROUP BY 1) g
+        CROSS JOIN popn
+        LEFT JOIN bench b ON g.condition = b.condition),
+      demo AS (
+        SELECT o_custkey,
+          CASE
+            WHEN age >= 0 AND age < 5 THEN '00-04'
+            WHEN age >= 5 AND age < 12 THEN '05-11'
+            WHEN age >= 12 AND age < 18 THEN '12-17'
+            WHEN age >= 18 AND age < 25 THEN '18-24'
+            WHEN age >= 25 AND age < 45 THEN '25-44'
+            WHEN age >= 45 AND age < 65 THEN '45-64'
+            WHEN age >= 65 THEN '65 and over' END AS age_grp7
+        FROM (
+          SELECT o_custkey, CAST(CASE
+            WHEN datediff('day', dob, DATE '1996-12-31') >= 0
+            THEN FLOOR((datediff('day', dob, DATE '1996-12-31') + 1)
+              / 366.0) END AS INT) AS age
+          FROM (
+            SELECT DISTINCT o_custkey,
+              DATE '1930-01-01'
+                + CAST(o_custkey * 61 % 24800 AS INT) AS dob
+            FROM orders) d)),
+      popage AS (
+        SELECT age_grp7,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS pop
+        FROM cover JOIN demo USING (o_custkey)
+        WHERE age_grp7 IS NOT NULL GROUP BY 1),
+      condage AS (
+        SELECT 'age_dist' AS section, ca.condition, ca.age_grp7,
+          ca.id_dcount, popage.pop,
+          round(ca.id_dcount / popage.pop * 100.0, 4) AS prop,
+          CAST(NULL AS DOUBLE) AS benchmark,
+          CAST(NULL AS DOUBLE) AS abs_diff,
+          CAST(NULL AS DOUBLE) AS per_diff,
+          CAST(NULL AS VARCHAR) AS verdict
+        FROM (
+          SELECT p.condition, d.age_grp7,
+            CAST(count(DISTINCT p.o_custkey) AS BIGINT) AS id_dcount
+          FROM (SELECT DISTINCT condition, o_custkey FROM prevalent) p
+          LEFT JOIN demo d USING (o_custkey)
+          WHERE d.age_grp7 IS NOT NULL GROUP BY 1, 2) ca
+        JOIN popage USING (age_grp7))
+      SELECT * FROM prev UNION ALL SELECT * FROM condage
+      ORDER BY section, condition, age_grp7""",
   )
 }

@@ -3884,6 +3884,90 @@ object BuildQueries {
       .orderBy(col("pid"))
   }
 
+  /** §5 CCW prevalence QA battery (q198,
+    * qa_stage.mcaid_claim_ccw.R:104-280): per-condition year-prevalent
+    * person counts as a share of the year-covered population, compared
+    * to a fixed external benchmark table (abs + percent diffs; the
+    * reference's human review prompt is automated with its own
+    * documented guidance — PASS when |percent diff| < 10 OR |abs diff|
+    * < 0.5, conditions without a benchmark stay unverdicted); plus the
+    * per-condition age_grp7 distribution against the population's,
+    * with the script's leap-year divisor (1996 -> 366), its
+    * dob-after-year-end NULL age branch, and its zero-padded labels.
+    * One scan per aggregate; the population total is a 1-row broadcast
+    * cross (never a driver round-trip). */
+  def q198CcwPrevalenceQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yr = 1996
+    val pt = 366.0 // leap year
+    val yearEnd = to_date(lit(s"$yr-12-31"))
+    val orders = t(s, dir, "orders")
+    val ccw = ConditionLoop.build(orders)
+    val prevalent = ccw
+      .filter(year(col("first_date")) <= yr &&
+        year(col("last_date")) >= yr)
+      .select(col("condition"), col("o_custkey"))
+    val cover = orders.select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("fd"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 90).cast("int")).as("td"))
+      .filter(year(col("fd")) <= yr && year(col("td")) >= yr)
+      .select("o_custkey").distinct()
+    val popN = cover.agg(count(lit(1)).as("pop"))
+    val bench = Seq(("big_spender", 4.2), ("open_frequent", 30.0))
+      .toDF("condition", "benchmark")
+    val propRaw = col("id_dcount") / col("pop") * 100.0
+    val prev = prevalent.groupBy(col("condition"))
+      .agg(countDistinct(col("o_custkey")).as("id_dcount"))
+      .crossJoin(broadcast(popN))
+      .join(broadcast(bench), Seq("condition"), "left")
+      .select(lit("prevalence").as("section"), col("condition"),
+        lit(null).cast("string").as("age_grp7"),
+        col("id_dcount"), col("pop"),
+        round(propRaw, 4).as("prop"), col("benchmark"),
+        round(propRaw - col("benchmark"), 4).as("abs_diff"),
+        round((propRaw - col("benchmark")) / propRaw * 100.0, 4)
+          .as("per_diff"),
+        when(col("benchmark").isNull, lit(null).cast("string"))
+          .when(abs((propRaw - col("benchmark")) / propRaw * 100.0) < 10
+            || abs(propRaw - col("benchmark")) < 0.5, "PASS")
+          .otherwise("REVIEW").as("verdict"))
+    val demo = orders.select(col("o_custkey")).distinct()
+      .withColumn("dob", date_add(to_date(lit("1930-01-01")),
+        (col("o_custkey") * 61 % 24800).cast("int")))
+      .withColumn("age",
+        when(datediff(yearEnd, col("dob")) >= 0,
+          floor((datediff(yearEnd, col("dob")) + 1) / pt)).cast("int"))
+      .withColumn("age_grp7",
+        when(col("age") >= 0 && col("age") < 5, "00-04")
+          .when(col("age") >= 5 && col("age") < 12, "05-11")
+          .when(col("age") >= 12 && col("age") < 18, "12-17")
+          .when(col("age") >= 18 && col("age") < 25, "18-24")
+          .when(col("age") >= 25 && col("age") < 45, "25-44")
+          .when(col("age") >= 45 && col("age") < 65, "45-64")
+          .when(col("age") >= 65, "65 and over"))
+      .select("o_custkey", "age_grp7")
+    val popAge = cover.join(demo, "o_custkey")
+      .filter(col("age_grp7").isNotNull)
+      .groupBy("age_grp7")
+      .agg(countDistinct(col("o_custkey")).as("pop"))
+    val condAge = prevalent.distinct()
+      .join(demo, Seq("o_custkey"), "left")
+      .filter(col("age_grp7").isNotNull)
+      .groupBy("condition", "age_grp7")
+      .agg(countDistinct(col("o_custkey")).as("id_dcount"))
+      .join(popAge, "age_grp7")
+      .select(lit("age_dist").as("section"), col("condition"),
+        col("age_grp7"), col("id_dcount"), col("pop"),
+        round(col("id_dcount") / col("pop") * 100.0, 4).as("prop"),
+        lit(null).cast("double").as("benchmark"),
+        lit(null).cast("double").as("abs_diff"),
+        lit(null).cast("double").as("per_diff"),
+        lit(null).cast("string").as("verdict"))
+    prev.unionByName(condAge)
+      .orderBy(col("section"), col("condition"), col("age_grp7"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */

@@ -149,8 +149,11 @@ class PlanSpec extends SparkSpec {
                                // truncate cut (the q169 shape)
       "q189_binary_ann", // crossJoin(broadcast(queries)): the q41/q129
                          // ANN candidate shape over packed sign bits
-      "q190_matryoshka_ann") // crossJoin(broadcast(queries)): the same
+      "q190_matryoshka_ann", // crossJoin(broadcast(queries)): the same
                              // shape over prefix-dim int8 vectors
+      "q198_ccw_prevalence_qa") // prevalence x broadcast 1-row
+                                // population total (the q128/q176
+                                // renormalizer shape)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
