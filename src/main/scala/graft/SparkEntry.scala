@@ -83,6 +83,11 @@ object SparkEntry {
   def qStreamJoin(s: SparkSession, dir: String): DataFrame =
     EventStream.clickPurchaseJoin(s, dir)
 
+  /** Stream-stream LEFT OUTER interval join: matched pairs plus
+    * watermark-finalized never-converted clicks. */
+  def qStreamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    EventStream.clickPurchaseLeftJoin(s, dir)
+
   /** Streaming hash-split + per-split rollup: the q123 md5 range cut as
     * a stateless stream Column, then watermarked hourly windows. */
   def qStreamSplit(s: SparkSession, dir: String): DataFrame =
@@ -298,6 +303,7 @@ object SparkEntry {
     "q197_knn_graph" -> (V.q197KnnGraph _),
     "q198_ccw_prevalence_qa" ->
       (graft.queries.BuildQueries.q198CcwPrevalenceQa _),
+    "q199_stream_left_join" -> (qStreamLeftJoin _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10518,5 +10524,38 @@ object SparkEntry {
         JOIN popage USING (age_grp7))
       SELECT * FROM prev UNION ALL SELECT * FROM condage
       ORDER BY section, condition, age_grp7""",
+
+    // q199: stream-stream LEFT OUTER interval join — inner matches plus
+    // null rows for never-matched clicks whose state the final global
+    // watermark (min over both sides of max ts - delay) evicted.
+    "q199_stream_left_join" -> """
+      WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT least((SELECT max(click_ts) FROM clicks),
+          (SELECT max(purchase_ts) FROM purch))
+          - INTERVAL 3600 SECONDS AS w),
+      matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+          (epoch_us(p.purchase_ts) - epoch_us(c.click_ts)) // 1000000
+            AS gap_sec
+        FROM clicks c JOIN purch p
+          ON c.user_id = p.user_id
+          AND epoch_us(p.purchase_ts) >= epoch_us(c.click_ts)
+          AND epoch_us(p.purchase_ts)
+            <= epoch_us(c.click_ts) + 3600000000)
+      SELECT * FROM matched
+      UNION ALL
+      SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        c.user_id, CAST(NULL AS BIGINT) AS gap_sec
+      FROM clicks c
+      WHERE NOT EXISTS (
+          SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+        AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+      ORDER BY click_id, purchase_id""",
   )
 }

@@ -268,6 +268,54 @@ object EventStream {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (q199) — the attribution
+    * variant that also emits clicks that never converted. Matched pairs
+    * emit like [[clickPurchaseJoin]]'s inner join; an unmatched click's
+    * NULL row is emitted only when its join window is provably closed —
+    * the click's state is evicted once the global watermark (the MIN
+    * over both sides of max event time minus the delay) passes
+    * click_ts + 1 hour. Clicks whose window is still open when input
+    * ends are withheld, exactly the append-sink discipline of the other
+    * streaming kernels; the batch-equivalence rule callers (and the
+    * q199 oracle) apply is: a never-matched click emits iff
+    * `click_ts + 1h < min(max(click_ts), max(purchase_ts)) - delay`.
+    */
+  def clickPurchaseLeftJoin(s: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    def src(): DataFrame = eventsStream(s, dir, "graft_stream_loj_src")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$DelaySeconds seconds")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", s"$DelaySeconds seconds")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        floor((unix_micros(col("purchase_ts")) -
+          unix_micros(col("click_ts"))) / lit(1000000L)).as("gap_sec"))
+    val base = Files.createTempDirectory("graft_stream_loj").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.schema(joined.schema).parquet(s"$base/data")
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Tumbling 1-hour event-time aggregation of the events table, executed
     * through the streaming engine (readStream -> watermark -> window agg ->
     * append-mode parquet sink), then read back as a DataFrame. */

@@ -27,4 +27,31 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.length} vs batch ${batch.length} windows")
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("left-outer stream join: inner rows match q136, null rows only " +
+    "for watermark-closed never-matched clicks") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.clickPurchaseLeftJoin(spark, sf).cache()
+    val inner = EventStream.clickPurchaseJoin(spark, sf)
+    val gotInner = out.filter(col("purchase_id").isNotNull)
+      .orderBy("click_id", "purchase_id").collect().map(_.toString)
+    val wantInner = inner.orderBy("click_id", "purchase_id")
+      .collect().map(_.toString)
+    assert(gotInner.toSeq == wantInner.toSeq)
+    // every null row's click must be strictly older than watermark - 1h
+    val events = graft.queries.Q.t(spark, sf, "events")
+    val clicks = events.filter(col("event_type") === "click")
+    val wm = math.min(
+      clicks.agg(max(unix_micros(col("ts")))).head.getLong(0),
+      events.filter(col("event_type") === "purchase")
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)) -
+      EventStream.DelaySeconds * 1000000L
+    val lateNull = out.filter(col("purchase_id").isNull)
+      .join(clicks.select(col("event_id").as("click_id"), col("ts")),
+        "click_id")
+      .filter(unix_micros(col("ts")) + 3600000000L >= wm)
+    assert(lateNull.count() === 0L)
+    // and null rows exist at all (the flush really ran)
+    assert(out.filter(col("purchase_id").isNull).count() > 0L)
+  }
 }
