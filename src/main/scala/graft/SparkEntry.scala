@@ -304,6 +304,7 @@ object SparkEntry {
     "q198_ccw_prevalence_qa" ->
       (graft.queries.BuildQueries.q198CcwPrevalenceQa _),
     "q199_stream_left_join" -> (qStreamLeftJoin _),
+    "q200_jsd_matrix" -> (T.q200JsdMatrix _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10557,5 +10558,40 @@ object SparkEntry {
           SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
         AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
       ORDER BY click_id, purchase_id""",
+
+    // q200: pairwise Jensen-Shannon divergence between language
+    // domains — q172's md5 bucket space, densified distributions,
+    // ln/ln2 terms mirrored, rounded to 1e-6.
+    "q200_jsd_matrix" -> """
+      WITH toks AS (
+        SELECT lang AS d,
+          unnest(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' ')) AS f
+        FROM documents),
+      bk AS (
+        SELECT d, ('0x' || substr(md5(f), 1, 8))::UBIGINT % 256 AS b
+        FROM toks WHERE len(f) > 0),
+      counts AS (
+        SELECT d, CAST(b AS BIGINT) AS b, count(*) AS n
+        FROM bk GROUP BY 1, 2),
+      tot AS (SELECT d, CAST(sum(n) AS BIGINT) AS tot
+        FROM counts GROUP BY 1),
+      dense AS (
+        SELECT t.d, s.b,
+          COALESCE(c.n, 0)::DOUBLE / t.tot AS p
+        FROM tot t
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) s
+        LEFT JOIN counts c ON c.d = t.d AND c.b = s.b)
+      SELECT a.d AS source_a, b.d AS source_b,
+        round(sum(
+          (CASE WHEN a.p > 0
+            THEN a.p * (ln(a.p * 2 / (a.p + b.p)) / ln(2))
+            ELSE 0 END) * 0.5 +
+          (CASE WHEN b.p > 0
+            THEN b.p * (ln(b.p * 2 / (a.p + b.p)) / ln(2))
+            ELSE 0 END) * 0.5), 6) AS jsd
+      FROM dense a JOIN dense b ON a.b = b.b AND a.d < b.d
+      GROUP BY 1, 2
+      ORDER BY source_a, source_b""",
   )
 }

@@ -1028,4 +1028,51 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams"), 6)
           .as("novelty"))
   }
+
+  /** Pairwise Jensen-Shannon divergence between corpus domains — the
+    * mixture-diagnostics dual of [[mixtureWeights]]: how far apart two
+    * domains' unigram distributions are (0 = identical, 1 = disjoint,
+    * log2 base). Token mass is hashed into `nBuckets` md5 buckets (the
+    * q172 DSIR feature space — engine-portable), each domain's bucket
+    * distribution is densified over the full bucket range (zero-mass
+    * buckets contribute 0 to the sum by the p->0 limit, taken
+    * explicitly), and JSD(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M) with
+    * M = (P+Q)/2 folds per bucket in one pass.
+    *
+    * Scale: one tokenize+hash scan, counts collapse to (domain,
+    * bucket) <= nDomains*nBuckets rows, and the pair join runs on that
+    * Zipf-proof collapsed frame — never on tokens. log terms are
+    * ln/ln2 so the oracle reproduces the arithmetic; the sum is
+    * rounded to 1e-6. */
+  def jsdMatrix(docs: DataFrame, domain: Column, text: String = "text",
+      nBuckets: Int = 256): DataFrame = {
+    val toks = split(trim(lower(col(text))), "\\s+")
+    val long = docs.select(domain.as("_d"), explode(toks).as("_f"))
+      .filter(length(col("_f")) > 0)
+      .withColumn("_b",
+        pmod(conv(substring(md5(col("_f")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets)))
+    val counts = long.groupBy(col("_d"), col("_b"))
+      .agg(count(lit(1)).as("n"))
+    val dense = counts.groupBy(col("_d")).agg(sum(col("n")).as("tot"))
+      .withColumn("_b",
+        explode(sequence(lit(0L), lit((nBuckets - 1).toLong))))
+      .join(counts, Seq("_d", "_b"), "left")
+      .select(col("_d"), col("_b"),
+        (coalesce(col("n"), lit(0L)).cast("double") / col("tot"))
+          .as("p"))
+    val a = dense.select(col("_d").as("source_a"), col("_b"),
+      col("p").as("pa"))
+    val b = dense.select(col("_d").as("source_b"), col("_b"),
+      col("p").as("pb"))
+    val ln2 = log(lit(2.0))
+    def term(p: Column, q: Column): Column =
+      when(p > 0, p * (log(p * 2 / (p + q)) / ln2)).otherwise(0.0)
+    a.join(b, Seq("_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(
+        sum(term(col("pa"), col("pb")) * 0.5 +
+          term(col("pb"), col("pa")) * 0.5), 6).as("jsd"))
+  }
 }

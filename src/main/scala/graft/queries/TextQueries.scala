@@ -462,4 +462,10 @@ object TextQueries {
     Dedup.editDistancePairs(titles, "id", "str", d = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** q200: Jensen-Shannon divergence matrix between the corpus's
+    * language domains over hashed unigram distributions. */
+  def q200JsdMatrix(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.jsdMatrix(t(s, dir, "documents"), col("lang"))
+      .orderBy(col("source_a"), col("source_b"))
 }

@@ -301,4 +301,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Long]("n_grams") == 3L)
     assert(out.getAs[Long]("n_novel") == 2L)
   }
+
+  test("jsdMatrix: identical domains -> 0, disjoint domains -> 1, " +
+    "half-overlap matches the closed form") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "alpha beta alpha beta"),
+      ("B", "alpha beta beta alpha"),   // same distribution as A
+      ("C", "gamma delta gamma delta"), // disjoint from A
+      ("D", "alpha alpha beta gamma"))  // overlaps A
+      .toDF("dom", "text")
+    val out = TextAnalysis.jsdMatrix(docs, col("dom"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("A", "B")) === 0.0)
+    assert(out(("A", "C")) === 1.0)
+    // closed form for P = (.5, .5, 0), Q = (.5, .25, .25) on
+    // (alpha, beta, gamma): jsd = 0.5*[.5 lg(10/7.5)... compute:
+    val terms = Seq((0.5, 0.5), (0.5, 0.25), (0.0, 0.25))
+    def lg(x: Double) = math.log(x) / math.log(2.0)
+    val want = terms.map { case (p, q) =>
+      (if (p > 0) p * lg(p * 2 / (p + q)) else 0.0) * 0.5 +
+      (if (q > 0) q * lg(q * 2 / (p + q)) else 0.0) * 0.5 }.sum
+    assert(math.abs(out(("A", "D")) - want) < 1e-6)
+    assert(out(("A", "D")) > 0.0 && out(("A", "D")) < 1.0)
+  }
 }
