@@ -305,6 +305,8 @@ object SparkEntry {
       (graft.queries.BuildQueries.q198CcwPrevalenceQa _),
     "q199_stream_left_join" -> (qStreamLeftJoin _),
     "q200_jsd_matrix" -> (T.q200JsdMatrix _),
+    "q201_cdr_raw_load" ->
+      (graft.queries.LifecycleQueries.q201CdrRawLoad _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10593,5 +10595,16 @@ object SparkEntry {
       FROM dense a JOIN dense b ON a.b = b.b AND a.d < b.d
       GROUP BY 1, 2
       ORDER BY source_a, source_b""",
+
+    // q201: CDR raw round-trip — the oracle aggregates the SOURCE
+    // table directly, so any parse/sanitize loss in the |@| round-trip
+    // breaks the hash.
+    "q201_cdr_raw_load" -> """
+      SELECT c_mktsegment AS mkt_segment_name, count(*) AS n,
+        round(sum(c_acctbal), 2) AS total_bal,
+        CAST(min(c_custkey) AS BIGINT) AS min_key,
+        CAST(max(c_custkey) AS BIGINT) AS max_key
+      FROM customer
+      GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -216,4 +216,34 @@ table_1998:
         round(sum(col("l_extendedprice")), 2).as("total"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** §2.1 CDR multi-char-delimited raw ingestion (q201,
+    * db_loader/cdr/00_raw_file_processing.R): a `|@|`-separated extract
+    * with a `~@~`-noised HeaderOnly companion is round-tripped — header
+    * names sanitized through the reference's replacement chain into the
+    * declared all-VARCHAR schema, data read with the multi-char
+    * separator, then re-aggregated against the source table (a lossy
+    * parse or a mis-sanitized column breaks the oracle hash). */
+  def q201CdrRawLoad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scratchRoot(s, "cdr_raw")
+    t(s, dir, "customer")
+      .select(concat_ws("|@|",
+        col("c_custkey").cast("string"), col("c_name"),
+        col("c_acctbal").cast("string"), col("c_mktsegment"))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$base/data")
+    Seq("Cust Key|@|Name (Legal)|@|Acct-Bal|@|Mkt/Segment, Name~@~")
+      .toDF("value").coalesce(1)
+      .write.mode("overwrite").text(s"$base/header")
+    val loaded = LoadTable.loadCdrRaw(s, s"$base/header", s"$base/data")
+    require(loaded.columns.toSeq ==
+      Seq("cust_key", "name_legal", "acct_bal", "mkt_segment_name"))
+    loaded.groupBy(col("mkt_segment_name"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("acct_bal").cast("double")), 2).as("total_bal"),
+        min(col("cust_key").cast("long")).as("min_key"),
+        max(col("cust_key").cast("long")).as("max_key"))
+      .orderBy(col("mkt_segment_name"))
+  }
 }

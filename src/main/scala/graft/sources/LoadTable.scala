@@ -34,6 +34,44 @@ object LoadTable {
     case other => throw new IllegalArgumentException(s"format: $other")
   }
 
+  /** CDR raw-extract column-name sanitizer
+    * (db_loader/cdr/00_raw_file_processing.R:45-58): lowercase, strip
+    * parens, drop commas, then space/dash/slash -> underscore — the
+    * exact replacement chain, applied in the reference's order. */
+  def sanitizeColumn(name: String): String =
+    name.toLowerCase
+      .replaceAll("[()]", "")
+      .replace(",", "")
+      .replace(" ", "_")
+      .replace("-", "_")
+      .replace("/", "_")
+
+  /** CDR-style multi-char-delimited raw ingestion
+    * (db_loader/cdr/00_raw_file_processing.R:27-90): the extract ships
+    * a HeaderOnly file naming the columns with a `|@|` field separator
+    * and `~@~` line-noise markers; the loader strips the noise,
+    * sanitizes each header into a column name, declares everything
+    * VARCHAR (the reference types raw CDR as VARCHAR(255) across the
+    * board), and reads the data file with the same multi-char
+    * separator — no inference scan.
+    *
+    * Scale: the header file is one line read on the driver; the data
+    * read is Spark's parallel CSV text source with the declared schema,
+    * so the 100-TB path is a plain distributed scan. */
+  def loadCdrRaw(spark: SparkSession, headerPath: String,
+      dataPath: String, sep: String = "|@|",
+      noise: String = "~@~"): DataFrame = {
+    val headerLine = spark.read.text(headerPath)
+      .head().getString(0).replace(noise, "")
+    val cols = headerLine
+      .split(java.util.regex.Pattern.quote(sep), -1)
+      .map(sanitizeColumn)
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema).option("sep", sep).csv(dataPath)
+  }
+
   /** CSV export for partners (sqlexport_speed.R). */
   def exportCsv(df: DataFrame, path: String, sep: String = ","): Unit =
     df.write.mode("overwrite").option("sep", sep).option("header", "true").csv(path)

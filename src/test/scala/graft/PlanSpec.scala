@@ -155,7 +155,8 @@ class PlanSpec extends SparkSpec {
                                 // population total (the q128/q176
                                 // renormalizer shape)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
-      "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions")
+      "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
+      "q201_cdr_raw_load") // write-path round-trip, like q57
     val offenders = SparkEntry.queries.keys.filterNot(skip).flatMap { name =>
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val cart = p.contains("CartesianProduct")
