@@ -307,6 +307,7 @@ object SparkEntry {
     "q200_jsd_matrix" -> (T.q200JsdMatrix _),
     "q201_cdr_raw_load" ->
       (graft.queries.LifecycleQueries.q201CdrRawLoad _),
+    "q202_stable_ids" -> (graft.queries.BuildQueries.q202StableIds _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10606,5 +10607,31 @@ object SparkEntry {
         CAST(max(c_custkey) AS BIGINT) AS max_key
       FROM customer
       GROUP BY 1 ORDER BY 1""",
+
+    // q202: stable surrogate ids — phase 1 numbers the first window by
+    // id; phase 2 keeps prior surrogates and numbers newcomers with the
+    // reference's row_number over (prior DESC NULLS LAST, id), which
+    // equals kept-count + newcomer rank. The CHAIN is pinned.
+    "q202_stable_ids" -> """
+      WITH eligA AS (
+        SELECT DISTINCT 'P' || CAST(o_custkey % 150 AS VARCHAR) AS id
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1993-01-01'
+          AND DATE '1994-12-31'),
+      p1 AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS id_uw FROM eligA),
+      eligB AS (
+        SELECT DISTINCT 'P' || CAST(o_custkey % 150 AS VARCHAR) AS id
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1995-01-01'
+          AND DATE '1997-12-31'),
+      j AS (
+        SELECT c.id, b.id_uw FROM eligB c LEFT JOIN p1 b USING (id))
+      SELECT id AS id_mcaid,
+        CAST(CASE WHEN id_uw IS NOT NULL THEN id_uw
+          ELSE ROW_NUMBER() OVER (ORDER BY id_uw DESC NULLS LAST, id)
+          END AS BIGINT) AS id_uw
+      FROM j
+      ORDER BY id_mcaid""",
   )
 }

@@ -3968,6 +3968,30 @@ object BuildQueries {
       .orderBy(col("section"), col("condition"), col("age_grp7"))
   }
 
+  /** §7.5 partner-export stable surrogate ids (q202,
+    * dugan_p1_export/mcaid_data_prep.sql:44-83): phase 1 assigns dense
+    * surrogates to the first study window's people; phase 2 re-runs on
+    * a shifted window, KEEPING every prior surrogate and numbering only
+    * newcomers after the kept block — the reference's
+    * row_number-over-prior-DESC kernel, scale-safe (range sort +
+    * zipWithIndex, no unpartitioned window). The chain (phase 1 feeding
+    * phase 2) is what the oracle pins. */
+  def q202StableIds(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StableIds
+    val orders = t(s, dir, "orders")
+    def window(lo: String, hi: String): DataFrame = orders
+      .filter(to_date(col("o_orderdate")).between(lit(lo), lit(hi)))
+      .select(concat(lit("P"), (col("o_custkey") % 150).cast("string"))
+        .as("id"))
+    val eligA = window("1993-01-01", "1994-12-31")
+    val eligB = window("1995-01-01", "1997-12-31")
+    val emptyPrior = eligA.select(col("id"), lit(0L).as("id_uw")).limit(0)
+    val phase1 = StableIds.assign(eligA, "id", emptyPrior)
+    StableIds.assign(eligB, "id", phase1)
+      .withColumnRenamed("id", "id_mcaid")
+      .orderBy(col("id_mcaid"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */

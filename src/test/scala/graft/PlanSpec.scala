@@ -151,9 +151,11 @@ class PlanSpec extends SparkSpec {
                          // ANN candidate shape over packed sign bits
       "q190_matryoshka_ann", // crossJoin(broadcast(queries)): the same
                              // shape over prefix-dim int8 vectors
-      "q198_ccw_prevalence_qa") // prevalence x broadcast 1-row
+      "q198_ccw_prevalence_qa", // prevalence x broadcast 1-row
                                 // population total (the q128/q176
                                 // renormalizer shape)
+      "q202_stable_ids") // newcomers x broadcast 1-row kept-count
+                         // offset (the q169 scalar shape)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57
