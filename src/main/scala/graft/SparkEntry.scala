@@ -308,6 +308,8 @@ object SparkEntry {
     "q201_cdr_raw_load" ->
       (graft.queries.LifecycleQueries.q201CdrRawLoad _),
     "q202_stable_ids" -> (graft.queries.BuildQueries.q202StableIds _),
+    "q203_study_extract" ->
+      (graft.queries.BuildQueries.q203StudyExtract _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10633,5 +10635,80 @@ object SparkEntry {
           END AS BIGINT) AS id_uw
       FROM j
       ORDER BY id_mcaid""",
+
+    // q203: de-identified study extract — the full cohort CTE chain
+    // (period flags, index gate, 18th-birthday gate, EXCEPT backfill)
+    // plus the clinical export with the 18+-at-service row gate.
+    "q203_study_extract" -> """
+      WITH mpm_person AS (
+        SELECT 'P' || CAST(o_custkey % 200 AS VARCHAR) AS provideroneid,
+          CAST(o_orderdate AS DATE) AS insurance_start_date,
+          CAST(98000 + o_orderkey % 150 AS VARCHAR) ||
+            CASE WHEN o_orderkey % 7 = 0 THEN '-1234' ELSE '' END AS zip
+        FROM orders),
+      mpm_index AS (
+        SELECT 'P' || CAST(k AS VARCHAR) AS provideroneid,
+          CASE WHEN k % 23 = 7 THEN NULL
+            ELSE 'PT' || CAST(k AS VARCHAR) END AS patientid,
+          DATE '1930-01-01' + CAST((k * 89) % 25000 AS INT) AS birthdate
+        FROM (SELECT DISTINCT c_custkey % 200 AS k FROM customer) t),
+      chr AS (
+        SELECT 'PT' || CAST(k AS VARCHAR) AS patient_id,
+          DATE '1930-01-01' + CAST((k * 97) % 25000 AS INT)
+            AS date_of_birth,
+          CAST(98000 + k % 150 AS VARCHAR) AS zip,
+          DATE '1992-01-01' + CAST((k * 13) % 2200 AS INT)
+            AS record_change_date
+        FROM (SELECT DISTINCT c_custkey % 240 AS k FROM customer) t),
+      kc AS (
+        SELECT CAST(98000 + k AS VARCHAR) AS geo_zip, 1 AS geo_kc
+        FROM (SELECT DISTINCT c_custkey % 100 AS k FROM customer) t),
+      enc AS (
+        SELECT 'PT' || CAST(o_custkey % 240 AS VARCHAR) AS patient_id,
+          CAST(o_orderdate AS DATE) AS service_date,
+          'PR' || CAST(o_orderkey % 50 AS VARCHAR) AS proc_code
+        FROM orders),
+      mpm_2 AS (
+        SELECT a.provideroneid, a.insurance_start_date, b.geo_kc
+        FROM (SELECT provideroneid, insurance_start_date,
+            substr(zip, 1, 5) AS cdr_zip FROM mpm_person) a
+        LEFT JOIN kc b ON a.cdr_zip = b.geo_zip),
+      mpm_4 AS (
+        SELECT a.provideroneid, c.patientid, max(a.geo_kc) AS geo_kc,
+          max(CASE WHEN a.insurance_start_date < DATE '1994-06-01'
+            AND a.geo_kc = 1 THEN 1 ELSE 0 END) AS pre_kc,
+          max(CASE WHEN a.insurance_start_date > DATE '1994-06-01'
+            AND a.geo_kc IS NULL THEN 1 ELSE 0 END) AS post_nonkc,
+          max(CASE WHEN a.insurance_start_date
+              BETWEEN DATE '1994-06-01' AND DATE '1997-12-31'
+            AND a.geo_kc = 1 THEN 1 ELSE 0 END) AS study_kc,
+          CAST(max(c.birthdate + INTERVAL 18 YEAR) AS DATE) AS dob_18
+        FROM mpm_2 a LEFT JOIN mpm_index c USING (provideroneid)
+        GROUP BY 1, 2),
+      mpm_final AS (
+        SELECT provideroneid, patientid, geo_kc, dob_18 FROM mpm_4
+        WHERE (study_kc = 1 OR (pre_kc = 1 AND post_nonkc = 1))
+          AND patientid IS NOT NULL AND dob_18 <= DATE '1997-12-31'),
+      chr_1 AS (
+        SELECT DISTINCT patient_id FROM chr
+        EXCEPT SELECT DISTINCT patientid FROM mpm_index),
+      chr_2 AS (
+        SELECT a.patient_id,
+          CAST(a.date_of_birth + INTERVAL 18 YEAR AS DATE) AS dob_18
+        FROM chr a JOIN kc b ON substr(a.zip, 1, 5) = b.geo_zip
+          AND a.record_change_date >= DATE '1994-06-01'
+          AND a.date_of_birth + INTERVAL 18 YEAR <= DATE '1997-12-31'),
+      chr_final AS (
+        SELECT CAST(NULL AS VARCHAR) AS provideroneid,
+          c1.patient_id AS patientid, 1 AS geo_kc, c2.dob_18
+        FROM chr_1 c1 JOIN chr_2 c2 USING (patient_id)),
+      cohort AS (
+        SELECT DISTINCT * FROM (
+          SELECT * FROM mpm_final
+          UNION ALL SELECT * FROM chr_final) u)
+      SELECT DISTINCT e.patient_id, e.service_date, e.proc_code
+      FROM enc e JOIN cohort c ON e.patient_id = c.patientid
+      WHERE e.service_date >= c.dob_18
+      ORDER BY 1, 2, 3""",
   )
 }

@@ -3992,6 +3992,56 @@ object BuildQueries {
       .orderBy(col("id_mcaid"))
   }
 
+  /** §7.5 de-identified study extract (q203,
+    * uw_fresh_export/uw_fresh_cdr_export_v1.sql): KC study-cohort
+    * reference (period residence flags incl. the was-here-and-moved OR
+    * branch, index-patient requirement, 18th-birthday gate,
+    * EXCEPT-backfilled CHR arm with NULL P1 id), then one clinical
+    * export subset to it with the 18+-at-service-date row gate, the
+    * DISTINCT collapse, and dob leaving only as a single-year age. */
+  def q203StudyExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.StudyExtract
+    val orders = t(s, dir, "orders")
+    val ok = col("o_orderkey")
+    val pid = col("o_custkey") % 200
+    val mpmPerson = orders.select(
+      concat(lit("P"), pid.cast("string")).as("provideroneid"),
+      to_date(col("o_orderdate")).as("insurance_start_date"),
+      concat((lit(98000) + ok % 150).cast("string"),
+        when(ok % 7 === 0, "-1234").otherwise("")).as("zip"))
+    val k200 = col("k")
+    val mpmIndex = t(s, dir, "customer")
+      .select((col("c_custkey") % 200).as("k")).distinct()
+      .select(concat(lit("P"), k200.cast("string")).as("provideroneid"),
+        when(k200 % 23 === 7, lit(null).cast("string"))
+          .otherwise(concat(lit("PT"), k200.cast("string")))
+          .as("patientid"),
+        date_add(to_date(lit("1930-01-01")),
+          ((k200 * 89) % 25000).cast("int")).as("birthdate"))
+    val chrPatients = t(s, dir, "customer")
+      .select((col("c_custkey") % 240).as("k")).distinct()
+      .select(concat(lit("PT"), k200.cast("string")).as("patient_id"),
+        date_add(to_date(lit("1930-01-01")),
+          ((k200 * 97) % 25000).cast("int")).as("date_of_birth"),
+        (lit(98000) + k200 % 150).cast("string").as("zip"),
+        date_add(to_date(lit("1992-01-01")),
+          ((k200 * 13) % 2200).cast("int")).as("record_change_date"))
+    val kcZip = t(s, dir, "customer")
+      .select((col("c_custkey") % 100).as("k")).distinct()
+      .select((lit(98000) + k200).cast("string").as("geo_zip"),
+        lit(1).as("geo_kc"))
+    val encounters = orders.select(
+      concat(lit("PT"), (col("o_custkey") % 240).cast("string"))
+        .as("patient_id"),
+      to_date(col("o_orderdate")).as("service_date"),
+      concat(lit("PR"), (ok % 50).cast("string")).as("proc_code"))
+    val cohort = StudyExtract.kcCohort(mpmPerson, mpmIndex, chrPatients,
+      kcZip, "1994-06-01", "1997-12-31")
+    StudyExtract.exportClinical(cohort, encounters, "patient_id",
+        "service_date", Seq("service_date", "proc_code"))
+      .orderBy(col("patient_id"), col("service_date"), col("proc_code"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
