@@ -310,6 +310,8 @@ object SparkEntry {
     "q202_stable_ids" -> (graft.queries.BuildQueries.q202StableIds _),
     "q203_study_extract" ->
       (graft.queries.BuildQueries.q203StudyExtract _),
+    "q204_batch_export" ->
+      (graft.queries.LifecycleQueries.q204BatchExport _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10710,5 +10712,37 @@ object SparkEntry {
       FROM enc e JOIN cohort c ON e.patient_id = c.patientid
       WHERE e.service_date >= c.dob_18
       ORDER BY 1, 2, 3""",
+
+    // q204: batched export — the oracle replays the batch plan
+    // (round(n/7), BETWEEN windows of batch_size + 1 rows), the planted
+    // in-field tab strip, and the per-file naming; the Spark side
+    // additionally round-trips the files through gzipped tab-separated
+    // CSV, so a lossy write also breaks the totals.
+    "q204_batch_export" -> """
+      WITH base AS (
+        SELECT o_orderkey,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+          replace(concat(o_orderpriority, chr(9), 'X'), chr(9), '')
+            AS prio
+        FROM orders),
+      cnt AS (SELECT count(*) AS n FROM base),
+      rn AS (
+        SELECT base.*, row_number() OVER (ORDER BY o_orderkey) AS rownum
+        FROM base),
+      sized AS (
+        SELECT rn.*, CAST(round(n / 7.0) AS BIGINT) AS bs
+        FROM rn CROSS JOIN cnt),
+      batched AS (
+        SELECT *,
+          CAST(floor((rownum - 1) / (bs + 1)) AS BIGINT) + 1 AS fno
+        FROM sized)
+      SELECT concat('final.orders.', lpad(CAST(fno AS VARCHAR), 3, '0'),
+          '_20260318.csv.gz') AS file_name,
+        count(*) AS n,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        round((sum(price))::DOUBLE, 2) AS total,
+        CAST(sum(length(prio)) AS BIGINT) AS prio_chars
+      FROM batched
+      GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{Bucketing, LoadTable, TableConfig}
+import graft.sources.{BatchExport, Bucketing, LoadTable, TableConfig}
 import graft.queries.Q.t
 
 /** Table-lifecycle catalog: YAML-declared schemas, CSV/ORC source+sink
@@ -245,5 +245,73 @@ table_1998:
         min(col("cust_key").cast("long")).as("min_key"),
         max(col("cust_key").cast("long")).as("max_key"))
       .orderBy(col("mkt_segment_name"))
+  }
+
+  private val exportYaml = """
+table: final.orders
+vars:
+    o_orderkey: BIGINT
+    o_totalprice: NUMERIC(12,2)
+    o_orderdate: DATE
+    o_orderpriority: VARCHAR(15)
+    etl_batch_id: INT
+"""
+
+  /** §2.1 batched table export (q204, export_apcd_tables.R:109-176 /
+    * cdr/99_export_tables.R — the shared partner-exchange write path):
+    * format file from the declared config (etl_batch_id excluded), batch
+    * plan `round(rows / batches)`, deterministic rownum, the reference's
+    * BETWEEN windows (batch_size + 1 rows per file), per-column tab
+    * strip, numbered gzipped tab-separated files — actually written and
+    * re-read, then summarized per file. A wrong batch boundary, a
+    * surviving in-field tab, or a lossy csv.gz roundtrip each move a
+    * per-file count or checksum. The in-field tab is planted
+    * (`priority + TAB + X`) so the strip has something to do. */
+  def q204BatchExport(s: SparkSession, dir: String): DataFrame = {
+    val cfg = TableConfig.parse(exportYaml)
+    val fmt = BatchExport.formatFile(cfg)
+    require(fmt == Seq(
+      ("o_orderkey", "BIGINT", 1), ("o_totalprice", "NUMERIC(12,2)", 2),
+      ("o_orderdate", "DATE", 3), ("o_orderpriority", "VARCHAR(15)", 4)),
+      s"format file mis-derived: $fmt")
+    val typed = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+      to_date(col("o_orderdate")).as("o_orderdate"),
+      concat(col("o_orderpriority"), lit("\t"), lit("X"))
+        .as("o_orderpriority"))
+    val n = typed.agg(count(lit(1)).as("_n"))
+    val staged = BatchExport.rowNumbers(typed, Seq("o_orderkey"))
+      .crossJoin(broadcast(n))
+      .withColumn("_bs", BatchExport.batchSizeCol(col("_n"), 7))
+      .withColumn("file_number",
+        BatchExport.fileNumberOf(col("rownum"), col("_bs")))
+    val base = scratchRoot(s, "batch_export")
+    staged
+      .select(col("file_number") +:
+        fmt.map { case (c, _, _) => BatchExport.exportCol(col(c)).as(c) }: _*)
+      .write.mode("overwrite").partitionBy("file_number")
+      .option("sep", "\t").option("compression", "gzip")
+      .csv(s"$base/export")
+    val backRaw = s.read
+      .schema("o_orderkey STRING, o_totalprice STRING, " +
+        "o_orderdate STRING, o_orderpriority STRING")
+      .option("sep", "\t").csv(s"$base/export")
+    // an empty export writes no partition dirs, so the discovered
+    // file_number column vanishes — restore it for the empty-slice case
+    val back =
+      if (backRaw.columns.contains("file_number")) backRaw
+      else backRaw.withColumn("file_number", lit(null).cast("long"))
+    back
+      .withColumn("file_name", BatchExport.fileName("final", "orders",
+        col("file_number"), "20260318"))
+      .groupBy(col("file_name"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey").cast("long")).as("min_key"),
+        max(col("o_orderkey").cast("long")).as("max_key"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double"), 2).as("total"),
+        sum(length(col("o_orderpriority"))).as("prio_chars"))
+      .orderBy(col("file_name"))
   }
 }
