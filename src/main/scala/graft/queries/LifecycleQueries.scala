@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{BatchExport, Bucketing, LoadTable, TableConfig}
+import graft.sources.{BatchExport, Bucketing, EtlLog, LoadTable, TableConfig}
 import graft.queries.Q.t
 
 /** Table-lifecycle catalog: YAML-declared schemas, CSV/ORC source+sink
@@ -313,5 +313,200 @@ vars:
           .cast("double"), 2).as("total"),
         sum(length(col("o_orderpriority"))).as("prio_chars"))
       .orderBy(col("file_name"))
+  }
+
+  /** One delivery's file series for a table: file numbers 1..k with the
+    * batch plan's per-file row counts — file x of the BETWEEN windows
+    * carries min(n, x(bs+1)) - (x-1)(bs+1) rows (clamped at 0: a
+    * generous plan can run out of rows before files). */
+  private def fileSeries(tbl: DataFrame, schemaOut: String,
+      tableOut: String, k: Int, date: String): DataFrame =
+    tbl.agg(count(lit(1)).as("_n"))
+      .withColumn("_bs", BatchExport.batchSizeCol(col("_n"), k))
+      .select(col("_n"), col("_bs"),
+        explode(sequence(lit(1), lit(k))).as("file_number"))
+      .select(
+        BatchExport.fileName(schemaOut, tableOut, col("file_number"), date)
+          .as("file_name"),
+        lit(schemaOut).as("file_schema"), lit(tableOut).as("file_table"),
+        col("file_number"),
+        lit(s"${date.take(4)}-${date.slice(4, 6)}-${date.drop(6)}")
+          .as("file_date"),
+        greatest(lit(0L), least(col("_n"),
+          col("file_number").cast("long") * (col("_bs") + 1))
+          - (col("file_number").cast("long") - 1) * (col("_bs") + 1))
+          .as("rows_file"))
+
+  /** §2.1 APCD extract-file ETL log (q205,
+    * apcd_export_import/apcd_import_functions.R): a synthetic mid-import
+    * moment — two fully retired deliveries (one deleted, one archived),
+    * the current delivery partially loaded with one planted row-count
+    * mismatch — reconciled against the incoming FTP file list. Pins the
+    * file-name parser (dot-split + fixed-position date, dashed), the
+    * directory-scan-order sequential etl_id assignment for unlogged
+    * files, max_file_num per (date, schema, table), lifecycle status
+    * precedence, and the post-load row-count gate incl. the reference's
+    * ERROR string verbatim. */
+  def q205ApcdEtlLog(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    // incoming FTP list for delivery 2026-03-18
+    val r26 = fileSeries(nation, "ref", "nation", 1, "20260318")
+    val c26 = fileSeries(customer, "stage", "customer", 3, "20260318")
+    val o26 = fileSeries(orders, "final", "orders", 7, "20260318")
+    val incoming = r26.unionByName(c26).unionByName(o26)
+    // log fixture: ids follow each section's scan order
+    val tsNull = lit(null).cast("timestamp")
+    def ts(x: String) = to_timestamp(lit(x))
+    def entry(series: DataFrame, idBase: Long, dl: Column, ld: Column,
+        ar: Column, de: Column, loadedDelta: Column = lit(0L)) =
+      series
+        .withColumn("etl_id", lit(idBase) + col("file_number").cast("long"))
+        .withColumn("rows_loaded",
+          when(ld.isNotNull, col("rows_file") + loadedDelta))
+        .withColumn("_dl", dl).withColumn("_ld", ld)
+        .withColumn("_ar", ar).withColumn("_de", de)
+    val log =
+      // 2024-06-01 delivery: loaded, later archived, later deleted
+      entry(fileSeries(orders, "final", "orders", 3, "20240601"), 0L,
+        ts("2024-06-01 02:00:00"), ts("2024-06-01 03:00:00"),
+        ts("2024-12-17 02:00:00"), ts("2026-03-18 02:00:00"))
+      // 2024-12-17 delivery: loaded, archived when the new one began
+      .unionByName(entry(fileSeries(nation, "ref", "nation", 1, "20241217"),
+        3L, ts("2024-12-17 02:00:00"), ts("2024-12-17 03:00:00"),
+        ts("2026-03-18 02:00:00"), tsNull))
+      .unionByName(entry(
+        fileSeries(customer, "stage", "customer", 3, "20241217"), 4L,
+        ts("2024-12-17 02:00:00"), ts("2024-12-17 03:00:00"),
+        ts("2026-03-18 02:00:00"), tsNull))
+      .unionByName(entry(fileSeries(orders, "final", "orders", 7, "20241217"),
+        7L, ts("2024-12-17 02:00:00"), ts("2024-12-17 03:00:00"),
+        ts("2026-03-18 02:00:00"), tsNull))
+      // current delivery, first files already loaded; the customer file
+      // landed 5 rows short (the planted row-count-gate failure)
+      .unionByName(entry(c26.filter(col("file_number") === 1), 14L,
+        ts("2026-03-18 03:00:00"), ts("2026-03-18 04:00:00"),
+        tsNull, tsNull, lit(-5L)))
+      .unionByName(entry(o26.filter(col("file_number") === 1), 15L,
+        ts("2026-03-18 03:00:00"), ts("2026-03-18 04:00:00"),
+        tsNull, tsNull))
+    val logOut = log.select(col("etl_id"), col("file_name"),
+      col("file_schema"), col("file_table"), col("file_number"),
+      col("file_date"),
+      EtlLog.statusCol(col("_dl"), col("_ld"), col("_ar"), col("_de"))
+        .as("status"),
+      col("rows_file"), col("rows_loaded"),
+      EtlLog.loadResultCol(col("file_name"), col("rows_file"),
+        col("rows_loaded")).as("load_result"))
+    // unlogged incoming files: entries created with sequential ids; the
+    // table / number / date come from the PARSER, not the generator
+    val newFiles = incoming
+      .join(log.select("file_name"), Seq("file_name"), "left_anti")
+      .select(Seq(col("file_name"), col("file_schema"), col("rows_file"))
+        ++ EtlLog.parsedCols(col("file_name")): _*)
+    val newOut = EtlLog.assignEtlIds(newFiles, log)
+      .select(col("etl_id"), col("file_name"), col("file_schema"),
+        col("file_table"), col("file_number"), col("file_date"),
+        lit("created").as("status"), col("rows_file"),
+        lit(null).cast("long").as("rows_loaded"),
+        lit(null).cast("string").as("load_result"))
+    EtlLog.withMaxFileNum(logOut.unionByName(newOut))
+      .select(col("etl_id"), col("file_name"), col("file_schema"),
+        col("file_table"), col("file_number"), col("file_date"),
+        col("status"), col("max_file_num"), col("rows_file"),
+        col("rows_loaded"), col("load_result"))
+      .orderBy(col("etl_id"))
+  }
+
+  /** §2.1 claims metadata etl_log batch ids (q206,
+    * scripts_general/etl_log.R, auto_proceed = T): five load requests —
+    * two whose (batch_type, data_source, delivery_date) already exist in
+    * the log (reuse the highest matching id), two new keys (latest + 1,
+    * + 2 in request order), and a same-run repeat of a new key (reuses
+    * the id its first occurrence registered — the sequential loop sees
+    * its own inserts). Also pins the 'incremental' → 'Incremental
+    * refresh' mapping, which happens BEFORE the match compare. The log
+    * derives from the orders table's delivery years, so ids shift with
+    * real data. */
+  def q206EtlBatchIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def src(yr: Column) = when(yr % 3 === 0, "APCD")
+      .when(yr % 3 === 1, "Medicaid").otherwise("Medicare")
+    def rawType(yr: Column) =
+      when(yr % 2 === 0, "full").otherwise("incremental")
+    val years = t(s, dir, "orders")
+      .select(year(to_date(col("o_orderdate"))).as("yr"))
+      .filter(col("yr") <= 1996).distinct()
+    val log = years.select(
+      (col("yr") - 1991).cast("long").as("etl_batch_id"),
+      EtlLog.batchTypeLabel(rawType(col("yr"))).as("batch_type"),
+      src(col("yr")).as("data_source"),
+      make_date(col("yr"), lit(1), lit(15)).as("delivery_date"))
+    val requests = Seq((1, 1995), (2, 1996), (3, 1997), (4, 1997),
+        (5, 1998)).toDF("request_order", "yr")
+      .select(col("request_order"),
+        EtlLog.batchTypeLabel(rawType(col("yr"))).as("batch_type"),
+        src(col("yr")).as("data_source"),
+        make_date(col("yr"), lit(1), lit(15)).as("delivery_date"))
+    EtlLog.assignBatchIds(requests, log)
+      .select(col("request_order"), col("batch_type"), col("data_source"),
+        col("delivery_date"), col("etl_batch_id"), col("reused"))
+      .orderBy(col("request_order"))
+  }
+
+  /** §2.1 CDR raw-byte sanitize + record-terminator accounting (q208,
+    * db_loader/cdr/file_prep.R): the reference streams gzipped blobs,
+    * counts `~@~` record terminators byte-wise, and replaces every byte
+    * outside printable ASCII (0x20-0x7E) with a space before loading.
+    * Here: records with PLANTED control bytes (BEL/LF via translate) are
+    * assembled into per-bucket blobs with the `~@~` terminator, the
+    * terminator count is checked against the record count (the
+    * reference's row-count QA), the blob is sanitized with the same
+    * [^\x20-\x7E] -> space rule, split back into records and fields, and
+    * re-aggregated. The space-count column catches a sanitize that
+    * leaves control bytes in place (lengths alone would not move).
+    *
+    * Blob assembly is the harness's stand-in for the byte stream —
+    * per-bucket kilobytes here; the sanitize/split/parse pipeline itself
+    * is one pass, no shuffle before the final rollup. */
+  def q208CdrFilePrep(s: SparkSession, dir: String): DataFrame = {
+    val recs = t(s, dir, "customer").select(
+      (col("c_custkey") % 50).as("blob_id"),
+      concat_ws("|@|",
+        col("c_custkey").cast("string"),
+        translate(col("c_name"), "er", "\u0007\n"),
+        col("c_acctbal").cast("decimal(12,2)").cast("string"),
+        col("c_mktsegment")).as("rec"))
+    val blobs = recs.groupBy(col("blob_id"))
+      .agg(concat_ws("~@~", collect_list(col("rec"))).as("_b"),
+        count(lit(1)).as("_n"))
+      .select(col("blob_id"), concat(col("_b"), lit("~@~")).as("blob"),
+        col("_n"))
+    val terms = (length(col("blob")) -
+      length(expr("replace(blob, '~@~', '')"))) / 3
+    val ok = blobs.agg(
+      (sum(when(terms.cast("long") === col("_n"), 0L).otherwise(1L)) === 0L)
+        .as("terminators_ok"))
+    val parsed = blobs
+      .select(explode(split(
+        regexp_replace(col("blob"), "[^\\x20-\\x7E]", " "), "~@~"))
+        .as("rec"))
+      .filter(length(col("rec")) > 0)
+      .select(split(col("rec"), "\\|@\\|").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("custkey"),
+        element_at(col("f"), 2).as("name"),
+        element_at(col("f"), 3).cast("decimal(12,2)").as("bal"),
+        element_at(col("f"), 4).as("seg"))
+    parsed.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("bal")).cast("double"), 2).as("total"),
+        sum(length(col("name"))).as("name_chars"),
+        sum(length(col("name")) -
+          length(expr("replace(name, ' ', '')"))).as("name_spaces"),
+        min(col("custkey")).as("min_key"),
+        max(col("custkey")).as("max_key"))
+      .crossJoin(broadcast(ok))
+      .orderBy(col("seg"))
   }
 }

@@ -94,6 +94,13 @@ object EtlLog {
         lit(") does NOT MATCH Rows Loaded to SQL Table ("),
         rowsLoaded.cast("string"), lit(")!!!")))
 
+  /** The caller-facing 'incremental'/'full' argument → the stored label
+    * (etl_log.R:93-95 — the comparison against existing entries runs on
+    * the MAPPED form, so the mapping is part of the match semantics). */
+  def batchTypeLabel(raw: Column): Column =
+    when(raw === "incremental", "Incremental refresh")
+      .otherwise("Full refresh")
+
   /** Batch-id assignment with match-reuse (etl_log.R, auto_proceed = T):
     * requests carrying a (batch_type, data_source, delivery_date) already
     * in the log reuse the highest matching etl_batch_id; new keys get
