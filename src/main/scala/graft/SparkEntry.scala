@@ -312,6 +312,15 @@ object SparkEntry {
       (graft.queries.BuildQueries.q203StudyExtract _),
     "q204_batch_export" ->
       (graft.queries.LifecycleQueries.q204BatchExport _),
+    "q205_apcd_etl_log" ->
+      (graft.queries.LifecycleQueries.q205ApcdEtlLog _),
+    "q206_etl_batch_ids" ->
+      (graft.queries.LifecycleQueries.q206EtlBatchIds _),
+    "q207_bloom_decontam" -> (T.q207BloomDecontam _),
+    "q208_cdr_file_prep" ->
+      (graft.queries.LifecycleQueries.q208CdrFilePrep _),
+    "q209_cms_heavy_hitters" -> (T.q209CmsHeavyHitters _),
+    "q210_decontam_pipeline" -> (T.q210DecontamPipeline _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -10744,5 +10753,336 @@ object SparkEntry {
         CAST(sum(length(prio)) AS BIGINT) AS prio_chars
       FROM batched
       GROUP BY 1 ORDER BY 1""",
+
+    // q205: APCD extract-file ETL log — the oracle rebuilds the same
+    // mid-import fixture (two retired deliveries, the current one
+    // partially loaded with a planted 5-row shortfall), re-parses the
+    // incoming names with the reference's dot-split + fixed-position
+    // date rules, renumbers the unlogged files in directory-scan order,
+    // and replays the row-count gate incl. the ERROR string.
+    "q205_apcd_etl_log" -> """
+      WITH no AS (SELECT count(*) AS n FROM orders),
+      nc AS (SELECT count(*) AS n FROM customer),
+      nn AS (SELECT count(*) AS n FROM nation),
+      s_o26 AS (
+        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20260318.csv.gz') AS file_name,
+          'final' AS file_schema, 'orders' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 7.0) AS BIGINT) AS bs
+              FROM generate_series(1, 7) t(fn) CROSS JOIN no) x),
+      s_c26 AS (
+        SELECT concat('stage.customer.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20260318.csv.gz') AS file_name,
+          'stage' AS file_schema, 'customer' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
+              FROM generate_series(1, 3) t(fn) CROSS JOIN nc) x),
+      s_r26 AS (
+        SELECT concat('ref.nation.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20260318.csv.gz') AS file_name,
+          'ref' AS file_schema, 'nation' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 1.0) AS BIGINT) AS bs
+              FROM generate_series(1, 1) t(fn) CROSS JOIN nn) x),
+      s_o24a AS (
+        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20240601.csv.gz') AS file_name,
+          'final' AS file_schema, 'orders' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-06-01' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
+              FROM generate_series(1, 3) t(fn) CROSS JOIN no) x),
+      s_o24b AS (
+        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20241217.csv.gz') AS file_name,
+          'final' AS file_schema, 'orders' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 7.0) AS BIGINT) AS bs
+              FROM generate_series(1, 7) t(fn) CROSS JOIN no) x),
+      s_c24 AS (
+        SELECT concat('stage.customer.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20241217.csv.gz') AS file_name,
+          'stage' AS file_schema, 'customer' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
+              FROM generate_series(1, 3) t(fn) CROSS JOIN nc) x),
+      s_r24 AS (
+        SELECT concat('ref.nation.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20241217.csv.gz') AS file_name,
+          'ref' AS file_schema, 'nation' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 1.0) AS BIGINT) AS bs
+              FROM generate_series(1, 1) t(fn) CROSS JOIN nn) x),
+      log AS (
+        SELECT CAST(0 + file_number AS BIGINT) AS etl_id, file_name,
+          file_schema, file_table, file_number, file_date,
+          'deleted' AS status, rows_file, rows_file AS rows_loaded
+        FROM s_o24a
+        UNION ALL
+        SELECT CAST(3 + file_number AS BIGINT), file_name, file_schema,
+          file_table, file_number, file_date, 'archived', rows_file,
+          rows_file
+        FROM s_r24
+        UNION ALL
+        SELECT CAST(4 + file_number AS BIGINT), file_name, file_schema,
+          file_table, file_number, file_date, 'archived', rows_file,
+          rows_file
+        FROM s_c24
+        UNION ALL
+        SELECT CAST(7 + file_number AS BIGINT), file_name, file_schema,
+          file_table, file_number, file_date, 'archived', rows_file,
+          rows_file
+        FROM s_o24b
+        UNION ALL
+        SELECT CAST(15 AS BIGINT), file_name, file_schema, file_table,
+          file_number, file_date, 'loaded', rows_file, rows_file - 5
+        FROM s_c26 WHERE file_number = 1
+        UNION ALL
+        SELECT CAST(16 AS BIGINT), file_name, file_schema, file_table,
+          file_number, file_date, 'loaded', rows_file, rows_file
+        FROM s_o26 WHERE file_number = 1),
+      incoming AS (
+        SELECT * FROM s_r26 UNION ALL SELECT * FROM s_c26
+        UNION ALL SELECT * FROM s_o26),
+      newf AS (
+        SELECT file_name, file_schema, rows_file,
+          split_part(file_name, '.', 2) AS file_table,
+          CAST(substring(split_part(file_name, '.', 3), 1, 3) AS INTEGER)
+            AS file_number,
+          concat_ws('-', substring(file_name, -15, 4),
+            substring(file_name, -11, 2), substring(file_name, -9, 2))
+            AS file_date
+        FROM incoming
+        WHERE file_name NOT IN (SELECT file_name FROM log)),
+      newid AS (
+        SELECT *,
+          (SELECT max(etl_id) FROM log) + row_number() OVER (ORDER BY
+            CASE file_schema WHEN 'ref' THEN 0 WHEN 'stage' THEN 1
+              ELSE 2 END, file_name) AS etl_id
+        FROM newf),
+      unioned AS (
+        SELECT etl_id, file_name, file_schema, file_table, file_number,
+          file_date, status, rows_file, rows_loaded,
+          CASE WHEN rows_loaded IS NULL THEN NULL
+            WHEN rows_file = rows_loaded THEN 'OK'
+            ELSE concat('ERROR: Row Count of File ', file_name, ' (',
+              CAST(rows_file AS VARCHAR),
+              ') does NOT MATCH Rows Loaded to SQL Table (',
+              CAST(rows_loaded AS VARCHAR), ')!!!') END AS load_result
+        FROM log
+        UNION ALL
+        SELECT etl_id, file_name, file_schema, file_table, file_number,
+          file_date, 'created', rows_file, CAST(NULL AS BIGINT),
+          CAST(NULL AS VARCHAR)
+        FROM newid)
+      SELECT etl_id, file_name, file_schema, file_table, file_number,
+        file_date, status,
+        max(file_number) OVER (PARTITION BY file_date, file_schema,
+          file_table) AS max_file_num,
+        rows_file, rows_loaded, load_result
+      FROM unioned
+      ORDER BY etl_id""",
+
+    // q206: metadata etl_log batch ids — matched keys reuse the highest
+    // log id, new keys number latest+1.. in request order, and a
+    // same-run repeat of a new key reuses its first occurrence's id.
+    "q206_etl_batch_ids" -> """
+      WITH yrs AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr
+        FROM orders WHERE year(o_orderdate) <= 1996),
+      log AS (
+        SELECT CAST(yr - 1991 AS BIGINT) AS etl_batch_id,
+          CASE WHEN yr % 2 = 0 THEN 'Full refresh'
+            ELSE 'Incremental refresh' END AS batch_type,
+          CASE WHEN yr % 3 = 0 THEN 'APCD'
+            WHEN yr % 3 = 1 THEN 'Medicaid'
+            ELSE 'Medicare' END AS data_source,
+          make_date(yr, 1, 15) AS delivery_date
+        FROM yrs),
+      req(request_order, yr) AS (VALUES
+        (1, 1995), (2, 1996), (3, 1997), (4, 1997), (5, 1998)),
+      reqk AS (
+        SELECT CAST(request_order AS INTEGER) AS request_order,
+          CASE WHEN yr % 2 = 0 THEN 'Full refresh'
+            ELSE 'Incremental refresh' END AS batch_type,
+          CASE WHEN yr % 3 = 0 THEN 'APCD'
+            WHEN yr % 3 = 1 THEN 'Medicaid'
+            ELSE 'Medicare' END AS data_source,
+          make_date(yr, 1, 15) AS delivery_date
+        FROM req),
+      m AS (
+        SELECT batch_type, data_source, delivery_date,
+          max(etl_batch_id) AS log_id
+        FROM log GROUP BY 1, 2, 3),
+      j AS (
+        SELECT r.*, m.log_id FROM reqk r
+        LEFT JOIN m USING (batch_type, data_source, delivery_date)),
+      firsts AS (
+        SELECT batch_type, data_source, delivery_date,
+          min(request_order) AS first_ord
+        FROM j WHERE log_id IS NULL GROUP BY 1, 2, 3),
+      newids AS (
+        SELECT f.*, (SELECT coalesce(max(etl_batch_id), 0) FROM log)
+          + row_number() OVER (ORDER BY first_ord) AS new_id
+        FROM firsts f)
+      SELECT request_order, batch_type, data_source, delivery_date,
+        CAST(coalesce(log_id, new_id) AS BIGINT) AS etl_batch_id,
+        (log_id IS NOT NULL OR request_order > first_ord) AS reused
+      FROM j LEFT JOIN newids
+        USING (batch_type, data_source, delivery_date)
+      ORDER BY request_order""",
+
+    // q207: Bloom decontamination pre-filter — the oracle recomputes the
+    // double-hashed (h1 + i*h2) mod m positions from the same md5 halves
+    // and treats the bitmap as the position SET it is (bit_or only sets
+    // bits), so maybe-hits incl. the deterministic false positives match
+    // bit-for-bit.
+    "q207_bloom_decontam" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+            ' ') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(tk) - 2, 1)),
+            i -> array_to_string(tk[i:i+2], ' '))) AS gs
+        FROM toks),
+      bgram AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 29 = 0),
+      refpos AS (
+        SELECT DISTINCT (h1 + i * h2) % 262144 AS pos
+        FROM (SELECT
+            ('0x' || substr(md5(g), 1, 8))::UBIGINT::BIGINT AS h1,
+            ('0x' || substr(md5(g), 9, 8))::UBIGINT::BIGINT AS h2
+          FROM bgram)
+        CROSS JOIN generate_series(0, 2) t(i)),
+      probe AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+      ph AS (
+        SELECT doc_id, g,
+          ('0x' || substr(md5(g), 1, 8))::UBIGINT::BIGINT AS h1,
+          ('0x' || substr(md5(g), 9, 8))::UBIGINT::BIGINT AS h2
+        FROM probe),
+      pg AS (
+        SELECT doc_id, g,
+          bool_and((h1 + i * h2) % 262144 IN (SELECT pos FROM refpos))
+            AS maybe
+        FROM ph CROSS JOIN generate_series(0, 2) t(i)
+        GROUP BY doc_id, g)
+      SELECT doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+        CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS DOUBLE)
+          / greatest(count(*), 1) >= 0.3 AS contaminated
+      FROM pg GROUP BY doc_id ORDER BY doc_id""",
+
+    // q208: CDR byte sanitize + terminator accounting — the oracle
+    // builds the same planted-control-byte records; per-record sanitize
+    // is equivalent to blob sanitize because the terminator is printable.
+    // The space-count column moves if control bytes survive.
+    "q208_cdr_file_prep" -> """
+      WITH rec AS (
+        SELECT c_custkey % 50 AS blob_id,
+          concat_ws('|@|', CAST(c_custkey AS VARCHAR),
+            translate(c_name, 'er', chr(7) || chr(10)),
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+            c_mktsegment) AS rec
+        FROM customer),
+      blobs AS (
+        SELECT blob_id, string_agg(rec, '~@~') || '~@~' AS blob,
+          count(*) AS n
+        FROM rec GROUP BY blob_id),
+      chk AS (
+        SELECT CAST(sum(CASE WHEN (length(blob)
+            - length(replace(blob, '~@~', ''))) / 3 = n
+          THEN 0 ELSE 1 END) = 0 AS BOOLEAN) AS terminators_ok
+        FROM blobs),
+      parsed AS (
+        SELECT string_split(
+          regexp_replace(rec, '[^\x20-\x7E]', ' ', 'g'), '|@|') AS f
+        FROM rec),
+      typed AS (
+        SELECT CAST(f[1] AS BIGINT) AS custkey, f[2] AS name,
+          CAST(f[3] AS DECIMAL(12,2)) AS bal, f[4] AS seg
+        FROM parsed)
+      SELECT seg, count(*) AS n, round((sum(bal))::DOUBLE, 2) AS total,
+        CAST(sum(length(name)) AS BIGINT) AS name_chars,
+        CAST(sum(length(name) - length(replace(name, ' ', '')))
+          AS BIGINT) AS name_spaces,
+        min(custkey) AS min_key, max(custkey) AS max_key,
+        terminators_ok
+      FROM typed CROSS JOIN chk
+      GROUP BY seg, terminators_ok ORDER BY seg""",
+
+    // q209: Count-Min heavy hitters — the oracle rebuilds the 4x2048
+    // grid from the same md5 double hashing and replays the min-over-
+    // cells estimate; `over` must be true everywhere (the CMS bound).
+    "q209_cms_heavy_hitters" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents),
+      counts AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+      hashed AS (
+        SELECT tok, true_cnt,
+          ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h1,
+          ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS h2
+        FROM counts),
+      grid AS (
+        SELECT r, (h1 + r * h2) % 2048 AS bucket,
+          CAST(sum(true_cnt) AS BIGINT) AS cnt
+        FROM hashed CROSS JOIN generate_series(0, 3) t(r)
+        GROUP BY 1, 2),
+      top AS (
+        SELECT tok, true_cnt, h1, h2 FROM hashed
+        ORDER BY true_cnt DESC, tok LIMIT 20),
+      probe AS (
+        SELECT tok, true_cnt, r, (h1 + r * h2) % 2048 AS bucket
+        FROM top CROSS JOIN generate_series(0, 3) t(r)),
+      est AS (
+        SELECT p.tok, p.true_cnt,
+          CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS cms_est
+        FROM probe p LEFT JOIN grid g
+          ON p.r = g.r AND p.bucket = g.bucket
+        GROUP BY 1, 2)
+      SELECT tok, true_cnt, cms_est, cms_est >= true_cnt AS over
+      FROM est ORDER BY true_cnt DESC, tok""",
+
+    // q210: Bloom -> exact decontamination chain. The oracle is the
+    // UNPRUNED q78 computation — byte-identical output is the proof the
+    // Bloom prune is sound (it may only skip work, never change the
+    // answer).
+    "q210_decontam_pipeline" -> """
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+            AS toks
+          FROM documents))
+      SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+        round(len(list_intersect(p.sh, c.sh)) * 1.0
+          / greatest(len(p.sh), 1), 4) AS containment
+      FROM d p JOIN d c ON p.doc_id != c.doc_id
+      WHERE p.doc_id % 29 = 0
+        AND len(list_intersect(p.sh, c.sh)) * 1.0
+          / greatest(len(p.sh), 1) >= 0.3
+      ORDER BY probe_id, doc_id""",
   )
 }

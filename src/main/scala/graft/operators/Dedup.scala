@@ -295,6 +295,105 @@ object Dedup {
     }
   }
 
+  /** Distinct word n-grams as STRINGS (space-joined) — the gram unit for
+    * engine-portable hashing (the hashed [[shingles]] are faster for
+    * in-engine verification, but a cross-engine filter needs md5 over a
+    * canonical string form). Short docs yield one gram: the whole text. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  private def bloomH1(item: Column): Column =
+    conv(substring(md5(item), 1, 8), 16, 10).cast("long")
+  private def bloomH2(item: Column): Column =
+    conv(substring(md5(item), 9, 8), 16, 10).cast("long")
+
+  /** Build an `mBits`-bit Bloom filter over `itemCol` (k hash functions
+    * by Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m,
+    * h1/h2 = first/second 32 bits of md5 — the catalog's engine-portable
+    * hash). Returned as packed 64-bit words.
+    *
+    * The build is distributed (position explode -> distinct -> per-word
+    * bit_or); only the finished m/64-word bitmap is collected — for the
+    * intended sizing (2^18 bits = 32 KB) that is a constant-size driver
+    * artifact like the IVF centroid literal, not a data collect. */
+  def bloomBits(items: DataFrame, itemCol: Column, mBits: Int,
+      k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64")
+    val pos = items
+      .select(bloomH1(itemCol).as("_h1"), bloomH2(itemCol).as("_h2"))
+      .select(explode(sequence(lit(0), lit(k - 1))).as("_i"),
+        col("_h1"), col("_h2"))
+      .select(pmod(col("_h1") + col("_i") * col("_h2"),
+        lit(mBits.toLong)).as("_pos"))
+      .distinct()
+    val words = pos
+      .select((col("_pos") / 64).cast("int").as("_w"),
+        pmod(col("_pos"), lit(64)).cast("int").as("_b"))
+      .groupBy(col("_w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), _b))").as("_word"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a built filter: true iff ALL k positions
+    * are set (Bloom semantics — false is definite absence, true is
+    * maybe-present with the filter's deterministic false-positive set).
+    * Pure column expression over a 1-literal bitmap: the probe runs
+    * inside the scan stage with NO join and NO shuffle. */
+  def bloomContains(bits: Array[Long], itemCol: Column, mBits: Int,
+      k: Int): Column = {
+    val bm = lit(bits)
+    val h1 = bloomH1(itemCol)
+    val h2 = bloomH2(itemCol)
+    (0 until k).map { i =>
+      val pos = pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))
+      val word = element_at(bm, (pos / 64).cast("int") + 1)
+      call_function("shiftrightunsigned", word,
+        pmod(pos, lit(64)).cast("int")).bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-filter decontamination pre-filter — the broadcastable fast
+    * path in FRONT of [[contamination]]'s exact join: benchmark grams
+    * build a compact bitmap (32 KB at the default sizing), every corpus
+    * doc probes its own grams against the literal — zero shuffle, zero
+    * join, whole-stage codegen — and only flagged docs need the exact
+    * containment pass. False positives are the filter's documented
+    * deterministic set (bounded by the load factor); false negatives are
+    * impossible, so the pre-filter never costs recall.
+    *
+    * Output per corpus doc: distinct gram count, maybe-present gram
+    * count, and the contaminated flag (maybe-hit ratio >= `threshold` —
+    * the same containment threshold the exact pass uses; the Bloom ratio
+    * upper-bounds the exact one, so thresholding here keeps every doc
+    * the exact pass would flag). */
+  def bloomDecontaminate(corpus: DataFrame, cid: String, ctext: String,
+      bench: DataFrame, btext: String, shingleN: Int = 3,
+      mBits: Int = 1 << 18, k: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val bits = bloomBits(
+      bench.select(explode(wordGrams(col(btext), shingleN)).as("_g"))
+        .distinct(),
+      col("_g"), mBits, k)
+    corpus
+      .select(col(cid).as("doc_id"),
+        explode(wordGrams(col(ctext), shingleN)).as("_g"))
+      .withColumn("_maybe",
+        bloomContains(bits, col("_g"), mBits, k))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_maybe"), 1L).otherwise(0L)).as("n_maybe"))
+      .withColumn("contaminated",
+        col("n_maybe").cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double") >= threshold)
+  }
+
   /** MOSS-style local-overlap pairs via winnowing fingerprints
     * ([[graft.functions.WinnowFingerprints]]): docs sharing >= `minShared`
     * selected rolling-hash values. Winnowing's guarantee makes this a LOCAL

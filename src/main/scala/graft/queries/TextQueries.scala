@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sketches, TextAnalysis}
 import graft.queries.Q.t
 
 /** Training-data text operators over the `documents` table: exact and
@@ -132,6 +132,70 @@ object TextQueries {
       docs.filter(col("doc_id") % 29 === 0), "doc_id", "text",
       shingleN = 3, threshold = 0.3)
       .orderBy(col("probe_id"), col("doc_id"))
+  }
+
+  /** Bloom-filter decontamination pre-filter (q207): the benchmark set's
+    * grams packed into a 32 KB bitmap literal, every corpus doc probed
+    * with no join and no shuffle — the stage to run in FRONT of q78's
+    * exact containment at 100 TB (false negatives impossible, false
+    * positives the filter's deterministic set, re-checked exactly by the
+    * downstream join only for flagged docs). Same benchmark framing as
+    * q78 (doc_id % 29), so the two stages compose. */
+  def q207BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.bloomDecontaminate(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 29 === 0), "text",
+      shingleN = 3, mBits = 1 << 18, k = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composed two-stage decontamination (q210): Bloom pre-filter ->
+    * exact containment, output REQUIRED to equal the unpruned q78 result
+    * — the oracle IS q78's, so an unsound prune (a dropped true pair)
+    * breaks the hash. Soundness: a probe at containment >= t shares at
+    * least ceil(3*minP/10) grams with the doc (minP = smallest probe
+    * gram count, integer arithmetic — 0.3 as a double is a hair looser,
+    * so the integer bound is exact); the doc's bloom maybe-count
+    * upper-bounds its true shared count, so pruning maybe-count < bound
+    * can never lose a qualifying doc. At 100 TB the pre-filter removes
+    * the inverted-index join for every unflagged doc at the cost of a
+    * scan-stage column expression. */
+  def q210DecontamPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val minP = bench
+      .select(size(Dedup.wordGrams(col("text"), 3)).as("_np"))
+      .agg(min(col("_np")).as("_minp"))
+    val counts = Dedup.bloomDecontaminate(docs, "doc_id", "text",
+      bench, "text", shingleN = 3, mBits = 1 << 18, k = 3)
+    val flagged = counts.crossJoin(broadcast(minP))
+      .filter(col("n_maybe") >= expr("(3 * _minp + 9) div 10"))
+      .select(col("doc_id"))
+    val candidates = docs.join(flagged, Seq("doc_id"), "left_semi")
+    Dedup.contamination(candidates, "doc_id", "text",
+      bench, "doc_id", "text", shingleN = 3, threshold = 0.3)
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
+  /** Count-Min heavy hitters (q209): the corpus token histogram packed
+    * into a 4 x 2048 count grid (64 KB, one (row, bucket) shuffle over
+    * the Zipf-bounded vocabulary — built from collapsed counts, never
+    * raw occurrences), then the top-20 tokens' sketch estimates audited
+    * against their exact counts. `over` is the CMS guarantee: an
+    * estimate NEVER undershoots; the overshoot is the deterministic
+    * collision mass the oracle reproduces cell-for-cell. */
+  def q209CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    val grid = Sketches.countMinGrid(counts, col("tok"), col("true_cnt"),
+      depth = 4, width = 2048)
+    val top = counts.orderBy(col("true_cnt").desc, col("tok")).limit(20)
+    val est = Sketches.cmsEstimate(grid, top, col("tok"), 4, 2048)
+    top.join(est, top("tok") === est("item"))
+      .select(col("tok"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") >= col("true_cnt")).as("over"))
+      .orderBy(col("true_cnt").desc, col("tok"))
   }
 
   /** Winnowing (MOSS) rolling-hash fingerprint overlap: pairs sharing

@@ -266,4 +266,85 @@ class DedupSpec extends SparkSpec {
     assert(want.contains((6L, 7L, 2)))   // ab <-> ba transposition = 2
     assert(want.contains((9L, 10L, 1)))  // empty vs 1-char
   }
+
+  test("bloom filter: no false negatives; absent items reject at low load") {
+    import spark.implicits._
+    val inserted = (0 until 200).map(i => s"gram number $i")
+    val bits = Dedup.bloomBits(inserted.toDF("g"), col("g"),
+      mBits = 1 << 16, k = 3)
+    // every inserted item MUST probe true (Bloom's hard guarantee)
+    val inHits = inserted.toDF("g")
+      .select(Dedup.bloomContains(bits, col("g"), 1 << 16, 3).as("m"))
+      .as[Boolean].collect()
+    assert(inHits.forall(identity))
+    // at load 600/65536 the FP rate is ~1e-6 — 500 absent probes all miss
+    val absent = (0 until 500).map(i => s"other thing $i")
+    val outHits = absent.toDF("g")
+      .select(Dedup.bloomContains(bits, col("g"), 1 << 16, 3).as("m"))
+      .as[Boolean].collect()
+    assert(!outHits.exists(identity))
+  }
+
+  test("wordGrams: distinct space-joined n-grams; short doc = whole text") {
+    import spark.implicits._
+    val got = Seq("A  b c b c", "hi", "").toDF("t")
+      .select(Dedup.wordGrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c b", "c b c"))
+    assert(got(1) == Seq("hi"))
+    assert(got(2) == Seq(""))
+  }
+
+  test("bloom pre-filter is conservative: flags every exact-pass doc") {
+    // superset property on real docs: the bloom maybe-ratio upper-bounds
+    // the exact containment ratio, so at the same threshold the
+    // pre-filter can only ADD docs, never lose one
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val bloomFlagged = Dedup.bloomDecontaminate(docs, "doc_id", "text",
+        bench, "text", shingleN = 3, mBits = 1 << 18, k = 3,
+        threshold = 0.3)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // exact per-doc containment vs the pooled benchmark gram set
+    val benchGrams = bench
+      .select(explode(Dedup.wordGrams(col("text"), 3)).as("g"))
+      .distinct()
+    val exactFlagged = docs
+      .select(col("doc_id"), explode(Dedup.wordGrams(col("text"), 3)).as("g"))
+      .join(benchGrams.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg((sum(col("hit")).cast("double") / count(lit(1))).as("r"))
+      .filter(col("r") >= 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactFlagged.nonEmpty)
+    assert(exactFlagged.subsetOf(bloomFlagged))
+  }
+
+  test("bloom prune is sound AND actually prunes (q210 composition)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val minP = bench
+      .select(size(Dedup.wordGrams(col("text"), 3)).as("_np"))
+      .agg(min(col("_np")).as("_minp"))
+    val counts = Dedup.bloomDecontaminate(docs, "doc_id", "text",
+      bench, "text", shingleN = 3, mBits = 1 << 18, k = 3)
+    val flagged = counts.crossJoin(broadcast(minP))
+      .filter(col("n_maybe") >= expr("(3 * _minp + 9) div 10"))
+      .select(col("doc_id"))
+    // the prune must remove a real share of the corpus...
+    val nDocs = docs.count()
+    val nFlagged = flagged.count()
+    assert(nFlagged < nDocs, s"prune kept everything ($nFlagged/$nDocs)")
+    // ...without changing the exact pass's answer
+    val pruned = Dedup.contamination(
+        docs.join(flagged, Seq("doc_id"), "left_semi"), "doc_id", "text",
+        bench, "doc_id", "text", shingleN = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.contamination(docs, "doc_id", "text",
+        bench, "doc_id", "text", shingleN = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == full)
+    assert(full.nonEmpty)
+  }
 }
