@@ -93,6 +93,11 @@ object SparkEntry {
   def qStreamSplit(s: SparkSession, dir: String): DataFrame =
     EventStream.splitRollup(s, dir)
 
+  /** Streaming Count-Min grid: the q209 cell explode stateless in-stream,
+    * hourly per-(row, bucket) counts under the watermark. */
+  def qStreamCms(s: SparkSession, dir: String): DataFrame =
+    EventStream.cmsRollup(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. Insertion-ordered
     * (ListMap) so Bench timings are stable round-over-round. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -321,6 +326,9 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q208CdrFilePrep _),
     "q209_cms_heavy_hitters" -> (T.q209CmsHeavyHitters _),
     "q210_decontam_pipeline" -> (T.q210DecontamPipeline _),
+    "q211_stream_cms" -> (qStreamCms _),
+    "q212_stratified_sample" -> (T.q212StratifiedSample _),
+    "q213_fs_linkage" -> (graft.queries.BuildQueries.q213FsLinkage _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -11084,5 +11092,110 @@ object SparkEntry {
         AND len(list_intersect(p.sh, c.sh)) * 1.0
           / greatest(len(p.sh), 1) >= 0.3
       ORDER BY probe_id, doc_id""",
+
+    // q211: streaming Count-Min grid — batch-equivalence oracle: the
+    // same md5-double-hash cells per event, hourly counts, only windows
+    // the final watermark (max ts - 1 h) has closed.
+    "q211_stream_cms" -> """
+      WITH cells AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+          CAST(r AS INTEGER) AS grid_row,
+          (h1 + r * h2) % 256 AS bucket
+        FROM (SELECT ts,
+            ('0x' || substr(md5(event_type), 1, 8))::UBIGINT::BIGINT AS h1,
+            ('0x' || substr(md5(event_type), 9, 8))::UBIGINT::BIGINT AS h2
+          FROM events) e
+        CROSS JOIN generate_series(0, 3) t(r))
+      SELECT hour_start, grid_row, bucket, count(*) AS cnt
+      FROM cells
+      GROUP BY 1, 2, 3
+      HAVING hour_start + INTERVAL 1 HOUR
+        <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      ORDER BY 1, 2, 3""",
+
+    // q212: stratified exact-quota sample — integer Hamilton
+    // apportionment (floor shares + largest remainders, ties by stratum
+    // key) and md5-ranked in-stratum selection; the id-sum pins exact
+    // membership.
+    "q212_stratified_sample" -> """
+      WITH c AS (
+        SELECT lang, source, count(*) AS n_h
+        FROM documents GROUP BY 1, 2),
+      t1 AS (
+        SELECT total, (total * 1) // 3 AS n
+        FROM (SELECT sum(n_h) AS total FROM c)),
+      s AS (
+        SELECT c.*, (n * n_h) // total AS floor_q,
+          (n * n_h) % total AS rem, n
+        FROM c CROSS JOIN t1),
+      r AS (SELECT min(n) - sum(floor_q) AS leftover FROM s),
+      rk AS (
+        SELECT s.*, row_number() OVER
+          (ORDER BY rem DESC, lang, source) AS rem_rank
+        FROM s),
+      q AS (
+        SELECT lang, source, n_h, floor_q + CASE
+            WHEN rem_rank <= (SELECT leftover FROM r) THEN 1 ELSE 0 END
+          AS quota
+        FROM rk),
+      sel AS (
+        SELECT d.lang, d.source, d.doc_id, q.n_h, q.quota,
+          row_number() OVER (PARTITION BY d.lang, d.source
+            ORDER BY md5('samp:' || d.doc_id::VARCHAR), d.doc_id) AS rnk
+        FROM documents d JOIN q USING (lang, source))
+      SELECT lang, source, CAST(min(n_h) AS BIGINT) AS n_docs,
+        CAST(min(quota) AS BIGINT) AS quota, count(*) AS n_sel,
+        CAST(sum(doc_id) AS BIGINT) AS sel_id_sum
+      FROM sel WHERE rnk <= quota
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q213: Fellegi-Sunter linkage — same planted-noise fixture, birth-
+    // year blocking, integer levenshtein name agreement, half-integer
+    // literal weights (IEEE-exact sums), three decision bands.
+    "q213_fs_linkage" -> """
+      WITH base AS (
+        SELECT c_custkey AS k,
+          lower(replace(c_name, '#', ' ')) AS name0,
+          CAST(98000 + c_custkey % 150 AS INTEGER) AS zip,
+          DATE '1940-01-01'
+            + CAST(c_custkey * 73 % 20000 AS INTEGER) AS dob
+        FROM customer),
+      a AS (
+        SELECT 'A' || CAST(k AS VARCHAR) AS id_a, name0 AS name, dob,
+          zip, year(dob) AS yob
+        FROM base),
+      b AS (
+        SELECT 'B' || CAST(k AS VARCHAR) AS id_b,
+          CASE WHEN k % 13 = 0 THEN name0 || ' jr' ELSE name0 END AS name,
+          CASE WHEN k % 11 = 0 THEN dob + 30 ELSE dob END AS dob,
+          CASE WHEN k % 7 = 0 THEN zip + 1 ELSE zip END AS zip,
+          year(dob) AS yob
+        FROM base WHERE k % 3 <> 0
+        UNION ALL
+        SELECT 'X' || CAST(k AS VARCHAR), 'zz ' || name0, dob + 5000,
+          zip, year(dob + 5000)
+        FROM base WHERE k % 5 = 0),
+      cand AS (
+        SELECT a.id_a, b.id_b,
+          levenshtein(lower(a.name), lower(b.name)) <= 2 AS name_agree,
+          CASE WHEN a.dob = b.dob THEN 2
+            WHEN abs(date_diff('day', b.dob, a.dob)) <= 90 THEN 1
+            ELSE 0 END AS dob_band,
+          a.zip = b.zip AS zip_agree
+        FROM a JOIN b ON a.yob = b.yob),
+      scored AS (
+        SELECT *,
+          (CASE WHEN name_agree THEN 3.5 ELSE -1.5 END)
+          + (CASE WHEN dob_band = 2 THEN 4.0
+              WHEN dob_band = 1 THEN 2.0 ELSE -3.0 END)
+          + (CASE WHEN zip_agree THEN 2.5 ELSE -1.0 END) AS score
+        FROM cand)
+      SELECT id_a, id_b, name_agree, dob_band, zip_agree,
+        CAST(score AS DOUBLE) AS score,
+        CASE WHEN score >= 7.0 THEN 'match'
+          WHEN score >= 2.0 THEN 'possible'
+          ELSE 'non_match' END AS band
+      FROM scored WHERE score >= 2.0
+      ORDER BY id_a, id_b""",
   )
 }

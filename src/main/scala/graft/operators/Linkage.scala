@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi & Sunter 1969) — the scale path
+  * behind the reference's deterministic person crosswalks
+  * (claims_db xwalk builds, e.g. stage.xwalk_apde_mcaid_mcare_pha): when
+  * two sources lack a shared key, candidate pairs are scored by a sum of
+  * per-field agreement weights (log-likelihood ratios log2(m/u)) and cut
+  * into match / possible / non-match bands.
+  *
+  * Determinism: the field weights are FIXED literal doubles supplied by
+  * the caller (trained offline, as in production linkage), so a score is
+  * a sum of a handful of literals — bit-stable across engines. Name
+  * agreement uses integer levenshtein; date agreement integer day
+  * windows.
+  *
+  * Scale shape: candidates come from a BLOCKING equi-join (never a cross
+  * join) — the classic linkage discipline; comparisons run once per
+  * candidate pair inside the join projection (codegen'd levenshtein /
+  * datediff), and the band cut is a row-local CASE. Block-key skew is the
+  * caller's lever: finer blocks = fewer comparisons, with the usual
+  * missed-pair trade documented by Fellegi-Sunter practice.
+  */
+object Linkage {
+
+  /** Per-field agreement weights: (agree, disagree) log-ratios, plus a
+    * partial-credit band for dates. */
+  case class FieldWeights(
+      nameAgree: Double, nameDisagree: Double,
+      dobExact: Double, dobNear: Double, dobDisagree: Double,
+      zipAgree: Double, zipDisagree: Double)
+
+  /** Score blocked candidate pairs from two sources carrying
+    * (idCol, name, dob DATE, zip). `blockCol` must exist in both (the
+    * blocking key, e.g. a ZIP prefix). */
+  def scorePairs(a: DataFrame, b: DataFrame, idA: String, idB: String,
+      blockCol: String, w: FieldWeights, maxNameDist: Int = 2,
+      nearDays: Int = 90): DataFrame = {
+    val la = a.select(col(idA).as("id_a"), col(blockCol).as("_blk"),
+      col("name").as("_na"), col("dob").as("_da"), col("zip").as("_za"))
+    val lb = b.select(col(idB).as("id_b"), col(blockCol).as("_blk"),
+      col("name").as("_nb"), col("dob").as("_db"), col("zip").as("_zb"))
+    val cand = la.join(lb, Seq("_blk"))
+    val nameAgree =
+      levenshtein(lower(col("_na")), lower(col("_nb"))) <= maxNameDist
+    val dobBand = when(col("_da") === col("_db"), 2)
+      .when(abs(datediff(col("_da"), col("_db"))) <= nearDays, 1)
+      .otherwise(0)
+    val zipAgree = col("_za") === col("_zb")
+    cand.select(col("id_a"), col("id_b"),
+        nameAgree.as("name_agree"), dobBand.as("dob_band"),
+        zipAgree.as("zip_agree"))
+      .withColumn("score",
+        when(col("name_agree"), w.nameAgree).otherwise(w.nameDisagree) +
+        when(col("dob_band") === 2, w.dobExact)
+          .when(col("dob_band") === 1, w.dobNear)
+          .otherwise(w.dobDisagree) +
+        when(col("zip_agree"), w.zipAgree).otherwise(w.zipDisagree))
+  }
+
+  /** The three Fellegi-Sunter decision bands. */
+  def bandCol(score: Column, upper: Double, lower: Double): Column =
+    when(score >= upper, "match")
+      .when(score >= lower, "possible")
+      .otherwise("non_match")
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling with EXACT integer quotas — the
+  * eval-set / ablation-subset construction step: draw exactly N docs,
+  * allocated across strata proportionally, reproducible to the row on
+  * any engine and any cluster layout.
+  *
+  * Allocation is Hamilton's largest-remainder method in pure integer
+  * arithmetic: stratum h gets floor(N*n_h/total), and the R = N - sum
+  * leftover seats go to the largest remainders (N*n_h mod total),
+  * ties by stratum key. Within a stratum, rows are ranked by
+  * (md5(salt:id), id) — the catalog's engine-portable order — and the
+  * first quota_h survive.
+  *
+  * Scale shape: one count per stratum, two 1-row broadcasts (total,
+  * leftover), remainder ranking via a bounded broadcast self-join over
+  * the STRATA frame (strata cardinality is a config-sized handful; a
+  * pipeline with millions of strata should rank them with the
+  * zipWithIndex kernel instead), and ONE stratum-partitioned window for
+  * the in-stratum rank — no global window, no driver data collect.
+  */
+object Sampling {
+
+  /** @return input rows annotated with (n_h, quota, samp_rank), filtered
+    *         to the selected sample. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String],
+      idCol: String, sampleFrac: (Int, Int) = (1, 3),
+      salt: String = "samp"): DataFrame = {
+    val sk = strataCols.map(col)
+    val counts = df.groupBy(sk: _*).agg(count(lit(1)).as("n_h"))
+    // N = total * num / den, computed in-plan off the 1-row total
+    val (num, den) = sampleFrac
+    val totals = counts.agg(sum(col("n_h")).as("_total"))
+      .withColumn("_n", expr(s"(_total * $num) div $den"))
+    val shares = counts.crossJoin(broadcast(totals))
+      .withColumn("floor_q", expr("(_n * n_h) div _total"))
+      .withColumn("rem", expr("(_n * n_h) % _total"))
+    val leftover = shares
+      .agg((min(col("_n")) - sum(col("floor_q"))).as("_r"))
+    // remainder rank: predecessor-count broadcast self-join (TopN's
+    // no-global-window discipline), ties by stratum key ascending
+    val keyCmp = strataCols.map(c =>
+      (col(s"_o_$c"), col(c))) // (other, mine) per key col
+    def keyLess: Column = keyCmp.foldRight(lit(false)) {
+      case ((o, m), rest) => o < m || (o === m && rest) }
+    val others = shares.select(
+      col("rem").as("_o_rem") +: strataCols.map(c => col(c).as(s"_o_$c")): _*)
+    val ranked = shares.join(broadcast(others),
+        col("_o_rem") > col("rem") ||
+          (col("_o_rem") === col("rem") && keyLess), "left")
+      .groupBy(shares.columns.toIndexedSeq.map(col): _*)
+      .agg((count(col("_o_rem")) + 1).as("rem_rank"))
+      .crossJoin(broadcast(leftover))
+      .withColumn("quota",
+        col("floor_q") + when(col("rem_rank") <= col("_r"), 1L)
+          .otherwise(0L))
+      .select(sk :+ col("n_h") :+ col("quota"): _*)
+    val w = Window.partitionBy(sk: _*)
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.join(ranked, strataCols)
+      .withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= col("quota"))
+  }
+}

@@ -45,6 +45,15 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("_w")).as("cnt"))
 
+  /** Per-item (row, bucket) cell explode as a STATELESS projection —
+    * composes into Structured Streaming unchanged (only the downstream
+    * windowed count is stateful), the same way the hash-split kernel
+    * rides q180's stream. */
+  def withCells(df: DataFrame, itemCol: Column, depth: Int,
+      width: Int): DataFrame =
+    df.withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", bucketOf(itemCol, col("row"), width))
+
   /** Point estimates for `probes`: min over each probe's depth cells
     * (missing cell = 0). Returns (item, cms_est). */
   def cmsEstimate(grid: DataFrame, probes: DataFrame, itemCol: Column,

@@ -4042,6 +4042,54 @@ object BuildQueries {
       .orderBy(col("patient_id"), col("service_date"), col("proc_code"))
   }
 
+  /** Fellegi-Sunter probabilistic record linkage (q213) — the scale path
+    * behind the reference's deterministic person xwalks: two synthetic
+    * person sources (the B side with planted zip typos, 30-day dob
+    * drift, name suffixes, partial overlap, and unmatched extras),
+    * blocked on birth YEAR (a drifted dob can cross the year boundary —
+    * the classic blocking miss, kept on purpose), scored with fixed
+    * half-integer literal weights (sums are IEEE-exact -> bit-stable),
+    * cut into match / possible / non-match bands. Output bounded to
+    * score >= the lower cut. */
+  def q213FsLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val base = t(s, dir, "customer").select(
+        col("c_custkey").as("k"),
+        lower(regexp_replace(col("c_name"), "#", " ")).as("name0"))
+      .withColumn("zip", (lit(98000) + col("k") % 150).cast("int"))
+      .withColumn("dob", date_add(to_date(lit("1940-01-01")),
+        (col("k") * 73 % 20000).cast("int")))
+      .withColumn("yob", year(col("dob")))
+    val srcA = base.select(
+      concat(lit("A"), col("k").cast("string")).as("pid"),
+      col("name0").as("name"), col("dob"), col("zip"), col("yob"))
+    val overlapB = base.filter(col("k") % 3 =!= 0).select(
+      concat(lit("B"), col("k").cast("string")).as("pid"),
+      when(col("k") % 13 === 0, concat(col("name0"), lit(" jr")))
+        .otherwise(col("name0")).as("name"),
+      when(col("k") % 11 === 0, date_add(col("dob"), 30))
+        .otherwise(col("dob")).as("dob"),
+      when(col("k") % 7 === 0, col("zip") + 1)
+        .otherwise(col("zip")).as("zip"),
+      col("yob"))
+    val extraB = base.filter(col("k") % 5 === 0).select(
+      concat(lit("X"), col("k").cast("string")).as("pid"),
+      concat(lit("zz "), col("name0")).as("name"),
+      date_add(col("dob"), 5000).as("dob"),
+      col("zip"), year(date_add(col("dob"), 5000)).as("yob"))
+    val srcB = overlapB.unionByName(extraB)
+    val w = Linkage.FieldWeights(
+      nameAgree = 3.5, nameDisagree = -1.5,
+      dobExact = 4.0, dobNear = 2.0, dobDisagree = -3.0,
+      zipAgree = 2.5, zipDisagree = -1.0)
+    val scored = Linkage.scorePairs(srcA, srcB, "pid", "pid", "yob", w)
+    scored.filter(col("score") >= 2.0)
+      .withColumn("band", Linkage.bandCol(col("score"), 7.0, 2.0))
+      .select(col("id_a"), col("id_b"), col("name_agree"),
+        col("dob_band"), col("zip_agree"), col("score"), col("band"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */

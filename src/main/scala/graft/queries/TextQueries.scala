@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Sketches, TextAnalysis}
 import graft.queries.Q.t
 
 /** Training-data text operators over the `documents` table: exact and
@@ -176,6 +176,19 @@ object TextQueries {
       bench, "doc_id", "text", shingleN = 3, threshold = 0.3)
       .orderBy(col("probe_id"), col("doc_id"))
   }
+
+  /** Stratified exact-quota sample (q212): draw total/3 docs allocated
+    * across (lang, source) strata by Hamilton largest-remainder — pure
+    * integer apportionment, so quotas sum EXACTLY to N — with md5-ranked
+    * in-stratum selection (engine-portable to the row). The per-stratum
+    * id-sum pins membership, not just counts. */
+  def q212StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"),
+        Seq("lang", "source"), "doc_id", sampleFrac = (1, 3))
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("n_h")).as("n_docs"), min(col("quota")).as("quota"),
+        count(lit(1)).as("n_sel"), sum(col("doc_id")).as("sel_id_sum"))
+      .orderBy(col("lang"), col("source"))
 
   /** Count-Min heavy hitters (q209): the corpus token histogram packed
     * into a 4 x 2048 count grid (64 KB, one (row, bucket) shuffle over

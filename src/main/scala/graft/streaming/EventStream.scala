@@ -373,4 +373,34 @@ object EventStream {
         col("n"), round(col("val"), 2).as("val"))
       .orderBy(col("split"), col("hour_start"))
   }
+
+  /** Streaming Count-Min grid: the [[graft.operators.Sketches]] cell
+    * explode is a stateless projection riding the stream, so the hourly
+    * per-(row, bucket) counts are an ordinary watermarked window agg —
+    * a live per-hour frequency sketch of the event-type firehose,
+    * emitted append-mode as each hour's grid finalizes. State is the
+    * open windows' depth x width cells, bounded regardless of stream
+    * length or item cardinality — the point of sketching a firehose. */
+  def cmsRollup(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir, "graft_stream_cms_src")
+    val cells = graft.operators.Sketches.withCells(
+      stream, col("event_type"), depth = 4, width = 256)
+    val agg = cells
+      .withWatermark("ts", s"$DelaySeconds seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = Files.createTempDirectory("graft_stream_cms").toString
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.schema(agg.schema).parquet(s"$base/data")
+      .select(col("window.start").as("hour_start"),
+        col("row").as("grid_row"), col("bucket"), col("cnt"))
+      .orderBy(col("hour_start"), col("grid_row"), col("bucket"))
+  }
 }
