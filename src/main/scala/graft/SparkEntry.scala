@@ -329,6 +329,10 @@ object SparkEntry {
     "q211_stream_cms" -> (qStreamCms _),
     "q212_stratified_sample" -> (T.q212StratifiedSample _),
     "q213_fs_linkage" -> (graft.queries.BuildQueries.q213FsLinkage _),
+    "q214_sorted_neighborhood" ->
+      (graft.queries.BuildQueries.q214SortedNeighborhood _),
+    "q215_split_leakage" -> (T.q215SplitLeakage _),
+    "q216_incremental_dedup" -> (T.q216IncrementalDedup _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -342,6 +346,33 @@ object SparkEntry {
   /** Shared synthetic raw/archive CTE prefix for the q186/q187 mcaid
     * elig staging oracles — mirrors BuildQueries.eligStageFrames exactly
     * (one copy, so a generator change cannot drift between the two). */
+  /** Shared planted-noise two-source person fixture for the q213/q214
+    * linkage oracles — one copy, so a fixture change cannot drift
+    * between the two candidate generators. */
+  private val LinkageFixtureCte: String = """
+      WITH base AS (
+        SELECT c_custkey AS k,
+          lower(replace(c_name, '#', ' ')) AS name0,
+          CAST(98000 + c_custkey % 150 AS INTEGER) AS zip,
+          DATE '1940-01-01'
+            + CAST(c_custkey * 73 % 20000 AS INTEGER) AS dob
+        FROM customer),
+      a AS (
+        SELECT 'A' || CAST(k AS VARCHAR) AS pid, name0 AS name, dob,
+          zip, year(dob) AS yob
+        FROM base),
+      b AS (
+        SELECT 'B' || CAST(k AS VARCHAR) AS pid,
+          CASE WHEN k % 13 = 0 THEN name0 || ' jr' ELSE name0 END AS name,
+          CASE WHEN k % 11 = 0 THEN dob + 30 ELSE dob END AS dob,
+          CASE WHEN k % 7 = 0 THEN zip + 1 ELSE zip END AS zip,
+          year(dob) AS yob
+        FROM base WHERE k % 3 <> 0
+        UNION ALL
+        SELECT 'X' || CAST(k AS VARCHAR), 'zz ' || name0, dob + 5000,
+          zip, year(dob + 5000)
+        FROM base WHERE k % 5 = 0)"""
+
   private val EligStageRawCte: String = """
       WITH raw0 AS (
         SELECT
@@ -11152,31 +11183,9 @@ object SparkEntry {
     // q213: Fellegi-Sunter linkage — same planted-noise fixture, birth-
     // year blocking, integer levenshtein name agreement, half-integer
     // literal weights (IEEE-exact sums), three decision bands.
-    "q213_fs_linkage" -> """
-      WITH base AS (
-        SELECT c_custkey AS k,
-          lower(replace(c_name, '#', ' ')) AS name0,
-          CAST(98000 + c_custkey % 150 AS INTEGER) AS zip,
-          DATE '1940-01-01'
-            + CAST(c_custkey * 73 % 20000 AS INTEGER) AS dob
-        FROM customer),
-      a AS (
-        SELECT 'A' || CAST(k AS VARCHAR) AS id_a, name0 AS name, dob,
-          zip, year(dob) AS yob
-        FROM base),
-      b AS (
-        SELECT 'B' || CAST(k AS VARCHAR) AS id_b,
-          CASE WHEN k % 13 = 0 THEN name0 || ' jr' ELSE name0 END AS name,
-          CASE WHEN k % 11 = 0 THEN dob + 30 ELSE dob END AS dob,
-          CASE WHEN k % 7 = 0 THEN zip + 1 ELSE zip END AS zip,
-          year(dob) AS yob
-        FROM base WHERE k % 3 <> 0
-        UNION ALL
-        SELECT 'X' || CAST(k AS VARCHAR), 'zz ' || name0, dob + 5000,
-          zip, year(dob + 5000)
-        FROM base WHERE k % 5 = 0),
+    "q213_fs_linkage" -> (LinkageFixtureCte + """,
       cand AS (
-        SELECT a.id_a, b.id_b,
+        SELECT a.pid AS id_a, b.pid AS id_b,
           levenshtein(lower(a.name), lower(b.name)) <= 2 AS name_agree,
           CASE WHEN a.dob = b.dob THEN 2
             WHEN abs(date_diff('day', b.dob, a.dob)) <= 90 THEN 1
@@ -11196,6 +11205,109 @@ object SparkEntry {
           WHEN score >= 2.0 THEN 'possible'
           ELSE 'non_match' END AS band
       FROM scored WHERE score >= 2.0
+      ORDER BY id_a, id_b"""),
+
+    // q214: sorted-neighborhood linkage — same fixture, candidates from
+    // the name-sort sliding window (rank diff < 5), cross-source pairs
+    // oriented A-side first, same literal-weight scoring.
+    "q214_sorted_neighborhood" -> (LinkageFixtureCte + """,
+      u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+      ranked AS (
+        SELECT pid, name, dob, zip,
+          row_number() OVER (ORDER BY name, pid) AS rnk
+        FROM u),
+      cand AS (
+        SELECT l.pid AS id_a, r.pid AS id_b,
+          levenshtein(lower(l.name), lower(r.name)) <= 2 AS name_agree,
+          CASE WHEN l.dob = r.dob THEN 2
+            WHEN abs(date_diff('day', r.dob, l.dob)) <= 90 THEN 1
+            ELSE 0 END AS dob_band,
+          l.zip = r.zip AS zip_agree
+        FROM ranked l JOIN ranked r
+          ON r.rnk > l.rnk AND r.rnk - l.rnk < 5),
+      scored AS (
+        SELECT *,
+          (CASE WHEN name_agree THEN 3.5 ELSE -1.5 END)
+          + (CASE WHEN dob_band = 2 THEN 4.0
+              WHEN dob_band = 1 THEN 2.0 ELSE -3.0 END)
+          + (CASE WHEN zip_agree THEN 2.5 ELSE -1.0 END) AS score
+        FROM cand),
+      oriented AS (
+        SELECT CASE WHEN substr(id_a, 1, 1) = 'A' THEN id_a ELSE id_b END
+            AS aid,
+          CASE WHEN substr(id_a, 1, 1) = 'A' THEN id_b ELSE id_a END
+            AS bid,
+          name_agree, dob_band, zip_agree, score
+        FROM scored
+        WHERE (substr(id_a, 1, 1) = 'A') <> (substr(id_b, 1, 1) = 'A'))
+      SELECT aid, bid, name_agree, dob_band, zip_agree,
+        CAST(score AS DOUBLE) AS score,
+        CASE WHEN score >= 7.0 THEN 'match'
+          WHEN score >= 2.0 THEN 'possible'
+          ELSE 'non_match' END AS band
+      FROM oriented WHERE score >= 2.0
+      ORDER BY aid, bid"""),
+
+    // q215: split-leakage audit — near-dup pairs (exact-jaccard oracle,
+    // the q38 CTE) joined to the q123 hash split; pairs straddling a
+    // split boundary are train/test leakage. The id-sum pins exact pair
+    // membership per cell.
+    "q215_split_leakage" -> """
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+            AS toks
+          FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+          >= 0.5),
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN bkt < 3865470566 THEN 'train'
+               WHEN bkt < 4080218931 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+            ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))
+              ::UBIGINT AS bkt
+          FROM documents))
+      SELECT pa.split AS split_a, pb.split AS split_b,
+        count(*) AS n_pairs,
+        CAST(sum(id_a + id_b) AS BIGINT) AS id_sum,
+        pa.split <> pb.split AS leak
+      FROM pairs JOIN sp pa ON pairs.id_a = pa.doc_id
+      JOIN sp pb ON pairs.id_b = pb.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q216: incremental dedup — the oracle is the FROM-SCRATCH exact
+    // pair set restricted to pairs touching the delta slice; equality
+    // proves the asymmetric probe loses no recall.
+    "q216_incremental_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+            AS toks
+          FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1),
+          4) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+        >= 0.5
       ORDER BY id_a, id_b""",
   )
 }

@@ -103,6 +103,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection — the production shape at 100 TB: a
+    * DELTA batch arrives against an already-deduped corpus, and only
+    * pairs TOUCHING the delta may be new, so the whole-corpus re-pair
+    * never happens. Both sides are banded into one bucket index (the
+    * skew cap sees FULL bucket sizes, so recall matches a from-scratch
+    * run exactly); candidates are an ASYMMETRIC bucket join — delta rows
+    * probe, everything answers — and each surviving pair verifies by
+    * exact Jaccard once. Output = exactly the full run's pair set
+    * restricted to pairs with a delta side (the oracle pins that
+    * equality). Work is O(delta x bands) probe rows + the bucket
+    * intersections, independent of corpus size outside hot buckets. */
+  def minhashDeltaPairs(existing: DataFrame, delta: DataFrame,
+      id: String, text: String, shingleN: Int = 3, bands: Int = 8,
+      rows: Int = 2, threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rows
+    def prep(df: DataFrame, isNew: Boolean) =
+      df.select(col(id).as("_id"), shingles(col(text), shingleN).as("_sh"),
+        lit(isNew).as("_new"))
+    val sh = prep(existing, isNew = false)
+      .unionByName(prep(delta, isNew = true))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("_sig"), b * rows + 1, rows)).as("bh"))
+    }
+    val buckets = sh
+      .withColumn("_sig", minhashSignature(col("_sh"), k))
+      .select(col("_id"), col("_new"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("_id"), col("_new"), col("bk.band"), col("bk.bh"))
+    val capped = buckets.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
+    val probe = capped.filter(col("_new"))
+      .select(col("_id").as("_pid"), col("band"), col("bh"))
+    val pairs = probe.join(
+        capped.select(col("_id").as("_cid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("_pid") =!= col("_cid"))
+      .select(least(col("_pid"), col("_cid")).as("id_a"),
+        greatest(col("_pid"), col("_cid")).as("id_b"))
+      .distinct()
+    withPayloads(pairs, sh, "_sh")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("_sh_a"), col("_sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dups: 64-bit fingerprints bucketed by 8-bit chunks.
     * Pigeonhole: a pair with hamming distance <= 7 differs in <= 7 of the 8
     * chunks, so it must agree exactly on at least one chunk and is always a

@@ -32,17 +32,10 @@ object Linkage {
       dobExact: Double, dobNear: Double, dobDisagree: Double,
       zipAgree: Double, zipDisagree: Double)
 
-  /** Score blocked candidate pairs from two sources carrying
-    * (idCol, name, dob DATE, zip). `blockCol` must exist in both (the
-    * blocking key, e.g. a ZIP prefix). */
-  def scorePairs(a: DataFrame, b: DataFrame, idA: String, idB: String,
-      blockCol: String, w: FieldWeights, maxNameDist: Int = 2,
-      nearDays: Int = 90): DataFrame = {
-    val la = a.select(col(idA).as("id_a"), col(blockCol).as("_blk"),
-      col("name").as("_na"), col("dob").as("_da"), col("zip").as("_za"))
-    val lb = b.select(col(idB).as("id_b"), col(blockCol).as("_blk"),
-      col("name").as("_nb"), col("dob").as("_db"), col("zip").as("_zb"))
-    val cand = la.join(lb, Seq("_blk"))
+  /** Agreement vector + score for a candidate frame carrying
+    * `_na/_nb`, `_da/_db`, `_za/_zb` (name/dob/zip per side). */
+  private def scored(cand: DataFrame, w: FieldWeights, maxNameDist: Int,
+      nearDays: Int): DataFrame = {
     val nameAgree =
       levenshtein(lower(col("_na")), lower(col("_nb"))) <= maxNameDist
     val dobBand = when(col("_da") === col("_db"), 2)
@@ -58,6 +51,65 @@ object Linkage {
           .when(col("dob_band") === 1, w.dobNear)
           .otherwise(w.dobDisagree) +
         when(col("zip_agree"), w.zipAgree).otherwise(w.zipDisagree))
+  }
+
+  private def sided(df: DataFrame, idCol: String, side: String): DataFrame =
+    df.select(col(idCol).as(s"id_$side"),
+      col("name").as(s"_n$side"), col("dob").as(s"_d$side"),
+      col("zip").as(s"_z$side"))
+
+  /** Score blocked candidate pairs from two sources carrying
+    * (idCol, name, dob DATE, zip). `blockCol` must exist in both (the
+    * blocking key, e.g. a ZIP prefix). */
+  def scorePairs(a: DataFrame, b: DataFrame, idA: String, idB: String,
+      blockCol: String, w: FieldWeights, maxNameDist: Int = 2,
+      nearDays: Int = 90): DataFrame = {
+    val la = a.select(col(idA).as("id_a"), col(blockCol).as("_blk"),
+      col("name").as("_na"), col("dob").as("_da"), col("zip").as("_za"))
+    val lb = b.select(col(idB).as("id_b"), col(blockCol).as("_blk"),
+      col("name").as("_nb"), col("dob").as("_db"), col("zip").as("_zb"))
+    scored(la.join(lb, Seq("_blk")), w, maxNameDist, nearDays)
+  }
+
+  /** Sorted-neighborhood candidate generation (Hernandez & Stolfo 1995)
+    * — the complementary candidate generator to blocking: records sorted
+    * by a fuzzy key, every pair within `window` ranks compared. Rank is
+    * the scale-safe range-sort + zipWithIndex kernel (no global window);
+    * pairs come from a bucket equi-join — bucket = rank div window, each
+    * right row joins its own and the previous bucket — so every
+    * neighborhood pair appears exactly once (0 < Δrank < window), never
+    * all-pairs, and bucket sizes are EXACTLY `window` (skew-free by
+    * construction, whatever the key distribution — the property blocking
+    * lacks). Both sources go in ONE frame; the caller filters/orients
+    * cross-source pairs. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortCols: Seq[String], window: Int): DataFrame = {
+    val ranked = graft.sources.BatchExport.rowNumbers(
+      df.select((idCol +: sortCols).distinct.map(col): _*),
+      sortCols :+ idCol, "_rank")
+    val left = ranked.select(col(idCol).as("id_a"),
+      col("_rank").as("_ra"),
+      expr(s"(_rank - 1) div $window").as("_jb"))
+    val right = ranked.select(col(idCol).as("id_b"),
+      col("_rank").as("_rb"),
+      explode(array(expr(s"(_rank - 1) div $window"),
+        expr(s"(_rank - 1) div $window - 1"))).as("_jb"))
+    left.join(right, Seq("_jb"))
+      .filter(col("_rb") > col("_ra") &&
+        col("_rb") - col("_ra") < window)
+      .select(col("id_a"), col("id_b"), col("_ra"), col("_rb"))
+  }
+
+  /** Score pre-generated candidate id pairs against the attribute
+    * frame(s): `pairs` carries (id_a, id_b); attributes are looked up in
+    * `attrs` (idCol, name, dob, zip) by each side's id. */
+  def scoreCandidatePairs(pairs: DataFrame, attrs: DataFrame,
+      idCol: String, w: FieldWeights, maxNameDist: Int = 2,
+      nearDays: Int = 90): DataFrame = {
+    val a = sided(attrs, idCol, "a")
+    val b = sided(attrs, idCol, "b")
+    scored(pairs.select("id_a", "id_b").join(a, Seq("id_a"))
+      .join(b, Seq("id_b")), w, maxNameDist, nearDays)
   }
 
   /** The three Fellegi-Sunter decision bands. */

@@ -4051,8 +4051,10 @@ object BuildQueries {
     * half-integer literal weights (sums are IEEE-exact -> bit-stable),
     * cut into match / possible / non-match bands. Output bounded to
     * score >= the lower cut. */
-  def q213FsLinkage(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Linkage
+  /** The q213/q214 planted-noise two-source person fixture (see
+    * q213FsLinkage's scaladoc). */
+  private def linkageSources(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val base = t(s, dir, "customer").select(
         col("c_custkey").as("k"),
         lower(regexp_replace(col("c_name"), "#", " ")).as("name0"))
@@ -4077,17 +4079,52 @@ object BuildQueries {
       concat(lit("zz "), col("name0")).as("name"),
       date_add(col("dob"), 5000).as("dob"),
       col("zip"), year(date_add(col("dob"), 5000)).as("yob"))
-    val srcB = overlapB.unionByName(extraB)
-    val w = Linkage.FieldWeights(
-      nameAgree = 3.5, nameDisagree = -1.5,
-      dobExact = 4.0, dobNear = 2.0, dobDisagree = -3.0,
-      zipAgree = 2.5, zipDisagree = -1.0)
-    val scored = Linkage.scorePairs(srcA, srcB, "pid", "pid", "yob", w)
+    (srcA, overlapB.unionByName(extraB))
+  }
+
+  private val fsWeights = graft.operators.Linkage.FieldWeights(
+    nameAgree = 3.5, nameDisagree = -1.5,
+    dobExact = 4.0, dobNear = 2.0, dobDisagree = -3.0,
+    zipAgree = 2.5, zipDisagree = -1.0)
+
+  def q213FsLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val (srcA, srcB) = linkageSources(s, dir)
+    val scored = Linkage.scorePairs(srcA, srcB, "pid", "pid", "yob",
+      fsWeights)
     scored.filter(col("score") >= 2.0)
       .withColumn("band", Linkage.bandCol(col("score"), 7.0, 2.0))
       .select(col("id_a"), col("id_b"), col("name_agree"),
         col("dob_band"), col("zip_agree"), col("score"), col("band"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Sorted-neighborhood linkage (q214): the same fixture and scorer as
+    * q213, candidates from the Hernandez-Stolfo sliding window over the
+    * name sort order instead of birth-year blocking — the generator that
+    * CATCHES the cross-year dob drifts blocking misses (name order keeps
+    * the pair adjacent) while missing prefix-mangled names instead; the
+    * two generators are complements, and running both is standard
+    * practice. Pairs oriented A-side first (all agreement measures are
+    * symmetric), bounded to score >= the lower cut. */
+  def q214SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val (srcA, srcB) = linkageSources(s, dir)
+    val u = srcA.unionByName(srcB)
+    val cand = Linkage.sortedNeighborhoodPairs(u, "pid", Seq("name"),
+      window = 5)
+    val scored = Linkage.scoreCandidatePairs(cand, u, "pid", fsWeights)
+    val aIsA = substring(col("id_a"), 1, 1) === "A"
+    val bIsA = substring(col("id_b"), 1, 1) === "A"
+    scored.filter(aIsA =!= bIsA) // cross-source only
+      .select(
+        when(aIsA, col("id_a")).otherwise(col("id_b")).as("aid"),
+        when(aIsA, col("id_b")).otherwise(col("id_a")).as("bid"),
+        col("name_agree"), col("dob_band"), col("zip_agree"),
+        col("score"))
+      .filter(col("score") >= 2.0)
+      .withColumn("band", Linkage.bandCol(col("score"), 7.0, 2.0))
+      .orderBy(col("aid"), col("bid"))
   }
 
   /** claims_condition.R consumer: members whose condition span overlaps an

@@ -177,6 +177,50 @@ object TextQueries {
       .orderBy(col("probe_id"), col("doc_id"))
   }
 
+  /** Incremental dedup (q216): the doc_id % 10 slice arrives as a DELTA
+    * against the rest of the corpus; only pairs touching the delta are
+    * generated (asymmetric bucket probe — corpus-size-independent work
+    * outside hot buckets) and the result must equal the from-scratch
+    * q38 pair set restricted to delta-touching pairs — the oracle IS
+    * that restriction, so a recall loss in the incremental path breaks
+    * the hash. */
+  def q216IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.minhashDeltaPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 3, bands = 8, rows = 2,
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Split-leakage audit (q215): near-duplicate pairs that straddle the
+    * train/valid/test hash-split boundary — documents whose near-copy
+    * sits in another split leak training data into eval. Composes the
+    * q38 minhash pair kernel with the q123 split column; the oracle
+    * recomputes pairs by exact Jaccard, so candidate recall stays pinned
+    * through the composition. Cells keyed by (split_a, split_b); any
+    * off-diagonal cell is leakage. */
+  def q215SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val split = TextAnalysis.hashSplit(docs.select(col("doc_id")), "doc_id")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a") + col("id_b")).as("id_sum"))
+      .withColumn("leak", col("split_a") =!= col("split_b"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Stratified exact-quota sample (q212): draw total/3 docs allocated
     * across (lang, source) strata by Hamilton largest-remainder — pure
     * integer apportionment, so quotas sum EXACTLY to N — with md5-ranked

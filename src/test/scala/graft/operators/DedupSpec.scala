@@ -267,6 +267,32 @@ class DedupSpec extends SparkSpec {
     assert(want.contains((9L, 10L, 1)))  // empty vs 1-char
   }
 
+  test("incremental dedup equals from-scratch pairs touching the delta") {
+    val docs = toDf(corpus(60) ++ Seq(
+      // planted near-dups: delta-vs-old, delta-vs-delta, old-vs-old
+      (100L, corpus(60)(5)._2 + " tail", "src0"),   // 100 % 10 == 0: delta
+      (110L, corpus(60)(5)._2 + " tails", "src0"),  // delta
+      (61L, corpus(60)(7)._2 + " x", "src0")))      // old
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.minhashDeltaPairs(existing, delta, "doc_id", "text",
+        shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(inc == want)
+    // the probe finds delta-old AND delta-delta pairs...
+    assert(inc.contains((5L, 100L)) || inc.contains((100L, 5L)) ||
+      inc.contains((5L, 110L)) || inc.contains((100L, 110L)))
+    // ...and never an old-old pair
+    assert(inc.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+    assert(full.exists(p => p._1 % 10 != 0 && p._2 % 10 != 0))
+  }
+
   test("bloom filter: no false negatives; absent items reject at low load") {
     import spark.implicits._
     val inserted = (0 until 200).map(i => s"gram number $i")

@@ -43,6 +43,32 @@ class LinkageSpec extends SparkSpec {
     assert(Linkage.scorePairs(a, b, "pid", "pid", "yob", w).count() == 0)
   }
 
+  test("sorted neighborhood: every rank-window pair exactly once") {
+    val s = spark
+    import s.implicits._
+    val df = ('a' to 'j').map(c => (c.toString, c.toString))
+      .toDF("pid", "name")
+    val got = Linkage.sortedNeighborhoodPairs(df, "pid", Seq("name"), 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSeq
+    val want = (for {
+      i <- 0 until 10; j <- i + 1 until 10 if j - i < 3
+    } yield (('a' + i).toChar.toString, ('a' + j).toChar.toString))
+    assert(got.sorted == want.sorted)
+    assert(got.size == got.toSet.size) // exactly once
+  }
+
+  test("sorted neighborhood catches the cross-year drift blocking missed") {
+    val a = df(Seq(("A1", "jane doe", "1950-12-31", 98001, 1950)))
+    val b = df(Seq(("B1", "jane doe", "1951-01-01", 98001, 1951)))
+    val s = spark
+    val u = a.unionByName(b)
+    val cand = Linkage.sortedNeighborhoodPairs(u, "pid", Seq("name"), 5)
+    val scoredP = Linkage.scoreCandidatePairs(cand, u, "pid", w)
+      .collect()
+    assert(scoredP.length == 1)
+    assert(scoredP.head.getAs[Double]("score") == 8.0) // name+near+zip
+  }
+
   test("band cuts at the configured thresholds") {
     val s = spark
     import s.implicits._

@@ -36,6 +36,20 @@ class SketchesSpec extends SparkSpec {
       "zzz-not-there" -> 0L))
   }
 
+  test("grids are mergeable: cell-sum of partition grids == whole grid") {
+    import spark.implicits._
+    val partA = (0 until 300).map(i => (s"i${i % 80}", 1L)).toDF("it", "w")
+    val partB = (0 until 200).map(i => (s"i${i % 50}", 2L)).toDF("it", "w")
+    val whole = partA.unionAll(partB)
+    val merged = Sketches.countMinGrid(partA, col("it"), col("w"), 4, 64)
+      .unionAll(Sketches.countMinGrid(partB, col("it"), col("w"), 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.countMinGrid(whole, col("it"), col("w"), 4, 64)
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    val d = direct.as[(Int, Long, Long)].collect().toSet
+    assert(m == d)
+  }
+
   test("grid size is bounded by depth*width regardless of item count") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (s"i$i", 1L)).toDF("it", "w")
