@@ -333,6 +333,9 @@ object SparkEntry {
       (graft.queries.BuildQueries.q214SortedNeighborhood _),
     "q215_split_leakage" -> (T.q215SplitLeakage _),
     "q216_incremental_dedup" -> (T.q216IncrementalDedup _),
+    "q217_jl_ann" -> (V.q217JlAnn _),
+    "q218_scd2_merge" ->
+      (graft.queries.LifecycleQueries.q218Scd2Merge _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -11309,5 +11312,114 @@ object SparkEntry {
           / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
         >= 0.5
       ORDER BY id_a, id_b""",
+
+    // q217: JL sign-projection two-stage ANN — the oracle re-derives the
+    // ±1 matrix from the same md5 top bit, projects to 16 integral
+    // components, and replays coarse + exact re-rank.
+    "q217_jl_ann" -> """
+      WITH qz AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s,
+          embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+            ELSE list_transform(embedding,
+              x -> round(x::DOUBLE / s, 0)) END AS q
+        FROM qz),
+      signs AS (
+        SELECT j, i,
+          CASE WHEN ('0x' || substr(md5('jl:' || CAST(j AS VARCHAR)
+              || ':' || CAST(i AS VARCHAR)), 1, 2))::UBIGINT < 128
+            THEN 1 ELSE -1 END AS sg
+        FROM generate_series(0, 15) t(j)
+        CROSS JOIN generate_series(0, 63) u(i)),
+      proj AS (
+        SELECT vec_id, j, sum(q[CAST(i + 1 AS INTEGER)] * sg) AS p
+        FROM qv CROSS JOIN signs
+        GROUP BY vec_id, j),
+      pv AS (
+        SELECT vec_id, list(p ORDER BY j) AS pq FROM proj GROUP BY vec_id),
+      coarse AS (
+        SELECT * FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CASE WHEN list_inner_product(a.pq, a.pq) = 0
+                OR list_inner_product(b.pq, b.pq) = 0 THEN 0.0
+              ELSE list_inner_product(a.pq, b.pq)
+                / (sqrt(list_inner_product(a.pq, a.pq))
+                  * sqrt(list_inner_product(b.pq, b.pq))) END
+              AS proj_cosine,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY (CASE
+                WHEN list_inner_product(a.pq, a.pq) = 0
+                  OR list_inner_product(b.pq, b.pq) = 0 THEN 0.0
+                ELSE list_inner_product(a.pq, b.pq)
+                  / (sqrt(list_inner_product(a.pq, a.pq))
+                    * sqrt(list_inner_product(b.pq, b.pq)))
+                END) DESC, b.vec_id) AS cr
+          FROM pv a CROSS JOIN pv b WHERE a.vec_id < 5)
+        WHERE cr <= 20),
+      rer AS (
+        SELECT co.query_id, co.neighbor_id, co.proj_cosine,
+          CASE WHEN list_inner_product(a.q, a.q) = 0
+              OR list_inner_product(b.q, b.q) = 0 THEN 0.0
+            ELSE list_inner_product(a.q, b.q)
+              / (sqrt(list_inner_product(a.q, a.q))
+                * sqrt(list_inner_product(b.q, b.q))) END AS qcosine
+        FROM coarse co
+        JOIN qv a ON co.query_id = a.vec_id
+        JOIN qv b ON co.neighbor_id = b.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY qcosine DESC, neighbor_id) AS rk
+        FROM rer)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+        proj_cosine, qcosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q218: incremental SCD-2 merge — full outer of the OPEN slice with
+    // the delta; changed attrs close at eff-1 and reopen at eff, equal
+    // re-statements and absent ids do NOT version, unknown ids insert,
+    // closed history passes through.
+    "q218_scd2_merge" -> """
+      WITH base AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg FROM customer),
+      closedrows AS (
+        SELECT id, 'OLD_' || seg AS seg, DATE '1995-01-01' AS from_date,
+          DATE '1996-12-31' AS to_date
+        FROM base WHERE id % 4 = 0),
+      openrows AS (
+        SELECT id, seg, DATE '1997-01-01' AS from_date,
+          CAST(NULL AS DATE) AS to_date
+        FROM base),
+      delta AS (
+        SELECT id, CASE WHEN id % 2 = 1 THEN 'NEW_' || seg ELSE seg END
+          AS seg, DATE '1998-06-01' AS eff
+        FROM base WHERE id % 3 <> 0
+        UNION ALL
+        SELECT id + 1000000, seg, DATE '1998-06-01'
+        FROM base WHERE id % 10 = 0),
+      j AS (
+        SELECT coalesce(o.id, d.id) AS id, o.seg AS o_seg,
+          o.from_date, d.seg AS d_seg, d.eff
+        FROM openrows o FULL JOIN delta d ON o.id = d.id),
+      merged AS (
+        SELECT id, seg, from_date, to_date FROM closedrows
+        UNION ALL
+        SELECT id, o_seg, from_date, CAST(NULL AS DATE)
+        FROM j WHERE from_date IS NOT NULL
+          AND (eff IS NULL OR d_seg = o_seg)
+        UNION ALL
+        SELECT id, o_seg, from_date, eff - 1
+        FROM j WHERE from_date IS NOT NULL AND eff IS NOT NULL
+          AND d_seg <> o_seg
+        UNION ALL
+        SELECT id, d_seg, eff, CAST(NULL AS DATE)
+        FROM j WHERE eff IS NOT NULL
+          AND (from_date IS NULL OR d_seg <> o_seg))
+      SELECT id, seg, from_date, to_date FROM merged
+      ORDER BY id, from_date""",
   )
 }

@@ -598,6 +598,69 @@ object Similarity {
     * Both stages integer-exact under one double division; ties on
     * neighbor id. Returns (query_id, neighbor_id, prefix_cosine,
     * qcosine, rank<=k). */
+  /** Deterministic sign matrix for the JL projection: sign(j, i) from
+    * the top bit of md5("jl:j:i") — the catalog's engine-portable hash,
+    * reproducible in SQL. */
+  def jlSigns(dOut: Int, dIn: Int): Array[Array[Int]] =
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1 else -1
+    }
+
+  /** out_j = sum_i sign(j,i) * q_i over the int8 grid — integral values,
+    * order-independent, bit-stable. The matrix is a literal; the
+    * projection is a pure map inside the scan stage. */
+  private def jlProject(v: Column, signs: Array[Array[Int]]): Column =
+    array(signs.map { row =>
+      aggregate(
+        zip_with(v, typedlit(row.toSeq), (x, sg) => x.cast("double") * sg),
+        lit(0.0), (acc, x) => acc + x).cast("float")
+    }: _*)
+
+  /** Two-stage ANN via sign random projection (Johnson-Lindenstrauss;
+    * Achlioptas 2003 database-friendly variant): the coarse stage scans
+    * dOut-dim projections — dOut/dim of even the int8 grid's bytes —
+    * with integer-exact cosine; the exact int8 re-rank touches only each
+    * query's coarseK candidates. The dense-projection sibling of the
+    * binary (sign-bit) and Matryoshka (prefix) two-stage paths: unlike
+    * the prefix, the projection mixes ALL input dims, so it degrades
+    * gracefully when information is spread across components. The
+    * projection matrix derives from portable md5 bits and never
+    * materializes beyond a dOut x dIn literal. */
+  def jlTopK(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, id: String, vec: String, dIn: Int, dOut: Int,
+      k: Int, coarseK: Int): DataFrame = {
+    require(k >= 1 && coarseK >= k && dOut >= 1,
+      "need 1 <= k <= coarseK, dOut >= 1")
+    val signs = jlSigns(dOut, dIn)
+    val q = quantize(queries, qid, qvec)
+      .select(col(qid).as("query_id"), col("qvec").as("_qq"),
+        jlProject(col("qvec"), signs).as("_qp"))
+    val c = quantize(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("qvec").as("_cq"),
+        jlProject(col("qvec"), signs).as("_cp"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("proj_cosine").desc, col("neighbor_id").asc)
+    val cand = c.select(col("neighbor_id"), col("_cp"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("_qp"))))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFns.cosineSim(col("_qp"), col("_cp")).as("proj_cosine"))
+      .withColumn("_cr", row_number().over(wPre))
+      .filter(col("_cr") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"), col("proj_cosine"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id").asc)
+    c.select(col("neighbor_id"), col("_cq"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("_qq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("proj_cosine"),
+        VectorFns.cosineSim(col("_qq"), col("_cq")).as("qcosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
+
   def matryoshkaTopK(queries: DataFrame, qid: String, qvec: String,
       corpus: DataFrame, id: String, vec: String, prefixDim: Int, k: Int,
       coarseK: Int): DataFrame = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{BatchExport, Bucketing, EtlLog, LoadTable, TableConfig}
+import graft.sources.{BatchExport, Bucketing, EtlLog, LoadTable, Scd2, TableConfig}
 import graft.queries.Q.t
 
 /** Table-lifecycle catalog: YAML-declared schemas, CSV/ORC source+sink
@@ -508,5 +508,35 @@ vars:
         max(col("custkey")).as("max_key"))
       .crossJoin(broadcast(ok))
       .orderBy(col("seg"))
+  }
+
+  /** §2.1 incremental SCD type-2 merge (q218): the *_timevar history
+    * shape updated IN PLACE from a delta extract instead of the
+    * reference's from-scratch monthly rebuild. Fixture: every customer
+    * has an open segment version (some with closed history), the delta
+    * changes the odd-key customers' segment, re-states the even keys
+    * unchanged (must NOT version), skips every third id (absence is not
+    * a change), and introduces brand-new ids. Every branch lands rows
+    * whose dates pin it. */
+  def q218Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_mktsegment").as("seg"))
+    val openRows = base.select(col("id"), col("seg"),
+      to_date(lit("1997-01-01")).as("from_date"),
+      lit(null).cast("date").as("to_date"))
+    val closedRows = base.filter(col("id") % 4 === 0)
+      .select(col("id"), concat(lit("OLD_"), col("seg")).as("seg"),
+        to_date(lit("1995-01-01")).as("from_date"),
+        to_date(lit("1996-12-31")).as("to_date"))
+    val dim = closedRows.unionByName(openRows)
+    val delta = base.filter(col("id") % 3 =!= 0)
+      .select(col("id"),
+        when(col("id") % 2 === 1, concat(lit("NEW_"), col("seg")))
+          .otherwise(col("seg")).as("seg"))
+      .unionByName(base.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000L).as("id"), col("seg")))
+      .withColumn("eff_date", to_date(lit("1998-06-01")))
+    Scd2.merge(dim, delta, "id", Seq("seg"), "eff_date")
+      .orderBy(col("id"), col("from_date"))
   }
 }

@@ -213,6 +213,21 @@ object VectorQueries {
         col("prefix_cosine"), col("qcosine"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** JL sign-projection two-stage ANN (q217, Johnson-Lindenstrauss /
+    * Achlioptas): 64-dim int8 vectors projected to 16 integral
+    * components by a portable md5-derived ±1 matrix (mixes ALL dims,
+    * unlike the q190 prefix), coarse integer cosine on the projection,
+    * exact int8 re-rank over the top-20. Fully oracled — the oracle
+    * re-derives the sign matrix from the same md5 bits. */
+  def q217JlAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlTopK(
+        queries(s, dir), "vec_id", "embedding",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dIn = 64, dOut = 16, k = 5, coarseK = 20)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("proj_cosine"), col("qcosine"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Mutual-kNN graph (q197): q104's fixed centroids partition the
     * corpus, each vector's top-4 same-cell neighbors scored on the int8
     * grid (integer-exact, fully oracled), edges flagged mutual when the

@@ -154,8 +154,20 @@ class PlanSpec extends SparkSpec {
       "q198_ccw_prevalence_qa", // prevalence x broadcast 1-row
                                 // population total (the q128/q176
                                 // renormalizer shape)
-      "q202_stable_ids") // newcomers x broadcast 1-row kept-count
+      "q202_stable_ids", // newcomers x broadcast 1-row kept-count
                          // offset (the q169 scalar shape)
+      "q205_apcd_etl_log", // new files x broadcast 1-row prior-max id +
+                           // file series x 1-row counts (q169 shape)
+      "q206_etl_batch_ids", // requests x broadcast 1-row latest id
+                            // (the q202 numbering-offset shape)
+      "q208_cdr_file_prep", // rollup x broadcast 1-row terminator-check
+                            // flag (the q128 renormalizer shape)
+      "q210_decontam_pipeline", // counts x broadcast 1-row minP bound,
+                                // then q78's broadcast probe shape
+      "q212_stratified_sample", // strata x 1-row totals/leftover + the
+                                // TopN n x n remainder-rank self-join
+      "q217_jl_ann") // crossJoin(broadcast(queries)): the q41/q129 ANN
+                     // candidate shape over JL projections
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57

@@ -268,6 +268,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mat === full)
   }
 
+  test("jlTopK with coarseK = corpus size ranks like quantizedTopK") {
+    import spark.implicits._
+    val emb = Q.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val full = Similarity.quantizedTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val jl = Similarity.jlTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", dIn = 64, dOut = 16, k = 5,
+        coarseK = emb.count().toInt)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(jl === full)
+  }
+
+  test("jl signs are balanced-ish and deterministic") {
+    val s1 = Similarity.jlSigns(16, 64)
+    val s2 = Similarity.jlSigns(16, 64)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    val pos = s1.flatten.count(_ == 1)
+    // md5 top bit is uniform: expect ~512 of 1024 within a wide margin
+    assert(pos > 384 && pos < 640, s"unbalanced sign matrix: $pos")
+  }
+
   test("knnGraph: k=1 mutual pair vs asymmetric hub neighbor") {
     import spark.implicits._
     // one cell (single centroid). Vectors on a line: 0 and 1 are a
