@@ -336,6 +336,8 @@ object SparkEntry {
     "q217_jl_ann" -> (V.q217JlAnn _),
     "q218_scd2_merge" ->
       (graft.queries.LifecycleQueries.q218Scd2Merge _),
+    "q219_kanon_ladder" ->
+      (graft.queries.BuildQueries.q219KAnonLadder _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -11421,5 +11423,47 @@ object SparkEntry {
           AND (from_date IS NULL OR d_seg <> o_seg))
       SELECT id, seg, from_date, to_date FROM merged
       ORDER BY id, from_date""",
+
+    // q219: k-anonymity ladder — per-level group counts, sub-k violating
+    // record mass vs the floor(n/20) budget, minimal satisfying level.
+    "q219_kanon_ladder" -> """
+      WITH recs AS (
+        SELECT '98' || lpad(CAST(c_custkey % 900 AS VARCHAR), 3, '0')
+            AS zip,
+          CAST(1930 + c_custkey % 65 AS INTEGER) AS yob
+        FROM customer),
+      gen AS (
+        SELECT 0 AS lvl, zip || '|' || CAST(yob AS VARCHAR) AS key
+        FROM recs
+        UNION ALL
+        SELECT 1, substr(zip, 1, 3) || '|' || CAST(yob AS VARCHAR)
+        FROM recs
+        UNION ALL
+        SELECT 2, substr(zip, 1, 3) || '|'
+          || CAST((yob // 10) * 10 AS VARCHAR)
+        FROM recs
+        UNION ALL
+        SELECT 3, '*|' || CAST((yob // 10) * 10 AS VARCHAR) FROM recs
+        UNION ALL
+        SELECT 4, '*|*' FROM recs),
+      groups AS (SELECT lvl, key, count(*) AS c FROM gen GROUP BY 1, 2),
+      per AS (
+        SELECT lvl, count(*) AS n_groups,
+          CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+            AS n_violating,
+          sum(c) AS n
+        FROM groups GROUP BY 1),
+      ch AS (
+        SELECT min(CASE WHEN n_violating <= (n * 1) // 20 THEN lvl END)
+          AS chosen
+        FROM per)
+      SELECT CAST(lvl AS INTEGER) AS level_idx,
+        CASE lvl WHEN 0 THEN 'zip5_yob' WHEN 1 THEN 'zip3_yob'
+          WHEN 2 THEN 'zip3_decade' WHEN 3 THEN 'any_decade'
+          ELSE 'suppressed' END AS level_name,
+        n_groups, n_violating,
+        n_violating <= (n * 1) // 20 AS satisfies,
+        coalesce(lvl = (SELECT chosen FROM ch), FALSE) AS chosen
+      FROM per ORDER BY level_idx""",
   )
 }

@@ -4127,6 +4127,27 @@ object BuildQueries {
       .orderBy(col("aid"), col("bid"))
   }
 
+  /** k-anonymity generalization ladder (q219): the de-identification
+    * audit behind exports like q203's study extract — minimal
+    * full-domain level (zip5+yob -> zip3 -> decade -> suppressed) where
+    * records in sub-k groups fit a 5% suppression budget. One explode +
+    * one (level, key) shuffle for every level at once. */
+  def q219KAnonLadder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Anonymize
+    val recs = t(s, dir, "customer").select(
+      concat(lit("98"),
+        lpad((col("c_custkey") % 900).cast("string"), 3, "0")).as("zip"),
+      (lit(1930) + col("c_custkey") % 65).cast("int").as("yob"))
+    val decade = expr("(yob div 10) * 10")
+    Anonymize.ladderStats(recs, Seq(
+        ("zip5_yob", Seq(col("zip"), col("yob"))),
+        ("zip3_yob", Seq(substring(col("zip"), 1, 3), col("yob"))),
+        ("zip3_decade", Seq(substring(col("zip"), 1, 3), decade)),
+        ("any_decade", Seq(lit("*"), decade)),
+        ("suppressed", Seq(lit("*"), lit("*")))), k = 5)
+      .orderBy(col("level_idx"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
