@@ -338,6 +338,8 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q218Scd2Merge _),
     "q219_kanon_ladder" ->
       (graft.queries.BuildQueries.q219KAnonLadder _),
+    "q220_pagerank" -> (T.q220PageRank _),
+    "q221_asof_join" -> (graft.queries.JoinQueries.q221AsOfJoin _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -377,6 +379,29 @@ object SparkEntry {
         SELECT 'X' || CAST(k AS VARCHAR), 'zz ' || name0, dob + 5000,
           zip, year(dob + 5000)
         FROM base WHERE k % 5 = 0)"""
+
+  /** One integer-PageRank oracle iteration (dangling mass, damped
+    * contributions, teleport) — generated per round so the 5-step chain
+    * cannot drift between rounds. */
+  private def prIter(i: Int): String = {
+    val p = if (i == 1) "r0" else s"r${i - 1}"
+    s"""
+      d$i AS (
+        SELECT CAST(coalesce(sum((rank * 85) // 100), 0) AS BIGINT)
+          AS dang
+        FROM $p LEFT JOIN od USING (node) WHERE outdeg IS NULL),
+      c$i AS (
+        SELECT e.dst AS node,
+          CAST(sum(((r.rank * 85) // 100) // o.outdeg) AS BIGINT) AS cin
+        FROM e JOIN $p r ON e.src = r.node JOIN od o ON e.src = o.node
+        GROUP BY 1),
+      r$i AS (
+        SELECT n2.node,
+          ((1000000000000 * 15) // 100) // nn.n
+            + d$i.dang // nn.n + coalesce(c$i.cin, 0) AS rank
+        FROM nodes n2 LEFT JOIN c$i ON n2.node = c$i.node
+        CROSS JOIN nn CROSS JOIN d$i)"""
+  }
 
   private val EligStageRawCte: String = """
       WITH raw0 AS (
@@ -11465,5 +11490,58 @@ object SparkEntry {
         n_violating <= (n * 1) // 20 AS satisfies,
         coalesce(lvl = (SELECT chosen FROM ch), FALSE) AS chosen
       FROM per ORDER BY level_idx""",
+
+    // q220: integer PageRank — 5 generated oracle iterations replay the
+    // div-rounded damping, dangling and teleport masses exactly; top-20
+    // with the rank tie-break.
+    "q220_pagerank" -> ("""
+      WITH e AS (
+        SELECT DISTINCT CAST(o_custkey % 500 AS BIGINT) AS src,
+          CAST(o_orderkey % 500 AS BIGINT) AS dst
+        FROM orders WHERE o_custkey % 500 <> o_orderkey % 500),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+      r0 AS (
+        SELECT node, 1000000000000 // n AS rank
+        FROM nodes CROSS JOIN nn),""" +
+      (1 to 5).map(prIter).mkString(",") + """
+      SELECT node, rank, rnk FROM (
+        SELECT node, rank,
+          CAST(row_number() OVER (ORDER BY rank DESC, node) AS INTEGER)
+            AS rnk
+        FROM r5)
+      WHERE rnk <= 20 ORDER BY rnk"""),
+
+    // q221: as-of join — per lookup, the quote with the greatest
+    // (qdate, qkey) among qdate <= ldate; lookups with no prior quote
+    // keep NULLs (cannot occur in this fixture, arm kept for parity).
+    "q221_asof_join" -> """
+      WITH o AS (
+        SELECT o_orderkey, o_custkey % 200 AS key,
+          CAST(o_orderdate AS DATE) AS od, o_totalprice
+        FROM orders),
+      quotes AS (
+        SELECT key, od AS qdate, o_orderkey AS qkey,
+          o_totalprice AS qprice
+        FROM o),
+      lookups AS (
+        SELECT o_orderkey AS lookup_id, key, od + 30 AS ldate
+        FROM o WHERE o_orderkey % 7 = 0),
+      m AS (
+        SELECT l.lookup_id, l.key, l.ldate, q.qdate, q.qkey, q.qprice,
+          row_number() OVER (PARTITION BY l.lookup_id
+            ORDER BY q.qdate DESC, q.qkey DESC) AS rn
+        FROM lookups l JOIN quotes q
+          ON l.key = q.key AND q.qdate <= l.ldate)
+      SELECT lookup_id, key, ldate, qdate, qkey, qprice
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT l.lookup_id, l.key, l.ldate, CAST(NULL AS DATE),
+        CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM lookups l
+      WHERE NOT EXISTS (SELECT 1 FROM quotes q
+        WHERE q.key = l.key AND q.qdate <= l.ldate)
+      ORDER BY lookup_id""",
   )
 }

@@ -126,4 +126,26 @@ object JoinQueries {
       .agg(count(lit(1)).as("n"),
         round(avg(col("p_retailprice")), 4).as("avg_price"))
       .orderBy(col("p_brand"))
+
+  /** AS-OF join (q221): point-in-time enrichment — each lookup matched
+    * to the LATEST quote at or before its date per key, via the
+    * merge-sorted kernel ([[graft.operators.AsOf]]): one shuffle, one
+    * sort, zero row expansion, vs the range join + argmax that explodes
+    * by versions-per-key. Ties broken by quote key (total order). */
+  def q221AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("od", to_date(col("o_orderdate")))
+    val quotes = orders.select((col("o_custkey") % 200).as("key"),
+      col("od").as("qdate"), col("o_orderkey").as("qkey"),
+      col("o_totalprice").as("qprice"))
+    val lookups = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("lookup_id"),
+        (col("o_custkey") % 200).as("key"),
+        date_add(col("od"), 30).as("ldate"))
+    graft.operators.AsOf.joinLatest(lookups, quotes, "key",
+        "ldate", "qdate", "qkey", Seq("qdate", "qkey", "qprice"))
+      .select(col("lookup_id"), col("key"), col("ldate"),
+        col("qdate"), col("qkey"), col("qprice"))
+      .orderBy(col("lookup_id"))
+  }
 }

@@ -177,6 +177,22 @@ object TextQueries {
       .orderBy(col("probe_id"), col("doc_id"))
   }
 
+  /** Integer PageRank (q220): 5 fixed iterations of the Pregel-free
+    * join+aggregate plan over a deterministic synthetic citation graph,
+    * every step PURE INTEGER (div-rounded damping, dangling mass, 1-row
+    * broadcast teleport) so the whole trajectory is bit-reproducible —
+    * float PageRank depends on accumulation order no engine pins. Top-20
+    * by rank via the scale-safe TopN. */
+  def q220PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val pr = graft.operators.Graphs.pageRankInt(edges, iters = 5)
+    graft.core.TopN.topNByRank(pr, "rank", "node", 20)
+      .orderBy(col("rnk"))
+  }
+
   /** Incremental dedup (q216): the doc_id % 10 slice arrives as a DELTA
     * against the rest of the corpus; only pairs touching the delta are
     * generated (asymmetric bucket probe — corpus-size-independent work

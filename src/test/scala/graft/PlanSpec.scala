@@ -166,8 +166,12 @@ class PlanSpec extends SparkSpec {
                                 // then q78's broadcast probe shape
       "q212_stratified_sample", // strata x 1-row totals/leftover + the
                                 // TopN n x n remainder-rank self-join
-      "q217_jl_ann") // crossJoin(broadcast(queries)): the q41/q129 ANN
+      "q217_jl_ann", // crossJoin(broadcast(queries)): the q41/q129 ANN
                      // candidate shape over JL projections
+      "q219_kanon_ladder", // per-level stats x broadcast 1-row chosen-
+                           // level min (the q128 renormalizer shape)
+      "q220_pagerank") // teleport/dangling 1-row broadcasts + the TopN
+                       // n x n rank self-join (the q15/q62 shape)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57
