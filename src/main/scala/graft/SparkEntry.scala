@@ -340,6 +340,8 @@ object SparkEntry {
       (graft.queries.BuildQueries.q219KAnonLadder _),
     "q220_pagerank" -> (T.q220PageRank _),
     "q221_asof_join" -> (graft.queries.JoinQueries.q221AsOfJoin _),
+    "q222_versioned_enrich" ->
+      (graft.queries.LifecycleQueries.q222VersionedEnrich _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -402,6 +404,46 @@ object SparkEntry {
         FROM nodes n2 LEFT JOIN c$i ON n2.node = c$i.node
         CROSS JOIN nn CROSS JOIN d$i)"""
   }
+
+  /** Shared q218/q222 SCD-2 fixture + merge oracle CTE — one copy, so
+    * the merge semantics cannot drift between the build and its
+    * enrichment consumer. */
+  private val Scd2MergedCte: String = """
+      WITH base AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg FROM customer),
+      closedrows AS (
+        SELECT id, 'OLD_' || seg AS seg, DATE '1995-01-01' AS from_date,
+          DATE '1996-12-31' AS to_date
+        FROM base WHERE id % 4 = 0),
+      openrows AS (
+        SELECT id, seg, DATE '1997-01-01' AS from_date,
+          CAST(NULL AS DATE) AS to_date
+        FROM base),
+      delta AS (
+        SELECT id, CASE WHEN id % 2 = 1 THEN 'NEW_' || seg ELSE seg END
+          AS seg, DATE '1998-06-01' AS eff
+        FROM base WHERE id % 3 <> 0
+        UNION ALL
+        SELECT id + 1000000, seg, DATE '1998-06-01'
+        FROM base WHERE id % 10 = 0),
+      j AS (
+        SELECT coalesce(o.id, d.id) AS id, o.seg AS o_seg,
+          o.from_date, d.seg AS d_seg, d.eff
+        FROM openrows o FULL JOIN delta d ON o.id = d.id),
+      merged AS (
+        SELECT id, seg, from_date, to_date FROM closedrows
+        UNION ALL
+        SELECT id, o_seg, from_date, CAST(NULL AS DATE)
+        FROM j WHERE from_date IS NOT NULL
+          AND (eff IS NULL OR d_seg = o_seg)
+        UNION ALL
+        SELECT id, o_seg, from_date, eff - 1
+        FROM j WHERE from_date IS NOT NULL AND eff IS NOT NULL
+          AND d_seg <> o_seg
+        UNION ALL
+        SELECT id, d_seg, eff, CAST(NULL AS DATE)
+        FROM j WHERE eff IS NOT NULL
+          AND (from_date IS NULL OR d_seg <> o_seg))"""
 
   private val EligStageRawCte: String = """
       WITH raw0 AS (
@@ -11410,44 +11452,28 @@ object SparkEntry {
     // the delta; changed attrs close at eff-1 and reopen at eff, equal
     // re-statements and absent ids do NOT version, unknown ids insert,
     // closed history passes through.
-    "q218_scd2_merge" -> """
-      WITH base AS (
-        SELECT c_custkey AS id, c_mktsegment AS seg FROM customer),
-      closedrows AS (
-        SELECT id, 'OLD_' || seg AS seg, DATE '1995-01-01' AS from_date,
-          DATE '1996-12-31' AS to_date
-        FROM base WHERE id % 4 = 0),
-      openrows AS (
-        SELECT id, seg, DATE '1997-01-01' AS from_date,
-          CAST(NULL AS DATE) AS to_date
-        FROM base),
-      delta AS (
-        SELECT id, CASE WHEN id % 2 = 1 THEN 'NEW_' || seg ELSE seg END
-          AS seg, DATE '1998-06-01' AS eff
-        FROM base WHERE id % 3 <> 0
-        UNION ALL
-        SELECT id + 1000000, seg, DATE '1998-06-01'
-        FROM base WHERE id % 10 = 0),
-      j AS (
-        SELECT coalesce(o.id, d.id) AS id, o.seg AS o_seg,
-          o.from_date, d.seg AS d_seg, d.eff
-        FROM openrows o FULL JOIN delta d ON o.id = d.id),
-      merged AS (
-        SELECT id, seg, from_date, to_date FROM closedrows
-        UNION ALL
-        SELECT id, o_seg, from_date, CAST(NULL AS DATE)
-        FROM j WHERE from_date IS NOT NULL
-          AND (eff IS NULL OR d_seg = o_seg)
-        UNION ALL
-        SELECT id, o_seg, from_date, eff - 1
-        FROM j WHERE from_date IS NOT NULL AND eff IS NOT NULL
-          AND d_seg <> o_seg
-        UNION ALL
-        SELECT id, d_seg, eff, CAST(NULL AS DATE)
-        FROM j WHERE eff IS NOT NULL
-          AND (from_date IS NULL OR d_seg <> o_seg))
+    "q218_scd2_merge" -> (Scd2MergedCte + """
       SELECT id, seg, from_date, to_date FROM merged
-      ORDER BY id, from_date""",
+      ORDER BY id, from_date"""),
+
+    // q222: the q218 merge CHAINED into point-in-time enrichment — an
+    // id equi-join with the validity interval in the ON clause; events
+    // predating any version land in the NO_VERSION bucket.
+    "q222_versioned_enrich" -> (Scd2MergedCte + """,
+      events AS (
+        SELECT o_orderkey AS event_id, o_custkey AS id,
+          CAST(o_orderdate AS DATE) AS edate
+        FROM orders),
+      enriched AS (
+        SELECT e.event_id, e.edate, m.seg
+        FROM events e LEFT JOIN merged m
+          ON e.id = m.id AND m.from_date <= e.edate
+          AND (m.to_date IS NULL OR e.edate <= m.to_date))
+      SELECT coalesce(seg, 'NO_VERSION') AS seg_at_date,
+        count(*) AS n_events, min(edate) AS first_event,
+        max(edate) AS last_event
+      FROM enriched
+      GROUP BY 1 ORDER BY seg_at_date"""),
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

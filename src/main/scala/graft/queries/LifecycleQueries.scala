@@ -518,7 +518,11 @@ vars:
     * unchanged (must NOT version), skips every third id (absence is not
     * a change), and introduces brand-new ids. Every branch lands rows
     * whose dates pin it. */
-  def q218Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+  def q218Scd2Merge(s: SparkSession, dir: String): DataFrame =
+    mergedDim(s, dir).orderBy(col("id"), col("from_date"))
+
+  /** The q218/q222 shared post-merge versioned dimension. */
+  private def mergedDim(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "customer").select(
       col("c_custkey").as("id"), col("c_mktsegment").as("seg"))
     val openRows = base.select(col("id"), col("seg"),
@@ -537,6 +541,29 @@ vars:
         .select((col("id") + 1000000L).as("id"), col("seg")))
       .withColumn("eff_date", to_date(lit("1998-06-01")))
     Scd2.merge(dim, delta, "id", Seq("seg"), "eff_date")
-      .orderBy(col("id"), col("from_date"))
+  }
+
+  /** Versioned-dim point-in-time enrichment (q222): orders enriched
+    * with the segment version VALID AT their date against the q218
+    * merged dimension — the SCD-2 consumer. For a well-formed history
+    * at most one version matches, so this is a plain id equi-join with
+    * the interval predicate in the ON clause (no argmax, no window);
+    * events before any version keep NULL. The CHAIN (merge -> enrich)
+    * is pinned under one oracle. */
+  def q222VersionedEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = mergedDim(s, dir)
+    val events = t(s, dir, "orders").select(
+      col("o_orderkey").as("event_id"), col("o_custkey").as("id"),
+      to_date(col("o_orderdate")).as("edate"))
+    events.join(dim,
+        events("id") === dim("id") &&
+          col("from_date") <= col("edate") &&
+          (col("to_date").isNull || col("edate") <= col("to_date")),
+        "left")
+      .groupBy(coalesce(col("seg"), lit("NO_VERSION")).as("seg_at_date"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("edate")).as("first_event"),
+        max(col("edate")).as("last_event"))
+      .orderBy(col("seg_at_date"))
   }
 }
