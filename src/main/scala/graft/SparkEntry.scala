@@ -342,6 +342,8 @@ object SparkEntry {
     "q221_asof_join" -> (graft.queries.JoinQueries.q221AsOfJoin _),
     "q222_versioned_enrich" ->
       (graft.queries.LifecycleQueries.q222VersionedEnrich _),
+    "q223_freq_linkage" ->
+      (graft.queries.BuildQueries.q223FreqLinkage _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -11474,6 +11476,65 @@ object SparkEntry {
         max(edate) AS last_event
       FROM enriched
       GROUP BY 1 ORDER BY seg_at_date"""),
+
+    // q223: frequency-weighted linkage — the oracle rebuilds the name
+    // frequency table over BOTH sources and replays the rarity bonus;
+    // identical field patterns band differently by name rarity.
+    "q223_freq_linkage" -> """
+      WITH raw AS (
+        SELECT c_custkey AS k,
+          lower(replace(c_name, '#', ' ')) AS name0,
+          CAST(98000 + c_custkey % 150 AS INTEGER) AS zip,
+          DATE '1940-01-01'
+            + CAST(c_custkey * 73 % 20000 AS INTEGER) AS dob
+        FROM customer),
+      nm AS (
+        SELECT *, CASE WHEN k % 7 = 0 THEN name0
+          ELSE 'common name ' || CAST(k % 5 AS VARCHAR) END AS name
+        FROM raw),
+      a AS (
+        SELECT 'A' || CAST(k AS VARCHAR) AS pid, name, dob, zip,
+          year(dob) AS yob
+        FROM nm),
+      b0 AS (
+        SELECT 'B' || CAST(k AS VARCHAR) AS pid, name,
+          CASE WHEN k % 11 = 0 THEN dob + 30 ELSE dob END AS dob_b,
+          zip, year(dob) AS yob
+        FROM nm WHERE k % 3 <> 0),
+      b AS (SELECT pid, name, dob_b AS dob, zip, yob FROM b0),
+      attrs AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+      freq AS (
+        SELECT lower(name) AS fn, count(*) AS nf
+        FROM attrs GROUP BY 1),
+      cand AS (
+        SELECT a.pid AS id_a, b.pid AS id_b,
+          levenshtein(lower(a.name), lower(b.name)) <= 2 AS name_agree,
+          CASE WHEN a.dob = b.dob THEN 2
+            WHEN abs(date_diff('day', b.dob, a.dob)) <= 90 THEN 1
+            ELSE 0 END AS dob_band,
+          a.zip = b.zip AS zip_agree,
+          CASE WHEN f.nf <= 2 THEN 'rare'
+            WHEN f.nf <= 10 THEN 'uncommon'
+            ELSE 'common' END AS freq_bucket
+        FROM a JOIN b ON a.yob = b.yob
+        JOIN freq f ON lower(a.name) = f.fn),
+      scored AS (
+        SELECT *,
+          (CASE WHEN name_agree THEN 1.0 ELSE -1.5 END)
+          + (CASE WHEN dob_band = 2 THEN 4.0
+              WHEN dob_band = 1 THEN 2.0 ELSE -3.0 END)
+          + (CASE WHEN zip_agree THEN 2.5 ELSE -1.0 END)
+          + (CASE WHEN name_agree AND freq_bucket = 'rare' THEN 3.0
+              WHEN name_agree AND freq_bucket = 'uncommon' THEN 1.5
+              ELSE 0.0 END) AS score
+        FROM cand)
+      SELECT id_a, id_b, freq_bucket, name_agree, dob_band, zip_agree,
+        CAST(score AS DOUBLE) AS score,
+        CASE WHEN score >= 8.0 THEN 'match'
+          WHEN score >= 2.0 THEN 'possible'
+          ELSE 'non_match' END AS band
+      FROM scored WHERE score >= 2.0
+      ORDER BY id_a, id_b""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -4127,6 +4127,52 @@ object BuildQueries {
       .orderBy(col("aid"), col("bid"))
   }
 
+  /** Frequency-weighted linkage (q223, the Winkler refinement): same
+    * scorer family as q213 but agreement on a RARE name earns a bonus
+    * bucketed by corpus frequency — the fixture gives 1-in-7 people a
+    * unique name and pools everyone else onto five common names, so a
+    * common-name full agreement lands at 7.5 ('possible') while the
+    * same evidence on a rare name lands at 10.5 ('match'): identical
+    * field pattern, different conclusion, which is the point of
+    * value-specific weights. */
+  def q223FreqLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val raw = t(s, dir, "customer").select(
+        col("c_custkey").as("k"),
+        lower(regexp_replace(col("c_name"), "#", " ")).as("name0"))
+      .withColumn("zip", (lit(98000) + col("k") % 150).cast("int"))
+      .withColumn("dob", date_add(to_date(lit("1940-01-01")),
+        (col("k") * 73 % 20000).cast("int")))
+      .withColumn("yob", year(col("dob")))
+      .withColumn("name", when(col("k") % 7 === 0, col("name0"))
+        .otherwise(concat(lit("common name "),
+          (col("k") % 5).cast("string"))))
+    val srcA = raw.select(
+      concat(lit("A"), col("k").cast("string")).as("pid"),
+      col("name"), col("dob"), col("zip"), col("yob"))
+    val srcB = raw.filter(col("k") % 3 =!= 0).select(
+      concat(lit("B"), col("k").cast("string")).as("pid"),
+      col("name"),
+      when(col("k") % 11 === 0, date_add(col("dob"), 30))
+        .otherwise(col("dob")).as("dob"),
+      col("zip"), col("yob"))
+    val pairs = srcA.select(col("pid").as("id_a"), col("yob"))
+      .join(srcB.select(col("pid").as("id_b"), col("yob")), Seq("yob"))
+      .select(col("id_a"), col("id_b"))
+    val attrs = srcA.unionByName(srcB)
+    val w = Linkage.FieldWeights(
+      nameAgree = 1.0, nameDisagree = -1.5,
+      dobExact = 4.0, dobNear = 2.0, dobDisagree = -3.0,
+      zipAgree = 2.5, zipDisagree = -1.0)
+    Linkage.scoreCandidatePairsFreqWeighted(pairs, attrs, "pid", w)
+      .filter(col("score") >= 2.0)
+      .withColumn("band", Linkage.bandCol(col("score"), 8.0, 2.0))
+      .select(col("id_a"), col("id_b"), col("freq_bucket"),
+        col("name_agree"), col("dob_band"), col("zip_agree"),
+        col("score"), col("band"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** k-anonymity generalization ladder (q219): the de-identification
     * audit behind exports like q203's study extract — minimal
     * full-domain level (zip5+yob -> zip3 -> decade -> suppressed) where

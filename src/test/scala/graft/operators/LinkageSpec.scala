@@ -69,6 +69,30 @@ class LinkageSpec extends SparkSpec {
     assert(scoredP.head.getAs[Double]("score") == 8.0) // name+near+zip
   }
 
+  test("frequency bonus: rare-name agreement outscores the same " +
+    "pattern on a common name") {
+    val s = spark
+    import s.implicits._
+    // 12 attrs share "common name"; "zyx q" appears twice (A+B = rare)
+    val common = (1 to 10).map(i =>
+      (s"F$i", "common name", "1950-01-01", 98001, 1950))
+    val attrs = df(common ++ Seq(
+      ("A1", "zyx q", "1950-03-01", 98001, 1950),
+      ("B1", "zyx q", "1950-03-01", 98001, 1950),
+      ("A2", "common name", "1950-01-01", 98001, 1950),
+      ("B2", "common name", "1950-01-01", 98001, 1950)))
+    val pairs = Seq(("A1", "B1"), ("A2", "B2")).toDF("id_a", "id_b")
+    val fw = Linkage.FieldWeights(1.0, -1.5, 4.0, 2.0, -3.0, 2.5, -1.0)
+    val got = Linkage.scoreCandidatePairsFreqWeighted(pairs, attrs,
+        "pid", fw)
+      .select("id_a", "freq_bucket", "score")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(got("A1") == (("rare", 10.5)))   // 1 + 4 + 2.5 + 3
+    assert(got("A2") == (("common", 7.5)))  // same pattern, no bonus
+  }
+
   test("band cuts at the configured thresholds") {
     val s = spark
     import s.implicits._
