@@ -11516,7 +11516,7 @@ object SparkEntry {
           CASE WHEN f.nf <= 2 THEN 'rare'
             WHEN f.nf <= 10 THEN 'uncommon'
             ELSE 'common' END AS freq_bucket
-        FROM a JOIN b ON a.yob = b.yob
+        FROM a JOIN b ON a.yob = b.yob AND a.zip // 10 = b.zip // 10
         JOIN freq f ON lower(a.name) = f.fn),
       scored AS (
         SELECT *,
