@@ -508,7 +508,10 @@ object SparkEntry {
         SELECT * REPLACE (
           'Involuntary Inpatient Psychiactric Treatment (ITA)'
             AS RAC_NAME) FROM raw0
-        WHERE ok % 10 = 2),
+        WHERE ok % 10 = 2
+        UNION ALL
+        SELECT * REPLACE (CAST(NULL AS VARCHAR) AS MBR_H_SID) FROM raw0
+        WHERE ok % 10 = 3),
       arch0 AS (
         SELECT
           CAST(199100 + (o_orderkey % 6) * 100 + (o_orderkey % 12 + 1)
@@ -9910,7 +9913,10 @@ object SparkEntry {
             MBR_H_SID, MEDICAID_RECIPIENT_ID, RAC_FROM_DATE, RAC_TO_DATE,
             RAC_CODE) AS mx
           FROM scored)
-        WHERE score = mx),
+        WHERE score = mx
+          -- plain-equality id keys: NULL rows match no max row
+          AND CLNDR_YEAR_MNTH IS NOT NULL AND MBR_H_SID IS NOT NULL
+          AND MEDICAID_RECIPIENT_ID IS NOT NULL),
       ded AS (
         SELECT DISTINCT CLNDR_YEAR_MNTH, MBR_H_SID,
           MEDICAID_RECIPIENT_ID, GENDER, RAC_CODE, RAC_NAME,
@@ -11265,7 +11271,8 @@ object SparkEntry {
             WHEN abs(date_diff('day', b.dob, a.dob)) <= 90 THEN 1
             ELSE 0 END AS dob_band,
           a.zip = b.zip AS zip_agree
-        FROM a JOIN b ON a.yob = b.yob),
+        FROM a JOIN b
+          ON a.yob = b.yob AND a.zip // 10 = b.zip // 10),
       scored AS (
         SELECT *,
           (CASE WHEN name_agree THEN 3.5 ELSE -1.5 END)

@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   *     key;
   *  2. dedup (:225-285): fix the known RAC_NAME misspelling, score
   *     END_REASON_NAME by the priority CASE (NULL=1 … ELSE=7), keep
-  *     per-key MAX-score rows (the reference's NULL-safe self-join on
-  *     the max — here a window over the same key, where partitionBy
-  *     already groups NULL keys together), then DISTINCT over the
-  *     config vars. HOH_ID is NOT in the stage vars (the yaml), so
-  *     HOH-only duplicates vanish in this projection — that, not the
-  *     score, is what fixes duplicate type 2;
+  *     per-key MAX-score rows. The reference's max self-join is
+  *     NULL-safe ONLY on RAC_FROM_DATE/RAC_TO_DATE/RAC_CODE; the three
+  *     id columns (CLNDR_YEAR_MNTH/MBR_H_SID/MEDICAID_RECIPIENT_ID)
+  *     join plain-equality, so a row with a NULL id key matches nothing
+  *     and is DROPPED — the window replays that with an explicit
+  *     not-null filter on those three (partitionBy alone would keep
+  *     them). Then DISTINCT over the config vars. HOH_ID is NOT in the
+  *     stage vars (the yaml), so HOH-only duplicates vanish in this
+  *     projection — that, not the score, is what fixes duplicate
+  *     type 2;
   *  3. merge (:344-420): archive rows strictly before MIN(incoming
   *     date_var) UNION-distinct incoming rows, the incoming side
   *     gaining geo_hash_raw = SHA-256 of the upper-cased pipe-joined
@@ -84,9 +88,14 @@ object McaidEligStage {
         .otherwise(col("RAC_NAME")))
       .withColumn("reason_score", reasonScore(col("END_REASON_NAME")))
     val w = Window.partitionBy(DedupKey.map(col): _*)
+    // The reference joins the three id keys with PLAIN equality (only
+    // the RAC columns are NULL-safe), so a NULL id key matches no max
+    // row and the record drops out of the dedup output.
+    val idKeysPresent = col("CLNDR_YEAR_MNTH").isNotNull &&
+      col("MBR_H_SID").isNotNull && col("MEDICAID_RECIPIENT_ID").isNotNull
     fixed
       .withColumn("max_score", max(col("reason_score")).over(w))
-      .filter(col("reason_score") === col("max_score"))
+      .filter(col("reason_score") === col("max_score") && idKeysPresent)
       .select(varsDedup.map(col): _*)
       .distinct()
   }

@@ -29,9 +29,18 @@ object Anonymize {
     *         n_violating (records in groups < k), satisfies, chosen */
   def ladderStats(df: DataFrame, levels: Seq[(String, Seq[Column])],
       k: Int, budget: (Int, Int) = (1, 20)): DataFrame = {
+    // Length-prefixed encoding (not bare concat_ws): NULL gets its own
+    // token and values containing the delimiter can't collide with a
+    // column boundary, so distinct quasi-identifier tuples never
+    // collapse into one group (which would overstate k-anonymity).
+    def enc(c: Column): Column = {
+      val s = c.cast("string")
+      when(s.isNull, lit("∅"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
     val lvlStructs = levels.zipWithIndex.map { case ((_, cols), i) =>
       struct(lit(i).as("lvl"),
-        concat_ws("|", cols.map(_.cast("string")): _*).as("key"))
+        concat_ws("|", cols.map(enc): _*).as("key"))
     }
     val exploded = df.select(explode(array(lvlStructs: _*)).as("g"))
       .select(col("g.lvl").as("lvl"), col("g.key").as("key"))

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * Ties inside one side are broken by `tieCol` ascending (the LAST in
   * sort order wins), making the match total and engine-reproducible.
   * Events with no prior version keep NULL payloads.
+  *
+  * The payload rides as ONE struct through a single
+  * `last(ignoreNulls)`, so every carried field comes from the SAME
+  * version row — a NULL field in the latest version stays NULL instead
+  * of inheriting that column from an older version (the bug the
+  * per-column formulation has).
   */
 object AsOf {
 
@@ -35,25 +41,29 @@ object AsOf {
       lTimeCol: String, rTimeCol: String, tieCol: String,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payType = right.select(struct(valueCols.map(col): _*).as("_pay"))
+      .schema("_pay").dataType
     val r = right.select(
       Seq(col(keyCol), col(rTimeCol).as("_t"), lit(0).as("_side"),
-        col(tieCol).cast("long").as("_tie")) ++
-        valueCols.map(col) ++
+        col(tieCol).cast("long").as("_tie"),
+        struct(valueCols.map(col): _*).as("_pay")) ++
         leftCols.filterNot(_ == keyCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       Seq(col(keyCol), col(lTimeCol).as("_t"), lit(1).as("_side"),
-        lit(Long.MaxValue).as("_tie")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        lit(Long.MaxValue).as("_tie"),
+        lit(null).cast(payType).as("_pay")) ++
         leftCols.filterNot(_ == keyCol).map(col): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .select(Seq(col(keyCol), col("_side")) ++
+        leftCols.filterNot(_ == keyCol).map(col) :+
+        last(col("_pay"), ignoreNulls = true).over(w).as("_pay"): _*)
+    carried.filter(col("_side") === 1)
+      .select(Seq(col(keyCol)) ++
         leftCols.filterNot(_ == keyCol).map(col) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w)
-          .as(c)): _*)
-    carried.filter(col("_side") === 1).drop("_side")
+        valueCols.map(c => col(s"_pay.$c").as(c)): _*)
   }
 }

@@ -59,17 +59,37 @@ object Linkage {
       col("zip").as(s"_z$side"))
 
   /** Score blocked candidate pairs from two sources carrying
-    * (idCol, name, dob DATE, zip). `blockCol` must exist in both (the
-    * blocking key, e.g. a ZIP prefix). */
+    * (idCol, name, dob DATE, zip). `blockCols` must exist in both: the
+    * blocking key. Prefer a COMPOSITE key (e.g. birth year + ZIP
+    * decade): block sizes under a single coarse key grow linearly with
+    * corpus size, so candidate pairs per block grow QUADRATICALLY — the
+    * one super-linear cost curve in a linkage plan. A second key cuts
+    * candidates by its selectivity at the usual blocking trade (a value
+    * drifting across the second key's boundary is a missed pair —
+    * run a complementary generator like [[sortedNeighborhoodPairs]] to
+    * catch those). */
+  def scorePairs(a: DataFrame, b: DataFrame, idA: String, idB: String,
+      blockCols: Seq[String], w: FieldWeights, maxNameDist: Int,
+      nearDays: Int): DataFrame = {
+    val blk = blockCols.zipWithIndex.map { case (c, i) =>
+      (c, s"_blk$i")
+    }
+    val la = a.select(col(idA).as("id_a") +:
+      blk.map { case (c, n) => col(c).as(n) } ++:
+      Seq(col("name").as("_na"), col("dob").as("_da"),
+        col("zip").as("_za")): _*)
+    val lb = b.select(col(idB).as("id_b") +:
+      blk.map { case (c, n) => col(c).as(n) } ++:
+      Seq(col("name").as("_nb"), col("dob").as("_db"),
+        col("zip").as("_zb")): _*)
+    scored(la.join(lb, blk.map(_._2)), w, maxNameDist, nearDays)
+  }
+
+  /** Single-block-key convenience overload. */
   def scorePairs(a: DataFrame, b: DataFrame, idA: String, idB: String,
       blockCol: String, w: FieldWeights, maxNameDist: Int = 2,
-      nearDays: Int = 90): DataFrame = {
-    val la = a.select(col(idA).as("id_a"), col(blockCol).as("_blk"),
-      col("name").as("_na"), col("dob").as("_da"), col("zip").as("_za"))
-    val lb = b.select(col(idB).as("id_b"), col(blockCol).as("_blk"),
-      col("name").as("_nb"), col("dob").as("_db"), col("zip").as("_zb"))
-    scored(la.join(lb, Seq("_blk")), w, maxNameDist, nearDays)
-  }
+      nearDays: Int = 90): DataFrame =
+    scorePairs(a, b, idA, idB, Seq(blockCol), w, maxNameDist, nearDays)
 
   /** Sorted-neighborhood candidate generation (Hernandez & Stolfo 1995)
     * — the complementary candidate generator to blocking: records sorted
@@ -129,9 +149,12 @@ object Linkage {
       .agg(count(lit(1)).as("_nf"))
     val a = sided(attrs, idCol, "a")
     val b = sided(attrs, idCol, "b")
+    // LEFT join (vs inner) so a NULL A-side name keeps its pair row —
+    // scored exactly as scoreCandidatePairs scores it — landing in the
+    // 'common' bucket (no rarity evidence) instead of being dropped.
     val cand = pairs.select("id_a", "id_b").join(a, Seq("id_a"))
       .join(b, Seq("id_b"))
-      .join(freq, lower(col("_na")) === col("_fn"))
+      .join(freq, lower(col("_na")) === col("_fn"), "left")
     val nameAgree =
       levenshtein(lower(col("_na")), lower(col("_nb"))) <= maxNameDist
     val dobBand = when(col("_da") === col("_db"), 2)

@@ -3546,7 +3546,12 @@ object BuildQueries {
     val dup3 = raw0.filter(col("ok") % 10 === 2)
       .withColumn("RAC_NAME",
         lit(graft.builds.McaidEligStage.RacMisspelled))
+    // NULL plain-equality id key: the reference's dedup self-join drops
+    // these rows entirely (only the RAC columns join NULL-safe)
+    val dup4 = raw0.filter(col("ok") % 10 === 3)
+      .withColumn("MBR_H_SID", lit(null).cast("string"))
     val raw = raw0.unionByName(dup1).unionByName(dup2).unionByName(dup3)
+      .unionByName(dup4)
       .drop("ok")
     val archive = mkBase(199100, 1)
       .withColumn("geo_hash_raw", graft.builds.McaidEligStage.geoHashRaw)
@@ -4046,11 +4051,15 @@ object BuildQueries {
     * behind the reference's deterministic person xwalks: two synthetic
     * person sources (the B side with planted zip typos, 30-day dob
     * drift, name suffixes, partial overlap, and unmatched extras),
-    * blocked on birth YEAR (a drifted dob can cross the year boundary —
-    * the classic blocking miss, kept on purpose), scored with fixed
-    * half-integer literal weights (sums are IEEE-exact -> bit-stable),
-    * cut into match / possible / non-match bands. Output bounded to
-    * score >= the lower cut. */
+    * blocked on (birth YEAR, ZIP decade) — the two-key block: single-key
+    * birth-year blocks grow linearly with corpus size so candidates per
+    * block grow QUADRATICALLY; the second key caps that at the usual
+    * blocking trade (a drifted dob can cross the year boundary and a
+    * zip typo the decade boundary — both classic blocking misses, kept
+    * on purpose and caught by q214's complementary sorted-neighborhood
+    * generator). Scored with fixed half-integer literal weights (sums
+    * are IEEE-exact -> bit-stable), cut into match / possible /
+    * non-match bands. Output bounded to score >= the lower cut. */
   /** The q213/q214 planted-noise two-source person fixture (see
     * q213FsLinkage's scaladoc). */
   private def linkageSources(s: SparkSession, dir: String)
@@ -4089,9 +4098,11 @@ object BuildQueries {
 
   def q213FsLinkage(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Linkage
-    val (srcA, srcB) = linkageSources(s, dir)
-    val scored = Linkage.scorePairs(srcA, srcB, "pid", "pid", "yob",
-      fsWeights)
+    val (srcA0, srcB0) = linkageSources(s, dir)
+    val srcA = srcA0.withColumn("zd", expr("zip div 10"))
+    val srcB = srcB0.withColumn("zd", expr("zip div 10"))
+    val scored = Linkage.scorePairs(srcA, srcB, "pid", "pid",
+      Seq("yob", "zd"), fsWeights, maxNameDist = 2, nearDays = 90)
     scored.filter(col("score") >= 2.0)
       .withColumn("band", Linkage.bandCol(col("score"), 7.0, 2.0))
       .select(col("id_a"), col("id_b"), col("name_agree"),

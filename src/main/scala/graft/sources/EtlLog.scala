@@ -37,19 +37,24 @@ object EtlLog {
       .when(schemaCol === "stage", 1)
       .otherwise(2)
 
-  /** Parse `{schema}.{table}.{NNN}_{yyyymmdd}.csv.gz` names exactly as
-    * apcd_ftp_get_file_list:281-293 does: dot-split element 2 is the
-    * table, the first 3 chars of element 3 the file number, and the 8
-    * chars at positions len-14 .. len-7 the date (dashed on the way
-    * out). The schema comes from the directory, not the name — callers
-    * supply it. */
+  /** Parse `{schema}.{table}.{NNN}_{yyyymmdd}.csv[.gz]` names: dot-split
+    * element 2 is the table and element 3 is `NNN_yyyymmdd` — the first
+    * 3 chars the file number, chars 5-12 the date (dashed on the way
+    * out). The reference (apcd_ftp_get_file_list:281-293) takes the date
+    * at fixed from-end offsets that assume the '.csv.gz' suffix; the
+    * dot-split parse is identical for those names and stays correct for
+    * plain '.csv' (BatchExport.fileName gz=false), where from-end
+    * offsets would silently shift by 3. The schema comes from the
+    * directory, not the name — callers supply it. */
   def parsedCols(name: Column): Seq[Column] = Seq(
     element_at(split(name, "\\."), 2).as("file_table"),
     substring(element_at(split(name, "\\."), 3), 1, 3).cast("int")
       .as("file_number"),
     concat_ws("-",
-      substring(name, -15, 4), substring(name, -11, 2),
-      substring(name, -9, 2)).as("file_date"))
+      substring(element_at(split(name, "\\."), 3), 5, 4),
+      substring(element_at(split(name, "\\."), 3), 9, 2),
+      substring(element_at(split(name, "\\."), 3), 11, 2))
+      .as("file_date"))
 
   /** etl_get_list's max-file join: annotate each row with the highest
     * file number of its (file_date, file_schema, file_table) group. */

@@ -26,14 +26,28 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   /** `dim` carries (idCol, attrCols..., from_date, to_date NULL=open);
-    * `delta` carries (idCol, attrCols..., effDateCol). */
+    * `delta` carries (idCol, attrCols..., effDateCol).
+    *
+    * A delta carrying SEVERAL versions of one id is pre-collapsed to the
+    * latest per id (max eff date; equal-date ties broken by the attr
+    * values, total order) — the batch-merge semantics: intermediate
+    * same-batch states were never the open version at any batch
+    * boundary, so only the final state versions. Without the collapse,
+    * two delta rows for one id would silently produce two open rows
+    * (corrupted history). */
   def merge(dim: DataFrame, delta: DataFrame, idCol: String,
       attrCols: Seq[String], effDateCol: String): DataFrame = {
     val open = dim.filter(col("to_date").isNull)
     val closed = dim.filter(col("to_date").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val wLatest = Window.partitionBy(col(idCol))
+      .orderBy(col("_eff").desc +:
+        attrCols.map(c => col(s"_d_$c").cast("string").asc_nulls_first): _*)
     val d = delta.select(col(idCol) +:
       attrCols.map(c => col(c).as(s"_d_$c")) :+
       col(effDateCol).as("_eff"): _*)
+      .withColumn("_rn", row_number().over(wLatest))
+      .filter(col("_rn") === 1).drop("_rn")
     val j = open.join(d, Seq(idCol), "full")
     val changed = attrCols.map(c => !(col(s"_d_$c") <=> col(c)))
       .reduce(_ || _)

@@ -47,6 +47,25 @@ class AnonymizeSpec extends SparkSpec {
     assert(got2 == ((3L, false)))
   }
 
+  test("NULL vs '' and delimiter-bearing values stay distinct groups") {
+    val s = spark
+    import s.implicits._
+    // four records whose naive '|'-joined keys would COLLIDE into two
+    // groups of 2 ("a|b" from ("a|b",NULL-skipped?) etc.), overstating
+    // k-anonymity; length-prefixed encoding keeps all four distinct
+    val recs = Seq(
+      (Option("a|b"), Option("c")),    // "a|b" + "c"
+      (Option("a"), Option("b|c")),    // would also join to "a|b|c"
+      (Option.empty[String], Option("x")), // NULL first col
+      (Option(""), Option("x")))       // empty-string first col
+      .toDF("q1", "q2")
+    val got = Anonymize.ladderStats(recs,
+        Seq(("l0", Seq(col("q1"), col("q2")))), k = 2)
+      .select("n_groups", "n_violating")
+      .as[(Long, Long)].collect().head
+    assert(got == ((4L, 4L)))
+  }
+
   test("tiny corpus: even full suppression can fail; nothing is chosen") {
     val s = spark
     import s.implicits._

@@ -44,6 +44,26 @@ class AsOfSpec extends SparkSpec {
       (105L, None, None)))
   }
 
+  test("NULL field in the latest version stays NULL — no cross-version mixing") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq(
+      (1L, d("1996-01-01"), Option(10L), Option(100.0)),
+      // latest version has a NULL qprice: the event must carry
+      // (11, NULL), NOT (11, 100.0) inherited from the older version
+      (1L, d("1996-02-01"), Option(11L), Option.empty[Double]))
+      .toDF("key", "qdate", "qkey", "qprice")
+    val lookups = Seq((201L, 1L, d("1996-03-01")))
+      .toDF("lookup_id", "key", "ldate")
+    val got = AsOf.joinLatest(lookups, quotes, "key", "ldate", "qdate",
+        "qkey", Seq("qkey", "qprice"))
+      .select("lookup_id", "qkey", "qprice")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    assert(got == Set((201L, Some(11L), None)))
+  }
+
   test("the plan contains no join at all — one shuffle, one sort") {
     val (lookups, quotes) = fixture
     val plan = AsOf.joinLatest(lookups, quotes, "key", "ldate", "qdate",

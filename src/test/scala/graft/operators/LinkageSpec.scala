@@ -93,6 +93,45 @@ class LinkageSpec extends SparkSpec {
     assert(got("A2") == (("common", 7.5)))  // same pattern, no bonus
   }
 
+  test("NULL A-side name: freq-weighted path keeps the pair (common " +
+    "bucket), consistent with the plain scorer") {
+    val s = spark
+    import s.implicits._
+    val attrs = df(Seq(
+      ("B1", "some name", "1950-03-01", 98001, 1950)))
+      .unionByName(Seq(("A1", Option.empty[String], "1950-03-01", 98001,
+        1950)).toDF("pid", "name", "dob", "zip", "yob")
+        .withColumn("dob", to_date(col("dob"))))
+    val pairs = Seq(("A1", "B1")).toDF("id_a", "id_b")
+    val fw = Linkage.FieldWeights(1.0, -1.5, 4.0, 2.0, -3.0, 2.5, -1.0)
+    val plain = Linkage.scoreCandidatePairs(pairs, attrs, "pid", fw)
+      .select("id_a", "score").collect()
+    val freq = Linkage.scoreCandidatePairsFreqWeighted(pairs, attrs,
+        "pid", fw)
+      .select("id_a", "score", "freq_bucket").collect()
+    assert(plain.length == 1 && freq.length == 1)
+    assert(freq.head.getDouble(1) == plain.head.getDouble(1))
+    assert(freq.head.getString(2) == "common")
+  }
+
+  test("two-key blocking: candidates require BOTH keys to agree") {
+    val a = df(Seq(
+      ("A1", "jane doe", "1950-06-01", 98011, 1950),
+      ("A2", "john roe", "1950-06-01", 98021, 1950)))
+      .withColumn("zd", expr("zip div 10"))
+    val b = df(Seq(
+      ("B1", "jane doe", "1950-06-01", 98012, 1950),  // same decade
+      ("B2", "john roe", "1950-06-01", 98029, 1950))) // same decade
+      .withColumn("zd", expr("zip div 10"))
+    val got = Linkage.scorePairs(a, b, "pid", "pid", Seq("yob", "zd"),
+        w, 2, 90)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // same yob everywhere, but cross-decade pairs (A1,B2)/(A2,B1) are
+    // never compared
+    assert(got == Set(("A1", "B1"), ("A2", "B2")))
+  }
+
   test("band cuts at the configured thresholds") {
     val s = spark
     import s.implicits._

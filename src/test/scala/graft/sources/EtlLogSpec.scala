@@ -17,6 +17,15 @@ class EtlLogSpec extends SparkSpec {
     assert(got == (("apcd_claim", 12, "2024-12-17")))
   }
 
+  test("file-name parser: plain .csv (no .gz) parses the same date") {
+    import spark.implicits._
+    val got = Seq("stg_claims.apcd_claim.012_20241217.csv")
+      .toDF("file_name")
+      .select(EtlLog.parsedCols(col("file_name")): _*)
+      .as[(String, Int, String)].first()
+    assert(got == (("apcd_claim", 12, "2024-12-17")))
+  }
+
   test("new etl ids: prior max + directory scan order (ref<stage<final)") {
     import spark.implicits._
     val newFiles = Seq(

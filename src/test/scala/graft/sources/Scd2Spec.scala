@@ -40,6 +40,30 @@ class Scd2Spec extends SparkSpec {
       (9L, Some("n"), "1998-06-01", None)))              // inserted
   }
 
+  test("multi-version delta collapses to latest-per-id — never two open rows") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((1L, Some("a"), d("1997-01-01"),
+        Option.empty[java.sql.Date]))
+      .toDF("id", "seg", "from_date", "to_date")
+    // two versions of id 1 in ONE batch: only the latest (eff max)
+    // versions; the intermediate state was never open at a boundary
+    val delta = Seq(
+      (1L, Some("b"), d("1998-03-01")),
+      (1L, Some("c"), d("1998-06-01")))
+      .toDF("id", "seg", "eff_date")
+    val got = Scd2.merge(dim, delta, "id", Seq("seg"), "eff_date")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, Some("a"), "1997-01-01", Some("1998-05-31")),
+      (1L, Some("c"), "1998-06-01", None)))
+    // exactly one open row
+    assert(Scd2.merge(dim, delta, "id", Seq("seg"), "eff_date")
+      .filter(col("to_date").isNull).count() == 1L)
+  }
+
   test("NULL-to-value and value-to-NULL both count as changes") {
     val s = spark
     import s.implicits._
