@@ -143,7 +143,7 @@ object SparkEntry {
     "q39_simhash_neardup" -> (T.q38Simhash _),
     "q40_ngram_jaccard" -> (T.q39NgramJaccard _),
     "q41_ann_brute" -> (V.q40AnnBrute _),
-    "q42_ann_ivf" -> (V.q41AnnIvf _),
+    "q42_ann_ivf" -> (V.q42AnnIvfInt _),
     "q42b_ivf_probe" -> (V.q42bIvfProbe _),
     "q43_embedding_neardup" -> (V.q42EmbeddingNearDup _),
     "q44_timeline_episodes" -> (qTimeline _),
@@ -405,6 +405,35 @@ object SparkEntry {
             + d$i.dang // nn.n + coalesce(c$i.cin, 0) AS rank
         FROM nodes n2 LEFT JOIN c$i ON n2.node = c$i.node
         CROSS JOIN nn CROSS JOIN d$i)"""
+  }
+
+  /** Integer squared distance between a quantized vector `v` and a
+    * centroid list `c` (both LIST(BIGINT), 64 dims) — the q42 metric. */
+  private def ivfDist(v: String, c: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+          d -> ($v[d] - $c[d]) * ($v[d] - $c[d])))"""
+
+  /** One integer-Lloyd oracle iteration (argmin-distance assignment
+    * with lowest-cell ties, floor-div centroid means, empty cells keep
+    * the prior centroid) — generated per round so the 3-step chain
+    * cannot drift. */
+  private def ivfIter(i: Int): String = {
+    val p = s"cen${i - 1}"
+    s"""
+      asg$i AS (
+        SELECT vec_id, q, cell FROM (
+          SELECT v.vec_id, v.q, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${ivfDist("v.q", "c.cv")}, c.cell) AS rn
+          FROM qvec v CROSS JOIN $p c) WHERE rn = 1),
+      cen$i AS (
+        SELECT p.cell, coalesce(u.cv, p.cv) AS cv
+        FROM $p p LEFT JOIN (
+          SELECT cell, list(m ORDER BY d) AS cv FROM (
+            SELECT cell, d, CAST(sum(q[d]) // count(*) AS BIGINT) AS m
+            FROM asg$i, generate_series(1, 64) t(d)
+            GROUP BY cell, d)
+          GROUP BY cell) u ON p.cell = u.cell)"""
   }
 
   /** Shared q218/q222 SCD-2 fixture + merge oracle CTE — one copy, so
@@ -1547,6 +1576,54 @@ object SparkEntry {
       SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
         round(cosine, 4) AS cosine
       FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""",
+
+    // q42: the FULL IVF pipeline under a hard oracle — integer Lloyd on
+    // the shifted int8 grid (init = 8 lowest-id vectors, 3 generated
+    // iteration CTEs replaying argmin-distance assignment + floor-div
+    // centroid means), integer probe selection, exact-cosine top-k.
+    "q42_ann_ivf" -> ("""
+      WITH qz AS (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+            / 127.0 AS s
+        FROM embeddings),
+      qvec AS (
+        SELECT vec_id, embedding,
+          CASE WHEN s = 0 THEN list_transform(embedding, x -> 127::BIGINT)
+            ELSE list_transform(embedding,
+              x -> CAST(round(x::DOUBLE / s, 0) AS BIGINT) + 127) END AS q
+        FROM qz),
+      cen0 AS (
+        SELECT CAST(rn - 1 AS INTEGER) AS cell, q AS cv
+        FROM (SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
+              FROM qvec)
+        WHERE rn <= 8),""" +
+      (1 to 3).map(ivfIter).mkString(",") + s""",
+      fin AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT v.vec_id, v.embedding, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${ivfDist("v.q", "c.cv")}, c.cell) AS rn
+          FROM qvec v CROSS JOIN cen3 c) WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qemb, cell FROM (
+          SELECT v.vec_id AS query_id, v.embedding AS qemb, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${ivfDist("v.q", "c.cv")}, c.cell) AS rn
+          FROM qvec v CROSS JOIN cen3 c
+          WHERE v.vec_id < 5) WHERE rn <= 4),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[])
+            AS cosine
+        FROM probes p JOIN fin a ON a.cell = p.cell),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+        round(cosine, 4) AS cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rank"""),
 
     // q42b: IVF's deterministic half — assignment + probe + within-cell
     // top-k under fixed integer-arithmetic centroids (exact in float on

@@ -258,6 +258,118 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("_rk").as("rank"))
   }
 
+  // -------- Fixed-point (integer) Lloyd IVF --------
+  //
+  // Resolves the one float-order nondeterminism the float ivfAssign has
+  // (centroid means depend on partial-sum accumulation order): k-means
+  // over the SHIFTED int8 grid — per-vector quantization + 127, so
+  // components are integers in [0, 254] — where the assignment metric
+  // (squared Euclidean distance, shift-invariant), the centroid updates
+  // (floor-div means over non-negative sums) and every tie-break are
+  // INTEGER arithmetic. Integer addition is associative + commutative,
+  // so the whole Lloyd trajectory is bit-reproducible in any engine
+  // whatever the partition/accumulation order (the Graphs.pageRankInt /
+  // PQ-distance discipline), and the q42 oracle replays each iteration
+  // as a generated CTE. Init = the nCells lowest-id vectors (the PQ
+  // lowest-id sample discipline — portable, no hash function needed).
+
+  /** Per-vector int8 quantization shifted to [0, 254] ints (+127); the
+    * all-zero vector lands on the grid center (127s). Output:
+    * (_id, _v raw, _qv shifted ints). */
+  private def quantizeShifted(df: DataFrame, id: String,
+      vec: String): DataFrame =
+    df.select(col(id).as("_id"), col(vec).as("_v"))
+      .withColumn("_s",
+        array_max(transform(col("_v"), x => abs(x))).cast("double") / 127.0)
+      .withColumn("_qv",
+        when(col("_s") === 0.0, transform(col("_v"), _ => lit(127)))
+          .otherwise(transform(col("_v"),
+            x => (round(x.cast("double") / col("_s"), 0) + 127).cast("int"))))
+      .drop("_s")
+
+  /** Squared Euclidean distance between an int vector column and each
+    * centroid of the literal, as array<struct<d, cell>> — array_min
+    * picks (lowest distance, then lowest cell id). Constant-size
+    * expression tree at any nCells, like [[scoredCells]]. */
+  private def intScoredCells(qv: Column,
+      centroids: Array[(Int, Seq[Int])]): Column = {
+    val cenLit = typedlit(centroids.toSeq.map { case (c, v) => (c, v) })
+    transform(cenLit, cen =>
+      struct(
+        aggregate(zip_with(qv, cen.getField("_2"),
+            (a, b) => ((a - b) * (a - b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        cen.getField("_1").as("cell")))
+  }
+
+  private def assignIntCells(qc: DataFrame,
+      centroids: Array[(Int, Seq[Int])]): DataFrame =
+    qc.withColumn("_cell",
+      array_min(intScoredCells(col("_qv"), centroids))
+        .getField("cell").cast("int"))
+
+  /** Integer Lloyd: `iters` rounds of assign (argmin int distance, tie
+    * to the LOWEST cell) + update (per-dim `sum div count`; an empty
+    * cell keeps its previous centroid). Returns the assigned corpus
+    * (_id, _v, _qv, _cell) and the final integer centroids. The per-
+    * round collect is bounded at nCells rows (the ivfAssign centroid
+    * discipline). */
+  def ivfIntLloyd(corpus: DataFrame, id: String, vec: String,
+      nCells: Int, iters: Int): (DataFrame, Array[(Int, Seq[Int])]) = {
+    val qc = quantizeShifted(corpus, id, vec)
+    var centroids: Array[(Int, Seq[Int])] = qc.orderBy(col("_id"))
+      .limit(nCells).select(col("_qv")).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Int](0)) }
+    if (centroids.isEmpty)
+      return (qc.withColumn("_cell", lit(null).cast("int")), centroids)
+    val dim = centroids.head._2.length
+    for (_ <- 0 until iters) {
+      val sums = assignIntCells(qc, centroids).groupBy(col("_cell"))
+        .agg(count(lit(1)).as("_n"),
+          (0 until dim).map(d =>
+            sum(col("_qv").getItem(d).cast("long")).as(s"_s$d")): _*)
+        .collect()
+        .map(r => r.getInt(0) ->
+          (1 to dim).map(i => (r.getLong(i + 1) / r.getLong(1)).toInt).toSeq)
+        .toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, sums.getOrElse(cid, old))
+      }
+    }
+    (assignIntCells(qc, centroids), centroids)
+  }
+
+  /** IVF probe + exact top-k under integer centroids: queries quantize
+    * on the same shifted grid, probe the nProbe cells with the SMALLEST
+    * integer distance (ties to the lower cell id), and rank candidates
+    * by exact cosine on the RAW vectors. Same broadcast-queries /
+    * cell-equi-join shape as [[ivfTopK]]. */
+  def ivfIntTopK(queries: DataFrame, qid: String, qvec: String,
+      assigned: DataFrame, centroids: Array[(Int, Seq[Int])],
+      k: Int, nProbe: Int): DataFrame = {
+    if (centroids.isEmpty)
+      return queries.select(col(qid).as("query_id"),
+        lit(null).cast("long").as("neighbor_id"),
+        lit(null).cast("double").as("cosine"),
+        lit(null).cast("int").as("rank")).limit(0)
+    val q = quantizeShifted(queries, qid, qvec)
+      .withColumnRenamed("_id", "query_id")
+      .withColumn("_cells",
+        slice(array_sort(intScoredCells(col("_qv"), centroids)), 1, nProbe))
+      .withColumn("_cell",
+        explode(transform(col("_cells"), _.getField("cell").cast("int"))))
+      .select(col("query_id"), col("_v").as("_qraw"), col("_cell"))
+    val scored = assigned.join(broadcast(q), Seq("_cell"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        VectorFns.cosineSim(col("_qraw"), col("_v")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("_rk").as("rank"))
+  }
+
   // -------- Product quantization (PQ) over the int8 grid --------
   //
   // The memory path BEYOND flat int8: split each d-dim vector into m

@@ -48,6 +48,26 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN with INTEGER Lloyd (q42) — the full pipeline (init ->
+    * 3 Lloyd rounds -> assignment -> probe -> exact-cosine top-k) under
+    * a hard SQL oracle: every Lloyd step is integer arithmetic on the
+    * shifted int8 grid (squared-distance assignment, floor-div centroid
+    * means, lowest-cell ties), so the oracle replays all three
+    * iterations as generated CTEs and the trained index is
+    * bit-identical in DuckDB — closing the float-order caveat the old
+    * float-Lloyd q42 documented (its deterministic probe half remains
+    * q42b). */
+  def q42AnnIvfInt(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids) = Similarity.ivfIntLloyd(
+      t(s, dir, "embeddings"), "vec_id", "embedding", nCells = 8,
+      iters = 3)
+    Similarity.ivfIntTopK(queries(s, dir), "vec_id", "embedding",
+      assigned, centroids, k = 5, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The deterministic half of IVF under FIXED synthesized centroids
     * (VERDICT r5 #7): cell assignment, probe selection, and within-cell
     * top-k are exact given the centroids, so with centroids both sides can

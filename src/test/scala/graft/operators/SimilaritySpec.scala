@@ -26,6 +26,51 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("integer-Lloyd IVF with nProbe = nCells degenerates to brute force") {
+    val emb = Q.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val (assigned, centroids) = Similarity.ivfIntLloyd(
+      emb, "vec_id", "embedding", nCells = 8, iters = 3)
+    val ivf = Similarity.ivfIntTopK(queries, "vec_id", "embedding",
+      assigned, centroids, k = 5, nProbe = 8)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
+  test("integer-Lloyd IVF recall >= 0.9 with nProbe=4/8 on clustered vectors") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new Random(47)
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian() * 5))
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + 0.3 * rng.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", df, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val (assigned, centroids) = Similarity.ivfIntLloyd(
+      df, "vec_id", "embedding", nCells = 8, iters = 3)
+    val ivf = Similarity.ivfIntTopK(queries, "vec_id", "embedding",
+      assigned, centroids, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean int-Lloyd IVF recall@5 = $mean")
+  }
+
   test("IVF recall >= 0.9 with nProbe=4/8 on clustered vectors") {
     // IVF's contract only holds when the corpus clusters (random vectors
     // are the adversarial case — every cell is equally likely to hold a
