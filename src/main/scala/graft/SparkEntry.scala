@@ -344,6 +344,8 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q222VersionedEnrich _),
     "q223_freq_linkage" ->
       (graft.queries.BuildQueries.q223FreqLinkage _),
+    "q224_apcd_preg_episode" ->
+      (graft.queries.BuildQueries.q224ApcdPregEpisode _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -434,6 +436,48 @@ object SparkEntry {
             FROM asg$i, generate_series(1, 64) t(d)
             GROUP BY cell, d)
           GROUP BY cell) u ON p.cell = u.cell)"""
+  }
+
+  /** Generated recursive placement chain (the pregnancy STEP 5A-5G
+    * WHILE loops) over an `ep` CTE carrying (id, d, cls) — one block
+    * per hierarchy class taken from PregEpisode.McaidHierarchy itself,
+    * so the conflict-window matrix in the oracle CANNOT drift from the
+    * Scala. Ends with a `placed(id, cls, d)` CTE. */
+  private def pregPlacementChain: String = {
+    val classes = graft.builds.PregEpisode.McaidHierarchy
+    val blocks = classes.map { c =>
+      val base = s"SELECT id, d FROM ep WHERE cls = '${c.name}'"
+      val surv = c.conflictWindows.zipWithIndex.foldLeft(base) {
+        case (inner, ((h, w), i)) =>
+          s"""SELECT s$i.id, s$i.d FROM ($inner) s$i
+            ANTI JOIN ${h}fin h$i ON h$i.id = s$i.id AND h$i.d <> s$i.d
+              AND abs(date_diff('day', h$i.d, s$i.d)) <= $w"""
+      }
+      s"""
+      ${c.name}0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day',
+            lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM ($surv)),
+      ${c.name}rec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM ${c.name}0
+        WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > ${c.greedyGapDays} THEN 0
+            ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > ${c.greedyGapDays} THEN 1 ELSE 0 END
+        FROM ${c.name}rec a JOIN ${c.name}0 b
+          ON b.id = a.id AND b.rk = a.rk + 1),
+      ${c.name}fin AS MATERIALIZED (
+        SELECT id, d FROM ${c.name}rec WHERE inc = 1)"""
+    }
+    val placedSel = classes.map(c =>
+      s"SELECT id, '${c.name}' AS cls, d FROM ${c.name}fin")
+      .mkString("\n        UNION ALL ")
+    blocks.mkString(",") + s""",
+      placed AS (
+        $placedSel)"""
   }
 
   /** Shared q218/q222 SCD-2 fixture + merge oracle CTE — one copy, so
@@ -11619,6 +11663,117 @@ object SparkEntry {
           ELSE 'non_match' END AS band
       FROM scored WHERE score >= 2.0
       ORDER BY id_a, id_b""",
+
+    // q224: APCD pregnancy episodes — dx/px vocabulary LIKE-expansion,
+    // endpoint_dcount gate + DELIV recode, the generated 7-class
+    // recursive placement chain (shared with the Scala hierarchy
+    // constants), prenatal windows, and the STEP-9 age join with the
+    // ninety_only / newborn branches and the 12-55 gate.
+    "q224_apcd_preg_episode" -> ("""
+      WITH RECURSIVE dxall AS (
+        SELECT o_custkey % 80 AS id, CAST(o_orderdate AS DATE) AS d,
+          CASE WHEN o_orderkey % 29 = 0
+              THEN 'O80' || CAST(o_orderkey % 10 AS VARCHAR)
+            WHEN o_orderkey % 29 = 1
+              THEN 'Z371' || CAST(o_orderkey % 10 AS VARCHAR)
+            WHEN o_orderkey % 29 = 2
+              THEN 'O82' || CAST(o_orderkey % 10 AS VARCHAR)
+            WHEN o_orderkey % 29 = 3
+              THEN 'O01' || CAST(o_orderkey % 10 AS VARCHAR)
+            WHEN o_orderkey % 29 = 4
+              THEN 'O00' || CAST(o_orderkey % 10 AS VARCHAR)
+            WHEN o_orderkey % 29 = 5
+              THEN 'O04' || CAST(o_orderkey % 10 AS VARCHAR)
+            WHEN o_orderkey % 29 = 6
+              THEN 'O03' || CAST(o_orderkey % 10 AS VARCHAR)
+            ELSE 'K5' || CAST(o_orderkey % 100 AS VARCHAR) END AS code
+        FROM orders),
+      pxall AS (
+        SELECT o_custkey % 80 AS id, CAST(l_shipdate AS DATE) AS d,
+          CASE WHEN l_partkey % 31 = 0
+              THEN '10D0' || CAST(l_partkey % 8 AS VARCHAR)
+            WHEN l_partkey % 31 = 1 THEN '59409'
+            WHEN l_partkey % 31 = 2
+              THEN '10A0' || CAST(l_partkey % 8 AS VARCHAR)
+            ELSE '99' || CAST(l_partkey % 400 AS VARCHAR) END AS code
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      dxref(code_like, cep) AS (VALUES ('O80%','lb'), ('Z371%','sb'),
+        ('O82%','deliv'), ('O01%','tro'), ('O00%','ect'),
+        ('O04%','ab'), ('O03%','sa')),
+      pxref(code_like, cep) AS (VALUES ('10D0%','lb'), ('59409%','deliv'),
+        ('10A0%','ab')),
+      um AS (
+        SELECT DISTINCT a.id, a.d, r.cep
+        FROM dxall a JOIN dxref r ON a.code LIKE r.code_like
+        WHERE a.d >= DATE '1994-01-01'
+        UNION
+        SELECT DISTINCT a.id, a.d, r.cep
+        FROM pxall a JOIN pxref r ON a.code LIKE r.code_like
+        WHERE a.d >= DATE '1994-01-01'),
+      epdays AS (
+        SELECT id, d,
+          count(DISTINCT CASE WHEN cep <> 'deliv' THEN cep END) AS dcount,
+          max(CASE WHEN cep = 'deliv' THEN 1 ELSE 0 END) AS has_deliv,
+          min(CASE WHEN cep <> 'deliv' THEN cep END) AS nd_ep
+        FROM um GROUP BY id, d),
+      ep AS MATERIALIZED (
+        SELECT id, d,
+          CASE WHEN dcount = 1 THEN nd_ep ELSE 'deliv' END AS cls
+        FROM epdays
+        WHERE dcount <= 1 AND (dcount = 1 OR has_deliv = 1)),""" +
+      pregPlacementChain + """,
+      tl AS (
+        SELECT id, cls, d,
+          row_number() OVER (PARTITION BY id ORDER BY d, cls) AS seq,
+          date_diff('day',
+            lag(d) OVER (PARTITION BY id ORDER BY d, cls), d) AS dd,
+          lag(cls) OVER (PARTITION BY id ORDER BY d, cls) AS pcls
+        FROM placed),
+      win AS (
+        SELECT id, cls, seq,
+          CASE WHEN dd IS NULL OR dd >= dg THEN d - CAST(dg AS INT)
+            ELSE d - CAST(dd AS INT) + CAST(buf AS INT) END
+            AS preg_start_date,
+          d AS preg_end_date
+        FROM (
+          SELECT id, cls, seq, dd, pcls, d,
+            CASE WHEN cls IN ('lb','sb','deliv') THEN 301
+                 WHEN cls = 'tro' THEN 112 WHEN cls = 'ect' THEN 84
+                 WHEN cls = 'ab' THEN 168 WHEN cls = 'sa' THEN 133 END
+              AS dg,
+            CASE WHEN pcls IN ('lb','sb','deliv') THEN 28
+                 WHEN pcls IN ('tro','ect','ab','sa') THEN 14 END AS buf
+          FROM tl)),
+      demo AS (
+        SELECT id, DATE '1950-01-01' + CAST(id * 211 % 17000 AS INT)
+            AS dob,
+          CASE WHEN id % 37 = 0 THEN 1 ELSE 0 END AS ninety_only
+        FROM (SELECT DISTINCT c_custkey % 80 AS id FROM customer)
+        WHERE id % 19 <> 5),
+      aged AS (
+        SELECT w.*,
+          CASE WHEN
+              floor((date_diff('day', m.dob, w.preg_end_date) + 1)
+                / 365.25) >= 90 OR m.ninety_only = 1 THEN 90
+            WHEN floor((date_diff('day', m.dob, w.preg_end_date) + 1)
+                / 365.25) >= 0
+              THEN floor((date_diff('day', m.dob, w.preg_end_date) + 1)
+                / 365.25)
+            WHEN floor((date_diff('day', m.dob, w.preg_end_date) + 1)
+                / 365.25) = -1 THEN 0 END AS age_raw
+        FROM win w LEFT JOIN demo m ON w.id = m.id)
+      SELECT id AS id_person, cls AS preg_endpoint,
+        CAST(seq AS INT) AS preg_episode_seq, preg_start_date,
+        preg_end_date, CAST(age_raw AS INT) AS age_at_outcome,
+        CASE WHEN age_raw BETWEEN 12 AND 19 THEN '12-19'
+          WHEN age_raw BETWEEN 20 AND 24 THEN '20-24'
+          WHEN age_raw BETWEEN 25 AND 29 THEN '25-29'
+          WHEN age_raw BETWEEN 30 AND 34 THEN '30-34'
+          WHEN age_raw BETWEEN 35 AND 39 THEN '35-39'
+          WHEN age_raw BETWEEN 40 AND 55 THEN '40-55' END
+          AS age_at_outcome_cat6
+      FROM aged WHERE age_raw BETWEEN 12 AND 55
+      ORDER BY id_person, preg_episode_seq"""),
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

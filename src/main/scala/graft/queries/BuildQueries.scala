@@ -4210,6 +4210,77 @@ object BuildQueries {
       .orderBy(col("level_idx"))
   }
 
+  /** APCD pregnancy-episode build (q224,
+    * load_stage.apcd_claim_preg_episode.R — the largest uncovered
+    * reference build): dx + procedure code vocabularies LIKE-expanded
+    * against the Moll endpoint prefix reference, exact fact joins,
+    * claim-header distinct, per-(person, day) flag max with the
+    * endpoint_dcount <= 1 gate and the DELIV recode, the FULL 7-class
+    * hierarchical placement ([[graft.builds.PregEpisode]]'s
+    * flatMapGroups WHILE loops), prenatal windows, and the STEP-9
+    * age-at-outcome join (T-SQL floor((datediff+1)/365.25) with
+    * ninety_only cap and the newborn -1 -> 0 branch) with the cat6
+    * bands and the 12-55 subset. Demo rows are deliberately missing
+    * for some persons (the reference's LEFT join then drops them at
+    * the age gate). */
+  def q224ApcdPregEpisode(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val dx = t(s, dir, "orders").select(
+      (col("o_custkey") % 80).as("id_person"),
+      ok.as("claim_header_id"),
+      to_date(col("o_orderdate")).as("last_service_date"),
+      when(ok % 29 === 0, concat(lit("O80"), (ok % 10).cast("string")))
+        .when(ok % 29 === 1, concat(lit("Z371"), (ok % 10).cast("string")))
+        .when(ok % 29 === 2, concat(lit("O82"), (ok % 10).cast("string")))
+        .when(ok % 29 === 3, concat(lit("O01"), (ok % 10).cast("string")))
+        .when(ok % 29 === 4, concat(lit("O00"), (ok % 10).cast("string")))
+        .when(ok % 29 === 5, concat(lit("O04"), (ok % 10).cast("string")))
+        .when(ok % 29 === 6, concat(lit("O03"), (ok % 10).cast("string")))
+        .otherwise(concat(lit("K5"), (ok % 100).cast("string")))
+        .as("icdcm_norm"))
+    val px = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") % 80).as("id_person"),
+        col("l_orderkey").as("claim_header_id"),
+        to_date(col("l_shipdate")).as("last_service_date"),
+        when(col("l_partkey") % 31 === 0,
+          concat(lit("10D0"), (col("l_partkey") % 8).cast("string")))
+          .when(col("l_partkey") % 31 === 1, lit("59409"))
+          .when(col("l_partkey") % 31 === 2,
+            concat(lit("10A0"), (col("l_partkey") % 8).cast("string")))
+          .otherwise(concat(lit("99"), (col("l_partkey") % 400)
+            .cast("string")))
+          .as("procedure_code"))
+    import s.implicits._
+    def flags(f: String) = {
+      def b(n: String) = if (n == f) Some(1) else None
+      (b("lb"), b("ect"), b("ab"), b("sa"), b("sb"), b("tro"), b("deliv"))
+    }
+    def refDf(rows: Seq[(String, String)]) = rows.map { case (p, f) =>
+      val (lb, ect, ab, sa, sb, tro, deliv) = flags(f)
+      (p, lb, ect, ab, sa, sb, tro, deliv)
+    }.toDF("code_like", "lb", "ect", "ab", "sa", "sb", "tro", "deliv")
+    val dxRef = refDf(Seq("O80%" -> "lb", "Z371%" -> "sb",
+      "O82%" -> "deliv", "O01%" -> "tro", "O00%" -> "ect",
+      "O04%" -> "ab", "O03%" -> "sa"))
+    val pxRef = refDf(Seq("10D0%" -> "lb", "59409%" -> "deliv",
+      "10A0%" -> "ab"))
+    val demo = t(s, dir, "customer")
+      .select((col("c_custkey") % 80).as("id_person")).distinct()
+      .filter(col("id_person") % 19 =!= 5) // planted missing-demo persons
+      .select(col("id_person"),
+        date_add(to_date(lit("1950-01-01")),
+          (col("id_person") * 211 % 17000).cast("int")).as("dob"),
+        (col("id_person") % 37 === 0).cast("int").as("ninety_only"))
+    graft.builds.ApcdPregEpisode.build(dx, px, dxRef, pxRef, demo,
+        minDate = "1994-01-01")
+      .select(col("id_person"), col("preg_endpoint"),
+        col("preg_episode_seq"), col("preg_start_date"),
+        col("preg_end_date"), col("age_at_outcome"),
+        col("age_at_outcome_cat6"))
+      .orderBy(col("id_person"), col("preg_episode_seq"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
