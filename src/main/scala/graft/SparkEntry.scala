@@ -346,6 +346,10 @@ object SparkEntry {
       (graft.queries.BuildQueries.q223FreqLinkage _),
     "q224_apcd_preg_episode" ->
       (graft.queries.BuildQueries.q224ApcdPregEpisode _),
+    "q225_mcare_moud" ->
+      (graft.queries.BuildQueries.q225McareClaimMoud _),
+    "q226_mcare_naloxone" ->
+      (graft.queries.BuildQueries.q226McareNaloxone _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6462,6 +6466,103 @@ object SparkEntry {
         (SELECT * FROM rx UNION ALL SELECT * FROM px)
       ORDER BY id_mcaid, claim_header_id, code, location, event_date""",
 
+    // q226: mcare naloxone — the q144 chain over the same fixture with
+    // the mcare procedure list (J2312 dropped from the filter and the
+    // quantity/form dispatch; its planted rows fall out of the result).
+    "q226_mcare_naloxone" -> """
+      WITH li AS (
+        SELECT o_custkey % 70 AS id_mcare, l_orderkey AS chid,
+          l_partkey AS pk, l_suppkey AS sk,
+          CAST(l_shipdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      pharm AS (
+        SELECT id_mcare, chid,
+          CASE WHEN pk % 13 = 0 THEN '00093216519'
+            WHEN pk % 13 = 1 THEN '55150034510'
+            WHEN pk % 13 = 2 THEN '55150032710'
+            WHEN pk % 13 = 3 THEN '00409121525'
+            WHEN pk % 13 = 4 THEN '012345678901'
+            WHEN pk % 13 = 5 THEN '12345678901'
+            ELSE lpad(CAST(pk AS VARCHAR), 11, '0') END AS ndc,
+          d AS rx_fill_date,
+          CASE WHEN pk % 7 = 0 THEN 0.5
+            ELSE CAST(1 + pk % 5 AS DOUBLE) END AS rx_quantity
+        FROM li),
+      ndclist(ndc) AS (VALUES ('00093216519'),('55150034510'),
+        ('55150032710'),('00409121525'),('12345678901')),
+      ndccodes(ndc, pname, dform, strength, unit) AS (VALUES
+        ('00093216519','Narcan Nasal','NASAL SPRAY',4.0,'mg/.1mL'),
+        ('55150034510','Naloxone HCl','SOLUTION FOR INJECTION',1.0,'mg/mL'),
+        ('55150032710','Naloxone HCl','SOLUTION FOR INJECTION',0.4,'mg/mL'),
+        ('00409121525','Naloxone HCl','INJECTION, SOLUTION',0.4,'mg/mL'),
+        ('12345678901','Generic Nalox','SOLUTION',2.0,'mg/.1mL'),
+        ('012345678901','Wrapped Nalox','SPRAY SOLUTION',8.0,'oddunit')),
+      expansion AS (
+        SELECT DISTINCT p.ndc
+        FROM (SELECT DISTINCT ndc FROM pharm) p
+        JOIN ndclist l ON p.ndc LIKE '%' || l.ndc || '%'),
+      rx AS (
+        SELECT p.id_mcare, p.chid AS claim_header_id, p.ndc AS code,
+          upper(c.pname) AS description, p.rx_fill_date AS event_date,
+          p.rx_quantity AS quantity,
+          CASE WHEN c.dform LIKE '%SPRAY%' OR p.ndc = '00093216519'
+            THEN 'SPRAY'
+            WHEN c.dform LIKE '%INJECTION%' OR p.ndc IN
+              ('55150034510','55150032710','00409121525')
+            THEN 'INJECTION' END AS form,
+          CAST(CASE WHEN p.ndc = '00093216519' THEN 40.0
+            WHEN p.ndc = '55150034510' THEN 1.0
+            WHEN p.ndc = '55150032710' THEN 0.4
+            ELSE c.strength / (CASE WHEN c.unit = 'mg/.1mL' THEN 0.1
+              WHEN c.unit = 'mg/mL' THEN 1.0 END) END AS DOUBLE)
+            AS dosage_per_ml,
+          'PHARMACY' AS location
+        FROM pharm p
+        LEFT JOIN ndccodes c ON p.ndc = c.ndc
+        JOIN expansion e ON p.ndc = e.ndc
+        WHERE year(p.rx_fill_date) >= 1996 AND p.rx_quantity >= 1.0),
+      procs AS (
+        SELECT id_mcare, chid,
+          CASE WHEN pk % 9 = 0 THEN 'G1028' WHEN pk % 9 = 1 THEN 'G2215'
+            WHEN pk % 9 = 2 THEN 'G2216' WHEN pk % 9 = 3 THEN 'J2310'
+            WHEN pk % 9 = 4 THEN 'J2311' WHEN pk % 9 = 5 THEN 'J2312'
+            WHEN pk % 9 = 6 THEN 'J3490'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          CASE WHEN sk % 3 = 0 THEN 'HG' WHEN sk % 3 = 1 THEN 'TG'
+            ELSE 'XX' END AS modifier_code,
+          d AS lsd
+        FROM li),
+      procdesc(procedure_code, pdesc) AS (VALUES
+        ('G1028','Naloxone nasal 8mg'),('G2215','Naloxone nasal 4mg'),
+        ('G2216','Naloxone injection'),('J2310','Injection naloxone'),
+        ('J2311','Injection naloxone 1mg'),
+        ('J2312','Injection naloxone 0.5mg'),('J3490','Unclassified drug')),
+      px AS (
+        SELECT p.id_mcare, p.chid AS claim_header_id,
+          p.procedure_code AS code, upper(dsc.pdesc) AS description,
+          p.lsd AS event_date,
+          CAST(CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 2.0
+            WHEN p.procedure_code IN ('G2216','J2310','J2311','J3490')
+              THEN 1.0 END AS DOUBLE) AS quantity,
+          CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 'SPRAY'
+            WHEN p.procedure_code IN ('G2216','J2310','J2311')
+            THEN 'INJECTION'
+            WHEN p.procedure_code = 'J3490' THEN 'UNKNOWN' END AS form,
+          CAST(CASE WHEN p.procedure_code = 'G1028' THEN 80.0
+            WHEN p.procedure_code = 'G2215' THEN 40.0 END AS DOUBLE)
+            AS dosage_per_ml,
+          'PROCEDURE' AS location
+        FROM procs p LEFT JOIN procdesc dsc USING (procedure_code)
+        WHERE year(p.lsd) >= 1996
+          AND (p.procedure_code IN ('G1028','G2215','G2216','J2310',
+            'J2311')
+          OR (p.procedure_code = 'J3490'
+            AND p.modifier_code IN ('HG','TG'))))
+      SELECT DISTINCT * FROM
+        (SELECT * FROM rx UNION ALL SELECT * FROM px)
+      ORDER BY id_mcare, claim_header_id, code, location, event_date""",
+
     // q145: AMR measure — the reference's per-year loop re-expressed
     // set-based over a windows CTE; five pharmacy buckets, dx_needed/
     // dx_made rule, persistence self-join, exclusions, real-ratio amr.
@@ -11774,6 +11875,171 @@ object SparkEntry {
           AS age_at_outcome_cat6
       FROM aged WHERE age_raw BETWEEN 12 AND 55
       ORDER BY id_person, preg_episode_seq"""),
+
+    // q225: mcare MOUD — dispatch flags + supply tiers, claim-level
+    // OUD-dx gate (H0033 + bup-TBD codes), pharmacy arm w/ supplied
+    // days supply + dosage-form admin (incl. oral overrides), header-
+    // grain union, H0033 month-sum CASE, collapse, same-day
+    // NDC-over-HCPCS dedup (loose re-join), period finalize.
+    "q225_mcare_moud" -> """
+      WITH li AS (
+        SELECT o_custkey % 60 AS id,
+          l_orderkey * 10 + l_linenumber AS hdr,
+          CAST(l_shipdate AS DATE) AS d,
+          CASE CAST(l_partkey % 40 AS INT)
+            WHEN 0 THEN 'H0033' WHEN 1 THEN 'H0020' WHEN 2 THEN 'S0109'
+            WHEN 3 THEN 'G2078' WHEN 4 THEN 'J0571' WHEN 5 THEN 'J0574'
+            WHEN 6 THEN 'G2068' WHEN 7 THEN 'Q9991' WHEN 8 THEN 'G2069'
+            WHEN 9 THEN 'G2070' WHEN 10 THEN 'J0570' WHEN 11 THEN '96372'
+            WHEN 12 THEN '11981' WHEN 13 THEN 'G0516' WHEN 14 THEN 'G2073'
+            WHEN 15 THEN 'J2315' WHEN 16 THEN 'G2074' WHEN 17 THEN 'G2086'
+            ELSE 'ZZZZ' END AS pc,
+          CASE WHEN l_suppkey % 7 = 0 THEN 'F1120'
+            WHEN l_suppkey % 7 = 1 THEN '30400' ELSE 'J450' END AS pdx,
+          CASE WHEN l_suppkey % 7 = 1 THEN 9 ELSE 10 END AS ver
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      oud AS (
+        SELECT hdr, max(CASE WHEN (pdx = 'F1120' AND ver = 10)
+            OR (pdx = '30400' AND ver = 9) THEN 1 ELSE 0 END)
+          AS oud_dx1
+        FROM li GROUP BY hdr),
+      p1 AS (
+        SELECT DISTINCT li.id, li.hdr, li.d, li.pc,
+          CASE WHEN pc IN ('H0020','S0109','G2078') THEN 1 ELSE 0 END
+            AS meth,
+          CASE WHEN pc IN ('J0571','J0574','G2068','Q9991','G2069',
+            'G2070','J0570','96372','11981','G0516') THEN 1 ELSE 0 END
+            AS bup,
+          CASE WHEN pc IN ('G2073','J2315') THEN 1 ELSE 0 END AS nal,
+          CASE WHEN pc IN ('G2074','G2086') THEN 1 ELSE 0 END AS unspec,
+          CASE WHEN pc IN ('H0033','H0020','S0109','J0571','J0574',
+              '96372','J2315') THEN 1
+            WHEN pc IN ('G2078','G2068','G2073') THEN 7
+            WHEN pc IN ('Q9991','G2069') THEN 30
+            WHEN pc IN ('G2070','J0570','11981','G0516') THEN 180
+            ELSE 0 END AS supply,
+          CASE WHEN pc IN ('H0033','H0020','S0109','G2078','J0571',
+              'J0574','G2068','G2073','96372') THEN 'oral'
+            WHEN pc IN ('Q9991','G2069','G2070','J0570','11981','G0516',
+              'J2315') THEN 'injection/implant' END AS admin,
+          coalesce(o.oud_dx1, 0) AS oud_dx1
+        FROM li LEFT JOIN oud o ON li.hdr = o.hdr
+        WHERE li.d >= DATE '1994-01-01'
+          AND pc IN ('H0033','H0020','S0109','G2078','J0571','J0574',
+            'G2068','Q9991','G2069','G2070','J0570','96372','11981',
+            'G0516','G2073','J2315','G2074','G2086')),
+      p3 AS (
+        SELECT * FROM p1
+        WHERE pc IN ('H0020','S0109','G2078','J0571','J0574','G2068',
+            'Q9991','G2069','G2070','J0570','G2073','J2315','G2074',
+            'G2086')
+          OR (pc = 'H0033' AND oud_dx1 = 1)
+          OR (pc IN ('96372','11981','G0516') AND oud_dx1 = 1)),
+      ph AS (
+        SELECT o_custkey % 60 AS id, o_orderkey AS hdr,
+          CASE WHEN o_orderkey % 9 = 0 THEN '00093572156'
+            WHEN o_orderkey % 9 = 1 THEN '12345678901'
+            WHEN o_orderkey % 9 = 2 THEN '49452483501'
+            WHEN o_orderkey % 9 = 3 THEN '55555555555'
+            WHEN o_orderkey % 9 = 4 THEN '66666666666'
+            ELSE '9990' || CAST(o_orderkey % 1000 AS VARCHAR) END AS ndc,
+          CAST(o_orderdate AS DATE) AS d,
+          o_orderkey % 30 + 1 AS days
+        FROM orders),
+      rxm AS (
+        SELECT DISTINCT id, hdr, ndc, d,
+          CASE WHEN ndc IN ('00093572156','12345678901','66666666666')
+            THEN 1 ELSE 0 END AS bup_rx,
+          CASE WHEN ndc IN ('49452483501','55555555555') THEN 1 ELSE 0
+            END AS nal_rx,
+          CASE WHEN ndc IN ('00093572156','49452483501') THEN 'oral'
+            WHEN ndc = '12345678901' THEN 'oral'
+            WHEN ndc = '55555555555' THEN 'injection/implant'
+            END AS admin,
+          CAST(days AS DOUBLE) AS supply
+        FROM ph
+        WHERE ndc IN ('00093572156','12345678901','49452483501',
+          '55555555555','66666666666') AND d >= DATE '1994-01-01'),
+      un AS (
+        SELECT id, hdr, d, pc, meth, bup, nal, unspec,
+          CAST(NULL AS VARCHAR) AS ndc, CAST(NULL AS INT) AS bup_rx,
+          CAST(NULL AS INT) AS nal_rx, CAST(supply AS DOUBLE) AS supply,
+          admin
+        FROM p3
+        UNION
+        SELECT id, hdr, d, CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+          CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+          ndc, bup_rx, nal_rx, supply, admin
+        FROM rxm),
+      sums AS (
+        SELECT *,
+          sum(coalesce(meth, 0)) OVER
+            (PARTITION BY id, strftime(d, '%Y%m')) AS msum,
+          sum(coalesce(bup, 0)) OVER
+            (PARTITION BY id, strftime(d, '%Y%m')) AS bsum,
+          sum(coalesce(bup_rx, 0)) OVER
+            (PARTITION BY id, strftime(d, '%Y%m')) AS brxsum
+        FROM un),
+      resolved AS (
+        SELECT id, d,
+          CASE WHEN pc = 'H0033' AND msum = 0 AND bsum = 0 AND brxsum = 0
+              THEN 1
+            WHEN pc = 'H0033' AND msum = 0 AND bsum = 0 AND brxsum > 0
+              THEN 0
+            WHEN pc = 'H0033' AND msum >= bsum AND msum <> 0 THEN 1
+            WHEN pc = 'H0033' AND msum < bsum THEN 0
+            ELSE meth END AS meth,
+          CASE WHEN pc = 'H0033' AND msum = 0 AND bsum = 0 AND brxsum = 0
+              THEN 0
+            WHEN pc = 'H0033' AND msum = 0 AND bsum = 0 AND brxsum > 0
+              THEN 1
+            WHEN pc = 'H0033' AND msum >= bsum AND msum <> 0 THEN 0
+            WHEN pc = 'H0033' AND msum < bsum THEN 1
+            ELSE bup END AS bup,
+          nal, unspec, bup_rx, nal_rx, supply, admin
+        FROM sums),
+      coll AS (
+        SELECT id, d, meth, bup, nal, unspec, bup_rx, nal_rx, admin,
+          sum(supply) AS supply
+        FROM resolved
+        GROUP BY id, d, meth, bup, nal, unspec, bup_rx, nal_rx, admin),
+      typed AS (
+        SELECT *,
+          CASE WHEN bup = 1 OR bup_rx = 1 THEN 'buprenorphine'
+            WHEN nal = 1 OR nal_rx = 1 THEN 'naltrexone' END AS moudtype,
+          CASE WHEN bup = 1 OR nal = 1 THEN 'hcpcs'
+            WHEN bup_rx = 1 OR nal_rx = 1 THEN 'ndc' END AS codetype
+        FROM coll),
+      dups AS (
+        SELECT DISTINCT id, d, moudtype FROM (
+          SELECT id, d, moudtype, admin, count(*) AS c
+          FROM typed GROUP BY id, d, moudtype, admin)
+        WHERE c > 1 AND moudtype IS NOT NULL),
+      kept AS (
+        SELECT t.* FROM typed t
+        LEFT JOIN dups dp
+          ON t.id = dp.id AND t.d = dp.d AND t.moudtype = dp.moudtype
+        WHERE NOT (dp.id IS NOT NULL AND t.codetype = 'hcpcs'))
+      SELECT id AS id_person, d AS last_service_date,
+        CAST(year(d) AS INT) AS service_year,
+        CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR)
+          AS service_quarter,
+        strftime(d, '%Y%m') AS service_month,
+        CAST(year(d) AS VARCHAR) ||
+          CASE WHEN quarter(d) <= 2 THEN '_top' ELSE '_bottom' END
+          AS year_half,
+        meth AS meth_proc_flag, bup AS bup_proc_flag,
+        nal AS nal_proc_flag, unspec AS unspec_proc_flag,
+        bup_rx AS bup_rx_flag, nal_rx AS nal_rx_flag,
+        admin AS admin_method,
+        CAST(coalesce(meth, 0) + coalesce(bup, 0) + coalesce(nal, 0)
+          + coalesce(bup_rx, 0) + coalesce(nal_rx, 0) AS INT)
+          AS moud_flag_count,
+        supply AS moud_days_supply
+      FROM kept
+      ORDER BY id_person, last_service_date, meth_proc_flag,
+        bup_proc_flag, nal_proc_flag, unspec_proc_flag, bup_rx_flag,
+        nal_rx_flag, admin_method""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -27,12 +27,21 @@ import org.apache.spark.sql.functions._
   * branches.
   *
   * `minYear` is the reference's 2016 event floor, parameterized so test
-  * fixtures can scale it to their data epoch.
+  * fixtures can scale it to their data epoch. `injCodes` parameterizes
+  * the injection HCPCS list: the mcaid build (:129-153) includes J2312,
+  * the mcare sibling (load_stage.mcare_claim_naloxone.R:170-195) does
+  * not — otherwise the two are the same build over different sources
+  * (incl. the same `'G2216 '` trailing-space artifact, implemented as
+  * evident intent in both).
   *
   * Scale: both ref dims broadcast; each branch is one scan + broadcast
   * joins; the union's DISTINCT is the only wide shuffle.
   */
 object ClaimNaloxone {
+
+  /** mcaid (:129-153) injection HCPCS; mcare drops J2312. */
+  val McaidInjCodes: Seq[String] = Seq("G2216", "J2310", "J2311", "J2312")
+  val McareInjCodes: Seq[String] = Seq("G2216", "J2310", "J2311")
 
   /** Step 1: contains-expansion of the NDC list over the distinct
     * pharmacy vocabulary. */
@@ -49,7 +58,8 @@ object ClaimNaloxone {
     * last_service_date). procDesc: (procedure_code, procedure_long_desc). */
   def build(pharm: DataFrame, proc: DataFrame, ndcList: DataFrame,
       ndcCodes: DataFrame, procDesc: DataFrame,
-      minYear: Int = 2016): DataFrame = {
+      minYear: Int = 2016,
+      injCodes: Seq[String] = McaidInjCodes): DataFrame = {
     val sprayNdc = "00093216519"
     val injNdcs = Seq("55150034510", "55150032710", "00409121525")
     val rx = pharm
@@ -76,12 +86,10 @@ object ClaimNaloxone {
           .cast("double").as("dosage_per_ml"),
         lit("PHARMACY").as("location"))
     val sprayProcs = Seq("G1028", "G2215")
-    val injProcs = Seq("G2216", "J2310", "J2311", "J2312")
     val px = proc
       .join(broadcast(procDesc), Seq("procedure_code"), "left")
       .filter(year(col("last_service_date")) >= minYear &&
-        (col("procedure_code").isin("G1028", "G2215", "G2216", "J2310",
-          "J2311", "J2312") ||
+        (col("procedure_code").isin(sprayProcs ++ injCodes: _*) ||
           (col("procedure_code") === "J3490" &&
             col("modifier_code").isin("HG", "TG"))))
       .select(col("id_mcaid"), col("claim_header_id"),
@@ -89,11 +97,10 @@ object ClaimNaloxone {
         upper(col("procedure_long_desc")).as("description"),
         col("last_service_date").as("event_date"),
         when(col("procedure_code").isin(sprayProcs: _*), 2.0)
-          .when(col("procedure_code").isin("G2216", "J2310", "J2311",
-            "J3490", "J2312"), 1.0)
+          .when(col("procedure_code").isin(injCodes :+ "J3490": _*), 1.0)
           .cast("double").as("quantity"),
         when(col("procedure_code").isin(sprayProcs: _*), "SPRAY")
-          .when(col("procedure_code").isin(injProcs: _*), "INJECTION")
+          .when(col("procedure_code").isin(injCodes: _*), "INJECTION")
           .when(col("procedure_code") === "J3490", "UNKNOWN")
           .as("form"),
         when(col("procedure_code") === "G1028", 80.0)

@@ -2075,6 +2075,67 @@ object BuildQueries {
         col("location"), col("event_date"))
   }
 
+  /** mcare naloxone events (q226, load_stage.mcare_claim_naloxone.R):
+    * the q144 build over the mcare sources — same NDC contains-
+    * expansion, dosage classification, J3490 HG/TG modifier gate, and
+    * the SAME fixture (incl. planted J2312 rows) so the one semantic
+    * difference is visible in the hash: mcare's procedure list drops
+    * J2312. Output id aliased to id_mcare. */
+  def q226McareNaloxone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 70).as("id_mcaid")),
+        col("l_orderkey") === col("o_orderkey"))
+    val pk = col("l_partkey")
+    val pharm = li.select(col("id_mcaid"),
+      col("l_orderkey").as("claim_header_id"),
+      when(pk % 13 === 0, "00093216519").when(pk % 13 === 1, "55150034510")
+        .when(pk % 13 === 2, "55150032710")
+        .when(pk % 13 === 3, "00409121525")
+        .when(pk % 13 === 4, "012345678901")
+        .when(pk % 13 === 5, "12345678901")
+        .otherwise(lpad(pk.cast("string"), 11, "0")).as("ndc"),
+      to_date(col("l_shipdate")).as("rx_fill_date"),
+      when(pk % 7 === 0, 0.5).otherwise((lit(1) + pk % 5).cast("double"))
+        .as("rx_quantity"))
+    val proc = li.select(col("id_mcaid"),
+      col("l_orderkey").as("claim_header_id"),
+      when(pk % 9 === 0, "G1028").when(pk % 9 === 1, "G2215")
+        .when(pk % 9 === 2, "G2216").when(pk % 9 === 3, "J2310")
+        .when(pk % 9 === 4, "J2311").when(pk % 9 === 5, "J2312")
+        .when(pk % 9 === 6, "J3490")
+        .otherwise(lpad((pk % 88888).cast("string"), 5, "0"))
+        .as("procedure_code"),
+      when(col("l_suppkey") % 3 === 0, "HG")
+        .when(col("l_suppkey") % 3 === 1, "TG").otherwise("XX")
+        .as("modifier_code"),
+      to_date(col("l_shipdate")).as("last_service_date"))
+    val ndcList = Seq("00093216519", "55150034510", "55150032710",
+      "00409121525", "12345678901").toDF("ndc")
+    val ndcCodes = Seq(
+      ("00093216519", "Narcan Nasal", "NASAL SPRAY", 4.0, "mg/.1mL"),
+      ("55150034510", "Naloxone HCl", "SOLUTION FOR INJECTION", 1.0, "mg/mL"),
+      ("55150032710", "Naloxone HCl", "SOLUTION FOR INJECTION", 0.4, "mg/mL"),
+      ("00409121525", "Naloxone HCl", "INJECTION, SOLUTION", 0.4, "mg/mL"),
+      ("12345678901", "Generic Nalox", "SOLUTION", 2.0, "mg/.1mL"),
+      ("012345678901", "Wrapped Nalox", "SPRAY SOLUTION", 8.0, "oddunit"))
+      .toDF("ndc", "proprietaryname", "dosageformname",
+        "active_numerator_strength", "active_ingred_unit")
+    val procDesc = Seq(
+      ("G1028", "Naloxone nasal 8mg"), ("G2215", "Naloxone nasal 4mg"),
+      ("G2216", "Naloxone injection"), ("J2310", "Injection naloxone"),
+      ("J2311", "Injection naloxone 1mg"),
+      ("J2312", "Injection naloxone 0.5mg"), ("J3490", "Unclassified drug"))
+      .toDF("procedure_code", "procedure_long_desc")
+    graft.builds.ClaimNaloxone.build(pharm, proc, ndcList, ndcCodes,
+        procDesc, minYear = 1996,
+        injCodes = graft.builds.ClaimNaloxone.McareInjCodes)
+      .withColumnRenamed("id_mcaid", "id_mcare")
+      .orderBy(col("id_mcare"), col("claim_header_id"), col("code"),
+        col("location"), col("event_date"))
+  }
+
   /** §2.9 AMR asthma-medication-ratio measure (q145,
     * load_stage.mcaid_perf_measure_amr.R): two measurement years so the
     * persistent-asthma prior-year self-join genuinely fires; all five
@@ -4279,6 +4340,88 @@ object BuildQueries {
         col("preg_end_date"), col("age_at_outcome"),
         col("age_at_outcome_cat6"))
       .orderBy(col("id_person"), col("preg_episode_seq"))
+  }
+
+  /** mcare MOUD build (q225, load_stage.mcare_claim_moud.R): the full
+    * chain — extended dispatch table (1/7/30/180-day tiers), claim-level
+    * OUD-primary-dx gate on H0033 + the bup-TBD codes, pharmacy arm
+    * with supplied days supply and dosage-form admin method (incl. the
+    * four per-NDC oral overrides and a planted NDC missing from the
+    * dim), claim-header-grain union (duplicate same-day claims COUNT,
+    * as the reference documents), H0033 monthly-context resolution,
+    * per-(id, date, flags, admin) collapse, the same-day
+    * NDC-over-HCPCS dedup with the reference's loose re-join, and the
+    * period-column finalize. */
+  def q225McareClaimMoud(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.McareClaimMoud
+    import s.implicits._
+    val moudCodes = Seq("H0033", "H0020", "S0109", "G2078", "J0571",
+      "J0574", "G2068", "Q9991", "G2069", "G2070", "J0570", "96372",
+      "11981", "G0516", "G2073", "J2315", "G2074", "G2086")
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") % 60).as("id_person"),
+        (col("l_orderkey") * 10 + col("l_linenumber"))
+          .as("claim_header_id"),
+        to_date(col("l_shipdate")).as("last_service_date"),
+        col("l_partkey"), col("l_suppkey"))
+    val code = moudCodes.zipWithIndex.foldLeft(lit("ZZZZ")) {
+      case (acc, (c, i)) =>
+        when(col("l_partkey") % 40 === i, c).otherwise(acc)
+    }
+    val proc = li.select(col("id_person"), col("claim_header_id"),
+        col("last_service_date"), code.as("procedure_code"))
+      .filter(col("last_service_date") >= lit("1994-01-01"))
+    val headers = li.select(col("claim_header_id"),
+      when(col("l_suppkey") % 7 === 0, "F1120")
+        .when(col("l_suppkey") % 7 === 1, "30400")
+        .otherwise("J450").as("primary_diagnosis"),
+      when(col("l_suppkey") % 7 === 1, 9).otherwise(10)
+        .as("icdcm_version"))
+    val oudDx = Seq(("F1120", 10), ("30400", 9))
+      .toDF("code", "icdcm_version")
+    val ok = col("o_orderkey")
+    val pharm = t(s, dir, "orders").select(
+      (col("o_custkey") % 60).as("id_person"),
+      ok.as("claim_header_id"),
+      when(ok % 9 === 0, "00093572156")
+        .when(ok % 9 === 1, "12345678901")
+        .when(ok % 9 === 2, "49452483501")
+        .when(ok % 9 === 3, "55555555555")
+        .when(ok % 9 === 4, "66666666666")
+        .otherwise(concat(lit("9990"), (ok % 1000).cast("string")))
+        .as("ndc"),
+      to_date(col("o_orderdate")).as("last_service_date"),
+      (ok % 30 + 1).as("days_supply"))
+    val rxSets = Seq(
+      ("00093572156", "pharm_buprenorphine"),
+      ("12345678901", "pharm_buprenorphine_naloxone"),
+      ("49452483501", "pharm_naltrexone_rx"),
+      ("55555555555", "pharm_naltrexone_rx"),
+      ("66666666666", "pharm_buprenorphine"))
+      .toDF("code", "sub_group_pharmacy")
+    val ndcCodes = Seq(
+      ("00093572156", "SOLUTION, SPRAY"),
+      ("12345678901", "FILM, EXTENDED RELEASE"),
+      ("49452483501", "KIT"),
+      ("55555555555", "SOLUTION"))
+      .toDF("ndc", "dosageformname")
+    val gated = McareClaimMoud.gateByOudDx(
+      McareClaimMoud.flagProcEvents(proc), headers, oudDx)
+    val rx = McareClaimMoud.pharmEvents(pharm, rxSets, ndcCodes,
+      "1994-01-01")
+    McareClaimMoud.finalize(McareClaimMoud.dedupSameDay(
+        McareClaimMoud.resolveAndCollapse(gated, rx)))
+      .select(col("id_person"), col("last_service_date"),
+        col("service_year"), col("service_quarter"), col("service_month"),
+        col("year_half"), col("meth_proc_flag"), col("bup_proc_flag"),
+        col("nal_proc_flag"), col("unspec_proc_flag"), col("bup_rx_flag"),
+        col("nal_rx_flag"), col("admin_method"), col("moud_flag_count"),
+        col("moud_days_supply"))
+      .orderBy(col("id_person"), col("last_service_date"),
+        col("meth_proc_flag"), col("bup_proc_flag"), col("nal_proc_flag"),
+        col("unspec_proc_flag"), col("bup_rx_flag"), col("nal_rx_flag"),
+        col("admin_method"))
   }
 
   /** claims_condition.R consumer: members whose condition span overlaps an
