@@ -350,6 +350,12 @@ object SparkEntry {
       (graft.queries.BuildQueries.q225McareClaimMoud _),
     "q226_mcare_naloxone" ->
       (graft.queries.BuildQueries.q226McareNaloxone _),
+    "q227_wahbe_prep" ->
+      (graft.queries.BuildQueries.q227WahbePrep _),
+    "q228_mcare_pharm_char" ->
+      (graft.queries.BuildQueries.q228McarePharmChar _),
+    "q229_mcare_bh" -> (graft.queries.BuildQueries.q229McareBh _),
+    "q230_mcare_ccw" -> (graft.queries.BuildQueries.q230McareCcw _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7655,6 +7661,262 @@ object SparkEntry {
       UNION ALL SELECT * FROM stfin
       ORDER BY ccw_code, id_apde""",
 
+    // q229: mcare-grain claim_bh — the q153 kernel at id_mcare grain
+    // over mcare sources (yaml-config instantiation), mcare pharm dates
+    // on last_service_date.
+    "q229_mcare_bh" -> """
+      WITH fact AS (
+        SELECT 'mc' || CAST(o_custkey % 75 AS VARCHAR) AS id_mcare,
+          l_orderkey AS chid, l_partkey AS pk, l_suppkey AS sk,
+          CAST(l_shipdate AS DATE) AS fsd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      icdcm AS (
+        SELECT id_mcare, chid,
+          CASE WHEN pk % 7 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN pk % 7 = 0 THEN
+            CASE WHEN pk % 12 = 0 THEN '29620'
+              WHEN pk % 12 = 1 THEN '30400'
+              ELSE lpad(CAST(pk % 999 AS VARCHAR), 5, '0') END
+          ELSE
+            CASE WHEN pk % 12 = 0 THEN 'F329'
+              WHEN pk % 12 = 1 THEN 'F411'
+              WHEN pk % 12 = 2 THEN 'F1120'
+              ELSE 'G' || lpad(CAST(pk % 400 AS VARCHAR), 3, '0') END
+          END AS icdcm_norm,
+          fsd FROM fact),
+      pharm AS (
+        SELECT id_mcare, chid,
+          CASE WHEN sk % 8 = 0 THEN '11111111111'
+            WHEN sk % 8 = 1 THEN '22222222222'
+            WHEN sk % 8 = 2 THEN '33333333333'
+            ELSE lpad(CAST(sk * 7 AS VARCHAR), 11, '0') END AS ndc,
+          fsd + 3 AS rx_fill_date FROM fact),
+      prc AS (
+        SELECT id_mcare, chid,
+          CASE WHEN pk % 14 = 0 THEN 'H0020'
+            WHEN pk % 14 = 1 THEN 'J0571'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          fsd FROM fact),
+      hdr AS (
+        SELECT o_orderkey AS chid,
+          CASE WHEN o_orderkey % 14 = 0 THEN 'F1120'
+            WHEN o_orderkey % 14 = 1 THEN '30400'
+            ELSE 'I10' END AS primary_diagnosis,
+          CASE WHEN o_orderkey % 14 = 1 THEN 9 ELSE 10 END AS ver
+        FROM orders),
+      ref(cond, code_set, code, ver, vset, oud_dx1_flag) AS (VALUES
+        ('bh_depression','ICD9CM','29620',9,'rda-bh',NULL),
+        ('bh_depression','ICD10CM','F329',10,'rda-bh',NULL),
+        ('bh_anxiety','ICD10CM','F411',10,'rda-bh',NULL),
+        ('bh_depression','NDC','11111111111',NULL,'rda-ndc',NULL),
+        ('bh_anxiety','NDC','22222222222',NULL,'rda-ndc',NULL),
+        ('sud_opioid','ICD9CM','30400',9,'rda-bh',NULL),
+        ('sud_opioid','ICD10CM','F1120',10,'rda-bh',NULL),
+        ('sud_opioid','NDC','33333333333',NULL,'rda-ndc',NULL),
+        ('sud_opioid','HCPCS','H0020',NULL,'apde-moud-procedure',1),
+        ('sud_opioid','HCPCS','J0571',NULL,'apde-moud-procedure',0)),
+      diag_ev AS (
+        SELECT DISTINCT d.id_mcare, d.svc_date, r.cond AS bh_cond
+        FROM (SELECT DISTINCT id_mcare, icdcm_norm, ver, fsd AS svc_date
+          FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond <> 'sud_opioid'),
+      rx_ev AS (
+        SELECT DISTINCT p.id_mcare, p.rx_fill_date AS svc_date,
+          r.cond AS bh_cond
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond <> 'sud_opioid'),
+      spans AS (
+        SELECT id_mcare, min(svc_date) AS first_encounter_date,
+          max(svc_date) AS last_encounter_date, bh_cond
+        FROM (SELECT * FROM diag_ev UNION SELECT * FROM rx_ev)
+        GROUP BY id_mcare, bh_cond),
+      ouddx1 AS (
+        SELECT DISTINCT h.chid FROM hdr h
+        JOIN ref r ON h.primary_diagnosis = r.code AND h.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      darm AS (
+        SELECT DISTINCT d.id_mcare, d.chid, d.svc_date
+        FROM (SELECT DISTINCT id_mcare, chid, icdcm_norm, ver,
+            fsd AS svc_date FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      rarm AS (
+        SELECT DISTINCT p.id_mcare, p.chid, p.rx_fill_date AS svc_date
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond = 'sud_opioid'),
+      parm AS (
+        SELECT DISTINCT id_mcare, chid, svc_date FROM (
+          SELECT DISTINCT p.id_mcare, p.chid, p.fsd AS svc_date,
+            CASE WHEN r.oud_dx1_flag = 0 THEN 1
+              WHEN r.oud_dx1_flag = 1 AND d.chid IS NOT NULL THEN 1
+              ELSE 0 END AS ok
+          FROM prc p
+          JOIN ref r ON p.procedure_code = r.code
+            AND r.vset = 'apde-moud-procedure' AND r.cond = 'sud_opioid'
+          LEFT JOIN ouddx1 d ON p.chid = d.chid)
+        WHERE ok = 1),
+      oudclaims AS (
+        SELECT coalesce(d.id_mcare, r.id_mcare, p.id_mcare) AS id_mcare,
+          coalesce(d.svc_date, r.svc_date, p.svc_date) AS svc_date,
+          CASE WHEN d.chid IS NOT NULL THEN 1 END AS icdcm_flag
+        FROM darm d
+        FULL JOIN rarm r ON d.chid = r.chid
+        FULL JOIN parm p ON d.chid = p.chid),
+      oudmonth AS (
+        SELECT DISTINCT id_mcare,
+          date_trunc('month', svc_date)::DATE AS fe,
+          last_day(svc_date) AS le
+        FROM oudclaims WHERE icdcm_flag = 1),
+      oudmin AS (
+        SELECT id_mcare, min(fe) AS dmin FROM oudmonth GROUP BY id_mcare),
+      moudmonth AS (
+        SELECT DISTINCT a.id_mcare,
+          date_trunc('month', a.svc_date)::DATE AS fe,
+          last_day(a.svc_date) AS le
+        FROM oudclaims a JOIN oudmin b ON a.id_mcare = b.id_mcare
+        WHERE a.icdcm_flag IS NULL AND b.dmin <= a.svc_date),
+      oudrows AS (
+        SELECT id_mcare, fe, le FROM oudmonth
+        UNION SELECT id_mcare, fe, le FROM moudmonth)
+      SELECT id_mcare, first_encounter_date, last_encounter_date, bh_cond
+      FROM spans
+      UNION
+      SELECT id_mcare, fe AS first_encounter_date,
+        le AS last_encounter_date, 'sud_opioid' AS bh_cond
+      FROM oudrows
+      ORDER BY id_mcare, bh_cond, first_encounter_date,
+        last_encounter_date""",
+
+    // q230: mcare-grain claim_ccw — the q154 kernel at id_mcare grain.
+    "q230_mcare_ccw" -> """
+      WITH hdr AS (
+        SELECT 'mc' || CAST(o_custkey % 75 AS VARCHAR) AS id_mcare,
+          o_orderkey AS chid,
+          CAST(1 + o_orderkey % 6 AS INT) AS ctid,
+          CAST(o_orderdate AS DATE) AS fsd
+        FROM orders),
+      dx AS (
+        SELECT 'mc' || CAST(o_custkey % 75 AS VARCHAR) AS id_mcare,
+          l_orderkey AS chid,
+          CASE WHEN l_partkey % 4 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 4 = 0 THEN
+            CASE WHEN l_partkey % 10 = 0 THEN '2440'
+              WHEN l_partkey % 10 = 1 THEN '25000'
+              WHEN l_partkey % 10 = 2 THEN '64800'
+              WHEN l_partkey % 10 = 3 THEN '43491'
+              ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END
+          ELSE
+            CASE WHEN l_partkey % 10 = 0 THEN 'E039'
+              WHEN l_partkey % 10 = 1 THEN 'E119'
+              WHEN l_partkey % 10 = 2 THEN 'O2412'
+              WHEN l_partkey % 10 = 3 THEN 'I6350'
+              WHEN l_partkey % 10 = 4 THEN 'Z3480'
+              ELSE 'J' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+              END
+          END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ref(icdcm, ver, hypo, diab, diab_ex, stroke, stroke_ex) AS (VALUES
+        ('2440',9,1,0,0,0,0), ('E039',10,1,0,0,0,0),
+        ('25000',9,0,1,0,0,0), ('E119',10,0,1,0,0,0),
+        ('64800',9,0,0,1,0,0), ('O2412',10,0,0,1,0,0),
+        ('43491',9,0,0,0,1,0), ('I6350',10,0,0,0,1,0),
+        ('Z3480',10,0,0,0,0,1)),
+      dxr AS (
+        SELECT d.*, r.hypo, r.diab, r.diab_ex, r.stroke, r.stroke_ex
+        FROM dx d JOIN ref r ON d.norm = r.icdcm AND d.ver = r.ver),
+      hyflag AS (
+        SELECT id_mcare, chid FROM dxr GROUP BY id_mcare, chid
+        HAVING max(CASE WHEN hypo = 1 THEN 1 ELSE 0 END) = 1),
+      hyrows AS (
+        SELECT DISTINCT f.id_mcare, h.fsd,
+          CASE WHEN h.ctid IN (1,2,3) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (4,5) THEN h.fsd END AS c2d
+        FROM hyflag f JOIN hdr h ON f.chid = h.chid
+        WHERE h.ctid IN (1,2,3,4,5)),
+      hyfin AS (
+        SELECT id_mcare,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(1 AS INT) AS ccw_code, 'ccw_hypothyroid' AS ccw_desc
+        FROM hyrows WHERE c1d IS NOT NULL GROUP BY id_mcare),
+      dbflag AS (
+        SELECT id_mcare, chid,
+          max(CASE WHEN diab = 1 AND dxnum IN ('01','02') THEN 1 ELSE 0
+            END) AS m,
+          max(CASE WHEN diab_ex = 1 THEN 1 ELSE 0 END) AS x
+        FROM dxr GROUP BY id_mcare, chid),
+      dbrows AS (
+        SELECT DISTINCT f.id_mcare, h.fsd,
+          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (2,4,5) THEN h.fsd END AS c2d
+        FROM dbflag f JOIN hdr h ON f.chid = h.chid
+        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4,5)),
+      dbcalc AS (
+        SELECT *,
+          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
+          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
+            - (year(c2d) * 12 + month(c2d)) AS mfwd,
+          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
+          (year(c2d) * 12 + month(c2d))
+            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
+            AS mback
+        FROM dbrows
+        WINDOW w AS (PARTITION BY id_mcare ORDER BY c2d ASC NULLS FIRST)),
+      dbfin AS (
+        SELECT id_mcare,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(2 AS INT) AS ccw_code, 'ccw_diabetes' AS ccw_desc
+        FROM dbcalc
+        WHERE c1d IS NOT NULL
+          OR (c2d IS NOT NULL AND mfwd <= 24 AND dfwd >= 1)
+          OR (c2d IS NOT NULL AND mback <= 24 AND dback >= 1)
+        GROUP BY id_mcare),
+      stflag AS (
+        SELECT id_mcare, chid,
+          max(CASE WHEN stroke = 1 AND ver = 10 AND dxnum = '01' THEN 1
+            ELSE 0 END) AS m,
+          max(CASE WHEN stroke_ex = 1 AND dxnum IN ('01','02') THEN 1
+            ELSE 0 END) AS x
+        FROM dxr GROUP BY id_mcare, chid),
+      strows AS (
+        SELECT DISTINCT f.id_mcare, h.fsd,
+          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (2,4) THEN h.fsd END AS c2d
+        FROM stflag f JOIN hdr h ON f.chid = h.chid
+        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4)),
+      stcalc AS (
+        SELECT *,
+          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
+          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
+            - (year(c2d) * 12 + month(c2d)) AS mfwd,
+          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
+          (year(c2d) * 12 + month(c2d))
+            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
+            AS mback
+        FROM strows
+        WINDOW w AS (PARTITION BY id_mcare ORDER BY c2d ASC NULLS FIRST)),
+      stfin AS (
+        SELECT id_mcare,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(3 AS INT) AS ccw_code, 'ccw_stroke' AS ccw_desc
+        FROM stcalc
+        WHERE c1d IS NOT NULL
+          OR (c2d IS NOT NULL AND mfwd <= 12 AND dfwd >= 1)
+          OR (c2d IS NOT NULL AND mback <= 12 AND dback >= 1)
+        GROUP BY id_mcare)
+      SELECT * FROM hyfin
+      UNION ALL SELECT * FROM dbfin
+      UNION ALL SELECT * FROM stfin
+      ORDER BY ccw_code, id_mcare""",
+
     // q155: apde identity crosswalk — pattern gates, most-recent link
     // dedup (KCMASTER tie-break), md5-prefix id_apde stand-in,
     // multiplicative KCMASTER full merges, NULL id_mcare placeholder.
@@ -12040,6 +12302,149 @@ object SparkEntry {
       ORDER BY id_person, last_service_date, meth_proc_flag,
         bup_proc_flag, nal_proc_flag, unspec_proc_flag, bup_rx_flag,
         nal_rx_flag, admin_method""",
+
+    // q227: WAHBE export prep — ACES zero-pad normalize over the
+    // union-distinct reports, distinct-pair inner join, person match
+    // flag, unmatched modal-ACES pick, both groups' window-overlap
+    // coverage rollup + rank()=1 pick + 5-arm tabulation.
+    "q227_wahbe_prep" -> """
+      WITH base AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+          CAST(o_orderdate AS DATE) AS od
+        FROM orders),
+      rep AS (
+        SELECT CASE WHEN ok % 2 = 0 THEN CAST(1000000 + ck % 500 AS VARCHAR)
+            ELSE CAST(10000000 + ck % 500 AS VARCHAR) END AS aces_id,
+          CASE WHEN ok % 3 = 0 THEN 'CURRENT SMOKER'
+            WHEN ok % 3 = 1 THEN 'NEVER' ELSE 'FORMER' END AS st,
+          od AS sd, od + 365 AS ed, ok
+        FROM base),
+      t1 AS (
+        SELECT DISTINCT
+          CASE WHEN len(aces_id) = 7 THEN '00' || aces_id
+            WHEN len(aces_id) = 8 THEN '0' || aces_id END AS aces_norm,
+          st, sd, ed
+        FROM (SELECT aces_id, st, sd, ed FROM rep WHERE ok % 5 < 3
+              UNION SELECT aces_id, st, sd, ed FROM rep WHERE ok % 5 >= 2)),
+      elig AS (
+        SELECT CASE WHEN ok % 4 = 0
+            THEN '0' || CAST(10000000 + ck % 500 AS VARCHAR)
+            WHEN ok % 4 = 3
+            THEN '88888' || lpad(CAST(ck % 1000 AS VARCHAR), 4, '0')
+            ELSE '00' || CAST(1000000 + ck % 500 AS VARCHAR) END AS aces,
+          'ID' || CAST(ck % 900 AS VARCHAR) AS rid
+        FROM base),
+      pairs AS (SELECT DISTINCT aces, rid FROM elig),
+      matched AS (
+        SELECT t1.aces_norm, p.rid FROM t1
+        JOIN pairs p ON t1.aces_norm = p.aces),
+      persons AS (
+        SELECT 'ID' || CAST(k AS VARCHAR) AS id,
+          CASE WHEN 'ID' || CAST(k AS VARCHAR) IN
+            (SELECT DISTINCT rid FROM matched) THEN 1 ELSE 0 END AS m
+        FROM (SELECT DISTINCT c_custkey % 1200 AS k FROM customer)),
+      cnts AS (SELECT rid, aces, count(*) AS rc FROM elig GROUP BY 1, 2),
+      t4 AS (
+        SELECT DISTINCT p.id, c.aces, c.rc
+        FROM persons p LEFT JOIN cnts c ON p.id = c.rid
+        WHERE p.m = 0),
+      t6 AS (
+        SELECT DISTINCT id FROM (
+          SELECT id, rank() OVER (PARTITION BY id
+            ORDER BY rc DESC, aces) AS rk
+          FROM t4)
+        WHERE rk = 1),
+      tv AS (
+        SELECT 'ID' || CAST(ck % 1200 AS VARCHAR) AS id, ok % 2 AS dual,
+          CAST(ok % 6 AS INT) AS bsp,
+          CASE WHEN ok % 2 = 0 THEN 'Y' ELSE 'N' END AS fb,
+          CASE WHEN ok % 3 = 0 THEN 'FFS' WHEN ok % 3 = 1 THEN 'MC'
+            ELSE 'PARTIAL' END AS ct,
+          CAST(ok % 200 + 1 AS INT) AS ctd, od AS fd, od + 180 AS td
+        FROM base),
+      roll0 AS (
+        SELECT i.id, t.dual, t.bsp, t.fb, t.ct, sum(t.ctd) AS ctd
+        FROM t6 i LEFT JOIN tv t ON i.id = t.id
+        WHERE t.fd <= DATE '1997-06-30' AND t.td >= DATE '1994-01-01'
+        GROUP BY 1, 2, 3, 4, 5),
+      pick0 AS (
+        SELECT DISTINCT id, dual, bsp, fb, ct FROM (
+          SELECT *, rank() OVER (PARTITION BY id
+            ORDER BY ctd DESC, dual, bsp, fb, ct) AS rk
+          FROM roll0) WHERE rk = 1),
+      roll1 AS (
+        SELECT i.id, t.dual, t.bsp, t.fb, t.ct, sum(t.ctd) AS ctd
+        FROM (SELECT DISTINCT id FROM persons WHERE m = 1) i
+        LEFT JOIN tv t ON i.id = t.id
+        WHERE t.fd <= DATE '1997-06-30' AND t.td >= DATE '1994-01-01'
+        GROUP BY 1, 2, 3, 4, 5),
+      pick1 AS (
+        SELECT DISTINCT id, dual, bsp, fb, ct FROM (
+          SELECT *, rank() OVER (PARTITION BY id
+            ORDER BY ctd DESC, dual, bsp, fb, ct) AS rk
+          FROM roll1) WHERE rk = 1),
+      rac(bsp, nm) AS (VALUES (0, 'Group A'), (1, 'Group B'),
+        (2, 'Group C'), (3, 'Group D'), (4, 'Group E')),
+      tab0 AS (
+        SELECT 1 AS so, 'overall' AS cat, '1' AS grp,
+          count(DISTINCT id) AS n FROM pick0
+        UNION ALL SELECT 2, 'dual', CAST(dual AS VARCHAR),
+          count(DISTINCT id) FROM pick0 GROUP BY dual
+        UNION ALL SELECT 3, 'full_benefit', fb, count(DISTINCT id)
+          FROM pick0 GROUP BY fb
+        UNION ALL SELECT 4, 'cov_type', ct, count(DISTINCT id)
+          FROM pick0 GROUP BY ct
+        UNION ALL SELECT 5, 'bsp_group_name', r.nm, count(DISTINCT p.id)
+          FROM pick0 p LEFT JOIN rac r ON p.bsp = r.bsp GROUP BY r.nm),
+      tab1 AS (
+        SELECT 1 AS so, 'overall' AS cat, '1' AS grp,
+          count(DISTINCT id) AS n FROM pick1
+        UNION ALL SELECT 2, 'dual', CAST(dual AS VARCHAR),
+          count(DISTINCT id) FROM pick1 GROUP BY dual
+        UNION ALL SELECT 3, 'full_benefit', fb, count(DISTINCT id)
+          FROM pick1 GROUP BY fb
+        UNION ALL SELECT 4, 'cov_type', ct, count(DISTINCT id)
+          FROM pick1 GROUP BY ct
+        UNION ALL SELECT 5, 'bsp_group_name', r.nm, count(DISTINCT p.id)
+          FROM pick1 p LEFT JOIN rac r ON p.bsp = r.bsp GROUP BY r.nm)
+      SELECT wahbe_matched, CAST(so AS INT) AS sort_order,
+        cat AS cov_group_cat, grp AS cov_group, n AS id_dcount
+      FROM (SELECT 0 AS wahbe_matched, * FROM tab0
+            UNION ALL SELECT 1, * FROM tab1)
+      ORDER BY wahbe_matched, sort_order, cov_group_cat, cov_group""",
+
+    // q228: mcare pharmacy characteristics — the projection-rename
+    // staging load (ncpdp_id -> pharmacy_id, passthrough columns).
+    "q228_mcare_pharm_char" -> """
+      SELECT 'NCPDP' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0')
+          AS pharmacy_id,
+        CASE WHEN s_suppkey % 3 = 0 THEN 'WA'
+          WHEN s_suppkey % 3 = 1 THEN 'OR' ELSE 'ID' END
+          AS physical_location_state_code,
+        DATE '1980-01-01' + CAST(s_suppkey * 37 % 9000 AS INT)
+          AS physical_location_open_date,
+        CASE WHEN s_suppkey % 11 = 0
+          THEN DATE '1995-01-01' + CAST(s_suppkey % 1200 AS INT) END
+          AS physical_location_close_date,
+        CASE WHEN s_suppkey % 4 = 0 THEN 'INDEPENDENT'
+          WHEN s_suppkey % 4 = 1 THEN 'CHAIN'
+          WHEN s_suppkey % 4 = 2 THEN 'FRANCHISE' ELSE 'GOVERNMENT' END
+          AS dispenser_class,
+        CAST(s_suppkey % 20 AS INT) AS primary_dispenser_type,
+        '33' || lpad(CAST(s_suppkey % 999 AS VARCHAR), 7, '0') || 'X'
+          AS primary_taxonomy_code,
+        CASE WHEN s_suppkey % 5 = 0 THEN CAST(s_suppkey % 20 + 1 AS INT)
+          END AS secondary_dispenser_type,
+        CASE WHEN s_suppkey % 5 = 0 THEN
+          '33' || lpad(CAST(s_suppkey % 887 AS VARCHAR), 7, '0') || 'Y'
+          END AS secondary_taxonomy_code,
+        CASE WHEN s_suppkey % 2 = 0 THEN 'Y' ELSE 'N' END
+          AS eprscrb_srvc_ind,
+        CASE WHEN s_suppkey % 7 = 0 THEN 'Y' ELSE 'N' END
+          AS walkin_clinic_ind,
+        CASE WHEN s_suppkey % 13 = 0 THEN 'Y' ELSE 'N' END
+          AS status_340b_ind
+      FROM supplier ORDER BY pharmacy_id""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -2583,6 +2583,112 @@ object BuildQueries {
         Ccw.icdcmRef(s), Ccw.conds)
       .orderBy(col("ccw_code"), col("id_apde"))
 
+  /** Synthetic mcare-grain BH/CCW fixtures (q229/q230): the reference
+    * ships mcare_claim_bh / mcare_claim_ccw as YAML-only configs
+    * (load_stage.mcare_claim_bh.yaml) driving the same generic loaders
+    * at id_mcare grain over the mcare final tables — here the q153/q154
+    * kernels instantiated with idCol = id_mcare, the mcare pharm date
+    * column (last_service_date), and a fixture keyed 'mc...' ids with
+    * its own moduli. */
+  private[graft] object McareBhCcw {
+    private def pid = concat(lit("mc"), (col("o_custkey") % 75)
+      .cast("string"))
+    private def fact(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem").join(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            pid.as("id_mcare")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("id_mcare"), col("l_orderkey").as("claim_header_id"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          to_date(col("l_shipdate")).as("fsd"),
+          col("l_linenumber").as("ln"))
+    def icdcm(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("pk")
+      val ver = when(pk % 7 === 0, 9).otherwise(10)
+      fact(s, dir).select(col("id_mcare"), col("claim_header_id"),
+        when(ver === 9,
+            when(pk % 12 === 0, "29620").when(pk % 12 === 1, "30400")
+              .otherwise(lpad((pk % 999).cast("string"), 5, "0")))
+          .otherwise(
+            when(pk % 12 === 0, "F329").when(pk % 12 === 1, "F411")
+              .when(pk % 12 === 2, "F1120")
+              .otherwise(concat(lit("G"),
+                lpad((pk % 400).cast("string"), 3, "0"))))
+          .as("icdcm_norm"),
+        ver.as("icdcm_version"),
+        col("fsd").as("first_service_date"),
+        lpad(col("ln").cast("string"), 2, "0").as("icdcm_number"))
+    }
+    def pharm(s: SparkSession, dir: String): DataFrame =
+      fact(s, dir).select(col("id_mcare"), col("claim_header_id"),
+        when(col("sk") % 8 === 0, "11111111111")
+          .when(col("sk") % 8 === 1, "22222222222")
+          .when(col("sk") % 8 === 2, "33333333333")
+          .otherwise(lpad((col("sk") * 7).cast("string"), 11, "0"))
+          .as("ndc"),
+        date_add(col("fsd"), 3).as("last_service_date"))
+    def proc(s: SparkSession, dir: String): DataFrame =
+      fact(s, dir).select(col("id_mcare"), col("claim_header_id"),
+        when(col("pk") % 14 === 0, "H0020")
+          .when(col("pk") % 14 === 1, "J0571")
+          .otherwise(lpad((col("pk") % 88888).cast("string"), 5, "0"))
+          .as("procedure_code"),
+        col("fsd").as("first_service_date"))
+    def header(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(ok.as("claim_header_id"),
+        when(ok % 14 === 0, "F1120").when(ok % 14 === 1, "30400")
+          .otherwise("I10").as("primary_diagnosis"),
+        when(ok % 14 === 1, 9).otherwise(10).as("icdcm_version"))
+    }
+    def ccwHeader(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(pid.as("id_mcare"),
+        ok.as("claim_header_id"),
+        (lit(1) + ok % 6).cast("int").as("claim_type_id"),
+        to_date(col("o_orderdate")).as("first_service_date"))
+    }
+    def ccwIcdcm(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("pk")
+      val ver = when(pk % 4 === 0, 9).otherwise(10)
+      fact(s, dir).select(col("id_mcare").as("id_mcare"),
+        col("claim_header_id"),
+        when(ver === 9,
+            when(pk % 10 === 0, "2440").when(pk % 10 === 1, "25000")
+              .when(pk % 10 === 2, "64800").when(pk % 10 === 3, "43491")
+              .otherwise(lpad((pk % 999).cast("string"), 4, "0")))
+          .otherwise(
+            when(pk % 10 === 0, "E039").when(pk % 10 === 1, "E119")
+              .when(pk % 10 === 2, "O2412").when(pk % 10 === 3, "I6350")
+              .when(pk % 10 === 4, "Z3480")
+              .otherwise(concat(lit("J"),
+                lpad((pk % 400).cast("string"), 3, "0"))))
+          .as("icdcm_norm"),
+        ver.as("icdcm_version"),
+        lpad(col("ln").cast("string"), 2, "0").as("icdcm_number"))
+    }
+  }
+
+  /** mcare-grain claim_bh (q229, load_stage.mcare_claim_bh.yaml): the
+    * generic claim_bh kernel at id_mcare grain over mcare sources —
+    * mcare pharm dates ride last_service_date (the per-source rx-date
+    * dispatch the R config carries). */
+  def q229McareBh(s: SparkSession, dir: String): DataFrame =
+    graft.builds.BhConditions.build(McareBhCcw.icdcm(s, dir),
+        McareBhCcw.pharm(s, dir), McareBhCcw.proc(s, dir),
+        McareBhCcw.header(s, dir), Bh.ref(s),
+        idCol = "id_mcare", rxDateCol = "last_service_date")
+      .orderBy(col("id_mcare"), col("bh_cond"),
+        col("first_encounter_date"), col("last_encounter_date"))
+
+  /** mcare-grain claim_ccw (q230, load_stage.mcare_claim_ccw.yaml): the
+    * load_ccw kernel at id_mcare grain over the mcare header/dx. */
+  def q230McareCcw(s: SparkSession, dir: String): DataFrame =
+    graft.builds.CcwConditions.build(McareBhCcw.ccwHeader(s, dir),
+        McareBhCcw.ccwIcdcm(s, dir), Ccw.icdcmRef(s), Ccw.conds,
+        idCol = "id_mcare")
+      .orderBy(col("ccw_code"), col("id_mcare"))
+
   /** §7.5.10 apde identity crosswalk (q155,
     * load_stage.xwalk_apde_mcaid_mcare_pha.R): IM_HISTORY extracts with
     * pattern gates (9-digit+KC master id, all-digit mcaid id, 64-char
@@ -4422,6 +4528,115 @@ object BuildQueries {
         col("meth_proc_flag"), col("bup_proc_flag"), col("nal_proc_flag"),
         col("unspec_proc_flag"), col("bup_rx_flag"), col("nal_rx_flag"),
         col("admin_method"))
+  }
+
+  /** WAHBE partner-export prep (q227,
+    * dugan_p1_export/wahbe_data_prep.sql — completes the Dugan pair
+    * next to q202/q204): ACES zero-pad normalization over the two
+    * union-distinct report extracts, inner join to the distinct raw-
+    * elig pairs, UW person-id left join, the unmatched-person modal
+    * ACES pick (row_count DESC, aces ASC), and BOTH groups' coverage
+    * tabulations (window-overlap timevar rollup, rank()=1 pick, 5-arm
+    * UNION battery incl. the RAC-name arm with a planted unmapped
+    * cid). Output = the two tabulations under a wahbe_matched flag. */
+  def q227WahbePrep(s: SparkSession, dir: String): DataFrame = {
+    import graft.builds.WahbeDataPrep
+    import s.implicits._
+    val ok = col("o_orderkey")
+    val ck = col("o_custkey")
+    val base = t(s, dir, "orders")
+    def report(f: Column) = base.filter(f).select(
+      when(ok % 2 === 0, (lit(1000000) + ck % 500).cast("string"))
+        .otherwise((lit(10000000) + ck % 500).cast("string"))
+        .as("aces_id"),
+      when(ok % 3 === 0, "CURRENT SMOKER").when(ok % 3 === 1, "NEVER")
+        .otherwise("FORMER").as("smoking_status"),
+      to_date(col("o_orderdate")).as("eligibility_start_date"),
+      date_add(to_date(col("o_orderdate")), 365)
+        .as("eligibility_end_date"))
+    val report1 = report(ok % 5 < 3)
+    val report2 = report(ok % 5 >= 2) // %5=2 rows in BOTH -> union dedup
+    val elig = base.select(
+      when(ok % 4 === 0,
+        concat(lit("0"), (lit(10000000) + ck % 500).cast("string")))
+        .when(ok % 4 === 3,
+          concat(lit("88888"), lpad((ck % 1000).cast("string"), 4, "0")))
+        .otherwise(
+          concat(lit("00"), (lit(1000000) + ck % 500).cast("string")))
+        .as("MBR_ACES_IDNTFR"),
+      concat(lit("ID"), (ck % 900).cast("string"))
+        .as("MEDICAID_RECIPIENT_ID"))
+    val personIds = t(s, dir, "customer")
+      .select((col("c_custkey") % 1200).as("k")).distinct()
+      .select(concat(lit("UW"), col("k").cast("string")).as("id_uw"),
+        concat(lit("ID"), col("k").cast("string")).as("id_mcaid"))
+    val timevar = base.select(
+      concat(lit("ID"), (ck % 1200).cast("string")).as("id_mcaid"),
+      (ok % 2).as("dual"),
+      (ok % 6).cast("int").as("bsp_group_cid"),
+      when(ok % 2 === 0, "Y").otherwise("N").as("full_benefit"),
+      when(ok % 3 === 0, "FFS").when(ok % 3 === 1, "MC")
+        .otherwise("PARTIAL").as("cov_type"),
+      (ok % 200 + 1).cast("int").as("cov_time_day"),
+      to_date(col("o_orderdate")).as("from_date"),
+      date_add(to_date(col("o_orderdate")), 180).as("to_date"))
+    val racRef = Seq((0, "Group A"), (1, "Group B"), (2, "Group C"),
+      (3, "Group D"), (4, "Group E"))
+      .toDF("bsp_group_cid", "bsp_group_name")
+    val matched = WahbeDataPrep.matchedWahbe(report1, report2, elig)
+    val persons = WahbeDataPrep.personMatches(personIds, matched)
+    val (winF, winT) = ("1994-01-01", "1997-06-30")
+    val unmatchedPick = WahbeDataPrep.coveragePick(
+      WahbeDataPrep.unmatchedAces(persons, elig), timevar, winF, winT)
+    val matchedPick = WahbeDataPrep.coveragePick(
+      persons.filter(col("MEDICAID_RECIPIENT_ID").isNotNull)
+        .select(col("id_mcaid")),
+      timevar, winF, winT)
+    WahbeDataPrep.coverageTabulation(unmatchedPick, racRef)
+      .withColumn("wahbe_matched", lit(0))
+      .unionByName(WahbeDataPrep.coverageTabulation(matchedPick, racRef)
+        .withColumn("wahbe_matched", lit(1)))
+      .select(col("wahbe_matched"), col("sort_order"),
+        col("cov_group_cat"), col("cov_group"), col("id_dcount"))
+      .orderBy(col("wahbe_matched"), col("sort_order"),
+        col("cov_group_cat"), col("cov_group"))
+  }
+
+  /** mcare pharmacy characteristics (q228,
+    * load_stage.mcare_claim_pharm_char.R:14-43): the staging table is a
+    * straight projection of the raw pharmacy-characteristics extract
+    * with ONE rename (ncpdp_id -> pharmacy_id) and the passthrough
+    * dispenser/taxonomy/relationship/service-indicator columns — the
+    * smallest load_stage in the reference, closing the coverage list.
+    * (getdate() last_run is audit metadata, not query semantics.) */
+  def q228McarePharmChar(s: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey")
+    val raw = t(s, dir, "supplier").select(
+      concat(lit("NCPDP"), lpad(k.cast("string"), 7, "0")).as("ncpdp_id"),
+      when(k % 3 === 0, "WA").when(k % 3 === 1, "OR").otherwise("ID")
+        .as("physical_location_state_code"),
+      date_add(to_date(lit("1980-01-01")), (k * 37 % 9000).cast("int"))
+        .as("physical_location_open_date"),
+      when(k % 11 === 0,
+        date_add(to_date(lit("1995-01-01")), (k % 1200).cast("int")))
+        .as("physical_location_close_date"),
+      when(k % 4 === 0, "INDEPENDENT").when(k % 4 === 1, "CHAIN")
+        .when(k % 4 === 2, "FRANCHISE").otherwise("GOVERNMENT")
+        .as("dispenser_class"),
+      (k % 20).cast("int").as("primary_dispenser_type"),
+      concat(lit("33"), lpad((k % 999).cast("string"), 7, "0"), lit("X"))
+        .as("primary_taxonomy_code"),
+      when(k % 5 === 0, (k % 20 + 1).cast("int"))
+        .as("secondary_dispenser_type"),
+      when(k % 5 === 0,
+        concat(lit("33"), lpad((k % 887).cast("string"), 7, "0"),
+          lit("Y"))).as("secondary_taxonomy_code"),
+      when(k % 2 === 0, "Y").otherwise("N").as("eprscrb_srvc_ind"),
+      when(k % 7 === 0, "Y").otherwise("N").as("walkin_clinic_ind"),
+      when(k % 13 === 0, "Y").otherwise("N").as("status_340b_ind"))
+    raw.select(col("ncpdp_id").as("pharmacy_id") +:
+        raw.columns.filterNot(_ == "ncpdp_id").map(col).toSeq: _*)
+      .orderBy(col("pharmacy_id"))
   }
 
   /** claims_condition.R consumer: members whose condition span overlaps an
