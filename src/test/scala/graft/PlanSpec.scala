@@ -170,8 +170,14 @@ class PlanSpec extends SparkSpec {
                      // candidate shape over JL projections
       "q219_kanon_ladder", // per-level stats x broadcast 1-row chosen-
                            // level min (the q128 renormalizer shape)
-      "q220_pagerank") // teleport/dangling 1-row broadcasts + the TopN
+      "q220_pagerank", // teleport/dangling 1-row broadcasts + the TopN
                        // n x n rank self-join (the q15/q62 shape)
+      "q224_apcd_preg_episode", // Moll prefix LIKE-join: DISTINCT code
+                                // vocabulary x broadcast endpoint ref
+                                // (the q144 vocabulary-first shape;
+                                // fact rows join the expansion exactly)
+      "q226_mcare_naloxone") // the q144 NDC contains-join shape over
+                             // the mcare sources
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57
