@@ -356,6 +356,7 @@ object SparkEntry {
       (graft.queries.BuildQueries.q228McarePharmChar _),
     "q229_mcare_bh" -> (graft.queries.BuildQueries.q229McareBh _),
     "q230_mcare_ccw" -> (graft.queries.BuildQueries.q230McareCcw _),
+    "q231_url_dedup" -> (T.q231UrlDedup _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12445,6 +12446,70 @@ object SparkEntry {
         CASE WHEN s_suppkey % 13 = 0 THEN 'Y' ELSE 'N' END
           AS status_340b_ind
       FROM supplier ORDER BY pharmacy_id""",
+
+    // q231: URL canonicalization dedup — scheme/host lower, default
+    // port + www strip, trailing-slash fold, tracking-param drop,
+    // param sort, fragment drop, no-scheme fallback; keep lowest
+    // doc_id per canonical.
+    "q231_url_dedup" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 7 AS INT)
+            WHEN 0 THEN 'http://Example' || CAST(doc_id % 40 AS VARCHAR)
+              || '.COM/docs/' || CAST(doc_id % 500 AS VARCHAR)
+            WHEN 1 THEN 'HTTP://www.Example'
+              || CAST(doc_id % 40 AS VARCHAR) || '.COM:80/docs/'
+              || CAST(doc_id % 500 AS VARCHAR)
+            WHEN 2 THEN 'http://Example' || CAST(doc_id % 40 AS VARCHAR)
+              || '.COM/docs/' || CAST(doc_id % 500 AS VARCHAR) || '/'
+            WHEN 3 THEN 'http://Example' || CAST(doc_id % 40 AS VARCHAR)
+              || '.COM/docs/' || CAST(doc_id % 500 AS VARCHAR)
+              || '?utm_source=x&b=2&a=1'
+            WHEN 4 THEN 'http://Example' || CAST(doc_id % 40 AS VARCHAR)
+              || '.COM/docs/' || CAST(doc_id % 500 AS VARCHAR)
+              || '?a=1&b=2#frag'
+            WHEN 5 THEN 'https://Example' || CAST(doc_id % 40 AS VARCHAR)
+              || '.COM:443/docs/' || CAST(doc_id % 500 AS VARCHAR)
+            ELSE '  Not A Url ' || CAST(doc_id AS VARCHAR)
+          END AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+          regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+          regexp_extract(url, '\?([^#]*)', 1) AS query
+        FROM u),
+      norm AS (
+        SELECT doc_id, url, scheme,
+          regexp_replace(
+            CASE WHEN scheme = 'http'
+                THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+                THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END, '^www\.', '') AS host,
+          CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+            ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+          coalesce(array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            p -> NOT regexp_matches(p,
+              '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$')
+              AND p <> '')), '&'), '') AS q
+        FROM parts),
+      canon AS (
+        SELECT doc_id,
+          CASE WHEN scheme = '' THEN lower(trim(url))
+            ELSE scheme || '://' || host || path ||
+              CASE WHEN q = '' THEN '' ELSE '?' || q END END
+            AS canonical_url
+        FROM norm)
+      SELECT doc_id, canonical_url,
+        CAST(doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+          AS INT) AS kept
+      FROM canon ORDER BY doc_id""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -605,4 +605,34 @@ object TextQueries {
   def q200JsdMatrix(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.jsdMatrix(t(s, dir, "documents"), col("lang"))
       .orderBy(col("source_a"), col("source_b"))
+
+  /** q231: URL canonicalization + canonical dedup — the crawl-side
+    * pre-content dedup (CCNet/RefinedWeb run it before MinHash). The
+    * fixture mints seven URL variants per document family: plain,
+    * upper-scheme + www + :80, trailing slash, tracking params +
+    * unsorted query, fragment + sorted query, https (:443, a DISTINCT
+    * resource from the http family), and a no-scheme garbage string
+    * (the lower(trim) fallback). Variants 0-2 collapse to one
+    * canonical, 3-4 to another; keep = lowest doc_id per canonical. */
+  def q231UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val host = concat(lit("Example"), (id % 40).cast("string"),
+      lit(".COM"))
+    val pth = concat(lit("/docs/"), (id % 500).cast("string"))
+    val url = when(id % 7 === 0, concat(lit("http://"), host, pth))
+      .when(id % 7 === 1,
+        concat(lit("HTTP://www."), host, lit(":80"), pth))
+      .when(id % 7 === 2, concat(lit("http://"), host, pth, lit("/")))
+      .when(id % 7 === 3,
+        concat(lit("http://"), host, pth, lit("?utm_source=x&b=2&a=1")))
+      .when(id % 7 === 4,
+        concat(lit("http://"), host, pth, lit("?a=1&b=2#frag")))
+      .when(id % 7 === 5,
+        concat(lit("https://"), host, lit(":443"), pth))
+      .otherwise(concat(lit("  Not A Url "), id.cast("string")))
+    graft.operators.Urls.dedupByCanonical(
+        t(s, dir, "documents").select(id, url.as("url")), "doc_id", "url")
+      .select(col("doc_id"), col("canonical_url"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
 }
