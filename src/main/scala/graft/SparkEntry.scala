@@ -357,6 +357,8 @@ object SparkEntry {
     "q229_mcare_bh" -> (graft.queries.BuildQueries.q229McareBh _),
     "q230_mcare_ccw" -> (graft.queries.BuildQueries.q230McareCcw _),
     "q231_url_dedup" -> (T.q231UrlDedup _),
+    "q232_bene_ssn" -> (graft.queries.BuildQueries.q232BeneSsn _),
+    "q233_temperature_sample" -> (T.q233TemperatureSample _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12510,6 +12512,54 @@ object SparkEntry {
         CAST(doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
           AS INT) AS kept
       FROM canon ORDER BY doc_id""",
+
+    // q232: mcare bene↔SSN crosswalk — DISTINCT then first
+    // (source, ssn) row per bene_id.
+    "q232_bene_ssn" -> """
+      WITH ssn AS (
+        SELECT DISTINCT 'B' || CAST(o_custkey % 400 AS VARCHAR)
+            AS bene_id,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'edb' ELSE 'mbsf' END
+            AS source,
+          lpad(CAST((o_custkey % 400) * 13 + o_orderkey % 5 AS VARCHAR),
+            9, '0') AS ssn
+        FROM orders)
+      SELECT bene_id, ssn FROM (
+        SELECT bene_id, ssn, row_number() OVER (PARTITION BY bene_id
+          ORDER BY source, ssn) AS rn
+        FROM ssn)
+      WHERE rn = 1 ORDER BY bene_id""",
+
+    // q233: temperature-mixture sampler — rate = sqrt(min_tok/tok_d),
+    // md5 uniform draw below floor(rate * 2^32), per-domain counts +
+    // kept-id-sum membership pin.
+    "q233_temperature_sample" -> """
+      WITH dom AS (
+        SELECT source,
+          CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      rates AS (
+        SELECT source, n_tokens,
+          sqrt((SELECT CAST(min(n_tokens) AS DOUBLE) FROM dom)
+            / n_tokens) AS accept_rate
+        FROM dom),
+      thr AS (
+        SELECT *, CAST(floor(accept_rate * 4294967296.0) AS BIGINT)
+          AS t
+        FROM rates),
+      verdicts AS (
+        SELECT d.doc_id, d.source, r.accept_rate,
+          CASE WHEN CAST(('0x' || substr(md5('mix:'
+              || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            < r.t THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN thr r ON d.source = r.source)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(kept) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT)
+          AS kept_id_sum,
+        round(any_value(accept_rate), 6) AS accept_rate
+      FROM verdicts GROUP BY source ORDER BY source""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -396,6 +396,45 @@ object TextAnalysis {
     df.withColumn("split", expr)
   }
 
+  /** Temperature-mixture SAMPLER — the materialization of the q128
+    * mixture-weights computation: an actual deterministic per-doc
+    * accept/reject that rebalances domains toward the temperature
+    * target. At alpha = 0.5 the relative acceptance rate has a closed
+    * form that is BIT-STABLE cross-engine: the target-over-natural
+    * ratio is nat^(alpha-1) / Z, so normalizing by the largest rate
+    * cancels Z and leaves rate_d = sqrt(min_tokens / tokens_d) — one
+    * IEEE-exact double division of two integer token counts and one
+    * correctly-rounded sqrt, no pow(), no cross-domain float sum. The
+    * smallest domain keeps everything; larger domains down-sample
+    * toward the flattened mixture with the LEAST total data dropped.
+    *
+    * Acceptance is the [[hashSplit]] discipline: md5 first 32 bits of
+    * (salt:id) as a uniform draw, accepted below
+    * floor(rate * 2^32) — engine-portable, stable under re-partition,
+    * re-salt = an independent re-sample.
+    *
+    * Scale: one domain aggregation (partial-agg shuffle), the
+    * domain-rate dim broadcast back, verdict is a row-local Column —
+    * no per-doc shuffle at all. */
+  def temperatureSample(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      salt: String = "mix"): DataFrame = {
+    val dom = docs.groupBy(col(domainCol).as("_dom"))
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val rates = dom
+      .crossJoin(broadcast(dom.agg(min(col("n_tokens")).as("_mintok"))))
+      .withColumn("accept_rate",
+        sqrt(col("_mintok").cast("double") / col("n_tokens")))
+      .withColumn("_thr",
+        floor(col("accept_rate") * lit(4294967296.0)).cast("long"))
+    val draw = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(rates),
+        col(domainCol) === col("_dom"))
+      .withColumn("kept", (draw < col("_thr")).cast("int"))
+      .drop("_dom", "_mintok", "_thr")
+  }
+
   /** Overlapping token-window chunking — the pre-embedding splitter for
     * long documents: fixed `chunkTokens` windows advancing by
     * `chunkTokens - overlapTokens`, last window allowed short, windows

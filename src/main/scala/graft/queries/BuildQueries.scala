@@ -3306,6 +3306,24 @@ object BuildQueries {
       .orderBy(col("clm_line_tcn"), col("from_srvc_date"))
   }
 
+  /** mcare bene↔SSN crosswalk (q232, load_stage.mcare_xwalk_bene_ssn.R
+    * :49-57): DISTINCT then the first (source, ssn) row per bene_id —
+    * the reference's setorder + counter == 1. Fixture plants exact
+    * duplicate rows (collapsed by the DISTINCT), multi-source ids
+    * (lowest source wins) and same-source multi-SSN ids (lowest ssn
+    * wins). */
+  def q232BeneSsn(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val ssn = t(s, dir, "orders").select(
+      concat(lit("B"), (col("o_custkey") % 400).cast("string"))
+        .as("bene_id"),
+      when(ok % 3 === 0, "edb").otherwise("mbsf").as("source"),
+      lpad(((col("o_custkey") % 400) * 13 + ok % 5).cast("string"), 9,
+        "0").as("ssn"))
+    graft.builds.McareXwalk.ssnPick(ssn)
+      .orderBy(col("bene_id"))
+  }
+
   /** §2.2 EDB user-view crosswalk dedup (q170,
     * load_stage.mcare_xwalk_edb_user_view.R:52-77): per-year Medicare
     * name history collapsed to one row per bene_id via the reference's

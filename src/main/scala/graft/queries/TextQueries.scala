@@ -606,6 +606,23 @@ object TextQueries {
     TextAnalysis.jsdMatrix(t(s, dir, "documents"), col("lang"))
       .orderBy(col("source_a"), col("source_b"))
 
+  /** q233: temperature-mixture sampler — the MATERIALIZATION of q128's
+    * mixture weights: at alpha = 0.5 the normalized acceptance rate is
+    * the closed form sqrt(min_tokens / tokens_domain) (bit-stable: one
+    * integer-ratio division + one correctly-rounded sqrt, no pow or
+    * cross-domain float sum), and each doc draws md5 first-32-bits
+    * against floor(rate * 2^32) — the q123 split discipline. Output:
+    * per-domain doc/kept counts, the kept-id-sum membership pin, and
+    * the rounded rate. */
+  def q233TemperatureSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureSample(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1, col("doc_id"))).as("kept_id_sum"),
+        round(first(col("accept_rate")), 6).as("accept_rate"))
+      .orderBy(col("source"))
+
   /** q231: URL canonicalization + canonical dedup — the crawl-side
     * pre-content dedup (CCNet/RefinedWeb run it before MinHash). The
     * fixture mints seven URL variants per document family: plain,
