@@ -71,6 +71,15 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean int-Lloyd IVF recall@5 = $mean")
   }
 
+  test("integer Lloyd is bit-identical under re-partitioning — the " +
+    "claim the float version could not make") {
+    val emb = Q.t(spark, sf, "embeddings")
+    def train(parts: Int) = Similarity.ivfIntLloyd(
+      emb.repartition(parts), "vec_id", "embedding", nCells = 8,
+      iters = 3)._2.toSeq.map { case (c, v) => (c, v.toList) }
+    assert(train(1) == train(7))
+  }
+
   test("IVF recall >= 0.9 with nProbe=4/8 on clustered vectors") {
     // IVF's contract only holds when the corpus clusters (random vectors
     // are the adversarial case — every cell is equally likely to hold a

@@ -40,6 +40,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("temperatureSample: smallest domain keeps EVERYTHING, larger " +
+    "domains down-sample at sqrt(min/tok), re-salt re-samples") {
+    val s = spark
+    import s.implicits._
+    // domain a: 4 one-word docs (4 tokens, the min); domain b: 4 docs
+    // x 4 words (16 tokens) -> rate_b = sqrt(4/16) = 0.5 exactly
+    val docs = ((1L to 4L).map(i => (i, "a", "w")) ++
+      (5L to 8L).map(i => (i, "b", "w w w w")))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.temperatureSample(docs)
+      .select("doc_id", "source", "accept_rate", "kept")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getInt(3)))
+    // every min-domain doc kept (rate 1.0 -> threshold 2^32 > any draw)
+    assert(got.filter(_._2 == "a").forall(t => t._3 == 1.0 && t._4 == 1))
+    assert(got.filter(_._2 == "b").forall(_._3 == 0.5))
+    // determinism + re-salt independence
+    val k1 = TextAnalysis.temperatureSample(docs).filter(col("kept") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = TextAnalysis.temperatureSample(docs).filter(col("kept") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k3 = TextAnalysis.temperatureSample(docs, salt = "other")
+      .filter(col("kept") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+    assert((1L to 4L).toSet.subsetOf(k1))
+    assert((1L to 4L).toSet.subsetOf(k3)) // min domain survives any salt
+  }
+
   test("token counts, punct ratio, fingerprint basics") {
     val df = one("Hello,  world! This is   a test.")
     val r = df.select(

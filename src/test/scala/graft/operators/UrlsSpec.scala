@@ -47,6 +47,18 @@ class UrlsSpec extends SparkSpec {
       Seq("not a url 7", "relative/path"))
   }
 
+  test("canonicalization is idempotent: canon(canon(u)) == canon(u)") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&b=2&a=1#f",
+      "https://e.com:443/x",
+      "http://e.com",
+      "  Not A Url 7 ",
+      "http://e.com/p?ref=rss&z=9")
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(twice == once)
+  }
+
   test("dedupByCanonical keeps the lowest id per canonical URL") {
     val s = spark
     import s.implicits._
