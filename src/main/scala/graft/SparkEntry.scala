@@ -359,6 +359,8 @@ object SparkEntry {
     "q231_url_dedup" -> (T.q231UrlDedup _),
     "q232_bene_ssn" -> (graft.queries.BuildQueries.q232BeneSsn _),
     "q233_temperature_sample" -> (T.q233TemperatureSample _),
+    "q234_fua_follow_up" ->
+      (graft.queries.BuildQueries.q234FuaFollowUp _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12560,6 +12562,89 @@ object SparkEntry {
           AS kept_id_sum,
         round(any_value(accept_rate), 6) AS accept_rate
       FROM verdicts GROUP BY source ORDER BY source""",
+
+    // q234: FUA follow-up visits — the HEDIS five-condition
+    // UNION-of-INTERSECTs with the AOD primary-dx (ICD-10-only) gate.
+    "q234_fua_follow_up" -> """
+      WITH hdr AS (
+        SELECT o_custkey % 150 AS id_person, o_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + 1 AS lsd,
+          CASE WHEN o_orderkey % 9 = 0 THEN '57'
+            WHEN o_orderkey % 9 = 1 THEN '53'
+            ELSE lpad(CAST(o_orderkey % 99 AS VARCHAR), 2, '0') END
+            AS pos
+        FROM orders),
+      li AS (
+        SELECT o_custkey % 150 AS id_person, l_orderkey AS claim_id,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + 1 AS lsd,
+          l_partkey AS pk, l_suppkey AS sk, l_linenumber AS ln
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      prc AS (
+        SELECT id_person, claim_id, fsd, lsd,
+          CASE WHEN pk % 17 = 0 THEN 'H0015'
+            WHEN pk % 17 = 1 THEN '90791'
+            WHEN pk % 17 = 2 THEN '99408'
+            WHEN pk % 17 = 3 THEN '99409'
+            WHEN pk % 17 = 4 THEN '98966'
+            WHEN pk % 17 = 5 THEN '98970'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0') END AS pc
+        FROM li WHERE fsd BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'),
+      lns AS (
+        SELECT id_person, claim_id, fsd, lsd,
+          CASE WHEN sk % 13 = 0 THEN '0906'
+            ELSE lpad(CAST(sk % 9999 AS VARCHAR), 4, '0') END AS rev
+        FROM li WHERE fsd BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'),
+      dx AS (
+        SELECT id_person, claim_id, fsd, lsd,
+          CASE WHEN pk % 11 = 0 THEN 'F1010'
+            WHEN pk % 11 = 1 THEN 'F1120'
+            ELSE 'J' || lpad(CAST(pk % 400 AS VARCHAR), 3, '0') END
+            AS norm,
+          CASE WHEN pk % 6 = 0 THEN 9 ELSE 10 END AS ver,
+          lpad(CAST(ln AS VARCHAR), 2, '0') AS dxnum
+        FROM li WHERE fsd BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'),
+      aod AS (
+        SELECT id_person, claim_id, fsd, lsd FROM dx
+        WHERE ver = 10 AND dxnum = '01' AND norm IN ('F1010', 'F1120')),
+      c1 AS (
+        (SELECT id_person, claim_id, fsd, lsd FROM prc
+         WHERE pc IN ('90791', 'H0015')
+         UNION
+         SELECT id_person, claim_id, fsd, lsd FROM lns
+         WHERE rev = '0906')
+        INTERSECT SELECT * FROM aod),
+      c2 AS (
+        SELECT id_person, claim_id, fsd, lsd FROM prc
+        WHERE pc = '99408'
+        INTERSECT
+        SELECT id_person, claim_id, fsd, lsd FROM hdr h
+        WHERE h.pos = '57'
+          AND h.fsd BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+        INTERSECT SELECT * FROM aod),
+      c3 AS (
+        SELECT id_person, claim_id, fsd, lsd FROM prc
+        WHERE pc = '99409'
+        INTERSECT
+        SELECT id_person, claim_id, fsd, lsd FROM hdr h
+        WHERE h.pos = '53'
+          AND h.fsd BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+        INTERSECT SELECT * FROM aod),
+      c4 AS (
+        SELECT id_person, claim_id, fsd, lsd FROM prc
+        WHERE pc = '98966'
+        INTERSECT SELECT * FROM aod),
+      c5 AS (
+        SELECT id_person, claim_id, fsd, lsd FROM prc
+        WHERE pc = '98970'
+        INTERSECT SELECT * FROM aod)
+      SELECT id_person, claim_id, fsd AS first_service_date,
+        lsd AS last_service_date, 1 AS flag
+      FROM (SELECT * FROM c1 UNION SELECT * FROM c2
+            UNION SELECT * FROM c3 UNION SELECT * FROM c4
+            UNION SELECT * FROM c5)
+      ORDER BY id_person, claim_id, first_service_date""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -374,4 +374,61 @@ object ValueSetMeasures {
         coalesce(col("AOD Abuse and Dependence"), lit(0))
           .as("aod_abuse_dependence"))
   }
+
+  /** FUA follow-up visits
+    * (create_stage.fn_perf_fua_follow_up_visit.sql:74-396) — the HEDIS
+    * five-condition UNION, each condition an INTERSECT of claim sets at
+    * (person, claim, first/last service date) grain:
+    *
+    *  1. IET Stand Alone Visits (CPT/HCPCS procedures ∪ UBREV lines)
+    *     ∩ AOD primary dx;
+    *  2. IET Visits Group 1 (CPT) ∩ IET POS Group 1 (header place of
+    *     service) ∩ AOD primary dx;
+    *  3. IET Visits Group 2 ∩ IET POS Group 2 ∩ AOD primary dx;
+    *  4. Telephone Visits ∩ AOD primary dx;
+    *  5. Online Assessments ∩ AOD primary dx.
+    *
+    * AOD primary dx = icdcm_number '01' AND icdcm_version = 10 (the
+    * reference joins only the ICD10CM rows — no ICD-9 arm), all arms
+    * window-filtered on first_service_date. The telehealth-modifier
+    * value set appears only in the reference's comments ("with or
+    * without a telehealth modifier") — it never joins, and neither
+    * here.
+    *
+    * Scale: every HEDIS dim broadcasts; INTERSECT/UNION distinct
+    * shuffle on the claim-grain key. */
+  def fuaFollowUpVisits(proc: DataFrame, lines: DataFrame,
+      headers: DataFrame, dx: DataFrame, hedis: DataFrame,
+      winFrom: String, winTo: String): DataFrame = {
+    val out = Seq("id_person", "claim_id", "first_service_date",
+      "last_service_date").map(col)
+    def win(df: DataFrame) = df.filter(
+      col("first_service_date").between(lit(winFrom), lit(winTo)))
+    def codes(vs: String, systems: Seq[String]) =
+      hedis.filter(col("value_set_name") === vs &&
+        col("code_system").isin(systems: _*)).select(col("code"))
+    def procArm(vs: String, systems: Seq[String]) =
+      win(proc).join(broadcast(codes(vs, systems)),
+        col("procedure_code") === col("code")).select(out: _*)
+    def lineArm(vs: String) =
+      win(lines).join(broadcast(codes(vs, Seq("UBREV"))),
+        col("rev_code") === col("code")).select(out: _*)
+    def posArm(vs: String) =
+      win(headers).join(broadcast(codes(vs, Seq("POS"))),
+        col("pos") === col("code")).select(out: _*)
+    val aod = win(dx)
+      .filter(col("icdcm_version") === 10 && col("icdcm_number") === "01")
+      .join(broadcast(codes("AOD Abuse and Dependence", Seq("ICD10CM"))),
+        col("icdcm_norm") === col("code")).select(out: _*)
+    val c1 = procArm("IET Stand Alone Visits", Seq("CPT", "HCPCS"))
+      .union(lineArm("IET Stand Alone Visits")).intersect(aod)
+    val c2 = procArm("IET Visits Group 1", Seq("CPT"))
+      .intersect(posArm("IET POS Group 1")).intersect(aod)
+    val c3 = procArm("IET Visits Group 2", Seq("CPT"))
+      .intersect(posArm("IET POS Group 2")).intersect(aod)
+    val c4 = procArm("Telephone Visits", Seq("CPT")).intersect(aod)
+    val c5 = procArm("Online Assessments", Seq("CPT")).intersect(aod)
+    c1.union(c2).union(c3).union(c4).union(c5).distinct()
+      .withColumn("flag", lit(1))
+  }
 }

@@ -4657,6 +4657,73 @@ object BuildQueries {
       .orderBy(col("pharmacy_id"))
   }
 
+  /** FUA follow-up visits (q234,
+    * create_stage.fn_perf_fua_follow_up_visit.sql): the HEDIS
+    * five-condition UNION-of-INTERSECTs — IET stand-alone (proc ∪
+    * UBREV line), the two IET-visits × POS-group pairs, telephone and
+    * online-assessment arms, each intersected with the AOD primary-dx
+    * (ICD-10-only) claim set inside the measurement window. */
+  def q234FuaFollowUp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ok = col("o_orderkey")
+    val headers = t(s, dir, "orders").select(
+      (col("o_custkey") % 150).as("id_person"),
+      ok.as("claim_id"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      date_add(to_date(col("o_orderdate")), 1).as("last_service_date"),
+      when(ok % 9 === 0, "57").when(ok % 9 === 1, "53")
+        .otherwise(lpad((ok % 99).cast("string"), 2, "0")).as("pos"))
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") % 150).as("id_person"),
+        col("l_orderkey").as("claim_id"),
+        to_date(col("o_orderdate")).as("first_service_date"),
+        date_add(to_date(col("o_orderdate")), 1).as("last_service_date"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        col("l_linenumber").as("ln"))
+    val proc = li.select(col("id_person"), col("claim_id"),
+      col("first_service_date"), col("last_service_date"),
+      when(col("pk") % 17 === 0, "H0015")
+        .when(col("pk") % 17 === 1, "90791")
+        .when(col("pk") % 17 === 2, "99408")
+        .when(col("pk") % 17 === 3, "99409")
+        .when(col("pk") % 17 === 4, "98966")
+        .when(col("pk") % 17 === 5, "98970")
+        .otherwise(lpad((col("pk") % 88888).cast("string"), 5, "0"))
+        .as("procedure_code"))
+    val lines = li.select(col("id_person"), col("claim_id"),
+      col("first_service_date"), col("last_service_date"),
+      when(col("sk") % 13 === 0, "0906")
+        .otherwise(lpad((col("sk") % 9999).cast("string"), 4, "0"))
+        .as("rev_code"))
+    val dx = li.select(col("id_person"), col("claim_id"),
+      col("first_service_date"), col("last_service_date"),
+      when(col("pk") % 11 === 0, "F1010")
+        .when(col("pk") % 11 === 1, "F1120")
+        .otherwise(concat(lit("J"),
+          lpad((col("pk") % 400).cast("string"), 3, "0")))
+        .as("icdcm_norm"),
+      when(col("pk") % 6 === 0, 9).otherwise(10).as("icdcm_version"),
+      lpad(col("ln").cast("string"), 2, "0").as("icdcm_number"))
+    val hedis = Seq(
+      ("IET Stand Alone Visits", "CPT", "90791"),
+      ("IET Stand Alone Visits", "HCPCS", "H0015"),
+      ("IET Stand Alone Visits", "UBREV", "0906"),
+      ("IET Visits Group 1", "CPT", "99408"),
+      ("IET POS Group 1", "POS", "57"),
+      ("IET Visits Group 2", "CPT", "99409"),
+      ("IET POS Group 2", "POS", "53"),
+      ("Telephone Visits", "CPT", "98966"),
+      ("Online Assessments", "CPT", "98970"),
+      ("AOD Abuse and Dependence", "ICD10CM", "F1010"),
+      ("AOD Abuse and Dependence", "ICD10CM", "F1120"))
+      .toDF("value_set_name", "code_system", "code")
+    graft.builds.ValueSetMeasures.fuaFollowUpVisits(proc, lines, headers,
+        dx, hedis, "1995-01-01", "1997-12-31")
+      .orderBy(col("id_person"), col("claim_id"),
+        col("first_service_date"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
