@@ -361,6 +361,8 @@ object SparkEntry {
     "q233_temperature_sample" -> (T.q233TemperatureSample _),
     "q234_fua_follow_up" ->
       (graft.queries.BuildQueries.q234FuaFollowUp _),
+    "q235_fua_join_step" ->
+      (graft.queries.BuildQueries.q235FuaJoinStep _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12645,6 +12647,55 @@ object SparkEntry {
             UNION SELECT * FROM c3 UNION SELECT * FROM c4
             UNION SELECT * FROM c5)
       ORDER BY id_person, claim_id, first_service_date""",
+
+    // q235: FUA join step — exclusion filter, need_1_month_coverage,
+    // and the 7/30-day follow-up flags via the reference's TWO
+    // independent left joins (the Spark side uses one range join; the
+    // oracle pins the equivalence).
+    "q235_fua_join_step" -> """
+      WITH idx AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+            AS year_month,
+          o_custkey % 120 AS id_person,
+          CAST(18 + o_custkey % 60 AS INT) AS age,
+          o_orderkey AS claim_header_id,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 3 AS INT)
+            AS lsd,
+          CAST(o_orderkey % 5 = 0 AS INT) AS ed_within_30_day,
+          CAST(o_orderkey % 7 = 0 AS INT) AS inpatient_within_30_day
+        FROM orders WHERE o_orderkey % 3 = 0),
+      fu AS (
+        SELECT o_custkey % 120 AS id_person,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 40 AS INT)
+            AS fsd
+        FROM orders WHERE o_orderkey % 4 = 1),
+      kept AS (
+        SELECT *,
+          CASE WHEN day(lsd) = 1
+            AND month(lsd) IN (1, 3, 5, 7, 8, 10, 12) THEN 1 ELSE 0 END
+            AS need_1_month_coverage
+        FROM idx
+        WHERE ed_within_30_day = 0 AND inpatient_within_30_day = 0)
+      SELECT
+        a.year_month, a.id_person, a.age, a.claim_header_id,
+        a.fsd AS first_service_date, a.lsd AS last_service_date,
+        a.ed_within_30_day, a.inpatient_within_30_day,
+        a.need_1_month_coverage,
+        CAST(max(coalesce(CASE WHEN b.id_person IS NOT NULL THEN 1 END,
+          0)) AS INT) AS follow_up_7_day,
+        CAST(max(coalesce(CASE WHEN c.id_person IS NOT NULL THEN 1 END,
+          0)) AS INT) AS follow_up_30_day,
+        1 AS ed_index_visit
+      FROM kept a
+      LEFT JOIN fu b ON a.id_person = b.id_person
+        AND b.fsd BETWEEN a.lsd AND a.lsd + 7
+      LEFT JOIN fu c ON a.id_person = c.id_person
+        AND c.fsd BETWEEN a.lsd AND a.lsd + 30
+      GROUP BY a.year_month, a.id_person, a.age, a.claim_header_id,
+        a.fsd, a.lsd, a.ed_within_30_day, a.inpatient_within_30_day,
+        a.need_1_month_coverage
+      ORDER BY a.id_person, a.claim_header_id""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -42,4 +42,56 @@ object FuaMeasure {
       .filter(col("age") >= minAge)
       .select(col("id_person"), col("claim_id"), col("svc_date"), col("age"))
   }
+
+  /** FUA join step (create_stage.sp_perf_fua_join_step.sql:44-116):
+    * index visits with the exclusion flags already attached (the
+    * 31-day first-visit dedup is the q102 FUM greedy kernel, the
+    * inpatient-within-30 flag the q96 FUH machinery) are
+    *
+    *  - filtered to ed_within_30_day = 0 AND
+    *    inpatient_within_30_day = 0,
+    *  - given `need_1_month_coverage` = 1 when last_service_date is
+    *    the 1st of a 31-day month (the reference's continuous-
+    *    enrollment bookkeeping quirk: a follow-up window starting
+    *    there fits entirely inside one calendar month),
+    *  - LEFT-joined to follow-up visits per person within
+    *    [last_service_date, +7] and [+30] days, collapsed to one row
+    *    per index visit with MAX(ISNULL(flag, 0)) per window.
+    *
+    * Plan shape: the reference runs TWO independent left joins (7-day
+    * and 30-day) and groups over their cross product; here ONE range
+    * join on the 30-day window carries both flags (the 7-day verdict is
+    * a CASE inside the aggregate) — half the join work, provably the
+    * same MAX semantics, and the q235 oracle replays the reference's
+    * two-join formulation against it.
+    *
+    * `indexVisits` carries (id_person, claim_id, first_service_date,
+    * last_service_date, age, year_month, ed_within_30_day,
+    * inpatient_within_30_day); `followUps` carries (id_person,
+    * first_service_date) at follow-up grain. */
+  def joinStep(indexVisits: DataFrame, followUps: DataFrame): DataFrame = {
+    val idx = indexVisits
+      .filter(col("ed_within_30_day") === 0 &&
+        col("inpatient_within_30_day") === 0)
+      .withColumn("need_1_month_coverage",
+        (dayofmonth(col("last_service_date")) === 1 &&
+          month(col("last_service_date")).isin(1, 3, 5, 7, 8, 10, 12))
+          .cast("int"))
+    val f = followUps.select(col("id_person").as("_fid"),
+      col("first_service_date").as("_fd"))
+    val keys = Seq("year_month", "id_person", "age", "claim_header_id",
+      "first_service_date", "last_service_date", "ed_within_30_day",
+      "inpatient_within_30_day", "need_1_month_coverage")
+    idx.join(f, col("id_person") === col("_fid") &&
+        col("_fd").between(col("last_service_date"),
+          date_add(col("last_service_date"), 30)), "left")
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("_fd").between(col("last_service_date"),
+          date_add(col("last_service_date"), 7)), 1).otherwise(0))
+          .as("follow_up_7_day"),
+        max(when(col("_fd").isNotNull, 1).otherwise(0))
+          .as("follow_up_30_day"))
+      .withColumn("ed_index_visit", lit(1))
+  }
 }

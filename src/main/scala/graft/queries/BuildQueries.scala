@@ -4724,6 +4724,33 @@ object BuildQueries {
         col("first_service_date"))
   }
 
+  /** FUA join step (q235, create_stage.sp_perf_fua_join_step.sql):
+    * excluded-flag filter, the need_1_month_coverage 31-day-month
+    * quirk, and the 7/30-day follow-up window flags — ONE range join
+    * carrying both windows vs the reference's two independent left
+    * joins; the oracle replays the reference's two-join formulation,
+    * pinning the equivalence. */
+  def q235FuaJoinStep(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val idx = t(s, dir, "orders").filter(ok % 3 === 0).select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("year_month"),
+      (col("o_custkey") % 120).as("id_person"),
+      (lit(18) + col("o_custkey") % 60).cast("int").as("age"),
+      ok.as("claim_header_id"),
+      to_date(col("o_orderdate")).as("first_service_date"),
+      date_add(to_date(col("o_orderdate")), (ok % 3).cast("int"))
+        .as("last_service_date"),
+      (ok % 5 === 0).cast("int").as("ed_within_30_day"),
+      (ok % 7 === 0).cast("int").as("inpatient_within_30_day"))
+    val followUps = t(s, dir, "orders").filter(ok % 4 === 1).select(
+      (col("o_custkey") % 120).as("id_person"),
+      date_add(to_date(col("o_orderdate")), (ok % 40).cast("int"))
+        .as("first_service_date"))
+    graft.builds.FuaMeasure.joinStep(idx, followUps)
+      .orderBy(col("id_person"), col("claim_header_id"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
