@@ -363,6 +363,9 @@ object SparkEntry {
       (graft.queries.BuildQueries.q234FuaFollowUp _),
     "q235_fua_join_step" ->
       (graft.queries.BuildQueries.q235FuaJoinStep _),
+    "q236_apcd_bh" -> (graft.queries.BuildQueries.q236ApcdBh _),
+    "q237_delete_data_year" ->
+      (graft.queries.LifecycleQueries.q237DeleteDataYear _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12696,6 +12699,193 @@ object SparkEntry {
         a.fsd, a.lsd, a.ed_within_30_day, a.inpatient_within_30_day,
         a.need_1_month_coverage
       ORDER BY a.id_person, a.claim_header_id""",
+
+    // q236: apcd-grain claim_bh (claim_bh_apcd_dev.R) — the q153/q229
+    // kernel dispatched with the APCD knobs: id_apcd person key, pharm
+    // keyed on internal_member_id with prescription_filled_dt fill
+    // dates and national_drug_code, and the pharmacy SERVICE LINE id
+    // standing in for the claim header id (a disjoint keyspace, so the
+    // rx arm of the OUD full-join tree surfaces as its own rows).
+    "q236_apcd_bh" -> """
+      WITH fact AS (
+        SELECT 'ap' || CAST(o_custkey % 95 AS VARCHAR) AS id_apcd,
+          l_orderkey AS chid, l_partkey AS pk, l_suppkey AS sk,
+          CAST(l_shipdate AS DATE) AS fsd, l_linenumber AS ln
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      icdcm AS (
+        SELECT id_apcd, chid,
+          CASE WHEN pk % 8 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN pk % 8 = 0 THEN
+            CASE WHEN pk % 13 = 0 THEN '29620'
+              WHEN pk % 13 = 1 THEN '30400'
+              ELSE lpad(CAST(pk % 999 AS VARCHAR), 5, '0') END
+          ELSE
+            CASE WHEN pk % 13 = 0 THEN 'F329'
+              WHEN pk % 13 = 1 THEN 'F411'
+              WHEN pk % 13 = 2 THEN 'F1120'
+              ELSE 'G' || lpad(CAST(pk % 400 AS VARCHAR), 3, '0') END
+          END AS icdcm_norm,
+          fsd FROM fact),
+      pharm AS (
+        SELECT id_apcd, chid * 10 + ln AS chid,
+          CASE WHEN sk % 7 = 0 THEN '11111111111'
+            WHEN sk % 7 = 1 THEN '22222222222'
+            WHEN sk % 7 = 2 THEN '33333333333'
+            ELSE lpad(CAST(sk * 7 AS VARCHAR), 11, '0') END AS ndc,
+          fsd + 4 AS rx_fill_date FROM fact),
+      prc AS (
+        SELECT id_apcd, chid,
+          CASE WHEN pk % 15 = 0 THEN 'H0020'
+            WHEN pk % 15 = 1 THEN 'J0571'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          fsd FROM fact),
+      hdr AS (
+        SELECT o_orderkey AS chid,
+          CASE WHEN o_orderkey % 13 = 0 THEN 'F1120'
+            WHEN o_orderkey % 13 = 1 THEN '30400'
+            ELSE 'I10' END AS primary_diagnosis,
+          CASE WHEN o_orderkey % 13 = 1 THEN 9 ELSE 10 END AS ver
+        FROM orders),
+      ref(cond, code_set, code, ver, vset, oud_dx1_flag) AS (VALUES
+        ('bh_depression','ICD9CM','29620',9,'rda-bh',NULL),
+        ('bh_depression','ICD10CM','F329',10,'rda-bh',NULL),
+        ('bh_anxiety','ICD10CM','F411',10,'rda-bh',NULL),
+        ('bh_depression','NDC','11111111111',NULL,'rda-ndc',NULL),
+        ('bh_anxiety','NDC','22222222222',NULL,'rda-ndc',NULL),
+        ('sud_opioid','ICD9CM','30400',9,'rda-bh',NULL),
+        ('sud_opioid','ICD10CM','F1120',10,'rda-bh',NULL),
+        ('sud_opioid','NDC','33333333333',NULL,'rda-ndc',NULL),
+        ('sud_opioid','HCPCS','H0020',NULL,'apde-moud-procedure',1),
+        ('sud_opioid','HCPCS','J0571',NULL,'apde-moud-procedure',0)),
+      diag_ev AS (
+        SELECT DISTINCT d.id_apcd, d.svc_date, r.cond AS bh_cond
+        FROM (SELECT DISTINCT id_apcd, icdcm_norm, ver, fsd AS svc_date
+          FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond <> 'sud_opioid'),
+      rx_ev AS (
+        SELECT DISTINCT p.id_apcd, p.rx_fill_date AS svc_date,
+          r.cond AS bh_cond
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond <> 'sud_opioid'),
+      spans AS (
+        SELECT id_apcd, min(svc_date) AS first_encounter_date,
+          max(svc_date) AS last_encounter_date, bh_cond
+        FROM (SELECT * FROM diag_ev UNION SELECT * FROM rx_ev)
+        GROUP BY id_apcd, bh_cond),
+      ouddx1 AS (
+        SELECT DISTINCT h.chid FROM hdr h
+        JOIN ref r ON h.primary_diagnosis = r.code AND h.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      darm AS (
+        SELECT DISTINCT d.id_apcd, d.chid, d.svc_date
+        FROM (SELECT DISTINCT id_apcd, chid, icdcm_norm, ver,
+            fsd AS svc_date FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      rarm AS (
+        SELECT DISTINCT p.id_apcd, p.chid, p.rx_fill_date AS svc_date
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond = 'sud_opioid'),
+      parm AS (
+        SELECT DISTINCT id_apcd, chid, svc_date FROM (
+          SELECT DISTINCT p.id_apcd, p.chid, p.fsd AS svc_date,
+            CASE WHEN r.oud_dx1_flag = 0 THEN 1
+              WHEN r.oud_dx1_flag = 1 AND d.chid IS NOT NULL THEN 1
+              ELSE 0 END AS ok
+          FROM prc p
+          JOIN ref r ON p.procedure_code = r.code
+            AND r.vset = 'apde-moud-procedure' AND r.cond = 'sud_opioid'
+          LEFT JOIN ouddx1 d ON p.chid = d.chid)
+        WHERE ok = 1),
+      oudclaims AS (
+        SELECT coalesce(d.id_apcd, r.id_apcd, p.id_apcd) AS id_apcd,
+          coalesce(d.svc_date, r.svc_date, p.svc_date) AS svc_date,
+          CASE WHEN d.chid IS NOT NULL THEN 1 END AS icdcm_flag
+        FROM darm d
+        FULL JOIN rarm r ON d.chid = r.chid
+        FULL JOIN parm p ON d.chid = p.chid),
+      oudmonth AS (
+        SELECT DISTINCT id_apcd,
+          date_trunc('month', svc_date)::DATE AS fe,
+          last_day(svc_date) AS le
+        FROM oudclaims WHERE icdcm_flag = 1),
+      oudmin AS (
+        SELECT id_apcd, min(fe) AS dmin FROM oudmonth GROUP BY id_apcd),
+      moudmonth AS (
+        SELECT DISTINCT a.id_apcd,
+          date_trunc('month', a.svc_date)::DATE AS fe,
+          last_day(a.svc_date) AS le
+        FROM oudclaims a JOIN oudmin b ON a.id_apcd = b.id_apcd
+        WHERE a.icdcm_flag IS NULL AND b.dmin <= a.svc_date),
+      oudrows AS (
+        SELECT id_apcd, fe, le FROM oudmonth
+        UNION SELECT id_apcd, fe, le FROM moudmonth)
+      SELECT id_apcd, first_encounter_date, last_encounter_date, bh_cond
+      FROM spans
+      UNION
+      SELECT id_apcd, fe AS first_encounter_date,
+        le AS last_encounter_date, 'sud_opioid' AS bh_cond
+      FROM oudrows
+      ORDER BY id_apcd, bh_cond, first_encounter_date,
+        last_encounter_date""",
+
+    // q237: data-year delete (mcaid_delete_data_year.R) — per-table
+    // audit of the expiring-DUA year delete: LIKE-'{year}%' prefix
+    // delete on the three recognized date columns, skip otherwise,
+    // old/new row counts + kept-row pins.
+    "q237_delete_data_year" -> """
+      WITH elig AS (
+        SELECT o_orderkey AS key,
+          CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+            AS dt
+        FROM orders),
+      claims AS (
+        SELECT l_orderkey AS key, CAST(l_shipdate AS DATE) AS dt
+        FROM lineitem),
+      header AS (
+        SELECT o_orderkey AS key, CAST(o_orderdate AS DATE) AS dt
+        FROM orders),
+      other AS (
+        SELECT o_orderkey AS key, CAST(o_orderdate AS DATE) AS dt
+        FROM orders),
+      a1 AS (
+        SELECT 'mcaid_elig' AS table_name,
+          'CLNDR_YEAR_MNTH' AS date_column, 'deleted' AS action,
+          (SELECT count(*) FROM elig) AS old_rows,
+          count(*) AS new_rows,
+          min(CAST(dt AS VARCHAR)) AS kept_min,
+          max(CAST(dt AS VARCHAR)) AS kept_max,
+          CAST(sum(key) AS BIGINT) AS kept_key_sum
+        FROM elig WHERE CAST(dt AS VARCHAR) NOT LIKE '1995%'),
+      a2 AS (
+        SELECT 'mcaid_claim', 'FROM_SRVC_DATE', 'deleted',
+          (SELECT count(*) FROM claims),
+          count(*),
+          min(CAST(dt AS VARCHAR)), max(CAST(dt AS VARCHAR)),
+          CAST(sum(key) AS BIGINT)
+        FROM claims WHERE CAST(dt AS VARCHAR) NOT LIKE '1995%'),
+      a3 AS (
+        SELECT 'mcaid_claim_header', 'first_service_date', 'deleted',
+          (SELECT count(*) FROM header),
+          count(*),
+          min(CAST(dt AS VARCHAR)), max(CAST(dt AS VARCHAR)),
+          CAST(sum(key) AS BIGINT)
+        FROM header WHERE CAST(dt AS VARCHAR) NOT LIKE '1995%'),
+      a4 AS (
+        SELECT 'mcaid_other', 'etl_batch_date', 'skipped',
+          (SELECT count(*) FROM other),
+          count(*),
+          min(CAST(dt AS VARCHAR)), max(CAST(dt AS VARCHAR)),
+          CAST(sum(key) AS BIGINT)
+        FROM other)
+      SELECT * FROM a1 UNION ALL SELECT * FROM a2
+      UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+      ORDER BY table_name""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

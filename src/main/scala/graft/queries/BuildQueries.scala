@@ -4751,6 +4751,93 @@ object BuildQueries {
       .orderBy(col("id_person"), col("claim_header_id"))
   }
 
+  /** Synthetic APCD-grain BH fixture (q236): the APCD sources carry
+    * their own raw column names — the pharmacy fact keys on
+    * `internal_member_id`, dates fills on `prescription_filled_dt`,
+    * codes drugs as `national_drug_code`, and its "claim header id" is
+    * the PHARMACY SERVICE LINE id (claim_bh_apcd_dev.R:59-95), a
+    * different keyspace from the medical claim_header_id — so the rx
+    * arm of the OUD full-join tree essentially never equi-joins the
+    * diagnosis arm and surfaces as its own rows. The fixture makes the
+    * line-id keyspace `chid * 10 + linenumber` so that divergence is
+    * load-bearing in the hash, not accidental. */
+  private[graft] object ApcdBhFix {
+    private def pid = concat(lit("ap"), (col("o_custkey") % 95)
+      .cast("string"))
+    private def fact(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "lineitem").join(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            pid.as("id_apcd")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("id_apcd"), col("l_orderkey").as("claim_header_id"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          to_date(col("l_shipdate")).as("fsd"),
+          col("l_linenumber").as("ln"))
+    def icdcm(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("pk")
+      val ver = when(pk % 8 === 0, 9).otherwise(10)
+      fact(s, dir).select(col("id_apcd"), col("claim_header_id"),
+        when(ver === 9,
+            when(pk % 13 === 0, "29620").when(pk % 13 === 1, "30400")
+              .otherwise(lpad((pk % 999).cast("string"), 5, "0")))
+          .otherwise(
+            when(pk % 13 === 0, "F329").when(pk % 13 === 1, "F411")
+              .when(pk % 13 === 2, "F1120")
+              .otherwise(concat(lit("G"),
+                lpad((pk % 400).cast("string"), 3, "0"))))
+          .as("icdcm_norm"),
+        ver.as("icdcm_version"),
+        col("fsd").as("first_service_date"))
+    }
+    /** Raw APCD pharmacy names, per claim_bh_apcd_dev.R's dispatch. */
+    def pharm(s: SparkSession, dir: String): DataFrame =
+      fact(s, dir).select(col("id_apcd").as("internal_member_id"),
+        (col("claim_header_id") * 10 + col("ln"))
+          .as("pharmacy_claim_service_line_id"),
+        when(col("sk") % 7 === 0, "11111111111")
+          .when(col("sk") % 7 === 1, "22222222222")
+          .when(col("sk") % 7 === 2, "33333333333")
+          .otherwise(lpad((col("sk") * 7).cast("string"), 11, "0"))
+          .as("national_drug_code"),
+        date_add(col("fsd"), 4).as("prescription_filled_dt"))
+    def proc(s: SparkSession, dir: String): DataFrame =
+      fact(s, dir).select(col("id_apcd"), col("claim_header_id"),
+        when(col("pk") % 15 === 0, "H0020")
+          .when(col("pk") % 15 === 1, "J0571")
+          .otherwise(lpad((col("pk") % 88888).cast("string"), 5, "0"))
+          .as("procedure_code"),
+        col("fsd").as("first_service_date"))
+    def header(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(ok.as("claim_header_id"),
+        when(ok % 13 === 0, "F1120").when(ok % 13 === 1, "30400")
+          .otherwise("I10").as("primary_diagnosis"),
+        when(ok % 13 === 1, 9).otherwise(10).as("icdcm_version"))
+    }
+  }
+
+  /** APCD-grain claim_bh (q236, claim_bh_apcd_dev.R — the OD2A-revised
+    * build's WA-APCD instantiation): the q153 kernel dispatched with the
+    * APCD knobs the R function branches on (:60-95) — id_apcd as the
+    * person key, the pharmacy fact's `internal_member_id` /
+    * `pharmacy_claim_service_line_id` / `national_drug_code` aliased to
+    * the kernel's names at scan time (the reference's `a.{id_source_pharm}
+    * as {id_source}` SELECT aliases), and rx dates on
+    * `prescription_filled_dt`. The service-line "claim header id"
+    * keyspace quirk rides through the OUD full-join tree unchanged. */
+  def q236ApcdBh(s: SparkSession, dir: String): DataFrame = {
+    val pharm = ApcdBhFix.pharm(s, dir).select(
+      col("internal_member_id").as("id_apcd"),
+      col("pharmacy_claim_service_line_id").as("claim_header_id"),
+      col("national_drug_code").as("ndc"),
+      col("prescription_filled_dt"))
+    graft.builds.BhConditions.build(ApcdBhFix.icdcm(s, dir), pharm,
+        ApcdBhFix.proc(s, dir), ApcdBhFix.header(s, dir), Bh.ref(s),
+        idCol = "id_apcd", rxDateCol = "prescription_filled_dt")
+      .orderBy(col("id_apcd"), col("bh_cond"),
+        col("first_encounter_date"), col("last_encounter_date"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */

@@ -566,4 +566,60 @@ vars:
         max(col("edate")).as("last_event"))
       .orderBy(col("seg_at_date"))
   }
+
+  /** Data-year delete audit (q237,
+    * db_loader/mcaid/mcaid_delete_data_year.R): the expiring-DUA
+    * delete run over a four-table manifest — an elig-style table keyed
+    * on int-yyyymm CLNDR_YEAR_MNTH, two claim-style tables keyed on
+    * DATE columns (FROM_SRVC_DATE / first_service_date), and one table
+    * whose date column the script does not recognize and therefore
+    * SKIPS (the reference's `next` branch, :60-66). One audit row per
+    * table mirrors the script's old-vs-new row-count bookkeeping
+    * (:109-131), extended with kept-row pins (min/max surviving date
+    * rendering + key sum) so the hash verifies WHICH rows survived,
+    * not just how many.
+    *
+    * Scale: per table one scan + two 1-row aggregates (broadcast
+    * cross of the before/after counts); the delete itself is the
+    * row-local prefix filter — partition-prunable on a
+    * year-partitioned layout. */
+  def q237DeleteDataYear(s: SparkSession, dir: String): DataFrame = {
+    val deleteYear = 1995
+    val elig = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("int").as("CLNDR_YEAR_MNTH"))
+    val claims = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("key"),
+      to_date(col("l_shipdate")).as("FROM_SRVC_DATE"))
+    val header = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      to_date(col("o_orderdate")).as("first_service_date"))
+    val other = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      to_date(col("o_orderdate")).as("etl_batch_date"))
+
+    def audit(name: String, df: DataFrame, dateCol: String): DataFrame = {
+      val kept = LoadTable.deleteDataYear(df, dateCol, deleteYear)
+      val action = if (kept.isDefined) "deleted" else "skipped"
+      val after = kept.getOrElse(df)
+      val oldCnt = df.agg(count(lit(1)).as("old_rows"))
+      val newAgg = after.agg(count(lit(1)).as("new_rows"),
+        min(col(dateCol).cast("string")).as("kept_min"),
+        max(col(dateCol).cast("string")).as("kept_max"),
+        sum(col("key")).as("kept_key_sum"))
+      oldCnt.crossJoin(broadcast(newAgg))
+        .select(lit(name).as("table_name"),
+          lit(dateCol).as("date_column"), lit(action).as("action"),
+          col("old_rows"), col("new_rows"), col("kept_min"),
+          col("kept_max"), col("kept_key_sum"))
+    }
+
+    audit("mcaid_elig", elig, "CLNDR_YEAR_MNTH")
+      .unionByName(audit("mcaid_claim", claims, "FROM_SRVC_DATE"))
+      .unionByName(audit("mcaid_claim_header", header,
+        "first_service_date"))
+      .unionByName(audit("mcaid_other", other, "etl_batch_date"))
+      .orderBy(col("table_name"))
+  }
 }

@@ -171,6 +171,40 @@ object LoadTable {
     deleteTree(tmp)
   }
 
+  /** Expiring-DUA data-year delete
+    * (db_loader/mcaid/mcaid_delete_data_year.R): each table whose date
+    * column the script recognizes is rebuilt WITHOUT the expiring
+    * year's rows (the reference renames the live table to
+    * `_to_delete`, SELECT-INTOs the complement back, and restores the
+    * index — here one filtered rewrite; Parquet has no index
+    * bookkeeping). Dispatch is by COLUMN NAME, exactly the three the
+    * script knows (:59-66): `CLNDR_YEAR_MNTH` (int yyyymm),
+    * `FROM_SRVC_DATE` / `first_service_date` (DATE). Any other date
+    * column is SKIPPED with a message, never deleted — callers get
+    * None and keep the table untouched.
+    *
+    * The reference's condition is the string-prefix test
+    * `{tolower(date_col)} LIKE '{year}%'`. For int yyyymm the rendered
+    * prefix is the calendar year; for DATE columns we apply the same
+    * prefix to the ISO `yyyy-MM-dd` rendering. (T-SQL's implicit
+    * date→varchar conversion uses the `Mon dd yyyy` style, under which
+    * the reference's LIKE matches NOTHING for DATE columns — the
+    * evidently intended calendar-year semantics are pinned here and
+    * the divergence documented rather than reproduced.)
+    *
+    * Scale: the condition is a row-local prefix test on the scan — a
+    * year-partitioned table prunes to a metadata-only delete; an
+    * unpartitioned one pays one linear rewrite, same as the
+    * reference's SELECT-INTO. */
+  val deletableDateCols: Set[String] =
+    Set("CLNDR_YEAR_MNTH", "FROM_SRVC_DATE", "first_service_date")
+
+  def deleteDataYear(df: DataFrame, dateCol: String,
+      year: Int): Option[DataFrame] =
+    if (!deletableDateCols.contains(dateCol)) None
+    else Some(df.filter(
+      !col(dateCol).cast("string").startsWith(year.toString)))
+
   private def deleteTree(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
