@@ -366,6 +366,8 @@ object SparkEntry {
     "q236_apcd_bh" -> (graft.queries.BuildQueries.q236ApcdBh _),
     "q237_delete_data_year" ->
       (graft.queries.LifecycleQueries.q237DeleteDataYear _),
+    "q238_export_metadata" ->
+      (graft.queries.LifecycleQueries.q238ExportMetadata _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12886,6 +12888,45 @@ object SparkEntry {
       SELECT * FROM a1 UNION ALL SELECT * FROM a2
       UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
       ORDER BY table_name""",
+
+    // q238: partner-export metadata manifest (dugan metadata_prep.R /
+    // uw_fresh_cdr_prep_metadata.sql) — the two-sheet workbook:
+    // INFORMATION_SCHEMA-style column formats from declared schemas +
+    // per-table row/col counts, with the tmp_ek_ strip and
+    // icdcm_codes -> ref_icdcm_codes fixups and a pinned query date.
+    "q238_export_metadata" -> """
+      WITH colmeta(table_schema, table_name, column_name,
+          ordinal_position, data_type) AS (VALUES
+        ('claims','mcaid_claim_header','id_mcaid',1,'varchar(255)'),
+        ('claims','mcaid_claim_header','claim_header_id',2,'bigint'),
+        ('claims','mcaid_claim_header','first_service_date',3,'date'),
+        ('claims','mcaid_claim_header','claim_type_id',4,'tinyint'),
+        ('claims','mcaid_claim_header','paid_amount',5,'numeric(38,2)'),
+        ('ref','ref_icdcm_codes','icdcm',1,'varchar(255)'),
+        ('ref','ref_icdcm_codes','icdcm_version',2,'smallint'),
+        ('ref','ref_icdcm_codes','ccw_heart_failure',3,'tinyint'),
+        ('ref','ref_date','date',1,'date'),
+        ('ref','ref_date','first_day_month',2,'date'),
+        ('ref','ref_date','last_day_month',3,'date')),
+      rowmeta AS (
+        SELECT 'claims' AS table_schema,
+          'mcaid_claim_header' AS table_name,
+          5 AS col_count, count(*) AS row_count FROM orders
+        UNION ALL
+        SELECT 'ref', 'ref_icdcm_codes', 3, count(*) FROM region
+        UNION ALL
+        SELECT 'ref', 'ref_date', 3, count(*) FROM nation)
+      SELECT 'table_column_formats' AS sheet, table_schema, table_name,
+        column_name, ordinal_position, data_type,
+        CAST(NULL AS INT) AS col_count, CAST(NULL AS BIGINT) AS row_count,
+        DATE '2026-01-15' AS query_date
+      FROM colmeta
+      UNION ALL
+      SELECT 'table_row_counts', table_schema, table_name,
+        CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        col_count, row_count, DATE '2026-01-15'
+      FROM rowmeta
+      ORDER BY sheet, table_schema, table_name, ordinal_position""",
 
     // q219: k-anonymity ladder — per-level group counts, sub-k violating
     // record mass vs the floor(n/20) budget, minimal satisfying level.

@@ -622,4 +622,41 @@ vars:
       .unionByName(audit("mcaid_other", other, "etl_batch_date"))
       .orderBy(col("table_name"))
   }
+
+  /** Partner-export metadata manifest (q238,
+    * dugan_p1_export/metadata_prep.R + uw_fresh_export/
+    * uw_fresh_cdr_prep_metadata.sql): the two-sheet export workbook —
+    * per-column format rows rendered INFORMATION_SCHEMA-style from the
+    * YAML-declared schemas, and per-table row/column counts — with the
+    * reference's name fixups (tmp_ek_ prefix strip, icdcm_codes →
+    * ref_icdcm_codes) and a pinned query date standing in for
+    * GETDATE(). */
+  def q238ExportMetadata(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ExportMetadata
+    import graft.sources.ExportMetadata.ExportTable
+    val claimCfg = TableConfig("mcaid_claim_header", Seq(
+      "id_mcaid" -> "VARCHAR(255)",
+      "claim_header_id" -> "BIGINT",
+      "first_service_date" -> "DATE",
+      "claim_type_id" -> "TINYINT",
+      "paid_amount" -> "NUMERIC(38, 2)"), Seq.empty)
+    val icdcmCfg = TableConfig("icdcm_codes", Seq(
+      "icdcm" -> "VARCHAR(255)",
+      "icdcm_version" -> "SMALLINT",
+      "ccw_heart_failure" -> "TINYINT"), Seq.empty)
+    val dateCfg = TableConfig("ref_date", Seq(
+      "date" -> "DATE",
+      "first_day_month" -> "DATE",
+      "last_day_month" -> "DATE"), Seq.empty)
+    ExportMetadata.manifest(s, Seq(
+        ExportTable("claims", "tmp_ek_mcaid_claim_header", claimCfg,
+          t(s, dir, "orders")),
+        ExportTable("ref", "icdcm_codes", icdcmCfg,
+          t(s, dir, "region")),
+        ExportTable("ref", "ref_date", dateCfg,
+          t(s, dir, "nation"))),
+      queryDate = "2026-01-15")
+      .orderBy(col("sheet"), col("table_schema"), col("table_name"),
+        col("ordinal_position"))
+  }
 }
