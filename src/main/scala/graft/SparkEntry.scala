@@ -368,6 +368,7 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q237DeleteDataYear _),
     "q238_export_metadata" ->
       (graft.queries.LifecycleQueries.q238ExportMetadata _),
+    "q239_epoch_upsample" -> (T.q239EpochUpsample _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12569,6 +12570,48 @@ object SparkEntry {
           AS kept_id_sum,
         round(any_value(accept_rate), 6) AS accept_rate
       FROM verdicts GROUP BY source ORDER BY source""",
+
+    // q239: epoch-multiplier upsampling — domains repeat toward token
+    // parity with the largest domain, capped at 4 epochs; whole copies
+    // from integer division, the fractional epoch as one md5-gated
+    // extra copy (threshold floor(rem/tok_d * 2^32)).
+    "q239_epoch_upsample" -> """
+      WITH dom AS (
+        SELECT source,
+          CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS tok_d
+        FROM documents GROUP BY source),
+      dims AS (
+        SELECT source, tok_d,
+          least(CAST(4 AS BIGINT),
+            (SELECT max(tok_d) FROM dom) // tok_d) AS full_epochs,
+          CASE WHEN least(CAST(4 AS BIGINT),
+              (SELECT max(tok_d) FROM dom) // tok_d) < 4
+            THEN (SELECT max(tok_d) FROM dom) % tok_d
+            ELSE CAST(0 AS BIGINT) END AS rem
+        FROM dom),
+      thr AS (
+        SELECT *, CAST(floor(CAST(rem AS DOUBLE) / tok_d
+          * 4294967296.0) AS BIGINT) AS t
+        FROM dims),
+      copies AS (
+        SELECT d.doc_id, d.source, r.tok_d, r.full_epochs,
+          r.full_epochs + CASE WHEN CAST(('0x' || substr(md5('epoch:'
+              || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            < r.t THEN 1 ELSE 0 END AS n
+        FROM documents d JOIN thr r ON d.source = r.source),
+      expl AS (
+        SELECT c.doc_id, c.source, c.tok_d, c.full_epochs,
+          CAST(u.e AS BIGINT) AS epoch_idx
+        FROM copies c, UNNEST(range(1, c.n + 1)) AS u(e))
+      SELECT source, count(DISTINCT doc_id) AS n_docs,
+        any_value(tok_d) AS tok_d,
+        any_value(full_epochs) AS full_epochs,
+        count(*) AS n_copies,
+        CAST(sum(CASE WHEN epoch_idx > full_epochs THEN 1 ELSE 0 END)
+          AS BIGINT) AS extra_copies,
+        CAST(sum(doc_id * epoch_idx) AS BIGINT) AS id_epoch_sum
+      FROM expl GROUP BY source ORDER BY source""",
 
     // q234: FUA follow-up visits — the HEDIS five-condition
     // UNION-of-INTERSECTs with the AOD primary-dx (ICD-10-only) gate.

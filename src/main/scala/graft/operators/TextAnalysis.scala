@@ -435,6 +435,55 @@ object TextAnalysis {
       .drop("_dom", "_mintok", "_thr")
   }
 
+  /** Epoch-multiplier UPSAMPLING — [[temperatureSample]]'s complement
+    * for data-constrained mixtures: instead of down-sampling large
+    * domains, every domain is REPEATED toward token parity with the
+    * largest one, capped at `maxEpochs` total passes (repetition past a
+    * few epochs stops buying model quality, so the cap is first-class,
+    * not a footnote).
+    *
+    * Integer discipline: with tok_d the domain's token count and maxTok
+    * the largest domain's, each doc gets
+    * `full_d = min(maxEpochs, maxTok div tok_d)` whole copies; when the
+    * cap is not binding, the fractional epoch `(maxTok mod tok_d) /
+    * tok_d` becomes ONE extra copy per doc, accepted below threshold
+    * `floor(rem / tok_d * 2^32)` on the md5(salt:id) u32 draw — the
+    * [[hashSplit]] discipline, so expected copies per domain equal the
+    * exact parity ratio while every individual verdict is
+    * engine-portable and re-partition-stable.
+    *
+    * Returns one row per (doc, epoch_idx) copy, epoch_idx in
+    * [1, full_d(+1)].
+    *
+    * Scale: one domain aggregation, the per-domain multiplier dim
+    * broadcast back, and a row-local `sequence` explode with fan-out
+    * <= maxEpochs + 1 — no per-doc shuffle; output volume is input x
+    * mean epochs, the quantity the cap bounds by construction. */
+  def epochUpsample(docs: DataFrame, domainCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      maxEpochs: Int = 4, salt: String = "epoch"): DataFrame = {
+    val dom = docs.groupBy(col(domainCol).as("_dom"))
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("tok_d"))
+    val dims = dom
+      .crossJoin(broadcast(dom.agg(max(col("tok_d")).as("_maxtok"))))
+      .withColumn("full_epochs",
+        least(lit(maxEpochs.toLong), expr("_maxtok div tok_d")))
+      .withColumn("_rem",
+        when(col("full_epochs") < maxEpochs, expr("_maxtok % tok_d"))
+          .otherwise(lit(0L)))
+      .withColumn("_thr",
+        floor(col("_rem").cast("double") / col("tok_d") *
+          lit(4294967296.0)).cast("long"))
+    val draw = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(dims), col(domainCol) === col("_dom"))
+      .withColumn("_copies",
+        col("full_epochs") + when(draw < col("_thr"), 1L).otherwise(0L))
+      .withColumn("epoch_idx",
+        explode(sequence(lit(1L), col("_copies"))))
+      .drop("_dom", "_maxtok", "_rem", "_thr", "_copies")
+  }
+
   /** Overlapping token-window chunking — the pre-embedding splitter for
     * long documents: fixed `chunkTokens` windows advancing by
     * `chunkTokens - overlapTokens`, last window allowed short, windows

@@ -623,6 +623,26 @@ object TextQueries {
         round(first(col("accept_rate")), 6).as("accept_rate"))
       .orderBy(col("source"))
 
+  /** q239: epoch-multiplier upsampling — q233's data-constrained
+    * complement: domains repeat toward token parity with the largest
+    * one, capped at 4 epochs; whole copies from integer division of
+    * token counts, the fractional epoch realized as one md5-gated extra
+    * copy per doc (threshold floor(rem/tok_d * 2^32), the q123
+    * discipline). Output: per-domain doc count, token count, whole
+    * epochs, total materialized copies, frac-accepted extras, and the
+    * sum(doc_id * epoch_idx) membership pin over the exploded copies. */
+  def q239EpochUpsample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.epochUpsample(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        first(col("tok_d")).as("tok_d"),
+        first(col("full_epochs")).as("full_epochs"),
+        count(lit(1)).as("n_copies"),
+        sum(when(col("epoch_idx") > col("full_epochs"), 1L)
+          .otherwise(0L)).as("extra_copies"),
+        sum(col("doc_id") * col("epoch_idx")).as("id_epoch_sum"))
+      .orderBy(col("source"))
+
   /** q231: URL canonicalization + canonical dedup — the crawl-side
     * pre-content dedup (CCNet/RefinedWeb run it before MinHash). The
     * fixture mints seven URL variants per document family: plain,

@@ -176,8 +176,16 @@ class PlanSpec extends SparkSpec {
                                 // vocabulary x broadcast endpoint ref
                                 // (the q144 vocabulary-first shape;
                                 // fact rows join the expansion exactly)
-      "q226_mcare_naloxone") // the q144 NDC contains-join shape over
+      "q226_mcare_naloxone", // the q144 NDC contains-join shape over
                              // the mcare sources
+      "q233_temperature_sample", // domain frame x broadcast 1-row
+                                 // min-token total (the q128
+                                 // renormalizer shape)
+      "q237_delete_data_year", // per-table before-count x broadcast
+                               // 1-row after-agg audit (the q169
+                               // scalar shape)
+      "q239_epoch_upsample") // domain frame x broadcast 1-row
+                             // max-token total (the q128 shape)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57

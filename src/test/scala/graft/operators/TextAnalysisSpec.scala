@@ -69,6 +69,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert((1L to 4L).toSet.subsetOf(k3)) // min domain survives any salt
   }
 
+  test("epochUpsample: largest domain gets exactly 1 copy, integer " +
+    "parity multiplies, cap binds, fractional epoch md5-gated") {
+    val s = spark
+    import s.implicits._
+    // a: 16 tokens (max); b: 8 tokens -> exactly 2 epochs, rem 0;
+    // c: 3 tokens -> parity 16/3 = 5.33 capped at 4, rem 0 (cap binds);
+    // d: 5 tokens -> full 3, rem 1 -> frac 1/5 extra copy per doc
+    val docs = (
+      (1L to 4L).map(i => (i, "a", "w w w w")) ++
+      (5L to 8L).map(i => (i, "b", "w w")) ++
+      Seq((9L, "c", "w w w")) ++
+      Seq((10L, "d", "w w w w w"))).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.epochUpsample(docs)
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n"),
+        count(lit(1)).as("copies"),
+        max(col("epoch_idx")).as("maxe"),
+        first(col("full_epochs")).as("fe"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((4L, 4L, 1L, 1L)))  // max domain: 1 epoch
+    assert(got("b") == ((4L, 8L, 2L, 2L)))  // exact 2x parity
+    assert(got("c") == ((1L, 4L, 4L, 4L)))  // cap binds at 4, no frac
+    // d: full 3 copies always; the 4th is a 1/5-probability md5 draw
+    val (dn, dcopies, dmax, dfe) = got("d")
+    assert(dn == 1L && dfe == 3L)
+    assert(dcopies == 3L || dcopies == 4L)
+    assert(dmax == dcopies)
+    // determinism: same result twice
+    val c2 = TextAnalysis.epochUpsample(docs).count()
+    assert(c2 == got.values.map(_._2).sum)
+  }
+
   test("token counts, punct ratio, fingerprint basics") {
     val df = one("Hello,  world! This is   a test.")
     val r = df.select(

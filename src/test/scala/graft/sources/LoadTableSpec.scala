@@ -55,4 +55,28 @@ class LoadTableSpec extends SparkSpec {
     assert(out.orderBy("code_one").collect().map(_.toSeq).toSeq
       === Seq(Seq("a", "1"), Seq("b", "2")))
   }
+
+  test("deleteDataYear: yyyymm int and DATE columns delete the year, " +
+    "unknown column names are skipped") {
+    import spark.implicits._
+    // int yyyymm: 1995 rows drop, 19950-prefix pitfalls don't exist
+    // (yyyymm rendering is always 6 chars)
+    val elig = Seq((1L, 199412), (2L, 199501), (3L, 199512),
+      (4L, 199601)).toDF("key", "CLNDR_YEAR_MNTH")
+    val keptElig = LoadTable.deleteDataYear(elig, "CLNDR_YEAR_MNTH", 1995)
+      .get.select("key").as[Long].collect().sorted
+    assert(keptElig.toSeq === Seq(1L, 4L))
+    // DATE: ISO rendering carries the calendar year as its prefix
+    val claims = Seq((1L, "1994-12-31"), (2L, "1995-01-01"),
+      (3L, "1995-12-31"), (4L, "1996-01-01")).toDF("key", "d")
+      .select(col("key"), to_date(col("d")).as("FROM_SRVC_DATE"))
+    val keptClaims = LoadTable
+      .deleteDataYear(claims, "FROM_SRVC_DATE", 1995)
+      .get.select("key").as[Long].collect().sorted
+    assert(keptClaims.toSeq === Seq(1L, 4L))
+    // unknown date column: the script's `next` branch — no delete
+    assert(LoadTable.deleteDataYear(claims
+      .withColumnRenamed("FROM_SRVC_DATE", "etl_batch_date"),
+      "etl_batch_date", 1995).isEmpty)
+  }
 }
