@@ -369,6 +369,8 @@ object SparkEntry {
     "q238_export_metadata" ->
       (graft.queries.LifecycleQueries.q238ExportMetadata _),
     "q239_epoch_upsample" -> (T.q239EpochUpsample _),
+    "q240_snapshot_diff" ->
+      (graft.queries.LifecycleQueries.q240SnapshotDiff _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12612,6 +12614,38 @@ object SparkEntry {
           AS BIGINT) AS extra_copies,
         CAST(sum(doc_id * epoch_idx) AS BIGINT) AS id_epoch_sum
       FROM expl GROUP BY source ORDER BY source""",
+
+    // q240: snapshot diff — prior vs mutated current snapshot
+    // classified added/removed/changed/unchanged by one full-outer
+    // join with null-safe payload equality; per-status membership pins.
+    "q240_snapshot_diff" -> """
+      WITH prev AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+      surv AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus,
+          o_orderpriority
+        FROM prev WHERE o_orderkey % 97 <> 0),
+      cur AS (
+        SELECT * FROM surv
+        UNION ALL
+        SELECT o_orderkey + 30000000, o_orderstatus, o_orderpriority
+        FROM prev WHERE o_orderkey % 101 = 0),
+      d AS (
+        SELECT coalesce(p.o_orderkey, c.o_orderkey) AS k,
+          CASE
+            WHEN p.o_orderkey IS NULL THEN 'added'
+            WHEN c.o_orderkey IS NULL THEN 'removed'
+            WHEN p.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
+              AND p.o_orderpriority IS NOT DISTINCT FROM
+                c.o_orderpriority THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+        FROM prev p FULL JOIN cur c ON p.o_orderkey = c.o_orderkey)
+      SELECT diff_status, count(*) AS n,
+        CAST(sum(k) AS BIGINT) AS key_sum,
+        min(k) AS key_min, max(k) AS key_max
+      FROM d GROUP BY diff_status ORDER BY diff_status""",
 
     // q234: FUA follow-up visits — the HEDIS five-condition
     // UNION-of-INTERSECTs with the AOD primary-dx (ICD-10-only) gate.

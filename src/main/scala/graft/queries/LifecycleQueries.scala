@@ -659,4 +659,33 @@ vars:
       .orderBy(col("sheet"), col("table_schema"), col("table_name"),
         col("ordinal_position"))
   }
+
+  /** Snapshot diff (q240, the row-level generalization of the
+    * reference's prior-load QA — qa_stage.mcaid_claim_header.R:150-199
+    * count monotonicity, qa_load_file.R:384-415 load reconciliation):
+    * the prior orders snapshot vs a mutated current one — every 97th
+    * key removed, every 13th surviving key's status flipped (changed),
+    * a shifted-key slice appended (added) — classified by ONE
+    * key-partitioned full-outer join with null-safe payload equality.
+    * Output: per-status counts + key-sum/min/max membership pins. */
+  def q240SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val prev = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"))
+    val survivors = prev.filter(col("o_orderkey") % 97 =!= 0)
+    val cur = survivors
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 13 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .unionByName(prev.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority")))
+    graft.operators.SnapshotDiff.diff(prev, cur, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority"))
+      .groupBy(col("diff_status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        min(col("o_orderkey")).as("key_min"),
+        max(col("o_orderkey")).as("key_max"))
+      .orderBy(col("diff_status"))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotDiffSpec extends SparkSpec {
+
+  test("diff classifies added/removed/changed/unchanged with null-safe " +
+    "payload equality") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(
+      (1L, Some("A"), "hi"),   // unchanged
+      (2L, Some("B"), "hi"),   // changed (payload flips)
+      (3L, Some("C"), "hi"),   // removed
+      (4L, None, "hi"),        // NULL payload on both sides: unchanged
+      (5L, Some("E"), "hi")    // NULL appears on one side: changed
+    ).toDF("k", "status", "pri")
+    val cur = Seq(
+      (1L, Some("A"), "hi"),
+      (2L, Some("Bx"), "hi"),
+      (4L, None, "hi"),
+      (5L, None, "hi"),
+      (6L, Some("F"), "hi")    // added
+    ).toDF("k", "status", "pri")
+    val got = SnapshotDiff.diff(prev, cur, Seq("k"),
+        Seq("status", "pri"))
+      .select("k", "diff_status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "changed",
+      6L -> "added"))
+  }
+
+  test("diff carries both sides' payloads for changed-row inspection") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq((1L, "A")).toDF("k", "v")
+    val cur = Seq((1L, "B")).toDF("k", "v")
+    val row = SnapshotDiff.diff(prev, cur, Seq("k"), Seq("v"))
+      .select("diff_status", "prev_v", "cur_v").collect().head
+    assert(row.getString(0) === "changed")
+    assert(row.getString(1) === "A" && row.getString(2) === "B")
+  }
+}
