@@ -42,4 +42,41 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(row.getString(0) === "changed")
     assert(row.getString(1) === "A" && row.getString(2) === "B")
   }
+
+  test("seeded properties: self-diff is all-unchanged, statuses " +
+    "partition the key union, swap flips added/removed") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val prevRows = (1L to 60L)
+        .filter(_ => rnd.nextBoolean()).map(k => (k, rnd.nextInt(3)))
+      val curRows = (1L to 60L)
+        .filter(_ => rnd.nextBoolean()).map(k => (k, rnd.nextInt(3)))
+      val prev = prevRows.toDF("k", "v")
+      val cur = curRows.toDF("k", "v")
+      // self-diff: everything unchanged
+      val self = SnapshotDiff.diff(prev, prev, Seq("k"), Seq("v"))
+      assert(self.filter(col("diff_status") =!= "unchanged").count() == 0)
+      assert(self.count() == prevRows.size)
+      // statuses partition the key union
+      val d = SnapshotDiff.diff(prev, cur, Seq("k"), Seq("v"))
+        .select("k", "diff_status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(d.keySet == (prevRows.map(_._1).toSet ++
+        curRows.map(_._1).toSet))
+      val pk = prevRows.map(_._1).toSet
+      val ck = curRows.map(_._1).toSet
+      assert(d.filter(_._2 == "added").keySet == ck.diff(pk))
+      assert(d.filter(_._2 == "removed").keySet == pk.diff(ck))
+      // swap: added <-> removed, changed stable
+      val sw = SnapshotDiff.diff(cur, prev, Seq("k"), Seq("v"))
+        .select("k", "diff_status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(sw.filter(_._2 == "added").keySet ==
+        d.filter(_._2 == "removed").keySet)
+      assert(sw.filter(_._2 == "changed").keySet ==
+        d.filter(_._2 == "changed").keySet)
+    }
+  }
 }

@@ -102,6 +102,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2 == got.values.map(_._2).sum)
   }
 
+  test("epochUpsample seeded properties: copies per doc in " +
+    "{full, full+1}, partition-invariant, cap respected") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 80L).map { i =>
+      val dom = s"d${rnd.nextInt(5)}"
+      val words = Seq.fill(1 + rnd.nextInt(9))("w").mkString(" ")
+      (i, dom, words)
+    }.toDF("doc_id", "source", "text")
+    val up = TextAnalysis.epochUpsample(docs)
+    val perDoc = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), first(col("full_epochs")).as("fe"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(perDoc.forall { case (c, fe) => c == fe || c == fe + 1 })
+    assert(perDoc.forall { case (c, _) => c >= 1 && c <= 5 })
+    // repartition invariance (verdicts are md5-of-id, not layout)
+    val a = up.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TextAnalysis.epochUpsample(docs.repartition(13))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("token counts, punct ratio, fingerprint basics") {
     val df = one("Hello,  world! This is   a test.")
     val r = df.select(
