@@ -371,6 +371,7 @@ object SparkEntry {
     "q239_epoch_upsample" -> (T.q239EpochUpsample _),
     "q240_snapshot_diff" ->
       (graft.queries.LifecycleQueries.q240SnapshotDiff _),
+    "q241_data_card_cube" -> (T.q241DataCardCube _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12614,6 +12615,21 @@ object SparkEntry {
           AS BIGINT) AS extra_copies,
         CAST(sum(doc_id * epoch_idx) AS BIGINT) AS id_epoch_sum
       FROM expl GROUP BY source ORDER BY source""",
+
+    // q241: corpus data card via CUBE — cells, both margins, and the
+    // grand total in one aggregation; grouping() flags disambiguate
+    // margin NULLs from NULL dimension values.
+    "q241_data_card_cube" -> """
+      SELECT lang, source,
+        CAST(GROUPING(lang) AS INT) AS g_lang,
+        CAST(GROUPING(source) AS INT) AS g_source,
+        count(*) AS n_docs,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+          AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY CUBE (lang, source)
+      ORDER BY g_lang, g_source, lang, source""",
 
     // q240: snapshot diff — prior vs mutated current snapshot
     // classified added/removed/changed/unchanged by one full-outer

@@ -51,4 +51,27 @@ object Tabloop {
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c, when(col(c).between(lower, upper), lit(null)).otherwise(col(c)))
     }
+
+  /** The GROUPING-SETS formulation SURVEY §3.3 sketches as tabloop's
+    * alternative physical strategy, and the "data card" builder for a
+    * training corpus: `CUBE(dims)` computes every dimension subset's
+    * aggregates — per-cell, per-margin, and the grand total — in ONE
+    * aggregation (Catalyst's Expand: rows duplicated 2^|dims| ways
+    * map-side, partial-agg combined before the single shuffle), where
+    * the melt formulation needs the zero-fill matrix join and emits
+    * only the 1-dim margins. `grouping()` flags ride along so a
+    * margin's NULL is distinguishable from a genuinely-NULL dimension
+    * value (tabloop's NA category).
+    *
+    * Trade (why both exist): Expand multiplies map-side rows by
+    * 2^|dims| — at 100 TB keep dims to the 2-4 card dimensions and let
+    * map-side combine collapse them; tabloop's melt grows rows by
+    * |loops| instead and zero-fills, the better shape when loop vars
+    * are many and margins are not wanted. */
+  def cubeCard(df: DataFrame, dims: Seq[String],
+      aggs: Seq[Column]): DataFrame = {
+    val gFlags = dims.map(d => grouping(col(d)).cast("int").as(s"g_$d"))
+    df.cube(dims.map(col): _*).agg((gFlags ++ aggs).head,
+      (gFlags ++ aggs).tail: _*)
+  }
 }

@@ -643,6 +643,21 @@ object TextQueries {
         sum(col("doc_id") * col("epoch_idx")).as("id_epoch_sum"))
       .orderBy(col("source"))
 
+  /** q241: corpus data card via CUBE — the GROUPING-SETS tabulation
+    * SURVEY §3.3 sketches as tabloop's alternative strategy: every
+    * (lang, source) cell, both 1-dim margins, and the grand total from
+    * ONE aggregation (Catalyst Expand + single shuffle), grouping()
+    * flags disambiguating margin NULLs from NULL dimension values. */
+  def q241DataCardCube(s: SparkSession, dir: String): DataFrame =
+    graft.api.Tabloop.cubeCard(t(s, dir, "documents"),
+        Seq("lang", "source"),
+        Seq(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(col("n_chars")).as("total_chars")))
+      .orderBy(col("g_lang"), col("g_source"), col("lang"),
+        col("source"))
+
   /** q231: URL canonicalization + canonical dedup — the crawl-side
     * pre-content dedup (CCNet/RefinedWeb run it before MinHash). The
     * fixture mints seven URL variants per document family: plain,
