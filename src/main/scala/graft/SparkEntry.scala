@@ -372,6 +372,8 @@ object SparkEntry {
     "q240_snapshot_diff" ->
       (graft.queries.LifecycleQueries.q240SnapshotDiff _),
     "q241_data_card_cube" -> (T.q241DataCardCube _),
+    "q242_zorder_layout" ->
+      (graft.queries.LifecycleQueries.q242ZorderLayout _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12630,6 +12632,56 @@ object SparkEntry {
       FROM documents
       GROUP BY CUBE (lang, source)
       ORDER BY g_lang, g_source, lang, source""",
+
+    // q242: z-order layout skipping audit — Morton-prefix vs
+    // single-column-prefix buckets over (partkey, suppkey) mod 1024,
+    // rectangle probe counts files/rows a min/max-pruning scan touches.
+    "q242_zorder_layout" -> """
+      WITH pts AS (
+        SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+        FROM lineitem),
+      z AS (
+        SELECT x, y,
+          ( (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+          + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+          + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+          + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+          + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9)
+          + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+          + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13)
+          + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15)
+          + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17)
+          + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19)
+          ) AS zcode
+        FROM pts),
+      zs AS (
+        SELECT zcode >> 10 AS bucket, count(*) AS n,
+          min(x) AS minx, max(x) AS maxx,
+          min(y) AS miny, max(y) AS maxy
+        FROM z GROUP BY 1),
+      ls AS (
+        SELECT x AS bucket, count(*) AS n,
+          min(x) AS minx, max(x) AS maxx,
+          min(y) AS miny, max(y) AS maxy
+        FROM pts GROUP BY 1),
+      za AS (
+        SELECT 'zorder' AS layout,
+          (SELECT count(*) FROM zs) AS n_buckets,
+          count(*) AS buckets_touched,
+          CAST(sum(n) AS BIGINT) AS rows_touched,
+          (SELECT CAST(sum(n) AS BIGINT) FROM zs) AS total_rows
+        FROM zs
+        WHERE minx <= 199 AND maxx >= 100
+          AND miny <= 399 AND maxy >= 300),
+      la AS (
+        SELECT 'lex_x', (SELECT count(*) FROM ls),
+          count(*), CAST(sum(n) AS BIGINT),
+          (SELECT CAST(sum(n) AS BIGINT) FROM ls)
+        FROM ls
+        WHERE minx <= 199 AND maxx >= 100
+          AND miny <= 399 AND maxy >= 300)
+      SELECT * FROM za UNION ALL SELECT * FROM la
+      ORDER BY layout""",
 
     // q240: snapshot diff — prior vs mutated current snapshot
     // classified added/removed/changed/unchanged by one full-outer

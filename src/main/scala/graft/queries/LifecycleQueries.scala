@@ -688,4 +688,37 @@ vars:
         max(col("o_orderkey")).as("key_max"))
       .orderBy(col("diff_status"))
   }
+
+  /** Z-order layout skipping audit (q242, operators/ZOrder): the same
+    * 1024-file budget laid out two ways over (x, y) = (l_partkey,
+    * l_suppkey) mod 1024 — Morton-code prefix buckets vs a
+    * single-column (x-prefix) sort — then a 100x100 rectangle probe
+    * counts the files and rows a min/max-pruning scan must touch under
+    * each. The z-layout's boxes are tight in BOTH dimensions, so it
+    * touches ~16 files where the single-column layout touches ~100
+    * and reads every y for them. */
+  def q242ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val pts = t(s, dir, "lineitem").select(
+      (col("l_partkey") % 1024).as("x"),
+      (col("l_suppkey") % 1024).as("y"))
+    val zcode = ZOrder.interleaveBits(col("x"), col("y"), 10)
+    val zStats = ZOrder.bucketStats(pts, "x", "y",
+      shiftright(zcode, 10))
+    val lexStats = ZOrder.bucketStats(pts, "x", "y", col("x"))
+    val (x0, x1, y0, y1) = (100L, 199L, 300L, 399L)
+    def audit(name: String, stats: DataFrame): DataFrame = {
+      val touched = ZOrder.probeTouch(stats, x0, x1, y0, y1)
+        .agg(count(lit(1)).as("buckets_touched"),
+          sum(col("n_rows")).as("rows_touched"))
+      val all = stats.agg(count(lit(1)).as("n_buckets"),
+        sum(col("n_rows")).as("total_rows"))
+      all.crossJoin(broadcast(touched))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("buckets_touched"), col("rows_touched"),
+          col("total_rows"))
+    }
+    audit("zorder", zStats).unionByName(audit("lex_x", lexStats))
+      .orderBy(col("layout"))
+  }
 }

@@ -184,8 +184,10 @@ class PlanSpec extends SparkSpec {
       "q237_delete_data_year", // per-table before-count x broadcast
                                // 1-row after-agg audit (the q169
                                // scalar shape)
-      "q239_epoch_upsample") // domain frame x broadcast 1-row
+      "q239_epoch_upsample", // domain frame x broadcast 1-row
                              // max-token total (the q128 shape)
+      "q242_zorder_layout") // per-layout totals x broadcast 1-row
+                            // probe-touch agg (the q237 audit shape)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57
