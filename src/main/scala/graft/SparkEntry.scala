@@ -374,6 +374,7 @@ object SparkEntry {
     "q241_data_card_cube" -> (T.q241DataCardCube _),
     "q242_zorder_layout" ->
       (graft.queries.LifecycleQueries.q242ZorderLayout _),
+    "q243_label_prop" -> (T.q243LabelProp _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted

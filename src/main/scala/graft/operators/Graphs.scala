@@ -68,4 +68,47 @@ object Graphs {
     }
     r
   }
+
+  /** SYNCHRONOUS label propagation (the RAK community-detection
+    * kernel, deterministic variant) — the near-dup cluster refiner
+    * that, unlike [[Components]], respects edge DENSITY: a bridge edge
+    * between two dense communities doesn't merge them the way
+    * connected components must.
+    *
+    * Labels start as node ids; each round every node adopts the MOST
+    * FREQUENT label among its neighbors (edges treated undirected),
+    * ties to the SMALLEST label. All updates read the PREVIOUS round's
+    * labels (synchronous), so the trajectory is a pure function of the
+    * graph — the textbook asynchronous variant is visit-order
+    * dependent, which no distributed engine (or oracle) can pin.
+    * Fixed `iters` rounds rather than convergence detection: the
+    * driver-side loop stays data-independent and each round's output
+    * is replayable.
+    *
+    * Scale shape: per round ONE label-onto-edges hash join (shuffled
+    * by the neighbor key) + one (node, label) partial-agg count + one
+    * node-keyed argmax via `max(struct(cnt, -label))` — no window over
+    * anything global; `localCheckpoint` truncates lineage per round. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("_nl"))).as("_b"))
+        .select(col("node"), (-col("_b._nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

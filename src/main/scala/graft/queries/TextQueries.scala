@@ -193,6 +193,27 @@ object TextQueries {
       .orderBy(col("rnk"))
   }
 
+  /** Label propagation (q243): synchronous RAK community detection —
+    * 4 fixed rounds of adopt-the-modal-neighbor-label (ties to the
+    * smallest) over a planted-community graph: 30 dense 20-node
+    * communities plus sparse bridge edges every 97th order. Unlike
+    * connected components (q113), the bridges do NOT merge the
+    * communities — label mass stays inside the dense blocks. Oracle
+    * rounds are GENERATED per iteration (the q220 discipline). */
+  def q243LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val comm = col("o_custkey") % 30
+    val intra = o.select(
+      (comm * 100 + col("o_orderkey") % 20).as("src"),
+      (comm * 100 + expr("(o_orderkey div 20) % 20")).as("dst"))
+    val bridges = o.filter(col("o_orderkey") % 97 === 0).select(
+      (comm * 100 + col("o_orderkey") % 20).as("src"),
+      (((comm + 1) % 30) * 100 + col("o_orderkey") % 20).as("dst"))
+    graft.operators.Graphs
+      .labelPropagation(intra.unionByName(bridges), iters = 4)
+      .orderBy(col("node"))
+  }
+
   /** Incremental dedup (q216): the doc_id % 10 slice arrives as a DELTA
     * against the rest of the corpus; only pairs touching the delta are
     * generated (asymmetric bucket probe — corpus-size-independent work
