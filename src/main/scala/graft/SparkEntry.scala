@@ -438,6 +438,24 @@ object SparkEntry {
         CROSS JOIN nn CROSS JOIN d$i)"""
   }
 
+  /** One label-propagation oracle round (q243): count each node's
+    * neighbor labels on the undirected edge set, adopt the most
+    * frequent with ties to the SMALLEST label — generated per round so
+    * the 4-step chain cannot drift from `Graphs.labelPropagation`. */
+  private def lpIter(i: Int): String = {
+    val p = s"lbl${i - 1}"
+    s"""
+      cnt$i AS (
+        SELECT u.src AS node, l.label, count(*) AS cnt
+        FROM und u JOIN $p l ON u.dst = l.node
+        GROUP BY 1, 2),
+      lbl$i AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY cnt DESC, label) AS rn
+          FROM cnt$i) WHERE rn = 1)"""
+  }
+
   /** Integer squared distance between a quantized vector `v` and a
     * centroid list `c` (both LIST(BIGINT), 64 dims) — the q42 metric. */
   private def ivfDist(v: String, c: String): String =
@@ -13137,6 +13155,31 @@ object SparkEntry {
             AS rnk
         FROM r5)
       WHERE rnk <= 20 ORDER BY rnk"""),
+
+    // q243: label propagation — 4 generated oracle rounds replay the
+    // synchronous adopt-the-modal-neighbor-label updates (ties to the
+    // smallest label) over the planted-community graph exactly.
+    "q243_label_prop" -> ("""
+      WITH raw AS (
+        SELECT CAST(o_custkey % 30 AS BIGINT) * 100
+            + o_orderkey % 20 AS src,
+          CAST(o_custkey % 30 AS BIGINT) * 100
+            + (o_orderkey // 20) % 20 AS dst
+        FROM orders
+        UNION ALL
+        SELECT CAST(o_custkey % 30 AS BIGINT) * 100 + o_orderkey % 20,
+          CAST((o_custkey % 30 + 1) % 30 AS BIGINT) * 100
+            + o_orderkey % 20
+        FROM orders WHERE o_orderkey % 97 = 0),
+      e0 AS (SELECT src, dst FROM raw WHERE src <> dst),
+      und AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+      lbl0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM und),""" +
+      (1 to 4).map(lpIter).mkString(",") + """
+      SELECT node, label FROM lbl4 ORDER BY node"""),
 
     // q221: as-of join — per lookup, the quote with the greatest
     // (qdate, qkey) among qdate <= ldate; lookups with no prior quote

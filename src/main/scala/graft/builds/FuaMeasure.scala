@@ -65,7 +65,8 @@ object FuaMeasure {
     * same MAX semantics, and the q235 oracle replays the reference's
     * two-join formulation against it.
     *
-    * `indexVisits` carries (id_person, claim_id, first_service_date,
+    * `indexVisits` carries (id_person, claim_header_id,
+    * first_service_date,
     * last_service_date, age, year_month, ed_within_30_day,
     * inpatient_within_30_day); `followUps` carries (id_person,
     * first_service_date) at follow-up grain. */

@@ -31,12 +31,17 @@ object SnapshotDiff {
     *         (prefixed `prev_` / `cur_`) */
   def diff(prev: DataFrame, cur: DataFrame, keyCols: Seq[String],
       payloadCols: Seq[String]): DataFrame = {
-    val p = prev.select((keyCols ++ payloadCols).map(col): _*).alias("p")
-    val c = cur.select((keyCols ++ payloadCols).map(col): _*).alias("c")
+    // Presence is decided by marker columns, NOT key-null tests: a
+    // side's row with a NULL key never equi-joins, and a key-null test
+    // would then mislabel a prev-only NULL-key row as "added".
+    val p = prev.select(keyCols.map(col) ++ payloadCols.map(col) :+
+      lit(1).as("_in_p"): _*).alias("p")
+    val c = cur.select(keyCols.map(col) ++ payloadCols.map(col) :+
+      lit(1).as("_in_c"): _*).alias("c")
     val joinCond = keyCols.map(k => col(s"p.$k") === col(s"c.$k"))
       .reduce(_ && _)
-    val inPrev = keyCols.map(k => col(s"p.$k").isNotNull).reduce(_ && _)
-    val inCur = keyCols.map(k => col(s"c.$k").isNotNull).reduce(_ && _)
+    val inPrev = col("p._in_p").isNotNull
+    val inCur = col("c._in_c").isNotNull
     val samePayload: Column = payloadCols
       .map(f => col(s"p.$f") <=> col(s"c.$f"))
       .foldLeft(lit(true))(_ && _)

@@ -421,10 +421,16 @@ object TextAnalysis {
       salt: String = "mix"): DataFrame = {
     val dom = docs.groupBy(col(domainCol).as("_dom"))
       .agg(sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    // _mintok over POSITIVE domains only, and a zero-token domain
+    // (all-empty/NULL text) passes through at rate 1.0 — without the
+    // guard its 0/0 → NaN threshold silently dropped every row.
     val rates = dom
-      .crossJoin(broadcast(dom.agg(min(col("n_tokens")).as("_mintok"))))
+      .crossJoin(broadcast(dom.filter(col("n_tokens") > 0)
+        .agg(min(col("n_tokens")).as("_mintok"))))
       .withColumn("accept_rate",
-        sqrt(col("_mintok").cast("double") / col("n_tokens")))
+        when(col("n_tokens") > 0,
+          sqrt(col("_mintok").cast("double") / col("n_tokens")))
+          .otherwise(lit(1.0)))
       .withColumn("_thr",
         floor(col("accept_rate") * lit(4294967296.0)).cast("long"))
     val draw = conv(substring(md5(concat_ws(":", lit(salt),
@@ -464,16 +470,23 @@ object TextAnalysis {
       maxEpochs: Int = 4, salt: String = "epoch"): DataFrame = {
     val dom = docs.groupBy(col(domainCol).as("_dom"))
       .agg(sum(tokenCount(col(textCol)).cast("long")).as("tok_d"))
+    // A zero-token domain (all-empty/NULL text) passes through at
+    // exactly 1 epoch: its `div 0` parity ratio is NULL, which Spark's
+    // null-skipping `least` would silently turn into maxEpochs copies.
     val dims = dom
       .crossJoin(broadcast(dom.agg(max(col("tok_d")).as("_maxtok"))))
       .withColumn("full_epochs",
-        least(lit(maxEpochs.toLong), expr("_maxtok div tok_d")))
+        when(col("tok_d") > 0,
+          least(lit(maxEpochs.toLong), expr("_maxtok div tok_d")))
+          .otherwise(lit(1L)))
       .withColumn("_rem",
-        when(col("full_epochs") < maxEpochs, expr("_maxtok % tok_d"))
-          .otherwise(lit(0L)))
+        when(col("tok_d") > 0 && col("full_epochs") < maxEpochs,
+          expr("_maxtok % tok_d")).otherwise(lit(0L)))
       .withColumn("_thr",
-        floor(col("_rem").cast("double") / col("tok_d") *
-          lit(4294967296.0)).cast("long"))
+        when(col("tok_d") > 0,
+          floor(col("_rem").cast("double") / col("tok_d") *
+            lit(4294967296.0)).cast("long"))
+          .otherwise(lit(0L)))
     val draw = conv(substring(md5(concat_ws(":", lit(salt),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     docs.join(broadcast(dims), col(domainCol) === col("_dom"))

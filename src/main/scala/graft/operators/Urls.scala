@@ -47,7 +47,10 @@ object Urls {
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val trimmed = regexp_replace(rawPath, "/+$", "")
     val path = when(trimmed === "", "/").otherwise(trimmed)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // [^#]*? before the '?' keeps the match inside the pre-fragment
+    // prefix: a '?' that first appears AFTER '#' (hash-routing URLs
+    // like /p#/route?x=1) is part of the fragment, not a query.
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => !(p.rlike(TrackingParam)) && p =!= "")
     val sortedQ = array_join(array_sort(params), "&")

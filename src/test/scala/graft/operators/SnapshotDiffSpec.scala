@@ -43,6 +43,21 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(row.getString(1) === "A" && row.getString(2) === "B")
   }
 
+  test("a NULL-key row is classified by the side it came from, " +
+    "not mislabeled via key-null tests") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq((Option.empty[Long], "P"), (Some(1L), "A"))
+      .toDF("k", "v")
+    val cur = Seq((Option.empty[Long], "C"), (Some(1L), "A"))
+      .toDF("k", "v")
+    val got = SnapshotDiff.diff(prev, cur, Seq("k"), Seq("v"))
+      .select("diff_status").collect().map(_.getString(0)).sorted.toSeq
+    // NULL keys never equi-join: prev's NULL-key row is "removed",
+    // cur's is "added"; the shared k=1 row is unchanged.
+    assert(got === Seq("added", "removed", "unchanged"))
+  }
+
   test("seeded properties: self-diff is all-unchanged, statuses " +
     "partition the key union, swap flips added/removed") {
     val s = spark

@@ -102,6 +102,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2 == got.values.map(_._2).sum)
   }
 
+  test("zero-token domains pass through: rate 1.0 / 1 epoch, never " +
+    "silently dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "w w"), (2L, "a", "w"),
+      // all-NULL text: tok_d aggregates to NULL (split("") counts 1,
+      // so empty STRINGS are not the zero case — NULL text is)
+      (3L, "z", null.asInstanceOf[String]),
+      (4L, "z", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val samp = TextAnalysis.temperatureSample(docs)
+      .select("doc_id", "accept_rate", "kept").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(samp(3L) == ((1.0, 1)) && samp(4L) == ((1.0, 1)))
+    assert(samp(1L)._1 == 1.0) // min over POSITIVE domains only
+    val up = TextAnalysis.epochUpsample(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(up(3L) == 1L && up(4L) == 1L) // 1 epoch, not maxEpochs
+    assert(up.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("epochUpsample seeded properties: copies per doc in " +
     "{full, full+1}, partition-invariant, cap respected") {
     val s = spark

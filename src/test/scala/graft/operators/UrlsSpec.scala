@@ -42,6 +42,16 @@ class UrlsSpec extends SparkSpec {
       "http://e.com/p?z=9"))
   }
 
+  test("'?' inside the fragment is NOT a query (hash-routing URLs)") {
+    assert(canon(
+      "http://a.com/p#/route?x=1",       // query lives in the fragment
+      "http://a.com/p?x=1#/route?y=2",   // real query, then fragment
+      "http://a.com/p?b=2&a=1#?frag") == Seq(
+      "http://a.com/p",
+      "http://a.com/p?x=1",
+      "http://a.com/p?a=1&b=2"))
+  }
+
   test("no-scheme strings fall back to lower(trim)") {
     assert(canon("  Not A Url 7 ", "relative/path") ==
       Seq("not a url 7", "relative/path"))
