@@ -375,6 +375,7 @@ object SparkEntry {
     "q242_zorder_layout" ->
       (graft.queries.LifecycleQueries.q242ZorderLayout _),
     "q243_label_prop" -> (T.q243LabelProp _),
+    "q244_apcd_ccw" -> (graft.queries.BuildQueries.q244ApcdCcw _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -455,6 +456,110 @@ object SparkEntry {
             ORDER BY cnt DESC, label) AS rn
           FROM cnt$i) WHERE rn = 1)"""
   }
+
+  /** Shared CCW oracle body (q230 mcare / q244 apcd): the full
+    * per-condition replay — wide-ref join, per-arm dx_fields masks,
+    * exclusion gates, claim-type condition-1/2 split, T-SQL
+    * month-boundary lookback windows, LEAST/GREATEST collapse — over
+    * fixture CTEs `hdr($idc, chid, ctid, fsd)` and `dx($idc, chid,
+    * ver, norm, dxnum)`. ONE generator for every id grain, so the
+    * grain-specific oracles cannot drift from each other. */
+  private def ccwOracleBody(idc: String): String = s"""
+      ref(icdcm, ver, hypo, diab, diab_ex, stroke, stroke_ex) AS (VALUES
+        ('2440',9,1,0,0,0,0), ('E039',10,1,0,0,0,0),
+        ('25000',9,0,1,0,0,0), ('E119',10,0,1,0,0,0),
+        ('64800',9,0,0,1,0,0), ('O2412',10,0,0,1,0,0),
+        ('43491',9,0,0,0,1,0), ('I6350',10,0,0,0,1,0),
+        ('Z3480',10,0,0,0,0,1)),
+      dxr AS (
+        SELECT d.*, r.hypo, r.diab, r.diab_ex, r.stroke, r.stroke_ex
+        FROM dx d JOIN ref r ON d.norm = r.icdcm AND d.ver = r.ver),
+      hyflag AS (
+        SELECT $idc, chid FROM dxr GROUP BY $idc, chid
+        HAVING max(CASE WHEN hypo = 1 THEN 1 ELSE 0 END) = 1),
+      hyrows AS (
+        SELECT DISTINCT f.$idc, h.fsd,
+          CASE WHEN h.ctid IN (1,2,3) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (4,5) THEN h.fsd END AS c2d
+        FROM hyflag f JOIN hdr h ON f.chid = h.chid
+        WHERE h.ctid IN (1,2,3,4,5)),
+      hyfin AS (
+        SELECT $idc,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(1 AS INT) AS ccw_code, 'ccw_hypothyroid' AS ccw_desc
+        FROM hyrows WHERE c1d IS NOT NULL GROUP BY $idc),
+      dbflag AS (
+        SELECT $idc, chid,
+          max(CASE WHEN diab = 1 AND dxnum IN ('01','02') THEN 1 ELSE 0
+            END) AS m,
+          max(CASE WHEN diab_ex = 1 THEN 1 ELSE 0 END) AS x
+        FROM dxr GROUP BY $idc, chid),
+      dbrows AS (
+        SELECT DISTINCT f.$idc, h.fsd,
+          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (2,4,5) THEN h.fsd END AS c2d
+        FROM dbflag f JOIN hdr h ON f.chid = h.chid
+        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4,5)),
+      dbcalc AS (
+        SELECT *,
+          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
+          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
+            - (year(c2d) * 12 + month(c2d)) AS mfwd,
+          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
+          (year(c2d) * 12 + month(c2d))
+            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
+            AS mback
+        FROM dbrows
+        WINDOW w AS (PARTITION BY $idc ORDER BY c2d ASC NULLS FIRST)),
+      dbfin AS (
+        SELECT $idc,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(2 AS INT) AS ccw_code, 'ccw_diabetes' AS ccw_desc
+        FROM dbcalc
+        WHERE c1d IS NOT NULL
+          OR (c2d IS NOT NULL AND mfwd <= 24 AND dfwd >= 1)
+          OR (c2d IS NOT NULL AND mback <= 24 AND dback >= 1)
+        GROUP BY $idc),
+      stflag AS (
+        SELECT $idc, chid,
+          max(CASE WHEN stroke = 1 AND ver = 10 AND dxnum = '01' THEN 1
+            ELSE 0 END) AS m,
+          max(CASE WHEN stroke_ex = 1 AND dxnum IN ('01','02') THEN 1
+            ELSE 0 END) AS x
+        FROM dxr GROUP BY $idc, chid),
+      strows AS (
+        SELECT DISTINCT f.$idc, h.fsd,
+          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
+          CASE WHEN h.ctid IN (2,4) THEN h.fsd END AS c2d
+        FROM stflag f JOIN hdr h ON f.chid = h.chid
+        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4)),
+      stcalc AS (
+        SELECT *,
+          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
+          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
+            - (year(c2d) * 12 + month(c2d)) AS mfwd,
+          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
+          (year(c2d) * 12 + month(c2d))
+            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
+            AS mback
+        FROM strows
+        WINDOW w AS (PARTITION BY $idc ORDER BY c2d ASC NULLS FIRST)),
+      stfin AS (
+        SELECT $idc,
+          least(min(c1d), min(c2d)) AS first_encounter_date,
+          greatest(max(c1d), max(c2d)) AS last_encounter_date,
+          CAST(3 AS INT) AS ccw_code, 'ccw_stroke' AS ccw_desc
+        FROM stcalc
+        WHERE c1d IS NOT NULL
+          OR (c2d IS NOT NULL AND mfwd <= 12 AND dfwd >= 1)
+          OR (c2d IS NOT NULL AND mback <= 12 AND dback >= 1)
+        GROUP BY $idc)
+      SELECT * FROM hyfin
+      UNION ALL SELECT * FROM dbfin
+      UNION ALL SELECT * FROM stfin
+      ORDER BY ccw_code, $idc"""
 
   /** Integer squared distance between a quantized vector `v` and a
     * centroid list `c` (both LIST(BIGINT), 64 dims) — the q42 metric. */
@@ -7572,7 +7677,7 @@ object SparkEntry {
     // q154: combined mcaid+mcare claim_ccw — dx_fields restrictions,
     // claim-level exclusion gates, claim-type-split condition-1/2,
     // T-SQL month-boundary lookback windows, LEAST/GREATEST collapse.
-    "q154_mcaid_mcare_ccw" -> """
+    "q154_mcaid_mcare_ccw" -> ("""
       WITH hdr AS (
         SELECT 1000 + o_custkey % 90 AS id_apde,
           o_orderkey AS chid,
@@ -7599,104 +7704,7 @@ object SparkEntry {
           END AS norm,
           lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      ref(icdcm, ver, hypo, diab, diab_ex, stroke, stroke_ex) AS (VALUES
-        ('2440',9,1,0,0,0,0), ('E039',10,1,0,0,0,0),
-        ('25000',9,0,1,0,0,0), ('E119',10,0,1,0,0,0),
-        ('64800',9,0,0,1,0,0), ('O2412',10,0,0,1,0,0),
-        ('43491',9,0,0,0,1,0), ('I6350',10,0,0,0,1,0),
-        ('Z3480',10,0,0,0,0,1)),
-      dxr AS (
-        SELECT d.*, r.hypo, r.diab, r.diab_ex, r.stroke, r.stroke_ex
-        FROM dx d JOIN ref r ON d.norm = r.icdcm AND d.ver = r.ver),
-      -- hypothyroid: fields any/any, both versions, no exclusions, rule 1
-      hyflag AS (
-        SELECT id_apde, chid FROM dxr GROUP BY id_apde, chid
-        HAVING max(CASE WHEN hypo = 1 THEN 1 ELSE 0 END) = 1),
-      hyrows AS (
-        SELECT DISTINCT f.id_apde, h.fsd,
-          CASE WHEN h.ctid IN (1,2,3) THEN h.fsd END AS c1d,
-          CASE WHEN h.ctid IN (4,5) THEN h.fsd END AS c2d
-        FROM hyflag f JOIN hdr h ON f.chid = h.chid
-        WHERE h.ctid IN (1,2,3,4,5)),
-      hyfin AS (
-        SELECT id_apde,
-          least(min(c1d), min(c2d)) AS first_encounter_date,
-          greatest(max(c1d), max(c2d)) AS last_encounter_date,
-          CAST(1 AS INT) AS ccw_code, 'ccw_hypothyroid' AS ccw_desc
-        FROM hyrows WHERE c1d IS NOT NULL GROUP BY id_apde),
-      -- diabetes: fields 1-2, exclusion any-fields, rule 2, lookback 24
-      dbflag AS (
-        SELECT id_apde, chid,
-          max(CASE WHEN diab = 1 AND dxnum IN ('01','02') THEN 1 ELSE 0
-            END) AS m,
-          max(CASE WHEN diab_ex = 1 THEN 1 ELSE 0 END) AS x
-        FROM dxr GROUP BY id_apde, chid),
-      dbrows AS (
-        SELECT DISTINCT f.id_apde, h.fsd,
-          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
-          CASE WHEN h.ctid IN (2,4,5) THEN h.fsd END AS c2d
-        FROM dbflag f JOIN hdr h ON f.chid = h.chid
-        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4,5)),
-      dbcalc AS (
-        SELECT *,
-          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
-          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
-            - (year(c2d) * 12 + month(c2d)) AS mfwd,
-          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
-          (year(c2d) * 12 + month(c2d))
-            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
-            AS mback
-        FROM dbrows
-        WINDOW w AS (PARTITION BY id_apde ORDER BY c2d ASC NULLS FIRST)),
-      dbfin AS (
-        SELECT id_apde,
-          least(min(c1d), min(c2d)) AS first_encounter_date,
-          greatest(max(c1d), max(c2d)) AS last_encounter_date,
-          CAST(2 AS INT) AS ccw_code, 'ccw_diabetes' AS ccw_desc
-        FROM dbcalc
-        WHERE c1d IS NOT NULL
-          OR (c2d IS NOT NULL AND mfwd <= 24 AND dfwd >= 1)
-          OR (c2d IS NOT NULL AND mback <= 24 AND dback >= 1)
-        GROUP BY id_apde),
-      -- stroke: ICD-10 arm only, fields 1, exclusion fields 1-2, rule 2
-      stflag AS (
-        SELECT id_apde, chid,
-          max(CASE WHEN stroke = 1 AND ver = 10 AND dxnum = '01' THEN 1
-            ELSE 0 END) AS m,
-          max(CASE WHEN stroke_ex = 1 AND dxnum IN ('01','02') THEN 1
-            ELSE 0 END) AS x
-        FROM dxr GROUP BY id_apde, chid),
-      strows AS (
-        SELECT DISTINCT f.id_apde, h.fsd,
-          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
-          CASE WHEN h.ctid IN (2,4) THEN h.fsd END AS c2d
-        FROM stflag f JOIN hdr h ON f.chid = h.chid
-        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4)),
-      stcalc AS (
-        SELECT *,
-          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
-          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
-            - (year(c2d) * 12 + month(c2d)) AS mfwd,
-          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
-          (year(c2d) * 12 + month(c2d))
-            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
-            AS mback
-        FROM strows
-        WINDOW w AS (PARTITION BY id_apde ORDER BY c2d ASC NULLS FIRST)),
-      stfin AS (
-        SELECT id_apde,
-          least(min(c1d), min(c2d)) AS first_encounter_date,
-          greatest(max(c1d), max(c2d)) AS last_encounter_date,
-          CAST(3 AS INT) AS ccw_code, 'ccw_stroke' AS ccw_desc
-        FROM stcalc
-        WHERE c1d IS NOT NULL
-          OR (c2d IS NOT NULL AND mfwd <= 12 AND dfwd >= 1)
-          OR (c2d IS NOT NULL AND mback <= 12 AND dback >= 1)
-        GROUP BY id_apde)
-      SELECT * FROM hyfin
-      UNION ALL SELECT * FROM dbfin
-      UNION ALL SELECT * FROM stfin
-      ORDER BY ccw_code, id_apde""",
+      """ + ccwOracleBody("id_apde")),
 
     // q229: mcare-grain claim_bh — the q153 kernel at id_mcare grain
     // over mcare sources (yaml-config instantiation), mcare pharm dates
@@ -7830,7 +7838,7 @@ object SparkEntry {
         last_encounter_date""",
 
     // q230: mcare-grain claim_ccw — the q154 kernel at id_mcare grain.
-    "q230_mcare_ccw" -> """
+    "q230_mcare_ccw" -> ("""
       WITH hdr AS (
         SELECT 'mc' || CAST(o_custkey % 75 AS VARCHAR) AS id_mcare,
           o_orderkey AS chid,
@@ -7858,101 +7866,40 @@ object SparkEntry {
           END AS norm,
           lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      ref(icdcm, ver, hypo, diab, diab_ex, stroke, stroke_ex) AS (VALUES
-        ('2440',9,1,0,0,0,0), ('E039',10,1,0,0,0,0),
-        ('25000',9,0,1,0,0,0), ('E119',10,0,1,0,0,0),
-        ('64800',9,0,0,1,0,0), ('O2412',10,0,0,1,0,0),
-        ('43491',9,0,0,0,1,0), ('I6350',10,0,0,0,1,0),
-        ('Z3480',10,0,0,0,0,1)),
-      dxr AS (
-        SELECT d.*, r.hypo, r.diab, r.diab_ex, r.stroke, r.stroke_ex
-        FROM dx d JOIN ref r ON d.norm = r.icdcm AND d.ver = r.ver),
-      hyflag AS (
-        SELECT id_mcare, chid FROM dxr GROUP BY id_mcare, chid
-        HAVING max(CASE WHEN hypo = 1 THEN 1 ELSE 0 END) = 1),
-      hyrows AS (
-        SELECT DISTINCT f.id_mcare, h.fsd,
-          CASE WHEN h.ctid IN (1,2,3) THEN h.fsd END AS c1d,
-          CASE WHEN h.ctid IN (4,5) THEN h.fsd END AS c2d
-        FROM hyflag f JOIN hdr h ON f.chid = h.chid
-        WHERE h.ctid IN (1,2,3,4,5)),
-      hyfin AS (
-        SELECT id_mcare,
-          least(min(c1d), min(c2d)) AS first_encounter_date,
-          greatest(max(c1d), max(c2d)) AS last_encounter_date,
-          CAST(1 AS INT) AS ccw_code, 'ccw_hypothyroid' AS ccw_desc
-        FROM hyrows WHERE c1d IS NOT NULL GROUP BY id_mcare),
-      dbflag AS (
-        SELECT id_mcare, chid,
-          max(CASE WHEN diab = 1 AND dxnum IN ('01','02') THEN 1 ELSE 0
-            END) AS m,
-          max(CASE WHEN diab_ex = 1 THEN 1 ELSE 0 END) AS x
-        FROM dxr GROUP BY id_mcare, chid),
-      dbrows AS (
-        SELECT DISTINCT f.id_mcare, h.fsd,
-          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
-          CASE WHEN h.ctid IN (2,4,5) THEN h.fsd END AS c2d
-        FROM dbflag f JOIN hdr h ON f.chid = h.chid
-        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4,5)),
-      dbcalc AS (
-        SELECT *,
-          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
-          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
-            - (year(c2d) * 12 + month(c2d)) AS mfwd,
-          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
-          (year(c2d) * 12 + month(c2d))
-            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
-            AS mback
-        FROM dbrows
-        WINDOW w AS (PARTITION BY id_mcare ORDER BY c2d ASC NULLS FIRST)),
-      dbfin AS (
-        SELECT id_mcare,
-          least(min(c1d), min(c2d)) AS first_encounter_date,
-          greatest(max(c1d), max(c2d)) AS last_encounter_date,
-          CAST(2 AS INT) AS ccw_code, 'ccw_diabetes' AS ccw_desc
-        FROM dbcalc
-        WHERE c1d IS NOT NULL
-          OR (c2d IS NOT NULL AND mfwd <= 24 AND dfwd >= 1)
-          OR (c2d IS NOT NULL AND mback <= 24 AND dback >= 1)
-        GROUP BY id_mcare),
-      stflag AS (
-        SELECT id_mcare, chid,
-          max(CASE WHEN stroke = 1 AND ver = 10 AND dxnum = '01' THEN 1
-            ELSE 0 END) AS m,
-          max(CASE WHEN stroke_ex = 1 AND dxnum IN ('01','02') THEN 1
-            ELSE 0 END) AS x
-        FROM dxr GROUP BY id_mcare, chid),
-      strows AS (
-        SELECT DISTINCT f.id_mcare, h.fsd,
-          CASE WHEN h.ctid IN (1) THEN h.fsd END AS c1d,
-          CASE WHEN h.ctid IN (2,4) THEN h.fsd END AS c2d
-        FROM stflag f JOIN hdr h ON f.chid = h.chid
-        WHERE f.m = 1 AND f.x = 0 AND h.ctid IN (1,2,4)),
-      stcalc AS (
-        SELECT *,
-          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
-          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
-            - (year(c2d) * 12 + month(c2d)) AS mfwd,
-          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
-          (year(c2d) * 12 + month(c2d))
-            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
-            AS mback
-        FROM strows
-        WINDOW w AS (PARTITION BY id_mcare ORDER BY c2d ASC NULLS FIRST)),
-      stfin AS (
-        SELECT id_mcare,
-          least(min(c1d), min(c2d)) AS first_encounter_date,
-          greatest(max(c1d), max(c2d)) AS last_encounter_date,
-          CAST(3 AS INT) AS ccw_code, 'ccw_stroke' AS ccw_desc
-        FROM stcalc
-        WHERE c1d IS NOT NULL
-          OR (c2d IS NOT NULL AND mfwd <= 12 AND dfwd >= 1)
-          OR (c2d IS NOT NULL AND mback <= 12 AND dback >= 1)
-        GROUP BY id_mcare)
-      SELECT * FROM hyfin
-      UNION ALL SELECT * FROM dbfin
-      UNION ALL SELECT * FROM stfin
-      ORDER BY ccw_code, id_mcare""",
+      """ + ccwOracleBody("id_mcare")),
+
+    // q244: apcd-grain claim_ccw — the load_ccw kernel at BIGINT
+    // id_apcd grain; claim types 1..7 (6/7 never qualify), shared
+    // per-condition replay via ccwOracleBody.
+    "q244_apcd_ccw" -> ("""
+      WITH hdr AS (
+        SELECT CAST(40000 + o_custkey % 110 AS BIGINT) AS id_apcd,
+          o_orderkey AS chid,
+          CAST(1 + o_orderkey % 7 AS INT) AS ctid,
+          CAST(o_orderdate AS DATE) AS fsd
+        FROM orders),
+      dx AS (
+        SELECT CAST(40000 + o_custkey % 110 AS BIGINT) AS id_apcd,
+          l_orderkey AS chid,
+          CASE WHEN l_partkey % 6 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 6 = 0 THEN
+            CASE WHEN l_partkey % 13 = 0 THEN '2440'
+              WHEN l_partkey % 13 = 1 THEN '25000'
+              WHEN l_partkey % 13 = 2 THEN '64800'
+              WHEN l_partkey % 13 = 3 THEN '43491'
+              ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END
+          ELSE
+            CASE WHEN l_partkey % 13 = 0 THEN 'E039'
+              WHEN l_partkey % 13 = 1 THEN 'E119'
+              WHEN l_partkey % 13 = 2 THEN 'O2412'
+              WHEN l_partkey % 13 = 3 THEN 'I6350'
+              WHEN l_partkey % 13 = 4 THEN 'Z3480'
+              ELSE 'J' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+              END
+          END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      """ + ccwOracleBody("id_apcd")),
 
     // q155: apde identity crosswalk — pattern gates, most-recent link
     // dedup (KCMASTER tie-break), md5-prefix id_apde stand-in,

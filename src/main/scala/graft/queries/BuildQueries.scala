@@ -2689,6 +2689,56 @@ object BuildQueries {
         idCol = "id_mcare")
       .orderBy(col("ccw_code"), col("id_mcare"))
 
+  /** Synthetic apcd-grain CCW frames (q244): id_apcd is a BIGINT (the
+    * APCD member id is numeric, unlike the string mcaid/mcare ids) and
+    * claim types span 1..7 — types 6/7 appear in no condition's
+    * claim-type list, so the per-condition type filter is exercised
+    * against genuinely non-qualifying claims. */
+  private[graft] object ApcdCcw {
+    private def pid = (lit(40000L) + col("o_custkey") % 110)
+      .cast("bigint")
+    def header(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(pid.as("id_apcd"),
+        ok.as("claim_header_id"),
+        (lit(1) + ok % 7).cast("int").as("claim_type_id"),
+        to_date(col("o_orderdate")).as("first_service_date"))
+    }
+    def icdcm(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("l_partkey")
+      val ver = when(pk % 6 === 0, 9).otherwise(10)
+      t(s, dir, "lineitem").join(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            pid.as("id_apcd")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("id_apcd"), col("l_orderkey").as("claim_header_id"),
+          when(ver === 9,
+              when(pk % 13 === 0, "2440").when(pk % 13 === 1, "25000")
+                .when(pk % 13 === 2, "64800").when(pk % 13 === 3, "43491")
+                .otherwise(lpad((pk % 999).cast("string"), 4, "0")))
+            .otherwise(
+              when(pk % 13 === 0, "E039").when(pk % 13 === 1, "E119")
+                .when(pk % 13 === 2, "O2412").when(pk % 13 === 3, "I6350")
+                .when(pk % 13 === 4, "Z3480")
+                .otherwise(concat(lit("J"),
+                  lpad((pk % 400).cast("string"), 3, "0"))))
+            .as("icdcm_norm"),
+          ver.as("icdcm_version"),
+          lpad(col("l_linenumber").cast("string"), 2, "0")
+            .as("icdcm_number"))
+    }
+  }
+
+  /** apcd-grain claim_ccw (q244, load_stage.apcd_claim_ccw.yaml:1-18):
+    * the source-generic load_ccw kernel (load_ccw.R:65 lists apcd as a
+    * first-class source) at id_apcd grain over the APCD header/dx —
+    * the chronic-condition sibling of q236's apcd claim_bh. */
+  def q244ApcdCcw(s: SparkSession, dir: String): DataFrame =
+    graft.builds.CcwConditions.build(ApcdCcw.header(s, dir),
+        ApcdCcw.icdcm(s, dir), Ccw.icdcmRef(s), Ccw.conds,
+        idCol = "id_apcd")
+      .orderBy(col("ccw_code"), col("id_apcd"))
+
   /** §7.5.10 apde identity crosswalk (q155,
     * load_stage.xwalk_apde_mcaid_mcare_pha.R): IM_HISTORY extracts with
     * pattern gates (9-digit+KC master id, all-digit mcaid id, 64-char
