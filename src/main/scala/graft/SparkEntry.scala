@@ -376,6 +376,8 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q242ZorderLayout _),
     "q243_label_prop" -> (T.q243LabelProp _),
     "q244_apcd_ccw" -> (graft.queries.BuildQueries.q244ApcdCcw _),
+    "q245_ccw_new_criteria_qa" ->
+      (graft.queries.BuildQueries.q245CcwNewCriteriaQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -560,6 +562,93 @@ object SparkEntry {
       UNION ALL SELECT * FROM dbfin
       UNION ALL SELECT * FROM stfin
       ORDER BY ccw_code, $idc"""
+
+  /** One q245 phenotype block, GENERATED from
+    * [[graft.builds.CcwNewCriteriaQa.Phenos]] so the oracle's criteria
+    * cannot drift from the Scala config. Assumes both ICD arms run
+    * with the same dx_fields (true of every configured phenotype) so
+    * the two version arms fuse into one any-version flag, exactly as
+    * ccwOracleBody does for hypothyroid. Expects CTEs `hdr(id, chid,
+    * ctid, fsd)`, `dxr(id, chid, ver, norm, dxnum, <abbrev> flags)`,
+    * and `ev(id, chid, <flags>, ctid, fsd)`. */
+  private def ccwQaPhenoBlock(
+      p: graft.builds.CcwNewCriteriaQa.Pheno): String = {
+    val a = p.abbrev
+    val fields = p.dxFields match {
+      case "1" => "dxnum = '01'"
+      case "1-2" => "dxnum IN ('01','02')"
+      case _ => "TRUE"
+    }
+    val t1 = p.types1.mkString(",")
+    val tAll = (p.types1 ++ p.types2).mkString(",")
+    val c2dSel =
+      if (p.types2.isEmpty) "CAST(NULL AS DATE) AS c2d"
+      else s"CASE WHEN h.ctid IN (${p.types2.mkString(",")}) " +
+        "THEN h.fsd END AS c2d"
+    val oldT2 =
+      if (p.types2.isEmpty) "FALSE"
+      else s"ctid IN (${p.types2.mkString(",")})"
+    val fin =
+      if (p.claimCount == 1)
+        s"""${a}fin AS (
+        SELECT DISTINCT id FROM ${a}rows WHERE c1d IS NOT NULL)"""
+      else s"""${a}calc AS (
+        SELECT *,
+          date_diff('day', c2d, lead(c2d) OVER w) AS dfwd,
+          (year(lead(c2d) OVER w) * 12 + month(lead(c2d) OVER w))
+            - (year(c2d) * 12 + month(c2d)) AS mfwd,
+          date_diff('day', lag(c2d) OVER w, c2d) AS dback,
+          (year(c2d) * 12 + month(c2d))
+            - (year(lag(c2d) OVER w) * 12 + month(lag(c2d) OVER w))
+            AS mback
+        FROM ${a}rows
+        WINDOW w AS (PARTITION BY id ORDER BY c2d ASC NULLS FIRST)),
+      ${a}fin AS (
+        SELECT DISTINCT id FROM ${a}calc
+        WHERE c1d IS NOT NULL
+          OR (c2d IS NOT NULL AND mfwd <= ${p.lookbackMonths}
+            AND dfwd >= 1)
+          OR (c2d IS NOT NULL AND mback <= ${p.lookbackMonths}
+            AND dback >= 1))"""
+    s"""
+      ${a}flag AS (
+        SELECT id, chid FROM dxr GROUP BY id, chid
+        HAVING max(CASE WHEN $a = 1 AND $fields THEN 1 ELSE 0 END) = 1),
+      ${a}rows AS (
+        SELECT DISTINCT f.id, h.fsd,
+          CASE WHEN h.ctid IN ($t1) THEN h.fsd END AS c1d,
+          $c2dSel
+        FROM ${a}flag f JOIN hdr h ON f.chid = h.chid
+        WHERE h.ctid IN ($tAll)),
+      $fin,
+      ${a}old AS (
+        SELECT id,
+          count(DISTINCT CASE WHEN $a = 1 AND ctid IN ($tAll)
+            THEN chid END) AS evc,
+          count(DISTINCT CASE WHEN $a = 1 AND ctid IN ($t1)
+            THEN chid END) AS cnt1,
+          count(DISTINCT CASE WHEN $a = 1 AND $oldT2
+            THEN fsd END) AS d2
+        FROM ev GROUP BY id),
+      ${a}oldq AS (
+        SELECT id FROM ${a}old WHERE cnt1 >= 1 OR d2 >= 2),
+      ${a}v AS (
+        SELECT 'ccw_$a' AS ccw_desc,
+          CAST((SELECT count(*) FROM ${a}fin) AS BIGINT)
+            AS span_persons,
+          CAST(coalesce((SELECT sum(evc) FROM ${a}old), 0) AS BIGINT)
+            AS evidence_claims,
+          CAST((SELECT count(*) FROM ${a}old WHERE evc > 0) AS BIGINT)
+            AS evidence_persons,
+          CAST((SELECT count(*) FROM ${a}oldq) AS BIGINT)
+            AS oldq_persons,
+          CAST((SELECT count(*) FROM ${a}fin f
+            WHERE f.id NOT IN (SELECT id FROM ${a}oldq)) AS BIGINT)
+            AS new_not_old,
+          CAST((SELECT count(*) FROM ${a}oldq o
+            WHERE o.id NOT IN (SELECT id FROM ${a}fin)) AS BIGINT)
+            AS old_not_new)"""
+  }
 
   /** Integer squared distance between a quantized vector `v` and a
     * centroid list `c` (both LIST(BIGINT), 64 dims) — the q42 metric. */
@@ -7900,6 +7989,61 @@ object SparkEntry {
           lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       """ + ccwOracleBody("id_apcd")),
+
+    // q245: CCW new-criteria cross-check — per-phenotype blocks are
+    // GENERATED from CcwNewCriteriaQa.Phenos; the verdict pins
+    // new_not_old = 0 (the new lookback rule strictly tightens the
+    // old count rule).
+    "q245_ccw_new_criteria_qa" -> ("""
+      WITH hdr AS (
+        SELECT 'qa' || CAST(o_custkey % 2400 AS VARCHAR) AS id,
+          o_orderkey AS chid,
+          CAST(1 + o_orderkey % 6 AS INT) AS ctid,
+          CAST(o_orderdate AS DATE) AS fsd
+        FROM orders),
+      dx AS (
+        SELECT 'qa' || CAST(o_custkey % 2400 AS VARCHAR) AS id,
+          l_orderkey AS chid,
+          CASE WHEN l_partkey % 8 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 8 = 0 THEN
+            CASE WHEN l_partkey % 149 = 0 THEN '41071'
+              WHEN l_partkey % 149 = 1 THEN '82009'
+              WHEN l_partkey % 149 = 2 THEN '2859'
+              WHEN l_partkey % 149 = 3 THEN '311'
+              ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 5, '0') END
+          ELSE
+            CASE WHEN l_partkey % 149 = 0 THEN 'I214'
+              WHEN l_partkey % 149 = 1 THEN 'S72001A'
+              WHEN l_partkey % 149 = 2 THEN 'D649'
+              WHEN l_partkey % 149 = 3 THEN 'F329'
+              WHEN l_partkey % 149 = 4 THEN 'F331'
+              ELSE 'K' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+              END
+          END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ref(icdcm, ver, mi, hip_fracture, anemia, depression) AS (VALUES
+        ('41071',9,1,0,0,0), ('I214',10,1,0,0,0),
+        ('82009',9,0,1,0,0), ('S72001A',10,0,1,0,0),
+        ('2859',9,0,0,1,0), ('D649',10,0,0,1,0),
+        ('311',9,0,0,0,1), ('F329',10,0,0,0,1),
+        ('F331',10,0,0,0,1)),
+      dxr AS (
+        SELECT d.*, r.mi, r.hip_fracture, r.anemia, r.depression
+        FROM dx d JOIN ref r ON d.norm = r.icdcm AND d.ver = r.ver),
+      ev AS (
+        SELECT d.id, d.chid, d.mi, d.hip_fracture, d.anemia,
+          d.depression, h.ctid, h.fsd
+        FROM dxr d JOIN hdr h ON d.chid = h.chid),""" +
+      graft.builds.CcwNewCriteriaQa.Phenos.map(ccwQaPhenoBlock)
+        .mkString(",") + """
+      SELECT *, CASE WHEN new_not_old = 0 THEN 'PASS' ELSE 'FAIL' END
+        AS verdict
+      FROM (""" +
+      graft.builds.CcwNewCriteriaQa.Phenos
+        .map(p => s"SELECT * FROM ${p.abbrev}v")
+        .mkString(" UNION ALL ") + """)
+      ORDER BY ccw_desc"""),
 
     // q155: apde identity crosswalk — pattern gates, most-recent link
     // dedup (KCMASTER tie-break), md5-prefix id_apde stand-in,

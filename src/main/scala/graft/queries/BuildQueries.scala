@@ -2739,6 +2739,68 @@ object BuildQueries {
         idCol = "id_apcd")
       .orderBy(col("ccw_code"), col("id_apcd"))
 
+  /** Synthetic mcaid frames for the new-criteria QA (q245): four
+    * phenotype flags in the wide ref, both ICD versions, claim types
+    * 1..6 so each phenotype's type list bites. */
+  private[graft] object CcwQa {
+    private def pid = concat(lit("qa"), (col("o_custkey") % 2400)
+      .cast("string"))
+    def header(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      t(s, dir, "orders").select(pid.as("id_mcaid"),
+        ok.as("claim_header_id"),
+        (lit(1) + ok % 6).cast("int").as("claim_type_id"),
+        to_date(col("o_orderdate")).as("first_service_date"))
+    }
+    def icdcm(s: SparkSession, dir: String): DataFrame = {
+      val pk = col("l_partkey")
+      val ver = when(pk % 8 === 0, 9).otherwise(10)
+      // rare flags (~3% of dx rows) over many persons: some people
+      // qualify under the old count rule but FAIL the new adjacency
+      // rule, so old_not_new is exercised, not identically zero
+      val m = pk % 149
+      t(s, dir, "lineitem").join(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            pid.as("id_mcaid")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("id_mcaid"), col("l_orderkey").as("claim_header_id"),
+          when(ver === 9,
+              when(m === 0, "41071").when(m === 1, "82009")
+                .when(m === 2, "2859").when(m === 3, "311")
+                .otherwise(lpad((pk % 999).cast("string"), 5, "0")))
+            .otherwise(
+              when(m === 0, "I214").when(m === 1, "S72001A")
+                .when(m === 2, "D649").when(m === 3, "F329")
+                .when(m === 4, "F331")
+                .otherwise(concat(lit("K"),
+                  lpad((pk % 400).cast("string"), 3, "0"))))
+            .as("icdcm_norm"),
+          ver.as("icdcm_version"),
+          lpad(col("l_linenumber").cast("string"), 2, "0")
+            .as("icdcm_number"))
+    }
+    def ref(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq(
+        ("41071", 9, 1, 0, 0, 0), ("I214", 10, 1, 0, 0, 0),
+        ("82009", 9, 0, 1, 0, 0), ("S72001A", 10, 0, 1, 0, 0),
+        ("2859", 9, 0, 0, 1, 0), ("D649", 10, 0, 0, 1, 0),
+        ("311", 9, 0, 0, 0, 1), ("F329", 10, 0, 0, 0, 1),
+        ("F331", 10, 0, 0, 0, 1))
+        .toDF("icdcm", "icdcm_version", "ccw_mi", "ccw_hip_fracture",
+          "ccw_anemia", "ccw_depression")
+    }
+  }
+
+  /** CCW new-criteria line-level cross-check (q245,
+    * qa_stage.mcaid_claim_ccw_new_criteria.sql:1-160): the four named
+    * phenotypes' new-criteria spans vs the count-based line-level
+    * evidence rule, as distributed PASS/FAIL verdict rows. */
+  def q245CcwNewCriteriaQa(s: SparkSession, dir: String): DataFrame =
+    graft.builds.CcwNewCriteriaQa.build(CcwQa.header(s, dir),
+        CcwQa.icdcm(s, dir), CcwQa.ref(s))
+      .orderBy(col("ccw_desc"))
+
   /** §7.5.10 apde identity crosswalk (q155,
     * load_stage.xwalk_apde_mcaid_mcare_pha.R): IM_HISTORY extracts with
     * pattern gates (9-digit+KC master id, all-digit mcaid id, 64-char
