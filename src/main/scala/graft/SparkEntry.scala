@@ -378,6 +378,8 @@ object SparkEntry {
     "q244_apcd_ccw" -> (graft.queries.BuildQueries.q244ApcdCcw _),
     "q245_ccw_new_criteria_qa" ->
       (graft.queries.BuildQueries.q245CcwNewCriteriaQa _),
+    "q246_apcd_header_qa" ->
+      (graft.queries.BuildQueries.q246ApcdHeaderQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1330,6 +1332,230 @@ object SparkEntry {
         JOIN geo ON cov.id = geo.id
         JOIN demo7 ON cov.id = demo7.id)"""
   }
+
+  /** The q142 apcd_claim_header replay — factored so the q246 QA
+    * battery audits EXACTLY the frame the q142 oracle pins. */
+  private def apcdHeaderOracle: String = """
+      WITH hdr AS (
+        SELECT o_custkey % 400 AS id_apcd, o_orderkey AS chid,
+          CASE WHEN o_orderkey % 29 = 0 THEN -1
+            WHEN o_orderkey % 29 = 1 THEN -2
+            ELSE CAST(o_orderkey % 12 AS INT) END AS pcode_raw,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 4 AS INT) AS lsd,
+          CAST(o_orderdate AS DATE) + 7 AS first_paid_date,
+          CAST(o_orderdate AS DATE) + 14 AS last_paid_date,
+          round(o_totalprice, 2) AS charge_amt,
+          o_orderstatus AS status_code,
+          CASE WHEN o_orderkey % 23 = 0 THEN '-1'
+            WHEN o_orderkey % 23 = 1 THEN '-2'
+            ELSE '011' || CAST(o_orderkey % 8 AS VARCHAR) END AS tob,
+          CAST(1 + o_orderkey % 3 AS INT) AS ct,
+          CAST(1 + o_orderkey % 2 AS INT) AS tos,
+          CASE WHEN o_orderkey % 13 = 0 THEN -1
+            WHEN o_orderkey % 13 = 1 THEN -2
+            ELSE CAST(1 + o_orderkey % 4 AS INT) END AS pos,
+          CASE WHEN o_orderkey % 6 = 0 THEN 'Y' ELSE 'N' END AS er_flag,
+          CASE WHEN o_orderkey % 17 = 0 THEN 'Y' ELSE 'N' END AS denied,
+          CASE WHEN o_orderkey % 19 = 0 THEN 'Y' ELSE 'N' END AS orphaned,
+          CAST(o_orderkey % 21 = 0 AS INT) AS cardiac_imaging_and_tests_flag,
+          CAST(o_orderkey % 22 = 0 AS INT) AS telehealth_flag,
+          CAST(o_orderkey % 35 = 0 AS INT) AS covid19_flag
+        FROM orders),
+      lin AS (
+        SELECT l_orderkey AS chid,
+          CASE WHEN l_suppkey % 11 = 0 THEN '23'
+            ELSE lpad(CAST(l_suppkey % 32 AS VARCHAR), 2, '0') END AS pos_code,
+          CASE WHEN l_partkey % 9 = 0
+            THEN '045' || CAST(l_partkey % 10 AS VARCHAR)
+            ELSE lpad(CAST(l_partkey % 2000 AS VARCHAR), 4, '0')
+            END AS revenue_code,
+          CASE WHEN l_linenumber = 1 AND l_orderkey % 3 = 0
+            THEN CAST(l_shipdate AS DATE) END AS discharge_date
+        FROM lineitem),
+      linagg AS (
+        SELECT chid, max(discharge_date) AS discharge_date,
+          max(CASE WHEN pos_code = '23' THEN 1 ELSE 0 END) AS ed_pos_temp,
+          max(CASE WHEN regexp_matches(revenue_code, '^045[01269]$')
+            OR revenue_code = '0981' THEN 1 ELSE 0 END) AS ed_rev_temp
+        FROM lin GROUP BY chid),
+      prc AS (
+        SELECT l_orderkey AS chid,
+          CASE WHEN l_partkey % 17 = 0
+            THEN '9928' || CAST(1 + l_partkey % 7 AS VARCHAR)
+            WHEN l_partkey % 17 = 1 THEN '99291'
+            WHEN l_partkey % 17 = 2
+            THEN '992' || CAST(11 + l_partkey % 5 AS VARCHAR)
+            ELSE lpad(CAST(l_partkey % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code
+        FROM lineitem),
+      edproc AS (
+        SELECT chid, 1 AS ed_procedure_code_temp FROM prc GROUP BY chid
+        HAVING max(CASE WHEN regexp_matches(procedure_code, '^9928[12345]$')
+          OR procedure_code = '99291' THEN 1 ELSE 0 END) = 1),
+      dxt AS (
+        SELECT l_orderkey AS chid,
+          CASE WHEN l_partkey % 6 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 6 <> 0 AND l_partkey % 5 = 0
+            THEN 'Z00' || CAST(l_partkey % 4 AS VARCHAR)
+            WHEN l_partkey % 6 <> 0
+            THEN 'F' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+            ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem),
+      pdx AS (
+        SELECT chid, min(norm) AS primary_diagnosis,
+          min(ver) AS icdcm_version
+        FROM dxt WHERE dxnum = '01' GROUP BY chid),
+      icdref AS (
+        SELECT * FROM (
+          SELECT DISTINCT norm AS icdcm, ver AS rver,
+            CASE WHEN regexp_matches(norm, '^F[23]') THEN 1 ELSE 0 END
+              AS ref_mh,
+            CASE WHEN regexp_matches(norm, '^F1')
+              OR (ver = 9 AND norm LIKE '030%') THEN 1 ELSE 0 END AS ref_sud
+          FROM dxt)
+        WHERE ref_mh = 1 OR ref_sud = 1),
+      bh AS (
+        SELECT d.chid,
+          max(CASE WHEN d.dxnum = '01' AND r.ref_mh = 1 THEN 1 ELSE 0 END)
+            AS mh_primary,
+          max(CASE WHEN r.ref_mh = 1 THEN 1 ELSE 0 END) AS mh_any,
+          max(CASE WHEN d.dxnum = '01' AND r.ref_sud = 1 THEN 1 ELSE 0 END)
+            AS sud_primary,
+          max(CASE WHEN r.ref_sud = 1 THEN 1 ELSE 0 END) AS sud_any
+        FROM dxt d JOIN icdref r ON d.norm = r.icdcm AND d.ver = r.rver
+        GROUP BY d.chid),
+      pcref(code, code_system) AS (
+        VALUES ('99211','cpt'),('99212','cpt'),('99213','cpt'),
+          ('G0402','hcpcs'),('Z000','icd10cm'),('Z001','icd10cm'),
+          ('207Q00000X','provider_taxonomy'),
+          ('207R00000X','provider_taxonomy')),
+      pcproc AS (SELECT DISTINCT p.chid FROM prc p JOIN pcref r
+        ON p.procedure_code = r.code AND r.code_system IN ('cpt','hcpcs')),
+      pcz AS (SELECT DISTINCT d.chid FROM dxt d JOIN pcref r
+        ON d.norm = r.code AND r.code_system = 'icd10cm' WHERE d.ver = 10),
+      prov AS (
+        SELECT l_orderkey AS chid, l_suppkey AS pid,
+          CASE WHEN l_linenumber % 3 = 0 THEN 'rendering'
+            WHEN l_linenumber % 3 = 1 THEN 'attending'
+            ELSE 'billing' END AS ptype
+        FROM lineitem),
+      mastertax AS (
+        SELECT 1000000000 + s_suppkey AS npi,
+          CASE WHEN s_suppkey % 7 = 0 THEN '207Q00000X'
+            ELSE '208D00000X' END AS taxonomy FROM supplier
+        UNION ALL
+        SELECT 1000000000 + s_suppkey, '207R00000X' FROM supplier
+        WHERE s_suppkey % 11 = 0),
+      pcnpi AS (SELECT DISTINCT m.npi FROM mastertax m JOIN pcref r
+        ON m.taxonomy = r.code AND r.code_system = 'provider_taxonomy'),
+      pctax AS (
+        SELECT DISTINCT p.chid FROM prov p
+        JOIN (SELECT s_suppkey AS pid, 1000000000 + s_suppkey AS npi
+          FROM supplier) n ON p.pid = n.pid
+        JOIN pcnpi q ON n.npi = q.npi
+        WHERE p.ptype IN ('rendering','attending')),
+      pcv AS (
+        SELECT chid FROM pctax
+        WHERE chid IN (SELECT chid FROM pcproc)
+          OR chid IN (SELECT chid FROM pcz)),
+      base AS (
+        SELECT h.id_apcd, h.chid, h.fsd, h.lsd, h.first_paid_date,
+          h.last_paid_date, h.charge_amt,
+          h.cardiac_imaging_and_tests_flag, h.telehealth_flag,
+          h.covid19_flag, s.claim_status_id, g.discharge_date,
+          g.ed_pos_temp, g.ed_rev_temp,
+          CASE WHEN h.pcode_raw IN (-1,-2) THEN NULL ELSE h.pcode_raw END
+            AS product_code_id,
+          CASE WHEN h.tob IN ('-1','-2') THEN NULL ELSE h.tob END
+            AS type_of_bill_code,
+          CAST(h.ct AS VARCHAR) || '.' || CAST(h.tos AS VARCHAR) || '.' ||
+            CAST(CASE WHEN h.pos IN (-1,-2) THEN NULL ELSE h.pos END
+              AS VARCHAR) AS claim_type_apcd_id,
+          CASE WHEN h.er_flag = 'Y' THEN 1 ELSE 0 END AS ed_perform_temp,
+          CASE WHEN h.ct = 1 AND h.tos = 1 AND h.pos = 1
+            AND s.claim_status_id IN (-1,-2,1,5,2,6)
+            AND g.discharge_date IS NOT NULL THEN 1 ELSE 0 END AS ipt_flag
+        FROM hdr h
+        LEFT JOIN (VALUES ('O',1),('F',5),('P',30))
+          AS s(claim_status_code, claim_status_id)
+          ON h.status_code = s.claim_status_code
+        LEFT JOIN linagg g ON h.chid = g.chid
+        WHERE h.denied = 'N' AND h.orphaned = 'N'),
+      xw AS (
+        SELECT DISTINCT CAST(ct AS VARCHAR) || '.' || CAST(tos AS VARCHAR)
+            || '.' || CAST(pos AS VARCHAR) AS source_clm_type_id,
+          CAST(CASE WHEN ct = 1 THEN 1 WHEN ct = 2 THEN 4 ELSE 5 END
+            AS INT) AS kc_clm_type_id
+        FROM hdr WHERE pos NOT IN (-1,-2)),
+      flagged AS (
+        SELECT b.*, x.kc_clm_type_id AS claim_type_id,
+          CASE WHEN b.ed_perform_temp = 1 AND x.kc_clm_type_id = 4
+            THEN 1 ELSE 0 END AS ed_perform,
+          CASE WHEN x.kc_clm_type_id = 5 AND
+            ((e.ed_procedure_code_temp = 1 AND b.ed_pos_temp = 1)
+              OR b.ed_rev_temp = 1) THEN 1 ELSE 0 END AS ed_yale_carrier,
+          CASE WHEN x.kc_clm_type_id = 4 AND (b.ed_rev_temp = 1
+            OR b.ed_pos_temp = 1 OR e.ed_procedure_code_temp = 1)
+            THEN 1 ELSE 0 END AS ed_yale_opt,
+          CASE WHEN x.kc_clm_type_id = 1 AND (b.ed_rev_temp = 1
+            OR b.ed_pos_temp = 1 OR e.ed_procedure_code_temp = 1)
+            THEN 1 ELSE 0 END AS ed_yale_ipt,
+          b.ipt_flag AS inpatient,
+          CASE WHEN b.chid IN (SELECT chid FROM pcv)
+            AND b.claim_type_apcd_id NOT IN
+              ('1.1.1','1.1.14','1.1.2','2.3.8','2.3.2','1.2.8')
+            AND b.claim_status_id IN (-1,-2,1,5,2,6)
+            THEN 1 ELSE 0 END AS pc_visit
+        FROM base b
+        LEFT JOIN xw x ON b.claim_type_apcd_id = x.source_clm_type_id
+        LEFT JOIN edproc e ON b.chid = e.chid),
+      pcseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
+          ORDER BY fsd) AS INT) AS pc_visit_seq
+        FROM flagged WHERE pc_visit = 1),
+      iptseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
+          ORDER BY fsd) AS INT) AS inpatient_seq
+        FROM flagged WHERE inpatient = 1),
+      edpseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
+          ORDER BY fsd) AS INT) AS ed_perform_seq
+        FROM flagged WHERE ed_perform = 1),
+      ed0 AS (
+        SELECT id_apcd, chid, fsd, lsd,
+          lag(fsd) OVER (PARTITION BY id_apcd
+            ORDER BY fsd, fsd, lsd, chid) AS prev_f
+        FROM flagged WHERE ed_yale_carrier = 1 OR ed_yale_opt = 1
+          OR ed_yale_ipt = 1),
+      phseq AS (
+        SELECT chid, CAST(sum(CASE WHEN prev_f IS NULL
+            OR date_diff('day', prev_f, fsd) > 1 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY id_apcd ORDER BY fsd, fsd, lsd, chid
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ed_pophealth_seq
+        FROM ed0)
+      SELECT DISTINCT f.id_apcd, f.chid AS claim_header_id,
+        f.product_code_id, f.fsd AS first_service_date,
+        f.lsd AS last_service_date, f.first_paid_date, f.last_paid_date,
+        f.charge_amt, p.primary_diagnosis, p.icdcm_version,
+        f.claim_status_id, f.claim_type_apcd_id, f.claim_type_id,
+        f.type_of_bill_code,
+        coalesce(b2.mh_primary, 0) AS mh_primary,
+        coalesce(b2.mh_any, 0) AS mh_any,
+        coalesce(b2.sud_primary, 0) AS sud_primary,
+        coalesce(b2.sud_any, 0) AS sud_any,
+        f.cardiac_imaging_and_tests_flag, f.telehealth_flag,
+        f.covid19_flag, f.ed_perform, f.ed_yale_carrier, f.ed_yale_opt,
+        f.ed_yale_ipt, f.inpatient, f.discharge_date, f.pc_visit,
+        q1.pc_visit_seq, q2.inpatient_seq, q3.ed_perform_seq,
+        q4.ed_pophealth_seq
+      FROM flagged f
+      LEFT JOIN pdx p ON f.chid = p.chid
+      LEFT JOIN bh b2 ON f.chid = b2.chid
+      LEFT JOIN pcseq q1 ON f.chid = q1.chid
+      LEFT JOIN iptseq q2 ON f.chid = q2.chid
+      LEFT JOIN edpseq q3 ON f.chid = q3.chid
+      LEFT JOIN phseq q4 ON f.chid = q4.chid
+      ORDER BY claim_header_id
+"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -6226,226 +6452,7 @@ object SparkEntry {
     // concat, line/proc/dx rollups, Oregon PC visit via provider-taxonomy
     // chain, RDA/Yale ED flags, inpatient, BH flags, per-person concept
     // seqs, 1-day Yale episode clustering.
-    "q142_apcd_claim_header" -> """
-      WITH hdr AS (
-        SELECT o_custkey % 400 AS id_apcd, o_orderkey AS chid,
-          CASE WHEN o_orderkey % 29 = 0 THEN -1
-            WHEN o_orderkey % 29 = 1 THEN -2
-            ELSE CAST(o_orderkey % 12 AS INT) END AS pcode_raw,
-          CAST(o_orderdate AS DATE) AS fsd,
-          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 4 AS INT) AS lsd,
-          CAST(o_orderdate AS DATE) + 7 AS first_paid_date,
-          CAST(o_orderdate AS DATE) + 14 AS last_paid_date,
-          round(o_totalprice, 2) AS charge_amt,
-          o_orderstatus AS status_code,
-          CASE WHEN o_orderkey % 23 = 0 THEN '-1'
-            WHEN o_orderkey % 23 = 1 THEN '-2'
-            ELSE '011' || CAST(o_orderkey % 8 AS VARCHAR) END AS tob,
-          CAST(1 + o_orderkey % 3 AS INT) AS ct,
-          CAST(1 + o_orderkey % 2 AS INT) AS tos,
-          CASE WHEN o_orderkey % 13 = 0 THEN -1
-            WHEN o_orderkey % 13 = 1 THEN -2
-            ELSE CAST(1 + o_orderkey % 4 AS INT) END AS pos,
-          CASE WHEN o_orderkey % 6 = 0 THEN 'Y' ELSE 'N' END AS er_flag,
-          CASE WHEN o_orderkey % 17 = 0 THEN 'Y' ELSE 'N' END AS denied,
-          CASE WHEN o_orderkey % 19 = 0 THEN 'Y' ELSE 'N' END AS orphaned,
-          CAST(o_orderkey % 21 = 0 AS INT) AS cardiac_imaging_and_tests_flag,
-          CAST(o_orderkey % 22 = 0 AS INT) AS telehealth_flag,
-          CAST(o_orderkey % 35 = 0 AS INT) AS covid19_flag
-        FROM orders),
-      lin AS (
-        SELECT l_orderkey AS chid,
-          CASE WHEN l_suppkey % 11 = 0 THEN '23'
-            ELSE lpad(CAST(l_suppkey % 32 AS VARCHAR), 2, '0') END AS pos_code,
-          CASE WHEN l_partkey % 9 = 0
-            THEN '045' || CAST(l_partkey % 10 AS VARCHAR)
-            ELSE lpad(CAST(l_partkey % 2000 AS VARCHAR), 4, '0')
-            END AS revenue_code,
-          CASE WHEN l_linenumber = 1 AND l_orderkey % 3 = 0
-            THEN CAST(l_shipdate AS DATE) END AS discharge_date
-        FROM lineitem),
-      linagg AS (
-        SELECT chid, max(discharge_date) AS discharge_date,
-          max(CASE WHEN pos_code = '23' THEN 1 ELSE 0 END) AS ed_pos_temp,
-          max(CASE WHEN regexp_matches(revenue_code, '^045[01269]$')
-            OR revenue_code = '0981' THEN 1 ELSE 0 END) AS ed_rev_temp
-        FROM lin GROUP BY chid),
-      prc AS (
-        SELECT l_orderkey AS chid,
-          CASE WHEN l_partkey % 17 = 0
-            THEN '9928' || CAST(1 + l_partkey % 7 AS VARCHAR)
-            WHEN l_partkey % 17 = 1 THEN '99291'
-            WHEN l_partkey % 17 = 2
-            THEN '992' || CAST(11 + l_partkey % 5 AS VARCHAR)
-            ELSE lpad(CAST(l_partkey % 88888 AS VARCHAR), 5, '0')
-            END AS procedure_code
-        FROM lineitem),
-      edproc AS (
-        SELECT chid, 1 AS ed_procedure_code_temp FROM prc GROUP BY chid
-        HAVING max(CASE WHEN regexp_matches(procedure_code, '^9928[12345]$')
-          OR procedure_code = '99291' THEN 1 ELSE 0 END) = 1),
-      dxt AS (
-        SELECT l_orderkey AS chid,
-          CASE WHEN l_partkey % 6 = 0 THEN 9 ELSE 10 END AS ver,
-          CASE WHEN l_partkey % 6 <> 0 AND l_partkey % 5 = 0
-            THEN 'Z00' || CAST(l_partkey % 4 AS VARCHAR)
-            WHEN l_partkey % 6 <> 0
-            THEN 'F' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
-            ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END AS norm,
-          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
-        FROM lineitem),
-      pdx AS (
-        SELECT chid, min(norm) AS primary_diagnosis,
-          min(ver) AS icdcm_version
-        FROM dxt WHERE dxnum = '01' GROUP BY chid),
-      icdref AS (
-        SELECT * FROM (
-          SELECT DISTINCT norm AS icdcm, ver AS rver,
-            CASE WHEN regexp_matches(norm, '^F[23]') THEN 1 ELSE 0 END
-              AS ref_mh,
-            CASE WHEN regexp_matches(norm, '^F1')
-              OR (ver = 9 AND norm LIKE '030%') THEN 1 ELSE 0 END AS ref_sud
-          FROM dxt)
-        WHERE ref_mh = 1 OR ref_sud = 1),
-      bh AS (
-        SELECT d.chid,
-          max(CASE WHEN d.dxnum = '01' AND r.ref_mh = 1 THEN 1 ELSE 0 END)
-            AS mh_primary,
-          max(CASE WHEN r.ref_mh = 1 THEN 1 ELSE 0 END) AS mh_any,
-          max(CASE WHEN d.dxnum = '01' AND r.ref_sud = 1 THEN 1 ELSE 0 END)
-            AS sud_primary,
-          max(CASE WHEN r.ref_sud = 1 THEN 1 ELSE 0 END) AS sud_any
-        FROM dxt d JOIN icdref r ON d.norm = r.icdcm AND d.ver = r.rver
-        GROUP BY d.chid),
-      pcref(code, code_system) AS (
-        VALUES ('99211','cpt'),('99212','cpt'),('99213','cpt'),
-          ('G0402','hcpcs'),('Z000','icd10cm'),('Z001','icd10cm'),
-          ('207Q00000X','provider_taxonomy'),
-          ('207R00000X','provider_taxonomy')),
-      pcproc AS (SELECT DISTINCT p.chid FROM prc p JOIN pcref r
-        ON p.procedure_code = r.code AND r.code_system IN ('cpt','hcpcs')),
-      pcz AS (SELECT DISTINCT d.chid FROM dxt d JOIN pcref r
-        ON d.norm = r.code AND r.code_system = 'icd10cm' WHERE d.ver = 10),
-      prov AS (
-        SELECT l_orderkey AS chid, l_suppkey AS pid,
-          CASE WHEN l_linenumber % 3 = 0 THEN 'rendering'
-            WHEN l_linenumber % 3 = 1 THEN 'attending'
-            ELSE 'billing' END AS ptype
-        FROM lineitem),
-      mastertax AS (
-        SELECT 1000000000 + s_suppkey AS npi,
-          CASE WHEN s_suppkey % 7 = 0 THEN '207Q00000X'
-            ELSE '208D00000X' END AS taxonomy FROM supplier
-        UNION ALL
-        SELECT 1000000000 + s_suppkey, '207R00000X' FROM supplier
-        WHERE s_suppkey % 11 = 0),
-      pcnpi AS (SELECT DISTINCT m.npi FROM mastertax m JOIN pcref r
-        ON m.taxonomy = r.code AND r.code_system = 'provider_taxonomy'),
-      pctax AS (
-        SELECT DISTINCT p.chid FROM prov p
-        JOIN (SELECT s_suppkey AS pid, 1000000000 + s_suppkey AS npi
-          FROM supplier) n ON p.pid = n.pid
-        JOIN pcnpi q ON n.npi = q.npi
-        WHERE p.ptype IN ('rendering','attending')),
-      pcv AS (
-        SELECT chid FROM pctax
-        WHERE chid IN (SELECT chid FROM pcproc)
-          OR chid IN (SELECT chid FROM pcz)),
-      base AS (
-        SELECT h.id_apcd, h.chid, h.fsd, h.lsd, h.first_paid_date,
-          h.last_paid_date, h.charge_amt,
-          h.cardiac_imaging_and_tests_flag, h.telehealth_flag,
-          h.covid19_flag, s.claim_status_id, g.discharge_date,
-          g.ed_pos_temp, g.ed_rev_temp,
-          CASE WHEN h.pcode_raw IN (-1,-2) THEN NULL ELSE h.pcode_raw END
-            AS product_code_id,
-          CASE WHEN h.tob IN ('-1','-2') THEN NULL ELSE h.tob END
-            AS type_of_bill_code,
-          CAST(h.ct AS VARCHAR) || '.' || CAST(h.tos AS VARCHAR) || '.' ||
-            CAST(CASE WHEN h.pos IN (-1,-2) THEN NULL ELSE h.pos END
-              AS VARCHAR) AS claim_type_apcd_id,
-          CASE WHEN h.er_flag = 'Y' THEN 1 ELSE 0 END AS ed_perform_temp,
-          CASE WHEN h.ct = 1 AND h.tos = 1 AND h.pos = 1
-            AND s.claim_status_id IN (-1,-2,1,5,2,6)
-            AND g.discharge_date IS NOT NULL THEN 1 ELSE 0 END AS ipt_flag
-        FROM hdr h
-        LEFT JOIN (VALUES ('O',1),('F',5),('P',30))
-          AS s(claim_status_code, claim_status_id)
-          ON h.status_code = s.claim_status_code
-        LEFT JOIN linagg g ON h.chid = g.chid
-        WHERE h.denied = 'N' AND h.orphaned = 'N'),
-      xw AS (
-        SELECT DISTINCT CAST(ct AS VARCHAR) || '.' || CAST(tos AS VARCHAR)
-            || '.' || CAST(pos AS VARCHAR) AS source_clm_type_id,
-          CAST(CASE WHEN ct = 1 THEN 1 WHEN ct = 2 THEN 4 ELSE 5 END
-            AS INT) AS kc_clm_type_id
-        FROM hdr WHERE pos NOT IN (-1,-2)),
-      flagged AS (
-        SELECT b.*, x.kc_clm_type_id AS claim_type_id,
-          CASE WHEN b.ed_perform_temp = 1 AND x.kc_clm_type_id = 4
-            THEN 1 ELSE 0 END AS ed_perform,
-          CASE WHEN x.kc_clm_type_id = 5 AND
-            ((e.ed_procedure_code_temp = 1 AND b.ed_pos_temp = 1)
-              OR b.ed_rev_temp = 1) THEN 1 ELSE 0 END AS ed_yale_carrier,
-          CASE WHEN x.kc_clm_type_id = 4 AND (b.ed_rev_temp = 1
-            OR b.ed_pos_temp = 1 OR e.ed_procedure_code_temp = 1)
-            THEN 1 ELSE 0 END AS ed_yale_opt,
-          CASE WHEN x.kc_clm_type_id = 1 AND (b.ed_rev_temp = 1
-            OR b.ed_pos_temp = 1 OR e.ed_procedure_code_temp = 1)
-            THEN 1 ELSE 0 END AS ed_yale_ipt,
-          b.ipt_flag AS inpatient,
-          CASE WHEN b.chid IN (SELECT chid FROM pcv)
-            AND b.claim_type_apcd_id NOT IN
-              ('1.1.1','1.1.14','1.1.2','2.3.8','2.3.2','1.2.8')
-            AND b.claim_status_id IN (-1,-2,1,5,2,6)
-            THEN 1 ELSE 0 END AS pc_visit
-        FROM base b
-        LEFT JOIN xw x ON b.claim_type_apcd_id = x.source_clm_type_id
-        LEFT JOIN edproc e ON b.chid = e.chid),
-      pcseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
-          ORDER BY fsd) AS INT) AS pc_visit_seq
-        FROM flagged WHERE pc_visit = 1),
-      iptseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
-          ORDER BY fsd) AS INT) AS inpatient_seq
-        FROM flagged WHERE inpatient = 1),
-      edpseq AS (SELECT chid, CAST(dense_rank() OVER (PARTITION BY id_apcd
-          ORDER BY fsd) AS INT) AS ed_perform_seq
-        FROM flagged WHERE ed_perform = 1),
-      ed0 AS (
-        SELECT id_apcd, chid, fsd, lsd,
-          lag(fsd) OVER (PARTITION BY id_apcd
-            ORDER BY fsd, fsd, lsd, chid) AS prev_f
-        FROM flagged WHERE ed_yale_carrier = 1 OR ed_yale_opt = 1
-          OR ed_yale_ipt = 1),
-      phseq AS (
-        SELECT chid, CAST(sum(CASE WHEN prev_f IS NULL
-            OR date_diff('day', prev_f, fsd) > 1 THEN 1 ELSE 0 END)
-          OVER (PARTITION BY id_apcd ORDER BY fsd, fsd, lsd, chid
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ed_pophealth_seq
-        FROM ed0)
-      SELECT DISTINCT f.id_apcd, f.chid AS claim_header_id,
-        f.product_code_id, f.fsd AS first_service_date,
-        f.lsd AS last_service_date, f.first_paid_date, f.last_paid_date,
-        f.charge_amt, p.primary_diagnosis, p.icdcm_version,
-        f.claim_status_id, f.claim_type_apcd_id, f.claim_type_id,
-        f.type_of_bill_code,
-        coalesce(b2.mh_primary, 0) AS mh_primary,
-        coalesce(b2.mh_any, 0) AS mh_any,
-        coalesce(b2.sud_primary, 0) AS sud_primary,
-        coalesce(b2.sud_any, 0) AS sud_any,
-        f.cardiac_imaging_and_tests_flag, f.telehealth_flag,
-        f.covid19_flag, f.ed_perform, f.ed_yale_carrier, f.ed_yale_opt,
-        f.ed_yale_ipt, f.inpatient, f.discharge_date, f.pc_visit,
-        q1.pc_visit_seq, q2.inpatient_seq, q3.ed_perform_seq,
-        q4.ed_pophealth_seq
-      FROM flagged f
-      LEFT JOIN pdx p ON f.chid = p.chid
-      LEFT JOIN bh b2 ON f.chid = b2.chid
-      LEFT JOIN pcseq q1 ON f.chid = q1.chid
-      LEFT JOIN iptseq q2 ON f.chid = q2.chid
-      LEFT JOIN edpseq q3 ON f.chid = q3.chid
-      LEFT JOIN phseq q4 ON f.chid = q4.chid
-      ORDER BY claim_header_id""",
+    "q142_apcd_claim_header" -> apcdHeaderOracle,
 
     // q143: APCD injury classification — CDC nature inclusion over the
     // code vocabulary (literal-'%' BETWEEN bounds binary-compared,
@@ -8044,6 +8051,119 @@ object SparkEntry {
         .map(p => s"SELECT * FROM ${p.abbrev}v")
         .mkString(" UNION ALL ") + """)
       ORDER BY ccw_desc"""),
+
+    // q246: APCD claim-header QA battery — audits the exact frame the
+    // q142 oracle pins (shared apcdHeaderOracle CTE), so a drift in
+    // the build breaks both rows at once.
+    "q246_apcd_header_qa" -> ("""
+      WITH stage AS (SELECT * FROM (""" + apcdHeaderOracle + """)),
+      elig AS (
+        SELECT DISTINCT c_custkey % 400 AS id_apcd FROM customer),
+      eligtv AS (SELECT id_apcd FROM elig WHERE id_apcd <> 17),
+      rawc AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0),
+      one AS (
+        SELECT count(*) AS n_headers,
+          count(DISTINCT claim_header_id) AS n_distinct,
+          sum(CASE WHEN claim_type_id IS NULL
+            OR claim_type_apcd_id IS NULL THEN 1 ELSE 0 END)
+            AS n_untyped,
+          sum(CASE WHEN inpatient_seq IS NOT NULL
+            AND discharge_date IS NULL THEN 1 ELSE 0 END)
+            AS n_ipt_no_discharge,
+          sum(CASE WHEN ed_perform_seq IS NOT NULL
+            AND ed_pophealth_seq IS NULL THEN 1 ELSE 0 END)
+            AS n_edp_no_ph,
+          count(DISTINCT CASE WHEN ed_pophealth_seq IS NOT NULL
+            THEN CAST(id_apcd AS VARCHAR) || '|'
+              || CAST(ed_pophealth_seq AS VARCHAR) END)
+            AS n_ph_episodes
+        FROM stage),
+      pp AS (
+        SELECT id_apcd,
+          max(ed_pophealth_seq) AS mx_ph,
+          count(DISTINCT ed_pophealth_seq) AS dc_ph,
+          max(inpatient_seq) AS mx_ipt,
+          count(DISTINCT inpatient_seq) AS dc_ipt,
+          max(pc_visit_seq) AS mx_pc,
+          count(DISTINCT pc_visit_seq) AS dc_pc,
+          max(ed_perform_seq) AS mx_edp,
+          count(DISTINCT ed_perform_seq) AS dc_edp
+        FROM stage GROUP BY id_apcd),
+      dens AS (
+        SELECT
+          sum(CASE WHEN mx_ph IS NOT NULL AND mx_ph <> dc_ph
+            THEN 1 ELSE 0 END) AS viol_ph,
+          sum(CASE WHEN mx_ipt IS NOT NULL AND mx_ipt <> dc_ipt
+            THEN 1 ELSE 0 END) AS viol_ipt,
+          sum(CASE WHEN mx_pc IS NOT NULL AND mx_pc <> dc_pc
+            THEN 1 ELSE 0 END) AS viol_pc,
+          sum(CASE WHEN mx_edp IS NOT NULL AND mx_edp <> dc_edp
+            THEN 1 ELSE 0 END) AS viol_edp,
+          sum(mx_ph) AS summax_ph
+        FROM pp),
+      gap AS (
+        SELECT coalesce(sum(CASE WHEN prev_f IS NOT NULL
+          AND date_diff('day', prev_f, first_service_date) > 1
+          THEN 1 ELSE 0 END), 0) AS n_gap
+        FROM (
+          SELECT first_service_date,
+            lag(first_service_date) OVER (
+              PARTITION BY id_apcd, ed_pophealth_seq
+              ORDER BY first_service_date) AS prev_f
+          FROM stage WHERE ed_pophealth_seq IS NOT NULL)),
+      m1 AS (
+        SELECT count(*) AS n FROM stage s LEFT JOIN elig e
+        ON s.id_apcd = e.id_apcd WHERE e.id_apcd IS NULL),
+      m2 AS (
+        SELECT count(*) AS n FROM stage s LEFT JOIN eligtv e
+        ON s.id_apcd = e.id_apcd WHERE e.id_apcd IS NULL)
+      SELECT * FROM (
+        SELECT 'stage_apcd_claim_header' AS "table",
+          '# of headers' AS qa_type,
+          CAST(n_headers AS BIGINT) AS qa FROM one
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of distinct headers', CAST(n_distinct AS BIGINT) FROM one
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of claims with unmatched claim type, expect 0',
+          CAST(n_untyped AS BIGINT) FROM one
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of ipt stays with no discharge date, expect 0',
+          CAST(n_ipt_no_discharge AS BIGINT) FROM one
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of ed_perform rows with no ed_pophealth, expect 0',
+          CAST(n_edp_no_ph AS BIGINT) FROM one
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of distinct (person, ed_pophealth) episodes',
+          CAST(n_ph_episodes AS BIGINT) FROM one
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          'sum of per-person max ed_pophealth_seq',
+          CAST(coalesce(summax_ph, 0) AS BIGINT) FROM dens
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of persons with non-dense ed_pophealth_seq, expect 0',
+          CAST(viol_ph AS BIGINT) FROM dens
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of persons with non-dense inpatient_seq, expect 0',
+          CAST(viol_ipt AS BIGINT) FROM dens
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of persons with non-dense pc_visit_seq, expect 0',
+          CAST(viol_pc AS BIGINT) FROM dens
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of persons with non-dense ed_perform_seq, expect 0',
+          CAST(viol_edp AS BIGINT) FROM dens
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of ed_pophealth chain gaps greater than 1 day, expect 0',
+          CAST(n_gap AS BIGINT) FROM gap
+        UNION ALL SELECT 'apcd_medical_claim_header',
+          '# of headers in raw table', CAST(n AS BIGINT) FROM rawc
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of members not in elig_demo, expect 0',
+          CAST(n AS BIGINT) FROM m1
+        UNION ALL SELECT 'stage_apcd_claim_header',
+          '# of members not in elig_timevar, expect 0',
+          CAST(n AS BIGINT) FROM m2)
+      ORDER BY "table", qa_type"""),
 
     // q155: apde identity crosswalk — pattern gates, most-recent link
     // dedup (KCMASTER tie-break), md5-prefix id_apde stand-in,

@@ -2007,6 +2007,29 @@ object BuildQueries {
           "covid19_flag"))
       .orderBy(col("claim_header_id"))
 
+  /** APCD claim-header QA battery (q246,
+    * load_stage.apcd_claim_header.R:1105-1258 + the 10001 interactive
+    * probes): distributed verdict counts over q142's staged frame —
+    * header/raw reconciliation, elig membership, typed-claim and
+    * discharge gates, per-person seq density, the Yale 1-day chain.
+    * elig_demo covers every claim member (expect-0 holds); timevar
+    * deliberately omits id 17 so the membership check FIRES. */
+  def q246ApcdHeaderQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = graft.builds.ApcdClaimHeader.build(
+      Apcd.header(s, dir), Apcd.line(s, dir), Apcd.proc(s, dir),
+      Apcd.dx(s, dir), Apcd.provider(s, dir), Apcd.statusRef(s),
+      Apcd.typeXwalk(s, dir), Apcd.npiRef(s, dir),
+      Apcd.providerMaster(s, dir), Apcd.pcRef(s), Apcd.icdRef(s, dir),
+      flagCols = Seq("cardiac_imaging_and_tests_flag", "telehealth_flag",
+        "covid19_flag"))
+    val eligDemo = t(s, dir, "customer")
+      .select((col("c_custkey") % 400).as("id_apcd")).distinct()
+    val eligTimevar = eligDemo.filter(col("id_apcd") =!= 17)
+    graft.builds.ApcdHeaderQa.build(stage, Apcd.header(s, dir),
+        eligDemo, eligTimevar)
+      .orderBy(col("table"), col("qa_type"))
+  }
+
   /** §7.5.6 APCD injury nature/cause classification (q143,
     * load_stage.apcd_claim_header.R step 9): CDC surveillance inclusion
     * on the distinct code vocabulary, prefix-join external-cause
