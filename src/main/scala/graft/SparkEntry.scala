@@ -380,6 +380,8 @@ object SparkEntry {
       (graft.queries.BuildQueries.q245CcwNewCriteriaQa _),
     "q246_apcd_header_qa" ->
       (graft.queries.BuildQueries.q246ApcdHeaderQa _),
+    "q247_quarterly_refresh_qa" ->
+      (graft.queries.BuildQueries.q247QuarterlyRefreshQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -8164,6 +8166,95 @@ object SparkEntry {
           '# of members not in elig_timevar, expect 0',
           CAST(n AS BIGINT) FROM m2)
       ORDER BY "table", qa_type"""),
+
+    // q247: quarterly-refresh QA census — row/col census, pre-cutoff
+    // monitors (service/paid/discharge date variants), per-extract
+    // date envelopes, added-column non-null counts.
+    "q247_quarterly_refresh_qa" -> """
+      WITH co AS (SELECT count(*) AS n FROM orders),
+      cl AS (SELECT count(*) AS n FROM lineitem),
+      census AS (
+        SELECT 'census' AS section, t AS table_name, i AS item,
+          CAST(NULL AS INTEGER) AS extract_id, CAST(n AS BIGINT) AS n,
+          CAST(NULL AS DATE) AS d
+        FROM (
+          SELECT 'apcd_medical_claim_header' AS t, 'row_count' AS i,
+            (SELECT n FROM co) AS n
+          UNION ALL SELECT 'apcd_medical_claim_header', 'col_count', 19
+          UNION ALL SELECT 'apcd_medical_claim', 'row_count',
+            (SELECT n FROM cl)
+          UNION ALL SELECT 'apcd_medical_claim', 'col_count', 4
+          UNION ALL SELECT 'apcd_claim_procedure_raw', 'row_count',
+            (SELECT n FROM cl)
+          UNION ALL SELECT 'apcd_claim_procedure_raw', 'col_count', 2
+          UNION ALL SELECT 'apcd_claim_icdcm_raw', 'row_count',
+            (SELECT n FROM cl)
+          UNION ALL SELECT 'apcd_claim_icdcm_raw', 'col_count', 4
+          UNION ALL SELECT 'apcd_claim_provider_raw', 'row_count',
+            (SELECT n FROM cl)
+          UNION ALL SELECT 'apcd_claim_provider_raw', 'col_count', 3)),
+      pre AS (
+        SELECT 'precutoff' AS section,
+          'apcd_medical_claim_header' AS table_name,
+          'rows_first_service_le_cutoff' AS item,
+          CAST(NULL AS INTEGER) AS extract_id,
+          CAST((SELECT count(*) FROM orders
+            WHERE CAST(o_orderdate AS DATE) <= DATE '1995-12-31')
+            AS BIGINT) AS n,
+          CAST(NULL AS DATE) AS d
+        UNION ALL SELECT 'precutoff', 'apcd_medical_claim_header',
+          'rows_first_paid_le_cutoff', CAST(NULL AS INTEGER),
+          CAST((SELECT count(*) FROM orders
+            WHERE CAST(o_orderdate AS DATE) + 7 <= DATE '1995-12-31')
+            AS BIGINT),
+          CAST(NULL AS DATE)
+        UNION ALL SELECT 'precutoff', 'apcd_medical_claim',
+          'rows_discharge_le_cutoff', CAST(NULL AS INTEGER),
+          CAST((SELECT count(*) FROM lineitem
+            WHERE l_linenumber = 1 AND l_orderkey % 3 = 0
+              AND CAST(l_shipdate AS DATE) <= DATE '1995-12-31')
+            AS BIGINT),
+          CAST(NULL AS DATE)),
+      e1 AS (
+        SELECT CAST(1 + o_orderkey % 4 AS INTEGER) AS extract_id,
+          min(CAST(o_orderdate AS DATE)) AS mind,
+          max(CAST(o_orderdate AS DATE)) AS maxd
+        FROM orders GROUP BY 1),
+      e2 AS (
+        SELECT CAST(1 + l_orderkey % 4 AS INTEGER) AS extract_id,
+          min(CASE WHEN l_linenumber = 1 AND l_orderkey % 3 = 0
+            THEN CAST(l_shipdate AS DATE) END) AS mind,
+          max(CASE WHEN l_linenumber = 1 AND l_orderkey % 3 = 0
+            THEN CAST(l_shipdate AS DATE) END) AS maxd
+        FROM lineitem GROUP BY 1),
+      ext AS (
+        SELECT 'extract_dates' AS section,
+          'apcd_medical_claim_header' AS table_name,
+          'min_date' AS item, extract_id, CAST(NULL AS BIGINT) AS n,
+          mind AS d FROM e1
+        UNION ALL SELECT 'extract_dates', 'apcd_medical_claim_header',
+          'max_date', extract_id, CAST(NULL AS BIGINT), maxd FROM e1
+        UNION ALL SELECT 'extract_dates', 'apcd_medical_claim',
+          'min_date', extract_id, CAST(NULL AS BIGINT), mind FROM e2
+        UNION ALL SELECT 'extract_dates', 'apcd_medical_claim',
+          'max_date', extract_id, CAST(NULL AS BIGINT), maxd FROM e2),
+      ca AS (
+        SELECT 'column_add' AS section,
+          'apcd_medical_claim' AS table_name,
+          'submitted_claim_type_id_nonnull' AS item,
+          CAST(NULL AS INTEGER) AS extract_id,
+          CAST((SELECT count(*) FROM lineitem WHERE l_orderkey % 3 = 0)
+            AS BIGINT) AS n,
+          CAST(NULL AS DATE) AS d
+        UNION ALL SELECT 'column_add', 'apcd_medical_claim',
+          'eci_diagnosis_nonnull', CAST(NULL AS INTEGER),
+          CAST((SELECT count(*) FROM lineitem WHERE l_orderkey % 7 = 0)
+            AS BIGINT),
+          CAST(NULL AS DATE))
+      SELECT * FROM (
+        SELECT * FROM census UNION ALL SELECT * FROM pre
+        UNION ALL SELECT * FROM ext UNION ALL SELECT * FROM ca)
+      ORDER BY section, table_name, item, extract_id""",
 
     // q155: apde identity crosswalk — pattern gates, most-recent link
     // dedup (KCMASTER tie-break), md5-prefix id_apde stand-in,

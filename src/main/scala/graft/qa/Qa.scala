@@ -18,6 +18,34 @@ object Qa {
   case class QaCheck(table: String, check: String, pass: Boolean,
       observed: Long, expected: Long)
 
+  /** Quarterly-refresh row/column census
+    * (qa_stage.apcd_all_tables_quarterly_refresh.sql:1-20): one
+    * row_count + col_count pair per table — the sys.partitions /
+    * information_schema join re-expressed as one aggregate per frame,
+    * column counts from the frame schema. Output (section, table_name,
+    * item, n); each table costs exactly one count scan. */
+  def refreshCensus(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables.map { case (name, df) =>
+      df.agg(count(lit(1)).cast("long").as("rc"))
+        .select(lit("census").as("section"),
+          lit(name).as("table_name"),
+          expr(s"stack(2, 'row_count', rc, 'col_count', " +
+            s"CAST(${df.columns.length} AS BIGINT)) AS (item, n)"))
+    }.reduce(_ unionAll _)
+
+  /** Per-extract date envelope
+    * (qa_stage.apcd_all_tables_quarterly_refresh.sql:40-60): min/max of
+    * `dateCol` per extract_id — the refresh-overwrite date check. One
+    * partial-agg shuffle on extract_id (a handful of groups). */
+  def extractDates(df: DataFrame, table: String,
+      dateCol: String): DataFrame =
+    df.groupBy(col("extract_id"))
+      .agg(min(col(dateCol)).as("mind"), max(col(dateCol)).as("maxd"))
+      .select(lit("extract_dates").as("section"),
+        lit(table).as("table_name"),
+        col("extract_id").cast("int").as("extract_id"),
+        expr("stack(2, 'min_date', mind, 'max_date', maxd) AS (item, d)"))
+
   /** Key distinctness: COUNT(*) == COUNT(DISTINCT keys)
     * (qa_stage.mcaid_claim_header.R:115-145). */
   def keyDistinct(df: DataFrame, table: String, keys: Seq[String]): QaCheck = {

@@ -2030,6 +2030,74 @@ object BuildQueries {
       .orderBy(col("table"), col("qa_type"))
   }
 
+  /** Quarterly-refresh QA census (q247,
+    * qa_stage.apcd_all_tables_quarterly_refresh.sql:1-79): per-table
+    * row/column census, pre-cutoff row monitors for the
+    * last-12-months-overwritten tables (service-date AND paid-date
+    * variants — the pharmacy quirk), per-extract date envelopes, and
+    * the added-column non-null counts. Uniform verdict schema
+    * (section, table_name, item, extract_id, n, d); every section is
+    * one aggregate scan of its frame. */
+  def q247QuarterlyRefreshQa(s: SparkSession, dir: String): DataFrame = {
+    val hdr = Apcd.header(s, dir)
+    val line = Apcd.line(s, dir)
+    val pad = Seq(lit(null).cast("int").as("extract_id"),
+      lit(null).cast("long").as("n"), lit(null).cast("date").as("d"))
+    def countsRow(df: DataFrame, table: String, item: String,
+        pred: org.apache.spark.sql.Column, section: String) =
+      df.agg(sum(when(pred, 1L).otherwise(0L)).as("c"))
+        .select(lit(section).as("section"), lit(table).as("table_name"),
+          lit(item).as("item"), lit(null).cast("int").as("extract_id"),
+          coalesce(col("c"), lit(0L)).as("n"),
+          lit(null).cast("date").as("d"))
+    val census = graft.qa.Qa.refreshCensus(Seq(
+        "apcd_medical_claim_header" -> hdr,
+        "apcd_medical_claim" -> line,
+        "apcd_claim_procedure_raw" -> Apcd.proc(s, dir),
+        "apcd_claim_icdcm_raw" -> Apcd.dx(s, dir),
+        "apcd_claim_provider_raw" -> Apcd.provider(s, dir)))
+      .select(col("section"), col("table_name"), col("item"),
+        lit(null).cast("int").as("extract_id"), col("n"),
+        lit(null).cast("date").as("d"))
+    val cutoff = to_date(lit("1995-12-31"))
+    val pre = Seq(
+      countsRow(hdr, "apcd_medical_claim_header",
+        "rows_first_service_le_cutoff",
+        col("first_service_date") <= cutoff, "precutoff"),
+      countsRow(hdr, "apcd_medical_claim_header",
+        "rows_first_paid_le_cutoff",
+        col("first_paid_date") <= cutoff, "precutoff"),
+      countsRow(line, "apcd_medical_claim",
+        "rows_discharge_le_cutoff",
+        col("discharge_date") <= cutoff, "precutoff"))
+    val withExtract = (df: DataFrame) => df.withColumn("extract_id",
+      lit(1) + col("claim_header_id") % 4)
+    val ext = Seq(
+      graft.qa.Qa.extractDates(
+        withExtract(hdr), "apcd_medical_claim_header",
+        "first_service_date"),
+      graft.qa.Qa.extractDates(
+        withExtract(line), "apcd_medical_claim", "discharge_date"))
+      .map(_.select(col("section"), col("table_name"), col("item"),
+        col("extract_id"), lit(null).cast("long").as("n"), col("d")))
+    // added-column non-null counts: the refresh introduced
+    // submitted_claim_type_id / eci_diagnosis on the line feed
+    val lineAdd = line
+      .withColumn("submitted_claim_type_id",
+        when(col("claim_header_id") % 3 === 0, 1))
+      .withColumn("eci_diagnosis",
+        when(col("claim_header_id") % 7 === 0, "E1"))
+    val colAdd = Seq(
+      countsRow(lineAdd, "apcd_medical_claim",
+        "submitted_claim_type_id_nonnull",
+        col("submitted_claim_type_id").isNotNull, "column_add"),
+      countsRow(lineAdd, "apcd_medical_claim", "eci_diagnosis_nonnull",
+        col("eci_diagnosis").isNotNull, "column_add"))
+    (Seq(census) ++ pre ++ ext ++ colAdd).reduce(_ unionAll _)
+      .orderBy(col("section"), col("table_name"), col("item"),
+        col("extract_id"))
+  }
+
   /** §7.5.6 APCD injury nature/cause classification (q143,
     * load_stage.apcd_claim_header.R step 9): CDC surveillance inclusion
     * on the distinct code vocabulary, prefix-join external-cause
