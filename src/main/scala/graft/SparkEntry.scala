@@ -382,6 +382,8 @@ object SparkEntry {
       (graft.queries.BuildQueries.q246ApcdHeaderQa _),
     "q247_quarterly_refresh_qa" ->
       (graft.queries.BuildQueries.q247QuarterlyRefreshQa _),
+    "q248_apcd_import_chain" ->
+      (graft.queries.LifecycleQueries.q248ApcdImportChain _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1557,6 +1559,141 @@ object SparkEntry {
       LEFT JOIN edpseq q3 ON f.chid = q3.chid
       LEFT JOIN phseq q4 ON f.chid = q4.chid
       ORDER BY claim_header_id
+"""
+
+  /** The q205 oracle CTE chain (fixture series, mid-import log,
+    * name parse, scan-order id assignment, the `unioned` state) —
+    * shared with q248, which runs the import to completion on the
+    * same state. */
+  private def apcdEtlLogCtes: String = """
+      WITH no AS (SELECT count(*) AS n FROM orders),
+      nc AS (SELECT count(*) AS n FROM customer),
+      nn AS (SELECT count(*) AS n FROM nation),
+      s_o26 AS (
+        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20260318.csv.gz') AS file_name,
+          'final' AS file_schema, 'orders' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 7.0) AS BIGINT) AS bs
+              FROM generate_series(1, 7) t(fn) CROSS JOIN no) x),
+      s_c26 AS (
+        SELECT concat('stage.customer.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20260318.csv.gz') AS file_name,
+          'stage' AS file_schema, 'customer' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
+              FROM generate_series(1, 3) t(fn) CROSS JOIN nc) x),
+      s_r26 AS (
+        SELECT concat('ref.nation.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20260318.csv.gz') AS file_name,
+          'ref' AS file_schema, 'nation' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 1.0) AS BIGINT) AS bs
+              FROM generate_series(1, 1) t(fn) CROSS JOIN nn) x),
+      s_o24a AS (
+        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20240601.csv.gz') AS file_name,
+          'final' AS file_schema, 'orders' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-06-01' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
+              FROM generate_series(1, 3) t(fn) CROSS JOIN no) x),
+      s_o24b AS (
+        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20241217.csv.gz') AS file_name,
+          'final' AS file_schema, 'orders' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 7.0) AS BIGINT) AS bs
+              FROM generate_series(1, 7) t(fn) CROSS JOIN no) x),
+      s_c24 AS (
+        SELECT concat('stage.customer.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20241217.csv.gz') AS file_name,
+          'stage' AS file_schema, 'customer' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
+              FROM generate_series(1, 3) t(fn) CROSS JOIN nc) x),
+      s_r24 AS (
+        SELECT concat('ref.nation.', lpad(CAST(fn AS VARCHAR), 3, '0'),
+            '_20241217.csv.gz') AS file_name,
+          'ref' AS file_schema, 'nation' AS file_table,
+          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
+          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
+            AS rows_file
+        FROM (SELECT fn, n, CAST(round(n / 1.0) AS BIGINT) AS bs
+              FROM generate_series(1, 1) t(fn) CROSS JOIN nn) x),
+      log AS (
+        SELECT CAST(0 + file_number AS BIGINT) AS etl_id, file_name,
+          file_schema, file_table, file_number, file_date,
+          'deleted' AS status, rows_file, rows_file AS rows_loaded
+        FROM s_o24a
+        UNION ALL
+        SELECT CAST(3 + file_number AS BIGINT), file_name, file_schema,
+          file_table, file_number, file_date, 'archived', rows_file,
+          rows_file
+        FROM s_r24
+        UNION ALL
+        SELECT CAST(4 + file_number AS BIGINT), file_name, file_schema,
+          file_table, file_number, file_date, 'archived', rows_file,
+          rows_file
+        FROM s_c24
+        UNION ALL
+        SELECT CAST(7 + file_number AS BIGINT), file_name, file_schema,
+          file_table, file_number, file_date, 'archived', rows_file,
+          rows_file
+        FROM s_o24b
+        UNION ALL
+        SELECT CAST(15 AS BIGINT), file_name, file_schema, file_table,
+          file_number, file_date, 'loaded', rows_file, rows_file - 5
+        FROM s_c26 WHERE file_number = 1
+        UNION ALL
+        SELECT CAST(16 AS BIGINT), file_name, file_schema, file_table,
+          file_number, file_date, 'loaded', rows_file, rows_file
+        FROM s_o26 WHERE file_number = 1),
+      incoming AS (
+        SELECT * FROM s_r26 UNION ALL SELECT * FROM s_c26
+        UNION ALL SELECT * FROM s_o26),
+      newf AS (
+        SELECT file_name, file_schema, rows_file,
+          split_part(file_name, '.', 2) AS file_table,
+          CAST(substring(split_part(file_name, '.', 3), 1, 3) AS INTEGER)
+            AS file_number,
+          concat_ws('-', substring(file_name, -15, 4),
+            substring(file_name, -11, 2), substring(file_name, -9, 2))
+            AS file_date
+        FROM incoming
+        WHERE file_name NOT IN (SELECT file_name FROM log)),
+      newid AS (
+        SELECT *,
+          (SELECT max(etl_id) FROM log) + row_number() OVER (ORDER BY
+            CASE file_schema WHEN 'ref' THEN 0 WHEN 'stage' THEN 1
+              ELSE 2 END, file_name) AS etl_id
+        FROM newf),
+      unioned AS (
+        SELECT etl_id, file_name, file_schema, file_table, file_number,
+          file_date, status, rows_file, rows_loaded,
+          CASE WHEN rows_loaded IS NULL THEN NULL
+            WHEN rows_file = rows_loaded THEN 'OK'
+            ELSE concat('ERROR: Row Count of File ', file_name, ' (',
+              CAST(rows_file AS VARCHAR),
+              ') does NOT MATCH Rows Loaded to SQL Table (',
+              CAST(rows_loaded AS VARCHAR), ')!!!') END AS load_result
+        FROM log
+        UNION ALL
+        SELECT etl_id, file_name, file_schema, file_table, file_number,
+          file_date, 'created', rows_file, CAST(NULL AS BIGINT),
+          CAST(NULL AS VARCHAR)
+        FROM newid)
 """
 
   def oracleSql: Map[String, String] = Map(
@@ -11702,142 +11839,44 @@ object SparkEntry {
     // incoming names with the reference's dot-split + fixed-position
     // date rules, renumbers the unlogged files in directory-scan order,
     // and replays the row-count gate incl. the ERROR string.
-    "q205_apcd_etl_log" -> """
-      WITH no AS (SELECT count(*) AS n FROM orders),
-      nc AS (SELECT count(*) AS n FROM customer),
-      nn AS (SELECT count(*) AS n FROM nation),
-      s_o26 AS (
-        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
-            '_20260318.csv.gz') AS file_name,
-          'final' AS file_schema, 'orders' AS file_table,
-          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
-          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
-            AS rows_file
-        FROM (SELECT fn, n, CAST(round(n / 7.0) AS BIGINT) AS bs
-              FROM generate_series(1, 7) t(fn) CROSS JOIN no) x),
-      s_c26 AS (
-        SELECT concat('stage.customer.', lpad(CAST(fn AS VARCHAR), 3, '0'),
-            '_20260318.csv.gz') AS file_name,
-          'stage' AS file_schema, 'customer' AS file_table,
-          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
-          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
-            AS rows_file
-        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
-              FROM generate_series(1, 3) t(fn) CROSS JOIN nc) x),
-      s_r26 AS (
-        SELECT concat('ref.nation.', lpad(CAST(fn AS VARCHAR), 3, '0'),
-            '_20260318.csv.gz') AS file_name,
-          'ref' AS file_schema, 'nation' AS file_table,
-          CAST(fn AS INTEGER) AS file_number, '2026-03-18' AS file_date,
-          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
-            AS rows_file
-        FROM (SELECT fn, n, CAST(round(n / 1.0) AS BIGINT) AS bs
-              FROM generate_series(1, 1) t(fn) CROSS JOIN nn) x),
-      s_o24a AS (
-        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
-            '_20240601.csv.gz') AS file_name,
-          'final' AS file_schema, 'orders' AS file_table,
-          CAST(fn AS INTEGER) AS file_number, '2024-06-01' AS file_date,
-          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
-            AS rows_file
-        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
-              FROM generate_series(1, 3) t(fn) CROSS JOIN no) x),
-      s_o24b AS (
-        SELECT concat('final.orders.', lpad(CAST(fn AS VARCHAR), 3, '0'),
-            '_20241217.csv.gz') AS file_name,
-          'final' AS file_schema, 'orders' AS file_table,
-          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
-          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
-            AS rows_file
-        FROM (SELECT fn, n, CAST(round(n / 7.0) AS BIGINT) AS bs
-              FROM generate_series(1, 7) t(fn) CROSS JOIN no) x),
-      s_c24 AS (
-        SELECT concat('stage.customer.', lpad(CAST(fn AS VARCHAR), 3, '0'),
-            '_20241217.csv.gz') AS file_name,
-          'stage' AS file_schema, 'customer' AS file_table,
-          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
-          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
-            AS rows_file
-        FROM (SELECT fn, n, CAST(round(n / 3.0) AS BIGINT) AS bs
-              FROM generate_series(1, 3) t(fn) CROSS JOIN nc) x),
-      s_r24 AS (
-        SELECT concat('ref.nation.', lpad(CAST(fn AS VARCHAR), 3, '0'),
-            '_20241217.csv.gz') AS file_name,
-          'ref' AS file_schema, 'nation' AS file_table,
-          CAST(fn AS INTEGER) AS file_number, '2024-12-17' AS file_date,
-          greatest(0, least(n, fn * (bs + 1)) - (fn - 1) * (bs + 1))
-            AS rows_file
-        FROM (SELECT fn, n, CAST(round(n / 1.0) AS BIGINT) AS bs
-              FROM generate_series(1, 1) t(fn) CROSS JOIN nn) x),
-      log AS (
-        SELECT CAST(0 + file_number AS BIGINT) AS etl_id, file_name,
-          file_schema, file_table, file_number, file_date,
-          'deleted' AS status, rows_file, rows_file AS rows_loaded
-        FROM s_o24a
-        UNION ALL
-        SELECT CAST(3 + file_number AS BIGINT), file_name, file_schema,
-          file_table, file_number, file_date, 'archived', rows_file,
-          rows_file
-        FROM s_r24
-        UNION ALL
-        SELECT CAST(4 + file_number AS BIGINT), file_name, file_schema,
-          file_table, file_number, file_date, 'archived', rows_file,
-          rows_file
-        FROM s_c24
-        UNION ALL
-        SELECT CAST(7 + file_number AS BIGINT), file_name, file_schema,
-          file_table, file_number, file_date, 'archived', rows_file,
-          rows_file
-        FROM s_o24b
-        UNION ALL
-        SELECT CAST(15 AS BIGINT), file_name, file_schema, file_table,
-          file_number, file_date, 'loaded', rows_file, rows_file - 5
-        FROM s_c26 WHERE file_number = 1
-        UNION ALL
-        SELECT CAST(16 AS BIGINT), file_name, file_schema, file_table,
-          file_number, file_date, 'loaded', rows_file, rows_file
-        FROM s_o26 WHERE file_number = 1),
-      incoming AS (
-        SELECT * FROM s_r26 UNION ALL SELECT * FROM s_c26
-        UNION ALL SELECT * FROM s_o26),
-      newf AS (
-        SELECT file_name, file_schema, rows_file,
-          split_part(file_name, '.', 2) AS file_table,
-          CAST(substring(split_part(file_name, '.', 3), 1, 3) AS INTEGER)
-            AS file_number,
-          concat_ws('-', substring(file_name, -15, 4),
-            substring(file_name, -11, 2), substring(file_name, -9, 2))
-            AS file_date
-        FROM incoming
-        WHERE file_name NOT IN (SELECT file_name FROM log)),
-      newid AS (
-        SELECT *,
-          (SELECT max(etl_id) FROM log) + row_number() OVER (ORDER BY
-            CASE file_schema WHEN 'ref' THEN 0 WHEN 'stage' THEN 1
-              ELSE 2 END, file_name) AS etl_id
-        FROM newf),
-      unioned AS (
-        SELECT etl_id, file_name, file_schema, file_table, file_number,
-          file_date, status, rows_file, rows_loaded,
-          CASE WHEN rows_loaded IS NULL THEN NULL
-            WHEN rows_file = rows_loaded THEN 'OK'
-            ELSE concat('ERROR: Row Count of File ', file_name, ' (',
-              CAST(rows_file AS VARCHAR),
-              ') does NOT MATCH Rows Loaded to SQL Table (',
-              CAST(rows_loaded AS VARCHAR), ')!!!') END AS load_result
-        FROM log
-        UNION ALL
-        SELECT etl_id, file_name, file_schema, file_table, file_number,
-          file_date, 'created', rows_file, CAST(NULL AS BIGINT),
-          CAST(NULL AS VARCHAR)
-        FROM newid)
+    "q205_apcd_etl_log" -> (apcdEtlLogCtes + """
       SELECT etl_id, file_name, file_schema, file_table, file_number,
         file_date, status,
         max(file_number) OVER (PARTITION BY file_date, file_schema,
           file_table) AS max_file_num,
         rows_file, rows_loaded, load_result
       FROM unioned
-      ORDER BY etl_id""",
+      ORDER BY etl_id"""),
+
+    // q248: the composed auto-import chain — the q205 state run to
+    // completion: created→downloaded→loaded with the row-count gate
+    // re-stamped; a second shortfall (customer file 002, 3 rows) is
+    // produced by THIS run's load loop.
+    "q248_apcd_import_chain" -> (apcdEtlLogCtes + """,
+      final AS (
+        SELECT etl_id, file_name, file_schema, file_table, file_number,
+          file_date,
+          CASE WHEN status IN ('created', 'downloaded') THEN 'loaded'
+            ELSE status END AS status,
+          rows_file,
+          CASE WHEN status IN ('created', 'downloaded')
+            THEN rows_file - (CASE WHEN file_name =
+              'stage.customer.002_20260318.csv.gz' THEN 3 ELSE 0 END)
+            ELSE rows_loaded END AS rows_loaded
+        FROM unioned)
+      SELECT etl_id, file_name, file_schema, file_table, file_number,
+        file_date, status,
+        max(file_number) OVER (PARTITION BY file_date, file_schema,
+          file_table) AS max_file_num,
+        rows_file, rows_loaded,
+        CASE WHEN rows_loaded IS NULL THEN NULL
+          WHEN rows_file = rows_loaded THEN 'OK'
+          ELSE concat('ERROR: Row Count of File ', file_name, ' (',
+            CAST(rows_file AS VARCHAR),
+            ') does NOT MATCH Rows Loaded to SQL Table (',
+            CAST(rows_loaded AS VARCHAR), ')!!!') END AS load_result
+      FROM final
+      ORDER BY etl_id"""),
 
     // q206: metadata etl_log batch ids — matched keys reuse the highest
     // log id, new keys number latest+1.. in request order, and a

@@ -347,7 +347,12 @@ vars:
     * files, max_file_num per (date, schema, table), lifecycle status
     * precedence, and the post-load row-count gate incl. the reference's
     * ERROR string verbatim. */
-  def q205ApcdEtlLog(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q205/q248 fixture: the mid-import ETL log (two retired
+    * deliveries, the current one partially loaded with a planted 5-row
+    * shortfall) and the incoming 2026-03-18 FTP list. Returns
+    * (log-with-status, incoming). */
+  private def apcdEtlFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val orders = t(s, dir, "orders")
     val customer = t(s, dir, "customer")
     val nation = t(s, dir, "nation")
@@ -399,13 +404,18 @@ vars:
       col("rows_file"), col("rows_loaded"),
       EtlLog.loadResultCol(col("file_name"), col("rows_file"),
         col("rows_loaded")).as("load_result"))
+    (logOut, incoming)
+  }
+
+  def q205ApcdEtlLog(s: SparkSession, dir: String): DataFrame = {
+    val (logOut, incoming) = apcdEtlFixture(s, dir)
     // unlogged incoming files: entries created with sequential ids; the
     // table / number / date come from the PARSER, not the generator
     val newFiles = incoming
-      .join(log.select("file_name"), Seq("file_name"), "left_anti")
+      .join(logOut.select("file_name"), Seq("file_name"), "left_anti")
       .select(Seq(col("file_name"), col("file_schema"), col("rows_file"))
         ++ EtlLog.parsedCols(col("file_name")): _*)
-    val newOut = EtlLog.assignEtlIds(newFiles, log)
+    val newOut = EtlLog.assignEtlIds(newFiles, logOut)
       .select(col("etl_id"), col("file_name"), col("file_schema"),
         col("file_table"), col("file_number"), col("file_date"),
         lit("created").as("status"), col("rows_file"),
@@ -416,6 +426,24 @@ vars:
         col("file_table"), col("file_number"), col("file_date"),
         col("status"), col("max_file_num"), col("rows_file"),
         col("rows_loaded"), col("load_result"))
+      .orderBy(col("etl_id"))
+  }
+
+  /** The composed APCD auto-import chain (q248,
+    * apcd_export_import/apcd_import_auto.R STEP 2-4): starting from the
+    * q205 mid-import state, register the remaining incoming files,
+    * download everything pending, load everything downloaded, and
+    * stamp the row-count gate — one run to completion under one
+    * oracle, the q210 chain discipline. A SECOND shortfall is planted
+    * on the newly loaded stage.customer file 002 (3 rows short), so
+    * the final state carries both the pre-existing ERROR row and one
+    * produced by THIS run's load loop. */
+  def q248ApcdImportChain(s: SparkSession, dir: String): DataFrame = {
+    val (logOut, incoming) = apcdEtlFixture(s, dir)
+    val shortBy = (name: Column) =>
+      when(name === "stage.customer.002_20260318.csv.gz", 3L)
+        .otherwise(0L)
+    EtlLog.importChain(logOut, incoming, shortBy)
       .orderBy(col("etl_id"))
   }
 

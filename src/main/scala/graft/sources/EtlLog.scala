@@ -99,6 +99,60 @@ object EtlLog {
         lit(") does NOT MATCH Rows Loaded to SQL Table ("),
         rowsLoaded.cast("string"), lit(")!!!")))
 
+  /** The composed auto-import run — apcd_import_auto.R STEP 2-4 as one
+    * transform chain over the log state:
+    *
+    *  - STEP 2: incoming files not yet logged get entries ('created',
+    *    sequential ids in directory-scan order, parsed name fields);
+    *  - STEP 3: every entry with no download timestamp (status
+    *    'created') downloads → 'downloaded';
+    *  - STEP 4: every downloaded-but-unloaded entry loads → 'loaded',
+    *    `rows_loaded` = what the load landed (simulated via
+    *    `shortBy(file_name)` rows short), and the row-count gate
+    *    stamps `load_result` ('OK' or the reference's ERROR string).
+    *
+    * Entries already loaded/archived/deleted pass through untouched —
+    * the selection filters are exactly the reference's
+    * `is.na(datetime_download)` / `is.na(datetime_load)` predicates
+    * restated on lifecycle status. Returns the post-run log with
+    * `max_file_num`, the frame `apcd_etl_get_list` would hand the next
+    * run. Pure per-key joins + conditional projections; nothing
+    * collects.
+    *
+    * @param shortBy file_name → rows the simulated load fell short */
+  def importChain(log: DataFrame, incoming: DataFrame,
+      shortBy: Column => Column): DataFrame = {
+    val newFiles = incoming
+      .join(log.select("file_name"), Seq("file_name"), "left_anti")
+      .select(Seq(col("file_name"), col("file_schema"),
+        col("rows_file")) ++ parsedCols(col("file_name")): _*)
+    val created = assignEtlIds(newFiles, log)
+      .select(col("etl_id"), col("file_name"), col("file_schema"),
+        col("file_table"), col("file_number"), col("file_date"),
+        lit("created").as("status"), col("rows_file"),
+        lit(null).cast("long").as("rows_loaded"),
+        lit(null).cast("string").as("load_result"))
+    val all = log.unionByName(created)
+    val afterDownload = all.withColumn("status",
+      when(col("status") === "created", "downloaded")
+        .otherwise(col("status")))
+    val afterLoad = afterDownload
+      .withColumn("rows_loaded",
+        when(col("status") === "downloaded",
+          col("rows_file") - shortBy(col("file_name")))
+          .otherwise(col("rows_loaded")))
+      .withColumn("status",
+        when(col("status") === "downloaded", "loaded")
+          .otherwise(col("status")))
+      .withColumn("load_result", loadResultCol(col("file_name"),
+        col("rows_file"), col("rows_loaded")))
+    withMaxFileNum(afterLoad)
+      .select(col("etl_id"), col("file_name"), col("file_schema"),
+        col("file_table"), col("file_number"), col("file_date"),
+        col("status"), col("max_file_num"), col("rows_file"),
+        col("rows_loaded"), col("load_result"))
+  }
+
   /** The caller-facing 'incremental'/'full' argument → the stored label
     * (etl_log.R:93-95 — the comparison against existing entries runs on
     * the MAPPED form, so the mapping is part of the match semantics). */
