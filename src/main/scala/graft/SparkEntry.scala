@@ -98,6 +98,9 @@ object SparkEntry {
   def qStreamCms(s: SparkSession, dir: String): DataFrame =
     EventStream.cmsRollup(s, dir)
 
+  def qStreamNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.DocStream.nearDupGate(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. Insertion-ordered
     * (ListMap) so Bench timings are stable round-over-round. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -384,6 +387,7 @@ object SparkEntry {
       (graft.queries.BuildQueries.q247QuarterlyRefreshQa _),
     "q248_apcd_import_chain" ->
       (graft.queries.LifecycleQueries.q248ApcdImportChain _),
+    "q249_stream_neardup_gate" -> (qStreamNearDup _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -12232,6 +12236,32 @@ object SparkEntry {
     // q216: incremental dedup — the oracle is the FROM-SCRATCH exact
     // pair set restricted to pairs touching the delta slice; equality
     // proves the asymmetric probe loses no recall.
+    // q249: streaming near-dup admission gate — band candidates emit
+    // via a stateless stream-static join, then exact-Jaccard verify;
+    // result equals the from-scratch restriction to stream-corpus
+    // pairs (the q216 oracle shape with an exactly-one-side-in-corpus
+    // gate).
+    "q249_stream_neardup_gate" -> """
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+            AS toks
+          FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1),
+          4) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)
+        AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+        >= 0.5
+      ORDER BY id_a, id_b""",
+
     "q216_incremental_dedup" -> """
       WITH d AS (
         SELECT doc_id,

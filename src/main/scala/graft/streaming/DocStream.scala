@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Dedup
+
+/** Streaming document pipelines — the INGEST-time siblings of the batch
+  * corpus operators: documents arrive as a file stream and are gated
+  * against a static view of the existing corpus before admission.
+  */
+object DocStream {
+
+  /** File stream over the documents table (the events symlink
+    * discipline: Spark's file source needs a DIRECTORY). */
+  private def docsStream(s: SparkSession, dir: String,
+      tmpName: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val srcDir = Files.createTempDirectory(tmpName)
+    Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"))
+    s.readStream.schema(batchSchema).parquet(srcDir.toString)
+  }
+
+  /** Streaming near-duplicate ADMISSION GATE — the production shape of
+    * minhash dedup (q38/q216): the corpus slice (doc_id % 10 = 0) is
+    * the already-ingested static index; the rest of the table arrives
+    * as the incoming stream, and every incoming doc is checked for a
+    * near-duplicate already in the corpus BEFORE admission.
+    *
+    * Stream side: the same codegen'd shingle → minhash → banded-bucket
+    * chain as the batch kernel, per microbatch. The static band index
+    * is computed once from the corpus and broadcast into a
+    * STREAM-STATIC inner join — stateless in Structured Streaming (no
+    * watermark, no state store; the static side is re-planned per
+    * microbatch), so every candidate (incoming, corpus) band hit emits
+    * immediately and the result provably equals the batch band join.
+    * At 100 TB the corpus index outgrows a broadcast and the same join
+    * degrades gracefully to a shuffled stream-static join on
+    * (band, bucket) — still stateless.
+    *
+    * The read-back then verifies candidates EXACTLY (batch): distinct
+    * pairs, true shingle Jaccard, threshold filter — the bloom→exact
+    * decontam discipline (q210) applied at ingest. Output
+    * (id_a, id_b, jaccard) equals q216's from-scratch restriction to
+    * stream-corpus pairs, which is what the DuckDB oracle computes.
+    */
+  def nearDupGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 === 0)
+    val shingleN = 3; val bands = 8; val rows = 2
+    val k = bands * rows
+    def bandRows(df: DataFrame, idOut: String): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("_sig"), b * rows + 1, rows)).as("bh"))
+      }
+      df.select(col("doc_id").as(idOut),
+          Dedup.minhashSignature(
+            Dedup.shingles(col("text"), shingleN), k).as("_sig"))
+        .select(col(idOut), explode(array(bandCols: _*)).as("bk"))
+        .select(col(idOut), col("bk.band").as("band"),
+          col("bk.bh").as("bh"))
+    }
+    val staticIdx = bandRows(corpus, "corpus_id")
+    val stream = docsStream(s, dir, "graft_stream_neardup_src")
+      .filter(col("doc_id") % 10 =!= 0)
+    val hits = bandRows(stream, "in_id")
+      .join(broadcast(staticIdx), Seq("band", "bh"))
+      .select(col("in_id"), col("corpus_id"))
+    val base = Files.createTempDirectory("graft_stream_neardup").toString
+    val q = hits.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // exact verification of the streamed candidates (batch)
+    val pairs = s.read.schema(hits.schema).parquet(s"$base/data")
+      .select(least(col("in_id"), col("corpus_id")).as("id_a"),
+        greatest(col("in_id"), col("corpus_id")).as("id_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), shingleN).as("_sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("_sh").as("_sha")),
+        Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("_sh").as("_shb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("_sha"), col("_shb")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

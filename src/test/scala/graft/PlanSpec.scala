@@ -160,6 +160,10 @@ class PlanSpec extends SparkSpec {
                            // file series x 1-row counts (q169 shape)
       "q206_etl_batch_ids", // requests x broadcast 1-row latest id
                             // (the q202 numbering-offset shape)
+      "q248_apcd_import_chain", // the q205 chain run to completion —
+                                // same new-files x broadcast 1-row
+                                // prior-max id + file-series x 1-row
+                                // counts (q169 scalar shape)
       "q208_cdr_file_prep", // rollup x broadcast 1-row terminator-check
                             // flag (the q128 renormalizer shape)
       "q210_decontam_pipeline", // counts x broadcast 1-row minP bound,
