@@ -388,6 +388,8 @@ object SparkEntry {
     "q248_apcd_import_chain" ->
       (graft.queries.LifecycleQueries.q248ApcdImportChain _),
     "q249_stream_neardup_gate" -> (qStreamNearDup _),
+    "q250_hard_negatives" -> (T.q250HardNegatives _),
+    "q251_doremi_weights" -> (T.q251DoremiWeights _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -659,6 +661,21 @@ object SparkEntry {
             WHERE o.id NOT IN (SELECT id FROM ${a}fin)) AS BIGINT)
             AS old_not_new)"""
   }
+
+  /** One DoReMi oracle round (q251): linearized multiplicative update
+    * + integer renormalization — generated per round so the 5-step
+    * chain cannot drift from `TextAnalysis.doremiWeights`. */
+  private def dmIter(i: Int): String = s"""
+      r$i AS (
+        SELECT b.domain, b.excn,
+          CAST((w.weight * (1000000 + 3 * b.excn // 10)) // 1000000
+            AS BIGINT) AS wr
+        FROM base b JOIN w${i - 1} w ON b.domain = w.domain),
+      w$i AS (
+        SELECT domain,
+          CAST(wr * 1000000 // (SELECT sum(wr) FROM r$i) AS BIGINT)
+            AS weight
+        FROM r$i)"""
 
   /** Integer squared distance between a quantized vector `v` and a
     * centroid list `c` (both LIST(BIGINT), 64 dims) — the q42 metric. */
@@ -6264,6 +6281,86 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, doc_id, bm25, rank FROM r
       WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q250: hard-negative mining — the q134 BM25 replay with generated
+    // first-5-token queries, positive exclusion, and a survivor
+    // re-rank to neg_rank 1..5.
+    "q250_hard_negatives" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS t FROM documents),
+      post AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS tf,
+          max(dl) AS dl
+        FROM (SELECT doc_id, unnest(t) AS tok, len(t)::BIGINT AS dl
+              FROM d)
+        WHERE len(tok) > 0 GROUP BY doc_id, tok),
+      stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+          sum(len(t))::BIGINT AS tot_dl FROM d),
+      q AS (
+        SELECT CAST(doc_id AS VARCHAR) AS query_id,
+          array_to_string(t[1:5], ' ') AS query_text
+        FROM d WHERE doc_id % 50 = 0),
+      qt AS (
+        SELECT DISTINCT query_id,
+          unnest(regexp_split_to_array(trim(lower(query_text)), '\s+'))
+          AS tok FROM q),
+      dfreq AS (
+        SELECT tok, count(*)::BIGINT AS df FROM post
+        WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok),
+      scored AS (
+        SELECT qt.query_id, p.doc_id,
+          round(sum(
+            ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+            * p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75
+              + 0.75 * p.dl::DOUBLE
+                / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25
+        FROM post p JOIN qt ON p.tok = qt.tok
+          JOIN dfreq f ON p.tok = f.tok CROSS JOIN stats s
+        GROUP BY qt.query_id, p.doc_id),
+      r AS (
+        SELECT query_id, doc_id, bm25,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        FROM scored),
+      negs AS (
+        SELECT query_id, doc_id, bm25, rank FROM r
+        WHERE rank <= 10 AND doc_id <> CAST(query_id AS BIGINT)),
+      ranked AS (
+        SELECT query_id, doc_id, bm25,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rank) AS INT) AS neg_rank
+        FROM negs)
+      SELECT query_id, doc_id, bm25, neg_rank FROM ranked
+      WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""",
+
+    // q251: DoReMi integer reweighting — 5 generated multiplicative-
+    // weight rounds replay the fixed-point trajectory exactly; final
+    // 1/5 uniform smoothing.
+    "q251_doremi_weights" -> ("""
+      WITH dl AS (
+        SELECT source AS domain,
+          CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) // count(*) AS loss
+        FROM documents GROUP BY 1),
+      st AS (SELECT count(*) AS n, min(loss) AS minl FROM dl),
+      b0 AS (SELECT domain, loss,
+        loss - (SELECT minl FROM st) AS excess FROM dl),
+      mx AS (SELECT greatest(max(excess), 1) AS mxe FROM b0),
+      base AS (SELECT domain, loss,
+        CAST(excess * 1000000 // (SELECT mxe FROM mx) AS BIGINT)
+          AS excn
+        FROM b0),
+      w0 AS (SELECT domain,
+        CAST(1000000 // (SELECT n FROM st) AS BIGINT) AS weight
+        FROM base),""" +
+      (1 to 5).map(dmIter).mkString(",") + """
+      SELECT b.domain AS domain, b.loss AS loss,
+        CAST(w.weight * 4 // 5
+          + 1000000 // (5 * (SELECT n FROM st)) AS BIGINT) AS weight
+      FROM w5 w JOIN base b ON w.domain = b.domain
+      ORDER BY b.domain"""),
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -595,6 +595,41 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive retrieval training — per
+    * query, the top-ranked corpus documents that are NOT its known
+    * positives: lexically close enough to score high, labeled
+    * negative, exactly the pairs a dual-encoder needs to learn from
+    * (the standard BM25-negatives recipe of DPR and its successors).
+    *
+    * Composes [[bm25TopK]] (mined at `k`, which must exceed `negK`
+    * plus the expected positives-in-top-k so exclusion cannot starve
+    * the negative set) with a positives ANTI-JOIN and a per-query
+    * re-rank of the survivors to `neg_rank` 1..negK. Ties and float
+    * order are inherited from bm25TopK's rounded-score discipline, so
+    * the output is engine-portable.
+    *
+    * Scale shape: everything heavy is inside bm25TopK (postings build
+    * + broadcast query dims); the exclusion is a per-(query, doc)
+    * anti-join against the positives frame (query-keyed, tiny) and
+    * the re-rank windows only the <= k surviving hits per query. */
+  def hardNegatives(docs: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int, negK: Int,
+      id: String = "doc_id", text: String = "text",
+      qid: String = "query_id", qtext: String = "query_text"): DataFrame = {
+    require(k > negK, "mine deeper than the negative set (k > negK)")
+    val mined = bm25TopK(docs, queries, k, id, text, qid, qtext)
+    val negs = mined.join(
+      positives.select(col(qid).as("query_id"),
+        col("pos_doc_id").as("doc_id")),
+      Seq("query_id", "doc_id"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank").asc)
+    negs.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= negK)
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        col("neg_rank"))
+  }
+
   /** Corpus-trained bigram-LM perplexity — the CCNet-style quality
     * signal: train add-k-smoothed bigram probabilities on `train`, score
     * every `score` doc by perplexity = exp(−Σ m·ln p / Σ m) over its
@@ -654,6 +689,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("_nll"), 6).as("avg_nll"),
         round(exp(col("_nll")), 6).as("perplexity"))
+  }
+
+  /** DoReMi-style domain REWEIGHTING — multiplicative-weights over
+    * per-domain excess losses (Xie et al. 2023's Group-DRO recipe,
+    * linearized): domains whose loss exceeds the best domain's get
+    * their sampling weight multiplied up each round, weights
+    * renormalize, and the final mix smooths 1/`smooth` of the mass
+    * back to uniform so no domain starves. PURE INTEGER fixed-point
+    * (scale 1e6): excess normalizes to [0, 1e6] by the max, the
+    * per-round factor is `SCALE + etaNum*excn/etaDen`, and every
+    * divide is integer `div` — the whole trajectory is
+    * bit-reproducible under any partitioning, so generated per-round
+    * oracle CTEs can replay it exactly (the q220 pageRankInt
+    * discipline). exp() would cost cross-engine reproducibility and
+    * buys nothing at these learning rates.
+    *
+    * `domLoss` carries (domain, loss BIGINT) — in production the
+    * proxy-vs-reference excess loss per domain; any integer loss
+    * works. Scale shape: the input is already domain-grain (bounded
+    * dim); each round is a tiny join + one 1-row broadcast total —
+    * driver composes the plan, nothing collects. */
+  def doremiWeights(domLoss: DataFrame, iters: Int = 5,
+      etaNum: Long = 3L, etaDen: Long = 10L,
+      smooth: Long = 5L): DataFrame = {
+    val SCALE = 1000000L
+    val stats = domLoss.agg(count(lit(1)).as("_n"),
+      min(col("loss")).as("_minl"))
+    val b0 = domLoss.crossJoin(broadcast(stats))
+      .withColumn("excess", col("loss") - col("_minl"))
+    val mx = b0.agg(greatest(max(col("excess")), lit(1L)).as("_mxe"))
+    val base = b0.crossJoin(broadcast(mx))
+      .withColumn("excn", expr(s"excess * ${SCALE}L div _mxe"))
+      .select(col("domain"), col("loss"), col("excn"), col("_n"))
+    var w = base.select(col("domain"),
+      expr(s"${SCALE}L div _n").as("weight"))
+    for (_ <- 1 to iters) {
+      val raw = w.join(base.select(col("domain"), col("excn")),
+          Seq("domain"))
+        .withColumn("wr", expr(s"weight * (${SCALE}L + " +
+          s"${etaNum}L * excn div ${etaDen}L) div ${SCALE}L"))
+      val tot = raw.agg(sum(col("wr")).as("_tw"))
+      w = raw.crossJoin(broadcast(tot))
+        .select(col("domain"), expr(s"wr * ${SCALE}L div _tw")
+          .as("weight"))
+    }
+    w.join(base.select(col("domain"), col("loss"), col("_n")),
+        Seq("domain"))
+      .select(col("domain"), col("loss"),
+        expr(s"weight * ${smooth - 1}L div ${smooth}L + " +
+          s"${SCALE}L div (${smooth}L * _n)").as("weight"))
   }
 
   /** Temperature-scaled domain mixture weights (the standard

@@ -449,6 +449,38 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining (q250): every 50th document becomes a query
+    * (its first 5 tokens), its source doc is the known positive, and
+    * the top-5 BM25 hits EXCLUDING the positive are the mined
+    * negatives — the DPR-style contrastive-training data recipe. */
+  def q250HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").cast("string").as("query_id"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5),
+          " ").as("query_text"))
+    val positives = queries.select(col("query_id"),
+      col("query_id").cast("long").as("pos_doc_id"))
+    TextAnalysis.hardNegatives(docs, queries, positives, k = 10,
+        negK = 5)
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
+  /** DoReMi integer domain reweighting (q251): per-domain mean token
+    * count stands in for the excess-loss signal, 5 linearized
+    * multiplicative-weight rounds at 1e6 fixed-point, 1/5 of the mass
+    * smoothed back to uniform — the full trajectory replayed by
+    * generated per-round oracle CTEs. */
+  def q251DoremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val domLoss = docs.groupBy(col("source").as("domain"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("_tok"), count(lit(1)).as("_cnt"))
+      .select(col("domain"), expr("_tok div _cnt").as("loss"))
+    TextAnalysis.doremiWeights(domLoss)
+      .orderBy(col("domain"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

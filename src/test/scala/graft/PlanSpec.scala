@@ -126,6 +126,11 @@ class PlanSpec extends SparkSpec {
       "q129_quantized_ann", // crossJoin(broadcast(queries)): same ANN
                             // baseline shape as q41
       "q134_bm25",       // hit set x broadcast 1-row (N, avgdl) totals
+      "q250_hard_negatives", // composes bm25TopK — same broadcast
+                             // 1-row (N, avgdl) totals shape as q134
+      "q251_doremi_weights", // domain dim x broadcast 1-row count/min/
+                             // max/total scalars per multiplicative-
+                             // weights round (the q169 scalar shape)
       "q135_perplexity", // doc bigrams x broadcast 1-row vocab size
       "q138_embed_pipeline", // crossJoin(broadcast(queries)): q129 shape
       "q144_naloxone", // NDC contains-join: DISTINCT pharmacy vocabulary
