@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: time a comma-separated subset of catalog queries at
+  * sf0.1 (warm pass at sf0.001 first, then 3 timed passes) — the
+  * single-query complement of the full `Bench` main. */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      fn(spark, "/root/testdata/sf0.001").count()
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val r = fn(spark, sfDir).count()
+        println(f"[qb] $n pass$i ${(System.nanoTime()-t0)/1e9}%.2f s ($r rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -390,6 +390,7 @@ object SparkEntry {
     "q249_stream_neardup_gate" -> (qStreamNearDup _),
     "q250_hard_negatives" -> (T.q250HardNegatives _),
     "q251_doremi_weights" -> (T.q251DoremiWeights _),
+    "q252_curriculum_order" -> (T.q252Curriculum _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6361,6 +6362,25 @@ object SparkEntry {
           + 1000000 // (5 * (SELECT n FROM st)) AS BIGINT) AS weight
       FROM w5 w JOIN base b ON w.domain = b.domain
       ORDER BY b.domain"""),
+
+    // q252: curriculum ordering — deterministic length stages, salted
+    // md5 intra-stage shuffle, global order via row_number replay.
+    "q252_curriculum_order" -> """
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      st AS (
+        SELECT doc_id, n_tokens,
+          least(15, n_tokens // 8) AS stage,
+          CAST(('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)),
+            1, 8)) AS UBIGINT) AS draw
+        FROM d)
+      SELECT doc_id, n_tokens, CAST(stage AS BIGINT) AS stage,
+        CAST(row_number() OVER (ORDER BY stage, draw, doc_id)
+          AS BIGINT) AS order_idx
+      FROM st ORDER BY order_idx""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -46,8 +46,17 @@ object ApcdHeaderQa {
     * @param rawHeader    the raw medical_claim_header feed
     * @param eligDemo     frame carrying id_apcd (one row per member)
     * @param eligTimevar  frame carrying id_apcd */
-  def build(stage: DataFrame, rawHeader: DataFrame, eligDemo: DataFrame,
-      eligTimevar: DataFrame): DataFrame = {
+  def build(stage0: DataFrame, rawHeader: DataFrame,
+      eligDemo: DataFrame, eligTimevar: DataFrame): DataFrame = {
+    // The battery fans out into several independent aggregate
+    // consumers (global agg, person rollup, ED window, two
+    // anti-joins); Spark does not share a common subplan across union
+    // branches, so WITHOUT materialization the audited build would
+    // re-execute once per consumer (measured 5x on q142 — 30 s vs
+    // 7 s). One eager localCheckpoint trades one write of the audited
+    // frame for all re-executions — the same call a 100-TB audit
+    // would make, where re-running the build five times is unthinkable.
+    val stage = stage0.localCheckpoint(true)
 
     // ONE conditional-agg pass: res1/res2/res6/res7/res10 + episodes
     val one = stage.agg(

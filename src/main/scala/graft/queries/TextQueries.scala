@@ -481,6 +481,31 @@ object TextQueries {
       .orderBy(col("domain"))
   }
 
+  /** Curriculum data ordering (q252): length-staged training order —
+    * docs bucket into stages by deterministic data-independent token
+    * thresholds (short → long, the classic length curriculum),
+    * shuffle WITHIN a stage by the salted md5 draw (the hashSplit
+    * discipline, so the intra-stage order is engine-portable and
+    * re-partition-stable), and the GLOBAL order index is the
+    * scale-safe range-sort + zipWithIndex — no global window, no
+    * single-partition sort, the q202 StableIds discipline. */
+  def q252Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val staged = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      .withColumn("stage",
+        least(lit(15L), expr("n_tokens div 8")))
+      .withColumn("_draw",
+        conv(substring(md5(concat_ws(":", lit("curr"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+    graft.sources.BatchExport.rowNumbers(staged,
+        Seq("stage", "_draw", "doc_id"), "order_idx")
+      .select(col("doc_id"), col("n_tokens"), col("stage"),
+        col("order_idx"))
+      .orderBy(col("order_idx"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */
