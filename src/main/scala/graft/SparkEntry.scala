@@ -391,6 +391,9 @@ object SparkEntry {
     "q250_hard_negatives" -> (T.q250HardNegatives _),
     "q251_doremi_weights" -> (T.q251DoremiWeights _),
     "q252_curriculum_order" -> (T.q252Curriculum _),
+    "q253_chunk_pairs" -> (T.q253ChunkPairs _),
+    "q254_tokenizer_fertility" -> (T.q254TokenizerFertility _),
+    "q255_int_hll" -> (T.q255IntHll _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6381,6 +6384,112 @@ object SparkEntry {
         CAST(row_number() OVER (ORDER BY stage, draw, doc_id)
           AS BIGINT) AS order_idx
       FROM st ORDER BY order_idx""",
+
+    // q253: adjacent-chunk contrastive pairs — the q132 chunk replay
+    // self-joined on chunk_id + 1.
+    "q253_chunk_pairs" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      n AS (
+        SELECT doc_id, t, len(t) AS total,
+          1 + greatest(0, (len(t) - 64 + 47) // 48) AS nch
+        FROM d),
+      c AS (
+        SELECT doc_id, t, total, i AS chunk_id
+        FROM n, LATERAL (SELECT unnest(generate_series(0, nch - 1))
+          AS i) g),
+      ch AS (
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(len(t[chunk_id*48 + 1 : least(chunk_id*48 + 64,
+            total)::INT]) AS INT) AS n_chunk_tokens
+        FROM c)
+      SELECT a.doc_id AS doc_id, a.chunk_id AS chunk_a,
+        b.chunk_id AS chunk_b, a.n_chunk_tokens AS tokens_a,
+        b.n_chunk_tokens AS tokens_b
+      FROM ch a JOIN ch b ON a.doc_id = b.doc_id
+        AND b.chunk_id = a.chunk_id + 1
+      ORDER BY doc_id, chunk_a""",
+
+    // q254: tokenizer fertility by language — the q36 language-ID
+    // replay aggregated with whitespace + BPE-ish token counts;
+    // fertility in integer basis points.
+    "q254_tokenizer_fertility" -> """
+      WITH t AS (
+        SELECT text,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      h AS (
+        SELECT text,
+          len(list_filter(toks, x -> x IN ('der','die','und','das','ist','von','den','ein'))) AS h_de,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS h_en,
+          len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los','del'))) AS h_es,
+          len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une'))) AS h_fr,
+          len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','you3','wo3','ta1','men5'))) AS h_zh
+        FROM t),
+      p AS (
+        SELECT text,
+          CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+               WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+               WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+               WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+               WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+               ELSE 'zh' END AS lang
+        FROM h),
+      c AS (
+        SELECT lang,
+          CAST(len(regexp_split_to_array(trim(text), '\s+'))
+            AS BIGINT) AS ws,
+          CAST(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bp
+        FROM p)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        CAST(sum(bp) AS BIGINT) AS bpeish_tokens,
+        CAST(sum(bp) * 10000 // sum(ws) AS BIGINT) AS fertility_bp
+      FROM c GROUP BY lang ORDER BY lang""",
+
+    // q255: integer HLL — md5-slice 60-bit hash, 256 registers, exact
+    // integer harmonic sum rescaled by the per-key max register;
+    // alpha*m^2 pre-truncated to 47074 (7183 * 65536 div 10000).
+    "q255_int_hll" -> """
+      WITH v AS (
+        SELECT o_custkey % 50 AS grp, o_orderkey AS val FROM orders),
+      h AS (
+        SELECT grp, val,
+          CAST(CAST(('0x' || substr(md5('hll:' || CAST(val AS VARCHAR)),
+            1, 15)) AS UBIGINT) AS BIGINT) AS hv
+        FROM v),
+      r AS (SELECT grp, hv % 256 AS reg, hv // 256 AS w FROM h),
+      rk AS (
+        SELECT grp, reg,
+          53 - (CASE WHEN w = 0 THEN 0
+            ELSE length(bin(w)) END) AS rank
+        FROM r),
+      regs AS (
+        SELECT grp, reg, max(rank) AS m FROM rk GROUP BY 1, 2),
+      mx AS (SELECT grp, max(m) AS maxm FROM regs GROUP BY 1),
+      fin AS (
+        SELECT r.grp, mx.maxm, count(*) AS present,
+          CAST(sum(1::BIGINT << CAST(mx.maxm - r.m AS INT)) AS BIGINT)
+            AS sp
+        FROM regs r JOIN mx ON r.grp = mx.grp
+        GROUP BY 1, 2),
+      est AS (
+        SELECT grp, CAST(256 - present AS BIGINT) AS zero_registers,
+          CAST(47074 * (1::BIGINT << CAST(maxm AS INT))
+            // (sp + (256 - present) * (1::BIGINT << CAST(maxm AS INT)))
+            AS BIGINT) AS hll_est
+        FROM fin),
+      ex AS (
+        SELECT grp, count(DISTINCT val) AS exact_distinct
+        FROM v GROUP BY 1)
+      SELECT e.grp AS grp, ex.exact_distinct, e.hll_est,
+        e.zero_registers,
+        CAST(abs(e.hll_est - ex.exact_distinct) * 10000
+          // ex.exact_distinct AS BIGINT) AS err_bp
+      FROM est e JOIN ex ON e.grp = ex.grp
+      ORDER BY grp""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Frequency sketches for corpus statistics at 100 TB — fixed-size
@@ -65,4 +66,56 @@ object Sketches {
       .join(grid, Seq("row", "bucket"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  /** INTEGER HyperLogLog distinct-count sketch — the classic register
+    * layout (2^p registers, leading-zero ranks from a 60-bit md5-slice
+    * hash) with the ESTIMATOR kept in pure integer arithmetic: the
+    * harmonic mean's 2^-M_j terms are rescaled by the per-key maximum
+    * register so the sum is the exact integer S = sum 2^(maxM - M_j)
+    * (absent registers contribute 2^maxM each), and the estimate is
+    * `(alpha_e4 * m^2 div 10000) * 2^maxM div S` — no pow(), no ln(),
+    * no float harmonic sum whose accumulation order could differ
+    * between engines, so the whole sketch replays bit-exactly in a SQL
+    * oracle. The standard small-range LinearCounting correction needs
+    * ln(); it is deliberately NOT applied — `zero_registers` rides the
+    * output so a consumer that wants the correction has V, and the raw
+    * estimate stays engine-portable.
+    *
+    * Register state is (key, register) -> max(rank): one partial-agg
+    * shuffle builds it, max() makes sketches of unions MERGEABLE by
+    * construction (union-then-build == build-then-max), and the per-key
+    * finalize touches at most 2^p rows per key. */
+  def intHllEstimate(df: DataFrame, keys: Seq[String], value: Column,
+      p: Int = 8, alphaE4: Long = 7183L,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 14, "4 <= p <= 14")
+    val m = 1L << p
+    val hashBits = 60 // 15 md5 hex chars: stays positive in a LONG
+    val h = conv(substring(md5(concat_ws(":", lit(salt),
+      value.cast("string"))), 1, 15), 16, 10).cast("long")
+    val reg = h % m
+    val w = expr(s"_h div $m")
+    // integer bit length via base-2 string render (codegen'd, exact)
+    val bitlen = when(col("_w") === 0, lit(0))
+      .otherwise(length(conv(col("_w"), 10, 2)))
+    val rank = lit(hashBits - p + 1) - bitlen
+    val regs = df
+      .withColumn("_h", h).withColumn("_w", w)
+      .withColumn("_reg", reg).withColumn("_rank", rank)
+      .groupBy(keys.map(col) :+ col("_reg"): _*)
+      .agg(max(col("_rank")).as("_m"))
+    val kw = Window.partitionBy(keys.map(col): _*)
+    val alphaM2 = alphaE4 * m * m / 10000L
+    regs.withColumn("_maxm", max(col("_m")).over(kw))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_maxm")).as("maxm"),
+        count(lit(1)).as("_present"),
+        sum(expr("shiftleft(1L, cast(_maxm - _m as int))")).as("_sp"))
+      .select(keys.map(col) :+
+        (lit(m) - col("_present")).as("zero_registers") :+
+        expr(s"${alphaM2}L * shiftleft(1L, cast(maxm as int)) div " +
+          s"(_sp + ($m - _present) * shiftleft(1L, cast(maxm as int)))")
+          .as("hll_est"): _*)
+  }
+
 }

@@ -506,6 +506,68 @@ object TextQueries {
       .orderBy(col("order_idx"))
   }
 
+  /** Contrastive positive pairs from adjacent chunks (q253): each
+    * doc's consecutive chunk pairs (i, i+1) — the in-document
+    * positives a contrastive embedding model trains on (same-source
+    * adjacency as the similarity label). Composes q132's chunker with
+    * a doc-keyed self-join on chunk_id + 1; token counts ride along so
+    * the pair set is self-describing. */
+  def q253ChunkPairs(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocs(t(s, dir, "documents"),
+      chunkTokens = 64, overlapTokens = 16)
+    // disjoint column names per side: a self-join on the same plan
+    // would silently resolve both aliases to one attribute set
+    val a = chunks.select(col("doc_id"), col("chunk_id").as("chunk_a"),
+      col("n_chunk_tokens").as("tokens_a"))
+    val b = chunks.select(col("doc_id"), col("chunk_id").as("chunk_b"),
+      col("n_chunk_tokens").as("tokens_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("chunk_b") === col("chunk_a") + 1)
+      .select(col("doc_id"), col("chunk_a"), col("chunk_b"),
+        col("tokens_a"), col("tokens_b"))
+      .orderBy(col("doc_id"), col("chunk_a"))
+  }
+
+  /** Tokenizer fertility by language (q254): per detected language,
+    * whitespace vs BPE-ish token counts and the fertility ratio in
+    * basis points (integer fixed-point — subword tokenizers cost more
+    * tokens per word on some languages, the standard multilingual
+    * budget diagnostic). Composes q36's language-ID with q35's two
+    * token counters in one scan. */
+  def q254TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bp")).as("bpeish_tokens"))
+      .withColumn("fertility_bp",
+        expr("bpeish_tokens * 10000 div ws_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Integer-HLL distinct sketch vs exact (q255): per customer
+    * bucket, the bit-reproducible HyperLogLog estimate of distinct
+    * order keys beside the exact count and the error in basis points
+    * — the sketch self-reports its accuracy. */
+  def q255IntHll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select((col("o_custkey") % 50).as("grp"), col("o_orderkey"))
+    val est = graft.operators.Sketches.intHllEstimate(o, Seq("grp"),
+      col("o_orderkey"))
+    val exact = o.groupBy(col("grp"))
+      .agg(countDistinct(col("o_orderkey")).as("exact_distinct"))
+    est.join(exact, Seq("grp"))
+      .withColumn("err_bp",
+        expr("abs(hll_est - exact_distinct) * 10000 div exact_distinct"))
+      .select(col("grp"), col("exact_distinct"), col("hll_est"),
+        col("zero_registers"), col("err_bp"))
+      .orderBy(col("grp"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */
