@@ -394,6 +394,8 @@ object SparkEntry {
     "q253_chunk_pairs" -> (T.q253ChunkPairs _),
     "q254_tokenizer_fertility" -> (T.q254TokenizerFertility _),
     "q255_int_hll" -> (T.q255IntHll _),
+    "q256_hll_merge" -> (T.q256HllMerge _),
+    "q257_hist_quantiles" -> (T.q257HistQuantiles _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6490,6 +6492,94 @@ object SparkEntry {
           // ex.exact_distinct AS BIGINT) AS err_bp
       FROM est e JOIN ex ON e.grp = ex.grp
       ORDER BY grp""",
+
+    // q256: HLL shard-merge law — register-wise max is associative, so
+    // merged == direct; the oracle computes the one mathematical
+    // result and pins the equality flag TRUE.
+    "q256_hll_merge" -> """
+      WITH v AS (
+        SELECT o_custkey % 50 AS grp, o_orderkey AS val FROM orders),
+      h AS (
+        SELECT grp, val,
+          CAST(CAST(('0x' || substr(md5('hll:' || CAST(val AS VARCHAR)),
+            1, 15)) AS UBIGINT) AS BIGINT) AS hv
+        FROM v),
+      r AS (SELECT grp, hv % 256 AS reg, hv // 256 AS w FROM h),
+      rk AS (
+        SELECT grp, reg,
+          53 - (CASE WHEN w = 0 THEN 0
+            ELSE length(bin(w)) END) AS rank
+        FROM r),
+      regs AS (
+        SELECT grp, reg, max(rank) AS m FROM rk GROUP BY 1, 2),
+      mx AS (SELECT grp, max(m) AS maxm FROM regs GROUP BY 1),
+      fin AS (
+        SELECT r.grp, mx.maxm, count(*) AS present,
+          CAST(sum(1::BIGINT << CAST(mx.maxm - r.m AS INT)) AS BIGINT)
+            AS sp
+        FROM regs r JOIN mx ON r.grp = mx.grp
+        GROUP BY 1, 2),
+      est AS (
+        SELECT grp,
+          CAST(47074 * (1::BIGINT << CAST(maxm AS INT))
+            // (sp + (256 - present) * (1::BIGINT << CAST(maxm AS INT)))
+            AS BIGINT) AS e
+        FROM fin)
+      SELECT grp, e AS est_merged, e AS est_direct,
+        TRUE AS merge_consistent
+      FROM est ORDER BY grp""",
+
+    // q257: integer log-histogram quantiles — exponent+5-mantissa-bit
+    // buckets, cumulative window, lower-bound answers; exact side via
+    // discrete position ceil(q*N/10000).
+    "q257_hist_quantiles" -> """
+      WITH o AS (
+        SELECT o_custkey % 20 AS grp,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+      h AS (
+        SELECT grp, v,
+          CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS e
+        FROM o),
+      b AS (
+        SELECT grp,
+          e * 32 + (CASE WHEN e <= 5 THEN v ELSE v >> (e - 5) END)
+            AS bucket
+        FROM h),
+      hist AS (
+        SELECT grp, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+      cum AS (
+        SELECT grp, bucket, cnt,
+          sum(cnt) OVER (PARTITION BY grp) AS n,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+      lo AS (
+        SELECT grp, n, cum,
+          CASE WHEN bucket // 32 <= 5 THEN bucket % 32
+            ELSE (bucket % 32) << CAST((bucket // 32) - 5 AS INT)
+            END AS lower
+        FROM cum),
+      qq AS (SELECT unnest([5000, 9000, 9900]) AS q_bp),
+      est AS (
+        SELECT l.grp, q.q_bp, CAST(min(l.lower) AS BIGINT) AS est
+        FROM lo l CROSS JOIN qq q
+        WHERE l.cum * 10000 >= l.n * q.q_bp
+        GROUP BY 1, 2),
+      ex0 AS (
+        SELECT grp, v,
+          row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY grp) AS n
+        FROM o),
+      ex AS (
+        SELECT e.grp, q.q_bp, e.v AS exact
+        FROM ex0 e CROSS JOIN qq q
+        WHERE e.rn = (CAST(q.q_bp AS BIGINT) * e.n + 9999) // 10000)
+      SELECT est.grp AS grp, est.q_bp AS q_bp, est.est, ex.exact,
+        CAST(abs(est.est - ex.exact) * 10000 // ex.exact AS BIGINT)
+          AS err_bp
+      FROM est JOIN ex ON est.grp = ex.grp AND est.q_bp = ex.q_bp
+      ORDER BY grp, q_bp""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

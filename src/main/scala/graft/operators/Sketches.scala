@@ -87,7 +87,16 @@ object Sketches {
     * finalize touches at most 2^p rows per key. */
   def intHllEstimate(df: DataFrame, keys: Seq[String], value: Column,
       p: Int = 8, alphaE4: Long = 7183L,
-      salt: String = "hll"): DataFrame = {
+      salt: String = "hll"): DataFrame =
+    intHllFromRegisters(intHllRegisters(df, keys, value, p, salt),
+      keys, p, alphaE4)
+
+  /** The sketch STATE: (keys, _reg, _m) — one register row per
+    * occupied register. This is what a production pipeline persists
+    * per shard/day; [[intHllMerge]] folds states, and
+    * [[intHllFromRegisters]] finalizes. One partial-agg shuffle. */
+  def intHllRegisters(df: DataFrame, keys: Seq[String], value: Column,
+      p: Int = 8, salt: String = "hll"): DataFrame = {
     require(p >= 4 && p <= 14, "4 <= p <= 14")
     val m = 1L << p
     val hashBits = 60 // 15 md5 hex chars: stays positive in a LONG
@@ -99,11 +108,26 @@ object Sketches {
     val bitlen = when(col("_w") === 0, lit(0))
       .otherwise(length(conv(col("_w"), 10, 2)))
     val rank = lit(hashBits - p + 1) - bitlen
-    val regs = df
-      .withColumn("_h", h).withColumn("_w", w)
+    df.withColumn("_h", h).withColumn("_w", w)
       .withColumn("_reg", reg).withColumn("_rank", rank)
       .groupBy(keys.map(col) :+ col("_reg"): _*)
       .agg(max(col("_rank")).as("_m"))
+  }
+
+  /** Merge sketch states: register-wise max — associative and
+    * commutative, so build-then-merge equals union-then-build by
+    * construction (the law IntHllSpec and q256 pin). */
+  def intHllMerge(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col) :+ col("_reg"): _*)
+      .agg(max(col("_m")).as("_m"))
+
+  /** Finalize a register state into (keys, zero_registers, hll_est) —
+    * see [[intHllEstimate]] for the integer-estimator derivation. */
+  def intHllFromRegisters(regs: DataFrame, keys: Seq[String],
+      p: Int = 8, alphaE4: Long = 7183L): DataFrame = {
+    val m = 1L << p
     val kw = Window.partitionBy(keys.map(col): _*)
     val alphaM2 = alphaE4 * m * m / 10000L
     regs.withColumn("_maxm", max(col("_m")).over(kw))
@@ -116,6 +140,66 @@ object Sketches {
         expr(s"${alphaM2}L * shiftleft(1L, cast(maxm as int)) div " +
           s"(_sp + ($m - _present) * shiftleft(1L, cast(maxm as int)))")
           .as("hll_est"): _*)
+  }
+
+
+  /** Mergeable INTEGER log-bucket histogram — the HdrHistogram layout
+    * (exponent + `subBits` mantissa bits per bucket) with everything
+    * integer: bucket id = bitlen(v) * 2^subBits + top mantissa slice
+    * (2^(subBits-1) occupied sub-buckets per octave — the top bit is
+    * always set), so relative bucket width (and thus quantile error)
+    * is bounded by 2^-(subBits-1). State is (keys, _bucket, _cnt):
+    * counts ADD under
+    * union — associative, mergeable across shards/days like the HLL
+    * registers. One partial-agg shuffle. */
+  def logHistogram(df: DataFrame, keys: Seq[String], value: Column,
+      subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, "1 <= subBits <= 16")
+    val sb = 1L << subBits
+    val bitlen = when(col("_v") <= 0, lit(0))
+      .otherwise(length(conv(col("_v"), 10, 2)))
+    df.withColumn("_v", value.cast("long"))
+      .withColumn("_e", bitlen)
+      .withColumn("_low", when(col("_e") <= subBits, col("_v"))
+        .otherwise(expr(s"shiftright(_v, cast(_e - $subBits as int))")))
+      .withColumn("_bucket", col("_e") * sb + col("_low"))
+      .groupBy(keys.map(col) :+ col("_bucket"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+  }
+
+  /** Quantile estimates from a [[logHistogram]] state: for each
+    * requested quantile (basis points), the LOWER BOUND of the first
+    * bucket whose cumulative count reaches ceil(q*N/10000) — a
+    * deterministic integer answer with relative error
+    * <= 2^-(subBits-1), no float interpolation. Cumulative sums ride a keys-partitioned
+    * window over the bucket order; the histogram is at most
+    * ~64*2^subBits rows per key, so the finalize is dim-sized. */
+  def histQuantiles(hist: DataFrame, keys: Seq[String],
+      quantilesBp: Seq[Int], subBits: Int = 5): DataFrame = {
+    val sb = 1L << subBits
+    val kw = Window.partitionBy(keys.map(col): _*)
+    val ow = kw.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lower = {
+      val e = (col("_bucket") / sb).cast("long")
+      val low = col("_bucket") - e * sb
+      when(e <= subBits, low)
+        .otherwise(expr(s"shiftleft(_low2, cast(_e2 - $subBits as int))"))
+    }
+    val cum = hist
+      .withColumn("_n", sum(col("_cnt")).over(kw))
+      .withColumn("_cum", sum(col("_cnt")).over(ow))
+      .withColumn("_e2", (col("_bucket") / sb).cast("long"))
+      .withColumn("_low2", col("_bucket") - col("_e2") * sb)
+      .withColumn("_lower", lower)
+    // ONE pass for every quantile: explode the (tiny) quantile list
+    // onto the cumulative rows — per-quantile union branches would
+    // re-execute the upstream scan once each.
+    cum.withColumn("q_bp",
+        explode(array(quantilesBp.map(lit): _*)))
+      .filter(col("_cum") * 10000L >= col("_n") * col("q_bp"))
+      .groupBy(keys.map(col) :+ col("q_bp"): _*)
+      .agg(min(col("_lower")).as("est"))
   }
 
 }

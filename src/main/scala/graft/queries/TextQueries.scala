@@ -568,6 +568,64 @@ object TextQueries {
       .orderBy(col("grp"))
   }
 
+  /** HLL shard-merge law (q256): orders split into two shards (odd /
+    * even order keys), each sketched independently, states merged
+    * register-wise, finalized — beside the direct union-build
+    * estimate. Register-wise max is associative, so the two paths are
+    * equal BY LAW; `merge_consistent` pins it per group and the
+    * oracle computes the single mathematical result. */
+  def q256HllMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches._
+    val o = t(s, dir, "orders")
+      .select((col("o_custkey") % 50).as("grp"), col("o_orderkey"))
+    val shardA = o.filter(col("o_orderkey") % 2 === 0)
+    val shardB = o.filter(col("o_orderkey") % 2 =!= 0)
+    val merged = intHllFromRegisters(
+      intHllMerge(
+        intHllRegisters(shardA, Seq("grp"), col("o_orderkey")),
+        intHllRegisters(shardB, Seq("grp"), col("o_orderkey")),
+        Seq("grp")),
+      Seq("grp"))
+    val direct = intHllEstimate(o, Seq("grp"), col("o_orderkey"))
+      .select(col("grp"), col("hll_est").as("est_direct"))
+    merged.select(col("grp"), col("hll_est").as("est_merged"))
+      .join(direct, Seq("grp"))
+      .withColumn("merge_consistent",
+        col("est_merged") === col("est_direct"))
+      .orderBy(col("grp"))
+  }
+
+  /** Integer log-histogram quantiles vs exact (q257): p50/p90/p99 of
+    * order totals (in cents) per customer bucket from the mergeable
+    * HdrHistogram-style sketch, beside the exact discrete quantiles —
+    * relative error bounded by 2^-5 and self-reported in basis
+    * points. */
+  def q257HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select((col("o_custkey") % 20).as("grp"),
+        floor(col("o_totalprice") * 100).cast("long").as("v"))
+    val hist = graft.operators.Sketches.logHistogram(o, Seq("grp"),
+      col("v"))
+    val est = graft.operators.Sketches.histQuantiles(hist, Seq("grp"),
+      Seq(5000, 9000, 9900))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val pos = o.withColumn("_rn", row_number().over(w))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val exact = pos
+      .withColumn("q_bp",
+        explode(array(lit(5000), lit(9000), lit(9900))))
+      .filter(col("_rn") ===
+        expr("cast((cast(q_bp as bigint) * _n + 9999) div 10000 " +
+          "as int)"))
+      .select(col("grp"), col("q_bp"), col("v").as("exact"))
+    est.join(exact, Seq("grp", "q_bp"))
+      .withColumn("err_bp",
+        expr("abs(est - exact) * 10000 div exact"))
+      .orderBy(col("grp"), col("q_bp"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */
