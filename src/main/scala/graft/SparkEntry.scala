@@ -396,6 +396,8 @@ object SparkEntry {
     "q255_int_hll" -> (T.q255IntHll _),
     "q256_hll_merge" -> (T.q256HllMerge _),
     "q257_hist_quantiles" -> (T.q257HistQuantiles _),
+    "q258_triangles" -> (T.q258Triangles _),
+    "q259_kcore" -> (T.q259Kcore _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -666,6 +668,21 @@ object SparkEntry {
           CAST((SELECT count(*) FROM ${a}oldq o
             WHERE o.id NOT IN (SELECT id FROM ${a}fin)) AS BIGINT)
             AS old_not_new)"""
+  }
+
+  /** One k-core peel round (q259): prune edges to survivors, degree
+    * count, threshold — generated per round so the chain cannot drift
+    * from `Graphs.kcorePeel`. */
+  private def kcIter(i: Int): String = {
+    val p = s"a${i - 1}"
+    s"""
+      e$i AS (
+        SELECT b.src, b.dst FROM bth b
+        WHERE b.src IN (SELECT node FROM $p)
+          AND b.dst IN (SELECT node FROM $p)),
+      d$i AS (
+        SELECT src AS node, count(*) AS dg FROM e$i GROUP BY 1),
+      a$i AS (SELECT node FROM d$i WHERE dg >= 3)"""
   }
 
   /** One DoReMi oracle round (q251): linearized multiplicative update
@@ -6580,6 +6597,66 @@ object SparkEntry {
           AS err_bp
       FROM est JOIN ex ON est.grp = ex.grp AND est.q_bp = ex.q_bp
       ORDER BY grp, q_bp""",
+
+    // q258: per-node triangle counts — degree-ordered orientation,
+    // wedge self-join on the apex, canonical-edge close.
+    "q258_triangles" -> """
+      WITH e0 AS (
+        SELECT CAST(o_custkey % 150 AS BIGINT) AS src,
+          CAST(o_orderkey % 150 AS BIGINT) AS dst
+        FROM orders WHERE o_custkey % 150 <> o_orderkey % 150),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0),
+      deg AS (
+        SELECT node, count(*) AS dg FROM (
+          SELECT a AS node FROM und
+          UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      wd AS (
+        SELECT u.a, u.b, x.dg AS da, y.dg AS db
+        FROM und u JOIN deg x ON u.a = x.node
+          JOIN deg y ON u.b = y.node),
+      o AS (
+        SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b
+            END AS u,
+          CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a
+            END AS v
+        FROM wd),
+      w AS (
+        SELECT l.u, l.v AS x, r.v AS y
+        FROM o l JOIN o r ON l.u = r.u WHERE l.v < r.v),
+      t AS (
+        SELECT w.u, w.x, w.y FROM w
+        JOIN und ON w.x = und.a AND w.y = und.b)
+      SELECT node, count(*) AS triangles FROM (
+        SELECT u AS node FROM t
+        UNION ALL SELECT x FROM t
+        UNION ALL SELECT y FROM t)
+      GROUP BY 1 ORDER BY node""",
+
+    // q259: k-core peeling — 4 generated synchronous peel rounds over
+    // the planted-community graph; survivors with final degrees.
+    "q259_kcore" -> ("""
+      WITH raw AS (
+        SELECT CAST(o_custkey % 25 AS BIGINT) * 100
+            + o_orderkey % 18 AS src,
+          CAST(o_custkey % 25 AS BIGINT) * 100
+            + (o_orderkey // 18) % 18 AS dst
+        FROM orders
+        UNION ALL
+        SELECT CAST(o_custkey % 25 AS BIGINT) * 100 + o_orderkey % 18,
+          CAST((o_custkey % 25 + 1) % 25 AS BIGINT) * 100
+            + o_orderkey % 18
+        FROM orders WHERE o_orderkey % 89 = 0),
+      e0 AS (SELECT src, dst FROM raw WHERE src <> dst),
+      bth AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+      a0 AS (SELECT DISTINCT src AS node FROM bth),""" +
+      (1 to 4).map(kcIter).mkString(",") + """
+      SELECT node, dg FROM d4 WHERE dg >= 3 ORDER BY node"""),
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -111,4 +111,86 @@ object Graphs {
     }
     labels
   }
+
+  /** Per-node TRIANGLE COUNTS via degree-ordered wedge join — the
+    * standard scale-safe formulation: orient every undirected edge
+    * from the (degree, id)-smaller endpoint to the larger, so each
+    * node's oriented out-degree is O(sqrt(m)) regardless of raw skew
+    * (a celebrity node's million neighbors orient INTO it, not out);
+    * wedges enumerate only oriented out-pairs, every triangle closes
+    * through exactly one wedge-apex, and the close probe is one
+    * LEFT SEMI-style join of wedges against oriented edges. Each
+    * triangle credits all three corners once.
+    *
+    * Scale shape: degree = one edge-keyed partial agg; orientation a
+    * row-local comparison; the wedge self-join shuffles oriented
+    * adjacency on the apex (bounded fan-out); the close is a
+    * (v, w)-keyed equi-join. No windows, no driver state. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val l = oriented.select(col("u"), col("v").as("x"))
+    val r = oriented.select(col("u"), col("v").as("y"))
+    val wedges = l.join(r, Seq("u")).filter(col("x") < col("y"))
+    // close: wedge pairs are id-ordered (x < y), so the third edge is
+    // exactly a canonical undirected edge (a, b) = (x, y)
+    val tris = wedges.join(
+      und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    tris.select(col("u").as("node"))
+      .union(tris.select(col("x").as("node")))
+      .union(tris.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+
+  /** Fixed-round k-CORE PEELING: each round drops every node whose
+    * degree in the SURVIVING subgraph is below `k` (synchronous — all
+    * removals of a round see the previous round's survivor set, so
+    * the trajectory is a pure function of the graph, the
+    * [[labelPropagation]] discipline). After enough rounds the
+    * survivor set is exactly the k-core; fixed `rounds` keeps the
+    * driver loop data-independent and each round replayable by a
+    * generated oracle CTE. Returns survivors with their final-round
+    * degree.
+    *
+    * Scale shape per round: two semi-joins prune the edge list to
+    * surviving endpoints (node-keyed), one partial-agg degree count —
+    * no windows; `localCheckpoint` truncates lineage. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val both = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var alive = both.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var deg = alive.select(col("node"), lit(0L).as("dg"))
+    for (_ <- 1 to rounds) {
+      val e = both
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dg")).localCheckpoint(true)
+      alive = deg.filter(col("dg") >= k).select(col("node"))
+        .localCheckpoint(true)
+    }
+    deg.filter(col("dg") >= k)
+  }
+
 }

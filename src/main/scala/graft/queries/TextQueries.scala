@@ -626,6 +626,36 @@ object TextQueries {
       .orderBy(col("grp"), col("q_bp"))
   }
 
+  /** Per-node triangle counts (q258): degree-ordered wedge join over
+    * the orders-derived graph — each node's participation in closed
+    * triads, the clustering signal `Components`/`labelPropagation`
+    * don't see. */
+  def q258Triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .select((col("o_custkey") % 150).as("src"),
+        (col("o_orderkey") % 150).as("dst"))
+    graft.operators.Graphs.triangleCounts(edges)
+      .orderBy(col("node"))
+  }
+
+  /** k-core peeling (q259): 4 synchronous peel rounds toward the
+    * 3-core of a planted-community graph (dense blocks survive, chain
+    * bridges peel away) — survivors with final-round degrees, each
+    * round replayed by a generated oracle CTE. */
+  def q259Kcore(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val comm = col("o_custkey") % 25
+    val intra = o.select(
+      (comm * 100 + col("o_orderkey") % 18).as("src"),
+      (comm * 100 + expr("(o_orderkey div 18) % 18")).as("dst"))
+    val bridges = o.filter(col("o_orderkey") % 89 === 0).select(
+      (comm * 100 + col("o_orderkey") % 18).as("src"),
+      (((comm + 1) % 25) * 100 + col("o_orderkey") % 18).as("dst"))
+    graft.operators.Graphs
+      .kcorePeel(intra.unionByName(bridges), k = 3, rounds = 4)
+      .orderBy(col("node"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */
