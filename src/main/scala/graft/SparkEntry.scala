@@ -398,6 +398,8 @@ object SparkEntry {
     "q257_hist_quantiles" -> (T.q257HistQuantiles _),
     "q258_triangles" -> (T.q258Triangles _),
     "q259_kcore" -> (T.q259Kcore _),
+    "q260_linkage_em" ->
+      (graft.queries.BuildQueries.q260LinkageEm _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -683,6 +685,47 @@ object SparkEntry {
       d$i AS (
         SELECT src AS node, count(*) AS dg FROM e$i GROUP BY 1),
       a$i AS (SELECT node FROM d$i WHERE dg >= 3)"""
+  }
+
+  /** One Fellegi-Sunter EM oracle round (q260): fixed-point E-step
+    * product, posterior, downscaled M-step ratios — generated per
+    * round so the chain cannot drift from `Linkage.emFieldProbs`. */
+  private def emIter(i: Int, fields: Seq[String]): String = {
+    val S = 1000000L
+    val p = s"s${i - 1}"
+    def prod(init: String, mu: String): String =
+      fields.foldLeft(init) { (acc, f) =>
+        s"(($acc) * (CASE WHEN p.g_$f = 1 THEN s.${mu}_$f " +
+          s"ELSE $S - s.${mu}_$f END)) // $S"
+      }
+    s"""
+      e$i AS (
+        SELECT p.cnt, ${fields.map(f => s"p.g_$f").mkString(", ")},
+          ${prod("s.lam", "m")} AS pm,
+          ${prod(s"$S - s.lam", "u")} AS pu
+        FROM pat p CROSS JOIN $p s),
+      w$i AS (
+        SELECT *, pm * $S // greatest(pm + pu, 1) AS w FROM e$i),
+      t$i AS (
+        SELECT CAST(sum(cnt * w) AS BIGINT) AS sw,
+          CAST(sum(cnt) AS BIGINT) AS sc,
+          ${fields.map(f =>
+            s"CAST(sum(cnt * w * g_$f) AS BIGINT) AS swg_$f")
+            .mkString(", ")},
+          ${fields.map(f =>
+            s"CAST(sum(cnt * ($S - w) * g_$f) AS BIGINT) AS sug_$f")
+            .mkString(", ")}
+        FROM w$i),
+      s$i AS (
+        SELECT sw // greatest(sc, 1) AS lam,
+          ${fields.map(f =>
+            s"(swg_$f // 1000) * $S // greatest(sw // 1000, 1) " +
+              s"AS m_$f").mkString(", ")},
+          ${fields.map(f =>
+            s"(sug_$f // 1000) * $S // " +
+              s"greatest(($S * sc - sw) // 1000, 1) AS u_$f")
+            .mkString(", ")}
+        FROM t$i)"""
   }
 
   /** One DoReMi oracle round (q251): linearized multiplicative update
@@ -12522,6 +12565,40 @@ object SparkEntry {
     // q213: Fellegi-Sunter linkage — same planted-noise fixture, birth-
     // year blocking, integer levenshtein name agreement, half-integer
     // literal weights (IEEE-exact sums), three decision bands.
+    // q260: Fellegi-Sunter EM — the q213 candidate CTE unfiltered,
+    // binary agreement patterns, 5 generated fixed-point EM rounds.
+    "q260_linkage_em" -> (LinkageFixtureCte + """,
+      cand AS (
+        SELECT
+          CAST(levenshtein(lower(a.name), lower(b.name)) <= 2 AS INT)
+            AS g_name,
+          CAST(a.dob = b.dob AS INT) AS g_dob,
+          CAST(a.zip = b.zip AS INT) AS g_zip
+        FROM a JOIN b
+          ON a.yob = b.yob AND a.zip // 10 = b.zip // 10),
+      pat AS (
+        SELECT g_name, g_dob, g_zip, count(*) AS cnt
+        FROM cand GROUP BY 1, 2, 3),
+      s0 AS (
+        SELECT CAST(100000 AS BIGINT) AS lam,
+          CAST(900000 AS BIGINT) AS m_name,
+          CAST(100000 AS BIGINT) AS u_name,
+          CAST(900000 AS BIGINT) AS m_dob,
+          CAST(100000 AS BIGINT) AS u_dob,
+          CAST(900000 AS BIGINT) AS m_zip,
+          CAST(100000 AS BIGINT) AS u_zip),""" +
+      (1 to 5).map(i => emIter(i, Seq("name", "dob", "zip")))
+        .mkString(",") + """
+      SELECT param, CAST(v AS BIGINT) AS value_fp FROM (
+        SELECT 'lambda' AS param, lam AS v FROM s5
+        UNION ALL SELECT 'm_name', m_name FROM s5
+        UNION ALL SELECT 'u_name', u_name FROM s5
+        UNION ALL SELECT 'm_dob', m_dob FROM s5
+        UNION ALL SELECT 'u_dob', u_dob FROM s5
+        UNION ALL SELECT 'm_zip', m_zip FROM s5
+        UNION ALL SELECT 'u_zip', u_zip FROM s5)
+      ORDER BY param"""),
+
     "q213_fs_linkage" -> (LinkageFixtureCte + """,
       cand AS (
         SELECT a.pid AS id_a, b.pid AS id_b,

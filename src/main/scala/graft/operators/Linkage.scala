@@ -185,4 +185,68 @@ object Linkage {
     when(score >= upper, "match")
       .when(score >= lower, "possible")
       .otherwise("non_match")
+
+  /** INTEGER EM estimation of the Fellegi-Sunter parameters — the
+    * classic unsupervised fit of per-field match/unmatch agreement
+    * probabilities (m_f, u_f) and the match prevalence lambda from
+    * agreement-PATTERN counts (Winkler's EM, the step that turns the
+    * scorer's hand-set weights into data-driven ones).
+    *
+    * All arithmetic is 1e6 fixed-point integer: the E-step's pattern
+    * match probability is a sequential fixed-point product
+    * `lam * prod_f (g_f ? m_f : 1-m_f)` with `div` after every factor,
+    * the posterior w = pm*S div (pm+pu), and the M-step's ratio
+    * numerators/denominators are downscaled by 1000 before the final
+    * division so no product exceeds a LONG (sums reach ~1e13; a
+    * straight *1e6 would overflow). Every round is therefore
+    * bit-reproducible and replayed by a generated oracle CTE.
+    *
+    * `patterns` is PATTERN-grain: one row per distinct agreement
+    * vector with its pair count (columns `g_<field>` in {0,1} and
+    * `cnt`) — at most 2^F rows, so every EM round is dim-sized work;
+    * the one heavy step (pattern counting) happens once upstream.
+    * Returns (param, value_fp): lambda plus m_/u_ per field. */
+  def emFieldProbs(patterns: DataFrame, fields: Seq[String],
+      iters: Int = 5, m0: Long = 900000L, u0: Long = 100000L,
+      lam0: Long = 100000L): DataFrame = {
+    val S = 1000000L
+    var state = patterns.sparkSession.range(1).select(
+      Seq(lit(lam0).as("lam")) ++ fields.flatMap(f =>
+        Seq(lit(m0).as(s"m_$f"), lit(u0).as(s"u_$f"))): _*)
+    for (_ <- 1 to iters) {
+      var j = patterns.crossJoin(broadcast(state))
+        .withColumn("_pm", col("lam"))
+        .withColumn("_pu", lit(S) - col("lam"))
+      fields.foreach { f =>
+        j = j.withColumn("_pm", expr(
+            s"_pm * (CASE WHEN g_$f = 1 THEN m_$f ELSE $S - m_$f END)" +
+              s" div ${S}L"))
+          .withColumn("_pu", expr(
+            s"_pu * (CASE WHEN g_$f = 1 THEN u_$f ELSE $S - u_$f END)" +
+              s" div ${S}L"))
+      }
+      j = j.withColumn("_w",
+        expr(s"_pm * ${S}L div greatest(_pm + _pu, 1L)"))
+      val aggs = Seq(
+        sum(expr("cnt * _w")).as("_sw"),
+        sum(col("cnt")).as("_sc")) ++ fields.flatMap(f => Seq(
+        sum(expr(s"cnt * _w * g_$f")).as(s"_swg_$f"),
+        sum(expr(s"cnt * (${S}L - _w) * g_$f")).as(s"_sug_$f")))
+      val t = j.agg(aggs.head, aggs.tail: _*)
+      state = t.select(
+        Seq(expr("_sw div greatest(_sc, 1L)").as("lam")) ++
+          fields.flatMap(f => Seq(
+            expr(s"(_swg_$f div 1000L) * ${S}L div " +
+              "greatest(_sw div 1000L, 1L)").as(s"m_$f"),
+            expr(s"(_sug_$f div 1000L) * ${S}L div " +
+              s"greatest((${S}L * _sc - _sw) div 1000L, 1L)")
+              .as(s"u_$f"))): _*)
+    }
+    val stackArgs = (Seq("'lambda', lam") ++ fields.flatMap(f =>
+      Seq(s"'m_$f', m_$f", s"'u_$f', u_$f"))).mkString(", ")
+    state.select(expr(s"stack(${1 + 2 * fields.size}, $stackArgs) " +
+        "AS (param, value_fp)"))
+      .orderBy(col("param"))
+  }
+
 }

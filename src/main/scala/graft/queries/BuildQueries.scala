@@ -4498,6 +4498,27 @@ object BuildQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fellegi-Sunter EM parameter estimation (q260): agreement-pattern
+    * counts from the q213 candidate generator (UNFILTERED — EM must
+    * see non-matches), binary bits name / exact-dob / zip, 5 integer
+    * EM rounds at 1e6 fixed-point — the data-driven weights the q213
+    * scorer's hand-set ones approximate. */
+  def q260LinkageEm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val (srcA0, srcB0) = linkageSources(s, dir)
+    val srcA = srcA0.withColumn("zd", expr("zip div 10"))
+    val srcB = srcB0.withColumn("zd", expr("zip div 10"))
+    val cand = Linkage.scorePairs(srcA, srcB, "pid", "pid",
+      Seq("yob", "zd"), fsWeights, maxNameDist = 2, nearDays = 90)
+    val patterns = cand.select(
+        col("name_agree").cast("int").as("g_name"),
+        (col("dob_band") === 2).cast("int").as("g_dob"),
+        col("zip_agree").cast("int").as("g_zip"))
+      .groupBy(col("g_name"), col("g_dob"), col("g_zip"))
+      .agg(count(lit(1)).as("cnt"))
+    Linkage.emFieldProbs(patterns, Seq("name", "dob", "zip"))
+  }
+
   /** Sorted-neighborhood linkage (q214): the same fixture and scorer as
     * q213, candidates from the Hernandez-Stolfo sliding window over the
     * name sort order instead of birth-year blocking — the generator that

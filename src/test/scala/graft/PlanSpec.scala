@@ -131,6 +131,8 @@ class PlanSpec extends SparkSpec {
       "q251_doremi_weights", // domain dim x broadcast 1-row count/min/
                              // max/total scalars per multiplicative-
                              // weights round (the q169 scalar shape)
+      "q260_linkage_em", // pattern dim x broadcast 1-row EM state per
+                         // round (the q169 scalar shape)
       "q135_perplexity", // doc bigrams x broadcast 1-row vocab size
       "q138_embed_pipeline", // crossJoin(broadcast(queries)): q129 shape
       "q144_naloxone", // NDC contains-join: DISTINCT pharmacy vocabulary
