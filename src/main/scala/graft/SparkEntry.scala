@@ -400,6 +400,8 @@ object SparkEntry {
     "q259_kcore" -> (T.q259Kcore _),
     "q260_linkage_em" ->
       (graft.queries.BuildQueries.q260LinkageEm _),
+    "q261_retrieval_eval" -> (T.q261RetrievalEval _),
+    "q262_purity_vote" -> (T.q262PurityVote _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6700,6 +6702,94 @@ object SparkEntry {
       a0 AS (SELECT DISTINCT src AS node FROM bth),""" +
       (1 to 4).map(kcIter).mkString(",") + """
       SELECT node, dg FROM d4 WHERE dg >= 3 ORDER BY node"""),
+
+    // q261: retrieval eval — the q134 BM25 replay with 4-token
+    // self-queries and relevant-rank scoring.
+    "q261_retrieval_eval" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          AS t FROM documents),
+      post AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS tf,
+          max(dl) AS dl
+        FROM (SELECT doc_id, unnest(t) AS tok, len(t)::BIGINT AS dl
+              FROM d)
+        WHERE len(tok) > 0 GROUP BY doc_id, tok),
+      stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+          sum(len(t))::BIGINT AS tot_dl FROM d),
+      q AS (
+        SELECT CAST(doc_id AS VARCHAR) AS query_id,
+          array_to_string(t[1:4], ' ') AS query_text
+        FROM d WHERE doc_id % 40 = 0),
+      qt AS (
+        SELECT DISTINCT query_id,
+          unnest(regexp_split_to_array(trim(lower(query_text)), '\s+'))
+          AS tok FROM q),
+      dfreq AS (
+        SELECT tok, count(*)::BIGINT AS df FROM post
+        WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok),
+      scored AS (
+        SELECT qt.query_id, p.doc_id,
+          round(sum(
+            ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+            * p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75
+              + 0.75 * p.dl::DOUBLE
+                / (s.tot_dl::DOUBLE / s.n_docs)))), 6) AS bm25
+        FROM post p JOIN qt ON p.tok = qt.tok
+          JOIN dfreq f ON p.tok = f.tok CROSS JOIN stats s
+        GROUP BY qt.query_id, p.doc_id),
+      r AS (
+        SELECT query_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        FROM scored),
+      rel AS (
+        SELECT query_id, rank AS rel_rank FROM r
+        WHERE rank <= 10 AND doc_id = CAST(query_id AS BIGINT))
+      SELECT q.query_id, rel.rel_rank,
+        CAST(coalesce(1000000 // rel.rel_rank, 0) AS BIGINT) AS rr_fp,
+        CAST(coalesce(rel.rel_rank, 99) <= 1 AS INT) AS hit1,
+        CAST(coalesce(rel.rel_rank, 99) <= 5 AS INT) AS hit5,
+        CAST(coalesce(rel.rel_rank, 99) <= 10 AS INT) AS hit10
+      FROM q LEFT JOIN rel ON q.query_id = rel.query_id
+      ORDER BY q.query_id""",
+
+    // q262: purity-vote classifier — token purity from labeled counts,
+    // mean purity per doc, threshold at 1/2.
+    "q262_purity_vote" -> """
+      WITH lab AS (
+        SELECT doc_id,
+          text || repeat(' marker' || source, 8) AS text,
+          CAST(substr(source, 4) AS INT) % 2 AS l
+        FROM documents),
+      tk AS (
+        SELECT doc_id, l, unnest(
+          regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM lab),
+      tk2 AS (SELECT * FROM tk WHERE len(tok) > 0),
+      vocab AS (
+        SELECT tok, CAST(sum(l) AS BIGINT) AS pos,
+          CAST(sum(1 - l) AS BIGINT) AS neg
+        FROM tk2 GROUP BY tok),
+      pur AS (
+        SELECT tok,
+          pos * 1000000 // greatest(pos + neg, 1) AS purity
+        FROM vocab),
+      sc AS (
+        SELECT t.doc_id, count(*) AS n_scored_tokens,
+          CAST(sum(p.purity) AS BIGINT) AS s
+        FROM tk2 t JOIN pur p ON t.tok = p.tok
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(sc.n_scored_tokens, 0) AS BIGINT)
+          AS n_scored_tokens,
+        CAST(coalesce(sc.s // sc.n_scored_tokens, 500000) AS BIGINT)
+          AS purity_fp,
+        CAST(coalesce(sc.s // sc.n_scored_tokens, 500000) > 500000
+          AS INT) AS pred_label
+      FROM lab d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      ORDER BY d.doc_id""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -630,6 +630,51 @@ object TextAnalysis {
         col("neg_rank"))
   }
 
+  /** PURITY-VOTE lexical classifier — the integer-arithmetic stand-in
+    * for a fasttext-style linear quality filter: training counts each
+    * token's occurrences under positive vs negative labels, a token's
+    * purity is `pos * 1e6 div (pos + neg)`, and a document scores the
+    * MEAN purity over its token occurrences (integer div), predicting
+    * positive above 1/2. No logs, no float weights — deterministic on
+    * any engine, trainable in two aggregations.
+    *
+    * Tokens unseen in training are skipped (n_scored_tokens reports
+    * coverage); a doc with no scored tokens gets purity 500000
+    * (neutral) and pred 0.
+    *
+    * Scale shape: training is one explode + token-grain partial agg
+    * (Zipf-bounded vocabulary); scoring is one explode + a
+    * token-keyed join against the vocabulary stats + a doc-grain
+    * rollup. Nothing broadcasts the corpus; the vocab join is a
+    * shuffle on the token hash. */
+  def purityVoteScore(train: DataFrame, score: DataFrame,
+      label: Column, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    def toks(df: DataFrame, extra: Seq[Column]) = df
+      .select(Seq(col(id).as("doc_id"),
+        explode(split(trim(lower(col(text))), "\\s+")).as("tok")) ++
+        extra: _*)
+      .filter(length(col("tok")) > 0)
+    val vocab = toks(train, Seq(label.cast("int").as("_lab")))
+      .groupBy(col("tok"))
+      .agg(sum(col("_lab")).cast("long").as("_pos"),
+        sum(lit(1) - col("_lab")).cast("long").as("_neg"))
+      .withColumn("_purity",
+        expr("_pos * 1000000L div greatest(_pos + _neg, 1L)"))
+    toks(score, Seq.empty)
+      .join(vocab.select(col("tok"), col("_purity")), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored_tokens"),
+        sum(col("_purity")).as("_sum"))
+      .join(score.select(col(id).as("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_scored_tokens"), lit(0L)).as("n_scored_tokens"),
+        coalesce(expr("_sum div n_scored_tokens"), lit(500000L))
+          .as("purity_fp"))
+      .withColumn("pred_label",
+        (col("purity_fp") > 500000L).cast("int"))
+  }
+
   /** Corpus-trained bigram-LM perplexity — the CCNet-style quality
     * signal: train add-k-smoothed bigram probabilities on `train`, score
     * every `score` doc by perplexity = exp(−Σ m·ln p / Σ m) over its

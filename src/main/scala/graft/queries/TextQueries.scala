@@ -656,6 +656,50 @@ object TextQueries {
       .orderBy(col("node"))
   }
 
+  /** Retrieval evaluation harness (q261): every 40th doc's first 4
+    * tokens become a query whose RELEVANT document is its source; the
+    * BM25 ranking is scored per query — relevant rank (NULL when
+    * outside top-10), reciprocal rank in 1e6 fixed point, hit@1/5/10
+    * — the standard eval loop for a retrieval stack, with MRR exactly
+    * derivable from the rows. */
+  def q261RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").cast("string").as("query_id"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 4),
+          " ").as("query_text"))
+    val ranked = TextAnalysis.bm25TopK(docs, queries, k = 10)
+    val rel = ranked
+      .filter(col("doc_id") === col("query_id").cast("long"))
+      .select(col("query_id"), col("rank").as("rel_rank"))
+    queries.select(col("query_id")).join(rel, Seq("query_id"), "left")
+      .select(col("query_id"), col("rel_rank"),
+        coalesce(expr("1000000 div rel_rank"), lit(0L)).as("rr_fp"),
+        (coalesce(col("rel_rank"), lit(99)) <= 1).cast("int").as("hit1"),
+        (coalesce(col("rel_rank"), lit(99)) <= 5).cast("int").as("hit5"),
+        (coalesce(col("rel_rank"), lit(99)) <= 10).cast("int")
+          .as("hit10"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Purity-vote quality classifier (q262): odd-numbered sources are
+    * the positive class, the classifier trains on the whole corpus
+    * and scores it back (the leakage is the fixture's point — it pins
+    * the training arithmetic, not generalization). Per-source
+    * accuracy rollup rides the same row set. */
+  def q262PurityVote(s: SparkSession, dir: String): DataFrame = {
+    // the shared synthetic vocabulary carries no source signal, so the
+    // fixture plants 8 source-marker tokens per doc — the classifier
+    // must discover that markers of odd sources are pure-positive
+    val docs = t(s, dir, "documents")
+      .withColumn("text",
+        concat(col("text"),
+          expr("repeat(concat(' marker', source), 8)")))
+    val lab = expr("cast(substr(source, 4) as int) % 2")
+    TextAnalysis.purityVoteScore(docs, docs, lab)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

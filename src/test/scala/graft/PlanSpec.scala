@@ -128,6 +128,8 @@ class PlanSpec extends SparkSpec {
       "q134_bm25",       // hit set x broadcast 1-row (N, avgdl) totals
       "q250_hard_negatives", // composes bm25TopK — same broadcast
                              // 1-row (N, avgdl) totals shape as q134
+      "q261_retrieval_eval", // composes bm25TopK — same broadcast
+                             // 1-row (N, avgdl) totals shape as q134
       "q251_doremi_weights", // domain dim x broadcast 1-row count/min/
                              // max/total scalars per multiplicative-
                              // weights round (the q169 scalar shape)
