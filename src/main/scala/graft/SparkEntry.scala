@@ -402,6 +402,7 @@ object SparkEntry {
       (graft.queries.BuildQueries.q260LinkageEm _),
     "q261_retrieval_eval" -> (T.q261RetrievalEval _),
     "q262_purity_vote" -> (T.q262PurityVote _),
+    "q263_purge_sweep" -> (T.q263PurgeSweep _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6790,6 +6791,66 @@ object SparkEntry {
           AS INT) AS pred_label
       FROM lab d LEFT JOIN sc ON d.doc_id = sc.doc_id
       ORDER BY d.doc_id""",
+
+    // q263: purge sweep — the q132 chunk replay and the q37 exact-pair
+    // equivalence, cascaded through the every-97th delete list.
+    "q263_purge_sweep" -> """
+      WITH del AS (
+        SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+      d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      n AS (
+        SELECT doc_id, len(t) AS total,
+          1 + greatest(0, (len(t) - 64 + 47) // 48) AS nch
+        FROM d),
+      ch AS (
+        SELECT doc_id FROM n, LATERAL (SELECT
+          unnest(generate_series(0, nch - 1)) AS i) g),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+            'g'), ' ') AS t
+          FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / greatest(len(a.s) + len(b.s)
+            - len(list_intersect(a.s, b.s)), 1) >= 0.5)
+      SELECT * FROM (
+        SELECT 'documents' AS artifact,
+          (SELECT count(*) FROM documents) AS rows_before,
+          (SELECT count(*) FROM documents WHERE doc_id % 97 = 0)
+            AS rows_purged,
+          (SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM documents WHERE doc_id % 97 = 0)
+            AS rows_after
+        UNION ALL
+        SELECT 'chunks',
+          (SELECT count(*) FROM ch),
+          (SELECT count(*) FROM ch WHERE doc_id % 97 = 0),
+          (SELECT count(*) FROM ch)
+            - (SELECT count(*) FROM ch WHERE doc_id % 97 = 0)
+        UNION ALL
+        SELECT 'embeddings',
+          (SELECT count(*) FROM embeddings),
+          (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0),
+          (SELECT count(*) FROM embeddings)
+            - (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
+        UNION ALL
+        SELECT 'neardup_pairs',
+          (SELECT count(*) FROM pairs),
+          (SELECT count(*) FROM pairs
+            WHERE id_a % 97 = 0 OR id_b % 97 = 0),
+          (SELECT count(*) FROM pairs)
+            - (SELECT count(*) FROM pairs
+              WHERE id_a % 97 = 0 OR id_b % 97 = 0))
+      ORDER BY artifact""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -700,6 +700,50 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Right-to-be-forgotten purge sweep (q263): a delete list (every
+    * 97th doc) cascades across the derived artifacts — the documents
+    * table, its chunk store, the embedding store (vec_id aligns with
+    * doc_id), and the near-dup pair set (a pair dies when EITHER side
+    * is deleted). One key-only anti/semi-join per artifact; the
+    * output is the per-artifact accounting a deletion audit files. */
+  def q263PurgeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val del = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"))
+    val chunks = TextAnalysis.chunkDocs(docs, chunkTokens = 64,
+      overlapTokens = 16).select(col("doc_id"))
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"))
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    def acct(name: String, df: DataFrame,
+        purged: DataFrame): DataFrame = {
+      val b = df.agg(count(lit(1)).as("rows_before"))
+      val p = purged.agg(count(lit(1)).as("rows_purged"))
+      b.crossJoin(p).select(lit(name).as("artifact"),
+        col("rows_before"), col("rows_purged"),
+        (col("rows_before") - col("rows_purged")).as("rows_after"))
+    }
+    val pairsPurged = pairs
+      .join(del.select(col("doc_id").as("id_a")), Seq("id_a"),
+        "left_semi")
+      .unionByName(pairs.join(del.select(col("doc_id").as("id_b")),
+        Seq("id_b"), "left_semi").select(col("id_a"), col("id_b")))
+      .distinct()
+    Seq(
+      acct("documents", docs,
+        docs.join(del, Seq("doc_id"), "left_semi")),
+      acct("chunks", chunks,
+        chunks.join(del, Seq("doc_id"), "left_semi")),
+      acct("embeddings", emb,
+        emb.join(del, Seq("doc_id"), "left_semi")),
+      acct("neardup_pairs", pairs, pairsPurged))
+      .reduce(_ unionAll _)
+      .orderBy(col("artifact"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

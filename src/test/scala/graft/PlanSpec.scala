@@ -135,6 +135,8 @@ class PlanSpec extends SparkSpec {
                              // weights round (the q169 scalar shape)
       "q260_linkage_em", // pattern dim x broadcast 1-row EM state per
                          // round (the q169 scalar shape)
+      "q263_purge_sweep", // per-artifact 1-row count x 1-row purge
+                          // count accounting cross (scalar x scalar)
       "q135_perplexity", // doc bigrams x broadcast 1-row vocab size
       "q138_embed_pipeline", // crossJoin(broadcast(queries)): q129 shape
       "q144_naloxone", // NDC contains-join: DISTINCT pharmacy vocabulary
