@@ -210,11 +210,14 @@ object Linkage {
       iters: Int = 5, m0: Long = 900000L, u0: Long = 100000L,
       lam0: Long = 100000L): DataFrame = {
     val S = 1000000L
+    // materialize the pattern dim ONCE: each EM round would otherwise
+    // replay the upstream pair generation (measured 5x on q260)
+    val pat = patterns.localCheckpoint(true)
     var state = patterns.sparkSession.range(1).select(
       Seq(lit(lam0).as("lam")) ++ fields.flatMap(f =>
         Seq(lit(m0).as(s"m_$f"), lit(u0).as(s"u_$f"))): _*)
     for (_ <- 1 to iters) {
-      var j = patterns.crossJoin(broadcast(state))
+      var j = pat.crossJoin(broadcast(state))
         .withColumn("_pm", col("lam"))
         .withColumn("_pu", lit(S) - col("lam"))
       fields.foreach { f =>

@@ -764,9 +764,12 @@ object TextAnalysis {
     val b0 = domLoss.crossJoin(broadcast(stats))
       .withColumn("excess", col("loss") - col("_minl"))
     val mx = b0.agg(greatest(max(col("excess")), lit(1L)).as("_mxe"))
+    // materialize the dim-grain base ONCE: each round's join would
+    // otherwise replay the upstream domain scan (measured 5x on q251)
     val base = b0.crossJoin(broadcast(mx))
       .withColumn("excn", expr(s"excess * ${SCALE}L div _mxe"))
       .select(col("domain"), col("loss"), col("excn"), col("_n"))
+      .localCheckpoint(true)
     var w = base.select(col("domain"),
       expr(s"${SCALE}L div _n").as("weight"))
     for (_ <- 1 to iters) {
