@@ -403,6 +403,9 @@ object SparkEntry {
     "q261_retrieval_eval" -> (T.q261RetrievalEval _),
     "q262_purity_vote" -> (T.q262PurityVote _),
     "q263_purge_sweep" -> (T.q263PurgeSweep _),
+    "q264_leakfree_split" -> (T.q264LeakFreeSplit _),
+    "q265_dsir_select" -> (T.q265DsirSelect _),
+    "q266_balanced_shards" -> (T.q266BalancedShards _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6851,6 +6854,146 @@ object SparkEntry {
             - (SELECT count(*) FROM pairs
               WHERE id_a % 97 = 0 OR id_b % 97 = 0))
       ORDER BY artifact""",
+
+    // q264: leakage-free split — pairs (exact-Jaccard replay, recall-1
+    // argument as q38/q178), components via the recursive closure,
+    // then the q215 md5 range cut applied at CLUSTER grain; the
+    // per-split pair rollup's n_leak_pairs is 0 by construction.
+    "q264_leakfree_split" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+            'g'), ' ') AS toks
+          FROM documents)),
+      p AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(a.sh) + len(b.sh)
+              - len(list_intersect(a.sh, b.sh)), 1) >= 0.5),
+      sym AS (
+        SELECT ida AS u, idb AS v FROM p
+        UNION SELECT idb, ida FROM p),
+      reach AS (
+        SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),
+      comp AS (
+        SELECT node AS id, min(lbl) AS component
+        FROM reach GROUP BY node),
+      allc AS (
+        SELECT doc_id, coalesce(component, doc_id) AS cluster
+        FROM documents LEFT JOIN comp ON doc_id = id),
+      sp AS (
+        SELECT doc_id, cluster,
+          CASE WHEN bkt < 3865470566 THEN 'train'
+               WHEN bkt < 4080218931 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, cluster,
+            ('0x' || substr(md5('split:' || cluster::VARCHAR), 1, 8))
+              ::UBIGINT AS bkt
+          FROM allc)),
+      base AS (
+        SELECT split, count(*) AS n_docs,
+          count(DISTINCT cluster) AS n_clusters,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM sp GROUP BY split),
+      pr AS (
+        SELECT pa.split AS split, count(*) AS n_pairs,
+          CAST(sum(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leak_pairs
+        FROM p JOIN sp pa ON p.ida = pa.doc_id
+        JOIN sp pb ON p.idb = pb.doc_id
+        GROUP BY pa.split)
+      SELECT base.split, n_docs, n_clusters, id_sum,
+        coalesce(n_pairs, 0) AS n_pairs,
+        coalesce(n_leak_pairs, 0) AS n_leak_pairs
+      FROM base LEFT JOIN pr ON base.split = pr.split
+      ORDER BY base.split""",
+
+    // q265: DSIR — hashed unigram+bigram buckets (md5 % 512), add-1
+    // smoothed target/raw distributions, per-doc log importance
+    // weight, rank()-selected top-25. ln from integer counts mirrors
+    // exactly; the per-doc sum rounds at 6 dp (q135/q200 discipline).
+    "q265_dsir_select" -> """
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' '), x -> len(x) > 0) AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(t || list_transform(
+          generate_series(1, greatest(len(t) - 1, 0)),
+          i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM d),
+      gb AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('dsir:' || gram), 1, 8))::UBIGINT % 512
+            AS bucket
+        FROM g),
+      tc AS (SELECT bucket, count(*) AS c FROM gb
+        WHERE doc_id % 7 = 0 GROUP BY bucket),
+      rc AS (SELECT bucket, count(*) AS c FROM gb
+        WHERE doc_id % 7 <> 0 GROUP BY bucket),
+      b AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+      lrj AS (
+        SELECT b.bucket,
+          ln((coalesce(tc.c, 0) + 1)
+            / ((SELECT sum(c) FROM tc) + 512))
+          - ln((coalesce(rc.c, 0) + 1)
+            / ((SELECT sum(c) FROM rc) + 512)) AS lr
+        FROM b LEFT JOIN tc ON b.bucket = tc.bucket
+        LEFT JOIN rc ON b.bucket = rc.bucket),
+      db AS (
+        SELECT doc_id, bucket, count(*) AS m FROM gb
+        WHERE doc_id % 7 <> 0 GROUP BY doc_id, bucket),
+      sc AS (
+        SELECT doc_id, sum(m) AS n_grams,
+          round(sum(m * lr), 6) AS llr
+        FROM db JOIN lrj ON db.bucket = lrj.bucket
+        GROUP BY doc_id),
+      allr AS (
+        SELECT d2.doc_id,
+          CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+          coalesce(sc.llr, 0.0) AS llr
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d2
+        LEFT JOIN sc ON d2.doc_id = sc.doc_id),
+      rk AS (
+        SELECT doc_id,
+          rank() OVER (ORDER BY llr DESC, doc_id) AS rnk
+        FROM allr)
+      SELECT a.doc_id, a.n_grams, a.llr,
+        CASE WHEN r.rnk <= 25 THEN CAST(r.rnk AS INT) END AS sel_rank,
+        coalesce(r.rnk <= 25, false) AS selected
+      FROM allr a JOIN rk r ON a.doc_id = r.doc_id
+      ORDER BY a.doc_id""",
+
+    // q266: token-balanced shards — the oracle states the SPEC (one
+    // global ordered running sum); the Spark side implements it as the
+    // two-phase partition-parallel prefix sum, equality proving the
+    // decomposition exact.
+    "q266_balanced_shards" -> """
+      WITH b AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens,
+          CAST(('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))
+            ::UBIGINT AS BIGINT) AS ord
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens, ord,
+          CAST(sum(n_tokens) OVER (ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+        FROM b)
+      SELECT doc_id, n_tokens, ord, cum_tokens,
+        (cum_tokens - n_tokens) // 2048 AS shard
+      FROM c ORDER BY ord, doc_id""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -744,6 +744,84 @@ object TextQueries {
       .orderBy(col("artifact"))
   }
 
+  /** Leakage-free train/valid/test split (q264) — the FIX for the
+    * eval-contamination q215 audits: split assignment at the near-dup
+    * COMPONENT grain, not the document grain. Minhash pairs → connected
+    * components → every member of a duplicate cluster hashes on its
+    * CLUSTER id through the same md5 range cut [[TextAnalysis.hashSplit]]
+    * uses per-document, so a near-dup pair can never straddle splits —
+    * the per-split `n_leak_pairs` column is computed (not asserted) and
+    * is 0 by construction, with cluster/doc counts and the id-sum
+    * membership pin riding the same rows.
+    *
+    * Scale: pairs are banded minhash (linear, never all-pairs),
+    * components contract in log rounds, the split itself is a
+    * shuffle-free Column on the cluster id; the rollup is one
+    * partial-agg shuffle at split grain. Singleton docs (no near-dup)
+    * are their own cluster, so the split fractions still track the md5
+    * uniformity at corpus size. */
+  def q264LeakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Components
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      "src", "dst")
+    val clustered = docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val split = TextAnalysis.hashSplit(clustered, "cluster")
+    val base = split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("doc_id")).as("id_sum"))
+    val pr = pairs
+      .join(split.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .groupBy(col("split_a").as("split"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("split_a") =!= col("split_b")).cast("long"))
+          .as("n_leak_pairs"))
+    base.join(pr, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("id_sum"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"))
+      .orderBy(col("split"))
+  }
+
+  /** DSIR data selection (q265): the doc_id%7 slice plays the
+    * high-quality target corpus, the rest is raw; every raw doc gets
+    * its hashed-bigram log importance weight and the top-25 most
+    * target-like are flagged via the scale-safe TopN (rank NULL
+    * outside the selection). The paper's resampling step reduces to
+    * this deterministic top-k when temperature -> 0. */
+  def q265DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.dsirScores(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0))
+    val top = graft.core.TopN.topNByRank(scored, "llr", "doc_id", 25)
+      .select(col("doc_id"), col("rnk"))
+    scored.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("llr"),
+        col("rnk").as("sel_rank"), col("rnk").isNotNull.as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-balanced shard assignment (q266): the corpus streams out in
+    * md5-salted order and cuts into ~2048-token shards via the
+    * two-phase scale-safe prefix sum — per-doc cumulative position and
+    * shard id, a pure function of (salt, doc_id, tokens). */
+  def q266BalancedShards(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.balancedShards(t(s, dir, "documents"),
+        shardTokens = 2048L)
+      .orderBy(col("ord"), col("doc_id"))
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

@@ -201,8 +201,14 @@ class PlanSpec extends SparkSpec {
                                // scalar shape)
       "q239_epoch_upsample", // domain frame x broadcast 1-row
                              // max-token total (the q128 shape)
-      "q242_zorder_layout") // per-layout totals x broadcast 1-row
+      "q242_zorder_layout", // per-layout totals x broadcast 1-row
                             // probe-touch agg (the q237 audit shape)
+      "q265_dsir_select", // bucket dim x broadcast 1-row corpus totals
+                          // (the q172 renormalizer shape) + the TopN
+                          // n x n rank self-join (the q15/q62 shape)
+      "q266_balanced_shards") // partition-sum dim (#partitions rows) x
+                              // broadcast prefix self-join on < — the
+                              // two-phase prefix-sum offset table
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** balancedShards (q266), dsirScores (q265), and the leakage-free
+  * cluster-grain split composition (q264). */
+class ShardsDsirSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("balancedShards: contiguous cumsum, start-offset shard rule, " +
+      "partition invariance") {
+    val d = docs((0L until 40L).map(i => i -> ("w " * (i.toInt % 7 + 1)).trim))
+    val out = TextAnalysis.balancedShards(d, shardTokens = 10L)
+      .orderBy(col("ord"), col("doc_id")).collect()
+    assert(out.length == 40)
+    // cumulative sums are the running total in (ord, id) order
+    var run = 0L
+    out.foreach { r =>
+      run += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == run,
+        s"cum broke at doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("shard") ==
+        (r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens")) / 10L)
+    }
+    // shard ids are nondecreasing in stream order and start at 0
+    val shards = out.map(_.getAs[Long]("shard"))
+    assert(shards.head == 0L && shards.sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    // a shard's token total (less its possibly-straddling last doc)
+    // never exceeds the budget
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val tot = rs.map(_.getAs[Long]("n_tokens")).sum
+      val last = rs.maxBy(_.getAs[Long]("cum_tokens")).getAs[Long]("n_tokens")
+      assert(tot - last < 10L, s"shard over budget even without tail")
+    }
+    // the assignment is a pure function of the data, not the layout
+    val re = TextAnalysis.balancedShards(d.repartition(7), shardTokens = 10L)
+      .orderBy(col("ord"), col("doc_id")).collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSeq ==
+      re.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSeq)
+  }
+
+  test("dsirScores: target-vocabulary docs outscore off-target docs; " +
+      "empty doc scores 0") {
+    val target = docs(Seq(100L -> "alpha beta alpha beta gamma",
+      101L -> "alpha gamma beta alpha"))
+    val raw = docs(Seq(
+      1L -> "alpha beta gamma alpha beta",   // pure target vocabulary
+      2L -> "zig zag zog zig zag zog zag",   // disjoint vocabulary
+      3L -> ""))
+    val out = TextAnalysis.dsirScores(raw, target)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("llr"))).toMap
+    assert(out(1L)._2 > 0.0, s"target-like doc must score > 0: $out")
+    assert(out(2L)._2 < 0.0, s"off-target doc must score < 0: $out")
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(3L) == ((0L, 0.0)), s"empty doc must be (0, 0.0): $out")
+    // n_grams = unigrams + bigrams = 2*len - 1 for non-empty docs
+    assert(out(1L)._1 == 9L && out(2L)._1 == 13L)
+  }
+
+  test("cluster-grain split keeps every near-dup pair in one split") {
+    // three exact-duplicate families (certain near-dup pairs) + noise
+    val fams = (0 until 12).flatMap { f =>
+      val txt = s"family $f shares this exact sentence body " +
+        s"token$f token$f token$f end"
+      Seq((f * 10L) -> txt, (f * 10L + 1) -> txt, (f * 10L + 2) -> txt)
+    }
+    val d = docs(fams)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+      shingleN = 3, bands = 8, rows = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      "src", "dst")
+    val clustered = d.select(col("doc_id"))
+      .join(comp, d("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val split = TextAnalysis.hashSplit(clustered, "cluster")
+    val leaks = pairs
+      .join(split.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(pairs.count() >= 12 * 3, "fixture must produce real pairs")
+    assert(leaks == 0L, "cluster-grain split must never straddle a pair")
+    // and the doc-grain split DOES leak on the same fixture (the
+    // q215 problem this operator fixes) — unless md5 happens to agree
+    // for every family, which 12 families make vanishingly unlikely
+    val docSplit = TextAnalysis.hashSplit(d.select(col("doc_id")), "doc_id")
+    val docLeaks = pairs
+      .join(docSplit.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(docSplit.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(docLeaks > 0L, "fixture should exhibit doc-grain leakage")
+  }
+}
