@@ -6916,58 +6916,58 @@ object SparkEntry {
       FROM base LEFT JOIN pr ON base.split = pr.split
       ORDER BY base.split""",
 
-    // q265: DSIR — hashed unigram+bigram buckets (md5 % 512), add-1
-    // smoothed target/raw distributions, per-doc log importance
-    // weight, rank()-selected top-25. ln from integer counts mirrors
-    // exactly; the per-doc sum rounds at 6 dp (q135/q200 discipline).
+    // q265: DSIR selection — the q172 weights replay (same hashed
+    // feature model, target = doc_id%7 slice) restricted to RAW docs,
+    // zero-filled for feature-less docs, rank()-selected top-25.
     "q265_dsir_select" -> """
-      WITH d AS (
-        SELECT doc_id,
-          list_filter(string_split(regexp_replace(lower(trim(text)),
-            '\s+', ' ', 'g'), ' '), x -> len(x) > 0) AS t
+      WITH toks AS (
+        SELECT doc_id, doc_id % 7 = 0 AS tgt,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+            'g'), ' ') AS tk
         FROM documents),
-      g AS (
-        SELECT doc_id, unnest(t || list_transform(
-          generate_series(1, greatest(len(t) - 1, 0)),
-          i -> t[i] || ' ' || t[i + 1])) AS gram
-        FROM d),
-      gb AS (
-        SELECT doc_id,
-          ('0x' || substr(md5('dsir:' || gram), 1, 8))::UBIGINT % 512
-            AS bucket
-        FROM g),
-      tc AS (SELECT bucket, count(*) AS c FROM gb
-        WHERE doc_id % 7 = 0 GROUP BY bucket),
-      rc AS (SELECT bucket, count(*) AS c FROM gb
-        WHERE doc_id % 7 <> 0 GROUP BY bucket),
-      b AS (SELECT unnest(generate_series(0, 511)) AS bucket),
-      lrj AS (
-        SELECT b.bucket,
-          ln((coalesce(tc.c, 0) + 1)
-            / ((SELECT sum(c) FROM tc) + 512))
-          - ln((coalesce(rc.c, 0) + 1)
-            / ((SELECT sum(c) FROM rc) + 512)) AS lr
-        FROM b LEFT JOIN tc ON b.bucket = tc.bucket
-        LEFT JOIN rc ON b.bucket = rc.bucket),
-      db AS (
-        SELECT doc_id, bucket, count(*) AS m FROM gb
-        WHERE doc_id % 7 <> 0 GROUP BY doc_id, bucket),
-      sc AS (
-        SELECT doc_id, sum(m) AS n_grams,
-          round(sum(m * lr), 6) AS llr
-        FROM db JOIN lrj ON db.bucket = lrj.bucket
-        GROUP BY doc_id),
+      feats AS (
+        SELECT doc_id, tgt, unnest(tk) AS f FROM toks
+        UNION ALL
+        SELECT doc_id, tgt, unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 1, 0)),
+            i -> tk[i] || ' ' || tk[i + 1])) AS f
+        FROM toks),
+      bk AS (
+        SELECT doc_id, tgt,
+          ('0x' || substr(md5(f), 1, 8))::UBIGINT % 64 AS b
+        FROM feats WHERE len(f) > 0),
+      counts AS (
+        SELECT b,
+          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM bk GROUP BY b),
+      tot AS (
+        SELECT
+          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS nr
+        FROM bk),
+      lam AS (
+        SELECT b,
+          ln((ct + 1)::DOUBLE / (nt + 64)::DOUBLE) -
+            ln((cr + 1)::DOUBLE / (nr + 64)::DOUBLE) AS lam
+        FROM counts, tot),
+      docf AS (
+        SELECT doc_id, b, count(*) AS m FROM bk GROUP BY 1, 2),
+      sc0 AS (
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+          round(sum(m * lam), 6) AS log_importance
+        FROM docf JOIN lam USING (b) GROUP BY doc_id),
       allr AS (
         SELECT d2.doc_id,
-          CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
-          coalesce(sc.llr, 0.0) AS llr
+          CAST(coalesce(sc0.n_feats, 0) AS BIGINT) AS n_feats,
+          coalesce(sc0.log_importance, 0.0) AS log_importance
         FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d2
-        LEFT JOIN sc ON d2.doc_id = sc.doc_id),
+        LEFT JOIN sc0 ON d2.doc_id = sc0.doc_id),
       rk AS (
-        SELECT doc_id,
-          rank() OVER (ORDER BY llr DESC, doc_id) AS rnk
+        SELECT doc_id, rank() OVER (ORDER BY log_importance DESC,
+          doc_id) AS rnk
         FROM allr)
-      SELECT a.doc_id, a.n_grams, a.llr,
+      SELECT a.doc_id, a.n_feats, a.log_importance,
         CASE WHEN r.rnk <= 25 THEN CAST(r.rnk AS INT) END AS sel_rank,
         coalesce(r.rnk <= 25, false) AS selected
       FROM allr a JOIN rk r ON a.doc_id = r.doc_id

@@ -784,66 +784,6 @@ object TextAnalysis {
           .as("shard"))
   }
 
-  /** DSIR importance scores (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling"): rank raw-corpus
-    * documents by how target-like they look under hashed n-gram
-    * bag-of-words models. Features are unigrams + word bigrams hashed
-    * into `buckets` cells by md5 (engine-portable, the q209 CMS
-    * discipline); the target and raw bucket distributions get add-1
-    * smoothing, and each raw doc scores
-    * `sum_b m_db * (ln p_target(b) - ln p_raw(b))` — the paper's
-    * log importance weight. ln mirrors exactly cross-engine from
-    * integer counts; the per-doc sum rounds to 6 dp (the q135/q200
-    * float discipline).
-    *
-    * Scale: two bucket-grain aggregations (B rows each — B is fixed,
-    * hundreds, regardless of corpus size), the log-ratio dim broadcast
-    * back onto (doc, bucket)-collapsed counts — ONE shuffle at
-    * (doc, bucket) grain, linear in corpus tokens. Selection is
-    * [[graft.core.TopN]]'s TakeOrderedAndProject shape, never a global
-    * window. */
-  def dsirScores(raw: DataFrame, target: DataFrame,
-      id: String = "doc_id", text: String = "text",
-      buckets: Int = 512, salt: String = "dsir"): DataFrame = {
-    def grams(df: DataFrame, keep: Seq[Column]) = {
-      val t = filter(Dedup.tokens(col(text)), w => length(w) > 0)
-      val bi = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-      df.select(keep :+ explode(concat(t, bi)).as("gram"): _*)
-        .select(keep :+ pmod(conv(substring(
-          md5(concat(lit(s"$salt:"), col("gram"))), 1, 8), 16, 10)
-          .cast("long"), lit(buckets.toLong)).as("bucket"): _*)
-    }
-    val bdim = raw.sparkSession.range(buckets)
-      .select(col("id").as("bucket"))
-    def dist(df: DataFrame) = bdim.join(
-      grams(df, Seq.empty).groupBy(col("bucket"))
-        .agg(count(lit(1)).as("c")), Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
-    val tc = dist(target)
-    val rc = dist(raw)
-    val nt = tc.agg(sum(col("c")).as("nt"))
-    val nr = rc.agg(sum(col("c")).as("nr"))
-    val lr = tc.join(rc.select(col("bucket"), col("c").as("cr")),
-        Seq("bucket"))
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-      .select(col("bucket"),
-        (log((col("c") + 1).cast("double") /
-            (col("nt") + buckets).cast("double")) -
-          log((col("cr") + 1).cast("double") /
-            (col("nr") + buckets).cast("double"))).as("lr"))
-    val docB = grams(raw, Seq(col(id)))
-      .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("m"))
-    val scored = docB.join(broadcast(lr), Seq("bucket"))
-      .groupBy(col(id))
-      .agg(sum(col("m")).as("n_grams"),
-        round(sum(col("m") * col("lr")), 6).as("llr"))
-    raw.select(col(id)).join(scored, Seq(id), "left")
-      .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("llr"), lit(0.0)).as("llr"))
-  }
-
   /** DoReMi-style domain REWEIGHTING — multiplicative-weights over
     * per-domain excess losses (Xie et al. 2023's Group-DRO recipe,
     * linearized): domains whose loss exceeds the best domain's get

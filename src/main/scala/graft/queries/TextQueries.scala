@@ -794,21 +794,28 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
-  /** DSIR data selection (q265): the doc_id%7 slice plays the
-    * high-quality target corpus, the rest is raw; every raw doc gets
-    * its hashed-bigram log importance weight and the top-25 most
-    * target-like are flagged via the scale-safe TopN (rank NULL
-    * outside the selection). The paper's resampling step reduces to
-    * this deterministic top-k when temperature -> 0. */
+  /** DSIR data SELECTION (q265) — the resampling half the q172 weights
+    * feed: the doc_id%7 slice plays the high-quality target corpus,
+    * [[TextAnalysis.dsirWeights]] fits the hashed-n-gram target/raw
+    * models over the whole pool, and the top-25 most target-like RAW
+    * docs are flagged through the scale-safe TopN (rank NULL outside
+    * the selection; feature-less docs score 0). The paper's gumbel
+    * resampling reduces to this deterministic top-k at temperature 0. */
   def q265DsirSelect(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val scored = TextAnalysis.dsirScores(
-      docs.filter(col("doc_id") % 7 =!= 0),
-      docs.filter(col("doc_id") % 7 === 0))
-    val top = graft.core.TopN.topNByRank(scored, "llr", "doc_id", 25)
+    val scored = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"))
+      .join(TextAnalysis.dsirWeights(docs, col("doc_id") % 7 === 0),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("log_importance"), lit(0.0))
+          .as("log_importance"))
+    val top = graft.core.TopN
+      .topNByRank(scored, "log_importance", "doc_id", 25)
       .select(col("doc_id"), col("rnk"))
     scored.join(broadcast(top), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"), col("llr"),
+      .select(col("doc_id"), col("n_feats"), col("log_importance"),
         col("rnk").as("sel_rank"), col("rnk").isNotNull.as("selected"))
       .orderBy(col("doc_id"))
   }

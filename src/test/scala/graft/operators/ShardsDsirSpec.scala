@@ -46,23 +46,30 @@ class ShardsDsirSpec extends SparkSpec {
       re.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSeq)
   }
 
-  test("dsirScores: target-vocabulary docs outscore off-target docs; " +
-      "empty doc scores 0") {
-    val target = docs(Seq(100L -> "alpha beta alpha beta gamma",
-      101L -> "alpha gamma beta alpha"))
-    val raw = docs(Seq(
-      1L -> "alpha beta gamma alpha beta",   // pure target vocabulary
-      2L -> "zig zag zog zig zag zog zag",   // disjoint vocabulary
-      3L -> ""))
-    val out = TextAnalysis.dsirScores(raw, target)
-      .collect().map(r => r.getLong(0) ->
-        (r.getAs[Long]("n_grams"), r.getAs[Double]("llr"))).toMap
-    assert(out(1L)._2 > 0.0, s"target-like doc must score > 0: $out")
-    assert(out(2L)._2 < 0.0, s"off-target doc must score < 0: $out")
-    assert(out(1L)._2 > out(2L)._2)
-    assert(out(3L) == ((0L, 0.0)), s"empty doc must be (0, 0.0): $out")
-    // n_grams = unigrams + bigrams = 2*len - 1 for non-empty docs
-    assert(out(1L)._1 == 9L && out(2L)._1 == 13L)
+  test("DSIR selection (q265 composition): target-like raw docs are " +
+      "the ones selected; raw-only output, zero-filled") {
+    // ids 100/101 are target (vocabulary A); raw pool mixes A-like and
+    // B-like docs — dsirWeights fits on the POOL, TopN selects raw
+    val pool = docs(Seq(
+      100L -> "alpha beta alpha beta gamma",
+      101L -> "alpha gamma beta alpha",
+      1L -> "alpha beta gamma alpha beta", // target-like
+      2L -> "zig zag zog zig zag zog zag", // off-target
+      4L -> "alpha beta alpha",            // target-like
+      5L -> "zig zog mop hax"))            // off-target
+    val isTarget = col("doc_id") >= 100L
+    val scored = pool.filter(!isTarget).select(col("doc_id"))
+      .join(TextAnalysis.dsirWeights(pool, isTarget),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("log_importance"), lit(0.0)).as("log_importance"))
+    val sel = graft.core.TopN
+      .topNByRank(scored, "log_importance", "doc_id", 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sel == Set(1L, 4L), s"selection must pick target-like: $sel")
+    val all = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all.keySet == Set(1L, 2L, 4L, 5L), "raw docs only")
+    assert(all(1L) > 0.0 && all(4L) > 0.0 && all(2L) < 0.0 && all(5L) < 0.0)
   }
 
   test("cluster-grain split keeps every near-dup pair in one split") {
