@@ -406,6 +406,8 @@ object SparkEntry {
     "q264_leakfree_split" -> (T.q264LeakFreeSplit _),
     "q265_dsir_select" -> (T.q265DsirSelect _),
     "q266_balanced_shards" -> (T.q266BalancedShards _),
+    "q267_weighted_sample" -> (T.q267WeightedSample _),
+    "q268_shard_manifest" -> (T.q268ShardManifest _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -6994,6 +6996,58 @@ object SparkEntry {
       SELECT doc_id, n_tokens, ord, cum_tokens,
         (cum_tokens - n_tokens) // 2048 AS shard
       FROM c ORDER BY ord, doc_id""",
+
+    // q267: A-Res weighted sample — ln(u)/w keys from centered md5
+    // 32-bit draws, rounded at 6 dp, top-40 by (key desc, id).
+    "q267_weighted_sample" -> """
+      WITH b AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS w,
+          ('0x' || substr(md5('ares:' || doc_id::VARCHAR), 1, 8))
+            ::UBIGINT AS bkt
+        FROM documents),
+      k AS (
+        SELECT doc_id, w AS n_tokens,
+          round(ln((bkt::DOUBLE + 0.5) / 4294967296.0) / w::DOUBLE, 6)
+            AS ares_key
+        FROM b WHERE w > 0)
+      SELECT doc_id, n_tokens, ares_key,
+        CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id)
+          AS INT) AS rnk
+      FROM k QUALIFY rnk <= 40 ORDER BY rnk""",
+
+    // q268: shard manifest — the q266 shard layout joined to per-doc
+    // 60-bit md5-prefix content hashes, ONE ROLLUP aggregation giving
+    // per-shard rows and the dataset total; bit_xor is
+    // order-independent so the fingerprint is layout-invariant.
+    "q268_shard_manifest" -> """
+      WITH b AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens,
+          CAST(('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))
+            ::UBIGINT AS BIGINT) AS ord
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+        FROM b),
+      s AS (
+        SELECT c.doc_id, c.n_tokens,
+          (cum_tokens - c.n_tokens) // 2048 AS shard,
+          CAST(('0x' || substr(md5(d.text), 1, 15))::UBIGINT AS BIGINT)
+            AS h
+        FROM c JOIN documents d ON c.doc_id = d.doc_id)
+      SELECT shard, CAST(GROUPING(shard) AS INT) AS is_total,
+        count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        bit_xor(h) AS content_fp
+      FROM s GROUP BY ROLLUP (shard)
+      ORDER BY is_total, shard""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -66,4 +66,35 @@ object Sampling {
       .withColumn("samp_rank", row_number().over(w))
       .filter(col("samp_rank") <= col("quota"))
   }
+
+  /** Weighted sample WITHOUT replacement — Efraimidis & Spirakis 2006
+    * A-Res, the one-pass distributed formulation: each row draws a
+    * deterministic uniform u from md5(salt:id) (the [[stratifiedSample]]
+    * / hashSplit discipline — the +0.5 centers the 32-bit bucket, so u
+    * is an exact dyadic rational in (0,1)), keys itself with
+    * `ln(u) / w` (a monotone transform of the paper's u^(1/w), safe
+    * from pow() underflow at large weights), and the k LARGEST keys
+    * are the sample. Inclusion probabilities follow the weights
+    * exactly as in the paper; the whole draw is a pure function of
+    * (salt, id, w), so re-runs, re-partitions, and other engines
+    * reproduce it to the row. Keys round at 6 dp before ranking (the
+    * BM25 rounded-score-ranking discipline) with the unique id as
+    * tie-break.
+    *
+    * Scale: key assignment is a shuffle-free codegen'd Column; the
+    * top-k is [[graft.core.TopN]]'s TakeOrderedAndProject — a
+    * per-partition heap merge, no global sort, no window. Weighted
+    * sampling over 100 TB is one scan. Rows with w <= 0 are excluded
+    * (zero-weight rows cannot be drawn; negative weights are
+    * undefined). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int, salt: String = "ares"): DataFrame = {
+    val bucket = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (bucket.cast("double") + 0.5) / 4294967296.0
+    val keyed = df.select(col(idCol), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("ares_key", round(log(u) / col("w").cast("double"), 6))
+    graft.core.TopN.topNByRank(keyed, "ares_key", idCol, k)
+  }
 }

@@ -784,6 +784,38 @@ object TextAnalysis {
           .as("shard"))
   }
 
+  /** Content-addressed shard MANIFEST — the reproducibility record a
+    * dataset release ships next to its shards (the per-shard sibling
+    * of the q241 data card and the q238 export metadata): for each
+    * [[balancedShards]] shard, doc/token counts, the id-sum membership
+    * pin, and a 60-bit content fingerprint (bit_xor of per-doc
+    * md5-prefix hashes — order-independent, so any engine that holds
+    * the same documents derives the same fingerprint regardless of
+    * layout), plus the dataset-total row from the same aggregation via
+    * ROLLUP. Two training runs claiming "the same data" compare one
+    * manifest row per shard instead of re-reading 100 TB; a changed
+    * fingerprint names the shard that drifted.
+    *
+    * Scale: the shard assignment is the two-phase prefix sum; the
+    * manifest itself is ONE Expand-backed rollup aggregation at shard
+    * grain (map-side combined), output rows = shards + 1. */
+  def shardManifest(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", shardTokens: Long = 2048L,
+      salt: String = "shard"): DataFrame = {
+    val sh = balancedShards(docs, id, text, shardTokens, salt)
+      .select(col(id), col("n_tokens"), col("shard"))
+    val h = docs.select(col(id),
+      conv(substring(md5(col(text)), 1, 15), 16, 10).cast("long")
+        .as("_h"))
+    sh.join(h, Seq(id))
+      .rollup(col("shard"))
+      .agg(grouping(col("shard")).cast("int").as("is_total"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col(id)).as("id_sum"),
+        expr("bit_xor(_h)").as("content_fp"))
+  }
+
   /** DoReMi-style domain REWEIGHTING — multiplicative-weights over
     * per-domain excess losses (Xie et al. 2023's Group-DRO recipe,
     * linearized): domains whose loss exceeds the best domain's get

@@ -829,6 +829,25 @@ object TextQueries {
         shardTokens = 2048L)
       .orderBy(col("ord"), col("doc_id"))
 
+  /** Weighted sample without replacement (q267): 40 documents drawn
+    * token-weighted by A-Res — long docs proportionally likelier, the
+    * draw a pure function of (salt, doc_id, tokens), the top-k a
+    * TakeOrderedAndProject scan. */
+  def q267WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), k = 40)
+      .withColumnRenamed("w", "n_tokens")
+      .orderBy(col("rnk"))
+
+  /** Content-addressed shard manifest (q268): per-shard doc/token
+    * counts, id-sum pins, and order-independent 60-bit content
+    * fingerprints over the q266 shard layout, dataset-total row from
+    * the same rollup — the dataset-versioning record. */
+  def q268ShardManifest(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shardManifest(t(s, dir, "documents"),
+        shardTokens = 2048L)
+      .orderBy(col("is_total"), col("shard"))
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

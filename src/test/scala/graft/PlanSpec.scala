@@ -206,9 +206,13 @@ class PlanSpec extends SparkSpec {
       "q265_dsir_select", // bucket dim x broadcast 1-row corpus totals
                           // (the q172 renormalizer shape) + the TopN
                           // n x n rank self-join (the q15/q62 shape)
-      "q266_balanced_shards") // partition-sum dim (#partitions rows) x
+      "q266_balanced_shards", // partition-sum dim (#partitions rows) x
                               // broadcast prefix self-join on < — the
                               // two-phase prefix-sum offset table
+      "q267_weighted_sample", // the TopN n x n rank self-join (the
+                              // q15/q62 shape) over A-Res keys
+      "q268_shard_manifest") // composes q266's prefix-sum offset
+                             // self-join (the same bounded dim)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57

@@ -50,4 +50,64 @@ class SamplingSpec extends SparkSpec {
     assert(ids == ids)
     assert(ids.nonEmpty)
   }
+
+  test("A-Res weighted sample matches a scala replica of the key " +
+      "formula; w<=0 excluded; k >= population returns all") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 30L).map(i => (i, (i % 9).toLong)) // some w = 0
+    val df = rows.toDF("id", "w")
+    // scala replica: u from md5("ares:id") first 8 hex chars, centered
+    def key(id: Long, w: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ares:$id".getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4294967296.0
+      BigDecimal(math.log(u) / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.filter(_._2 > 0)
+      .map { case (i, w) => (i, key(i, w)) }
+      .sortBy { case (i, kk) => (-kk, i) }.take(5).map(_._1)
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 5)
+      .orderBy(col("rnk")).collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == expect, s"got $got want $expect")
+    val all = Sampling.weightedSample(df, "id", col("w"), k = 100)
+    assert(all.count() == rows.count(_._2 > 0))
+    // partition layout cannot change the draw
+    val re = Sampling.weightedSample(df.repartition(7), "id", col("w"),
+      k = 5).orderBy(col("rnk")).collect().map(_.getAs[Long]("id")).toSeq
+    assert(re == got)
+  }
+
+  test("shard manifest: total row aggregates the shard rows, and a " +
+      "single-doc edit moves exactly one shard fingerprint") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 25L).map(i => (i, s"doc $i body " + ("w " * 40)))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.shardManifest(docs, shardTokens = 100L)
+      .collect()
+    val (tot, per) = m.partition(_.getAs[Int]("is_total") == 1)
+    assert(tot.length == 1 && per.nonEmpty)
+    assert(tot.head.getAs[Long]("n_docs") ==
+      per.map(_.getAs[Long]("n_docs")).sum)
+    assert(tot.head.getAs[Long]("n_tokens") ==
+      per.map(_.getAs[Long]("n_tokens")).sum)
+    assert(tot.head.getAs[Long]("content_fp") ==
+      per.map(_.getAs[Long]("content_fp")).reduce(_ ^ _))
+    // same-length edit to one doc: same shard layout, one fp changes
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7L,
+        concat(lit("DOC 7 body "), lit("w " * 40))).otherwise(col("text")))
+    val m2 = TextAnalysis.shardManifest(edited, shardTokens = 100L)
+      .filter(col("is_total") === 0).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("content_fp"))
+      .toMap
+    val m1 = per.map(r => r.getAs[Long]("shard") ->
+      r.getAs[Long]("content_fp")).toMap
+    val changed = m1.keySet.filter(k => m1(k) != m2(k))
+    assert(changed.size == 1, s"exactly one shard must drift: $changed")
+  }
 }
