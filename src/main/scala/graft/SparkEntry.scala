@@ -98,6 +98,9 @@ object SparkEntry {
   def qStreamCms(s: SparkSession, dir: String): DataFrame =
     EventStream.cmsRollup(s, dir)
 
+  def qStreamDrift(s: SparkSession, dir: String): DataFrame =
+    EventStream.driftMonitor(s, dir)
+
   def qStreamNearDup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.DocStream.nearDupGate(s, dir)
 
@@ -408,6 +411,7 @@ object SparkEntry {
     "q266_balanced_shards" -> (T.q266BalancedShards _),
     "q267_weighted_sample" -> (T.q267WeightedSample _),
     "q268_shard_manifest" -> (T.q268ShardManifest _),
+    "q269_stream_drift" -> (qStreamDrift _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7048,6 +7052,47 @@ object SparkEntry {
         bit_xor(h) AS content_fp
       FROM s GROUP BY ROLLUP (shard)
       ORDER BY is_total, shard""",
+
+    // q269: streaming drift monitor — batch-equivalence oracle: the
+    // q48 watermark-cutoff predicate picks the emitted hours, then the
+    // JSD of each hour's type distribution vs the full-history
+    // reference, densified over the reference type dim (absent types
+    // contribute their q*ln2 mass; the hour's support is a subset of
+    // the reference's by construction).
+    "q269_stream_drift" -> """
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        HAVING hour_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR),
+      ref AS (
+        SELECT event_type, count(*) AS rn FROM events GROUP BY 1),
+      rt AS (SELECT CAST(sum(rn) AS BIGINT) AS rt FROM ref),
+      dense AS (
+        SELECT h.hour_start, r.event_type,
+          coalesce(x.n, 0) AS n, r.rn
+        FROM (SELECT DISTINCT hour_start FROM hourly) h
+        CROSS JOIN ref r
+        LEFT JOIN hourly x ON h.hour_start = x.hour_start
+          AND r.event_type = x.event_type),
+      wt AS (
+        SELECT hour_start, CAST(sum(n) AS BIGINT) AS wt
+        FROM dense GROUP BY 1),
+      terms AS (
+        SELECT d.hour_start, d.n,
+          d.n::DOUBLE / w.wt AS p, d.rn::DOUBLE / rt.rt AS q
+        FROM dense d JOIN wt w ON d.hour_start = w.hour_start
+        CROSS JOIN rt)
+      SELECT hour_start, CAST(sum(n) AS BIGINT) AS n_events,
+        CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_types,
+        round(sum(
+          (CASE WHEN n > 0 THEN p * ln(p / ((p + q) / 2))
+            ELSE 0 END) * 0.5
+          + q * ln(q / ((p + q) / 2)) * 0.5), 6) AS jsd
+      FROM terms GROUP BY hour_start ORDER BY hour_start""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

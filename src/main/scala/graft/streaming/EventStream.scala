@@ -381,6 +381,64 @@ object EventStream {
     * emitted append-mode as each hour's grid finalizes. State is the
     * open windows' depth x width cells, bounded regardless of stream
     * length or item cardinality — the point of sketching a firehose. */
+  /** Streaming distribution-DRIFT monitor — the data-quality alarm a
+    * production ingest runs against its firehose: per event-time hour,
+    * the Jensen-Shannon divergence between that hour's event-type
+    * distribution and the full-history reference distribution. The
+    * stream does the stateful work (ONE watermarked windowed count at
+    * (window, type) grain — state bounded by open windows x type
+    * cardinality); the JSD is a batch post-pass over the compact
+    * emitted rollup, densified against the reference type dim so
+    * types MISSING from an hour still contribute their q·ln(2) mass —
+    * a vanished event type is exactly the drift this catches. The
+    * hour's support is a subset of the reference's by construction
+    * (the reference is the same stream's full history), so densifying
+    * by reference types is exhaustive.
+    *
+    * At 100 TB the emitted rollup is (hours x types) rows — the JSD
+    * pass costs nothing; alert thresholds go on the `jsd` column. */
+  def driftMonitor(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir, "graft_stream_drift_src")
+    val agg = stream
+      .withWatermark("ts", s"$DelaySeconds seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val base = Files.createTempDirectory("graft_stream_drift").toString
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val hourly = s.read.schema(agg.schema).parquet(s"$base/data")
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+    val events = graft.queries.Q.t(s, dir, "events")
+    val ref = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rn"))
+    val refTot = ref.agg(sum(col("rn")).as("rt"))
+    val dense = hourly.select(col("hour_start")).distinct()
+      .crossJoin(broadcast(ref))
+      .join(hourly, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"), col("rn"))
+    val wtot = dense.groupBy(col("hour_start"))
+      .agg(sum(col("n")).as("wt"))
+    val p = col("n").cast("double") / col("wt").cast("double")
+    val qd = col("rn").cast("double") / col("rt").cast("double")
+    val m = (p + qd) / 2.0
+    val term = when(col("n") > 0, p * log(p / m)).otherwise(lit(0.0)) *
+      0.5 + qd * log(qd / m) * 0.5
+    dense.join(wtot, Seq("hour_start")).crossJoin(broadcast(refTot))
+      .groupBy(col("hour_start"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_types"),
+        round(sum(term), 6).as("jsd"))
+      .orderBy(col("hour_start"))
+  }
+
   def cmsRollup(s: SparkSession, dir: String): DataFrame = {
     val stream = eventsStream(s, dir, "graft_stream_cms_src")
     val cells = graft.operators.Sketches.withCells(

@@ -211,8 +211,11 @@ class PlanSpec extends SparkSpec {
                               // two-phase prefix-sum offset table
       "q267_weighted_sample", // the TopN n x n rank self-join (the
                               // q15/q62 shape) over A-Res keys
-      "q268_shard_manifest") // composes q266's prefix-sum offset
+      "q268_shard_manifest", // composes q266's prefix-sum offset
                              // self-join (the same bounded dim)
+      "q269_stream_drift") // emitted-hours dim x broadcast type
+                           // reference + 1-row total (the q128
+                           // renormalizer shape, post-stream)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57

@@ -54,4 +54,28 @@ class EventStreamSpec extends SparkSpec {
     // and null rows exist at all (the flush really ran)
     assert(out.filter(col("purchase_id").isNull).count() > 0L)
   }
+
+  test("drift monitor: only finalized hours, JSD within [0, ln 2], " +
+      "and the n_events totals equal the batch rollup") {
+    val out = EventStream.driftMonitor(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ln2 = math.log(2.0)
+    out.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= ln2 + 1e-9, s"JSD out of range: $j")
+      assert(r.getAs[Long]("n_types") >= 1L)
+    }
+    // emitted hours and their event totals match the batch cutoff agg
+    val events = Q.t(spark, sf, "events")
+    val cutoff = EventStream.emittedBefore(events)
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("hour_start") + expr("interval 1 hour") <= lit(cutoff))
+      .collect()
+      .map(r => r.getTimestamp(0) -> r.getAs[Long]("n_events")).toMap
+    val got = out.map(r =>
+      r.getTimestamp(0) -> r.getAs[Long]("n_events")).toMap
+    assert(got == batch, s"hour totals drifted: $got vs $batch")
+  }
 }
