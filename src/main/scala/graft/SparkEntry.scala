@@ -412,6 +412,7 @@ object SparkEntry {
     "q267_weighted_sample" -> (T.q267WeightedSample _),
     "q268_shard_manifest" -> (T.q268ShardManifest _),
     "q269_stream_drift" -> (qStreamDrift _),
+    "q270_cdc_chunks" -> (T.q270CdcChunks _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7093,6 +7094,56 @@ object SparkEntry {
             ELSE 0 END) * 0.5
           + q * ln(q / ((p + q) / 2)) * 0.5), 6) AS jsd
       FROM terms GROUP BY hour_start ORDER BY hour_start""",
+
+    // q270: content-defined chunking — per-gap window-hash
+    // eligibility, the next-cut-from-s table as set logic, and the
+    // greedy chain replayed by a recursive CTE stepping cut_k ->
+    // nxt(cut_k); chunk fingerprints are 60-bit md5 prefixes.
+    "q270_cdc_chunks" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+          list_filter(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' '), x -> len(x) > 0) AS t
+        FROM documents),
+      n0 AS (
+        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+      ok AS (
+        SELECT doc_id, i,
+          ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))
+            ::UBIGINT % 8 = 0 AS ok
+        FROM n0, LATERAL (SELECT unnest(
+          generate_series(1, n - 1)) AS i) g),
+      nxt AS (
+        SELECT n0.doc_id, g.s,
+          coalesce((SELECT min(o.i) FROM ok o
+              WHERE o.doc_id = n0.doc_id AND o.ok
+                AND o.i >= g.s + 4
+                AND o.i <= least(g.s + 16, n0.n - 1)),
+            least(g.s + 16, n0.n)) AS nx
+        FROM n0, LATERAL (SELECT unnest(
+          generate_series(0, n0.n - 1)) AS s) g),
+      cuts AS (
+        SELECT doc_id, 0 AS cut, 0 AS k FROM n0
+        UNION ALL
+        SELECT c.doc_id, x.nx, c.k + 1
+        FROM cuts c
+        JOIN n0 ON n0.doc_id = c.doc_id
+        JOIN nxt x ON x.doc_id = c.doc_id AND x.s = c.cut
+        WHERE c.cut < n0.n),
+      ch AS (
+        SELECT c.doc_id, CAST(c.k - 1 AS INT) AS chunk_idx,
+          CAST(p.cut + 1 AS INT) AS start_tok,
+          CAST(c.cut AS INT) AS end_tok
+        FROM cuts c JOIN cuts p
+          ON p.doc_id = c.doc_id AND p.k = c.k - 1
+        WHERE c.k >= 1)
+      SELECT ch.doc_id, chunk_idx, start_tok, end_tok,
+        CAST(end_tok - start_tok + 1 AS INT) AS n_toks,
+        CAST(('0x' || substr(md5(array_to_string(
+          n0.t[start_tok:end_tok], ' ')), 1, 15))::UBIGINT AS BIGINT)
+          AS chunk_fp
+      FROM ch JOIN n0 ON ch.doc_id = n0.doc_id
+      ORDER BY ch.doc_id, chunk_idx""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -532,6 +532,93 @@ object TextAnalysis {
           lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (the FastCDC/rolling-hash discipline of
+    * Xia et al. 2016, at token granularity): chunk boundaries land
+    * where the CONTENT says so — after token i when the md5 of the
+    * 2-token window (t_i, t_i+1) hits 0 mod `mask`, subject to
+    * greedy [minTok, maxTok] length bounds (no eligible boundary by
+    * maxTok forces a cut). Unlike [[chunkDocs]]'s fixed windows, an
+    * edit near the front only perturbs chunks up to the next
+    * content-defined boundary — every later chunk keeps its
+    * fingerprint, which is what makes chunk-level dedup and
+    * incremental re-processing work on edited corpora.
+    *
+    * The boundary chain is inherently sequential (the min-length bound
+    * makes cut k+1 depend on cut k), so it folds ROW-LOCALLY: the
+    * per-gap eligibility array, the next-cut-from-s table, and the
+    * greedy chain are all higher-order-function Columns over the token
+    * array — a 100-TB corpus chunks in one map stage, no shuffle, and
+    * the whole trajectory replays in SQL (eligibility + next-cut as
+    * set logic, the chain as a recursive CTE).
+    *
+    * Returns (doc_id, chunk_idx, start_tok, end_tok, n_toks,
+    * chunk_fp) — fp is the 60-bit md5 prefix of the chunk text, the
+    * [[shardManifest]] content-hash convention. Token-empty docs emit
+    * nothing. */
+  def cdcChunks(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", minTok: Int = 4, mask: Int = 8,
+      maxTok: Int = 16): DataFrame = {
+    require(0 < minTok && minTok <= maxTok, "need 0 < minTok <= maxTok")
+    val toks = filter(Dedup.tokens(col(text)), w => length(w) > 0)
+    // Higher-order functions run INTERPRETED (no codegen, no common-
+    // subexpression elimination), so a column referenced inside a
+    // lambda re-evaluates its whole defining expression at every
+    // element_at — chaining ok -> nxt -> cuts naively is O(n^3) md5
+    // calls per row. `bind1` evaluates a stage array ONCE and hands it
+    // to the next stage as a bound lambda variable.
+    def bind1(arr: Column)(f: Column => Column): Column =
+      element_at(transform(array(arr), f), 1)
+    // gap i (after token i, 1-indexed) is an eligible boundary when
+    // the 2-token window hash hits the mask; n = 1 has no gaps (a
+    // bare sequence(1, 0) would count DOWN)
+    def okExpr(t: Column, n: Column): Column = when(n > 1,
+      transform(sequence(lit(1), n - 1), i =>
+        conv(substring(md5(concat(element_at(t, i), lit(" "),
+          element_at(t, i + 1))), 1, 8), 16, 10).cast("long")
+          % mask === 0)).otherwise(array().cast("array<boolean>"))
+    // nxt[s+1] = the cut that follows a chunk starting after
+    // position s: first eligible gap in [s+min, min(s+max, n-1)],
+    // else the forced cut min(s+max, n)
+    def nxtExpr(ok: Column, n: Column): Column =
+      transform(sequence(lit(0), n - 1), s => {
+        val lo = s + lit(minTok)
+        val hi = least(s + lit(maxTok), n - 1)
+        val cand = when(lo > hi, array().cast("array<int>"))
+          .otherwise(filter(sequence(lo, hi), i => element_at(ok, i)))
+        coalesce(try_element_at(cand, lit(1)),
+          least(s + lit(maxTok), n))
+      })
+    // greedy chain: cuts = [0, nxt(0), nxt(nxt(0)), ..., n] — at
+    // most n/min + 1 real steps; extra iterations are no-ops
+    def cutsExpr(nxt: Column, n: Column): Column =
+      aggregate(sequence(lit(1), n), array(lit(0)), (acc, _) =>
+        when(element_at(acc, -1) < n,
+          concat(acc, array(element_at(nxt,
+            element_at(acc, -1) + 1)))).otherwise(acc))
+    val base = docs
+      .select(col(id), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("n", size(col("t")))
+      .withColumn("cuts",
+        bind1(okExpr(col("t"), col("n")))(ok =>
+          bind1(nxtExpr(ok, col("n")))(nxt =>
+            cutsExpr(nxt, col("n")))))
+    base
+      .select(col(id), col("t"),
+        explode(transform(sequence(lit(1), size(col("cuts")) - 1), j =>
+          struct((j - 1).as("chunk_idx"),
+            (element_at(col("cuts"), j) + 1).as("start_tok"),
+            element_at(col("cuts"), j + 1).as("end_tok")))).as("c"))
+      .select(col(id), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"),
+        col("c.end_tok").as("end_tok"),
+        (col("c.end_tok") - col("c.start_tok") + 1).as("n_toks"),
+        conv(substring(md5(array_join(slice(col("t"),
+          col("c.start_tok"),
+          col("c.end_tok") - col("c.start_tok") + 1), " ")), 1, 15),
+          16, 10).cast("long").as("chunk_fp"))
+  }
+
   /** BM25 ranked retrieval over the corpus — the lexical-search sibling
     * of the embedding ANN operators, used in training pipelines for
     * targeted corpus queries (contamination probes, topical subsetting,

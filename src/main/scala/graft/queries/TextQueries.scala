@@ -848,6 +848,14 @@ object TextQueries {
         shardTokens = 2048L)
       .orderBy(col("is_total"), col("shard"))
 
+  /** Content-defined chunking (q270): every document cut at
+    * rolling-window md5 boundaries under greedy [4, 16] length bounds
+    * (expected ~8 tokens at mask 8) — per-chunk extents and 60-bit
+    * content fingerprints, the dedup-stable chunk store. */
+  def q270CdcChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cdcChunks(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

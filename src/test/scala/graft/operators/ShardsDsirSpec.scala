@@ -72,6 +72,40 @@ class ShardsDsirSpec extends SparkSpec {
     assert(all(1L) > 0.0 && all(4L) > 0.0 && all(2L) < 0.0 && all(5L) < 0.0)
   }
 
+  test("CDC chunking: bounds respected, chunks tile the doc, and an " +
+      "edit at the front resynchronizes — later fingerprints survive") {
+    val words = (1 to 80).map(i => s"tok${i * 37 % 97}")
+    val a = words.mkString(" ")
+    val b = "ins1 ins2 ins3 " + a // 3-token prepend
+    val out = TextAnalysis.cdcChunks(docs(Seq(1L -> a, 2L -> b)))
+      .orderBy(col("doc_id"), col("chunk_idx")).collect()
+    val (ca, cb) = out.partition(_.getLong(0) == 1L)
+    // chunks tile [1, n] contiguously and respect [min=4, max=16]
+    // (the final chunk may run short)
+    Seq(ca -> 80, cb -> 83).foreach { case (cs, n) =>
+      assert(cs.head.getAs[Int]("start_tok") == 1)
+      assert(cs.last.getAs[Int]("end_tok") == n)
+      cs.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(1).getAs[Int]("start_tok") ==
+            p(0).getAs[Int]("end_tok") + 1)
+      }
+      cs.init.foreach(c => assert(c.getAs[Int]("n_toks") >= 4 &&
+        c.getAs[Int]("n_toks") <= 16))
+      assert(cs.last.getAs[Int]("n_toks") <= 16)
+    }
+    // resync: the edited doc's trailing chunk fingerprints equal the
+    // original's (content-defined boundaries re-align after the edit)
+    val fa = ca.map(_.getAs[Long]("chunk_fp")).toSeq
+    val fb = cb.map(_.getAs[Long]("chunk_fp")).toSeq
+    val common = (1 to math.min(fa.length, fb.length))
+      .takeWhile(k => fa.takeRight(k) == fb.takeRight(k)).lastOption
+    assert(common.exists(_ >= 2),
+      s"chunk streams must resynchronize: $fa vs $fb")
+    // and the first chunk differs (the edit is real)
+    assert(fa.head != fb.head)
+  }
+
   test("cluster-grain split keeps every near-dup pair in one split") {
     // three exact-duplicate families (certain near-dup pairs) + noise
     val fams = (0 until 12).flatMap { f =>
