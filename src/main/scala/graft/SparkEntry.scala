@@ -101,6 +101,9 @@ object SparkEntry {
   def qStreamDrift(s: SparkSession, dir: String): DataFrame =
     EventStream.driftMonitor(s, dir)
 
+  def qStreamHll(s: SparkSession, dir: String): DataFrame =
+    EventStream.hllRollup(s, dir)
+
   def qStreamNearDup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.DocStream.nearDupGate(s, dir)
 
@@ -413,6 +416,8 @@ object SparkEntry {
     "q268_shard_manifest" -> (T.q268ShardManifest _),
     "q269_stream_drift" -> (qStreamDrift _),
     "q270_cdc_chunks" -> (T.q270CdcChunks _),
+    "q271_chunk_dedup" -> (T.q271ChunkDedup _),
+    "q272_stream_hll" -> (qStreamHll _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7144,6 +7149,111 @@ object SparkEntry {
           AS chunk_fp
       FROM ch JOIN n0 ON ch.doc_id = n0.doc_id
       ORDER BY ch.doc_id, chunk_idx""",
+
+    // q271: chunk-store dedup accounting — the q270 chunk replay
+    // grouped to (fp, n_toks) copy counts, then the copy-count
+    // histogram with saved-token mass.
+    "q271_chunk_dedup" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+          list_filter(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' '), x -> len(x) > 0) AS t
+        FROM documents),
+      n0 AS (
+        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+      ok AS (
+        SELECT doc_id, i,
+          ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))
+            ::UBIGINT % 8 = 0 AS ok
+        FROM n0, LATERAL (SELECT unnest(
+          generate_series(1, n - 1)) AS i) g),
+      nxt AS (
+        SELECT n0.doc_id, g.s,
+          coalesce((SELECT min(o.i) FROM ok o
+              WHERE o.doc_id = n0.doc_id AND o.ok
+                AND o.i >= g.s + 4
+                AND o.i <= least(g.s + 16, n0.n - 1)),
+            least(g.s + 16, n0.n)) AS nx
+        FROM n0, LATERAL (SELECT unnest(
+          generate_series(0, n0.n - 1)) AS s) g),
+      cuts AS (
+        SELECT doc_id, 0 AS cut, 0 AS k FROM n0
+        UNION ALL
+        SELECT c.doc_id, x.nx, c.k + 1
+        FROM cuts c
+        JOIN n0 ON n0.doc_id = c.doc_id
+        JOIN nxt x ON x.doc_id = c.doc_id AND x.s = c.cut
+        WHERE c.cut < n0.n),
+      ch AS (
+        SELECT c.doc_id, p.cut + 1 AS start_tok, c.cut AS end_tok
+        FROM cuts c JOIN cuts p
+          ON p.doc_id = c.doc_id AND p.k = c.k - 1
+        WHERE c.k >= 1),
+      fp AS (
+        SELECT CAST(end_tok - start_tok + 1 AS INT) AS n_toks,
+          CAST(('0x' || substr(md5(array_to_string(
+            n0.t[start_tok:end_tok], ' ')), 1, 15))::UBIGINT AS BIGINT)
+            AS chunk_fp
+        FROM ch JOIN n0 ON ch.doc_id = n0.doc_id),
+      g AS (
+        SELECT chunk_fp, n_toks, count(*) AS n_copies
+        FROM fp GROUP BY 1, 2)
+      SELECT n_copies, count(*) AS n_groups,
+        CAST(sum(n_toks * n_copies) AS BIGINT) AS tokens_total,
+        CAST(sum(n_toks) AS BIGINT) AS tokens_distinct,
+        CAST(sum(n_toks * n_copies) - sum(n_toks) AS BIGINT)
+          AS tokens_saved
+      FROM g GROUP BY n_copies ORDER BY n_copies""",
+
+    // q272: streaming per-hour distinct-user HLL — the q255 integer
+    // estimator replayed per finalized hour (q48 cutoff), joined to
+    // exact distincts for the self-reported error.
+    "q272_stream_hll" -> """
+      WITH hrs AS (
+        SELECT date_trunc('hour', ts) AS hour_start, user_id
+        FROM events),
+      fin_h AS (
+        SELECT DISTINCT hour_start FROM hrs
+        WHERE hour_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR),
+      h AS (
+        SELECT hrs.hour_start, user_id,
+          CAST(CAST(('0x' || substr(md5('hll:'
+            || CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+            AS BIGINT) AS hv
+        FROM hrs JOIN fin_h ON hrs.hour_start = fin_h.hour_start),
+      r AS (SELECT hour_start, hv % 256 AS reg, hv // 256 AS w FROM h),
+      rk AS (
+        SELECT hour_start, reg,
+          53 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS rank
+        FROM r),
+      regs AS (
+        SELECT hour_start, reg, max(rank) AS m FROM rk GROUP BY 1, 2),
+      mx AS (SELECT hour_start, max(m) AS maxm FROM regs GROUP BY 1),
+      fin AS (
+        SELECT r.hour_start, mx.maxm, count(*) AS present,
+          CAST(sum(1::BIGINT << CAST(mx.maxm - r.m AS INT)) AS BIGINT)
+            AS sp
+        FROM regs r JOIN mx ON r.hour_start = mx.hour_start
+        GROUP BY 1, 2),
+      est AS (
+        SELECT hour_start,
+          CAST(256 - present AS BIGINT) AS zero_registers,
+          CAST(47074 * (1::BIGINT << CAST(maxm AS INT))
+            // (sp + (256 - present) * (1::BIGINT << CAST(maxm AS INT)))
+            AS BIGINT) AS hll_est
+        FROM fin),
+      ex AS (
+        SELECT hrs.hour_start,
+          count(DISTINCT user_id) AS exact_distinct
+        FROM hrs JOIN fin_h ON hrs.hour_start = fin_h.hour_start
+        GROUP BY 1)
+      SELECT e.hour_start, ex.exact_distinct, e.hll_est,
+        e.zero_registers,
+        CAST(abs(e.hll_est - ex.exact_distinct) * 10000
+          // ex.exact_distinct AS BIGINT) AS err_bp
+      FROM est e JOIN ex ON e.hour_start = ex.hour_start
+      ORDER BY e.hour_start""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -96,7 +96,17 @@ object Sketches {
     * per shard/day; [[intHllMerge]] folds states, and
     * [[intHllFromRegisters]] finalizes. One partial-agg shuffle. */
   def intHllRegisters(df: DataFrame, keys: Seq[String], value: Column,
-      p: Int = 8, salt: String = "hll"): DataFrame = {
+      p: Int = 8, salt: String = "hll"): DataFrame =
+    withHllRank(df, value, p, salt)
+      .groupBy(keys.map(col) :+ col("_reg"): _*)
+      .agg(max(col("_rank")).as("_m"))
+
+  /** The STATELESS half of [[intHllRegisters]]: annotate each row with
+    * its (_reg, _rank) — pure Columns, so it rides a stream unchanged
+    * (the q211 CMS discipline); the caller supplies the grouping
+    * (batch keys or a watermarked event-time window) and max(). */
+  def withHllRank(df: DataFrame, value: Column, p: Int = 8,
+      salt: String = "hll"): DataFrame = {
     require(p >= 4 && p <= 14, "4 <= p <= 14")
     val m = 1L << p
     val hashBits = 60 // 15 md5 hex chars: stays positive in a LONG
@@ -110,8 +120,6 @@ object Sketches {
     val rank = lit(hashBits - p + 1) - bitlen
     df.withColumn("_h", h).withColumn("_w", w)
       .withColumn("_reg", reg).withColumn("_rank", rank)
-      .groupBy(keys.map(col) :+ col("_reg"): _*)
-      .agg(max(col("_rank")).as("_m"))
   }
 
   /** Merge sketch states: register-wise max — associative and

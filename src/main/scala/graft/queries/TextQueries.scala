@@ -856,6 +856,25 @@ object TextQueries {
     TextAnalysis.cdcChunks(t(s, dir, "documents"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Chunk-store dedup accounting (q271) — the payoff CDC exists for:
+    * identical chunks across the corpus collapse to one stored copy;
+    * this is the copy-count histogram of the q270 chunk store with the
+    * token mass a content-addressed store saves (same fp ⇒ same
+    * content ⇒ same n_toks, so the group carries its token count).
+    * One shuffle at chunk_fp grain, then a histogram-sized rollup. */
+  def q271ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val ch = TextAnalysis.cdcChunks(t(s, dir, "documents"))
+    ch.groupBy(col("chunk_fp"), col("n_toks"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_toks") * col("n_copies")).as("tokens_total"),
+        sum(col("n_toks")).as("tokens_distinct"))
+      .withColumn("tokens_saved",
+        col("tokens_total") - col("tokens_distinct"))
+      .orderBy(col("n_copies"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

@@ -439,6 +439,49 @@ object EventStream {
       .orderBy(col("hour_start"))
   }
 
+  /** Streaming per-hour DISTINCT-USER HLL — cardinality over a
+    * firehose with BOUNDED state: the integer-HLL register/rank
+    * annotation ([[graft.operators.Sketches.withHllRank]]) is a pure
+    * stateless Column, so the only stateful operator is the
+    * watermarked (window, register) -> max(rank) aggregation — at most
+    * 2^p rows of state per open window however many distinct users
+    * flow past, which is the entire point of sketching a stream. The
+    * emitted register states finalize batch-side through the same
+    * integer estimator the batch sketch uses (q255), joined to the
+    * exact per-hour distinct for the self-reported error column. */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir, "graft_stream_hll_src")
+    val ranked = graft.operators.Sketches.withHllRank(stream,
+      col("user_id"))
+    val agg = ranked
+      .withWatermark("ts", s"$DelaySeconds seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("_reg"))
+      .agg(max(col("_rank")).as("_m"))
+    val base = Files.createTempDirectory("graft_stream_hll").toString
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val regs = s.read.schema(agg.schema).parquet(s"$base/data")
+      .select(col("window.start").as("hour_start"), col("_reg"),
+        col("_m"))
+    val est = graft.operators.Sketches.intHllFromRegisters(regs,
+      Seq("hour_start"))
+    val exact = graft.queries.Q.t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, Seq("hour_start"))
+      .select(col("hour_start"), col("exact_distinct"), col("hll_est"),
+        col("zero_registers"),
+        expr("abs(hll_est - exact_distinct) * 10000 div exact_distinct")
+          .as("err_bp"))
+      .orderBy(col("hour_start"))
+  }
+
   def cmsRollup(s: SparkSession, dir: String): DataFrame = {
     val stream = eventsStream(s, dir, "graft_stream_cms_src")
     val cells = graft.operators.Sketches.withCells(

@@ -78,4 +78,29 @@ class EventStreamSpec extends SparkSpec {
       r.getTimestamp(0) -> r.getAs[Long]("n_events")).toMap
     assert(got == batch, s"hour totals drifted: $got vs $batch")
   }
+
+  test("streaming HLL rollup equals the batch-built sketch on " +
+      "finalized hours, and the error column is self-consistent") {
+    val out = EventStream.hllRollup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val events = Q.t(spark, sf, "events")
+    val cutoff = EventStream.emittedBefore(events)
+    val batch = graft.operators.Sketches.intHllEstimate(
+      events.withColumn("hour_start", date_trunc("hour", col("ts")))
+        .filter(col("hour_start") + expr("interval 1 hour")
+          <= lit(cutoff)),
+      Seq("hour_start"), col("user_id"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> r.getAs[Long]("hll_est")).toMap
+    val got = out
+      .map(r => r.getTimestamp(0) -> r.getAs[Long]("hll_est")).toMap
+    assert(got == batch,
+      "stream-built registers must finalize to the batch sketch")
+    out.foreach { r =>
+      assert(r.getAs[Long]("err_bp") ==
+        math.abs(r.getAs[Long]("hll_est") -
+          r.getAs[Long]("exact_distinct")) * 10000L /
+          r.getAs[Long]("exact_distinct"))
+    }
+  }
 }
