@@ -418,6 +418,8 @@ object SparkEntry {
     "q270_cdc_chunks" -> (T.q270CdcChunks _),
     "q271_chunk_dedup" -> (T.q271ChunkDedup _),
     "q272_stream_hll" -> (qStreamHll _),
+    "q273_event_transitions" -> (W.q273EventTransitions _),
+    "q274_funnel" -> (W.q274Funnel _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -7254,6 +7256,65 @@ object SparkEntry {
           // ex.exact_distinct AS BIGINT) AS err_bp
       FROM est e JOIN ex ON e.hour_start = ex.hour_start
       ORDER BY e.hour_start""",
+
+    // q273: Markov transition matrix — lag over (user, micros-epoch,
+    // event_id) order (the engine's timestamp read convention), pair
+    // counts, per-source fixed-point probabilities.
+    "q273_event_transitions" -> """
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu,
+          event_id
+        FROM events),
+      tr AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY tsu, event_id) AS prev
+        FROM e),
+      cnt AS (
+        SELECT prev AS from_type, event_type AS to_type,
+          count(*) AS n
+        FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n) AS tot FROM cnt GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+        CAST(c.n * 1000000 // t.tot AS BIGINT) AS prob_fp
+      FROM cnt c JOIN tot t ON c.from_type = t.from_type
+      ORDER BY c.from_type, c.to_type""",
+
+    // q274: ordered funnel — per-user earliest view, first click
+    // strictly after it, first purchase strictly after that; step
+    // totals with id-sum pins and fixed-point conversions.
+    "q274_funnel" -> """
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+        FROM events),
+      v AS (SELECT user_id, min(tsu) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.tsu) AS t2 FROM e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.tsu > v.t1 GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.tsu) AS t3 FROM e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.tsu > c.t2 GROUP BY 1),
+      a AS (SELECT count(*) AS n1, CAST(sum(user_id) AS BIGINT) AS s1
+        FROM v),
+      b AS (SELECT count(*) AS n2, CAST(sum(user_id) AS BIGINT) AS s2
+        FROM c),
+      d AS (SELECT count(*) AS n3, CAST(sum(user_id) AS BIGINT) AS s3
+        FROM p)
+      SELECT * FROM (
+        SELECT '1_view' AS step, n1 AS n_users, s1 AS id_sum,
+          CAST(1000000 AS BIGINT) AS conv_from_prev_fp FROM a
+        UNION ALL
+        SELECT '2_click', n2, s2,
+          CASE WHEN n1 = 0 THEN NULL
+            ELSE CAST(n2 * 1000000 // n1 AS BIGINT) END
+        FROM a, b
+        UNION ALL
+        SELECT '3_purchase', n3, s3,
+          CASE WHEN n2 = 0 THEN NULL
+            ELSE CAST(n3 * 1000000 // n2 AS BIGINT) END
+        FROM b, d)
+      ORDER BY step""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

@@ -224,4 +224,65 @@ object WindowQueries {
       .filter(col("days_in_jan") > 0)
       .orderBy(col("user_id"))
   }
+
+  /** Markov transition matrix of the event stream (q273): per user in
+    * (ts, event_id) order, consecutive event-type pairs counted into
+    * the 5x5 transition matrix with per-source-state fixed-point
+    * probabilities — the session-journey model behind next-action
+    * prediction and anomaly scoring. Ordering is on MICROSECOND
+    * epochs (the engine's timestamp read convention) with the unique
+    * event_id as tie-break, so the lag chain is deterministic
+    * cross-engine. ONE user-partitioned window, then a matrix-sized
+    * rollup — at 100 TB the only exchange is the user hash. */
+  def q273EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val tr = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val cnt = tr
+      .groupBy(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    cnt.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div tot").as("prob_fp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Ordered funnel conversion (q274): view -> click -> purchase, each
+    * step's earliest qualifying time strictly after the previous
+    * step's — the product-analytics staple. Three user-grain
+    * aggregations chained by equi-joins (never a window over the raw
+    * stream), folded to one row of totals and stacked into step rows
+    * with id-sum membership pins and fixed-point step-to-step
+    * conversion. */
+  def q274Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("tsu") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("tsu") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t3"))
+    val a = v.agg(count(lit(1)).as("n1"), sum(col("user_id")).as("s1"))
+    val b = c.agg(count(lit(1)).as("n2"), sum(col("user_id")).as("s2"))
+    val d = p.agg(count(lit(1)).as("n3"), sum(col("user_id")).as("s3"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(d))
+      .select(expr(
+        """stack(3,
+           '1_view', n1, s1, cast(1000000 as bigint),
+           '2_click', n2, s2,
+             case when n1 = 0 then null else n2 * 1000000 div n1 end,
+           '3_purchase', n3, s3,
+             case when n2 = 0 then null else n3 * 1000000 div n2 end)
+           as (step, n_users, id_sum, conv_from_prev_fp)"""))
+      .orderBy(col("step"))
+  }
 }

@@ -213,9 +213,11 @@ class PlanSpec extends SparkSpec {
                               // q15/q62 shape) over A-Res keys
       "q268_shard_manifest", // composes q266's prefix-sum offset
                              // self-join (the same bounded dim)
-      "q269_stream_drift") // emitted-hours dim x broadcast type
+      "q269_stream_drift", // emitted-hours dim x broadcast type
                            // reference + 1-row total (the q128
                            // renormalizer shape, post-stream)
+      "q274_funnel") // 1-row step totals crossed (the q263
+                     // scalar-accounting shape)
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57
