@@ -420,6 +420,9 @@ object SparkEntry {
     "q272_stream_hll" -> (qStreamHll _),
     "q273_event_transitions" -> (W.q273EventTransitions _),
     "q274_funnel" -> (W.q274Funnel _),
+    "q275_pmi_collocations" -> (T.q275PmiCollocations _),
+    "q276_lsh_audit" -> (T.q276LshAudit _),
+    "q277_chunk_update_cost" -> (T.q277ChunkUpdateCost _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -773,6 +776,45 @@ object SparkEntry {
     * with lowest-cell ties, floor-div centroid means, empty cells keep
     * the prior centroid) — generated per round so the 3-step chain
     * cannot drift. */
+  /** q276 oracle, GENERATED from the same LshPlanner grid and power-
+    * chain builder the Spark plan uses — config grid or formula drift
+    * is structurally impossible. Pairs are the exact all-pairs jaccard
+    * at the 0.3 audit floor (the q38/q40 recall-1 replay). */
+  private def lshAuditOracle: String = {
+    val arms = graft.operators.LshPlanner.configs.map { case (b, r) =>
+      val ppm = graft.operators.LshPlanner.pCollidePpm("jaccard", b, r)
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+        CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 END), 0)
+          AS BIGINT) AS n_hi,
+        CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN $ppm END), 0)
+          AS BIGINT) AS exp_hi_ppm,
+        CAST(coalesce(sum(CASE WHEN jaccard < 0.5 THEN 1 END), 0)
+          AS BIGINT) AS n_lo,
+        CAST(coalesce(sum(CASE WHEN jaccard < 0.5 THEN $ppm END), 0)
+          AS BIGINT) AS exp_lo_ppm
+      FROM p2"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+            'g'), ' ') AS toks
+          FROM documents)),
+      p2 AS (
+        SELECT len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(a.sh) + len(b.sh)
+              - len(list_intersect(a.sh, b.sh)), 1) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(a.sh) + len(b.sh)
+              - len(list_intersect(a.sh, b.sh)), 1) >= 0.3)
+      SELECT * FROM ($arms) ORDER BY bands"""
+  }
+
   private def ivfIter(i: Int): String = {
     val p = s"cen${i - 1}"
     s"""
@@ -7315,6 +7357,130 @@ object SparkEntry {
             ELSE CAST(n3 * 1000000 // n2 AS BIGINT) END
         FROM b, d)
       ORDER BY step""",
+
+    // q275: PMI collocations — exact-rational rates inside one ln,
+    // rounded at 6 dp before the (pmi desc, pair) ranking; min
+    // support 5, top-50.
+    "q275_pmi_collocations" -> """
+      WITH d AS (
+        SELECT list_filter(string_split(regexp_replace(
+          lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      u AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+      ntok AS (SELECT CAST(sum(c) AS BIGINT) AS ntok FROM u),
+      bg AS (
+        SELECT unnest(t[1:len(t) - 1]) AS w1,
+          unnest(t[2:len(t)]) AS w2
+        FROM d WHERE len(t) >= 2),
+      nbg AS (SELECT count(*) AS nbg FROM bg),
+      big AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg
+        GROUP BY 1, 2 HAVING count(*) >= 5),
+      sc AS (
+        SELECT big.w1, big.w2, big.c12,
+          round(ln((c12::DOUBLE / nbg.nbg::DOUBLE)
+            / ((u1.c::DOUBLE / ntok.ntok::DOUBLE)
+              * (u2.c::DOUBLE / ntok.ntok::DOUBLE))), 6) AS pmi,
+          big.w1 || ' ' || big.w2 AS pair
+        FROM big JOIN u u1 ON big.w1 = u1.w
+        JOIN u u2 ON big.w2 = u2.w
+        CROSS JOIN ntok CROSS JOIN nbg)
+      SELECT w1, w2, c12, pmi,
+        CAST(row_number() OVER (ORDER BY pmi DESC, pair) AS INT) AS rnk
+      FROM sc QUALIFY rnk <= 50 ORDER BY rnk""",
+
+    // q276: LSH S-curve audit — the exact all-pairs jaccard at the 0.3
+    // floor, then per-config sums of floor(p_collide * 1e6); the
+    // power chains are GENERATED from LshPlanner.pCollidePpm, so the
+    // Spark plan and this oracle parse the identical expression tree.
+    "q276_lsh_audit" -> lshAuditOracle,
+
+    // q277: chunk-store incremental update cost — base + edited docs
+    // (negated ids) through ONE q270 CDC chain and one fixed-window
+    // chain, edited chunks probed against each base fingerprint store.
+    "q277_chunk_update_cost" -> """
+      WITH RECURSIVE src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id, 'EDIT ' || text AS text
+        FROM documents WHERE doc_id % 50 = 0),
+      d AS (
+        SELECT doc_id,
+          list_filter(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' '), x -> len(x) > 0) AS t
+        FROM src),
+      n0 AS (
+        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+      ok AS (
+        SELECT doc_id, i,
+          ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))
+            ::UBIGINT % 8 = 0 AS ok
+        FROM n0, LATERAL (SELECT unnest(
+          generate_series(1, n - 1)) AS i) g),
+      nxt AS (
+        SELECT n0.doc_id, g.s,
+          coalesce((SELECT min(o.i) FROM ok o
+              WHERE o.doc_id = n0.doc_id AND o.ok
+                AND o.i >= g.s + 4
+                AND o.i <= least(g.s + 16, n0.n - 1)),
+            least(g.s + 16, n0.n)) AS nx
+        FROM n0, LATERAL (SELECT unnest(
+          generate_series(0, n0.n - 1)) AS s) g),
+      cuts AS (
+        SELECT doc_id, 0 AS cut, 0 AS k FROM n0
+        UNION ALL
+        SELECT c.doc_id, x.nx, c.k + 1
+        FROM cuts c
+        JOIN n0 ON n0.doc_id = c.doc_id
+        JOIN nxt x ON x.doc_id = c.doc_id AND x.s = c.cut
+        WHERE c.cut < n0.n),
+      ch AS (
+        SELECT c.doc_id, p.cut + 1 AS start_tok, c.cut AS end_tok
+        FROM cuts c JOIN cuts p
+          ON p.doc_id = c.doc_id AND p.k = c.k - 1
+        WHERE c.k >= 1),
+      cdcfp AS (
+        SELECT ch.doc_id,
+          CAST(('0x' || substr(md5(array_to_string(
+            n0.t[start_tok:end_tok], ' ')), 1, 15))::UBIGINT AS BIGINT)
+            AS fp
+        FROM ch JOIN n0 ON ch.doc_id = n0.doc_id),
+      f0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t2
+        FROM src),
+      fwin AS (
+        SELECT doc_id, t2, len(t2) AS n2,
+          1 + greatest(0, (len(t2) - 8 + 7) // 8) AS nch
+        FROM f0),
+      fixfp AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(array_to_string(
+            t2[s * 8 + 1:least(s * 8 + 8, n2)], ' ')), 1, 15))
+            ::UBIGINT AS BIGINT) AS fp
+        FROM fwin, LATERAL (SELECT unnest(
+          generate_series(0, nch - 1)) AS s) g)
+      SELECT * FROM (
+        SELECT 'cdc' AS chunker, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reused,
+          CAST(sum(CASE WHEN b.fp IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new
+        FROM (SELECT fp FROM cdcfp WHERE doc_id < 0) e
+        LEFT JOIN (SELECT DISTINCT fp FROM cdcfp WHERE doc_id >= 0) b
+          ON e.fp = b.fp
+        UNION ALL
+        SELECT 'fixed', count(*),
+          CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          CAST(sum(CASE WHEN b.fp IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+        FROM (SELECT fp FROM fixfp WHERE doc_id < 0) e
+        LEFT JOIN (SELECT DISTINCT fp FROM fixfp WHERE doc_id >= 0) b
+          ON e.fp = b.fp)
+      ORDER BY chunker""",
 
     // q135: add-k bigram LM trained on the corpus, per-doc perplexity.
     "q135_perplexity" -> """

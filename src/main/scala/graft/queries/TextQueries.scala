@@ -875,6 +875,97 @@ object TextQueries {
       .orderBy(col("n_copies"))
   }
 
+  /** PMI collocations (q275): pointwise mutual information of adjacent
+    * word pairs — ln of the observed-over-independent rate, the
+    * classic collocation statistic (Church & Hanks 1990) used for
+    * tokenizer merge seeding and phrase mining. All ratios are exact
+    * rationals of integer counts inside one ln (identical doubles
+    * cross-engine), rounded at 6 dp before ranking; min support 5;
+    * top-50 by (pmi desc, pair) through the scale-safe TopN. Counts
+    * are two Zipf-bounded aggregations; totals broadcast. */
+  def q275PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(Dedup.tokens(col("text")), w => length(w) > 0)
+    val docs = t(s, dir, "documents").select(toks.as("t"))
+    val uni = docs.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ntok = uni.agg(sum(col("c")).as("ntok"))
+    val bg = docs.select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val nbg = bg.agg(count(lit(1)).as("nbg"))
+    val big = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val scored = big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(ntok)).crossJoin(broadcast(nbg))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") /
+            col("nbg").cast("double")) /
+          ((col("c1").cast("double") / col("ntok").cast("double")) *
+            (col("c2").cast("double") / col("ntok").cast("double")))),
+          6).as("pmi"),
+        concat_ws(" ", col("w1"), col("w2")).as("pair"))
+    graft.core.TopN.topNByRank(scored, "pmi", "pair", 50)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** LSH parameter audit (q276): the [[graft.operators.LshPlanner]]
+    * S-curve grid — every b*r = 16 banding — evaluated against the
+    * corpus's OBSERVED pair-similarity distribution (exact-recall
+    * PPJoin pairs at the 0.3 audit floor), so the expected
+    * caught-duplicate and false-candidate masses are facts about this
+    * corpus, not a textbook curve. */
+  def q276LshAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardDups(t(s, dir, "documents"),
+      "doc_id", "text", blockCols = Seq.empty, shingleN = 3,
+      threshold = 0.3)
+    graft.operators.LshPlanner.audit(pairs).orderBy(col("bands"))
+  }
+
+  /** Chunk-store incremental update cost (q277) — CDC's advantage made
+    * a number: every 50th document gets a one-token prepend (the
+    * edited variants ride the same frame under negated ids, so ONE
+    * chunking pass covers both corpora), then each chunker's edited
+    * chunks probe the base fingerprint store. Content-defined
+    * boundaries resynchronize after the edit, so most CDC chunks are
+    * reused; fixed windows shift wholesale and re-store nearly
+    * everything — the exact difference an incremental 100-TB
+    * re-process pays for. */
+  def q277ChunkUpdateCost(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val edited = docs.filter(col("doc_id") % 50 === 0)
+      .select((-col("doc_id") - 1).as("doc_id"),
+        concat(lit("EDIT "), col("text")).as("text"))
+    val all = docs.unionByName(edited)
+    val cdc = TextAnalysis.cdcChunks(all)
+      .select(col("doc_id"), col("chunk_fp"))
+    val fixed = TextAnalysis.chunkDocs(all, chunkTokens = 8,
+        overlapTokens = 0)
+      .select(col("doc_id"),
+        conv(substring(md5(col("chunk_text")), 1, 15), 16, 10)
+          .cast("long").as("chunk_fp"))
+    def acct(name: String, ch: DataFrame): DataFrame = {
+      val baseFps = ch.filter(col("doc_id") >= 0)
+        .select(col("chunk_fp")).distinct()
+        .withColumn("_in", lit(1))
+      ch.filter(col("doc_id") < 0)
+        .join(baseFps, Seq("chunk_fp"), "left")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("_in").isNotNull, 1L).otherwise(0L))
+            .as("n_reused"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_new"))
+        .select(lit(name).as("chunker"), col("n_chunks"),
+          col("n_reused"), col("n_new"))
+    }
+    acct("cdc", cdc).unionByName(acct("fixed", fixed))
+      .orderBy(col("chunker"))
+  }
+
   /** Corpus-trained bigram-LM perplexity (q135): train on the full
     * documents corpus, score every doc — the CCNet-style quality
     * signal. */

@@ -216,8 +216,10 @@ class PlanSpec extends SparkSpec {
       "q269_stream_drift", // emitted-hours dim x broadcast type
                            // reference + 1-row total (the q128
                            // renormalizer shape, post-stream)
-      "q274_funnel") // 1-row step totals crossed (the q263
+      "q274_funnel", // 1-row step totals crossed (the q263
                      // scalar-accounting shape)
+      "q275_pmi_collocations") // 1-row ntok/nbg totals crossed (q128
+                               // shape) + the TopN rank self-join
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57
