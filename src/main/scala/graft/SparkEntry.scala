@@ -776,6 +776,25 @@ object SparkEntry {
     * with lowest-cell ties, floor-div centroid means, empty cells keep
     * the prior centroid) — generated per round so the 3-step chain
     * cannot drift. */
+  /** q264 oracle component rounds: min-label propagation — each round
+    * every node takes the min of its own and its neighbors' labels.
+    * The fixed point is the per-component min id (what the Spark-side
+    * star contraction returns); the convergence guard in the oracle
+    * makes the fixed-round replay SOUND (unconverged -> zero rows ->
+    * red), never silently approximate. */
+  private val LpRounds = 12
+  // AS MATERIALIZED: each round references its predecessor twice (own
+  // label + neighbor labels); inlining would duplicate the whole
+  // upstream chain per reference — 2^rounds base scans.
+  private def lpMinRound(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+        SELECT n.node, least(n.lbl, coalesce(min(nb.lbl), n.lbl))
+          AS lbl
+        FROM l${i - 1} n
+        LEFT JOIN sym e ON e.u = n.node
+        LEFT JOIN l${i - 1} nb ON nb.node = e.v
+        GROUP BY n.node, n.lbl)"""
+
   /** q276 oracle, GENERATED from the same LshPlanner grid and power-
     * chain builder the Spark plan uses — config grid or formula drift
     * is structurally impossible. Pairs are the exact all-pairs jaccard
@@ -6912,11 +6931,14 @@ object SparkEntry {
       ORDER BY artifact""",
 
     // q264: leakage-free split — pairs (exact-Jaccard replay, recall-1
-    // argument as q38/q178), components via the recursive closure,
-    // then the q215 md5 range cut applied at CLUSTER grain; the
-    // per-split pair rollup's n_leak_pairs is 0 by construction.
-    "q264_leakfree_split" -> """
-      WITH RECURSIVE d AS (
+    // argument as q38/q178), components via GENERATED min-label
+    // propagation rounds with a convergence GUARD (unconverged rounds
+    // emit zero rows -> the compare goes red; the quadratic recursive
+    // closure the q178 oracle uses did not finish at sf0.1), then the
+    // q215 md5 range cut applied at CLUSTER grain; the per-split pair
+    // rollup's n_leak_pairs is 0 by construction.
+    "q264_leakfree_split" -> raw"""
+      WITH d AS (
         SELECT doc_id,
           list_distinct(list_transform(
             generate_series(1, greatest(len(toks) - 2, 1)),
@@ -6931,19 +6953,21 @@ object SparkEntry {
         WHERE len(list_intersect(a.sh, b.sh)) * 1.0
             / greatest(len(a.sh) + len(b.sh)
               - len(list_intersect(a.sh, b.sh)), 1) >= 0.5),
-      sym AS (
+      sym AS MATERIALIZED (
         SELECT ida AS u, idb AS v FROM p
         UNION SELECT idb, ida FROM p),
-      reach AS (
-        SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
-        UNION
-        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),
-      comp AS (
-        SELECT node AS id, min(lbl) AS component
-        FROM reach GROUP BY node),
+      l0 AS MATERIALIZED (
+        SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)),
+      ${(1 to LpRounds).map(lpMinRound).mkString(",\n      ")},
+      conv AS (
+        SELECT count(*) AS bad
+        FROM l$LpRounds a JOIN l${LpRounds - 1} b ON a.node = b.node
+        WHERE a.lbl <> b.lbl),
+      comp AS (SELECT node AS id, lbl AS component FROM l$LpRounds),
       allc AS (
         SELECT doc_id, coalesce(component, doc_id) AS cluster
-        FROM documents LEFT JOIN comp ON doc_id = id),
+        FROM documents LEFT JOIN comp ON doc_id = id
+        CROSS JOIN conv WHERE conv.bad = 0),
       sp AS (
         SELECT doc_id, cluster,
           CASE WHEN bkt < 3865470566 THEN 'train'
