@@ -423,6 +423,10 @@ object SparkEntry {
     "q275_pmi_collocations" -> (T.q275PmiCollocations _),
     "q276_lsh_audit" -> (T.q276LshAudit _),
     "q277_chunk_update_cost" -> (T.q277ChunkUpdateCost _),
+    "q279_analytic_pipeline" ->
+      (graft.queries.BuildQueries.q279AnalyticPipeline _),
+    "q280_address_clean_partial_qa" ->
+      (graft.queries.BuildQueries.q280AddressCleanPartialQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1864,7 +1868,221 @@ object SparkEntry {
         FROM newid)
 """
 
-  def oracleSql: Map[String, String] = Map(
+  /** The q279 composed-pipeline oracle, GENERATED from the ten stage
+    * oracles the chain executes (the q246 discipline: the audit
+    * replays the exact pinned frames — here by string-composing each
+    * stage's own oracle SQL as a MATERIALIZED CTE, so the chain oracle
+    * can never drift from the per-stage oracles). Stage sequence = the
+    * deterministic Kahn order AnalyticPipeline.topoOrder derives from
+    * the csv-ordered declarations (see the runner's scaladoc); the
+    * mcaid_claim_header hard gate (master_mcaid_analytic.R:355-358)
+    * appears as a `pp_gate` CTE over the four claim-table checks —
+    * stages at/after the gate emit their verdict rows only when it
+    * holds and one 'aborted' row each when it does not, exactly the
+    * runner's stop() semantics (structural, not fixture-accidental). */
+  private def pipelineOracleSql(base: Map[String, String]): String = {
+    // (seq, table, stage-oracle key) in the runner's topo order
+    val stages = Seq(
+      (1, "mcaid_elig_demo", "q67_elig_demo"),
+      (2, "mcaid_elig_month", "q68_elig_month"),
+      (3, "mcaid_elig_timevar", "q64_elig_timevar"),
+      (4, "mcaid_claim_icdcm_header", "q79_claim_icdcm"),
+      (5, "mcaid_claim_line", "q169_mcaid_claim_stage"),
+      (6, "mcaid_claim_pharm", "q81_claim_pharm"),
+      (7, "mcaid_claim_procedure", "q80_claim_procedure"),
+      (8, "mcaid_claim_header", "q66_claim_header"),
+      (9, "mcaid_claim_bh", "q83_claim_bh"),
+      (10, "mcaid_claim_ccw", "q61_condition_loop"))
+    val gateSeqs = Seq(4, 5, 6, 7) // the four claim tables
+    val gatedSeqs = Set(8, 9, 10)  // header and everything after
+    val ctes = stages.map { case (i, _, key) =>
+      s"pp_s$i AS MATERIALIZED (${base(key)}),\n" +
+        s"pp_c$i AS (SELECT (SELECT count(*) FROM pp_s$i) AS n, " +
+        s"(SELECT count(*) FROM (SELECT DISTINCT * FROM pp_s$i)) AS d)"
+    }.mkString(",\n")
+    val gate = "pp_gate AS (SELECT " + gateSeqs.map(i =>
+      s"(SELECT n > 0 AND d = n FROM pp_c$i)").mkString(" AND ") +
+      " AS ok)"
+    val arms = stages.map { case (i, t, _) =>
+      val from = s"pp_c$i" + (if (gatedSeqs(i)) ", pp_gate WHERE pp_gate.ok"
+        else "")
+      val normal =
+        s"""SELECT CAST($i AS INT) AS stage_seq, '$t' AS table_name,
+          'load_gate' AS item, CAST(1 AS INT) AS pass,
+          n AS observed, CAST(0 AS BIGINT) AS expected FROM $from
+        UNION ALL SELECT CAST($i AS INT), '$t', 'distinct_rows',
+          CAST(CASE WHEN d = n THEN 1 ELSE 0 END AS INT), d, n FROM $from
+        UNION ALL SELECT CAST($i AS INT), '$t', 'promote_rows',
+          CAST(CASE WHEN n > 0 AND d = n THEN 1 ELSE 0 END AS INT),
+          CASE WHEN n > 0 AND d = n THEN n ELSE CAST(0 AS BIGINT) END,
+          n FROM $from"""
+      if (gatedSeqs(i)) normal +
+        s"""
+        UNION ALL SELECT CAST($i AS INT), '$t', 'aborted',
+          CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM pp_gate WHERE NOT pp_gate.ok"""
+      else normal
+    }.mkString("\n        UNION ALL ")
+    s"WITH $ctes,\n$gate\n$arms\nORDER BY stage_seq, item"
+  }
+
+  /** q280 oracle: the address-clean partial QA battery over the SAME
+    * template the q146 oracle is generated from — prior ref = the k%4
+    * slice under an empty ref, increment = the q146 restriction; the
+    * battery's stage table is their union, so the two counts compose.
+    * The FAIL branch never fires on this fixture (the increment count
+    * is >= 0 by construction) — the CASE mirrors the runner's logic so
+    * the verdict is structural, and the FAIL-path note (including the
+    * reference's negative-number-inside-"fewer" glue quirk) is pinned
+    * by AddressQaSpec instead. */
+  private def addressQaOracleSql: String = {
+    val prior = addressCleanOracleSql("WHERE k % 4 = 0")
+    val inc = addressCleanOracleSql(
+      """WHERE geo_hash_raw NOT IN
+          (SELECT geo_hash_raw FROM stage WHERE k % 4 = 0)""")
+    s"""
+      WITH pr AS (SELECT count(*) AS n FROM ($prior)),
+      inc AS (SELECT count(*) AS n FROM ($inc))
+      SELECT * FROM (
+        SELECT 'stage.address_clean' AS table_name,
+          'Row counts' AS qa_item,
+          CASE WHEN inc.n < 0 THEN 'FAIL' ELSE 'PASS' END AS qa_result,
+          CASE WHEN inc.n < 0 THEN 'Stage table has ' ||
+              CAST(inc.n AS VARCHAR) || ' fewer rows than ref table'
+            ELSE 'Stage table has ' || CAST(inc.n AS VARCHAR) ||
+              ' more rows than ref table' END AS note,
+          CAST(pr.n + inc.n AS BIGINT) AS observed,
+          CAST(pr.n AS BIGINT) AS expected
+        FROM pr, inc
+        UNION ALL
+        SELECT 'stage.address_clean', 'Field names', 'PASS',
+          'Stage table columns match ref table',
+          CAST(15 AS BIGINT), CAST(15 AS BIGINT))
+      ORDER BY qa_item"""
+  }
+
+  def oracleSql: Map[String, String] = baseOracleSql +
+    ("q279_analytic_pipeline" -> pipelineOracleSql(baseOracleSql)) +
+    ("q280_address_clean_partial_qa" -> addressQaOracleSql)
+
+  /** Shared q146/q280 address-clean oracle template: the full
+    * clean-chain replica with the `fresh` CTE's restriction
+    * parameterized — q146 is the hash anti-join increment, q280's
+    * prior-ref arm is the k%4 slice under an empty ref (the
+    * q154/q230 shared-generator discipline). */
+  private def addressCleanOracleSql(freshWhere: String): String =
+    """
+      WITH ks AS (SELECT DISTINCT c_custkey % 300 AS k FROM customer),
+      raw0 AS (
+        SELECT k,
+          CASE WHEN k % 11 = 0 THEN '#' || CAST(100 + k % 90 AS VARCHAR)
+            WHEN k % 7 = 0 THEN 'P O BOX  ' || CAST(k % 500 AS VARCHAR)
+            ELSE CAST(k % 900 AS VARCHAR) || '  MAIN ST'
+            END AS geo_add1_raw,
+          CASE WHEN k % 5 = 0 THEN 'APT ' || CAST(k % 20 AS VARCHAR)
+            END AS geo_add2_raw,
+          'city' || CAST(k % 40 AS VARCHAR) AS geo_city_raw,
+          CASE WHEN k % 3 = 0 THEN 'wa' ELSE 'OR' END AS geo_state_raw,
+          lpad(CAST(k % 999 AS VARCHAR), 5, '0') AS geo_zip_raw
+        FROM ks),
+      stage AS (
+        SELECT *, upper(sha256(
+          coalesce(geo_add1_raw, '') || '|' || coalesce(geo_add2_raw, '')
+          || '|' || '' || '|' || geo_city_raw || '|' || geo_state_raw
+          || '|' || geo_zip_raw)) AS geo_hash_raw
+        FROM raw0),
+      fresh AS (
+        SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_city_raw,
+          geo_state_raw, geo_zip_raw, geo_hash_raw
+        FROM stage
+        """ + freshWhere + """),
+      cleaned0 AS (
+        SELECT *,
+          CASE WHEN po <> '' THEN NULL ELSE a1 END AS add1,
+          CASE WHEN po <> '' THEN 'PO BOX ' || po END AS po_box
+        FROM (
+          SELECT f.*,
+            nullif(regexp_replace(trim(upper(geo_add1_raw)), ' +', ' ', 'g'),
+              '') AS a1,
+            regexp_extract(
+              nullif(regexp_replace(trim(upper(geo_add1_raw)), ' +', ' ',
+                'g'), ''), '^P\.? ?O\.? BOX ([0-9]+)$', 1) AS po,
+            nullif(regexp_replace(trim(upper(geo_add2_raw)), ' +', ' ', 'g'),
+              '') AS add2_0,
+            nullif(regexp_replace(trim(upper(geo_city_raw)), ' +', ' ', 'g'),
+              '') AS city,
+            nullif(regexp_replace(trim(upper(geo_state_raw)), ' +', ' ',
+              'g'), '') AS state,
+            nullif(regexp_replace(trim(upper(geo_zip_raw)), ' +', ' ', 'g'),
+              '') AS zip
+          FROM fresh f)),
+      norm1 AS (
+        SELECT *, CASE WHEN add2_0 IS NULL AND geo_add1_raw LIKE '#%'
+          THEN geo_add1_raw ELSE add2_0 END AS add2_1
+        FROM cleaned0),
+      norm2 AS (
+        SELECT *, CASE WHEN add1 IS NULL AND po_box IS NOT NULL
+          THEN po_box ELSE add1 END AS add1_2
+        FROM norm1),
+      normed AS (
+        SELECT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
+          geo_zip_raw, add1_2 AS geo_add1_clean,
+          CASE WHEN add1_2 = po_box THEN add2_1
+            WHEN add2_1 IS NULL AND po_box IS NOT NULL
+              AND add1_2 IS NOT NULL THEN po_box
+            WHEN add2_1 IS NOT NULL AND po_box IS NOT NULL
+              AND add1_2 IS NOT NULL THEN add2_1 || ' ' || po_box
+            ELSE add2_1 END AS geo_add2_clean,
+          city AS geo_city_clean, state AS geo_state_clean,
+          zip AS geo_zip_clean
+        FROM norm2),
+      manual AS (
+        SELECT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
+          geo_zip_raw, 'FIXED ' || CAST(k AS VARCHAR) AS geo_add1_clean,
+          CAST(NULL AS VARCHAR) AS geo_add2_clean,
+          'FIXEDCITY' AS geo_city_clean, 'WA' AS geo_state_clean,
+          geo_zip_raw AS geo_zip_clean
+        FROM raw0 WHERE k % 13 = 1),
+      overridden AS (
+        SELECT n.* FROM normed n
+        WHERE NOT EXISTS (SELECT 1 FROM manual m
+          WHERE n.geo_add1_raw IS NOT DISTINCT FROM m.geo_add1_raw
+            AND n.geo_add2_raw IS NOT DISTINCT FROM m.geo_add2_raw
+            AND n.geo_city_raw IS NOT DISTINCT FROM m.geo_city_raw
+            AND n.geo_state_raw IS NOT DISTINCT FROM m.geo_state_raw
+            AND n.geo_zip_raw IS NOT DISTINCT FROM m.geo_zip_raw)
+        UNION ALL
+        SELECT m.* FROM manual m
+        WHERE EXISTS (SELECT 1 FROM normed n
+          WHERE n.geo_add1_raw IS NOT DISTINCT FROM m.geo_add1_raw
+            AND n.geo_add2_raw IS NOT DISTINCT FROM m.geo_add2_raw
+            AND n.geo_city_raw IS NOT DISTINCT FROM m.geo_city_raw
+            AND n.geo_state_raw IS NOT DISTINCT FROM m.geo_state_raw
+            AND n.geo_zip_raw IS NOT DISTINCT FROM m.geo_zip_raw))
+      SELECT geo_add1_raw, geo_add2_raw, CAST(NULL AS VARCHAR)
+          AS geo_add3_raw,
+        geo_city_raw, geo_state_raw, geo_zip_raw,
+        upper(sha256(coalesce(geo_add1_raw, '') || '|'
+          || coalesce(geo_add2_raw, '') || '|' || '' || '|'
+          || coalesce(geo_city_raw, '') || '|'
+          || coalesce(geo_state_raw, '') || '|'
+          || coalesce(geo_zip_raw, ''))) AS geo_hash_raw,
+        geo_add1_clean, geo_add2_clean, geo_city_clean, geo_state_clean,
+        geo_zip_clean,
+        upper(sha256(coalesce(geo_add1_clean, '') || '|'
+          || coalesce(geo_add2_clean, '') || '|'
+          || coalesce(geo_city_clean, '') || '|'
+          || coalesce(geo_state_clean, '') || '|'
+          || coalesce(geo_zip_clean, ''))) AS geo_hash_clean,
+        upper(sha256(coalesce(geo_add1_clean, '') || '|'
+          || coalesce(geo_city_clean, '') || '|'
+          || coalesce(geo_state_clean, '') || '|'
+          || coalesce(geo_zip_clean, ''))) AS geo_hash_geocode,
+        0 AS geo_geocode_skip
+      FROM overridden
+      ORDER BY geo_hash_raw"""
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
@@ -7075,8 +7293,10 @@ object SparkEntry {
         (cum_tokens - n_tokens) // 2048 AS shard
       FROM c ORDER BY ord, doc_id""",
 
-    // q267: A-Res weighted sample — ln(u)/w keys from centered md5
-    // 32-bit draws, rounded at 6 dp, top-40 by (key desc, id).
+    // q267: A-Res weighted sample — round(ln(u)*1e6)/w keys from
+    // centered md5 32-bit draws (integer numerator, one IEEE division —
+    // bit-stable, no large-weight key collapse), top-40 by (key desc,
+    // id).
     "q267_weighted_sample" -> """
       WITH b AS (
         SELECT doc_id,
@@ -7087,8 +7307,8 @@ object SparkEntry {
         FROM documents),
       k AS (
         SELECT doc_id, w AS n_tokens,
-          round(ln((bkt::DOUBLE + 0.5) / 4294967296.0) / w::DOUBLE, 6)
-            AS ares_key
+          round(ln((bkt::DOUBLE + 0.5) / 4294967296.0) * 1000000.0, 0)
+            / w::DOUBLE AS ares_key
         FROM b WHERE w > 0)
       SELECT doc_id, n_tokens, ares_key,
         CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id)
@@ -8476,118 +8696,13 @@ object SparkEntry {
 
     // q146: address clean stage — hash anti-join new-address detection,
     // deterministic stand-in cleaner, '#'/PO-box folding, NULL-safe
-    // manual overrides, SHA-256 identity hashes.
-    "q146_address_clean" -> """
-      WITH ks AS (SELECT DISTINCT c_custkey % 300 AS k FROM customer),
-      raw0 AS (
-        SELECT k,
-          CASE WHEN k % 11 = 0 THEN '#' || CAST(100 + k % 90 AS VARCHAR)
-            WHEN k % 7 = 0 THEN 'P O BOX  ' || CAST(k % 500 AS VARCHAR)
-            ELSE CAST(k % 900 AS VARCHAR) || '  MAIN ST'
-            END AS geo_add1_raw,
-          CASE WHEN k % 5 = 0 THEN 'APT ' || CAST(k % 20 AS VARCHAR)
-            END AS geo_add2_raw,
-          'city' || CAST(k % 40 AS VARCHAR) AS geo_city_raw,
-          CASE WHEN k % 3 = 0 THEN 'wa' ELSE 'OR' END AS geo_state_raw,
-          lpad(CAST(k % 999 AS VARCHAR), 5, '0') AS geo_zip_raw
-        FROM ks),
-      stage AS (
-        SELECT *, upper(sha256(
-          coalesce(geo_add1_raw, '') || '|' || coalesce(geo_add2_raw, '')
-          || '|' || '' || '|' || geo_city_raw || '|' || geo_state_raw
-          || '|' || geo_zip_raw)) AS geo_hash_raw
-        FROM raw0),
-      fresh AS (
-        SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_city_raw,
-          geo_state_raw, geo_zip_raw, geo_hash_raw
-        FROM stage
-        WHERE geo_hash_raw NOT IN
-          (SELECT geo_hash_raw FROM stage WHERE k % 4 = 0)),
-      cleaned0 AS (
-        SELECT *,
-          CASE WHEN po <> '' THEN NULL ELSE a1 END AS add1,
-          CASE WHEN po <> '' THEN 'PO BOX ' || po END AS po_box
-        FROM (
-          SELECT f.*,
-            nullif(regexp_replace(trim(upper(geo_add1_raw)), ' +', ' ', 'g'),
-              '') AS a1,
-            regexp_extract(
-              nullif(regexp_replace(trim(upper(geo_add1_raw)), ' +', ' ',
-                'g'), ''), '^P\.? ?O\.? BOX ([0-9]+)$', 1) AS po,
-            nullif(regexp_replace(trim(upper(geo_add2_raw)), ' +', ' ', 'g'),
-              '') AS add2_0,
-            nullif(regexp_replace(trim(upper(geo_city_raw)), ' +', ' ', 'g'),
-              '') AS city,
-            nullif(regexp_replace(trim(upper(geo_state_raw)), ' +', ' ',
-              'g'), '') AS state,
-            nullif(regexp_replace(trim(upper(geo_zip_raw)), ' +', ' ', 'g'),
-              '') AS zip
-          FROM fresh f)),
-      norm1 AS (
-        SELECT *, CASE WHEN add2_0 IS NULL AND geo_add1_raw LIKE '#%'
-          THEN geo_add1_raw ELSE add2_0 END AS add2_1
-        FROM cleaned0),
-      norm2 AS (
-        SELECT *, CASE WHEN add1 IS NULL AND po_box IS NOT NULL
-          THEN po_box ELSE add1 END AS add1_2
-        FROM norm1),
-      normed AS (
-        SELECT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
-          geo_zip_raw, add1_2 AS geo_add1_clean,
-          CASE WHEN add1_2 = po_box THEN add2_1
-            WHEN add2_1 IS NULL AND po_box IS NOT NULL
-              AND add1_2 IS NOT NULL THEN po_box
-            WHEN add2_1 IS NOT NULL AND po_box IS NOT NULL
-              AND add1_2 IS NOT NULL THEN add2_1 || ' ' || po_box
-            ELSE add2_1 END AS geo_add2_clean,
-          city AS geo_city_clean, state AS geo_state_clean,
-          zip AS geo_zip_clean
-        FROM norm2),
-      manual AS (
-        SELECT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
-          geo_zip_raw, 'FIXED ' || CAST(k AS VARCHAR) AS geo_add1_clean,
-          CAST(NULL AS VARCHAR) AS geo_add2_clean,
-          'FIXEDCITY' AS geo_city_clean, 'WA' AS geo_state_clean,
-          geo_zip_raw AS geo_zip_clean
-        FROM raw0 WHERE k % 13 = 1),
-      overridden AS (
-        SELECT n.* FROM normed n
-        WHERE NOT EXISTS (SELECT 1 FROM manual m
-          WHERE n.geo_add1_raw IS NOT DISTINCT FROM m.geo_add1_raw
-            AND n.geo_add2_raw IS NOT DISTINCT FROM m.geo_add2_raw
-            AND n.geo_city_raw IS NOT DISTINCT FROM m.geo_city_raw
-            AND n.geo_state_raw IS NOT DISTINCT FROM m.geo_state_raw
-            AND n.geo_zip_raw IS NOT DISTINCT FROM m.geo_zip_raw)
-        UNION ALL
-        SELECT m.* FROM manual m
-        WHERE EXISTS (SELECT 1 FROM normed n
-          WHERE n.geo_add1_raw IS NOT DISTINCT FROM m.geo_add1_raw
-            AND n.geo_add2_raw IS NOT DISTINCT FROM m.geo_add2_raw
-            AND n.geo_city_raw IS NOT DISTINCT FROM m.geo_city_raw
-            AND n.geo_state_raw IS NOT DISTINCT FROM m.geo_state_raw
-            AND n.geo_zip_raw IS NOT DISTINCT FROM m.geo_zip_raw))
-      SELECT geo_add1_raw, geo_add2_raw, CAST(NULL AS VARCHAR)
-          AS geo_add3_raw,
-        geo_city_raw, geo_state_raw, geo_zip_raw,
-        upper(sha256(coalesce(geo_add1_raw, '') || '|'
-          || coalesce(geo_add2_raw, '') || '|' || '' || '|'
-          || coalesce(geo_city_raw, '') || '|'
-          || coalesce(geo_state_raw, '') || '|'
-          || coalesce(geo_zip_raw, ''))) AS geo_hash_raw,
-        geo_add1_clean, geo_add2_clean, geo_city_clean, geo_state_clean,
-        geo_zip_clean,
-        upper(sha256(coalesce(geo_add1_clean, '') || '|'
-          || coalesce(geo_add2_clean, '') || '|'
-          || coalesce(geo_city_clean, '') || '|'
-          || coalesce(geo_state_clean, '') || '|'
-          || coalesce(geo_zip_clean, ''))) AS geo_hash_clean,
-        upper(sha256(coalesce(geo_add1_clean, '') || '|'
-          || coalesce(geo_city_clean, '') || '|'
-          || coalesce(geo_state_clean, '') || '|'
-          || coalesce(geo_zip_clean, ''))) AS geo_hash_geocode,
-        0 AS geo_geocode_skip
-      FROM overridden
-      ORDER BY geo_hash_raw""",
+    // manual overrides, SHA-256 identity hashes. Generated from the
+    // shared template (q280 composes the same build twice — prior ref
+    // slice + increment — so the clean chain cannot drift between them).
+    "q146_address_clean" -> addressCleanOracleSql(
+      """WHERE geo_hash_raw NOT IN
+          (SELECT geo_hash_raw FROM stage WHERE k % 4 = 0)"""),
+
 
     // q147: geocode attach — ESRI-first / HERE-fallback selection,
     // centroid flags, regex ZIP harvest (leading-space artifact kept on
@@ -13515,7 +13630,11 @@ object SparkEntry {
     // via a stateless stream-static join, then exact-Jaccard verify;
     // result equals the from-scratch restriction to stream-corpus
     // pairs (the q216 oracle shape with an exactly-one-side-in-corpus
-    // gate).
+    // gate). NOTE: this oracle is the EXACT all-pairs >= 0.5 set;
+    // banded minhash (b=8, r=2) only matches it with per-pair
+    // probability ~0.9 at similarity exactly 0.5 — equality relies on
+    // the fixture's qualifying pairs sitting well above threshold
+    // (recall 1 on this distribution, the q38/q216 convention).
     "q249_stream_neardup_gate" -> """
       WITH d AS (
         SELECT doc_id,

@@ -72,21 +72,34 @@ object Sampling {
     * deterministic uniform u from md5(salt:id) (the [[stratifiedSample]]
     * / hashSplit discipline — the +0.5 centers the 32-bit bucket, so u
     * is an exact dyadic rational in (0,1)), keys itself with
-    * `ln(u) / w` (a monotone transform of the paper's u^(1/w), safe
-    * from pow() underflow at large weights), and the k LARGEST keys
-    * are the sample. Inclusion probabilities follow the weights
-    * exactly as in the paper; the whole draw is a pure function of
+    * `round(ln(u)·1e6) / w` (a monotone transform of the paper's
+    * u^(1/w), safe from pow() underflow at large weights), and the k
+    * LARGEST keys are the sample. The whole draw is a pure function of
     * (salt, id, w), so re-runs, re-partitions, and other engines
-    * reproduce it to the row. Keys round at 6 dp before ranking (the
-    * BM25 rounded-score-ranking discipline) with the unique id as
-    * tie-break.
+    * reproduce it to the row; the unique id is the tie-break.
+    *
+    * Bit-stability of the key: the NUMERATOR rounds to an integer
+    * (|ln(u)|·1e6 ≤ ~2.3e7, exactly representable as a double), and an
+    * integer-valued-double / integer-valued-double division is IEEE
+    * correctly rounded — identical in every conforming engine, with no
+    * cross-libm ln() boundary risk (the rounding granularity 1e-6 is
+    * nine orders above a 1-ulp ln difference). Rounding the QUOTIENT
+    * instead (the first formulation) collapses keys at large weights —
+    * at w ≈ 1e4 only ~2.2e3 distinct 6-dp quotients survive, degrading
+    * weight-proportionality exactly at corpus scale; rounding the
+    * numerator keeps distinct u draws distinct at ANY weight.
+    *
+    * Weight contract: INTEGER weights — `weight` is cast to long, so
+    * fractional weights floor and 0 < w < 1 truncates to 0 and is
+    * excluded with the rest of w <= 0 (zero-weight rows cannot be
+    * drawn; negative weights are undefined). Callers with fractional
+    * weights must pre-scale to integers (e.g. ×1e6) — inclusion
+    * probabilities then follow the scaled weights exactly.
     *
     * Scale: key assignment is a shuffle-free codegen'd Column; the
     * top-k is [[graft.core.TopN]]'s TakeOrderedAndProject — a
     * per-partition heap merge, no global sort, no window. Weighted
-    * sampling over 100 TB is one scan. Rows with w <= 0 are excluded
-    * (zero-weight rows cannot be drawn; negative weights are
-    * undefined). */
+    * sampling over 100 TB is one scan. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
       k: Int, salt: String = "ares"): DataFrame = {
     val bucket = conv(substring(md5(concat_ws(":", lit(salt),
@@ -94,7 +107,8 @@ object Sampling {
     val u = (bucket.cast("double") + 0.5) / 4294967296.0
     val keyed = df.select(col(idCol), weight.cast("long").as("w"))
       .filter(col("w") > 0)
-      .withColumn("ares_key", round(log(u) / col("w").cast("double"), 6))
+      .withColumn("ares_key",
+        round(log(u) * 1000000.0, 0) / col("w").cast("double"))
     graft.core.TopN.topNByRank(keyed, "ares_key", idCol, k)
   }
 }

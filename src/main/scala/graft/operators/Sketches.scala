@@ -86,10 +86,24 @@ object Sketches {
     * construction (union-then-build == build-then-max), and the per-key
     * finalize touches at most 2^p rows per key. */
   def intHllEstimate(df: DataFrame, keys: Seq[String], value: Column,
-      p: Int = 8, alphaE4: Long = 7183L,
+      p: Int = 8, alphaE4: Long = -1L,
       salt: String = "hll"): DataFrame =
     intHllFromRegisters(intHllRegisters(df, keys, value, p, salt),
       keys, p, alphaE4)
+
+  /** The HLL bias-correction constant for m = 2^p registers, scaled to
+    * 1e4 fixed point (Flajolet et al. 2007 §4: 0.673 / 0.697 / 0.709
+    * for m = 16/32/64, else 0.7213/(1 + 1.079/m)). Derived from p so a
+    * non-default precision gets the matching alpha — a fixed constant
+    * is calibrated for ONE m and biases every other (alpha spans
+    * 0.673..0.7213 over p = 4..14). At p = 8 this yields 7183, the
+    * value q255/q256/q272 have always pinned. */
+  def hllAlphaE4(p: Int): Long = (1L << p) match {
+    case 16L => 6730L
+    case 32L => 6970L
+    case 64L => 7090L
+    case m => math.round(0.7213 / (1.0 + 1.079 / m) * 10000.0)
+  }
 
   /** The sketch STATE: (keys, _reg, _m) — one register row per
     * occupied register. This is what a production pipeline persists
@@ -134,10 +148,14 @@ object Sketches {
   /** Finalize a register state into (keys, zero_registers, hll_est) —
     * see [[intHllEstimate]] for the integer-estimator derivation. */
   def intHllFromRegisters(regs: DataFrame, keys: Seq[String],
-      p: Int = 8, alphaE4: Long = 7183L): DataFrame = {
+      p: Int = 8, alphaE4: Long = -1L): DataFrame = {
     val m = 1L << p
     val kw = Window.partitionBy(keys.map(col): _*)
-    val alphaM2 = alphaE4 * m * m / 10000L
+    // alphaE4 <= 0 (the default) derives the constant from p; an
+    // explicit positive value overrides (e.g. replaying a sketch built
+    // under a different calibration)
+    val a = if (alphaE4 > 0) alphaE4 else hllAlphaE4(p)
+    val alphaM2 = a * m * m / 10000L
     regs.withColumn("_maxm", max(col("_m")).over(kw))
       .groupBy(keys.map(col): _*)
       .agg(max(col("_maxm")).as("maxm"),

@@ -847,9 +847,17 @@ object TextAnalysis {
       tokenCount(col(text)).cast("long").as("n_tokens"),
       conv(substring(md5(concat_ws(":", lit(salt),
         col(id).cast("string"))), 1, 8), 16, 10).cast("long").as("ord"))
+    // rp is consumed TWICE (the per-partition sums and the final join);
+    // localCheckpoint pins the RangePartitioner's sampled bounds once —
+    // without it, correctness of the _pid-keyed offset join leans on
+    // exchange reuse deduplicating the two subplans, and a replan
+    // (exchange reuse off, AQE) could sample different range bounds per
+    // subplan, mismatching offsets for rows near a boundary (the
+    // kcorePeel / emFieldProbs / doremiWeights reused-frame rule)
     val rp = base.repartitionByRange(col("ord"), col(id))
       .sortWithinPartitions(col("ord"), col(id))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val psums = rp.groupBy(col("_pid"))
       .agg(sum(col("n_tokens")).as("_psum"))
     val offsets = psums.join(

@@ -228,6 +228,38 @@ object Qa {
       actual == declared, observed.toLong, declared.length.toLong)
   }
 
+  /** The address-clean partial-refresh battery
+    * (qa_stage.address_clean_partial.R:50-132): stage-vs-ref row-count
+    * monotonicity and positional field-name equality, with the
+    * reference's verbatim PASS/FAIL note strings — INCLUDING its quirk
+    * that the FAIL note interpolates the NEGATIVE stage-minus-ref
+    * difference inside "... fewer rows ..." (R glue renders
+    * rows_stage - rows_ref in both branches). Two distributed counts;
+    * output is the two verdict rows. */
+  def stageVsRefQa(stage: DataFrame, ref: DataFrame,
+      table: String): DataFrame = {
+    val s = stage.sparkSession
+    val nStage = stage.count()
+    val nRef = ref.count()
+    val colChk = columnOrder(stage, table, ref.columns.toSeq)
+    val diff = nStage - nRef
+    val rows = Seq(
+      (table, "Row counts",
+        if (nStage < nRef) "FAIL" else "PASS",
+        if (nStage < nRef)
+          s"Stage table has $diff fewer rows than ref table"
+        else s"Stage table has $diff more rows than ref table",
+        nStage, nRef),
+      (table, "Field names",
+        if (colChk.pass) "PASS" else "FAIL",
+        if (colChk.pass) "Stage table columns match ref table"
+        else "Stage table columns do not match ref table",
+        colChk.observed, colChk.expected))
+    import s.implicits._
+    rows.toDF("table_name", "qa_item", "qa_result", "note", "observed",
+      "expected")
+  }
+
   /** Per-year slice counts vs the prior load
     * (qa_stage.mcaid_claim_header.R:150-260: header counts per claim
     * year, then ED counts per claim year, each against the current

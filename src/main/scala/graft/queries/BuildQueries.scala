@@ -2311,11 +2311,13 @@ object BuildQueries {
       .orderBy(col("id_mcaid"), col("end_month"))
   }
 
-  /** §7.5.8 address clean stage (q146,
-    * load_stage.address_clean_partial.R): hash anti-join new-address
-    * detection, deterministic stand-in cleaner, '#'/PO-box folding
-    * rules, NULL-safe manual overrides, SHA-256 identity hashes. */
-  def q146AddressClean(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q146/q280/q281 address fixture: the distinct raw stage
+    * addresses (geo_hash_raw minted, the `k` derivation column kept for
+    * slicing) and the manual-correction table. One copy, so the three
+    * address-chain queries cannot drift (the q186/q187 shared-frame
+    * discipline). */
+  private def addressFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val k = col("k")
     val base = t(s, dir, "customer")
       .select((col("c_custkey") % 300).as("k")).distinct()
@@ -2334,7 +2336,6 @@ object BuildQueries {
         coalesce(col("geo_add1_raw"), lit("")),
         coalesce(col("geo_add2_raw"), lit("")), lit(""),
         col("geo_city_raw"), col("geo_state_raw"), col("geo_zip_raw")), 256)))
-    val ref = stage.filter(k % 4 === 0).select(col("geo_hash_raw"))
     val manual = raw.filter(k % 13 === 1).select(
       col("geo_add1_raw"), col("geo_add2_raw"), col("geo_city_raw"),
       col("geo_state_raw"), col("geo_zip_raw"),
@@ -2343,8 +2344,44 @@ object BuildQueries {
       lit("FIXEDCITY").as("geo_city_clean"),
       lit("WA").as("geo_state_clean"),
       col("geo_zip_raw").as("geo_zip_clean"))
+    (stage, manual)
+  }
+
+  /** §7.5.8 address clean stage (q146,
+    * load_stage.address_clean_partial.R): hash anti-join new-address
+    * detection, deterministic stand-in cleaner, '#'/PO-box folding
+    * rules, NULL-safe manual overrides, SHA-256 identity hashes. */
+  def q146AddressClean(s: SparkSession, dir: String): DataFrame = {
+    val (stage, manual) = addressFixture(s, dir)
+    val ref = stage.filter(col("k") % 4 === 0).select(col("geo_hash_raw"))
     graft.builds.AddressClean.build(stage.drop("k"), ref, manual)
       .orderBy(col("geo_hash_raw"))
+  }
+
+  /** §5 address-clean partial-refresh QA battery (q280,
+    * qa_stage.address_clean_partial.R:50-132): after a partial refresh
+    * loads stage.address_clean = ref.address_clean + the cleaned
+    * increment, the battery checks (1) row-count monotonicity — stage
+    * strictly gaining on ref PASSes, fewer rows FAILs — with the
+    * reference's verbatim note strings INCLUDING its quirk that the
+    * FAIL note renders the NEGATIVE stage-minus-ref difference inside
+    * "... fewer rows ..." (R glue interpolates rows_stage - rows_ref in
+    * both branches); (2) positional field-name equality between the
+    * two tables (the TOP(0) column-name compare). The prior ref table
+    * is the q146 build over the k%4 slice with an empty ref (the
+    * previously-cleaned full-schema table the hash-only q146 ref
+    * stands for); the increment is exactly q146's output. Both checks
+    * are one distributed count each; verdict rows only. */
+  def q280AddressCleanPartialQa(s: SparkSession, dir: String): DataFrame = {
+    val (stage, manual) = addressFixture(s, dir)
+    val emptyRef = stage.select(col("geo_hash_raw")).limit(0)
+    val priorRef = graft.builds.AddressClean.build(
+      stage.filter(col("k") % 4 === 0).drop("k"), emptyRef, manual)
+    val increment = graft.builds.AddressClean.build(stage.drop("k"),
+      priorRef.select(col("geo_hash_raw")), manual)
+    val newStage = priorRef.unionByName(increment)
+    graft.qa.Qa.stageVsRefQa(newStage, priorRef, "stage.address_clean")
+      .orderBy(col("qa_item"))
   }
 
   /** §7.5.8 geocode attach (q147, load_stage.address_geocode.R):
@@ -5060,6 +5097,22 @@ object BuildQueries {
         idCol = "id_apcd", rxDateCol = "prescription_filled_dt")
       .orderBy(col("id_apcd"), col("bh_cond"),
         col("first_encounter_date"), col("last_encounter_date"))
+  }
+
+  /** §3.2/§7.1 composed analytic-pipeline runner (q279,
+    * master_mcaid_analytic.R:66-143 + table_dependencies.csv): the full
+    * mcaid analytic chain — elig_demo/timevar/month, the four claim
+    * tables, the hard-gated header, ccw, bh — executed in the
+    * dependency order AnalyticPipeline.topoOrder derives from the
+    * csv-ordered declarations, with a Qa.loadGate + distinctness gate
+    * between each stage load and its rename-promote to final. Output:
+    * the per-stage verdict frame; the oracle composes each stage's own
+    * oracle SQL, so chain order, gate logic, and every count are
+    * pinned end-to-end (the q248 import-chain discipline). */
+  def q279AnalyticPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.AnalyticPipeline._
+    run(s, dir, mcaidChain, mcaidHardGate)
+      .orderBy(col("stage_seq"), col("item"))
   }
 
   /** claims_condition.R consumer: members whose condition span overlaps an

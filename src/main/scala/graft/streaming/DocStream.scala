@@ -46,6 +46,16 @@ object DocStream {
     * decontam discipline (q210) applied at ingest. Output
     * (id_a, id_b, jaccard) equals q216's from-scratch restriction to
     * stream-corpus pairs, which is what the DuckDB oracle computes.
+    *
+    * Oracle convention (the q38/q216 latent assumption, stated): what
+    * is provable is streamed-band-join == BATCH-band-join — the
+    * stream-static join is stateless, so no pair can be withheld. The
+    * ORACLE, however, is the exact all-pairs Jaccard >= 0.5 set, which
+    * banded minhash (b=8, r=2) matches with probability ~0.9 per pair
+    * at similarity exactly 0.5; oracle equality holds because the
+    * fixture's qualifying pairs sit well above threshold (recall 1 on
+    * THIS distribution). A fixture with near-threshold pairs would go
+    * red on banding recall, not on a streaming defect.
     */
   def nearDupGate(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -64,8 +64,10 @@ class SamplingSpec extends SparkSpec {
       val hex = d.take(4).map("%02x".format(_)).mkString
       val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
         4294967296.0
-      BigDecimal(math.log(u) / w.toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // integer-rounded numerator, one IEEE division (the large-weight
+      // key-collapse fix: distinct u stay distinct at any w)
+      BigDecimal(math.log(u) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / w.toDouble
     }
     val expect = rows.filter(_._2 > 0)
       .map { case (i, w) => (i, key(i, w)) }
@@ -79,6 +81,16 @@ class SamplingSpec extends SparkSpec {
     val re = Sampling.weightedSample(df.repartition(7), "id", col("w"),
       k = 5).orderBy(col("rnk")).collect().map(_.getAs[Long]("id")).toSeq
     assert(re == got)
+  }
+
+  test("A-Res keys stay distinct at large weights (the 6-dp-quotient " +
+      "collapse fix): 500 rows at w = 10000 draw 500 distinct keys") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).map(i => (i, 10000L)).toDF("id", "w")
+    val keys = Sampling.weightedSample(df, "id", col("w"), k = 500)
+      .select(col("ares_key")).distinct().count()
+    assert(keys == 500L, s"expected 500 distinct keys, got $keys")
   }
 
   test("shard manifest: total row aggregates the shard rows, and a " +

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.pipeline.AnalyticPipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytic-pipeline runner: deterministic topological order, the
+  * load/distinctness gates, the rename-promote, and the
+  * master_mcaid_analytic.R:355-358 hard-gate stop() semantics. */
+class PipelineSpec extends SparkSpec {
+
+  private def mk(n: Int): (SparkSession, String) => DataFrame =
+    (s, _) => { import s.implicits._
+      (1 to n).map(_.toLong).toDF("id") }
+
+  private def dup: (SparkSession, String) => DataFrame =
+    (s, _) => { import s.implicits._
+      Seq(1L, 1L, 2L).toDF("id") }
+
+  test("topoOrder: parents always precede children; ready ties break " +
+      "by DECLARED order (scrambled declarations sort correctly)") {
+    val stages = Seq(
+      StageDef("d", Seq("b", "c"), mk(1)),
+      StageDef("c", Seq("a"), mk(1)),
+      StageDef("b", Seq("a"), mk(1)),
+      StageDef("a", Nil, mk(1)),
+      StageDef("e", Nil, mk(1)))
+    val got = topoOrder(stages).map(_.table)
+    // declared d,c,b,a,e: first ready in declared order is a; then c
+    // (declared 2nd) wins over the also-ready b; then b, then d; e was
+    // ready from the start but declared last, so it emits last
+    assert(got == Seq("a", "c", "b", "d", "e"))
+  }
+
+  test("topoOrder: unknown (external) parents are ambient; a cycle " +
+      "throws") {
+    val ok = topoOrder(Seq(
+      StageDef("x", Seq("external_input"), mk(1)))).map(_.table)
+    assert(ok == Seq("x"))
+    val cyc = Seq(
+      StageDef("p", Seq("q"), mk(1)),
+      StageDef("q", Seq("p"), mk(1)))
+    assertThrows[IllegalArgumentException](topoOrder(cyc))
+  }
+
+  test("mcaidChain topo order matches the oracle's pinned sequence " +
+      "(csv-alphabetical declarations, Kahn earliest-declared)") {
+    assert(topoOrder(mcaidChain).map(_.table) == Seq(
+      "mcaid_elig_demo", "mcaid_elig_month", "mcaid_elig_timevar",
+      "mcaid_claim_icdcm_header", "mcaid_claim_line",
+      "mcaid_claim_pharm", "mcaid_claim_procedure",
+      "mcaid_claim_header", "mcaid_claim_bh", "mcaid_claim_ccw"))
+  }
+
+  test("green chain: every stage gets load_gate/distinct_rows/" +
+      "promote_rows, all passing, promote re-count equals stage count") {
+    val stages = Seq(
+      StageDef("t1", Nil, mk(7)),
+      StageDef("t2", Seq("t1"), mk(3)))
+    val out = AnalyticPipeline.run(spark, "", stages).collect()
+    assert(out.length == 6)
+    assert(out.forall(_.getAs[Int]("pass") == 1))
+    val promo = out.filter(_.getAs[String]("item") == "promote_rows")
+    assert(promo.map(r => (r.getAs[String]("table_name"),
+      r.getAs[Long]("observed"))).toSet == Set(("t1", 7L), ("t2", 3L)))
+  }
+
+  test("a failing NON-gated stage does not promote but the chain " +
+      "continues (the master script messages and moves on)") {
+    val stages = Seq(
+      StageDef("bad", Nil, dup),   // duplicate rows -> distinct gate fails
+      StageDef("after", Nil, mk(2)))
+    val out = AnalyticPipeline.run(spark, "", stages).collect()
+    val bad = out.filter(_.getAs[String]("table_name") == "bad")
+      .map(r => r.getAs[String]("item") -> r.getAs[Int]("pass")).toMap
+    assert(bad("distinct_rows") == 0)
+    assert(bad("promote_rows") == 0)
+    val badPromo = out.find(r =>
+      r.getAs[String]("table_name") == "bad" &&
+      r.getAs[String]("item") == "promote_rows").get
+    assert(badPromo.getAs[Long]("observed") == 0L) // never promoted
+    // the chain continued
+    val after = out.filter(_.getAs[String]("table_name") == "after")
+    assert(after.length == 3 && after.forall(_.getAs[Int]("pass") == 1))
+  }
+
+  test("hard gate: a failed gate parent aborts the gated stage AND " +
+      "everything after it (the reference stop())") {
+    val stages = Seq(
+      StageDef("claims", Nil, dup), // fails QA
+      StageDef("header", Seq("claims"), mk(5)),
+      StageDef("downstream", Seq("header"), mk(5)))
+    val out = AnalyticPipeline.run(spark, "", stages,
+      hardGate = Map("header" -> Seq("claims"))).collect()
+    val header = out.filter(_.getAs[String]("table_name") == "header")
+    assert(header.length == 1 &&
+      header.head.getAs[String]("item") == "aborted")
+    val down = out.filter(_.getAs[String]("table_name") == "downstream")
+    assert(down.length == 1 &&
+      down.head.getAs[String]("item") == "aborted")
+    // the failing stage itself still reported its three verdict rows
+    assert(out.count(_.getAs[String]("table_name") == "claims") == 3)
+  }
+
+  test("an EMPTY stage fails the rowcount gate and does not promote") {
+    val stages = Seq(StageDef("empty", Nil, mk(0)))
+    val out = AnalyticPipeline.run(spark, "", stages).collect()
+    val promo = out.find(_.getAs[String]("item") == "promote_rows").get
+    assert(promo.getAs[Int]("pass") == 0 &&
+      promo.getAs[Long]("observed") == 0L)
+  }
+}

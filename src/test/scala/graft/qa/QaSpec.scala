@@ -101,4 +101,36 @@ class QaSpec extends SparkSpec {
     assert(byName("neg_v").pass && byName("neg_v").observed == 0L)
     assert(!byName("rowcount_monotonic").pass)
   }
+
+  test("stageVsRefQa: both PASS notes verbatim; the FAIL branch renders " +
+      "the reference's negative-diff-inside-'fewer' glue quirk; a column " +
+      "mismatch fails Field names") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val grown = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val pass = Qa.stageVsRefQa(grown, ref, "stage.address_clean")
+      .collect().map(r => r.getAs[String]("qa_item") ->
+        (r.getAs[String]("qa_result"), r.getAs[String]("note"))).toMap
+    assert(pass("Row counts") ==
+      ("PASS", "Stage table has 1 more rows than ref table"))
+    assert(pass("Field names") ==
+      ("PASS", "Stage table columns match ref table"))
+    // shrunk stage: FAIL, and the note interpolates the NEGATIVE
+    // difference into the 'fewer' sentence (qa_stage.address_clean_
+    // partial.R:60-73 renders rows_stage - rows_ref in both branches)
+    val shrunk = Seq((1L, "a")).toDF("id", "v")
+    val fail = Qa.stageVsRefQa(shrunk, ref, "t")
+      .collect().find(_.getAs[String]("qa_item") == "Row counts").get
+    assert(fail.getAs[String]("qa_result") == "FAIL")
+    assert(fail.getAs[String]("note") ==
+      "Stage table has -1 fewer rows than ref table")
+    // column order mismatch
+    val swapped = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("v", "id")
+    val cols = Qa.stageVsRefQa(swapped, ref, "t")
+      .collect().find(_.getAs[String]("qa_item") == "Field names").get
+    assert(cols.getAs[String]("qa_result") == "FAIL")
+    assert(cols.getAs[String]("note") ==
+      "Stage table columns do not match ref table")
+  }
 }
