@@ -427,6 +427,16 @@ object SparkEntry {
       (graft.queries.BuildQueries.q279AnalyticPipeline _),
     "q280_address_clean_partial_qa" ->
       (graft.queries.BuildQueries.q280AddressCleanPartialQa _),
+    "q281_address_geocode_chain" ->
+      (graft.queries.BuildQueries.q281AddressGeocodeChain _),
+    "q282_icdcm_refresh" ->
+      (graft.queries.LifecycleQueries.q282IcdcmRefresh _),
+    "q283_apcd_provider_npi" ->
+      (graft.queries.LifecycleQueries.q283ApcdProviderNpi _),
+    "q284_ethnicity_map_check" ->
+      (graft.queries.LifecycleQueries.q284EthnicityMapCheck _),
+    "q285_provider_npi_qa" ->
+      (graft.queries.LifecycleQueries.q285ProviderNpiQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1961,9 +1971,255 @@ object SparkEntry {
       ORDER BY qa_item"""
   }
 
+  /** q281 oracle: the composed geocode-side chain — the SAME clean
+    * templates as q146/q280 (prior slice + increment), the q147
+    * generator/attach replica keyed on the numeric ZIP, the
+    * geocode-hash upsert restriction, and the two log counts — all
+    * generated from one attach template so the prior and new arms
+    * cannot drift. */
+  private def geocodeChainOracleSql: String = {
+    val prior = addressCleanOracleSql("WHERE k % 4 = 0")
+    val inc = addressCleanOracleSql(
+      """WHERE geo_hash_raw NOT IN
+          (SELECT geo_hash_raw FROM stage WHERE k % 4 = 0)""")
+    // the attach replica over one input CTE (q147 oracle logic, kc from
+    // the numeric ZIP); emits `<pre>geo` with geo_hash_geocode minted
+    def attach(in: String, pre: String): String = s"""
+      ${pre}in AS (SELECT DISTINCT geo_add1_clean, geo_city_clean,
+          geo_state_clean, geo_zip_clean FROM $in),
+      ${pre}k AS (SELECT *, coalesce(CAST(geo_zip_clean AS INT), 0) AS kc
+        FROM ${pre}in),
+      ${pre}esri AS (
+        SELECT a.*,
+          CASE WHEN kc % 5 = 0 THEN 'zip_5_digit_gc'
+            WHEN kc % 5 = 1 THEN NULL ELSE 'street_gc' END AS loc_name,
+          CASE WHEN kc % 7 = 0 THEN 'U' ELSE 'M' END AS status,
+          CASE WHEN kc % 9 = 0 THEN geo_add1_clean || ', '
+              || geo_city_clean || ', ' || geo_state_clean || ', USA'
+            ELSE geo_add1_clean || ', ' || geo_city_clean || ', '
+              || geo_state_clean || ' ' || geo_zip_clean
+            END AS match_addr,
+          round(-122.0 - (kc % 500) / 1000.0, 4) AS esri_lon,
+          round(47.0 + (kc % 500) / 1000.0, 4) AS esri_lat
+        FROM ${pre}k a),
+      ${pre}here AS (
+        SELECT geo_add1_clean, geo_city_clean, geo_state_clean,
+          geo_zip_clean,
+          CASE WHEN kc % 4 = 0 THEN 'houseNumber'
+            WHEN kc % 4 = 1 THEN 'street' WHEN kc % 4 = 2
+            THEN 'postalCode' ELSE 'district' END AS address_type,
+          geo_add1_clean || ', ' || geo_city_clean || ', '
+            || geo_zip_clean || ', USA' AS formatted_address,
+          round(-121.0 - (kc % 500) / 1000.0, 4) AS here_lon,
+          round(46.0 + (kc % 500) / 1000.0, 4) AS here_lat
+        FROM ${pre}esri
+        WHERE (status = 'U' OR loc_name = 'zip_5_digit_gc'
+          OR loc_name IS NULL) AND kc % 10 < 6),
+      ${pre}joined AS (
+        SELECT e.*, h.address_type, h.formatted_address, h.here_lon,
+          h.here_lat,
+          CASE WHEN h.geo_add1_clean IS NOT NULL THEN 1 ELSE 0 END
+            AS geo_check_here,
+          CASE WHEN h.here_lat IS NOT NULL AND (h.address_type =
+            'houseNumber' OR e.loc_name IS NULL) THEN 'here' ELSE 'esri'
+            END AS src
+        FROM ${pre}esri e LEFT JOIN ${pre}here h
+          ON e.geo_add1_clean = h.geo_add1_clean
+          AND e.geo_city_clean = h.geo_city_clean
+          AND e.geo_state_clean = h.geo_state_clean
+          AND e.geo_zip_clean = h.geo_zip_clean),
+      ${pre}geo AS (
+        SELECT geo_add1_clean, geo_city_clean, geo_state_clean,
+          geo_zip_clean, 1 AS geo_check_esri, geo_check_here,
+          src AS geo_geocode_source,
+          CASE WHEN (src = 'esri' AND loc_name = 'zip_5_digit_gc')
+            OR (src = 'here' AND address_type IN ('postalCode','district'))
+            THEN 1 ELSE 0 END AS geo_zip_centroid,
+          CASE WHEN src = 'here' AND address_type = 'street' THEN 1
+            ELSE 0 END AS geo_street_centroid,
+          CASE WHEN src = 'esri' THEN upper(match_addr)
+            ELSE upper(formatted_address) END AS geo_add_geocoded,
+          CASE WHEN src = 'esri'
+            THEN nullif(regexp_extract(match_addr, '[0-9]{5}$$', 0), '')
+            ELSE nullif(' ' || regexp_extract(formatted_address,
+              ' ([0-9]{5}),', 1), ' ') END AS geo_zip_geocoded,
+          CASE WHEN src = 'esri' THEN loc_name ELSE address_type END
+            AS geo_add_type,
+          CASE WHEN src = 'esri' THEN esri_lon ELSE here_lon END
+            AS geo_lon,
+          CASE WHEN src = 'esri' THEN esri_lat ELSE here_lat END
+            AS geo_lat,
+          upper(sha256(coalesce(geo_add1_clean, '') || '|'
+            || coalesce(geo_city_clean, '') || '|'
+            || coalesce(geo_state_clean, '') || '|'
+            || coalesce(geo_zip_clean, ''))) AS geo_hash_geocode
+        FROM ${pre}joined)"""
+    s"""
+      WITH pr AS MATERIALIZED ($prior),
+      incr AS MATERIALIZED ($inc),
+      ${attach("pr", "p_")},
+      ${attach("incr", "n_")},
+      ngeo AS (SELECT * FROM n_geo WHERE geo_hash_geocode NOT IN
+        (SELECT geo_hash_geocode FROM p_geo)),
+      lg AS (SELECT (SELECT count(*) FROM incr) AS ncl,
+        (SELECT count(*) FROM ngeo) AS ngo)
+      SELECT p.*, CAST(0 AS INT) AS is_new, lg.ncl AS log_clean_n,
+        lg.ngo AS log_geocode_n
+      FROM p_geo p, lg
+      UNION ALL
+      SELECT n.*, CAST(1 AS INT), lg.ncl, lg.ngo FROM ngeo n, lg
+      ORDER BY geo_hash_geocode"""
+  }
+
+  /** Shared q283/q285 oracle body: the provider-NPI master replica
+    * (charclass gate via regexp_full_match, the rank-1 mode pick, the
+    * master anti-join, UNION distinct) — q285's QA battery composes
+    * the same body so the two cannot drift. */
+  private val providerNpiOracleBody: String = """
+      WITH cust AS (SELECT c_custkey AS ck, c_custkey % 120 AS pid
+        FROM customer),
+      master AS (
+        SELECT pid AS provider_id_apcd,
+          CASE WHEN pid % 50 = 0 THEN 12345
+            ELSE 1000000000 + pid END AS npi
+        FROM (SELECT DISTINCT pid FROM cust) WHERE pid % 10 = 0),
+      pm AS (
+        SELECT DISTINCT provider_id_apcd, CAST(npi AS BIGINT) AS npi,
+          1 AS provider_master_flag
+        FROM master),
+      provider AS (
+        SELECT pid AS provider_id_apcd,
+          CASE WHEN ck % 7 = 0 THEN '12345'
+            WHEN ck % 7 = 1 THEN '0'
+              || lpad(CAST(pid * 31 AS VARCHAR), 9, '0')
+            WHEN ck % 7 = 2 THEN NULL
+            WHEN ck % 7 = 3 THEN 'ABC'
+              || lpad(CAST(pid AS VARCHAR), 7, '0')
+            WHEN ck % 7 = 4 THEN '1'
+              || lpad(CAST(pid * 13 AS VARCHAR), 9, '0')
+            ELSE '2' || lpad(CAST(pid % 60 AS VARCHAR), 9, '0')
+            END AS orig_npi
+        FROM cust),
+      gated AS (
+        SELECT provider_id_apcd, orig_npi AS npi_str
+        FROM provider
+        WHERE orig_npi IS NOT NULL
+          AND regexp_full_match(orig_npi, '[1-9][0-9]{9}')),
+      counts AS (
+        SELECT provider_id_apcd, npi_str, count(*) AS row_count
+        FROM gated GROUP BY 1, 2),
+      ranked AS (
+        SELECT provider_id_apcd, npi_str
+        FROM (SELECT *, rank() OVER (PARTITION BY provider_id_apcd
+            ORDER BY row_count DESC, npi_str) AS rk FROM counts)
+        WHERE rk = 1),
+      prov AS (
+        SELECT DISTINCT g.provider_id_apcd,
+          CAST(r.npi_str AS BIGINT) AS npi, 0 AS provider_master_flag
+        FROM (SELECT DISTINCT provider_id_apcd FROM gated) g
+        LEFT JOIN ranked r ON g.provider_id_apcd = r.provider_id_apcd
+        WHERE g.provider_id_apcd NOT IN
+          (SELECT provider_id_apcd FROM pm))
+      SELECT * FROM pm UNION SELECT * FROM prov"""
+
   def oracleSql: Map[String, String] = baseOracleSql +
+    ("q283_apcd_provider_npi" -> (providerNpiOracleBody +
+      "\n      ORDER BY provider_id_apcd, npi")) +
+    // q285: the QA battery over the SAME composed body — providers
+    // with >1 row, NPIs with digit length != 10 (the three planted
+    // provider_master rows).
+    ("q285_provider_npi_qa" -> s"""
+      WITH ref AS MATERIALIZED ($providerNpiOracleBody)
+      SELECT 'ref.apcd_provider_npi' AS "table",
+        '# of NPIs with length != 10, expect 0' AS qa_type,
+        count(*) AS qa
+      FROM ref WHERE len(CAST(npi AS VARCHAR)) <> 10
+      UNION ALL
+      SELECT 'ref.apcd_provider_npi',
+        '# of provider IDs with >1 row, expect 0', count(*)
+      FROM (SELECT provider_id_apcd FROM ref GROUP BY 1
+        HAVING count(*) > 1)
+      ORDER BY qa_type""") +
+    // q284: ethnicity-map update probe — incl. the reference's
+    // id2-probe-joins-on-id1 quirk, replicated verbatim.
+    ("q284_ethnicity_map_check" -> """
+      WITH elig AS (
+        SELECT CAST(c_custkey % 30 AS BIGINT) AS ethnicity_id1,
+          CAST((c_custkey * 7) % 37 AS BIGINT) AS ethnicity_id2
+        FROM customer),
+      map AS (
+        SELECT ethnicity_id,
+          'ETH ' || CAST(ethnicity_id AS VARCHAR) AS ethnicity_desc,
+          ethnicity_id % 5 AS race_id,
+          'RACE ' || CAST(ethnicity_id % 5 AS VARCHAR) AS race_desc
+        FROM (SELECT DISTINCT CAST(c_custkey % 25 AS BIGINT)
+          AS ethnicity_id FROM customer))
+      SELECT DISTINCT 'ethnicity_id1' AS variable,
+        e.ethnicity_id1 AS unmapped_id, m.ethnicity_desc, m.race_id,
+        m.race_desc
+      FROM elig e LEFT JOIN map m ON e.ethnicity_id1 = m.ethnicity_id
+      WHERE m.race_desc IS NULL
+      UNION ALL
+      SELECT DISTINCT 'ethnicity_id2', e.ethnicity_id2,
+        m.ethnicity_desc, m.race_id, m.race_desc
+      FROM elig e LEFT JOIN map m ON e.ethnicity_id1 = m.ethnicity_id
+      WHERE m.race_desc IS NULL
+      ORDER BY variable, unmapped_id""") +
     ("q279_analytic_pipeline" -> pipelineOracleSql(baseOracleSql)) +
-    ("q280_address_clean_partial_qa" -> addressQaOracleSql)
+    ("q280_address_clean_partial_qa" -> addressQaOracleSql) +
+    ("q281_address_geocode_chain" -> geocodeChainOracleSql) +
+    // q282: ICD-CM master refresh — the oracle regenerates the SAME
+    // fixed-width order-file lines the Spark side round-trips through
+    // real text files, parses them with the reference's substr(7,12)/
+    // substr(17,77) positions, replays the pre-trim year-ordered
+    // exact-duplicate drop, and the keep-first (old beats new,
+    // earliest year wins) combine via a (prio, description)-ordered
+    // row_number pick.
+    ("q282_icdcm_refresh" -> """
+      WITH pks AS (SELECT DISTINCT p_partkey % 400 AS pk FROM part),
+      codes AS (
+        SELECT pk,
+          CASE WHEN pk % 3 = 0 THEN 'A' || lpad(CAST(pk AS VARCHAR), 4, '0')
+            WHEN pk % 3 = 1 THEN 'B' || lpad(CAST(pk AS VARCHAR), 4, '0')
+              || 'X'
+            ELSE 'C' || lpad(CAST(pk AS VARCHAR), 3, '0') END AS code
+        FROM pks),
+      lines AS (
+        SELECT y,
+          lpad(CAST(pk AS VARCHAR), 5, '0') || ' ' || rpad(code, 6, ' ')
+            || ' ' || CAST(pk % 2 AS VARCHAR) || '  '
+            || rpad(CASE WHEN pk % 5 = 0
+                THEN 'DESC ' || code || ' REV ' || CAST(y - 2019 AS VARCHAR)
+                ELSE 'DESC ' || code END, 61, ' ')
+            || 'LONGTAIL9' AS v1
+        FROM codes CROSS JOIN (VALUES (2019), (2020), (2021), (2022),
+          (2023)) t(y)
+        WHERE (pk + y) % 7 <> 0),
+      parsed AS (
+        SELECT y, substr(v1, 7, 6) AS icdcode_raw,
+          substr(v1, 17, 61) AS dx_raw
+        FROM lines),
+      dedup AS (
+        SELECT icdcode_raw, dx_raw, min(y) AS prio
+        FROM parsed GROUP BY 1, 2),
+      newt AS (
+        SELECT trim(icdcode_raw) AS icdcode, trim(dx_raw)
+          AS dx_description, 10 AS ver, prio
+        FROM dedup),
+      old AS (
+        SELECT '9' || lpad(CAST(pk AS VARCHAR), 3, '0') AS icdcode,
+          'ICD9 ' || lpad(CAST(pk AS VARCHAR), 3, '0') AS dx_description,
+          9 AS ver, -1 AS prio
+        FROM pks WHERE pk % 2 = 0
+        UNION ALL
+        SELECT code, 'OLD ' || code, 10, -1
+        FROM codes WHERE pk % 6 = 0),
+      allr AS (SELECT * FROM old UNION ALL SELECT * FROM newt)
+      SELECT icdcode, dx_description, CAST(ver AS INT) AS ver
+      FROM (SELECT *, row_number() OVER (PARTITION BY icdcode, ver
+          ORDER BY prio, dx_description) AS rn FROM allr)
+      WHERE rn = 1
+      ORDER BY ver, icdcode""")
 
   /** Shared q146/q280 address-clean oracle template: the full
     * clean-chain replica with the `fresh` CTE's restriction

@@ -2384,6 +2384,93 @@ object BuildQueries {
       .orderBy(col("qa_item"))
   }
 
+  /** Deterministic ESRI/HERE response stand-ins for a geocode-grain
+    * address list — the q147 generator formulas keyed on the numeric
+    * ZIP (the external geocoders don't exist here; the chain around
+    * them is the real surface). */
+  private def geoResponses(addr: DataFrame): (DataFrame, DataFrame) = {
+    val k = coalesce(col("geo_zip_clean").cast("int"), lit(0))
+    val esri = addr.select(col("geo_add1_clean"), col("geo_city_clean"),
+      col("geo_state_clean"), col("geo_zip_clean"),
+      k.as("_kc"),
+      when(k % 5 === 0, "zip_5_digit_gc")
+        .when(k % 5 === 1, lit(null).cast("string"))
+        .otherwise("street_gc").as("loc_name"),
+      when(k % 7 === 0, "U").otherwise("M").as("status"),
+      when(k % 9 === 0, concat(col("geo_add1_clean"), lit(", "),
+          col("geo_city_clean"), lit(", "), col("geo_state_clean"),
+          lit(", USA")))
+        .otherwise(concat(col("geo_add1_clean"), lit(", "),
+          col("geo_city_clean"), lit(", "), col("geo_state_clean"),
+          lit(" "), col("geo_zip_clean"))).as("match_addr"),
+      round(lit(-122.0) - (k % 500) / 1000.0, 4).as("esri_lon"),
+      round(lit(47.0) + (k % 500) / 1000.0, 4).as("esri_lat"))
+    val kc = col("_kc")
+    val here = esri
+      .filter((col("status") === "U" || col("loc_name") === "zip_5_digit_gc"
+        || col("loc_name").isNull) && kc % 10 < 6)
+      .select(col("geo_add1_clean"), col("geo_city_clean"),
+        col("geo_state_clean"), col("geo_zip_clean"),
+        when(kc % 4 === 0, "houseNumber").when(kc % 4 === 1, "street")
+          .when(kc % 4 === 2, "postalCode").otherwise("district")
+          .as("address_type"),
+        concat(col("geo_add1_clean"), lit(", "), col("geo_city_clean"),
+          lit(", "), col("geo_zip_clean"), lit(", USA"))
+          .as("formatted_address"),
+        round(lit(-121.0) - (kc % 500) / 1000.0, 4).as("here_lon"),
+        round(lit(46.0) + (kc % 500) / 1000.0, 4).as("here_lat"))
+    (esri.drop("_kc", "status"), here)
+  }
+
+  /** §7.5.8 composed geocode-side address chain (q281,
+    * load_stage.address_clean_geocode.R:40-129): DISTINCT stage
+    * addresses hash-anti-joined against the ref table (the new-address
+    * detection), the cleaning-service stand-in (the q146 build), the
+    * geocode attach over the GEOCODE grain (geo_hash_geocode — clean
+    * minus add2, so two units at one street address geocode once), and
+    * the ref.address_geocode upsert: prior rows pass through, only
+    * geocode-grain addresses NOT yet in the ref insert. The reference's
+    * log gate (upload-log nrow = addresses exported for cleaning,
+    * geocode-log nrow = rows added to ref.address_geocode, checked
+    * upload → clean → geocode in timestamp order) rides as the
+    * log_clean_n / log_geocode_n accounting columns.
+    *
+    * Scale: address-vocabulary-sized frames throughout (DISTINCT
+    * first); the upsert is one geocode-hash anti-join; the log values
+    * are two counts broadcast back as literals. */
+  def q281AddressGeocodeChain(s: SparkSession, dir: String): DataFrame = {
+    val (stage, manual) = addressFixture(s, dir)
+    val emptyRef = stage.select(col("geo_hash_raw")).limit(0)
+    val priorRef = graft.builds.AddressClean.build(
+      stage.filter(col("k") % 4 === 0).drop("k"), emptyRef, manual)
+    val increment = graft.builds.AddressClean.build(stage.drop("k"),
+      priorRef.select(col("geo_hash_raw")), manual)
+    val gkeys = Seq("geo_add1_clean", "geo_city_clean",
+      "geo_state_clean", "geo_zip_clean")
+    def geoInput(df: DataFrame) = df.select(gkeys.map(col): _*).distinct()
+    // geo_hash_geocode is a pure function of the four geocode-grain
+    // keys (AddressClean.withHashes), so recomputing it after the
+    // attach avoids a NULL-hostile join-back
+    val ghash = upper(sha2(concat_ws("|",
+      gkeys.map(c => coalesce(col(c), lit(""))): _*), 256))
+    def attach(in: DataFrame) = {
+      val (esri, here) = geoResponses(in)
+      graft.builds.AddressClean.geocodeAttach(esri, here)
+        .withColumn("geo_hash_geocode", ghash)
+    }
+    val priorGeo = attach(geoInput(priorRef))
+    val newGeo = attach(geoInput(increment))
+      .join(priorGeo.select(col("geo_hash_geocode")),
+        Seq("geo_hash_geocode"), "left_anti")
+    val nClean = increment.count()
+    val nGeo = newGeo.count()
+    priorGeo.withColumn("is_new", lit(0))
+      .unionByName(newGeo.withColumn("is_new", lit(1)))
+      .withColumn("log_clean_n", lit(nClean))
+      .withColumn("log_geocode_n", lit(nGeo))
+      .orderBy(col("geo_hash_geocode"))
+  }
+
   /** §7.5.8 geocode attach (q147, load_stage.address_geocode.R):
     * ESRI-first / HERE-fallback source selection, centroid flags,
     * regex ZIP harvest (with the reference's leading-space artifact on

@@ -749,4 +749,132 @@ vars:
     audit("zorder", zStats).unionByName(audit("lex_x", lexStats))
       .orderBy(col("layout"))
   }
+
+  /** §2.1 ICD-10-CM master refresh (q282,
+    * ref/tables/combine_icdcm_codes.R:1-61): five CMS order files
+    * (2019-2023) written as REAL fixed-width text and read back, the
+    * fixed-position parse (code at 7-12, short description at 17-77,
+    * order number / valid flag / long-description tail skipped), the
+    * pre-trim exact-duplicate drop in year order, str_trim + ver = 10,
+    * and the keep-first combine against the existing master (old rows
+    * beat new; among new, the earliest year's description wins). The
+    * fixture plants per-year membership gaps, per-year description
+    * drift (pk % 5), ICD-9 old rows, and old ICD-10 rows colliding
+    * with new-year codes so every keep-first branch lands rows. */
+  def q282IcdcmRefresh(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("pk")
+    val base = t(s, dir, "part")
+      .select((col("p_partkey") % 400).as("pk")).distinct()
+    val code = when(pk % 3 === 0,
+        concat(lit("A"), lpad(pk.cast("string"), 4, "0")))
+      .when(pk % 3 === 1,
+        concat(lit("B"), lpad(pk.cast("string"), 4, "0"), lit("X")))
+      .otherwise(concat(lit("C"), lpad(pk.cast("string"), 3, "0")))
+    val work = java.nio.file.Files.createTempDirectory("graft_icd")
+    val years = (2019 to 2023).map { y =>
+      val desc = when(pk % 5 === 0,
+          concat(lit("DESC "), code, lit(" REV "), lit(y - 2019)))
+        .otherwise(concat(lit("DESC "), code))
+      // 1-5 order number, 6 space, 7-12 code (space-padded), 13 space,
+      // 14 HIPAA flag, 15-16 spaces, 17-77 description, 78+ long tail
+      val line = concat(lpad(pk.cast("string"), 5, "0"), lit(" "),
+        rpad(code, 6, " "), lit(" "), (pk % 2).cast("string"), lit("  "),
+        rpad(desc, 61, " "), lit("LONGTAIL9"))
+      val path = s"$work/icd10cm_order_$y.txt"
+      base.filter((pk + y) % 7 =!= 0).select(line.as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+      y -> s.read.text(path)
+    }
+    val old9 = base.filter(pk % 2 === 0).select(
+      concat(lit("9"), lpad(pk.cast("string"), 3, "0")).as("icdcode"),
+      concat(lit("ICD9 "), lpad(pk.cast("string"), 3, "0"))
+        .as("dx_description"),
+      lit(9).as("ver"))
+    val old10 = base.filter(pk % 6 === 0).select(
+      code.as("icdcode"),
+      concat(lit("OLD "), code).as("dx_description"),
+      lit(10).as("ver"))
+    graft.sources.RefTables.combineIcdcm(years, old9.unionByName(old10))
+      .orderBy(col("ver"), col("icdcode"))
+  }
+
+  /** Shared q283/q285 fixture: the APCD provider_master table (ids
+    * divisible by 10, with a PLANTED bad-length NPI on ids divisible
+    * by 50 — provider_master NPIs are NOT charclass-gated in the
+    * reference, so the QA battery must catch them) and the provider
+    * table (seven orig_npi shapes: too-short, leading-zero, NULL,
+    * alphabetic, a rarer valid '1…' NPI — the reference's NPI-typo QA
+    * provider — and the common valid '2…' NPI built on pid % 60 so
+    * two providers SHARE one NPI, the reference's other QA plant). */
+  private def providerNpiFrames(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val ck = col("c_custkey")
+    val cust = t(s, dir, "customer")
+    val master = cust.select((ck % 120).as("provider_id_apcd")).distinct()
+      .filter(col("provider_id_apcd") % 10 === 0)
+      .select(col("provider_id_apcd"),
+        when(col("provider_id_apcd") % 50 === 0, lit(12345L))
+          .otherwise(lit(1000000000L) + col("provider_id_apcd"))
+          .as("npi"))
+    val pid = ck % 120
+    val provider = cust.select(pid.as("provider_id_apcd"),
+      when(ck % 7 === 0, lit("12345"))
+        .when(ck % 7 === 1,
+          concat(lit("0"), lpad((pid * 31).cast("string"), 9, "0")))
+        .when(ck % 7 === 2, lit(null).cast("string"))
+        .when(ck % 7 === 3,
+          concat(lit("ABC"), lpad(pid.cast("string"), 7, "0")))
+        .when(ck % 7 === 4,
+          concat(lit("1"), lpad((pid * 13).cast("string"), 9, "0")))
+        .otherwise(
+          concat(lit("2"), lpad((pid % 60).cast("string"), 9, "0")))
+        .as("orig_npi"))
+    (master, provider)
+  }
+
+  /** §2.1 APCD provider NPI master (q283,
+    * ref/tables/load_ref.apcd_provider_npi.R:13-88): provider_master
+    * distinct w/ flag 1, the ten-digit charclass NPI gate, the
+    * most-common-NPI pick (rank by row_count DESC, npi ASC — the q13
+    * mode kernel), master-exclusion anti-join, flag-0 arm, UNION
+    * distinct. */
+  def q283ApcdProviderNpi(s: SparkSession, dir: String): DataFrame = {
+    val (master, provider) = providerNpiFrames(s, dir)
+    graft.sources.RefTables.apcdProviderNpi(master, provider)
+      .orderBy(col("provider_id_apcd"), col("npi"))
+  }
+
+  /** §5 provider-NPI table QA (q285, qa_ref.apcd_provider_npi.sql):
+    * providers with >1 row (expect 0 — the NPI-typo guard) and NPIs
+    * whose digit length is not ten (catches the reference's ungated
+    * provider_master NPIs; the fixture plants three). */
+  def q285ProviderNpiQa(s: SparkSession, dir: String): DataFrame = {
+    val (master, provider) = providerNpiFrames(s, dir)
+    graft.sources.RefTables.apcdProviderNpiQa(
+        graft.sources.RefTables.apcdProviderNpi(master, provider))
+      .orderBy(col("qa_type"))
+  }
+
+  /** §5 ethnicity→race map update check (q284,
+    * ref/tables/load_ref.apcd_ethnicity_race_map_update_check.sql):
+    * distinct eligibility ethnicity ids whose map join found no race —
+    * including the reference's quirk that the ethnicity_id2 probe
+    * JOINS ON ethnicity_id1 (kept faithfully, documented in
+    * RefTables.ethnicityMapCheck). */
+  def q284EthnicityMapCheck(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val elig = t(s, dir, "customer").select(
+      (ck % 30).cast("bigint").as("ethnicity_id1"),
+      ((ck * 7) % 37).cast("bigint").as("ethnicity_id2"))
+    val map = t(s, dir, "customer")
+      .select((ck % 25).cast("bigint").as("ethnicity_id")).distinct()
+      .select(col("ethnicity_id"),
+        concat(lit("ETH "), col("ethnicity_id").cast("string"))
+          .as("ethnicity_desc"),
+        (col("ethnicity_id") % 5).as("race_id"),
+        concat(lit("RACE "), (col("ethnicity_id") % 5).cast("string"))
+          .as("race_desc"))
+    graft.sources.RefTables.ethnicityMapCheck(elig, map)
+      .orderBy(col("variable"), col("unmapped_id"))
+  }
 }

@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-table loaders — the ref/tables/ scripts that mint the
+  * lookup tables every analytic build consumes. */
+object RefTables {
+
+  /** Fixed-position parse of a CMS ICD-10-CM order file
+    * (ref/tables/combine_icdcm_codes.R:12-40: the files read with
+    * sep = "" then `substr(V1, 7, 12)` / `substr(V1, 17, 77)` — the
+    * code is characters 7-12 (6 wide, short codes space-padded), the
+    * short description characters 17-77 (61 wide, longer text
+    * TRUNCATES — the reference never reads the long-description tail),
+    * and the order number (1-5) and HIPAA-valid flag (14) are skipped
+    * entirely). Input: a text frame with a `value` line column. Output
+    * keeps the RAW (untrimmed) fields — the reference's exact-duplicate
+    * drop runs before its str_trim, so trimming here would collapse
+    * rows the reference keeps apart. */
+  def parseIcdOrderFile(lines: DataFrame): DataFrame =
+    lines.select(
+      substring(col("value"), 7, 6).as("icdcode_raw"),
+      substring(col("value"), 17, 61).as("dx_description_raw"))
+
+  /** The multi-year combine (combine_icdcm_codes.R:43-58):
+    *  1. new-year files bind in YEAR order and exact-duplicate rows
+    *     drop keeping the FIRST occurrence — `!duplicated(new_data)`
+    *     on the UNTRIMMED (code, description) pair, so rows differing
+    *     only in padding survive this pass;
+    *  2. `str_trim` both columns, ver = 10;
+    *  3. the existing master (old_data: ICD-9 rows and pre-2019
+    *     ICD-10) binds FIRST, then `distinct(icdcode, ver,
+    *     .keep_all = TRUE)` keeps the first row per (icdcode, ver) in
+    *     bind order — old beats new, and among new rows the EARLIEST
+    *     year's description wins.
+    *
+    * Re-expression: R's positional keep-first becomes an explicit
+    * priority — old rows rank -1, new rows rank by year — and the
+    * per-(icdcode, ver) pick is min_by over (priority,
+    * dx_description); the description tie-break only fires when one
+    * year file lists the same code twice with different descriptions
+    * (the order files never do — documented, deterministic either
+    * way). Scale: the code vocabulary is ~100k rows — two
+    * partial-agg shuffles, everything broadcastable downstream. */
+  /** APCD provider NPI master (ref/tables/load_ref.apcd_provider_npi.R:
+    * 13-88): provider_master rows pass through DISTINCT with flag 1;
+    * the provider table gates orig_npi through the T-SQL charclass
+    * `[1-9][0-9]x9` (exactly ten digits, no leading zero), picks each
+    * provider's MOST COMMON valid NPI — rank() over (row_count DESC,
+    * npi ASC), the q13 deterministic-mode kernel — and only providers
+    * NOT already in provider_master insert, with flag 0; the two arms
+    * UNION (distinct). The reference's own QA providers are planted by
+    * the caller: an NPI typo must not double a provider, and one NPI
+    * shared by two providers must keep both rows.
+    *
+    * Scale: counts partial-agg on (provider, npi); the rank window
+    * partitions by provider; master is a broadcastable dim for the
+    * anti-join. */
+  def apcdProviderNpi(providerMaster: DataFrame,
+      provider: DataFrame): DataFrame = {
+    val pm = providerMaster.select(col("provider_id_apcd"),
+        col("npi").cast("bigint").as("npi"),
+        lit(1).as("provider_master_flag"))
+      .distinct()
+    val gated = provider.select(col("provider_id_apcd"),
+        when(col("orig_npi").rlike("^[1-9][0-9]{9}$"), col("orig_npi"))
+          .as("npi_str"))
+      .filter(col("npi_str").isNotNull)
+    val counts = gated.groupBy(col("provider_id_apcd"), col("npi_str"))
+      .agg(count(lit(1)).as("row_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("provider_id_apcd"))
+      .orderBy(col("row_count").desc, col("npi_str"))
+    val ranked = counts.withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1)
+      .select(col("provider_id_apcd"), col("npi_str"))
+    val notInMaster = gated.select(col("provider_id_apcd")).distinct()
+      .join(broadcast(pm.select(col("provider_id_apcd"))),
+        Seq("provider_id_apcd"), "left_anti")
+    val prov = notInMaster
+      .join(ranked, Seq("provider_id_apcd"), "left")
+      .select(col("provider_id_apcd"),
+        col("npi_str").cast("bigint").as("npi"),
+        lit(0).as("provider_master_flag"))
+      .distinct()
+    pm.unionByName(prov).distinct()
+  }
+
+  /** The sibling table-level QA (qa_ref.apcd_provider_npi res1/res2):
+    * providers with more than one row, and NPIs whose digit length is
+    * not ten (the T-SQL len() of a bigint) — two verdict rows in the
+    * reference's (table, qa_type, qa) shape, each one distributed
+    * aggregate over the ref. */
+  def apcdProviderNpiQa(ref: DataFrame): DataFrame = {
+    val dupes = ref.groupBy(col("provider_id_apcd"))
+      .agg(count(lit(1)).as("row_count"))
+      .filter(col("row_count") > 1)
+      .agg(count(lit(1)).as("qa"))
+      .select(lit("ref.apcd_provider_npi").as("table"),
+        lit("# of provider IDs with >1 row, expect 0").as("qa_type"),
+        col("qa"))
+    val badLen = ref
+      .filter(length(col("npi").cast("string")) =!= 10)
+      .agg(count(lit(1)).as("qa"))
+      .select(lit("ref.apcd_provider_npi").as("table"),
+        lit("# of NPIs with length != 10, expect 0").as("qa_type"),
+        col("qa"))
+    dupes.unionByName(badLen)
+  }
+
+  /** Ethnicity→race map update check
+    * (ref/tables/load_ref.apcd_ethnicity_race_map_update_check.sql):
+    * for each eligibility ethnicity variable, the DISTINCT ids whose
+    * map join found no race — the rows a curator must append to the
+    * crosswalk. The reference's second probe carries a faithful QUIRK:
+    * its ethnicity_id2 query JOINS ON ethnicity_id1 (the copy-paste
+    * left in the shipped SQL), so it surfaces the distinct id2 values
+    * of rows whose id1 is unmapped — kept exactly, documented here.
+    * Map is broadcast; one distinct per variable. */
+  def ethnicityMapCheck(elig: DataFrame, map: DataFrame): DataFrame = {
+    val m = broadcast(map.select(col("ethnicity_id").cast("bigint")
+        .as("ethnicity_id"),
+      col("ethnicity_desc"), col("race_id"), col("race_desc")))
+    def probe(varName: String, selectCol: String,
+        joinCol: String): DataFrame =
+      elig.select(col(selectCol).as("_sel"), col(joinCol).as("_join"))
+        .join(m, col("_join") === col("ethnicity_id"), "left")
+        .filter(col("race_desc").isNull)
+        .select(lit(varName).as("variable"),
+          col("_sel").as("unmapped_id"),
+          col("ethnicity_desc"), col("race_id"), col("race_desc"))
+        .distinct()
+    probe("ethnicity_id1", "ethnicity_id1", "ethnicity_id1")
+      // the reference's id2 probe joins on id1 — quirk kept
+      .unionByName(probe("ethnicity_id2", "ethnicity_id2",
+        "ethnicity_id1"))
+  }
+
+  def combineIcdcm(newByYear: Seq[(Int, DataFrame)],
+      old: DataFrame): DataFrame = {
+    val bound = newByYear.map { case (y, df) =>
+      parseIcdOrderFile(df).withColumn("prio", lit(y))
+    }.reduce(_ unionByName _)
+    // pass 1: !duplicated on the RAW pair — earliest year keeps the row
+    val deduped = bound
+      .groupBy(col("icdcode_raw"), col("dx_description_raw"))
+      .agg(min(col("prio")).as("prio"))
+    val newTrimmed = deduped.select(
+      trim(col("icdcode_raw")).as("icdcode"),
+      trim(col("dx_description_raw")).as("dx_description"),
+      lit(10).as("ver"), col("prio"))
+    // pass 2: old binds first (priority below any year), then
+    // keep-first per (icdcode, ver)
+    val all = old.select(col("icdcode"), col("dx_description"),
+        col("ver"), lit(-1).as("prio"))
+      .unionByName(newTrimmed)
+    all.groupBy(col("icdcode"), col("ver"))
+      .agg(min_by(col("dx_description"),
+        struct(col("prio"), col("dx_description"))).as("dx_description"))
+      .select(col("icdcode"), col("dx_description"), col("ver"))
+  }
+}
