@@ -423,6 +423,8 @@ object SparkEntry {
     "q275_pmi_collocations" -> (T.q275PmiCollocations _),
     "q276_lsh_audit" -> (T.q276LshAudit _),
     "q277_chunk_update_cost" -> (T.q277ChunkUpdateCost _),
+    "q278_mcaid_mcare_pipeline" ->
+      (graft.queries.BuildQueries.q278McaidMcarePipeline _),
     "q279_analytic_pipeline" ->
       (graft.queries.BuildQueries.q279AnalyticPipeline _),
     "q280_address_clean_partial_qa" ->
@@ -437,6 +439,10 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q284EthnicityMapCheck _),
     "q285_provider_npi_qa" ->
       (graft.queries.LifecycleQueries.q285ProviderNpiQa _),
+    "q286_chronic_meds" ->
+      (graft.queries.BuildQueries.q286ChronicMeds _),
+    "q287_csv_to_table" ->
+      (graft.queries.BuildQueries.q287CsvToTable _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -1890,29 +1896,18 @@ object SparkEntry {
     * stages at/after the gate emit their verdict rows only when it
     * holds and one 'aborted' row each when it does not, exactly the
     * runner's stop() semantics (structural, not fixture-accidental). */
-  private def pipelineOracleSql(base: Map[String, String]): String = {
-    // (seq, table, stage-oracle key) in the runner's topo order
-    val stages = Seq(
-      (1, "mcaid_elig_demo", "q67_elig_demo"),
-      (2, "mcaid_elig_month", "q68_elig_month"),
-      (3, "mcaid_elig_timevar", "q64_elig_timevar"),
-      (4, "mcaid_claim_icdcm_header", "q79_claim_icdcm"),
-      (5, "mcaid_claim_line", "q169_mcaid_claim_stage"),
-      (6, "mcaid_claim_pharm", "q81_claim_pharm"),
-      (7, "mcaid_claim_procedure", "q80_claim_procedure"),
-      (8, "mcaid_claim_header", "q66_claim_header"),
-      (9, "mcaid_claim_bh", "q83_claim_bh"),
-      (10, "mcaid_claim_ccw", "q61_condition_loop"))
-    val gateSeqs = Seq(4, 5, 6, 7) // the four claim tables
-    val gatedSeqs = Set(8, 9, 10)  // header and everything after
+  private def chainOracleSql(base: Map[String, String],
+      stages: Seq[(Int, String, String)],
+      gateSeqs: Seq[Int], gatedSeqs: Set[Int]): String = {
     val ctes = stages.map { case (i, _, key) =>
       s"pp_s$i AS MATERIALIZED (${base(key)}),\n" +
         s"pp_c$i AS (SELECT (SELECT count(*) FROM pp_s$i) AS n, " +
         s"(SELECT count(*) FROM (SELECT DISTINCT * FROM pp_s$i)) AS d)"
     }.mkString(",\n")
-    val gate = "pp_gate AS (SELECT " + gateSeqs.map(i =>
-      s"(SELECT n > 0 AND d = n FROM pp_c$i)").mkString(" AND ") +
-      " AS ok)"
+    val gate = if (gateSeqs.isEmpty) ""
+      else ",\npp_gate AS (SELECT " + gateSeqs.map(i =>
+        s"(SELECT n > 0 AND d = n FROM pp_c$i)").mkString(" AND ") +
+        " AS ok)"
     val arms = stages.map { case (i, t, _) =>
       val from = s"pp_c$i" + (if (gatedSeqs(i)) ", pp_gate WHERE pp_gate.ok"
         else "")
@@ -1933,8 +1928,46 @@ object SparkEntry {
         FROM pp_gate WHERE NOT pp_gate.ok"""
       else normal
     }.mkString("\n        UNION ALL ")
-    s"WITH $ctes,\n$gate\n$arms\nORDER BY stage_seq, item"
+    s"WITH $ctes$gate\n$arms\nORDER BY stage_seq, item"
   }
+
+  private def pipelineOracleSql(base: Map[String, String]): String =
+    chainOracleSql(base,
+      // (seq, table, stage-oracle key) in the runner's topo order
+      Seq(
+        (1, "mcaid_elig_demo", "q67_elig_demo"),
+        (2, "mcaid_elig_month", "q68_elig_month"),
+        (3, "mcaid_elig_timevar", "q64_elig_timevar"),
+        (4, "mcaid_claim_icdcm_header", "q79_claim_icdcm"),
+        (5, "mcaid_claim_line", "q169_mcaid_claim_stage"),
+        (6, "mcaid_claim_pharm", "q81_claim_pharm"),
+        (7, "mcaid_claim_procedure", "q80_claim_procedure"),
+        (8, "mcaid_claim_header", "q66_claim_header"),
+        (9, "mcaid_claim_bh", "q83_claim_bh"),
+        (10, "mcaid_claim_ccw", "q61_condition_loop")),
+      gateSeqs = Seq(4, 5, 6, 7), // the four claim tables
+      gatedSeqs = Set(8, 9, 10))  // header and everything after
+
+  /** q278 oracle: the combined mcaid+mcare chain
+    * (master_mcaid_mcare_analytic.R) — same composed-stage-oracle
+    * generation; NO hard gate (that master has no stop()). */
+  private def mcaidMcarePipelineOracleSql(
+      base: Map[String, String]): String =
+    chainOracleSql(base,
+      // Kahn order: after the three claim tables, claim_header is
+      // READY and declared before the elig tables (csv-alphabetical:
+      // claim_* < elig_*), so header/ccw emit at 5/6 and the elig
+      // tables trail at 7/8 — pinned by PipelineSpec.
+      Seq(
+        (1, "xwalk_apde_mcaid_mcare_pha", "q155_apde_xwalk"),
+        (2, "mcaid_mcare_claim_icdcm_header", "q140_mcaid_mcare_icdcm"),
+        (3, "mcaid_mcare_claim_line", "q139_mcaid_mcare_line"),
+        (4, "mcaid_mcare_claim_procedure", "q141_mcaid_mcare_procedure"),
+        (5, "mcaid_mcare_claim_header", "q105_mcaid_mcare_header"),
+        (6, "mcaid_mcare_claim_ccw", "q154_mcaid_mcare_ccw"),
+        (7, "mcaid_mcare_elig_demo", "q119_mcaid_mcare_demo"),
+        (8, "mcaid_mcare_elig_timevar", "q118_mcaid_mcare_timevar")),
+      gateSeqs = Nil, gatedSeqs = Set.empty)
 
   /** q280 oracle: the address-clean partial QA battery over the SAME
     * template the q146 oracle is generated from — prior ref = the k%4
@@ -2165,9 +2198,52 @@ object SparkEntry {
       FROM elig e LEFT JOIN map m ON e.ethnicity_id1 = m.ethnicity_id
       WHERE m.race_desc IS NULL
       ORDER BY variable, unmapped_id""") +
+    ("q278_mcaid_mcare_pipeline" ->
+      mcaidMcarePipelineOracleSql(baseOracleSql)) +
     ("q279_analytic_pipeline" -> pipelineOracleSql(baseOracleSql)) +
     ("q280_address_clean_partial_qa" -> addressQaOracleSql) +
     ("q281_address_geocode_chain" -> geocodeChainOracleSql) +
+    // q286: chronic-meds fuzzy crosswalk — '%'-stripped names match
+    // anywhere (str_detect is unanchored), plain names anchor '^';
+    // regexp_matches is DuckDB's unanchored search, mirroring rlike.
+    ("q286_chronic_meds" -> """
+      WITH meds AS (
+        SELECT DISTINCT lower(p_name) AS ndc_desc FROM part),
+      ml AS (
+        SELECT drug_name, med_category,
+          CASE WHEN drug_name LIKE '%\%%' ESCAPE '\'
+            THEN replace(drug_name, '%', '')
+            ELSE '^' || drug_name END AS match_name
+        FROM (VALUES ('spring%', 'seasonal'), ('golden', 'metallic'),
+          ('%peru%', 'regional'), ('navy', 'marine'),
+          ('drab snow', 'weather'), ('antique%', 'vintage'))
+          t(drug_name, med_category))
+      SELECT m.ndc_desc, l.drug_name, l.med_category, l.match_name
+      FROM meds m LEFT JOIN ml l
+        ON regexp_matches(m.ndc_desc, l.match_name)
+      ORDER BY m.ndc_desc, l.drug_name""") +
+    // q287: dbo.CSVToTable — append ',', ONE non-overlapping ',,'->','
+    // replace pass, every prefix inserted, final remainder dropped.
+    ("q287_csv_to_table" -> """
+      WITH segs AS (
+        SELECT string_agg(seg, ',,' ORDER BY seg) AS s
+        FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)),
+      inputs AS (
+        SELECT * FROM (VALUES ('plain', '1,2,3'), ('double', 'a,,b'),
+          ('triple', 'x,,,y'), ('empty', ''), ('lone_comma', ','),
+          ('solo', 'solo'), ('trailing', 't1,t2,')) t(label, s)
+        UNION ALL SELECT 'segments', s FROM segs),
+      f AS (
+        SELECT label,
+          string_split(replace(s || ',', ',,', ','), ',') AS parts
+        FROM inputs),
+      u AS (
+        SELECT label, parts,
+          unnest(generate_series(1, len(parts) - 1)) AS g
+        FROM f)
+      SELECT label, CAST(g AS INT) AS pos, parts[CAST(g AS INT)] AS id
+      FROM u
+      ORDER BY label, pos""") +
     // q282: ICD-CM master refresh — the oracle regenerates the SAME
     // fixed-width order-file lines the Spark side round-trips through
     // real text files, parses them with the reference's substr(7,12)/

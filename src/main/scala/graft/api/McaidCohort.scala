@@ -68,6 +68,21 @@ object McaidCohort {
     filter(split(c, java.util.regex.Pattern.quote(delim), -1),
       s => length(rtrim(s, " ")) > 0)
 
+  /** dbo.CSVToTable (analysis/Broad use functions/
+    * csvtotable_function.sql:12-30) — the OTHER broad-use list-split,
+    * with different quirks than [[splitCsv]]: a comma is appended,
+    * then ONE left-to-right non-overlapping pass of REPLACE(',,' →
+    * ',') — so runs of 3+ commas are only half-collapsed and can leave
+    * EMPTY values — and the WHILE/PATINDEX loop inserts every prefix
+    * before each remaining comma, dropping only the final (empty)
+    * remainder. Values keep order and duplicates; blanks survive where
+    * the single-pass fold leaves them. Java's String.replace scans
+    * left-to-right non-overlapping exactly like T-SQL REPLACE (and
+    * DuckDB replace), so this is engine-portable to the character. */
+  def csvToTable(in: String): Seq[String] =
+    ((in + ",").replace(",,", ",").split(",", -1): Seq[String])
+      .dropRight(1)
+
   /** The sproc's 4-branch iif coverage-day clip: branches partition the
     * overlap space (contains / left-overlap / right-overlap / within)
     * and each yields the clipped inclusive day count, so the compact

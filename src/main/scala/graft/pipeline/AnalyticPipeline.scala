@@ -136,6 +136,45 @@ object AnalyticPipeline {
       "mcaid_claim_icdcm_header", "mcaid_claim_procedure",
       "mcaid_claim_pharm"))
 
+  /** The COMBINED mcaid+mcare analytic chain
+    * (db_loader/mcaid_mcare/master_mcaid_mcare_analytic.R:43-266 +
+    * the csv's stage,mcaid_mcare_* rows): identity crosswalk first,
+    * then the dual elig tables and the crosswalked claim tables, the
+    * header over its rollups, CCW last. Same csv-alphabetical
+    * declaration discipline; this master has NO hard gate (each
+    * table section runs unconditionally), and its promote is
+    * archive-then-rename (alter_schema final→archive, stage→final —
+    * master_mcaid_mcare_analytic.R:232-237); the archive leg only
+    * differs from [[run]]'s rename on a RE-run against an existing
+    * final, which a single execution never sees. claim_provider
+    * (Table 4) is a placeholder in the reference itself ("once
+    * mcaid_claim_provider table exists") — absent here too. */
+  def mcaidMcareChain: Seq[StageDef] = Seq(
+    StageDef("mcaid_mcare_claim_ccw",
+      Seq("mcaid_mcare_claim_header", "mcaid_mcare_claim_icdcm_header"),
+      graft.queries.BuildQueries.q154McaidMcareCcw),
+    StageDef("mcaid_mcare_claim_header",
+      Seq("mcaid_mcare_claim_line", "mcaid_mcare_claim_icdcm_header",
+        "mcaid_mcare_claim_procedure", "xwalk_apde_mcaid_mcare_pha"),
+      graft.queries.BuildQueries.q105McaidMcareHeader),
+    StageDef("mcaid_mcare_claim_icdcm_header",
+      Seq("xwalk_apde_mcaid_mcare_pha"),
+      graft.queries.BuildQueries.q140McaidMcareIcdcm),
+    StageDef("mcaid_mcare_claim_line",
+      Seq("xwalk_apde_mcaid_mcare_pha"),
+      graft.queries.BuildQueries.q139McaidMcareLine),
+    StageDef("mcaid_mcare_claim_procedure",
+      Seq("xwalk_apde_mcaid_mcare_pha"),
+      graft.queries.BuildQueries.q141McaidMcareProcedure),
+    StageDef("mcaid_mcare_elig_demo",
+      Seq("xwalk_apde_mcaid_mcare_pha"),
+      graft.queries.BuildQueries.q119McaidMcareDemo),
+    StageDef("mcaid_mcare_elig_timevar",
+      Seq("xwalk_apde_mcaid_mcare_pha"),
+      graft.queries.BuildQueries.q118McaidMcareTimevar),
+    StageDef("xwalk_apde_mcaid_mcare_pha", Nil,
+      graft.queries.BuildQueries.q155ApdeXwalk))
+
   /** Execute the chain. Returns the verdict frame (see object doc). */
   def run(s: SparkSession, dir: String, stages: Seq[StageDef],
       hardGate: Map[String, Seq[String]] = Map.empty): DataFrame = {

@@ -4365,6 +4365,61 @@ object BuildQueries {
       .orderBy(k, col("item"))
   }
 
+  /** §2.3 chronic-meds fuzzy crosswalk (q286,
+    * ref/tables/load_ref.chronic_meds_eli.R): the curated med list
+    * (an external xlsx in the reference — a literal dim here, the
+    * q51 local-frame discipline) regex-left-joined against the
+    * DISTINCT lowercased claim drug names; '%'-wildcard names match
+    * anywhere (str_detect semantics — unanchored), plain names match
+    * as '^' prefixes; multi-matches expand, non-matches keep a NULL
+    * row. Drug names derive from part names so the vocabulary scales
+    * with the data. */
+  def q286ChronicMeds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val meds = t(s, dir, "part")
+      .select(lower(col("p_name")).as("ndc_desc")).distinct()
+    val medList = Seq(
+      ("spring%", "seasonal"),
+      ("golden", "metallic"),
+      ("%peru%", "regional"),
+      ("navy", "marine"),
+      ("drab snow", "weather"),
+      ("antique%", "vintage")).toDF("drug_name", "med_category")
+    graft.sources.RefTables.chronicMedsCrosswalk(meds, medList)
+      .orderBy(col("ndc_desc"), col("drug_name"))
+  }
+
+  /** §2.8 dbo.CSVToTable broad-use function (q287,
+    * analysis/Broad use functions/csvtotable_function.sql): the
+    * WHERE-IN list-split whose quirks DIFFER from dbo.Split (q194) —
+    * appended comma, ONE non-overlapping REPLACE(',,' -> ',') pass so
+    * 3+-comma runs leave EMPTY values, every prefix inserted in order
+    * with duplicates and blanks kept. Planted literals cover each
+    * quirk; one input derives from the data (the distinct market
+    * segments joined with ',,' — a bounded dim read). Output carries
+    * the insertion position to pin order. */
+  def q287CsvToTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = t(s, dir, "customer").select(col("c_mktsegment"))
+      .distinct().orderBy(col("c_mktsegment"))
+      .collect().map(_.getString(0)).toSeq
+    val inputs = Seq(
+      ("plain", "1,2,3"),
+      ("double", "a,,b"),
+      ("triple", "x,,,y"),
+      ("empty", ""),
+      ("lone_comma", ","),
+      ("solo", "solo"),
+      ("trailing", "t1,t2,"),
+      ("segments", segs.mkString(",,")))
+    val rows = inputs.flatMap { case (lbl, in) =>
+      graft.api.McaidCohort.csvToTable(in).zipWithIndex.map {
+        case (v, i) => (lbl, i + 1, v) }
+    }
+    rows.toDF("label", "pos", "id")
+      .orderBy(col("label"), col("pos"))
+  }
+
   /** §7.5 address_geocode spatial overlay (q195,
     * load_stage.address_geocode_partial.R:440-520): geocoded points
     * st_join'ed against polygon layers — census-tract rectangle grid,
@@ -5199,6 +5254,19 @@ object BuildQueries {
   def q279AnalyticPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.AnalyticPipeline._
     run(s, dir, mcaidChain, mcaidHardGate)
+      .orderBy(col("stage_seq"), col("item"))
+  }
+
+  /** §3.2/§7.1 combined mcaid+mcare analytic chain (q278,
+    * master_mcaid_mcare_analytic.R:43-266): the SAME runner over the
+    * combined master's eight stages — identity crosswalk, the dual
+    * elig tables, the crosswalked claim tables, header, CCW — with
+    * no hard gate (that master has no stop()). The second chain
+    * instantiation proves the runner is parameterized, not a one-off
+    * (the ValueSetMeasures multi-instantiation discipline). */
+  def q278McaidMcarePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.AnalyticPipeline._
+    run(s, dir, mcaidMcareChain)
       .orderBy(col("stage_seq"), col("item"))
   }
 

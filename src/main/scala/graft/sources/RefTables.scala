@@ -7,6 +7,30 @@ import org.apache.spark.sql.functions._
   * lookup tables every analytic build consumes. */
 object RefTables {
 
+  /** Chronic-medication fuzzy crosswalk
+    * (ref/tables/load_ref.chronic_meds_eli.R:14-34): the curated med
+    * list becomes match_name — a '%'-bearing drug_name strips every
+    * '%' and matches ANYWHERE (R's str_detect is an unanchored regex
+    * search, so 'met%' matches 'dimetapp' — the reference's wildcard
+    * semantics, kept faithfully), a plain name anchors '^' (prefix) —
+    * and the DISTINCT lowercased claim drug names
+    * fuzzyjoin::regex_left_join against it: every matching list row
+    * expands (multi-match keeps all), non-matching names keep one
+    * NULL row.
+    *
+    * Scale: the med list is a curated few-hundred-row dim — broadcast
+    * nested-loop against the DISTINCT drug-name vocabulary (Zipf-
+    * bounded), never against claim rows. */
+  def chronicMedsCrosswalk(mcaidMeds: DataFrame,
+      medList: DataFrame): DataFrame = {
+    val ml = medList.withColumn("match_name",
+      when(col("drug_name").contains("%"),
+        regexp_replace(col("drug_name"), "%", ""))
+        .otherwise(concat(lit("^"), col("drug_name"))))
+    mcaidMeds.join(broadcast(ml), expr("ndc_desc rlike match_name"),
+      "left")
+  }
+
   /** Fixed-position parse of a CMS ICD-10-CM order file
     * (ref/tables/combine_icdcm_codes.R:12-40: the files read with
     * sep = "" then `substr(V1, 7, 12)` / `substr(V1, 17, 77)` — the

@@ -218,8 +218,13 @@ class PlanSpec extends SparkSpec {
                            // renormalizer shape, post-stream)
       "q274_funnel", // 1-row step totals crossed (the q263
                      // scalar-accounting shape)
-      "q275_pmi_collocations") // 1-row ntok/nbg totals crossed (q128
+      "q275_pmi_collocations", // 1-row ntok/nbg totals crossed (q128
                                // shape) + the TopN rank self-join
+      "q286_chronic_meds") // regex-containment theta join: the curated
+                           // med list is a broadcast dim probed by
+                           // rlike against the DISTINCT drug-name
+                           // vocabulary — non-equi by nature, the
+                           // designed fuzzyjoin::regex_left_join shape
     val skip = Set("q48_stream_hourly", "q57_config_csv_orc",
       "q58_incremental_refresh", "q59_qa_suite", "q65_stream_sessions",
       "q201_cdr_raw_load") // write-path round-trip, like q57

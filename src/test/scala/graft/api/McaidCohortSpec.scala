@@ -16,6 +16,26 @@ class McaidCohortSpec extends SparkSpec {
     assert(splitCsv("solo") === Seq("solo"))
   }
 
+  test("csvToTable: the CSVToTable sibling's quirks DIFFER from " +
+    "dbo.Split — one-pass ',,' fold, empties survive odd comma runs, " +
+    "blanks and duplicates kept (hand-walked against the T-SQL loop)") {
+    assert(csvToTable("1,2,3") === Seq("1", "2", "3"))
+    // 'a,,b' + ',' = 'a,,b,' -> fold 'a,b,' -> [a, b]
+    assert(csvToTable("a,,b") === Seq("a", "b"))
+    // 'x,,,y' + ',' = 'x,,,y,' -> ONE non-overlapping pass leaves
+    // 'x,,y,' -> [x, '', y] — the half-collapsed run
+    assert(csvToTable("x,,,y") === Seq("x", "", "y"))
+    // '' + ',' = ',' -> one empty value (LEFT(str, 0) inserted)
+    assert(csvToTable("") === Seq(""))
+    // ',' + ',' = ',,' -> fold ',' -> one empty value
+    assert(csvToTable(",") === Seq(""))
+    assert(csvToTable("solo") === Seq("solo"))
+    // trailing comma does NOT add a value (the appended comma folds)
+    assert(csvToTable("t1,t2,") === Seq("t1", "t2"))
+    // duplicates and blanks kept (unlike splitCsv's all-blank drop)
+    assert(csvToTable("d, ,d") === Seq("d", " ", "d"))
+  }
+
   test("splitItems: the Column twin agrees with splitCsv") {
     import spark.implicits._
     val rows = Seq("a,,b, ,c", ",,", "d,d,").toDF("csv")

@@ -53,6 +53,15 @@ class PipelineSpec extends SparkSpec {
       "mcaid_claim_header", "mcaid_claim_bh", "mcaid_claim_ccw"))
   }
 
+  test("mcaidMcareChain topo order matches the q278 oracle's pinned " +
+      "sequence (header/ccw emit before the later-declared elig tables)") {
+    assert(topoOrder(mcaidMcareChain).map(_.table) == Seq(
+      "xwalk_apde_mcaid_mcare_pha", "mcaid_mcare_claim_icdcm_header",
+      "mcaid_mcare_claim_line", "mcaid_mcare_claim_procedure",
+      "mcaid_mcare_claim_header", "mcaid_mcare_claim_ccw",
+      "mcaid_mcare_elig_demo", "mcaid_mcare_elig_timevar"))
+  }
+
   test("green chain: every stage gets load_gate/distinct_rows/" +
       "promote_rows, all passing, promote re-count equals stage count") {
     val stages = Seq(
