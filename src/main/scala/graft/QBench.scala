@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 object QBench {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
+    val passes = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -16,7 +17,7 @@ object QBench {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, "/root/testdata/sf0.001").count()
-      (1 to 3).foreach { i =>
+      (1 to passes).foreach { i =>
         val t0 = System.nanoTime()
         val r = fn(spark, sfDir).count()
         println(f"[qb] $n pass$i ${(System.nanoTime()-t0)/1e9}%.2f s ($r rows)")

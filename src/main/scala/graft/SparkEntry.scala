@@ -443,6 +443,10 @@ object SparkEntry {
       (graft.queries.BuildQueries.q286ChronicMeds _),
     "q287_csv_to_table" ->
       (graft.queries.BuildQueries.q287CsvToTable _),
+    "q288_elig_demo_qa" ->
+      (graft.queries.BuildQueries.q288EligDemoQa _),
+    "q289_elig_timevar_qa" ->
+      (graft.queries.BuildQueries.q289EligTimevarQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -2155,7 +2159,124 @@ object SparkEntry {
           (SELECT provider_id_apcd FROM pm))
       SELECT * FROM pm UNION SELECT * FROM prov"""
 
-  def oracleSql: Map[String, String] = baseOracleSql +
+  /** q288/q289 oracles: the elig QA batteries over the COMPOSED q67/
+    * q64 oracle bodies (the q285 discipline) — prior run = the same
+    * build restricted to user_id % 20 != 0; notes rendered exactly as
+    * the Scala battery renders the reference's glue templates. */
+  private def eligQaOracles(base: Map[String, String]): Map[String, String] = Map(
+    "q288_elig_demo_qa" -> s"""
+      WITH demo AS MATERIALIZED (${base("q67_elig_demo")}),
+      st AS (SELECT count(*) AS n, count(DISTINCT user_id) AS ids
+        FROM demo),
+      rw AS (SELECT count(DISTINCT user_id) AS rids FROM events),
+      pr AS (SELECT count(*) AS p FROM demo WHERE user_id % 20 <> 0)
+      SELECT * FROM (
+        SELECT 'stage.mcaid_elig_demo' AS table_name,
+          'Number new rows compared to most recent run' AS qa_item,
+          CASE WHEN n - p < 0 THEN 'FAIL' ELSE 'PASS' END AS qa_result,
+          CASE WHEN n - p < 0
+            THEN 'There were ' || CAST(n - p AS VARCHAR)
+              || ' fewer rows in the most recent table ('
+              || CAST(n AS VARCHAR) || ' vs. ' || CAST(p AS VARCHAR) || ')'
+            ELSE 'There were ' || CAST(n - p AS VARCHAR)
+              || ' more rows in the most recent table ('
+              || CAST(n AS VARCHAR) || ' vs. ' || CAST(p AS VARCHAR) || ')'
+            END AS note,
+          n AS observed, p AS expected
+        FROM st, pr
+        UNION ALL
+        SELECT 'stage.mcaid_elig_demo', 'Number distinct IDs',
+          CASE WHEN ids <> n THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN ids <> n
+            THEN 'There were ' || CAST(ids AS VARCHAR)
+              || ' distinct IDs but ' || CAST(n AS VARCHAR)
+              || ' rows (should be the same)'
+            ELSE 'The number of distinct IDs matched the number of rows ('
+              || CAST(ids AS VARCHAR) || ')' END,
+          ids, n
+        FROM st
+        UNION ALL
+        SELECT 'stage.mcaid_elig_demo',
+          'Distinct IDs compared to raw data',
+          CASE WHEN ids <> rids THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN ids <> rids
+            THEN 'There were ' || CAST(ids AS VARCHAR)
+              || ' distinct IDs but ' || CAST(rids AS VARCHAR)
+              || ' IDs in the raw data (should be the same)'
+            ELSE 'The number of distinct IDs matched the number in the '
+              || 'raw data (' || CAST(ids AS VARCHAR) || ')' END,
+          ids, rids
+        FROM st, rw)
+      ORDER BY qa_item""",
+    "q289_elig_timevar_qa" -> s"""
+      WITH tv AS MATERIALIZED (${base("q64_elig_timevar")}),
+      st AS (SELECT count(*) AS n, count(DISTINCT user_id) AS ids,
+        (SELECT count(*) FROM (SELECT DISTINCT * FROM tv)) AS dup,
+        min(from_date) AS minf, max(to_date) AS maxt FROM tv),
+      rw AS (SELECT count(DISTINCT user_id) AS rids,
+        strptime(CAST(min(year(ts) * 100 + month(ts)) AS VARCHAR)
+          || '01', '%Y%m%d')::DATE AS minm,
+        last_day(strptime(CAST(max(year(ts) * 100 + month(ts))
+          AS VARCHAR) || '01', '%Y%m%d')::DATE) AS maxm
+        FROM events),
+      pr AS (SELECT count(*) AS p FROM tv WHERE user_id % 20 <> 0)
+      SELECT * FROM (
+        SELECT 'stage.mcaid_elig_timevar' AS table_name,
+          'Number new rows compared to most recent run' AS qa_item,
+          CASE WHEN n - p < 0 THEN 'FAIL' ELSE 'PASS' END AS qa_result,
+          CASE WHEN n - p < 0
+            THEN 'There were ' || CAST(n - p AS VARCHAR)
+              || ' fewer rows in the most recent table ('
+              || CAST(n AS VARCHAR) || ' vs. ' || CAST(p AS VARCHAR) || ')'
+            ELSE 'There were ' || CAST(n - p AS VARCHAR)
+              || ' more rows in the most recent table ('
+              || CAST(n AS VARCHAR) || ' vs. ' || CAST(p AS VARCHAR) || ')'
+            END AS note,
+          n AS observed, p AS expected
+        FROM st, pr
+        UNION ALL
+        SELECT 'stage.mcaid_elig_timevar', 'Number distinct IDs',
+          CASE WHEN ids <> rids THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN ids <> rids
+            THEN 'There were ' || CAST(ids AS VARCHAR)
+              || ' distinct IDs but ' || CAST(rids AS VARCHAR)
+              || ' in the raw data (should be the same)'
+            ELSE 'The number of distinct IDs matched number in raw data ('
+              || CAST(ids AS VARCHAR) || ')' END,
+          ids, rids
+        FROM st, rw
+        UNION ALL
+        SELECT 'stage.mcaid_elig_timevar', 'Duplicate rows',
+          CASE WHEN dup <> n THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN dup <> n
+            THEN 'There were ' || CAST(dup AS VARCHAR)
+              || ' distinct rows (excl. ref_geo vars) but '
+              || CAST(n AS VARCHAR)
+              || ' rows overall (should be the same)'
+            ELSE 'The number of distinct rows (excl. ref_geo vars) '
+              || 'matched number total rows (' || CAST(n AS VARCHAR)
+              || ')' END,
+          dup, n
+        FROM st
+        UNION ALL
+        SELECT 'stage.mcaid_elig_timevar', 'Date range',
+          CASE WHEN minf < minm OR maxt > maxm THEN 'FAIL' ELSE 'PASS'
+            END,
+          CASE WHEN minf < minm OR maxt > maxm
+            THEN 'Some from/to dates fell outside the CLNDR_YEAR_MNTH '
+              || 'range (min: ' || CAST(minf AS VARCHAR) || ', max: '
+              || CAST(maxt AS VARCHAR) || ')'
+            ELSE 'All from/to dates fell within the CLNDR_YEAR_MNTH '
+              || 'range (min: ' || CAST(minm AS VARCHAR) || ', max: '
+              || CAST(maxm AS VARCHAR) || ')' END,
+          CASE WHEN minf < minm OR maxt > maxm THEN 0 ELSE 1 END
+            AS observed,
+          CAST(1 AS BIGINT) AS expected
+        FROM st, rw)
+      ORDER BY qa_item""")
+
+  def oracleSql: Map[String, String] = baseOracleSql ++
+    eligQaOracles(baseOracleSql) +
     ("q283_apcd_provider_npi" -> (providerNpiOracleBody +
       "\n      ORDER BY provider_id_apcd, npi")) +
     // q285: the QA battery over the SAME composed body — providers

@@ -192,13 +192,20 @@ object AnalyticPipeline {
         Seq((seq, st.table, "aborted", 0, 0L, 0L))
       } else {
         // stage load: write the stage table, QA the WRITTEN table (the
-        // reference QAs stage.<table> in the database, not the query)
+        // reference QAs stage.<table> in the database, not the query).
+        // The row count and the exact-duplicate check FUSE into one
+        // aggregation (one scan, one partial-agg shuffle) — a separate
+        // loadGate count plus a distinct().count() job would triple
+        // the per-stage QA scans (the Qa.fusedTableChecks rule).
         val stageDir = work.resolve(s"stage_${st.table}")
         st.build(s, dir).write.parquet(stageDir.toString)
         val staged = s.read.parquet(stageDir.toString)
-        val gate = Qa.loadGate(staged, st.table, metaPath)
-        val n = gate.observed
-        val d = staged.distinct().count()
+        val allCols = struct(staged.columns.map(col).toIndexedSeq: _*)
+        val qaRow = staged.agg(count(lit(1)).as("n"),
+          count_distinct(allCols).as("d")).head()
+        val n = qaRow.getLong(0)
+        val d = qaRow.getLong(1)
+        val gate = Qa.loadGateCounted(s, n, st.table, metaPath)
         val pass = gate.pass && d == n && n > 0
         if (!pass) failed += st.table
         val finalN = if (pass) {

@@ -89,8 +89,15 @@ object Qa {
     *
     * The log is tiny (one row per table per load) — the limit(1) head is
     * a metadata read, not a data collect. */
-  def loadGate(df: DataFrame, table: String, metaPath: String): QaCheck = {
-    val s = df.sparkSession
+  def loadGate(df: DataFrame, table: String, metaPath: String): QaCheck =
+    loadGateCounted(df.sparkSession, df.count(), table, metaPath)
+
+  /** [[loadGate]] with the row count supplied by the caller — for
+    * callers that already computed it in a FUSED QA aggregation (the
+    * pipeline runner pays one scan for count + distinctness; a second
+    * full scan here would double the chain's QA cost). */
+  def loadGateCounted(s: SparkSession, n: Long, table: String,
+      metaPath: String): QaCheck = {
     // first-load means the log path does not EXIST — an existing but
     // unreadable log (crashed half-append, corrupt footer) must propagate
     // its read error, not silently reset the baseline to 0
@@ -106,7 +113,7 @@ object Qa {
     val seq = log.flatMap(
       _.select(col("load_seq")).orderBy(col("load_seq").desc).limit(1)
         .collect().headOption.map(_.getLong(0) + 1)).getOrElse(1L)
-    val chk = rowCountAtLeast(df, table, prior)
+    val chk = QaCheck(table, "rowcount_monotonic", n >= prior, n, prior)
     import s.implicits._
     Seq((chk.table, chk.check, chk.pass, chk.observed, chk.expected, seq))
       .toDF("table", "check", "pass", "observed", "expected", "load_seq")
@@ -226,6 +233,116 @@ object Qa {
       else matching
     QaCheck(table, "column_order",
       actual == declared, observed.toLong, declared.length.toLong)
+  }
+
+  /** qa_stage.mcaid_elig_demo.R:63-189 — the demo-table battery the
+    * analytic pipeline runs between the stage load and the final
+    * promote: (1) row count vs the most recent qa_values entry (FAIL
+    * only when FEWER — the note renders the signed diff, negative in
+    * the FAIL branch, same glue convention as [[stageVsRefQa]]);
+    * (2) distinct ids == rows (one row per person);
+    * (3) distinct ids == distinct raw source ids. Note strings are the
+    * reference's verbatim, except its two-source-line glue templates
+    * render single-line here (documented simplification). ONE fused
+    * aggregation per input frame — never a scan per check. */
+  def eligDemoQaBattery(stage: DataFrame, raw: DataFrame, idCol: String,
+      rawIdCol: String, previousRows: Long, table: String): DataFrame = {
+    val s = stage.sparkSession
+    val st = stage.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("ids")).head()
+    val (n, ids) = (st.getLong(0), st.getLong(1))
+    val rawIds = raw.agg(count_distinct(col(rawIdCol))).head().getLong(0)
+    val diff = n - previousRows
+    val rows = Seq(
+      (table, "Number new rows compared to most recent run",
+        if (diff < 0) "FAIL" else "PASS",
+        if (diff < 0) s"There were $diff fewer rows in the most recent " +
+          s"table ($n vs. $previousRows)"
+        else s"There were $diff more rows in the most recent table " +
+          s"($n vs. $previousRows)",
+        n, previousRows),
+      (table, "Number distinct IDs",
+        if (ids != n) "FAIL" else "PASS",
+        if (ids != n) s"There were $ids distinct IDs but $n rows " +
+          "(should be the same)"
+        else s"The number of distinct IDs matched the number of rows ($ids)",
+        ids, n),
+      (table, "Distinct IDs compared to raw data",
+        if (ids != rawIds) "FAIL" else "PASS",
+        if (ids != rawIds) s"There were $ids distinct IDs but $rawIds " +
+          "IDs in the raw data (should be the same)"
+        else "The number of distinct IDs matched the number in the " +
+          s"raw data ($ids)",
+        ids, rawIds))
+    import s.implicits._
+    rows.toDF("table_name", "qa_item", "qa_result", "note", "observed",
+      "expected")
+  }
+
+  /** qa_stage.mcaid_elig_timevar.R:46-243 — the timevar battery:
+    * (1) rows vs most recent run (same signed-diff glue convention);
+    * (2) distinct ids vs raw — NOTE the reference's wording here
+    * differs slightly from the demo battery's ("matched number in raw
+    * data", no "IDs" in the FAIL clause) — kept verbatim;
+    * (3) duplicate rows — distinct over the declared column subset
+    * ("excl. ref_geo vars"; the caller passes the subset) == rows;
+    * (4) date range — every from/to inside the raw CLNDR_YEAR_MNTH
+    * month envelope, with the reference's asymmetric notes (FAIL
+    * renders the TIMEVAR dates, PASS the raw month range). ONE fused
+    * aggregation per input frame. */
+  def eligTimevarQaBattery(stage: DataFrame, raw: DataFrame,
+      idCol: String, rawIdCol: String, dupCols: Seq[String],
+      fromCol: String, toCol: String,
+      rawMonthCol: org.apache.spark.sql.Column,
+      previousRows: Long, table: String): DataFrame = {
+    val s = stage.sparkSession
+    val st = stage.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("ids"),
+      count_distinct(struct(dupCols.map(col).toIndexedSeq: _*)).as("dup"),
+      min(col(fromCol)).as("minf"), max(col(toCol)).as("maxt")).head()
+    val (n, ids, dup) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val (minF, maxT) = (st.getDate(3), st.getDate(4))
+    val rw = raw.agg(count_distinct(col(rawIdCol)).as("ids"),
+      to_date(concat(min(rawMonthCol).cast("string"), lit("01")),
+        "yyyyMMdd").as("minm"),
+      last_day(to_date(concat(max(rawMonthCol).cast("string"),
+        lit("01")), "yyyyMMdd")).as("maxm")).head()
+    val rawIds = rw.getLong(0)
+    val (minM, maxM) = (rw.getDate(1), rw.getDate(2))
+    val diff = n - previousRows
+    val dateOk = !(minF.toLocalDate.isBefore(minM.toLocalDate) ||
+      maxT.toLocalDate.isAfter(maxM.toLocalDate))
+    val rows = Seq(
+      (table, "Number new rows compared to most recent run",
+        if (diff < 0) "FAIL" else "PASS",
+        if (diff < 0) s"There were $diff fewer rows in the most recent " +
+          s"table ($n vs. $previousRows)"
+        else s"There were $diff more rows in the most recent table " +
+          s"($n vs. $previousRows)",
+        n, previousRows),
+      (table, "Number distinct IDs",
+        if (ids != rawIds) "FAIL" else "PASS",
+        if (ids != rawIds) s"There were $ids distinct IDs but $rawIds " +
+          "in the raw data (should be the same)"
+        else s"The number of distinct IDs matched number in raw data ($ids)",
+        ids, rawIds),
+      (table, "Duplicate rows",
+        if (dup != n) "FAIL" else "PASS",
+        if (dup != n) s"There were $dup distinct rows (excl. ref_geo " +
+          s"vars) but $n rows overall (should be the same)"
+        else "The number of distinct rows (excl. ref_geo vars) matched " +
+          s"number total rows ($n)",
+        dup, n),
+      (table, "Date range",
+        if (!dateOk) "FAIL" else "PASS",
+        if (!dateOk) "Some from/to dates fell outside the " +
+          s"CLNDR_YEAR_MNTH range (min: $minF, max: $maxT)"
+        else "All from/to dates fell within the CLNDR_YEAR_MNTH range " +
+          s"(min: $minM, max: $maxM)",
+        if (dateOk) 1L else 0L, 1L))
+    import s.implicits._
+    rows.toDF("table_name", "qa_item", "qa_result", "note", "observed",
+      "expected")
   }
 
   /** The address-clean partial-refresh battery

@@ -5270,6 +5270,41 @@ object BuildQueries {
       .orderBy(col("stage_seq"), col("item"))
   }
 
+  /** §5 mcaid_elig_demo QA battery (q288,
+    * qa_stage.mcaid_elig_demo.R:63-189 — the gate the analytic
+    * pipeline runs between the demo stage load and its final promote):
+    * rows vs the most recent run (signed-diff notes), distinct ids ==
+    * rows, distinct ids == raw source ids. The prior run is the
+    * current build restricted to user_id % 20 != 0 (a smaller
+    * data-derived earlier load), so the monotonic check passes with a
+    * real nonzero diff. */
+  def q288EligDemoQa(s: SparkSession, dir: String): DataFrame = {
+    val demo = q67EligDemo(s, dir)
+    val prior = demo.filter(col("user_id") % 20 =!= 0).count()
+    graft.qa.Qa.eligDemoQaBattery(demo, t(s, dir, "events"), "user_id",
+        "user_id", prior, "stage.mcaid_elig_demo")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_elig_timevar QA battery (q289,
+    * qa_stage.mcaid_elig_timevar.R:46-243): rows vs most recent run,
+    * distinct ids vs raw (the battery's own wording, which differs
+    * from the demo battery's — kept verbatim), duplicate rows over the
+    * full column set (the reference excludes ref_geo vars; this build
+    * has none), and the from/to date envelope against the raw
+    * CLNDR_YEAR_MNTH month range with the reference's asymmetric
+    * FAIL/PASS note dates. */
+  def q289EligTimevarQa(s: SparkSession, dir: String): DataFrame = {
+    val tv = q64EligTimevar(s, dir)
+    val prior = tv.filter(col("user_id") % 20 =!= 0).count()
+    val raw = t(s, dir, "events")
+    graft.qa.Qa.eligTimevarQaBattery(tv, raw, "user_id", "user_id",
+        tv.columns.toSeq, "from_date", "to_date",
+        (year(col("ts")) * 100 + month(col("ts"))).cast("int"),
+        prior, "stage.mcaid_elig_timevar")
+      .orderBy(col("qa_item"))
+  }
+
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
