@@ -447,6 +447,10 @@ object SparkEntry {
       (graft.queries.BuildQueries.q288EligDemoQa _),
     "q289_elig_timevar_qa" ->
       (graft.queries.BuildQueries.q289EligTimevarQa _),
+    "q290_date_dim" ->
+      (graft.queries.LifecycleQueries.q290DateDim _),
+    "q291_date_dim_qa" ->
+      (graft.queries.LifecycleQueries.q291DateDimQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -2275,8 +2279,141 @@ object SparkEntry {
         FROM st, rw)
       ORDER BY qa_item""")
 
+  /** Shared q290/q291 oracle body: the full ref.date calendar replica
+    * (load_ref.date.sql) — DuckDB dayofweek() is Sunday=0, so +1 maps
+    * to the T-SQL DATEFIRST-7 numbering the Spark side (and Spark's
+    * own dayofweek) uses; every other piece (day-suffix integer
+    * division, DATEPART(week) formula, nth-weekday windows, holiday
+    * CASE) replicates the same expressions. */
+  private val dateDimOracleBody: String = """
+      WITH yr AS (
+        SELECT min(year(o_orderdate::DATE)) AS y0,
+          max(year(o_orderdate::DATE)) AS y1 FROM orders),
+      days AS (
+        SELECT unnest(generate_series(make_date(y0, 1, 1),
+          make_date(y1 + 2, 1, 1) - INTERVAL 1 DAY,
+          INTERVAL 1 DAY))::DATE AS d
+        FROM yr),
+      base AS (
+        SELECT d AS "date",
+          year(d) * 10000 + month(d) * 100 + day(d) AS year_month_day,
+          CAST(day(d) AS INT) AS day,
+          dayname(d) AS week_day_name,
+          CASE WHEN dayofweek(d) + 1 IN (1, 7) THEN 'Weekend'
+            ELSE 'Weekday' END AS is_weekend,
+          row_number() OVER (PARTITION BY date_trunc('month', d),
+            dayofweek(d) ORDER BY d) AS dow_in_month,
+          row_number() OVER (PARTITION BY date_trunc('month', d),
+            dayname(d) ORDER BY d DESC) AS last_dow_in_month,
+          CAST(dayofyear(d) AS INT) AS day_of_year,
+          CAST(floor((dayofyear(d)
+            + (dayofweek(date_trunc('year', d)) + 1) - 2) / 7) + 1
+            AS INT) AS week_of_year,
+          CAST(month(d) AS INT) AS month,
+          monthname(d) AS month_name,
+          year(d) * 100 + month(d) AS year_month,
+          date_trunc('month', d)::DATE AS first_day_month,
+          max(d) OVER (PARTITION BY year(d), month(d))
+            AS last_day_month,
+          CAST(quarter(d) AS INT) AS quarter,
+          CASE quarter(d) WHEN 1 THEN 'First' WHEN 2 THEN 'Second'
+            WHEN 3 THEN 'Third' ELSE 'Fourth' END AS quarter_name,
+          year(d) * 100 + quarter(d) AS year_quarter,
+          min(d) OVER (PARTITION BY year(d), quarter(d))
+            AS first_day_quarter,
+          max(d) OVER (PARTITION BY year(d), quarter(d))
+            AS last_day_quarter,
+          CAST(year(d) AS INT) AS year,
+          date_trunc('year', d)::DATE AS first_day_year,
+          max(d) OVER (PARTITION BY year(d)) AS last_day_year
+        FROM days),
+      wom AS (
+        SELECT *, dense_rank() OVER (PARTITION BY year, month
+          ORDER BY week_of_year) AS week_of_month
+        FROM base),
+      suff AS (
+        SELECT *, CASE WHEN day // 10 = 1 THEN 'th'
+          WHEN day % 10 = 1 THEN 'st' WHEN day % 10 = 2 THEN 'nd'
+          WHEN day % 10 = 3 THEN 'rd' ELSE 'th' END AS day_suffix
+        FROM wom),
+      hol AS (
+        SELECT *,
+          CASE WHEN "date" = first_day_year THEN 'New Year''s Day'
+            WHEN dow_in_month = 3 AND month_name = 'January'
+              AND week_day_name = 'Monday'
+              THEN 'Martin Luther King Day'
+            WHEN dow_in_month = 3 AND month_name = 'February'
+              AND week_day_name = 'Monday' THEN 'President''s Day'
+            WHEN last_dow_in_month = 1 AND month_name = 'May'
+              AND week_day_name = 'Monday' THEN 'Memorial Day'
+            WHEN month_name = 'July' AND day = 4
+              THEN 'Independence Day'
+            WHEN dow_in_month = 1 AND month_name = 'September'
+              AND week_day_name = 'Monday' THEN 'Labor Day'
+            WHEN dow_in_month = 2 AND month_name = 'October'
+              AND week_day_name = 'Monday' THEN 'Columbus Day'
+            WHEN month_name = 'November' AND day = 11
+              THEN 'Veterans'' Day'
+            WHEN dow_in_month = 4 AND month_name = 'November'
+              AND week_day_name = 'Thursday' THEN 'Thanksgiving Day'
+            WHEN month_name = 'December' AND day = 25
+              THEN 'Christmas Day' END AS holiday_name
+        FROM suff),
+      dim AS (
+        SELECT "date", year_month_day, day, day_suffix, week_day_name,
+          is_weekend,
+          CASE WHEN holiday_name IS NOT NULL THEN 'Holiday'
+            ELSE 'Non-Holiday' END AS is_holiday,
+          holiday_name, CAST(dow_in_month AS INT) AS dow_in_month,
+          day_of_year, CAST(week_of_month AS INT) AS week_of_month,
+          week_of_year, month, month_name, year_month, first_day_month,
+          last_day_month, quarter, quarter_name, year_quarter,
+          first_day_quarter, last_day_quarter, year, first_day_year,
+          last_day_year
+        FROM hol)"""
+
   def oracleSql: Map[String, String] = baseOracleSql ++
     eligQaOracles(baseOracleSql) +
+    ("q290_date_dim" -> (dateDimOracleBody + """
+      SELECT * FROM dim ORDER BY "date"""")) +
+    ("q291_date_dim_qa" -> (dateDimOracleBody + """,
+      st AS (SELECT count(*) AS n,
+        sum(CASE WHEN year_month_day = year("date") * 10000
+          + month("date") * 100 + day("date") THEN 1 ELSE 0 END) AS m1,
+        sum(CASE WHEN year_month_day <> year("date") * 10000
+          + month("date") * 100 + day("date") THEN 1 ELSE 0 END) AS x1,
+        sum(CASE WHEN year_month = year("date") * 100 + month("date")
+          THEN 1 ELSE 0 END) AS m2,
+        sum(CASE WHEN year_month <> year("date") * 100 + month("date")
+          THEN 1 ELSE 0 END) AS x2,
+        sum(CASE WHEN year_quarter = year("date") * 100
+          + quarter("date") THEN 1 ELSE 0 END) AS m3,
+        sum(CASE WHEN year_quarter <> year("date") * 100
+          + quarter("date") THEN 1 ELSE 0 END) AS x3,
+        sum(CASE WHEN year = year("date") THEN 1 ELSE 0 END) AS m4,
+        sum(CASE WHEN year <> year("date") THEN 1 ELSE 0 END) AS x4
+        FROM dim)
+      SELECT qa_item, observed, expected, CAST(pass AS INT) AS pass
+      FROM (
+        SELECT 'row_count' AS qa_item, n AS observed, n AS expected,
+          1 AS pass FROM st
+        UNION ALL SELECT 'match_year_month_day', m1, n,
+          CASE WHEN m1 = n THEN 1 ELSE 0 END FROM st
+        UNION ALL SELECT 'mismatch_year_month_day', x1,
+          CAST(0 AS BIGINT), CASE WHEN x1 = 0 THEN 1 ELSE 0 END FROM st
+        UNION ALL SELECT 'match_year_month', m2, n,
+          CASE WHEN m2 = n THEN 1 ELSE 0 END FROM st
+        UNION ALL SELECT 'mismatch_year_month', x2, CAST(0 AS BIGINT),
+          CASE WHEN x2 = 0 THEN 1 ELSE 0 END FROM st
+        UNION ALL SELECT 'match_year_quarter', m3, n,
+          CASE WHEN m3 = n THEN 1 ELSE 0 END FROM st
+        UNION ALL SELECT 'mismatch_year_quarter', x3,
+          CAST(0 AS BIGINT), CASE WHEN x3 = 0 THEN 1 ELSE 0 END FROM st
+        UNION ALL SELECT 'match_year', m4, n,
+          CASE WHEN m4 = n THEN 1 ELSE 0 END FROM st
+        UNION ALL SELECT 'mismatch_year', x4, CAST(0 AS BIGINT),
+          CASE WHEN x4 = 0 THEN 1 ELSE 0 END FROM st)
+      ORDER BY qa_item""")) +
     ("q283_apcd_provider_npi" -> (providerNpiOracleBody +
       "\n      ORDER BY provider_id_apcd, npi")) +
     // q285: the QA battery over the SAME composed body — providers

@@ -877,4 +877,32 @@ vars:
     graft.sources.RefTables.ethnicityMapCheck(elig, map)
       .orderBy(col("variable"), col("unmapped_id"))
   }
+
+  /** §2.1 ref.date dimension build (q290, ref/tables/load_ref.date.sql):
+    * the calendar table with T-SQL DATEFIRST-7 weekday semantics, the
+    * day-suffix integer-division quirk, DATEPART(week) weeks,
+    * nth-weekday-of-month windows, month/quarter/year bounds, and the
+    * federal-holiday update. Span derives from the data: Jan 1 of the
+    * first order year through Dec 31 of the last + 1. */
+  def q290DateDim(s: SparkSession, dir: String): DataFrame = {
+    val yr = t(s, dir, "orders")
+      .agg(min(year(to_date(col("o_orderdate")))).as("y0"),
+        max(year(to_date(col("o_orderdate")))).as("y1")).head()
+    val (y0, y1) = (yr.getInt(0), yr.getInt(1))
+    graft.sources.RefTables.dateDim(s, s"$y0-01-01", y1 - y0 + 2)
+      .orderBy(col("date"))
+  }
+
+  /** §5 ref.date consistency battery (q291, qa_ref.date.sql): the
+    * packed integer keys and the year column vs their recomputation
+    * from [date] — the reference's nine scans fused into one. */
+  def q291DateDimQa(s: SparkSession, dir: String): DataFrame = {
+    val yr = t(s, dir, "orders")
+      .agg(min(year(to_date(col("o_orderdate")))).as("y0"),
+        max(year(to_date(col("o_orderdate")))).as("y1")).head()
+    val (y0, y1) = (yr.getInt(0), yr.getInt(1))
+    graft.sources.RefTables.dateDimQa(
+        graft.sources.RefTables.dateDim(s, s"$y0-01-01", y1 - y0 + 2))
+      .orderBy(col("qa_item"))
+  }
 }

@@ -1,11 +1,167 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-table loaders — the ref/tables/ scripts that mint the
   * lookup tables every analytic build consumes. */
 object RefTables {
+
+  /** ref.date — the time-aggregation date dimension every month/
+    * quarter rollup joins (ref/tables/load_ref.date.sql, adapted in
+    * the reference from Aaron Bertrand's calendar-table script): one
+    * row per day over [start, start + years), with
+    *  - T-SQL DATEFIRST 7 weekday semantics (Sunday = 1 — Spark's
+    *    dayofweek() natively matches), is_weekend on {1, 7};
+    *  - day_suffix via the reference's integer-division quirk
+    *    (day/10 = 1 → 'th', so 10-19 all 'th', else by last digit);
+    *  - week_of_year = T-SQL DATEPART(week): week 1 contains Jan 1,
+    *    weeks advance on Sundays — floor((doy + dow(jan1) - 2)/7) + 1;
+    *  - dow_in_month (nth weekday of the month — row_number per
+    *    (month, weekday)) and week_of_month (dense_rank of the week
+    *    number within (year, month)), both per the reference's
+    *    windows;
+    *  - month/quarter/year bounds as the reference computes them:
+    *    first_day_month/year directly, the last_day_* and
+    *    first_day_quarter as MIN/MAX windows over the generated span
+    *    (equal to the true bounds because the span covers whole
+    *    years, exactly as in the reference);
+    *  - the federal-holiday UPDATE (New Year's, MLK 3rd-Mon-Jan,
+    *    Presidents 3rd-Mon-Feb, Memorial last-Mon-May, July 4th,
+    *    Labor 1st-Mon-Sep, Columbus 2nd-Mon-Oct, Veterans Nov 11,
+    *    Thanksgiving 4th-Thu-Nov, Christmas Dec 25) — matched rows
+    *    flip is_holiday to 'Holiday' and name themselves; everything
+    *    else stays 'Non-Holiday'/NULL.
+    *
+    * Scale: a 40-year dim is ~14.6k rows — generated in one explode,
+    * windowed per month/quarter/year partitions, broadcast everywhere
+    * it joins. */
+  def dateDim(s: SparkSession, startDate: String, years: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val start = to_date(lit(startDate))
+    val d = col("date")
+    val base = s.range(1)
+      .select(explode(sequence(start,
+        date_sub(add_months(start, years * 12), 1))).as("date"))
+    val day = dayofmonth(d)
+    val dow = dayofweek(d) // 1 = Sunday (T-SQL DATEFIRST 7)
+    val weekDayName = date_format(d, "EEEE")
+    val doy = dayofyear(d)
+    val firstOfYear = trunc(d, "year")
+    val jan1dow = dayofweek(firstOfYear)
+    val week = floor((doy + jan1dow - 2) / 7) + 1
+    val wMonthDow = Window.partitionBy(trunc(d, "month"), dow)
+      .orderBy(d)
+    val wMonthDowDesc = Window
+      .partitionBy(trunc(d, "month"), weekDayName).orderBy(d.desc)
+    val wYm = Window.partitionBy(year(d), month(d))
+    val wYmWeek = Window.partitionBy(year(d), month(d)).orderBy(week)
+    val wYq = Window.partitionBy(year(d), quarter(d))
+    val wY = Window.partitionBy(year(d))
+    val withCols = base.select(d,
+      (year(d) * 10000 + month(d) * 100 + day).as("year_month_day"),
+      day.cast("int").as("day"),
+      weekDayName.as("week_day_name"),
+      when(dow.isin(1, 7), "Weekend").otherwise("Weekday")
+        .as("is_weekend"),
+      row_number().over(wMonthDow).as("dow_in_month"),
+      row_number().over(wMonthDowDesc).as("_last_dow_in_month"),
+      doy.cast("int").as("day_of_year"),
+      dense_rank().over(wYmWeek).as("week_of_month"),
+      week.cast("int").as("week_of_year"),
+      month(d).cast("int").as("month"),
+      date_format(d, "MMMM").as("month_name"),
+      (year(d) * 100 + month(d)).as("year_month"),
+      trunc(d, "month").as("first_day_month"),
+      max(d).over(wYm).as("last_day_month"),
+      quarter(d).cast("int").as("quarter"),
+      when(quarter(d) === 1, "First").when(quarter(d) === 2, "Second")
+        .when(quarter(d) === 3, "Third").otherwise("Fourth")
+        .as("quarter_name"),
+      (year(d) * 100 + quarter(d)).as("year_quarter"),
+      min(d).over(wYq).as("first_day_quarter"),
+      max(d).over(wYq).as("last_day_quarter"),
+      year(d).cast("int").as("year"),
+      trunc(d, "year").as("first_day_year"),
+      max(d).over(wY).as("last_day_year"))
+      .withColumn("day_suffix",
+        // the reference's integer-division rule: day/10 = 1 -> 'th'
+        when((col("day") / 10).cast("int") === 1, "th")
+          .when(col("day") % 10 === 1, "st")
+          .when(col("day") % 10 === 2, "nd")
+          .when(col("day") % 10 === 3, "rd")
+          .otherwise("th"))
+    val holidayName =
+      when(col("date") === col("first_day_year"), "New Year's Day")
+        .when(col("dow_in_month") === 3 &&
+          col("month_name") === "January" &&
+          col("week_day_name") === "Monday", "Martin Luther King Day")
+        .when(col("dow_in_month") === 3 &&
+          col("month_name") === "February" &&
+          col("week_day_name") === "Monday", "President's Day")
+        .when(col("_last_dow_in_month") === 1 &&
+          col("month_name") === "May" &&
+          col("week_day_name") === "Monday", "Memorial Day")
+        .when(col("month_name") === "July" && col("day") === 4,
+          "Independence Day")
+        .when(col("dow_in_month") === 1 &&
+          col("month_name") === "September" &&
+          col("week_day_name") === "Monday", "Labor Day")
+        .when(col("dow_in_month") === 2 &&
+          col("month_name") === "October" &&
+          col("week_day_name") === "Monday", "Columbus Day")
+        .when(col("month_name") === "November" && col("day") === 11,
+          "Veterans' Day")
+        .when(col("dow_in_month") === 4 &&
+          col("month_name") === "November" &&
+          col("week_day_name") === "Thursday", "Thanksgiving Day")
+        .when(col("month_name") === "December" && col("day") === 25,
+          "Christmas Day")
+    withCols
+      .withColumn("holiday_name", holidayName)
+      .withColumn("is_holiday",
+        when(col("holiday_name").isNotNull, "Holiday")
+          .otherwise("Non-Holiday"))
+      .select(col("date"), col("year_month_day"), col("day"),
+        col("day_suffix"), col("week_day_name"), col("is_weekend"),
+        col("is_holiday"), col("holiday_name"), col("dow_in_month"),
+        col("day_of_year"), col("week_of_month"), col("week_of_year"),
+        col("month"), col("month_name"), col("year_month"),
+        col("first_day_month"), col("last_day_month"), col("quarter"),
+        col("quarter_name"), col("year_quarter"),
+        col("first_day_quarter"), col("last_day_quarter"), col("year"),
+        col("first_day_year"), col("last_day_year"))
+  }
+
+  /** qa_ref.date.sql — the dimension's self-consistency battery: the
+    * three packed integer keys (year_month_day, year_month,
+    * year_quarter) and the year column must each equal their
+    * recomputation from [date]; the reference runs a match count AND a
+    * mismatch count per key plus the total (9 scans) — here ONE fused
+    * conditional-aggregation scan emits all nine verdict rows. */
+  def dateDimQa(dim: DataFrame): DataFrame = {
+    val s = dim.sparkSession
+    val d = col("date")
+    val checks = Seq(
+      ("year_month_day",
+        year(d) * 10000 + month(d) * 100 + dayofmonth(d)),
+      ("year_month", year(d) * 100 + month(d)),
+      ("year_quarter", year(d) * 100 + quarter(d)),
+      ("year", year(d)))
+    val aggs = count(lit(1)).as("_n") +: checks.flatMap { case (c, e) =>
+      Seq(sum(when(col(c) === e, 1L).otherwise(0L)).as(s"_m_$c"),
+        sum(when(col(c) =!= e, 1L).otherwise(0L)).as(s"_x_$c"))
+    }
+    val r = dim.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("_n")
+    val rows = (("row_count", n, n, true) +: checks.flatMap { case (c, _) =>
+      val m = r.getAs[Long](s"_m_$c")
+      val x = r.getAs[Long](s"_x_$c")
+      Seq((s"match_$c", m, n, m == n), (s"mismatch_$c", x, 0L, x == 0L))
+    }).map { case (i, o, e, p) => (i, o, e, if (p) 1 else 0) }
+    import s.implicits._
+    rows.toDF("qa_item", "observed", "expected", "pass")
+  }
 
   /** Chronic-medication fuzzy crosswalk
     * (ref/tables/load_ref.chronic_meds_eli.R:14-34): the curated med

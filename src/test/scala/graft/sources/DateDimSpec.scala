@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ref.date calendar rules pinned on known real-world dates (the q290
+  * oracle replays the whole span; these are the named quirks). */
+class DateDimSpec extends SparkSpec {
+
+  private lazy val dim1995 =
+    RefTables.dateDim(spark, "1995-01-01", 1).collect()
+      .map(r => r.getAs[java.sql.Date]("date").toString -> r).toMap
+
+  test("day_suffix: the integer-division quirk makes 10-19 ALL 'th' " +
+      "(11th not 11st), last digit otherwise") {
+    def suffix(d: String) = dim1995(d).getAs[String]("day_suffix")
+    assert(suffix("1995-03-01") == "st")
+    assert(suffix("1995-03-02") == "nd")
+    assert(suffix("1995-03-03") == "rd")
+    assert(suffix("1995-03-11") == "th") // 11 -> day/10 = 1 -> th
+    assert(suffix("1995-03-13") == "th")
+    assert(suffix("1995-03-21") == "st")
+    assert(suffix("1995-03-23") == "rd")
+    assert(suffix("1995-03-30") == "th")
+  }
+
+  test("1995 federal holidays land on the documented real dates") {
+    def hol(d: String) = Option(dim1995(d).getAs[String]("holiday_name"))
+    assert(hol("1995-01-01").contains("New Year's Day"))
+    assert(hol("1995-01-16").contains("Martin Luther King Day"))
+    assert(hol("1995-02-20").contains("President's Day"))
+    assert(hol("1995-05-29").contains("Memorial Day")) // LAST Monday
+    assert(hol("1995-07-04").contains("Independence Day"))
+    assert(hol("1995-09-04").contains("Labor Day"))
+    assert(hol("1995-10-09").contains("Columbus Day"))
+    assert(hol("1995-11-11").contains("Veterans' Day"))
+    assert(hol("1995-11-23").contains("Thanksgiving Day")) // 4th Thu
+    assert(hol("1995-12-25").contains("Christmas Day"))
+    assert(hol("1995-05-22").isEmpty) // 4th but not last Monday of May
+    assert(dim1995("1995-05-22").getAs[String]("is_holiday") ==
+      "Non-Holiday")
+  }
+
+  test("T-SQL DATEPART(week) semantics: week 1 contains Jan 1, weeks " +
+      "advance on Sundays; weekend flags on Sunday/Saturday") {
+    def w(d: String) = dim1995(d).getAs[Int]("week_of_year")
+    // Jan 1 1995 was a SUNDAY: week 1 = Jan 1-7, week 2 starts Jan 8
+    assert(w("1995-01-01") == 1 && w("1995-01-07") == 1)
+    assert(w("1995-01-08") == 2)
+    assert(dim1995("1995-01-01").getAs[String]("is_weekend") ==
+      "Weekend")
+    assert(dim1995("1995-01-02").getAs[String]("is_weekend") ==
+      "Weekday")
+    // dow_in_month: 1995-01-16 is the 3rd Monday
+    assert(dim1995("1995-01-16").getAs[Int]("dow_in_month") == 3)
+    // month/quarter/year bounds
+    val r = dim1995("1995-02-14")
+    assert(r.getAs[java.sql.Date]("last_day_month").toString ==
+      "1995-02-28")
+    assert(r.getAs[java.sql.Date]("first_day_quarter").toString ==
+      "1995-01-01")
+    assert(r.getAs[java.sql.Date]("last_day_year").toString ==
+      "1995-12-31")
+  }
+}
