@@ -133,4 +133,60 @@ class QaSpec extends SparkSpec {
     assert(cols.getAs[String]("note") ==
       "Stage table columns do not match ref table")
   }
+
+  test("eligDemoQaBattery FAIL paths: fewer rows renders the negative " +
+      "diff; duplicate ids and raw mismatch produce the reference's " +
+      "FAIL notes") {
+    val s = spark
+    import s.implicits._
+    val stage = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
+    val raw = Seq(1L, 2L, 3L).toDF("mbr")
+    val got = Qa.eligDemoQaBattery(stage, raw, "id", "mbr",
+        previousRows = 5L, table = "t")
+      .collect().map(r => r.getAs[String]("qa_item") ->
+        (r.getAs[String]("qa_result"), r.getAs[String]("note"))).toMap
+    assert(got("Number new rows compared to most recent run") ==
+      ("FAIL", "There were -2 fewer rows in the most recent table (3 vs. 5)"))
+    assert(got("Number distinct IDs") ==
+      ("FAIL", "There were 2 distinct IDs but 3 rows (should be the same)"))
+    assert(got("Distinct IDs compared to raw data") ==
+      ("FAIL",
+        "There were 2 distinct IDs but 3 IDs in the raw data (should be the same)"))
+  }
+
+  test("eligTimevarQaBattery: duplicate-row FAIL note, and the date-" +
+      "range FAIL note renders the TIMEVAR dates while PASS renders " +
+      "the raw month range (the reference's asymmetry)") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Date
+    val stage = Seq(
+      (1L, Date.valueOf("1995-01-01"), Date.valueOf("1995-01-31")),
+      (1L, Date.valueOf("1995-01-01"), Date.valueOf("1995-01-31")),
+      (2L, Date.valueOf("1995-03-05"), Date.valueOf("1995-03-20")))
+      .toDF("id", "from_date", "to_date")
+    val raw = Seq((1L, 199501), (2L, 199502)).toDF("mbr", "ym")
+    // raw months only cover Jan-Feb; the March row falls OUTSIDE
+    val got = Qa.eligTimevarQaBattery(stage, raw, "id", "mbr",
+        stage.columns.toSeq, "from_date", "to_date", col("ym"),
+        previousRows = 1L, table = "t")
+      .collect().map(r => r.getAs[String]("qa_item") ->
+        (r.getAs[String]("qa_result"), r.getAs[String]("note"))).toMap
+    assert(got("Duplicate rows") == ("FAIL",
+      "There were 2 distinct rows (excl. ref_geo vars) but 3 rows " +
+        "overall (should be the same)"))
+    assert(got("Date range") == ("FAIL",
+      "Some from/to dates fell outside the CLNDR_YEAR_MNTH range " +
+        "(min: 1995-01-01, max: 1995-03-20)"))
+    // PASS side: restrict to the covered row
+    val ok = Qa.eligTimevarQaBattery(stage.filter(col("id") === 1)
+          .distinct(), raw, "id", "mbr",
+        stage.columns.toSeq, "from_date", "to_date", col("ym"),
+        previousRows = 1L, table = "t")
+      .collect().map(r => r.getAs[String]("qa_item") ->
+        r.getAs[String]("note")).toMap
+    assert(ok("Date range") ==
+      "All from/to dates fell within the CLNDR_YEAR_MNTH range " +
+        "(min: 1995-01-01, max: 1995-02-28)")
+  }
 }

@@ -92,4 +92,38 @@ class RefTablesSpec extends SparkSpec {
     assert(got.contains(("ungolden thing", None))) // left-join NULL row
     assert(!got.contains(("ungolden thing", Some("golden"))))
   }
+
+  test("ethnicityMapCheck: unmapped ids surface with NULL map columns, " +
+      "and the id2 probe JOINS ON id1 (the reference's shipped quirk) — " +
+      "an unmapped id2 with a MAPPED id1 does NOT surface") {
+    val s = spark
+    import s.implicits._
+    val elig = Seq((1L, 99L), (25L, 2L)).toDF("ethnicity_id1",
+      "ethnicity_id2")
+    val map = Seq((1L, "E1", 0L, "R0"), (2L, "E2", 1L, "R1"))
+      .toDF("ethnicity_id", "ethnicity_desc", "race_id", "race_desc")
+    val got = RefTables.ethnicityMapCheck(elig, map).collect()
+      .map(r => (r.getAs[String]("variable"),
+        r.getAs[Long]("unmapped_id"))).toSet
+    // id1 probe: only 25 is unmapped
+    assert(got.contains(("ethnicity_id1", 25L)))
+    assert(!got.contains(("ethnicity_id1", 1L)))
+    // id2 probe joins on ID1: row (1, 99) has MAPPED id1 -> 99 hidden;
+    // row (25, 2) has unmapped id1 -> id2 = 2 surfaces (quirk)
+    assert(got.contains(("ethnicity_id2", 2L)))
+    assert(!got.contains(("ethnicity_id2", 99L)))
+  }
+
+  test("apcdProviderNpiQa: a planted 5-digit master NPI and a " +
+      "duplicated provider both count") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((1L, 12345L, 1), (2L, 1000000002L, 0),
+      (2L, 2000000002L, 0))
+      .toDF("provider_id_apcd", "npi", "provider_master_flag")
+    val got = RefTables.apcdProviderNpiQa(ref).collect()
+      .map(r => r.getAs[String]("qa_type") -> r.getAs[Long]("qa")).toMap
+    assert(got("# of NPIs with length != 10, expect 0") == 1L)
+    assert(got("# of provider IDs with >1 row, expect 0") == 1L)
+  }
 }
