@@ -451,6 +451,14 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q290DateDim _),
     "q291_date_dim_qa" ->
       (graft.queries.LifecycleQueries.q291DateDimQa _),
+    "q292_claim_icdcm_qa" ->
+      (graft.queries.ClaimQaQueries.q292IcdcmHeaderQa _),
+    "q293_claim_line_qa" ->
+      (graft.queries.ClaimQaQueries.q293ClaimLineQa _),
+    "q294_claim_procedure_qa" ->
+      (graft.queries.ClaimQaQueries.q294ClaimProcedureQa _),
+    "q295_claim_pharm_qa" ->
+      (graft.queries.ClaimQaQueries.q295ClaimPharmQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -2285,6 +2293,978 @@ object SparkEntry {
     * own dayofweek) uses; every other piece (day-suffix integer
     * division, DATEPART(week) formula, nth-weekday windows, holiday
     * CASE) replicates the same expressions. */
+  // ---- q292-q295: per-claim-table QA batteries ---------------------
+  // Shared row-level stage CTE texts, factored so each battery oracle
+  // and the underlying build oracle (q79/q80/q81/q169) use ONE fixture
+  // text and cannot drift (the q205/q248 discipline).
+
+  /** q79/q292 shared icdcm rows (wide → lng → norm), verbatim from the
+    * q79 oracle; norm MATERIALIZED because q292 reads it five times. */
+  private val IcdcmRowsCtes: String = """wide AS (
+        SELECT o_orderkey AS claim_header_id, o_custkey AS id_person,
+          DATE '2014-01-01' + CAST(o_orderkey % 1460 AS INT) AS last_service_date,
+          CAST(o_orderkey % 99999 AS VARCHAR) AS dx01,
+          CASE WHEN o_orderkey % 3 <> 0 THEN
+            chr(CAST(65 + o_custkey % 26 AS INT)) ||
+            lpad(CAST(o_orderkey % 999 AS VARCHAR), 3, '0') END AS dx02,
+          CASE WHEN o_orderkey % 5 = 0 THEN
+            'E' || CAST(o_orderkey % 9999 AS VARCHAR) END AS dx03,
+          CASE WHEN o_orderkey % 2 = 0 THEN
+            CAST(o_custkey % 99999 AS VARCHAR) END AS dx_admit
+        FROM orders),
+      lng AS (
+        SELECT claim_header_id, id_person, last_service_date, '01' AS icdcm_number, dx01 AS icdcm_raw FROM wide
+        UNION ALL SELECT claim_header_id, id_person, last_service_date, '02', dx02 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, last_service_date, '03', dx03 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, last_service_date, 'admit', dx_admit FROM wide),
+      norm AS MATERIALIZED (
+        SELECT DISTINCT claim_header_id, id_person, last_service_date, icdcm_number, icdcm_raw,
+          CASE WHEN regexp_matches(icdcm_raw, '^[0-9]')
+                 OR (regexp_matches(icdcm_raw, '^[EV]')
+                     AND last_service_date < DATE '2015-10-01') THEN 9
+               ELSE 10 END AS icdcm_version,
+          CASE WHEN (regexp_matches(icdcm_raw, '^[0-9]')
+                 OR (regexp_matches(icdcm_raw, '^[EV]')
+                     AND last_service_date < DATE '2015-10-01'))
+                AND length(icdcm_raw) BETWEEN 3 AND 4
+               THEN rpad(icdcm_raw, 5, '0') ELSE icdcm_raw END AS icdcm_norm
+        FROM lng WHERE icdcm_raw IS NOT NULL AND trim(icdcm_raw) <> '')"""
+
+  /** q80/q294 shared procedure rows — the q80 fixture carrying the
+    * claimant id and service date at row grain (both are functions of
+    * claim_header_id, so the DISTINCT multiset and therefore q80's
+    * rollup are unchanged). */
+  private val ProcRowsCtes: String = """wide AS (
+        SELECT o_orderkey AS claim_header_id, o_custkey AS id_person,
+          DATE '2014-01-01' + CAST(o_orderkey % 1460 AS INT) AS first_service_date,
+          lpad(CAST(o_orderkey % 89999 + 10000 AS VARCHAR), 5, '0') AS pc01,
+          CASE WHEN o_orderkey % 4 <> 1 THEN
+            chr(CAST(65 + o_orderkey % 5 AS INT)) ||
+            lpad(CAST(o_custkey % 9999 AS VARCHAR), 4, '0') END AS pc02,
+          CASE WHEN o_orderkey % 7 = 0 THEN
+            CAST(o_custkey % 99999 AS VARCHAR) END AS pc03,
+          CASE WHEN o_orderkey % 3 = 0 THEN
+            lower(substr(o_orderpriority, 1, 2)) END AS mod1,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'gt' END AS mod2
+        FROM orders),
+      lng AS (
+        SELECT claim_header_id, id_person, first_service_date, '01' AS pcode_number, pc01 AS pcode_raw FROM wide
+        UNION ALL SELECT claim_header_id, id_person, first_service_date, '02', pc02 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, first_service_date, '03', pc03 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, first_service_date, 'M1', mod1 FROM wide
+        UNION ALL SELECT claim_header_id, id_person, first_service_date, 'M2', mod2 FROM wide),
+      norm AS MATERIALIZED (
+        SELECT DISTINCT claim_header_id, id_person, first_service_date, pcode_number,
+          upper(trim(pcode_raw)) AS pcode
+        FROM lng WHERE pcode_raw IS NOT NULL AND trim(pcode_raw) <> '')"""
+
+  /** q81/q295 shared pharmacy rows — the q81 feed carrying the fill
+    * date (lineitem-local; q81's rollup ignores it). */
+  private val PharmRowsCtes: String = """raw AS (
+        SELECT l_orderkey AS claim_header_id,
+          CAST(l_shipdate AS DATE) AS rx_fill_date,
+          CASE WHEN l_orderkey % 13 = 0 THEN
+            'N' || lpad(CAST(l_partkey AS VARCHAR), 10, '0')
+          ELSE lpad(CAST((l_partkey * 37 + l_suppkey) % 100000000000 AS VARCHAR),
+            11, '0') END AS ndc_raw,
+          CASE WHEN l_suppkey % 17 = 0 THEN 'NA'
+            ELSE CAST(CAST(floor(l_quantity) AS INT) * 9 AS VARCHAR)
+          END AS supply_days_raw
+        FROM lineitem),
+      norm AS (
+        SELECT claim_header_id, rx_fill_date,
+          CASE WHEN regexp_matches(ndc_raw, '^[0-9]{11}$') THEN ndc_raw END AS ndc,
+          regexp_matches(ndc_raw, '^[0-9]{11}$') AS ndc_valid,
+          CASE WHEN TRY_CAST(supply_days_raw AS INT) BETWEEN 0 AND 365
+            THEN TRY_CAST(supply_days_raw AS INT) END AS supply_days
+        FROM raw)"""
+
+  /** q169/q293 shared master-staging chain ending in the `stage` CTE
+    * (MATERIALIZED — q293 reads it four times). */
+  private val LineStageCtes: String = """li AS (
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd,
+          round(l_extendedprice, 2) AS paid, o_custkey,
+          year(o_orderdate) AS oy
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      base AS (
+        SELECT o_custkey AS mbr_h_sid,
+          'R' || CAST(o_custkey % 300 AS VARCHAR)
+            AS medicaid_recipient_id,
+          CASE WHEN l_linenumber % 2 = 0 THEN 'Y' ELSE 'N' END
+            AS baby_on_mom_ind,
+          'T' || CAST(l_orderkey AS VARCHAR) AS tcn,
+          'T' || CAST(l_orderkey AS VARCHAR) ||
+            lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS clm_line_tcn,
+          sd AS from_srvc_date, paid AS paid_amt, oy
+        FROM li),
+      incoming AS (
+        SELECT * EXCLUDE (oy) FROM base WHERE oy >= 1996
+        UNION ALL
+        SELECT * EXCLUDE (oy) FROM base
+        WHERE oy >= 1996 AND mbr_h_sid % 89 = 0),
+      archive AS (
+        SELECT CAST(year(from_srvc_date) * 100 +
+            month(from_srvc_date) AS INT) AS clndr_year_mnth,
+          mbr_h_sid, medicaid_recipient_id, baby_on_mom_ind, tcn,
+          clm_line_tcn, CAST(right(clm_line_tcn, 3) AS INT) AS clm_line,
+          from_srvc_date, paid_amt
+        FROM base WHERE oy <= 1996),
+      cut AS (SELECT min(from_srvc_date) AS dt FROM incoming),
+      stage AS MATERIALIZED (
+        SELECT * FROM archive
+        WHERE from_srvc_date < (SELECT dt FROM cut)
+        UNION
+        SELECT DISTINCT CAST(year(from_srvc_date) * 100 +
+            month(from_srvc_date) AS INT),
+          mbr_h_sid, medicaid_recipient_id, baby_on_mom_ind, tcn,
+          clm_line_tcn, CAST(right(clm_line_tcn, 3) AS INT),
+          from_srvc_date, paid_amt
+        FROM incoming WHERE from_srvc_date >= (SELECT dt FROM cut))"""
+
+  /** 'Distinct IDs compared to elig tables' CTE pair: distinct stage
+    * claimants anti-counted against the person dim (elig_demo stand-in)
+    * and the claimant spine (elig_timevar stand-in). */
+  private def idsVsEligCtes(srcCte: String, idCol: String): String =
+    s"""ids AS (SELECT DISTINCT $idCol AS qa_id FROM $srcCte),
+      idchk AS (SELECT
+        (SELECT count(*) FROM ids a LEFT JOIN customer b
+          ON a.qa_id = b.c_custkey WHERE b.c_custkey IS NULL) AS d,
+        (SELECT count(*) FROM ids a LEFT JOIN
+          (SELECT DISTINCT o_custkey FROM orders) b
+          ON a.qa_id = b.o_custkey WHERE b.o_custkey IS NULL) AS t)"""
+
+  private def idsVsEligRowSql(table: String): String =
+    s"""SELECT '$table' AS table_name,
+          'Distinct IDs compared to elig tables' AS qa_item,
+          CASE WHEN d = 0 AND t = 0 THEN 'PASS' ELSE 'FAIL' END
+            AS qa_result,
+          CASE WHEN d = 0 AND t = 0
+            THEN 'There were the same number of IDs as in the final mcaid_elig_demo and mcaid_elig_timevar tables'
+            ELSE 'There were ' || CAST(d AS VARCHAR)
+              || ' more IDs than in the final mcaid_elig_demo table and '
+              || CAST(t AS VARCHAR)
+              || ' more IDs than in the final mcaid_elig_timevar table'
+            END AS note
+        FROM idchk"""
+
+  /** Year-comparison CTE block: per-year counts of the new frame
+    * LEFT-joined to the prior frame (the reference quirk — a year only
+    * in the prior table escapes), micro-percent integers `m` for the
+    * branch test and the R-style trimmed 2-dp pct string — fixed-point
+    * exactly as ClaimTableQa.pctString computes it, half-up on the
+    * absolute value with the sign applied after. */
+  private def yearChangeCtes(srcCte: String, priorCte: String,
+      dateCol: String): String = {
+    val c = "CAST(round(abs(nw - cu) * 10000.0 / cu) AS BIGINT)"
+    s"""yr AS (SELECT year($dateCol) AS y, count(*) AS nw
+        FROM $srcCte GROUP BY 1),
+      pyr AS (SELECT year($dateCol) AS y, count(*) AS cu
+        FROM $priorCte GROUP BY 1),
+      yj AS (SELECT yr.y AS y, yr.nw AS nw, coalesce(pyr.cu, 0) AS cu
+        FROM yr LEFT JOIN pyr ON yr.y = pyr.y),
+      ym AS (SELECT y, nw, cu,
+        CASE WHEN cu = 0 THEN 9223372036854775807
+          WHEN nw >= cu THEN CAST(round(abs(nw - cu) * 1000000.0 / cu) AS BIGINT)
+          ELSE -CAST(round(abs(nw - cu) * 1000000.0 / cu) AS BIGINT) END AS m,
+        CASE WHEN cu = 0 THEN 'Inf'
+          ELSE CAST($c // 100 AS VARCHAR) ||
+            CASE WHEN $c % 100 = 0 THEN ''
+              WHEN ($c % 100) % 10 = 0
+                THEN '.' || CAST(($c % 100) // 10 AS VARCHAR)
+              ELSE '.' || lpad(CAST($c % 100 AS VARCHAR), 2, '0') END
+          END AS pct
+        FROM yj),
+      ys AS (SELECT coalesce(max(m), 0) AS maxm,
+        coalesce(min(m), 0) AS minm FROM ym),
+      lmore AS (SELECT list(CAST(y AS VARCHAR) || ' (' || pct || '% more)'
+        ORDER BY y) AS l FROM ym WHERE m > 0),
+      lfewer AS (SELECT list(CAST(y AS VARCHAR) || ' (' || pct || '% fewer)'
+        ORDER BY y) AS l FROM ym WHERE m < 0)"""
+  }
+
+  /** R glue_collapse(sep = ', ', last = ' and ') over a DuckDB list. */
+  private def glueSql(l: String): String =
+    s"""CASE WHEN $l IS NULL OR len($l) = 0 THEN ''
+        WHEN len($l) = 1 THEN $l[1]
+        ELSE array_to_string($l[1:len($l)-1], ', ')
+          || ' and ' || $l[len($l)] END"""
+
+  private def yearChangeRowSql(table: String, itemPass: String,
+      itemFail: String, listUnit: String, noChangeUnit: String): String =
+    s"""SELECT '$table',
+          CASE WHEN maxm > 0 AND minm >= 0 THEN '$itemPass'
+            ELSE '$itemFail' END,
+          CASE WHEN maxm > 0 AND minm >= 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN maxm > 0 AND minm >= 0
+            THEN 'The following years had more $listUnit than in the final schema table: '
+              || ${glueSql("lmore.l")}
+            WHEN minm + maxm = 0
+            THEN 'No change in the number of $noChangeUnit compared to final schema table'
+            ELSE 'The following years had fewer $listUnit than in the final schema table: '
+              || ${glueSql("lfewer.l")} END
+        FROM ys, lmore, lfewer"""
+
+  /** q153/q296 shared mcaid+mcare behavioral-health spans ending in the `bh` CTE. */
+  private val BhRowsCtes: String = """fact AS (
+        SELECT 1000 + o_custkey % 90 AS id_apde,
+          l_orderkey AS chid, l_partkey AS pk, l_suppkey AS sk,
+          CAST(l_shipdate AS DATE) AS fsd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      icdcm AS (
+        SELECT id_apde, chid,
+          CASE WHEN pk % 6 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN pk % 6 = 0 THEN
+            CASE WHEN pk % 11 = 0 THEN '29620'
+              WHEN pk % 11 = 1 THEN '30400'
+              ELSE lpad(CAST(pk % 999 AS VARCHAR), 5, '0') END
+          ELSE
+            CASE WHEN pk % 11 = 0 THEN 'F329'
+              WHEN pk % 11 = 1 THEN 'F411'
+              WHEN pk % 11 = 2 THEN 'F1120'
+              ELSE 'G' || lpad(CAST(pk % 400 AS VARCHAR), 3, '0') END
+          END AS icdcm_norm,
+          fsd FROM fact),
+      pharm AS (
+        SELECT id_apde, chid,
+          CASE WHEN sk % 9 = 0 THEN '11111111111'
+            WHEN sk % 9 = 1 THEN '22222222222'
+            WHEN sk % 9 = 2 THEN '33333333333'
+            ELSE lpad(CAST(sk * 7 AS VARCHAR), 11, '0') END AS ndc,
+          fsd + 2 AS rx_fill_date FROM fact),
+      prc AS (
+        SELECT id_apde, chid,
+          CASE WHEN pk % 13 = 0 THEN 'H0020'
+            WHEN pk % 13 = 1 THEN 'J0571'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          fsd FROM fact),
+      hdr AS (
+        SELECT o_orderkey AS chid,
+          CASE WHEN o_orderkey % 15 = 0 THEN 'F1120'
+            WHEN o_orderkey % 15 = 1 THEN '30400'
+            ELSE 'I10' END AS primary_diagnosis,
+          CASE WHEN o_orderkey % 15 = 1 THEN 9 ELSE 10 END AS ver
+        FROM orders),
+      ref(cond, code_set, code, ver, vset, oud_dx1_flag) AS (VALUES
+        ('bh_depression','ICD9CM','29620',9,'rda-bh',NULL),
+        ('bh_depression','ICD10CM','F329',10,'rda-bh',NULL),
+        ('bh_anxiety','ICD10CM','F411',10,'rda-bh',NULL),
+        ('bh_depression','NDC','11111111111',NULL,'rda-ndc',NULL),
+        ('bh_anxiety','NDC','22222222222',NULL,'rda-ndc',NULL),
+        ('sud_opioid','ICD9CM','30400',9,'rda-bh',NULL),
+        ('sud_opioid','ICD10CM','F1120',10,'rda-bh',NULL),
+        ('sud_opioid','NDC','33333333333',NULL,'rda-ndc',NULL),
+        ('sud_opioid','HCPCS','H0020',NULL,'apde-moud-procedure',1),
+        ('sud_opioid','HCPCS','J0571',NULL,'apde-moud-procedure',0)),
+      diag_ev AS (
+        SELECT DISTINCT d.id_apde, d.svc_date, r.cond AS bh_cond
+        FROM (SELECT DISTINCT id_apde, icdcm_norm, ver, fsd AS svc_date
+          FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond <> 'sud_opioid'),
+      rx_ev AS (
+        SELECT DISTINCT p.id_apde, p.rx_fill_date AS svc_date,
+          r.cond AS bh_cond
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond <> 'sud_opioid'),
+      spans AS (
+        SELECT id_apde, min(svc_date) AS first_encounter_date,
+          max(svc_date) AS last_encounter_date, bh_cond
+        FROM (SELECT * FROM diag_ev UNION SELECT * FROM rx_ev)
+        GROUP BY id_apde, bh_cond),
+      ouddx1 AS (
+        SELECT DISTINCT h.chid FROM hdr h
+        JOIN ref r ON h.primary_diagnosis = r.code AND h.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      darm AS (
+        SELECT DISTINCT d.id_apde, d.chid, d.svc_date
+        FROM (SELECT DISTINCT id_apde, chid, icdcm_norm, ver,
+            fsd AS svc_date FROM icdcm) d
+        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
+        WHERE r.code_set IN ('ICD9CM','ICD10CM')
+          AND r.cond = 'sud_opioid'),
+      rarm AS (
+        SELECT DISTINCT p.id_apde, p.chid, p.rx_fill_date AS svc_date
+        FROM pharm p JOIN ref r ON p.ndc = r.code
+        WHERE r.code_set = 'NDC' AND r.cond = 'sud_opioid'),
+      parm AS (
+        SELECT DISTINCT id_apde, chid, svc_date FROM (
+          SELECT DISTINCT p.id_apde, p.chid, p.fsd AS svc_date,
+            CASE WHEN r.oud_dx1_flag = 0 THEN 1
+              WHEN r.oud_dx1_flag = 1 AND d.chid IS NOT NULL THEN 1
+              ELSE 0 END AS ok
+          FROM prc p
+          JOIN ref r ON p.procedure_code = r.code
+            AND r.vset = 'apde-moud-procedure' AND r.cond = 'sud_opioid'
+          LEFT JOIN ouddx1 d ON p.chid = d.chid)
+        WHERE ok = 1),
+      oudclaims AS (
+        SELECT coalesce(d.id_apde, r.id_apde, p.id_apde) AS id_apde,
+          coalesce(d.svc_date, r.svc_date, p.svc_date) AS svc_date,
+          CASE WHEN d.chid IS NOT NULL THEN 1 END AS icdcm_flag
+        FROM darm d
+        FULL JOIN rarm r ON d.chid = r.chid
+        FULL JOIN parm p ON d.chid = p.chid),
+      oudmonth AS (
+        SELECT DISTINCT id_apde,
+          date_trunc('month', svc_date)::DATE AS fe,
+          last_day(svc_date) AS le
+        FROM oudclaims WHERE icdcm_flag = 1),
+      oudmin AS (
+        SELECT id_apde, min(fe) AS dmin FROM oudmonth GROUP BY id_apde),
+      moudmonth AS (
+        SELECT DISTINCT a.id_apde,
+          date_trunc('month', a.svc_date)::DATE AS fe,
+          last_day(a.svc_date) AS le
+        FROM oudclaims a JOIN oudmin b ON a.id_apde = b.id_apde
+        WHERE a.icdcm_flag IS NULL AND b.dmin <= a.svc_date),
+      oudrows AS (
+        SELECT id_apde, fe, le FROM oudmonth
+        UNION SELECT id_apde, fe, le FROM moudmonth),
+      bh AS (
+      SELECT id_apde, first_encounter_date, last_encounter_date, bh_cond
+      FROM spans
+      UNION
+      SELECT id_apde, fe AS first_encounter_date,
+        le AS last_encounter_date, 'sud_opioid' AS bh_cond
+      FROM oudrows)"""
+
+  /** q144/q298 shared naloxone row-grain build ending in the `nal` CTE. */
+  private val NaloxoneRowsCtes: String = """li AS (
+        SELECT o_custkey % 70 AS id_mcaid, l_orderkey AS chid,
+          l_partkey AS pk, l_suppkey AS sk,
+          CAST(l_shipdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      pharm AS (
+        SELECT id_mcaid, chid,
+          CASE WHEN pk % 13 = 0 THEN '00093216519'
+            WHEN pk % 13 = 1 THEN '55150034510'
+            WHEN pk % 13 = 2 THEN '55150032710'
+            WHEN pk % 13 = 3 THEN '00409121525'
+            WHEN pk % 13 = 4 THEN '012345678901'
+            WHEN pk % 13 = 5 THEN '12345678901'
+            ELSE lpad(CAST(pk AS VARCHAR), 11, '0') END AS ndc,
+          d AS rx_fill_date,
+          CASE WHEN pk % 7 = 0 THEN 0.5
+            ELSE CAST(1 + pk % 5 AS DOUBLE) END AS rx_quantity
+        FROM li),
+      ndclist(ndc) AS (VALUES ('00093216519'),('55150034510'),
+        ('55150032710'),('00409121525'),('12345678901')),
+      ndccodes(ndc, pname, dform, strength, unit) AS (VALUES
+        ('00093216519','Narcan Nasal','NASAL SPRAY',4.0,'mg/.1mL'),
+        ('55150034510','Naloxone HCl','SOLUTION FOR INJECTION',1.0,'mg/mL'),
+        ('55150032710','Naloxone HCl','SOLUTION FOR INJECTION',0.4,'mg/mL'),
+        ('00409121525','Naloxone HCl','INJECTION, SOLUTION',0.4,'mg/mL'),
+        ('12345678901','Generic Nalox','SOLUTION',2.0,'mg/.1mL'),
+        ('012345678901','Wrapped Nalox','SPRAY SOLUTION',8.0,'oddunit')),
+      expansion AS (
+        SELECT DISTINCT p.ndc
+        FROM (SELECT DISTINCT ndc FROM pharm) p
+        JOIN ndclist l ON p.ndc LIKE '%' || l.ndc || '%'),
+      rx AS (
+        SELECT p.id_mcaid, p.chid AS claim_header_id, p.ndc AS code,
+          upper(c.pname) AS description, p.rx_fill_date AS event_date,
+          p.rx_quantity AS quantity,
+          CASE WHEN c.dform LIKE '%SPRAY%' OR p.ndc = '00093216519'
+            THEN 'SPRAY'
+            WHEN c.dform LIKE '%INJECTION%' OR p.ndc IN
+              ('55150034510','55150032710','00409121525')
+            THEN 'INJECTION' END AS form,
+          CAST(CASE WHEN p.ndc = '00093216519' THEN 40.0
+            WHEN p.ndc = '55150034510' THEN 1.0
+            WHEN p.ndc = '55150032710' THEN 0.4
+            ELSE c.strength / (CASE WHEN c.unit = 'mg/.1mL' THEN 0.1
+              WHEN c.unit = 'mg/mL' THEN 1.0 END) END AS DOUBLE)
+            AS dosage_per_ml,
+          'PHARMACY' AS location
+        FROM pharm p
+        LEFT JOIN ndccodes c ON p.ndc = c.ndc
+        JOIN expansion e ON p.ndc = e.ndc
+        WHERE year(p.rx_fill_date) >= 1996 AND p.rx_quantity >= 1.0),
+      procs AS (
+        SELECT id_mcaid, chid,
+          CASE WHEN pk % 9 = 0 THEN 'G1028' WHEN pk % 9 = 1 THEN 'G2215'
+            WHEN pk % 9 = 2 THEN 'G2216' WHEN pk % 9 = 3 THEN 'J2310'
+            WHEN pk % 9 = 4 THEN 'J2311' WHEN pk % 9 = 5 THEN 'J2312'
+            WHEN pk % 9 = 6 THEN 'J3490'
+            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
+            END AS procedure_code,
+          CASE WHEN sk % 3 = 0 THEN 'HG' WHEN sk % 3 = 1 THEN 'TG'
+            ELSE 'XX' END AS modifier_code,
+          d AS lsd
+        FROM li),
+      procdesc(procedure_code, pdesc) AS (VALUES
+        ('G1028','Naloxone nasal 8mg'),('G2215','Naloxone nasal 4mg'),
+        ('G2216','Naloxone injection'),('J2310','Injection naloxone'),
+        ('J2311','Injection naloxone 1mg'),
+        ('J2312','Injection naloxone 0.5mg'),('J3490','Unclassified drug')),
+      px AS (
+        SELECT p.id_mcaid, p.chid AS claim_header_id,
+          p.procedure_code AS code, upper(dsc.pdesc) AS description,
+          p.lsd AS event_date,
+          CAST(CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 2.0
+            WHEN p.procedure_code IN ('G2216','J2310','J2311','J3490',
+              'J2312') THEN 1.0 END AS DOUBLE) AS quantity,
+          CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 'SPRAY'
+            WHEN p.procedure_code IN ('G2216','J2310','J2311','J2312')
+            THEN 'INJECTION'
+            WHEN p.procedure_code = 'J3490' THEN 'UNKNOWN' END AS form,
+          CAST(CASE WHEN p.procedure_code = 'G1028' THEN 80.0
+            WHEN p.procedure_code = 'G2215' THEN 40.0 END AS DOUBLE)
+            AS dosage_per_ml,
+          'PROCEDURE' AS location
+        FROM procs p LEFT JOIN procdesc dsc USING (procedure_code)
+        WHERE year(p.lsd) >= 1996
+          AND (p.procedure_code IN ('G1028','G2215','G2216','J2310',
+            'J2311','J2312')
+          OR (p.procedure_code = 'J3490'
+            AND p.modifier_code IN ('HG','TG')))),
+      nal AS (
+      SELECT DISTINCT * FROM
+        (SELECT * FROM rx UNION ALL SELECT * FROM px))"""
+
+  /** q148/q300 shared housing-status build ending in the `hs` CTE. */
+  private val HousingRowsCtes: String = """em AS (
+        SELECT *,
+          CASE WHEN (id_mcaid + month(from_date)) % 9 = 0
+            THEN '123 HOMELESS SHELTER'
+            ELSE CAST(id_mcaid AS VARCHAR) || ' MAIN ST'
+            END AS geo_add1,
+          CASE WHEN (id_mcaid + month(from_date)) % 25 = 0
+            THEN 'HOMELESS' END AS geo_add2
+        FROM (
+          SELECT DISTINCT o_custkey % 100 AS id_mcaid,
+            date_trunc('month', CAST(o_orderdate AS DATE)) AS from_date,
+            last_day(CAST(o_orderdate AS DATE)) AS to_date
+          FROM orders)),
+      icdcm AS (
+        SELECT o_custkey % 100 AS id_mcaid,
+          CAST(l_shipdate AS DATE) AS first_service_date,
+          CASE WHEN l_partkey % 23 = 0 THEN 'Z590'
+            WHEN l_partkey % 23 = 1 THEN 'Z5900'
+            WHEN l_partkey % 23 = 2 THEN 'Z5901'
+            WHEN l_partkey % 23 = 3 THEN 'Z5902'
+            WHEN l_partkey % 23 = 4 THEN 'Z591'
+            WHEN l_partkey % 23 = 5 THEN 'Z5910'
+            WHEN l_partkey % 23 = 6 THEN 'Z5919'
+            WHEN l_partkey % 23 = 7 THEN 'Z59811'
+            WHEN l_partkey % 23 = 8 THEN 'Z59812'
+            ELSE 'A' || lpad(CAST(l_partkey % 900 AS VARCHAR), 3, '0')
+            END AS icdcm_norm
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      zcodes AS (
+        SELECT id_mcaid, first_service_date, icdcm_norm FROM icdcm
+        WHERE icdcm_norm IN ('Z590','Z5900','Z5901','Z5902','Z591',
+          'Z5910','Z5919') OR icdcm_norm LIKE 'Z5981%'),
+      temp1 AS (
+        SELECT a.id_mcaid, a.from_date, a.to_date,
+          CASE WHEN a.geo_add1 LIKE '%HOMELESS%'
+            OR a.geo_add2 LIKE '%HOMELESS%' THEN 1 ELSE 0 END
+            AS is_homeless_addr,
+          CASE WHEN b.icdcm_norm IN ('Z590','Z5900','Z5901','Z5902')
+            THEN 'homeless'
+            WHEN b.icdcm_norm IN ('Z591','Z5910','Z5919')
+              OR b.icdcm_norm LIKE 'Z5981%' THEN 'unstably housed'
+            END AS zcode_status
+        FROM em a LEFT JOIN zcodes b ON a.id_mcaid = b.id_mcaid
+          AND b.first_service_date BETWEEN a.from_date AND a.to_date),
+      temp2 AS (
+        SELECT id_mcaid, from_date, to_date,
+          CASE WHEN zcode_status IS NOT NULL THEN zcode_status
+            WHEN is_homeless_addr = 1 THEN 'homeless' END
+            AS housing_status,
+          CASE WHEN is_homeless_addr = 1 AND zcode_status IS NOT NULL
+            THEN 'multiple'
+            WHEN is_homeless_addr = 1 AND zcode_status IS NULL
+            THEN 'homeless_address'
+            WHEN is_homeless_addr = 0 AND zcode_status IS NOT NULL
+            THEN 'z_codes' END AS housing_status_source
+        FROM temp1
+        WHERE is_homeless_addr = 1 OR zcode_status IS NOT NULL),
+      temp3 AS (
+        SELECT id_mcaid, from_date, to_date,
+          COUNT(DISTINCT housing_status) AS status_dcount,
+          COUNT(DISTINCT housing_status_source) AS source_dcount
+        FROM temp2 GROUP BY id_mcaid, from_date, to_date),
+      hs AS (
+      SELECT DISTINCT a.id_mcaid, a.from_date, a.to_date,
+        CASE WHEN b.status_dcount > 1 THEN 'homeless'
+          ELSE a.housing_status END AS housing_status,
+        CASE WHEN b.source_dcount > 1 THEN 'multiple'
+          ELSE a.housing_status_source END AS housing_status_source
+      FROM temp2 a LEFT JOIN temp3 b ON a.id_mcaid = b.id_mcaid
+        AND a.from_date = b.from_date AND a.to_date = b.to_date)"""
+
+  /** q92/q297 shared MOUD person-day chain ending in the `fin` CTE. */
+  private val MoudDayCtes: String = """li AS (
+        SELECT o_custkey % 80 AS id_person, CAST(l_shipdate AS DATE) AS ship_d,
+          l_partkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      proc0 AS (
+        SELECT DISTINCT id_person, ship_d AS service_date,
+          CASE l_partkey % 24
+            WHEN 0 THEN 'H0033' WHEN 1 THEN 'H0020' WHEN 2 THEN 'S0109'
+            WHEN 3 THEN 'G2078' WHEN 4 THEN 'G2067' WHEN 5 THEN 'J0571'
+            WHEN 6 THEN 'J0572' WHEN 7 THEN 'J0573' WHEN 8 THEN 'Q9991'
+            WHEN 9 THEN 'G2068' WHEN 10 THEN 'G2073' WHEN 11 THEN 'J2315'
+            WHEN 12 THEN 'G2074' WHEN 13 THEN 'G2075' WHEN 14 THEN 'G2086'
+            ELSE 'OTH' END AS procedure_code
+        FROM li),
+      flagged AS (
+        SELECT id_person, service_date, procedure_code,
+          CASE WHEN procedure_code IN ('H0020','S0109','G2078','G2067') THEN 1 ELSE 0 END AS meth_proc_flag,
+          CASE WHEN procedure_code IN ('J0571','J0572','J0573','Q9991','G2068') THEN 1 ELSE 0 END AS bup_proc_flag,
+          CASE WHEN procedure_code IN ('G2073','J2315') THEN 1 ELSE 0 END AS nal_proc_flag,
+          CASE WHEN procedure_code IN ('G2074','G2075','G2086') THEN 1 ELSE 0 END AS unspec_proc_flag,
+          CASE WHEN procedure_code IN ('H0033','H0020','S0109','J0571','J0572','J0573') THEN 1
+               WHEN procedure_code IN ('G2078','G2067','G2068') THEN 7
+               WHEN procedure_code IN ('Q9991','G2073','J2315') THEN 30
+               ELSE 0 END AS moud_days_supply
+        FROM proc0 WHERE procedure_code <> 'OTH'),
+      rx AS (
+        SELECT DISTINCT o_custkey % 80 AS id_person,
+          CAST(o_orderdate AS DATE) AS service_date, 1 AS bup_rx_flag
+        FROM orders WHERE o_orderkey % 6 = 0),
+      h33 AS (SELECT DISTINCT id_person FROM flagged WHERE procedure_code = 'H0033'),
+      msums AS (
+        SELECT id_person, ym, sum(m) AS meth_sum, sum(b) AS bup_sum,
+          sum(brx) AS bup_rx_sum
+        FROM (
+          SELECT f.id_person, strftime(f.service_date, '%Y%m') AS ym,
+            f.meth_proc_flag AS m, f.bup_proc_flag AS b, 0 AS brx FROM flagged f
+          UNION ALL
+          SELECT r.id_person, strftime(r.service_date, '%Y%m'), 0, 0, r.bup_rx_flag
+          FROM rx r) u
+        WHERE id_person IN (SELECT id_person FROM h33)
+        GROUP BY 1, 2),
+      resolved AS (
+        SELECT f.id_person, f.service_date,
+          CASE WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum = 0 THEN 1
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum > 0 THEN 0
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum >= s.bup_sum AND s.meth_sum <> 0 THEN 1
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum < s.bup_sum THEN 0
+               ELSE f.meth_proc_flag END AS meth_proc_flag,
+          CASE WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum = 0 THEN 0
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum > 0 THEN 1
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum >= s.bup_sum AND s.meth_sum <> 0 THEN 0
+               WHEN f.procedure_code = 'H0033' AND s.meth_sum < s.bup_sum THEN 1
+               ELSE f.bup_proc_flag END AS bup_proc_flag,
+          f.nal_proc_flag, f.unspec_proc_flag, f.moud_days_supply
+        FROM flagged f LEFT JOIN msums s
+          ON f.id_person = s.id_person AND strftime(f.service_date, '%Y%m') = s.ym),
+      daily AS (
+        SELECT id_person, service_date,
+          max(meth_proc_flag) AS meth_proc_flag,
+          max(bup_proc_flag) AS bup_proc_flag,
+          max(nal_proc_flag) AS nal_proc_flag,
+          max(unspec_proc_flag) AS unspec_proc_flag,
+          sum(moud_days_supply) AS moud_days_supply
+        FROM resolved GROUP BY 1, 2),
+      s8 AS (
+        SELECT *, CAST(year(service_date) AS VARCHAR) || '_' ||
+            CAST(quarter(service_date) AS VARCHAR) AS service_quarter,
+          CASE WHEN meth_proc_flag = 1 AND lead(meth_proc_flag) OVER wn = 1
+            THEN date_diff('day', service_date, lead(service_date) OVER wn)
+            END AS next_meth_diff
+        FROM daily
+        WINDOW wn AS (PARTITION BY id_person
+          ORDER BY meth_proc_flag DESC, service_date)),
+      s9 AS (
+        SELECT *,
+          sum(meth_proc_flag) OVER wq AS meth_sum_quarter,
+          median(CAST(next_meth_diff AS DOUBLE)) OVER wq AS median_gap_quarter
+        FROM s8
+        WINDOW wq AS (PARTITION BY id_person, service_quarter)),
+      fin AS (
+        SELECT *,
+          CASE WHEN meth_proc_flag = 1 AND meth_sum_quarter <= 2 THEN CAST(moud_days_supply AS DOUBLE)
+               WHEN meth_proc_flag = 1 AND next_meth_diff > median_gap_quarter * 1.5 THEN median_gap_quarter
+               WHEN meth_proc_flag = 1 AND next_meth_diff IS NULL THEN median_gap_quarter
+               WHEN meth_proc_flag = 1 THEN CAST(next_meth_diff AS DOUBLE)
+               ELSE CAST(moud_days_supply AS DOUBLE) END AS supply_new_row
+        FROM s9)"""
+
+  /** q91/q299 shared 7-class recursive placement ending in the `placed` CTE. */
+  private val PregFullPlacedCtes: String = """ep AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 60 AS id, CAST(o_orderdate AS DATE) AS d,
+          CASE WHEN o_orderkey % 17 <= 2 THEN 'lb'
+               WHEN o_orderkey % 17 <= 5 THEN 'sb'
+               WHEN o_orderkey % 17 <= 8 THEN 'deliv'
+               WHEN o_orderkey % 17 <= 10 THEN 'tro'
+               WHEN o_orderkey % 17 <= 12 THEN 'ect'
+               WHEN o_orderkey % 17 <= 14 THEN 'ab'
+               ELSE 'sa' END AS cls
+        FROM orders),
+      lb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT id, d FROM ep WHERE cls = 'lb')),
+      lbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
+        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
+      sb0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 182)),
+      sbrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
+      deliv0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 182) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 168)),
+      delivrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM deliv0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
+        FROM delivrec a JOIN deliv0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      delivfin AS MATERIALIZED (SELECT id, d FROM delivrec WHERE inc = 1),
+      tro0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'tro') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154)),
+      trorec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM tro0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
+        FROM trorec a JOIN tro0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      trofin AS MATERIALIZED (SELECT id, d FROM trorec WHERE inc = 1),
+      ect0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'ect') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
+            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
+              AND abs(date_diff('day', h3.d, s3.d)) <= 56)),
+      ectrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM ect0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
+        FROM ectrec a JOIN ect0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      ectfin AS MATERIALIZED (SELECT id, d FROM ectrec WHERE inc = 1),
+      ab0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s4.id, s4.d FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'ab') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
+            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
+              AND abs(date_diff('day', h3.d, s3.d)) <= 56) s4
+            ANTI JOIN ectfin h4 ON h4.id = s4.id AND h4.d <> s4.d
+              AND abs(date_diff('day', h4.d, s4.d)) <= 56)),
+      abrec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM ab0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
+        FROM abrec a JOIN ab0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      abfin AS MATERIALIZED (SELECT id, d FROM abrec WHERE inc = 1),
+      sa0 AS MATERIALIZED (
+        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
+          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
+        FROM (SELECT s5.id, s5.d FROM (SELECT s4.id, s4.d FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'sa') s0
+            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
+              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
+            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
+              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
+            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
+              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
+            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
+              AND abs(date_diff('day', h3.d, s3.d)) <= 56) s4
+            ANTI JOIN ectfin h4 ON h4.id = s4.id AND h4.d <> s4.d
+              AND abs(date_diff('day', h4.d, s4.d)) <= 56) s5
+            ANTI JOIN abfin h5 ON h5.id = s5.id AND h5.d <> s5.d
+              AND abs(date_diff('day', h5.d, s5.d)) <= 56)),
+      sarec AS (
+        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sa0 WHERE rk = 1
+        UNION ALL
+        SELECT b.id, b.d, b.rk,
+          CASE WHEN a.cum + b.diff > 42 THEN 0 ELSE a.cum + b.diff END,
+          CASE WHEN a.cum + b.diff > 42 THEN 1 ELSE 0 END
+        FROM sarec a JOIN sa0 b ON b.id = a.id AND b.rk = a.rk + 1),
+      safin AS MATERIALIZED (SELECT id, d FROM sarec WHERE inc = 1),
+      placed AS (SELECT id, 'lb' AS cls, d FROM lbfin
+      UNION ALL SELECT id, 'sb', d FROM sbfin
+      UNION ALL SELECT id, 'deliv', d FROM delivfin
+      UNION ALL SELECT id, 'tro', d FROM trofin
+      UNION ALL SELECT id, 'ect', d FROM ectfin
+      UNION ALL SELECT id, 'ab', d FROM abfin
+      UNION ALL SELECT id, 'sa', d FROM safin)"""
+
+  /** q90/q299 shared prenatal-window episode construction (`tl` ->
+    * `epi`) over a `placed` CTE of (id, cls, d) rows — 7-class-general
+    * (the dg/mg/buffer CASEs carry every class). */
+  private val EpisodeCtes: String = """tl AS (
+        SELECT id, cls, d,
+          row_number() OVER (PARTITION BY id ORDER BY d, cls) AS seq,
+          date_diff('day',
+            lag(d) OVER (PARTITION BY id ORDER BY d, cls), d) AS dd,
+          lag(cls) OVER (PARTITION BY id ORDER BY d, cls) AS pcls
+        FROM placed),
+      epi AS MATERIALIZED (
+        SELECT id AS id_person, cls AS preg_endpoint,
+          CAST(seq AS INT) AS preg_episode_seq,
+          CASE WHEN dd IS NULL OR dd >= dg THEN d - CAST(dg AS INT)
+            ELSE d - CAST(dd AS INT) + CAST(buf AS INT) END AS preg_start_date,
+          d AS preg_end_date,
+          d - CAST(dg AS INT) AS preg_start_date_max,
+          d - CAST(mg AS INT) AS preg_start_date_min
+        FROM (
+          SELECT id, cls, seq, dd, pcls, d,
+            CASE WHEN cls IN ('lb','sb','deliv') THEN 301
+                 WHEN cls = 'tro' THEN 112 WHEN cls = 'ect' THEN 84
+                 WHEN cls = 'ab' THEN 168 WHEN cls = 'sa' THEN 133 END AS dg,
+            CASE WHEN cls = 'lb' THEN 154 WHEN cls IN ('sb','deliv') THEN 140
+                 WHEN cls IN ('tro','ect','ab') THEN 42
+                 WHEN cls = 'sa' THEN 28 END AS mg,
+            CASE WHEN pcls IN ('lb','sb','deliv') THEN 28
+                 WHEN pcls IN ('tro','ect','ab','sa') THEN 14 END AS buf
+          FROM tl))"""
+
+  /** q90/q299 shared GA-correction chain (`procs` -> `corr` -> `final`)
+    * over `epi`; the anchor-procedure fixture's person-id modulus is
+    * the one knob the two placements differ on. */
+  private def pregCorrectionCtes(idMod: Int): String = s"""      procs AS (
+        SELECT o_custkey % $idMod AS id_person,
+          CAST(l_shipdate AS DATE) AS procedure_date,
+          CASE WHEN l_partkey % 13 = 0 THEN '58321'
+               WHEN l_partkey % 13 = 1 THEN 'S4035'
+               ELSE 'OTHER' END AS procedure_code
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      corr AS (
+        SELECT e.id_person, e.preg_episode_seq,
+          max(p.procedure_date - 13) AS preg_start_date_correct
+        FROM epi e JOIN procs p ON p.id_person = e.id_person
+        WHERE p.procedure_code IN
+          ('58321', '58322', 'S4035', '58974', '58976', 'S4037')
+          AND p.procedure_date BETWEEN e.preg_start_date AND e.preg_end_date
+        GROUP BY 1, 2),
+      final AS (
+        SELECT e.id_person, e.preg_endpoint, e.preg_episode_seq,
+          e.preg_start_date_max, e.preg_start_date_min,
+          c.preg_start_date_correct,
+          CASE WHEN c.preg_start_date_correct IS NULL THEN NULL
+            ELSE CAST(round((date_diff('day', c.preg_start_date_correct,
+              e.preg_end_date) + 1) * 1.0 / 7, 1) AS DECIMAL(4,1)) END
+            AS ga_weeks
+        FROM epi e LEFT JOIN corr c USING (id_person, preg_episode_seq))"""
+
+  /** The four battery oracles (qa_stage.mcaid_claim_*.R) — every note
+    * string rendered exactly as the Scala battery renders the
+    * reference's glue templates. */
+  private lazy val claimQaOracles: Map[String, String] = Map(
+    "q292_claim_icdcm_qa" -> s"""
+      WITH $IcdcmRowsCtes,
+      prior AS MATERIALIZED (SELECT * FROM norm
+        WHERE claim_header_id % 20 <> 0),
+      refc AS (SELECT DISTINCT icdcm_version, icdcm_norm FROM prior),
+      ${idsVsEligCtes("norm", "id_person")},
+      env AS (SELECT
+        coalesce(min(CASE WHEN icdcm_version = 9 THEN length(icdcm_norm) END), 0) AS min9,
+        coalesce(max(CASE WHEN icdcm_version = 9 THEN length(icdcm_norm) END), 0) AS max9,
+        coalesce(min(CASE WHEN icdcm_version = 10 THEN length(icdcm_norm) END), 0) AS min10,
+        coalesce(max(CASE WHEN icdcm_version = 10 THEN length(icdcm_norm) END), 0) AS max10,
+        coalesce(sum(CASE WHEN icdcm_number NOT IN ('01','02','03','04',
+          '05','06','07','08','09','10','11','12','admit')
+          THEN 1 ELSE 0 END), 0) AS badnum
+        FROM norm),
+      dxc AS (SELECT count(*) AS dx FROM
+        (SELECT DISTINCT icdcm_version, icdcm_norm FROM norm) a
+        WHERE NOT EXISTS (SELECT 1 FROM refc b
+          WHERE a.icdcm_version = b.icdcm_version
+            AND a.icdcm_norm = b.icdcm_norm)),
+      ${yearChangeCtes("norm", "prior", "last_service_date")}
+      SELECT * FROM (
+        ${idsVsEligRowSql("stage.mcaid_claim_icdcm_header")}
+        UNION ALL
+        SELECT 'stage.mcaid_claim_icdcm_header', 'Length of ICD-9-CM codes',
+          CASE WHEN min9 = 5 AND max9 = 5 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN min9 = 5 AND max9 = 5
+            THEN 'The ICD-9-CM codes were all 5 characters in length'
+            ELSE 'The ICD-9-CM codes ranged from ' || CAST(min9 AS VARCHAR)
+              || ' to ' || CAST(max9 AS VARCHAR)
+              || ' characters in length (should be all 5)' END
+        FROM env
+        UNION ALL
+        SELECT 'stage.mcaid_claim_icdcm_header', 'Length of ICD-10-CM codes',
+          CASE WHEN min10 = 3 AND max10 = 7 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN min10 = 3 AND max10 = 7
+            THEN 'The ICD-10-CM codes ranged from ' || CAST(min10 AS VARCHAR)
+              || ' to ' || CAST(max10 AS VARCHAR)
+              || ' characters in length, as expected'
+            ELSE 'The ICD-10-CM codes ranged from ' || CAST(min10 AS VARCHAR)
+              || ' to ' || CAST(max10 AS VARCHAR)
+              || ' characters in length (should be 3-7)' END
+        FROM env
+        UNION ALL
+        SELECT 'stage.mcaid_claim_icdcm_header', 'icdcm_number = 01-12 or admit',
+          CASE WHEN badnum = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN badnum = 0
+            THEN 'All icdcm_number values were 01:12 or admit'
+            ELSE 'There were ' || CAST(badnum AS VARCHAR)
+              || ' icdcm_number values not 01 through 12 or admit' END
+        FROM env
+        UNION ALL
+        SELECT 'stage.mcaid_claim_icdcm_header',
+          'Almost all dx codes join to ICD-CM reference table',
+          CASE WHEN dx < 350 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN dx < 350
+            THEN 'There were ' || CAST(dx AS VARCHAR)
+              || ' dx values not in ref.icdcm_codes (acceptable is < 350)'
+            ELSE 'There were ' || CAST(dx AS VARCHAR)
+              || ' dx values not in ref.icdcm_codes table (acceptable is < 350)'
+            END
+        FROM dxc
+        UNION ALL
+        ${yearChangeRowSql("stage.mcaid_claim_icdcm_header",
+          "Change in number of diagnoses", "Change in number of diagnoses",
+          "diagnoses", "diagnoses")})
+      ORDER BY qa_item""",
+
+    "q293_claim_line_qa" -> s"""
+      WITH $LineStageCtes,
+      rev AS MATERIALIZED (
+        SELECT *, CASE WHEN mbr_h_sid % 11 = 0 THEN NULL
+          ELSE lpad(CAST((clm_line * 37 + mbr_h_sid) % 10000 AS VARCHAR),
+            4, '0') END AS rev_code
+        FROM stage),
+      prior AS (SELECT * FROM rev WHERE mbr_h_sid % 20 <> 0),
+      ${idsVsEligCtes("rev", "mbr_h_sid")},
+      cnts AS (SELECT count(DISTINCT clm_line_tcn) AS nline,
+        coalesce(sum(CASE WHEN rev_code IS NOT NULL
+          AND (length(rev_code) <> 4
+            OR NOT regexp_matches(rev_code, '^[0-9]+$$'))
+          THEN 1 ELSE 0 END), 0) AS badrev
+        FROM rev),
+      rawc AS (SELECT count(DISTINCT 'T' || CAST(l_orderkey AS VARCHAR)
+        || lpad(CAST(l_linenumber AS VARCHAR), 3, '0')) AS nraw
+        FROM lineitem),
+      ${yearChangeCtes("rev", "prior", "from_srvc_date")}
+      SELECT * FROM (
+        ${idsVsEligRowSql("stage.mcaid_claim_line")}
+        UNION ALL
+        SELECT 'stage.mcaid_claim_line',
+          'Number of distinct claim lines compared to raw data',
+          CASE WHEN nline = nraw THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nline = nraw
+            THEN 'There were the same number of distinct claim lines as in the raw data'
+            ELSE 'stage.mcaid_claim_line had ' || CAST(nline AS VARCHAR)
+              || ' distinct claim lines compared to '
+              || CAST(nraw AS VARCHAR) || ' in load_raw.mcaid_claim' END
+        FROM cnts, rawc
+        UNION ALL
+        SELECT 'stage.mcaid_claim_line', 'Format of rev_code field',
+          CASE WHEN badrev = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN badrev = 0
+            THEN 'All rows of rev_code formatted properly'
+            ELSE 'rev_code field had some rows with length != 4 or characters'
+            END
+        FROM cnts
+        UNION ALL
+        ${yearChangeRowSql("stage.mcaid_claim_line",
+          "Change in number of claim lines", "Change in number of claim lines",
+          "claim lines", "claim lines")})
+      ORDER BY qa_item""",
+
+    "q294_claim_procedure_qa" -> s"""
+      WITH $ProcRowsCtes,
+      prior AS (SELECT * FROM norm WHERE claim_header_id % 20 <> 0),
+      ${idsVsEligCtes("norm", "id_person")},
+      fmt AS (SELECT count(DISTINCT pcode) AS unk FROM norm
+        WHERE pcode_number NOT LIKE 'M%'
+          AND NOT (regexp_matches(pcode, '^[0-9]{5}$$')
+            OR regexp_matches(pcode, '^[0-9]{4}F$$')
+            OR regexp_matches(pcode, '^[0-9]{4}T$$')
+            OR regexp_matches(pcode, '^[0-9]{4}[MU]$$')
+            OR regexp_matches(pcode, '^[A-Z][0-9]{4}$$')
+            OR regexp_matches(pcode, '^[0-9]{3,4}$$')
+            OR length(pcode) = 7)),
+      ${yearChangeCtes("norm", "prior", "first_service_date")}
+      SELECT * FROM (
+        ${idsVsEligRowSql("stage.mcaid_claim_procedure")}
+        UNION ALL
+        SELECT 'stage.mcaid_claim_procedure', 'Format of procedure codes',
+          CASE WHEN unk < 50 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN unk < 50
+            THEN 'There were ' || CAST(unk AS VARCHAR)
+              || ' distinct procedure codes with an unknown format (<50 ok)'
+            ELSE 'There were ' || CAST(unk AS VARCHAR)
+              || ' distinct procedure codes with an unknown format' END
+        FROM fmt
+        UNION ALL
+        ${yearChangeRowSql("stage.mcaid_claim_procedure",
+          "Change in number of procedures", "Change in number of procedures",
+          "procedures", "procedures")})
+      ORDER BY qa_item""",
+
+    "q295_claim_pharm_qa" -> s"""
+      WITH $PharmRowsCtes,
+      pnorm AS MATERIALIZED (SELECT n.*, o_custkey AS id_mcaid
+        FROM norm n JOIN orders ON n.claim_header_id = o_orderkey),
+      prior AS (SELECT * FROM pnorm WHERE claim_header_id % 20 <> 0),
+      ${idsVsEligCtes("pnorm", "id_mcaid")},
+      fmt AS (SELECT coalesce(sum(CASE WHEN ndc IS NOT NULL
+          AND (length(ndc) <> 11 OR NOT regexp_matches(ndc, '^[0-9]+$$'))
+          THEN 1 ELSE 0 END), 0) AS badndc
+        FROM pnorm),
+      ${yearChangeCtes("pnorm", "prior", "rx_fill_date")}
+      SELECT * FROM (
+        ${idsVsEligRowSql("stage.mcaid_claim_pharm")}
+        UNION ALL
+        SELECT 'stage.mcaid_claim_pharm', 'Format of ndc field',
+          CASE WHEN badndc = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN badndc = 0
+            THEN 'All rows of ndc formatted properly'
+            ELSE 'ndc field had some rows with length != 11 or numeric'
+            END
+        FROM fmt
+        UNION ALL
+        ${yearChangeRowSql("stage.mcaid_claim_pharm",
+          "Change in number of pharmacy claim rows",
+          "Change in number of pharmacy claim row",
+          "pharmacy claim rows", "pharmacy claim lines")})
+      ORDER BY qa_item""")
+
   private val dateDimOracleBody: String = """
       WITH yr AS (
         SELECT min(year(o_orderdate::DATE)) AS y0,
@@ -2373,7 +3353,7 @@ object SparkEntry {
         FROM hol)"""
 
   def oracleSql: Map[String, String] = baseOracleSql ++
-    eligQaOracles(baseOracleSql) +
+    eligQaOracles(baseOracleSql) ++ claimQaOracles +
     ("q290_date_dim" -> (dateDimOracleBody + """
       SELECT * FROM dim ORDER BY "date"""")) +
     ("q291_date_dim_qa" -> (dateDimOracleBody + """,
@@ -4108,87 +5088,22 @@ object SparkEntry {
           / greatest(len(p.sh), 1) >= 0.3
       ORDER BY probe_id, doc_id""",
 
-    "q79_claim_icdcm" -> """
-      WITH wide AS (
-        SELECT o_orderkey AS claim_header_id, o_custkey AS id_person,
-          DATE '2014-01-01' + CAST(o_orderkey % 1460 AS INT) AS last_service_date,
-          CAST(o_orderkey % 99999 AS VARCHAR) AS dx01,
-          CASE WHEN o_orderkey % 3 <> 0 THEN
-            chr(CAST(65 + o_custkey % 26 AS INT)) ||
-            lpad(CAST(o_orderkey % 999 AS VARCHAR), 3, '0') END AS dx02,
-          CASE WHEN o_orderkey % 5 = 0 THEN
-            'E' || CAST(o_orderkey % 9999 AS VARCHAR) END AS dx03,
-          CASE WHEN o_orderkey % 2 = 0 THEN
-            CAST(o_custkey % 99999 AS VARCHAR) END AS dx_admit
-        FROM orders),
-      lng AS (
-        SELECT claim_header_id, id_person, last_service_date, '01' AS icdcm_number, dx01 AS icdcm_raw FROM wide
-        UNION ALL SELECT claim_header_id, id_person, last_service_date, '02', dx02 FROM wide
-        UNION ALL SELECT claim_header_id, id_person, last_service_date, '03', dx03 FROM wide
-        UNION ALL SELECT claim_header_id, id_person, last_service_date, 'admit', dx_admit FROM wide),
-      norm AS (
-        SELECT DISTINCT claim_header_id, id_person, last_service_date, icdcm_number, icdcm_raw,
-          CASE WHEN regexp_matches(icdcm_raw, '^[0-9]')
-                 OR (regexp_matches(icdcm_raw, '^[EV]')
-                     AND last_service_date < DATE '2015-10-01') THEN 9
-               ELSE 10 END AS icdcm_version,
-          CASE WHEN (regexp_matches(icdcm_raw, '^[0-9]')
-                 OR (regexp_matches(icdcm_raw, '^[EV]')
-                     AND last_service_date < DATE '2015-10-01'))
-                AND length(icdcm_raw) BETWEEN 3 AND 4
-               THEN rpad(icdcm_raw, 5, '0') ELSE icdcm_raw END AS icdcm_norm
-        FROM lng WHERE icdcm_raw IS NOT NULL AND trim(icdcm_raw) <> '')
+    "q79_claim_icdcm" -> s"""
+      WITH $IcdcmRowsCtes
       SELECT icdcm_version, icdcm_number, count(*) AS n,
         count(DISTINCT icdcm_norm) AS n_codes,
         min(icdcm_norm) AS min_code, max(icdcm_norm) AS max_code
       FROM norm GROUP BY 1, 2 ORDER BY icdcm_version, icdcm_number""",
 
-    "q80_claim_procedure" -> """
-      WITH wide AS (
-        SELECT o_orderkey AS claim_header_id,
-          lpad(CAST(o_orderkey % 89999 + 10000 AS VARCHAR), 5, '0') AS pc01,
-          CASE WHEN o_orderkey % 4 <> 1 THEN
-            chr(CAST(65 + o_orderkey % 5 AS INT)) ||
-            lpad(CAST(o_custkey % 9999 AS VARCHAR), 4, '0') END AS pc02,
-          CASE WHEN o_orderkey % 7 = 0 THEN
-            CAST(o_custkey % 99999 AS VARCHAR) END AS pc03,
-          CASE WHEN o_orderkey % 3 = 0 THEN
-            lower(substr(o_orderpriority, 1, 2)) END AS mod1,
-          CASE WHEN o_orderkey % 11 = 0 THEN 'gt' END AS mod2
-        FROM orders),
-      lng AS (
-        SELECT claim_header_id, '01' AS pcode_number, pc01 AS pcode_raw FROM wide
-        UNION ALL SELECT claim_header_id, '02', pc02 FROM wide
-        UNION ALL SELECT claim_header_id, '03', pc03 FROM wide
-        UNION ALL SELECT claim_header_id, 'M1', mod1 FROM wide
-        UNION ALL SELECT claim_header_id, 'M2', mod2 FROM wide),
-      norm AS (
-        SELECT DISTINCT claim_header_id, pcode_number,
-          upper(trim(pcode_raw)) AS pcode
-        FROM lng WHERE pcode_raw IS NOT NULL AND trim(pcode_raw) <> '')
+    "q80_claim_procedure" -> s"""
+      WITH $ProcRowsCtes
       SELECT pcode_number, count(*) AS n,
         count(DISTINCT pcode) AS n_codes,
         min(pcode) AS min_code, max(pcode) AS max_code
       FROM norm GROUP BY 1 ORDER BY pcode_number""",
 
-    "q81_claim_pharm" -> """
-      WITH raw AS (
-        SELECT l_orderkey AS claim_header_id,
-          CASE WHEN l_orderkey % 13 = 0 THEN
-            'N' || lpad(CAST(l_partkey AS VARCHAR), 10, '0')
-          ELSE lpad(CAST((l_partkey * 37 + l_suppkey) % 100000000000 AS VARCHAR),
-            11, '0') END AS ndc_raw,
-          CASE WHEN l_suppkey % 17 = 0 THEN 'NA'
-            ELSE CAST(CAST(floor(l_quantity) AS INT) * 9 AS VARCHAR)
-          END AS supply_days_raw
-        FROM lineitem),
-      norm AS (
-        SELECT claim_header_id,
-          CASE WHEN regexp_matches(ndc_raw, '^[0-9]{11}$') THEN ndc_raw END AS ndc,
-          regexp_matches(ndc_raw, '^[0-9]{11}$') AS ndc_valid,
-          CASE WHEN TRY_CAST(supply_days_raw AS INT) BETWEEN 0 AND 365
-            THEN TRY_CAST(supply_days_raw AS INT) END AS supply_days
-        FROM raw)
+    "q81_claim_pharm" -> s"""
+      WITH $PharmRowsCtes
       SELECT ndc_valid, supply_days IS NOT NULL AS supply_known,
         count(*) AS n, count(DISTINCT ndc) AS n_ndc,
         sum(supply_days) AS sum_supply
@@ -4537,57 +5452,9 @@ object SparkEntry {
     // q90: q89's episodes + STEP 8A anchor-procedure start-date correction
     // (max corrected start = closest-to-end), ga_weeks to 1 decimal, and
     // the 22/20-week validity + 37-week ftb/ptb flags.
-    "q90_preg_ga_correct" -> (PregPlacementCte + """,
-      tl AS (
-        SELECT id, cls, d,
-          row_number() OVER (PARTITION BY id ORDER BY d, cls) AS seq,
-          date_diff('day',
-            lag(d) OVER (PARTITION BY id ORDER BY d, cls), d) AS dd,
-          lag(cls) OVER (PARTITION BY id ORDER BY d, cls) AS pcls
-        FROM placed),
-      epi AS MATERIALIZED (
-        SELECT id AS id_person, cls AS preg_endpoint,
-          CAST(seq AS INT) AS preg_episode_seq,
-          CASE WHEN dd IS NULL OR dd >= dg THEN d - CAST(dg AS INT)
-            ELSE d - CAST(dd AS INT) + CAST(buf AS INT) END AS preg_start_date,
-          d AS preg_end_date,
-          d - CAST(dg AS INT) AS preg_start_date_max,
-          d - CAST(mg AS INT) AS preg_start_date_min
-        FROM (
-          SELECT id, cls, seq, dd, pcls, d,
-            CASE WHEN cls IN ('lb','sb','deliv') THEN 301
-                 WHEN cls = 'tro' THEN 112 WHEN cls = 'ect' THEN 84
-                 WHEN cls = 'ab' THEN 168 WHEN cls = 'sa' THEN 133 END AS dg,
-            CASE WHEN cls = 'lb' THEN 154 WHEN cls IN ('sb','deliv') THEN 140
-                 WHEN cls IN ('tro','ect','ab') THEN 42
-                 WHEN cls = 'sa' THEN 28 END AS mg,
-            CASE WHEN pcls IN ('lb','sb','deliv') THEN 28
-                 WHEN pcls IN ('tro','ect','ab','sa') THEN 14 END AS buf
-          FROM tl)),
-      procs AS (
-        SELECT o_custkey % 100 AS id_person,
-          CAST(l_shipdate AS DATE) AS procedure_date,
-          CASE WHEN l_partkey % 13 = 0 THEN '58321'
-               WHEN l_partkey % 13 = 1 THEN 'S4035'
-               ELSE 'OTHER' END AS procedure_code
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      corr AS (
-        SELECT e.id_person, e.preg_episode_seq,
-          max(p.procedure_date - 13) AS preg_start_date_correct
-        FROM epi e JOIN procs p ON p.id_person = e.id_person
-        WHERE p.procedure_code IN
-          ('58321', '58322', 'S4035', '58974', '58976', 'S4037')
-          AND p.procedure_date BETWEEN e.preg_start_date AND e.preg_end_date
-        GROUP BY 1, 2),
-      final AS (
-        SELECT e.id_person, e.preg_endpoint, e.preg_episode_seq,
-          e.preg_start_date_max, e.preg_start_date_min,
-          c.preg_start_date_correct,
-          CASE WHEN c.preg_start_date_correct IS NULL THEN NULL
-            ELSE CAST(round((date_diff('day', c.preg_start_date_correct,
-              e.preg_end_date) + 1) * 1.0 / 7, 1) AS DECIMAL(4,1)) END
-            AS ga_weeks
-        FROM epi e LEFT JOIN corr c USING (id_person, preg_episode_seq))
+    "q90_preg_ga_correct" -> (PregPlacementCte + s""",
+      $EpisodeCtes,
+      ${pregCorrectionCtes(100)}
       SELECT id_person, preg_endpoint, preg_episode_seq,
         preg_start_date_correct, ga_weeks,
         CASE WHEN preg_start_date_correct IS NULL THEN NULL
@@ -4605,150 +5472,8 @@ object SparkEntry {
 
     // q91: the full 7-class hierarchy (STEP 5A-5G) — oracle generated
     // from the conflict-window matrix; one recursive phase per class.
-    "q91_preg_full" -> """
-      WITH RECURSIVE ep AS MATERIALIZED (
-        SELECT DISTINCT o_custkey % 60 AS id, CAST(o_orderdate AS DATE) AS d,
-          CASE WHEN o_orderkey % 17 <= 2 THEN 'lb'
-               WHEN o_orderkey % 17 <= 5 THEN 'sb'
-               WHEN o_orderkey % 17 <= 8 THEN 'deliv'
-               WHEN o_orderkey % 17 <= 10 THEN 'tro'
-               WHEN o_orderkey % 17 <= 12 THEN 'ect'
-               WHEN o_orderkey % 17 <= 14 THEN 'ab'
-               ELSE 'sa' END AS cls
-        FROM orders),
-      lb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM (SELECT id, d FROM ep WHERE cls = 'lb')),
-      lbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM lb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 182 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 182 THEN 1 ELSE 0 END
-        FROM lbrec a JOIN lb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      lbfin AS MATERIALIZED (SELECT id, d FROM lbrec WHERE inc = 1),
-      sb0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'sb') s0
-            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
-              AND abs(date_diff('day', h0.d, s0.d)) <= 182)),
-      sbrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sb0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM sbrec a JOIN sb0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      sbfin AS MATERIALIZED (SELECT id, d FROM sbrec WHERE inc = 1),
-      deliv0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'deliv') s0
-            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
-              AND abs(date_diff('day', h0.d, s0.d)) <= 182) s1
-            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
-              AND abs(date_diff('day', h1.d, s1.d)) <= 168)),
-      delivrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM deliv0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 168 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 168 THEN 1 ELSE 0 END
-        FROM delivrec a JOIN deliv0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      delivfin AS MATERIALIZED (SELECT id, d FROM delivrec WHERE inc = 1),
-      tro0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'tro') s0
-            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
-              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
-            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
-              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
-            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
-              AND abs(date_diff('day', h2.d, s2.d)) <= 154)),
-      trorec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM tro0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
-        FROM trorec a JOIN tro0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      trofin AS MATERIALIZED (SELECT id, d FROM trorec WHERE inc = 1),
-      ect0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'ect') s0
-            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
-              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
-            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
-              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
-            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
-              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
-            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
-              AND abs(date_diff('day', h3.d, s3.d)) <= 56)),
-      ectrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM ect0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
-        FROM ectrec a JOIN ect0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      ectfin AS MATERIALIZED (SELECT id, d FROM ectrec WHERE inc = 1),
-      ab0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM (SELECT s4.id, s4.d FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'ab') s0
-            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
-              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
-            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
-              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
-            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
-              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
-            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
-              AND abs(date_diff('day', h3.d, s3.d)) <= 56) s4
-            ANTI JOIN ectfin h4 ON h4.id = s4.id AND h4.d <> s4.d
-              AND abs(date_diff('day', h4.d, s4.d)) <= 56)),
-      abrec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM ab0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 56 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 56 THEN 1 ELSE 0 END
-        FROM abrec a JOIN ab0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      abfin AS MATERIALIZED (SELECT id, d FROM abrec WHERE inc = 1),
-      sa0 AS MATERIALIZED (
-        SELECT id, d, rank() OVER (PARTITION BY id ORDER BY d) AS rk,
-          date_diff('day', lag(d, 1, d) OVER (PARTITION BY id ORDER BY d), d) AS diff
-        FROM (SELECT s5.id, s5.d FROM (SELECT s4.id, s4.d FROM (SELECT s3.id, s3.d FROM (SELECT s2.id, s2.d FROM (SELECT s1.id, s1.d FROM (SELECT s0.id, s0.d FROM (SELECT id, d FROM ep WHERE cls = 'sa') s0
-            ANTI JOIN lbfin h0 ON h0.id = s0.id AND h0.d <> s0.d
-              AND abs(date_diff('day', h0.d, s0.d)) <= 168) s1
-            ANTI JOIN sbfin h1 ON h1.id = s1.id AND h1.d <> s1.d
-              AND abs(date_diff('day', h1.d, s1.d)) <= 154) s2
-            ANTI JOIN delivfin h2 ON h2.id = s2.id AND h2.d <> s2.d
-              AND abs(date_diff('day', h2.d, s2.d)) <= 154) s3
-            ANTI JOIN trofin h3 ON h3.id = s3.id AND h3.d <> s3.d
-              AND abs(date_diff('day', h3.d, s3.d)) <= 56) s4
-            ANTI JOIN ectfin h4 ON h4.id = s4.id AND h4.d <> s4.d
-              AND abs(date_diff('day', h4.d, s4.d)) <= 56) s5
-            ANTI JOIN abfin h5 ON h5.id = s5.id AND h5.d <> s5.d
-              AND abs(date_diff('day', h5.d, s5.d)) <= 56)),
-      sarec AS (
-        SELECT id, d, rk, diff AS cum, 1 AS inc FROM sa0 WHERE rk = 1
-        UNION ALL
-        SELECT b.id, b.d, b.rk,
-          CASE WHEN a.cum + b.diff > 42 THEN 0 ELSE a.cum + b.diff END,
-          CASE WHEN a.cum + b.diff > 42 THEN 1 ELSE 0 END
-        FROM sarec a JOIN sa0 b ON b.id = a.id AND b.rk = a.rk + 1),
-      safin AS MATERIALIZED (SELECT id, d FROM sarec WHERE inc = 1),
-      placed AS (SELECT id, 'lb' AS cls, d FROM lbfin
-      UNION ALL SELECT id, 'sb', d FROM sbfin
-      UNION ALL SELECT id, 'deliv', d FROM delivfin
-      UNION ALL SELECT id, 'tro', d FROM trofin
-      UNION ALL SELECT id, 'ect', d FROM ectfin
-      UNION ALL SELECT id, 'ab', d FROM abfin
-      UNION ALL SELECT id, 'sa', d FROM safin)
+    "q91_preg_full" -> s"""
+      WITH RECURSIVE $PregFullPlacedCtes
       SELECT id AS id_person, cls AS preg_endpoint, d AS endpoint_date,
         CAST(rank() OVER (PARTITION BY id, cls ORDER BY d) AS INT)
           AS preg_episode_id
@@ -4759,94 +5484,8 @@ object SparkEntry {
     // with quarter-median fallbacks (median-as-window in DuckDB; the
     // Spark side re-expresses T-SQL percentile_cont OVER as a sorted
     // window collect_list).
-    "q92_claim_moud" -> """
-      WITH li AS (
-        SELECT o_custkey % 80 AS id_person, CAST(l_shipdate AS DATE) AS ship_d,
-          l_partkey, l_suppkey
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      proc0 AS (
-        SELECT DISTINCT id_person, ship_d AS service_date,
-          CASE l_partkey % 24
-            WHEN 0 THEN 'H0033' WHEN 1 THEN 'H0020' WHEN 2 THEN 'S0109'
-            WHEN 3 THEN 'G2078' WHEN 4 THEN 'G2067' WHEN 5 THEN 'J0571'
-            WHEN 6 THEN 'J0572' WHEN 7 THEN 'J0573' WHEN 8 THEN 'Q9991'
-            WHEN 9 THEN 'G2068' WHEN 10 THEN 'G2073' WHEN 11 THEN 'J2315'
-            WHEN 12 THEN 'G2074' WHEN 13 THEN 'G2075' WHEN 14 THEN 'G2086'
-            ELSE 'OTH' END AS procedure_code
-        FROM li),
-      flagged AS (
-        SELECT id_person, service_date, procedure_code,
-          CASE WHEN procedure_code IN ('H0020','S0109','G2078','G2067') THEN 1 ELSE 0 END AS meth_proc_flag,
-          CASE WHEN procedure_code IN ('J0571','J0572','J0573','Q9991','G2068') THEN 1 ELSE 0 END AS bup_proc_flag,
-          CASE WHEN procedure_code IN ('G2073','J2315') THEN 1 ELSE 0 END AS nal_proc_flag,
-          CASE WHEN procedure_code IN ('G2074','G2075','G2086') THEN 1 ELSE 0 END AS unspec_proc_flag,
-          CASE WHEN procedure_code IN ('H0033','H0020','S0109','J0571','J0572','J0573') THEN 1
-               WHEN procedure_code IN ('G2078','G2067','G2068') THEN 7
-               WHEN procedure_code IN ('Q9991','G2073','J2315') THEN 30
-               ELSE 0 END AS moud_days_supply
-        FROM proc0 WHERE procedure_code <> 'OTH'),
-      rx AS (
-        SELECT DISTINCT o_custkey % 80 AS id_person,
-          CAST(o_orderdate AS DATE) AS service_date, 1 AS bup_rx_flag
-        FROM orders WHERE o_orderkey % 6 = 0),
-      h33 AS (SELECT DISTINCT id_person FROM flagged WHERE procedure_code = 'H0033'),
-      msums AS (
-        SELECT id_person, ym, sum(m) AS meth_sum, sum(b) AS bup_sum,
-          sum(brx) AS bup_rx_sum
-        FROM (
-          SELECT f.id_person, strftime(f.service_date, '%Y%m') AS ym,
-            f.meth_proc_flag AS m, f.bup_proc_flag AS b, 0 AS brx FROM flagged f
-          UNION ALL
-          SELECT r.id_person, strftime(r.service_date, '%Y%m'), 0, 0, r.bup_rx_flag
-          FROM rx r) u
-        WHERE id_person IN (SELECT id_person FROM h33)
-        GROUP BY 1, 2),
-      resolved AS (
-        SELECT f.id_person, f.service_date,
-          CASE WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum = 0 THEN 1
-               WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum > 0 THEN 0
-               WHEN f.procedure_code = 'H0033' AND s.meth_sum >= s.bup_sum AND s.meth_sum <> 0 THEN 1
-               WHEN f.procedure_code = 'H0033' AND s.meth_sum < s.bup_sum THEN 0
-               ELSE f.meth_proc_flag END AS meth_proc_flag,
-          CASE WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum = 0 THEN 0
-               WHEN f.procedure_code = 'H0033' AND s.meth_sum = 0 AND s.bup_sum = 0 AND s.bup_rx_sum > 0 THEN 1
-               WHEN f.procedure_code = 'H0033' AND s.meth_sum >= s.bup_sum AND s.meth_sum <> 0 THEN 0
-               WHEN f.procedure_code = 'H0033' AND s.meth_sum < s.bup_sum THEN 1
-               ELSE f.bup_proc_flag END AS bup_proc_flag,
-          f.nal_proc_flag, f.unspec_proc_flag, f.moud_days_supply
-        FROM flagged f LEFT JOIN msums s
-          ON f.id_person = s.id_person AND strftime(f.service_date, '%Y%m') = s.ym),
-      daily AS (
-        SELECT id_person, service_date,
-          max(meth_proc_flag) AS meth_proc_flag,
-          max(bup_proc_flag) AS bup_proc_flag,
-          max(nal_proc_flag) AS nal_proc_flag,
-          max(unspec_proc_flag) AS unspec_proc_flag,
-          sum(moud_days_supply) AS moud_days_supply
-        FROM resolved GROUP BY 1, 2),
-      s8 AS (
-        SELECT *, CAST(year(service_date) AS VARCHAR) || '_' ||
-            CAST(quarter(service_date) AS VARCHAR) AS service_quarter,
-          CASE WHEN meth_proc_flag = 1 AND lead(meth_proc_flag) OVER wn = 1
-            THEN date_diff('day', service_date, lead(service_date) OVER wn)
-            END AS next_meth_diff
-        FROM daily
-        WINDOW wn AS (PARTITION BY id_person
-          ORDER BY meth_proc_flag DESC, service_date)),
-      s9 AS (
-        SELECT *,
-          sum(meth_proc_flag) OVER wq AS meth_sum_quarter,
-          median(CAST(next_meth_diff AS DOUBLE)) OVER wq AS median_gap_quarter
-        FROM s8
-        WINDOW wq AS (PARTITION BY id_person, service_quarter)),
-      fin AS (
-        SELECT *,
-          CASE WHEN meth_proc_flag = 1 AND meth_sum_quarter <= 2 THEN CAST(moud_days_supply AS DOUBLE)
-               WHEN meth_proc_flag = 1 AND next_meth_diff > median_gap_quarter * 1.5 THEN median_gap_quarter
-               WHEN meth_proc_flag = 1 AND next_meth_diff IS NULL THEN median_gap_quarter
-               WHEN meth_proc_flag = 1 THEN CAST(next_meth_diff AS DOUBLE)
-               ELSE CAST(moud_days_supply AS DOUBLE) END AS supply_new_row
-        FROM s9)
+    "q92_claim_moud" -> s"""
+      WITH $MoudDayCtes
       SELECT id_person, service_quarter, count(*) AS n_days,
         CAST(sum(meth_proc_flag) AS BIGINT) AS meth_days,
         CAST(sum(bup_proc_flag) AS BIGINT) AS bup_days,
@@ -8810,98 +9449,9 @@ object SparkEntry {
     // q144: naloxone events — NDC contains-expansion over the distinct
     // pharmacy vocabulary, pharmacy + procedure branches with form/dosage
     // dispatch, J3490 modifier gate, union distinct.
-    "q144_naloxone" -> """
-      WITH li AS (
-        SELECT o_custkey % 70 AS id_mcaid, l_orderkey AS chid,
-          l_partkey AS pk, l_suppkey AS sk,
-          CAST(l_shipdate AS DATE) AS d
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      pharm AS (
-        SELECT id_mcaid, chid,
-          CASE WHEN pk % 13 = 0 THEN '00093216519'
-            WHEN pk % 13 = 1 THEN '55150034510'
-            WHEN pk % 13 = 2 THEN '55150032710'
-            WHEN pk % 13 = 3 THEN '00409121525'
-            WHEN pk % 13 = 4 THEN '012345678901'
-            WHEN pk % 13 = 5 THEN '12345678901'
-            ELSE lpad(CAST(pk AS VARCHAR), 11, '0') END AS ndc,
-          d AS rx_fill_date,
-          CASE WHEN pk % 7 = 0 THEN 0.5
-            ELSE CAST(1 + pk % 5 AS DOUBLE) END AS rx_quantity
-        FROM li),
-      ndclist(ndc) AS (VALUES ('00093216519'),('55150034510'),
-        ('55150032710'),('00409121525'),('12345678901')),
-      ndccodes(ndc, pname, dform, strength, unit) AS (VALUES
-        ('00093216519','Narcan Nasal','NASAL SPRAY',4.0,'mg/.1mL'),
-        ('55150034510','Naloxone HCl','SOLUTION FOR INJECTION',1.0,'mg/mL'),
-        ('55150032710','Naloxone HCl','SOLUTION FOR INJECTION',0.4,'mg/mL'),
-        ('00409121525','Naloxone HCl','INJECTION, SOLUTION',0.4,'mg/mL'),
-        ('12345678901','Generic Nalox','SOLUTION',2.0,'mg/.1mL'),
-        ('012345678901','Wrapped Nalox','SPRAY SOLUTION',8.0,'oddunit')),
-      expansion AS (
-        SELECT DISTINCT p.ndc
-        FROM (SELECT DISTINCT ndc FROM pharm) p
-        JOIN ndclist l ON p.ndc LIKE '%' || l.ndc || '%'),
-      rx AS (
-        SELECT p.id_mcaid, p.chid AS claim_header_id, p.ndc AS code,
-          upper(c.pname) AS description, p.rx_fill_date AS event_date,
-          p.rx_quantity AS quantity,
-          CASE WHEN c.dform LIKE '%SPRAY%' OR p.ndc = '00093216519'
-            THEN 'SPRAY'
-            WHEN c.dform LIKE '%INJECTION%' OR p.ndc IN
-              ('55150034510','55150032710','00409121525')
-            THEN 'INJECTION' END AS form,
-          CAST(CASE WHEN p.ndc = '00093216519' THEN 40.0
-            WHEN p.ndc = '55150034510' THEN 1.0
-            WHEN p.ndc = '55150032710' THEN 0.4
-            ELSE c.strength / (CASE WHEN c.unit = 'mg/.1mL' THEN 0.1
-              WHEN c.unit = 'mg/mL' THEN 1.0 END) END AS DOUBLE)
-            AS dosage_per_ml,
-          'PHARMACY' AS location
-        FROM pharm p
-        LEFT JOIN ndccodes c ON p.ndc = c.ndc
-        JOIN expansion e ON p.ndc = e.ndc
-        WHERE year(p.rx_fill_date) >= 1996 AND p.rx_quantity >= 1.0),
-      procs AS (
-        SELECT id_mcaid, chid,
-          CASE WHEN pk % 9 = 0 THEN 'G1028' WHEN pk % 9 = 1 THEN 'G2215'
-            WHEN pk % 9 = 2 THEN 'G2216' WHEN pk % 9 = 3 THEN 'J2310'
-            WHEN pk % 9 = 4 THEN 'J2311' WHEN pk % 9 = 5 THEN 'J2312'
-            WHEN pk % 9 = 6 THEN 'J3490'
-            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
-            END AS procedure_code,
-          CASE WHEN sk % 3 = 0 THEN 'HG' WHEN sk % 3 = 1 THEN 'TG'
-            ELSE 'XX' END AS modifier_code,
-          d AS lsd
-        FROM li),
-      procdesc(procedure_code, pdesc) AS (VALUES
-        ('G1028','Naloxone nasal 8mg'),('G2215','Naloxone nasal 4mg'),
-        ('G2216','Naloxone injection'),('J2310','Injection naloxone'),
-        ('J2311','Injection naloxone 1mg'),
-        ('J2312','Injection naloxone 0.5mg'),('J3490','Unclassified drug')),
-      px AS (
-        SELECT p.id_mcaid, p.chid AS claim_header_id,
-          p.procedure_code AS code, upper(dsc.pdesc) AS description,
-          p.lsd AS event_date,
-          CAST(CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 2.0
-            WHEN p.procedure_code IN ('G2216','J2310','J2311','J3490',
-              'J2312') THEN 1.0 END AS DOUBLE) AS quantity,
-          CASE WHEN p.procedure_code IN ('G1028','G2215') THEN 'SPRAY'
-            WHEN p.procedure_code IN ('G2216','J2310','J2311','J2312')
-            THEN 'INJECTION'
-            WHEN p.procedure_code = 'J3490' THEN 'UNKNOWN' END AS form,
-          CAST(CASE WHEN p.procedure_code = 'G1028' THEN 80.0
-            WHEN p.procedure_code = 'G2215' THEN 40.0 END AS DOUBLE)
-            AS dosage_per_ml,
-          'PROCEDURE' AS location
-        FROM procs p LEFT JOIN procdesc dsc USING (procedure_code)
-        WHERE year(p.lsd) >= 1996
-          AND (p.procedure_code IN ('G1028','G2215','G2216','J2310',
-            'J2311','J2312')
-          OR (p.procedure_code = 'J3490'
-            AND p.modifier_code IN ('HG','TG'))))
-      SELECT DISTINCT * FROM
-        (SELECT * FROM rx UNION ALL SELECT * FROM px)
+    "q144_naloxone" -> s"""
+      WITH $NaloxoneRowsCtes
+      SELECT * FROM nal
       ORDER BY id_mcaid, claim_header_id, code, location, event_date""",
 
     // q226: mcare naloxone — the q144 chain over the same fixture with
@@ -9369,77 +9919,10 @@ object SparkEntry {
     // q148: housing status — Z-code pull, month-period range join,
     // address HOMELESS flag, classification, per-period conflict
     // collapse.
-    "q148_housing_status" -> """
-      WITH em AS (
-        SELECT *,
-          CASE WHEN (id_mcaid + month(from_date)) % 9 = 0
-            THEN '123 HOMELESS SHELTER'
-            ELSE CAST(id_mcaid AS VARCHAR) || ' MAIN ST'
-            END AS geo_add1,
-          CASE WHEN (id_mcaid + month(from_date)) % 25 = 0
-            THEN 'HOMELESS' END AS geo_add2
-        FROM (
-          SELECT DISTINCT o_custkey % 100 AS id_mcaid,
-            date_trunc('month', CAST(o_orderdate AS DATE)) AS from_date,
-            last_day(CAST(o_orderdate AS DATE)) AS to_date
-          FROM orders)),
-      icdcm AS (
-        SELECT o_custkey % 100 AS id_mcaid,
-          CAST(l_shipdate AS DATE) AS first_service_date,
-          CASE WHEN l_partkey % 23 = 0 THEN 'Z590'
-            WHEN l_partkey % 23 = 1 THEN 'Z5900'
-            WHEN l_partkey % 23 = 2 THEN 'Z5901'
-            WHEN l_partkey % 23 = 3 THEN 'Z5902'
-            WHEN l_partkey % 23 = 4 THEN 'Z591'
-            WHEN l_partkey % 23 = 5 THEN 'Z5910'
-            WHEN l_partkey % 23 = 6 THEN 'Z5919'
-            WHEN l_partkey % 23 = 7 THEN 'Z59811'
-            WHEN l_partkey % 23 = 8 THEN 'Z59812'
-            ELSE 'A' || lpad(CAST(l_partkey % 900 AS VARCHAR), 3, '0')
-            END AS icdcm_norm
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      zcodes AS (
-        SELECT id_mcaid, first_service_date, icdcm_norm FROM icdcm
-        WHERE icdcm_norm IN ('Z590','Z5900','Z5901','Z5902','Z591',
-          'Z5910','Z5919') OR icdcm_norm LIKE 'Z5981%'),
-      temp1 AS (
-        SELECT a.id_mcaid, a.from_date, a.to_date,
-          CASE WHEN a.geo_add1 LIKE '%HOMELESS%'
-            OR a.geo_add2 LIKE '%HOMELESS%' THEN 1 ELSE 0 END
-            AS is_homeless_addr,
-          CASE WHEN b.icdcm_norm IN ('Z590','Z5900','Z5901','Z5902')
-            THEN 'homeless'
-            WHEN b.icdcm_norm IN ('Z591','Z5910','Z5919')
-              OR b.icdcm_norm LIKE 'Z5981%' THEN 'unstably housed'
-            END AS zcode_status
-        FROM em a LEFT JOIN zcodes b ON a.id_mcaid = b.id_mcaid
-          AND b.first_service_date BETWEEN a.from_date AND a.to_date),
-      temp2 AS (
-        SELECT id_mcaid, from_date, to_date,
-          CASE WHEN zcode_status IS NOT NULL THEN zcode_status
-            WHEN is_homeless_addr = 1 THEN 'homeless' END
-            AS housing_status,
-          CASE WHEN is_homeless_addr = 1 AND zcode_status IS NOT NULL
-            THEN 'multiple'
-            WHEN is_homeless_addr = 1 AND zcode_status IS NULL
-            THEN 'homeless_address'
-            WHEN is_homeless_addr = 0 AND zcode_status IS NOT NULL
-            THEN 'z_codes' END AS housing_status_source
-        FROM temp1
-        WHERE is_homeless_addr = 1 OR zcode_status IS NOT NULL),
-      temp3 AS (
-        SELECT id_mcaid, from_date, to_date,
-          COUNT(DISTINCT housing_status) AS status_dcount,
-          COUNT(DISTINCT housing_status_source) AS source_dcount
-        FROM temp2 GROUP BY id_mcaid, from_date, to_date)
-      SELECT DISTINCT a.id_mcaid, a.from_date, a.to_date,
-        CASE WHEN b.status_dcount > 1 THEN 'homeless'
-          ELSE a.housing_status END AS housing_status,
-        CASE WHEN b.source_dcount > 1 THEN 'multiple'
-          ELSE a.housing_status_source END AS housing_status_source
-      FROM temp2 a LEFT JOIN temp3 b ON a.id_mcaid = b.id_mcaid
-        AND a.from_date = b.from_date AND a.to_date = b.to_date
-      ORDER BY a.id_mcaid, a.from_date, housing_status,
+    "q148_housing_status" -> s"""
+      WITH $HousingRowsCtes
+      SELECT * FROM hs
+      ORDER BY id_mcaid, from_date, housing_status,
         housing_status_source""",
 
     // q149: APCD claim line — denied/orphan semi gate, the 2023-07-28
@@ -9731,131 +10214,9 @@ object SparkEntry {
     // q153: combined mcaid+mcare claim_bh — dx/NDC condition spans,
     // primary-dx-gated MOUD procedures, the diagnosis-keyed full-join
     // tree, OUD person-months, first-diagnosis-month MOUD gate.
-    "q153_mcaid_mcare_bh" -> """
-      WITH fact AS (
-        SELECT 1000 + o_custkey % 90 AS id_apde,
-          l_orderkey AS chid, l_partkey AS pk, l_suppkey AS sk,
-          CAST(l_shipdate AS DATE) AS fsd
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      icdcm AS (
-        SELECT id_apde, chid,
-          CASE WHEN pk % 6 = 0 THEN 9 ELSE 10 END AS ver,
-          CASE WHEN pk % 6 = 0 THEN
-            CASE WHEN pk % 11 = 0 THEN '29620'
-              WHEN pk % 11 = 1 THEN '30400'
-              ELSE lpad(CAST(pk % 999 AS VARCHAR), 5, '0') END
-          ELSE
-            CASE WHEN pk % 11 = 0 THEN 'F329'
-              WHEN pk % 11 = 1 THEN 'F411'
-              WHEN pk % 11 = 2 THEN 'F1120'
-              ELSE 'G' || lpad(CAST(pk % 400 AS VARCHAR), 3, '0') END
-          END AS icdcm_norm,
-          fsd FROM fact),
-      pharm AS (
-        SELECT id_apde, chid,
-          CASE WHEN sk % 9 = 0 THEN '11111111111'
-            WHEN sk % 9 = 1 THEN '22222222222'
-            WHEN sk % 9 = 2 THEN '33333333333'
-            ELSE lpad(CAST(sk * 7 AS VARCHAR), 11, '0') END AS ndc,
-          fsd + 2 AS rx_fill_date FROM fact),
-      prc AS (
-        SELECT id_apde, chid,
-          CASE WHEN pk % 13 = 0 THEN 'H0020'
-            WHEN pk % 13 = 1 THEN 'J0571'
-            ELSE lpad(CAST(pk % 88888 AS VARCHAR), 5, '0')
-            END AS procedure_code,
-          fsd FROM fact),
-      hdr AS (
-        SELECT o_orderkey AS chid,
-          CASE WHEN o_orderkey % 15 = 0 THEN 'F1120'
-            WHEN o_orderkey % 15 = 1 THEN '30400'
-            ELSE 'I10' END AS primary_diagnosis,
-          CASE WHEN o_orderkey % 15 = 1 THEN 9 ELSE 10 END AS ver
-        FROM orders),
-      ref(cond, code_set, code, ver, vset, oud_dx1_flag) AS (VALUES
-        ('bh_depression','ICD9CM','29620',9,'rda-bh',NULL),
-        ('bh_depression','ICD10CM','F329',10,'rda-bh',NULL),
-        ('bh_anxiety','ICD10CM','F411',10,'rda-bh',NULL),
-        ('bh_depression','NDC','11111111111',NULL,'rda-ndc',NULL),
-        ('bh_anxiety','NDC','22222222222',NULL,'rda-ndc',NULL),
-        ('sud_opioid','ICD9CM','30400',9,'rda-bh',NULL),
-        ('sud_opioid','ICD10CM','F1120',10,'rda-bh',NULL),
-        ('sud_opioid','NDC','33333333333',NULL,'rda-ndc',NULL),
-        ('sud_opioid','HCPCS','H0020',NULL,'apde-moud-procedure',1),
-        ('sud_opioid','HCPCS','J0571',NULL,'apde-moud-procedure',0)),
-      diag_ev AS (
-        SELECT DISTINCT d.id_apde, d.svc_date, r.cond AS bh_cond
-        FROM (SELECT DISTINCT id_apde, icdcm_norm, ver, fsd AS svc_date
-          FROM icdcm) d
-        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
-        WHERE r.code_set IN ('ICD9CM','ICD10CM')
-          AND r.cond <> 'sud_opioid'),
-      rx_ev AS (
-        SELECT DISTINCT p.id_apde, p.rx_fill_date AS svc_date,
-          r.cond AS bh_cond
-        FROM pharm p JOIN ref r ON p.ndc = r.code
-        WHERE r.code_set = 'NDC' AND r.cond <> 'sud_opioid'),
-      spans AS (
-        SELECT id_apde, min(svc_date) AS first_encounter_date,
-          max(svc_date) AS last_encounter_date, bh_cond
-        FROM (SELECT * FROM diag_ev UNION SELECT * FROM rx_ev)
-        GROUP BY id_apde, bh_cond),
-      ouddx1 AS (
-        SELECT DISTINCT h.chid FROM hdr h
-        JOIN ref r ON h.primary_diagnosis = r.code AND h.ver = r.ver
-        WHERE r.code_set IN ('ICD9CM','ICD10CM')
-          AND r.cond = 'sud_opioid'),
-      darm AS (
-        SELECT DISTINCT d.id_apde, d.chid, d.svc_date
-        FROM (SELECT DISTINCT id_apde, chid, icdcm_norm, ver,
-            fsd AS svc_date FROM icdcm) d
-        JOIN ref r ON d.icdcm_norm = r.code AND d.ver = r.ver
-        WHERE r.code_set IN ('ICD9CM','ICD10CM')
-          AND r.cond = 'sud_opioid'),
-      rarm AS (
-        SELECT DISTINCT p.id_apde, p.chid, p.rx_fill_date AS svc_date
-        FROM pharm p JOIN ref r ON p.ndc = r.code
-        WHERE r.code_set = 'NDC' AND r.cond = 'sud_opioid'),
-      parm AS (
-        SELECT DISTINCT id_apde, chid, svc_date FROM (
-          SELECT DISTINCT p.id_apde, p.chid, p.fsd AS svc_date,
-            CASE WHEN r.oud_dx1_flag = 0 THEN 1
-              WHEN r.oud_dx1_flag = 1 AND d.chid IS NOT NULL THEN 1
-              ELSE 0 END AS ok
-          FROM prc p
-          JOIN ref r ON p.procedure_code = r.code
-            AND r.vset = 'apde-moud-procedure' AND r.cond = 'sud_opioid'
-          LEFT JOIN ouddx1 d ON p.chid = d.chid)
-        WHERE ok = 1),
-      oudclaims AS (
-        SELECT coalesce(d.id_apde, r.id_apde, p.id_apde) AS id_apde,
-          coalesce(d.svc_date, r.svc_date, p.svc_date) AS svc_date,
-          CASE WHEN d.chid IS NOT NULL THEN 1 END AS icdcm_flag
-        FROM darm d
-        FULL JOIN rarm r ON d.chid = r.chid
-        FULL JOIN parm p ON d.chid = p.chid),
-      oudmonth AS (
-        SELECT DISTINCT id_apde,
-          date_trunc('month', svc_date)::DATE AS fe,
-          last_day(svc_date) AS le
-        FROM oudclaims WHERE icdcm_flag = 1),
-      oudmin AS (
-        SELECT id_apde, min(fe) AS dmin FROM oudmonth GROUP BY id_apde),
-      moudmonth AS (
-        SELECT DISTINCT a.id_apde,
-          date_trunc('month', a.svc_date)::DATE AS fe,
-          last_day(a.svc_date) AS le
-        FROM oudclaims a JOIN oudmin b ON a.id_apde = b.id_apde
-        WHERE a.icdcm_flag IS NULL AND b.dmin <= a.svc_date),
-      oudrows AS (
-        SELECT id_apde, fe, le FROM oudmonth
-        UNION SELECT id_apde, fe, le FROM moudmonth)
-      SELECT id_apde, first_encounter_date, last_encounter_date, bh_cond
-      FROM spans
-      UNION
-      SELECT id_apde, fe AS first_encounter_date,
-        le AS last_encounter_date, 'sud_opioid' AS bh_cond
-      FROM oudrows
+    "q153_mcaid_mcare_bh" -> s"""
+      WITH $BhRowsCtes
+      SELECT * FROM bh
       ORDER BY id_apde, bh_cond, first_encounter_date,
         last_encounter_date""",
 
@@ -11859,46 +12220,9 @@ object SparkEntry {
 
     // q169: master mcaid claim staging — archive < MIN(incoming date),
     // incoming DISTINCT with derived clndr_year_mnth / clm_line, UNION.
-    "q169_mcaid_claim_stage" -> """
-      WITH li AS (
-        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd,
-          round(l_extendedprice, 2) AS paid, o_custkey,
-          year(o_orderdate) AS oy
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      base AS (
-        SELECT o_custkey AS mbr_h_sid,
-          'R' || CAST(o_custkey % 300 AS VARCHAR)
-            AS medicaid_recipient_id,
-          CASE WHEN l_linenumber % 2 = 0 THEN 'Y' ELSE 'N' END
-            AS baby_on_mom_ind,
-          'T' || CAST(l_orderkey AS VARCHAR) AS tcn,
-          'T' || CAST(l_orderkey AS VARCHAR) ||
-            lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS clm_line_tcn,
-          sd AS from_srvc_date, paid AS paid_amt, oy
-        FROM li),
-      incoming AS (
-        SELECT * EXCLUDE (oy) FROM base WHERE oy >= 1996
-        UNION ALL
-        SELECT * EXCLUDE (oy) FROM base
-        WHERE oy >= 1996 AND mbr_h_sid % 89 = 0),
-      archive AS (
-        SELECT CAST(year(from_srvc_date) * 100 +
-            month(from_srvc_date) AS INT) AS clndr_year_mnth,
-          mbr_h_sid, medicaid_recipient_id, baby_on_mom_ind, tcn,
-          clm_line_tcn, CAST(right(clm_line_tcn, 3) AS INT) AS clm_line,
-          from_srvc_date, paid_amt
-        FROM base WHERE oy <= 1996),
-      cut AS (SELECT min(from_srvc_date) AS dt FROM incoming)
-      SELECT * FROM (
-        SELECT * FROM archive
-        WHERE from_srvc_date < (SELECT dt FROM cut)
-        UNION
-        SELECT DISTINCT CAST(year(from_srvc_date) * 100 +
-            month(from_srvc_date) AS INT),
-          mbr_h_sid, medicaid_recipient_id, baby_on_mom_ind, tcn,
-          clm_line_tcn, CAST(right(clm_line_tcn, 3) AS INT),
-          from_srvc_date, paid_amt
-        FROM incoming WHERE from_srvc_date >= (SELECT dt FROM cut))
+    "q169_mcaid_claim_stage" -> s"""
+      WITH $LineStageCtes
+      SELECT * FROM stage
       ORDER BY clm_line_tcn, from_srvc_date""",
 
     // q170: EDB user-view crosswalk dedup — singleton / exact-dup /

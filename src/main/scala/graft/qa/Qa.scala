@@ -301,17 +301,21 @@ object Qa {
       count_distinct(struct(dupCols.map(col).toIndexedSeq: _*)).as("dup"),
       min(col(fromCol)).as("minf"), max(col(toCol)).as("maxt")).head()
     val (n, ids, dup) = (st.getLong(0), st.getLong(1), st.getLong(2))
-    val (minF, maxT) = (st.getDate(3), st.getDate(4))
+    // Option-wrapped: an empty stage or raw slice yields NULL envelope
+    // dates (a partial-refresh window can select zero rows at 100 TB);
+    // a missing envelope fails the date check instead of throwing
+    val (minF, maxT) = (Option(st.getDate(3)), Option(st.getDate(4)))
     val rw = raw.agg(count_distinct(col(rawIdCol)).as("ids"),
       to_date(concat(min(rawMonthCol).cast("string"), lit("01")),
         "yyyyMMdd").as("minm"),
       last_day(to_date(concat(max(rawMonthCol).cast("string"),
         lit("01")), "yyyyMMdd")).as("maxm")).head()
     val rawIds = rw.getLong(0)
-    val (minM, maxM) = (rw.getDate(1), rw.getDate(2))
+    val (minM, maxM) = (Option(rw.getDate(1)), Option(rw.getDate(2)))
     val diff = n - previousRows
-    val dateOk = !(minF.toLocalDate.isBefore(minM.toLocalDate) ||
-      maxT.toLocalDate.isAfter(maxM.toLocalDate))
+    val dateOk = (for (f <- minF; t <- maxT; lo <- minM; hi <- maxM)
+      yield !(f.toLocalDate.isBefore(lo.toLocalDate) ||
+        t.toLocalDate.isAfter(hi.toLocalDate))).getOrElse(false)
     val rows = Seq(
       (table, "Number new rows compared to most recent run",
         if (diff < 0) "FAIL" else "PASS",
@@ -334,11 +338,15 @@ object Qa {
           s"number total rows ($n)",
         dup, n),
       (table, "Date range",
-        if (!dateOk) "FAIL" else "PASS",
-        if (!dateOk) "Some from/to dates fell outside the " +
-          s"CLNDR_YEAR_MNTH range (min: $minF, max: $maxT)"
-        else "All from/to dates fell within the CLNDR_YEAR_MNTH range " +
-          s"(min: $minM, max: $maxM)",
+        if (!dateOk) "FAIL" else "PASS", {
+          // render dates bare (the pre-Option strings); NULL -> NA as R
+          def fmt(o: Option[java.sql.Date]) =
+            o.map(_.toString).getOrElse("NA")
+          if (!dateOk) "Some from/to dates fell outside the " +
+            s"CLNDR_YEAR_MNTH range (min: ${fmt(minF)}, max: ${fmt(maxT)})"
+          else "All from/to dates fell within the CLNDR_YEAR_MNTH " +
+            s"range (min: ${fmt(minM)}, max: ${fmt(maxM)})"
+        },
         if (dateOk) 1L else 0L, 1L))
     import s.implicits._
     rows.toDF("table_name", "qa_item", "qa_result", "note", "observed",

@@ -219,18 +219,21 @@ object BuildQueries {
     * reference's STEP 5A-5G placed on one timeline — all six conflict-
     * window matrix rows and all three greedy gaps (182/168/56/42) under
     * the oracle hash, not just the spec. */
+  /** Shared q91/q299 7-class endpoint fixture. */
+  private[queries] def preg7Endpoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      (col("o_custkey") % 60).as("id_person"),
+      to_date(col("o_orderdate")).as("endpoint_date"),
+      when(col("o_orderkey") % 17 <= 2, "lb")
+        .when(col("o_orderkey") % 17 <= 5, "sb")
+        .when(col("o_orderkey") % 17 <= 8, "deliv")
+        .when(col("o_orderkey") % 17 <= 10, "tro")
+        .when(col("o_orderkey") % 17 <= 12, "ect")
+        .when(col("o_orderkey") % 17 <= 14, "ab")
+        .otherwise("sa").as("cls"))
+
   def q91PregFull(s: SparkSession, dir: String): DataFrame =
-    graft.builds.PregEpisode.build(
-      t(s, dir, "orders").select(
-        (col("o_custkey") % 60).as("id_person"),
-        to_date(col("o_orderdate")).as("endpoint_date"),
-        when(col("o_orderkey") % 17 <= 2, "lb")
-          .when(col("o_orderkey") % 17 <= 5, "sb")
-          .when(col("o_orderkey") % 17 <= 8, "deliv")
-          .when(col("o_orderkey") % 17 <= 10, "tro")
-          .when(col("o_orderkey") % 17 <= 12, "ect")
-          .when(col("o_orderkey") % 17 <= 14, "ab")
-          .otherwise("sa").as("cls")),
+    graft.builds.PregEpisode.build(preg7Endpoints(s, dir),
       "id_person", "endpoint_date", "cls")
       .orderBy(col("id_person"), col("preg_endpoint"), col("preg_episode_id"))
 
@@ -272,7 +275,10 @@ object BuildQueries {
     * monthly-context disambiguation (proc + rx evidence), and the next-
     * service-date methadone days-supply with quarter-median fallbacks —
     * rolled up per (person, quarter). */
-  def q92ClaimMoud(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q92/q297 MOUD person-day frame (the methDaysSupply output
+    * the quarter rollup and the QA battery both read) — factored so the
+    * build fixture and its battery cannot drift. */
+  private[queries] def moudDayFrame(s: SparkSession, dir: String): DataFrame = {
     val codes = Seq("H0033", "H0020", "S0109", "G2078", "G2067", "J0571",
       "J0572", "J0573", "Q9991", "G2068", "G2073", "J2315", "G2074",
       "G2075", "G2086")
@@ -299,6 +305,10 @@ object BuildQueries {
         max(col("unspec_proc_flag")).as("unspec_proc_flag"),
         sum(col("moud_days_supply")).as("moud_days_supply"))
     graft.builds.ClaimMoud.methDaysSupply(daily)
+  }
+
+  def q92ClaimMoud(s: SparkSession, dir: String): DataFrame = {
+    moudDayFrame(s, dir)
       .groupBy(col("id_person"), col("service_quarter"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("meth_proc_flag")).as("meth_days"),

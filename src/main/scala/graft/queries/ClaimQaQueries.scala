@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.builds.{ClaimIcdcm, ClaimPharm, ClaimProcedure}
+import graft.qa.ClaimTableQa
+import graft.queries.Q.t
+
+/** The four per-claim-table QA batteries master_mcaid_analytic.R runs
+  * between each claim-stage load and its final promote (q292-q295) —
+  * the gates whose summed failure counts feed the master script's hard
+  * stop (the q279 pipeline runner's gate). Each battery audits the
+  * SAME stage frame the catalog already builds (q79/q169/q80/q81
+  * fixtures), with:
+  *
+  *  - elig stand-ins: the person dimension (customer) for
+  *    mcaid_elig_demo and the claimant spine (DISTINCT orders
+  *    custkeys) for mcaid_elig_timevar — every claimant is covered by
+  *    construction, so the containment rows PASS genuinely; the FAIL
+  *    arms are spec-pinned (ClaimTableQaSpec);
+  *  - prior run: the build restricted to claim key % 20 != 0 (the
+  *    q288/q289 convention — a smaller data-derived earlier load);
+  *  - the icdcm ref table: the distinct (version, code) pairs of the
+  *    PRIOR run — "the ref compiled at the last refresh" — so the
+  *    coverage gap counted is exactly the codes the new 5% of claims
+  *    introduced, and the < 350 allowance is exercised with real data
+  *    (it can genuinely FAIL at larger scales; the verdict row, not
+  *    its result, is the contract).
+  *
+  * Each battery reads its stage frame 3-4 times, so the frame is
+  * localCheckpoint'd once before the fan-out (the q246 discipline).
+  */
+object ClaimQaQueries {
+
+  private def demoIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+
+  private def tvIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey")).distinct()
+
+  /** §5 mcaid_claim_icdcm_header QA battery (q292,
+    * qa_stage.mcaid_claim_icdcm_header.R:63-340): elig containment,
+    * ICD-9/ICD-10 length envelopes, icdcm_number domain, dx
+    * ref-coverage under the < 350 allowance, per-year dx counts vs the
+    * prior run. The row-level icdcm frame is the q79 build fixture
+    * before its rollup. */
+  def q292IcdcmHeaderQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = ClaimIcdcm.build(NormalizeQueries.icdcmWide(s, dir),
+        claimCols = Seq("claim_header_id", "id_person"),
+        slots = Seq("01" -> "dx01", "02" -> "dx02", "03" -> "dx03",
+          "admit" -> "dx_admit"))
+      .localCheckpoint(true)
+    val prior = stage.filter(col("claim_header_id") % 20 =!= 0)
+    val ref = prior.select(col("icdcm_version"), col("icdcm_norm"))
+    ClaimTableQa.icdcmBattery(stage, "id_person",
+        demoIds(s, dir), "c_custkey", tvIds(s, dir), "o_custkey",
+        ref, "icdcm_version", "icdcm_norm", prior,
+        "stage.mcaid_claim_icdcm_header", "ref.icdcm_codes")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_claim_line QA battery (q293,
+    * qa_stage.mcaid_claim_line.R:63-255): elig containment, distinct
+    * claim lines vs the raw load, rev_code shape, per-year line counts
+    * vs the prior run. The stage frame is the q169 master-staging
+    * build plus a deterministic rev_code; the distinct-lines check
+    * REALLY fails here — the staging truncate drops archive lines of
+    * pre-1996 orders shipped after the incoming batch's MIN date, the
+    * exact data loss the reference check exists to catch — and the
+    * verdict row reports both counts. */
+  def q293ClaimLineQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.q169McaidClaimStage(s, dir)
+      .withColumn("rev_code",
+        when(col("mbr_h_sid") % 11 === 0, lit(null: String))
+          .otherwise(lpad(((col("clm_line") * 37 + col("mbr_h_sid")) % 10000)
+            .cast("string"), 4, "0")))
+      .localCheckpoint(true)
+    val prior = stage.filter(col("mbr_h_sid") % 20 =!= 0)
+    val raw = t(s, dir, "lineitem").select(
+      concat(lit("T"), col("l_orderkey").cast("string"),
+        lpad(col("l_linenumber").cast("string"), 3, "0"))
+        .as("clm_line_tcn"))
+    ClaimTableQa.lineBattery(stage, "mbr_h_sid", "clm_line_tcn",
+        demoIds(s, dir), "c_custkey", tvIds(s, dir), "o_custkey",
+        raw, "clm_line_tcn", prior,
+        "stage.mcaid_claim_line", "load_raw.mcaid_claim")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_claim_procedure QA battery (q294,
+    * qa_stage.mcaid_claim_procedure.R:63-280): elig containment, the
+    * CPT/HCPCS/ICD-PCS code-system classification with its < 50
+    * unknown-code allowance, per-year procedure counts vs the prior
+    * run. The stage frame is the q80 build fixture carried at row
+    * grain with its claimant id and service date. */
+  def q294ClaimProcedureQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = ClaimProcedure.build(NormalizeQueries.procWide(s, dir),
+        claimCols = Seq("claim_header_id", "id_person",
+          "first_service_date"),
+        procSlots = Seq("01" -> "pc01", "02" -> "pc02", "03" -> "pc03"),
+        modSlots = Seq("M1" -> "mod1", "M2" -> "mod2"))
+      .localCheckpoint(true)
+    val prior = stage.filter(col("claim_header_id") % 20 =!= 0)
+    ClaimTableQa.procedureBattery(stage, "id_person",
+        demoIds(s, dir), "c_custkey", tvIds(s, dir), "o_custkey",
+        prior, "stage.mcaid_claim_procedure")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_claim_pharm QA battery (q295,
+    * qa_stage.mcaid_claim_pharm.R:60-218): elig containment, NDC
+    * shape, per-year rx counts vs the prior run — with the reference's
+    * rows/row qa_item split and "claim lines" no-change wording kept
+    * verbatim. The stage frame is the q81 build fixture extended with
+    * the claimant id and fill date the battery audits. */
+  def q295ClaimPharmQa(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val raw = li.select(
+      col("l_orderkey").as("claim_header_id"),
+      col("o_custkey").as("id_mcaid"),
+      to_date(col("l_shipdate")).as("rx_fill_date"),
+      NormalizeQueries.pharmNdcRaw.as("ndc_raw"),
+      NormalizeQueries.pharmSupplyRaw.as("supply_days_raw"))
+    val stage = ClaimPharm.build(raw).localCheckpoint(true)
+    val prior = stage.filter(col("claim_header_id") % 20 =!= 0)
+    ClaimTableQa.pharmBattery(stage, "id_mcaid",
+        demoIds(s, dir), "c_custkey", tvIds(s, dir), "o_custkey",
+        prior, "stage.mcaid_claim_pharm")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_claim_bh QA battery (q296,
+    * qa_stage.mcaid_claim_bh.R:36-160): distinct-condition count vs the
+    * prior final table, elig containment (with the bh script's
+    * literally-quoted glue notes — a reference quirk), and the
+    * mid-study prevalence frame the reference prints for analyst
+    * review, pinned here as INFO rows. Stage = the q153 combined bh
+    * spans; the person dims are the id_apde universe (1000 +
+    * custkey % 90), so containment PASSes genuinely. midYear 1996 is
+    * this fixture's analog of the reference's hard-coded 2017. */
+  def q296ClaimBhQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.q153McaidMcareBh(s, dir).localCheckpoint(true)
+    val prior = stage.filter(col("id_apde") % 20 =!= 0)
+    val demo = t(s, dir, "customer")
+      .select((lit(1000) + col("c_custkey") % 90).as("id_apde")).distinct()
+    val tv = t(s, dir, "orders")
+      .select((lit(1000) + col("o_custkey") % 90).as("id_apde")).distinct()
+    val pop = t(s, dir, "orders").select(
+      (lit(1000) + col("o_custkey") % 90).as("id_apde"),
+      to_date(col("o_orderdate")).as("from_date"),
+      date_add(to_date(col("o_orderdate")), 180).as("to_date"))
+    ClaimTableQa.bhBattery(stage, "id_apde", demo, "id_apde", tv,
+        "id_apde", prior, pop, "id_apde", "from_date", "to_date", 1996,
+        "stage.mcaid_claim_bh")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_claim_moud QA battery (q297,
+    * qa_stage.mcaid_claim_moud.R:60-246) over the shared q92 person-day
+    * MOUD frame: elig containment, the pharm-temp new-NDC probe
+    * (admin-method ref compiled at the prior load, so the gap counted
+    * is the NDCs the newest 1/30th of orders introduced), and the three
+    * fused row-level flag checks — with the reference's count-in-the-
+    * qa_item FAIL convention and copy-paste PASS notes kept verbatim. */
+  def q297ClaimMoudQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.moudDayFrame(s, dir).localCheckpoint(true)
+    val demo = t(s, dir, "customer")
+      .select((col("c_custkey") % 80).as("pid")).distinct()
+    val tv = t(s, dir, "orders")
+      .select((col("o_custkey") % 80).as("pid")).distinct()
+    val rxNdc = t(s, dir, "orders").filter(col("o_orderkey") % 6 === 0)
+      .select((col("o_custkey") % 80).as("id_person"),
+        col("o_orderkey"),
+        lpad(((col("o_custkey") * 7 + 3) % 500).cast("string"), 11, "0")
+          .as("ndc"))
+    val ref = rxNdc.filter(col("o_orderkey") % 30 =!= 0)
+      .select(col("ndc").as("ref_ndc")).distinct()
+      .withColumn("admin_method", lit("oral"))
+    val pharmTmp = rxNdc.join(ref, col("ndc") === col("ref_ndc"), "left")
+    val flags = col("meth_proc_flag") + col("bup_proc_flag") +
+      col("nal_proc_flag") + col("unspec_proc_flag")
+    ClaimTableQa.moudBattery(stage, "id_person", demo, "pid", tv, "pid",
+        pharmTmp, "admin_method",
+        col("unspec_proc_flag") === 1 && col("moud_days_supply") > 0,
+        flags > 1,
+        (col("meth_proc_flag") === 1 || col("bup_proc_flag") === 1 ||
+          col("nal_proc_flag") === 1) &&
+          col("moud_days_supply_new").isNull,
+        "stage.mcaid_claim_moud")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_claim_naloxone QA (q298,
+    * qa_stage.mcaid_claim_naloxone.R:25-113): the battery is the single
+    * elig-containment verdict row — the reference's smallest QA script,
+    * kept as its own gate because the master script sums it like the
+    * rest. Stage = the q144 row-grain naloxone build (id universe
+    * custkey % 70). */
+  def q298ClaimNaloxoneQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.q144Naloxone(s, dir)
+    val demo = t(s, dir, "customer")
+      .select((col("c_custkey") % 70).as("pid")).distinct()
+    val tv = t(s, dir, "orders")
+      .select((col("o_custkey") % 70).as("pid")).distinct()
+    ClaimTableQa.toDf(s, Seq(ClaimTableQa.idsVsEligRow(stage, "id_mcaid",
+        demo, "pid", tv, "pid", "stage.mcaid_claim_naloxone")))
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_claim_preg_episode QA battery (q299,
+    * qa_stage.mcaid_claim_preg_episode.R:40-240): elig containment plus
+    * six fused checks — age envelope [12, 55], non-null episode dates,
+    * GA-column completeness on valid-GA rows, exactly 7 endpoint types,
+    * and lb_type presence on valid-GA live births — over the FULL
+    * 7-class pipeline: q91 placement -> prenatal windows -> GA
+    * correction, enriched with the deterministic dob fixture (years
+    * 1955-1979, so every outcome age lands inside the envelope) and
+    * ga_estimation_step = 'anchor_procedure' where a corrected start
+    * exists (the one GA-estimation step this build models). */
+  def q299PregEpisodeQa(s: SparkSession, dir: String): DataFrame = {
+    val placed = graft.builds.PregEpisode.build(
+      BuildQueries.preg7Endpoints(s, dir),
+      "id_person", "endpoint_date", "cls")
+    val episodes = graft.builds.PregEpisode.withPrenatalWindows(placed)
+    val procs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") % 60).as("id_person"),
+        to_date(col("l_shipdate")).as("procedure_date"),
+        when(col("l_partkey") % 13 === 0, "58321")
+          .when(col("l_partkey") % 13 === 1, "S4035")
+          .otherwise("OTHER").as("procedure_code"))
+    val corrected = graft.builds.PregEpisode.gaCorrection(episodes, procs,
+      Seq("58321", "58322", "S4035", "58974", "58976", "S4037"))
+    val dob = make_date(lit(1955) + col("id_person") % 25,
+      lit(1) + col("id_person") % 12, lit(1) + col("id_person") % 28)
+    val stage = corrected
+      .withColumn("ga_estimation_step",
+        when(col("preg_start_date_correct").isNotNull, "anchor_procedure"))
+      .withColumn("age_at_outcome",
+        graft.functions.DateFns.ageYears(dob, col("preg_end_date")))
+      .localCheckpoint(true)
+    val demo = t(s, dir, "customer")
+      .select((col("c_custkey") % 60).as("pid")).distinct()
+    val tv = t(s, dir, "orders")
+      .select((col("o_custkey") % 60).as("pid")).distinct()
+    ClaimTableQa.pregBattery(stage, "id_person", demo, "pid", tv, "pid",
+        "stage.mcaid_claim_preg_episode")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcaid_housing_status QA battery (q300,
+    * qa_stage.mcaid_housing_status.R:28-137): duplicate (id, from_date)
+    * pairs and the month-to-month distinct-member trend at the >= 5%
+    * bar, over the q148 housing-status build. The reference joins
+    * ref.date to get year_month; from_date here is always the first of
+    * the month, so year_month is computed directly (the q290 ref.date
+    * row pins that dimension separately). The reference's FAIL note
+    * references an undefined R variable (`diff_check`) — an error it
+    * could never render — so the FAIL qa_item here renders the intended
+    * values with the 4-dp fixed-point pct. */
+  def q300HousingQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.q148HousingStatus(s, dir).localCheckpoint(true)
+    ClaimTableQa.housingBattery(stage, "id_mcaid", "from_date",
+        "stage.mcaid_housing_status")
+      .orderBy(col("qa_item"))
+  }
+}

@@ -888,7 +888,12 @@ vars:
     val yr = t(s, dir, "orders")
       .agg(min(year(to_date(col("o_orderdate")))).as("y0"),
         max(year(to_date(col("o_orderdate")))).as("y1")).head()
-    val (y0, y1) = (yr.getInt(0), yr.getInt(1))
+    // empty source -> deterministic one-year 1992 calendar (a
+    // date-window build over an empty slice must not throw at 100 TB;
+    // the empty-input sweep pins it; zero years would flip Spark's
+    // sequence() into its descending-step mode)
+    val (y0, y1) = if (yr.isNullAt(0)) (1992, 1991)
+      else (yr.getInt(0), yr.getInt(1))
     graft.sources.RefTables.dateDim(s, s"$y0-01-01", y1 - y0 + 2)
       .orderBy(col("date"))
   }
@@ -900,7 +905,8 @@ vars:
     val yr = t(s, dir, "orders")
       .agg(min(year(to_date(col("o_orderdate")))).as("y0"),
         max(year(to_date(col("o_orderdate")))).as("y1")).head()
-    val (y0, y1) = (yr.getInt(0), yr.getInt(1))
+    val (y0, y1) = if (yr.isNullAt(0)) (1992, 1991)
+      else (yr.getInt(0), yr.getInt(1))
     graft.sources.RefTables.dateDimQa(
         graft.sources.RefTables.dateDim(s, s"$y0-01-01", y1 - y0 + 2))
       .orderBy(col("qa_item"))

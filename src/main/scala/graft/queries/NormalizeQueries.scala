@@ -17,7 +17,7 @@ object NormalizeQueries {
     * version depends on the service date), slot 03 an E-code, admit slot
     * intermittently null. last_service_date spans 2014-2017, straddling the
     * 2015-10-01 ICD-10 cutover so both E/V branches are exercised. */
-  private def icdcmWide(s: SparkSession, dir: String): DataFrame =
+  private[queries] def icdcmWide(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey").as("claim_header_id"),
       col("o_custkey").as("id_person"),
@@ -49,9 +49,12 @@ object NormalizeQueries {
   /** Wide frame with 3 procedure slots + 2 modifier slots; slot 2 is
     * HCPCS-shaped (letter + 4 digits), modifiers arrive lower-case to
     * exercise the upper() normalization. */
-  private def procWide(s: SparkSession, dir: String): DataFrame =
+  private[queries] def procWide(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey").as("claim_header_id"),
+      col("o_custkey").as("id_person"),
+      date_add(to_date(lit("2014-01-01")),
+        (col("o_orderkey") % 1460).cast("int")).as("first_service_date"),
       lpad((col("o_orderkey") % 89999 + 10000).cast("string"), 5, "0").as("pc01"),
       when(col("o_orderkey") % 4 =!= 1,
         concat(expr("chr(65 + o_orderkey % 5)"),
@@ -79,16 +82,23 @@ object NormalizeQueries {
   /** §7.2 phase 1: claim_pharm build — NDC shape validation + ISNUMERIC-
     * guarded casts + domain clamp, rolled up by validity outcome so any
     * mis-validated row moves a bucket and breaks the oracle hash. */
+  /** Shared q81/q295 pharmacy-feed columns — factored so the claim_pharm
+    * build fixture and its QA battery cannot drift. */
+  private[queries] def pharmNdcRaw: org.apache.spark.sql.Column =
+    when(col("l_orderkey") % 13 === 0,
+      concat(lit("N"), lpad(col("l_partkey").cast("string"), 10, "0")))
+      .otherwise(lpad(((col("l_partkey") * 37 + col("l_suppkey")) % 100000000000L)
+        .cast("string"), 11, "0"))
+
+  private[queries] def pharmSupplyRaw: org.apache.spark.sql.Column =
+    when(col("l_suppkey") % 17 === 0, lit("NA"))
+      .otherwise((floor(col("l_quantity")).cast("int") * 9).cast("string"))
+
   def q81ClaimPharm(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "lineitem").select(
       col("l_orderkey").as("claim_header_id"),
-      when(col("l_orderkey") % 13 === 0,
-        concat(lit("N"), lpad(col("l_partkey").cast("string"), 10, "0")))
-        .otherwise(lpad(((col("l_partkey") * 37 + col("l_suppkey")) % 100000000000L)
-          .cast("string"), 11, "0")).as("ndc_raw"),
-      when(col("l_suppkey") % 17 === 0, lit("NA"))
-        .otherwise((floor(col("l_quantity")).cast("int") * 9).cast("string"))
-        .as("supply_days_raw"))
+      pharmNdcRaw.as("ndc_raw"),
+      pharmSupplyRaw.as("supply_days_raw"))
     ClaimPharm.build(raw)
       .groupBy(col("ndc_valid"), col("supply_days").isNotNull.as("supply_known"))
       .agg(count(lit(1)).as("n"),
