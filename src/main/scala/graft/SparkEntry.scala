@@ -459,6 +459,16 @@ object SparkEntry {
       (graft.queries.ClaimQaQueries.q294ClaimProcedureQa _),
     "q295_claim_pharm_qa" ->
       (graft.queries.ClaimQaQueries.q295ClaimPharmQa _),
+    "q296_claim_bh_qa" ->
+      (graft.queries.ClaimQaQueries.q296ClaimBhQa _),
+    "q297_claim_moud_qa" ->
+      (graft.queries.ClaimQaQueries.q297ClaimMoudQa _),
+    "q298_claim_naloxone_qa" ->
+      (graft.queries.ClaimQaQueries.q298ClaimNaloxoneQa _),
+    "q299_preg_episode_qa" ->
+      (graft.queries.ClaimQaQueries.q299PregEpisodeQa _),
+    "q300_housing_qa" ->
+      (graft.queries.ClaimQaQueries.q300HousingQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -2423,29 +2433,38 @@ object SparkEntry {
 
   /** 'Distinct IDs compared to elig tables' CTE pair: distinct stage
     * claimants anti-counted against the person dim (elig_demo stand-in)
-    * and the claimant spine (elig_timevar stand-in). */
-  private def idsVsEligCtes(srcCte: String, idCol: String): String =
+    * and the claimant spine (elig_timevar stand-in); the dims default
+    * to the raw custkey universes and are overridden where a fixture
+    * keys people on a custkey modulus. */
+  private def idsVsEligCtes(srcCte: String, idCol: String,
+      demoSub: String = "SELECT DISTINCT c_custkey AS pid FROM customer",
+      tvSub: String = "SELECT DISTINCT o_custkey AS pid FROM orders")
+      : String =
     s"""ids AS (SELECT DISTINCT $idCol AS qa_id FROM $srcCte),
       idchk AS (SELECT
-        (SELECT count(*) FROM ids a LEFT JOIN customer b
-          ON a.qa_id = b.c_custkey WHERE b.c_custkey IS NULL) AS d,
-        (SELECT count(*) FROM ids a LEFT JOIN
-          (SELECT DISTINCT o_custkey FROM orders) b
-          ON a.qa_id = b.o_custkey WHERE b.o_custkey IS NULL) AS t)"""
+        (SELECT count(*) FROM ids a LEFT JOIN ($demoSub) b
+          ON a.qa_id = b.pid WHERE b.pid IS NULL) AS d,
+        (SELECT count(*) FROM ids a LEFT JOIN ($tvSub) b
+          ON a.qa_id = b.pid WHERE b.pid IS NULL) AS t)"""
 
-  private def idsVsEligRowSql(table: String): String =
+  /** `quoted` renders the bh battery's literally-apostrophed notes
+    * (doubled quotes inside the SQL literal). */
+  private def idsVsEligRowSql(table: String,
+      quoted: Boolean = false): String = {
+    val q = if (quoted) "''" else ""
     s"""SELECT '$table' AS table_name,
           'Distinct IDs compared to elig tables' AS qa_item,
           CASE WHEN d = 0 AND t = 0 THEN 'PASS' ELSE 'FAIL' END
             AS qa_result,
           CASE WHEN d = 0 AND t = 0
-            THEN 'There were the same number of IDs as in the final mcaid_elig_demo and mcaid_elig_timevar tables'
-            ELSE 'There were ' || CAST(d AS VARCHAR)
+            THEN '${q}There were the same number of IDs as in the final mcaid_elig_demo and mcaid_elig_timevar tables$q'
+            ELSE '${q}There were ' || CAST(d AS VARCHAR)
               || ' more IDs than in the final mcaid_elig_demo table and '
               || CAST(t AS VARCHAR)
-              || ' more IDs than in the final mcaid_elig_timevar table'
+              || ' more IDs than in the final mcaid_elig_timevar table$q'
             END AS note
         FROM idchk"""
+  }
 
   /** Year-comparison CTE block: per-year counts of the new frame
     * LEFT-joined to the prior frame (the reference quirk — a year only
@@ -3081,13 +3100,32 @@ object SparkEntry {
         GROUP BY 1, 2),
       final AS (
         SELECT e.id_person, e.preg_endpoint, e.preg_episode_seq,
+          e.preg_start_date, e.preg_end_date,
           e.preg_start_date_max, e.preg_start_date_min,
           c.preg_start_date_correct,
+          CASE WHEN c.preg_start_date_correct IS NULL THEN NULL
+            ELSE date_diff('day', c.preg_start_date_correct,
+              e.preg_end_date) + 1 END AS ga_days,
           CASE WHEN c.preg_start_date_correct IS NULL THEN NULL
             ELSE CAST(round((date_diff('day', c.preg_start_date_correct,
               e.preg_end_date) + 1) * 1.0 / 7, 1) AS DECIMAL(4,1)) END
             AS ga_weeks
-        FROM epi e LEFT JOIN corr c USING (id_person, preg_episode_seq))"""
+        FROM epi e LEFT JOIN corr c USING (id_person, preg_episode_seq)),
+      corrected AS (
+        SELECT *,
+          CASE WHEN preg_start_date_correct IS NULL THEN NULL
+               WHEN preg_start_date_correct BETWEEN preg_start_date_max
+                 AND preg_start_date_min THEN 1 ELSE 0 END
+            AS valid_start_date,
+          CASE WHEN preg_start_date_correct IS NULL THEN NULL
+               WHEN preg_endpoint = 'lb' AND ga_weeks < 22 THEN 0
+               WHEN preg_endpoint = 'sb' AND ga_weeks < 20 THEN 0
+               WHEN preg_endpoint = 'sa' AND ga_weeks >= 20 THEN 0
+               ELSE 1 END AS valid_ga,
+          CASE WHEN preg_endpoint = 'lb' AND ga_weeks >= 37 THEN 'ftb'
+               WHEN preg_endpoint = 'lb' AND ga_weeks < 37 THEN 'ptb'
+               END AS lb_type
+        FROM final)"""
 
   /** The four battery oracles (qa_stage.mcaid_claim_*.R) — every note
     * string rendered exactly as the Scala battery renders the
@@ -3263,6 +3301,283 @@ object SparkEntry {
           "Change in number of pharmacy claim rows",
           "Change in number of pharmacy claim row",
           "pharmacy claim rows", "pharmacy claim lines")})
+      ORDER BY qa_item""",
+
+    "q296_claim_bh_qa" -> s"""
+      WITH $BhRowsCtes,
+      bhm AS MATERIALIZED (SELECT * FROM bh),
+      prior AS (SELECT * FROM bhm WHERE id_apde % 20 <> 0),
+      conds AS (SELECT
+        (SELECT count(DISTINCT bh_cond) FROM bhm) AS nc,
+        (SELECT count(DISTINCT bh_cond) FROM prior) AS nf),
+      ${idsVsEligCtes("bhm", "id_apde",
+        "SELECT DISTINCT 1000 + c_custkey % 90 AS pid FROM customer",
+        "SELECT DISTINCT 1000 + o_custkey % 90 AS pid FROM orders")},
+      pop AS (SELECT count(DISTINCT id_apde) AS np FROM (
+        SELECT 1000 + o_custkey % 90 AS id_apde,
+          CAST(o_orderdate AS DATE) AS f,
+          CAST(o_orderdate AS DATE) + 180 AS tt FROM orders)
+        WHERE year(f) <= 1996 AND year(tt) >= 1996),
+      prev AS (SELECT bh_cond, count(DISTINCT id_apde) AS n FROM bhm
+        WHERE year(first_encounter_date) <= 1996
+          AND year(last_encounter_date) >= 1996
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT 'stage.mcaid_claim_bh' AS table_name,
+          '# distinct conditions' AS qa_item,
+          CASE WHEN nc >= nf THEN 'PASS' ELSE 'FAIL' END AS qa_result,
+          CASE WHEN nc >= nf
+            THEN 'There were ' || CAST(nc AS VARCHAR)
+              || ' conditions analyzed'
+            ELSE 'There were ' || CAST(nc AS VARCHAR)
+              || ' conditions analyzed, but there are '
+              || CAST(nf AS VARCHAR) || ' conditions in the final table'
+            END AS note
+        FROM conds
+        UNION ALL
+        ${idsVsEligRowSql("stage.mcaid_claim_bh", quoted = true)}
+        UNION ALL
+        SELECT 'stage.mcaid_claim_bh',
+          '1996 prevalence: ' || bh_cond, 'INFO',
+          CAST(n AS VARCHAR) || ' of ' || CAST(np AS VARCHAR)
+            || ' members ('
+            || CAST(CAST(round(n * 10000.0 / np) AS BIGINT) // 100
+              AS VARCHAR)
+            || CASE WHEN CAST(round(n * 10000.0 / np) AS BIGINT) % 100 = 0
+                THEN ''
+              WHEN (CAST(round(n * 10000.0 / np) AS BIGINT) % 100) % 10 = 0
+                THEN '.' || CAST((CAST(round(n * 10000.0 / np) AS BIGINT)
+                  % 100) // 10 AS VARCHAR)
+              ELSE '.' || lpad(CAST(CAST(round(n * 10000.0 / np)
+                AS BIGINT) % 100 AS VARCHAR), 2, '0') END
+            || '%)'
+        FROM prev, pop)
+      ORDER BY qa_item""",
+
+    "q297_claim_moud_qa" -> s"""
+      WITH $MoudDayCtes,
+      mday AS MATERIALIZED (SELECT * FROM fin),
+      ${idsVsEligCtes("mday", "id_person",
+        "SELECT DISTINCT c_custkey % 80 AS pid FROM customer",
+        "SELECT DISTINCT o_custkey % 80 AS pid FROM orders")},
+      rxndc AS (SELECT o_custkey % 80 AS id_person, o_orderkey,
+        lpad(CAST((o_custkey * 7 + 3) % 500 AS VARCHAR), 11, '0') AS ndc
+        FROM orders WHERE o_orderkey % 6 = 0),
+      refndc AS (SELECT DISTINCT ndc AS ref_ndc FROM rxndc
+        WHERE o_orderkey % 30 <> 0),
+      chk AS (SELECT
+        (SELECT count(*) FROM rxndc r LEFT JOIN refndc f
+          ON r.ndc = f.ref_ndc WHERE f.ref_ndc IS NULL) AS newndc,
+        (SELECT coalesce(sum(CASE WHEN unspec_proc_flag = 1
+            AND moud_days_supply > 0 THEN 1 ELSE 0 END), 0)
+          FROM mday) AS nunspec,
+        (SELECT coalesce(sum(CASE WHEN meth_proc_flag + bup_proc_flag
+            + nal_proc_flag + unspec_proc_flag > 1 THEN 1 ELSE 0 END), 0)
+          FROM mday) AS nmulti,
+        (SELECT coalesce(sum(CASE WHEN (meth_proc_flag = 1
+            OR bup_proc_flag = 1 OR nal_proc_flag = 1)
+            AND supply_new_row IS NULL THEN 1 ELSE 0 END), 0)
+          FROM mday) AS nmiss)
+      SELECT * FROM (
+        ${idsVsEligRowSql("stage.mcaid_claim_moud")}
+        UNION ALL
+        SELECT 'stage.mcaid_claim_moud',
+          CASE WHEN newndc = 0 THEN 'No new NDCs'
+            ELSE CAST(newndc AS VARCHAR)
+              || ' new NDC(s) missing from ref.ndc_codes' END,
+          CASE WHEN newndc = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN newndc = 0 THEN 'All rows of ndc formatted properly'
+            ELSE 'ndc field had some rows with length != 11 or numeric'
+            END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_moud',
+          CASE WHEN nunspec = 0
+            THEN 'No rows with unspec_proc_flag AND non-zero MOUD supply'
+            ELSE CAST(nunspec AS VARCHAR)
+              || ' row(s) with unspec_proc_flag AND non-zero MOUD supply'
+            END,
+          CASE WHEN nunspec = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nunspec = 0
+            THEN 'All rows of ndc formatted properly'
+            ELSE 'rows where ndc field not formatted properly' END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_moud',
+          CASE WHEN nmulti = 0
+            THEN 'No rows with more than one type of MOUD flag'
+            ELSE CAST(nmulti AS VARCHAR)
+              || ' rows with more than one type of MOUD flag' END,
+          CASE WHEN nmulti = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nmulti = 0
+            THEN 'All rows of ndc formatted properly'
+            ELSE 'ndc field had some rows with more than one type of MOUD flag'
+            END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_moud',
+          CASE WHEN nmiss = 0
+            THEN 'No rows that have missing MOUD days if methadone/bupe/naltrexone'
+            ELSE CAST(nmiss AS VARCHAR)
+              || ' rows that have missing MOUD days if methadone/bupe/naltrexone'
+            END,
+          CASE WHEN nmiss = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nmiss = 0 THEN 'All rows have MOUD days'
+            ELSE 'rows have missing MOUD days if methadone/bupe/naltrexone'
+            END
+        FROM chk)
+      ORDER BY qa_item""",
+
+    "q298_claim_naloxone_qa" -> s"""
+      WITH $NaloxoneRowsCtes,
+      ${idsVsEligCtes("nal", "id_mcaid",
+        "SELECT DISTINCT c_custkey % 70 AS pid FROM customer",
+        "SELECT DISTINCT o_custkey % 70 AS pid FROM orders")}
+      ${idsVsEligRowSql("stage.mcaid_claim_naloxone")}
+      ORDER BY qa_item""",
+
+    "q299_preg_episode_qa" -> s"""
+      WITH RECURSIVE $PregFullPlacedCtes,
+      $EpisodeCtes,
+      ${pregCorrectionCtes(60)},
+      pregf AS MATERIALIZED (
+        SELECT *,
+          CASE WHEN preg_start_date_correct IS NOT NULL
+            THEN 'anchor_procedure' END AS ga_estimation_step,
+          CAST(floor((date_diff('day',
+            make_date(CAST(1955 + id_person % 25 AS INT),
+              CAST(1 + id_person % 12 AS INT),
+              CAST(1 + id_person % 28 AS INT)),
+            preg_end_date) + 1) / 365.25) AS BIGINT) AS age_at_outcome
+        FROM corrected),
+      ${idsVsEligCtes("pregf", "id_person",
+        "SELECT DISTINCT c_custkey % 60 AS pid FROM customer",
+        "SELECT DISTINCT o_custkey % 60 AS pid FROM orders")},
+      chk AS (SELECT
+        coalesce(sum(CASE WHEN age_at_outcome < 12 THEN 1 ELSE 0 END),
+          0) AS minage,
+        coalesce(sum(CASE WHEN age_at_outcome > 55 THEN 1 ELSE 0 END),
+          0) AS maxage,
+        coalesce(sum(CASE WHEN preg_start_date IS NULL
+          OR preg_end_date IS NULL THEN 1 ELSE 0 END), 0) AS nulldate,
+        coalesce(sum(CASE WHEN valid_ga = 1 AND (ga_days IS NULL
+          OR ga_weeks IS NULL OR ga_estimation_step IS NULL)
+          THEN 1 ELSE 0 END), 0) AS nullga,
+        count(DISTINCT preg_endpoint) AS endtypes,
+        coalesce(sum(CASE WHEN preg_endpoint = 'lb' AND valid_ga = 1
+          AND lb_type IS NULL THEN 1 ELSE 0 END), 0) AS nulllb
+        FROM pregf)
+      SELECT * FROM (
+        ${idsVsEligRowSql("stage.mcaid_claim_preg_episode")}
+        UNION ALL
+        SELECT 'stage.mcaid_claim_preg_episode',
+          CASE WHEN minage = 0 THEN 'Minimum age >= 12 as expected'
+            ELSE 'Minimum age is under 12, lower than expected' END,
+          CASE WHEN minage = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN minage = 0 THEN 'Minimum age >= 12 as expected'
+            ELSE CAST(minage AS VARCHAR)
+              || ' row(s) with age lower than expected minimum (12)' END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_preg_episode',
+          CASE WHEN maxage = 0 THEN 'Maximum age <= 55 as expected'
+            ELSE 'Maximum age is over 55, higher than expected' END,
+          CASE WHEN maxage = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN maxage = 0 THEN 'Maximum age <= 55 as expected'
+            ELSE CAST(maxage AS VARCHAR)
+              || ' row(s) with age higher than expected maximum (55)' END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_preg_episode',
+          CASE WHEN nulldate = 0
+            THEN 'All rows with non-null start and end dates'
+            ELSE 'Rows with null start or end dates' END,
+          CASE WHEN nulldate = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nulldate = 0
+            THEN 'All rows with non-null start and end dates'
+            ELSE CAST(nulldate AS VARCHAR)
+              || ' row(s) with null start or end dates' END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_preg_episode',
+          CASE WHEN nullga = 0
+            THEN 'All valid GA rows with non-null GA columns'
+            ELSE 'Valid GA rows with null GA columns' END,
+          CASE WHEN nullga = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nullga = 0
+            THEN 'All valid GA rows with non-null GA columns'
+            ELSE CAST(nullga AS VARCHAR)
+              || ' valid GA row(s) with null GA columns' END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_preg_episode',
+          CASE WHEN endtypes = 7
+            THEN 'Expected # of distict preg endpoint types (7)'
+            ELSE 'Incorrect # of distict preg endpoint types (expecting 7)'
+            END,
+          CASE WHEN endtypes = 7 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN endtypes = 7
+            THEN 'Expected # of distict preg endpoint types (7)'
+            ELSE CAST(endtypes AS VARCHAR)
+              || ' distinct preg endpoint types (expecting 7)' END
+        FROM chk
+        UNION ALL
+        SELECT 'stage.mcaid_claim_preg_episode',
+          CASE WHEN nulllb = 0
+            THEN 'All LB records with valid GA with non-null lb_type'
+            ELSE 'LB records with valid GA with null lb_type' END,
+          CASE WHEN nulllb = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nulllb = 0
+            THEN 'All LB records with valid GA with non-null lb_type'
+            ELSE CAST(nulllb AS VARCHAR)
+              || ' LB row(s) with valid GA with null lb_type' END
+        FROM chk)
+      ORDER BY qa_item""",
+
+    "q300_housing_qa" -> s"""
+      WITH $HousingRowsCtes,
+      hsm AS MATERIALIZED (SELECT * FROM hs),
+      dupc AS (SELECT count(*) AS dup FROM (
+        SELECT id_mcaid, from_date FROM hsm
+        GROUP BY 1, 2 HAVING count(*) > 1)),
+      mons AS (SELECT year(from_date) * 100 + month(from_date) AS ym,
+        count(DISTINCT id_mcaid) AS ids FROM hsm GROUP BY 1),
+      seqd AS (SELECT ym, ids, row_number() OVER (ORDER BY ym) AS num
+        FROM mons),
+      dif AS (SELECT
+        CAST(round(abs(b.ids - a.ids) * 1000000.0 / a.ids) AS BIGINT)
+          AS v
+        FROM seqd a JOIN seqd b ON b.num = a.num + 1),
+      trend AS (SELECT
+        coalesce(sum(CASE WHEN v >= 50000 THEN 1 ELSE 0 END), 0)
+          AS nover,
+        max(v) AS maxv FROM dif)
+      SELECT * FROM (
+        SELECT 'stage.mcaid_housing_status' AS table_name,
+          CASE WHEN dup = 0
+            THEN 'Confirmed there are zero duplicate IDs per [from_date]'
+            ELSE 'There are ' || CAST(dup AS VARCHAR)
+              || ' duplicate IDs per [from_date]' END AS qa_item,
+          CASE WHEN dup = 0 THEN 'PASS' ELSE 'FAIL' END AS qa_result,
+          CASE WHEN dup = 0
+            THEN 'There are no duplicate IDs per [from_date]'
+            ELSE 'There are duplicate IDs per [from_date]' END AS note
+        FROM dupc
+        UNION ALL
+        SELECT 'stage.mcaid_housing_status',
+          CASE WHEN nover = 0
+            THEN 'Confirmed there are zero months with >= 5% difference compared to previous months'
+            ELSE CAST(nover AS VARCHAR) || ' months with up to '
+              || CAST(maxv // 10000 AS VARCHAR)
+              || CASE WHEN maxv % 10000 = 0 THEN ''
+                ELSE '.' || rtrim(lpad(CAST(maxv % 10000 AS VARCHAR),
+                  4, '0'), '0') END
+              || '% difference' END,
+          CASE WHEN nover = 0 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN nover = 0
+            THEN 'Checked for Month-to-Month trends of >= 5% difference'
+            ELSE 'There are trends of >= 5% difference' END
+        FROM trend)
       ORDER BY qa_item""")
 
   private val dateDimOracleBody: String = """
@@ -5456,19 +5771,9 @@ object SparkEntry {
       $EpisodeCtes,
       ${pregCorrectionCtes(100)}
       SELECT id_person, preg_endpoint, preg_episode_seq,
-        preg_start_date_correct, ga_weeks,
-        CASE WHEN preg_start_date_correct IS NULL THEN NULL
-             WHEN preg_start_date_correct BETWEEN preg_start_date_max
-               AND preg_start_date_min THEN 1 ELSE 0 END AS valid_start_date,
-        CASE WHEN preg_start_date_correct IS NULL THEN NULL
-             WHEN preg_endpoint = 'lb' AND ga_weeks < 22 THEN 0
-             WHEN preg_endpoint = 'sb' AND ga_weeks < 20 THEN 0
-             WHEN preg_endpoint = 'sa' AND ga_weeks >= 20 THEN 0
-             ELSE 1 END AS valid_ga,
-        CASE WHEN preg_endpoint = 'lb' AND ga_weeks >= 37 THEN 'ftb'
-             WHEN preg_endpoint = 'lb' AND ga_weeks < 37 THEN 'ptb'
-             END AS lb_type
-      FROM final ORDER BY id_person, preg_episode_seq"""),
+        preg_start_date_correct, ga_weeks, valid_start_date, valid_ga,
+        lb_type
+      FROM corrected ORDER BY id_person, preg_episode_seq"""),
 
     // q91: the full 7-class hierarchy (STEP 5A-5G) — oracle generated
     // from the conflict-window matrix; one recursive phase per class.

@@ -256,4 +256,144 @@ class ClaimTableQaSpec extends SparkSpec {
     assert(rc == "FAIL" && ncn == "No change in the number of pharmacy " +
       "claim lines compared to final schema table")
   }
+
+  // --- bh battery -----------------------------------------------------------
+
+  test("bh battery: condition-count FAIL, literally-quoted ids notes, " +
+      "and prevalence INFO rows") {
+    val stage = Seq(
+      (1L, "mh", "1996-03-01", "1996-08-31"),
+      (2L, "mh", "1995-01-01", "1995-06-30"), // outside the 1996 window
+      (2L, "sud", "1996-02-01", "1997-01-31"))
+      .map { case (id, c, f, t) =>
+        (id, c, Date.valueOf(f), Date.valueOf(t))
+      }.toDF("id_apde", "bh_cond", "first_encounter_date",
+        "last_encounter_date")
+    val fin = Seq(("mh", 1), ("sud", 1), ("adhd", 1)).toDF("bh_cond", "x")
+    val pop = Seq(
+      (1L, "1996-01-01", "1996-12-31"),
+      (2L, "1996-01-01", "1996-12-31"),
+      (3L, "1995-01-01", "1995-12-31")) // not enrolled across 1996
+      .map { case (id, f, t) =>
+        (id, Date.valueOf(f), Date.valueOf(t))
+      }.toDF("pid", "f", "t")
+    val out = ClaimTableQa.bhBattery(stage, "id_apde", demo, "pid", tv,
+      "pid", fin, pop, "pid", "f", "t", 1996, "stage.mcaid_claim_bh")
+    val (rc, nc) = row(out, "# distinct conditions")
+    assert(rc == "FAIL" && nc == "There were 2 conditions analyzed, " +
+      "but there are 3 conditions in the final table")
+    val (ri, ni) = row(out, "Distinct IDs compared to elig tables")
+    assert(ri == "PASS")
+    assert(ni.startsWith("'") && ni.endsWith("'")) // the bh glue quirk
+    val (rm, nm) = row(out, "1996 prevalence: mh")
+    assert(rm == "INFO" && nm == "1 of 2 members (50%)")
+    val (rs, ns) = row(out, "1996 prevalence: sud")
+    assert(rs == "INFO" && ns == "1 of 2 members (50%)")
+  }
+
+  // --- moud battery ---------------------------------------------------------
+
+  test("moud battery: FAIL branches put the count in the qa_item and " +
+      "keep the copy-paste notes") {
+    import org.apache.spark.sql.functions.col
+    val stage = Seq(
+      // (id, meth, bup, nal, unspec, supply, supply_new)
+      (1L, 1, 0, 0, 0, 1.0, Option(1.0)),
+      (2L, 0, 0, 0, 1, 5.0, Option(5.0)),   // unspec with supply > 0
+      (3L, 1, 1, 0, 0, 1.0, Option(1.0)),   // two flags
+      (4L, 0, 1, 0, 0, 1.0, None))          // bup with missing new days
+      .toDF("id_person", "meth_proc_flag", "bup_proc_flag",
+        "nal_proc_flag", "unspec_proc_flag", "moud_days_supply",
+        "moud_days_supply_new")
+    val pharmTmp = Seq(("a", Option("oral")), ("b", None), ("c", None))
+      .toDF("ndc", "admin_method")
+    val flags = col("meth_proc_flag") + col("bup_proc_flag") +
+      col("nal_proc_flag") + col("unspec_proc_flag")
+    val out = ClaimTableQa.moudBattery(stage, "id_person",
+      Seq(1L, 2L, 3L, 4L).toDF("pid"), "pid",
+      Seq(1L, 2L, 3L, 4L).toDF("pid"), "pid",
+      pharmTmp, "admin_method",
+      col("unspec_proc_flag") === 1 && col("moud_days_supply") > 0,
+      flags > 1,
+      (col("meth_proc_flag") === 1 || col("bup_proc_flag") === 1 ||
+        col("nal_proc_flag") === 1) &&
+        col("moud_days_supply_new").isNull,
+      "stage.mcaid_claim_moud")
+    val (r1, n1) = row(out, "2 new NDC(s) missing from ref.ndc_codes")
+    assert(r1 == "FAIL" &&
+      n1 == "ndc field had some rows with length != 11 or numeric")
+    val (r2, n2) =
+      row(out, "1 row(s) with unspec_proc_flag AND non-zero MOUD supply")
+    assert(r2 == "FAIL" &&
+      n2 == "rows where ndc field not formatted properly")
+    val (r3, _) = row(out, "1 rows with more than one type of MOUD flag")
+    assert(r3 == "FAIL")
+    val (r4, n4) = row(out, "1 rows that have missing MOUD days if " +
+      "methadone/bupe/naltrexone")
+    assert(r4 == "FAIL" &&
+      n4 == "rows have missing MOUD days if methadone/bupe/naltrexone")
+  }
+
+  // --- preg battery ---------------------------------------------------------
+
+  test("preg battery: every FAIL arm flips the qa_item wording") {
+    val stage = Seq(
+      // (id, age, start, end, valid_ga, ga_days, ga_weeks, step, ep, lb)
+      (1L, 11L, Option("2000-01-01"), "2000-09-01", Option(1),
+        Option(245), Option(35.0), Option("anchor_procedure"), "lb",
+        Option("ptb")),
+      (2L, 60L, None, "2000-09-01", Option(1), None, Option(35.0),
+        Option("anchor_procedure"), "lb", None),
+      (3L, 30L, Option("2000-01-01"), "2000-09-01", None, None, None,
+        None, "sa", None))
+      .map { case (id, a, st, en, vg, gd, gw, step, ep, lb) =>
+        (id, a, st.map(Date.valueOf), Date.valueOf(en), vg, gd, gw,
+          step, ep, lb)
+      }
+      .toDF("id_person", "age_at_outcome", "preg_start_date",
+        "preg_end_date", "valid_ga", "ga_days", "ga_weeks",
+        "ga_estimation_step", "preg_endpoint", "lb_type")
+    val out = ClaimTableQa.pregBattery(stage, "id_person",
+      Seq(1L, 2L, 3L).toDF("pid"), "pid", Seq(1L, 2L, 3L).toDF("pid"),
+      "pid", "stage.t")
+    assert(row(out, "Minimum age is under 12, lower than expected")._2 ==
+      "1 row(s) with age lower than expected minimum (12)")
+    assert(row(out, "Maximum age is over 55, higher than expected")._2 ==
+      "1 row(s) with age higher than expected maximum (55)")
+    assert(row(out, "Rows with null start or end dates")._2 ==
+      "1 row(s) with null start or end dates")
+    assert(row(out, "Valid GA rows with null GA columns")._2 ==
+      "1 valid GA row(s) with null GA columns")
+    assert(row(out,
+      "Incorrect # of distict preg endpoint types (expecting 7)")._2 ==
+      "2 distinct preg endpoint types (expecting 7)")
+    assert(row(out, "LB records with valid GA with null lb_type")._2 ==
+      "1 LB row(s) with valid GA with null lb_type")
+  }
+
+  // --- housing battery ------------------------------------------------------
+
+  test("housing battery: duplicate pairs and the >= 5% month trend " +
+      "with 4-dp trimmed pct in the qa_item") {
+    val rows = Seq.tabulate(40)(i => (i.toLong, "2000-01-01")) ++
+      Seq.tabulate(37)(i => (i.toLong, "2000-02-01")) ++ // -7.5%
+      Seq((1L, "2000-02-01")) // duplicate (1, Feb)
+    val stage = rows.map { case (id, d) => (id, Date.valueOf(d)) }
+      .toDF("id_mcaid", "from_date")
+    val out = ClaimTableQa.housingBattery(stage, "id_mcaid", "from_date",
+      "stage.mcaid_housing_status")
+    assert(row(out, "There are 1 duplicate IDs per [from_date]")._1 ==
+      "FAIL")
+    // Feb has 37 distinct ids vs 40 in Jan: |37-40|/40 = 7.5%
+    val (rt, nt) = row(out, "1 months with up to 7.5% difference")
+    assert(rt == "FAIL" && nt == "There are trends of >= 5% difference")
+  }
+
+  test("render4 trims trailing zeros at 4 dp") {
+    assert(ClaimTableQa.render4(75000L) == "7.5")
+    assert(ClaimTableQa.render4(50000L) == "5")
+    assert(ClaimTableQa.render4(51234L) == "5.1234")
+    assert(ClaimTableQa.render4(50100L) == "5.01")
+    assert(ClaimTableQa.render4(123L) == "0.0123")
+  }
 }
