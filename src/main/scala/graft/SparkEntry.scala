@@ -469,6 +469,34 @@ object SparkEntry {
       (graft.queries.ClaimQaQueries.q299PregEpisodeQa _),
     "q300_housing_qa" ->
       (graft.queries.ClaimQaQueries.q300HousingQa _),
+    "q301_perf_member_month" ->
+      (graft.queries.BuildQueries.q301PerfMemberMonth _),
+    "q302_mm_elig_demo_qa" ->
+      (graft.queries.ClaimQaQueries.q302MmEligDemoQa _),
+    "q303_mm_elig_timevar_qa" ->
+      (graft.queries.ClaimQaQueries.q303MmEligTimevarQa _),
+    "q304_mcare_timevar_qa" ->
+      (graft.queries.ClaimQaQueries.q304McareTimevarQa _),
+    "q305_xwalk_qa" ->
+      (graft.queries.ClaimQaQueries.q305XwalkQa _),
+    "q306_mm_header_dup_qa" ->
+      (graft.queries.ClaimQaQueries.q306MmHeaderDupQa _),
+    "q307_mm_ccw_qa" ->
+      (graft.queries.ClaimQaQueries.q307MmCcwQa _),
+    "q308_rac_code" ->
+      (graft.queries.LifecycleQueries.q308RacCode _),
+    "q309_rac_code_qa" ->
+      (graft.queries.LifecycleQueries.q309RacCodeQa _),
+    "q310_kc_provider_master" ->
+      (graft.queries.LifecycleQueries.q310KcProviderMaster _),
+    "q311_age_grp" ->
+      (graft.queries.LifecycleQueries.q311AgeGrp _),
+    "q312_carrier_npi" ->
+      (graft.queries.LifecycleQueries.q312CarrierNpi _),
+    "q313_comorb_scores" ->
+      (graft.queries.LifecycleQueries.q313ComorbScores _),
+    "q314_ndc_codes" ->
+      (graft.queries.LifecycleQueries.q314NdcCodes _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -3127,9 +3155,543 @@ object SparkEntry {
                END AS lb_type
         FROM final)"""
 
-  /** The four battery oracles (qa_stage.mcaid_claim_*.R) — every note
-    * string rendered exactly as the Scala battery renders the
-    * reference's glue templates. */
+  /** q118/q303 shared combined-timevar build ending in `mmtv`. */
+  private val MmTimevarCtes: String = """om AS (
+        SELECT DISTINCT o_custkey % 60 AS p,
+          date_trunc('month', o_orderdate)::DATE AS m
+        FROM orders),
+      ma AS (
+        SELECT p AS id_apde, m AS from_date, last_day(m) AS to_date,
+          0 AS dual,
+          CASE WHEN (p + mi) % 5 = 0 THEN 1 ELSE 0 END AS tpl,
+          CASE WHEN (p + mi) % 3 <> 0 THEN 1 ELSE 0 END AS full_benefit,
+          CASE WHEN (p + mi) % 2 = 0 THEN 'FFS' ELSE 'MC' END AS cov_type,
+          'Z' || ((p + mi // 4) % 4)::VARCHAR AS geo_zip,
+          CASE WHEN (p + mi) % 4 = 0 THEN '033'
+               WHEN (p + mi) % 4 = 1 THEN '053' END AS geo_county_code
+        FROM (SELECT p, m, year(m) * 12 + month(m) AS mi FROM om
+              WHERE p % 3 <> 0)),
+      mc AS (
+        SELECT p AS id_apde, m + 14 AS from_date,
+          last_day(m) + 14 AS to_date,
+          CASE WHEN (p + mi) % 4 <> 0 THEN 1 ELSE 0 END AS part_a,
+          CASE WHEN (p + mi) % 5 <> 0 THEN 1 ELSE 0 END AS part_b,
+          CASE WHEN (p + mi) % 7 = 0 THEN 1 ELSE 0 END AS part_c,
+          CASE WHEN (p + mi) % 6 = 0 THEN 1 ELSE 0 END AS partial,
+          CASE WHEN (p + mi) % 8 = 0 THEN 1 ELSE 0 END AS buy_in,
+          'Z' || ((p + mi // 3) % 4)::VARCHAR AS geo_zip_mcare
+        FROM (SELECT p, m, year(m) * 12 + month(m) AS mi FROM om
+              WHERE p % 2 = 0)),
+      pts AS (
+        SELECT id_apde, from_date AS pt FROM ma
+        UNION SELECT id_apde, to_date + 1 FROM ma
+        UNION SELECT id_apde, from_date FROM mc
+        UNION SELECT id_apde, to_date + 1 FROM mc),
+      segs AS (
+        SELECT id_apde, pt AS f,
+          lead(pt) OVER (PARTITION BY id_apde ORDER BY pt) - 1 AS t
+        FROM pts
+        QUALIFY lead(pt) OVER (PARTITION BY id_apde ORDER BY pt)
+          IS NOT NULL),
+      lab AS (
+        SELECT s.id_apde, s.f, s.t,
+          a.dual, a.tpl, a.full_benefit, a.cov_type, a.geo_zip,
+          a.geo_county_code,
+          c.part_a, c.part_b, c.part_c, c.partial, c.buy_in,
+          c.geo_zip_mcare
+        FROM segs s
+        LEFT JOIN ma a ON s.id_apde = a.id_apde
+          AND s.f BETWEEN a.from_date AND a.to_date
+        LEFT JOIN mc c ON s.id_apde = c.id_apde
+          AND s.f BETWEEN c.from_date AND c.to_date
+        WHERE a.from_date IS NOT NULL OR c.from_date IS NOT NULL),
+      isl AS (
+        SELECT *, sum(CASE WHEN prev_t IS NULL
+              OR date_diff('day', prev_t, f) > 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY id_apde, dual, tpl, full_benefit, cov_type,
+              geo_zip, geo_county_code, part_a, part_b, part_c, partial,
+              buy_in, geo_zip_mcare ORDER BY f, t
+              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM (SELECT *, lag(t) OVER (PARTITION BY id_apde, dual, tpl,
+                full_benefit, cov_type, geo_zip, geo_county_code, part_a,
+                part_b, part_c, partial, buy_in, geo_zip_mcare
+                ORDER BY f, t) AS prev_t FROM lab)),
+      coll AS (
+        SELECT id_apde, dual, tpl, full_benefit, cov_type, geo_zip,
+          geo_county_code, part_a, part_b, part_c, partial, buy_in,
+          geo_zip_mcare, min(f) AS from_date, max(t) AS to_date
+        FROM isl
+        GROUP BY id_apde, dual, tpl, full_benefit, cov_type, geo_zip,
+          geo_county_code, part_a, part_b, part_c, partial, buy_in,
+          geo_zip_mcare, isl),
+      flg AS (
+        SELECT *,
+          CASE WHEN part_a = 1 OR part_b = 1 OR part_c = 1
+            THEN 1 ELSE 0 END AS mcare,
+          CASE WHEN cov_type IS NOT NULL THEN 1 ELSE 0 END AS mcaid
+        FROM coll),
+      flg2 AS (
+        SELECT * REPLACE (
+            CASE WHEN mcare * mcaid = 1 THEN 1 ELSE dual END AS dual),
+          mcare * mcaid AS apde_dual,
+          CASE WHEN from_date BETWEEN DATE '1994-01-01'
+                AND DATE '1995-12-31'
+              OR to_date BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
+            THEN 1 ELSE 0 END AS y1114
+        FROM flg
+        WHERE NOT (mcare = 0 AND mcaid = 0)),
+      fc AS (
+        SELECT *, CASE WHEN
+            (mcaid = 1 AND mcare = 0 AND dual = 0 AND full_benefit = 1
+              AND tpl <> 1)
+            OR (y1114 = 1 AND mcaid = 0 AND mcare = 1
+              AND (part_a = 1 OR part_b = 1))
+            OR (y1114 = 0 AND mcaid = 0 AND mcare = 1
+              AND (part_a = 1 OR part_b = 1) AND partial = 0)
+            OR (y1114 = 1 AND apde_dual = 1 AND full_benefit = 1
+              AND tpl <> 1)
+            OR (part_a = 1 OR part_b = 1)
+            OR (y1114 = 0 AND apde_dual = 1
+              AND ((full_benefit = 1 AND tpl <> 1)
+                OR ((part_a = 1 OR part_b = 1) AND partial = 0)))
+          THEN 1 ELSE 0 END AS full_criteria
+        FROM flg2),
+      fin AS (
+        SELECT id_apde, from_date, to_date, apde_dual, dual,
+          CASE WHEN mcare = 0 THEN coalesce(part_a, 0)
+            ELSE part_a END AS part_a,
+          CASE WHEN mcare = 0 THEN coalesce(part_b, 0)
+            ELSE part_b END AS part_b,
+          CASE WHEN mcare = 0 THEN coalesce(part_c, 0)
+            ELSE part_c END AS part_c,
+          CASE WHEN mcare = 0 THEN coalesce(partial, 0)
+            ELSE partial END AS partial,
+          CASE WHEN mcare = 0 THEN coalesce(buy_in, 0)
+            ELSE buy_in END AS buy_in,
+          CASE WHEN mcaid = 0 THEN coalesce(full_benefit, 0)
+            ELSE full_benefit END AS full_benefit,
+          cov_type, tpl, mcare, mcaid, full_criteria,
+          coalesce(geo_zip, geo_zip_mcare) AS geo_zip, geo_county_code
+        FROM fc),
+      mmtv AS (
+      SELECT id_apde, from_date, to_date,
+        CAST(coalesce(date_diff('day',
+          lag(to_date) OVER (PARTITION BY id_apde ORDER BY from_date),
+          from_date) = 1, false) AS INTEGER) AS contiguous,
+        apde_dual, dual, part_a, part_b, part_c, partial, buy_in,
+        full_benefit, cov_type, tpl, mcare, mcaid, full_criteria,
+        geo_zip, geo_county_code,
+        CASE WHEN geo_county_code = '033' OR (geo_county_code IS NULL
+          AND geo_zip IN ('Z0', 'Z2')) THEN 1 ELSE 0 END AS geo_kc,
+        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
+          AS cov_time_day
+      FROM fin)"""
+
+  /** q119/q302 shared combined-demo build ending in `mmdemo`. */
+  private val MmDemoCtes: String = """mcaid0 AS (
+        SELECT c_custkey % 60 AS id_apde,
+          DATE '1960-01-01' + CAST(c_custkey % 8000 AS INT) AS dob,
+          CASE WHEN c_custkey % 23 = 0 THEN NULL
+               WHEN c_custkey % 17 = 0 THEN 'Multiple'
+               WHEN c_custkey % 2 = 0 THEN 'Female'
+               ELSE 'Male' END AS gender_me,
+          CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS gender_female,
+          CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS gender_male,
+          CASE WHEN c_custkey % 31 = 0 THEN NULL
+               WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END AS race_aian,
+          CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS race_asian,
+          CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS race_black,
+          CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS race_latino,
+          CASE WHEN c_custkey % 19 = 0 THEN 1 ELSE 0 END AS race_nhpi,
+          CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS race_white,
+          'RE' || (c_custkey % 4)::VARCHAR AS race_eth_recent,
+          CASE WHEN c_custkey % 6 <= 1 THEN 'ENGLISH'
+               WHEN c_custkey % 6 <= 3 THEN 'SPANISH'
+               ELSE 'VIETNAMESE' END AS lang_max
+        FROM customer WHERE (c_custkey % 60) % 3 <> 0),
+      ma AS (
+        SELECT * FROM mcaid0
+        QUALIFY row_number() OVER (PARTITION BY id_apde
+          ORDER BY dob ASC NULLS FIRST, gender_me ASC NULLS FIRST,
+            gender_female ASC NULLS FIRST, gender_male ASC NULLS FIRST,
+            race_aian ASC NULLS FIRST, race_asian ASC NULLS FIRST,
+            race_black ASC NULLS FIRST, race_latino ASC NULLS FIRST,
+            race_nhpi ASC NULLS FIRST, race_white ASC NULLS FIRST,
+            race_eth_recent ASC NULLS FIRST, lang_max ASC NULLS FIRST)
+          = 1),
+      mcare0 AS (
+        SELECT c_custkey % 60 AS id_apde,
+          DATE '1955-06-15' + CAST(c_custkey % 9000 AS INT) AS dob,
+          CASE WHEN c_custkey % 13 = 0 THEN NULL
+               WHEN c_custkey % 3 = 0 THEN 'Female'
+               ELSE 'Male' END AS gender_me,
+          CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS gender_female,
+          CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END AS gender_male,
+          CASE WHEN c_custkey % 14 = 0 THEN 1 ELSE 0 END AS race_aian,
+          CASE WHEN c_custkey % 8 = 0 THEN 1 ELSE 0 END AS race_asian,
+          CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END AS race_black,
+          CASE WHEN c_custkey % 12 = 0 THEN 1 ELSE 0 END AS race_latino,
+          CASE WHEN c_custkey % 20 = 0 THEN 1 ELSE 0 END AS race_nhpi,
+          CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS race_white,
+          'RE' || (c_custkey % 5)::VARCHAR AS race_eth_recent,
+          CASE WHEN c_custkey % 29 = 0 THEN DATE '2015-01-01'
+            + CAST(c_custkey % 1000 AS INT) END AS death_dt,
+          CASE WHEN c_custkey % 9 = 0 THEN 1 ELSE 0 END AS race_asian_pi
+        FROM customer WHERE (c_custkey % 60) % 2 = 0),
+      mc AS (
+        SELECT * FROM mcare0
+        QUALIFY row_number() OVER (PARTITION BY id_apde
+          ORDER BY dob ASC NULLS FIRST, gender_me ASC NULLS FIRST,
+            gender_female ASC NULLS FIRST, gender_male ASC NULLS FIRST,
+            race_aian ASC NULLS FIRST, race_asian ASC NULLS FIRST,
+            race_black ASC NULLS FIRST, race_latino ASC NULLS FIRST,
+            race_nhpi ASC NULLS FIRST, race_white ASC NULLS FIRST,
+            race_eth_recent ASC NULLS FIRST, death_dt ASC NULLS FIRST,
+            race_asian_pi ASC NULLS FIRST) = 1),
+      j AS (
+        SELECT coalesce(a.id_apde, c.id_apde) AS id_apde,
+          coalesce(c.dob, a.dob) AS dob,
+          c.death_dt,
+          coalesce(a.gender_me, c.gender_me) AS gender_me,
+          coalesce(a.gender_female, c.gender_female) AS gender_female,
+          coalesce(a.gender_male, c.gender_male) AS gender_male,
+          coalesce(a.race_aian, c.race_aian) AS race_aian,
+          coalesce(a.race_asian, c.race_asian) AS race_asian,
+          c.race_asian_pi,
+          coalesce(a.race_black, c.race_black) AS race_black,
+          coalesce(a.race_latino, c.race_latino) AS race_latino,
+          coalesce(a.race_nhpi, c.race_nhpi) AS race_nhpi,
+          coalesce(a.race_white, c.race_white) AS race_white,
+          coalesce(a.race_eth_recent, c.race_eth_recent)
+            AS race_eth_recent,
+          a.lang_max,
+          CASE WHEN a.id_apde IS NOT NULL AND c.id_apde IS NOT NULL
+            THEN 1 ELSE 0 END AS apde_dual
+        FROM ma a FULL JOIN mc c ON a.id_apde = c.id_apde),
+      mmdemo AS (
+      SELECT id_apde, dob, death_dt, gender_me, gender_female,
+        gender_male, race_aian, race_asian, race_asian_pi, race_black,
+        race_latino, race_nhpi, race_white,
+        CASE WHEN race_aian = 0 AND race_asian = 0 AND race_asian_pi = 0
+          AND race_black = 0 AND race_latino = 0 AND race_nhpi = 0
+          AND race_white = 0 THEN 1 ELSE 0 END AS race_unk,
+        race_eth_recent, lang_max, apde_dual
+      FROM j)"""
+
+  /** q105/q306/q307 shared combined-header build (with its mcaid/mcare
+    * claim and xw1/xw2 crosswalk CTEs) ending in `mmhdr`. */
+  private val MmHeaderCtes: String = """orders_d AS (
+        SELECT o_orderkey AS ok, o_custkey,
+          CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      mcaid AS (
+        SELECT o_custkey % 70 AS id_mcaid, CAST(ok AS VARCHAR) AS claim_id,
+          d AS fsd, d + CAST(ok % 3 AS INT) AS lsd,
+          CASE ok % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 5 END
+            AS claim_type_id,
+          CASE WHEN ok % 5 = 0 THEN 1 ELSE 0 END AS ed_pophealth_flag,
+          lpad(CAST(ok % 99 AS VARCHAR), 2, '0') AS place_of_service_code
+        FROM orders_d WHERE ok % 2 = 0),
+      mcare AS (
+        SELECT 'C' || CAST(o_custkey % 80 AS VARCHAR) AS id_mcare,
+          'X' || CAST(ok AS VARCHAR) AS claim_id,
+          d AS fsd, d + CAST(ok % 4 AS INT) AS lsd,
+          CASE ok % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 5 END
+            AS claim_type_id,
+          CASE WHEN ok % 7 = 0 THEN 1 ELSE 0 END AS ed_pophealth_flag,
+          CASE WHEN ok % 23 = 0 THEN '20' ELSE '30' END
+            AS patient_status_code
+        FROM orders_d WHERE ok % 2 = 1),
+      xw1 AS (
+        SELECT id_mcaid, 100 + id_mcaid % 50 AS id_apde
+        FROM (SELECT DISTINCT c_custkey % 70 AS id_mcaid FROM customer)
+        WHERE id_mcaid % 9 <> 8),
+      xw2 AS (
+        SELECT 'C' || CAST(n AS VARCHAR) AS id_mcare,
+          100 + n % 50 AS id_apde
+        FROM (SELECT DISTINCT c_custkey % 80 AS n FROM customer)
+        WHERE n % 7 <> 6),
+      unioned AS (
+        SELECT DISTINCT * FROM (
+          SELECT x.id_apde, 'mcaid' AS source_desc, m.claim_id, m.fsd,
+            m.lsd, m.claim_type_id, m.ed_pophealth_flag,
+            m.place_of_service_code,
+            CAST(NULL AS VARCHAR) AS patient_status_code
+          FROM mcaid m LEFT JOIN xw1 x ON m.id_mcaid = x.id_mcaid
+          UNION ALL
+          SELECT x.id_apde, 'mcare', m.claim_id, m.fsd, m.lsd,
+            m.claim_type_id, m.ed_pophealth_flag, NULL,
+            m.patient_status_code
+          FROM mcare m LEFT JOIN xw2 x ON m.id_mcare = x.id_mcare)),
+      typed AS (
+        SELECT *,
+          CASE WHEN ed_pophealth_flag = 1 AND claim_type_id = 5
+            THEN 'Carrier'
+            WHEN ed_pophealth_flag = 1 AND claim_type_id = 4
+            THEN 'Outpatient'
+            WHEN ed_pophealth_flag = 1 AND claim_type_id = 1
+            THEN 'Inpatient' END AS ed_type
+        FROM unioned),
+      ed0 AS (
+        SELECT id_apde, source_desc, claim_id, fsd,
+          lag(fsd) OVER (PARTITION BY id_apde
+            ORDER BY fsd, fsd, claim_id) AS prev_f
+        FROM typed WHERE ed_type IS NOT NULL AND id_apde IS NOT NULL),
+      ed1 AS (
+        SELECT *, CASE WHEN prev_f IS NULL
+          OR date_diff('day', prev_f, fsd) > 1 THEN 1 ELSE 0 END AS st
+        FROM ed0),
+      epi AS (
+        SELECT source_desc, claim_id,
+          CAST(sum(st) OVER (PARTITION BY id_apde
+            ORDER BY fsd, fsd, claim_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS ed_pophealth_seq
+        FROM ed1),
+      mmhdr AS (
+      SELECT t.id_apde, t.source_desc, t.claim_id,
+        t.fsd AS first_service_date, t.lsd AS last_service_date,
+        t.claim_type_id, t.ed_pophealth_flag, t.place_of_service_code,
+        t.patient_status_code, t.ed_type, e.ed_pophealth_seq
+      FROM typed t LEFT JOIN epi e
+        ON t.source_desc = e.source_desc AND t.claim_id = e.claim_id)"""
+
+  /** q155/q305 shared xwalk raw-history fixture CTE (`hist`). */
+  private val XwalkHistCte: String = """hist AS (
+        SELECT
+          CASE WHEN o_orderkey % 31 = 0
+            THEN 'BAD' || lpad(CAST(o_custkey % 200 AS VARCHAR), 9, '0')
+            ELSE lpad(CAST(o_custkey % 200 AS VARCHAR), 9, '0') || 'KC'
+            END AS kcm,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'MEDICAID' ELSE 'HOUSING'
+            END AS src,
+          CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 31 <> 0 THEN
+            CASE WHEN o_orderkey % 17 = 0
+              THEN 'X' || CAST(o_orderkey % 5000 AS VARCHAR)
+              ELSE CAST(100000 + o_orderkey % 5000 AS VARCHAR) END
+            END AS mbr,
+          CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 31 <> 0 THEN
+            CASE WHEN o_orderkey % 29 = 0 THEN 'SHORT'
+              ELSE md5(CAST(o_orderkey % 700 AS VARCHAR))
+                || md5(CAST(o_orderkey % 700 + 1 AS VARCHAR)) END
+            END AS ph,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INT)
+            AS touched,
+          CASE WHEN o_orderkey % 13 = 0 THEN 'Y' ELSE 'N' END AS histflag
+        FROM orders)"""
+
+  /** q155/q305 shared xwalk build chain (cur -> idh/mc/phx -> j2),
+    * parameterized by source CTE and name suffix so the q305 battery
+    * can run the SAME chain over the full and the prior-slice history
+    * in one statement. */
+  private def xwalkChainCtes(src: String, sfx: String): String = s"""      cur$sfx AS (
+        SELECT * FROM $src WHERE histflag = 'N' AND kcm IS NOT NULL),
+      idh$sfx AS (
+        SELECT DISTINCT kcm, substring(md5(kcm), 1, 10) AS id_apde
+        FROM cur$sfx WHERE regexp_matches(kcm, '^[0-9]{9}KC$$')),
+      mc0$sfx AS (
+        SELECT DISTINCT kcm, mbr AS id_mcaid, touched FROM cur$sfx
+        WHERE src = 'MEDICAID' AND regexp_matches(mbr, '^[0-9]+$$')),
+      mc$sfx AS (
+        SELECT kcm, id_mcaid FROM (
+          SELECT *, row_number() OVER (PARTITION BY id_mcaid
+            ORDER BY touched DESC, kcm ASC) AS rn FROM mc0$sfx)
+        WHERE rn = 1),
+      ph0$sfx AS (
+        SELECT DISTINCT kcm, ph AS phousing_id, touched FROM cur$sfx
+        WHERE ph IS NOT NULL AND length(ph) = 64),
+      phx$sfx AS (
+        SELECT kcm, phousing_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY phousing_id
+            ORDER BY touched DESC, kcm ASC) AS rn FROM ph0$sfx)
+        WHERE rn = 1),
+      j1$sfx AS (
+        SELECT coalesce(i.kcm, m.kcm) AS kcm, i.id_apde, m.id_mcaid
+        FROM idh$sfx i FULL JOIN mc$sfx m ON i.kcm = m.kcm),
+      j2$sfx AS (
+        SELECT j.id_apde, coalesce(j.kcm, p.kcm) AS KCMASTER_ID,
+          j.id_mcaid, CAST(NULL AS VARCHAR) AS id_mcare, p.phousing_id
+        FROM j1$sfx j FULL JOIN phx$sfx p ON j.kcm = p.kcm)"""
+
+  /** q127/q304 shared mcare timevar build ending in `mctv`. */
+  private val McareTimevarCtes: String = """iy AS (
+        SELECT DISTINCT o_custkey % 80 AS p, year(o_orderdate) AS y
+        FROM orders),
+      mg AS (
+        SELECT p, y, m FROM iy,
+          (SELECT unnest(generate_series(1, 12)) AS m) t),
+      codes AS (
+        SELECT p, y, m,
+          ['0','1','2','3','A','B','C','9']
+            [((p*31 + y*12 + m) % 8)::INT + 1] AS buyins,
+          ['0','1','2','4','A','5']
+            [((p*31 + y*12 + m) % 6)::INT + 1] AS hmos,
+          ['E123','H45','N','*','0','X9',NULL,'R2']
+            [((p*31 + y*12 + m) % 8)::INT + 1] AS rx,
+          ['00','01','02','04','08','09','10','99','**',NULL]
+            [((p*31 + y*12 + m) % 10)::INT + 1] AS duals,
+          CASE WHEN (p + y) % 7 = 0 THEN '9812'
+            ELSE '9810' || ((p + y) % 4)::VARCHAR END AS zip_cd
+        FROM mg),
+      monthly AS (
+        SELECT 'E' || p::VARCHAR AS id_mcare,
+          make_date(y, m, 1) AS from_date,
+          last_day(make_date(y, m, 1)) AS to_date,
+          CASE WHEN len(zip_cd) >= 5 THEN substr(zip_cd, 1, 5) END
+            AS geo_zip,
+          CASE WHEN buyins IN ('1','3','A','C') THEN 1
+               WHEN buyins IN ('0','2','B') THEN 0 END AS part_a,
+          CASE WHEN buyins IN ('2','3','B','C') THEN 1
+               WHEN buyins IN ('0','1','A') THEN 0 END AS part_b,
+          CASE WHEN hmos IN ('1','2','A','B','C') THEN 1
+               WHEN hmos IN ('0','4') THEN 0 END AS part_c,
+          CASE WHEN rx IN ('N','NULL','*','0','NA') OR rx IS NULL THEN 0
+               WHEN substr(rx, 1, 1) IN ('E','H','R','S','X') THEN 1
+            END AS part_d,
+          CASE WHEN buyins IN ('0','1','2','3') THEN 0
+               WHEN buyins IN ('A','B','C') THEN 1 END AS state_buyin,
+          CASE WHEN duals IN ('NULL','**','0','00','2','02','4','04',
+              '8','08','9','09','99','10','NA') OR duals IS NULL THEN 0
+               WHEN duals IN ('1','01','3','03','5','05','6','06')
+            THEN 1 END AS partial_dual,
+          CASE WHEN duals IN ('NULL','**','0','00','9','09','99','NA',
+              '1','01','3','03','5','05','6','06') OR duals IS NULL
+            THEN 0
+               WHEN duals IN ('2','02','4','04','8','08','10') THEN 1
+            END AS full_dual
+        FROM codes),
+      demo AS (
+        SELECT DISTINCT 'E' || p::VARCHAR AS id_mcare,
+          CASE WHEN p % 9 = 0 THEN DATE '1995-06-15'
+            + CAST(p * 13 % 700 AS INT) END AS death_dt
+        FROM iy),
+      alive AS (
+        SELECT m.id_mcare, m.from_date,
+          CASE WHEN d.death_dt IS NOT NULL
+              AND m.from_date <= d.death_dt AND m.to_date > d.death_dt
+            THEN d.death_dt ELSE m.to_date END AS to_date,
+          m.geo_zip, m.part_a, m.part_b, m.part_c, m.part_d,
+          m.state_buyin, m.partial_dual, m.full_dual
+        FROM monthly m LEFT JOIN demo d ON m.id_mcare = d.id_mcare
+        WHERE m.part_a + m.part_b + m.part_c + m.part_d + m.state_buyin
+            + m.partial_dual + m.full_dual > 0
+          AND (m.from_date <= d.death_dt OR d.death_dt IS NULL)),
+      isl AS (
+        SELECT *, sum(CASE WHEN prev_t IS NULL
+              OR date_diff('day', prev_t, from_date) > 1
+            THEN 1 ELSE 0 END)
+            OVER (PARTITION BY id_mcare, geo_zip, part_a, part_b,
+              part_c, part_d, state_buyin, partial_dual, full_dual
+              ORDER BY from_date, to_date ROWS UNBOUNDED PRECEDING)
+            AS grp
+        FROM (SELECT *, lag(to_date) OVER (PARTITION BY id_mcare,
+                geo_zip, part_a, part_b, part_c, part_d, state_buyin,
+                partial_dual, full_dual ORDER BY from_date, to_date)
+              AS prev_t FROM alive)),
+      coll AS (
+        SELECT id_mcare, geo_zip, part_a, part_b, part_c, part_d,
+          state_buyin, partial_dual, full_dual,
+          min(from_date) AS from_date, max(to_date) AS to_date
+        FROM isl
+        GROUP BY id_mcare, geo_zip, part_a, part_b, part_c, part_d,
+          state_buyin, partial_dual, full_dual, grp),
+      mctv AS (
+      SELECT id_mcare, from_date, to_date,
+        CAST(coalesce(date_diff('day',
+          lag(to_date) OVER (PARTITION BY id_mcare ORDER BY from_date),
+          from_date) = 1, false) AS INTEGER) AS contiguous,
+        part_a, part_b, part_c, part_d, full_dual, partial_dual,
+        state_buyin, geo_zip,
+        CASE WHEN geo_zip IN ('98100', '98102') THEN 1 ELSE 0 END
+          AS geo_kc,
+        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
+          AS cov_time_day
+      FROM coll)"""
+
+  /** q308/q309 shared RAC workbook-sheet CTEs (mirrors
+    * LifecycleQueries.Rac exactly). */
+  private val RacSheetCtes: String = """rk AS (
+        SELECT DISTINCT p_partkey % 120 AS rk FROM part),
+      fs AS (SELECT rk AS rac_code,
+          'RAC ' || CAST(rk AS VARCHAR) AS rac_name,
+          CASE rk % 4 WHEN 0 THEN 'Federal' WHEN 1 THEN 'Title XXI'
+            WHEN 2 THEN 'State Only' ELSE 'Local' END
+            AS fund_source_code
+        FROM rk),
+      det AS (SELECT rk AS b_rac, rk % 20 AS b_elig, rk % 7 AS b_sub
+        FROM rk WHERE rk % 11 <> 0),
+      grp AS (SELECT ev, 'CAT ' || CAST(ev AS VARCHAR) AS category,
+          CASE WHEN ev % 3 = 0 THEN 'Y' WHEN ev % 3 = 1 THEN 'N' END
+            AS xix_full,
+          CASE WHEN ev % 2 = 0 THEN 'Y' ELSE 'N' END AS xix_lim,
+          CASE WHEN ev % 5 = 0 THEN 'Y' WHEN ev % 5 <> 1 THEN 'N' END
+            AS xxi_full,
+          CASE WHEN ev % 2 = 1 THEN 'Y' ELSE 'N' END AS legacy_mcs,
+          CASE WHEN ev % 4 = 0 THEN '--' WHEN ev % 4 = 1 THEN 'Y'
+            ELSE 'N' END AS magi,
+          'GRP ' || CAST(ev % 3 AS VARCHAR) AS major_cov
+        FROM (SELECT DISTINCT rk % 20 AS ev FROM rk)
+        WHERE ev % 9 <> 8),
+      bsp AS (SELECT DISTINCT rk AS d_rac,
+          'B' || CAST(rk % 6 AS VARCHAR) AS bsp_group_abbrev,
+          'BSP ' || CAST(rk % 6 AS VARCHAR) AS bsp_group_name,
+          CASE rk % 6 WHEN 0 THEN 1003960 WHEN 1 THEN 1003956
+            WHEN 2 THEN 10066833 WHEN 3 THEN 1003962 WHEN 4 THEN 555
+            ELSE 666 END AS bsp_group_cid
+        FROM rk WHERE rk % 13 <> 1)"""
+
+  /** q313 oracle fragments generated from Comorbidity.Conditions — the
+    * shared constants make weight/prefix drift impossible. */
+  private def comorbCondValues: String =
+    graft.builds.Comorbidity.Conditions.map { c =>
+      def w(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
+      s"(${c.condId}, '${c.shortName}', ${w(c.elix)}, " +
+        s"${w(c.charlson)}, ${w(c.gagne)})"
+    }.mkString(",\n          ")
+
+  private def comorbPrefixValues: String =
+    graft.builds.Comorbidity.Conditions.flatMap { c =>
+      c.icd9.map(p => s"(${c.condId}, 9, '$p')") ++
+        c.icd10.map(p => s"(${c.condId}, 10, '$p')")
+    }.mkString(",\n          ")
+
+  /** q311 oracle generated from RefTables.AgeLadders. */
+  private def ageGrpOracle: String = {
+    val ladders = graft.sources.RefTables.AgeLadders.map {
+      case (name, arms) =>
+        val cases = arms.map { case (lo, hi, lab) =>
+          if (hi == Int.MaxValue) s"WHEN age >= $lo THEN '$lab'"
+          else s"WHEN age BETWEEN $lo AND $hi THEN '$lab'"
+        }.mkString(" ")
+        s"CASE $cases END AS $name"
+    }.mkString(",\n        ")
+    s"""
+      WITH spine AS (SELECT CAST(range AS INT) AS age
+        FROM range(-1, 251))
+      SELECT age,
+        $ladders
+      FROM spine ORDER BY age"""
+  }
+
+  /** Rows-vs-prior verdict row (the qa_xwalk battery family's shared
+    * shape): signed diff, fewer/more wording. */
+  private def diffRowSql(table: String, item: String, unitFewer: String,
+      unitMore: String, n: String, p: String, from: String): String =
+    s"""SELECT '$table' AS table_name, '$item' AS qa_item,
+          CASE WHEN $n - $p < 0 THEN 'FAIL' ELSE 'PASS' END AS qa_result,
+          CASE WHEN $n - $p < 0
+            THEN 'There were ' || CAST($n - $p AS VARCHAR)
+              || ' $unitFewer in the most recent table ('
+              || CAST($n AS VARCHAR) || ' vs. ' || CAST($p AS VARCHAR)
+              || ')'
+            ELSE 'There were ' || CAST($n - $p AS VARCHAR)
+              || ' $unitMore in the most recent table ('
+              || CAST($n AS VARCHAR) || ' vs. ' || CAST($p AS VARCHAR)
+              || ')' END AS note
+        FROM $from"""
+
+  /** The battery oracles (qa_stage.mcaid_claim_*.R and the combined
+    * mcaid+mcare family) — every note string rendered exactly as the
+    * Scala batteries render the reference's glue templates. */
   private lazy val claimQaOracles: Map[String, String] = Map(
     "q292_claim_icdcm_qa" -> s"""
       WITH $IcdcmRowsCtes,
@@ -3578,6 +4140,266 @@ object SparkEntry {
             THEN 'Checked for Month-to-Month trends of >= 5% difference'
             ELSE 'There are trends of >= 5% difference' END
         FROM trend)
+      ORDER BY qa_item""",
+
+    "q302_mm_elig_demo_qa" -> s"""
+      WITH $MmDemoCtes,
+      dm AS MATERIALIZED (SELECT * FROM mmdemo),
+      st AS (SELECT count(*) AS n, count(DISTINCT id_apde) AS ids
+        FROM dm),
+      pr AS (SELECT count(*) AS p FROM dm WHERE id_apde % 20 <> 0)
+      SELECT * FROM (
+        ${diffRowSql("stage.mcaid_mcare_elig_demo",
+          "Number new rows compared to most recent run",
+          "fewer rows", "more rows", "n", "p", "st, pr")}
+        UNION ALL
+        SELECT 'stage.mcaid_mcare_elig_demo', 'Number distinct IDs',
+          CASE WHEN ids <> n THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN ids <> n
+            THEN 'There were ' || CAST(ids AS VARCHAR)
+              || ' distinct IDs but ' || CAST(n AS VARCHAR)
+              || ' rows overall (should be the same)'
+            ELSE 'The number of distinct IDs matched number of overall '
+              || 'rows (' || CAST(ids AS VARCHAR) || ')' END
+        FROM st)
+      ORDER BY qa_item""",
+
+    "q303_mm_elig_timevar_qa" -> s"""
+      WITH $MmTimevarCtes,
+      tvm AS MATERIALIZED (SELECT * FROM mmtv),
+      st AS (SELECT count(*) AS n, count(DISTINCT id_apde) AS ids
+        FROM tvm),
+      pr AS (SELECT count(*) AS p, count(DISTINCT id_apde) AS pids
+        FROM tvm WHERE id_apde % 20 <> 0)
+      SELECT * FROM (
+        ${diffRowSql("stage.mcaid_mcare_elig_timevar",
+          "Number new rows compared to most recent run",
+          "fewer rows", "more rows", "n", "p", "st, pr")}
+        UNION ALL
+        ${diffRowSql("stage.mcaid_mcare_elig_timevar",
+          "Number distinct IDs", "fewer IDs", "more IDs", "ids", "pids",
+          "st, pr")})
+      ORDER BY qa_item""",
+
+    "q304_mcare_timevar_qa" -> s"""
+      WITH $McareTimevarCtes,
+      mtv AS MATERIALIZED (SELECT * FROM mctv),
+      st AS (SELECT count(*) AS n, count(DISTINCT id_mcare) AS ids,
+        (SELECT count(*) FROM (SELECT DISTINCT * FROM mtv)) AS dup,
+        min(from_date) AS minf, max(to_date) AS maxt FROM mtv),
+      pr AS (SELECT count(*) AS p FROM mtv
+        WHERE CAST(substring(id_mcare, 2) AS INT) % 20 <> 0),
+      mb AS (SELECT count(DISTINCT o_custkey % 80) AS mids FROM orders)
+      SELECT * FROM (
+        ${diffRowSql("stage.mcare_elig_timevar",
+          "Number new rows compared to most recent run",
+          "fewer rows", "more rows", "n", "p", "st, pr")}
+        UNION ALL
+        SELECT 'stage.mcare_elig_timevar', 'Number distinct IDs',
+          CASE WHEN ids <> mids THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN ids <> mids
+            THEN 'There were ' || CAST(ids AS VARCHAR)
+              || ' distinct IDs but ' || CAST(mids AS VARCHAR)
+              || ' in the WA MBSF data (should be the same)'
+            ELSE 'The number of distinct IDs matched number in the WA '
+              || 'MBSF data (' || CAST(ids AS VARCHAR) || ')' END
+        FROM st, mb
+        UNION ALL
+        SELECT 'stage.mcare_elig_timevar', 'Duplicate rows',
+          CASE WHEN dup <> n THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN dup <> n
+            THEN 'There were ' || CAST(dup AS VARCHAR)
+              || ' distinct rows but ' || CAST(n AS VARCHAR)
+              || ' rows overall (should be the same)'
+            ELSE 'The number of distinct rows (excl. ref_geo vars) '
+              || 'matched number total rows (' || CAST(n AS VARCHAR)
+              || ')' END
+        FROM st
+        UNION ALL
+        SELECT 'stage.mcare_elig_timevar', 'Date range',
+          CASE WHEN minf < DATE '1992-01-01' OR maxt > DATE '1998-12-31'
+            THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN minf < DATE '1992-01-01' OR maxt > DATE '1998-12-31'
+            THEN 'Some from/to dates fell outside the CLNDR_YEAR_MNTH '
+              || 'range (min: "' || CAST(minf AS VARCHAR)
+              || '", max: "' || CAST(maxt AS VARCHAR) || '")'
+            ELSE 'All from/to dates fell within the CLNDR_YEAR_MNTH '
+              || 'range (min: "1992-01-01", max: "1998-12-31")' END
+        FROM st)
+      ORDER BY qa_item""",
+
+    "q305_xwalk_qa" -> {
+      val pairRows = Seq("id_mcaid", "id_mcare", "phousing_id",
+        "KCMASTER_ID").map { c =>
+        s"""
+        UNION ALL
+        SELECT 'claims.stage_xwalk_apde_mcaid_mcare_pha',
+          'Unique pairing with id_apde - $c',
+          CASE WHEN v_$c = p_$c THEN 'PASS' ELSE 'WARNING' END,
+          CASE WHEN v_$c = p_$c
+            THEN 'There were ' || CAST(v_$c AS VARCHAR)
+              || ' $c values and ' || CAST(p_$c AS VARCHAR)
+              || ' $c--id_apde pairs'
+            ELSE 'There were ' || CAST(v_$c AS VARCHAR)
+              || ' $c values but ' || CAST(p_$c AS VARCHAR)
+              || ' $c--id_apde pairs' END
+        FROM pairs"""
+      }.mkString
+      val pairAggs = Seq("id_mcaid", "id_mcare", "phousing_id",
+        "KCMASTER_ID").map { c =>
+        s"""count(DISTINCT $c) AS v_$c,
+          count(DISTINCT CASE WHEN $c IS NOT NULL
+            THEN ROW($c, id_apde) END) AS p_$c"""
+      }.mkString(",\n          ")
+      s"""
+      WITH $XwalkHistCte,
+      histp AS (SELECT * FROM hist WHERE day(touched) <> 1),
+      ${xwalkChainCtes("hist", "")},
+      ${xwalkChainCtes("histp", "p")},
+      xw AS MATERIALIZED (SELECT * FROM j2),
+      st AS (SELECT count(*) AS n,
+        count(DISTINCT KCMASTER_ID) AS kcm,
+        count(DISTINCT id_apde) AS apde,
+        count(DISTINCT id_mcaid) AS mcaid,
+        count(DISTINCT phousing_id) AS pha FROM xw),
+      pr AS (SELECT count(*) AS pn,
+        count(DISTINCT KCMASTER_ID) AS pkcm,
+        count(DISTINCT id_apde) AS papde FROM j2p),
+      idh2 AS (SELECT
+        count(DISTINCT CASE WHEN src = 'MEDICAID'
+          AND regexp_matches(mbr, '^[0-9]+$$') THEN mbr END) AS imcaid,
+        count(DISTINCT CASE WHEN length(ph) = 64 THEN ph END) AS ipha
+        FROM cur),
+      pairs AS (SELECT
+          $pairAggs
+        FROM xw)
+      SELECT * FROM (
+        ${diffRowSql("claims.stage_xwalk_apde_mcaid_mcare_pha",
+          "Number new rows compared to most recent run",
+          "fewer rows", "more rows", "n", "pn", "st, pr")}
+        UNION ALL
+        SELECT 'claims.stage_xwalk_apde_mcaid_mcare_pha',
+          'Number distinct IDs - KCMASTER_ID',
+          CASE WHEN kcm < pkcm THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN kcm < pkcm
+            THEN 'There were ' || CAST(kcm AS VARCHAR)
+              || ' distinct KCMASTER_IDs but ' || CAST(pkcm AS VARCHAR)
+              || ' in the most recent [claims].[metadata_qa_xwalk_values] (shoudl be >=)'
+            ELSE 'The number of distinct KCMASTER_IDs ('
+              || CAST(kcm AS VARCHAR)
+              || ') is >= the most recent number in [claims].[metadata_qa_xwalk_values] ('
+              || CAST(pkcm AS VARCHAR) || ')' END
+        FROM st, pr
+        UNION ALL
+        SELECT 'claims.stage_xwalk_apde_mcaid_mcare_pha',
+          'Number distinct IDs - ID_APDE',
+          CASE WHEN apde < papde THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN apde < papde
+            THEN 'There were ' || CAST(apde AS VARCHAR)
+              || ' distinct ID_APDEs but ' || CAST(papde AS VARCHAR)
+              || ' in the most recent [claims].[metadata_qa_xwalk_values] (shoudl be >=)'
+            ELSE 'The number of distinct ID_APDEs ('
+              || CAST(apde AS VARCHAR)
+              || ') is >= the most recent number in [claims].[metadata_qa_xwalk_values] ('
+              || CAST(papde AS VARCHAR) || ')' END
+        FROM st, pr
+        UNION ALL
+        SELECT 'claims.stage_xwalk_apde_mcaid_mcare_pha',
+          'Number distinct IDs - Medicaid',
+          CASE WHEN mcaid <> imcaid THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN mcaid <> imcaid
+            THEN 'There were ' || CAST(mcaid AS VARCHAR)
+              || ' distinct MCAID IDs but ' || CAST(imcaid AS VARCHAR)
+              || ' in the most recent IDH table ([IDMatch].[IM_HISTORY_TABLE]) (they should be equal)'
+            ELSE 'The number of distinct MCAID IDs ('
+              || CAST(mcaid AS VARCHAR)
+              || ') is equal to the number in the IDH ([IDMatch].[IM_HISTORY_TABLE]) ('
+              || CAST(imcaid AS VARCHAR) || ')' END
+        FROM st, idh2
+        UNION ALL
+        SELECT 'claims.stage_xwalk_apde_mcaid_mcare_pha',
+          'Number distinct IDs - phousing_id',
+          CASE WHEN pha <> ipha THEN 'FAIL' ELSE 'PASS' END,
+          CASE WHEN pha <> ipha
+            THEN 'There were ' || CAST(pha AS VARCHAR)
+              || ' distinct PHOUSING_IDs but ' || CAST(ipha AS VARCHAR)
+              || ' in the most recent [IDMatch].[IM_HISTORY_TABLE] in the IDH ('
+              || CAST(ipha AS VARCHAR) || ')'
+            ELSE 'The number of distinct PHOUSING_IDs ('
+              || CAST(pha AS VARCHAR)
+              || ') is equal to the number in [IDMatch].[IM_HISTORY_TABLE] in the IDH'
+            END
+        FROM st, idh2$pairRows)
+      ORDER BY qa_item"""
+    },
+
+    "q306_mm_header_dup_qa" -> s"""
+      WITH $MmHeaderCtes,
+      pcaid AS (SELECT o_custkey % 70 AS id_mcaid,
+        date_trunc('month', d)::DATE AS fsd
+        FROM orders_d WHERE ok % 2 = 0 AND ok % 5 = 0),
+      pcare AS (SELECT 'C' || CAST(o_custkey % 80 AS VARCHAR) AS id_mcare,
+        date_trunc('month', d)::DATE AS fsd
+        FROM orders_d WHERE ok % 2 = 1 AND ok % 5 = 0),
+      u AS (SELECT DISTINCT * FROM (
+        SELECT x.id_apde, p.fsd, 'mcaid' AS source_desc
+        FROM pcaid p LEFT JOIN xw1 x ON p.id_mcaid = x.id_mcaid
+        UNION ALL
+        SELECT x.id_apde, p.fsd, 'mcare'
+        FROM pcare p LEFT JOIN xw2 x ON p.id_mcare = x.id_mcare))
+      SELECT id_apde, fsd AS first_service_date,
+        count(*) AS row_count
+      FROM u GROUP BY 1, 2 HAVING count(*) > 1
+      ORDER BY id_apde NULLS FIRST, first_service_date
+      LIMIT 100""",
+
+    "q307_mm_ccw_qa" -> s"""
+      WITH $MmHeaderCtes,
+      hm AS MATERIALIZED (SELECT * FROM mmhdr),
+      xwapde AS (SELECT DISTINCT id_apde AS x_apde FROM xw2),
+      c1 AS (SELECT count(DISTINCT h.id_apde) AS v FROM hm h
+        LEFT JOIN xwapde x ON h.id_apde = x.x_apde
+        WHERE h.source_desc = 'mcare' AND x.x_apde IS NULL),
+      c2 AS (SELECT count(*) AS v FROM hm WHERE id_apde IS NULL),
+      cond AS (SELECT count(*) AS v
+        FROM (${baseOracleSql("q61_condition_loop")})),
+      tvx AS (SELECT o_custkey % 60 AS id_apde,
+          date_trunc('month', CAST(o_orderdate AS DATE))::DATE
+            AS from_date,
+          last_day(CAST(o_orderdate AS DATE)) AS to_date,
+          1 AS mcare,
+          CASE WHEN k % 7 = 0 THEN NULL
+            ELSE CASE WHEN k % 3 <> 0 THEN 1 ELSE 0 END END AS part_a,
+          CASE WHEN k % 11 = 0 THEN NULL
+            ELSE CASE WHEN k % 4 <> 0 THEN 1 ELSE 0 END END AS part_b,
+          CASE WHEN k % 13 = 0 THEN NULL
+            ELSE CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END END AS part_c,
+          CAST(o_custkey % 2 AS INT) AS geo_kc
+        FROM (SELECT *, o_custkey % 60
+            + year(CAST(o_orderdate AS DATE)) AS k FROM orders)),
+      flags AS (SELECT id_apde,
+          max(geo_kc) AS geo_kc_max, min(mcare) AS mcare_min,
+          min(coalesce(part_a, 0)) AS part_a_min,
+          min(coalesce(part_b, 0)) AS part_b_min,
+          max(coalesce(part_c, 0)) AS part_c_max
+        FROM tvx
+        WHERE from_date <= DATE '1996-12-31'
+          AND to_date >= DATE '1996-01-01'
+        GROUP BY id_apde),
+      d1 AS (SELECT count(DISTINCT CASE WHEN geo_kc_max = 1
+          AND mcare_min = 1 AND part_a_min = 1 AND part_b_min = 1
+          AND part_c_max = 0 THEN id_apde END) AS kc,
+        count(DISTINCT CASE WHEN mcare_min = 1
+          AND (part_a_min = 1 OR part_b_min = 1) AND part_c_max = 0
+          THEN id_apde END) AS ab
+        FROM flags)
+      SELECT * FROM (
+        SELECT 'distinct_ccw_conditions' AS qa_item, v AS qa_value
+          FROM cond
+        UNION ALL SELECT 'ffs_ab_1996', ab FROM d1
+        UNION ALL SELECT 'ffs_full_dual_kc_1996', kc FROM d1
+        UNION ALL SELECT 'mcare_claims_without_mcare_xwalk', v FROM c1
+        UNION ALL SELECT 'null_id_apde_rows', v FROM c2)
       ORDER BY qa_item""")
 
   private val dateDimOracleBody: String = """
@@ -3669,6 +4491,325 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = baseOracleSql ++
     eligQaOracles(baseOracleSql) ++ claimQaOracles +
+    // q301: perf member-month spine — MCO CASE, King-zip gate,
+    // longest-span pick with the repo's deterministic tie-breaks.
+    ("q301_perf_member_month" -> """
+      WITH elig AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+            AS clndr_year_mnth,
+          'R' || CAST(o_custkey % 300 AS VARCHAR)
+            AS medicaid_recipient_id,
+          'RAC' || lpad(CAST(o_orderkey % 50 AS VARCHAR), 2, '0')
+            AS rprtbl_rac_code,
+          CAST(o_orderdate AS DATE) AS from_date,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 60 AS INT)
+            AS to_date,
+          CASE WHEN o_orderkey % 3 <> 0 THEN 'MC' ELSE 'FFS' END
+            AS coverage_type_ind,
+          CASE o_orderkey % 8
+            WHEN 0 THEN 'Amerigroup Washington Inc'
+            WHEN 1 THEN 'Community Health Plan of Washington'
+            WHEN 2 THEN 'Coordinated Care Corporation'
+            WHEN 3 THEN 'Coordinated Care of Washington'
+            WHEN 4 THEN 'Molina Healthcare of Washington Inc'
+            WHEN 5 THEN 'United Health Care Community Plan'
+            WHEN 6 THEN 'Some Other Plan LLC'
+            ELSE 'Unknown Plan' END AS mc_prvdr_name,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'Y' ELSE 'N' END
+            AS dual_elig,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'Y' ELSE 'N' END
+            AS tpl_full_flag,
+          'Z' || lpad(CAST(o_custkey % 25 AS VARCHAR), 2, '0')
+            AS rsdntl_postal_code
+        FROM orders),
+      mapped AS (
+        SELECT * REPLACE (
+          CASE WHEN coverage_type_ind = 'MC'
+              AND mc_prvdr_name = 'Amerigroup Washington Inc' THEN 'AGP'
+            WHEN coverage_type_ind = 'MC' AND mc_prvdr_name =
+              'Community Health Plan of Washington' THEN 'CHP'
+            WHEN coverage_type_ind = 'MC' AND mc_prvdr_name IN
+              ('Coordinated Care Corporation',
+               'Coordinated Care of Washington') THEN 'CCW'
+            WHEN coverage_type_ind = 'MC' AND mc_prvdr_name =
+              'Molina Healthcare of Washington Inc' THEN 'MHW'
+            WHEN coverage_type_ind = 'MC' AND mc_prvdr_name =
+              'United Health Care Community Plan' THEN 'UHC'
+            ELSE NULL END AS mc_prvdr_name)
+        FROM elig),
+      kz AS (SELECT DISTINCT
+          'Z' || lpad(CAST(c_custkey % 25 AS VARCHAR), 2, '0')
+            AS zip_code
+        FROM customer WHERE c_custkey % 25 < 15),
+      ranked AS (
+        SELECT m.*, row_number() OVER (
+            PARTITION BY medicaid_recipient_id, clndr_year_mnth
+            ORDER BY date_diff('day', from_date, to_date) DESC,
+              from_date, rprtbl_rac_code, mc_prvdr_name NULLS FIRST,
+              dual_elig, tpl_full_flag) AS rn
+        FROM mapped m JOIN kz ON m.rsdntl_postal_code = kz.zip_code)
+      SELECT clndr_year_mnth, medicaid_recipient_id, rprtbl_rac_code,
+        from_date, to_date, coverage_type_ind, mc_prvdr_name, dual_elig,
+        tpl_full_flag, rsdntl_postal_code
+      FROM ranked WHERE rn = 1
+      ORDER BY medicaid_recipient_id, clndr_year_mnth, from_date,
+        rprtbl_rac_code""") +
+    // q308: RAC-code ref build — three broadcast left joins, elig-14
+    // category override, MAGI '--' null, both benefit CASEs.
+    ("q308_rac_code" -> s"""
+      WITH $RacSheetCtes
+      SELECT f.rac_code, f.rac_name, f.fund_source_code,
+        b.b_elig AS elig_value, b.b_sub AS sub_elig_value,
+        CASE WHEN b.b_elig = 14 THEN 'MN - Other (Family/Pregnancy)'
+          ELSE c.category END AS category,
+        c.xix_full AS title_xix_full_benefit_1519_reporting,
+        c.xix_lim AS title_xix_limited_benefit,
+        c.xxi_full AS title_xxi_full_benefit,
+        c.legacy_mcs,
+        CASE WHEN c.magi = '--' THEN NULL ELSE c.magi END AS magi,
+        c.major_cov AS major_cov_grp_1519_reporting,
+        d.bsp_group_cid, d.bsp_group_abbrev, d.bsp_group_name,
+        CASE WHEN d.bsp_group_cid IN (1003960, 1003956, 10066833,
+            1003962) AND f.fund_source_code IN ('Federal', 'Title XXI')
+          THEN 'Y'
+          WHEN d.d_rac IS NOT NULL AND (d.bsp_group_cid NOT IN (1003960,
+            1003956, 10066833, 1003962) OR f.fund_source_code NOT IN
+            ('Federal', 'Title XXI')) THEN 'N'
+          END AS full_benefit,
+        CASE WHEN c.xix_full = 'Y' OR c.xxi_full = 'Y' THEN 'Y'
+          WHEN b.b_rac IS NOT NULL AND c.xix_full IS NULL
+            AND c.xxi_full IS NULL THEN 'N'
+          END AS alternate_rda_full_benefit
+      FROM fs f
+      LEFT JOIN det b ON f.rac_code = b.b_rac
+      LEFT JOIN grp c ON b.b_elig = c.ev
+      LEFT JOIN bsp d ON f.rac_code = d.d_rac
+      ORDER BY rac_code""") +
+    // q309: the three NumRows histograms — verbatim (vacuous: DISTINCT
+    // pair then GROUP BY the same pair) and intended (per-key).
+    ("q309_rac_code_qa" -> {
+      def hist(label: String, keys: String, full: String) = s"""
+        SELECT '$label' AS qa_item, num_rows, count(*) AS n FROM (
+          SELECT $keys, count(*) AS num_rows FROM (
+            SELECT DISTINCT $full FROM bsp) GROUP BY $keys)
+        GROUP BY num_rows"""
+      s"""
+      WITH $RacSheetCtes
+      SELECT * FROM (
+        ${hist("verbatim rac_code-bsp_group_cid",
+          "d_rac, bsp_group_cid", "d_rac, bsp_group_cid")}
+        UNION ALL ${hist("verbatim bsp_group_cid-bsp_group_abbrev",
+          "bsp_group_cid, bsp_group_abbrev",
+          "bsp_group_cid, bsp_group_abbrev")}
+        UNION ALL ${hist("verbatim bsp_group_abbrev-bsp_group_name",
+          "bsp_group_abbrev, bsp_group_name",
+          "bsp_group_abbrev, bsp_group_name")}
+        UNION ALL ${hist("intended rac_code-bsp_group_cid",
+          "d_rac", "d_rac, bsp_group_cid")}
+        UNION ALL ${hist("intended bsp_group_cid-bsp_group_abbrev",
+          "bsp_group_cid", "bsp_group_cid, bsp_group_abbrev")}
+        UNION ALL ${hist("intended bsp_group_abbrev-bsp_group_name",
+          "bsp_group_abbrev", "bsp_group_abbrev, bsp_group_name")})
+      ORDER BY qa_item, num_rows"""
+    }) +
+    // q310: KC provider master — charclass NPI gate, mode picks
+    // (entity: count desc/entity desc; zip: count desc/zip asc;
+    // taxonomy top-2), master anti-join, flag union.
+    ("q310_kc_provider_master" -> """
+      WITH pm AS (
+        SELECT DISTINCT CAST(1000000000 + p_partkey % 400 AS BIGINT)
+            AS npi,
+          CASE WHEN p_partkey % 2 = 0 THEN 'Organization'
+            ELSE 'Person' END AS entity_type,
+          CASE WHEN p_partkey % 7 = 0 THEN NULL
+            ELSE '98' || lpad(CAST(p_partkey % 999 AS VARCHAR), 3, '0')
+            END AS geo_zip_practice,
+          CASE WHEN p_partkey % 9 IN (0, 1) THEN NULL
+            ELSE '207Q00000' || CAST(p_partkey % 10 AS VARCHAR) END
+            AS primary_taxonomy,
+          CASE WHEN p_partkey % 8 = 0 THEN NULL
+            ELSE '208D00000' || CAST(p_partkey % 10 AS VARCHAR) END
+            AS secondary_taxonomy,
+          1 AS apcd_provider_master_flag
+        FROM part WHERE p_partkey % 5 = 0),
+      raw0 AS (
+        SELECT CASE WHEN o_orderkey % 13 = 0
+            THEN '0' || CAST(o_orderkey % 1000000000 AS VARCHAR)
+            WHEN o_orderkey % 17 = 0 THEN 'NOTANPI'
+            ELSE CAST(1000000000 + o_custkey % 600 AS VARCHAR) END
+            AS orig_npi,
+          CASE WHEN o_orderkey % 23 = 0 THEN NULL
+            WHEN o_orderkey % 3 = 0 THEN 'Person'
+            ELSE 'Organization' END AS entity_type,
+          CASE WHEN o_orderkey % 11 = 0 THEN '98'
+            ELSE '98' || lpad(CAST(o_custkey % 999 AS VARCHAR), 3, '0')
+            END AS zip,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'SHORT'
+            ELSE '2084P0800' || CAST(o_orderkey % 3 AS VARCHAR) END
+            AS primary_specialty_code
+        FROM orders),
+      t1 AS (
+        SELECT CASE WHEN regexp_matches(orig_npi, '^[1-9][0-9]{9}$')
+            THEN orig_npi END AS npi,
+          entity_type,
+          CASE WHEN length(zip) = 5 THEN zip END AS geo_zip_practice,
+          CASE WHEN length(primary_specialty_code) = 10
+            THEN primary_specialty_code END AS taxonomy
+        FROM raw0),
+      ent AS (SELECT npi, entity_type FROM (
+        SELECT npi, entity_type, row_number() OVER (PARTITION BY npi
+          ORDER BY count(*) DESC, entity_type DESC) AS rk
+        FROM t1 WHERE entity_type IS NOT NULL GROUP BY npi, entity_type)
+        WHERE rk = 1),
+      zp AS (SELECT npi, geo_zip_practice FROM (
+        SELECT npi, geo_zip_practice, row_number() OVER (
+          PARTITION BY npi
+          ORDER BY count(*) DESC, geo_zip_practice) AS rk
+        FROM t1 WHERE geo_zip_practice IS NOT NULL
+        GROUP BY npi, geo_zip_practice) WHERE rk = 1),
+      tx AS (SELECT npi, taxonomy, rk FROM (
+        SELECT npi, taxonomy, row_number() OVER (PARTITION BY npi
+          ORDER BY count(*) DESC, taxonomy) AS rk
+        FROM t1 WHERE taxonomy IS NOT NULL GROUP BY npi, taxonomy)
+        WHERE rk <= 2),
+      derived AS (
+        SELECT CAST(a.npi AS BIGINT) AS npi, e.entity_type,
+          z.geo_zip_practice, x1.taxonomy AS primary_taxonomy,
+          x2.taxonomy AS secondary_taxonomy,
+          0 AS apcd_provider_master_flag
+        FROM (SELECT DISTINCT npi FROM t1 WHERE npi IS NOT NULL
+          AND CAST(npi AS BIGINT) NOT IN (SELECT npi FROM pm)) a
+        LEFT JOIN ent e ON a.npi = e.npi
+        LEFT JOIN zp z ON a.npi = z.npi
+        LEFT JOIN (SELECT npi, taxonomy FROM tx WHERE rk = 1) x1
+          ON a.npi = x1.npi
+        LEFT JOIN (SELECT npi, taxonomy FROM tx WHERE rk = 2) x2
+          ON a.npi = x2.npi)
+      SELECT DISTINCT * FROM
+        (SELECT * FROM pm UNION ALL SELECT * FROM derived)
+      ORDER BY npi, apcd_provider_master_flag""") +
+    ("q311_age_grp" -> ageGrpOracle) +
+    // q312: carrier billing NPI — case-SENSITIVE control-number join
+    // (the reference's collate clause; lower-cased plants must miss).
+    ("q312_carrier_npi" -> """
+      WITH apcd AS (
+        SELECT CASE WHEN o_orderkey % 10 = 0
+            THEN lower('S' || CAST(o_orderkey % 4000 AS VARCHAR))
+            ELSE 'S' || CAST(o_orderkey % 4000 AS VARCHAR) END AS ctl,
+          o_orderkey AS claim_header_id,
+          23 + o_orderkey % 4 AS sct
+        FROM orders),
+      bc AS (SELECT 'S' || CAST(o_orderkey % 4000 AS VARCHAR) AS clm_id,
+          max(1000000000 + o_custkey) AS npi
+        FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1)
+      SELECT a.claim_header_id,
+        CAST(b.npi AS BIGINT) AS carr_clm_blg_npi_num
+      FROM apcd a LEFT JOIN bc b ON a.ctl = b.clm_id
+      WHERE a.sct IN (24, 25)
+      ORDER BY claim_header_id""") +
+    // q313: comorbidity scores — condition/prefix dims generated from
+    // the SAME Scala constants the build uses.
+    ("q313_comorb_scores" -> s"""
+      WITH conds AS (SELECT * FROM (VALUES
+          $comorbCondValues)
+        AS t(cond_id, short_name, elix, charl, gagne)),
+      pfx AS (SELECT * FROM (VALUES
+          $comorbPrefixValues)
+        AS t(cond_id, ver, dx_prefix)),
+      dx AS (
+        SELECT o_custkey % 150 AS id_person,
+          CASE WHEN l_partkey % 2 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 2 = 0 THEN
+            CASE l_partkey % 12 WHEN 0 THEN '39891' WHEN 1 THEN '4283'
+              WHEN 2 THEN '44000' WHEN 3 THEN '4929' WHEN 4 THEN '25001'
+              WHEN 5 THEN '25042' WHEN 6 THEN '5859' WHEN 7 THEN '19655'
+              WHEN 8 THEN '29620' WHEN 9 THEN '3110' WHEN 10 THEN '04200'
+              ELSE '71500' END
+          ELSE
+            CASE l_partkey % 12 WHEN 0 THEN 'I500' WHEN 1 THEN 'I4891'
+              WHEN 2 THEN 'I7025' WHEN 3 THEN 'J449' WHEN 4 THEN 'E1199'
+              WHEN 5 THEN 'E1122' WHEN 6 THEN 'N189' WHEN 7 THEN 'C771'
+              WHEN 8 THEN 'F329' WHEN 9 THEN 'B2000' WHEN 10 THEN 'Z0000'
+              ELSE 'K219' END
+          END AS code
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      flg AS (SELECT DISTINCT d.id_person, p.cond_id
+        FROM dx d JOIN pfx p ON d.ver = p.ver
+          AND d.code LIKE p.dx_prefix || '%')
+      SELECT id_person,
+        CAST(coalesce(sum(elix), 0) AS BIGINT) AS elixhauser_score,
+        CAST(coalesce(sum(charl), 0) AS BIGINT) AS charlson_score,
+        CAST(coalesce(sum(gagne), 0) AS BIGINT) AS gagne_score,
+        count(*) AS n_conditions
+      FROM flg JOIN conds USING (cond_id)
+      GROUP BY id_person ORDER BY id_person""") +
+    // q314: FDA NDC directory — finished/unfinished/compounder union
+    // and the 10->11-digit package-code normalization.
+    ("q314_ndc_codes" -> """
+      WITH shp AS (
+        SELECT p_partkey AS pk, p_name, p_type,
+          CASE WHEN p_partkey % 5 = 0 THEN
+            lpad(CAST(p_partkey % 10000 AS VARCHAR), 4, '0') || '-' ||
+            lpad(CAST((p_partkey * 3) % 10000 AS VARCHAR), 4, '0') ||
+            '-' || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0')
+          WHEN p_partkey % 5 = 1 THEN
+            lpad(CAST(p_partkey % 100000 AS VARCHAR), 5, '0') || '-' ||
+            lpad(CAST((p_partkey * 3) % 1000 AS VARCHAR), 3, '0') ||
+            '-' || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0')
+          WHEN p_partkey % 5 = 2 THEN
+            lpad(CAST(p_partkey % 100000 AS VARCHAR), 5, '0') || '-' ||
+            lpad(CAST((p_partkey * 3) % 10000 AS VARCHAR), 4, '0') ||
+            '-' || lpad(CAST(p_partkey % 10 AS VARCHAR), 1, '0')
+          WHEN p_partkey % 5 = 3 THEN
+            lpad(CAST(p_partkey % 1000000 AS VARCHAR), 6, '0') || '-' ||
+            lpad(CAST((p_partkey * 3) % 10000 AS VARCHAR), 4, '0') ||
+            '-' || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0')
+          ELSE 'FREE TEXT' END AS ndcpackagecode
+        FROM part),
+      pkg AS (SELECT 'P' || CAST(pk % 500 AS VARCHAR) AS productid,
+          'N' || CAST(pk AS VARCHAR) AS productndc, ndcpackagecode
+        FROM shp),
+      prod AS (SELECT 'P' || CAST(pk % 500 AS VARCHAR) AS productid,
+          'N' || CAST(pk AS VARCHAR) AS productndc,
+          p_name AS proprietaryname, p_type AS nonproprietaryname
+        FROM shp WHERE pk % 4 <> 0),
+      fin AS (SELECT k.productid, k.productndc, k.ndcpackagecode,
+          p.proprietaryname, p.nonproprietaryname,
+          'finished' AS source
+        FROM pkg k LEFT JOIN prod p USING (productid, productndc)),
+      unf AS (SELECT 'U' || CAST(pk % 500 AS VARCHAR) AS productid,
+          'UN' || CAST(pk AS VARCHAR) AS productndc, ndcpackagecode,
+          CAST(NULL AS VARCHAR) AS proprietaryname,
+          p_type AS nonproprietaryname, 'unfinished' AS source
+        FROM shp WHERE pk % 7 = 0),
+      comp AS (SELECT CAST(NULL AS VARCHAR) AS productid,
+          'CN' || CAST(pk AS VARCHAR) AS productndc, ndcpackagecode,
+          p_name AS proprietaryname,
+          CAST(NULL AS VARCHAR) AS nonproprietaryname,
+          'compounder' AS source
+        FROM shp WHERE pk % 9 = 0),
+      u AS (SELECT * FROM fin UNION ALL SELECT * FROM unf
+        UNION ALL SELECT * FROM comp)
+      SELECT productid, productndc, ndcpackagecode,
+        CASE WHEN regexp_matches(ndcpackagecode,
+            '^[0-9A-Za-z]{4}-[0-9A-Za-z]{4}-[0-9A-Za-z]{2}$')
+          THEN '0' || string_split(ndcpackagecode, '-')[1]
+            || string_split(ndcpackagecode, '-')[2]
+            || string_split(ndcpackagecode, '-')[3]
+          WHEN regexp_matches(ndcpackagecode,
+            '^[0-9A-Za-z]{5}-[0-9A-Za-z]{3}-[0-9A-Za-z]{2}$')
+          THEN string_split(ndcpackagecode, '-')[1] || '0'
+            || string_split(ndcpackagecode, '-')[2]
+            || string_split(ndcpackagecode, '-')[3]
+          WHEN regexp_matches(ndcpackagecode,
+            '^[0-9A-Za-z]{5}-[0-9A-Za-z]{4}-[0-9A-Za-z]{1}$')
+          THEN string_split(ndcpackagecode, '-')[1]
+            || string_split(ndcpackagecode, '-')[2] || '0'
+            || string_split(ndcpackagecode, '-')[3]
+          END AS ndc,
+        proprietaryname, nonproprietaryname, source
+      FROM u
+      ORDER BY source, productndc, ndcpackagecode, productid""") +
     ("q290_date_dim" -> (dateDimOracleBody + """
       SELECT * FROM dim ORDER BY "date"""")) +
     ("q291_date_dim_qa" -> (dateDimOracleBody + """,
@@ -6643,81 +7784,10 @@ object SparkEntry {
     // Yale flags by claim type, cross-source 1-day ED episode clustering
     // on the combined per-person timeline (lag/flag/running-sum on the
     // FIRST service date; NULL id_apde persons cluster together).
-    "q105_mcaid_mcare_header" -> """
-      WITH orders_d AS (
-        SELECT o_orderkey AS ok, o_custkey,
-          CAST(o_orderdate AS DATE) AS d
-        FROM orders),
-      mcaid AS (
-        SELECT o_custkey % 70 AS id_mcaid, CAST(ok AS VARCHAR) AS claim_id,
-          d AS fsd, d + CAST(ok % 3 AS INT) AS lsd,
-          CASE ok % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 5 END
-            AS claim_type_id,
-          CASE WHEN ok % 5 = 0 THEN 1 ELSE 0 END AS ed_pophealth_flag,
-          lpad(CAST(ok % 99 AS VARCHAR), 2, '0') AS place_of_service_code
-        FROM orders_d WHERE ok % 2 = 0),
-      mcare AS (
-        SELECT 'C' || CAST(o_custkey % 80 AS VARCHAR) AS id_mcare,
-          'X' || CAST(ok AS VARCHAR) AS claim_id,
-          d AS fsd, d + CAST(ok % 4 AS INT) AS lsd,
-          CASE ok % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 5 END
-            AS claim_type_id,
-          CASE WHEN ok % 7 = 0 THEN 1 ELSE 0 END AS ed_pophealth_flag,
-          CASE WHEN ok % 23 = 0 THEN '20' ELSE '30' END
-            AS patient_status_code
-        FROM orders_d WHERE ok % 2 = 1),
-      xw1 AS (
-        SELECT id_mcaid, 100 + id_mcaid % 50 AS id_apde
-        FROM (SELECT DISTINCT c_custkey % 70 AS id_mcaid FROM customer)
-        WHERE id_mcaid % 9 <> 8),
-      xw2 AS (
-        SELECT 'C' || CAST(n AS VARCHAR) AS id_mcare,
-          100 + n % 50 AS id_apde
-        FROM (SELECT DISTINCT c_custkey % 80 AS n FROM customer)
-        WHERE n % 7 <> 6),
-      unioned AS (
-        SELECT DISTINCT * FROM (
-          SELECT x.id_apde, 'mcaid' AS source_desc, m.claim_id, m.fsd,
-            m.lsd, m.claim_type_id, m.ed_pophealth_flag,
-            m.place_of_service_code,
-            CAST(NULL AS VARCHAR) AS patient_status_code
-          FROM mcaid m LEFT JOIN xw1 x ON m.id_mcaid = x.id_mcaid
-          UNION ALL
-          SELECT x.id_apde, 'mcare', m.claim_id, m.fsd, m.lsd,
-            m.claim_type_id, m.ed_pophealth_flag, NULL,
-            m.patient_status_code
-          FROM mcare m LEFT JOIN xw2 x ON m.id_mcare = x.id_mcare)),
-      typed AS (
-        SELECT *,
-          CASE WHEN ed_pophealth_flag = 1 AND claim_type_id = 5
-            THEN 'Carrier'
-            WHEN ed_pophealth_flag = 1 AND claim_type_id = 4
-            THEN 'Outpatient'
-            WHEN ed_pophealth_flag = 1 AND claim_type_id = 1
-            THEN 'Inpatient' END AS ed_type
-        FROM unioned),
-      ed0 AS (
-        SELECT id_apde, source_desc, claim_id, fsd,
-          lag(fsd) OVER (PARTITION BY id_apde
-            ORDER BY fsd, fsd, claim_id) AS prev_f
-        FROM typed WHERE ed_type IS NOT NULL AND id_apde IS NOT NULL),
-      ed1 AS (
-        SELECT *, CASE WHEN prev_f IS NULL
-          OR date_diff('day', prev_f, fsd) > 1 THEN 1 ELSE 0 END AS st
-        FROM ed0),
-      epi AS (
-        SELECT source_desc, claim_id,
-          CAST(sum(st) OVER (PARTITION BY id_apde
-            ORDER BY fsd, fsd, claim_id ROWS UNBOUNDED PRECEDING)
-            AS BIGINT) AS ed_pophealth_seq
-        FROM ed1)
-      SELECT t.id_apde, t.source_desc, t.claim_id,
-        t.fsd AS first_service_date, t.lsd AS last_service_date,
-        t.claim_type_id, t.ed_pophealth_flag, t.place_of_service_code,
-        t.patient_status_code, t.ed_type, e.ed_pophealth_seq
-      FROM typed t LEFT JOIN epi e
-        ON t.source_desc = e.source_desc AND t.claim_id = e.claim_id
-      ORDER BY t.source_desc, t.claim_id""",
+    "q105_mcaid_mcare_header" -> s"""
+      WITH $MmHeaderCtes
+      SELECT * FROM mmhdr
+      ORDER BY source_desc, claim_id""",
 
     // q106: AH numerator — q97's extent-chained stitching, observation
     // stays reclassified to inpatient when an acute admission lands on
@@ -7228,230 +8298,18 @@ object SparkEntry {
     // two per-person interval sets, equal-attribute collapse, flag
     // battery (incl. the reference's R-precedence full_criteria quirk:
     // the part-A/B disjunct applies unconditionally).
-    "q118_mcaid_mcare_timevar" -> """
-      WITH om AS (
-        SELECT DISTINCT o_custkey % 60 AS p,
-          date_trunc('month', o_orderdate)::DATE AS m
-        FROM orders),
-      ma AS (
-        SELECT p AS id_apde, m AS from_date, last_day(m) AS to_date,
-          0 AS dual,
-          CASE WHEN (p + mi) % 5 = 0 THEN 1 ELSE 0 END AS tpl,
-          CASE WHEN (p + mi) % 3 <> 0 THEN 1 ELSE 0 END AS full_benefit,
-          CASE WHEN (p + mi) % 2 = 0 THEN 'FFS' ELSE 'MC' END AS cov_type,
-          'Z' || ((p + mi // 4) % 4)::VARCHAR AS geo_zip,
-          CASE WHEN (p + mi) % 4 = 0 THEN '033'
-               WHEN (p + mi) % 4 = 1 THEN '053' END AS geo_county_code
-        FROM (SELECT p, m, year(m) * 12 + month(m) AS mi FROM om
-              WHERE p % 3 <> 0)),
-      mc AS (
-        SELECT p AS id_apde, m + 14 AS from_date,
-          last_day(m) + 14 AS to_date,
-          CASE WHEN (p + mi) % 4 <> 0 THEN 1 ELSE 0 END AS part_a,
-          CASE WHEN (p + mi) % 5 <> 0 THEN 1 ELSE 0 END AS part_b,
-          CASE WHEN (p + mi) % 7 = 0 THEN 1 ELSE 0 END AS part_c,
-          CASE WHEN (p + mi) % 6 = 0 THEN 1 ELSE 0 END AS partial,
-          CASE WHEN (p + mi) % 8 = 0 THEN 1 ELSE 0 END AS buy_in,
-          'Z' || ((p + mi // 3) % 4)::VARCHAR AS geo_zip_mcare
-        FROM (SELECT p, m, year(m) * 12 + month(m) AS mi FROM om
-              WHERE p % 2 = 0)),
-      pts AS (
-        SELECT id_apde, from_date AS pt FROM ma
-        UNION SELECT id_apde, to_date + 1 FROM ma
-        UNION SELECT id_apde, from_date FROM mc
-        UNION SELECT id_apde, to_date + 1 FROM mc),
-      segs AS (
-        SELECT id_apde, pt AS f,
-          lead(pt) OVER (PARTITION BY id_apde ORDER BY pt) - 1 AS t
-        FROM pts
-        QUALIFY lead(pt) OVER (PARTITION BY id_apde ORDER BY pt)
-          IS NOT NULL),
-      lab AS (
-        SELECT s.id_apde, s.f, s.t,
-          a.dual, a.tpl, a.full_benefit, a.cov_type, a.geo_zip,
-          a.geo_county_code,
-          c.part_a, c.part_b, c.part_c, c.partial, c.buy_in,
-          c.geo_zip_mcare
-        FROM segs s
-        LEFT JOIN ma a ON s.id_apde = a.id_apde
-          AND s.f BETWEEN a.from_date AND a.to_date
-        LEFT JOIN mc c ON s.id_apde = c.id_apde
-          AND s.f BETWEEN c.from_date AND c.to_date
-        WHERE a.from_date IS NOT NULL OR c.from_date IS NOT NULL),
-      isl AS (
-        SELECT *, sum(CASE WHEN prev_t IS NULL
-              OR date_diff('day', prev_t, f) > 1 THEN 1 ELSE 0 END)
-            OVER (PARTITION BY id_apde, dual, tpl, full_benefit, cov_type,
-              geo_zip, geo_county_code, part_a, part_b, part_c, partial,
-              buy_in, geo_zip_mcare ORDER BY f, t
-              ROWS UNBOUNDED PRECEDING) AS isl
-        FROM (SELECT *, lag(t) OVER (PARTITION BY id_apde, dual, tpl,
-                full_benefit, cov_type, geo_zip, geo_county_code, part_a,
-                part_b, part_c, partial, buy_in, geo_zip_mcare
-                ORDER BY f, t) AS prev_t FROM lab)),
-      coll AS (
-        SELECT id_apde, dual, tpl, full_benefit, cov_type, geo_zip,
-          geo_county_code, part_a, part_b, part_c, partial, buy_in,
-          geo_zip_mcare, min(f) AS from_date, max(t) AS to_date
-        FROM isl
-        GROUP BY id_apde, dual, tpl, full_benefit, cov_type, geo_zip,
-          geo_county_code, part_a, part_b, part_c, partial, buy_in,
-          geo_zip_mcare, isl),
-      flg AS (
-        SELECT *,
-          CASE WHEN part_a = 1 OR part_b = 1 OR part_c = 1
-            THEN 1 ELSE 0 END AS mcare,
-          CASE WHEN cov_type IS NOT NULL THEN 1 ELSE 0 END AS mcaid
-        FROM coll),
-      flg2 AS (
-        SELECT * REPLACE (
-            CASE WHEN mcare * mcaid = 1 THEN 1 ELSE dual END AS dual),
-          mcare * mcaid AS apde_dual,
-          CASE WHEN from_date BETWEEN DATE '1994-01-01'
-                AND DATE '1995-12-31'
-              OR to_date BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
-            THEN 1 ELSE 0 END AS y1114
-        FROM flg
-        WHERE NOT (mcare = 0 AND mcaid = 0)),
-      fc AS (
-        SELECT *, CASE WHEN
-            (mcaid = 1 AND mcare = 0 AND dual = 0 AND full_benefit = 1
-              AND tpl <> 1)
-            OR (y1114 = 1 AND mcaid = 0 AND mcare = 1
-              AND (part_a = 1 OR part_b = 1))
-            OR (y1114 = 0 AND mcaid = 0 AND mcare = 1
-              AND (part_a = 1 OR part_b = 1) AND partial = 0)
-            OR (y1114 = 1 AND apde_dual = 1 AND full_benefit = 1
-              AND tpl <> 1)
-            OR (part_a = 1 OR part_b = 1)
-            OR (y1114 = 0 AND apde_dual = 1
-              AND ((full_benefit = 1 AND tpl <> 1)
-                OR ((part_a = 1 OR part_b = 1) AND partial = 0)))
-          THEN 1 ELSE 0 END AS full_criteria
-        FROM flg2),
-      fin AS (
-        SELECT id_apde, from_date, to_date, apde_dual, dual,
-          CASE WHEN mcare = 0 THEN coalesce(part_a, 0)
-            ELSE part_a END AS part_a,
-          CASE WHEN mcare = 0 THEN coalesce(part_b, 0)
-            ELSE part_b END AS part_b,
-          CASE WHEN mcare = 0 THEN coalesce(part_c, 0)
-            ELSE part_c END AS part_c,
-          CASE WHEN mcare = 0 THEN coalesce(partial, 0)
-            ELSE partial END AS partial,
-          CASE WHEN mcare = 0 THEN coalesce(buy_in, 0)
-            ELSE buy_in END AS buy_in,
-          CASE WHEN mcaid = 0 THEN coalesce(full_benefit, 0)
-            ELSE full_benefit END AS full_benefit,
-          cov_type, tpl, mcare, mcaid, full_criteria,
-          coalesce(geo_zip, geo_zip_mcare) AS geo_zip, geo_county_code
-        FROM fc)
-      SELECT id_apde, from_date, to_date,
-        CAST(coalesce(date_diff('day',
-          lag(to_date) OVER (PARTITION BY id_apde ORDER BY from_date),
-          from_date) = 1, false) AS INTEGER) AS contiguous,
-        apde_dual, dual, part_a, part_b, part_c, partial, buy_in,
-        full_benefit, cov_type, tpl, mcare, mcaid, full_criteria,
-        geo_zip, geo_county_code,
-        CASE WHEN geo_county_code = '033' OR (geo_county_code IS NULL
-          AND geo_zip IN ('Z0', 'Z2')) THEN 1 ELSE 0 END AS geo_kc,
-        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
-          AS cov_time_day
-      FROM fin
+    "q118_mcaid_mcare_timevar" -> s"""
+      WITH $MmTimevarCtes
+      SELECT * FROM mmtv
       ORDER BY id_apde, from_date""",
 
     // q119: combined mcaid+mcare elig_demo — deterministic per-person
     // pick, full-outer precedence merge (dob: mcare wins; gender/race:
     // mcaid wins), NULL-blocking race_unk recompute.
-    "q119_mcaid_mcare_demo" -> """
-      WITH mcaid0 AS (
-        SELECT c_custkey % 60 AS id_apde,
-          DATE '1960-01-01' + CAST(c_custkey % 8000 AS INT) AS dob,
-          CASE WHEN c_custkey % 23 = 0 THEN NULL
-               WHEN c_custkey % 17 = 0 THEN 'Multiple'
-               WHEN c_custkey % 2 = 0 THEN 'Female'
-               ELSE 'Male' END AS gender_me,
-          CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS gender_female,
-          CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS gender_male,
-          CASE WHEN c_custkey % 31 = 0 THEN NULL
-               WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END AS race_aian,
-          CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS race_asian,
-          CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS race_black,
-          CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS race_latino,
-          CASE WHEN c_custkey % 19 = 0 THEN 1 ELSE 0 END AS race_nhpi,
-          CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS race_white,
-          'RE' || (c_custkey % 4)::VARCHAR AS race_eth_recent,
-          CASE WHEN c_custkey % 6 <= 1 THEN 'ENGLISH'
-               WHEN c_custkey % 6 <= 3 THEN 'SPANISH'
-               ELSE 'VIETNAMESE' END AS lang_max
-        FROM customer WHERE (c_custkey % 60) % 3 <> 0),
-      ma AS (
-        SELECT * FROM mcaid0
-        QUALIFY row_number() OVER (PARTITION BY id_apde
-          ORDER BY dob ASC NULLS FIRST, gender_me ASC NULLS FIRST,
-            gender_female ASC NULLS FIRST, gender_male ASC NULLS FIRST,
-            race_aian ASC NULLS FIRST, race_asian ASC NULLS FIRST,
-            race_black ASC NULLS FIRST, race_latino ASC NULLS FIRST,
-            race_nhpi ASC NULLS FIRST, race_white ASC NULLS FIRST,
-            race_eth_recent ASC NULLS FIRST, lang_max ASC NULLS FIRST)
-          = 1),
-      mcare0 AS (
-        SELECT c_custkey % 60 AS id_apde,
-          DATE '1955-06-15' + CAST(c_custkey % 9000 AS INT) AS dob,
-          CASE WHEN c_custkey % 13 = 0 THEN NULL
-               WHEN c_custkey % 3 = 0 THEN 'Female'
-               ELSE 'Male' END AS gender_me,
-          CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS gender_female,
-          CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END AS gender_male,
-          CASE WHEN c_custkey % 14 = 0 THEN 1 ELSE 0 END AS race_aian,
-          CASE WHEN c_custkey % 8 = 0 THEN 1 ELSE 0 END AS race_asian,
-          CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END AS race_black,
-          CASE WHEN c_custkey % 12 = 0 THEN 1 ELSE 0 END AS race_latino,
-          CASE WHEN c_custkey % 20 = 0 THEN 1 ELSE 0 END AS race_nhpi,
-          CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS race_white,
-          'RE' || (c_custkey % 5)::VARCHAR AS race_eth_recent,
-          CASE WHEN c_custkey % 29 = 0 THEN DATE '2015-01-01'
-            + CAST(c_custkey % 1000 AS INT) END AS death_dt,
-          CASE WHEN c_custkey % 9 = 0 THEN 1 ELSE 0 END AS race_asian_pi
-        FROM customer WHERE (c_custkey % 60) % 2 = 0),
-      mc AS (
-        SELECT * FROM mcare0
-        QUALIFY row_number() OVER (PARTITION BY id_apde
-          ORDER BY dob ASC NULLS FIRST, gender_me ASC NULLS FIRST,
-            gender_female ASC NULLS FIRST, gender_male ASC NULLS FIRST,
-            race_aian ASC NULLS FIRST, race_asian ASC NULLS FIRST,
-            race_black ASC NULLS FIRST, race_latino ASC NULLS FIRST,
-            race_nhpi ASC NULLS FIRST, race_white ASC NULLS FIRST,
-            race_eth_recent ASC NULLS FIRST, death_dt ASC NULLS FIRST,
-            race_asian_pi ASC NULLS FIRST) = 1),
-      j AS (
-        SELECT coalesce(a.id_apde, c.id_apde) AS id_apde,
-          coalesce(c.dob, a.dob) AS dob,
-          c.death_dt,
-          coalesce(a.gender_me, c.gender_me) AS gender_me,
-          coalesce(a.gender_female, c.gender_female) AS gender_female,
-          coalesce(a.gender_male, c.gender_male) AS gender_male,
-          coalesce(a.race_aian, c.race_aian) AS race_aian,
-          coalesce(a.race_asian, c.race_asian) AS race_asian,
-          c.race_asian_pi,
-          coalesce(a.race_black, c.race_black) AS race_black,
-          coalesce(a.race_latino, c.race_latino) AS race_latino,
-          coalesce(a.race_nhpi, c.race_nhpi) AS race_nhpi,
-          coalesce(a.race_white, c.race_white) AS race_white,
-          coalesce(a.race_eth_recent, c.race_eth_recent)
-            AS race_eth_recent,
-          a.lang_max,
-          CASE WHEN a.id_apde IS NOT NULL AND c.id_apde IS NOT NULL
-            THEN 1 ELSE 0 END AS apde_dual
-        FROM ma a FULL JOIN mc c ON a.id_apde = c.id_apde)
-      SELECT id_apde, dob, death_dt, gender_me, gender_female,
-        gender_male, race_aian, race_asian, race_asian_pi, race_black,
-        race_latino, race_nhpi, race_white,
-        CASE WHEN race_aian = 0 AND race_asian = 0 AND race_asian_pi = 0
-          AND race_black = 0 AND race_latino = 0 AND race_nhpi = 0
-          AND race_white = 0 THEN 1 ELSE 0 END AS race_unk,
-        race_eth_recent, lang_max, apde_dual
-      FROM j ORDER BY id_apde""",
+    "q119_mcaid_mcare_demo" -> s"""
+      WITH $MmDemoCtes
+      SELECT * FROM mmdemo
+      ORDER BY id_apde""",
 
     // q120: CCNet-style line-level boilerplate dedup — normalized lines
     // in >= 10 distinct docs are struck; docs rebuilt in line order;
@@ -7772,99 +8630,10 @@ object SparkEntry {
     // q127: mcare elig_timevar — ResDAC monthly code recodes (NULL-able
     // CASEs), NULL-propagating cov_type_sum>0 drop, death truncation,
     // islands/collapse/contiguous.
-    "q127_mcare_timevar" -> """
-      WITH iy AS (
-        SELECT DISTINCT o_custkey % 80 AS p, year(o_orderdate) AS y
-        FROM orders),
-      mg AS (
-        SELECT p, y, m FROM iy,
-          (SELECT unnest(generate_series(1, 12)) AS m) t),
-      codes AS (
-        SELECT p, y, m,
-          ['0','1','2','3','A','B','C','9']
-            [((p*31 + y*12 + m) % 8)::INT + 1] AS buyins,
-          ['0','1','2','4','A','5']
-            [((p*31 + y*12 + m) % 6)::INT + 1] AS hmos,
-          ['E123','H45','N','*','0','X9',NULL,'R2']
-            [((p*31 + y*12 + m) % 8)::INT + 1] AS rx,
-          ['00','01','02','04','08','09','10','99','**',NULL]
-            [((p*31 + y*12 + m) % 10)::INT + 1] AS duals,
-          CASE WHEN (p + y) % 7 = 0 THEN '9812'
-            ELSE '9810' || ((p + y) % 4)::VARCHAR END AS zip_cd
-        FROM mg),
-      monthly AS (
-        SELECT 'E' || p::VARCHAR AS id_mcare,
-          make_date(y, m, 1) AS from_date,
-          last_day(make_date(y, m, 1)) AS to_date,
-          CASE WHEN len(zip_cd) >= 5 THEN substr(zip_cd, 1, 5) END
-            AS geo_zip,
-          CASE WHEN buyins IN ('1','3','A','C') THEN 1
-               WHEN buyins IN ('0','2','B') THEN 0 END AS part_a,
-          CASE WHEN buyins IN ('2','3','B','C') THEN 1
-               WHEN buyins IN ('0','1','A') THEN 0 END AS part_b,
-          CASE WHEN hmos IN ('1','2','A','B','C') THEN 1
-               WHEN hmos IN ('0','4') THEN 0 END AS part_c,
-          CASE WHEN rx IN ('N','NULL','*','0','NA') OR rx IS NULL THEN 0
-               WHEN substr(rx, 1, 1) IN ('E','H','R','S','X') THEN 1
-            END AS part_d,
-          CASE WHEN buyins IN ('0','1','2','3') THEN 0
-               WHEN buyins IN ('A','B','C') THEN 1 END AS state_buyin,
-          CASE WHEN duals IN ('NULL','**','0','00','2','02','4','04',
-              '8','08','9','09','99','10','NA') OR duals IS NULL THEN 0
-               WHEN duals IN ('1','01','3','03','5','05','6','06')
-            THEN 1 END AS partial_dual,
-          CASE WHEN duals IN ('NULL','**','0','00','9','09','99','NA',
-              '1','01','3','03','5','05','6','06') OR duals IS NULL
-            THEN 0
-               WHEN duals IN ('2','02','4','04','8','08','10') THEN 1
-            END AS full_dual
-        FROM codes),
-      demo AS (
-        SELECT DISTINCT 'E' || p::VARCHAR AS id_mcare,
-          CASE WHEN p % 9 = 0 THEN DATE '1995-06-15'
-            + CAST(p * 13 % 700 AS INT) END AS death_dt
-        FROM iy),
-      alive AS (
-        SELECT m.id_mcare, m.from_date,
-          CASE WHEN d.death_dt IS NOT NULL
-              AND m.from_date <= d.death_dt AND m.to_date > d.death_dt
-            THEN d.death_dt ELSE m.to_date END AS to_date,
-          m.geo_zip, m.part_a, m.part_b, m.part_c, m.part_d,
-          m.state_buyin, m.partial_dual, m.full_dual
-        FROM monthly m LEFT JOIN demo d ON m.id_mcare = d.id_mcare
-        WHERE m.part_a + m.part_b + m.part_c + m.part_d + m.state_buyin
-            + m.partial_dual + m.full_dual > 0
-          AND (m.from_date <= d.death_dt OR d.death_dt IS NULL)),
-      isl AS (
-        SELECT *, sum(CASE WHEN prev_t IS NULL
-              OR date_diff('day', prev_t, from_date) > 1
-            THEN 1 ELSE 0 END)
-            OVER (PARTITION BY id_mcare, geo_zip, part_a, part_b,
-              part_c, part_d, state_buyin, partial_dual, full_dual
-              ORDER BY from_date, to_date ROWS UNBOUNDED PRECEDING)
-            AS grp
-        FROM (SELECT *, lag(to_date) OVER (PARTITION BY id_mcare,
-                geo_zip, part_a, part_b, part_c, part_d, state_buyin,
-                partial_dual, full_dual ORDER BY from_date, to_date)
-              AS prev_t FROM alive)),
-      coll AS (
-        SELECT id_mcare, geo_zip, part_a, part_b, part_c, part_d,
-          state_buyin, partial_dual, full_dual,
-          min(from_date) AS from_date, max(to_date) AS to_date
-        FROM isl
-        GROUP BY id_mcare, geo_zip, part_a, part_b, part_c, part_d,
-          state_buyin, partial_dual, full_dual, grp)
-      SELECT id_mcare, from_date, to_date,
-        CAST(coalesce(date_diff('day',
-          lag(to_date) OVER (PARTITION BY id_mcare ORDER BY from_date),
-          from_date) = 1, false) AS INTEGER) AS contiguous,
-        part_a, part_b, part_c, part_d, full_dual, partial_dual,
-        state_buyin, geo_zip,
-        CASE WHEN geo_zip IN ('98100', '98102') THEN 1 ELSE 0 END
-          AS geo_kc,
-        CAST(date_diff('day', from_date, to_date) + 1 AS INTEGER)
-          AS cov_time_day
-      FROM coll ORDER BY id_mcare, from_date""",
+    "q127_mcare_timevar" -> s"""
+      WITH $McareTimevarCtes
+      SELECT * FROM mctv
+      ORDER BY id_mcare, from_date""",
 
     // q128: temperature-scaled domain mixture weights (alpha = 0.7).
     "q128_mixture_weights" -> """
@@ -11012,57 +11781,9 @@ object SparkEntry {
     // q155: apde identity crosswalk — pattern gates, most-recent link
     // dedup (KCMASTER tie-break), md5-prefix id_apde stand-in,
     // multiplicative KCMASTER full merges, NULL id_mcare placeholder.
-    "q155_apde_xwalk" -> """
-      WITH hist AS (
-        SELECT
-          CASE WHEN o_orderkey % 31 = 0
-            THEN 'BAD' || lpad(CAST(o_custkey % 200 AS VARCHAR), 9, '0')
-            ELSE lpad(CAST(o_custkey % 200 AS VARCHAR), 9, '0') || 'KC'
-            END AS kcm,
-          CASE WHEN o_orderkey % 2 = 0 THEN 'MEDICAID' ELSE 'HOUSING'
-            END AS src,
-          CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 31 <> 0 THEN
-            CASE WHEN o_orderkey % 17 = 0
-              THEN 'X' || CAST(o_orderkey % 5000 AS VARCHAR)
-              ELSE CAST(100000 + o_orderkey % 5000 AS VARCHAR) END
-            END AS mbr,
-          CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 31 <> 0 THEN
-            CASE WHEN o_orderkey % 29 = 0 THEN 'SHORT'
-              ELSE md5(CAST(o_orderkey % 700 AS VARCHAR))
-                || md5(CAST(o_orderkey % 700 + 1 AS VARCHAR)) END
-            END AS ph,
-          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INT)
-            AS touched,
-          CASE WHEN o_orderkey % 13 = 0 THEN 'Y' ELSE 'N' END AS histflag
-        FROM orders),
-      cur AS (
-        SELECT * FROM hist WHERE histflag = 'N' AND kcm IS NOT NULL),
-      idh AS (
-        SELECT DISTINCT kcm, substring(md5(kcm), 1, 10) AS id_apde
-        FROM cur WHERE regexp_matches(kcm, '^[0-9]{9}KC$')),
-      mc0 AS (
-        SELECT DISTINCT kcm, mbr AS id_mcaid, touched FROM cur
-        WHERE src = 'MEDICAID' AND regexp_matches(mbr, '^[0-9]+$')),
-      mc AS (
-        SELECT kcm, id_mcaid FROM (
-          SELECT *, row_number() OVER (PARTITION BY id_mcaid
-            ORDER BY touched DESC, kcm ASC) AS rn FROM mc0)
-        WHERE rn = 1),
-      ph0 AS (
-        SELECT DISTINCT kcm, ph AS phousing_id, touched FROM cur
-        WHERE ph IS NOT NULL AND length(ph) = 64),
-      phx AS (
-        SELECT kcm, phousing_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY phousing_id
-            ORDER BY touched DESC, kcm ASC) AS rn FROM ph0)
-        WHERE rn = 1),
-      j1 AS (
-        SELECT coalesce(i.kcm, m.kcm) AS kcm, i.id_apde, m.id_mcaid
-        FROM idh i FULL JOIN mc m ON i.kcm = m.kcm),
-      j2 AS (
-        SELECT j.id_apde, coalesce(j.kcm, p.kcm) AS KCMASTER_ID,
-          j.id_mcaid, CAST(NULL AS VARCHAR) AS id_mcare, p.phousing_id
-        FROM j1 j FULL JOIN phx p ON j.kcm = p.kcm)
+    "q155_apde_xwalk" -> s"""
+      WITH $XwalkHistCte,
+      ${xwalkChainCtes("hist", "")}
       SELECT * FROM j2
       ORDER BY id_apde, KCMASTER_ID, id_mcaid, phousing_id""",
 

@@ -7,7 +7,12 @@ import graft.core.Intervals
 
 /** PCR (Plan All-Cause Readmissions) feeder — the reference's
   * direct-transfer stitching + readmission join step
-  * (create_stage.v_perf_ah_inpatient_direct_transfer.sql,
+  * (create_stage.v_perf_ah_inpatient_direct_transfer.sql and its
+  * PCR-named twin create_stage.v_perf_pcr_inpatient_direct_transfer.sql
+  * :44-203 — same Inpatient-Stay-minus-Nonacute EXCEPT, same 1-day
+  * lag/increment/episode_id chain, same stay/death windows; the PCR
+  * variant additionally joins elig_demo for the anniversary age, which
+  * [[graft.functions.DateFns.ageYears]] carries,
   * create_stage.v_perf_pcr_pregnancy_exclusion.sql,
   * create_stage.v_perf_pcr_planned_exclusion.sql,
   * create_stage.sp_perf_pcr_join_step.sql).

@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *    create_stage.v_perf_tpm_by_dx_denominator.sql:9-58)
   *  - TPO opioid / TPS SUD penetration — the same three kernels with
   *    different value-set names and claim frames
-  *    (create_stage.v_perf_tpo_*.sql, create_stage.v_perf_tps_*.sql)
+  *    (create_stage.v_perf_tpo_*.sql, create_stage.v_perf_tps_*.sql;
+  *    the TPS numerator create_stage.v_perf_tps_numerator.sql:40-160
+  *    is [[codeValueSet]] over procedure/DRG/NDC frames UNIONed with
+  *    the [[dxValueSet]] INTERSECT arm — encounters needing both a
+  *    Set-6 procedure and a Set-1 primary diagnosis)
   *  - CAP ambulatory visits (create_stage.v_perf_cap_ambulatory_visit.sql)
   *  - MH/AOD ED-episode pivot (create_stage.v_mcaid_mh_aod_ed.sql)
   *  - the perf_staging N/D aggregation that consumes them

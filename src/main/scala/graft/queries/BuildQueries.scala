@@ -3035,10 +3035,11 @@ object BuildQueries {
     * history table plants invalid master ids (link-free, as the
     * reference's error gate demands), invalid mcaid/pha ids, historical
     * rows, and cross-master duplicate links with differing touch dates. */
-  def q155ApdeXwalk(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q155/q305 raw IDH history fixture. */
+  private[queries] def xwalkHistory(s: SparkSession, dir: String): DataFrame = {
     val ok = col("o_orderkey")
     val kcmBase = lpad((col("o_custkey") % 200).cast("string"), 9, "0")
-    val history = t(s, dir, "orders").select(
+    t(s, dir, "orders").select(
       when(ok % 31 === 0, concat(lit("BAD"), kcmBase))
         .otherwise(concat(kcmBase, lit("KC"))).as("KCMASTER_ID"),
       when(ok % 2 === 0, "MEDICAID").otherwise("HOUSING")
@@ -3054,10 +3055,12 @@ object BuildQueries {
       date_add(to_date(col("o_orderdate")), (ok % 90).cast("int"))
         .as("LAST_TOUCHED"),
       when(ok % 13 === 0, "Y").otherwise("N").as("IS_HISTORICAL"))
-    graft.builds.ApdeXwalk.build(history)
+  }
+
+  def q155ApdeXwalk(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ApdeXwalk.build(xwalkHistory(s, dir))
       .orderBy(col("id_apde"), col("KCMASTER_ID"), col("id_mcaid"),
         col("phousing_id"))
-  }
 
   /** §7.5.6 APCD elig_month (q156, load_stage.apcd_elig_month.R):
     * presence-combination 0-8 coverage groups for the three domains,
@@ -5318,6 +5321,52 @@ object BuildQueries {
   /** claims_condition.R consumer: members whose condition span overlaps an
     * ask window (interval-overlap filter, claims_condition.R:129), spans
     * clipped to the window. */
+  /** §2.4/§2.5 perf member-month spine (q301,
+    * create_stage.sp_mcaid_perf_elig_member_month.sql:20-105): the MCO
+    * name→code CASE (five plans, both Coordinated Care spellings, any
+    * other name → NULL), the King-County zip gate, and the
+    * longest-coverage-span pick per (member, month) — with
+    * deterministic tie-breaks added to the reference's span-only
+    * ROW_NUMBER (see [[graft.builds.PerfMemberMonth]]). Fixture plants
+    * all five mapped names plus two unmapped ones, FFS rows, varying
+    * span lengths (orderkey % 60), and a zip universe where only
+    * custkey % 25 < 15 is King County, so the map, the gate, and the
+    * pick all move rows. */
+  def q301PerfMemberMonth(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val names = Seq("Amerigroup Washington Inc",
+      "Community Health Plan of Washington",
+      "Coordinated Care Corporation", "Coordinated Care of Washington",
+      "Molina Healthcare of Washington Inc",
+      "United Health Care Community Plan", "Some Other Plan LLC")
+    val nameCol = names.zipWithIndex.foldLeft(lit("Unknown Plan")) {
+      case (acc, (n, i)) => when(ok % 8 === i, n).otherwise(acc)
+    }
+    val od = to_date(col("o_orderdate"))
+    val elig = t(s, dir, "orders").select(
+      (year(od) * 100 + month(od)).cast("int").as("clndr_year_mnth"),
+      concat(lit("R"), (col("o_custkey") % 300).cast("string"))
+        .as("medicaid_recipient_id"),
+      concat(lit("RAC"), lpad((ok % 50).cast("string"), 2, "0"))
+        .as("rprtbl_rac_code"),
+      od.as("from_date"),
+      date_add(od, (ok % 60).cast("int")).as("to_date"),
+      when(ok % 3 =!= 0, "MC").otherwise("FFS").as("coverage_type_ind"),
+      nameCol.as("mc_prvdr_name"),
+      when(ok % 2 === 0, "Y").otherwise("N").as("dual_elig"),
+      when(ok % 5 === 0, "Y").otherwise("N").as("tpl_full_flag"),
+      concat(lit("Z"), lpad((col("o_custkey") % 25).cast("string"), 2, "0"))
+        .as("rsdntl_postal_code"))
+    val kingZips = t(s, dir, "customer")
+      .filter(col("c_custkey") % 25 < 15)
+      .select(concat(lit("Z"),
+        lpad((col("c_custkey") % 25).cast("string"), 2, "0"))
+        .as("zip_code"))
+    graft.builds.PerfMemberMonth.build(elig, kingZips)
+      .orderBy(col("medicaid_recipient_id"), col("clndr_year_mnth"),
+        col("from_date"), col("rprtbl_rac_code"))
+  }
+
   def q63ClaimsCondition(s: SparkSession, dir: String): DataFrame = {
     val winFrom = to_date(lit("1996-06-01"))
     val winTo = to_date(lit("1996-12-31"))

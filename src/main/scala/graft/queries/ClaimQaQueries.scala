@@ -266,4 +266,174 @@ object ClaimQaQueries {
         "stage.mcaid_housing_status")
       .orderBy(col("qa_item"))
   }
+
+  /** §5 combined elig_demo QA (q302,
+    * qa_stage.mcaid_mcare_elig_demo.R:15-120): rows vs the stored prior
+    * run and distinct id_apde == rows, over the q119 reconciliation
+    * build. Prior run = the build restricted to id_apde % 20 != 0 (the
+    * q288 convention; the reference reads the count back from
+    * metadata.qa_xwalk_values). */
+  def q302MmEligDemoQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.q119McaidMcareDemo(s, dir)
+      .localCheckpoint(true)
+    val prior = stage.filter(col("id_apde") % 20 =!= 0).count()
+    graft.qa.CombinedQa.mmEligDemoQa(stage, "id_apde", prior,
+        "stage.mcaid_mcare_elig_demo")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 combined elig_timevar QA (q303,
+    * qa_stage.mcaid_mcare_elig_timevar.R:15-150): row count and
+    * distinct-id count vs the prior run's stored qa_xwalk_values, over
+    * the q118 combined timevar build. */
+  def q303MmEligTimevarQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.q118McaidMcareTimevar(s, dir)
+      .localCheckpoint(true)
+    val pr = stage.filter(col("id_apde") % 20 =!= 0)
+      .agg(count(lit(1)), count_distinct(col("id_apde"))).head()
+    graft.qa.CombinedQa.mmEligTimevarQa(stage, "id_apde", pr.getLong(0),
+        pr.getLong(1), "stage.mcaid_mcare_elig_timevar")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 mcare elig_timevar QA (q304,
+    * qa_stage.mcare_elig_timevar.R:30-220): rows vs prior, distinct ids
+    * vs the WA MBSF bene universe, duplicate rows, and the from/to
+    * envelope against the HARD-CODED study window — the fixture's
+    * 1992-1998 era standing in for the reference's 2011-2017, dates
+    * double-quoted as R's dbQuoteIdentifier renders them. */
+  def q304McareTimevarQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = BuildQueries.q127McareTimevar(s, dir)
+      .localCheckpoint(true)
+    val prior = stage
+      .filter(expr("CAST(substring(id_mcare, 2) AS INT)") % 20 =!= 0)
+      .count()
+    val (bene, _) = BuildQueries.McareBene.frames(s, dir)
+    graft.qa.CombinedQa.mcareEligTimevarQa(stage, "id_mcare", bene,
+        "id_mcare", prior, "1992-01-01", "1998-12-31",
+        "stage.mcare_elig_timevar")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 identity-crosswalk QA battery (q305,
+    * qa_stage.xwalk_apde_mcaid_mcare_pha.R:40-410): rows and distinct
+    * KCMASTER_ID/ID_APDE vs the prior run (the SAME ApdeXwalk chain over
+    * the history slice loaded before the month-first deliveries),
+    * distinct mcaid/phousing ids vs the IDH history universe, and the
+    * four unique-pairing WARNING checks — over the q155 build. The
+    * Medicare arm sits behind the reference's skip_mcare flag and the
+    * xwalk carries no mcare links, so it is skipped the same way. */
+  def q305XwalkQa(s: SparkSession, dir: String): DataFrame = {
+    val history = BuildQueries.xwalkHistory(s, dir)
+    val stage = graft.builds.ApdeXwalk.build(history)
+      .localCheckpoint(true)
+    val prior = graft.builds.ApdeXwalk.build(
+      history.filter(dayofmonth(col("LAST_TOUCHED")) =!= 1))
+    val cur = history.filter(col("IS_HISTORICAL") === "N" &&
+      col("KCMASTER_ID").isNotNull)
+    val idh = cur.agg(
+      count_distinct(when(col("SOURCE_SYSTEM") === "MEDICAID" &&
+        col("MBR_H_SID").rlike("^[0-9]+$"), col("MBR_H_SID"))),
+      count_distinct(when(length(col("PHOUSING_ID")) === 64,
+        col("PHOUSING_ID")))).head()
+    graft.qa.CombinedQa.xwalkQa(stage, prior, idh.getLong(0),
+        idh.getLong(1), "claims.stage_xwalk_apde_mcaid_mcare_pha")
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 combined claim-header pc-visit duplicate probe (q306,
+    * qa_stage.mcaid_mcare_claim_header.sql:1-20): mcaid and mcare
+    * pc-visit slices unioned through their crosswalks, grouped to
+    * (id_apde, first_service_date), groups with both sources emitted —
+    * the reference's TOP 100 made deterministic (ordered by the group
+    * key). The fixture coarsens the probe dates to month so planted
+    * cross-source collisions exist at every scale. */
+  def q306MmHeaderDupQa(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("d", to_date(col("o_orderdate")))
+    val ok = col("o_orderkey")
+    val mcaidPc = orders.filter(ok % 2 === 0 && ok % 5 === 0).select(
+      (col("o_custkey") % 70).as("id_mcaid"),
+      trunc(col("d"), "month").as("first_service_date"))
+    val mcarePc = orders.filter(ok % 2 === 1 && ok % 5 === 0).select(
+      concat(lit("C"), (col("o_custkey") % 80).cast("string"))
+        .as("id_mcare"),
+      trunc(col("d"), "month").as("first_service_date"))
+    val cust = t(s, dir, "customer")
+    val xw1 = cust.select((col("c_custkey") % 70).as("id_mcaid"))
+      .distinct().filter(col("id_mcaid") % 9 =!= 8)
+      .withColumn("id_apde", lit(100) + col("id_mcaid") % 50)
+    val xw2 = cust.select((col("c_custkey") % 80).as("n")).distinct()
+      .filter(col("n") % 7 =!= 6)
+      .select(concat(lit("C"), col("n").cast("string")).as("id_mcare"),
+        (lit(100) + col("n") % 50).as("id_apde"))
+    graft.qa.CombinedQa.headerDupProbe(mcaidPc, xw1, mcarePc, xw2)
+  }
+
+  /** §5 combined claim-CCW QA battery (q307,
+    * qa_stage.mcaid_mcare_claim_ccw.sql:1-80 and its mcare sibling
+    * qa_tmp.mcare_claim_ccw.sql): the crosswalk-coverage counts over
+    * the q105 combined header (mcare claims whose id_apde has no
+    * mcare-linked xwalk row; null-id_apde rows), the distinct-condition
+    * count over the CCW frame, and the 2016-style FFS denominators —
+    * person-level min/max part-flag aggregation over the timevar slice
+    * inside the study year (temp1: King + A + B + no C; temp2: A or B,
+    * no C), the fixture's 1996 standing in for the reference's 2016.
+    * Output: (qa_item, qa_value) rows — the reference runs these as
+    * bare analyst SELECTs, not metadata inserts. */
+  def q307MmCcwQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hdr = BuildQueries.q105McaidMcareHeader(s, dir)
+      .localCheckpoint(true)
+    val cust = t(s, dir, "customer")
+    val xw2Apde = cust.select((col("c_custkey") % 80).as("n")).distinct()
+      .filter(col("n") % 7 =!= 6)
+      .select((lit(100) + col("n") % 50).as("x_apde")).distinct()
+    val orphanMcare = hdr.filter(col("source_desc") === "mcare")
+      .join(xw2Apde, col("id_apde") === col("x_apde"), "left")
+      .filter(col("x_apde").isNull)
+      .agg(count_distinct(col("id_apde"))).head().getLong(0)
+    val nullApde = hdr.filter(col("id_apde").isNull).count()
+    val condCount = graft.builds.ConditionLoop.build(t(s, dir, "orders"))
+      .agg(count_distinct(col("condition"))).head().getLong(0)
+    // part-flag timevar slice: person-level min/max flags inside the
+    // study year, the reference's #temp1/#temp2 construction
+    val k = (col("o_custkey") % 60) + year(to_date(col("o_orderdate")))
+    val tv = t(s, dir, "orders").select(
+      (col("o_custkey") % 60).as("id_apde"),
+      trunc(to_date(col("o_orderdate")), "month").as("from_date"),
+      last_day(to_date(col("o_orderdate"))).as("to_date"),
+      lit(1).as("mcare"),
+      when(k % 7 === 0, lit(null).cast("int"))
+        .otherwise((k % 3 =!= 0).cast("int")).as("part_a"),
+      when(k % 11 === 0, lit(null).cast("int"))
+        .otherwise((k % 4 =!= 0).cast("int")).as("part_b"),
+      when(k % 13 === 0, lit(null).cast("int"))
+        .otherwise((k % 5 === 0).cast("int")).as("part_c"),
+      (col("o_custkey") % 2).cast("int").as("geo_kc"))
+    val inYear = tv.filter(col("from_date") <= lit("1996-12-31") &&
+      col("to_date") >= lit("1996-01-01"))
+    val flags = inYear.groupBy(col("id_apde")).agg(
+      max(col("geo_kc")).as("geo_kc_max"),
+      min(col("mcare")).as("mcare_min"),
+      min(coalesce(col("part_a"), lit(0))).as("part_a_min"),
+      min(coalesce(col("part_b"), lit(0))).as("part_b_min"),
+      max(coalesce(col("part_c"), lit(0))).as("part_c_max"))
+    val r = flags.agg(
+      count_distinct(when(col("geo_kc_max") === 1 &&
+        col("mcare_min") === 1 && col("part_a_min") === 1 &&
+        col("part_b_min") === 1 && col("part_c_max") === 0,
+        col("id_apde"))),
+      count_distinct(when(col("mcare_min") === 1 &&
+        (col("part_a_min") === 1 || col("part_b_min") === 1) &&
+        col("part_c_max") === 0, col("id_apde")))).head()
+    Seq(
+      ("distinct_ccw_conditions", condCount),
+      ("ffs_ab_1996", r.getLong(1)),
+      ("ffs_full_dual_kc_1996", r.getLong(0)),
+      ("mcare_claims_without_mcare_xwalk", orphanMcare),
+      ("null_id_apde_rows", nullApde))
+      .toDF("qa_item", "qa_value")
+      .orderBy(col("qa_item"))
+  }
 }

@@ -911,4 +911,259 @@ vars:
         graft.sources.RefTables.dateDim(s, s"$y0-01-01", y1 - y0 + 2))
       .orderBy(col("qa_item"))
   }
+
+  /** Shared q308/q309 RAC workbook sheet fixtures (the four tmp tables
+    * load_ref.mcaid_rac_code.R:14-27 stages): per-RAC fund source,
+    * detailed codes with planted gaps (% 11), the elig-value grouping
+    * with '--' MAGI and both-NULL title-flag values (ev 11 hits the
+    * alternate-benefit 'N' arm), and the BSP sheet whose CID cycles
+    * through the four full-benefit CIDs plus two others. */
+  private[queries] object Rac {
+    def rk(s: SparkSession, dir: String) = t(s, dir, "part")
+      .select((col("p_partkey") % 120).as("rk")).distinct()
+    def fundSource(s: SparkSession, dir: String): DataFrame =
+      rk(s, dir).select(col("rk").as("rac_code"),
+        concat(lit("RAC "), col("rk").cast("string")).as("rac_desc"),
+        when(col("rk") % 4 === 0, "Federal")
+          .when(col("rk") % 4 === 1, "Title XXI")
+          .when(col("rk") % 4 === 2, "State Only")
+          .otherwise("Local").as("fund_source_code"))
+    def detailed(s: SparkSession, dir: String): DataFrame =
+      rk(s, dir).filter(col("rk") % 11 =!= 0)
+        .select(col("rk").as("rac_code"),
+          (col("rk") % 20).as("elig_value"),
+          (col("rk") % 7).as("sub_elig_value"))
+    def grouping(s: SparkSession, dir: String): DataFrame = {
+      val ev = col("ev")
+      rk(s, dir).select((col("rk") % 20).as("ev")).distinct()
+        .filter(ev % 9 =!= 8)
+        .select(ev.as("elig_value"),
+          concat(lit("CAT "), ev.cast("string")).as("category"),
+          when(ev % 3 === 0, "Y").when(ev % 3 === 1, "N")
+            .as("title_xix_full"),
+          when(ev % 2 === 0, "Y").otherwise("N").as("title_xix_limited"),
+          when(ev % 5 === 0, "Y").when(ev % 5 =!= 1, "N")
+            .as("title_xxi_full"),
+          when(ev % 2 === 1, "Y").otherwise("N").as("legacy_mcs"),
+          when(ev % 4 === 0, "--").when(ev % 4 === 1, "Y").otherwise("N")
+            .as("magi"),
+          concat(lit("GRP "), (ev % 3).cast("string"))
+            .as("major_cov_grp"))
+    }
+    def bsp(s: SparkSession, dir: String): DataFrame = {
+      val cid = element_at(
+        array(lit(1003960), lit(1003956), lit(10066833), lit(1003962),
+          lit(555), lit(666)), (col("rk") % 6).cast("int") + 1)
+      rk(s, dir).filter(col("rk") % 13 =!= 1)
+        .select(col("rk").as("rac_code"),
+          concat(lit("B"), (col("rk") % 6).cast("string"))
+            .as("bsp_group_abbrev"),
+          concat(lit("BSP "), (col("rk") % 6).cast("string"))
+            .as("bsp_group_name"),
+          cid.as("bsp_group_cid"))
+    }
+  }
+
+  /** §2.1 mcaid RAC-code reference build (q308,
+    * load_ref.mcaid_rac_code.sql:43-110 over the R-staged sheets):
+    * three broadcast left joins on cast keys, the elig-14 category
+    * override, MAGI '--' → NULL, and both benefit CASEs. */
+  def q308RacCode(s: SparkSession, dir: String): DataFrame =
+    graft.sources.RefTables.racCode(Rac.fundSource(s, dir),
+        Rac.detailed(s, dir), Rac.grouping(s, dir), Rac.bsp(s, dir))
+      .orderBy(col("rac_code"))
+
+  /** §5 RAC-code QA (q309, qa_ref.mcaid_rac_code.sql:1-36): the three
+    * NumRows histograms over the BSP sheet's pairings — VERBATIM first
+    * (the reference DISTINCTs a pair then GROUPs BY the same pair, so
+    * NumRows is identically 1 — a vacuous check as written, kept
+    * faithfully), then the evidently-INTENDED per-key histograms
+    * (values per rac_code / bsp_group_cid / bsp_group_abbrev) that
+    * actually detect a key mapping to two values. */
+  def q309RacCodeQa(s: SparkSession, dir: String): DataFrame = {
+    val bsp = Rac.bsp(s, dir).localCheckpoint(true)
+    def hist(label: String, keys: Seq[String],
+        full: Seq[String]): DataFrame = {
+      val pairs = bsp.select(full.map(col): _*).distinct()
+      pairs.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("num_rows"))
+        .groupBy(col("num_rows"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(label).as("qa_item"), col("num_rows"), col("n"))
+    }
+    val rc = Seq("rac_code", "bsp_group_cid")
+    val ca = Seq("bsp_group_cid", "bsp_group_abbrev")
+    val an = Seq("bsp_group_abbrev", "bsp_group_name")
+    hist("verbatim rac_code-bsp_group_cid", rc, rc)
+      .unionByName(hist("verbatim bsp_group_cid-bsp_group_abbrev", ca, ca))
+      .unionByName(hist("verbatim bsp_group_abbrev-bsp_group_name", an, an))
+      .unionByName(hist("intended rac_code-bsp_group_cid", rc.take(1), rc))
+      .unionByName(hist("intended bsp_group_cid-bsp_group_abbrev",
+        ca.take(1), ca))
+      .unionByName(hist("intended bsp_group_abbrev-bsp_group_name",
+        an.take(1), an))
+      .orderBy(col("qa_item"), col("num_rows"))
+  }
+
+  /** §2.1 King County provider master (q310,
+    * load_ref.kc_provider_master.sql:1-128): the APCD master slice
+    * unioned with the derived slice — charclass NPI gate, per-NPI mode
+    * picks for entity/zip and the TOP-2 taxonomy mode, master
+    * anti-join. Fixture plants invalid NPIs (leading zero, free text),
+    * short zips/taxonomies, and NPIs 400-599 that exist only in the
+    * raw feed so the anti-join keeps real rows. */
+  def q310KcProviderMaster(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("p_partkey")
+    val master = t(s, dir, "part").filter(pk % 5 === 0).select(
+      (lit(1000000000L) + pk % 400).as("npi"),
+      when(pk % 2 === 0, "Organization").otherwise("Person")
+        .as("entity_type"),
+      when(pk % 7 === 0, "981")
+        .otherwise(concat(lit("98"), lpad((pk % 999).cast("string"), 3,
+          "0"))).as("zip_physical"),
+      when(pk % 9 === 0, "-1").when(pk % 9 === 1, "-2")
+        .otherwise(concat(lit("207Q00000"), (pk % 10).cast("string")))
+        .as("primary_taxonomy"),
+      when(pk % 8 === 0, "-2")
+        .otherwise(concat(lit("208D00000"), (pk % 10).cast("string")))
+        .as("secondary_taxonomy_physical"))
+    val ok = col("o_orderkey")
+    val raw = t(s, dir, "orders").select(
+      when(ok % 13 === 0,
+        concat(lit("0"), (ok % 1000000000L).cast("string")))
+        .when(ok % 17 === 0, lit("NOTANPI"))
+        .otherwise((lit(1000000000L) + col("o_custkey") % 600)
+          .cast("string")).as("orig_npi"),
+      when(ok % 23 === 0, lit(null).cast("string"))
+        .when(ok % 3 === 0, "Person").otherwise("Organization")
+        .as("entity_type"),
+      when(ok % 11 === 0, "98")
+        .otherwise(concat(lit("98"),
+          lpad((col("o_custkey") % 999).cast("string"), 3, "0")))
+        .as("zip"),
+      when(ok % 7 === 0, "SHORT")
+        .otherwise(concat(lit("2084P0800"), (ok % 3).cast("string")))
+        .as("primary_specialty_code"))
+    graft.sources.RefTables.kcProviderMaster(master, raw)
+      .orderBy(col("npi"), col("apcd_provider_master_flag"))
+  }
+
+  /** §2.1 age-group dimension (q311, load_ref.age_grp.sql:25-75 +
+    * load_ref.num.sql:1-30): the -1..250 spine carrying the twelve
+    * grouping ladders; ref.num's doubling WHILE loop is the T-SQL
+    * row-generation workaround whose native Spark equivalent is
+    * range(). Ladders are shared DATA (RefTables.AgeLadders) with the
+    * oracle generator. */
+  def q311AgeGrp(s: SparkSession, dir: String): DataFrame =
+    graft.sources.RefTables.ageGrp(s).orderBy(col("age"))
+
+  /** §2.3 carrier billing-NPI reference (q312,
+    * load_ref.apcd_mcare_carrier_billing_npi.sql:7-23): carrier-type
+    * APCD claims left-joined to the Medicare carrier file on the
+    * submitter claim control number under the reference's
+    * CASE-SENSITIVE collation (Spark equality is already
+    * case-sensitive; the fixture plants lower-cased control numbers
+    * that must NOT match). */
+  def q312CarrierNpi(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_orderkey")
+    val ctl = concat(lit("S"), (ok % 4000).cast("string"))
+    val apcd = t(s, dir, "orders").select(
+      when(ok % 10 === 0, lower(ctl)).otherwise(ctl)
+        .as("submitter_clm_control_num"),
+      ok.as("medical_claim_header_id"),
+      (lit(23) + ok % 4).as("submitted_claim_type_id"))
+    val bcarrier = t(s, dir, "orders").filter(ok % 3 === 0)
+      .groupBy(concat(lit("S"), (ok % 4000).cast("string")).as("clm_id"))
+      .agg(max(lit(1000000000L) + col("o_custkey"))
+        .as("carr_clm_blg_npi_num"))
+    graft.sources.RefTables.carrierBillingNpi(apcd, bcarrier)
+      .orderBy(col("claim_header_id"))
+  }
+
+  /** §2.3/§2.4 comorbidity references and index scores (q313,
+    * load_ref.comorb_ref_tables.sql:1-1134 + the Quan/Gagne published
+    * weights): dx rows prefix-matched against the broadcast condition
+    * dimension, distinct (person, condition) flags, and the three
+    * weighted sums. Fixture plants hits for every condition in both
+    * ICD versions plus non-matching codes. */
+  def q313ComorbScores(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("l_partkey")
+    val codes9 = Seq("39891", "4283", "44000", "4929", "25001", "25042",
+      "5859", "19655", "29620", "3110", "04200", "71500")
+    val codes10 = Seq("I500", "I4891", "I7025", "J449", "E1199", "E1122",
+      "N189", "C771", "F329", "B2000", "Z0000", "K219")
+    def pick(codes: Seq[String]) =
+      codes.zipWithIndex.foldLeft(lit(codes.head)) { case (acc, (c, i)) =>
+        when(pk % 12 === i, c).otherwise(acc)
+      }
+    val dx = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 150).as("id_person")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("id_person"),
+        when(pk % 2 === 0, 9).otherwise(10).as("icdcm_version"),
+        when(pk % 2 === 0, pick(codes9)).otherwise(pick(codes10))
+          .as("icdcm_norm"))
+    graft.builds.Comorbidity.scores(dx, "id_person")
+      .orderBy(col("id_person"))
+  }
+
+  /** §2.8 FDA NDC directory normalization (q314,
+    * load_ref.ndc_codes.R:10-70): finished package+product merge,
+    * unfinished rows (proprietary name nulled), compounders (strength
+    * from the ingredients column), and the 10→11-digit package-code
+    * normalization — 4-4-2/5-3-2/5-4-1 each padding a different
+    * segment, anything else NULL. */
+  def q314NdcCodes(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("p_partkey")
+    def seg(n: Column, w: Int) = lpad((n % math.pow(10, w).toLong)
+      .cast("string"), w, "0")
+    val shape = when(pk % 5 === 0,
+        concat(seg(pk, 4), lit("-"), seg(pk * 3, 4), lit("-"),
+          seg(pk, 2)))
+      .when(pk % 5 === 1,
+        concat(seg(pk, 5), lit("-"), seg(pk * 3, 3), lit("-"),
+          seg(pk, 2)))
+      .when(pk % 5 === 2,
+        concat(seg(pk, 5), lit("-"), seg(pk * 3, 4), lit("-"),
+          seg(pk, 1)))
+      .when(pk % 5 === 3,
+        concat(seg(pk, 6), lit("-"), seg(pk * 3, 4), lit("-"),
+          seg(pk, 2)))
+      .otherwise(lit("FREE TEXT"))
+    val part = t(s, dir, "part")
+    val pkg = part.select(
+      concat(lit("P"), (pk % 500).cast("string")).as("productid"),
+      concat(lit("N"), pk.cast("string")).as("productndc"),
+      shape.as("ndcpackagecode"))
+    val product = part.filter(pk % 4 =!= 0).select(
+      concat(lit("P"), (pk % 500).cast("string")).as("productid"),
+      concat(lit("N"), pk.cast("string")).as("productndc"),
+      col("p_name").as("proprietaryname"),
+      col("p_type").as("nonproprietaryname"))
+    val finished = pkg.join(product, Seq("productid", "productndc"),
+      "left").withColumn("source", lit("finished"))
+    val unfinished = part.filter(pk % 7 === 0).select(
+      concat(lit("U"), (pk % 500).cast("string")).as("productid"),
+      concat(lit("UN"), pk.cast("string")).as("productndc"),
+      shape.as("ndcpackagecode"),
+      lit(null).cast("string").as("proprietaryname"),
+      col("p_type").as("nonproprietaryname"),
+      lit("unfinished").as("source"))
+    val compounders = part.filter(pk % 9 === 0).select(
+      lit(null).cast("string").as("productid"),
+      concat(lit("CN"), pk.cast("string")).as("productndc"),
+      shape.as("ndcpackagecode"),
+      col("p_name").as("proprietaryname"),
+      lit(null).cast("string").as("nonproprietaryname"),
+      lit("compounder").as("source"))
+    finished.unionByName(unfinished).unionByName(compounders)
+      .withColumn("ndc",
+        graft.functions.NdcCodes.ndc11(col("ndcpackagecode")))
+      .select(col("productid"), col("productndc"),
+        col("ndcpackagecode"), col("ndc"), col("proprietaryname"),
+        col("nonproprietaryname"), col("source"))
+      .orderBy(col("source"), col("productndc"), col("ndcpackagecode"),
+        col("productid"))
+  }
 }

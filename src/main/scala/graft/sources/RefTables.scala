@@ -340,4 +340,203 @@ object RefTables {
         struct(col("prio"), col("dx_description"))).as("dx_description"))
       .select(col("icdcode"), col("dx_description"), col("ver"))
   }
+
+  /** ref.mcaid_rac_code (load_ref.mcaid_rac_code.sql:43-110 over the
+    * four workbook sheets load_ref.mcaid_rac_code.R:14-27 stages): the
+    * fund-source sheet anchors, detailed codes and the elig-value
+    * grouping LEFT-join on their cast keys, the BSP sheet joins
+    * DISTINCTed; category overridden to the MN label at elig value 14,
+    * MAGI '--' nulled, and the two benefit CASEs — full_benefit 'Y'
+    * only for the four CHIP/Federal BSP group CIDs under a
+    * Federal/Title XXI fund source, alternate_rda_full_benefit from
+    * the Title XIX/XXI flags with its matched-but-unflagged 'N' arm.
+    * (The reference's MN label carries a mangled en-dash; rendered
+    * here as an ASCII hyphen.)
+    *
+    * Scale: every non-anchor frame is a vocabulary-sized dim — three
+    * broadcast joins, zero shuffles beyond the anchor scan. */
+  def racCode(fundSource: DataFrame, detailed: DataFrame,
+      grouping: DataFrame, bsp: DataFrame): DataFrame = {
+    val b = detailed.select(col("rac_code").cast("int").as("b_rac"),
+      col("elig_value").cast("int").as("b_elig"),
+      col("sub_elig_value").cast("int").as("b_sub"))
+    val c = grouping.select(col("elig_value").cast("int").as("c_elig"),
+      col("category"), col("title_xix_full"), col("title_xix_limited"),
+      col("title_xxi_full"), col("legacy_mcs"), col("magi"),
+      col("major_cov_grp"))
+    val d = bsp.select(col("rac_code").cast("int").as("d_rac"),
+        col("bsp_group_abbrev"), col("bsp_group_name"),
+        col("bsp_group_cid").cast("int").as("bsp_group_cid"))
+      .distinct()
+    val fullBenefitCids = Seq(1003960, 1003956, 10066833, 1003962)
+    fundSource
+      .select(col("rac_code").cast("int").as("rac_code"),
+        col("rac_desc").as("rac_name"), col("fund_source_code"))
+      .join(broadcast(b), col("rac_code") === col("b_rac"), "left")
+      .join(broadcast(c), col("b_elig") === col("c_elig"), "left")
+      .join(broadcast(d), col("rac_code") === col("d_rac"), "left")
+      .select(col("rac_code"), col("rac_name"), col("fund_source_code"),
+        col("b_elig").as("elig_value"), col("b_sub").as("sub_elig_value"),
+        when(col("b_elig") === 14, "MN - Other (Family/Pregnancy)")
+          .otherwise(col("category")).as("category"),
+        col("title_xix_full").as("title_xix_full_benefit_1519_reporting"),
+        col("title_xix_limited").as("title_xix_limited_benefit"),
+        col("title_xxi_full").as("title_xxi_full_benefit"),
+        col("legacy_mcs"),
+        when(col("magi") === "--", lit(null).cast("string"))
+          .otherwise(col("magi")).as("magi"),
+        col("major_cov_grp").as("major_cov_grp_1519_reporting"),
+        col("bsp_group_cid"), col("bsp_group_abbrev"),
+        col("bsp_group_name"),
+        when(col("bsp_group_cid").isin(fullBenefitCids: _*) &&
+          col("fund_source_code").isin("Federal", "Title XXI"), "Y")
+          .when(col("d_rac").isNotNull &&
+            (!col("bsp_group_cid").isin(fullBenefitCids: _*) ||
+              !col("fund_source_code").isin("Federal", "Title XXI")), "N")
+          .as("full_benefit"),
+        when(col("title_xix_full") === "Y" ||
+          col("title_xxi_full") === "Y", "Y")
+          .when(col("b_rac").isNotNull && col("title_xix_full").isNull &&
+            col("title_xxi_full").isNull, "N")
+          .as("alternate_rda_full_benefit"))
+  }
+
+  /** ref.kc_provider_master (load_ref.kc_provider_master.sql:1-128):
+    * the APCD provider-master slice (validated zips/taxonomies, flag
+    * 1) unioned with the derived slice — raw provider rows under the
+    * ten-digit charclass NPI gate, per-NPI MODE picks for entity type
+    * (count desc, entity desc), practice zip (count desc, zip asc),
+    * and the TOP-2 taxonomy mode (rank 1 → primary, rank 2 →
+    * secondary), anti-joined against the master NPIs, flag 0.
+    *
+    * The reference's RANK() keeps genuine ties in rank 1/2 — a tied
+    * NPI would emit multiple primary taxonomies and break the PK on
+    * insert; per the determinism rule the rank here is ROW_NUMBER
+    * over fully-specified orderings, so the pick is a pure function of
+    * the data. Scale: every pick is a (npi, value) partial-agg count
+    * then one npi-hash window at dimension grain. */
+  def kcProviderMaster(master: DataFrame, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pm = master.select(col("npi").cast("bigint").as("npi"),
+      col("entity_type"),
+      when(length(col("zip_physical")) === 5, col("zip_physical"))
+        .as("geo_zip_practice"),
+      when(col("primary_taxonomy").isin("-1", "-2"),
+        lit(null).cast("string")).otherwise(col("primary_taxonomy"))
+        .as("primary_taxonomy"),
+      when(col("secondary_taxonomy_physical").isin("-1", "-2"),
+        lit(null).cast("string"))
+        .otherwise(col("secondary_taxonomy_physical"))
+        .as("secondary_taxonomy"),
+      lit(1).as("apcd_provider_master_flag")).distinct()
+    val t1 = raw.select(
+      when(col("orig_npi").rlike("^[1-9][0-9]{9}$"), col("orig_npi"))
+        .as("npi"),
+      col("entity_type"),
+      when(length(col("zip")) === 5, col("zip")).as("geo_zip_practice"),
+      when(length(col("primary_specialty_code")) === 10,
+        col("primary_specialty_code")).as("taxonomy"))
+    def modePick(valCol: String, tieAsc: Boolean) = {
+      val counted = t1.filter(col(valCol).isNotNull)
+        .groupBy(col("npi"), col(valCol))
+        .agg(count(lit(1)).as("row_count"))
+      val tie = if (tieAsc) col(valCol).asc else col(valCol).desc
+      counted.withColumn("rk", row_number().over(
+          Window.partitionBy(col("npi"))
+            .orderBy(col("row_count").desc, tie)))
+    }
+    val entity = modePick("entity_type", tieAsc = false)
+      .filter(col("rk") === 1).select(col("npi"), col("entity_type"))
+    val zip = modePick("geo_zip_practice", tieAsc = true)
+      .filter(col("rk") === 1)
+      .select(col("npi"), col("geo_zip_practice"))
+    val tax = modePick("taxonomy", tieAsc = true).filter(col("rk") <= 2)
+    val tax1 = tax.filter(col("rk") === 1)
+      .select(col("npi"), col("taxonomy").as("primary_taxonomy"))
+    val tax2 = tax.filter(col("rk") === 2)
+      .select(col("npi"), col("taxonomy").as("secondary_taxonomy"))
+    val derived = t1.filter(col("npi").isNotNull).select(col("npi"))
+      .distinct()
+      .join(pm.select(col("npi").as("m_npi")),
+        col("npi") === col("m_npi"), "left_anti")
+      .join(entity, Seq("npi"), "left")
+      .join(zip, Seq("npi"), "left")
+      .join(tax1, Seq("npi"), "left")
+      .join(tax2, Seq("npi"), "left")
+      .select(col("npi").cast("bigint").as("npi"), col("entity_type"),
+        col("geo_zip_practice"), col("primary_taxonomy"),
+        col("secondary_taxonomy"),
+        lit(0).as("apcd_provider_master_flag"))
+    pm.unionByName(derived).distinct()
+  }
+
+  /** The ref.age_grp ladders (load_ref.age_grp.sql:44-73) as data —
+    * (column name, (lo, hi, label) arms; hi = Int.MaxValue renders the
+    * open '65+' style arm). Shared with the oracle generator so the
+    * two sides cannot drift. */
+  val AgeLadders: Seq[(String, Seq[(Int, Int, String)])] = {
+    val M = Int.MaxValue
+    Seq(
+      ("age_grp_0", Seq((0, 4, "Age 0-4"), (5, 11, "Age 5-11"),
+        (12, 17, "Age 12-17"), (18, 24, "Age 18-24"),
+        (25, 44, "Age 25-44"), (45, 64, "Age 45-64"),
+        (65, M, "Age 65+"))),
+      ("age_grp_1", Seq((18, M, "Age 18+"))),
+      ("age_grp_2", Seq((0, 17, "Age 0-17"), (18, 64, "Age 18-64"),
+        (65, M, "Age 65+"))),
+      ("age_grp_3", Seq((13, M, "Age 13+"))),
+      ("age_grp_4", Seq((6, M, "Age 6+"))),
+      ("age_grp_5", Seq((6, 17, "Age 6-17"), (18, 64, "Age 18-64"),
+        (65, M, "Age 65+"))),
+      ("age_grp_6", Seq((12, 17, "Age 12-17"), (18, 64, "Age 18-64"),
+        (65, M, "Age 65+"))),
+      ("age_grp_7", Seq((18, 64, "Age 18-64"), (65, M, "Age 65+"))),
+      ("age_grp_8", Seq((18, 64, "Age 18-64"))),
+      ("age_grp_9_months", Seq((0, 11, "Age 0-11 Months"),
+        (12, 24, "Age 12-24 Months"), (25, 83, "Age 25 Months-6"),
+        (84, 143, "Age 7-11"), (144, 239, "Age 12-19"))),
+      ("age_grp_10", Seq((5, 11, "Age 5-11"), (12, 18, "Age 12-18"),
+        (19, 50, "Age 19-50"), (51, 64, "Age 51-64"))),
+      ("age_grp_11", Seq((0, 17, "Age 0-17"), (18, 24, "Age 18-24"),
+        (25, 34, "Age 25-34"), (35, 44, "Age 35-44"),
+        (45, 54, "Age 45-54"), (55, 64, "Age 55-64"),
+        (65, M, "Age 65+"))))
+  }
+
+  /** ref.age_grp (load_ref.age_grp.sql:25-75): the -1..250 age spine
+    * (the reference's CTE over ref.num plus the -1/0 rows — ref.num
+    * itself is load_ref.num.sql's doubling WHILE loop, a T-SQL
+    * row-generation workaround whose Spark-native equivalent is
+    * range()) carrying the twelve grouping ladders. */
+  def ageGrp(s: SparkSession): DataFrame = {
+    val age = col("age").cast("int")
+    val ladders = AgeLadders.map { case (name, arms) =>
+      arms.foldLeft(lit(null).cast("string")) { case (acc, (lo, hi, lab)) =>
+        val cond = if (hi == Int.MaxValue) age >= lo
+          else age.between(lo, hi)
+        when(cond, lab).otherwise(acc)
+      }.as(name)
+    }
+    s.range(-1, 251).select(col("id").cast("int").as("age"))
+      .select(col("age") +: ladders: _*)
+  }
+
+  /** ref.apcd_mcare_carrier_billing_npi
+    * (load_ref.apcd_mcare_carrier_billing_npi.sql:7-16 + its inline QA
+    * :17-23): APCD medical claims of the carrier types (24, 25) joined
+    * to the Medicare carrier file on the submitter claim control
+    * number — the reference forces a CASE-SENSITIVE collation for the
+    * join (SQL Server default is CI; Spark string equality is already
+    * case-sensitive, so the collate clause needs no analog here). */
+  def carrierBillingNpi(apcdClaims: DataFrame,
+      bcarrier: DataFrame): DataFrame =
+    apcdClaims
+      .filter(col("submitted_claim_type_id").isin(24, 25))
+      .select(col("submitter_clm_control_num"),
+        col("medical_claim_header_id").as("claim_header_id"))
+      .join(bcarrier.select(col("clm_id"),
+        col("carr_clm_blg_npi_num").cast("bigint")
+          .as("carr_clm_blg_npi_num")),
+        col("submitter_clm_control_num") === col("clm_id"), "left")
+      .select(col("claim_header_id"), col("carr_clm_blg_npi_num"))
 }
