@@ -47,6 +47,16 @@ import graft.qa.Qa
   * distinct_rows, promote_rows) and one 'aborted' row per killed
   * stage.
   *
+  * The reference's per-table qa_stage batteries (the full check lists
+  * each stage runs) are pinned as their own catalog rows — q288/q289
+  * (elig demo/timevar), q292-q295 (the four claim tables), q296-q300
+  * (bh/moud/naloxone/preg/housing) — each with verbatim note
+  * rendering. The runner's in-chain gate is deliberately the fused
+  * count + grain-distinctness pair: the chain row pins ORDER and gate
+  * SEMANTICS, the battery rows pin each battery's full content, and
+  * composing all ten batteries into the chain would make the chain
+  * row re-execute every build twice for no added coverage.
+  *
   * Scale: every check is a distributed aggregate (count / distinct
   * count / anti-join-free re-count of the renamed final); only the
   * per-stage VERDICT reaches the driver (3 rows/stage). The promote is
