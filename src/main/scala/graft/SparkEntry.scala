@@ -497,6 +497,8 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q313ComorbScores _),
     "q314_ndc_codes" ->
       (graft.queries.LifecycleQueries.q314NdcCodes _),
+    "q315_perceptron_train" ->
+      (graft.queries.TextQueries.q315PerceptronTrain _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -3672,6 +3674,69 @@ object SparkEntry {
       FROM spine ORDER BY age"""
   }
 
+  /** q315 oracle: the batch-perceptron rounds replayed as generated
+    * CTEs (the q251/q260 iterative fixed-point discipline) — integer
+    * weights, so the trajectory is bit-exact. */
+  private def perceptronOracle: String = {
+    val B = 32
+    val R = 5
+    val rounds = (1 to R).map { r =>
+      val p = r - 1
+      s"""m$r AS MATERIALIZED (
+        SELECT f.doc_id, f.yy, sum(w.w * f.cnt) AS m
+        FROM feats f JOIN w$p w USING (b) GROUP BY 1, 2),
+      mis$r AS MATERIALIZED (
+        SELECT doc_id, yy FROM m$r WHERE yy * m <= 0),
+      g$r AS (SELECT f.b, sum(f.yy * f.cnt) AS g FROM feats f
+        JOIN mis$r x ON f.doc_id = x.doc_id GROUP BY f.b),
+      w$r AS MATERIALIZED (
+        SELECT w.b, w.w + coalesce(g.g, 0) AS w
+        FROM w$p w LEFT JOIN g$r g USING (b))"""
+    }.mkString(",\n      ")
+    val statRows = (1 to R).map { r =>
+      f"""SELECT 'round_$r%02d_misclassified' AS item,
+          (SELECT count(*) FROM mis$r) AS metric
+        UNION ALL SELECT 'round_$r%02d_weight_l1',
+          (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w$r)"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH docs0 AS (
+        SELECT doc_id,
+          substr(text, 1, 60) || repeat(' ' ||
+            CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+              THEN 'markergoodqual' ELSE 'markerbadqual' END, 8) AS text,
+          CAST(substr(source, 4) AS INT) % 2 AS y01
+        FROM documents),
+      toks AS (SELECT doc_id, y01, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+        FROM docs0),
+      feats AS MATERIALIZED (
+        SELECT doc_id, y01 * 2 - 1 AS yy,
+          CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % $B AS BIGINT)
+            AS b,
+          count(*) AS cnt
+        FROM toks WHERE len(t) > 0 GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT doc_id, y01 * 2 - 1, $B, 1 FROM docs0),
+      w0 AS (SELECT CAST(unnest(generate_series(0, $B)) AS BIGINT) AS b,
+        CAST(0 AS BIGINT) AS w),
+      $rounds,
+      accm AS (SELECT f.doc_id, f.yy, sum(w.w * f.cnt) AS m
+        FROM feats f JOIN w$R w USING (b) GROUP BY 1, 2)
+      SELECT item, CAST(metric AS BIGINT) AS metric FROM (
+        $statRows
+        UNION ALL
+        SELECT 'train_accuracy_ppm',
+          CASE WHEN (SELECT count(*) FROM accm) = 0 THEN 0
+            ELSE (SELECT coalesce(sum(CASE WHEN yy * m > 0
+              THEN 1 ELSE 0 END), 0) FROM accm) * 1000000
+              // (SELECT count(*) FROM accm) END
+        UNION ALL
+        SELECT 'final_weight_b' || lpad(CAST(b AS VARCHAR), 2, '0'), w
+        FROM w$R)
+      ORDER BY item"""
+  }
+
   /** Rows-vs-prior verdict row (the qa_xwalk battery family's shared
     * shape): signed diff, fewer/more wording. */
   private def diffRowSql(table: String, item: String, unitFewer: String,
@@ -4791,6 +4856,7 @@ object SparkEntry {
       u AS (SELECT * FROM fin UNION ALL SELECT * FROM unf
         UNION ALL SELECT * FROM comp)
       SELECT productid, productndc, ndcpackagecode,
+        -- q314 normalization arms mirror functions/NdcCodes.ndc11
         CASE WHEN regexp_matches(ndcpackagecode,
             '^[0-9A-Za-z]{4}-[0-9A-Za-z]{4}-[0-9A-Za-z]{2}$')
           THEN '0' || string_split(ndcpackagecode, '-')[1]
@@ -4810,6 +4876,7 @@ object SparkEntry {
         proprietaryname, nonproprietaryname, source
       FROM u
       ORDER BY source, productndc, ndcpackagecode, productid""") +
+    ("q315_perceptron_train" -> perceptronOracle) +
     ("q290_date_dim" -> (dateDimOracleBody + """
       SELECT * FROM dim ORDER BY "date"""")) +
     ("q291_date_dim_qa" -> (dateDimOracleBody + """,

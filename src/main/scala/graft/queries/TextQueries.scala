@@ -1225,4 +1225,28 @@ object TextQueries {
       .select(col("doc_id"), col("canonical_url"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** Linear quality-classifier TRAINING (q315): the batch-perceptron
+    * trainer that upgrades q173's fixed-weight scorer to a data-driven
+    * model — five integer rounds over md5-bucket presence features
+    * with the q262 planted-marker labels (odd sources positive), so
+    * the fixture is genuinely learnable and the audit frame shows the
+    * misclassified count falling as the weights converge. All
+    * arithmetic is integer (±1 labels, unit rate), so the generated
+    * per-round oracle replays the weight trajectory bit-exactly. */
+  def q315PerceptronTrain(s: SparkSession, dir: String): DataFrame = {
+    // short base slice keeps per-bucket noise counts low (1-3) so the
+    // planted x8 class-marker count dominates the margin; per-source
+    // markers were tried first and rejected — 20 marker tokens into 32
+    // buckets collide ACROSS classes, leaving ~30% of docs with
+    // ambiguous signal (the two class tokens hash to distinct buckets
+    // 28/31, pinned by the spec)
+    val label = expr("cast(substr(source, 4) as int) % 2")
+    val docs = t(s, dir, "documents").withColumn("text",
+      concat(expr("substring(text, 1, 60)"),
+        expr("repeat(concat(' ', CASE WHEN cast(substr(source, 4) as int) % 2 = 1 " +
+          "THEN 'markergoodqual' ELSE 'markerbadqual' END), 8)")))
+    graft.operators.LinearTrain.perceptronTrain(docs, label)
+      .orderBy(col("item"))
+  }
 }
