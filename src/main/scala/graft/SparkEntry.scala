@@ -499,6 +499,12 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q314NdcCodes _),
     "q315_perceptron_train" ->
       (graft.queries.TextQueries.q315PerceptronTrain _),
+    "q316_apcd_claim_provider" ->
+      (graft.queries.BuildQueries.q316ApcdClaimProvider _),
+    "q317_apcd_claim_provider_qa" ->
+      (graft.queries.ClaimQaQueries.q317ApcdClaimProviderQa _),
+    "q318_apcd_elig_demo_qa" ->
+      (graft.queries.ClaimQaQueries.q318ApcdEligDemoQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -4554,6 +4560,227 @@ object SparkEntry {
           last_day_year
         FROM hol)"""
 
+  /** The q152 apcd_elig_demo oracle body factored as a CTE chain
+    * ending in `demo` so the q318 line-level battery can audit the
+    * exact frame the catalog pins (the q246/apcdHeaderOracle
+    * discipline). Fixture CTEs (mm = member-month, el0 = eligibility)
+    * are shared by the battery's re-derivation arms. */
+  private val ApcdDemoCtes: String = """mm0 AS (
+        SELECT c_custkey AS id, m,
+          (DATE '2020-01-01' + INTERVAL (m - 1) MONTH)::DATE AS ms,
+          (DATE '1950-01-01' +
+            INTERVAL (CAST(c_custkey % 600 AS INT)) MONTH)::DATE AS dob_true
+        FROM customer CROSS JOIN (SELECT unnest(range(1, 15)) AS m) g
+        WHERE CASE WHEN c_custkey % 11 = 0 THEN m = 6
+          ELSE (c_custkey + m) % 5 <> 0 END),
+      mm AS (
+        SELECT id AS id_apcd, year(ms) * 100 + month(ms) AS ym,
+          CASE WHEN id % 13 = 0 THEN 90
+            ELSE CAST(floor(date_diff('month', dob_true, ms) / 12.0) AS INT)
+            END AS age,
+          CASE WHEN (id + m) % 17 = 0 THEN 'U'
+            WHEN id % 4 = 0 THEN 'F'
+            WHEN id % 4 = 1 THEN 'M'
+            WHEN id % 4 = 2 THEN
+              CASE WHEN m % 2 = 0 THEN 'F' ELSE 'M' END
+            END AS gender_code
+        FROM mm0),
+      step1 AS (
+        SELECT id_apcd, ym, age, gender_code,
+          CASE WHEN age - lag(age) OVER w = 1
+              AND ym - lag(ym) OVER w IN (1, 89)
+            THEN CAST(strptime(CAST(ym - lag((age + 1) * 100) OVER w
+              AS VARCHAR) || '01', '%Y%m%d') AS DATE) END AS dob_1,
+          CASE WHEN lead(age) OVER w IS NULL
+            THEN (CAST(strptime(CAST(ym - (age + 1) * 100 AS VARCHAR)
+              || '01', '%Y%m%d') AS DATE) + INTERVAL 1 MONTH)::DATE
+            END AS dob_2,
+          CASE WHEN gender_code = 'F' THEN 1 WHEN gender_code = 'U'
+            THEN NULL ELSE 0 END AS female,
+          CASE WHEN gender_code = 'M' THEN 1 WHEN gender_code = 'U'
+            THEN NULL ELSE 0 END AS male,
+          CASE WHEN gender_code = 'U' THEN 1 ELSE 0 END AS gender_unk,
+          last_value(gender_code) OVER (PARTITION BY id_apcd
+            ORDER BY CASE WHEN gender_code = 'U' OR gender_code IS NULL
+                THEN NULL ELSE ym END ASC NULLS FIRST,
+              gender_code ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS gr
+        FROM mm
+        WINDOW w AS (PARTITION BY id_apcd ORDER BY ym)),
+      mmagg AS (
+        SELECT id_apcd, coalesce(max(dob_1), max(dob_2)) AS dob,
+          max(female) AS female, max(male) AS male,
+          min(gender_unk) AS gender_unk,
+          CASE WHEN min(age) = 90 THEN 1 ELSE 0 END AS ninety_only,
+          max(gr) AS gr
+        FROM step1 GROUP BY id_apcd),
+      mmfin AS (
+        SELECT id_apcd, dob, ninety_only,
+          CASE WHEN female = 1 AND male = 1 THEN 'Multiple'
+            WHEN female = 1 THEN 'Female' WHEN male = 1 THEN 'Male'
+            WHEN gender_unk = 1 THEN 'Unknown' END AS gender_me,
+          CASE WHEN gr = 'F' THEN 'Female' WHEN gr = 'M' THEN 'Male'
+            WHEN gr = 'U' THEN 'Unknown' END AS gender_recent,
+          female AS gender_female, male AS gender_male
+        FROM mmagg),
+      ethmap(ethnicity_id, race_id) AS (VALUES
+        (1,1),(2,2),(3,3),(4,4),(5,5),(6,8),(7,8),(8,2),(9,5)),
+      el0 AS (
+        SELECT o_custkey AS id_apcd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 300 AS INT)
+            AS end_dt,
+          CAST(CASE WHEN o_custkey % 31 = 0 THEN 3
+            ELSE o_orderkey % 9 END AS INT) AS race_id1_raw,
+          CAST(CASE WHEN o_custkey % 31 = 0 THEN 3
+            ELSE (o_orderkey // 7) % 7 END AS INT) AS race_id2_raw,
+          CAST(CASE WHEN o_custkey % 31 = 0 THEN 1
+            ELSE o_orderkey % 4 END AS INT) AS hispanic_id,
+          CAST(CASE WHEN o_custkey % 31 = 0 THEN 23
+            ELSE o_orderkey % 12 END AS INT) AS ethnicity_id1,
+          CAST(CASE WHEN o_custkey % 31 = 0 THEN 24
+            ELSE (o_orderkey // 5) % 12 END AS INT) AS ethnicity_id2
+        FROM orders),
+      el1 AS (
+        SELECT e.id_apcd, e.end_dt,
+          CASE WHEN race_id1_raw IN (1,2,3,4,5) THEN race_id1_raw
+            ELSE 0 END AS r1,
+          CASE WHEN race_id2_raw IN (1,2,3,4,5) THEN race_id2_raw
+            ELSE 0 END AS r2,
+          CASE WHEN hispanic_id IN (1,2) THEN hispanic_id ELSE 0 END
+            AS latino_id,
+          coalesce(m1.race_id, 0) AS r3, coalesce(m2.race_id, 0) AS r4
+        FROM el0 e
+        LEFT JOIN ethmap m1 ON e.ethnicity_id1 = m1.ethnicity_id
+        LEFT JOIN ethmap m2 ON e.ethnicity_id2 = m2.ethnicity_id),
+      flags AS (
+        SELECT DISTINCT id_apcd, end_dt,
+          CAST(r1 = 1 OR r2 = 1 OR r3 = 1 OR r4 = 1 AS INT) AS race_aian,
+          CAST(r1 = 2 OR r2 = 2 OR r3 = 2 OR r4 = 2 AS INT) AS race_asian,
+          CAST(r1 = 3 OR r2 = 3 OR r3 = 3 OR r4 = 3 AS INT) AS race_black,
+          CAST(latino_id = 1 OR r3 = 8 OR r4 = 8 AS INT) AS race_latino,
+          CAST(r1 = 4 OR r2 = 4 OR r3 = 4 OR r4 = 4 AS INT) AS race_nhpi,
+          CAST(r1 = 5 OR r2 = 5 OR r3 = 5 OR r4 = 5 AS INT) AS race_white,
+          CAST(r1 = 0 AND r2 = 0 AND (latino_id = 0 OR latino_id = 2)
+            AND r3 = 0 AND r4 = 0 AS INT) AS race_unknown
+        FROM el1),
+      named AS (
+        SELECT *,
+          CASE WHEN race_aian + race_asian + race_black + race_latino
+              + race_nhpi + race_white > 1 THEN 'z_Multiple'
+            WHEN race_aian = 1 AND race_asian = 0 AND race_black = 0
+              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'AI/AN'
+            WHEN race_asian = 1 AND race_aian = 0 AND race_black = 0
+              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'Asian'
+            WHEN race_black = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'Black'
+            WHEN race_latino = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_nhpi = 0 AND race_white = 0
+              THEN 'Latino'
+            WHEN race_nhpi = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_latino = 0 AND race_white = 0
+              THEN 'NH/PI'
+            WHEN race_white = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_latino = 0 AND race_nhpi = 0
+              THEN 'White'
+            WHEN race_unknown = 1 THEN 'Unknown' END AS race_eth_me,
+          CASE WHEN race_aian + race_asian + race_black + race_nhpi
+              + race_white > 1 THEN 'z_Multiple'
+            WHEN race_aian = 1 AND race_asian = 0 AND race_black = 0
+              AND race_nhpi = 0 AND race_white = 0 THEN 'AI/AN'
+            WHEN race_asian = 1 AND race_aian = 0 AND race_black = 0
+              AND race_nhpi = 0 AND race_white = 0 THEN 'Asian'
+            WHEN race_black = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_nhpi = 0 AND race_white = 0 THEN 'Black'
+            WHEN race_nhpi = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_white = 0 THEN 'NH/PI'
+            WHEN race_white = 1 AND race_aian = 0 AND race_asian = 0
+              AND race_black = 0 AND race_nhpi = 0 THEN 'White'
+            WHEN race_unknown = 1 THEN 'Unknown'
+            ELSE 'Unknown' END AS race_me
+        FROM flags),
+      recent AS (
+        SELECT *,
+          last_value(race_eth_me) OVER (PARTITION BY id_apcd
+            ORDER BY CASE WHEN race_unknown = 1 THEN NULL ELSE end_dt END
+              ASC NULLS FIRST, race_eth_me ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS race_eth_recent_raw,
+          last_value(race_me) OVER (PARTITION BY id_apcd
+            ORDER BY CASE WHEN race_unknown = 1 THEN NULL ELSE end_dt END
+              ASC NULLS FIRST, race_me ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS race_recent_raw
+        FROM named),
+      elfin AS (
+        SELECT id_apcd,
+          CASE WHEN max(race_aian) + max(race_asian) + max(race_black)
+              + max(race_latino) + max(race_nhpi) + max(race_white) > 1
+              THEN 'Multiple'
+            ELSE max(CASE WHEN race_eth_me = 'Unknown' THEN NULL
+              ELSE race_eth_me END) END AS race_eth_me,
+          CASE WHEN max(race_aian) + max(race_asian) + max(race_black)
+              + max(race_nhpi) + max(race_white) > 1 THEN 'Multiple'
+            ELSE max(CASE WHEN race_me = 'Unknown' THEN NULL
+              ELSE race_me END) END AS race_me,
+          CASE WHEN max(race_eth_recent_raw) = 'z_Multiple'
+            THEN 'Multiple' ELSE max(race_eth_recent_raw) END
+            AS race_eth_recent,
+          CASE WHEN max(race_recent_raw) = 'z_Multiple' THEN 'Multiple'
+            ELSE max(race_recent_raw) END AS race_recent,
+          max(race_aian) AS race_aian, max(race_asian) AS race_asian,
+          max(race_black) AS race_black, max(race_latino) AS race_latino,
+          max(race_nhpi) AS race_nhpi, max(race_white) AS race_white,
+          min(race_unknown) AS race_unknown
+        FROM recent GROUP BY id_apcd),
+      demo AS (
+      SELECT a.id_apcd, a.dob, a.ninety_only, a.gender_me,
+        a.gender_recent, a.gender_female, a.gender_male, b.race_eth_me,
+        b.race_me, b.race_eth_recent, b.race_recent, b.race_aian,
+        b.race_asian, b.race_black, b.race_latino, b.race_nhpi,
+        b.race_white, b.race_unknown
+      FROM mmfin a LEFT JOIN elfin b ON a.id_apcd = b.id_apcd)"""
+
+  /** Shared q316/q317 provider-slot fixture CTEs — the header-grain
+    * medical-claim slots, their faithful unpivot, and the delivered
+    * rows with the two planted defects (missing rendering on
+    * header % 37, off-by-one billing on header % 41). One copy so the
+    * build row and its QA battery cannot drift. */
+  private val ProviderSlotCtes: String = """mcp AS (
+        SELECT o_custkey % 400 AS id_apcd, o_orderkey AS hid,
+          CAST(o_orderdate AS DATE) AS fsd,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 4 AS INT) AS lsd,
+          CAST(9000 + o_orderkey % 150 AS BIGINT) AS billing,
+          CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE CAST(7000 + (o_orderkey * 3) % 150 AS BIGINT) END
+            AS rendering,
+          CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(5000 + (o_orderkey * 7) % 150 AS BIGINT) END
+            AS attending,
+          CASE WHEN o_orderkey % 11 = 0
+            THEN CAST(3000 + (o_orderkey * 11) % 150 AS BIGINT) END
+            AS referring
+        FROM orders),
+      slots AS (
+        SELECT id_apcd, hid, fsd, lsd, 'attending' AS provider_type,
+          attending AS pid FROM mcp WHERE attending IS NOT NULL
+        UNION ALL SELECT id_apcd, hid, fsd, lsd, 'billing', billing
+          FROM mcp WHERE billing IS NOT NULL
+        UNION ALL SELECT id_apcd, hid, fsd, lsd, 'referring', referring
+          FROM mcp WHERE referring IS NOT NULL
+        UNION ALL SELECT id_apcd, hid, fsd, lsd, 'rendering', rendering
+          FROM mcp WHERE rendering IS NOT NULL),
+      delivered AS (
+        SELECT id_apcd, hid, fsd, lsd,
+          CASE WHEN provider_type = 'billing' AND hid % 41 = 0
+            THEN pid + 1 ELSE pid END AS provider_id_apcd,
+          pid + 500000 AS provider_id_raw_apcd, provider_type
+        FROM slots
+        WHERE NOT (provider_type = 'rendering' AND hid % 37 = 0))"""
+
   def oracleSql: Map[String, String] = baseOracleSql ++
     eligQaOracles(baseOracleSql) ++ claimQaOracles +
     // q301: perf member-month spine — MCO CASE, King-zip gate,
@@ -4877,6 +5104,205 @@ object SparkEntry {
       FROM u
       ORDER BY source, productndc, ndcpackagecode, productid""") +
     ("q315_perceptron_train" -> perceptronOracle) +
+    // q316: provider-grain stage build — pure rename of the delivered
+    // slot rows (no denied/orphan gate on this extract).
+    ("q316_apcd_claim_provider" -> s"""
+      WITH $ProviderSlotCtes
+      SELECT id_apcd, hid AS claim_header_id, fsd AS first_service_date,
+        lsd AS last_service_date, provider_id_apcd,
+        provider_id_raw_apcd, provider_type
+      FROM delivered
+      ORDER BY claim_header_id, provider_type, provider_id_apcd""") +
+    // q317: the slot-type set-equality battery + service-date
+    // ride-along over the SAME delivered rows.
+    ("q317_apcd_claim_provider_qa" -> s"""
+      WITH $ProviderSlotCtes,
+      src AS (SELECT hid, provider_type, pid FROM slots),
+      fo AS (
+        SELECT coalesce(s.provider_type, t.provider_type)
+            AS provider_type,
+          CASE WHEN s.hid IS NOT NULL THEN 1 END AS in_src,
+          CASE WHEN t.hid IS NOT NULL THEN 1 END AS in_st
+        FROM src s FULL OUTER JOIN delivered t
+          ON s.hid = t.hid AND s.provider_type = t.provider_type
+          AND s.pid = t.provider_id_apcd),
+      slots_v AS (
+        SELECT provider_type,
+          CAST(coalesce(sum(in_src), 0) AS BIGINT) AS n_source,
+          CAST(coalesce(sum(in_st), 0) AS BIGINT) AS n_stage,
+          CAST(coalesce(sum(CASE WHEN in_st IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_missing,
+          CAST(coalesce(sum(CASE WHEN in_src IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_extra
+        FROM fo GROUP BY provider_type),
+      dates_v AS (
+        SELECT 'service_dates' AS provider_type,
+          CAST(count(*) AS BIGINT) AS n_source,
+          CAST(count(*) AS BIGINT) AS n_stage,
+          CAST(coalesce(sum(CASE WHEN d.fsd <> m.fsd OR d.lsd <> m.lsd
+            THEN 1 END), 0) AS BIGINT) AS n_missing,
+          CAST(0 AS BIGINT) AS n_extra
+        FROM delivered d JOIN mcp m ON d.hid = m.hid)
+      SELECT 'stage.apcd_claim_provider' AS table_name, provider_type,
+        n_source, n_stage, n_missing, n_extra,
+        CAST(n_missing = 0 AND n_extra = 0 AS INT) AS pass
+      FROM (SELECT * FROM slots_v UNION ALL SELECT * FROM dates_v)
+      ORDER BY provider_type""") +
+    // q318: elig_demo line-level battery — the re-derivation arms
+    // (pair self-join dob, max_by last-month estimate, grouped gender/
+    // race collapses) over the factored q152 chain.
+    ("q318_apcd_elig_demo_qa" -> s"""
+      WITH $ApcdDemoCtes,
+      prs AS (
+        SELECT p.id_apcd,
+          CAST(strptime(CAST(q.ym - q.age * 100 AS VARCHAR)
+            || '01', '%Y%m%d') AS DATE) AS dob_imp
+        FROM mm p JOIN mm q ON p.id_apcd = q.id_apcd
+          AND q.ym - p.ym IN (1, 89) AND q.age - p.age = 1),
+      inc AS (
+        SELECT id_apcd, max(dob_imp) AS dob_inc FROM prs
+        GROUP BY id_apcd),
+      lastx AS (
+        SELECT id_apcd, min(age) AS min_age,
+          (CAST(strptime(CAST(max(ym) - (max_by(age, ym) + 1) * 100
+            AS VARCHAR) || '01', '%Y%m%d') AS DATE)
+            + INTERVAL 1 MONTH)::DATE AS dob_est
+        FROM mm GROUP BY id_apcd),
+      dj AS (
+        SELECT d.id_apcd, d.dob, d.ninety_only, i.dob_inc, l.min_age,
+          l.dob_est
+        FROM demo d LEFT JOIN inc i USING (id_apcd)
+        LEFT JOIN lastx l USING (id_apcd)),
+      g AS (
+        SELECT id_apcd,
+          max(CASE WHEN gender_code = 'F' THEN 1
+            WHEN gender_code = 'U' THEN NULL ELSE 0 END) AS ev_f,
+          max(CASE WHEN gender_code = 'M' THEN 1
+            WHEN gender_code = 'U' THEN NULL ELSE 0 END) AS ev_m,
+          min(CASE WHEN gender_code = 'U' THEN 1 ELSE 0 END) AS all_u,
+          max(CASE WHEN gender_code = 'U' THEN 1 ELSE 0 END) AS any_u,
+          max(CASE WHEN gender_code IS NOT NULL AND gender_code <> 'U'
+            THEN 1 ELSE 0 END) AS any_known,
+          max_by(CASE WHEN gender_code IS NOT NULL
+              AND gender_code <> 'U' THEN gender_code END,
+            CASE WHEN gender_code IS NOT NULL AND gender_code <> 'U'
+              THEN ym END) AS last_known
+        FROM mm GROUP BY id_apcd),
+      gexp AS (
+        SELECT id_apcd, any_u, any_known,
+          CASE WHEN ev_f = 1 AND ev_m = 1 THEN 'Multiple'
+            WHEN ev_f = 1 THEN 'Female' WHEN ev_m = 1 THEN 'Male'
+            WHEN all_u = 1 THEN 'Unknown' END AS exp_me,
+          CASE WHEN last_known = 'F' THEN 'Female'
+            WHEN last_known = 'M' THEN 'Male'
+            WHEN last_known IS NULL AND any_u = 1 THEN 'Unknown' END
+            AS exp_recent,
+          ev_f AS exp_female, ev_m AS exp_male
+        FROM g),
+      gj AS (
+        SELECT d.id_apcd, d.gender_me, d.gender_recent, d.gender_female,
+          d.gender_male, e.any_u, e.any_known, e.exp_me, e.exp_recent,
+          e.exp_female, e.exp_male
+        FROM demo d JOIN gexp e USING (id_apcd)),
+      ragg AS (
+        SELECT id_apcd,
+          max(CASE WHEN r1 = 1 OR r2 = 1 OR r3 = 1 OR r4 = 1 THEN 1
+            ELSE 0 END) AS e_aian,
+          max(CASE WHEN r1 = 2 OR r2 = 2 OR r3 = 2 OR r4 = 2 THEN 1
+            ELSE 0 END) AS e_asian,
+          max(CASE WHEN r1 = 3 OR r2 = 3 OR r3 = 3 OR r4 = 3 THEN 1
+            ELSE 0 END) AS e_black,
+          max(CASE WHEN r1 = 4 OR r2 = 4 OR r3 = 4 OR r4 = 4 THEN 1
+            ELSE 0 END) AS e_nhpi,
+          max(CASE WHEN r1 = 5 OR r2 = 5 OR r3 = 5 OR r4 = 5 THEN 1
+            ELSE 0 END) AS e_white,
+          max(CASE WHEN latino_id = 1 OR r3 = 8 OR r4 = 8 THEN 1
+            ELSE 0 END) AS e_latino,
+          min(CASE WHEN r1 = 0 AND r2 = 0 AND r3 = 0 AND r4 = 0
+            AND latino_id <> 1 THEN 1 ELSE 0 END) AS all_unk
+        FROM el1 GROUP BY id_apcd),
+      rj AS (
+        SELECT d.id_apcd, d.race_aian, d.race_asian, d.race_black,
+          d.race_latino, d.race_nhpi, d.race_white, d.race_unknown,
+          d.race_eth_me, d.race_me, a.e_aian, a.e_asian, a.e_black,
+          a.e_nhpi, a.e_white, a.e_latino, a.all_unk,
+          a.e_aian + a.e_asian + a.e_black + a.e_nhpi + a.e_white
+            AS n_race
+        FROM demo d JOIN ragg a USING (id_apcd)),
+      rows_v AS (
+        SELECT 'dob_age_increment_members' AS qa_category,
+          sum(CASE WHEN dob_inc IS NOT NULL THEN 1 ELSE 0 END)
+            AS n_checked,
+          sum(CASE WHEN dob_inc IS NOT NULL
+            AND dob IS DISTINCT FROM dob_inc THEN 1 ELSE 0 END)
+            AS n_fail
+        FROM dj
+        UNION ALL
+        SELECT 'dob_single_age_members',
+          sum(CASE WHEN dob_inc IS NULL THEN 1 ELSE 0 END),
+          sum(CASE WHEN dob_inc IS NULL
+            AND dob IS DISTINCT FROM dob_est THEN 1 ELSE 0 END)
+        FROM dj
+        UNION ALL
+        SELECT 'ninety_only_flag', count(*),
+          sum(CASE WHEN ninety_only IS DISTINCT FROM
+            (CASE WHEN min_age = 90 THEN 1 ELSE 0 END)
+            THEN 1 ELSE 0 END)
+        FROM dj
+        UNION ALL
+        SELECT 'gender_slot_flags', count(*),
+          sum(CASE WHEN gender_me IS DISTINCT FROM exp_me
+            OR gender_female IS DISTINCT FROM exp_female
+            OR gender_male IS DISTINCT FROM exp_male
+            THEN 1 ELSE 0 END)
+        FROM gj
+        UNION ALL
+        SELECT 'gender_partial_unknown_not_unknown',
+          sum(CASE WHEN any_u = 1 AND any_known = 1 THEN 1 ELSE 0 END),
+          sum(CASE WHEN any_u = 1 AND any_known = 1
+            AND gender_me = 'Unknown' THEN 1 ELSE 0 END)
+        FROM gj
+        UNION ALL
+        SELECT 'gender_recent_last_known', count(*),
+          sum(CASE WHEN gender_recent IS DISTINCT FROM exp_recent
+            THEN 1 ELSE 0 END)
+        FROM gj
+        UNION ALL
+        SELECT 'race_ever_flags', count(*),
+          sum(CASE WHEN race_aian IS DISTINCT FROM e_aian
+            OR race_asian IS DISTINCT FROM e_asian
+            OR race_black IS DISTINCT FROM e_black
+            OR race_nhpi IS DISTINCT FROM e_nhpi
+            OR race_white IS DISTINCT FROM e_white
+            OR race_latino IS DISTINCT FROM e_latino
+            THEN 1 ELSE 0 END)
+        FROM rj
+        UNION ALL
+        SELECT 'race_unknown_iff_no_signal', count(*),
+          sum(CASE WHEN race_unknown IS DISTINCT FROM all_unk
+            OR (all_unk = 1 AND race_eth_me IS NOT NULL)
+            OR (all_unk = 0 AND (race_eth_me IS NULL
+              OR race_eth_me = 'Unknown'))
+            THEN 1 ELSE 0 END)
+        FROM rj
+        UNION ALL
+        SELECT 'race_latino_drives_multiple',
+          sum(CASE WHEN n_race = 1 AND e_latino = 1 THEN 1 ELSE 0 END),
+          sum(CASE WHEN n_race = 1 AND e_latino = 1
+            AND (race_eth_me <> 'Multiple' OR race_me = 'Multiple')
+            THEN 1 ELSE 0 END)
+        FROM rj
+        UNION ALL
+        SELECT 'one_row_per_member', count(*),
+          sum(CASE WHEN c <> 1 THEN 1 ELSE 0 END)
+        FROM (SELECT id_apcd, count(*) AS c FROM demo
+          GROUP BY id_apcd))
+      SELECT 'stage.apcd_elig_demo' AS table_name, qa_category,
+        CAST(coalesce(n_checked, 0) AS BIGINT) AS n_checked,
+        CAST(coalesce(n_fail, 0) AS BIGINT) AS n_fail,
+        CAST(coalesce(n_fail, 0) = 0 AS INT) AS pass
+      FROM rows_v
+      ORDER BY qa_category""") +
     ("q290_date_dim" -> (dateDimOracleBody + """
       SELECT * FROM dim ORDER BY "date"""")) +
     ("q291_date_dim_qa" -> (dateDimOracleBody + """,
@@ -11177,180 +11603,9 @@ object SparkEntry {
     // q152: APCD elig_demo — contiguous-month DOB estimation (incl. the
     // Dec→Jan 89 quirk), gender flags + NULLs-first last_value recent,
     // ethnicity-map race recodes, z_Multiple tie-break, person collapse.
-    "q152_apcd_elig_demo" -> """
-      WITH mm0 AS (
-        SELECT c_custkey AS id, m,
-          (DATE '2020-01-01' + INTERVAL (m - 1) MONTH)::DATE AS ms,
-          (DATE '1950-01-01' +
-            INTERVAL (CAST(c_custkey % 600 AS INT)) MONTH)::DATE AS dob_true
-        FROM customer CROSS JOIN (SELECT unnest(range(1, 15)) AS m) g
-        WHERE CASE WHEN c_custkey % 11 = 0 THEN m = 6
-          ELSE (c_custkey + m) % 5 <> 0 END),
-      mm AS (
-        SELECT id AS id_apcd, year(ms) * 100 + month(ms) AS ym,
-          CASE WHEN id % 13 = 0 THEN 90
-            ELSE CAST(floor(date_diff('month', dob_true, ms) / 12.0) AS INT)
-            END AS age,
-          CASE WHEN (id + m) % 17 = 0 THEN 'U'
-            WHEN id % 4 = 0 THEN 'F'
-            WHEN id % 4 = 1 THEN 'M'
-            WHEN id % 4 = 2 THEN
-              CASE WHEN m % 2 = 0 THEN 'F' ELSE 'M' END
-            END AS gender_code
-        FROM mm0),
-      step1 AS (
-        SELECT id_apcd, ym, age, gender_code,
-          CASE WHEN age - lag(age) OVER w = 1
-              AND ym - lag(ym) OVER w IN (1, 89)
-            THEN CAST(strptime(CAST(ym - lag((age + 1) * 100) OVER w
-              AS VARCHAR) || '01', '%Y%m%d') AS DATE) END AS dob_1,
-          CASE WHEN lead(age) OVER w IS NULL
-            THEN (CAST(strptime(CAST(ym - (age + 1) * 100 AS VARCHAR)
-              || '01', '%Y%m%d') AS DATE) + INTERVAL 1 MONTH)::DATE
-            END AS dob_2,
-          CASE WHEN gender_code = 'F' THEN 1 WHEN gender_code = 'U'
-            THEN NULL ELSE 0 END AS female,
-          CASE WHEN gender_code = 'M' THEN 1 WHEN gender_code = 'U'
-            THEN NULL ELSE 0 END AS male,
-          CASE WHEN gender_code = 'U' THEN 1 ELSE 0 END AS gender_unk,
-          last_value(gender_code) OVER (PARTITION BY id_apcd
-            ORDER BY CASE WHEN gender_code = 'U' OR gender_code IS NULL
-                THEN NULL ELSE ym END ASC NULLS FIRST,
-              gender_code ASC NULLS FIRST
-            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-            AS gr
-        FROM mm
-        WINDOW w AS (PARTITION BY id_apcd ORDER BY ym)),
-      mmagg AS (
-        SELECT id_apcd, coalesce(max(dob_1), max(dob_2)) AS dob,
-          max(female) AS female, max(male) AS male,
-          min(gender_unk) AS gender_unk,
-          CASE WHEN min(age) = 90 THEN 1 ELSE 0 END AS ninety_only,
-          max(gr) AS gr
-        FROM step1 GROUP BY id_apcd),
-      mmfin AS (
-        SELECT id_apcd, dob, ninety_only,
-          CASE WHEN female = 1 AND male = 1 THEN 'Multiple'
-            WHEN female = 1 THEN 'Female' WHEN male = 1 THEN 'Male'
-            WHEN gender_unk = 1 THEN 'Unknown' END AS gender_me,
-          CASE WHEN gr = 'F' THEN 'Female' WHEN gr = 'M' THEN 'Male'
-            WHEN gr = 'U' THEN 'Unknown' END AS gender_recent,
-          female AS gender_female, male AS gender_male
-        FROM mmagg),
-      ethmap(ethnicity_id, race_id) AS (VALUES
-        (1,1),(2,2),(3,3),(4,4),(5,5),(6,8),(7,8),(8,2),(9,5)),
-      el0 AS (
-        SELECT o_custkey AS id_apcd,
-          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 300 AS INT)
-            AS end_dt,
-          CAST(o_orderkey % 9 AS INT) AS race_id1_raw,
-          CAST((o_orderkey // 7) % 7 AS INT) AS race_id2_raw,
-          CAST(o_orderkey % 4 AS INT) AS hispanic_id,
-          CAST(o_orderkey % 12 AS INT) AS ethnicity_id1,
-          CAST((o_orderkey // 5) % 12 AS INT) AS ethnicity_id2
-        FROM orders),
-      el1 AS (
-        SELECT e.id_apcd, e.end_dt,
-          CASE WHEN race_id1_raw IN (1,2,3,4,5) THEN race_id1_raw
-            ELSE 0 END AS r1,
-          CASE WHEN race_id2_raw IN (1,2,3,4,5) THEN race_id2_raw
-            ELSE 0 END AS r2,
-          CASE WHEN hispanic_id IN (1,2) THEN hispanic_id ELSE 0 END
-            AS latino_id,
-          coalesce(m1.race_id, 0) AS r3, coalesce(m2.race_id, 0) AS r4
-        FROM el0 e
-        LEFT JOIN ethmap m1 ON e.ethnicity_id1 = m1.ethnicity_id
-        LEFT JOIN ethmap m2 ON e.ethnicity_id2 = m2.ethnicity_id),
-      flags AS (
-        SELECT DISTINCT id_apcd, end_dt,
-          CAST(r1 = 1 OR r2 = 1 OR r3 = 1 OR r4 = 1 AS INT) AS race_aian,
-          CAST(r1 = 2 OR r2 = 2 OR r3 = 2 OR r4 = 2 AS INT) AS race_asian,
-          CAST(r1 = 3 OR r2 = 3 OR r3 = 3 OR r4 = 3 AS INT) AS race_black,
-          CAST(latino_id = 1 OR r3 = 8 OR r4 = 8 AS INT) AS race_latino,
-          CAST(r1 = 4 OR r2 = 4 OR r3 = 4 OR r4 = 4 AS INT) AS race_nhpi,
-          CAST(r1 = 5 OR r2 = 5 OR r3 = 5 OR r4 = 5 AS INT) AS race_white,
-          CAST(r1 = 0 AND r2 = 0 AND (latino_id = 0 OR latino_id = 2)
-            AND r3 = 0 AND r4 = 0 AS INT) AS race_unknown
-        FROM el1),
-      named AS (
-        SELECT *,
-          CASE WHEN race_aian + race_asian + race_black + race_latino
-              + race_nhpi + race_white > 1 THEN 'z_Multiple'
-            WHEN race_aian = 1 AND race_asian = 0 AND race_black = 0
-              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
-              THEN 'AI/AN'
-            WHEN race_asian = 1 AND race_aian = 0 AND race_black = 0
-              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
-              THEN 'Asian'
-            WHEN race_black = 1 AND race_aian = 0 AND race_asian = 0
-              AND race_latino = 0 AND race_nhpi = 0 AND race_white = 0
-              THEN 'Black'
-            WHEN race_latino = 1 AND race_aian = 0 AND race_asian = 0
-              AND race_black = 0 AND race_nhpi = 0 AND race_white = 0
-              THEN 'Latino'
-            WHEN race_nhpi = 1 AND race_aian = 0 AND race_asian = 0
-              AND race_black = 0 AND race_latino = 0 AND race_white = 0
-              THEN 'NH/PI'
-            WHEN race_white = 1 AND race_aian = 0 AND race_asian = 0
-              AND race_black = 0 AND race_latino = 0 AND race_nhpi = 0
-              THEN 'White'
-            WHEN race_unknown = 1 THEN 'Unknown' END AS race_eth_me,
-          CASE WHEN race_aian + race_asian + race_black + race_nhpi
-              + race_white > 1 THEN 'z_Multiple'
-            WHEN race_aian = 1 AND race_asian = 0 AND race_black = 0
-              AND race_nhpi = 0 AND race_white = 0 THEN 'AI/AN'
-            WHEN race_asian = 1 AND race_aian = 0 AND race_black = 0
-              AND race_nhpi = 0 AND race_white = 0 THEN 'Asian'
-            WHEN race_black = 1 AND race_aian = 0 AND race_asian = 0
-              AND race_nhpi = 0 AND race_white = 0 THEN 'Black'
-            WHEN race_nhpi = 1 AND race_aian = 0 AND race_asian = 0
-              AND race_black = 0 AND race_white = 0 THEN 'NH/PI'
-            WHEN race_white = 1 AND race_aian = 0 AND race_asian = 0
-              AND race_black = 0 AND race_nhpi = 0 THEN 'White'
-            WHEN race_unknown = 1 THEN 'Unknown'
-            ELSE 'Unknown' END AS race_me
-        FROM flags),
-      recent AS (
-        SELECT *,
-          last_value(race_eth_me) OVER (PARTITION BY id_apcd
-            ORDER BY CASE WHEN race_unknown = 1 THEN NULL ELSE end_dt END
-              ASC NULLS FIRST, race_eth_me ASC NULLS FIRST
-            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-            AS race_eth_recent_raw,
-          last_value(race_me) OVER (PARTITION BY id_apcd
-            ORDER BY CASE WHEN race_unknown = 1 THEN NULL ELSE end_dt END
-              ASC NULLS FIRST, race_me ASC NULLS FIRST
-            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-            AS race_recent_raw
-        FROM named),
-      elfin AS (
-        SELECT id_apcd,
-          CASE WHEN max(race_aian) + max(race_asian) + max(race_black)
-              + max(race_latino) + max(race_nhpi) + max(race_white) > 1
-              THEN 'Multiple'
-            ELSE max(CASE WHEN race_eth_me = 'Unknown' THEN NULL
-              ELSE race_eth_me END) END AS race_eth_me,
-          CASE WHEN max(race_aian) + max(race_asian) + max(race_black)
-              + max(race_nhpi) + max(race_white) > 1 THEN 'Multiple'
-            ELSE max(CASE WHEN race_me = 'Unknown' THEN NULL
-              ELSE race_me END) END AS race_me,
-          CASE WHEN max(race_eth_recent_raw) = 'z_Multiple'
-            THEN 'Multiple' ELSE max(race_eth_recent_raw) END
-            AS race_eth_recent,
-          CASE WHEN max(race_recent_raw) = 'z_Multiple' THEN 'Multiple'
-            ELSE max(race_recent_raw) END AS race_recent,
-          max(race_aian) AS race_aian, max(race_asian) AS race_asian,
-          max(race_black) AS race_black, max(race_latino) AS race_latino,
-          max(race_nhpi) AS race_nhpi, max(race_white) AS race_white,
-          min(race_unknown) AS race_unknown
-        FROM recent GROUP BY id_apcd)
-      SELECT a.id_apcd, a.dob, a.ninety_only, a.gender_me,
-        a.gender_recent, a.gender_female, a.gender_male, b.race_eth_me,
-        b.race_me, b.race_eth_recent, b.race_recent, b.race_aian,
-        b.race_asian, b.race_black, b.race_latino, b.race_nhpi,
-        b.race_white, b.race_unknown
-      FROM mmfin a LEFT JOIN elfin b ON a.id_apcd = b.id_apcd
-      ORDER BY a.id_apcd""",
+    "q152_apcd_elig_demo" -> s"""
+      WITH $ApcdDemoCtes
+      SELECT * FROM demo ORDER BY id_apcd""",
 
     // q153: combined mcaid+mcare claim_bh — dx/NDC condition spans,
     // primary-dx-gated MOUD procedures, the diagnosis-keyed full-join

@@ -1999,6 +1999,57 @@ object BuildQueries {
           .when(col("l_linenumber") % 3 === 1, "attending")
           .otherwise("billing").as("provider_type"))
     }
+
+    /** Header-grain medical-claim slice with the four provider slots
+      * (q317's source side — the columns qa_stage.apcd_claim_provider
+      * .sql reads back from stage.apcd_medical_claim): billing always
+      * present, rendering NULL on ok % 5, attending present only on
+      * ok % 7, referring only on ok % 11. */
+    def medicalClaim(s: SparkSession, dir: String): DataFrame = {
+      val ok = col("o_orderkey")
+      val fsd = to_date(col("o_orderdate"))
+      t(s, dir, "orders").select(
+        (col("o_custkey") % 400).as("id_apcd"),
+        ok.as("claim_header_id"),
+        fsd.as("first_service_dt"),
+        date_add(fsd, (ok % 4).cast("int")).as("last_service_dt"),
+        (lit(9000) + ok % 150).cast("long")
+          .as("billing_provider_internal_id"),
+        when(ok % 5 === 0, lit(null).cast("long"))
+          .otherwise((lit(7000) + (ok * 3) % 150).cast("long"))
+          .as("rendering_internal_provider_id"),
+        when(ok % 7 === 0, (lit(5000) + (ok * 7) % 150).cast("long"))
+          .as("attending_internal_provider_id"),
+        when(ok % 11 === 0, (lit(3000) + (ok * 11) % 150).cast("long"))
+          .as("referring_internal_provider_id"))
+    }
+
+    /** The provider rows "as delivered" for the q317 audit: the
+      * faithful slot unpivot of [[medicalClaim]] with two PLANTED
+      * delivery defects so the battery's missing/extra arms genuinely
+      * fire — rendering rows vanish on header % 37, billing ids are
+      * off by one on header % 41 (missing + extra in the same breath).
+      * attending/referring arrive clean, so their rows PASS. */
+    def providerDelivered(s: SparkSession, dir: String): DataFrame = {
+      val hid = col("claim_header_id")
+      medicalClaim(s, dir).select(col("id_apcd"), hid,
+          col("first_service_dt"), col("last_service_dt"),
+          expr("""stack(4,
+            'attending', attending_internal_provider_id,
+            'billing', billing_provider_internal_id,
+            'referring', referring_internal_provider_id,
+            'rendering', rendering_internal_provider_id)
+            AS (provider_type, provider_id)"""))
+        .filter(col("provider_id").isNotNull)
+        .filter(!(col("provider_type") === "rendering" && hid % 37 === 0))
+        .select(col("id_apcd"), hid, col("first_service_dt"),
+          col("last_service_dt"),
+          when(col("provider_type") === "billing" && hid % 41 === 0,
+            col("provider_id") + 1).otherwise(col("provider_id"))
+            .as("provider_id_apcd"),
+          (col("provider_id") + 500000).as("provider_id_raw_apcd"),
+          col("provider_type"))
+    }
   }
 
   /** §7.5.6 APCD claim header (q142): the reference's biggest-source
@@ -2593,6 +2644,18 @@ object BuildQueries {
       .orderBy(col("claim_header_id"), col("procedure_code"),
         col("modifier_code"), col("last_service_date"))
 
+  /** §7.5.6 APCD claim provider (q316,
+    * load_stage.apcd_claim_provider.R:15-24 via the raw loader
+    * load_load_raw.apcd_claim_provider_raw_full.R): the provider-slot
+    * table arrives long from the APCD, so the stage build is a pure
+    * rename projection — no exclusion join (the one detail extract the
+    * reference does NOT gate on denied/orphan). Pinned as its own row
+    * so the provider grain has a contract like line/dx/procedure do. */
+  def q316ApcdClaimProvider(s: SparkSession, dir: String): DataFrame =
+    graft.builds.ApcdClaimDetail.provider(Apcd.providerDelivered(s, dir))
+      .orderBy(col("claim_header_id"), col("provider_type"),
+        col("provider_id_apcd"))
+
   /** Synthetic APCD eligibility-side frames (q152): member months from a
     * customer × 14-month spine (crossing a year boundary so the T-SQL
     * Dec→Jan `89` contiguity branch fires), with planted gaps,
@@ -2624,16 +2687,27 @@ object BuildQueries {
     }
     def eligibility(s: SparkSession, dir: String): DataFrame = {
       val ok = col("o_orderkey")
+      // custkey % 31 == 0 members are pinned single-race-Black +
+      // hispanic on EVERY row (ethnicity ids pushed out of the map's
+      // domain), so the "multiple only because Latino is counted"
+      // person-level category (qa_stage.apcd_elig_demo.sql's
+      // 11671583225 exemplar) exists at every scale.
+      val pinned = col("o_custkey") % 31 === 0
       t(s, dir, "orders").select(
         ok.as("eligibility_id"),
         col("o_custkey").as("id_apcd"),
         date_add(to_date(col("o_orderdate")), (ok % 300).cast("int"))
           .as("eligibility_end_dt"),
-        (ok % 9).cast("int").as("race_id1"),
-        expr("(o_orderkey div 7) % 7").cast("int").as("race_id2"),
-        (ok % 4).cast("int").as("hispanic_id"),
-        (ok % 12).cast("int").as("ethnicity_id1"),
-        expr("(o_orderkey div 5) % 12").cast("int").as("ethnicity_id2"))
+        when(pinned, 3).otherwise(ok % 9).cast("int").as("race_id1"),
+        when(pinned, lit(3))
+          .otherwise(expr("(o_orderkey div 7) % 7")).cast("int")
+          .as("race_id2"),
+        when(pinned, 1).otherwise(ok % 4).cast("int").as("hispanic_id"),
+        when(pinned, 23).otherwise(ok % 12).cast("int")
+          .as("ethnicity_id1"),
+        when(pinned, lit(24))
+          .otherwise(expr("(o_orderkey div 5) % 12")).cast("int")
+          .as("ethnicity_id2"))
     }
     def ethMap(s: SparkSession): DataFrame = {
       import s.implicits._

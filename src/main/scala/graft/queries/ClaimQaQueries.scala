@@ -436,4 +436,43 @@ object ClaimQaQueries {
       .toDF("qa_item", "qa_value")
       .orderBy(col("qa_item"))
   }
+
+  /** §5 APCD claim-provider line-level QA (q317,
+    * qa_stage.apcd_claim_provider.sql): the reference reads ONE header
+    * (629250074914541) from stage.apcd_claim_provider and eyeballs its
+    * four provider slots + service dates against
+    * stage.apcd_medical_claim; at population scale that is set-equality
+    * per slot type plus a date-ride-along check
+    * ([[graft.qa.ApcdLineQa.claimProviderQa]]). The delivered-rows
+    * fixture plants missing rendering rows (header % 37) and off-by-one
+    * billing ids (header % 41), so billing/rendering FAIL with equal
+    * missing+extra and missing-only signatures respectively while
+    * attending/referring PASS. */
+  def q317ApcdClaimProviderQa(s: SparkSession, dir: String): DataFrame = {
+    val stage = graft.builds.ApcdClaimDetail.provider(
+      BuildQueries.Apcd.providerDelivered(s, dir))
+    graft.qa.ApcdLineQa.claimProviderQa(stage,
+        BuildQueries.Apcd.medicalClaim(s, dir))
+      .orderBy(col("provider_type"))
+  }
+
+  /** §5 APCD elig_demo line-level QA (q318,
+    * qa_stage.apcd_elig_demo.sql): every reference spot-check category
+    * run over the FULL member population, re-derived with different
+    * mechanics than the audited q152 build (pair self-join / max_by /
+    * grouped aggregation — see [[graft.qa.ApcdLineQa.eligDemoQa]]).
+    * The demo frame feeds three check families, so it is materialized
+    * once (the q246 discipline). */
+  def q318ApcdEligDemoQa(s: SparkSession, dir: String): DataFrame = {
+    val demo = graft.builds.ApcdEligDemo.build(
+        BuildQueries.ApcdElig.memberMonth(s, dir),
+        BuildQueries.ApcdElig.eligibility(s, dir),
+        BuildQueries.ApcdElig.ethMap(s))
+      .localCheckpoint(true)
+    graft.qa.ApcdLineQa.eligDemoQa(demo,
+        BuildQueries.ApcdElig.memberMonth(s, dir),
+        BuildQueries.ApcdElig.eligibility(s, dir),
+        BuildQueries.ApcdElig.ethMap(s))
+      .orderBy(col("qa_category"))
+  }
 }
