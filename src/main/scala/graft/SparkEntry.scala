@@ -505,6 +505,10 @@ object SparkEntry {
       (graft.queries.ClaimQaQueries.q317ApcdClaimProviderQa _),
     "q318_apcd_elig_demo_qa" ->
       (graft.queries.ClaimQaQueries.q318ApcdEligDemoQa _),
+    "q319_apcd_elig_plr_qa" ->
+      (graft.queries.ClaimQaQueries.q319ApcdEligPlrQa _),
+    "q320_apcd_ccw_line_qa" ->
+      (graft.queries.ClaimQaQueries.q320ApcdCcwLineQa _),
   )
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
@@ -593,7 +597,10 @@ object SparkEntry {
     * fixture CTEs `hdr($idc, chid, ctid, fsd)` and `dx($idc, chid,
     * ver, norm, dxnum)`. ONE generator for every id grain, so the
     * grain-specific oracles cannot drift from each other. */
-  private def ccwOracleBody(idc: String): String = s"""
+  /** The CCW condition chain (ref..stfin) WITHOUT the final union —
+    * composable by the q320 line-level battery, which needs the three
+    * per-condition frames as a `build` CTE. */
+  private def ccwOracleCtes(idc: String): String = s"""
       ref(icdcm, ver, hypo, diab, diab_ex, stroke, stroke_ex) AS (VALUES
         ('2440',9,1,0,0,0,0), ('E039',10,1,0,0,0,0),
         ('25000',9,0,1,0,0,0), ('E119',10,0,1,0,0,0),
@@ -684,7 +691,10 @@ object SparkEntry {
         WHERE c1d IS NOT NULL
           OR (c2d IS NOT NULL AND mfwd <= 12 AND dfwd >= 1)
           OR (c2d IS NOT NULL AND mback <= 12 AND dback >= 1)
-        GROUP BY $idc)
+        GROUP BY $idc)"""
+
+  private def ccwOracleBody(idc: String): String =
+    ccwOracleCtes(idc) + s"""
       SELECT * FROM hyfin
       UNION ALL SELECT * FROM dbfin
       UNION ALL SELECT * FROM stfin
@@ -4744,6 +4754,273 @@ object SparkEntry {
         b.race_white, b.race_unknown
       FROM mmfin a LEFT JOIN elfin b ON a.id_apcd = b.id_apcd)"""
 
+  /** The q166 apcd_elig_plr oracle body factored as a CTE chain
+    * ending in `plr` (window = calendar 1995) so the q319 line-level
+    * battery can audit the exact frame the catalog pins. The chain's
+    * tv/ov (timevar rows), dm (demo rows) and zg CTEs are shared by
+    * the battery's re-derivation arms. */
+  private val ApcdPlrCtes: String = """tv AS (
+        SELECT o_custkey % 200 AS id_apcd,
+          CAST(o_orderdate AS DATE) AS from_date,
+          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 400 AS INT)
+            AS to_date,
+          o_orderkey % 4 AS med_covgrp, o_orderkey % 3 AS pharm_covgrp,
+          CASE WHEN o_orderkey % 5 < 2 THEN 1 ELSE 0 END AS med_medicaid,
+          CASE WHEN o_orderkey % 7 < 2 THEN 1 ELSE 0 END AS med_medicare,
+          CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+            AS med_commercial,
+          CASE WHEN o_orderkey % 6 < 2 THEN 1 ELSE 0 END
+            AS pharm_medicaid,
+          CASE WHEN o_orderkey % 11 < 3 THEN 1 ELSE 0 END
+            AS pharm_medicare,
+          CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END
+            AS pharm_commercial,
+          CASE WHEN o_orderkey % 7 <> 6 THEN '98' ||
+            lpad(CAST(o_custkey % 30 AS VARCHAR), 3, '0') END AS geo_zip,
+          CASE WHEN o_orderkey % 7 <> 6 AND o_custkey % 30 < 27
+            THEN 'ACH-' || CAST((o_custkey % 30) % 5 AS VARCHAR) END
+            AS geo_ach
+        FROM orders),
+      ov AS (SELECT * FROM tv
+        WHERE from_date <= DATE '1995-12-31'
+          AND to_date >= DATE '1995-01-01'),
+      cov1 AS (
+        SELECT DISTINCT id_apcd, from_date, to_date,
+          CASE WHEN med_covgrp <> 0 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_total_covd,
+          CASE WHEN med_medicaid = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_medicaid_covd,
+          CASE WHEN med_medicare = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_medicare_covd,
+          CASE WHEN med_commercial = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS med_commercial_covd,
+          CASE WHEN pharm_covgrp <> 0 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_total_covd,
+          CASE WHEN pharm_medicaid = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_medicaid_covd,
+          CASE WHEN pharm_medicare = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_medicare_covd,
+          CASE WHEN pharm_commercial = 1 THEN date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS pharm_commercial_covd,
+          CASE WHEN (med_medicaid = 1 OR pharm_medicaid = 1)
+            AND (med_medicare = 1 OR pharm_medicare = 1)
+            THEN date_diff('day',
+              greatest(from_date, DATE '1995-01-01'),
+              least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
+            AS dual_covd
+        FROM ov),
+      cov2 AS (
+        SELECT id_apcd AS id,
+          CAST(sum(med_total_covd) AS BIGINT) AS med_total_covd,
+          CAST(sum(dual_covd) AS BIGINT) AS dual_covd,
+          CAST(sum(med_medicaid_covd) AS BIGINT) AS med_medicaid_covd,
+          CAST(sum(med_medicare_covd) AS BIGINT) AS med_medicare_covd,
+          CAST(sum(med_commercial_covd) AS BIGINT)
+            AS med_commercial_covd,
+          CAST(sum(pharm_total_covd) AS BIGINT) AS pharm_total_covd,
+          CAST(sum(pharm_medicaid_covd) AS BIGINT)
+            AS pharm_medicaid_covd,
+          CAST(sum(pharm_medicare_covd) AS BIGINT)
+            AS pharm_medicare_covd,
+          CAST(sum(pharm_commercial_covd) AS BIGINT)
+            AS pharm_commercial_covd
+        FROM cov1 GROUP BY id_apcd),
+      covp AS (
+        SELECT *,
+          round(med_total_covd * 1.0 / 365 * 100.0, 1)
+            AS med_total_covper,
+          round(dual_covd * 1.0 / 365 * 100.0, 1) AS dual_covper,
+          CASE WHEN dual_covd > 0 THEN 1 ELSE 0 END AS dual_flag,
+          round(med_medicaid_covd * 1.0 / 365 * 100.0, 1)
+            AS med_medicaid_covper,
+          round(med_medicare_covd * 1.0 / 365 * 100.0, 1)
+            AS med_medicare_covper,
+          round(med_commercial_covd * 1.0 / 365 * 100.0, 1)
+            AS med_commercial_covper,
+          round(pharm_total_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_total_covper,
+          round(pharm_medicaid_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_medicaid_covper,
+          round(pharm_medicare_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_medicare_covper,
+          round(pharm_commercial_covd * 1.0 / 365 * 100.0, 1)
+            AS pharm_commercial_covper
+        FROM cov2),
+      zipdur AS (
+        SELECT id_apcd AS id, geo_zip,
+          sum(date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1) + 1 AS zip_dur
+        FROM ov GROUP BY id_apcd, geo_zip),
+      zippick AS (
+        SELECT id, geo_zip FROM (
+          SELECT id, geo_zip, row_number() OVER (PARTITION BY id
+            ORDER BY zip_dur DESC, geo_zip ASC NULLS FIRST) AS zipr
+          FROM zipdur) WHERE zipr = 1),
+      county AS (
+        SELECT DISTINCT zip_code, zip_group_desc AS geo_county FROM (
+          SELECT '98' || lpad(CAST(i AS VARCHAR), 3, '0') AS zip_code,
+            'County-' || CAST(i % 6 AS VARCHAR) AS zip_group_desc
+          FROM range(0, 24) t(i)
+          UNION ALL SELECT '98999', 'County-X')),
+      achref AS (
+        SELECT DISTINCT zip_code, zip_group_desc AS geo_ach FROM (
+          SELECT '98' || lpad(CAST(i AS VARCHAR), 3, '0') AS zip_code,
+            'ACH-' || CAST(i % 5 AS VARCHAR) AS zip_group_desc
+          FROM range(0, 27) t(i))),
+      geo AS (
+        SELECT z.id, z.geo_zip, c.geo_county, a.geo_ach
+        FROM zippick z
+        LEFT JOIN county c ON z.geo_zip = c.zip_code
+        LEFT JOIN achref a ON z.geo_zip = a.zip_code),
+      achd AS (
+        SELECT g.id, CAST(sum(date_diff('day',
+            greatest(o.from_date, DATE '1995-01-01'),
+            least(o.to_date, DATE '1995-12-31')) + 1) AS BIGINT)
+          AS geo_ach_covd
+        FROM geo g JOIN ov o
+          ON g.id = o.id_apcd AND g.geo_ach = o.geo_ach
+        GROUP BY g.id),
+      dm0 AS (
+        SELECT c_custkey % 200 AS id_apcd, min(c_custkey) AS ck
+        FROM customer GROUP BY c_custkey % 200),
+      dm AS (
+        SELECT id_apcd,
+          DATE '1900-01-01' + CAST(ck * 97 % 35500 AS INT) AS dob,
+          CASE WHEN ck % 40 = 0 THEN 1 ELSE 0 END AS ninety_only,
+          CASE WHEN ck % 3 = 0 THEN 'Multiple'
+            WHEN ck % 3 = 1 THEN 'Female' ELSE 'Male' END AS gender_me,
+          CASE WHEN ck % 2 = 0 THEN 'Female' ELSE 'Male' END
+            AS gender_recent,
+          CAST(ck % 2 AS INT) AS gender_female,
+          CAST((ck + 1) % 2 AS INT) AS gender_male,
+          CASE ck % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_eth_me,
+          CASE (ck + 2) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_me,
+          CASE (ck + 4) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_eth_recent,
+          CASE (ck + 5) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
+            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
+            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_recent,
+          CASE WHEN ck % 11 = 0 THEN 1 ELSE 0 END AS race_aian,
+          CASE WHEN ck % 7 = 1 THEN 1 ELSE 0 END AS race_asian,
+          CASE WHEN ck % 6 = 2 THEN 1 ELSE 0 END AS race_black,
+          CASE WHEN ck % 5 = 3 THEN 1 ELSE 0 END AS race_latino,
+          CASE WHEN ck % 13 = 4 THEN 1 ELSE 0 END AS race_nhpi,
+          CASE WHEN ck % 3 = 2 THEN 1 ELSE 0 END AS race_white,
+          CASE WHEN ck % 17 = 5 THEN 1 ELSE 0 END AS race_unknown
+        FROM dm0 WHERE ck % 13 <> 7),
+      aged AS (
+        SELECT *,
+          CASE
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+              / 365.25) >= 90 OR ninety_only = 1 THEN 90
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+              / 365.25) >= 0
+              THEN CAST(floor((date_diff('day', dob,
+                DATE '1995-12-31') + 1) / 365.25) AS BIGINT)
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+              / 365.25) = -1 THEN 0
+          END AS age
+        FROM dm),
+      aged2 AS (
+        SELECT *, CASE
+            WHEN age >= 0 AND age < 5 THEN '0-4'
+            WHEN age >= 5 AND age < 12 THEN '5-11'
+            WHEN age >= 12 AND age < 18 THEN '12-17'
+            WHEN age >= 18 AND age < 25 THEN '18-24'
+            WHEN age >= 25 AND age < 45 THEN '25-44'
+            WHEN age >= 45 AND age < 65 THEN '45-64'
+            WHEN age >= 65 OR ninety_only = 1 THEN '65 and over'
+          END AS age_grp7
+        FROM aged),
+      plr AS (
+      SELECT p.id AS id_apcd,
+        CASE WHEN g.geo_county IS NOT NULL THEN 1 ELSE 0 END AS geo_wa,
+        CASE WHEN g.geo_county IS NOT NULL AND (p.med_medicaid_covd >= 1
+          OR p.pharm_medicaid_covd >= 1) THEN 1 ELSE 0 END
+          AS overall_mcaid,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_medicaid_covd >= 1
+          THEN 1 ELSE 0 END AS overall_mcaid_med,
+        CASE WHEN g.geo_county IS NOT NULL AND p.pharm_medicaid_covd >= 1
+          THEN 1 ELSE 0 END AS overall_mcaid_pharm,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 50.0
+          THEN 1 ELSE 0 END AS medical_coverage_6mo,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 58.3
+          THEN 1 ELSE 0 END AS medical_coverage_7mo,
+        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 91.7
+          THEN 1 ELSE 0 END AS medical_coverage_11mo,
+        g.geo_zip, g.geo_county, g.geo_ach, a.geo_ach_covd,
+        round(a.geo_ach_covd * 1.0 / 365 * 100.0, 1) AS geo_ach_covper,
+        d.age, d.age_grp7,
+        d.gender_me, d.gender_recent, d.gender_female, d.gender_male,
+        d.race_eth_me, d.race_me, d.race_eth_recent, d.race_recent,
+        d.race_aian, d.race_asian, d.race_black, d.race_latino,
+        d.race_nhpi, d.race_white, d.race_unknown,
+        p.med_total_covd, p.med_total_covper,
+        p.dual_covd, p.dual_covper, p.dual_flag,
+        p.med_medicaid_covd, p.med_medicare_covd, p.med_commercial_covd,
+        p.med_medicaid_covper, p.med_medicare_covper,
+        p.med_commercial_covper,
+        p.pharm_total_covd, p.pharm_total_covper,
+        p.pharm_medicaid_covd, p.pharm_medicare_covd,
+        p.pharm_commercial_covd,
+        p.pharm_medicaid_covper, p.pharm_medicare_covper,
+        p.pharm_commercial_covper
+      FROM covp p
+      LEFT JOIN geo g ON p.id = g.id
+      LEFT JOIN achd a ON p.id = a.id
+      LEFT JOIN aged2 d ON p.id = d.id_apcd)"""
+
+  /** Shared q244/q320 APCD CCW fixture CTEs (hdr + dx). */
+  private val ApcdCcwFixtureCtes: String = """hdr AS (
+        SELECT CAST(40000 + o_custkey % 110 AS BIGINT) AS id_apcd,
+          o_orderkey AS chid,
+          CAST(1 + o_orderkey % 7 AS INT) AS ctid,
+          CAST(o_orderdate AS DATE) AS fsd
+        FROM orders),
+      dx AS (
+        SELECT CAST(40000 + o_custkey % 110 AS BIGINT) AS id_apcd,
+          l_orderkey AS chid,
+          CASE WHEN l_partkey % 6 = 0 THEN 9 ELSE 10 END AS ver,
+          CASE WHEN l_partkey % 6 = 0 THEN
+            CASE WHEN l_partkey % 13 = 0 THEN '2440'
+              WHEN l_partkey % 13 = 1 THEN '25000'
+              WHEN l_partkey % 13 = 2 THEN '64800'
+              WHEN l_partkey % 13 = 3 THEN '43491'
+              ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END
+          ELSE
+            CASE WHEN l_partkey % 13 = 0 THEN 'E039'
+              WHEN l_partkey % 13 = 1 THEN 'E119'
+              WHEN l_partkey % 13 = 2 THEN 'O2412'
+              WHEN l_partkey % 13 = 3 THEN 'I6350'
+              WHEN l_partkey % 13 = 4 THEN 'Z3480'
+              ELSE 'J' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
+              END
+          END AS norm,
+          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+
   /** Shared q316/q317 provider-slot fixture CTEs — the header-grain
     * medical-claim slots, their faithful unpivot, and the delivered
     * rows with the two planted defects (missing rendering on
@@ -5303,6 +5580,279 @@ object SparkEntry {
         CAST(coalesce(n_fail, 0) = 0 AS INT) AS pass
       FROM rows_v
       ORDER BY qa_category""") +
+    // q319: elig_plr line-level battery — exists-a-better-zip anti-
+    // test, ref re-attach, ACH recompute, rounded-pct cohort flags,
+    // clip bounds, capped-age ride-along over the factored q166 chain.
+    ("q319_apcd_elig_plr_qa" -> s"""
+      WITH $ApcdPlrCtes,
+      zd AS (
+        SELECT id_apcd AS zid, geo_zip,
+          sum(date_diff('day',
+            greatest(from_date, DATE '1995-01-01'),
+            least(to_date, DATE '1995-12-31')) + 1) AS dur
+        FROM ov GROUP BY id_apcd, geo_zip),
+      pickd AS (
+        SELECT p.id_apcd, p.geo_zip AS picked, z.dur AS dur_p
+        FROM plr p LEFT JOIN zd z ON p.id_apcd = z.zid
+          AND p.geo_zip IS NOT DISTINCT FROM z.geo_zip),
+      viol AS (
+        SELECT DISTINCT k.id_apcd
+        FROM pickd k JOIN zd z ON k.id_apcd = z.zid
+        WHERE z.dur > k.dur_p OR (z.dur = k.dur_p
+          AND coalesce(z.geo_zip, '') < coalesce(k.picked, ''))),
+      geoj AS (
+        SELECT p.id_apcd, p.geo_county, p.geo_ach,
+          c.geo_county AS exp_county, a.geo_ach AS exp_ach
+        FROM plr p
+        LEFT JOIN county c ON p.geo_zip = c.zip_code
+        LEFT JOIN achref a ON p.geo_zip = a.zip_code),
+      achx AS (
+        SELECT p.id_apcd, sum(date_diff('day',
+          greatest(o.from_date, DATE '1995-01-01'),
+          least(o.to_date, DATE '1995-12-31')) + 1) AS exp_ach_covd
+        FROM plr p JOIN ov o
+          ON p.id_apcd = o.id_apcd AND p.geo_ach = o.geo_ach
+        GROUP BY p.id_apcd),
+      achj AS (
+        SELECT p.id_apcd, p.geo_ach_covd, p.geo_ach_covper,
+          x.exp_ach_covd
+        FROM plr p LEFT JOIN achx x USING (id_apcd)),
+      demox AS (
+        SELECT id_apcd,
+          CASE WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+                / 365.25) >= 90 OR ninety_only = 1 THEN 90
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+                / 365.25) >= 0
+              THEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+                / 365.25)
+            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
+                / 365.25) = -1 THEN 0 END AS exp_age,
+          ninety_only AS d_ninety, gender_me AS d_gender_me,
+          race_eth_me AS d_race_eth_me, race_latino AS d_race_latino
+        FROM dm),
+      demoj AS (
+        SELECT p.id_apcd, p.age, p.age_grp7, p.gender_me, p.race_eth_me,
+          p.race_latino, d.exp_age, d.d_ninety, d.d_gender_me,
+          d.d_race_eth_me, d.d_race_latino
+        FROM plr p LEFT JOIN demox d USING (id_apcd)),
+      rows_v AS (
+        SELECT 'geo_zip_longest_duration' AS qa_category,
+          count(*) AS n_checked,
+          sum(CASE WHEN v.id_apcd IS NOT NULL THEN 1 ELSE 0 END)
+            AS n_fail
+        FROM plr p LEFT JOIN viol v USING (id_apcd)
+        UNION ALL
+        SELECT 'geo_ref_attach', count(*),
+          sum(CASE WHEN geo_county IS DISTINCT FROM exp_county
+            OR geo_ach IS DISTINCT FROM exp_ach THEN 1 ELSE 0 END)
+        FROM geoj
+        UNION ALL
+        SELECT 'geo_ach_covd_recompute', count(*),
+          sum(CASE WHEN geo_ach_covd IS DISTINCT FROM exp_ach_covd
+            OR geo_ach_covper IS DISTINCT FROM
+              round(exp_ach_covd * 1.0 / 365 * 100.0, 1)
+            THEN 1 ELSE 0 END)
+        FROM achj
+        UNION ALL
+        SELECT 'cohort_flags_on_rounded_pct', count(*),
+          sum(CASE WHEN geo_wa IS DISTINCT FROM
+              (CASE WHEN geo_county IS NOT NULL THEN 1 ELSE 0 END)
+            OR overall_mcaid IS DISTINCT FROM
+              (CASE WHEN geo_county IS NOT NULL
+                AND (med_medicaid_covd >= 1 OR pharm_medicaid_covd >= 1)
+                THEN 1 ELSE 0 END)
+            OR medical_coverage_6mo IS DISTINCT FROM
+              (CASE WHEN geo_county IS NOT NULL
+                AND med_total_covper >= 50.0 THEN 1 ELSE 0 END)
+            OR medical_coverage_7mo IS DISTINCT FROM
+              (CASE WHEN geo_county IS NOT NULL
+                AND med_total_covper >= 58.3 THEN 1 ELSE 0 END)
+            OR medical_coverage_11mo IS DISTINCT FROM
+              (CASE WHEN geo_county IS NOT NULL
+                AND med_total_covper >= 91.7 THEN 1 ELSE 0 END)
+            OR dual_flag IS DISTINCT FROM
+              (CASE WHEN dual_covd > 0 THEN 1 ELSE 0 END)
+            OR med_total_covper IS DISTINCT FROM
+              round(med_total_covd * 1.0 / 365 * 100.0, 1)
+            OR dual_covper IS DISTINCT FROM
+              round(dual_covd * 1.0 / 365 * 100.0, 1)
+            OR pharm_total_covper IS DISTINCT FROM
+              round(pharm_total_covd * 1.0 / 365 * 100.0, 1)
+            THEN 1 ELSE 0 END)
+        FROM plr
+        UNION ALL
+        SELECT 'covd_within_window_disjoint_members',
+          sum(CASE WHEN multi_flag IS NULL AND olap IS NULL
+            THEN 1 ELSE 0 END),
+          sum(CASE WHEN multi_flag IS NULL AND olap IS NULL
+            AND (med_total_covd < 0 OR med_total_covd > 365
+            OR dual_covd < 0 OR dual_covd > 365
+            OR med_medicaid_covd < 0 OR med_medicaid_covd > 365
+            OR med_medicare_covd < 0 OR med_medicare_covd > 365
+            OR med_commercial_covd < 0 OR med_commercial_covd > 365
+            OR pharm_total_covd < 0 OR pharm_total_covd > 365
+            OR pharm_medicaid_covd < 0 OR pharm_medicaid_covd > 365
+            OR pharm_medicare_covd < 0 OR pharm_medicare_covd > 365
+            OR pharm_commercial_covd < 0 OR pharm_commercial_covd > 365)
+            THEN 1 ELSE 0 END)
+        FROM plr p
+        LEFT JOIN (
+          SELECT DISTINCT id_apcd, 1 AS multi_flag FROM (
+            SELECT id_apcd, from_date, to_date,
+              count(DISTINCT (med_covgrp, pharm_covgrp, med_medicaid,
+                med_medicare, med_commercial, pharm_medicaid,
+                pharm_medicare, pharm_commercial)) AS nfl
+            FROM ov GROUP BY id_apcd, from_date, to_date)
+          WHERE nfl > 1) mf USING (id_apcd)
+        LEFT JOIN (
+          SELECT DISTINCT x.id_apcd, 1 AS olap
+          FROM (SELECT DISTINCT id_apcd, from_date, to_date FROM ov) x
+          JOIN (SELECT DISTINCT id_apcd, from_date, to_date FROM ov) y
+            ON x.id_apcd = y.id_apcd
+            AND (x.from_date < y.from_date OR (x.from_date = y.from_date
+              AND x.to_date < y.to_date))
+            AND y.from_date <= x.to_date) ol USING (id_apcd)
+        UNION ALL
+        SELECT 'demo_ride_along', count(*),
+          sum(CASE WHEN age IS DISTINCT FROM exp_age
+            OR age_grp7 IS DISTINCT FROM (CASE
+              WHEN age >= 0 AND age < 5 THEN '0-4'
+              WHEN age >= 5 AND age < 12 THEN '5-11'
+              WHEN age >= 12 AND age < 18 THEN '12-17'
+              WHEN age >= 18 AND age < 25 THEN '18-24'
+              WHEN age >= 25 AND age < 45 THEN '25-44'
+              WHEN age >= 45 AND age < 65 THEN '45-64'
+              WHEN age >= 65 OR d_ninety = 1 THEN '65 and over' END)
+            OR gender_me IS DISTINCT FROM d_gender_me
+            OR race_eth_me IS DISTINCT FROM d_race_eth_me
+            OR race_latino IS DISTINCT FROM d_race_latino
+            THEN 1 ELSE 0 END)
+        FROM demoj
+        UNION ALL
+        SELECT 'one_row_per_member', count(*),
+          sum(CASE WHEN c <> 1 THEN 1 ELSE 0 END)
+        FROM (SELECT id_apcd, count(*) AS c FROM plr
+          GROUP BY id_apcd))
+      SELECT 'stage.apcd_elig_plr' AS table_name, qa_category,
+        CAST(coalesce(n_checked, 0) AS BIGINT) AS n_checked,
+        CAST(coalesce(n_fail, 0) AS BIGINT) AS n_fail,
+        CAST(coalesce(n_fail, 0) = 0 AS INT) AS pass
+      FROM rows_v
+      ORDER BY qa_category""") +
+    // q320: CCW line-level battery — per-condition set-mechanics
+    // re-derivation (per-condition joins + any-pair-within-window self
+    // join) compared against the build chain's three condition frames.
+    ("q320_apcd_ccw_line_qa" -> ("""
+      WITH """ + ApcdCcwFixtureCtes + "," + ccwOracleCtes("id_apcd") +
+      """,
+      bld AS (
+        SELECT * FROM hyfin UNION ALL SELECT * FROM dbfin
+        UNION ALL SELECT * FROM stfin),
+      mcl1 AS (SELECT DISTINCT id_apcd, chid FROM dxr WHERE hypo = 1),
+      ev1 AS (SELECT DISTINCT m.id_apcd, h.ctid, h.fsd
+        FROM mcl1 m JOIN hdr h ON m.chid = h.chid),
+      c1_1 AS (SELECT DISTINCT id_apcd, fsd FROM ev1
+        WHERE ctid IN (1,2,3)),
+      red1 AS (SELECT id_apcd, min(fsd) AS rfirst, max(fsd) AS rlast
+        FROM c1_1 GROUP BY id_apcd),
+      bld1 AS (SELECT id_apcd, first_encounter_date AS bf,
+        last_encounter_date AS bl FROM bld WHERE ccw_code = 1),
+      v1 AS (
+        SELECT CAST(1 AS INT) AS ccw_code,
+          'Acquired hypothyroidism' AS ccw_desc,
+          CAST(coalesce(sum(inb), 0) AS BIGINT) AS n_build,
+          CAST(coalesce(sum(inr), 0) AS BIGINT) AS n_rederived,
+          CAST(coalesce(sum(CASE WHEN inb IS NULL OR inr IS NULL
+            THEN 1 END), 0) AS BIGINT) AS n_member_mismatch,
+          CAST(coalesce(sum(CASE WHEN inb = 1 AND inr = 1
+            AND (bf IS DISTINCT FROM rfirst OR bl IS DISTINCT FROM
+              rlast) THEN 1 END), 0) AS BIGINT) AS n_span_mismatch
+        FROM (SELECT id_apcd, 1 AS inb, bf, bl FROM bld1) x
+        FULL OUTER JOIN (SELECT id_apcd, 1 AS inr, rfirst, rlast
+          FROM red1) y USING (id_apcd)),
+      mcl2 AS (SELECT DISTINCT id_apcd, chid FROM dxr
+        WHERE diab = 1 AND dxnum IN ('01','02')),
+      xcl2 AS (SELECT DISTINCT id_apcd, chid FROM dxr
+        WHERE diab_ex = 1),
+      cln2 AS (SELECT m.id_apcd, m.chid FROM mcl2 m
+        WHERE NOT EXISTS (SELECT 1 FROM xcl2 x
+          WHERE x.id_apcd = m.id_apcd AND x.chid = m.chid)),
+      ev2 AS (SELECT DISTINCT m.id_apcd, h.ctid, h.fsd
+        FROM cln2 m JOIN hdr h ON m.chid = h.chid),
+      c1_2 AS (SELECT DISTINCT id_apcd, fsd FROM ev2 WHERE ctid IN (1)),
+      c2_2 AS (SELECT DISTINCT id_apcd, fsd FROM ev2
+        WHERE ctid IN (2,4,5)),
+      c2p_2 AS (SELECT DISTINCT a.id_apcd, a.fsd
+        FROM c2_2 a JOIN c2_2 b ON a.id_apcd = b.id_apcd
+          AND a.fsd <> b.fsd
+          AND abs((year(a.fsd) * 12 + month(a.fsd))
+            - (year(b.fsd) * 12 + month(b.fsd))) <= 24),
+      per2 AS (SELECT id_apcd FROM c1_2
+        UNION SELECT id_apcd FROM c2p_2),
+      dat2 AS (SELECT id_apcd, fsd FROM c1_2
+        UNION SELECT id_apcd, fsd FROM c2p_2),
+      red2 AS (SELECT p.id_apcd, min(d.fsd) AS rfirst,
+          max(d.fsd) AS rlast
+        FROM per2 p JOIN dat2 d USING (id_apcd) GROUP BY p.id_apcd),
+      bld2 AS (SELECT id_apcd, first_encounter_date AS bf,
+        last_encounter_date AS bl FROM bld WHERE ccw_code = 2),
+      v2 AS (
+        SELECT CAST(2 AS INT), 'Diabetes',
+          CAST(coalesce(sum(inb), 0) AS BIGINT),
+          CAST(coalesce(sum(inr), 0) AS BIGINT),
+          CAST(coalesce(sum(CASE WHEN inb IS NULL OR inr IS NULL
+            THEN 1 END), 0) AS BIGINT),
+          CAST(coalesce(sum(CASE WHEN inb = 1 AND inr = 1
+            AND (bf IS DISTINCT FROM rfirst OR bl IS DISTINCT FROM
+              rlast) THEN 1 END), 0) AS BIGINT)
+        FROM (SELECT id_apcd, 1 AS inb, bf, bl FROM bld2) x
+        FULL OUTER JOIN (SELECT id_apcd, 1 AS inr, rfirst, rlast
+          FROM red2) y USING (id_apcd)),
+      mcl3 AS (SELECT DISTINCT id_apcd, chid FROM dxr
+        WHERE stroke = 1 AND ver = 10 AND dxnum = '01'),
+      xcl3 AS (SELECT DISTINCT id_apcd, chid FROM dxr
+        WHERE stroke_ex = 1 AND dxnum IN ('01','02')),
+      cln3 AS (SELECT m.id_apcd, m.chid FROM mcl3 m
+        WHERE NOT EXISTS (SELECT 1 FROM xcl3 x
+          WHERE x.id_apcd = m.id_apcd AND x.chid = m.chid)),
+      ev3 AS (SELECT DISTINCT m.id_apcd, h.ctid, h.fsd
+        FROM cln3 m JOIN hdr h ON m.chid = h.chid),
+      c1_3 AS (SELECT DISTINCT id_apcd, fsd FROM ev3 WHERE ctid IN (1)),
+      c2_3 AS (SELECT DISTINCT id_apcd, fsd FROM ev3
+        WHERE ctid IN (2,4)),
+      c2p_3 AS (SELECT DISTINCT a.id_apcd, a.fsd
+        FROM c2_3 a JOIN c2_3 b ON a.id_apcd = b.id_apcd
+          AND a.fsd <> b.fsd
+          AND abs((year(a.fsd) * 12 + month(a.fsd))
+            - (year(b.fsd) * 12 + month(b.fsd))) <= 12),
+      per3 AS (SELECT id_apcd FROM c1_3
+        UNION SELECT id_apcd FROM c2p_3),
+      dat3 AS (SELECT id_apcd, fsd FROM c1_3
+        UNION SELECT id_apcd, fsd FROM c2p_3),
+      red3 AS (SELECT p.id_apcd, min(d.fsd) AS rfirst,
+          max(d.fsd) AS rlast
+        FROM per3 p JOIN dat3 d USING (id_apcd) GROUP BY p.id_apcd),
+      bld3 AS (SELECT id_apcd, first_encounter_date AS bf,
+        last_encounter_date AS bl FROM bld WHERE ccw_code = 3),
+      v3 AS (
+        SELECT CAST(3 AS INT), 'Stroke / TIA',
+          CAST(coalesce(sum(inb), 0) AS BIGINT),
+          CAST(coalesce(sum(inr), 0) AS BIGINT),
+          CAST(coalesce(sum(CASE WHEN inb IS NULL OR inr IS NULL
+            THEN 1 END), 0) AS BIGINT),
+          CAST(coalesce(sum(CASE WHEN inb = 1 AND inr = 1
+            AND (bf IS DISTINCT FROM rfirst OR bl IS DISTINCT FROM
+              rlast) THEN 1 END), 0) AS BIGINT)
+        FROM (SELECT id_apcd, 1 AS inb, bf, bl FROM bld3) x
+        FULL OUTER JOIN (SELECT id_apcd, 1 AS inr, rfirst, rlast
+          FROM red3) y USING (id_apcd))
+      SELECT ccw_code, ccw_desc, n_build, n_rederived,
+        n_member_mismatch, n_span_mismatch,
+        CAST(n_member_mismatch = 0 AND n_span_mismatch = 0 AS INT)
+          AS pass
+      FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        UNION ALL SELECT * FROM v3)
+      ORDER BY ccw_code""")) +
     ("q290_date_dim" -> (dateDimOracleBody + """
       SELECT * FROM dim ORDER BY "date"""")) +
     ("q291_date_dim_qa" -> (dateDimOracleBody + """,
@@ -11814,33 +12364,7 @@ object SparkEntry {
     // id_apcd grain; claim types 1..7 (6/7 never qualify), shared
     // per-condition replay via ccwOracleBody.
     "q244_apcd_ccw" -> ("""
-      WITH hdr AS (
-        SELECT CAST(40000 + o_custkey % 110 AS BIGINT) AS id_apcd,
-          o_orderkey AS chid,
-          CAST(1 + o_orderkey % 7 AS INT) AS ctid,
-          CAST(o_orderdate AS DATE) AS fsd
-        FROM orders),
-      dx AS (
-        SELECT CAST(40000 + o_custkey % 110 AS BIGINT) AS id_apcd,
-          l_orderkey AS chid,
-          CASE WHEN l_partkey % 6 = 0 THEN 9 ELSE 10 END AS ver,
-          CASE WHEN l_partkey % 6 = 0 THEN
-            CASE WHEN l_partkey % 13 = 0 THEN '2440'
-              WHEN l_partkey % 13 = 1 THEN '25000'
-              WHEN l_partkey % 13 = 2 THEN '64800'
-              WHEN l_partkey % 13 = 3 THEN '43491'
-              ELSE lpad(CAST(l_partkey % 999 AS VARCHAR), 4, '0') END
-          ELSE
-            CASE WHEN l_partkey % 13 = 0 THEN 'E039'
-              WHEN l_partkey % 13 = 1 THEN 'E119'
-              WHEN l_partkey % 13 = 2 THEN 'O2412'
-              WHEN l_partkey % 13 = 3 THEN 'I6350'
-              WHEN l_partkey % 13 = 4 THEN 'Z3480'
-              ELSE 'J' || lpad(CAST(l_partkey % 400 AS VARCHAR), 3, '0')
-              END
-          END AS norm,
-          lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS dxnum
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      WITH """ + ApcdCcwFixtureCtes + """,
       """ + ccwOracleBody("id_apcd")),
 
     // q245: CCW new-criteria cross-check — per-phenotype blocks are
@@ -13173,239 +13697,9 @@ object SparkEntry {
     // reference's six-step T-SQL (distinct cov rows → person sums →
     // zip pick with the sum+1 quirk → picked-ACH days → capped-age demo
     // → cohort flags on rounded percents).
-    "q166_apcd_elig_plr" -> """
-      WITH tv AS (
-        SELECT o_custkey % 200 AS id_apcd,
-          CAST(o_orderdate AS DATE) AS from_date,
-          CAST(o_orderdate AS DATE) + CAST(o_orderkey % 400 AS INT)
-            AS to_date,
-          o_orderkey % 4 AS med_covgrp, o_orderkey % 3 AS pharm_covgrp,
-          CASE WHEN o_orderkey % 5 < 2 THEN 1 ELSE 0 END AS med_medicaid,
-          CASE WHEN o_orderkey % 7 < 2 THEN 1 ELSE 0 END AS med_medicare,
-          CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
-            AS med_commercial,
-          CASE WHEN o_orderkey % 6 < 2 THEN 1 ELSE 0 END
-            AS pharm_medicaid,
-          CASE WHEN o_orderkey % 11 < 3 THEN 1 ELSE 0 END
-            AS pharm_medicare,
-          CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END
-            AS pharm_commercial,
-          CASE WHEN o_orderkey % 7 <> 6 THEN '98' ||
-            lpad(CAST(o_custkey % 30 AS VARCHAR), 3, '0') END AS geo_zip,
-          CASE WHEN o_orderkey % 7 <> 6 AND o_custkey % 30 < 27
-            THEN 'ACH-' || CAST((o_custkey % 30) % 5 AS VARCHAR) END
-            AS geo_ach
-        FROM orders),
-      ov AS (SELECT * FROM tv
-        WHERE from_date <= DATE '1995-12-31'
-          AND to_date >= DATE '1995-01-01'),
-      cov1 AS (
-        SELECT DISTINCT id_apcd, from_date, to_date,
-          CASE WHEN med_covgrp <> 0 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS med_total_covd,
-          CASE WHEN med_medicaid = 1 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS med_medicaid_covd,
-          CASE WHEN med_medicare = 1 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS med_medicare_covd,
-          CASE WHEN med_commercial = 1 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS med_commercial_covd,
-          CASE WHEN pharm_covgrp <> 0 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS pharm_total_covd,
-          CASE WHEN pharm_medicaid = 1 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS pharm_medicaid_covd,
-          CASE WHEN pharm_medicare = 1 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS pharm_medicare_covd,
-          CASE WHEN pharm_commercial = 1 THEN date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS pharm_commercial_covd,
-          CASE WHEN (med_medicaid = 1 OR pharm_medicaid = 1)
-            AND (med_medicare = 1 OR pharm_medicare = 1)
-            THEN date_diff('day',
-              greatest(from_date, DATE '1995-01-01'),
-              least(to_date, DATE '1995-12-31')) + 1 ELSE 0 END
-            AS dual_covd
-        FROM ov),
-      cov2 AS (
-        SELECT id_apcd AS id,
-          CAST(sum(med_total_covd) AS BIGINT) AS med_total_covd,
-          CAST(sum(dual_covd) AS BIGINT) AS dual_covd,
-          CAST(sum(med_medicaid_covd) AS BIGINT) AS med_medicaid_covd,
-          CAST(sum(med_medicare_covd) AS BIGINT) AS med_medicare_covd,
-          CAST(sum(med_commercial_covd) AS BIGINT)
-            AS med_commercial_covd,
-          CAST(sum(pharm_total_covd) AS BIGINT) AS pharm_total_covd,
-          CAST(sum(pharm_medicaid_covd) AS BIGINT)
-            AS pharm_medicaid_covd,
-          CAST(sum(pharm_medicare_covd) AS BIGINT)
-            AS pharm_medicare_covd,
-          CAST(sum(pharm_commercial_covd) AS BIGINT)
-            AS pharm_commercial_covd
-        FROM cov1 GROUP BY id_apcd),
-      covp AS (
-        SELECT *,
-          round(med_total_covd * 1.0 / 365 * 100.0, 1)
-            AS med_total_covper,
-          round(dual_covd * 1.0 / 365 * 100.0, 1) AS dual_covper,
-          CASE WHEN dual_covd > 0 THEN 1 ELSE 0 END AS dual_flag,
-          round(med_medicaid_covd * 1.0 / 365 * 100.0, 1)
-            AS med_medicaid_covper,
-          round(med_medicare_covd * 1.0 / 365 * 100.0, 1)
-            AS med_medicare_covper,
-          round(med_commercial_covd * 1.0 / 365 * 100.0, 1)
-            AS med_commercial_covper,
-          round(pharm_total_covd * 1.0 / 365 * 100.0, 1)
-            AS pharm_total_covper,
-          round(pharm_medicaid_covd * 1.0 / 365 * 100.0, 1)
-            AS pharm_medicaid_covper,
-          round(pharm_medicare_covd * 1.0 / 365 * 100.0, 1)
-            AS pharm_medicare_covper,
-          round(pharm_commercial_covd * 1.0 / 365 * 100.0, 1)
-            AS pharm_commercial_covper
-        FROM cov2),
-      zipdur AS (
-        SELECT id_apcd AS id, geo_zip,
-          sum(date_diff('day',
-            greatest(from_date, DATE '1995-01-01'),
-            least(to_date, DATE '1995-12-31')) + 1) + 1 AS zip_dur
-        FROM ov GROUP BY id_apcd, geo_zip),
-      zippick AS (
-        SELECT id, geo_zip FROM (
-          SELECT id, geo_zip, row_number() OVER (PARTITION BY id
-            ORDER BY zip_dur DESC, geo_zip ASC NULLS FIRST) AS zipr
-          FROM zipdur) WHERE zipr = 1),
-      county AS (
-        SELECT DISTINCT zip_code, zip_group_desc AS geo_county FROM (
-          SELECT '98' || lpad(CAST(i AS VARCHAR), 3, '0') AS zip_code,
-            'County-' || CAST(i % 6 AS VARCHAR) AS zip_group_desc
-          FROM range(0, 24) t(i)
-          UNION ALL SELECT '98999', 'County-X')),
-      achref AS (
-        SELECT DISTINCT zip_code, zip_group_desc AS geo_ach FROM (
-          SELECT '98' || lpad(CAST(i AS VARCHAR), 3, '0') AS zip_code,
-            'ACH-' || CAST(i % 5 AS VARCHAR) AS zip_group_desc
-          FROM range(0, 27) t(i))),
-      geo AS (
-        SELECT z.id, z.geo_zip, c.geo_county, a.geo_ach
-        FROM zippick z
-        LEFT JOIN county c ON z.geo_zip = c.zip_code
-        LEFT JOIN achref a ON z.geo_zip = a.zip_code),
-      achd AS (
-        SELECT g.id, CAST(sum(date_diff('day',
-            greatest(o.from_date, DATE '1995-01-01'),
-            least(o.to_date, DATE '1995-12-31')) + 1) AS BIGINT)
-          AS geo_ach_covd
-        FROM geo g JOIN ov o
-          ON g.id = o.id_apcd AND g.geo_ach = o.geo_ach
-        GROUP BY g.id),
-      dm0 AS (
-        SELECT c_custkey % 200 AS id_apcd, min(c_custkey) AS ck
-        FROM customer GROUP BY c_custkey % 200),
-      dm AS (
-        SELECT id_apcd,
-          DATE '1900-01-01' + CAST(ck * 97 % 35500 AS INT) AS dob,
-          CASE WHEN ck % 40 = 0 THEN 1 ELSE 0 END AS ninety_only,
-          CASE WHEN ck % 3 = 0 THEN 'Multiple'
-            WHEN ck % 3 = 1 THEN 'Female' ELSE 'Male' END AS gender_me,
-          CASE WHEN ck % 2 = 0 THEN 'Female' ELSE 'Male' END
-            AS gender_recent,
-          CAST(ck % 2 AS INT) AS gender_female,
-          CAST((ck + 1) % 2 AS INT) AS gender_male,
-          CASE ck % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
-            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
-            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_eth_me,
-          CASE (ck + 2) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
-            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
-            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_me,
-          CASE (ck + 4) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
-            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
-            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_eth_recent,
-          CASE (ck + 5) % 7 WHEN 0 THEN 'AI/AN' WHEN 1 THEN 'Asian'
-            WHEN 2 THEN 'Black' WHEN 3 THEN 'Latino' WHEN 4 THEN 'NH/PI'
-            WHEN 5 THEN 'White' ELSE 'Unknown' END AS race_recent,
-          CASE WHEN ck % 11 = 0 THEN 1 ELSE 0 END AS race_aian,
-          CASE WHEN ck % 7 = 1 THEN 1 ELSE 0 END AS race_asian,
-          CASE WHEN ck % 6 = 2 THEN 1 ELSE 0 END AS race_black,
-          CASE WHEN ck % 5 = 3 THEN 1 ELSE 0 END AS race_latino,
-          CASE WHEN ck % 13 = 4 THEN 1 ELSE 0 END AS race_nhpi,
-          CASE WHEN ck % 3 = 2 THEN 1 ELSE 0 END AS race_white,
-          CASE WHEN ck % 17 = 5 THEN 1 ELSE 0 END AS race_unknown
-        FROM dm0 WHERE ck % 13 <> 7),
-      aged AS (
-        SELECT *,
-          CASE
-            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
-              / 365.25) >= 90 OR ninety_only = 1 THEN 90
-            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
-              / 365.25) >= 0
-              THEN CAST(floor((date_diff('day', dob,
-                DATE '1995-12-31') + 1) / 365.25) AS BIGINT)
-            WHEN floor((date_diff('day', dob, DATE '1995-12-31') + 1)
-              / 365.25) = -1 THEN 0
-          END AS age
-        FROM dm),
-      aged2 AS (
-        SELECT *, CASE
-            WHEN age >= 0 AND age < 5 THEN '0-4'
-            WHEN age >= 5 AND age < 12 THEN '5-11'
-            WHEN age >= 12 AND age < 18 THEN '12-17'
-            WHEN age >= 18 AND age < 25 THEN '18-24'
-            WHEN age >= 25 AND age < 45 THEN '25-44'
-            WHEN age >= 45 AND age < 65 THEN '45-64'
-            WHEN age >= 65 OR ninety_only = 1 THEN '65 and over'
-          END AS age_grp7
-        FROM aged)
-      SELECT p.id AS id_apcd,
-        CASE WHEN g.geo_county IS NOT NULL THEN 1 ELSE 0 END AS geo_wa,
-        CASE WHEN g.geo_county IS NOT NULL AND (p.med_medicaid_covd >= 1
-          OR p.pharm_medicaid_covd >= 1) THEN 1 ELSE 0 END
-          AS overall_mcaid,
-        CASE WHEN g.geo_county IS NOT NULL AND p.med_medicaid_covd >= 1
-          THEN 1 ELSE 0 END AS overall_mcaid_med,
-        CASE WHEN g.geo_county IS NOT NULL AND p.pharm_medicaid_covd >= 1
-          THEN 1 ELSE 0 END AS overall_mcaid_pharm,
-        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 50.0
-          THEN 1 ELSE 0 END AS medical_coverage_6mo,
-        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 58.3
-          THEN 1 ELSE 0 END AS medical_coverage_7mo,
-        CASE WHEN g.geo_county IS NOT NULL AND p.med_total_covper >= 91.7
-          THEN 1 ELSE 0 END AS medical_coverage_11mo,
-        g.geo_zip, g.geo_county, g.geo_ach, a.geo_ach_covd,
-        round(a.geo_ach_covd * 1.0 / 365 * 100.0, 1) AS geo_ach_covper,
-        d.age, d.age_grp7,
-        d.gender_me, d.gender_recent, d.gender_female, d.gender_male,
-        d.race_eth_me, d.race_me, d.race_eth_recent, d.race_recent,
-        d.race_aian, d.race_asian, d.race_black, d.race_latino,
-        d.race_nhpi, d.race_white, d.race_unknown,
-        p.med_total_covd, p.med_total_covper,
-        p.dual_covd, p.dual_covper, p.dual_flag,
-        p.med_medicaid_covd, p.med_medicare_covd, p.med_commercial_covd,
-        p.med_medicaid_covper, p.med_medicare_covper,
-        p.med_commercial_covper,
-        p.pharm_total_covd, p.pharm_total_covper,
-        p.pharm_medicaid_covd, p.pharm_medicare_covd,
-        p.pharm_commercial_covd,
-        p.pharm_medicaid_covper, p.pharm_medicare_covper,
-        p.pharm_commercial_covper
-      FROM covp p
-      LEFT JOIN geo g ON p.id = g.id
-      LEFT JOIN achd a ON p.id = a.id
-      LEFT JOIN aged2 d ON p.id = d.id_apcd
-      ORDER BY id_apcd""",
+    "q166_apcd_elig_plr" -> s"""
+      WITH $ApcdPlrCtes
+      SELECT * FROM plr ORDER BY id_apcd""",
 
     // q167: mcare elig_month — month grain kept (no island collapse);
     // shares the q127 fixture/monthly formulation, adds year_month /

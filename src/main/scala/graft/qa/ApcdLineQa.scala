@@ -256,4 +256,287 @@ object ApcdLineQa {
         rUnknown, latinoMult, unique)
       .reduce(_ unionByName _)
   }
+
+  /** qa_stage.apcd_elig_plr.sql: the reference spot-checks pregap
+    * members, multi-region/multi-ZIP members, an out-of-state-majority
+    * member, demographics exemplars, and the 11-month-cohort rule-outs
+    * — each PLR row against the timevar/demo table it rolled up from.
+    * Population-scale re-derivations, each with different mechanics
+    * than the audited build:
+    *
+    *  - `geo_zip_longest_duration`: instead of the build's
+    *    row_number pick, an EXISTS-a-better-zip anti-test — a member
+    *    fails if any of their zips has strictly more clipped coverage
+    *    days than the picked one, or ties with a smaller tie-break key
+    *    (NULL zip first, then zip ASC — T-SQL order). Independent of
+    *    the reference's `sum(covd)+1` quirk since the test is
+    *    monotone-invariant.
+    *  - `geo_ref_attach`: county/ACH columns equal the broadcast
+    *    zip-group lookups of the picked zip (out-of-state pick → both
+    *    NULL → no ACH assignment, the reference's "lived longest
+    *    outside WA" case).
+    *  - `geo_ach_covd_recompute`: days in the picked ACH re-summed
+    *    from the overlapping segments + the rounded covper.
+    *  - `cohort_flags_on_rounded_pct`: WA/overall-Medicaid and the
+    *    6/7/11-month thresholds recomputed from the stored covd
+    *    columns (>= 50.0 / 58.3 / 91.7 ON THE ROUNDED percent — the
+    *    reference's stored-decimal semantics), dual_flag from
+    *    dual_covd, and three covper columns re-derived from their
+    *    covd.
+    *  - `covd_within_window`: every day count in [0, window].
+    *  - `demo_ride_along`: age via the capped rule (>= 90 or
+    *    ninety_only → 90; -1 → 0), the 7-level ladder, and the
+    *    gender/race columns equal to elig_demo's.
+    *  - `one_row_per_member`. */
+  def eligPlrQa(plr: DataFrame, timevar: DataFrame, demo: DataFrame,
+      zipGroup: DataFrame, fromDate: String, toDate: String): DataFrame = {
+    val t = "stage.apcd_elig_plr"
+    val from = to_date(lit(fromDate))
+    val to = to_date(lit(toDate))
+    val windowDays = datediff(to, from) + 1
+    val ov = timevar.filter(col("from_date") <= to &&
+      col("to_date") >= from)
+    val clip = datediff(least(col("to_date"), to),
+      greatest(col("from_date"), from)) + 1
+
+    // --- zip pick: exists-a-better-zip anti-test
+    val zd = ov.groupBy(col("id_apcd").as("zid"), col("geo_zip"))
+      .agg(sum(clip).as("dur"))
+    val pick = plr.select(col("id_apcd"), col("geo_zip").as("picked"))
+    val pickedDur = pick.join(zd,
+        pick("id_apcd") === zd("zid") &&
+          (col("picked") <=> zd("geo_zip")), "left")
+      .select(col("id_apcd"), col("picked"), col("dur").as("dur_p"))
+    def zkey(c: Column) = coalesce(c, lit(""))
+    val viol = pickedDur.join(zd, pickedDur("id_apcd") === zd("zid"))
+      .filter(col("dur") > col("dur_p") ||
+        (col("dur") === col("dur_p") &&
+          zkey(col("geo_zip")) < zkey(col("picked"))))
+      .select(col("id_apcd")).distinct().withColumn("bad", lit(1))
+    val zipRow = verdictRow(
+      pick.join(viol, Seq("id_apcd"), "left"), t,
+      "geo_zip_longest_duration", lit(1), col("bad") === 1)
+
+    // --- county/ACH ref attach of the picked zip
+    val county = zipGroup.filter(col("zip_group_type_desc") === "County")
+      .select(col("zip_code"), col("zip_group_desc").as("exp_county"))
+      .distinct()
+    val achRef = zipGroup
+      .filter(col("zip_group_type_desc").startsWith("Acc"))
+      .select(col("zip_code").as("ach_zip"),
+        col("zip_group_desc").as("exp_ach"))
+      .distinct()
+    val geoJ = plr.select(col("id_apcd"), col("geo_zip"),
+        col("geo_county"), col("geo_ach"))
+      .join(broadcast(county), col("geo_zip") === col("zip_code"), "left")
+      .join(broadcast(achRef), col("geo_zip") === col("ach_zip"), "left")
+    val refRow = verdictRow(geoJ, t, "geo_ref_attach", lit(1),
+      !(col("geo_county") <=> col("exp_county")) ||
+      !(col("geo_ach") <=> col("exp_ach")))
+
+    // --- days inside the picked ACH + rounded covper
+    val achExp = plr.select(col("id_apcd").as("aid"),
+        col("geo_ach").as("picked_ach"))
+      .join(ov, col("aid") === ov("id_apcd") &&
+        col("picked_ach") === ov("geo_ach"))
+      .groupBy(col("aid")).agg(sum(clip).as("exp_ach_covd"))
+    val achJ = plr.select(col("id_apcd"), col("geo_ach_covd"),
+        col("geo_ach_covper"))
+      .join(achExp, col("id_apcd") === col("aid"), "left")
+    val achRow = verdictRow(achJ, t, "geo_ach_covd_recompute", lit(1),
+      !(col("geo_ach_covd") <=> col("exp_ach_covd")) ||
+      !(col("geo_ach_covper") <=>
+        round(col("exp_ach_covd") * 1.0 / windowDays * 100.0, 1)))
+
+    // --- cohort flags on the rounded percents
+    val pctOf = (c: Column) => round(c * 1.0 / windowDays * 100.0, 1)
+    val wa = col("geo_county").isNotNull
+    val cohortRow = verdictRow(plr, t, "cohort_flags_on_rounded_pct",
+      lit(1),
+      !(col("geo_wa") <=> wa.cast("int")) ||
+      !(col("overall_mcaid") <=> (wa && (col("med_medicaid_covd") >= 1 ||
+        col("pharm_medicaid_covd") >= 1)).cast("int")) ||
+      !(col("medical_coverage_6mo") <=>
+        (wa && col("med_total_covper") >= 50.0).cast("int")) ||
+      !(col("medical_coverage_7mo") <=>
+        (wa && col("med_total_covper") >= 58.3).cast("int")) ||
+      !(col("medical_coverage_11mo") <=>
+        (wa && col("med_total_covper") >= 91.7).cast("int")) ||
+      !(col("dual_flag") <=> (col("dual_covd") > 0).cast("int")) ||
+      !(col("med_total_covper") <=> pctOf(col("med_total_covd"))) ||
+      !(col("dual_covper") <=> pctOf(col("dual_covd"))) ||
+      !(col("pharm_total_covper") <=> pctOf(col("pharm_total_covd"))))
+
+    // --- clip bounds. The <= window invariant rests on the timevar
+    // contract that a person's segments are DISJOINT (true of the
+    // production table; its own QA checks contiguity) — the day counts
+    // sum clipped segments without merging overlaps, exactly as the
+    // reference does, so the bound is only claimable for members whose
+    // in-window segments are pairwise disjoint and single-flagged.
+    // The battery recomputes that precondition instead of assuming it.
+    val covdCols = Seq("med_total_covd", "dual_covd",
+      "med_medicaid_covd", "med_medicare_covd", "med_commercial_covd",
+      "pharm_total_covd", "pharm_medicaid_covd", "pharm_medicare_covd",
+      "pharm_commercial_covd")
+    val flagTuple = struct(col("med_covgrp"), col("pharm_covgrp"),
+      col("med_medicaid"), col("med_medicare"), col("med_commercial"),
+      col("pharm_medicaid"), col("pharm_medicare"),
+      col("pharm_commercial"))
+    val dup = ov.groupBy(col("id_apcd"), col("from_date"),
+        col("to_date"))
+      .agg(count_distinct(flagTuple).as("nfl"))
+      .filter(col("nfl") > 1).select(col("id_apcd")).distinct()
+      .withColumn("multi_flag", lit(1))
+    val dseg = ov.select(col("id_apcd"), col("from_date"),
+      col("to_date")).distinct()
+    val olap = dseg.as("x").join(dseg.as("y"),
+        col("x.id_apcd") === col("y.id_apcd") &&
+        (col("x.from_date") < col("y.from_date") ||
+          (col("x.from_date") === col("y.from_date") &&
+            col("x.to_date") < col("y.to_date"))) &&
+        col("y.from_date") <= col("x.to_date"))
+      .select(col("x.id_apcd").as("id_apcd")).distinct()
+      .withColumn("olap", lit(1))
+    val boundsRow = verdictRow(
+      plr.join(dup, Seq("id_apcd"), "left")
+        .join(olap, Seq("id_apcd"), "left"), t,
+      "covd_within_window_disjoint_members",
+      col("multi_flag").isNull && col("olap").isNull,
+      col("multi_flag").isNull && col("olap").isNull &&
+        covdCols.map(c => col(c) < 0 || col(c) > windowDays)
+          .reduce(_ || _))
+
+    // --- demographics ride-along with the capped-age rule
+    val rawAge = floor((datediff(to, col("dob")) + 1) / 365.25)
+    val demoExp = demo.select(col("id_apcd"),
+      when(rawAge >= 90 || col("ninety_only") === 1, 90)
+        .when(rawAge >= 0, rawAge)
+        .when(rawAge === -1, 0).as("exp_age"),
+      col("ninety_only").as("d_ninety"),
+      col("gender_me").as("d_gender_me"),
+      col("race_eth_me").as("d_race_eth_me"),
+      col("race_latino").as("d_race_latino"))
+    val demoJ = plr.select(col("id_apcd"), col("age"), col("age_grp7"),
+        col("gender_me"), col("race_eth_me"), col("race_latino"))
+      .join(demoExp, Seq("id_apcd"), "left")
+    val expGrp7 = when(col("age") >= 0 && col("age") < 5, "0-4")
+      .when(col("age") >= 5 && col("age") < 12, "5-11")
+      .when(col("age") >= 12 && col("age") < 18, "12-17")
+      .when(col("age") >= 18 && col("age") < 25, "18-24")
+      .when(col("age") >= 25 && col("age") < 45, "25-44")
+      .when(col("age") >= 45 && col("age") < 65, "45-64")
+      .when(col("age") >= 65 || col("d_ninety") === 1, "65 and over")
+    val demoRow = verdictRow(demoJ, t, "demo_ride_along", lit(1),
+      !(col("age") <=> col("exp_age")) ||
+      !(col("age_grp7") <=> expGrp7) ||
+      !(col("gender_me") <=> col("d_gender_me")) ||
+      !(col("race_eth_me") <=> col("d_race_eth_me")) ||
+      !(col("race_latino") <=> col("d_race_latino")))
+
+    val unique = verdictRow(
+      plr.groupBy(col("id_apcd")).agg(count(lit(1)).as("c")), t,
+      "one_row_per_member", lit(1), col("c") =!= 1)
+
+    Seq(zipRow, refRow, achRow, cohortRow, boundsRow, demoRow, unique)
+      .reduce(_ unionByName _)
+  }
+
+  /** qa_stage.apcd_claim_ccw_10009.sql: the reference line-level-QAs
+    * one condition per phenotype class (lookback years × condition
+    * type) by re-deriving that person's qualification from
+    * claim_header + claim_icdcm + ref.icdcm_codes and eyeballing it
+    * against the stage.apcd_claim_ccw rows. At population scale, for
+    * EVERY configured condition: re-derive the qualifying person set
+    * and encounter span with SET mechanics — per-condition joins (the
+    * reference's original per-condition formulation) instead of the
+    * build's one-scan flag rollup, and an any-pair-within-window self
+    * join instead of the build's sorted lead/lag adjacency (provably
+    * equivalent: distinct dates make adjacent gaps >= 1 day, and any
+    * qualifying pair contains an adjacent qualifying pair) — then
+    * count membership and span disagreements against the build.
+    *
+    * Span conventions replicated from the build (and pinned here):
+    * condition-type-1 spans cover claim-1 dates ONLY (the reference's
+    * `WHERE c1d IS NOT NULL` pre-aggregation filter silently drops
+    * claim-2 rows); condition-type-2 spans cover claim-1 dates plus
+    * claim-2 dates that participate in some qualifying pair. */
+  def ccwLineQa(build: DataFrame, header: DataFrame, icdcm: DataFrame,
+      icdcmRef: DataFrame,
+      conds: Seq[graft.builds.CcwConditions.CcwDef],
+      idCol: String): DataFrame = {
+    def fieldsPred(fields: String): Column = fields match {
+      case "1" => col("icdcm_number") === "01"
+      case "1-2" | "1;2" => col("icdcm_number").isin("01", "02")
+      case _ => lit(true)
+    }
+    val ver = col("icdcm_version")
+    val refR = icdcmRef.withColumnRenamed("icdcm_version", "ref_ver")
+    val dxr = icdcm.join(broadcast(refR),
+      icdcm("icdcm_norm") === refR("icdcm") &&
+        icdcm("icdcm_version") === refR("ref_ver"))
+    val monthNum = (d: Column) => year(d) * 12 + month(d)
+    val perCond = conds.map { c =>
+      val mPred = ((ver === 9 && lit(c.icd9.run) &&
+          fieldsPred(c.icd9.dxFields)) ||
+        (ver === 10 && lit(c.icd10.run) &&
+          fieldsPred(c.icd10.dxFields))) && col(c.flagCol) === 1
+      val mcl = dxr.filter(mPred)
+        .select(col(idCol), col("claim_header_id")).distinct()
+      val clean = c.exclude1 match {
+        case Some(xc) =>
+          val xPred = ((ver === 9 && fieldsPred(c.icd9.exclude1Fields)) ||
+            (ver === 10 && fieldsPred(c.icd10.exclude1Fields))) &&
+            col(xc) === 1
+          val xcl = dxr.filter(xPred)
+            .select(col(idCol), col("claim_header_id")).distinct()
+          mcl.join(xcl, Seq(idCol, "claim_header_id"), "left_anti")
+        case None => mcl
+      }
+      val ev = clean.join(header, Seq(idCol, "claim_header_id"))
+        .select(col(idCol), col("claim_type_id"),
+          col("first_service_date").as("fsd"))
+      val c1 = ev.filter(col("claim_type_id").isin(c.dxClaim1: _*))
+        .select(col(idCol), col("fsd")).distinct()
+      val c2 = ev.filter(col("claim_type_id").isin(c.dxClaim2: _*))
+        .select(col(idCol), col("fsd")).distinct()
+      val c2p = c2.as("a").join(c2.as("b"),
+          col(s"a.$idCol") === col(s"b.$idCol") &&
+          col("a.fsd") =!= col("b.fsd") &&
+          abs(monthNum(col("a.fsd")) - monthNum(col("b.fsd")))
+            <= c.lookbackMonths)
+        .select(col(s"a.$idCol").as(idCol), col("a.fsd").as("fsd"))
+        .distinct()
+      val dates = if (c.claimCount >= 2) c1.unionByName(c2p) else c1
+      val red = c1.select(col(idCol)).distinct()
+        .unionByName(if (c.claimCount >= 2)
+          c2p.select(col(idCol)).distinct()
+        else c1.select(col(idCol)).limit(0))
+        .distinct()
+        .join(dates, Seq(idCol))
+        .groupBy(col(idCol))
+        .agg(min(col("fsd")).as("rfirst"), max(col("fsd")).as("rlast"))
+      val bld = build.filter(col("ccw_code") === c.code)
+        .select(col(idCol), col("first_encounter_date").as("bf"),
+          col("last_encounter_date").as("bl"))
+      bld.withColumn("inb", lit(1))
+        .join(red.withColumn("inr", lit(1)), Seq(idCol), "full_outer")
+        .agg(
+          coalesce(sum(col("inb")), lit(0)).cast("long").as("n_build"),
+          coalesce(sum(col("inr")), lit(0)).cast("long")
+            .as("n_rederived"),
+          coalesce(sum(when(col("inb").isNull || col("inr").isNull, 1)),
+            lit(0)).cast("long").as("n_member_mismatch"),
+          coalesce(sum(when(col("inb") === 1 && col("inr") === 1 &&
+            (!(col("bf") <=> col("rfirst")) ||
+             !(col("bl") <=> col("rlast"))), 1)), lit(0)).cast("long")
+            .as("n_span_mismatch"))
+        .select(lit(c.code).cast("int").as("ccw_code"),
+          lit(c.desc).as("ccw_desc"), col("n_build"),
+          col("n_rederived"), col("n_member_mismatch"),
+          col("n_span_mismatch"),
+          (col("n_member_mismatch") === 0 &&
+            col("n_span_mismatch") === 0).cast("int").as("pass"))
+    }
+    perCond.reduce(_ unionByName _)
+  }
 }

@@ -3571,66 +3571,77 @@ object BuildQueries {
     * quirk and T-SQL NULLS-FIRST zip tie-break kept), picked-ACH
     * duration, capped-age demographics, and the WA / overall-Medicaid /
     * 6-7-11-month cohort flags evaluated on the rounded percents. */
-  def q166ApcdEligPlr(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ok = col("o_orderkey")
+  /** Shared q166/q319 PLR fixture frames (timevar, demo, zip-group).
+    * private[graft] so the q319 battery audits the exact frames the
+    * catalog's q166 row pins. */
+  private[graft] object ApcdPlr {
+    def frames(s: SparkSession,
+        dir: String): (DataFrame, DataFrame, DataFrame) = {
+      import s.implicits._
+      val ok = col("o_orderkey")
     val z = col("o_custkey") % 30
-    val tv = t(s, dir, "orders").select(
-      (col("o_custkey") % 200).as("id_apcd"),
-      to_date(col("o_orderdate")).as("from_date"),
-      date_add(to_date(col("o_orderdate")), (ok % 400).cast("int"))
-        .as("to_date"),
-      (ok % 4).cast("int").as("med_covgrp"),
-      (ok % 3).cast("int").as("pharm_covgrp"),
-      when(ok % 5 < 2, 1).otherwise(0).as("med_medicaid"),
-      when(ok % 7 < 2, 1).otherwise(0).as("med_medicare"),
-      when(ok % 3 === 0, 1).otherwise(0).as("med_commercial"),
-      when(ok % 6 < 2, 1).otherwise(0).as("pharm_medicaid"),
-      when(ok % 11 < 3, 1).otherwise(0).as("pharm_medicare"),
-      when(ok % 4 === 1, 1).otherwise(0).as("pharm_commercial"),
-      when(ok % 7 =!= 6,
-        concat(lit("98"), lpad(z.cast("string"), 3, "0"))).as("geo_zip"),
-      // ach coherent with zip (the timevar build derives it from zip);
-      // zips 27-29 have no ACH mapping
-      when(ok % 7 =!= 6 && z < 27,
-        concat(lit("ACH-"), (z % 5).cast("string"))).as("geo_ach"))
-    val ck = col("ck")
-    val races = Seq("AI/AN", "Asian", "Black", "Latino", "NH/PI", "White",
-      "Unknown")
-    def race(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      races.zipWithIndex.foldLeft(lit(null).cast("string")) {
-        case (acc, (r, i)) => when(c === i, r).otherwise(acc) }
-    val dm = t(s, dir, "customer")
-      .groupBy((col("c_custkey") % 200).as("id_apcd"))
-      .agg(min(col("c_custkey")).as("ck"))
-      .filter(ck % 13 =!= 7) // some persons lack demo rows entirely
-      .select(col("id_apcd"),
-        date_add(to_date(lit("1900-01-01")),
-          (ck * 97 % 35500).cast("int")).as("dob"),
-        when(ck % 40 === 0, 1).otherwise(0).as("ninety_only"),
-        when(ck % 3 === 0, "Multiple").when(ck % 3 === 1, "Female")
-          .otherwise("Male").as("gender_me"),
-        when(ck % 2 === 0, "Female").otherwise("Male")
-          .as("gender_recent"),
-        (ck % 2).cast("int").as("gender_female"),
-        ((ck + 1) % 2).cast("int").as("gender_male"),
-        race(ck % 7).as("race_eth_me"),
-        race((ck + 2) % 7).as("race_me"),
-        race((ck + 4) % 7).as("race_eth_recent"),
-        race((ck + 5) % 7).as("race_recent"),
-        when(ck % 11 === 0, 1).otherwise(0).as("race_aian"),
-        when(ck % 7 === 1, 1).otherwise(0).as("race_asian"),
-        when(ck % 6 === 2, 1).otherwise(0).as("race_black"),
-        when(ck % 5 === 3, 1).otherwise(0).as("race_latino"),
-        when(ck % 13 === 4, 1).otherwise(0).as("race_nhpi"),
-        when(ck % 3 === 2, 1).otherwise(0).as("race_white"),
-        when(ck % 17 === 5, 1).otherwise(0).as("race_unknown"))
-    val zg = ((0 until 24).map(i => (f"98$i%03d", "County",
-        s"County-${i % 6}")) ++
-      (0 until 27).map(i => (f"98$i%03d",
-        "Accountable Community of Health", s"ACH-${i % 5}")) ++
-      Seq(("98999", "County", "County-X")))
-      .toDF("zip_code", "zip_group_type_desc", "zip_group_desc")
+      val tv = t(s, dir, "orders").select(
+        (col("o_custkey") % 200).as("id_apcd"),
+        to_date(col("o_orderdate")).as("from_date"),
+        date_add(to_date(col("o_orderdate")), (ok % 400).cast("int"))
+          .as("to_date"),
+        (ok % 4).cast("int").as("med_covgrp"),
+        (ok % 3).cast("int").as("pharm_covgrp"),
+        when(ok % 5 < 2, 1).otherwise(0).as("med_medicaid"),
+        when(ok % 7 < 2, 1).otherwise(0).as("med_medicare"),
+        when(ok % 3 === 0, 1).otherwise(0).as("med_commercial"),
+        when(ok % 6 < 2, 1).otherwise(0).as("pharm_medicaid"),
+        when(ok % 11 < 3, 1).otherwise(0).as("pharm_medicare"),
+        when(ok % 4 === 1, 1).otherwise(0).as("pharm_commercial"),
+        when(ok % 7 =!= 6,
+          concat(lit("98"), lpad(z.cast("string"), 3, "0"))).as("geo_zip"),
+        // ach coherent with zip (the timevar build derives it from zip);
+        // zips 27-29 have no ACH mapping
+        when(ok % 7 =!= 6 && z < 27,
+          concat(lit("ACH-"), (z % 5).cast("string"))).as("geo_ach"))
+      val ck = col("ck")
+      val races = Seq("AI/AN", "Asian", "Black", "Latino", "NH/PI", "White",
+        "Unknown")
+      def race(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        races.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (r, i)) => when(c === i, r).otherwise(acc) }
+      val dm = t(s, dir, "customer")
+        .groupBy((col("c_custkey") % 200).as("id_apcd"))
+        .agg(min(col("c_custkey")).as("ck"))
+        .filter(ck % 13 =!= 7) // some persons lack demo rows entirely
+        .select(col("id_apcd"),
+          date_add(to_date(lit("1900-01-01")),
+            (ck * 97 % 35500).cast("int")).as("dob"),
+          when(ck % 40 === 0, 1).otherwise(0).as("ninety_only"),
+          when(ck % 3 === 0, "Multiple").when(ck % 3 === 1, "Female")
+            .otherwise("Male").as("gender_me"),
+          when(ck % 2 === 0, "Female").otherwise("Male")
+            .as("gender_recent"),
+          (ck % 2).cast("int").as("gender_female"),
+          ((ck + 1) % 2).cast("int").as("gender_male"),
+          race(ck % 7).as("race_eth_me"),
+          race((ck + 2) % 7).as("race_me"),
+          race((ck + 4) % 7).as("race_eth_recent"),
+          race((ck + 5) % 7).as("race_recent"),
+          when(ck % 11 === 0, 1).otherwise(0).as("race_aian"),
+          when(ck % 7 === 1, 1).otherwise(0).as("race_asian"),
+          when(ck % 6 === 2, 1).otherwise(0).as("race_black"),
+          when(ck % 5 === 3, 1).otherwise(0).as("race_latino"),
+          when(ck % 13 === 4, 1).otherwise(0).as("race_nhpi"),
+          when(ck % 3 === 2, 1).otherwise(0).as("race_white"),
+          when(ck % 17 === 5, 1).otherwise(0).as("race_unknown"))
+      val zg = ((0 until 24).map(i => (f"98$i%03d", "County",
+          s"County-${i % 6}")) ++
+        (0 until 27).map(i => (f"98$i%03d",
+          "Accountable Community of Health", s"ACH-${i % 5}")) ++
+        Seq(("98999", "County", "County-X")))
+        .toDF("zip_code", "zip_group_type_desc", "zip_group_desc")
+      (tv, dm, zg)
+    }
+  }
+
+  def q166ApcdEligPlr(s: SparkSession, dir: String): DataFrame = {
+    val (tv, dm, zg) = ApcdPlr.frames(s, dir)
     graft.builds.ApcdEligPlr.build(tv, dm, zg, "1995-01-01", "1995-12-31")
       .orderBy(col("id_apcd"))
   }

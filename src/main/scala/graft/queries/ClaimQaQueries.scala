@@ -475,4 +475,39 @@ object ClaimQaQueries {
         BuildQueries.ApcdElig.ethMap(s))
       .orderBy(col("qa_category"))
   }
+
+  /** §5 APCD elig_plr line-level QA (q319,
+    * qa_stage.apcd_elig_plr.sql): the reference's pregap / geographic /
+    * demographic / cohort-rule-out spot checks re-derived over every
+    * member ([[graft.qa.ApcdLineQa.eligPlrQa]] — exists-a-better-zip
+    * anti-test, ref re-attach, ACH-day recompute, rounded-percent
+    * cohort flags, clip bounds, capped-age ride-along). Audits the
+    * exact frames the catalog's q166 row pins; the PLR frame feeds six
+    * check families, so it is materialized once. */
+  def q319ApcdEligPlrQa(s: SparkSession, dir: String): DataFrame = {
+    val (tv, dm, zg) = BuildQueries.ApcdPlr.frames(s, dir)
+    val plr = graft.builds.ApcdEligPlr
+      .build(tv, dm, zg, "1995-01-01", "1995-12-31")
+      .localCheckpoint(true)
+    graft.qa.ApcdLineQa.eligPlrQa(plr, tv, dm, zg,
+        "1995-01-01", "1995-12-31")
+      .orderBy(col("qa_category"))
+  }
+
+  /** §5 APCD claim_ccw line-level QA (q320,
+    * qa_stage.apcd_claim_ccw_10009.sql): per configured condition,
+    * re-derive the qualifying person set + encounter span from
+    * header/icdcm/ref with set mechanics (per-condition joins, any-
+    * pair-within-window self join) and count disagreements against the
+    * q244 build ([[graft.qa.ApcdLineQa.ccwLineQa]]). Audits the exact
+    * frames the catalog's q244 row pins. */
+  def q320ApcdCcwLineQa(s: SparkSession, dir: String): DataFrame = {
+    val build = graft.queries.BuildQueries.q244ApcdCcw(s, dir)
+      .localCheckpoint(true)
+    graft.qa.ApcdLineQa.ccwLineQa(build,
+        BuildQueries.ApcdCcw.header(s, dir),
+        BuildQueries.ApcdCcw.icdcm(s, dir),
+        BuildQueries.Ccw.icdcmRef(s), BuildQueries.Ccw.conds, "id_apcd")
+      .orderBy(col("ccw_code"))
+  }
 }

@@ -94,4 +94,74 @@ class ApcdLineQaSpec extends SparkSpec {
     assert(verdict(out, "billing")._5 == 1) // the ID set still matches
     assert(verdict(out, "service_dates") == (8L, 8L, 1L, 0L, 0))
   }
+
+  // --- ccwLineQa: hand graph -------------------------------------------
+
+  import graft.builds.CcwConditions.{CcwArm, CcwDef}
+
+  private val pairCond = Seq(CcwDef(2, "Diabetes", "diabetes",
+    claimCount = 2, lookbackMonths = 24, dxClaim1 = Seq(1),
+    dxClaim2 = Seq(2, 4, 5), exclude1 = Some("ccw_diabetes_exclude"),
+    exclude2 = None, icd9 = CcwArm(run = true, dxFields = "1-2"),
+    icd10 = CcwArm(run = true, dxFields = "1-2")))
+
+  private val ccwRef = Seq(("E119", 10, 1, 0), ("O2412", 10, 0, 1))
+    .toDF("icdcm", "icdcm_version", "ccw_diabetes",
+      "ccw_diabetes_exclude")
+
+  private def hdr(rows: Seq[(Long, Long, Int, String)]) =
+    rows.map { case (id, ch, ct, d) => (id, ch, ct, Date.valueOf(d)) }
+      .toDF("id_apcd", "claim_header_id", "claim_type_id",
+        "first_service_date")
+
+  private def dxOf(rows: Seq[(Long, Long, String, String)]) =
+    rows.map { case (id, ch, code, num) => (id, ch, code, 10, num) }
+      .toDF("id_apcd", "claim_header_id", "icdcm_norm",
+        "icdcm_version", "icdcm_number")
+
+  test("ccwLineQa re-derives pair/single qualification and catches a " +
+      "tampered build row") {
+    // p1: two type-2 claims 3 months apart -> pair-qualifies
+    // p2: one type-1 claim -> qualifies alone
+    // p3: one ISOLATED type-2 claim -> must NOT qualify
+    // p4: type-1 claim with the exclusion code on the same claim -> out
+    val h = hdr(Seq(
+      (1L, 10L, 2, "2020-01-10"), (1L, 11L, 4, "2020-04-20"),
+      (2L, 20L, 1, "2020-02-01"),
+      (3L, 30L, 2, "2020-03-01"),
+      (4L, 40L, 1, "2020-05-01")))
+    val dx = dxOf(Seq(
+      (1L, 10L, "E119", "01"), (1L, 11L, "E119", "02"),
+      (2L, 20L, "E119", "01"),
+      (3L, 30L, "E119", "01"),
+      (4L, 40L, "E119", "01"), (4L, 40L, "O2412", "03")))
+    val goodBuild = Seq(
+      (1L, Date.valueOf("2020-01-10"), Date.valueOf("2020-04-20"), 2,
+        "Diabetes"),
+      (2L, Date.valueOf("2020-02-01"), Date.valueOf("2020-02-01"), 2,
+        "Diabetes"))
+      .toDF("id_apcd", "first_encounter_date", "last_encounter_date",
+        "ccw_code", "ccw_desc")
+    val ok = ApcdLineQa.ccwLineQa(goodBuild, h, dx, ccwRef, pairCond,
+      "id_apcd").collect()(0)
+    assert(ok.getLong(2) == 2 && ok.getLong(3) == 2 &&
+      ok.getLong(4) == 0 && ok.getLong(5) == 0 && ok.getInt(6) == 1)
+    // tamper: drop p2, add the non-qualifying p3 -> 2 member mismatches
+    val tampered = goodBuild.filter($"id_apcd" =!= 2L).unionByName(Seq(
+      (3L, Date.valueOf("2020-03-01"), Date.valueOf("2020-03-01"), 2,
+        "Diabetes"))
+      .toDF("id_apcd", "first_encounter_date", "last_encounter_date",
+        "ccw_code", "ccw_desc"))
+    val bad = ApcdLineQa.ccwLineQa(tampered, h, dx, ccwRef, pairCond,
+      "id_apcd").collect()(0)
+    assert(bad.getLong(4) == 2 && bad.getInt(6) == 0)
+    // tamper spans only: p1's last date pulled back -> span mismatch
+    val drift = goodBuild.withColumn("last_encounter_date",
+      org.apache.spark.sql.functions.expr(
+        "CASE WHEN id_apcd = 1 THEN DATE '2020-01-10' " +
+        "ELSE last_encounter_date END"))
+    val sp = ApcdLineQa.ccwLineQa(drift, h, dx, ccwRef, pairCond,
+      "id_apcd").collect()(0)
+    assert(sp.getLong(4) == 0 && sp.getLong(5) == 1 && sp.getInt(6) == 0)
+  }
 }
