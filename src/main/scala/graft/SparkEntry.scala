@@ -509,7 +509,454 @@ object SparkEntry {
       (graft.queries.ClaimQaQueries.q319ApcdEligPlrQa _),
     "q320_apcd_ccw_line_qa" ->
       (graft.queries.ClaimQaQueries.q320ApcdCcwLineQa _),
+    "q321_nppes_apde_load" ->
+      (graft.queries.LifecycleQueries.q321NppesApdeLoad _),
+    "q322_hedis_value_sets" ->
+      (graft.queries.LifecycleQueries.q322HedisValueSets _),
+    "q323_rda_value_sets" ->
+      (graft.queries.LifecycleQueries.q323RdaValueSets _),
+    "q324_fda_ndc_product" ->
+      (graft.queries.LifecycleQueries.q324FdaNdcProduct _),
   )
+
+  /** q323 oracle — replays the RDA refresh over the q323 fixture; the
+    * NO HARMS VALUES list is GENERATED from RefTables.NoHarmsCodes so
+    * the 66-code constant cannot drift. */
+  private def rdaOracle: String = {
+    val nhValues = graft.sources.RefTables.NoHarmsCodes
+      .map(c => s"('$c')").mkString(", ")
+    s"""
+      WITH base AS (SELECT DISTINCT p_partkey % 200 AS pk FROM part),
+      newraw AS (
+        SELECT pk,
+          CASE WHEN pk % 2 = 0 THEN 'mh' ELSE 'sud' END
+            AS value_set_group,
+          CASE WHEN pk % 7 = 6 THEN 'VS2 ' || CAST(pk % 20 AS VARCHAR)
+            ELSE 'VS ' || CAST(pk % 20 AS VARCHAR) END
+            AS value_set_name,
+          CASE WHEN pk % 7 IN (0,1,2,3,6) THEN 'diagnosis'
+            WHEN pk % 7 = 4 THEN 'pharmacy' ELSE 'procedure' END
+            AS data_source_type,
+          CASE WHEN pk % 7 IN (0,1,2,3,6) THEN 'ICDCM'
+            WHEN pk % 7 = 4 THEN 'NDC' ELSE 'HCPCS' END AS code_set,
+          CASE WHEN pk % 7 = 0
+              THEN lpad(CAST(pk % 20 AS VARCHAR), 3, '0') ||
+                (CASE WHEN (pk // 20) % 3 = 0 THEN ''
+                  WHEN (pk // 20) % 3 = 1 THEN '0' ELSE '00' END)
+            WHEN pk % 7 = 1
+              THEN 'E' || lpad(CAST(pk % 80 AS VARCHAR), 3, '0')
+            WHEN pk % 7 = 2
+              THEN 'V' || lpad(CAST(pk % 90 AS VARCHAR), 2, '0')
+            WHEN pk % 7 IN (3,6)
+              THEN 'F' || lpad(CAST(pk % 329 AS VARCHAR), 3, '0')
+            WHEN pk % 7 = 4
+              THEN lpad(CAST((pk * 7) % 99999999 AS VARCHAR),
+                CAST(7 + pk % 5 AS INT), '0')
+            ELSE 'H' || lpad(CAST(pk % 9999 AS VARCHAR), 4, '0') END
+            AS code,
+          CASE WHEN pk % 7 = 1 THEN
+              (CASE WHEN pk % 2 = 0 THEN 'accidental   poisoning  event'
+                ELSE 'allergy note' END)
+            WHEN pk % 7 = 4 THEN
+              (CASE pk % 8 WHEN 0 THEN 'ACAMPROSATE  calcium'
+                WHEN 1 THEN 'sertraline HCL'
+                WHEN 2 THEN 'NALTREXONE HCL 50MG'
+                WHEN 3 THEN 'BRIXADI' WHEN 4 THEN 'METHYLPHENIDATE'
+                WHEN 5 THEN 'LOREEV XR' WHEN 6 THEN 'DISULFIRAM TAB'
+                ELSE 'VITAMIN D' END)
+            ELSE 'dx  code ' || CAST(pk AS VARCHAR) END AS "desc"
+        FROM base),
+      n0 AS (SELECT pk, value_set_group, value_set_name,
+          data_source_type, code_set, code,
+          trim(regexp_replace(upper("desc"), '\\s+', ' ', 'g'))
+            AS "desc"
+        FROM newraw),
+      n1 AS (SELECT *, code AS code_raw,
+          CASE WHEN code_set = 'ICDCM'
+              AND regexp_matches(code, '^[0-9]') THEN 'ICD9CM'
+            WHEN code_set = 'ICDCM' AND regexp_matches(code, '^E')
+              AND regexp_matches("desc",
+                'POISON|INJURY|INJURIES|INJU|POIS|SELF') THEN 'ICD9CM'
+            WHEN code_set = 'ICDCM' AND regexp_matches(code, '^V')
+              THEN 'ICD9CM'
+            WHEN code_set = 'ICDCM'
+              AND regexp_matches(code, '^[A-Za-z]') THEN 'ICD10CM'
+            ELSE code_set END AS cs2
+        FROM n0),
+      padded AS (SELECT DISTINCT value_set_group, value_set_name,
+          data_source_type, cs2 AS code_set,
+          CASE WHEN cs2 = 'ICD9CM' AND len(code) = 3 THEN code || '00'
+            WHEN cs2 = 'ICD9CM' AND len(code) = 4 THEN code || '0'
+            WHEN cs2 = 'NDC' AND len(code) BETWEEN 7 AND 10
+              THEN lpad(code, 11, '0')
+            ELSE code END AS code,
+          "desc", code_raw
+        FROM n1),
+      picked AS (SELECT * FROM (
+          SELECT *,
+            CASE WHEN code_set IN ('ICD9CM','ICD10CM')
+              THEN len(code_raw) END AS crl,
+            row_number() OVER (PARTITION BY code ORDER BY
+              (CASE WHEN code_set IN ('ICD9CM','ICD10CM')
+                THEN len(code_raw) END) DESC NULLS LAST,
+              code_raw ASC) AS rk
+          FROM padded)
+        WHERE crl IS NULL OR rk = 1),
+      n2 AS (SELECT value_set_group, value_set_name, data_source_type,
+          code_set, code, "desc",
+          CAST(CASE WHEN code_set = 'ICD9CM' THEN 9
+            WHEN code_set = 'ICD10CM' THEN 10 END AS INT)
+            AS icdcm_version
+        FROM picked),
+      reff AS (SELECT DISTINCT
+          'F' || lpad(CAST(pk % 329 AS VARCHAR), 3, '0') AS icdcm,
+          10 AS ver,
+          CASE WHEN pk % 329 % 2 = 0 THEN 'MBD005' ELSE '5.1' END
+            AS ccs
+        FROM base),
+      refd AS (SELECT DISTINCT
+          lpad(CAST(pk % 20 AS VARCHAR), 3, '0') || '00' AS icdcm,
+          9 AS ver, 'SKN002' AS ccs
+        FROM base),
+      refe9 AS (SELECT DISTINCT
+          'E' || lpad(CAST(pk % 80 AS VARCHAR), 3, '0') || '0'
+            AS icdcm, 9 AS ver, '5.1' AS ccs
+        FROM base),
+      refe10 AS (SELECT DISTINCT
+          'E' || lpad(CAST(pk % 80 AS VARCHAR), 3, '0') AS icdcm,
+          10 AS ver, '5.2' AS ccs
+        FROM base),
+      refnh0(icdcm, ccs, descr) AS (VALUES
+        ('T43652', 'MBD012', 'Poisoning by SSRI self-harm'),
+        ('X75XXX', 'MBD012', 'Self-harm by explosive material'),
+        ('T4992X', 'MBD012', 'Poisoning topical agent self-harm'),
+        ('X72XXX', 'MBD012', 'Self-harm by handgun discharge')),
+      icdref AS (
+        SELECT icdcm, ver, ccs, NULL AS descr FROM reff
+        UNION ALL SELECT icdcm, ver, ccs, NULL FROM refd
+        UNION ALL SELECT icdcm, ver, ccs, NULL FROM refe9
+        UNION ALL SELECT icdcm, ver, ccs, NULL FROM refe10
+        UNION ALL SELECT icdcm, 10, ccs, descr FROM refnh0),
+      ccsmap(ccs, sgc) AS (VALUES ('MBD005', 'mh_anxiety'),
+        ('5.1', 'mh_adjustment'), ('5.2', 'mh_anxiety'),
+        ('SKN002', 'mh_anxiety'), ('MBD012', 'mh_other')),
+      withccs AS (
+        SELECT n.*, CASE WHEN n.icdcm_version IS NOT NULL THEN m.sgc
+          END AS sub_group_condition
+        FROM n2 n
+        LEFT JOIN icdref r ON n.code = r.icdcm
+          AND n.icdcm_version = r.ver
+        LEFT JOIN ccsmap m ON r.ccs = m.ccs),
+      pmap0(desc_1, grp) AS (VALUES
+        ('ACAMPROSATE CALCIUM', 'Acamprosate'),
+        ('SERTRALINE HCL', 'Antidepressants Rx'),
+        ('NALTREXONE MICROSPHERES', 'Naltrexone'),
+        ('NALTREXONE MICROSPHERES', 'Antidepressants Rx')),
+      prio(grp, p, sgp) AS (VALUES ('Acamprosate', 0,
+          'pharm_acamprosate'),
+        ('Disulfiram', 1, 'pharm_disulfiram'),
+        ('ADHD Rx', 2, 'pharm_adhd'),
+        ('Antianxiety Rx', 3, 'pharm_antianxiety'),
+        ('Antidepressants Rx', 4, 'pharm_antidepressant'),
+        ('Antimania Rx', 5, 'pharm_antimania'),
+        ('Antipsychotic Rx', 6, 'pharm_antipsychotic'),
+        ('Buprenorphine-Naloxone', 7, 'pharm_buprenorphine_naloxone'),
+        ('Buprenorphine', 8, 'pharm_buprenorphine'),
+        ('Naltrexone', 9, 'pharm_naltrexone_rx')),
+      pmap AS (
+        SELECT desc_1, min_by(sgp, p) AS sgp_mapped
+        FROM pmap0 JOIN prio USING (grp) GROUP BY desc_1),
+      rx0 AS (
+        SELECT w.*, CASE WHEN w.data_source_type = 'pharmacy'
+            THEN p.sgp_mapped END AS sgp0
+        FROM withccs w LEFT JOIN pmap p ON w."desc" = p.desc_1),
+      rx1 AS (
+        SELECT * REPLACE (CASE
+          WHEN data_source_type = 'pharmacy' AND sgp0 IS NULL
+            AND "desc" IN ('METHYLPHENIDATE', 'DICLOFENAC SODIUM DR',
+              'LISDEXAMFETAMINE DIMESYLATE',
+              'GUANFACINE HYDROCHLORIDE ER', 'RELEXXII',
+              'AMPHETAMINE/DEXTROAMPHETAMINE ER') THEN 'pharm_adhd'
+          WHEN data_source_type = 'pharmacy' AND sgp0 IS NULL
+            AND "desc" IN ('VILAZODONE HYDROCHLORIDE',
+              'VENLAFAXINE BESYLATE ER', 'ABILIFY MYCITE STARTER KIT',
+              'ABILIFY MYCITE MAINTENANCE KIT', 'AUVELITY', 'ZURZUVAE')
+            THEN 'pharm_antidepressant'
+          WHEN data_source_type = 'pharmacy' AND sgp0 IS NULL
+            AND "desc" IN ('INVEGA HAFYERA', 'LURASIDONE HYDROCHLORIDE',
+              'RYKINDO', 'RISPERIDONE ER', 'UZEDY', 'ABILIFY ASIMTUFII')
+            THEN 'pharm_antipsychotic'
+          WHEN data_source_type = 'pharmacy' AND sgp0 IS NULL
+            AND "desc" = 'LOREEV XR' THEN 'pharm_antianxiety'
+          WHEN data_source_type = 'pharmacy' AND sgp0 IS NULL
+            AND "desc" LIKE '%NALTREXONE%' THEN 'pharm_naltrexone_rx'
+          WHEN data_source_type = 'pharmacy' AND sgp0 IS NULL
+            AND "desc" LIKE '%DISULFIRAM%' THEN 'pharm_disulfiram'
+          WHEN data_source_type = 'pharmacy' AND sgp0 IS NULL
+            AND "desc" = 'BRIXADI' THEN 'pharm_buprenorphine'
+          ELSE sgp0 END AS sgp0)
+        FROM rx0),
+      newfin AS (
+        SELECT value_set_group, value_set_name, data_source_type,
+          code_set, code, "desc", icdcm_version,
+          CASE WHEN data_source_type = 'pharmacy'
+              AND sgp0 IN ('pharm_acamprosate', 'pharm_disulfiram')
+              THEN 'sud_alcohol'
+            WHEN data_source_type = 'pharmacy' AND sgp0 = 'pharm_adhd'
+              THEN 'mh_adhd'
+            WHEN data_source_type = 'pharmacy'
+              AND sgp0 = 'pharm_antianxiety' THEN 'mh_anxiety'
+            WHEN data_source_type = 'pharmacy'
+              AND sgp0 = 'pharm_antidepressant' THEN 'mh_depression'
+            WHEN data_source_type = 'pharmacy'
+              AND sgp0 = 'pharm_antimania' THEN 'mh_mania_bipolar'
+            WHEN data_source_type = 'pharmacy'
+              AND sgp0 = 'pharm_antipsychotic' THEN 'mh_psychotic'
+            WHEN data_source_type = 'pharmacy'
+              AND sgp0 IN ('pharm_buprenorphine_naloxone',
+                'pharm_buprenorphine', 'pharm_naltrexone_rx')
+              THEN 'sud_opioid'
+            ELSE sub_group_condition END AS sub_group_condition,
+          sgp0 AS sub_group_pharmacy
+        FROM rx1),
+      nh(code) AS (VALUES $nhValues),
+      extra AS (
+        SELECT 'mh' AS value_set_group,
+          'apde-added-diagnosis' AS value_set_name,
+          'diagnosis' AS data_source_type, 'ICD10CM' AS code_set,
+          n.code, upper(r.descr) AS "desc",
+          CAST(10 AS INT) AS icdcm_version,
+          'mh_other' AS sub_group_condition,
+          CAST(NULL AS VARCHAR) AS sub_group_pharmacy
+        FROM nh n LEFT JOIN refnh0 r ON n.code = r.icdcm),
+      exf AS (
+        SELECT 'mh' AS value_set_group,
+          'VS ' || CAST(pk % 20 AS VARCHAR) AS value_set_name,
+          'diagnosis' AS data_source_type, 'ICD10CM' AS code_set,
+          'F' || lpad(CAST(pk % 329 AS VARCHAR), 3, '0') AS code,
+          'PRIOR DESC ' || CAST(pk AS VARCHAR) AS "desc",
+          CAST(10 AS INT) AS icdcm_version,
+          CASE WHEN pk % 329 % 2 = 0 THEN 'mh_anxiety'
+            ELSE 'mh_adjustment' END AS sub_group_condition,
+          CAST(NULL AS VARCHAR) AS sub_group_pharmacy
+        FROM base WHERE pk % 7 = 3 AND pk % 2 = 0),
+      disrupt AS (
+        SELECT 'mh' AS value_set_group,
+          'VS-DISRUPT' AS value_set_name,
+          'diagnosis' AS data_source_type, 'ICD10CM' AS code_set,
+          c AS code, 'DISRUPT DESC' AS "desc",
+          CAST(10 AS INT) AS icdcm_version,
+          'mh_disrupt' AS sub_group_condition,
+          CAST(NULL AS VARCHAR) AS sub_group_pharmacy
+        FROM (VALUES ('F068'), ('F09'), ('F488'), ('F54')) t(c)),
+      bound AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY value_set_group,
+              value_set_name, data_source_type, code_set, code,
+              icdcm_version, sub_group_condition, sub_group_pharmacy
+            ORDER BY bind_priority ASC, "desc" ASC NULLS LAST) AS dk
+          FROM (
+            SELECT *, 0 AS bind_priority FROM exf
+            UNION ALL SELECT *, 0 FROM disrupt
+            UNION ALL SELECT *, 1 FROM newfin
+            UNION ALL SELECT *, 2 FROM extra))
+        WHERE dk = 1),
+      cleaned AS (
+        SELECT value_set_group, value_set_name, data_source_type,
+          code_set, code, "desc", icdcm_version, sub_group_condition,
+          sub_group_pharmacy
+        FROM bound
+        WHERE NOT (code IN ('F068', 'F09', 'F488', 'F489', 'F54',
+            'F59', 'F938', 'F939', 'F989', 'F99', 'O9934', 'O99340',
+            'O99341', 'O99342', 'O99343', 'O99344', 'O99345')
+          AND sub_group_condition = 'mh_disrupt')),
+      moud AS (
+        SELECT 'sud' AS value_set_group,
+          'apde-moud-procedure' AS value_set_name,
+          'procedure' AS data_source_type, 'HCPCS' AS code_set,
+          pc AS code, upper(d) AS "desc",
+          CAST(NULL AS INT) AS icdcm_version,
+          'sud_opioid' AS sub_group_condition,
+          CAST(NULL AS VARCHAR) AS sub_group_pharmacy,
+          CASE WHEN pc IN ('H0033', '96372', '11981', '11983', 'G0516',
+            'G0518', 'G2073', 'J2315') THEN 1 ELSE 0 END
+            AS oud_dx1_flag
+        FROM (VALUES ('H0020', 'Methadone administration'),
+          ('H0033', 'Oral medication administration'),
+          ('J0571', 'Buprenorphine oral 1mg')) t(pc, d))
+      SELECT * FROM (
+        SELECT *, CAST(NULL AS INT) AS oud_dx1_flag FROM cleaned
+        UNION ALL SELECT * FROM moud)
+      ORDER BY data_source_type, code_set, value_set_name, code,
+        "desc"
+    """
+  }
+
+  /** q322 oracle, GENERATED over the measurement years. */
+  private def hedisOracle: String = {
+    val codeExpr = """CASE WHEN pk % 4 = 0 THEN 'A' ||
+            lpad(CAST(pk % 90 AS VARCHAR), 2, '0') || '.' ||
+            CAST(pk % 10 AS VARCHAR) ||
+            (CASE WHEN pk % 3 = 0 THEN '1' ELSE '' END)
+          WHEN pk % 4 = 1 THEN lpad(CAST(pk % 999 AS VARCHAR), 3, '0')
+            || (CASE WHEN pk % 3 = 0 THEN ''
+              WHEN pk % 3 = 1 THEN '.1' ELSE '.12' END)
+          WHEN pk % 4 = 2 THEN lpad(CAST(pk % 99999 AS VARCHAR), 5, '0')
+          ELSE lpad(CAST(pk % 999 AS VARCHAR), 4, '0') END"""
+    val sysExpr = """CASE WHEN pk % 4 = 0 THEN 'ICD10CM'
+          WHEN pk % 4 = 1 THEN 'ICD9CM'
+          WHEN pk % 4 = 2 THEN 'CPT' ELSE 'UBREV' END"""
+    val arms = (2018 to 2024).map { y =>
+      val ver = if (y == 2018) "CAST(NULL AS VARCHAR)" else s"'MY $y'"
+      s"""SELECT $y AS year,
+          'VS ' || CAST(pk % 40 AS VARCHAR) AS value_set_name,
+          '2.16.840.1.' || CAST(pk % 40 AS VARCHAR) AS value_set_oid,
+          $codeExpr AS code,
+          $sysExpr AS code_system,
+          $ver AS value_set_version
+        FROM base WHERE (pk + $y) % 5 <> 0""" }.mkString(
+      "\n        UNION ALL ")
+    s"""
+      WITH base AS (
+        SELECT DISTINCT p_partkey % 600 AS pk FROM part),
+      unioned AS (
+        $arms),
+      stripped AS (
+        SELECT year, value_set_name, value_set_oid,
+          CASE WHEN code_system IN ('ICD10CM', 'ICD9CM')
+            THEN regexp_replace(code, '[[:punct:]]', '', 'g')
+            ELSE code END AS code,
+          code_system, value_set_version
+        FROM unioned)
+      SELECT year, value_set_name, value_set_oid,
+        CASE WHEN code_system = 'ICD9CM' AND len(code) = 3
+            THEN code || '00'
+          WHEN code_system = 'ICD9CM' AND len(code) = 4
+            THEN code || '0'
+          ELSE code END AS code,
+        code_system, value_set_version
+      FROM stripped
+      ORDER BY year, value_set_name, code_system, code"""
+  }
+
+  /** q321 oracle, GENERATED over the 15 slot indexes so the unpivot
+    * arms cannot drift from the fixture's slot formulas. */
+  private def nppesOracle: String = {
+    val taxArms = (1 to 15).map(i =>
+      s"""SELECT npi, $i AS slot,
+          'T' || lpad(CAST((ck * $i) % 40 AS VARCHAR), 2, '0')
+            AS taxonomy
+        FROM scrub WHERE (ck + $i) % 4 = 0""").mkString(
+      "\n        UNION ALL ")
+    val priArms = (1 to 15).map(i =>
+      s"""SELECT npi, $i AS slot,
+          CASE WHEN $i = 1 + ck % 2 OR (ck % 37 = 0 AND $i <= 8)
+            THEN 'Y' ELSE 'N' END AS pf
+        FROM scrub WHERE (ck + $i) % 4 = 0""").mkString(
+      "\n        UNION ALL ")
+    s"""
+      WITH base AS (
+        SELECT c_custkey AS ck,
+          CASE WHEN c_custkey % 17 = 0 THEN '1,' ||
+              substr(CAST(1000000000 + c_custkey AS VARCHAR), 2)
+            ELSE CAST(1000000000 + c_custkey AS VARCHAR) END AS npi_raw,
+          CASE WHEN c_custkey % 23 = 0 THEN NULL
+            WHEN c_custkey % 3 = 0 THEN '2' ELSE '1' END
+            AS entity_type_code,
+          CASE WHEN c_custkey % 3 = 0
+            THEN 'ORG ' || CAST(c_custkey % 100 AS VARCHAR) END
+            AS name_org,
+          CASE WHEN c_custkey % 13 = 0
+            THEN 'LAST,JR ' || CAST(c_custkey % 50 AS VARCHAR)
+            ELSE 'LAST ' || CAST(c_custkey % 50 AS VARCHAR) END
+            AS name_last,
+          'FIRST ' || CAST(c_custkey % 40 AS VARCHAR) AS name_first,
+          CASE WHEN c_custkey % 11 <> 0
+            THEN CAST(100 + c_custkey % 900 AS VARCHAR) || ' MAIN ST'
+            END AS address_practice_first,
+          CASE WHEN c_custkey % 6 = 0
+            THEN 'STE ' || CAST(c_custkey % 30 AS VARCHAR) END
+            AS address_practice_second,
+          CASE WHEN c_custkey % 5 = 0 THEN 'SEATTLE'
+            WHEN c_custkey % 5 = 1 THEN 'TACOMA'
+            WHEN c_custkey % 5 = 2 THEN 'PORTLAND'
+            ELSE 'SPOKANE' END AS address_practice_city,
+          CASE WHEN c_custkey % 29 = 0 THEN 'wa'
+            WHEN c_custkey % 4 = 0 THEN 'WA'
+            WHEN c_custkey % 4 = 1 THEN 'WASHINGTON'
+            WHEN c_custkey % 4 = 2 THEN 'OR' END
+            AS address_practice_state,
+          '98' || lpad(CAST(c_custkey % 999 AS VARCHAR), 3, '0')
+            || '1234' AS address_practice_zip_code,
+          '2008-0' || CAST(1 + c_custkey % 9 AS VARCHAR) || '-15'
+            AS enumeration_date,
+          '2020-0' || CAST(1 + c_custkey % 9 AS VARCHAR) || '-01'
+            AS last_update,
+          CASE WHEN c_custkey % 23 = 0 OR c_custkey % 19 = 0
+            THEN '2021-0' || CAST(1 + c_custkey % 9 AS VARCHAR)
+              || '-20' END AS deactivation_date,
+          CASE WHEN c_custkey % 2 = 0 THEN 'F'
+            WHEN c_custkey % 7 = 0 THEN 'M' END AS gender_code
+        FROM customer),
+      scrub AS (
+        SELECT ck, CAST(replace(npi_raw, ',', '') AS BIGINT) AS npi,
+          entity_type_code, name_org,
+          replace(name_last, ',', '') AS name_last, name_first,
+          address_practice_first, address_practice_second,
+          address_practice_city, address_practice_state,
+          address_practice_zip_code, enumeration_date, last_update,
+          deactivation_date, gender_code
+        FROM base),
+      tax_long AS (SELECT DISTINCT npi, slot, taxonomy FROM (
+        $taxArms)),
+      pri_long AS (SELECT DISTINCT npi, slot, pf FROM (
+        $priArms)),
+      joined AS (
+        SELECT t.npi, t.taxonomy, p.pf
+        FROM tax_long t LEFT JOIN pri_long p
+          ON t.npi = p.npi AND t.slot = p.slot),
+      collapsed AS (
+        SELECT npi, taxonomy,
+          max(CASE WHEN pf = 'Y' THEN 1 ELSE 0 END) AS primary_flag
+        FROM joined GROUP BY npi, taxonomy),
+      ranked AS (
+        SELECT *, rank() OVER (PARTITION BY npi
+          ORDER BY primary_flag DESC, taxonomy ASC) AS taxonomy_number
+        FROM collapsed),
+      tax_final AS (
+        SELECT a.npi, a.taxonomy AS taxonomy_1, b.taxonomy AS taxonomy_2,
+          c.taxonomy AS taxonomy_3,
+          a.primary_flag AS taxonomy_primary_flag
+        FROM (SELECT * FROM ranked
+          WHERE primary_flag = 1 OR taxonomy_number = 1) a
+        LEFT JOIN (SELECT * FROM ranked WHERE taxonomy_number = 2) b
+          ON a.npi = b.npi
+        LEFT JOIN (SELECT * FROM ranked WHERE taxonomy_number = 3) c
+          ON a.npi = c.npi)
+      SELECT s.npi, s.entity_type_code, s.name_org, s.name_last,
+        s.name_first, s.address_practice_first,
+        s.address_practice_second, s.address_practice_city,
+        s.address_practice_state, s.address_practice_zip_code,
+        CASE WHEN upper(s.address_practice_state)
+          IN ('WA', 'WASHINGTON') THEN 1 ELSE 0 END AS geo_wa,
+        upper(sha256(upper(
+          coalesce(s.address_practice_first, '') || '|' ||
+          coalesce(s.address_practice_second, '') || '|' ||
+          coalesce(s.address_practice_city, '') || '|' ||
+          coalesce(s.address_practice_state, '') || '|' ||
+          coalesce(substr(s.address_practice_zip_code, 1, 5), ''))))
+          AS geo_hash_raw,
+        CAST(s.enumeration_date AS DATE) AS enumeration_date,
+        CAST(s.last_update AS DATE) AS last_update,
+        CASE WHEN s.entity_type_code IS NULL
+          AND s.deactivation_date IS NOT NULL THEN 1 ELSE 0 END
+          AS deactivation_flag,
+        CAST(s.deactivation_date AS DATE) AS deactivation_date,
+        s.gender_code, f.taxonomy_1, f.taxonomy_2, f.taxonomy_3,
+        f.taxonomy_primary_flag
+      FROM scrub s LEFT JOIN tax_final f ON s.npi = f.npi
+      ORDER BY s.npi, f.taxonomy_1"""
+  }
 
   /** DuckDB oracle SQL per query (same column names + ordering). Omitted
     * for approximate / iterative / stub operators → rows-only check. */
@@ -5853,6 +6300,31 @@ object SparkEntry {
       FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
         UNION ALL SELECT * FROM v3)
       ORDER BY ccw_code""")) +
+    ("q321_nppes_apde_load" -> nppesOracle) +
+    ("q322_hedis_value_sets" -> hedisOracle) +
+    ("q323_rda_value_sets" -> rdaOracle) +
+    // q324: FDA NDC product load — all-VARCHAR projection + the
+    // U+FFFD labeler-name strip.
+    ("q324_fda_ndc_product" -> """
+      SELECT productid, productndc, producttypename, proprietaryname,
+        replace(labelername, chr(65533), '') AS labelername,
+        substancename
+      FROM (
+        SELECT 'P' || CAST(p_partkey % 5000 AS VARCHAR) AS productid,
+          lpad(CAST(p_partkey % 99999 AS VARCHAR), 5, '0') || '-' ||
+            lpad(CAST(p_partkey % 999 AS VARCHAR), 3, '0')
+            AS productndc,
+          CASE WHEN p_partkey % 3 = 0 THEN 'HUMAN PRESCRIPTION DRUG'
+            ELSE 'HUMAN OTC DRUG' END AS producttypename,
+          p_name AS proprietaryname,
+          CASE WHEN p_partkey % 9 = 0
+            THEN 'ACME' || chr(65533) || ' PHARMA' || chr(65533) ||
+              ' ' || CAST(p_partkey % 70 AS VARCHAR)
+            ELSE 'ACME PHARMA ' || CAST(p_partkey % 70 AS VARCHAR) END
+            AS labelername,
+          p_type AS substancename
+        FROM part)
+      ORDER BY productndc, productid""") +
     ("q290_date_dim" -> (dateDimOracleBody + """
       SELECT * FROM dim ORDER BY "date"""")) +
     ("q291_date_dim_qa" -> (dateDimOracleBody + """,

@@ -1166,4 +1166,276 @@ vars:
       .orderBy(col("source"), col("productndc"), col("ndcpackagecode"),
         col("productid"))
   }
+
+  /** §2.1/§2.7 NPPES provider master reshape (q321,
+    * ref/tables/load_ref.provider_nppes_apde_load.R:31-166 over the
+    * comma-scrubbed raw of load_ref.provider_nppes_load.R:46-49):
+    * both 15-slot column families unpivoted, joined, collapsed to
+    * distinct (npi, taxonomy) with max primary, ranked primary-first /
+    * A-Z, pivoted to taxonomy_1/2/3 (keeping the reference's
+    * multi-primary fan-out quirk), geo_wa + SHA2-256 geo_hash_raw +
+    * deactivation_flag. Fixture plants: comma-ridden npi and name
+    * strings (the raw scrub must repair them), 'wa'/'WASHINGTON'
+    * case-insensitive states, slot patterns filling ~4 of 15 slots
+    * with natural cross-slot duplicate codes, per-NPI primary slots
+    * that are sometimes unfilled (no primary → rank-1 fallback), one
+    * multi-primary NPI class (custkey % 37 — fans out), and
+    * deactivated org-typeless NPIs. */
+  def q321NppesApdeLoad(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val baseNpi = lit(1000000000L) + ck
+    var f = t(s, dir, "customer").select(
+      ck.as("c_custkey"),
+      when(ck % 17 === 0, concat(lit("1,"),
+          expr("substring(cast(1000000000 + c_custkey as string), 2)")))
+        .otherwise(baseNpi.cast("string")).as("npi"),
+      when(ck % 23 === 0, lit(null).cast("string"))
+        .when(ck % 3 === 0, "2").otherwise("1").as("entity_type_code"),
+      when(ck % 3 === 0, concat(lit("ORG "), (ck % 100).cast("string")))
+        .as("name_org"),
+      when(ck % 13 === 0,
+          concat(lit("LAST,JR "), (ck % 50).cast("string")))
+        .otherwise(concat(lit("LAST "), (ck % 50).cast("string")))
+        .as("name_last"),
+      concat(lit("FIRST "), (ck % 40).cast("string")).as("name_first"),
+      when(ck % 11 =!= 0,
+        concat((lit(100) + ck % 900).cast("string"), lit(" MAIN ST")))
+        .as("address_practice_first"),
+      when(ck % 6 === 0, concat(lit("STE "), (ck % 30).cast("string")))
+        .as("address_practice_second"),
+      when(ck % 5 === 0, "SEATTLE").when(ck % 5 === 1, "TACOMA")
+        .when(ck % 5 === 2, "PORTLAND").otherwise("SPOKANE")
+        .as("address_practice_city"),
+      when(ck % 29 === 0, "wa").when(ck % 4 === 0, "WA")
+        .when(ck % 4 === 1, "WASHINGTON").when(ck % 4 === 2, "OR")
+        .as("address_practice_state"),
+      concat(lit("98"), lpad((ck % 999).cast("string"), 3, "0"),
+        lit("1234")).as("address_practice_zip_code"),
+      concat(lit("2008-0"), (lit(1) + ck % 9).cast("string"),
+        lit("-15")).as("enumeration_date"),
+      concat(lit("2020-0"), (lit(1) + ck % 9).cast("string"),
+        lit("-01")).as("last_update"),
+      when(ck % 23 === 0 || ck % 19 === 0,
+        concat(lit("2021-0"), (lit(1) + ck % 9).cast("string"),
+          lit("-20"))).as("deactivation_date"),
+      when(ck % 2 === 0, "F").when(ck % 7 === 0, "M").as("gender_code"))
+    for (i <- 1 to 15) {
+      f = f.withColumn(s"healthcare_provider_taxonomy_code_$i",
+        when((ck + i) % 4 === 0, concat(lit("T"),
+          lpad(((ck * i) % 40).cast("string"), 2, "0"))))
+      f = f.withColumn(s"healthcare_provider_primary_taxonomy_switch_$i",
+        when((ck + i) % 4 === 0,
+          when(lit(i) === (lit(1) + ck % 2) ||
+            (ck % 37 === 0 && lit(i) <= 8), "Y").otherwise("N")))
+    }
+    graft.sources.RefTables.nppesApdeLoad(f)
+      .orderBy(col("npi"), col("taxonomy_1"))
+  }
+
+  /** §2.7/§2.8 HEDIS QRS value-set master (q322,
+    * load_claims.ref_hedis_value_sets_apde_2018-2023.R steps 2-3 +
+    * the 2024/2025 single-year siblings): seven measurement-year
+    * frames bound with NULL padding (2018's sheet lacks
+    * value_set_version — the bind_rows drift the reference handles),
+    * then the ICD punctuation strip + ICD-9 trailing-zero pad.
+    * Fixture plants dotted ICD-10 codes, 3/4/5-digit dotted ICD-9
+    * codes, and pass-through CPT/UBREV codes, with per-year
+    * membership drift. */
+  def q322HedisValueSets(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("pk")
+    val base = t(s, dir, "part")
+      .select((col("p_partkey") % 600).as("pk")).distinct()
+    val code = when(pk % 4 === 0,
+        concat(lit("A"), lpad((pk % 90).cast("string"), 2, "0"),
+          lit("."), (pk % 10).cast("string"),
+          when(pk % 3 === 0, lit("1")).otherwise(lit(""))))
+      .when(pk % 4 === 1,
+        concat(lpad((pk % 999).cast("string"), 3, "0"),
+          when(pk % 3 === 0, lit(""))
+            .when(pk % 3 === 1, lit(".1")).otherwise(lit(".12"))))
+      .when(pk % 4 === 2, lpad((pk % 99999).cast("string"), 5, "0"))
+      .otherwise(lpad((pk % 999).cast("string"), 4, "0"))
+    val sys = when(pk % 4 === 0, "ICD10CM").when(pk % 4 === 1, "ICD9CM")
+      .when(pk % 4 === 2, "CPT").otherwise("UBREV")
+    val years = (2018 to 2024).map { y =>
+      val yearFrame = base.filter((pk + y) % 5 =!= 0).select(
+        concat(lit("VS "), (pk % 40).cast("string"))
+          .as("value_set_name"),
+        concat(lit("2.16.840.1."), (pk % 40).cast("string"))
+          .as("value_set_oid"),
+        code.as("code"), sys.as("code_system"))
+      y -> (if (y == 2018) yearFrame
+        else yearFrame.withColumn("value_set_version", lit(s"MY $y")))
+    }
+    graft.sources.RefTables.hedisValueSets(years)
+      .orderBy(col("year"), col("value_set_name"), col("code_system"),
+        col("code"))
+  }
+
+  /** §2.8/§2.9 RDA behavioral-health value-set refresh (q323,
+    * load_ref.rda_value_sets_apde.R steps 3-6b): version inference by
+    * code shape + desc regex, trailing/leading pads, padded-collision
+    * longest-raw pick, CCS→condition and drug-name→pharmacy sub-group
+    * lookups with the manual recodes and contains-fallbacks, the NO
+    * HARMS ICD-10 additions, existing-wins distinct-except-desc
+    * combine, the mh_disrupt removal, and the MOUD procedure append.
+    * Fixture plants: a pad-collision trio ('123'/'1230'/'12300' all
+    * padding to '12300' — longest raw wins), E-codes whose POISON-
+    * family desc flips them to ICD-9, messy-whitespace descs (squish),
+    * every pharmacy assignment path (map hit, priority collision,
+    * manual list, NALTREXONE/DISULFIRAM fallback, BRIXADI, one
+    * unmatched), prior-run rows that must win the dedupe, and
+    * mh_disrupt rows on the removal list. */
+  def q323RdaValueSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pk = col("pk")
+    // pk universe stays within sf0.001's part range so the planted
+    // pad-collision pairs (pk and pk+140 share pk%20 and nb, differ in
+    // the suffix selector) exist at every scale
+    val base = t(s, dir, "part")
+      .select((col("p_partkey") % 200).as("pk")).distinct()
+    val nb = pk % 7
+    val fcode = concat(lit("F"), lpad((pk % 329).cast("string"), 3, "0"))
+    val rxDesc = when(pk % 8 === 0, "ACAMPROSATE  calcium")
+      .when(pk % 8 === 1, "sertraline HCL")
+      .when(pk % 8 === 2, "NALTREXONE HCL 50MG")
+      .when(pk % 8 === 3, "BRIXADI")
+      .when(pk % 8 === 4, "METHYLPHENIDATE")
+      .when(pk % 8 === 5, "LOREEV XR")
+      .when(pk % 8 === 6, "DISULFIRAM TAB")
+      .otherwise("VITAMIN D")
+    val newRaw = base.select(
+      when(pk % 2 === 0, "mh").otherwise("sud").as("value_set_group"),
+      when(nb === 6, concat(lit("VS2 "), (pk % 20).cast("string")))
+        .otherwise(concat(lit("VS "), (pk % 20).cast("string")))
+        .as("value_set_name"),
+      when(nb.isin(0, 1, 2, 3, 6), "diagnosis")
+        .when(nb === 4, "pharmacy").otherwise("procedure")
+        .as("data_source_type"),
+      when(nb.isin(0, 1, 2, 3, 6), "ICDCM")
+        .when(nb === 4, "NDC").otherwise("HCPCS").as("code_set"),
+      when(nb === 0, concat(lpad((pk % 20).cast("string"), 3, "0"),
+          when(expr("pk div 20") % 3 === 0, "")
+            .when(expr("pk div 20") % 3 === 1, "0")
+            .otherwise("00")))
+        .when(nb === 1,
+          concat(lit("E"), lpad((pk % 80).cast("string"), 3, "0")))
+        .when(nb === 2,
+          concat(lit("V"), lpad((pk % 90).cast("string"), 2, "0")))
+        .when(nb.isin(3, 6), fcode)
+        .when(nb === 4,
+          lpad(((pk * 7) % 99999999).cast("string"),
+            (lit(7) + pk % 5).cast("int"), lit("0")))
+        .otherwise(concat(lit("H"), lpad((pk % 9999).cast("string"),
+          4, "0"))).as("code"),
+      when(nb === 1, when(pk % 2 === 0, "accidental   poisoning  event")
+          .otherwise("allergy note"))
+        .when(nb === 4, rxDesc)
+        .otherwise(concat(lit("dx  code "), pk.cast("string")))
+        .as("desc"))
+    // prior run: the nb=3 slice's post-pipeline rows (existing wins the
+    // dedupe, keeping its PRIOR desc), plus mh_disrupt removal targets
+    val exF = base.filter(nb === 3 && pk % 2 === 0).select(
+      lit("mh").as("value_set_group"),
+      concat(lit("VS "), (pk % 20).cast("string")).as("value_set_name"),
+      lit("diagnosis").as("data_source_type"),
+      lit("ICD10CM").as("code_set"), fcode.as("code"),
+      concat(lit("PRIOR DESC "), pk.cast("string")).as("desc"),
+      lit(10).cast("int").as("icdcm_version"),
+      when(pk % 329 % 2 === 0, "mh_anxiety").otherwise("mh_adjustment")
+        .as("sub_group_condition"),
+      lit(null).cast("string").as("sub_group_pharmacy"))
+    val disrupt = Seq("F068", "F09", "F488", "F54")
+      .toDF("code")
+      .select(lit("mh").as("value_set_group"),
+        lit("VS-DISRUPT").as("value_set_name"),
+        lit("diagnosis").as("data_source_type"),
+        lit("ICD10CM").as("code_set"), col("code"),
+        lit("DISRUPT DESC").as("desc"),
+        lit(10).cast("int").as("icdcm_version"),
+        lit("mh_disrupt").as("sub_group_condition"),
+        lit(null).cast("string").as("sub_group_pharmacy"))
+    val existing = exF.unionByName(disrupt)
+    // icdcm ref: one row per reachable normalized code + a NO HARMS
+    // subset (the rest of the 66 stay desc-less)
+    val refF = base.select(fcode.as("icdcm"),
+        lit(10).cast("int").as("icdcm_version"),
+        when(pk % 329 % 2 === 0, "MBD005").otherwise("5.1")
+          .as("ccs_detail_code"),
+        concat(lit("F desc "), (pk % 329).cast("string"))
+          .as("icdcm_description")).distinct()
+    val refD = base.select(
+      concat(lpad((pk % 20).cast("string"), 3, "0"), lit("00"))
+        .as("icdcm"),
+      lit(9).cast("int").as("icdcm_version"),
+      lit("SKN002").as("ccs_detail_code"),
+      concat(lit("Nine desc "), (pk % 20).cast("string"))
+        .as("icdcm_description")).distinct()
+    val refE9 = base.select(
+      concat(lit("E"), lpad((pk % 80).cast("string"), 3, "0"), lit("0"))
+        .as("icdcm"),
+      lit(9).cast("int").as("icdcm_version"),
+      lit("5.1").as("ccs_detail_code"),
+      concat(lit("E9 desc "), (pk % 80).cast("string"))
+        .as("icdcm_description")).distinct()
+    val refE10 = base.select(
+      concat(lit("E"), lpad((pk % 80).cast("string"), 3, "0"))
+        .as("icdcm"),
+      lit(10).cast("int").as("icdcm_version"),
+      lit("5.2").as("ccs_detail_code"),
+      concat(lit("E10 desc "), (pk % 80).cast("string"))
+        .as("icdcm_description")).distinct()
+    val refNh = Seq(
+      ("T43652", "MBD012", "Poisoning by SSRI self-harm"),
+      ("X75XXX", "MBD012", "Self-harm by explosive material"),
+      ("T4992X", "MBD012", "Poisoning topical agent self-harm"),
+      ("X72XXX", "MBD012", "Self-harm by handgun discharge"))
+      .toDF("icdcm", "ccs_detail_code", "icdcm_description")
+      .select(col("icdcm"), lit(10).cast("int").as("icdcm_version"),
+        col("ccs_detail_code"), col("icdcm_description"))
+    val icdcmRef = refF.unionByName(refD).unionByName(refE9)
+      .unionByName(refE10).unionByName(refNh)
+    val ccsMap = Seq(("MBD005", "mh_anxiety"), ("5.1", "mh_adjustment"),
+      ("5.2", "mh_anxiety"), ("SKN002", "mh_anxiety"),
+      ("MBD012", "mh_other"))
+      .toDF("ccs_detail_code", "sub_group_condition")
+    // NALTREXONE MICROSPHERES sits in two groups -> min-priority wins
+    val pharmacyMap = Seq(
+      ("ACAMPROSATE CALCIUM", "Acamprosate"),
+      ("SERTRALINE HCL", "Antidepressants Rx"),
+      ("NALTREXONE MICROSPHERES", "Naltrexone"),
+      ("NALTREXONE MICROSPHERES", "Antidepressants Rx"))
+      .toDF("desc_1", "sub_group_pharmacy")
+    val moudProc = Seq(("H0020", "Methadone administration"),
+      ("H0033", "Oral medication administration"),
+      ("J0571", "Buprenorphine oral 1mg"))
+      .toDF("procedure_code", "desc")
+    graft.sources.RefTables.rdaValueSets(existing, newRaw, icdcmRef,
+        ccsMap, pharmacyMap, moudProc)
+      .orderBy(col("data_source_type"), col("code_set"),
+        col("value_set_name"), col("code"), col("desc"))
+  }
+
+  /** §2.1 FDA NDC product directory load (q324,
+    * load_ref.fda_ndc_product.R:38-50): the all-VARCHAR read and the
+    * U+FFFD mojibake strip on LABELERNAME. Fixture plants replacement
+    * characters mid-name on part % 9 rows. */
+  def q324FdaNdcProduct(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("p_partkey")
+    val raw = t(s, dir, "part").select(
+      concat(lit("P"), (pk % 5000).cast("string")).as("productid"),
+      concat(lpad((pk % 99999).cast("string"), 5, "0"), lit("-"),
+        lpad((pk % 999).cast("string"), 3, "0")).as("productndc"),
+      when(pk % 3 === 0, "HUMAN PRESCRIPTION DRUG")
+        .otherwise("HUMAN OTC DRUG").as("producttypename"),
+      col("p_name").as("proprietaryname"),
+      when(pk % 9 === 0,
+          concat(lit("ACME� PHARMA� "),
+            (pk % 70).cast("string")))
+        .otherwise(concat(lit("ACME PHARMA "), (pk % 70).cast("string")))
+        .as("labelername"),
+      col("p_type").as("substancename"))
+    graft.sources.RefTables.fdaNdcProduct(raw)
+      .orderBy(col("productndc"), col("productid"))
+  }
 }

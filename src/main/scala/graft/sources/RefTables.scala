@@ -539,4 +539,384 @@ object RefTables {
           .as("carr_clm_blg_npi_num")),
         col("submitter_clm_control_num") === col("clm_id"), "left")
       .select(col("claim_header_id"), col("carr_clm_blg_npi_num"))
+
+  /** ref.provider_nppes_apde_load
+    * (ref/tables/load_ref.provider_nppes_apde_load.R:31-166, fed by
+    * load_ref.provider_nppes_load.R:46-49's comma-scrub of the raw CMS
+    * download): the NPPES provider master reshape —
+    *
+    *  steps 1-2  both 15-slot column families (taxonomy codes +
+    *             primary switches) unpivoted to long DISTINCT rows
+    *             (posexplode over an array literal stands in for T-SQL
+    *             UNPIVOT, which drops NULL slots — the isNotNull
+    *             filter replicates that);
+    *  steps 3-4  joined on (npi, slot), collapsed to DISTINCT
+    *             (npi, taxonomy) with primary = max('Y'), then
+    *             RANKed primary-first / taxonomy-A-Z;
+    *  step 5     three taxonomy fields per NPI via the reference's
+    *             three filtered self-joins — arm one is
+    *             `primary_flag = 1 OR taxonomy_number = 1`, so an NPI
+    *             whose switches mark SEVERAL primaries fans out to
+    *             several rows (a reference quirk kept deliberately:
+    *             the battery fixture plants one such NPI);
+    *  final      geo_wa ('WA'/'WASHINGTON'), the SHA2-256 geo_hash_raw
+    *             over UPPER(add1|add2|city|state|zip5) with T-SQL
+    *             CONCAT's NULL-as-empty semantics (coalesce per part)
+    *             and CONVERT-style-2 uppercase hex, date casts, and
+    *             deactivation_flag = organization-typeless NPI with a
+    *             deactivation date.
+    *
+    * Scale: the unpivots are row-local explodes (15× fan-out, no
+    * shuffle); the collapse/rank partition on npi (high-cardinality);
+    * the three-arm pivot joins and the final attach are all npi-keyed
+    * equi-joins. The comma scrub is applied to every string column
+    * first, as the raw loader does to the whole frame. */
+  /** claims.ref_hedis_value_sets_apde
+    * (ref/tables/load_claims.ref_hedis_value_sets_apde_2018-2023.R
+    * steps 2-3, identically load_claims.ref_hedis_value_sets_apde_2024
+    * .R:157-176 / _2025.R): the QRS value-set master — per-measurement-
+    * year sheet frames bound rows-wise (unionByName with NULL padding,
+    * the bind_rows analog — early years lack columns later years
+    * carry), then the ICD normalization that aligns HEDIS codes with
+    * the claims tables: punctuation stripped from ICD-9/10-CM codes
+    * only, and ICD-9-CM codes padded to five digits with TRAILING
+    * zeroes (3→+'00', 4→+'0'). Other code systems pass through
+    * untouched. The reference's interactive length probes (ICD9 = 5,
+    * ICD10 in 3-7, NDC = 11) become the HedisSpec contract. */
+  def hedisValueSets(byYear: Seq[(Int, DataFrame)]): DataFrame = {
+    val unioned = byYear.map { case (y, df) =>
+      df.select(lit(y).as("year") +: df.columns.map(col): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    unioned
+      .withColumn("code",
+        when(col("code_system").isin("ICD10CM", "ICD9CM"),
+          regexp_replace(col("code"), "\\p{Punct}", ""))
+        .otherwise(col("code")))
+      .withColumn("code",
+        when(col("code_system") === "ICD9CM" &&
+          length(col("code")) === 3, concat(col("code"), lit("00")))
+        .when(col("code_system") === "ICD9CM" &&
+          length(col("code")) === 4, concat(col("code"), lit("0")))
+        .otherwise(col("code")))
+  }
+
+  /** claims.ref_rda_value_sets_apde refresh
+    * (ref/tables/load_ref.rda_value_sets_apde.R steps 3-6b) — the
+    * behavioral-health value-set master rebuild:
+    *
+    *  step 3   desc → upper + squish; ICDCM version inference by code
+    *           shape (digit → ICD9CM; ^E plus a POISON/INJURY-family
+    *           desc regex → ICD9CM — replicated WITHOUT the
+    *           reference's dead `\n INJ` alternation branch, which
+    *           contains a literal newline and can never match;
+    *           ^V → ICD9CM; other ^alpha → ICD10CM); ICD-9 trailing-
+    *           zero pad to 5; NDC leading-zero pad to 11; DISTINCT;
+    *           then the padded-collision resolution — per CODE, keep
+    *           the row whose RAW code was longest (the reference's
+    *           rank(ties = 'first') depends on frame order; we break
+    *           ties by raw code ascending for determinism);
+    *  step 4   sub_group_condition for diagnosis rows via the CCS
+    *           detail category of ref.icdcm_codes — the reference's
+    *           ~200-branch case_when re-expressed as a broadcast
+    *           lookup dim (ccsMap), data instead of code;
+    *  step 5   sub_group_pharmacy for pharmacy rows via the drug-name
+    *           map (first-match priority preserved by a min-priority
+    *           collapse), the manual recode lists, the NALTREXONE /
+    *           DISULFIRAM contains-fallbacks and BRIXADI, then
+    *           pharmacy → condition;
+    *  step 5b  the NO HARMS ICD-10 self-harm additions, desc'd from
+    *           ref.icdcm_codes (right-join semantics: the addition
+    *           survives even without a ref match);
+    *  step 6   bind existing + new + additions, DISTINCT over every
+    *           column EXCEPT desc keeping the first in bind order
+    *           (existing wins), then the mh_disrupt manual removal;
+    *  step 6b  MOUD procedure codes appended (rbind.fill → NULL-pad
+    *           union) with the oud_dx1_flag list.
+    *
+    * Scale: one scan of each input; the collision window partitions on
+    * code; every lookup is a broadcast dim; the dedupe partitions on
+    * the full key tuple. */
+  def rdaValueSets(existing: DataFrame, newRaw: DataFrame,
+      icdcmRef: DataFrame, ccsMap: DataFrame,
+      pharmacyMap: DataFrame, moudProc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val squish = (c: Column) =>
+      trim(regexp_replace(upper(c), "\\s+", " "))
+    val injRegex = "POISON|INJURY|INJURIES|INJU|POIS|SELF"
+    val n0 = newRaw.withColumn("desc", squish(col("desc")))
+    val verInf =
+      when(col("code_set") === "ICDCM" && col("code").rlike("^[0-9]"),
+        "ICD9CM")
+      .when(col("code_set") === "ICDCM" && col("code").rlike("^E") &&
+        col("desc").rlike(injRegex), "ICD9CM")
+      .when(col("code_set") === "ICDCM" && col("code").rlike("^V"),
+        "ICD9CM")
+      .when(col("code_set") === "ICDCM" &&
+        col("code").rlike("^[A-Za-z]"), "ICD10CM")
+      .otherwise(col("code_set"))
+    val padded = n0.withColumn("code_set", verInf)
+      .withColumn("code_raw", col("code"))
+      .withColumn("code",
+        when(col("code_set") === "ICD9CM" && length(col("code")) === 3,
+          concat(col("code"), lit("00")))
+        .when(col("code_set") === "ICD9CM" && length(col("code")) === 4,
+          concat(col("code"), lit("0")))
+        .when(col("code_set") === "NDC" &&
+          length(col("code")).between(7, 10),
+          lpad(col("code"), 11, "0"))
+        .otherwise(col("code")))
+      .distinct()
+    val n1 = padded
+      .withColumn("code_raw_len",
+        when(col("code_set").isin("ICD9CM", "ICD10CM"),
+          length(col("code_raw"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("code"))
+        .orderBy(col("code_raw_len").desc_nulls_last,
+          col("code_raw").asc)))
+      .filter(col("code_raw_len").isNull || col("rk") === 1)
+      .drop("code_raw", "code_raw_len", "rk")
+      .withColumn("icdcm_version",
+        when(col("code_set") === "ICD9CM", 9)
+          .when(col("code_set") === "ICD10CM", 10).cast("int"))
+    // step 4: CCS category -> condition sub-group
+    val refDim = icdcmRef.select(col("icdcm"),
+      col("icdcm_version").as("ref_ver"), col("ccs_detail_code"))
+    val ccsDim = ccsMap.select(col("ccs_detail_code").as("ccs_m"),
+      col("sub_group_condition").as("sgc_m"))
+    val withCcs = n1
+      .join(broadcast(refDim), col("code") === col("icdcm") &&
+        col("icdcm_version") === col("ref_ver"), "left")
+      .join(broadcast(ccsDim), col("ccs_detail_code") === col("ccs_m"),
+        "left")
+      .withColumn("sub_group_condition",
+        when(col("icdcm_version").isNotNull, col("sgc_m")))
+      .drop("icdcm", "ref_ver", "ccs_detail_code", "ccs_m", "sgc_m")
+    // step 5: pharmacy sub-groups (first-match priority)
+    val groupNames = Seq(
+      "Acamprosate" -> "pharm_acamprosate",
+      "Disulfiram" -> "pharm_disulfiram",
+      "ADHD Rx" -> "pharm_adhd",
+      "Antianxiety Rx" -> "pharm_antianxiety",
+      "Antidepressants Rx" -> "pharm_antidepressant",
+      "Antimania Rx" -> "pharm_antimania",
+      "Antipsychotic Rx" -> "pharm_antipsychotic",
+      "Buprenorphine-Naloxone" -> "pharm_buprenorphine_naloxone",
+      "Buprenorphine" -> "pharm_buprenorphine",
+      "Naltrexone" -> "pharm_naltrexone_rx")
+    val prio = groupNames.map(_._1).zipWithIndex.toMap
+    val prioCol = groupNames.map(_._1).foldLeft(lit(999)) { (acc, g) =>
+      when(col("sub_group_pharmacy_src") === g, prio(g)).otherwise(acc)
+    }
+    val sgpName = groupNames.foldLeft(lit(null).cast("string")) {
+      case (acc, (g, p)) =>
+        when(col("sub_group_pharmacy_src") === g, p).otherwise(acc)
+    }
+    val pmap = pharmacyMap
+      .select(col("desc_1"),
+        col("sub_group_pharmacy").as("sub_group_pharmacy_src"))
+      .withColumn("p", prioCol)
+      .groupBy(col("desc_1"))
+      .agg(min(struct(col("p"), col("sub_group_pharmacy_src"))).as("m"))
+      .select(col("desc_1"),
+        col("m.sub_group_pharmacy_src").as("sub_group_pharmacy_src"))
+      .withColumn("sgp_mapped", sgpName).drop("sub_group_pharmacy_src")
+    val isRx = col("data_source_type") === "pharmacy"
+    val manualAdhd = Seq("METHYLPHENIDATE", "DICLOFENAC SODIUM DR",
+      "LISDEXAMFETAMINE DIMESYLATE", "GUANFACINE HYDROCHLORIDE ER",
+      "RELEXXII", "AMPHETAMINE/DEXTROAMPHETAMINE ER")
+    val manualAntidep = Seq("VILAZODONE HYDROCHLORIDE",
+      "VENLAFAXINE BESYLATE ER", "ABILIFY MYCITE STARTER KIT",
+      "ABILIFY MYCITE MAINTENANCE KIT", "AUVELITY", "ZURZUVAE")
+    val manualAntipsy = Seq("INVEGA HAFYERA",
+      "LURASIDONE HYDROCHLORIDE", "RYKINDO", "RISPERIDONE ER", "UZEDY",
+      "ABILIFY ASIMTUFII")
+    val withRx0 = withCcs
+      .join(broadcast(pmap), col("desc") === col("desc_1"), "left")
+      .withColumn("sub_group_pharmacy", when(isRx, col("sgp_mapped")))
+      .drop("desc_1", "sgp_mapped")
+    val sgp = col("sub_group_pharmacy")
+    val withRx = withRx0.withColumn("sub_group_pharmacy",
+      when(isRx && sgp.isNull && col("desc").isin(manualAdhd: _*),
+        "pharm_adhd")
+      .when(isRx && sgp.isNull && col("desc").isin(manualAntidep: _*),
+        "pharm_antidepressant")
+      .when(isRx && sgp.isNull && col("desc").isin(manualAntipsy: _*),
+        "pharm_antipsychotic")
+      .when(isRx && sgp.isNull && col("desc") === "LOREEV XR",
+        "pharm_antianxiety")
+      .when(isRx && sgp.isNull && col("desc").contains("NALTREXONE"),
+        "pharm_naltrexone_rx")
+      .when(isRx && sgp.isNull && col("desc").contains("DISULFIRAM"),
+        "pharm_disulfiram")
+      .when(isRx && sgp.isNull && col("desc") === "BRIXADI",
+        "pharm_buprenorphine")
+      .otherwise(sgp))
+    val rxCond = Map(
+      "pharm_acamprosate" -> "sud_alcohol",
+      "pharm_disulfiram" -> "sud_alcohol",
+      "pharm_adhd" -> "mh_adhd",
+      "pharm_antianxiety" -> "mh_anxiety",
+      "pharm_antidepressant" -> "mh_depression",
+      "pharm_antimania" -> "mh_mania_bipolar",
+      "pharm_antipsychotic" -> "mh_psychotic",
+      "pharm_buprenorphine_naloxone" -> "sud_opioid",
+      "pharm_buprenorphine" -> "sud_opioid",
+      "pharm_naltrexone_rx" -> "sud_opioid")
+    val rxCondCol = rxCond.toSeq.sortBy(_._1)
+      .foldLeft(col("sub_group_condition")) { case (acc, (g, c)) =>
+        when(isRx && col("sub_group_pharmacy") === g, c).otherwise(acc)
+      }
+    val newFinal = withRx.withColumn("sub_group_condition", rxCondCol)
+    // step 5b: NO HARMS additions, desc from the icdcm ref
+    val descDim = icdcmRef.select(col("icdcm").as("nh_icdcm"),
+      col("icdcm_version").as("nh_ver"),
+      upper(col("icdcm_description")).as("nh_desc"))
+    val ss = existing.sparkSession
+    import ss.implicits._
+    val extra = NoHarmsCodes.toDF("code")
+      .select(lit("mh").as("value_set_group"),
+        lit("apde-added-diagnosis").as("value_set_name"),
+        lit("diagnosis").as("data_source_type"),
+        lit("ICD10CM").as("code_set"), col("code"),
+        lit(10).cast("int").as("icdcm_version"),
+        lit("mh_other").as("sub_group_condition"))
+      .join(broadcast(descDim), col("code") === col("nh_icdcm") &&
+        col("icdcm_version") === col("nh_ver"), "left")
+      .withColumn("desc", col("nh_desc"))
+      .drop("nh_icdcm", "nh_ver", "nh_desc")
+    // step 6: bind + distinct-except-desc keeping first in bind order
+    val cols = Seq("value_set_group", "value_set_name",
+      "data_source_type", "code_set", "code", "desc", "icdcm_version",
+      "sub_group_condition", "sub_group_pharmacy")
+    def conform(df: DataFrame, priority: Int): DataFrame = {
+      val have = df.columns.toSet
+      df.select(cols.map(c =>
+          if (have(c)) col(c)
+          else lit(null).cast(if (c == "icdcm_version") "int"
+            else "string").as(c)): _*)
+        .withColumn("bind_priority", lit(priority))
+    }
+    val keyCols = cols.filterNot(_ == "desc").map(col)
+    val bound = conform(existing, 0)
+      .unionByName(conform(newFinal, 1))
+      .unionByName(conform(extra, 2))
+      .withColumn("dk", row_number().over(
+        Window.partitionBy(keyCols: _*)
+          .orderBy(col("bind_priority").asc,
+            col("desc").asc_nulls_last)))
+      .filter(col("dk") === 1).drop("dk", "bind_priority")
+    val disruptFix = Seq("F068", "F09", "F488", "F489", "F54", "F59",
+      "F938", "F939", "F989", "F99", "O9934", "O99340", "O99341",
+      "O99342", "O99343", "O99344", "O99345")
+    val cleaned = bound.filter(!(col("code").isin(disruptFix: _*) &&
+      col("sub_group_condition") === "mh_disrupt"))
+    // step 6b: MOUD procedure codes (rbind.fill)
+    val oudDx1 = Seq("H0033", "96372", "11981", "11983", "G0516",
+      "G0518", "G2073", "J2315")
+    val moud = moudProc.select(lit("sud").as("value_set_group"),
+      lit("apde-moud-procedure").as("value_set_name"),
+      lit("procedure").as("data_source_type"),
+      lit("HCPCS").as("code_set"),
+      col("procedure_code").as("code"),
+      upper(col("desc")).as("desc"),
+      lit("sud_opioid").as("sub_group_condition"),
+      when(col("procedure_code").isin(oudDx1: _*), 1).otherwise(0)
+        .as("oud_dx1_flag"))
+    cleaned.withColumn("oud_dx1_flag", lit(null).cast("int"))
+      .unionByName(moud, allowMissingColumns = true)
+  }
+
+  /** The 66 NO HARMS ICD-10-CM self-harm codes
+    * (load_ref.rda_value_sets_apde.R:915-928). private[graft] so the
+    * q323 oracle is generated from the same constant. */
+  private[graft] val NoHarmsCodes: Seq[String] = Seq(
+    "T43652", "T43652A", "T43652D", "T43652S", "T45AX2A", "T45AX2D",
+    "T45AX2S", "T4792X", "X738XX", "X739XX", "X7401X", "X7402X",
+    "X7409X", "X748XX", "X749XX", "X75XXX", "X76XXX", "X770XX",
+    "X771XX", "T4592X", "X710XX", "X711XX", "X712XX", "X713XX",
+    "X718XX", "X719XX", "X72XXX", "X730XX", "T3692X", "T3792X",
+    "T3992X", "X781XX", "X782XX", "X788XX", "X789XX", "X79XXX",
+    "X80XXX", "X810XX", "X811XX", "X818XX", "X820XX", "X821XX",
+    "X822XX", "X828XX", "X830XX", "X731XX", "X732XX", "X838XX",
+    "X772XX", "X773XX", "X778XX", "X779XX", "X780XX", "T1491X",
+    "T56822A", "T56822D", "T56822S", "X831XX", "X832XX", "T40412",
+    "T40422", "T40492", "T4272X", "T4392X", "T4142X", "T4992X")
+
+  /** ref.fda_ndc_product (ref/tables/load_ref.fda_ndc_product.R:38-50):
+    * the FDA NDC directory load — every column read as VARCHAR (the
+    * `col_types = "ccc…"` read), and the one data repair the reference
+    * makes: the U+FFFD replacement characters that mojibake'd labeler
+    * names on download are stripped from LABELERNAME. The row-count QA
+    * (raw n == loaded n) holds by construction here — the load is a
+    * projection — and is pinned by the catalog row's own row check. */
+  def fdaNdcProduct(raw: DataFrame): DataFrame =
+    raw.withColumn("labelername",
+      regexp_replace(col("labelername"), "�", ""))
+
+  def nppesApdeLoad(nppesRaw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nppes0 = nppesRaw.select(nppesRaw.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        regexp_replace(col(f.name), ",", "").as(f.name)
+      else col(f.name)
+    }: _*)
+    val nppes = nppes0.withColumn("npi", col("npi").cast("bigint"))
+    def slotLong(prefix: String, valName: String) =
+      nppes.select(col("npi"),
+          posexplode(array((1 to 15).map(i =>
+            col(s"${prefix}_$i").cast("string")): _*))
+            .as(Seq("slot0", valName)))
+        .select(col("npi"), (col("slot0") + 1).as("slot"), col(valName))
+        .filter(col(valName).isNotNull).distinct()
+    val taxLong = slotLong("healthcare_provider_taxonomy_code",
+      "taxonomy")
+    val priLong = slotLong("healthcare_provider_primary_taxonomy_switch",
+      "primary_flag_raw")
+    val joined = taxLong.join(priLong, Seq("npi", "slot"), "left")
+    val collapsed = joined.groupBy(col("npi"), col("taxonomy"))
+      .agg(max(when(col("primary_flag_raw") === "Y", 1).otherwise(0))
+        .as("primary_flag"))
+    val ranked = collapsed.withColumn("taxonomy_number",
+      rank().over(Window.partitionBy(col("npi"))
+        .orderBy(col("primary_flag").desc, col("taxonomy").asc)))
+    val a = ranked.filter(col("primary_flag") === 1 ||
+        col("taxonomy_number") === 1)
+      .select(col("npi"), col("taxonomy").as("taxonomy_1"),
+        col("primary_flag").as("taxonomy_primary_flag"))
+    val b = ranked.filter(col("taxonomy_number") === 2)
+      .select(col("npi").as("npi_b"), col("taxonomy").as("taxonomy_2"))
+    val c = ranked.filter(col("taxonomy_number") === 3)
+      .select(col("npi").as("npi_c"), col("taxonomy").as("taxonomy_3"))
+    val taxFinal = a
+      .join(b, col("npi") === col("npi_b"), "left")
+      .join(c, col("npi") === col("npi_c"), "left")
+      .select(col("npi").as("tax_npi"), col("taxonomy_1"),
+        col("taxonomy_2"), col("taxonomy_3"),
+        col("taxonomy_primary_flag"))
+    val st = upper(col("address_practice_state"))
+    val hashInput = upper(concat(
+      coalesce(col("address_practice_first"), lit("")), lit("|"),
+      coalesce(col("address_practice_second"), lit("")), lit("|"),
+      coalesce(col("address_practice_city"), lit("")), lit("|"),
+      coalesce(col("address_practice_state"), lit("")), lit("|"),
+      coalesce(substring(col("address_practice_zip_code"), 1, 5),
+        lit(""))))
+    nppes.select(col("npi"), col("entity_type_code"), col("name_org"),
+        col("name_last"), col("name_first"),
+        col("address_practice_first"), col("address_practice_second"),
+        col("address_practice_city"), col("address_practice_state"),
+        col("address_practice_zip_code"),
+        when(st === "WA" || st === "WASHINGTON", 1).otherwise(0)
+          .as("geo_wa"),
+        upper(sha2(hashInput, 256)).as("geo_hash_raw"),
+        col("enumeration_date").cast("date").as("enumeration_date"),
+        col("last_update").cast("date").as("last_update"),
+        when(col("entity_type_code").isNull &&
+          col("deactivation_date").isNotNull, 1).otherwise(0)
+          .as("deactivation_flag"),
+        col("deactivation_date").cast("date").as("deactivation_date"),
+        col("gender_code"))
+      .join(taxFinal, col("npi") === col("tax_npi"), "left")
+      .drop("tax_npi")
+  }
 }
