@@ -517,6 +517,8 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q323RdaValueSets _),
     "q324_fda_ndc_product" ->
       (graft.queries.LifecycleQueries.q324FdaNdcProduct _),
+    "q325_apcd_timevar_month_qa" ->
+      (graft.queries.ClaimQaQueries.q325ApcdTimevarMonthQa _),
   )
 
   /** q323 oracle — replays the RDA refresh over the q323 fixture; the
@@ -5226,7 +5228,22 @@ object SparkEntry {
             lpad(CAST(o_custkey % 30 AS VARCHAR), 3, '0') END AS geo_zip,
           CASE WHEN o_orderkey % 7 <> 6 AND o_custkey % 30 < 27
             THEN 'ACH-' || CAST((o_custkey % 30) % 5 AS VARCHAR) END
-            AS geo_ach
+            AS geo_ach,
+          CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS dual,
+          CAST(o_orderkey % 4 AS INT) AS bsp_group_cid,
+          CASE WHEN o_orderkey % 7 <> 6 AND o_custkey % 30 < 27 THEN 1
+            ELSE 0 END AS geo_wa,
+          CASE WHEN o_orderkey % 7 <> 6 THEN
+            (CASE WHEN o_custkey % 30 < 8 THEN 'King'
+              WHEN o_custkey % 30 < 27 THEN 'County-' ||
+                CAST((o_custkey % 30) % 6 AS VARCHAR) END) END
+            AS geo_county,
+          CASE WHEN o_orderkey % 8 < 2 THEN 1 ELSE 0 END
+            AS dental_medicaid,
+          CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END
+            AS dental_medicare,
+          CASE WHEN o_orderkey % 5 = 2 THEN 1 ELSE 0 END
+            AS dental_commercial
         FROM orders),
       ov AS (SELECT * FROM tv
         WHERE from_date <= DATE '1995-12-31'
@@ -6325,6 +6342,71 @@ object SparkEntry {
           p_type AS substancename
         FROM part)
       ORDER BY productndc, productid""") +
+    // q325: timevar monthly member census — month allocation against
+    // the q290 dim, the King-Medicaid census with the reference's
+    // distinct-(id, month, dual, bsp) projection-then-count semantics,
+    // the nine coverage arms, and the per-covgrp census.
+    ("q325_apcd_timevar_month_qa" -> (dateDimOracleBody + ",\n      " +
+      ApcdPlrCtes + s""",
+      spine AS (
+        SELECT DISTINCT year_month AS ym, first_day_month,
+          last_day_month
+        FROM dim WHERE year_month BETWEEN 199201 AND 199812),
+      ovm AS (
+        SELECT t.*, s.ym FROM tv t JOIN spine s
+          ON t.from_date <= s.last_day_month
+          AND t.to_date >= s.first_day_month),
+      kc AS (
+        SELECT 'overall_medicaid_by_month' AS section,
+          'WA-APCD' AS data_source, 'Overall Medicaid' AS coverage,
+          ym AS year_month, CAST(count(*) AS BIGINT) AS id_dcount
+        FROM (SELECT DISTINCT id_apcd, ym, dual, bsp_group_cid
+          FROM ovm WHERE geo_county = 'King'
+            AND (med_medicaid = 1 OR pharm_medicaid = 1))
+        GROUP BY ym),
+      wa0 AS (
+        SELECT DISTINCT id_apcd, ym, med_medicaid, med_medicare,
+          med_commercial, pharm_medicaid, pharm_medicare,
+          pharm_commercial, dental_medicaid, dental_medicare,
+          dental_commercial
+        FROM ovm WHERE geo_wa = 1),
+      wac AS (
+        SELECT ym,
+          sum(CASE WHEN med_medicaid = 1 THEN 1 ELSE 0 END) AS c1,
+          sum(CASE WHEN med_medicare = 1 THEN 1 ELSE 0 END) AS c2,
+          sum(CASE WHEN med_commercial = 1 THEN 1 ELSE 0 END) AS c3,
+          sum(CASE WHEN pharm_medicaid = 1 THEN 1 ELSE 0 END) AS c4,
+          sum(CASE WHEN pharm_medicare = 1 THEN 1 ELSE 0 END) AS c5,
+          sum(CASE WHEN pharm_commercial = 1 THEN 1 ELSE 0 END) AS c6,
+          sum(CASE WHEN dental_medicaid = 1 THEN 1 ELSE 0 END) AS c7,
+          sum(CASE WHEN dental_medicare = 1 THEN 1 ELSE 0 END) AS c8,
+          sum(CASE WHEN dental_commercial = 1 THEN 1 ELSE 0 END) AS c9
+        FROM wa0 GROUP BY ym),
+      wa AS (
+        SELECT 'wa_by_month_coverage' AS section,
+          'WA-APCD' AS data_source, coverage, ym AS year_month,
+          CAST(id_dcount AS BIGINT) AS id_dcount
+        FROM (
+          SELECT ym, 'Medicaid medical' AS coverage, c1 AS id_dcount
+            FROM wac
+          UNION ALL SELECT ym, 'Medicare medical', c2 FROM wac
+          UNION ALL SELECT ym, 'Commercial medical', c3 FROM wac
+          UNION ALL SELECT ym, 'Medicaid pharmacy', c4 FROM wac
+          UNION ALL SELECT ym, 'Medicare pharmacy', c5 FROM wac
+          UNION ALL SELECT ym, 'Commercial pharmacy', c6 FROM wac
+          UNION ALL SELECT ym, 'Medicaid dental', c7 FROM wac
+          UNION ALL SELECT ym, 'Medicare dental', c8 FROM wac
+          UNION ALL SELECT ym, 'Commercial dental', c9 FROM wac)),
+      covg AS (
+        SELECT 'med_covgrp_census' AS section, 'WA-APCD' AS data_source,
+          CAST(med_covgrp AS VARCHAR) AS coverage,
+          CAST(NULL AS INT) AS year_month,
+          CAST(count(DISTINCT id_apcd) AS BIGINT) AS id_dcount
+        FROM tv GROUP BY med_covgrp)
+      SELECT * FROM (
+        SELECT * FROM kc UNION ALL SELECT * FROM wa
+        UNION ALL SELECT * FROM covg)
+      ORDER BY section, coverage, year_month""")) +
     ("q290_date_dim" -> (dateDimOracleBody + """
       SELECT * FROM dim ORDER BY "date"""")) +
     ("q291_date_dim_qa" -> (dateDimOracleBody + """,

@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Address cleaning + geocoding stage — the pipeline that mints every
   * geo_* column the eligibility builds consume
-  * (load_stage.address_clean_partial.R, load_stage.address_geocode.R):
+  * (load_stage.address_clean_partial.R — identically the
+  * stage/tables/load_stage_address_clean_partial.R wrapper whose
+  * step 1 is the same hash anti-join + Informatica export and step 2
+  * the manual-correction-aware append — and
+  * load_stage.address_geocode.R):
   *
   *  1. [[newAddresses]] — new-address detection: DISTINCT stage
   *     addresses anti-joined against the ref table's geo_hash_raw

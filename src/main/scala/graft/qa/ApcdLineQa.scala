@@ -441,6 +441,76 @@ object ApcdLineQa {
       .reduce(_ unionByName _)
   }
 
+  /** qa_stage.apcd_elig_timevar.sql: the monthly member-census review
+    * — the reference allocates every timevar segment to calendar
+    * months via an interval-overlap join against DISTINCT ref.date
+    * months, then tabulates members per month for outlier review: the
+    * King-County Medicaid cohort (#temp4, 2.5 min), and NINE separate
+    * per-coverage UNION queries over the WA cohort (#temp5, 35 min to
+    * stage + 9 min to tabulate). Here the nine arms fuse into ONE
+    * conditional-aggregation scan of the month-allocated frame, and
+    * the commented per-covgrp exemplar hunts become a distinct-member
+    * census per med_covgrp value.
+    *
+    * Replicated faithfully: the reference counts `count(id_apcd)`
+    * over the DISTINCT (id, month, flag-tuple) projection — a member
+    * whose segments carry different flag tuples inside one month is
+    * counted once per tuple, NOT once (the #temp4/#temp5 distinct
+    * precedes the count). The battery reproduces that projection
+    * exactly rather than "fixing" it to a distinct-member count.
+    *
+    * Scale: the month spine is dimension-sized (broadcast); the
+    * distinct projections and counts partition on (month) after a
+    * member-grain partial aggregation; nothing collects. */
+  def timevarMonthQa(timevar: DataFrame, dateDim: DataFrame,
+      ymLo: Int, ymHi: Int): DataFrame = {
+    val spine = dateDim.select(col("year_month").cast("int").as("ym"),
+        col("first_day_month"), col("last_day_month")).distinct()
+      .filter(col("ym").between(ymLo, ymHi))
+    val ov = timevar.join(broadcast(spine),
+      col("from_date") <= col("last_day_month") &&
+        col("to_date") >= col("first_day_month"))
+    val kc = ov.filter(col("geo_county") === "King" &&
+        (col("med_medicaid") === 1 || col("pharm_medicaid") === 1))
+      .select(col("id_apcd"), col("ym"), col("dual"),
+        col("bsp_group_cid")).distinct()
+      .groupBy(col("ym")).agg(count(lit(1)).as("id_dcount"))
+      .select(lit("overall_medicaid_by_month").as("section"),
+        lit("WA-APCD").as("data_source"),
+        lit("Overall Medicaid").as("coverage"),
+        col("ym").as("year_month"), col("id_dcount"))
+    val flags = Seq(
+      "Medicaid medical" -> "med_medicaid",
+      "Medicare medical" -> "med_medicare",
+      "Commercial medical" -> "med_commercial",
+      "Medicaid pharmacy" -> "pharm_medicaid",
+      "Medicare pharmacy" -> "pharm_medicare",
+      "Commercial pharmacy" -> "pharm_commercial",
+      "Medicaid dental" -> "dental_medicaid",
+      "Medicare dental" -> "dental_medicare",
+      "Commercial dental" -> "dental_commercial")
+    val aggs = flags.map { case (_, c) =>
+      sum(when(col(c) === 1, 1L).otherwise(0L)).as(c) }
+    val stackExpr = "stack(9, " + flags.map { case (n, c) =>
+      s"'$n', $c" }.mkString(", ") + ") AS (coverage, id_dcount)"
+    val wa = ov.filter(col("geo_wa") === 1)
+      .select(col("id_apcd") +: col("ym") +:
+        flags.map { case (_, c) => col(c) }: _*)
+      .distinct()
+      .groupBy(col("ym")).agg(aggs.head, aggs.tail: _*)
+      .select(col("ym"), expr(stackExpr))
+      .select(lit("wa_by_month_coverage").as("section"),
+        lit("WA-APCD").as("data_source"), col("coverage"),
+        col("ym").as("year_month"), col("id_dcount"))
+    val covg = timevar.groupBy(col("med_covgrp"))
+      .agg(count_distinct(col("id_apcd")).as("id_dcount"))
+      .select(lit("med_covgrp_census").as("section"),
+        lit("WA-APCD").as("data_source"),
+        col("med_covgrp").cast("string").as("coverage"),
+        lit(null).cast("int").as("year_month"), col("id_dcount"))
+    kc.unionByName(wa).unionByName(covg)
+  }
+
   /** qa_stage.apcd_claim_ccw_10009.sql: the reference line-level-QAs
     * one condition per phenotype class (lookback years × condition
     * type) by re-deriving that person's qualification from

@@ -67,7 +67,10 @@ object Qa {
   }
 
   /** Monotonic row count vs the prior load
-    * (qa_stage.mcaid_claim_header.R:150-199). */
+    * (qa_stage.mcaid_claim_header.R:150-199; the from-vs-to equality
+    * variant is db_loader/scripts_general/qa_load_sql.R:44-66 —
+    * qa_sql_row_count's PASS/FAIL note over COUNT_BIG of both sides,
+    * which [[loadGate]]/[[QaCheck]] carry as (observed, expected)). */
   def rowCountAtLeast(df: DataFrame, table: String, prior: Long): QaCheck = {
     val n = df.count()
     QaCheck(table, "rowcount_monotonic", n >= prior, n, prior)

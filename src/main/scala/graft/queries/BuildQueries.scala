@@ -3598,7 +3598,18 @@ object BuildQueries {
         // ach coherent with zip (the timevar build derives it from zip);
         // zips 27-29 have no ACH mapping
         when(ok % 7 =!= 6 && z < 27,
-          concat(lit("ACH-"), (z % 5).cast("string"))).as("geo_ach"))
+          concat(lit("ACH-"), (z % 5).cast("string"))).as("geo_ach"),
+        // the stage table's carried columns the q325 month-census
+        // battery reads (unused by the PLR build itself)
+        when(ok % 10 === 0, 1).otherwise(0).as("dual"),
+        (ok % 4).cast("int").as("bsp_group_cid"),
+        when(ok % 7 =!= 6 && z < 27, 1).otherwise(0).as("geo_wa"),
+        when(ok % 7 =!= 6, when(z < 8, "King")
+          .when(z < 27, concat(lit("County-"), (z % 6).cast("string"))))
+          .as("geo_county"),
+        when(ok % 8 < 2, 1).otherwise(0).as("dental_medicaid"),
+        when(ok % 9 === 0, 1).otherwise(0).as("dental_medicare"),
+        when(ok % 5 === 2, 1).otherwise(0).as("dental_commercial"))
       val ck = col("ck")
       val races = Seq("AI/AN", "Asian", "Black", "Latino", "NH/PI", "White",
         "Unknown")

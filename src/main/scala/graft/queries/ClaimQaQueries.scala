@@ -510,4 +510,20 @@ object ClaimQaQueries {
         BuildQueries.Ccw.icdcmRef(s), BuildQueries.Ccw.conds, "id_apcd")
       .orderBy(col("ccw_code"))
   }
+
+  /** §5 APCD elig_timevar monthly member census (q325,
+    * qa_stage.apcd_elig_timevar.sql): the 44-minute outlier review —
+    * month-allocation via interval overlap against the ref.date
+    * dimension (the q290 build), the King-Medicaid cohort census, the
+    * reference's nine per-coverage UNION scans fused into ONE
+    * conditional-aggregation pass, and a per-covgrp member census in
+    * place of the commented exemplar hunts
+    * ([[graft.qa.ApcdLineQa.timevarMonthQa]]). Audits the exact
+    * timevar frame the q166/q319 rows pin. */
+  def q325ApcdTimevarMonthQa(s: SparkSession, dir: String): DataFrame = {
+    val (tv, _, _) = BuildQueries.ApcdPlr.frames(s, dir)
+    val dim = graft.queries.LifecycleQueries.q290DateDim(s, dir)
+    graft.qa.ApcdLineQa.timevarMonthQa(tv, dim, 199201, 199812)
+      .orderBy(col("section"), col("coverage"), col("year_month"))
+  }
 }

@@ -220,6 +220,10 @@ class PlanSpec extends SparkSpec {
                      // scalar-accounting shape)
       "q275_pmi_collocations", // 1-row ntok/nbg totals crossed (q128
                                // shape) + the TopN rank self-join
+      "q325_apcd_timevar_month_qa", // month allocation: timevar x
+                                    // broadcast ~84-row month spine on
+                                    // interval overlap (the q114
+                                    // member-month-spine shape)
       "q286_chronic_meds") // regex-containment theta join: the curated
                            // med list is a broadcast dim probed by
                            // rlike against the DISTINCT drug-name
