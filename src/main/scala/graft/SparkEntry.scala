@@ -519,6 +519,18 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q324FdaNdcProduct _),
     "q325_apcd_timevar_month_qa" ->
       (graft.queries.ClaimQaQueries.q325ApcdTimevarMonthQa _),
+    "q326_icdcm_enrich" ->
+      (graft.queries.LifecycleQueries.q326IcdcmEnrich _),
+    "q327_ethnicity_map_load" ->
+      (graft.queries.LifecycleQueries.q327EthnicityMapLoad _),
+    "q328_claim_type_xwalk" ->
+      (graft.queries.LifecycleQueries.q328ClaimTypeXwalk _),
+    "q329_ahrq_value_set" ->
+      (graft.queries.LifecycleQueries.q329AhrqValueSet _),
+    "q330_nppes_load" ->
+      (graft.queries.LifecycleQueries.q330NppesLoad _),
+    "q331_mcare_ccw_tmp_qa" ->
+      (graft.queries.ClaimQaQueries.q331McareCcwTmpQa _),
   )
 
   /** q323 oracle — replays the RDA refresh over the q323 fixture; the
@@ -2405,18 +2417,18 @@ object SparkEntry {
         FROM newid)
 """
 
-  /** The q279 composed-pipeline oracle, GENERATED from the ten stage
-    * oracles the chain executes (the q246 discipline: the audit
-    * replays the exact pinned frames — here by string-composing each
-    * stage's own oracle SQL as a MATERIALIZED CTE, so the chain oracle
-    * can never drift from the per-stage oracles). Stage sequence = the
-    * deterministic Kahn order AnalyticPipeline.topoOrder derives from
-    * the csv-ordered declarations (see the runner's scaladoc); the
-    * mcaid_claim_header hard gate (master_mcaid_analytic.R:355-358)
-    * appears as a `pp_gate` CTE over the four claim-table checks —
-    * stages at/after the gate emit their verdict rows only when it
-    * holds and one 'aborted' row each when it does not, exactly the
-    * runner's stop() semantics (structural, not fixture-accidental). */
+  /** Composed-pipeline oracle for INLINE-promote chains (q278),
+    * GENERATED from the stage oracles the chain executes (the q246
+    * discipline: the audit replays the exact pinned frames — here by
+    * string-composing each stage's own oracle SQL as a MATERIALIZED
+    * CTE, so the chain oracle can never drift from the per-stage
+    * oracles). Stage sequence = the deterministic Kahn order
+    * AnalyticPipeline.topoOrder derives from the csv-ordered
+    * declarations (see the runner's scaladoc); a hard gate appears as
+    * a `pp_gate` CTE — stages at/after it emit their verdict rows
+    * only when it holds and one 'aborted' row each when it does not,
+    * exactly the runner's stop() semantics (structural, not
+    * fixture-accidental). */
   private def chainOracleSql(base: Map[String, String],
       stages: Seq[(Int, String, String)],
       gateSeqs: Seq[Int], gatedSeqs: Set[Int]): String = {
@@ -2452,22 +2464,98 @@ object SparkEntry {
     s"WITH $ctes$gate\n$arms\nORDER BY stage_seq, item"
   }
 
-  private def pipelineOracleSql(base: Map[String, String]): String =
-    chainOracleSql(base,
-      // (seq, table, stage-oracle key) in the runner's topo order
-      Seq(
-        (1, "mcaid_elig_demo", "q67_elig_demo"),
-        (2, "mcaid_elig_month", "q68_elig_month"),
-        (3, "mcaid_elig_timevar", "q64_elig_timevar"),
-        (4, "mcaid_claim_icdcm_header", "q79_claim_icdcm"),
-        (5, "mcaid_claim_line", "q169_mcaid_claim_stage"),
-        (6, "mcaid_claim_pharm", "q81_claim_pharm"),
-        (7, "mcaid_claim_procedure", "q80_claim_procedure"),
-        (8, "mcaid_claim_header", "q66_claim_header"),
-        (9, "mcaid_claim_bh", "q83_claim_bh"),
-        (10, "mcaid_claim_ccw", "q61_condition_loop")),
-      gateSeqs = Seq(4, 5, 6, 7), // the four claim tables
-      gatedSeqs = Set(8, 9, 10))  // header and everything after
+  /** The q279 oracle, round-13 shape: THIRTEEN stages (the master's
+    * full table list — moud/naloxone/preg_episode emit 11-13 in Kahn
+    * order), two verdict rows per stage (promote is DEFERRED), the
+    * mcaid_elig_demo_extra UPDATE step at seq 14 (flag ids = the
+    * composed q159 cascade oracle; update_rows pins cardinality
+    * preservation, update_flagged the flagged-row count), and the
+    * master script's fixed 13-entry STAGE→FINAL loop at seqs 15-27
+    * (promotes are UNCONDITIONAL — the loop has no QA gate, only the
+    * row-count compare). The header hard gate aborts stages 8-13,
+    * the update, and the whole promote loop — exactly the stop()
+    * blast radius. */
+  private def pipelineOracleSql(base: Map[String, String]): String = {
+    // (seq, table, stage-oracle key) in the runner's topo order
+    val stages = Seq(
+      (1, "mcaid_elig_demo", "q67_elig_demo"),
+      (2, "mcaid_elig_month", "q68_elig_month"),
+      (3, "mcaid_elig_timevar", "q64_elig_timevar"),
+      (4, "mcaid_claim_icdcm_header", "q79_claim_icdcm"),
+      (5, "mcaid_claim_line", "q169_mcaid_claim_stage"),
+      (6, "mcaid_claim_pharm", "q81_claim_pharm"),
+      (7, "mcaid_claim_procedure", "q80_claim_procedure"),
+      (8, "mcaid_claim_header", "q66_claim_header"),
+      (9, "mcaid_claim_bh", "q83_claim_bh"),
+      (10, "mcaid_claim_ccw", "q61_condition_loop"),
+      (11, "mcaid_claim_moud", "q92_claim_moud"),
+      (12, "mcaid_claim_naloxone", "q144_naloxone"),
+      (13, "mcaid_claim_preg_episode", "q84_preg_episode"))
+    val gateSeqs = Seq(4, 5, 6, 7)   // the four claim tables
+    val gatedSeqs = (8 to 13).toSet  // header and everything after
+    // promote-loop entries: (seq, table, its stage seq) in the
+    // master's hand-written order (master_mcaid_analytic.R:399-404)
+    val promotes = Seq(
+      (15, "mcaid_elig_demo", 1), (16, "mcaid_elig_timevar", 3),
+      (17, "mcaid_elig_month", 2), (18, "mcaid_claim_line", 5),
+      (19, "mcaid_claim_icdcm_header", 4),
+      (20, "mcaid_claim_procedure", 7), (21, "mcaid_claim_pharm", 6),
+      (22, "mcaid_claim_header", 8), (23, "mcaid_claim_naloxone", 12),
+      (24, "mcaid_claim_moud", 11),
+      (25, "mcaid_claim_preg_episode", 13),
+      (26, "mcaid_claim_ccw", 10), (27, "mcaid_claim_bh", 9))
+    val ctes = stages.map { case (i, _, key) =>
+      s"pp_s$i AS MATERIALIZED (${base(key)}),\n" +
+        s"pp_c$i AS (SELECT (SELECT count(*) FROM pp_s$i) AS n, " +
+        s"(SELECT count(*) FROM (SELECT DISTINCT * FROM pp_s$i)) AS d)"
+    }.mkString(",\n")
+    val gate = ",\npp_gate AS (SELECT " + gateSeqs.map(i =>
+      s"(SELECT n > 0 AND d = n FROM pp_c$i)").mkString(" AND ") +
+      " AS ok)"
+    val upd = s""",
+      pp_q159 AS MATERIALIZED (${base("q159_elig_demo_extra")}),
+      pp_upd AS (SELECT (SELECT n FROM pp_c1) AS nb,
+        (SELECT count(*) FROM pp_s1 WHERE user_id IN
+          (SELECT id_mcaid FROM pp_q159 WHERE noncisgender = 1))
+          AS fl)"""
+    val stageArms = stages.map { case (i, t, _) =>
+      val from = s"pp_c$i" + (if (gatedSeqs(i)) ", pp_gate WHERE pp_gate.ok"
+        else "")
+      val normal =
+        s"""SELECT CAST($i AS INT) AS stage_seq, '$t' AS table_name,
+          'load_gate' AS item, CAST(1 AS INT) AS pass,
+          n AS observed, CAST(0 AS BIGINT) AS expected FROM $from
+        UNION ALL SELECT CAST($i AS INT), '$t', 'distinct_rows',
+          CAST(CASE WHEN d = n THEN 1 ELSE 0 END AS INT), d, n FROM $from"""
+      if (gatedSeqs(i)) normal +
+        s"""
+        UNION ALL SELECT CAST($i AS INT), '$t', 'aborted',
+          CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM pp_gate WHERE NOT pp_gate.ok"""
+      else normal
+    }
+    val updArm =
+      s"""SELECT CAST(14 AS INT), 'mcaid_elig_demo_extra',
+          'update_rows', CAST(1 AS INT), nb, nb
+        FROM pp_upd, pp_gate WHERE pp_gate.ok
+        UNION ALL SELECT CAST(14 AS INT), 'mcaid_elig_demo_extra',
+          'update_flagged', CAST(1 AS INT), fl, nb
+        FROM pp_upd, pp_gate WHERE pp_gate.ok
+        UNION ALL SELECT CAST(14 AS INT), 'mcaid_elig_demo_extra',
+          'aborted', CAST(0 AS INT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT)
+        FROM pp_gate WHERE NOT pp_gate.ok"""
+    val promoArms = promotes.map { case (seq, t, sj) =>
+      s"""SELECT CAST($seq AS INT), '$t', 'promote_rows',
+          CAST(1 AS INT), n, n FROM pp_c$sj, pp_gate WHERE pp_gate.ok
+        UNION ALL SELECT CAST($seq AS INT), '$t', 'aborted',
+          CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM pp_gate WHERE NOT pp_gate.ok"""
+    }
+    val arms = (stageArms ++ Seq(updArm) ++ promoArms)
+      .mkString("\n        UNION ALL ")
+    s"WITH $ctes$gate$upd\n$arms\nORDER BY stage_seq, item"
+  }
 
   /** q278 oracle: the combined mcaid+mcare chain
     * (master_mcaid_mcare_analytic.R) — same composed-stage-oracle
@@ -2489,6 +2577,332 @@ object SparkEntry {
         (7, "mcaid_mcare_elig_demo", "q119_mcaid_mcare_demo"),
         (8, "mcaid_mcare_elig_timevar", "q118_mcaid_mcare_timevar")),
       gateSeqs = Nil, gatedSeqs = Set.empty)
+
+  /** The q282 ICD-CM order-file combine as a reusable CTE chain
+    * ending in `im_master` (icdcode, dx_description, ver) —
+    * `extraOldArms` lets q326 plant its D-code families into the
+    * `old` arm exactly as LifecycleQueries.icdcmMaster(plantD=true)
+    * does on the Spark side. */
+  private def icdcmMasterOracleCtes(extraOldArms: String): String = """
+      pks AS (SELECT DISTINCT p_partkey % 400 AS pk FROM part),
+      codes AS (
+        SELECT pk,
+          CASE WHEN pk % 3 = 0 THEN 'A' || lpad(CAST(pk AS VARCHAR), 4, '0')
+            WHEN pk % 3 = 1 THEN 'B' || lpad(CAST(pk AS VARCHAR), 4, '0')
+              || 'X'
+            ELSE 'C' || lpad(CAST(pk AS VARCHAR), 3, '0') END AS code
+        FROM pks),
+      lines AS (
+        SELECT y,
+          lpad(CAST(pk AS VARCHAR), 5, '0') || ' ' || rpad(code, 6, ' ')
+            || ' ' || CAST(pk % 2 AS VARCHAR) || '  '
+            || rpad(CASE WHEN pk % 5 = 0
+                THEN 'DESC ' || code || ' REV ' || CAST(y - 2019 AS VARCHAR)
+                ELSE 'DESC ' || code END, 61, ' ')
+            || 'LONGTAIL9' AS v1
+        FROM codes CROSS JOIN (VALUES (2019), (2020), (2021), (2022),
+          (2023)) t(y)
+        WHERE (pk + y) % 7 <> 0),
+      parsed AS (
+        SELECT y, substr(v1, 7, 6) AS icdcode_raw,
+          substr(v1, 17, 61) AS dx_raw
+        FROM lines),
+      dedup AS (
+        SELECT icdcode_raw, dx_raw, min(y) AS prio
+        FROM parsed GROUP BY 1, 2),
+      newt AS (
+        SELECT trim(icdcode_raw) AS icdcode, trim(dx_raw)
+          AS dx_description, 10 AS ver, prio
+        FROM dedup),
+      old AS (
+        SELECT '9' || lpad(CAST(pk AS VARCHAR), 3, '0') AS icdcode,
+          'ICD9 ' || lpad(CAST(pk AS VARCHAR), 3, '0') AS dx_description,
+          9 AS ver, -1 AS prio
+        FROM pks WHERE pk % 2 = 0
+        UNION ALL
+        SELECT code, 'OLD ' || code, 10, -1
+        FROM codes WHERE pk % 6 = 0""" + extraOldArms + """),
+      allr AS (SELECT * FROM old UNION ALL SELECT * FROM newt),
+      im_master AS (
+        SELECT icdcode, dx_description, CAST(ver AS INT) AS ver
+        FROM (SELECT *, row_number() OVER (PARTITION BY icdcode, ver
+            ORDER BY prio, dx_description) AS rn FROM allr)
+        WHERE rn = 1)"""
+
+  /** q326 oracle — the full load_ref.icdcm_codes.R enrichment
+    * replayed in DuckDB over the SAME fixture derivations: the master
+    * CTEs above (D families planted), fixture CTEs generated from
+    * [[graft.queries.IcdcmFixture]], the kernel's literal mapping
+    * tables rendered to CASE text by [[graft.sources.IcdcmEnrich]]'s
+    * SQL renderers (single definition, both sides), and the while
+    * loop unrolled to FOUR 6/5/4/3-digit fill passes (the fixture
+    * converges in two — extra passes are the identity, and a Spark
+    * run needing more than four would leave NULLs the compare
+    * catches). */
+  private def icdcmEnrichOracleSql: String = {
+    import graft.sources.IcdcmEnrich
+    import graft.queries.IcdcmFixture
+    val lp4 = "lpad(CAST(pk AS VARCHAR), 4, '0')"
+    val lp3 = "lpad(CAST(pk AS VARCHAR), 3, '0')"
+    val a5 = s"'A' || $lp4"
+    val b6 = s"'B' || $lp4 || 'X'"
+    val c4 = s"'C' || $lp3"
+    val n9 = s"'9' || $lp3"
+    def v10arm(m: Int, codeExpr: String, tag: String): String =
+      s"""SELECT $codeExpr AS code, 10 AS version,
+          'I10$tag-' || CAST(pk % 4 AS VARCHAR) AS intent,
+          'M10$tag-' || CAST(pk % 5 AS VARCHAR) AS mechanism,
+          'MF10$tag-' || CAST(pk % 6 AS VARCHAR) AS mechanism_full
+        FROM pks WHERE pk % 12 = $m"""
+    val extCte = s"""
+      ie_ext AS (
+        SELECT $n9 AS code, 9 AS version,
+          'I9-' || CAST(pk % 3 AS VARCHAR) AS intent,
+          'M9-' || CAST(pk % 5 AS VARCHAR) AS mechanism,
+          'MF9-' || CAST(pk % 7 AS VARCHAR) AS mechanism_full
+        FROM pks WHERE pk % 4 = 0
+        UNION ALL ${v10arm(1, b6, "F")}
+        UNION ALL ${v10arm(1, s"$b6 || 'D'", "D")}
+        UNION ALL ${v10arm(0, s"$a5 || 'XY'", "A")}
+        UNION ALL ${v10arm(4, s"$b6 || 'A'", "B")}
+        UNION ALL ${v10arm(7, s"$b6 || 'B'", "C1")}
+        UNION ALL ${v10arm(7, s"$b6 || 'C'", "C2")})"""
+    val ccwCte = s"""
+      ie_ccw AS (
+        SELECT $a5 AS dx, 10 AS ver, 'diabetes' AS ccw_abbrev
+        FROM pks WHERE pk % 15 = 0
+        UNION ALL SELECT $a5, 10, 'hypertension' FROM pks
+        WHERE pk % 30 = 0
+        UNION ALL SELECT $n9, 9, 'copd' FROM pks WHERE pk % 6 = 0
+        UNION ALL SELECT $n9, 9, 'depression' FROM pks
+        WHERE pk % 12 = 0)"""
+    def caseOn(sel: String, vals: Seq[String]): String =
+      s"CASE $sel " + vals.zipWithIndex.map { case (x, i) =>
+        s"WHEN $i THEN ${IcdcmEnrich.sqlLit(x)}" }.mkString(" ") +
+        " END"
+    val b9 = IcdcmFixture.ccs9Branches
+    val ccs9Cte = s"""
+      ie_ccs9 AS (
+        SELECT $n9 AS icdcode,
+          ${caseOn("v", b9.map(_._4))} AS ccs,
+          ${caseOn("v", b9.map(_._1))} AS multiccs_lv1,
+          ${caseOn("v", b9.map(_._2))} AS multiccs_lv2,
+          ${caseOn("v", b9.map(_._3))} AS multiccs_lv3,
+          ${caseOn("v", b9.map(b => b._5.getOrElse("Cat [of] " + b._2)))}
+            AS multiccs_lv2_description,
+          ${caseOn("v", b9.map(b => b._6.getOrElse("L3 [of] " + b._3)))}
+            AS multiccs_lv3_description
+        FROM (SELECT pk, (pk // 2) % 19 AS v FROM pks
+          WHERE pk % 2 = 0 AND pk % 10 IN (0, 4)))"""
+    val b10 = IcdcmFixture.ccs10Branches
+    val ccsrCte = s"""
+      ie_ccsr AS (
+        SELECT '''' || code || '''' AS icdcode,
+          '''' || ${caseOn("(pk // 3) % 8", b10.map(_._1))} || ''''
+            AS ccs_detail_code,
+          ${caseOn("(pk // 3) % 8", b10.map(_._2))} AS ccs_detail_desc
+        FROM (
+          SELECT pk, $a5 AS code FROM pks
+          WHERE pk % 3 = 0 AND pk % 10 IN (0, 7, 8, 9)
+          UNION ALL SELECT pk, $b6 FROM pks
+          WHERE pk % 3 = 1 AND pk % 10 IN (0, 7, 8, 9)
+          UNION ALL SELECT pk, $c4 FROM pks
+          WHERE pk % 3 = 2 AND pk % 10 IN (0, 7, 8, 9)
+          UNION ALL SELECT pk, 'D' || $lp4 || 'A' FROM pks
+          WHERE pk % 20 = 5
+          UNION ALL SELECT pk, 'D' || $lp4 || 'XA' FROM pks
+          WHERE pk % 20 = 15))"""
+    val xwalkCte = s"""
+      ie_xwalk AS (
+        SELECT d AS xw_detail, 'MID ' || substr(d, 1, 3)
+            AS ccs_midlevel_desc,
+          'SUPER ' || CAST(length(d) % 4 AS VARCHAR)
+            AS ccs_superlevel_desc
+        FROM (VALUES ${IcdcmFixture.xwalkDescs
+          .map(d => s"(${IcdcmEnrich.sqlLit(d)})").mkString(",\n          ")}) t(d))"""
+    val mh = IcdcmEnrich.mhConds
+    val sud9 = IcdcmEnrich.sudConds9
+    val sud10 = IcdcmEnrich.sudConds10
+    val rdaCte = s"""
+      ie_rda AS (
+        SELECT $a5 AS code, 10 AS icdcm_version,
+          ${caseOn("(pk // 21) % 8", mh)} AS sub_group_condition
+        FROM pks WHERE pk % 21 = 0
+        UNION ALL SELECT $a5, 10, 'sud_opioid' FROM pks
+        WHERE pk % 42 = 0
+        UNION ALL SELECT $b6, 10, ${caseOn("(pk // 21) % 9", sud10)}
+        FROM pks WHERE pk % 21 = 10
+        UNION ALL SELECT $n9, 9,
+          CASE WHEN (pk // 8) % 2 = 0
+            THEN ${caseOn("(pk // 16) % 8", mh)}
+            ELSE ${caseOn("(pk // 16) % 8", sud9)} END
+        FROM pks WHERE pk % 8 = 0)"""
+    // ---- enrichment ----
+    val extChain = s"""
+      ie_i9 AS (
+        SELECT m.icdcode, m.dx_description, m.ver, e.intent,
+          e.mechanism, e.mechanism_full
+        FROM (SELECT * FROM im_master WHERE ver = 9) m
+        LEFT JOIN (SELECT * FROM ie_ext WHERE version = 9) e
+          ON m.icdcode = e.code),
+      ie_ext10 AS (
+        SELECT code, substr(code, 1, 6) AS code_6,
+          substr(code, 1, 5) AS code_5, intent, mechanism,
+          mechanism_full
+        FROM ie_ext WHERE version = 10),
+      ie_u6 AS (SELECT code_6 AS k, max(intent) AS u_intent
+        FROM ie_ext10 GROUP BY 1 HAVING count(*) = 1),
+      ie_u5 AS (SELECT code_5 AS k, max(intent) AS u_intent
+        FROM ie_ext10 GROUP BY 1 HAVING count(*) = 1),
+      ie_extb AS (
+        SELECT e.code,
+          CASE WHEN u6.u_intent IS NOT NULL THEN e.code_6 ELSE '' END
+            AS code_6,
+          CASE WHEN u5.u_intent IS NOT NULL THEN e.code_5 ELSE '' END
+            AS code_5,
+          e.intent, e.mechanism, e.mechanism_full
+        FROM ie_ext10 e
+        LEFT JOIN ie_u6 u6 ON e.code_6 = u6.k
+        LEFT JOIN ie_u5 u5 ON e.code_5 = u5.k),
+      ie_i10 AS (
+        SELECT m.icdcode, m.dx_description, m.ver,
+          coalesce(f.intent, s6.intent, s5.intent) AS intent,
+          coalesce(f.mechanism, s6.mechanism, s5.mechanism)
+            AS mechanism,
+          coalesce(f.mechanism_full, s6.mechanism_full,
+            s5.mechanism_full) AS mechanism_full
+        FROM (SELECT * FROM im_master WHERE ver = 10) m
+        LEFT JOIN ie_extb f ON m.icdcode = f.code
+        LEFT JOIN ie_extb s6 ON substr(m.icdcode, 1, 6) = s6.code_6
+        LEFT JOIN ie_extb s5 ON substr(m.icdcode, 1, 5) = s5.code_5)"""
+    val ccwAbbrevs = IcdcmFixture.ccwAbbrevs
+    val ccwCols = ccwAbbrevs.map(a => s"ccw_$a")
+    val ccwWide = s"""
+      ie_ccww AS (
+        SELECT dx, ver AS cver,
+          ${ccwAbbrevs.map(a =>
+            s"max(CASE WHEN ccw_abbrev = '$a' THEN 1 END) AS ccw_$a")
+            .mkString(",\n          ")}
+        FROM ie_ccw GROUP BY 1, 2)"""
+    val ccsDerive = s"""
+      ie_c9a AS (
+        SELECT icdcode AS ccs_dx,
+          ${IcdcmEnrich.broad9DescSql} AS ccs_broad_desc,
+          ${IcdcmEnrich.broad9CodeSql} AS ccs_broad_code,
+          ${IcdcmEnrich.detail9DescSql} AS dd0,
+          ${IcdcmEnrich.detail9CodeSql} AS ccs_detail_code
+        FROM ie_ccs9),
+      ie_c9b AS (
+        SELECT *, ${IcdcmEnrich.plainLang9Sql("ccs_detail_code", "dd0")}
+            AS dd1,
+          ${IcdcmEnrich.catchAll9Sql("ccs_detail_code")} AS ccs_catch_all
+        FROM ie_c9a),
+      ie_c9d AS (
+        SELECT DISTINCT ccs_dx,
+          ${IcdcmEnrich.normalizeBroad9DescSql("dd1", "ccs_broad_desc")}
+            AS ccs_broad_desc,
+          ${IcdcmEnrich.normalizeBroad9CodeSql("dd1", "ccs_broad_code")}
+            AS ccs_broad_code,
+          ${IcdcmEnrich.normalizeDetail9Sql("dd1")} AS ccs_detail_desc,
+          ccs_detail_code, ccs_catch_all
+        FROM ie_c9b),
+      ie_c10a AS (
+        SELECT regexp_replace(icdcode, '[[:punct:]]', '', 'g')
+            AS ccs_dx,
+          regexp_replace(ccs_detail_code, '[[:punct:]]', '', 'g')
+            AS ccs_detail_code,
+          ccs_detail_desc AS dd0
+        FROM ie_ccsr),
+      ie_c10d AS (
+        SELECT DISTINCT ccs_dx,
+          ${IcdcmEnrich.broadDesc10Sql("substr(ccs_detail_code, 1, 3)")}
+            AS ccs_broad_desc,
+          substr(ccs_detail_code, 1, 3) AS ccs_broad_code,
+          ${IcdcmEnrich.normalizeDetail10Sql("dd0")} AS ccs_detail_desc,
+          ccs_detail_code,
+          ${IcdcmEnrich.catchAll10Sql("ccs_detail_code")}
+            AS ccs_catch_all
+        FROM ie_c10a)"""
+    val passThrough = Seq("icdcode", "dx_description", "ver", "intent",
+      "mechanism", "mechanism_full") ++ ccwCols
+    def joined(mTbl: String, cTbl: String): String =
+      s"""SELECT i.icdcode, i.dx_description, i.ver, i.intent,
+          i.mechanism, i.mechanism_full,
+          ${ccwCols.map(c => "w." + c).mkString(", ")},
+          c.ccs_broad_desc, c.ccs_broad_code, c.ccs_detail_desc,
+          c.ccs_detail_code, c.ccs_catch_all
+        FROM $mTbl i
+        LEFT JOIN ie_ccww w ON i.icdcode = w.dx AND i.ver = w.cver
+        LEFT JOIN $cTbl c ON i.icdcode = c.ccs_dx"""
+    val fill9 =
+      s"""
+      ie_f9_0 AS (${joined("ie_i9", "ie_c9d")}),
+      ie_f9 AS (${IcdcmEnrich.fillPassSql("ie_f9_0", Seq(3),
+        passThrough)})"""
+    val fill10 = {
+      val passes = (1 to 4).map { i =>
+        val src = if (i == 1) "ie_f10_0" else s"ie_f10_${i - 1}"
+        s"ie_f10_$i AS (${IcdcmEnrich.fillPassSql(src, Seq(6, 5, 4, 3),
+          passThrough)})"
+      }.mkString(",\n      ")
+      s"""
+      ie_f10_0 AS (${joined("ie_i10", "ie_c10d")}),
+      $passes"""
+    }
+    def rdaWide(name: String, ver: Int, suds: Seq[String]): String = {
+      val conds = mh ++ suds
+      s"""
+      ${name}0 AS (
+        SELECT code AS rda_code,
+          ${conds.map(c =>
+            s"max(CASE WHEN sub_group_condition = '$c' THEN 1 END) " +
+              s"AS $c").mkString(",\n          ")}
+        FROM (SELECT DISTINCT code, sub_group_condition FROM ie_rda
+          WHERE icdcm_version = $ver) GROUP BY 1),
+      $name AS (
+        SELECT *, coalesce(${mh.mkString(", ")}) AS mh_any,
+          coalesce(${suds.mkString(", ")}) AS sud_any,
+          coalesce(coalesce(${mh.mkString(", ")}),
+            coalesce(${suds.mkString(", ")})) AS bh_any
+        FROM ${name}0)"""
+    }
+    def outArm(fTbl: String, rTbl: String, inhalant: String): String =
+      s"""SELECT f.icdcode AS icdcm, f.ver AS icdcm_version,
+          f.dx_description AS icdcm_description,
+          x.ccs_superlevel_desc, f.ccs_broad_desc, f.ccs_broad_code,
+          x.ccs_midlevel_desc, f.ccs_detail_desc, f.ccs_detail_code,
+          f.ccs_catch_all,
+          ${ccwCols.map(c => "f." + c).mkString(", ")},
+          r.bh_any, r.mh_any, r.sud_any,
+          ${mh.map(c => "r." + c).mkString(", ")},
+          ${sud9.map(c => "r." + c).mkString(", ")}, $inhalant,
+          f.intent, f.mechanism, f.mechanism_full
+        FROM $fTbl f
+        LEFT JOIN ie_xwalk x ON f.ccs_detail_desc = x.xw_detail
+        LEFT JOIN $rTbl r ON f.icdcode = r.rda_code"""
+    "WITH " + icdcmMasterOracleCtes("""
+        UNION ALL
+        SELECT 'D' || lpad(CAST(pk AS VARCHAR), 4, '0') || sfx.s,
+          'DX D' || lpad(CAST(pk AS VARCHAR), 4, '0') || sfx.s, 10, -1
+        FROM pks CROSS JOIN (VALUES ('A'), ('B')) sfx(s)
+        WHERE pk % 20 = 5
+        UNION ALL
+        SELECT 'D' || lpad(CAST(pk AS VARCHAR), 4, '0') || sfx.s,
+          'DX D' || lpad(CAST(pk AS VARCHAR), 4, '0') || sfx.s, 10, -1
+        FROM pks CROSS JOIN (VALUES ('XA'), ('XB')) sfx(s)
+        WHERE pk % 20 = 15""") + "," +
+      extCte + "," + ccwCte + "," + ccs9Cte + "," + ccsrCte + "," +
+      xwalkCte + "," + rdaCte + "," + extChain + "," + ccwWide + "," +
+      ccsDerive + "," + fill9 + "," + fill10 + "," +
+      rdaWide("ie_rda9w", 9, sud9) + "," +
+      rdaWide("ie_rda10w", 10, sud10) + s"""
+      SELECT DISTINCT * FROM (
+        ${outArm("ie_f10_4", "ie_rda10w", "r.sud_inhalant")}
+        UNION ALL
+        ${outArm("ie_f9", "ie_rda9w",
+          "CAST(NULL AS INT) AS sud_inhalant")})
+      ORDER BY icdcm_version, icdcm"""
+  }
 
   /** q280 oracle: the address-clean partial QA battery over the SAME
     * template the q146 oracle is generated from — prior ref = the k%4
@@ -6542,51 +6956,158 @@ object SparkEntry {
     // exact-duplicate drop, and the keep-first (old beats new,
     // earliest year wins) combine via a (prio, description)-ordered
     // row_number pick.
-    ("q282_icdcm_refresh" -> """
-      WITH pks AS (SELECT DISTINCT p_partkey % 400 AS pk FROM part),
-      codes AS (
-        SELECT pk,
-          CASE WHEN pk % 3 = 0 THEN 'A' || lpad(CAST(pk AS VARCHAR), 4, '0')
-            WHEN pk % 3 = 1 THEN 'B' || lpad(CAST(pk AS VARCHAR), 4, '0')
-              || 'X'
-            ELSE 'C' || lpad(CAST(pk AS VARCHAR), 3, '0') END AS code
-        FROM pks),
-      lines AS (
-        SELECT y,
-          lpad(CAST(pk AS VARCHAR), 5, '0') || ' ' || rpad(code, 6, ' ')
-            || ' ' || CAST(pk % 2 AS VARCHAR) || '  '
-            || rpad(CASE WHEN pk % 5 = 0
-                THEN 'DESC ' || code || ' REV ' || CAST(y - 2019 AS VARCHAR)
-                ELSE 'DESC ' || code END, 61, ' ')
-            || 'LONGTAIL9' AS v1
-        FROM codes CROSS JOIN (VALUES (2019), (2020), (2021), (2022),
-          (2023)) t(y)
-        WHERE (pk + y) % 7 <> 0),
-      parsed AS (
-        SELECT y, substr(v1, 7, 6) AS icdcode_raw,
-          substr(v1, 17, 61) AS dx_raw
-        FROM lines),
-      dedup AS (
-        SELECT icdcode_raw, dx_raw, min(y) AS prio
-        FROM parsed GROUP BY 1, 2),
-      newt AS (
-        SELECT trim(icdcode_raw) AS icdcode, trim(dx_raw)
-          AS dx_description, 10 AS ver, prio
-        FROM dedup),
-      old AS (
-        SELECT '9' || lpad(CAST(pk AS VARCHAR), 3, '0') AS icdcode,
-          'ICD9 ' || lpad(CAST(pk AS VARCHAR), 3, '0') AS dx_description,
-          9 AS ver, -1 AS prio
-        FROM pks WHERE pk % 2 = 0
+    ("q282_icdcm_refresh" -> (
+      "WITH " + icdcmMasterOracleCtes("") + """
+      SELECT icdcode, dx_description, ver FROM im_master
+      ORDER BY ver, icdcode""")) +
+    ("q326_icdcm_enrich" -> icdcmEnrichOracleSql) +
+    // q327: the ethnicity→race map LOAD — the oracle regenerates the
+    // shared q284/q327 map rows under the archive yaml's declared
+    // types; the Spark side must round-trip them through a REAL csv
+    // (with a prior half-map overwritten by the full load).
+    ("q327_ethnicity_map_load" -> """
+      WITH ids AS (SELECT DISTINCT c_custkey % 25 AS eid FROM customer)
+      SELECT CAST(eid AS INTEGER) AS ethnicity_id,
+        'ETH ' || CAST(eid AS VARCHAR) AS ethnicity_desc,
+        CAST(eid % 5 AS TINYINT) AS race_id,
+        'RACE ' || CAST(eid % 5 AS VARCHAR) AS race_desc
+      FROM ids ORDER BY ethnicity_id""") +
+    // q328: KC claim-type crosswalk csv load under its yaml schema.
+    ("q328_claim_type_xwalk" -> """
+      WITH pks AS (SELECT DISTINCT p_partkey % 60 AS pk FROM part)
+      SELECT
+        CASE WHEN pk % 3 = 0 THEN CAST(pk AS VARCHAR)
+          WHEN pk % 3 = 1 THEN 'M' || CAST(pk AS VARCHAR)
+          ELSE 'AP' || lpad(CAST(pk AS VARCHAR), 3, '0') END
+          AS source_clm_type_id,
+        'SRC TYPE ' || CAST(pk AS VARCHAR) AS source_clm_type_desc,
+        CASE WHEN pk % 3 = 0 THEN 'ProviderOne'
+          WHEN pk % 3 = 1 THEN 'Medicare' ELSE 'WA-APCD' END
+          AS source_desc,
+        CAST(pk % 5 + 1 AS TINYINT) AS kc_clm_type_id,
+        'KC TYPE ' || CAST(pk % 5 + 1 AS VARCHAR) AS kc_clm_type_desc
+      FROM pks ORDER BY source_desc, source_clm_type_id""") +
+    // q329: AHRQ value-set publish — the 12-char prefix strip
+    // (SUBSTRING(code, 13, LEN-12); the 12-char-exact plant lands the
+    // empty string).
+    ("q329_ahrq_value_set" -> """
+      WITH pks AS (SELECT DISTINCT p_partkey % 150 AS pk FROM part),
+      tmp AS (
+        SELECT
+          CASE WHEN pk % 2 = 0 THEN 'PQI' ELSE 'PDI' END
+            AS value_set_group,
+          (CASE WHEN pk % 2 = 0 THEN 'PQI ' ELSE 'PDI ' END)
+            || lpad(CAST(pk % 16 AS VARCHAR), 2, '0') AS value_set_name,
+          CASE WHEN pk % 3 = 0 THEN 'diagnosis'
+            WHEN pk % 3 = 1 THEN 'procedure' ELSE 'discharge' END
+            AS data_source_type,
+          CASE WHEN pk % 3 = 0 THEN 'ICD10CM'
+            WHEN pk % 3 = 1 THEN 'ICD10PCS' ELSE 'MSDRG' END
+            AS code_set,
+          'XSECTORXREF:' || CASE WHEN pk % 17 = 0 THEN ''
+            WHEN pk % 3 = 0 THEN 'I' || lpad(CAST(pk AS VARCHAR), 4, '0')
+            WHEN pk % 3 = 1 THEN '0' || lpad(CAST(pk AS VARCHAR), 6, '0')
+            ELSE lpad(CAST(pk AS VARCHAR), 3, '0') END AS code,
+          CASE WHEN pk % 11 = 0 THEN NULL
+            ELSE 'DESC ' || CAST(pk AS VARCHAR) END AS desc_1
+        FROM pks)
+      SELECT value_set_group, value_set_name, data_source_type,
+        code_set, substring(code, 13, length(code) - 12) AS code,
+        desc_1
+      FROM tmp
+      ORDER BY value_set_name, data_source_type, code_set, code""") +
+    // q330: the non-APDE NPPES load — comma scrub + trim survive the
+    // file round trip; positional rename to the yaml names.
+    ("q330_nppes_load" -> """
+      WITH c AS (SELECT c_custkey AS ck FROM customer)
+      SELECT CAST(1000000000 + ck % 5000 AS VARCHAR) AS npi,
+        CASE WHEN ck % 7 = 0 THEN NULL
+          ELSE CAST(ck % 2 + 1 AS VARCHAR) END AS entity_type_code,
+        CASE WHEN ck % 2 = 0
+          THEN 'ACME INC ' || CAST(ck % 40 AS VARCHAR) END AS name_org,
+        CASE WHEN ck % 2 = 1
+          THEN 'LASTJR ' || CAST(ck % 40 AS VARCHAR) END AS name_last,
+        'CITY' || CAST(ck % 30 AS VARCHAR) AS address_practice_city,
+        CASE WHEN ck % 5 = 0 THEN 'WA' ELSE 'OR' END
+          AS address_practice_state,
+        lpad(CAST(ck % 99999 AS VARCHAR), 5, '0')
+          AS address_practice_zip_code
+      FROM c ORDER BY npi""") +
+    // q331: the tmp-mode mcare CCW battery — replays the q230 build
+    // oracle (the q246 audit-replays-the-pinned-frame discipline),
+    // the fixture demo/timevar, the T-SQL age with the -1→0 clamp,
+    // and the five STEP-1 sections.
+    ("q331_mcare_ccw_tmp_qa" -> s"""
+      WITH ccw AS MATERIALIZED (${baseOracleSql("q230_mcare_ccw")}),
+      eids AS (SELECT DISTINCT c_custkey % 75 AS eid FROM customer),
+      demo AS (
+        SELECT 'mc' || CAST(eid AS VARCHAR) AS id_mcare,
+          CASE eid % 9
+            WHEN 0 THEN DATE '1992-07-01'
+            WHEN 1 THEN DATE '1989-07-01'
+            WHEN 2 THEN DATE '1982-07-01'
+            WHEN 3 THEN DATE '1975-07-01'
+            WHEN 4 THEN DATE '1960-07-01'
+            WHEN 5 THEN DATE '1940-07-01'
+            WHEN 6 THEN DATE '1920-07-01'
+            WHEN 7 THEN DATE '1996-06-01'
+            ELSE DATE '1997-06-01' END AS dob
+        FROM eids WHERE eid % 11 <> 10),
+      aged AS (
+        SELECT id_mcare AS demo_id,
+          CASE WHEN a >= 0 AND a < 5 THEN '0-4'
+            WHEN a >= 5 AND a < 12 THEN '5-11'
+            WHEN a >= 12 AND a < 18 THEN '12-17'
+            WHEN a >= 18 AND a < 25 THEN '18-24'
+            WHEN a >= 25 AND a < 45 THEN '25-44'
+            WHEN a >= 45 AND a < 65 THEN '45-64'
+            WHEN a >= 65 THEN '65 and over' END AS age_grp7
+        FROM (
+          SELECT id_mcare,
+            CASE WHEN floor((datediff('day', dob, DATE '1995-12-31')
+                + 1) / 365.25) >= 0
+              THEN floor((datediff('day', dob, DATE '1995-12-31')
+                + 1) / 365.25)
+              WHEN floor((datediff('day', dob, DATE '1995-12-31')
+                + 1) / 365.25) = -1 THEN 0 END AS a
+          FROM demo)),
+      tv AS (
+        SELECT 'mc' || CAST(eid AS VARCHAR) AS id_mcare,
+          DATE '1994-03-01' AS from_date, DATE '1995-05-31' AS to_date
+        FROM eids WHERE eid % 4 <> 3
         UNION ALL
-        SELECT code, 'OLD ' || code, 10, -1
-        FROM codes WHERE pk % 6 = 0),
-      allr AS (SELECT * FROM old UNION ALL SELECT * FROM newt)
-      SELECT icdcode, dx_description, CAST(ver AS INT) AS ver
-      FROM (SELECT *, row_number() OVER (PARTITION BY icdcode, ver
-          ORDER BY prio, dx_description) AS rn FROM allr)
-      WHERE rn = 1
-      ORDER BY ver, icdcode""")
+        SELECT 'mc' || CAST(eid AS VARCHAR), DATE '1998-01-01',
+          DATE '1998-06-30'
+        FROM eids),
+      s4base AS (
+        SELECT DISTINCT id_mcare, ccw_code, ccw_desc FROM ccw
+        WHERE year(first_encounter_date) <= 1995
+          AND year(last_encounter_date) >= 1995)
+      SELECT * FROM (
+        SELECT 'cond_person_dcount' AS qa_section,
+          CAST(ccw_code AS INTEGER) AS ccw_code, ccw_desc,
+          CAST(NULL AS VARCHAR) AS age_grp7,
+          count(DISTINCT id_mcare) AS id_dcount
+        FROM ccw GROUP BY ccw_code, ccw_desc
+        UNION ALL
+        SELECT 'demo_person_dcount', NULL, NULL, NULL,
+          count(DISTINCT id_mcare) FROM demo
+        UNION ALL
+        SELECT 'cond_count', NULL, NULL, NULL,
+          count(DISTINCT ccw_code) FROM ccw
+        UNION ALL
+        SELECT 'cond_age7', CAST(b.ccw_code AS INTEGER), b.ccw_desc,
+          a.age_grp7, count(DISTINCT b.id_mcare)
+        FROM s4base b LEFT JOIN aged a ON b.id_mcare = a.demo_id
+        GROUP BY b.ccw_code, b.ccw_desc, a.age_grp7
+        UNION ALL
+        SELECT 'timevar_age7', NULL, NULL, a.age_grp7,
+          count(DISTINCT t.id_mcare)
+        FROM (SELECT id_mcare FROM tv
+          WHERE year(from_date) <= 1995 AND year(to_date) >= 1995) t
+        LEFT JOIN aged a ON t.id_mcare = a.demo_id
+        GROUP BY a.age_grp7)
+      ORDER BY qa_section, ccw_code, ccw_desc, age_grp7""")
 
   /** Shared q146/q280 address-clean oracle template: the full
     * clean-chain replica with the `fresh` CTE's restriction

@@ -43,9 +43,11 @@ import graft.qa.Qa
   *    after it abort (the `stop()`).
   *
   * Output: one verdict frame — (stage_seq, table_name, item, pass,
-  * observed, expected) with three rows per executed stage (load_gate,
-  * distinct_rows, promote_rows) and one 'aborted' row per killed
-  * stage.
+  * observed, expected). Inline-promote masters (q278) emit three rows
+  * per executed stage (load_gate, distinct_rows, promote_rows);
+  * deferred-promote masters (q279) emit two per stage, then the
+  * [[UpdateStep]] rows, then one promote_rows per fixed-list entry
+  * (see [[run]]); killed steps emit one 'aborted' row each.
   *
   * The reference's per-table qa_stage batteries (the full check lists
   * each stage runs) are pinned as their own catalog rows — q288/q289
@@ -72,6 +74,22 @@ object AnalyticPipeline {
     * stage load. */
   case class StageDef(table: String, parents: Seq[String],
       build: (SparkSession, String) => DataFrame)
+
+  /** An UPDATE-shaped step between the stage loads and the promote
+    * loop — the master script's mcaid_elig_demo_extra section
+    * (master_mcaid_analytic.R:374-392): compute a flag-id set from
+    * the claims side (load_stage.mcaid_elig_demo_extra.R:307-377's
+    * cascade → all_ids), then UPDATE the staged demographics table,
+    * setting `flagColumn` = 1 on rows whose `key` is in the set and
+    * leaving every other row's value as loaded (NULL on a first
+    * load, :379-386). The runner rewrites the stage table in place
+    * (the reference updates stage.mcaid_elig_demo before the promote
+    * loop copies it) and emits two verdict rows: update_rows (the
+    * UPDATE preserves cardinality) and update_flagged (the
+    * qa_mcaid_elig_demo_extra noncisgender-share probe's numerator,
+    * qa_stage.mcaid_elig_demo.R:253-258). */
+  case class UpdateStep(table: String, name: String, key: String,
+      flagColumn: String, flags: (SparkSession, String) => DataFrame)
 
   /** Deterministic Kahn topological sort: repeatedly emit the
     * earliest-DECLARED stage whose in-chain parents have all been
@@ -125,9 +143,23 @@ object AnalyticPipeline {
     StageDef("mcaid_claim_line",
       Seq("mcaid_elig_demo", "mcaid_elig_timevar"),
       graft.queries.BuildQueries.q169McaidClaimStage),
+    // the three late claim tables (master_mcaid_analytic.R:362-371);
+    // parents are the final tables their loads read —
+    // load_stage.mcaid_claim_moud.R:76,158 (procedure + pharm),
+    // …naloxone.R:72-147 (pharm + procedure),
+    // …preg_episode.R:57-100 (icdcm_header + procedure)
+    StageDef("mcaid_claim_moud",
+      Seq("mcaid_claim_procedure", "mcaid_claim_pharm"),
+      graft.queries.BuildQueries.q92ClaimMoud),
+    StageDef("mcaid_claim_naloxone",
+      Seq("mcaid_claim_pharm", "mcaid_claim_procedure"),
+      graft.queries.BuildQueries.q144Naloxone),
     StageDef("mcaid_claim_pharm",
       Seq("mcaid_elig_demo", "mcaid_elig_timevar"),
       graft.queries.NormalizeQueries.q81ClaimPharm),
+    StageDef("mcaid_claim_preg_episode",
+      Seq("mcaid_claim_icdcm_header", "mcaid_claim_procedure"),
+      graft.queries.BuildQueries.q84PregEpisode),
     StageDef("mcaid_claim_procedure",
       Seq("mcaid_elig_demo", "mcaid_elig_timevar"),
       graft.queries.NormalizeQueries.q80ClaimProcedure),
@@ -137,6 +169,31 @@ object AnalyticPipeline {
       graft.queries.BuildQueries.q68EligMonth),
     StageDef("mcaid_elig_timevar", Nil,
       graft.queries.BuildQueries.q64EligTimevar))
+
+  /** The master script's mcaid_elig_demo_extra UPDATE
+    * (master_mcaid_analytic.R:374-392): flag ids come from the q159
+    * cascade (its own claims fixtures — the chain's stage frames are
+    * grain summaries, the reference reads the row-level finals), the
+    * UPDATE lands on the staged mcaid_elig_demo keyed by its entity
+    * id. */
+  def mcaidEligDemoExtra: UpdateStep = UpdateStep(
+    table = "mcaid_elig_demo", name = "mcaid_elig_demo_extra",
+    key = "user_id", flagColumn = "noncisgender",
+    flags = (s, dir) =>
+      graft.queries.BuildQueries.q159EligDemoExtra(s, dir)
+        .filter(org.apache.spark.sql.functions
+          .col("noncisgender") === 1)
+        .select(org.apache.spark.sql.functions.col("id_mcaid")))
+
+  /** The STAGE TABLE TO FINAL TABLE loop's fixed table list
+    * (master_mcaid_analytic.R:399-404) — NOT the Kahn order; the
+    * reference promotes in this hand-written sequence. */
+  def mcaidPromoteList: Seq[String] = Seq(
+    "mcaid_elig_demo", "mcaid_elig_timevar", "mcaid_elig_month",
+    "mcaid_claim_line", "mcaid_claim_icdcm_header",
+    "mcaid_claim_procedure", "mcaid_claim_pharm",
+    "mcaid_claim_header", "mcaid_claim_naloxone", "mcaid_claim_moud",
+    "mcaid_claim_preg_episode", "mcaid_claim_ccw", "mcaid_claim_bh")
 
   /** The master script's hard gate: mcaid_claim_header aborts the
     * chain unless ALL FOUR claim tables passed QA
@@ -185,13 +242,33 @@ object AnalyticPipeline {
     StageDef("xwalk_apde_mcaid_mcare_pha", Nil,
       graft.queries.BuildQueries.q155ApdeXwalk))
 
-  /** Execute the chain. Returns the verdict frame (see object doc). */
+  /** Execute the chain. Returns the verdict frame (see object doc).
+    *
+    * Two promote disciplines, both in the reference:
+    *  - `promoteList` EMPTY (q278's master): each stage promotes
+    *    inline after its QA passes (alter_schema per section,
+    *    master_mcaid_mcare_analytic.R:232-237) — 3 verdict rows per
+    *    stage.
+    *  - `promoteList` NON-empty (q279's master): stages only load+QA
+    *    (2 rows each); then the optional [[UpdateStep]]; then the
+    *    STAGE→FINAL loop walks the fixed list
+    *    (master_mcaid_analytic.R:399-404) promoting every BUILT
+    *    stage UNCONDITIONALLY — the loop has no QA gate, only the
+    *    stage-vs-final row-count compare whose PASS/FAIL lands in
+    *    qa_mcaid (:455-470) — one promote_rows row per list entry.
+    *    A fired stop() kills the update and the whole loop: aborted
+    *    rows for every remaining step. */
   def run(s: SparkSession, dir: String, stages: Seq[StageDef],
-      hardGate: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      hardGate: Map[String, Seq[String]] = Map.empty,
+      update: Option[UpdateStep] = None,
+      promoteList: Seq[String] = Nil): DataFrame = {
     val work = Files.createTempDirectory("graft_pipeline")
     val metaPath = work.resolve("qa_log").toString
     val failed = scala.collection.mutable.Set.empty[String]
+    val stageN = scala.collection.mutable.Map.empty[String, Long]
+    val deferred = promoteList.nonEmpty
     var aborted = false
+    def stageDirOf(t: String) = work.resolve(s"stage_$t")
     val rows = topoOrder(stages).zipWithIndex.flatMap { case (st, i) =>
       val seq = i + 1
       val gateBroken = hardGate.getOrElse(st.table, Nil).exists(failed)
@@ -207,7 +284,7 @@ object AnalyticPipeline {
         // aggregation (one scan, one partial-agg shuffle) — a separate
         // loadGate count plus a distinct().count() job would triple
         // the per-stage QA scans (the Qa.fusedTableChecks rule).
-        val stageDir = work.resolve(s"stage_${st.table}")
+        val stageDir = stageDirOf(st.table)
         st.build(s, dir).write.parquet(stageDir.toString)
         val staged = s.read.parquet(stageDir.toString)
         val allCols = struct(staged.columns.map(col).toIndexedSeq: _*)
@@ -215,25 +292,72 @@ object AnalyticPipeline {
           count_distinct(allCols).as("d")).head()
         val n = qaRow.getLong(0)
         val d = qaRow.getLong(1)
+        stageN(st.table) = n
         val gate = Qa.loadGateCounted(s, n, st.table, metaPath)
         val pass = gate.pass && d == n && n > 0
         if (!pass) failed += st.table
-        val finalN = if (pass) {
-          // promote: the sp_rename / alter_schema metadata move
-          val finalDir = work.resolve(s"final_${st.table}")
-          Files.move(stageDir, finalDir)
-          s.read.parquet(finalDir.toString).count()
-        } else 0L
-        Seq(
+        val base = Seq(
           (seq, st.table, "load_gate", if (gate.pass) 1 else 0, n,
             gate.expected),
-          (seq, st.table, "distinct_rows", if (d == n) 1 else 0, d, n),
-          (seq, st.table, "promote_rows", if (pass && finalN == n) 1 else 0,
-            finalN, n))
+          (seq, st.table, "distinct_rows", if (d == n) 1 else 0, d, n))
+        if (deferred) base
+        else {
+          val finalN = if (pass) {
+            // promote: the sp_rename / alter_schema metadata move
+            val finalDir = work.resolve(s"final_${st.table}")
+            Files.move(stageDir, finalDir)
+            s.read.parquet(finalDir.toString).count()
+          } else 0L
+          base :+ ((seq, st.table, "promote_rows",
+            if (pass && finalN == n) 1 else 0, finalN, n))
+        }
+      }
+    }
+    val nStages = stages.length
+    val updRows = update.toSeq.flatMap { u =>
+      val seq = nStages + 1
+      if (aborted) Seq((seq, u.name, "aborted", 0, 0L, 0L))
+      else {
+        val before = stageN(u.table)
+        val demo = s.read.parquet(stageDirOf(u.table).toString)
+        val flagIds = broadcast(
+          u.flags(s, dir).toDF("flag_id").distinct())
+        val updated = demo
+          .join(flagIds, demo(u.key) === col("flag_id"), "left")
+          .withColumn(u.flagColumn,
+            when(col("flag_id").isNotNull, lit(1))
+              .otherwise(lit(null).cast("int")))
+          .drop("flag_id")
+        val newDir = work.resolve(s"upd_${u.table}")
+        updated.write.parquet(newDir.toString)
+        // swap the rewritten table in (the reference UPDATEs in place)
+        val old = work.resolve(s"pre_upd_${u.table}")
+        Files.move(stageDirOf(u.table), old)
+        Files.move(newDir, stageDirOf(u.table))
+        val rewritten = s.read.parquet(stageDirOf(u.table).toString)
+        val m = rewritten.agg(count(lit(1)).as("n"),
+          count(when(col(u.flagColumn) === 1, 1)).as("f")).head()
+        val (after, flagged) = (m.getLong(0), m.getLong(1))
+        stageN(u.table) = after
+        Seq(
+          (seq, u.name, "update_rows", if (after == before) 1 else 0,
+            after, before),
+          (seq, u.name, "update_flagged", 1, flagged, after))
+      }
+    }
+    val promoRows = promoteList.zipWithIndex.map { case (t, i) =>
+      val seq = nStages + (if (update.isDefined) 1 else 0) + 1 + i
+      if (aborted) (seq, t, "aborted", 0, 0L, 0L)
+      else {
+        val n = stageN(t)
+        val finalDir = work.resolve(s"final_$t")
+        Files.move(stageDirOf(t), finalDir)
+        val finalN = s.read.parquet(finalDir.toString).count()
+        (seq, t, "promote_rows", if (finalN == n) 1 else 0, finalN, n)
       }
     }
     import s.implicits._
-    rows.toDF("stage_seq", "table_name", "item", "pass", "observed",
-      "expected")
+    (rows ++ updRows ++ promoRows).toDF("stage_seq", "table_name",
+      "item", "pass", "observed", "expected")
   }
 }

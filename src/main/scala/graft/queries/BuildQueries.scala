@@ -5353,16 +5353,24 @@ object BuildQueries {
   /** §3.2/§7.1 composed analytic-pipeline runner (q279,
     * master_mcaid_analytic.R:66-143 + table_dependencies.csv): the full
     * mcaid analytic chain — elig_demo/timevar/month, the four claim
-    * tables, the hard-gated header, ccw, bh — executed in the
-    * dependency order AnalyticPipeline.topoOrder derives from the
-    * csv-ordered declarations, with a Qa.loadGate + distinctness gate
-    * between each stage load and its rename-promote to final. Output:
-    * the per-stage verdict frame; the oracle composes each stage's own
-    * oracle SQL, so chain order, gate logic, and every count are
-    * pinned end-to-end (the q248 import-chain discipline). */
+    * tables, the hard-gated header, ccw, bh, and the late claim
+    * tables moud/naloxone/preg_episode (master_mcaid_analytic.R:
+    * 345-371) — executed in the dependency order
+    * AnalyticPipeline.topoOrder derives from the csv-ordered
+    * declarations, each stage load QA-gated (Qa.loadGate +
+    * distinctness); then the mcaid_elig_demo_extra noncisgender
+    * UPDATE (:374-392, flag ids from the composed q159 cascade), and
+    * the STAGE→FINAL promote loop over the master's fixed 13-table
+    * list (:399-404 — unconditional, row-count-compared). Output:
+    * the verdict frame; the oracle composes each stage's own oracle
+    * SQL, so chain order, gate logic, the update counts, and every
+    * promote count are pinned end-to-end (the q248 import-chain
+    * discipline). */
   def q279AnalyticPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.AnalyticPipeline._
-    run(s, dir, mcaidChain, mcaidHardGate)
+    run(s, dir, mcaidChain, mcaidHardGate,
+        update = Some(mcaidEligDemoExtra),
+        promoteList = mcaidPromoteList)
       .orderBy(col("stage_seq"), col("item"))
   }
 

@@ -526,4 +526,42 @@ object ClaimQaQueries {
     graft.qa.ApcdLineQa.timevarMonthQa(tv, dim, 199201, 199812)
       .orderBy(col("section"), col("coverage"), col("year_month"))
   }
+
+  /** §5 tmp-mode mcare CCW QA battery (q331,
+    * stage/tables/qa_tmp.mcare_claim_ccw.sql STEP 1): the five
+    * table-wide checks over the SAME q230 build frame, a demo fixture
+    * whose dob arms land every age_grp7 bucket PLUS the T-SQL
+    * -1→0 clamp (dob mid-1996 vs the 1995-12-31 asof) and the <-1
+    * NULL fall-through (dob 1997), missing persons (eid%11==10 —
+    * the LEFT join's null-age arm), and a timevar whose 1995-overlap
+    * slice excludes eid%4==3. Year parameterized to 1995 (the
+    * fixture's TPC-H date range; the reference hardcodes 2017). */
+  def q331McareCcwTmpQa(s: SparkSession, dir: String): DataFrame = {
+    val ccw = BuildQueries.q230McareCcw(s, dir)
+    val eid = col("eid")
+    val base = t(s, dir, "customer")
+      .select((col("c_custkey") % 75).as("eid")).distinct()
+    val mcId = concat(lit("mc"), eid.cast("string"))
+    val dob = when(eid % 9 === 0, to_date(lit("1992-07-01")))
+      .when(eid % 9 === 1, to_date(lit("1989-07-01")))
+      .when(eid % 9 === 2, to_date(lit("1982-07-01")))
+      .when(eid % 9 === 3, to_date(lit("1975-07-01")))
+      .when(eid % 9 === 4, to_date(lit("1960-07-01")))
+      .when(eid % 9 === 5, to_date(lit("1940-07-01")))
+      .when(eid % 9 === 6, to_date(lit("1920-07-01")))
+      .when(eid % 9 === 7, to_date(lit("1996-06-01")))
+      .otherwise(to_date(lit("1997-06-01")))
+    val demo = base.filter(eid % 11 =!= 10)
+      .select(mcId.as("id_mcare"), dob.as("dob"))
+    val timevar = base.filter(eid % 4 =!= 3)
+      .select(mcId.as("id_mcare"),
+        to_date(lit("1994-03-01")).as("from_date"),
+        to_date(lit("1995-05-31")).as("to_date"))
+      .unionByName(base.select(mcId.as("id_mcare"),
+        to_date(lit("1998-01-01")).as("from_date"),
+        to_date(lit("1998-06-30")).as("to_date")))
+    graft.qa.McareCcwTmpQa.battery(ccw, demo, timevar, 1995)
+      .orderBy(col("qa_section"), col("ccw_code"), col("ccw_desc"),
+        col("age_grp7"))
+  }
 }

@@ -761,7 +761,19 @@ vars:
     * fixture plants per-year membership gaps, per-year description
     * drift (pk % 5), ICD-9 old rows, and old ICD-10 rows colliding
     * with new-year codes so every keep-first branch lands rows. */
-  def q282IcdcmRefresh(s: SparkSession, dir: String): DataFrame = {
+  def q282IcdcmRefresh(s: SparkSession, dir: String): DataFrame =
+    icdcmMaster(s, dir, plantD = false)
+      .orderBy(col("ver"), col("icdcode"))
+
+  /** The q282 combine, reusable as q326's input stage. `plantD` adds
+    * the enrichment fixture's D-code families to the `old` arm —
+    * 6-char siblings D…A/D…B (pk%20==5) and 7-char siblings
+    * D…XA/D…XB (pk%20==15) — so the CCS neighbor fill has codes whose
+    * lexicographic neighbor shares a 5- resp. 6-digit prefix (the
+    * load_ref.icdcm_codes.R:596-603 cascade's longest branches, which
+    * the ≤6-char A/B/C shapes alone can never fire). */
+  private[queries] def icdcmMaster(s: SparkSession, dir: String,
+      plantD: Boolean): DataFrame = {
     val pk = col("pk")
     val base = t(s, dir, "part")
       .select((col("p_partkey") % 400).as("pk")).distinct()
@@ -794,8 +806,20 @@ vars:
       code.as("icdcode"),
       concat(lit("OLD "), code).as("dx_description"),
       lit(10).as("ver"))
-    graft.sources.RefTables.combineIcdcm(years, old9.unionByName(old10))
-      .orderBy(col("ver"), col("icdcode"))
+    def dRows(m: Int, sfxs: Seq[String]): DataFrame = sfxs.map { sf =>
+      base.filter(pk % 20 === m).select(
+        concat(lit("D"), lpad(pk.cast("string"), 4, "0"), lit(sf))
+          .as("icdcode"),
+        concat(lit("DX D"), lpad(pk.cast("string"), 4, "0"), lit(sf))
+          .as("dx_description"),
+        lit(10).as("ver"))
+    }.reduce(_ unionByName _)
+    val old = old9.unionByName(old10)
+    val oldAll = if (plantD)
+        old.unionByName(dRows(5, Seq("A", "B")))
+          .unionByName(dRows(15, Seq("XA", "XB")))
+      else old
+    graft.sources.RefTables.combineIcdcm(years, oldAll)
   }
 
   /** Shared q283/q285 fixture: the APCD provider_master table (ids
@@ -866,17 +890,25 @@ vars:
     val elig = t(s, dir, "customer").select(
       (ck % 30).cast("bigint").as("ethnicity_id1"),
       ((ck * 7) % 37).cast("bigint").as("ethnicity_id2"))
-    val map = t(s, dir, "customer")
-      .select((ck % 25).cast("bigint").as("ethnicity_id")).distinct()
+    graft.sources.RefTables.ethnicityMapCheck(elig,
+        ethnicityMapRows(s, dir))
+      .orderBy(col("variable"), col("unmapped_id"))
+  }
+
+  /** Shared q284/q327 fixture: the APCD ethnicity→race crosswalk rows
+    * (apcd_ethnicity_race_mapping.csv's shape) — q284 consumes them
+    * as the check's map, q327 as the load's file content, pinning the
+    * load and its update-check as siblings over ONE derivation. */
+  private def ethnicityMapRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select((col("c_custkey") % 25).cast("bigint").as("ethnicity_id"))
+      .distinct()
       .select(col("ethnicity_id"),
         concat(lit("ETH "), col("ethnicity_id").cast("string"))
           .as("ethnicity_desc"),
         (col("ethnicity_id") % 5).as("race_id"),
         concat(lit("RACE "), (col("ethnicity_id") % 5).cast("string"))
           .as("race_desc"))
-    graft.sources.RefTables.ethnicityMapCheck(elig, map)
-      .orderBy(col("variable"), col("unmapped_id"))
-  }
 
   /** §2.1 ref.date dimension build (q290, ref/tables/load_ref.date.sql):
     * the calendar table with T-SQL DATEFIRST-7 weekday semantics, the
@@ -1437,5 +1469,304 @@ vars:
       col("p_type").as("substancename"))
     graft.sources.RefTables.fdaNdcProduct(raw)
       .orderBy(col("productndc"), col("productid"))
+  }
+
+  /** §2.1/§2.9 ICD-CM master ENRICHMENT (q326,
+    * ref/tables/load_ref.icdcm_codes.R:103-842): the q282 order-file
+    * combine composed as the input stage (per the kernel doc:
+    * [[icdcmMaster]] with the planted D families), then the CDC
+    * external-cause matrix with the full→6→5-digit truncated-code
+    * fallback joins and ambiguity blanking, the CCW flag pivot with
+    * its vocabulary stop-gate, the two-era CCS derivation (ICD-9
+    * case_when tables + single 3-digit neighbor-fill pass; ICD-10
+    * CCSR strip/derive + the 6/5/4/3-digit WHILE-loop fill to
+    * convergence), the midlevel/superlevel crosswalk, the RDA MH/SUD
+    * flag pivots with any-flag coalesces, and the bind/rename/
+    * project/distinct publish. Fixture derivations are shared with
+    * the generated oracle via [[IcdcmFixture]]; the kernel's literal
+    * mapping tables render into both sides from
+    * [[graft.sources.IcdcmEnrich]]. */
+  def q326IcdcmEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pk = col("pk")
+    val base = t(s, dir, "part")
+      .select((col("p_partkey") % 400).as("pk")).distinct()
+    val lp4 = lpad(pk.cast("string"), 4, "0")
+    val lp3 = lpad(pk.cast("string"), 3, "0")
+    val a5 = concat(lit("A"), lp4)
+    val b6 = concat(lit("B"), lp4, lit("X"))
+    val c4 = concat(lit("C"), lp3)
+    val n9 = concat(lit("9"), lp3)
+
+    val master = icdcmMaster(s, dir, plantD = true)
+
+    // --- CDC external-cause matrix (arms per the kernel doc) ---
+    val ext9 = base.filter(pk % 4 === 0).select(n9.as("code"),
+      lit(9).as("version"),
+      concat(lit("I9-"), (pk % 3).cast("string")).as("intent"),
+      concat(lit("M9-"), (pk % 5).cast("string")).as("mechanism"),
+      concat(lit("MF9-"), (pk % 7).cast("string")).as("mechanism_full"))
+    def ext10Arm(m: Int, codeExpr: Column, tag: String): DataFrame =
+      base.filter(pk % 12 === m).select(codeExpr.as("code"),
+        lit(10).as("version"),
+        concat(lit(s"I10$tag-"), (pk % 4).cast("string")).as("intent"),
+        concat(lit(s"M10$tag-"), (pk % 5).cast("string"))
+          .as("mechanism"),
+        concat(lit(s"MF10$tag-"), (pk % 6).cast("string"))
+          .as("mechanism_full"))
+    val extCause = ext9
+      .unionByName(ext10Arm(1, b6, "F"))            // exact-code hit
+      .unionByName(ext10Arm(1, concat(b6, lit("D")), "D")) // blanks 6/5
+      .unionByName(ext10Arm(0, concat(a5, lit("XY")), "A")) // 5-digit hit
+      .unionByName(ext10Arm(4, concat(b6, lit("A")), "B"))  // 6-digit hit
+      .unionByName(ext10Arm(7, concat(b6, lit("B")), "C1")) // ambiguous
+      .unionByName(ext10Arm(7, concat(b6, lit("C")), "C2")) // pair
+
+    // --- CCW long lookup ---
+    def ccwArm(cond: Column, dx: Column, ver: Int,
+        ab: String): DataFrame =
+      base.filter(cond).select(dx.as("dx"), lit(ver).as("ver"),
+        lit(ab).as("ccw_abbrev"))
+    val ccwLong = ccwArm(pk % 15 === 0, a5, 10, "diabetes")
+      .unionByName(ccwArm(pk % 30 === 0, a5, 10, "hypertension"))
+      .unionByName(ccwArm(pk % 6 === 0, n9, 9, "copd"))
+      .unionByName(ccwArm(pk % 12 === 0, n9, 9, "depression"))
+
+    // --- CCS ICD-9 lookup: seeded pk%2==0 && pk%10 in {0,4}, branch
+    //     v = (pk div 2) % 19 over IcdcmFixture.ccs9Branches.
+    //     {0,4} places one seed mid-block, so the SINGLE 3-digit pass
+    //     fills exactly the row whose lead is the seed and leaves the
+    //     block tail NA (the reference's ICD-9 side keeps NAs) ---
+    val v = expr("pk div 2") % 19
+    def pick9(f: ((String, String, String, String, Option[String],
+        Option[String])) => String): Column =
+      IcdcmFixture.ccs9Branches.zipWithIndex
+        .foldRight(lit(null).cast("string")) { case ((b, i), acc) =>
+          when(v === i, lit(f(b))).otherwise(acc)
+        }
+    val ccs9Raw = base.filter(pk % 2 === 0 &&
+        (pk % 10 === 0 || pk % 10 === 4)).select(
+      n9.as("icdcode"),
+      pick9(_._4).as("ccs"),
+      pick9(_._1).as("multiccs_lv1"),
+      pick9(_._2).as("multiccs_lv2"),
+      pick9(_._3).as("multiccs_lv3"),
+      pick9(b => b._5.getOrElse("Cat [of] " + b._2))
+        .as("multiccs_lv2_description"),
+      pick9(b => b._6.getOrElse("L3 [of] " + b._3))
+        .as("multiccs_lv3_description"))
+
+    // --- CCSR ICD-10 lookup: one row per seeded master code (the
+    //     pk%10 in {0,7,8,9} TAIL rule + the D-family 'A'-suffix
+    //     seeds), branch w = (pk div 3) % 8; raw keys quote-wrapped
+    //     (punct strip). Tail seeding is load-bearing: the reference's
+    //     case_when prefers the LEAD branch, so a row whose lead
+    //     shares its prefix copies the lead even when NULL — values
+    //     propagate BACKWARD within a prefix block and only the
+    //     block's last member pulls from its lag; convergence needs a
+    //     seed in each block's tail ({7,8,9} covers every nonempty
+    //     mod-3 residue class tail; {0} keeps lone-member blocks like
+    //     C200 alive) ---
+    val w = expr("pk div 3") % 8
+    def pick10(f: ((String, String)) => String): Column =
+      IcdcmFixture.ccs10Branches.zipWithIndex
+        .foldRight(lit(null).cast("string")) { case ((b, i), acc) =>
+          when(w === i, lit(f(b))).otherwise(acc)
+        }
+    def ccsrArm(cond: Column, codeExpr: Column): DataFrame =
+      base.filter(cond).select(
+        concat(lit("'"), codeExpr, lit("'")).as("icdcode"),
+        concat(lit("'"), pick10(_._1), lit("'")).as("ccs_detail_code"),
+        pick10(_._2).as("ccs_detail_desc"))
+    val seed10 = (pk % 10).isin(0, 7, 8, 9)
+    val ccs10Raw =
+      ccsrArm(pk % 3 === 0 && seed10, a5)
+        .unionByName(ccsrArm(pk % 3 === 1 && seed10, b6))
+        .unionByName(ccsrArm(pk % 3 === 2 && seed10, c4))
+        .unionByName(ccsrArm(pk % 20 === 5,
+          concat(lit("D"), lp4, lit("A"))))
+        .unionByName(ccsrArm(pk % 20 === 15,
+          concat(lit("D"), lp4, lit("XA"))))
+
+    // --- midlevel/superlevel crosswalk from the shared key list ---
+    val xwalk = IcdcmFixture.xwalkDescs.toDF("ccs_detail_desc")
+      .select(col("ccs_detail_desc"),
+        concat(lit("MID "), substring(col("ccs_detail_desc"), 1, 3))
+          .as("ccs_midlevel_desc"),
+        concat(lit("SUPER "),
+          (length(col("ccs_detail_desc")) % 4).cast("string"))
+          .as("ccs_superlevel_desc"))
+
+    // --- RDA value set (long) ---
+    def pickList(xs: Seq[String], i: Column): Column =
+      xs.zipWithIndex.foldRight(lit(null).cast("string")) {
+        case ((x, j), acc) => when(i === j, lit(x)).otherwise(acc)
+      }
+    import graft.sources.IcdcmEnrich.{mhConds, sudConds10, sudConds9}
+    def rdaArm(cond: Column, codeExpr: Column, ver: Int,
+        condExpr: Column): DataFrame =
+      base.filter(cond).select(codeExpr.as("code"),
+        lit(ver).as("icdcm_version"),
+        condExpr.as("sub_group_condition"))
+    val rdaLong =
+      rdaArm(pk % 21 === 0, a5, 10,
+          pickList(mhConds, expr("pk div 21") % 8))
+        .unionByName(rdaArm(pk % 42 === 0, a5, 10, lit("sud_opioid")))
+        .unionByName(rdaArm(pk % 21 === 10, b6, 10,
+          pickList(sudConds10, expr("pk div 21") % 9)))
+        .unionByName(rdaArm(pk % 8 === 0, n9, 9,
+          when(expr("pk div 8") % 2 === 0,
+              pickList(mhConds, expr("pk div 16") % 8))
+            .otherwise(pickList(sudConds9, expr("pk div 16") % 8))))
+
+    graft.sources.IcdcmEnrich.enrich(master, extCause, ccwLong,
+        IcdcmFixture.ccwAbbrevs, ccs9Raw, ccs10Raw, xwalk, rdaLong)
+      .orderBy(col("icdcm_version"), col("icdcm"))
+  }
+
+  /** §2.1 APCD ethnicity→race map LOAD (q327,
+    * ref/tables/load_ref.apcd_ethnicity_race_map.R:59-66 + the archive
+    * yaml's declared types): the crosswalk csv written as a REAL file,
+    * read back under the yaml schema (int / varchar / TINYINT /
+    * varchar — the declared-not-inferred discipline), and the
+    * dbWriteTable(overwrite = T) semantics: a PRIOR half-map loads
+    * first and the full map load REPLACES it (the read-back proves
+    * replacement, not append). Feeds q284's update check — both rows
+    * derive the map from [[ethnicityMapRows]]. */
+  def q327EthnicityMapLoad(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{LoadTable, TableConfig}
+    val cfg = TableConfig("ref_apcd_ethnicity_race_map", Seq(
+      "ethnicity_id" -> "INT",
+      "ethnicity_desc" -> "VARCHAR(255)",
+      "race_id" -> "TINYINT",
+      "race_desc" -> "VARCHAR(255)"), Seq.empty)
+    val rows = ethnicityMapRows(s, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft_ethmap")
+    val tbl = s"$work/ref_apcd_ethnicity_race_map"
+    def loadOnce(df: DataFrame, tag: String): Unit = {
+      val csv = s"$work/apcd_ethnicity_race_mapping_$tag.csv"
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", true).csv(csv)
+      LoadTable.loadCsv(s, csv, cfg)
+        .write.mode("overwrite").parquet(tbl)
+    }
+    loadOnce(rows.filter(col("ethnicity_id") % 2 === 0), "prior")
+    loadOnce(rows, "current")
+    s.read.parquet(tbl).orderBy(col("ethnicity_id"))
+  }
+
+  /** §2.1 KC claim-type crosswalk load (q328,
+    * ref/tables/load_ref.kc_claim_type_crosswalk.R:25-33 + its yaml):
+    * create-shell + CSV load under the declared schema — the
+    * crosswalk maps each source system's claim-type code (ProviderOne
+    * int-like, Medicare letter codes, WA-APCD ids) to the KC claim
+    * type (TINYINT 1-5). Fixture spans the three source arms with a
+    * shared kc_clm_type_id so the tinyint cast and multi-source shape
+    * survive the file round trip. */
+  def q328ClaimTypeXwalk(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{LoadTable, TableConfig}
+    val pk = col("pk")
+    val base = t(s, dir, "part")
+      .select((col("p_partkey") % 60).as("pk")).distinct()
+    val rows = base.select(
+      when(pk % 3 === 0, pk.cast("string"))
+        .when(pk % 3 === 1, concat(lit("M"), pk.cast("string")))
+        .otherwise(concat(lit("AP"), lpad(pk.cast("string"), 3, "0")))
+        .as("source_clm_type_id"),
+      concat(lit("SRC TYPE "), pk.cast("string"))
+        .as("source_clm_type_desc"),
+      when(pk % 3 === 0, "ProviderOne").when(pk % 3 === 1, "Medicare")
+        .otherwise("WA-APCD").as("source_desc"),
+      (pk % 5 + 1).as("kc_clm_type_id"),
+      concat(lit("KC TYPE "), (pk % 5 + 1).cast("string"))
+        .as("kc_clm_type_desc"))
+    val cfg = TableConfig("kc_claim_type_crosswalk", Seq(
+      "source_clm_type_id" -> "VARCHAR(20)",
+      "source_clm_type_desc" -> "VARCHAR(255)",
+      "source_desc" -> "VARCHAR(255)",
+      "kc_clm_type_id" -> "TINYINT",
+      "kc_clm_type_desc" -> "VARCHAR(255)"), Seq.empty)
+    val work = java.nio.file.Files.createTempDirectory("graft_kcxwalk")
+    val csv = s"$work/kc_claim_type_crosswalk.csv"
+    rows.coalesce(1).write.mode("overwrite")
+      .option("header", true).csv(csv)
+    LoadTable.loadCsv(s, csv, cfg)
+      .orderBy(col("source_desc"), col("source_clm_type_id"))
+  }
+
+  /** §2.1/§2.8 AHRQ value-set publish (q329,
+    * ref/tables/load_ref.ahrq_value_set.sql:21-40): the xlsx tmp
+    * stage → ref publish with the 12-char code-prefix strip and the
+    * PK-distinctness gate (RefTables.ahrqValueSet). Fixture plants a
+    * 12-char-exact code (SUBSTRING length 0 → empty string), NULLable
+    * desc_1 rows, and the PQI/PDI × diagnosis/procedure/discharge ×
+    * code-set spread the PQI measures (q115/q124) consume. */
+  def q329AhrqValueSet(s: SparkSession, dir: String): DataFrame = {
+    val pk = col("pk")
+    val base = t(s, dir, "part")
+      .select((col("p_partkey") % 150).as("pk")).distinct()
+    val code = when(pk % 17 === 0, lit(""))
+      .when(pk % 3 === 0, concat(lit("I"), lpad(pk.cast("string"), 4, "0")))
+      .when(pk % 3 === 1, concat(lit("0"), lpad(pk.cast("string"), 6, "0")))
+      .otherwise(lpad(pk.cast("string"), 3, "0"))
+    val tmp = base.select(
+      when(pk % 2 === 0, "PQI").otherwise("PDI").as("value_set_group"),
+      concat(when(pk % 2 === 0, "PQI ").otherwise("PDI "),
+        lpad((pk % 16).cast("string"), 2, "0")).as("value_set_name"),
+      when(pk % 3 === 0, "diagnosis").when(pk % 3 === 1, "procedure")
+        .otherwise("discharge").as("data_source_type"),
+      when(pk % 3 === 0, "ICD10CM").when(pk % 3 === 1, "ICD10PCS")
+        .otherwise("MSDRG").as("code_set"),
+      concat(lit("XSECTORXREF:"), code).as("code"),
+      when(pk % 11 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("DESC "), pk.cast("string"))).as("desc_1"))
+    graft.sources.RefTables.ahrqValueSet(tmp)
+      .orderBy(col("value_set_name"), col("data_source_type"),
+        col("code_set"), col("code"))
+  }
+
+  /** §2.1 NPPES provider lookup load (q330,
+    * ref/tables/load_ref.provider_nppes_load.R:44-67): the non-APDE
+    * NPPES variant — all-VARCHAR CSV read with whitespace trim, the
+    * comma scrub on every value, and the POSITIONAL rename from the
+    * CMS file's headers to the yaml names. Fixture plants padded
+    * values and quoted embedded commas ('ACME, INC' → 'ACME INC') so
+    * trim + scrub are observable through a real file round trip. */
+  def q330NppesLoad(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val raw = t(s, dir, "customer").select(
+      (lit(1000000000L) + ck % 5000).cast("string").as("NPI"),
+      when(ck % 7 === 0, lit(null).cast("string"))
+        .otherwise((ck % 2 + 1).cast("string")).as("Entity Type Code"),
+      // the comma value stays unpadded: R's trim_ws trims inside
+      // quotes, Spark's ignore*WhiteSpace options only outside them —
+      // padding is exercised on the unquoted state arm instead
+      when(ck % 2 === 0,
+          concat(lit("ACME, INC "), (ck % 40).cast("string")))
+        .otherwise(lit(null).cast("string"))
+        .as("Provider Organization Name (Legal Business Name)"),
+      when(ck % 2 === 1, concat(lit("LAST,JR "), (ck % 40).cast("string")))
+        .otherwise(lit(null).cast("string"))
+        .as("Provider Last Name (Legal Name)"),
+      concat(lit("CITY"), (ck % 30).cast("string"))
+        .as("Provider Business Practice Location Address City Name"),
+      when(ck % 5 === 0, " WA ").otherwise("OR")
+        .as("Provider Business Practice Location Address State Name"),
+      lpad((ck % 99999).cast("string"), 5, "0")
+        .as("Provider Business Practice Location Address Postal Code"))
+    val work = java.nio.file.Files.createTempDirectory("graft_nppes")
+    val csv = s"$work/npidata.csv"
+    raw.coalesce(1).write.mode("overwrite")
+      .option("header", true).csv(csv)
+    val back = s.read
+      .option("header", true)
+      .option("ignoreLeadingWhiteSpace", true)   // read_csv trim_ws = T
+      .option("ignoreTrailingWhiteSpace", true)
+      .csv(csv)
+    graft.sources.RefTables.providerNppesLoad(back, Seq(
+        "npi", "entity_type_code", "name_org", "name_last",
+        "address_practice_city", "address_practice_state",
+        "address_practice_zip_code"))
+      .orderBy(col("npi"))
   }
 }

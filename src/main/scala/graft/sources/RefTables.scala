@@ -919,4 +919,51 @@ object RefTables {
       .join(taxFinal, col("npi") === col("tax_npi"), "left")
       .drop("tax_npi")
   }
+
+  /** ref.ahrq_value_set (ref/tables/load_ref.ahrq_value_set.sql:21-40
+    * over the .R xlsx→tmp stage): the PQI/PDI value-set publish —
+    * SUBSTRING([code], 13, LEN([code]) - 12) strips the workbook's
+    * fixed 12-char code prefix (T-SQL ERRORS on codes shorter than 12;
+    * the gate below models that), and the PRIMARY KEY on (value_set_
+    * name, data_source_type, code_set, code) rejects duplicate keys —
+    * a real load would fail the INSERT, so the kernel requires key
+    * distinctness up front (one fused vocabulary-sized aggregate).
+    * The INSERT's ORDER BY is physical-layout cosmetics in T-SQL —
+    * not result semantics — and is left to the catalog row. */
+  def ahrqValueSet(tmp: DataFrame): DataFrame = {
+    val short = tmp.filter(length(col("code")) < 12).count()
+    require(short == 0L,
+      s"AHRQ codes shorter than the 12-char prefix: $short " +
+        "(T-SQL SUBSTRING would error)")
+    val out = tmp.select(col("value_set_group"), col("value_set_name"),
+      col("data_source_type"), col("code_set"),
+      expr("substring(code, 13, length(code) - 12)").as("code"),
+      col("desc_1"))
+    val pk = out.agg(count(lit(1)).as("n"),
+      count_distinct(struct(col("value_set_name"),
+        col("data_source_type"), col("code_set"), col("code")))
+        .as("d")).head()
+    require(pk.getLong(0) == pk.getLong(1),
+      "duplicate (value_set_name, data_source_type, code_set, code) " +
+        "keys — the pk_ahrq_value_set constraint would fail the INSERT")
+    out
+  }
+
+  /** ref.provider_nppes_load (ref/tables/load_ref.provider_nppes_load
+    * .R:44-67): the non-APDE NPPES lookup load — every column read as
+    * VARCHAR (col_types "c") with whitespace trim (handled at the CSV
+    * read), commas stripped from EVERY value (mutate_all gsub — the
+    * same scrub nppesApdeLoad shares), and the raw CSV headers
+    * renamed POSITIONALLY to the yaml's column names (setnames).
+    * last_run dropped (audit metadata); the raw-vs-loaded row-count
+    * QA holds by construction — the load is a projection — and is
+    * pinned by the catalog row's own count. */
+  def providerNppesLoad(raw: DataFrame, yamlNames: Seq[String]): DataFrame = {
+    require(raw.columns.length == yamlNames.length,
+      s"yaml declares ${yamlNames.length} columns, file has " +
+        s"${raw.columns.length}")
+    val renamed = raw.toDF(yamlNames: _*)
+    renamed.select(renamed.columns.map(c =>
+      regexp_replace(col(c), ",", "").as(c)).toIndexedSeq: _*)
+  }
 }

@@ -45,12 +45,78 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("mcaidChain topo order matches the oracle's pinned sequence " +
-      "(csv-alphabetical declarations, Kahn earliest-declared)") {
+      "(csv-alphabetical declarations, Kahn earliest-declared; the " +
+      "late claim tables moud/naloxone/preg_episode emit 11-13 — " +
+      "ready only after procedure, and declared after header/bh/ccw " +
+      "which grab 8-10 the moment procedure lands)") {
     assert(topoOrder(mcaidChain).map(_.table) == Seq(
       "mcaid_elig_demo", "mcaid_elig_month", "mcaid_elig_timevar",
       "mcaid_claim_icdcm_header", "mcaid_claim_line",
       "mcaid_claim_pharm", "mcaid_claim_procedure",
-      "mcaid_claim_header", "mcaid_claim_bh", "mcaid_claim_ccw"))
+      "mcaid_claim_header", "mcaid_claim_bh", "mcaid_claim_ccw",
+      "mcaid_claim_moud", "mcaid_claim_naloxone",
+      "mcaid_claim_preg_episode"))
+  }
+
+  test("mcaidPromoteList is the master script's hand-written 13-table " +
+      "sequence, not the Kahn order") {
+    assert(mcaidPromoteList == Seq(
+      "mcaid_elig_demo", "mcaid_elig_timevar", "mcaid_elig_month",
+      "mcaid_claim_line", "mcaid_claim_icdcm_header",
+      "mcaid_claim_procedure", "mcaid_claim_pharm",
+      "mcaid_claim_header", "mcaid_claim_naloxone",
+      "mcaid_claim_moud", "mcaid_claim_preg_episode",
+      "mcaid_claim_ccw", "mcaid_claim_bh"))
+    assert(mcaidPromoteList.toSet == mcaidChain.map(_.table).toSet)
+  }
+
+  test("deferred promote: stages emit 2 rows, the update step rewrites " +
+      "the keyed table (flag set where id matches, NULL elsewhere), " +
+      "the promote loop walks the fixed list unconditionally") {
+    val stages = Seq(
+      StageDef("demo", Nil, (s, _) => { import s.implicits._
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "x") }),
+      StageDef("bad", Nil, dup),  // distinct gate fails — still promotes
+      StageDef("t3", Seq("demo"), mk(4)))
+    val upd = UpdateStep("demo", "demo_extra", "user_id", "flag",
+      (s, _) => { import s.implicits._; Seq(2L, 9L).toDF("id") })
+    val out = AnalyticPipeline.run(spark, "", stages,
+      update = Some(upd), promoteList = Seq("demo", "t3", "bad"))
+      .collect()
+    // stage phase: 2 rows per stage, no inline promote_rows
+    assert(out.count(r => r.getAs[Int]("stage_seq") <= 3) == 6)
+    val updRows = out.filter(_.getAs[String]("table_name") == "demo_extra")
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Int]("pass"), r.getAs[Long]("observed"))).toMap
+    assert(updRows("update_rows") == ((1, 3L)))   // cardinality kept
+    assert(updRows("update_flagged") == ((1, 1L))) // only id 2 matched
+    // promote loop: list order, seqs 5,6,7; the QA-failed 'bad' stage
+    // still promotes (the reference loop has no gate)
+    val promo = out.filter(_.getAs[String]("item") == "promote_rows")
+      .sortBy(_.getAs[Int]("stage_seq"))
+      .map(r => (r.getAs[Int]("stage_seq"), r.getAs[String]("table_name"),
+        r.getAs[Int]("pass"), r.getAs[Long]("observed")))
+    assert(promo.toSeq == Seq((5, "demo", 1, 3L), (6, "t3", 1, 4L),
+      (7, "bad", 1, 3L)))
+  }
+
+  test("deferred promote under a fired hard gate: the update and the " +
+      "WHOLE promote loop abort (the stop() blast radius)") {
+    val stages = Seq(
+      StageDef("claims", Nil, dup),
+      StageDef("header", Seq("claims"), mk(5)))
+    val upd = UpdateStep("claims", "extra", "id", "flag",
+      (s, _) => { import s.implicits._; Seq(1L).toDF("id") })
+    val out = AnalyticPipeline.run(spark, "", stages,
+      hardGate = Map("header" -> Seq("claims")),
+      update = Some(upd), promoteList = Seq("claims", "header"))
+      .collect()
+    val aborted = out.filter(_.getAs[String]("item") == "aborted")
+      .map(r => r.getAs[Int]("stage_seq") -> r.getAs[String]("table_name"))
+    // header (2), the update (3), both promote entries (4, 5)
+    assert(aborted.toSet == Set(2 -> "header", 3 -> "extra",
+      4 -> "claims", 5 -> "header"))
+    assert(!out.exists(_.getAs[String]("item") == "promote_rows"))
   }
 
   test("mcaidMcareChain topo order matches the q278 oracle's pinned " +

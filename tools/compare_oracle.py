@@ -1,6 +1,10 @@
-import duckdb, json, glob, os, sys
+import duckdb, json, glob, os, sys, time
 out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_r3b'
 sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+# optional third arg: write the full per-query result dict (incl.
+# per-oracle seconds, so compare-cost growth is visible before it
+# breaks a driver budget) to this JSON path
+out_json = sys.argv[3] if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     p = f'{sf}/{t}.parquet'
@@ -16,11 +20,13 @@ for d in sorted(glob.glob(f'{out}/q*')):
         results[name] = {'err': f'spark read: {e}'}; continue
     if name not in oracle:
         results[name] = {'err': 'no_oracle', 'spark_rows': len(sdf)}; continue
+    t0 = time.monotonic()
     try:
         odf = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         results[name] = {'err': f'oracle: {e}'}; continue
-    r = {'spark_rows': len(sdf), 'oracle_rows': len(odf)}
+    r = {'spark_rows': len(sdf), 'oracle_rows': len(odf),
+         'oracle_sec': round(time.monotonic() - t0, 2)}
     r['rows_match'] = len(sdf) == len(odf)
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     r['schema_match'] = s_cols == o_cols
@@ -35,3 +41,8 @@ for d in sorted(glob.glob(f'{out}/q*')):
 bad = {k: v for k, v in results.items() if not v.get('hash_match', False)}
 print('TOTAL', len(results), 'PASS', len(results) - len(bad))
 for k, v in bad.items(): print('BAD', k, v)
+slow = sorted(results.items(), key=lambda kv: -kv[1].get('oracle_sec', 0))[:8]
+print('SLOWEST ORACLES:', [(k, v.get('oracle_sec')) for k, v in slow])
+if out_json:
+    with open(out_json, 'w') as f:
+        json.dump(results, f, indent=1)
