@@ -531,6 +531,14 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q330NppesLoad _),
     "q331_mcare_ccw_tmp_qa" ->
       (graft.queries.ClaimQaQueries.q331McareCcwTmpQa _),
+    "q332_raw_claim_load_qa" ->
+      (graft.queries.ClaimQaQueries.q332RawClaimLoadQa _),
+    "q333_raw_elig_load_qa" ->
+      (graft.queries.ClaimQaQueries.q333RawEligLoadQa _),
+    "q334_mcare_raw_normalize" ->
+      (graft.queries.LifecycleQueries.q334McareRawNormalize _),
+    "q335_mcare_raw_etl" ->
+      (graft.queries.LifecycleQueries.q335McareRawEtl _),
   )
 
   /** q323 oracle — replays the RDA refresh over the q323 fixture; the
@@ -7107,7 +7115,200 @@ object SparkEntry {
           WHERE year(from_date) <= 1995 AND year(to_date) >= 1995) t
         LEFT JOIN aged a ON t.id_mcare = a.demo_id
         GROUP BY a.age_grp7)
-      ORDER BY qa_section, ccw_code, ccw_desc, age_grp7""")
+      ORDER BY qa_section, ccw_code, ccw_desc, age_grp7""") +
+    // q332: raw mcaid CLAIM partial-load QA — the address-EXCLUDED
+    // distinctness vs distinct CLM_LINE_TCN (the planted resubmitted
+    // lines differ only in billing address), the etl-expectation row
+    // count with the qa_load_file.R PASS-note double-assignment
+    // quirk, and the FROM_SRVC_DATE range.
+    ("q332_raw_claim_load_qa" -> """
+      WITH keys AS (
+        SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem),
+      f AS (
+        SELECT ok * 10 + ln AS clm_line_tcn,
+          ok AS tcn, DATE '1992-01-01' + CAST(ok % 2000 AS INT) AS fsd,
+          CAST((ok + ln) % 31 AS VARCHAR) AS ctc,
+          'ADDR ' || CAST(ok % 100 AS VARCHAR) AS addr1,
+          'SRV ' || CAST(ln * 7 % 50 AS VARCHAR) AS addr2,
+          CASE WHEN (ok + ln) % 3 = 0 THEN NULL
+            ELSE 'MCO ' || CAST(ok % 7 AS VARCHAR) END AS addr3,
+          'C' || CAST(ok % 39 AS VARCHAR) AS addr4
+        FROM keys),
+      dup AS (
+        SELECT clm_line_tcn, tcn, fsd, ctc, 'ADDR RESUBMIT', addr2,
+          addr3, addr4
+        FROM f WHERE tcn % 37 = 0 AND clm_line_tcn % 10 = 1),
+      raw AS (SELECT * FROM f UNION ALL SELECT * FROM dup),
+      m AS (
+        SELECT count(*) AS n,
+          (SELECT count(*) FROM (SELECT DISTINCT clm_line_tcn, tcn,
+            fsd, ctc FROM raw)) AS d,
+          count(DISTINCT clm_line_tcn) AS tcn_d
+        FROM raw)
+      SELECT CAST(4001 AS INT) AS etl_batch_id,
+        'load_raw.mcaid_claim' AS table_name, qa_item, qa_result, note
+      FROM (
+        SELECT 'Number rows loaded to SQL vs. expected value(s)'
+            AS qa_item, 'PASS' AS qa_result,
+          'Number of rows loaded to SQL match expected value(s): '
+            AS note
+        FROM m
+        UNION ALL SELECT 'Distinct TCNs',
+          CASE WHEN d = tcn_d THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN d = tcn_d THEN 'Number of distinct TCNs equals ' ||
+            'total # rows (after excluding address fields)'
+            ELSE 'No. distinct TCNs did not match rows even after ' ||
+              'excluding addresses' END
+        FROM m
+        UNION ALL SELECT 'Actual vs. expected date range in data',
+          'PASS',
+          'Date range of table(s) loaded to SQL match(es) expected ' ||
+            'value(s)'
+        FROM m)
+      ORDER BY qa_item""") +
+    // q333: raw mcaid ELIG partial-load QA — the six-check battery;
+    // the NULL-share note renders from the exact integer
+    // milli-percent (RawLoadQa.pctString's SQL twin).
+    ("q333_raw_elig_load_qa" -> """
+      WITH raw AS (
+        SELECT 'H' || lpad(CAST(o_custkey % 800 AS VARCHAR), 6, '0')
+            AS mbr,
+          year(CAST(o_orderdate AS DATE)) * 100
+            + month(CAST(o_orderdate AS DATE)) AS ym,
+          'R' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS rid,
+          CASE WHEN o_orderkey % 80 = 0 THEN NULL
+            ELSE CAST(o_orderdate AS DATE) END AS rac_from,
+          CAST(o_orderdate AS DATE) + 59 AS rac_to,
+          CAST(o_orderkey % 9000 + 1000 AS VARCHAR) AS rac,
+          CASE WHEN o_orderkey % 4 = 0 THEN 'Aged Out'
+            WHEN o_orderkey % 4 = 1 THEN 'Review Done'
+            WHEN o_orderkey % 4 = 2 THEN NULL ELSE 'Other' END AS ern,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'DualEligible'
+            WHEN o_orderkey % 3 = 1 THEN 'PartialDual' ELSE 'N/A' END
+            AS dual
+        FROM orders),
+      m AS (
+        SELECT count(*) AS n,
+          (SELECT count(*) FROM (SELECT DISTINCT mbr, ym, rid,
+            rac_from, rac_to, rac, ern, dual FROM raw)) AS d,
+          min(length(rid)) AS id_min, max(length(rid)) AS id_max,
+          min(length(rac)) AS rac_min, max(length(rac)) AS rac_max,
+          count(CASE WHEN rac_from IS NULL THEN 1 END) AS nulls
+        FROM raw),
+      p AS (
+        SELECT m.*, (nulls * 100000 * 2 + n) // (2 * n) AS milli
+        FROM m),
+      p2 AS (
+        SELECT p.*,
+          CAST(milli // 1000 AS VARCHAR) ||
+            CASE WHEN milli % 1000 = 0 THEN ''
+              ELSE '.' || rtrim(lpad(CAST(milli % 1000 AS VARCHAR),
+                3, '0'), '0') END AS pct
+        FROM p)
+      SELECT CAST(4002 AS INT) AS etl_batch_id,
+        'load_raw.mcaid_elig' AS table_name, qa_item, qa_result, note
+      FROM (
+        SELECT 'Number rows loaded to SQL vs. expected value(s)'
+            AS qa_item, 'PASS' AS qa_result,
+          'Number of rows loaded to SQL match expected value(s): '
+            AS note
+        FROM p2
+        UNION ALL SELECT
+          CASE WHEN d = n THEN 'Distinct rows (ID, CLNDR_YEAR_MNTH, ' ||
+            'FROM/TO DATE, RAC_CODE, END_REASON_NAME, ' ||
+            'DUALELIGIBLE_INDICATOR)'
+            ELSE 'Distinct rows (MBR_H_SID, CLNDR_YEAR_MNTH, ' ||
+              'MEDICAID_RECIPIENT_ID, RAC_FROM_DATE, RAC_TO_DATE, ' ||
+              'RAC_CODE, END_REASON_NAME, DUALELIGIBLE_INDICATOR)' END,
+          CASE WHEN d = n THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN d = n THEN 'Number of distinct rows equals ' ||
+            'total # rows (' || CAST(n AS VARCHAR) || ')'
+            ELSE 'Number distinct rows (' || CAST(d AS VARCHAR) ||
+              ') != total rows (' || CAST(n AS VARCHAR) || ')' END
+        FROM p2
+        UNION ALL SELECT 'Actual vs. expected date range in data',
+          'PASS',
+          'Date range of table(s) loaded to SQL match(es) expected ' ||
+            'value(s)'
+        FROM p2
+        UNION ALL SELECT 'Length of Medicaid ID',
+          CASE WHEN id_min = 11 AND id_max = 11 THEN 'PASS'
+            ELSE 'FAIL' END,
+          CASE WHEN id_min = 11 AND id_max = 11
+            THEN 'All Medicaid IDs were 11 characters'
+            ELSE 'Minimum ID length was ' || CAST(id_min AS VARCHAR) ||
+              ', maximum was ' || CAST(id_max AS VARCHAR) END
+        FROM p2
+        UNION ALL SELECT 'Length of RAC codes',
+          CASE WHEN rac_min = 4 AND rac_max = 4 THEN 'PASS'
+            ELSE 'FAIL' END,
+          CASE WHEN rac_min = 4 AND rac_max = 4
+            THEN 'All RAC codes were 4 characters'
+            ELSE 'Min RAC_CODE length was ' ||
+              CAST(rac_min AS VARCHAR) || ', max was ' ||
+              CAST(rac_max AS VARCHAR) END
+        FROM p2
+        UNION ALL SELECT 'NULL from dates',
+          CASE WHEN milli <= 20000 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN milli <= 20000
+            THEN '<2% of from date rows were null (' || pct ||
+              '% of total rows)'
+            ELSE 'There were ' || CAST(nulls AS VARCHAR) ||
+              ' NULL from dates (' || pct || '% of total rows)' END
+        FROM p2)
+      ORDER BY qa_item""") +
+    // q334: the mcare delivery normalization — the oracle derives the
+    // post-normalization shape directly; the Spark side earns it
+    // through real comma/pipe files, the long/alt header renames, and
+    // the dictionary reorder/NULL-pad (mechanics pinned by spec).
+    ("q334_mcare_raw_normalize" -> """
+      WITH fa AS (
+        SELECT 'B' || lpad(CAST(c_custkey % 900 AS VARCHAR), 6, '0')
+            AS bene_id,
+          'C' || CAST((c_custkey * 13) % 100000 AS VARCHAR) AS clm_id,
+          '2023-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0')
+            || '-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+            AS first_service_date,
+          CAST(c_custkey % 5000 AS VARCHAR) || '.50' AS paid_amt,
+          CAST(NULL AS VARCHAR) AS filetype,
+          'mcare_bcarrier_claims_2023.csv' AS file_name
+        FROM customer),
+      fb AS (
+        SELECT 'B' || lpad(CAST(o_custkey % 900 AS VARCHAR), 6, '0'),
+          'D' || CAST(o_orderkey % 100000 AS VARCHAR),
+          '2026-' || lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0')
+            || '-01',
+          CAST(NULL AS VARCHAR), 'bcarrier',
+          'mcare_bcarrier_claims_2026.csv'
+        FROM orders)
+      SELECT * FROM (SELECT * FROM fa UNION ALL SELECT * FROM fb)
+      ORDER BY file_name, bene_id, clm_id""") +
+    // q335: the delivery's metadata arms — the new_flag proposal at
+    // column_order 6 and the two etl_log entries (the 2026 file's
+    // batch year reduced to 2024 by the maxyear quirk).
+    ("q335_mcare_raw_etl" -> """
+      WITH ca AS (SELECT count(*) AS n FROM customer),
+      oa AS (SELECT count(*) AS n FROM orders)
+      SELECT * FROM (
+        SELECT 'new_column' AS section, CAST(NULL AS VARCHAR)
+            AS file_name,
+          'mcare_bcarrier_claims' AS table_name,
+          'new_flag' AS column_name, 'VARCHAR(255)' AS column_type,
+          '6' AS column_order, CAST(NULL AS VARCHAR) AS date_min,
+          CAST(NULL AS VARCHAR) AS date_max,
+          CAST(NULL AS VARCHAR) AS row_cnt
+        UNION ALL
+        SELECT 'etl_log', 'mcare_bcarrier_claims_2023.csv.gz',
+          'mcare_bcarrier_claims', NULL, NULL, NULL, '2023-01-01',
+          '2023-12-31', CAST(ca.n AS VARCHAR)
+        FROM ca
+        UNION ALL
+        SELECT 'etl_log', 'mcare_bcarrier_claims_2026.csv.gz',
+          'mcare_bcarrier_claims', NULL, NULL, NULL, '2024-01-01',
+          '2024-12-31', CAST(oa.n AS VARCHAR)
+        FROM oa)
+      ORDER BY section, file_name, column_order""")
 
   /** Shared q146/q280 address-clean oracle template: the full
     * clean-chain replica with the `fresh` CTE's restriction

@@ -564,4 +564,87 @@ object ClaimQaQueries {
       .orderBy(col("qa_section"), col("ccw_code"), col("ccw_desc"),
         col("age_grp7"))
   }
+
+  /** §5 raw mcaid CLAIM partial-load QA (q332,
+    * load_load_raw.mcaid_claim_partial.R:70-140): the post-copy_into
+    * battery — loaded rows vs the batch's etl_log expectation (with
+    * the qa_load_file.R PASS-note double-assignment quirk), the
+    * address-EXCLUDED distinctness vs COUNT(DISTINCT CLM_LINE_TCN)
+    * (the fixture plants resubmitted lines differing ONLY in
+    * BILLING_PRVDR_ADDRESS — without the exclusion the check would
+    * fail), and the FROM_SRVC_DATE range vs the batch. Expectations
+    * come from one bounded 1-row aggregate standing in for the
+    * etl_log row the file inventory stamped. */
+  def q332RawClaimLoadQa(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic lineitem carries duplicate (orderkey, linenumber)
+    // pairs — the claim-line fixture starts from the DISTINCT key
+    // grain so CLM_LINE_TCN is genuinely line-unique (the raw file's
+    // contract) and every attribute derives from the key pair
+    val keys = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln")).distinct()
+    val (ok, ln) = (col("ok"), col("ln"))
+    val f = keys.select(
+      (ok * 10 + ln).as("CLM_LINE_TCN"),
+      ok.as("TCN"),
+      date_add(to_date(lit("1992-01-01")), (ok % 2000).cast("int"))
+        .as("FROM_SRVC_DATE"),
+      ((ok + ln) % 31).cast("string").as("CLM_TYPE_CID"),
+      concat(lit("ADDR "), (ok % 100).cast("string"))
+        .as("BILLING_PRVDR_ADDRESS"),
+      concat(lit("SRV "), (ln * 7 % 50).cast("string"))
+        .as("SERVICING_PRVDR_ADDRESS"),
+      when((ok + ln) % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("MCO "), (ok % 7).cast("string")))
+        .as("MCO_PRVDR_ADDRESS"),
+      concat(lit("C"), (ok % 39).cast("string"))
+        .as("MCO_PRVDR_COUNTY"))
+    val dup = f
+      .filter(col("TCN") % 37 === 0 && col("CLM_LINE_TCN") % 10 === 1)
+      .withColumn("BILLING_PRVDR_ADDRESS", lit("ADDR RESUBMIT"))
+    val raw = f.unionByName(dup)
+    val e = raw.agg(count(lit(1)),
+      min(col("FROM_SRVC_DATE")).cast("string"),
+      max(col("FROM_SRVC_DATE")).cast("string")).head()
+    graft.qa.RawLoadQa.mcaidClaimPartial(s, raw,
+        graft.qa.RawLoadQa.Batch(4001, e.getLong(0), e.getString(1),
+          e.getString(2)))
+      .orderBy(col("qa_item"))
+  }
+
+  /** §5 raw mcaid ELIG partial-load QA (q333,
+    * load_load_raw.mcaid_elig_partial.R:113-270): the six-check
+    * battery — row count, the 8-column-key distinctness (with the
+    * reference's outcome-DEPENDENT qa_item label), the
+    * CLNDR_YEAR_MNTH range, the 11-char Medicaid-ID and 4-char
+    * RAC-code fixed-width gates, and the ≤2% NULL RAC_FROM_DATE
+    * share with its exact milli-percent note rendering. The fixture
+    * plants ~1/80 NULL from-dates (comfortably under the bar) and a
+    * per-row-unique MEDICAID_RECIPIENT_ID so the key is distinct. */
+  def q333RawEligLoadQa(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val raw = t(s, dir, "orders").select(
+      concat(lit("H"), lpad((col("o_custkey") % 800).cast("string"),
+        6, "0")).as("MBR_H_SID"),
+      (year(to_date(col("o_orderdate"))) * 100 +
+        month(to_date(col("o_orderdate")))).as("CLNDR_YEAR_MNTH"),
+      concat(lit("R"), lpad(k.cast("string"), 10, "0"))
+        .as("MEDICAID_RECIPIENT_ID"),
+      when(k % 80 === 0, lit(null).cast("date"))
+        .otherwise(to_date(col("o_orderdate"))).as("RAC_FROM_DATE"),
+      date_add(to_date(col("o_orderdate")), 59).as("RAC_TO_DATE"),
+      (k % 9000 + 1000).cast("string").as("RAC_CODE"),
+      when(k % 4 === 0, "Aged Out").when(k % 4 === 1, "Review Done")
+        .when(k % 4 === 2, lit(null).cast("string"))
+        .otherwise("Other").as("END_REASON_NAME"),
+      when(k % 3 === 0, "DualEligible").when(k % 3 === 1, "PartialDual")
+        .otherwise("N/A").as("DUALELIGIBLE_INDICATOR"))
+    val e = raw.agg(count(lit(1)),
+      min(col("CLNDR_YEAR_MNTH")).cast("string"),
+      max(col("CLNDR_YEAR_MNTH")).cast("string")).head()
+    graft.qa.RawLoadQa.mcaidEligPartial(s, raw,
+        graft.qa.RawLoadQa.Batch(4002, e.getLong(0), e.getString(1),
+          e.getString(2)))
+      .orderBy(col("qa_item"))
+  }
 }

@@ -1769,4 +1769,103 @@ vars:
         "address_practice_zip_code"))
       .orderBy(col("npi"))
   }
+
+  /** Shared q334/q335 fixture: the bcarrier data dictionary, and the
+    * two delivery files written as REAL csv — a comma-separated 2023
+    * file using the canonical/LONG/ALT header mix plus an unknown
+    * NEW_FLAG column and a missing filetype, and a PIPE-separated
+    * future-labeled 2026 file using the other rename arms with
+    * paid_amt missing. */
+  private def mcareRawDict = Seq(
+    graft.sources.McareRawNormalize.DictCol("mcare_bcarrier_claims",
+      "bene_id", "encrypted_723_bene_id", None, 1),
+    graft.sources.McareRawNormalize.DictCol("mcare_bcarrier_claims",
+      "clm_id", "claim_control_number", Some("clm_cntl_num"), 2),
+    graft.sources.McareRawNormalize.DictCol("mcare_bcarrier_claims",
+      "first_service_date", "claim_from_date", Some("clm_from_dt"), 3),
+    graft.sources.McareRawNormalize.DictCol("mcare_bcarrier_claims",
+      "paid_amt", "claim_payment_amount", None, 4),
+    graft.sources.McareRawNormalize.DictCol("mcare_bcarrier_claims",
+      "filetype", "file_type", None, 5))
+
+  private def mcareRawFiles(s: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_mcare_raw")
+    val ck = col("c_custkey")
+    val fa = t(s, dir, "customer").select(
+      concat(lit("B"), lpad((ck % 900).cast("string"), 6, "0"))
+        .as("BENE_ID"),
+      concat(lit("C"), ((ck * 13) % 100000).cast("string"))
+        .as("CLAIM_CONTROL_NUMBER"),
+      concat(lit("2023-"), lpad((ck % 12 + 1).cast("string"), 2, "0"),
+        lit("-"), lpad((ck % 28 + 1).cast("string"), 2, "0"))
+        .as("CLM_FROM_DT"),
+      concat((ck % 5000).cast("string"), lit(".50")).as("PAID_AMT"),
+      (ck % 2).cast("string").as("NEW_FLAG"))
+    val k = col("o_orderkey")
+    val fb = t(s, dir, "orders").select(
+      concat(lit("B"), lpad((col("o_custkey") % 900).cast("string"),
+        6, "0")).as("bene_id"),
+      concat(lit("D"), (k % 100000).cast("string")).as("clm_cntl_num"),
+      concat(lit("2026-"), lpad((k % 12 + 1).cast("string"), 2, "0"),
+        lit("-01")).as("claim_from_date"),
+      lit("bcarrier").as("file_type"))
+    val pa = s"$work/mcare_bcarrier_claims_2023.csv"
+    val pb = s"$work/mcare_bcarrier_claims_2026.csv"
+    fa.coalesce(1).write.mode("overwrite")
+      .option("header", true).option("sep", ",").csv(pa)
+    fb.coalesce(1).write.mode("overwrite")
+      .option("header", true).option("sep", "|").csv(pb)
+    Seq("mcare_bcarrier_claims_2023.csv" -> pa,
+      "mcare_bcarrier_claims_2026.csv" -> pb)
+  }
+
+  /** §2.1 Medicare raw-file normalization (q334,
+    * db_loader/mcare/00_master_mcare_raw_file_processing.R:40-161):
+    * per-file delimiter sniff, dictionary-driven header
+    * canonicalization (long/alt → column_name), and the
+    * rbind.fill reorder/NULL-pad to the declared column order — the
+    * normalized union of the delivery, file-stamped. */
+  def q334McareRawNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.McareRawNormalize
+    mcareRawFiles(s, dir).map { case (name, path) =>
+      McareRawNormalize.normalizeFile(s, path, mcareRawDict)._1
+        .withColumn("file_name", lit(name))
+    }.reduce(_ unionByName _)
+      .orderBy(col("file_name"), col("bene_id"), col("clm_id"))
+  }
+
+  /** §2.1/§5 Medicare delivery metadata (q335, same reference
+    * :86-111 and :190-206): the NEW-column proposal rows (unknown
+    * headers → VARCHAR(255) with column_order continuing from the
+    * dictionary max) and the per-file etl_log entries — gz name,
+    * batch year from the filename's -8..-5 digits with the
+    * maxyear-2 future-label quirk (the 2026 file lands in 2024),
+    * full-year date_min/date_max, file row count. */
+  def q335McareRawEtl(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.McareRawNormalize
+    import s.implicits._
+    val files = mcareRawFiles(s, dir)
+    val perFile = files.map { case (name, path) =>
+      val (norm, headers) = McareRawNormalize.normalizeFile(s, path,
+        mcareRawDict)
+      (name, headers, norm.count())
+    }
+    val props = perFile.flatMap { case (_, headers, _) =>
+      McareRawNormalize.newColumns(headers, mcareRawDict)
+    }.map { case (n, t0, o) =>
+      ("new_column", null: String, "mcare_bcarrier_claims", n, t0,
+        o.toString, null: String, null: String, null: String)
+    }
+    val etl = perFile.map { case (name, _, n) =>
+      val y = McareRawNormalize.batchYear(name, maxYear = 2024)
+      ("etl_log", name + ".gz", "mcare_bcarrier_claims",
+        null: String, null: String, null: String,
+        s"$y-01-01", s"$y-12-31", n.toString)
+    }
+    (props ++ etl).toDF("section", "file_name", "table_name",
+        "column_name", "column_type", "column_order", "date_min",
+        "date_max", "row_cnt")
+      .orderBy(col("section"), col("file_name"), col("column_order"))
+  }
 }
