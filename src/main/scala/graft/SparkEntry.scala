@@ -539,6 +539,8 @@ object SparkEntry {
       (graft.queries.LifecycleQueries.q334McareRawNormalize _),
     "q335_mcare_raw_etl" ->
       (graft.queries.LifecycleQueries.q335McareRawEtl _),
+    "q336_delivery_qa" ->
+      (graft.queries.ClaimQaQueries.q336DeliveryQa _),
   )
 
   /** q323 oracle — replays the RDA refresh over the q323 fixture; the
@@ -7308,7 +7310,92 @@ object SparkEntry {
           'mcare_bcarrier_claims', NULL, NULL, NULL, '2024-01-01',
           '2024-12-31', CAST(oa.n AS VARCHAR)
         FROM oa)
-      ORDER BY section, file_name, column_order""")
+      ORDER BY section, file_name, column_order""") +
+    // q336: the pre-load delivery QA — month spans, the rpm drift vs
+    // the previous delivery's literals, the month distribution, and
+    // the whole-month expected-date stepping (day-clamped, month-end
+    // counts whole).
+    ("q336_delivery_qa" -> """
+      WITH e AS (
+        SELECT year(CAST(o_orderdate AS DATE)) * 100
+          + month(CAST(o_orderdate AS DATE)) AS ym
+        FROM orders),
+      em AS (SELECT count(*) AS n, min(ym) AS ym0, max(ym) AS ym1,
+        count(DISTINCT ym) AS mc FROM e),
+      ef AS (
+        SELECT *,
+          make_date(CAST(ym0 // 100 AS INT), CAST(ym0 % 100 AS INT), 1)
+            AS mind,
+          last_day(make_date(CAST(ym1 // 100 AS INT),
+            CAST(ym1 % 100 AS INT), 1)) AS maxd,
+          (ym1 // 100 * 12 + ym1 % 100)
+            - (ym0 // 100 * 12 + ym0 % 100) + 1 AS span
+        FROM em),
+      c AS (
+        SELECT year(CAST(l_shipdate AS DATE)) * 100
+          + month(CAST(l_shipdate AS DATE)) AS ym
+        FROM lineitem),
+      cm AS (SELECT count(*) AS n, min(ym) AS ym0, max(ym) AS ym1,
+        count(DISTINCT ym) AS mc FROM c),
+      cf AS (
+        SELECT *,
+          make_date(CAST(ym0 // 100 AS INT), CAST(ym0 % 100 AS INT), 1)
+            AS mind,
+          last_day(make_date(CAST(ym1 // 100 AS INT),
+            CAST(ym1 % 100 AS INT), 1)) AS maxd,
+          (ym1 // 100 * 12 + ym1 % 100)
+            - (ym0 // 100 * 12 + ym0 % 100) + 1 AS span
+        FROM cm)
+      SELECT * FROM (
+        SELECT 'file' AS section,
+          'mcaid_elig_20250415.txt' AS file_name,
+          CAST(NULL AS INT) AS ym, CAST(NULL AS BIGINT) AS n,
+          CAST(NULL AS DOUBLE) AS perc, 'elig' AS type,
+          '2025-04-15' AS del_date, CAST(mind AS VARCHAR) AS min_date,
+          CAST(maxd AS VARCHAR) AS max_date, 'PASS' AS col_qa,
+          n AS row_cnt,
+          (CAST(n AS DOUBLE) / span - 18.0) / 18.0 AS rpm_diff,
+          mc AS mon_cnt,
+          CASE WHEN mc = 80 THEN 'PASS' ELSE 'FAIL' END AS monvprev,
+          CASE WHEN
+            (year(mind) * 12 + month(mind)) - (1994 * 12 + 12)
+              - CASE WHEN day(mind) < 1
+                  AND day(mind) <> day(last_day(mind)) THEN 1
+                ELSE 0 END = 1
+            AND (year(maxd) * 12 + month(maxd)) - (2001 * 12 + 7)
+              - CASE WHEN day(maxd) < 31
+                  AND day(maxd) <> day(last_day(maxd)) THEN 1
+                ELSE 0 END = 1
+            THEN 'PASS' ELSE 'FAIL' END AS expdates
+        FROM ef
+        UNION ALL
+        SELECT 'file', 'mcaid_claims_20250415.txt', NULL, NULL, NULL,
+          'claims', '2025-04-15', CAST(mind AS VARCHAR),
+          CAST(maxd AS VARCHAR), 'FAIL', n,
+          (CAST(n AS DOUBLE) / span - 700.0) / 700.0, mc,
+          CASE WHEN mc = 5 THEN 'PASS' ELSE 'FAIL' END,
+          CASE WHEN
+            (year(mind) * 12 + month(mind)) - (1995 * 12 + 1)
+              - CASE WHEN day(mind) < 1
+                  AND day(mind) <> day(last_day(mind)) THEN 1
+                ELSE 0 END = 1
+            AND (year(maxd) * 12 + month(maxd)) - (2001 * 12 + 9)
+              - CASE WHEN day(maxd) < 30
+                  AND day(maxd) <> day(last_day(maxd)) THEN 1
+                ELSE 0 END = 1
+            THEN 'PASS' ELSE 'FAIL' END
+        FROM cf
+        UNION ALL
+        SELECT 'month', 'mcaid_elig_20250415.txt', CAST(ym AS INT),
+          count(*), CAST(count(*) AS DOUBLE) / (SELECT n FROM em),
+          NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM e GROUP BY ym
+        UNION ALL
+        SELECT 'month', 'mcaid_claims_20250415.txt', CAST(ym AS INT),
+          count(*), CAST(count(*) AS DOUBLE) / (SELECT n FROM cm),
+          NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM c GROUP BY ym)
+      ORDER BY section, file_name, ym""")
 
   /** Shared q146/q280 address-clean oracle template: the full
     * clean-chain replica with the `fresh` CTE's restriction

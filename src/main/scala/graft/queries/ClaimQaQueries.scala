@@ -647,4 +647,36 @@ object ClaimQaQueries {
           e.getString(2)))
       .orderBy(col("qa_item"))
   }
+
+  /** §5 pre-load delivery QA (q336,
+    * db_loader/mcaid/new_files_download.R:150-260): the two-file
+    * battery — the elig arm derives its month span from
+    * CLNDR_YEAR_MNTH and lands PASS on the expected-dates step
+    * (previous delivery exactly one month behind on both bounds);
+    * the claims arm derives months from FROM_SRVC_DATE, has its
+    * declared column order SWAPPED (the positional col_qa FAIL), a
+    * wrong previous-month span (monvprev FAIL), and previous bounds
+    * 0/2 months behind (expdates FAIL). The month-distribution
+    * section is the reviewer's eyeball table at both grains. */
+  def q336DeliveryQa(s: SparkSession, dir: String): DataFrame = {
+    import graft.qa.DeliveryQa
+    val elig = t(s, dir, "orders").select(
+      (year(to_date(col("o_orderdate"))) * 100 +
+        month(to_date(col("o_orderdate")))).as("CLNDR_YEAR_MNTH"),
+      concat(lit("R"), lpad(col("o_orderkey").cast("string"), 10, "0"))
+        .as("MEDICAID_RECIPIENT_ID"))
+    val claims = t(s, dir, "lineitem").select(
+      to_date(col("l_shipdate")).as("FROM_SRVC_DATE"),
+      col("l_orderkey").as("TCN"))
+    DeliveryQa.battery(s, Seq(
+        ("mcaid_elig_20250415.txt", elig,
+          Seq("CLNDR_YEAR_MNTH", "MEDICAID_RECIPIENT_ID"),
+          DeliveryQa.PrevDelivery(18.0, 80, "1994-12-01",
+            "2001-07-31")),
+        ("mcaid_claims_20250415.txt", claims,
+          Seq("TCN", "FROM_SRVC_DATE"),   // swapped vs the frame
+          DeliveryQa.PrevDelivery(700.0, 5, "1995-01-01",
+            "2001-09-30"))))
+      .orderBy(col("section"), col("file_name"), col("ym"))
+  }
 }
