@@ -1730,8 +1730,15 @@ object SparkEntry {
         UNION ALL SELECT id, 'sb', d FROM sbfin
         UNION ALL SELECT id, 'deliv', d FROM dvfin)"""
 
+  /** q181/q182 shared BPE chain. Every stage is MATERIALIZED: the
+    * merge-selection CTEs are referenced twice per successor stage
+    * (two scalar subqueries inside each replace()), so DuckDB's
+    * default inlining re-evaluates the whole prefix chain
+    * multiplicatively — the unannotated q182 oracle cost ~400 s at
+    * sf0.01 vs ~0.5 s materialized, byte-identical result (the
+    * compare-budget fix the r12 empty driver artifact pointed at). */
   private val BpeCte: String = """
-      WITH w AS (
+      WITH w AS MATERIALIZED (
         SELECT word, count(*)::BIGINT AS freq FROM (
           SELECT unnest(string_split(regexp_replace(lower(trim(text)),
             '\s+', ' ', 'g'), ' ')) AS word
@@ -1739,7 +1746,7 @@ object SparkEntry {
         WHERE len(word) > 0 AND word NOT LIKE '%[%'
           AND word NOT LIKE '%]%'
         GROUP BY word),
-      s0 AS (
+      s0 AS MATERIALIZED (
         SELECT word, freq, array_to_string(list_transform(
           range(1, len(word) + 1),
           i -> '[' || word[i] || ']'), '') AS seq
@@ -1752,9 +1759,9 @@ object SparkEntry {
           FROM s0) t,
           LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
         GROUP BY 1, 2),
-      m1 AS (SELECT a, b, cnt FROM p1
+      m1 AS MATERIALIZED (SELECT a, b, cnt FROM p1
         ORDER BY cnt DESC, a, b LIMIT 1),
-      s1 AS (
+      s1 AS MATERIALIZED (
         SELECT word, freq, replace(seq,
           '[' || (SELECT a FROM m1) || '][' || (SELECT b FROM m1) || ']',
           '[' || (SELECT a FROM m1) || (SELECT b FROM m1) || ']') AS seq
@@ -1767,9 +1774,9 @@ object SparkEntry {
           FROM s1) t,
           LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
         GROUP BY 1, 2),
-      m2 AS (SELECT a, b, cnt FROM p2
+      m2 AS MATERIALIZED (SELECT a, b, cnt FROM p2
         ORDER BY cnt DESC, a, b LIMIT 1),
-      s2 AS (
+      s2 AS MATERIALIZED (
         SELECT word, freq, replace(seq,
           '[' || (SELECT a FROM m2) || '][' || (SELECT b FROM m2) || ']',
           '[' || (SELECT a FROM m2) || (SELECT b FROM m2) || ']') AS seq
@@ -1782,9 +1789,9 @@ object SparkEntry {
           FROM s2) t,
           LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
         GROUP BY 1, 2),
-      m3 AS (SELECT a, b, cnt FROM p3
+      m3 AS MATERIALIZED (SELECT a, b, cnt FROM p3
         ORDER BY cnt DESC, a, b LIMIT 1),
-      s3 AS (
+      s3 AS MATERIALIZED (
         SELECT word, freq, replace(seq,
           '[' || (SELECT a FROM m3) || '][' || (SELECT b FROM m3) || ']',
           '[' || (SELECT a FROM m3) || (SELECT b FROM m3) || ']') AS seq
@@ -1797,9 +1804,9 @@ object SparkEntry {
           FROM s3) t,
           LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
         GROUP BY 1, 2),
-      m4 AS (SELECT a, b, cnt FROM p4
+      m4 AS MATERIALIZED (SELECT a, b, cnt FROM p4
         ORDER BY cnt DESC, a, b LIMIT 1),
-      s4 AS (
+      s4 AS MATERIALIZED (
         SELECT word, freq, replace(seq,
           '[' || (SELECT a FROM m4) || '][' || (SELECT b FROM m4) || ']',
           '[' || (SELECT a FROM m4) || (SELECT b FROM m4) || ']') AS seq
@@ -1812,7 +1819,7 @@ object SparkEntry {
           FROM s4) t,
           LATERAL unnest(generate_series(1, len(sy) - 1)) u(i)
         GROUP BY 1, 2),
-      m5 AS (SELECT a, b, cnt FROM p5
+      m5 AS MATERIALIZED (SELECT a, b, cnt FROM p5
         ORDER BY cnt DESC, a, b LIMIT 1)"""
 
   /** Shared synthetic-source + cohort CTE prefix for the q192/q193
@@ -15832,7 +15839,7 @@ object SparkEntry {
     // q182: BPE corpus encoding — the fully-merged vocabulary (s5)
     // joined back to document words; chars-per-BPE-token compression.
     "q182_bpe_encode" -> (BpeCte + """,
-      s5 AS (
+      s5 AS MATERIALIZED (
         SELECT word, freq, replace(seq,
           '[' || (SELECT a FROM m5) || '][' || (SELECT b FROM m5) || ']',
           '[' || (SELECT a FROM m5) || (SELECT b FROM m5) || ']') AS seq
