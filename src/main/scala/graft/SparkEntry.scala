@@ -15726,7 +15726,7 @@ object SparkEntry {
     // candidates, the q38 argument) → recursive min-label closure →
     // keep lowest 2 ids per cluster.
     "q178_cluster_cap" -> """
-      WITH RECURSIVE d AS (
+      WITH RECURSIVE d AS MATERIALIZED (
         SELECT doc_id,
           list_distinct(list_transform(
             generate_series(1, greatest(len(toks) - 2, 1)),
@@ -15735,23 +15735,23 @@ object SparkEntry {
           string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
             'g'), ' ') AS toks
           FROM documents)),
-      p AS (
+      p AS MATERIALIZED (
         SELECT a.doc_id AS ida, b.doc_id AS idb
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh)) * 1.0
             / greatest(len(a.sh) + len(b.sh)
               - len(list_intersect(a.sh, b.sh)), 1) >= 0.5),
-      sym AS (
+      sym AS MATERIALIZED (
         SELECT ida AS u, idb AS v FROM p
         UNION SELECT idb, ida FROM p),
-      reach AS (
+      reach AS MATERIALIZED (
         SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
         UNION
         SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),
-      comp AS (
+      comp AS MATERIALIZED (
         SELECT node AS id, min(lbl) AS component
         FROM reach GROUP BY node),
-      allc AS (
+      allc AS MATERIALIZED (
         SELECT doc_id, coalesce(component, doc_id) AS cluster
         FROM documents LEFT JOIN comp ON doc_id = id)
       SELECT doc_id, cluster, CAST(rn AS INTEGER) AS rank_in_cluster,
