@@ -27,5 +27,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the full 337-query catalog in one local[32]
+  // JVM accumulates broadcast literals, codegen classes and shuffle
+  // buffers across queries; at 8g the tail of the catalog runs under
+  // GC pressure that inflated individual driver-run numbers ×4-5
+  // (the r12/r13 q210 episodes — BENCH_NOTES_r14.md). The sandbox has
+  // 128 GiB; a local-mode driver IS the whole cluster, so sizing it
+  // like one is the honest local analog of per-executor memory, and
+  // SPARK_DRIVER_MEM still overrides for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -12,9 +12,11 @@ object QBench {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
+    names.foreach { n0 =>
+      val n = SparkEntry.queries.keys.find(_.startsWith(n0)).getOrElse(n0)
       val fn = SparkEntry.queries(n)
       fn(spark, "/root/testdata/sf0.001").count()
       (1 to passes).foreach { i =>

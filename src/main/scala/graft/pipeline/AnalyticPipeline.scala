@@ -258,10 +258,18 @@ object AnalyticPipeline {
     *    qa_mcaid (:455-470) — one promote_rows row per list entry.
     *    A fired stop() kills the update and the whole loop: aborted
     *    rows for every remaining step. */
+  /** One stage's speculative result: fused QA counts, the load gate's
+    * verdict, and (inline chains with no hard gate) the promote
+    * re-count. */
+  private case class StageRes(n: Long, d: Long, gate: Qa.QaCheck,
+      finalN: Option[Long])
+
   def run(s: SparkSession, dir: String, stages: Seq[StageDef],
       hardGate: Map[String, Seq[String]] = Map.empty,
       update: Option[UpdateStep] = None,
       promoteList: Seq[String] = Nil): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val work = Files.createTempDirectory("graft_pipeline")
     val metaPath = work.resolve("qa_log").toString
     val failed = scala.collection.mutable.Set.empty[String]
@@ -269,15 +277,37 @@ object AnalyticPipeline {
     val deferred = promoteList.nonEmpty
     var aborted = false
     def stageDirOf(t: String) = work.resolve(s"stage_$t")
-    val rows = topoOrder(stages).zipWithIndex.flatMap { case (st, i) =>
-      val seq = i + 1
-      val gateBroken = hardGate.getOrElse(st.table, Nil).exists(failed)
-      if (aborted || gateBroken) {
-        // the reference stop(): this stage and everything after it die
-        aborted = true
-        failed += st.table
-        Seq((seq, st.table, "aborted", 0, 0L, 0L))
-      } else {
+    val ord = topoOrder(stages)
+
+    // ---- Speculative phase (opt guide §2.6: overlap independent jobs).
+    // The chain's stages are independent Spark jobs — the reference runs
+    // them back-to-back only because its master script is sequential R.
+    // Submitting them from a bounded pool lets the next stage's tasks
+    // back-fill executors idled by the current stage's write tail; FIFO
+    // scheduling gives exactly that. Verdict semantics are preserved by
+    // keeping the DECISION fold below strictly sequential in topo order:
+    //  - a stage that the fold aborts simply never has its speculative
+    //    result consumed (its build may have run — output-invisible: the
+    //    work dir is run-scoped and the qa log is per-table);
+    //  - a speculative build failure is rethrown AT THE FOLD, and only
+    //    if the stage is not aborted — exactly when and what the
+    //    sequential runner would have thrown;
+    //  - the qa-log append is serialized (parquet append into one dir
+    //    must not interleave its _temporary staging);
+    //  - inline promote (Files.move + re-count) stays in the fold when a
+    //    hard gate exists (an abort must leave the stage unpromoted);
+    //    with no hard gate the pass decision is stage-local, so the
+    //    promote rides inside the speculative task.
+    val par = math.max(1, s.conf.getOption("spark.graft.chainParallelism")
+      .map(_.toInt).getOrElse(6))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    val gateLock = new Object
+    val canAbort = hardGate.nonEmpty
+    val futs: Map[String, Future[StageRes]] = ord.map { st =>
+      st.table -> Future {
+        s.sparkContext.setJobDescription(s"chain stage: ${st.table}")
         // stage load: write the stage table, QA the WRITTEN table (the
         // reference QAs stage.<table> in the database, not the query).
         // The row count and the exact-duplicate check FUSE into one
@@ -292,8 +322,33 @@ object AnalyticPipeline {
           count_distinct(allCols).as("d")).head()
         val n = qaRow.getLong(0)
         val d = qaRow.getLong(1)
+        val gate = gateLock.synchronized {
+          Qa.loadGateCounted(s, n, st.table, metaPath)
+        }
+        val pass = gate.pass && d == n && n > 0
+        val finalN = if (!deferred && !canAbort && pass) {
+          // promote: the sp_rename / alter_schema metadata move
+          val finalDir = work.resolve(s"final_${st.table}")
+          Files.move(stageDir, finalDir)
+          Some(s.read.parquet(finalDir.toString).count())
+        } else None
+        StageRes(n, d, gate, finalN)
+      }
+    }.toMap
+
+    // ---- Decision fold: sequential, topo order — semantics unchanged.
+    val rows = ord.zipWithIndex.flatMap { case (st, i) =>
+      val seq = i + 1
+      val gateBroken = hardGate.getOrElse(st.table, Nil).exists(failed)
+      if (aborted || gateBroken) {
+        // the reference stop(): this stage and everything after it die
+        aborted = true
+        failed += st.table
+        Seq((seq, st.table, "aborted", 0, 0L, 0L))
+      } else {
+        val res = Await.result(futs(st.table), Duration.Inf)
+        val (n, d, gate) = (res.n, res.d, res.gate)
         stageN(st.table) = n
-        val gate = Qa.loadGateCounted(s, n, st.table, metaPath)
         val pass = gate.pass && d == n && n > 0
         if (!pass) failed += st.table
         val base = Seq(
@@ -302,18 +357,29 @@ object AnalyticPipeline {
           (seq, st.table, "distinct_rows", if (d == n) 1 else 0, d, n))
         if (deferred) base
         else {
-          val finalN = if (pass) {
-            // promote: the sp_rename / alter_schema metadata move
-            val finalDir = work.resolve(s"final_${st.table}")
-            Files.move(stageDir, finalDir)
-            s.read.parquet(finalDir.toString).count()
-          } else 0L
+          val finalN = res.finalN.getOrElse {
+            if (pass) {
+              // hard-gated inline chain: promote only at decision time
+              val finalDir = work.resolve(s"final_${st.table}")
+              Files.move(stageDirOf(st.table), finalDir)
+              s.read.parquet(finalDir.toString).count()
+            } else 0L
+          }
           base :+ ((seq, st.table, "promote_rows",
             if (pass && finalN == n) 1 else 0, finalN, n))
         }
       }
     }
     val nStages = stages.length
+    // The flag-id cascade reads only the run's INPUT dir, so it is
+    // independent of every stage build — speculate it alongside them
+    // (localCheckpoint materializes the small id set off the pool
+    // thread; result identical, lineage just truncated). Awaited only
+    // on the non-aborted path, like the stage futures.
+    val flagsFut = update.map(u => Future {
+      s.sparkContext.setJobDescription(s"chain update flags: ${u.name}")
+      u.flags(s, dir).toDF("flag_id").distinct().localCheckpoint()
+    })
     val updRows = update.toSeq.flatMap { u =>
       val seq = nStages + 1
       if (aborted) Seq((seq, u.name, "aborted", 0, 0L, 0L))
@@ -321,7 +387,7 @@ object AnalyticPipeline {
         val before = stageN(u.table)
         val demo = s.read.parquet(stageDirOf(u.table).toString)
         val flagIds = broadcast(
-          u.flags(s, dir).toDF("flag_id").distinct())
+          Await.result(flagsFut.get, Duration.Inf))
         val updated = demo
           .join(flagIds, demo(u.key) === col("flag_id"), "left")
           .withColumn(u.flagColumn,
@@ -345,17 +411,31 @@ object AnalyticPipeline {
           (seq, u.name, "update_flagged", 1, flagged, after))
       }
     }
-    val promoRows = promoteList.zipWithIndex.map { case (t, i) =>
-      val seq = nStages + (if (update.isDefined) 1 else 0) + 1 + i
-      if (aborted) (seq, t, "aborted", 0, 0L, 0L)
-      else {
-        val n = stageN(t)
-        val finalDir = work.resolve(s"final_$t")
-        Files.move(stageDirOf(t), finalDir)
-        val finalN = s.read.parquet(finalDir.toString).count()
-        (seq, t, "promote_rows", if (finalN == n) 1 else 0, finalN, n)
+    // Promote loop: the renames are sequential metadata moves in the
+    // reference's fixed list order; the re-counts (parquet footer
+    // reads) are independent of each other, so they overlap on the
+    // pool. Emission order (and the seq numbers) stay the list's.
+    val promoRows =
+      if (aborted) promoteList.zipWithIndex.map { case (t, i) =>
+        val seq = nStages + (if (update.isDefined) 1 else 0) + 1 + i
+        (seq, t, "aborted", 0, 0L, 0L)
+      } else {
+        val counted = promoteList.map { t =>
+          val finalDir = work.resolve(s"final_$t")
+          Files.move(stageDirOf(t), finalDir)
+          t -> Future {
+            s.sparkContext.setJobDescription(s"chain promote: $t")
+            s.read.parquet(finalDir.toString).count()
+          }
+        }
+        counted.zipWithIndex.map { case ((t, fut), i) =>
+          val seq = nStages + (if (update.isDefined) 1 else 0) + 1 + i
+          val n = stageN(t)
+          val finalN = Await.result(fut, Duration.Inf)
+          (seq, t, "promote_rows", if (finalN == n) 1 else 0, finalN, n)
+        }
       }
-    }
+    pool.shutdown()
     import s.implicits._
     (rows ++ updRows ++ promoRows).toDF("stage_seq", "table_name",
       "item", "pass", "observed", "expected")

@@ -106,16 +106,19 @@ object Qa {
     // its read error, not silently reset the baseline to 0
     val p = new org.apache.hadoop.fs.Path(metaPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val log =
-      if (fs.exists(p)) Some(s.read.parquet(metaPath).filter(col("table") === table))
-      else None
-    val prior = log.flatMap(
-      _.filter(col("pass")).select(col("observed"), col("load_seq"))
-        .orderBy(col("load_seq").desc).limit(1).collect().headOption
-        .map(_.getLong(0))).getOrElse(0L)
-    val seq = log.flatMap(
-      _.select(col("load_seq")).orderBy(col("load_seq").desc).limit(1)
-        .collect().headOption.map(_.getLong(0) + 1)).getOrElse(1L)
+    // ONE collect of the table's own log rows (bounded: one row per
+    // prior load of this table) instead of two ordered limit-1 jobs —
+    // the log scan was the gate's dominant cost in composed chains.
+    val logRows =
+      if (fs.exists(p))
+        s.read.parquet(metaPath).filter(col("table") === table)
+          .select(col("pass"), col("observed"), col("load_seq"))
+          .collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val prior = logRows.filter(_.getBoolean(0))
+      .sortBy(-_.getLong(2)).headOption.map(_.getLong(1)).getOrElse(0L)
+    val seq =
+      if (logRows.isEmpty) 1L else logRows.map(_.getLong(2)).max + 1L
     val chk = QaCheck(table, "rowcount_monotonic", n >= prior, n, prior)
     import s.implicits._
     Seq((chk.table, chk.check, chk.pass, chk.observed, chk.expected, seq))
