@@ -27,13 +27,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default (was 8g): the full 337-query catalog in one local[32]
-  // JVM accumulates broadcast literals, codegen classes and shuffle
-  // buffers across queries; at 8g the tail of the catalog runs under
-  // GC pressure that inflated individual driver-run numbers ×4-5
-  // (the r12/r13 q210 episodes — BENCH_NOTES_r14.md). The sandbox has
-  // 128 GiB; a local-mode driver IS the whole cluster, so sizing it
-  // like one is the honest local analog of per-executor memory, and
-  // SPARK_DRIVER_MEM still overrides for constrained hosts.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g default. A 24g default was tried mid-r14 on the theory that the
+  // 337-query catalog's tail ran under GC pressure; controlled fresh-JVM
+  // re-measures reversed it (BENCH_NOTES_r14.md "heap size experiment"):
+  // on this host G1 at >=16g heap shows erratic multi-second young-gen
+  // evacuation pauses and 2-10x pass-time blowups on allocation-heavy
+  // queries (q185: 8g -> ~9 s steady; 16g -> 66-198 s; 24g -> 21-84 s),
+  // while at 8g every measured query converges to its historical band.
+  // SPARK_DRIVER_MEM still overrides for bigger/smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -33,15 +33,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // The generated-class cache defaults to 100 entries; a 337-query
-      // catalog cycles hundreds of distinct codegen units per pass, so
-      // every pass re-runs Janino on nearly every operator (the warmup
-      // pass's compilations are evicted before the timed pass reuses
-      // them). 10k entries lets compiled classes actually persist
-      // across passes — a repeated-workload setting, not a local[32]
-      // trick (any production driver re-running a query catalog wants
-      // the same).
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Generated-class cache, parameterised for measurement. A 10k
+      // setting was tried mid-r14 (avoid per-pass Janino recompiles);
+      // the full-catalog A/B (BENCH_NOTES_r14.md) showed keeping
+      // thousands of generated classes alive floods the JVM's 240 MB
+      // JIT code cache and the flush/recompile churn costs far more
+      // than Janino does, so the default stays at Spark's own 100.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: run every plan once on the tiny sf so codegen/JIT costs

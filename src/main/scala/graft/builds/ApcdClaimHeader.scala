@@ -3,7 +3,6 @@ package graft.builds
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Intervals
 
 /** APCD claim header staging build — the reference's biggest-source
   * composition (load_stage.apcd_claim_header.R, 1,251 LoC, steps 1-8 and
@@ -212,33 +211,50 @@ object ApcdClaimHeader {
       .withColumn("mh_any", coalesce(col("mh_any"), lit(0)))
       .withColumn("sud_primary", coalesce(col("sud_primary"), lit(0)))
       .withColumn("sud_any", coalesce(col("sud_any"), lit(0)))
-    // step 7: per-person concept sequence ids (composite surrogates)
-    def conceptSeq(flag: String, seqName: String)(df: DataFrame): DataFrame = {
-      val sliver = df.filter(col(flag) === 1)
-        .select(col("claim_header_id").as(s"${seqName}_chid"),
-          dense_rank().over(Window.partitionBy(col("id_apcd"))
-            .orderBy(col("first_service_date"))).as(seqName))
-      df.join(sliver, col("claim_header_id") === col(s"${seqName}_chid"),
-        "left").drop(s"${seqName}_chid")
-    }
-    val withSeqs = conceptSeq("ed_perform", "ed_perform_seq")(
-      conceptSeq("inpatient", "inpatient_seq")(
-        conceptSeq("pc_visit", "pc_visit_seq")(flagged)))
-    // step 10: Yale ED population-health 1-day episode clustering
-    val edSliver = withSeqs
-      .filter(col("ed_yale_carrier") === 1 || col("ed_yale_opt") === 1 ||
-        col("ed_yale_ipt") === 1)
-      .select(col("id_apcd"), col("claim_header_id"),
-        col("first_service_date"), col("last_service_date"))
-    val pophealth = Intervals.islandIds(edSliver, Seq("id_apcd"),
-        "first_service_date", "first_service_date", maxGapDays = 1,
-        tieBreak = Seq("last_service_date", "claim_header_id"))
-      .select(col("claim_header_id").as("ph_chid"),
-        col("island_id").as("ed_pophealth_seq"))
+    // step 7: per-person concept sequence ids (composite surrogates).
+    // r14 shape (guide §2.4 "remove shuffles outright"): the reference
+    // computes each seq by ranking the flagged SLIVER and joining it
+    // back on claim_header_id; expressed that way the whole upstream
+    // join tree re-executes once per sliver (4x counting step 10) and
+    // each join is its own pair of exchanges. A dense_rank over the
+    // FULL frame ordered flag-DESC-then-date is value-identical for
+    // the flagged rows (every flag=1 row sorts before every flag=0 row
+    // of the same person, so the rank a flagged row receives counts
+    // exactly the distinct service dates of the person's flagged rows
+    // up to its own — the sliver rank), and the unflagged rows get
+    // NULL exactly as the reference's left-join miss does. All four
+    // windows share ONE hashpartitioning(id_apcd) exchange; only the
+    // per-window in-partition sort differs. Oracle-verified
+    // hash-identical at sf0.001/0.01/0.1 (q142/q143/q246).
+    def conceptSeqCol(flag: String): Column =
+      when(col(flag) === 1,
+        dense_rank().over(Window.partitionBy(col("id_apcd"))
+          .orderBy(col(flag).desc, col("first_service_date"))))
+    val withSeqs = flagged
+      .withColumn("pc_visit_seq", conceptSeqCol("pc_visit"))
+      .withColumn("inpatient_seq", conceptSeqCol("inpatient"))
+      .withColumn("ed_perform_seq", conceptSeqCol("ed_perform"))
+    // step 10: Yale ED population-health 1-day episode clustering —
+    // the same flag-DESC trick applied to [[Intervals.islandIds]]'s
+    // lag/flag/running-sum formulation (from = to = first_service_date,
+    // maxGapDays = 1, tie-break last_service_date, claim_header_id).
+    // For an ED row every preceding row in its window is also ED, so
+    // lag/sum see exactly the sliver; non-ED rows sort after all ED
+    // rows and their start-flags never enter an ED row's running sum.
+    val edFlag = when(col("ed_yale_carrier") === 1 ||
+      col("ed_yale_opt") === 1 || col("ed_yale_ipt") === 1, 1).otherwise(0)
+    val wEd = Window.partitionBy(col("id_apcd"))
+      .orderBy(edFlag.desc, col("first_service_date"),
+        col("first_service_date"), col("last_service_date"),
+        col("claim_header_id"))
+    val prevTo = lag(col("first_service_date"), 1).over(wEd)
+    val isStart = when(prevTo.isNull ||
+      datediff(col("first_service_date"), prevTo) > 1, 1).otherwise(0)
     // step 11: final projection
     val out = withSeqs
-      .join(pophealth, col("claim_header_id") === col("ph_chid"), "left")
-      .drop("ph_chid")
+      .withColumn("ed_pophealth_seq",
+        when(edFlag === 1, sum(isStart).over(
+          wEd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     out.select((Seq("id_apcd", "claim_header_id", "product_code_id",
       "first_service_date", "last_service_date", "first_paid_date",
       "last_paid_date", "charge_amt", "primary_diagnosis", "icdcm_version",
