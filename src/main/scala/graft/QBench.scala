@@ -24,6 +24,10 @@ object QBench {
         val t0 = System.nanoTime()
         val r = fn(spark, sfDir).count()
         println(f"[qb] $n pass$i ${(System.nanoTime()-t0)/1e9}%.2f s ($r rows)")
+        // release dead localCheckpoint blocks between passes (outside
+        // the timed region) — the Bench loop's state-release discipline
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()

@@ -226,10 +226,16 @@ object ApcdClaimHeader {
     // windows share ONE hashpartitioning(id_apcd) exchange; only the
     // per-window in-partition sort differs. Oracle-verified
     // hash-identical at sf0.001/0.01/0.1 (q142/q143/q246).
+    // sort on the NORMALIZED predicate, not the raw column: the
+    // sliver-rank equivalence needs every flag=1 row to sort before all
+    // other rows of the person, which `col(flag).desc` only gives for
+    // non-null {0,1} flags — `(flag === 1).desc` (false/null together,
+    // true first) keeps the guarantee even if an upstream flag ever
+    // turns nullable or multi-valued (ADVICE r14)
     def conceptSeqCol(flag: String): Column =
       when(col(flag) === 1,
         dense_rank().over(Window.partitionBy(col("id_apcd"))
-          .orderBy(col(flag).desc, col("first_service_date"))))
+          .orderBy((col(flag) === 1).desc, col("first_service_date"))))
     val withSeqs = flagged
       .withColumn("pc_visit_seq", conceptSeqCol("pc_visit"))
       .withColumn("inpatient_seq", conceptSeqCol("inpatient"))
@@ -243,10 +249,12 @@ object ApcdClaimHeader {
     // rows and their start-flags never enter an ED row's running sum.
     val edFlag = when(col("ed_yale_carrier") === 1 ||
       col("ed_yale_opt") === 1 || col("ed_yale_ipt") === 1, 1).otherwise(0)
+    // islandIds orders (from, to, tie-breaks); here from == to ==
+    // first_service_date, so the key appears ONCE (the r14 duplicate
+    // was a copy of that mirror, not a semantic need — ADVICE r14)
     val wEd = Window.partitionBy(col("id_apcd"))
-      .orderBy(edFlag.desc, col("first_service_date"),
-        col("first_service_date"), col("last_service_date"),
-        col("claim_header_id"))
+      .orderBy((edFlag === 1).desc, col("first_service_date"),
+        col("last_service_date"), col("claim_header_id"))
     val prevTo = lag(col("first_service_date"), 1).over(wEd)
     val isStart = when(prevTo.isNull ||
       datediff(col("first_service_date"), prevTo) > 1, 1).otherwise(0)

@@ -269,7 +269,14 @@ object AnalyticPipeline {
       update: Option[UpdateStep] = None,
       promoteList: Seq[String] = Nil): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration.{Duration, SECONDS}
+    // duplicate stage table names would silently collapse to ONE future
+    // in the speculative map below (both fold legs consuming the same
+    // result) — refuse them up front (VERDICT r14 #3c)
+    require(stages.map(_.table).distinct.size == stages.size,
+      s"duplicate stage table names: ${stages.map(_.table)
+        .groupBy(identity).collect { case (t, g) if g.size > 1 => t }
+        .mkString(", ")}")
     val work = Files.createTempDirectory("graft_pipeline")
     val metaPath = work.resolve("qa_log").toString
     val failed = scala.collection.mutable.Set.empty[String]
@@ -277,7 +284,20 @@ object AnalyticPipeline {
     val deferred = promoteList.nonEmpty
     var aborted = false
     def stageDirOf(t: String) = work.resolve(s"stage_$t")
+    def finalDirOf(t: String) = work.resolve(s"final_$t")
+    // A table's CURRENT location: staged until promoted, final after —
+    // an inline-promote chain with an UpdateStep moves the stage dir
+    // before the update runs, so the update must follow it (r14 #3d).
+    def liveDirOf(t: String) =
+      if (Files.exists(stageDirOf(t))) stageDirOf(t) else finalDirOf(t)
     val ord = topoOrder(stages)
+    // Finite await for every speculative result: one wedged Spark job
+    // must fail the query, not hang the bench forever (r14 #3a). Long
+    // default — real chain stages at scale run hours, and the timeout
+    // exists to convert "forever" into a diagnosable error.
+    val awaitSec = s.conf.getOption("spark.graft.chainAwaitTimeoutSec")
+      .map(_.toLong).getOrElse(21600L)
+    val awaitD = Duration(awaitSec, SECONDS)
 
     // ---- Speculative phase (opt guide §2.6: overlap independent jobs).
     // The chain's stages are independent Spark jobs — the reference runs
@@ -305,9 +325,19 @@ object AnalyticPipeline {
       ExecutionContext.fromExecutor(pool)
     val gateLock = new Object
     val canAbort = hardGate.nonEmpty
+    // Every speculative Spark job runs under one cancellable job group:
+    // when the fold aborts, the dead stages' in-flight builds are
+    // CANCELLED, not left to burn cluster time past run()'s return
+    // (r14 #3b). The group id is run-scoped; setJobGroup is thread-local
+    // so each pool thread re-establishes it per task.
+    val jobGroup = s"graft-chain-${java.util.UUID.randomUUID()}"
+    @volatile var cancelled = false
     val futs: Map[String, Future[StageRes]] = ord.map { st =>
       st.table -> Future {
-        s.sparkContext.setJobDescription(s"chain stage: ${st.table}")
+        if (cancelled) throw new InterruptedException(
+          s"chain aborted before stage ${st.table} started")
+        s.sparkContext.setJobGroup(jobGroup,
+          s"chain stage: ${st.table}", interruptOnCancel = true)
         // stage load: write the stage table, QA the WRITTEN table (the
         // reference QAs stage.<table> in the database, not the query).
         // The row count and the exact-duplicate check FUSE into one
@@ -328,13 +358,34 @@ object AnalyticPipeline {
         val pass = gate.pass && d == n && n > 0
         val finalN = if (!deferred && !canAbort && pass) {
           // promote: the sp_rename / alter_schema metadata move
-          val finalDir = work.resolve(s"final_${st.table}")
+          val finalDir = finalDirOf(st.table)
           Files.move(stageDir, finalDir)
           Some(s.read.parquet(finalDir.toString).count())
         } else None
         StageRes(n, d, gate, finalN)
       }
     }.toMap
+    // The flag-id cascade reads only the run's INPUT dir, so it is
+    // independent of every stage build — speculated ALONGSIDE them (it
+    // must start before the fold, or it overlaps nothing).
+    // localCheckpoint materializes the small id set off the pool thread;
+    // result identical, lineage just truncated. Awaited only on the
+    // non-aborted path, like the stage futures.
+    val flagsFut = update.map(u => Future {
+      if (cancelled) throw new InterruptedException(
+        s"chain aborted before update flags ${u.name} started")
+      s.sparkContext.setJobGroup(jobGroup,
+        s"chain update flags: ${u.name}", interruptOnCancel = true)
+      u.flags(s, dir).toDF("flag_id").distinct().localCheckpoint()
+    })
+    // First abort: stop consuming speculative results AND stop the
+    // speculation itself — cancel the group's in-flight Spark jobs and
+    // refuse to start queued ones (the `cancelled` gate above).
+    def cancelSpeculation(): Unit = if (!cancelled) {
+      cancelled = true
+      try s.sparkContext.cancelJobGroup(jobGroup)
+      catch { case _: Throwable => () }
+    }
 
     // ---- Decision fold: sequential, topo order — semantics unchanged.
     val rows = ord.zipWithIndex.flatMap { case (st, i) =>
@@ -343,10 +394,11 @@ object AnalyticPipeline {
       if (aborted || gateBroken) {
         // the reference stop(): this stage and everything after it die
         aborted = true
+        cancelSpeculation()
         failed += st.table
         Seq((seq, st.table, "aborted", 0, 0L, 0L))
       } else {
-        val res = Await.result(futs(st.table), Duration.Inf)
+        val res = Await.result(futs(st.table), awaitD)
         val (n, d, gate) = (res.n, res.d, res.gate)
         stageN(st.table) = n
         val pass = gate.pass && d == n && n > 0
@@ -360,7 +412,7 @@ object AnalyticPipeline {
           val finalN = res.finalN.getOrElse {
             if (pass) {
               // hard-gated inline chain: promote only at decision time
-              val finalDir = work.resolve(s"final_${st.table}")
+              val finalDir = finalDirOf(st.table)
               Files.move(stageDirOf(st.table), finalDir)
               s.read.parquet(finalDir.toString).count()
             } else 0L
@@ -371,23 +423,18 @@ object AnalyticPipeline {
       }
     }
     val nStages = stages.length
-    // The flag-id cascade reads only the run's INPUT dir, so it is
-    // independent of every stage build — speculate it alongside them
-    // (localCheckpoint materializes the small id set off the pool
-    // thread; result identical, lineage just truncated). Awaited only
-    // on the non-aborted path, like the stage futures.
-    val flagsFut = update.map(u => Future {
-      s.sparkContext.setJobDescription(s"chain update flags: ${u.name}")
-      u.flags(s, dir).toDF("flag_id").distinct().localCheckpoint()
-    })
     val updRows = update.toSeq.flatMap { u =>
       val seq = nStages + 1
       if (aborted) Seq((seq, u.name, "aborted", 0, 0L, 0L))
       else {
         val before = stageN(u.table)
-        val demo = s.read.parquet(stageDirOf(u.table).toString)
+        // liveDirOf: in an inline-promote chain the table was already
+        // renamed to final_<t>, and the reference UPDATEs the table
+        // wherever it currently lives (r14 #3d)
+        val updDir = liveDirOf(u.table)
+        val demo = s.read.parquet(updDir.toString)
         val flagIds = broadcast(
-          Await.result(flagsFut.get, Duration.Inf))
+          Await.result(flagsFut.get, awaitD))
         val updated = demo
           .join(flagIds, demo(u.key) === col("flag_id"), "left")
           .withColumn(u.flagColumn,
@@ -398,9 +445,9 @@ object AnalyticPipeline {
         updated.write.parquet(newDir.toString)
         // swap the rewritten table in (the reference UPDATEs in place)
         val old = work.resolve(s"pre_upd_${u.table}")
-        Files.move(stageDirOf(u.table), old)
-        Files.move(newDir, stageDirOf(u.table))
-        val rewritten = s.read.parquet(stageDirOf(u.table).toString)
+        Files.move(updDir, old)
+        Files.move(newDir, updDir)
+        val rewritten = s.read.parquet(updDir.toString)
         val m = rewritten.agg(count(lit(1)).as("n"),
           count(when(col(u.flagColumn) === 1, 1)).as("f")).head()
         val (after, flagged) = (m.getLong(0), m.getLong(1))
@@ -421,21 +468,30 @@ object AnalyticPipeline {
         (seq, t, "aborted", 0, 0L, 0L)
       } else {
         val counted = promoteList.map { t =>
-          val finalDir = work.resolve(s"final_$t")
+          val finalDir = finalDirOf(t)
           Files.move(stageDirOf(t), finalDir)
           t -> Future {
-            s.sparkContext.setJobDescription(s"chain promote: $t")
+            s.sparkContext.setJobGroup(jobGroup,
+              s"chain promote: $t", interruptOnCancel = true)
             s.read.parquet(finalDir.toString).count()
           }
         }
         counted.zipWithIndex.map { case ((t, fut), i) =>
           val seq = nStages + (if (update.isDefined) 1 else 0) + 1 + i
           val n = stageN(t)
-          val finalN = Await.result(fut, Duration.Inf)
+          val finalN = Await.result(fut, awaitD)
           (seq, t, "promote_rows", if (finalN == n) 1 else 0, finalN, n)
         }
       }
+    // Drain the pool BEFORE returning: on the abort path the dead
+    // stages' speculative builds were cancelled above — interrupt any
+    // straggler thread and wait (bounded) so no cancelled Spark job
+    // bleeds into whatever the caller times next (r14 #3b).
     pool.shutdown()
+    if (cancelled) {
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
     import s.implicits._
     (rows ++ updRows ++ promoRows).toDF("stage_seq", "table_name",
       "item", "pass", "observed", "expected")

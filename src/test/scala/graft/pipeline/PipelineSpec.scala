@@ -178,6 +178,66 @@ class PipelineSpec extends SparkSpec {
     assert(out.count(_.getAs[String]("table_name") == "claims") == 3)
   }
 
+  test("duplicate stage table names are refused up front (two stages " +
+      "named alike would silently share ONE speculative future)") {
+    val stages = Seq(StageDef("t", Nil, mk(1)), StageDef("t", Nil, mk(2)))
+    val e = intercept[IllegalArgumentException](
+      AnalyticPipeline.run(spark, "", stages))
+    assert(e.getMessage.contains("duplicate stage table names"))
+  }
+
+  test("abort with speculative builds in flight: the dead stages' " +
+      "futures are cancelled and drained BEFORE run() returns — no " +
+      "job bleeds into whatever the caller does next") {
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val slow: (SparkSession, String) => DataFrame = (s, _) => {
+      inFlight.incrementAndGet()
+      try Thread.sleep(20000L)
+      finally inFlight.decrementAndGet()
+      import s.implicits._
+      Seq(1L).toDF("id")
+    }
+    val stages = Seq(
+      StageDef("claims", Nil, dup),            // fails QA -> gate fires
+      StageDef("header", Seq("claims"), mk(5)), // hard-gated: aborts
+      StageDef("down1", Seq("header"), slow),   // speculated, then dead
+      StageDef("down2", Seq("header"), slow))
+    val t0 = System.nanoTime()
+    val out = AnalyticPipeline.run(spark, "", stages,
+      hardGate = Map("header" -> Seq("claims"))).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the sleeps were interrupted, not waited out (20 s each)
+    assert(secs < 15.0, s"run() took $secs s — cancelled builds not drained")
+    // and nothing is still running after run() returned
+    assert(inFlight.get() == 0, "a cancelled build outlived run()")
+    val abortedTables = out.filter(_.getAs[String]("item") == "aborted")
+      .map(_.getAs[String]("table_name")).toSet
+    assert(abortedTables == Set("header", "down1", "down2"))
+  }
+
+  test("UpdateStep composes with INLINE promote (no promote list): the " +
+      "stage is already renamed to final when the update runs, and the " +
+      "update follows it there (update_rows keeps cardinality, flag " +
+      "lands on the matching key)") {
+    val stages = Seq(
+      StageDef("demo", Nil, (s, _) => { import s.implicits._
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "x") }),
+      StageDef("t2", Seq("demo"), mk(4)))
+    val upd = UpdateStep("demo", "demo_extra", "user_id", "flag",
+      (s, _) => { import s.implicits._; Seq(2L, 9L).toDF("id") })
+    val out = AnalyticPipeline.run(spark, "", stages, update = Some(upd))
+      .collect()
+    // inline discipline: 3 rows per stage (incl. promote_rows), all green
+    val stageRows = out.filter(_.getAs[Int]("stage_seq") <= 2)
+    assert(stageRows.length == 6 &&
+      stageRows.forall(_.getAs[Int]("pass") == 1))
+    val updRows = out.filter(_.getAs[String]("table_name") == "demo_extra")
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Int]("pass"), r.getAs[Long]("observed"))).toMap
+    assert(updRows("update_rows") == ((1, 3L)))   // cardinality kept
+    assert(updRows("update_flagged") == ((1, 1L))) // only id 2 matched
+  }
+
   test("an EMPTY stage fails the rowcount gate and does not promote") {
     val stages = Seq(StageDef("empty", Nil, mk(0)))
     val out = AnalyticPipeline.run(spark, "", stages).collect()

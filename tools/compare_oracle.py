@@ -32,11 +32,24 @@ for d in sorted(glob.glob(f'{out}/q*')):
     r['schema_match'] = s_cols == o_cols
     if r['rows_match'] and r['schema_match']:
         import hashlib
-        def h(df):
+        def rows_of(df):
             d2 = df[sorted(df.columns)]
-            rows = sorted(tuple(f'{x:.6g}' if isinstance(x, float) else str(x) for x in row) for row in d2.itertuples(index=False))
-            return hashlib.md5(str(rows).encode()).hexdigest()
-        r['hash_match'] = h(sdf) == h(odf)
+            return sorted(tuple(f'{x:.6g}' if isinstance(x, float) else str(x) for x in row) for row in d2.itertuples(index=False))
+        s_rows, o_rows = rows_of(sdf), rows_of(odf)
+        r['hash_match'] = (hashlib.md5(str(s_rows).encode()).hexdigest()
+                           == hashlib.md5(str(o_rows).encode()).hexdigest())
+        if not r['hash_match']:
+            # print the actual differing tuples (multiset diff, capped):
+            # a rendering artifact (e.g. int64 vs object formatting of the
+            # same value) is then provable from this artifact alone
+            # instead of needing a judge re-run (VERDICT r13 #5 / r14 #6)
+            from collections import Counter
+            sc, oc = Counter(s_rows), Counter(o_rows)
+            only_s = list((sc - oc).elements())[:5]
+            only_o = list((oc - sc).elements())[:5]
+            r['diff_spark_only'] = [list(t) for t in only_s]
+            r['diff_oracle_only'] = [list(t) for t in only_o]
+            r['cols_sorted'] = sorted(sdf.columns)
     results[name] = r
 bad = {k: v for k, v in results.items() if not v.get('hash_match', False)}
 print('TOTAL', len(results), 'PASS', len(results) - len(bad))
