@@ -209,23 +209,49 @@ object Similarity {
   def knnGraph(corpus: DataFrame, id: String, vec: String,
       centroids: Array[(Int, Seq[Float])], k: Int,
       maxCell: Int = 100000): DataFrame = {
-    val a = quantize(assignCells(corpus, id, vec, centroids), "_id", "_v")
-      .select(col("_id"), col("_cell"), col("qvec"))
-      .withColumn("_cn",
-        count(lit(1)).over(Window.partitionBy(col("_cell"))))
-      .filter(col("_cn") <= maxCell).drop("_cn")
-    val l = a.select(col("_cell"), col("_id").as("src"),
-      col("qvec").as("_sv"))
+    val assigned = quantize(assignCells(corpus, id, vec, centroids),
+      "_id", "_v").select(col("_id"), col("_cell"), col("qvec"))
+    // cell-size cap via a broadcast semi-join on the qualifying cells —
+    // the count-over-cell window this replaces shuffled the whole corpus
+    // into |cells| partitions twice (once per join side) just to read a
+    // per-cell count (opt guide §2.4)
+    val okCells = assigned.groupBy(col("_cell"))
+      .agg(count(lit(1)).as("_cn"))
+      .filter(col("_cn") <= maxCell).select(col("_cell"))
+    val a = assigned.join(broadcast(okCells), Seq("_cell"))
+    // SALT the within-cell pair join (opt guide §2.5): keyed on _cell
+    // alone the shuffle lands on |cells| partitions (8 for q197 — 8 of
+    // 32 cores busy, and one hot cell is a straggler). Each src row
+    // takes one deterministic salt; the dst side replicates S ways; the
+    // pair set is unchanged, spread over |cells|*S partitions.
+    val S = math.max(1, scala.util.Try(corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200) /
+      math.max(1, centroids.length))
+    val l = a.select(col("_cell"),
+      pmod(xxhash64(col("_id")), lit(S.toLong)).cast("int").as("_salt"),
+      col("_id").as("src"), col("qvec").as("_sv"))
     val r = a.select(col("_cell"), col("_id").as("dst"),
       col("qvec").as("_dv"))
-    val w = Window.partitionBy(col("src"))
+      .withColumn("_salt", explode(array((0 until S).map(lit): _*)))
+    // rank per src INSIDE the join's partitioning: all of a src's
+    // candidates live in its (_cell, _salt) group, so a window keyed
+    // (_cell, _salt, src) ranks identically to one keyed src — and
+    // hashpartitioning(_cell, _salt) already satisfies its clustering,
+    // so the per-src rank costs a sort, not another full-pair exchange
+    // (opt guide §2.4 — window sharing a preceding join's partitioning)
+    val w = Window.partitionBy(col("_cell"), col("_salt"), col("src"))
       .orderBy(col("qcosine").desc, col("dst").asc)
-    val edges = l.join(r, Seq("_cell"))
+    // localCheckpoint: the mutual self-join below consumes edges TWICE
+    // (forward + reversed); without materialization the whole pair join
+    // re-executes per side. n*k rows — run-scoped, rebuilt per call.
+    val edges = l.join(r, Seq("_cell", "_salt"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
+      .select(col("_cell"), col("_salt"), col("src"), col("dst"),
         VectorFns.cosineSim(col("_sv"), col("_dv")).as("qcosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("qcosine"), col("rank"))
+      .localCheckpoint(true)
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
       .withColumn("_m", lit(1))
     edges.join(rev, Seq("src", "dst"), "left")

@@ -278,7 +278,11 @@ object AnalyticPipeline {
         .groupBy(identity).collect { case (t, g) if g.size > 1 => t }
         .mkString(", ")}")
     val work = Files.createTempDirectory("graft_pipeline")
-    val metaPath = work.resolve("qa_log").toString
+    // run-scoped metadata.qa_mcaid analog (see Qa.LoadLog — replaces a
+    // per-stage parquet append + re-read pair, 26 serialized driver
+    // jobs per 13-stage chain, with an in-memory log; verdicts and
+    // first-load semantics identical)
+    val qaLog = new Qa.LoadLog
     val failed = scala.collection.mutable.Set.empty[String]
     val stageN = scala.collection.mutable.Map.empty[String, Long]
     val deferred = promoteList.nonEmpty
@@ -312,8 +316,7 @@ object AnalyticPipeline {
     //  - a speculative build failure is rethrown AT THE FOLD, and only
     //    if the stage is not aborted — exactly when and what the
     //    sequential runner would have thrown;
-    //  - the qa-log append is serialized (parquet append into one dir
-    //    must not interleave its _temporary staging);
+    //  - the qa-log gate is atomic (Qa.LoadLog synchronizes internally);
     //  - inline promote (Files.move + re-count) stays in the fold when a
     //    hard gate exists (an abort must leave the stage unpromoted);
     //    with no hard gate the pass decision is stage-local, so the
@@ -323,7 +326,6 @@ object AnalyticPipeline {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutor(pool)
-    val gateLock = new Object
     val canAbort = hardGate.nonEmpty
     // Every speculative Spark job runs under one cancellable job group:
     // when the fold aborts, the dead stages' in-flight builds are
@@ -352,9 +354,7 @@ object AnalyticPipeline {
           count_distinct(allCols).as("d")).head()
         val n = qaRow.getLong(0)
         val d = qaRow.getLong(1)
-        val gate = gateLock.synchronized {
-          Qa.loadGateCounted(s, n, st.table, metaPath)
-        }
+        val gate = qaLog.gate(n, st.table)
         val pass = gate.pass && d == n && n > 0
         val finalN = if (!deferred && !canAbort && pass) {
           // promote: the sp_rename / alter_schema metadata move

@@ -95,6 +95,30 @@ object Qa {
   def loadGate(df: DataFrame, table: String, metaPath: String): QaCheck =
     loadGateCounted(df.sparkSession, df.count(), table, metaPath)
 
+  /** Run-scoped IN-MEMORY load log — the chain runner's
+    * metadata.qa_mcaid analog. The reference records each load with a
+    * cheap database INSERT; the parquet-append re-expression paid one
+    * full Spark write job plus a log re-read per stage, serialized
+    * under the runner's gate lock (26 driver jobs per 13-stage chain
+    * for what is ≤13 tiny rows of run-local metadata). Semantics are
+    * [[loadGateCounted]]'s exactly: per-table rows, prior = observed
+    * of the highest-seq PASSING load, first load ⇒ prior 0 / seq 1.
+    * Thread-safe — the runner's speculative stage futures gate
+    * concurrently. */
+  final class LoadLog {
+    private val m = scala.collection.mutable.Map
+      .empty[String, Vector[(Boolean, Long, Long)]]
+    def gate(n: Long, table: String): QaCheck = synchronized {
+      val rows = m.getOrElse(table, Vector.empty)
+      val prior = rows.filter(_._1).sortBy(-_._3).headOption
+        .map(_._2).getOrElse(0L)
+      val seq = if (rows.isEmpty) 1L else rows.map(_._3).max + 1L
+      val chk = QaCheck(table, "rowcount_monotonic", n >= prior, n, prior)
+      m(table) = rows :+ ((chk.pass, n, seq))
+      chk
+    }
+  }
+
   /** [[loadGate]] with the row count supplied by the caller — for
     * callers that already computed it in a FUSED QA aggregation (the
     * pipeline runner pays one scan for count + distinctness; a second

@@ -5006,6 +5006,10 @@ object BuildQueries {
     val moudCodes = Seq("H0033", "H0020", "S0109", "G2078", "J0571",
       "J0574", "G2068", "Q9991", "G2069", "G2070", "J0570", "96372",
       "11981", "G0516", "G2073", "J2315", "G2074", "G2086")
+    // staged once (the established staging-table analog): both the
+    // procedure arm and the claim-header arm below consume this join —
+    // without materialization the lineitem⋈orders SMJ executes twice
+    // (the reference reads its own staged claim tables here)
     val li = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") % 60).as("id_person"),
@@ -5013,6 +5017,7 @@ object BuildQueries {
           .as("claim_header_id"),
         to_date(col("l_shipdate")).as("last_service_date"),
         col("l_partkey"), col("l_suppkey"))
+      .localCheckpoint(true)
     val code = moudCodes.zipWithIndex.foldLeft(lit("ZZZZ")) {
       case (acc, (c, i)) =>
         when(col("l_partkey") % 40 === i, c).otherwise(acc)
